@@ -1,0 +1,52 @@
+package graft.cli
+
+import graft.infer.{InferSchema, InferSchemaCountAgg}
+import graft.types.{HStruct, HType}
+import org.apache.spark.sql.SparkSession
+
+/** Distributed equivalent of the reference's `find-json-schema` CLI
+  * (reference `bin/find-json-schema:24-25` →
+  * `JsonSchemaFinder.main`, JsonSchemaFinder.java:223-255).
+  *
+  * Usage: FindJsonSchema [-f] file-or-glob...
+  *
+  * Reads newline-delimited (or per-line concatenated) JSON documents —
+  * `.gz` inputs decode transparently via the text source codec, the
+  * Spark counterpart of JsonSchemaFinder.java:233-238 — infers the
+  * least-upper-bound Hive type of the whole collection on the
+  * executors, and prints the `create table` DDL (or the flat
+  * `root.path: type` listing with `-f`) on the driver. Record count
+  * goes to stderr like the reference (:248-249).
+  */
+object FindJsonSchema {
+  def main(args: Array[String]): Unit = {
+    val flat = args.contains("-f")
+    val files = args.filterNot(_ == "-f")
+    require(files.nonEmpty, "usage: FindJsonSchema [-f] <json file or glob>...")
+
+    val spark = SparkSession.builder()
+      .appName("graft-find-json-schema")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.textFile(files: _*)
+    // one pass: tiny per-partition partial schemas, one combine
+    val (schema, count) = docs.select(new InferSchemaCountAgg().toColumn).head()
+
+    System.err.println(s"$count records read")
+    System.err.println()
+    if (flat) print(InferSchema.render(schema, "flat"))
+    else schema match {
+      case s: HStruct => print(HType.renderDDL(s))
+      case other      =>
+        // reference crashes here with a ClassCastException
+        // (JsonSchemaFinder.java:252-253); we print the type name
+        println(other.toString)
+    }
+    spark.stop()
+  }
+}
