@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded/feature-extracted in batched partition passes.
+  *
+  * The Spark-side shape is the real thing — binary columns, a typed
+  * `mapPartitions` decode stage (one decoder instance per partition,
+  * streamed batches, no driver collect), a typed metadata schema.
+  * The decoder itself is a STUB: this container has no image/audio
+  * codecs, so [[FakeDecoder.decode]] derives deterministic
+  * pseudo-metadata from the payload bytes. Swapping in a real codec
+  * changes only the body of `decode`.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata row. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                       format: String, n_frames: Int)
+
+  /** STUB decoder — deterministic pseudo-decode from payload bytes.
+    * A real implementation would parse the container header; the
+    * arithmetic here is intentionally reproducible in the oracle. */
+  object FakeDecoder {
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length
+      MediaMeta(
+        doc_id = docId,
+        n_bytes = n,
+        width = 64 + (n % 512),
+        height = 64 + ((n * 7) % 512),
+        format = (docId % 3) match {
+          case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+        },
+        n_frames = 1 + (n % 30))
+    }
+  }
+
+  /** Documents table → binary payload column (stand-in for real media
+    * bytes; the pipeline shape is payload-source-agnostic). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Partition-batched decode: one pass, decoder state amortized per
+    * partition, output is a typed Dataset with a columnar-friendly
+    * schema. This is the `mapInPandas` shape expressed in Scala. */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload(docs).as[(Long, Array[Byte])].mapPartitions { it =>
+      // per-partition decoder setup would go here (codec init, GPU pin...)
+      it.map { case (id, payload) => FakeDecoder.decode(id, payload) }
+    }
+  }
+
+  /** Metadata extraction + aggregate by format — the downstream query
+    * a curation pipeline runs over decoded metadata. */
+  def metaSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
+    decodeMeta(spark, docs).toDF()
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("width")).as("max_width"),
+        min(col("height")).as("min_height"),
+        sum(col("n_frames")).as("total_frames"))
+      .orderBy(col("format"))
+  }
+}

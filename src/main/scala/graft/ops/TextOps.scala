@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators for large-scale training-data curation:
+  * exact + near-duplicate detection, document fingerprinting, token
+  * statistics, language ID. All hot paths are Catalyst expressions
+  * (codegen'd, no Python, no driver loops); the only UDF is the
+  * per-row simhash scalar (documented below).
+  *
+  * Scale shape: every operator is a per-row projection followed by at
+  * most one keyed shuffle (groupBy fingerprint / LSH-bucket join), so
+  * the plans hold at 100 TB: no cross join ever touches the full
+  * corpus × corpus space — candidate generation is always bucketed.
+  */
+object TextOps {
+
+  /** Distinct word set of a text column (the unigram shingle set). */
+  def wordSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Distinct word set as 64-bit hashes — set algebra over longs
+    * instead of strings (identical cardinalities up to a ~1e-16
+    * collision probability, ~5× less shuffle per pair and cheaper
+    * comparisons in the pair-verification hot path). */
+  def wordHashSet(text: Column): Column =
+    array_distinct(transform(split(text, " "), w => xxhash64(w)))
+
+  /** Canonical token-set fingerprint: md5 of the sorted distinct word
+    * list. Two documents with identical vocabularies collide — the
+    * "same content, reshuffled" exact-dedup key. */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(wordSet(text))))
+
+  /** Normalized-content fingerprint (lowercase, alnum+space only). */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  /** Exact deduplication by fingerprint: one survivor (min id) per
+    * group plus group size. A single hash-partition shuffle on the
+    * fingerprint — the canonical 100 TB exact-dedup shape. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        tokenSetFingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups"),
+        countDistinct(col("source")).as("n_sources"))
+
+  /** Exact unigram Jaccard similarity between two word-set columns
+    * (|∩| / |∪| as double — both engines compute the identical IEEE
+    * quotient of small ints). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Jaccard from pre-computed set sizes: |∩| / (|A| + |B| − |∩|).
+    * Identical value (the inputs are distinct sets) at half the array
+    * traffic — the hot-pair form. */
+  private def jaccardSized(a: Column, b: Column, sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (sa + sb - inter)
+  }
+
+  /** Sound size prefilter: J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|), so a
+    * pair failing the ratio can never clear the threshold; the check
+    * is two scalar comparisons, pushed into the join condition, and
+    * prunes most pairs before any array intersection runs. */
+  private def sizeCompatible(sa: Column, sb: Column, threshold: Double): Column =
+    least(sa, sb) >= greatest(sa, sb) * lit(threshold)
+
+  /** Blocked exact near-dup pairs: documents are compared only within
+    * a blocking key (here `source`), never corpus × corpus. Returns
+    * (doc_a, doc_b, jac) for pairs with Jaccard >= threshold. */
+  def nearDupExact(docs: DataFrame, threshold: Double): DataFrame = {
+    val sides = docs.select(col("doc_id"), col("source"),
+      wordHashSet(col("text")).as("w"))
+      .withColumn("sz", size(col("w")).cast("double"))
+    val a = sides.select(col("doc_id").as("doc_a"), col("source"),
+      col("w").as("wa"), col("sz").as("sa"))
+    val b = sides.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+      col("w").as("wb"), col("sz").as("sb"))
+    a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b") &&
+        sizeCompatible(col("sa"), col("sb"), threshold))
+      .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb")))
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  private val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** Fixed universal-hash coefficients (seeded — signatures must be
+    * identical across executors, runs, and cluster sizes). */
+  private def coefficients(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature of a word-set column: for each of `n` universal
+    * hashes h_i(x) = (a_i·x + b_i) mod p, the min over the set's
+    * base hashes. Pure expressions (xxhash64 + transform/array_min),
+    * codegen'd, embarrassingly parallel. Operands stay < 2^62 so ANSI
+    * overflow checking never trips. */
+  def minhashSignature(words: Column, n: Int): Column =
+    minhashSignatureFromHashes(transform(words, w => xxhash64(w)), n)
+
+  /** Signature from pre-hashed shingles (shares the base hash pass
+    * with the verification stage). */
+  def minhashSignatureFromHashes(hashes: Column, n: Int): Column = {
+    val base = transform(hashes, h => pmod(h, lit(MinhashPrime)))
+    array(coefficients(n).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** LSH banding: doc rows exploded to one row per band with a hashed
+    * band key. Docs sharing any band key are near-dup candidates. */
+  def minhashBands(docs: DataFrame, nSig: Int, bands: Int): DataFrame = {
+    val rows = nSig / bands
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        hash(slice(col("sig"), i * rows + 1, rows)).as("band_key"))
+    }
+    docs
+      .withColumn("sig", minhashSignatureFromHashes(wordHashSet(col("text")), nSig))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.band_key"))
+  }
+
+  /** MinHash-LSH near-dup pairs: band-bucket self-join proposes
+    * candidates (a keyed shuffle, no cross join), then the exact
+    * Jaccard filter verifies each candidate once. At 100 TB the only
+    * hazard is a hot bucket (boilerplate text); AQE skew-join splits
+    * it, and `spark.sql.adaptive.enabled` is on by default. */
+  def nearDupMinhash(docs: DataFrame, threshold: Double,
+                     nSig: Int = 32, bands: Int = 4): DataFrame = {
+    val banded = minhashBands(docs, nSig, bands)
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), wordHashSet(col("text")).as("w"))
+      .withColumn("sz", size(col("w")).cast("double"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+        col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+        col("sz").as("sb")), "doc_b")
+      .where(sizeCompatible(col("sa"), col("sb"), threshold))
+      .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb")))
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit simhash of a word list: sign-sum of per-word hash bits.
+    * A per-row scalar with 64-lane bit arithmetic — the one place a
+    * Scala UDF beats an expression tree (64 aggregate() expressions
+    * would defeat codegen anyway). Deterministic: MurmurHash3 with
+    * fixed seeds, no JVM-dependent state. */
+  val simhash64 = udf { words: Seq[String] =>
+    val counts = new Array[Int](64)
+    words.foreach { w =>
+      val h = (scala.util.hashing.MurmurHash3.stringHash(w, 0xCAFEF00D).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(w, 0x9747B28C).toLong & 0xFFFFFFFFL)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** SimHash near-dup pairs: bucket on each of the four 16-bit chunks
+    * (a pair within Hamming distance ≤ 16 shares at least one exact
+    * chunk far more often than not; with maxHamming ≤ 3 recall is
+    * guaranteed by pigeonhole for ≤ 3 flipped bits spread over 4
+    * chunks), then filter by exact Hamming distance via
+    * `bit_count(xor)`. */
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      simhash64(split(col("text"), " ")).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk"), col("c.ck"))
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---- text statistics / language ID -------------------------------------
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single
+    * punctuation marks — the standard pre-tokenization shape. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-document text-quality statistics. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      length(col("text")).as("n_chars_measured"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_distinct_words"),
+      regexp_count(col("text"), lit(TokenPattern)).as("n_tokens"),
+      round(size(array_distinct(words)).cast("double") /
+        size(words).cast("double"), 4).as("type_token_ratio"),
+      round(length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+        .cast("double") / length(col("text")).cast("double"), 4).as("punct_ratio"))
+  }
+
+  /** Stopword-profile language ID. On real corpora the profiles would
+    * be per-language n-gram tables; the heuristic shape (count marker
+    * hits per language, argmax via CASE) is what matters and is
+    * SQL-expressible for the oracle. */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      markers.map(m => size(array_intersect(wordSet(col("text")), array(lit(m)))))
+        .reduce(_ + _)
+    val en = hits(Seq("the", "a", "of", "and"))
+    val de = hits(Seq("der", "die", "das", "und"))
+    val fr = hits(Seq("le", "la", "les", "et"))
+    val es = hits(Seq("el", "los", "las", "y"))
+    docs.select(col("doc_id"), col("lang"),
+      when(de > en && de >= fr && de >= es, "de")
+        .when(fr > en && fr >= es, "fr")
+        .when(es > en, "es")
+        .otherwise("en").as("pred_lang"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.infer.{InferSchema, InferSchemaAgg}
+import graft.shred.Shredder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JSON-centric queries: the reference's own capability (schema
+  * inference, shredding) exercised over the `events.props` JSON column,
+  * plus the JSON scalar-function family, with DuckDB oracles wherever
+  * the semantics are SQL-expressible. */
+object JsonQueries {
+
+  /** JSON scalar extraction + aggregation (codegen'd `get_json_object`,
+    * no UDF in the hot path). */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        col("event_type"))
+      .groupBy(col("k_val"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("k_val"))
+  }
+
+  private val q44Sql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+      |  count(*) AS n, count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin
+
+  /** End-to-end infer-then-apply: run distributed schema inference over
+    * the JSON column, materialize it with `from_json` under the
+    * discovered Spark schema, and aggregate a discovered field. The
+    * oracle checks the *applied* result, which indirectly checks the
+    * inference (SURVEY §5.3). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+    val inferred = events.select(col("props")).as[String]
+      .select(new InferSchemaAgg().toColumn).head()
+    val schema = InferSchema.toSparkType(inferred)
+    events
+      .select(from_json(col("props"), schema).as("p"), col("value"))
+      .select(col("p.k").cast("long").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+      .orderBy(col("k"))
+  }
+
+  private val q45Sql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |FROM events GROUP BY k ORDER BY k""".stripMargin
+
+  /** Flagship: the reference's whole purpose as one query — the
+    * discovered DDL + flat schema of the JSON column (rows-only check;
+    * no DuckDB equivalent exists for lattice inference). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .agg(InferSchema.of(col("props"), "ddl").as("ddl"),
+        InferSchema.of(col("props"), "flat").as("flat"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Shredder as a queryable operator: leaf-path histogram of the shred
+    * output (full shred rides a flatMap; the aggregation shape is what
+    * the partitioned text sink would shuffle by). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "events").select(col("props")).as[String]
+    Shredder.shred(docs).toDF("path", "value")
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_values"),
+        countDistinct(col("value")).as("n_distinct"))
+      .orderBy(col("path"))
+  }
+
+  private val q47Sql =
+    // props is struct<k:int> for every event, so the shred yields one
+    // root.k leaf per doc; expressed directly over the JSON column.
+    """SELECT 'root.k' AS path, count(*) AS n_values,
+      |  count(DISTINCT json_extract_string(props, '$.k')) AS n_distinct
+      |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY 1 ORDER BY path""".stripMargin
+
+  /** Tumbling event-time window (batch form of the Structured
+    * Streaming windowed aggregation; epoch-aligned 10-minute buckets). */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val q48Sql =
+    """SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
+      |  event_type, count(*) AS n,
+      |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Session windows (30-minute inactivity gap) per user — batch form
+    * of the streaming sessionization; oracle reconstructs sessions with
+    * a lag/cumulative-sum window. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q49Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sessions AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM sessions GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  max(n_events) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_json_extract" -> (q44 _),
+    "q45_infer_apply" -> (q45 _),
+    "q46_infer_schema" -> (q46 _),
+    "q47_shred_histogram" -> (q47 _),
+    "q48_tumbling_window" -> (q48 _),
+    "q49_session_window" -> (q49 _))
+
+  val oracle: Map[String, String] = Map(
+    "q44_json_extract" -> q44Sql,
+    "q45_infer_apply" -> q45Sql,
+    // q46 rows-only: lattice inference has no SQL equivalent
+    "q47_shred_histogram" -> q47Sql,
+    "q48_tumbling_window" -> q48Sql,
+    "q49_session_window" -> q49Sql)
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.ops.{Multimodal, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator inventory (BASELINE north star):
+  * dedup (exact, MinHash-LSH, SimHash, exact n-gram Jaccard),
+  * similarity search (brute-force + LSH ANN), text analysis, and
+  * multimodal-column plumbing, each as a driver-checkable query.
+  *
+  * Thresholds are tuned to the synthetic corpus (word-salad documents
+  * over a small vocabulary → near-dups exist at the token-set level,
+  * embeddings are near-orthogonal → cosine near-dups only below ~0.5);
+  * the operators themselves are threshold-agnostic. */
+object LlmQueries {
+
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupExact(Tables(s, dir, "documents"))
+      .orderBy(col("keep_doc_id"))
+
+  private val q50Sql =
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |  min(doc_id) AS keep_doc_id, count(*) AS n_dups,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY fp ORDER BY keep_doc_id""".stripMargin
+
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    TextOps.nearDupExact(Tables(s, dir, "documents"), 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q51Sql =
+    """WITH w AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS ws FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |        len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
+      |FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash-LSH near-dup (rows-only: LSH recall is probabilistic, so
+    * no exact oracle; the exact-verify filter guarantees precision). */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    TextOps.nearDupMinhash(Tables(s, dir, "documents"), 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash near-dup (rows-only: hash-family-specific buckets). */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    TextOps.nearDupSimhash(Tables(s, dir, "documents"), 16)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars_measured").cast("bigint").as("n_chars_measured"),
+        col("n_words").cast("bigint").as("n_words"),
+        col("n_distinct_words").cast("bigint").as("n_distinct_words"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("type_token_ratio"), col("punct_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val q54Sql =
+    """SELECT doc_id, lang, source,
+      |  length(text) AS n_chars_measured,
+      |  len(string_split(text, ' ')) AS n_words,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+      |  round(len(list_distinct(string_split(text, ' ')))::DOUBLE /
+      |        len(string_split(text, ' ')), 4) AS type_token_ratio,
+      |  round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE /
+      |        length(text), 4) AS punct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q55Sql =
+    """WITH h AS (SELECT doc_id, lang,
+      |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) AS en,
+      |    (CASE WHEN list_contains(ws, 'der') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'die') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'das') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'und') THEN 1 ELSE 0 END) AS de,
+      |    (CASE WHEN list_contains(ws, 'le') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'la') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'les') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'et') THEN 1 ELSE 0 END) AS fr,
+      |    (CASE WHEN list_contains(ws, 'el') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'los') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'las') THEN 1 ELSE 0 END +
+      |     CASE WHEN list_contains(ws, 'y') THEN 1 ELSE 0 END) AS es
+      |  FROM h)
+      |SELECT doc_id, lang,
+      |  CASE WHEN de > en AND de >= fr AND de >= es THEN 'de'
+      |       WHEN fr > en AND fr >= es THEN 'fr'
+      |       WHEN es > en THEN 'es'
+      |       ELSE 'en' END AS pred_lang
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.contentFingerprint(col("text")).as("content_fp"),
+        TextOps.tokenSetFingerprint(col("text")).as("tokenset_fp"))
+      .orderBy(col("doc_id"))
+
+  private val q56Sql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS content_fp,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS tokenset_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    VectorOps.cosineTopK(e, e.where(col("vec_id") < 10), 5)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("vec_id"), col("cos"))
+  }
+
+  private val q60Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS cos
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, cos FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN (rows-only: approximate recall by design). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    VectorOps.annTopK(e, e.where(col("vec_id") < 10), 3)
+  }
+
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    VectorOps.embeddingNearDup(Tables(s, dir, "embeddings"), 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val q62Sql =
+    """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM p
+      |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    Multimodal.metaSummary(s, Tables(s, dir, "documents"))
+      .select(col("format"), col("n_docs"), col("total_bytes"),
+        col("max_width").cast("bigint").as("max_width"),
+        col("min_height").cast("bigint").as("min_height"),
+        col("total_frames"))
+
+  private val q65Sql =
+    """WITH m AS (SELECT doc_id,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    64 + (octet_length(encode(text)) % 512) AS width,
+      |    64 + ((octet_length(encode(text)) * 7) % 512) AS height,
+      |    CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+      |         ELSE 'webp' END AS format,
+      |    1 + (octet_length(encode(text)) % 30) AS n_frames
+      |  FROM documents)
+      |SELECT format, count(*) AS n_docs,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  max(width) AS max_width, min(height) AS min_height,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames
+      |FROM m GROUP BY format ORDER BY format""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_dedup_exact" -> (q50 _),
+    "q51_neardup_jaccard" -> (q51 _),
+    "q52_neardup_minhash" -> (q52 _),
+    "q53_neardup_simhash" -> (q53 _),
+    "q54_text_stats" -> (q54 _),
+    "q55_lang_id" -> (q55 _),
+    "q56_fingerprint" -> (q56 _),
+    "q60_cosine_topk" -> (q60 _),
+    "q61_ann_lsh" -> (q61 _),
+    "q62_embedding_neardup" -> (q62 _),
+    "q65_multimodal_meta" -> (q65 _))
+
+  val oracle: Map[String, String] = Map(
+    "q50_dedup_exact" -> q50Sql,
+    "q51_neardup_jaccard" -> q51Sql,
+    "q54_text_stats" -> q54Sql,
+    "q55_lang_id" -> q55Sql,
+    "q56_fingerprint" -> q56Sql,
+    "q60_cosine_topk" -> q60Sql,
+    "q62_embedding_neardup" -> q62Sql,
+    "q65_multimodal_meta" -> q65Sql)
+}

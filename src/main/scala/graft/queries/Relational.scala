@@ -1,0 +1,554 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY §2.2): the capabilities the
+  * reference lacks entirely, surfaced through Spark built-ins so that
+  * Catalyst/Tungsten provide pushdown, pruning, partial aggregation,
+  * broadcast selection, AQE and codegen for free.
+  *
+  * Conventions shared by every query (and mirrored in the DuckDB
+  * oracle SQL):
+  *   - double measures are cast to DECIMAL *before* aggregation —
+  *     decimal addition is exact and associative, so distributed
+  *     (partial+final, any partitioning) sums are bit-identical to the
+  *     oracle's sequential sums; raw double sums would drift by ulps
+  *     under reordering;
+  *   - every result carries a total ORDER BY with a unique tiebreak,
+  *     so the rowset is fully deterministic;
+  *   - aggregate/computed columns are aliased identically on both
+  *     sides (the driver's compare matches columns by name).
+  *
+  * Scale notes: only genuinely bounded dims (region: 5 rows,
+  * nation: 25) get an explicit `broadcast()` hint; every other join is
+  * left to the optimizer + AQE (at 100 TB part/customer/supplier are
+  * not broadcastable, and hard-coding a hint would be wrong at scale).
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+
+  // ---- scan / filter / project / aggregate --------------------------------
+
+  /** TPC-H Q1-style pricing summary: full-scan partial+final hash agg. */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).as("sum_qty"),
+        sum(dec(col("l_extendedprice"), 14, 2)).as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 6)).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 18, 6)).as("sum_charge"),
+        round(avg(dec(col("l_quantity"), 12, 2)), 4).cast("double").as("avg_qty"),
+        round(avg(dec(col("l_discount"), 8, 4)), 4).cast("double").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+      |  CAST(round(avg(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS avg_qty,
+      |  CAST(round(avg(CAST(l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + projection — predicates and the 4-column read
+    * schema must reach the parquet scan (pushdown + pruning). */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_extendedprice") * col("l_discount"), 18, 6).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_extendedprice * l_discount AS DECIMAL(18,6)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q6-style single-row aggregate over a pushed-down filter. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice") * col("l_discount"), 18, 6)).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q03Sql =
+    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---- joins --------------------------------------------------------------
+
+  /** Fact ⋈ dim with an aggregate; the dim side is left to the
+    * optimizer/AQE for broadcast selection (at sf0.1 `part` broadcasts
+    * under the default 10 MB threshold; at 100 TB it shuffles). */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val p = Tables(s, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_quantity"), 12, 2)).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q10Sql =
+    """SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q5-style 6-table join; region/nation get explicit broadcast
+    * hints (bounded dims), the rest shuffle on their keys. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    val su = Tables(s, dir, "supplier")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 6)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q11Sql =
+    """SELECT n_name,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Left-semi join: customers holding at least one open ('O') order. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").where(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no pending ('P') order. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders").where(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q13Sql =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Range (non-equi theta) join against a tiny literal bands table —
+    * plans as a broadcast nested-loop join, the right physical choice
+    * for a bounded band list at any fact-side scale. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      (900.0, 925.0, "low"), (925.0, 950.0, "mid_low"),
+      (950.0, 975.0, "mid_high"), (975.0, 1000.0, "high")))
+      .toDF("lo", "hi", "band")
+    Tables(s, dir, "part")
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(dec(col("p_retailprice"), 12, 2)).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  private val q14Sql =
+    """SELECT band, count(*) AS n_parts,
+      |  sum(CAST(p_retailprice AS DECIMAL(12,2))) AS sum_price
+      |FROM part
+      |JOIN (VALUES (900.0, 925.0, 'low'), (925.0, 950.0, 'mid_low'),
+      |             (950.0, 975.0, 'mid_high'), (975.0, 1000.0, 'high'))
+      |  b(lo, hi, band)
+      |ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // ---- aggregation variants ----------------------------------------------
+
+  /** Exact distinct aggregation (expand + two-phase hash agg). */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q20Sql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(DISTINCT l_partkey) AS n_parts, count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL sketch distinct — the 100 TB path where exact distinct would
+    * shuffle every key. No oracle: sketch estimates are
+    * implementation-specific (driver records a rows-only check). */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP hierarchy totals; subtotal rows are disambiguated with
+    * COALESCE sentinels (dialect-portable, the raw data is never null). */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"), 14, 2)).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  private val q22Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** CUBE over two dims. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  private val q23Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n_items
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---- window functions ---------------------------------------------------
+
+  /** Ranking window: top-3 orders per customer (deterministic via a
+    * unique tiebreak in the ordering). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        dec(col("o_totalprice"), 14, 2).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q30Sql =
+    """SELECT o_custkey, rn, o_orderkey, totalprice FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(14,2)) AS totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running-total frame window (rows between unbounded preceding and
+    * current row) — exact decimal prefix sums. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"), 14, 2)).over(w).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q31Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  sum(CAST(o_totalprice AS DECIMAL(14,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** lag/lead offsets: per-customer order gaps in days. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date"))
+          .cast("bigint").as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q32Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+      |  date_diff('day',
+      |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS gap_days
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- sort / limit / set ops --------------------------------------------
+
+  /** Global top-k — Spark plans TakeOrderedAndProject (per-partition
+    * heaps + driver merge), no full sort at scale. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_extendedprice"), 14, 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  private val q35Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+      |FROM lineitem
+      |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  /** INTERSECT: building-segment customers who placed an urgent order. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val b = Tables(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+    a.intersect(b).orderBy(col("k"))
+  }
+
+  private val q36Sql =
+    """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY k""".stripMargin
+
+  /** EXCEPT: machinery-segment customers with no low-priority order. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "customer")
+      .where(col("c_mktsegment") === "MACHINERY").select(col("c_custkey").as("k"))
+    val b = Tables(s, dir, "orders")
+      .where(col("o_orderpriority") === "5-LOW").select(col("o_custkey").as("k"))
+    a.except(b).orderBy(col("k"))
+  }
+
+  private val q37Sql =
+    """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+      |ORDER BY k""".stripMargin
+
+  /** UNION ALL + re-aggregation across two sources. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), lit("customer").as("kind"))
+    val supp = Tables(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"), lit("supplier").as("kind"))
+    cust.unionAll(supp)
+      .groupBy(col("nationkey"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"), col("kind"))
+  }
+
+  private val q38Sql =
+    """SELECT nationkey, kind, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier) t
+      |GROUP BY nationkey, kind ORDER BY nationkey, kind""".stripMargin
+
+  // ---- scalar function families ------------------------------------------
+
+  /** String function family over `part`. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 12).as("name_pfx"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+        replace(col("p_type"), lit(" "), lit("_")).as("type_snake"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q40Sql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |  substring(p_name, 1, 12) AS name_pfx, length(p_name) AS name_len,
+      |  concat_ws('/', p_brand, p_type) AS brand_type,
+      |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+      |  replace(p_type, ' ', '_') AS type_snake
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time function family over `orders`. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("y"),
+        month(col("o_orderdate")).cast("bigint").as("m"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        quarter(col("o_orderdate")).cast("bigint").as("q"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q41Sql =
+    """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  dayofmonth(o_orderdate) AS d,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  quarter(o_orderdate) AS q
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Math function family (sqrt is IEEE-exact; log is rounded to kill
+    * last-ulp libm differences between engines). */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+        floor(col("p_retailprice")).as("floor_price"),
+        ceil(col("p_retailprice")).as("ceil_price"),
+        abs(col("p_size") - lit(25)).as("size_dev"),
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        (col("p_retailprice") * col("p_retailprice")).as("price_sq"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q42Sql =
+    """SELECT p_partkey, round(sqrt(p_retailprice), 6) AS sqrt_price,
+      |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+      |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+      |  abs(p_size - 25) AS size_dev, round(ln(p_retailprice), 6) AS ln_price,
+      |  p_retailprice * p_retailprice AS price_sq,
+      |  p_partkey % 7 AS key_mod
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Conditional expressions: CASE / nullif / coalesce / least / greatest. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "overdrawn")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg"),
+        least(col("c_acctbal"), lit(9000.0)).as("bal_capped"),
+        greatest(col("c_nationkey"), lit(10)).cast("bigint").as("nk_floor"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q43Sql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+      |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_class,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+      |  least(c_acctbal, 9000.0) AS bal_capped,
+      |  greatest(c_nationkey, 10) AS nk_floor
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_pushdown" -> (q02 _),
+    "q03_agg_filter" -> (q03 _),
+    "q10_join_agg" -> (q10 _),
+    "q11_join_multiway" -> (q11 _),
+    "q12_semi_join" -> (q12 _),
+    "q13_anti_join" -> (q13 _),
+    "q14_range_join" -> (q14 _),
+    "q20_distinct_agg" -> (q20 _),
+    "q21_hll_distinct" -> (q21 _),
+    "q22_rollup" -> (q22 _),
+    "q23_cube" -> (q23 _),
+    "q30_window_rank" -> (q30 _),
+    "q31_window_running" -> (q31 _),
+    "q32_window_lag_lead" -> (q32 _),
+    "q35_topk" -> (q35 _),
+    "q36_intersect" -> (q36 _),
+    "q37_except" -> (q37 _),
+    "q38_union_agg" -> (q38 _),
+    "q40_string_fns" -> (q40 _),
+    "q41_date_fns" -> (q41 _),
+    "q42_math_fns" -> (q42 _),
+    "q43_conditional_fns" -> (q43 _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_pushdown" -> q02Sql,
+    "q03_agg_filter" -> q03Sql,
+    "q10_join_agg" -> q10Sql,
+    "q11_join_multiway" -> q11Sql,
+    "q12_semi_join" -> q12Sql,
+    "q13_anti_join" -> q13Sql,
+    "q14_range_join" -> q14Sql,
+    "q20_distinct_agg" -> q20Sql,
+    // q21 intentionally has no oracle (sketch estimate)
+    "q22_rollup" -> q22Sql,
+    "q23_cube" -> q23Sql,
+    "q30_window_rank" -> q30Sql,
+    "q31_window_running" -> q31Sql,
+    "q32_window_lag_lead" -> q32Sql,
+    "q35_topk" -> q35Sql,
+    "q36_intersect" -> q36Sql,
+    "q37_except" -> q37Sql,
+    "q38_union_agg" -> q38Sql,
+    "q40_string_fns" -> q40Sql,
+    "q41_date_fns" -> q41Sql,
+    "q42_math_fns" -> q42Sql,
+    "q43_conditional_fns" -> q43Sql)
+}
