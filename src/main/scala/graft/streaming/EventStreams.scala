@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming forms of the event-table queries (SURVEY §7
+  * step 5): watermarked tumbling/sliding windows, session windows, and
+  * a `flatMapGroupsWithState` sessionizer with explicit state.
+  *
+  * All transforms take an unbounded `DataFrame` from `readStream` and
+  * return one; they run identically on a batch frame (minus the
+  * watermark pruning), which is how the batch oracle checks them.
+  * State scales horizontally: every operator keys its state by a
+  * shuffle column (window/user), nothing accumulates on the driver. */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts per event type. Late data
+    * beyond `lateness` is dropped and the state for closed windows is
+    * evicted — the property that keeps state bounded on an unbounded
+    * stream. */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows (window/slide) — each event contributes to
+    * window/slide buckets. */
+  def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
+                    slide: String = "5 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows (gap-merged) per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** One event for the custom sessionizer. */
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Open-session state kept per user between micro-batches. */
+  case class SessionState(start: Long, lastTs: Long, n: Long, sumValue: Double)
+
+  /** Emitted when a session closes (gap exceeded or state timeout). */
+  case class ClosedSession(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`:
+    * explicit per-user state, event-time timeout keyed to the
+    * watermark, sessions emitted on close. This is the escape hatch
+    * for session semantics `session_window` can't express (e.g.
+    * value-dependent gaps); here the gap is fixed so the built-in
+    * variant above is the cross-check. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      var out = Vector.empty[ClosedSession]
+      var cur = state.getOption
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut) {
+          cur.foreach { st =>
+            out :+= ClosedSession(userId, new Timestamp(st.start),
+              new Timestamp(st.lastTs), st.n, st.sumValue)
+          }
+          state.remove()
+        }
+      } else {
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(st) if t - st.lastTs < gapMs =>
+              cur = Some(st.copy(lastTs = math.max(st.lastTs, t), n = st.n + 1,
+                sumValue = st.sumValue + e.value))
+            case Some(st) =>
+              out :+= ClosedSession(userId, new Timestamp(st.start),
+                new Timestamp(st.lastTs), st.n, st.sumValue)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          // close the session once the watermark passes last event + gap
+          state.setTimeoutTimestamp(st.lastTs + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Incremental schema inference over a JSON stream: the running
+    * lattice join surfaced per micro-batch (complete mode) — the
+    * streaming form of the reference's whole program. */
+  def streamingInferSchema(jsonDocs: DataFrame): DataFrame =
+    jsonDocs.agg(graft.infer.InferSchema.of(col("value"), "ddl").as("ddl"))
+}

@@ -1,0 +1,81 @@
+package graft.infer
+
+import graft.SparkTestBase
+import graft.types._
+import org.apache.spark.sql.functions._
+
+/** Distributed inference correctness: the Spark aggregation must equal
+  * the local sequential fold (up to canonical form) at any
+  * parallelism, and the inferred schema must be applicable via
+  * from_json. */
+class InferAggSpec extends SparkTestBase {
+
+  private val corpus = Seq(
+    """{"x": 1, "y": "00", "z": {"a": 1}, "l": [127]}""",
+    """{"x": 1234.5, "y": "2016-01-05T12:34:56Z", "z": {"b": "s"}, "l": [50000000000]}""",
+    """{"x": null, "z": null, "l": []}""",
+    """{"u": true}""", """{"u": 5}""", """{"u": {"i": 1}}""")
+
+  test("distributed aggregation equals the local fold at any parallelism") {
+    import spark.implicits._
+    val local = JsonInfer.inferAll(corpus).canonical
+    for (parts <- Seq(1, 2, 7)) {
+      val ds = spark.createDataset(corpus).repartition(parts)
+      val distributed = ds.select(new InferSchemaAgg().toColumn).head()
+      assert(distributed == local, s"parallelism $parts")
+    }
+  }
+
+  test("distributed result is order-independent") {
+    import spark.implicits._
+    val a = spark.createDataset(corpus).repartition(3)
+      .select(new InferSchemaAgg().toColumn).head()
+    val b = spark.createDataset(corpus.reverse).repartition(5)
+      .select(new InferSchemaAgg().toColumn).head()
+    assert(a == b)
+  }
+
+  test("SQL udaf registration works") {
+    import spark.implicits._
+    InferSchema.register(spark)
+    spark.createDataset(corpus).toDF("doc").createOrReplaceTempView("docs")
+    val ddl = spark.sql("SELECT infer_schema(doc) AS d FROM docs")
+      .as[String].head()
+    assert(ddl.startsWith("create table tbl ("))
+    assert(ddl.contains("u uniontype <"))
+  }
+
+  test("inferred schema applies via from_json (round trip)") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"a": 1, "b": "x", "c": [1.5], "t": "2016-01-05T12:34:56Z"}""",
+      """{"a": 300000, "b": "0a", "c": [2.5, 3.25]}""")
+    val ds = spark.createDataset(docs)
+    val ht = ds.select(new InferSchemaAgg().toColumn).head()
+    val schema = InferSchema.toSparkType(ht)
+    val parsed = ds.select(from_json(col("value"), schema).as("p")).select("p.*")
+    val rows = parsed.orderBy(col("a")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Number]("a").intValue == 1)
+    assert(rows(1).getAs[String]("b") == "0a" ||
+      new String(rows(1).getAs[Array[Byte]]("b")) == "0a") // hex → binary
+    assert(rows(1).getAs[scala.collection.Seq[Any]]("c")
+      .map(_.toString.toDouble).toSeq == Seq(2.5, 3.25))
+  }
+
+  test("count-carrying aggregator counts documents like the reference") {
+    import spark.implicits._
+    val (ht, n) = spark.createDataset(corpus ++ Seq("", null))
+      .select(new InferSchemaCountAgg().toColumn).head()
+    // blank lines count as (empty) records; null rows are skipped by
+    // the typed aggregation before reduce ever sees them
+    assert(n == corpus.length + 1)
+    assert(ht.canonical == JsonInfer.inferAll(corpus).canonical)
+  }
+
+  test("decimal cap: >38-digit merged precision degrades to double in Spark type") {
+    val wide = HNum(NumKind.Decimal, 40, 5)
+    assert(InferSchema.toSparkType(wide) ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+}

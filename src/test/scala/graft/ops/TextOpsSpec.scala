@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Dedup/similarity semantics on a corpus with known near-dups. */
+class TextOpsSpec extends SparkTestBase {
+
+  private def docs = {
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "a", "en"),
+      (1L, "dog lazy the over jumps fox brown quick the", "a", "en"), // same set as 0
+      (2L, "the quick brown fox jumps over the lazy cat", "a", "en"), // 1 word off
+      (3L, "completely different words entirely here now", "a", "en"),
+      (4L, "the quick brown fox jumps over the lazy dog", "b", "en"), // dup of 0, other source
+      (5L, "unrelated text about spark and distributed joins", "b", "en"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+  }
+
+  test("exact dedup groups identical token sets") {
+    val fp = TextOps.dedupExact(docs).collect()
+      .map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("n_dups")).toMap
+    // docs 0, 1, 4 share a token set → one group of 3 kept at id 0
+    assert(fp(0L) == 3L)
+    assert(fp(2L) == 1L)
+  }
+
+  test("blocked exact jaccard finds within-source near-dups only") {
+    val pairs = TextOps.nearDupExact(docs, 0.7).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L))) // identical sets, same source
+    assert(pairs.contains((0L, 2L))) // |∩|=7, |∪|=9 → 0.778
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.contains((0L, 4L))) // different source → blocked apart
+  }
+
+  test("minhash-LSH near-dup pairs are exact-verified (precision 1.0)") {
+    val exact = TextOps.nearDupExact(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = TextOps.nearDupMinhash(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // minhash is NOT source-blocked: it may find (0,4),(1,4) too; every
+    // reported pair must truly clear the threshold (verify step)
+    assert(lsh.contains((0L, 1L)))
+    assert(lsh.forall { case (a, b) =>
+      exact.contains((a, b)) || Set(a, b).contains(4L) })
+  }
+
+  test("simhash of identical word lists collides; hamming filter holds") {
+    val out = TextOps.nearDupSimhash(docs, 0)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(out.contains((0L, 4L))) // identical text → identical simhash
+  }
+
+  test("text stats are computed per document") {
+    val r = TextOps.textStats(docs.withColumn("n_chars", length(col("text"))))
+      .where(col("doc_id") === 0).head()
+    assert(r.getAs[Int]("n_words") == 9)
+    assert(r.getAs[Int]("n_distinct_words") == 8) // 'the' twice
+    assert(r.getAs[Int]("n_tokens") == 9)
+  }
+
+  test("langId prefers marked languages and defaults to en") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, "der hund und die katze", "x", "de"),
+      (1L, "the cat and a dog", "x", "en"),
+      (2L, "xyzzy plugh", "x", "zz"))).toDF("doc_id", "text", "source", "lang")
+    val preds = TextOps.langId(d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(preds(0L) == "de")
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "en") // default
+  }
+}

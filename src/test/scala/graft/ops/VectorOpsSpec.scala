@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Similarity-search correctness against a locally computed oracle. */
+class VectorOpsSpec extends SparkTestBase {
+
+  private def vecs: Seq[(Long, Seq[Float], Int)] = {
+    val rnd = new scala.util.Random(123)
+    (0L until 60L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat), (i % 4).toInt))
+  }
+
+  private def df = spark.createDataFrame(vecs).toDF("vec_id", "embedding", "label")
+
+  private def localCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  test("brute-force cosine top-k matches the local oracle") {
+    val k = 3
+    val got = VectorOps.cosineTopK(df, df.where(col("vec_id") < 2), k)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id")))
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    for (q <- Seq(0L, 1L)) {
+      val expect = vecs.filter(_._1 != q)
+        .map(v => (v._1, BigDecimal(localCosine(byId(q), v._2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      val mine = got.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(mine == expect, s"query $q")
+    }
+  }
+
+  test("LSH ANN returns only true bucket-mates ranked by cosine") {
+    val out = VectorOps.annTopK(df, df.where(col("vec_id") < 5), 3, bits = 4, dim = 16)
+      .collect()
+    assert(out.nonEmpty)
+    // ranks are contiguous from 1 per query
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length).toSeq)
+    }
+  }
+
+  test("embedding near-dup respects the label blocking and threshold") {
+    val pairs = VectorOps.embeddingNearDup(df, 0.5).collect()
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    val labels = vecs.map(v => v._1 -> v._3).toMap
+    pairs.foreach { r =>
+      val a = r.getAs[Long]("vec_a"); val b = r.getAs[Long]("vec_b")
+      assert(labels(a) == labels(b))
+      assert(localCosine(byId(a), byId(b)) >= 0.5 - 1e-9)
+    }
+    // completeness within blocks
+    val expect = (for {
+      x <- vecs; y <- vecs
+      if x._1 < y._1 && x._3 == y._3 && localCosine(x._2, y._2) >= 0.5
+    } yield (x._1, y._1)).toSet
+    assert(pairs.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet == expect)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Structured Streaming semantics with MemoryStream: windowed
+  * aggregation with watermark-driven late-data drop, and the custom
+  * flatMapGroupsWithState sessionizer. */
+class EventStreamsSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window emits finalized windows and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+
+    val q = EventStreams.tumblingCounts(events, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+
+    // batch 1: two events in [10:00,10:10), one in [10:10,10:20)
+    mem.addData((ts(1), 1L, "click", 1.0), (ts(2), 1L, "click", 2.0),
+      (ts(11), 2L, "view", 3.0))
+    q.processAllAvailable()
+    // batch 2: advances the watermark to 10:21 (31 - 10min lateness),
+    // finalizing both earlier windows
+    mem.addData((ts(31), 1L, "click", 4.0))
+    q.processAllAvailable()
+    // batch 3: event at 10:03 is behind the 10:21 watermark and its
+    // window is closed → must be dropped
+    mem.addData((ts(3), 9L, "late", 99.0), (ts(55), 1L, "click", 5.0))
+    q.processAllAvailable()
+    mem.addData((ts(59), 1L, "click", 6.0)) // flush remaining windows
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+    assert(rows.contains(("2024-01-01 10:10:00.0", "view", 1L)))
+    assert(!rows.exists(_._2 == "late"), s"late event leaked: $rows")
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(spark, mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: events at 10:00, 10:05 (one session), then 10:40 (new session)
+    mem.addData(EventStreams.Event(ts(0), 1L, "click", 1.0),
+      EventStreams.Event(ts(5), 1L, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(ts(40), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // advance watermark far enough to time out the open session
+    mem.addData(EventStreams.Event(Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events")))
+    assert(sessions.contains((1L, "2024-01-01 10:00:00.0", 2L)),
+      s"got ${sessions.toSeq}")
+    assert(sessions.contains((1L, "2024-01-01 10:40:00.0", 1L)),
+      s"got ${sessions.toSeq}")
+  }
+
+  test("streaming schema inference converges per micro-batch (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = EventStreams.streamingInferSchema(mem.toDF.toDF("value"))
+      .writeStream.format("memory").queryName("inferred")
+      .outputMode("complete").start()
+    mem.addData("""{"a": 1}""")
+    q.processAllAvailable()
+    val first = spark.table("inferred").as[String].head()
+    mem.addData("""{"a": 1000, "b": "x"}""")
+    q.processAllAvailable()
+    val second = spark.table("inferred").as[String].head()
+    q.stop()
+    assert(first.contains("a tinyint"))
+    assert(second.contains("a smallint") && second.contains("b string"))
+  }
+}
