@@ -138,7 +138,44 @@ object JsonQueries {
       |  max(n_events) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of join — for every purchase, the most recent prior (or
+    * simultaneous) view by the same user. Spark has no ASOF operator;
+    * composing it as union + running `last(..., ignoreNulls)` window
+    * needs exactly ONE shuffle on the join key (versus the naive
+    * inequality join's key × key explosion) and scales as a plain
+    * sort-based window at 100 TB. DuckDB's native ASOF JOIN is the
+    * oracle. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables(s, dir, "events")
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    // views sort before purchases at equal ts, so "<=" semantics match
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("lv", last(
+        when(col("tag") === 0, struct(col("event_id").as("vid"), col("ts").as("vts"))),
+        ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("lv.vid").as("view_id"), col("lv.vts").as("view_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q39Sql =
+    """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_asof_join" -> (q39 _),
     "q44_json_extract" -> (q44 _),
     "q45_infer_apply" -> (q45 _),
     "q46_infer_schema" -> (q46 _),
@@ -147,6 +184,7 @@ object JsonQueries {
     "q49_session_window" -> (q49 _))
 
   val oracle: Map[String, String] = Map(
+    "q39_asof_join" -> q39Sql,
     "q44_json_extract" -> q44Sql,
     "q45_infer_apply" -> q45Sql,
     // q46 rows-only: lattice inference has no SQL equivalent

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions: the properties that make these queries hold
+  * at 100 TB — filters and projections reaching the parquet scan,
+  * bounded dims broadcast, top-k avoiding a global sort, whole-stage
+  * codegen covering the hot path — are pinned here so a regression
+  * (a UDF sneaking into a filter, a lost pushdown) fails CI rather
+  * than only showing up as a slow cluster run. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filter predicates and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // read schema is pruned to the referenced columns only
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // two HashAggregate nodes around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q11: bounded dims broadcast; fact joins shuffle") {
+    val p = plan("q11_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q14: literal bands join is broadcast nested loop") {
+    val p = plan("q14_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q35: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q35_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q12/q13: semi and anti joins plan as such") {
+    assert(plan("q12_semi_join").contains("LeftSemi"))
+    assert(plan("q13_anti_join").contains("LeftAnti"))
+  }
+
+  test("hot paths are inside WholeStageCodegen") {
+    for (q <- Seq("q01_pricing_summary", "q02_filter_pushdown",
+      "q30_window_rank", "q50_dedup_exact")) {
+      // run first: under AQE the codegen-annotated final plan only
+      // exists after execution
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      // the "*(n)" operator prefix is the WholeStageCodegen marker in
+      // the compact plan rendering
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("*("), s"$q lost codegen:\n$executed")
+    }
+  }
+
+  test("q60: query side of cosine top-k is broadcast") {
+    val p = plan("q60_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
