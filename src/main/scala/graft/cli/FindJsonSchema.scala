@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * (reference `bin/find-json-schema:24-25` →
   * `JsonSchemaFinder.main`, JsonSchemaFinder.java:223-255).
   *
-  * Usage: FindJsonSchema [-f] file-or-glob...
+  * Usage: FindJsonSchema [-f] [--whole] file-or-glob...
   *
   * Reads newline-delimited (or per-line concatenated) JSON documents —
   * `.gz` inputs decode transparently via the text source codec, the
@@ -17,12 +17,19 @@ import org.apache.spark.sql.SparkSession
   * executors, and prints the `create table` DDL (or the flat
   * `root.path: type` listing with `-f`) on the driver. Record count
   * goes to stderr like the reference (:248-249).
+  *
+  * `--whole` reads each file as one unit (`wholetext`), for exact
+  * parity with the reference's `JsonStreamParser` on pathological
+  * inputs where a single JSON document spans multiple lines (SURVEY
+  * §7 risk list). Default NDJSON mode splits on newlines and scales
+  * within files; whole mode parallelizes across files only.
   */
 object FindJsonSchema {
   def main(args: Array[String]): Unit = {
     val flat = args.contains("-f")
-    val files = args.filterNot(_ == "-f")
-    require(files.nonEmpty, "usage: FindJsonSchema [-f] <json file or glob>...")
+    val whole = args.contains("--whole")
+    val files = args.filterNot(a => a == "-f" || a == "--whole")
+    require(files.nonEmpty, "usage: FindJsonSchema [-f] [--whole] <json file or glob>...")
 
     val spark = SparkSession.builder()
       .appName("graft-find-json-schema")
@@ -33,7 +40,12 @@ object FindJsonSchema {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.textFile(files: _*)
+    val docs =
+      if (whole) {
+        import spark.implicits._
+        spark.read.option("wholetext", "true").text(files: _*)
+          .select(org.apache.spark.sql.functions.col("value")).as[String]
+      } else spark.read.textFile(files: _*)
     // one pass: tiny per-partition partial schemas, one combine
     val (schema, count) = docs.select(new InferSchemaCountAgg().toColumn).head()
 

@@ -28,13 +28,17 @@ class InferSchemaAgg extends Aggregator[String, HType, HType] {
   def outputEncoder: Encoder[HType] = Encoders.javaSerialization[HType]
 }
 
-/** Inference that also carries the record count in the same pass
+/** Inference that also carries the *document* count in the same pass
   * (the reference counts documents in its fold loop,
-  * JsonSchemaFinder.java:240-245,248-249) — one scan, not two. */
+  * JsonSchemaFinder.java:240-245,248-249) — one scan, not two. A row
+  * carrying several concatenated docs counts each; a blank row counts
+  * none. */
 class InferSchemaCountAgg extends Aggregator[String, (HType, Long), (HType, Long)] {
   def zero: (HType, Long) = (HNull, 0L)
-  def reduce(b: (HType, Long), doc: String): (HType, Long) =
-    (HType.merge(b._1, JsonInfer.inferDoc(doc)), b._2 + 1)
+  def reduce(b: (HType, Long), doc: String): (HType, Long) = {
+    val (t, n) = JsonInfer.inferDocCount(doc)
+    (HType.merge(b._1, t), b._2 + n)
+  }
   def merge(a: (HType, Long), b: (HType, Long)): (HType, Long) =
     (HType.merge(a._1, b._1), a._2 + b._2)
   def finish(r: (HType, Long)): (HType, Long) = (r._1.canonical, r._2)

@@ -114,19 +114,27 @@ object JsonInfer {
     * lenient Gson parser either tolerates or crashes the whole run
     * depending on the malformation; at scale a single corrupt record
     * must not kill a 100 TB pass.) */
-  def inferDoc(text: String): HType = {
-    if (text == null) return HNull
+  def inferDoc(text: String): HType = inferDocCount(text)._1
+
+  /** As [[inferDoc]], also returning the number of top-level documents
+    * parsed — the reference's record count is per *document*, not per
+    * line (its `parser.hasNext()` loop, JsonSchemaFinder.java:240-245),
+    * which matters when one input unit carries many concatenated docs. */
+  def inferDocCount(text: String): (HType, Long) = {
+    if (text == null) return (HNull, 0L)
     val p = factory.createParser(text)
     try {
       var result: HType = null
+      var n = 0L
       try {
         while (p.nextToken() != null) {
           result = HType.merge(result, typeOf(p))
+          n += 1
         }
       } catch {
         case _: com.fasterxml.jackson.core.JacksonException => // keep partials
       }
-      if (result == null) HNull else result
+      (if (result == null) HNull else result, n)
     } finally p.close()
   }
 

@@ -65,12 +65,14 @@ class InferAggSpec extends SparkTestBase {
 
   test("count-carrying aggregator counts documents like the reference") {
     import spark.implicits._
-    val (ht, n) = spark.createDataset(corpus ++ Seq("", null))
+    // one line carries two concatenated docs → counts 2; blank lines
+    // and nulls contribute no documents (reference counts
+    // parser.next() yields, JsonSchemaFinder.java:240-245)
+    val (ht, n) = spark.createDataset(corpus ++ Seq("""{"m":1}{"m":2}""", "", null))
       .select(new InferSchemaCountAgg().toColumn).head()
-    // blank lines count as (empty) records; null rows are skipped by
-    // the typed aggregation before reduce ever sees them
-    assert(n == corpus.length + 1)
-    assert(ht.canonical == JsonInfer.inferAll(corpus).canonical)
+    assert(n == corpus.length + 2)
+    assert(ht.canonical ==
+      JsonInfer.inferAll(corpus :+ """{"m":1}{"m":2}""").canonical)
   }
 
   test("decimal cap: >38-digit merged precision degrades to double in Spark type") {
