@@ -1,5 +1,6 @@
 package graft.cli
 
+import graft.GraftExtensions
 import graft.infer.{InferSchema, InferSchemaCountAgg}
 import graft.types.{HStruct, HType}
 import org.apache.spark.sql.SparkSession
@@ -32,6 +33,7 @@ object FindJsonSchema {
     require(files.nonEmpty, "usage: FindJsonSchema [-f] [--whole] <json file or glob>...")
 
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .appName("graft-find-json-schema")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

@@ -1,5 +1,6 @@
 package graft.cli
 
+import graft.GraftExtensions
 import graft.shred.Shredder
 import org.apache.spark.sql.SparkSession
 
@@ -20,6 +21,7 @@ object ShredJson {
     val files = args.tail
 
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .appName("graft-shred-json")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",

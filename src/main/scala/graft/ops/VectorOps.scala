@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
   * projection. */
 object VectorOps {
 
-  /** Element-wise dot product of two double-array columns. */
+  /** Element-wise dot product of two double-array columns. Prefers the
+    * native codegen'd [[graft.functions.DotProduct]] when
+    * [[graft.GraftExtensions]] is installed on the active session;
+    * falls back to the bit-identical (but CodegenFallback) composed
+    * higher-order form otherwise. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    if (SparkSession.getActiveSession.exists(_.catalog.functionExists("graft_dot")))
+      call_function("graft_dot", a, b)
+    else
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
