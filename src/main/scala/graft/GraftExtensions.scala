@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinhashSignature}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extensions installing graft's native expressions
   * (`SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -19,5 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => children(1) match {
+        case Literal(n: Int, _) => MinhashSignature(children.head, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(hashes, n): n must be an integer literal, got $other")
+      }))
   }
 }

@@ -109,13 +109,20 @@ object TextOps {
     minhashSignatureFromHashes(transform(words, w => xxhash64(w)), n)
 
   /** Signature from pre-hashed shingles (shares the base hash pass
-    * with the verification stage). */
-  def minhashSignatureFromHashes(hashes: Column, n: Int): Column = {
-    val base = transform(hashes, h => pmod(h, lit(MinhashPrime)))
-    array(coefficients(n).map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
-    }: _*)
-  }
+    * with the verification stage). Uses the native one-pass
+    * [[graft.functions.MinhashSignature]] when [[graft.GraftExtensions]]
+    * is installed (the composed form below traverses the array once
+    * per lane through interpreted lambdas); values are identical. */
+  def minhashSignatureFromHashes(hashes: Column, n: Int): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_minhash")))
+      call_function("graft_minhash", hashes, lit(n))
+    else {
+      val base = transform(hashes, h => pmod(h, lit(MinhashPrime)))
+      array(coefficients(n).map { case (a, b) =>
+        array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+      }: _*)
+    }
 
   /** LSH banding: doc rows exploded to one row per band with a hashed
     * band key. Docs sharing any band key are near-dup candidates. */
@@ -135,9 +142,15 @@ object TextOps {
     * candidates (a keyed shuffle, no cross join), then the exact
     * Jaccard filter verifies each candidate once. At 100 TB the only
     * hazard is a hot bucket (boilerplate text); AQE skew-join splits
-    * it, and `spark.sql.adaptive.enabled` is on by default. */
+    * it, and `spark.sql.adaptive.enabled` is on by default.
+    *
+    * Default banding is 4 bands × 16 rows: a random pair at the
+    * corpus's background similarity J≈0.6 collides with probability
+    * ~4·0.6^16 ≈ 0.1%, while true near-dups at J≥0.95 keep ~90%
+    * recall and identical sets (J=1) always collide. Fewer rows per
+    * band raise recall at lower J at the cost of candidate volume. */
   def nearDupMinhash(docs: DataFrame, threshold: Double,
-                     nSig: Int = 32, bands: Int = 4): DataFrame = {
+                     nSig: Int = 64, bands: Int = 4): DataFrame = {
     val banded = minhashBands(docs, nSig, bands)
     val candidates = banded.as("x")
       .join(banded.as("y"),

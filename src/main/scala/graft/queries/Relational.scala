@@ -279,6 +279,30 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    * status-only and priority-only marginals in one pass. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"), 14, 2)).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  private val q24Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
   // ---- window functions ---------------------------------------------------
 
   /** Ranking window: top-3 orders per customer (deterministic via a
@@ -500,6 +524,28 @@ object Relational {
       |  greatest(c_nationkey, 10) AS nk_floor
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Array scalar-function family over the embeddings table. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_elem"),
+        round(element_at(col("embedding"), -1).cast("double"), 4).as("last_elem"),
+        round(array_max(transform(col("embedding"), x => x.cast("double"))), 4).as("max_elem"),
+        round(array_min(transform(col("embedding"), x => x.cast("double"))), 4).as("min_elem"),
+        size(filter(col("embedding"), x => x > 0)).cast("bigint").as("n_positive"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q19Sql =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+      |  round(CAST(embedding[-1] AS DOUBLE), 4) AS last_elem,
+      |  round(list_max(embedding::DOUBLE[]), 4) AS max_elem,
+      |  round(list_min(embedding::DOUBLE[]), 4) AS min_elem,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_positive
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -511,10 +557,12 @@ object Relational {
     "q12_semi_join" -> (q12 _),
     "q13_anti_join" -> (q13 _),
     "q14_range_join" -> (q14 _),
+    "q19_array_fns" -> (q19 _),
     "q20_distinct_agg" -> (q20 _),
     "q21_hll_distinct" -> (q21 _),
     "q22_rollup" -> (q22 _),
     "q23_cube" -> (q23 _),
+    "q24_grouping_sets" -> (q24 _),
     "q30_window_rank" -> (q30 _),
     "q31_window_running" -> (q31 _),
     "q32_window_lag_lead" -> (q32 _),
@@ -536,10 +584,12 @@ object Relational {
     "q12_semi_join" -> q12Sql,
     "q13_anti_join" -> q13Sql,
     "q14_range_join" -> q14Sql,
+    "q19_array_fns" -> q19Sql,
     "q20_distinct_agg" -> q20Sql,
     // q21 intentionally has no oracle (sketch estimate)
     "q22_rollup" -> q22Sql,
     "q23_cube" -> q23Sql,
+    "q24_grouping_sets" -> q24Sql,
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
     "q32_window_lag_lead" -> q32Sql,
