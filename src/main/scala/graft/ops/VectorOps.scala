@@ -99,6 +99,56 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer (Spark ML KMeans,
+    * seeded) partitions the corpus into cells; each query probes its
+    * `nProbe` nearest cells and scores only those candidates. The
+    * 100 TB shape: the quantizer trains on a sample, cell assignment
+    * is one embarrassingly-parallel pass, and the probe join is keyed
+    * by cell — candidate volume scales with corpus/nCells · nProbe,
+    * not with the corpus. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = prepared(embeddings)
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(11).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(corpus.select(col("fv")))
+    val celled = model.transform(corpus).drop("fv")
+    // the query set is small by contract: compute probe cells driver-side
+    val centers = model.clusterCenters.map(_.toArray)
+    val qRows = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+      .collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
+      centers.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2).take(nProbe)
+        .map { case (cell, _) => (r.getAs[Long]("query_id"), cell,
+          r.getAs[scala.collection.Seq[Double]]("qv"), r.getAs[Double]("qn")) }
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probeDf = spark.createDataset(probes.toSeq)
+      .toDF("query_id", "cell", "qv", "qn")
+    val scored = celled.join(broadcast(probeDf),
+      celled("cell") === probeDf("cell") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold. Exact all-pairs within label blocks (the corpus ships
     * a cluster label; real pipelines block on a coarse quantizer cell

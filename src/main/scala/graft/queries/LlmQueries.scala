@@ -146,6 +146,13 @@ object LlmQueries {
     VectorOps.annTopK(e, e.where(col("vec_id") < 10), 3)
   }
 
+  /** IVF-quantized ANN (rows-only: approximate by design, and k-means
+    * cell boundaries are float-reduction-order sensitive). */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    VectorOps.ivfTopK(e, e.where(col("vec_id") < 10), 3)
+  }
+
   private def q62(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDup(Tables(s, dir, "embeddings"), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -191,6 +198,7 @@ object LlmQueries {
     "q60_cosine_topk" -> (q60 _),
     "q61_ann_lsh" -> (q61 _),
     "q62_embedding_neardup" -> (q62 _),
+    "q63_ann_ivf" -> (q63 _),
     "q65_multimodal_meta" -> (q65 _))
 
   val oracle: Map[String, String] = Map(

@@ -47,6 +47,20 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN probes cells and achieves reasonable recall vs brute force") {
+    val k = 5
+    val queries = df.where(col("vec_id") < 4)
+    val exact = VectorOps.cosineTopK(df, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = VectorOps.ivfTopK(df, queries, k, nCells = 4, nProbe = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(ivf.nonEmpty)
+    // probing half the cells of a random corpus should recover a
+    // meaningful share of the true top-k
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall, ivf=$ivf, exact=$exact")
+  }
+
   test("embedding near-dup respects the label blocking and threshold") {
     val pairs = VectorOps.embeddingNearDup(df, 0.5).collect()
     val byId = vecs.map(v => v._1 -> v._2).toMap
