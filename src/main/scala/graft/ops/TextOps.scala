@@ -26,6 +26,20 @@ object TextOps {
   def wordHashSet(text: Column): Column =
     array_distinct(transform(split(text, " "), w => xxhash64(w)))
 
+  /** Distinct word n-gram shingle set as 64-bit hashes. n=1 reduces to
+    * [[wordHashSet]]; larger n is the right setting for real corpora
+    * (this synthetic corpus only has near-dups at the unigram level —
+    * see TESTDATA notes). Pure expressions: sequence + slice +
+    * concat_ws, one pass. */
+  def ngramHashSet(text: Column, n: Int): Column =
+    if (n <= 1) wordHashSet(text)
+    else {
+      val words = split(text, " ")
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - lit(n), lit(-1))),
+        i => xxhash64(concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+    }
+
   /** Canonical token-set fingerprint: md5 of the sorted distinct word
     * list. Two documents with identical vocabularies collide — the
     * "same content, reshuffled" exact-dedup key. */
@@ -73,9 +87,9 @@ object TextOps {
   /** Blocked exact near-dup pairs: documents are compared only within
     * a blocking key (here `source`), never corpus × corpus. Returns
     * (doc_a, doc_b, jac) for pairs with Jaccard >= threshold. */
-  def nearDupExact(docs: DataFrame, threshold: Double): DataFrame = {
+  def nearDupExact(docs: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
     val sides = docs.select(col("doc_id"), col("source"),
-      wordHashSet(col("text")).as("w"))
+      ngramHashSet(col("text"), ngram).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
     val a = sides.select(col("doc_id").as("doc_a"), col("source"),
       col("w").as("wa"), col("sz").as("sa"))
@@ -126,14 +140,16 @@ object TextOps {
 
   /** LSH banding: doc rows exploded to one row per band with a hashed
     * band key. Docs sharing any band key are near-dup candidates. */
-  def minhashBands(docs: DataFrame, nSig: Int, bands: Int): DataFrame = {
+  def minhashBands(docs: DataFrame, nSig: Int, bands: Int,
+                   ngram: Int = 1): DataFrame = {
     val rows = nSig / bands
     val bandStructs = (0 until bands).map { i =>
       struct(lit(i).as("band"),
         hash(slice(col("sig"), i * rows + 1, rows)).as("band_key"))
     }
     docs
-      .withColumn("sig", minhashSignatureFromHashes(wordHashSet(col("text")), nSig))
+      .withColumn("sig",
+        minhashSignatureFromHashes(ngramHashSet(col("text"), ngram), nSig))
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.band_key"))
   }
@@ -150,8 +166,9 @@ object TextOps {
     * recall and identical sets (J=1) always collide. Fewer rows per
     * band raise recall at lower J at the cost of candidate volume. */
   def nearDupMinhash(docs: DataFrame, threshold: Double,
-                     nSig: Int = 64, bands: Int = 4): DataFrame = {
-    val banded = minhashBands(docs, nSig, bands)
+                     nSig: Int = 64, bands: Int = 4,
+                     ngram: Int = 1): DataFrame = {
+    val banded = minhashBands(docs, nSig, bands, ngram)
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -159,7 +176,8 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), wordHashSet(col("text")).as("w"))
+    val sets = docs.select(col("doc_id"),
+      ngramHashSet(col("text"), ngram).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa"),

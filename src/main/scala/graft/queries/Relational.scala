@@ -524,6 +524,32 @@ object Relational {
       |  greatest(c_nationkey, 10) AS nk_floor
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Map scalar-function family (construct, extract, keys/values,
+    * cardinality) — no map-typed testdata column exists, so the map is
+    * built from row values, exercised, and decomposed back to plain
+    * scalars the oracle can compare. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part")
+      .withColumn("m", map(lit("brand"), col("p_brand"), lit("type"), col("p_type")))
+      .select(col("p_partkey"),
+        element_at(col("m"), "brand").as("m_brand"),
+        element_at(col("m"), "missing").as("m_missing"),
+        concat_ws(",", map_keys(col("m"))).as("m_keys"),
+        concat_ws(",", map_values(col("m"))).as("m_values"),
+        size(col("m")).cast("bigint").as("m_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q17Sql =
+    """WITH t AS (SELECT p_partkey,
+      |    map(['brand','type'], [p_brand, p_type]) AS m FROM part)
+      |SELECT p_partkey, m['brand'][1] AS m_brand,
+      |  m['missing'][1] AS m_missing,
+      |  array_to_string(map_keys(m), ',') AS m_keys,
+      |  array_to_string(map_values(m), ',') AS m_values,
+      |  cardinality(m) AS m_size
+      |FROM t ORDER BY p_partkey""".stripMargin
+
   /** Array scalar-function family over the embeddings table. */
   private def q19(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "embeddings")
@@ -557,6 +583,7 @@ object Relational {
     "q12_semi_join" -> (q12 _),
     "q13_anti_join" -> (q13 _),
     "q14_range_join" -> (q14 _),
+    "q17_map_fns" -> (q17 _),
     "q19_array_fns" -> (q19 _),
     "q20_distinct_agg" -> (q20 _),
     "q21_hll_distinct" -> (q21 _),
@@ -584,6 +611,7 @@ object Relational {
     "q12_semi_join" -> q12Sql,
     "q13_anti_join" -> q13Sql,
     "q14_range_join" -> q14Sql,
+    "q17_map_fns" -> q17Sql,
     "q19_array_fns" -> q19Sql,
     "q20_distinct_agg" -> q20Sql,
     // q21 intentionally has no oracle (sketch estimate)

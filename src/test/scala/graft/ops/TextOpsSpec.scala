@@ -52,6 +52,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.contains((0L, 4L))) // identical text → identical simhash
   }
 
+  test("n-gram shingles: bigram jaccard separates reordered from contiguous dups") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, "a b c d e f g h", "x", "en"),
+      (1L, "a b c d e f g h", "x", "en"),  // identical → bigram J = 1
+      (2L, "h g f e d c b a", "x", "en"))) // same word set, no shared bigrams
+      .toDF("doc_id", "text", "source", "lang")
+    val uni = TextOps.nearDupExact(d2, 0.9, ngram = 1).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val bi = TextOps.nearDupExact(d2, 0.9, ngram = 2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(uni == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(bi == Set((0L, 1L)))
+  }
+
   test("text stats are computed per document") {
     val r = TextOps.textStats(docs.withColumn("n_chars", length(col("text"))))
       .where(col("doc_id") === 0).head()
