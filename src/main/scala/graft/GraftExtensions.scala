@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinhashSignature}
+import graft.functions.{DotProduct, MinhashSignature, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_isect"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_isect"),
+      (children: Seq[Expression]) =>
+        SortedIntersectSize(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),

@@ -71,11 +71,24 @@ object TextOps {
 
   /** Jaccard from pre-computed set sizes: |∩| / (|A| + |B| − |∩|).
     * Identical value (the inputs are distinct sets) at half the array
-    * traffic — the hot-pair form. */
+    * traffic — the hot-pair form. With [[graft.GraftExtensions]]
+    * installed the intersection is the native two-pointer merge over
+    * the pre-sorted sets ([[graft.functions.SortedIntersectSize]]);
+    * otherwise `array_intersect` (which hashes per pair). */
   private def jaccardSized(a: Column, b: Column, sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
+    val inter =
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_isect")))
+        call_function("graft_isect", a, b).cast("double")
+      else size(array_intersect(a, b)).cast("double")
     inter / (sa + sb - inter)
   }
+
+  /** Pair sides carry their shingle sets SORTED so the per-pair
+    * intersection is a linear merge (sorting is once per doc). Sorted
+    * order changes nothing else: all consumers treat the array as a
+    * set. */
+  private def sortedSet(c: Column): Column = array_sort(c)
 
   /** Sound size prefilter: J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|), so a
     * pair failing the ratio can never clear the threshold; the check
@@ -89,7 +102,7 @@ object TextOps {
     * (doc_a, doc_b, jac) for pairs with Jaccard >= threshold. */
   def nearDupExact(docs: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
     val sides = docs.select(col("doc_id"), col("source"),
-      ngramHashSet(col("text"), ngram).as("w"))
+      sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
     val a = sides.select(col("doc_id").as("doc_a"), col("source"),
       col("w").as("wa"), col("sz").as("sa"))
@@ -177,7 +190,7 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sets = docs.select(col("doc_id"),
-      ngramHashSet(col("text"), ngram).as("w"))
+      sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa"),
