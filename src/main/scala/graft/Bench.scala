@@ -11,9 +11,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state warmup: session init, codegen, parquet reader paths
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => }
+    // steady-state warmup: session init, codegen, parquet reader paths,
+    // and the per-table file indexes (one-row-group touch per table)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")) {
+      try graft.queries.Tables(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -112,7 +112,7 @@ object VectorOps {
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = prepared(embeddings)
       .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCells).setSeed(11).setMaxIter(5)
+    val model = new KMeans().setK(nCells).setSeed(11).setMaxIter(3)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(corpus.select(col("fv")))
     val celled = model.transform(corpus).drop("fv")

@@ -49,6 +49,28 @@ class EventStreamsSpec extends SparkTestBase {
     assert(!rows.exists(_._2 == "late"), s"late event leaked: $rows")
   }
 
+  test("sliding windows assign each event to window/slide buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.slidingCounts(events, "10 minutes", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    mem.addData((ts(7), 1L, "click", 1.0)) // in [10:00,10:10) and [10:05,10:15)
+    q.processAllAvailable()
+    mem.addData((ts(40), 1L, "click", 1.0)) // advance watermark, finalize
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 1L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val starts = spark.table("sliding").collect()
+      .filter(_.getAs[Long]("n") > 0)
+      .map(_.getAs[Timestamp]("window_start").toString).sorted.toSeq
+    assert(starts.take(2) == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"),
+      s"got $starts")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
