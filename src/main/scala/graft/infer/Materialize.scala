@@ -1,0 +1,120 @@
+package graft.infer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.types._
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.types.{DataType => SType, _}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** Materialization of JSON documents under a discovered [[HType]] —
+  * including union-typed fields, which `from_json` cannot populate
+  * (Spark has no union type; we encode `struct<tag:tinyint,u0,…>`,
+  * SURVEY §1.4). This closes the infer→materialize loop for
+  * heterogeneous corpora: infer once (distributed aggregation), then
+  * one `map` pass converts every document to a typed Row.
+  *
+  * The reference never materializes data at all (DDL printing only),
+  * so this is strictly additive capability. Scale shape: pure per-row
+  * conversion on executors; the inferred type tree is closed over
+  * (KB-sized) and serialized once per task.
+  */
+object Materialize {
+
+  /** [[InferSchema.toSparkType]] with non-materializable `NullType`
+    * leaves replaced by (always-null) strings. */
+  def toMaterializableSparkType(t: HType): SType =
+    replaceNull(InferSchema.toSparkType(t))
+
+  private def replaceNull(t: SType): SType = t match {
+    case NullType => StringType
+    case ArrayType(e, n) => ArrayType(replaceNull(e), n)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = replaceNull(f.dataType))))
+    case other => other
+  }
+
+  /** Parse + convert every document in `docs` to Rows under the
+    * schema of `inferred` (use the canonical form of the corpus-level
+    * inference result). Documents are independent; a doc whose value
+    * some field doesn't fit yields null in that field, never a
+    * failure. */
+  def materialize(docs: Dataset[String], inferred: HType): DataFrame = {
+    val schema = toMaterializableSparkType(inferred) match {
+      case s: StructType => s
+      case other => StructType(Seq(StructField("value", other, nullable = true)))
+    }
+    val t = inferred
+    val isStruct = inferred.isInstanceOf[HStruct]
+    val spark = docs.sparkSession
+    implicit val enc = RowEncoder.encoderFor(schema)
+    docs.map { doc =>
+      val node =
+        try new ObjectMapper().readTree(if (doc == null || doc.isEmpty) "null" else doc)
+        catch { case _: Exception => null }
+      if (isStruct) convert(node, t).asInstanceOf[Row]
+      else Row(convert(node, t))
+    }
+  }
+
+  /** Convert one Jackson node to the JVM value Spark's RowEncoder
+    * expects for `toMaterializableSparkType(target)`. */
+  private[infer] def convert(node: JsonNode, target: HType): Any = {
+    if (node == null || node.isNull || node.isMissingNode) return null
+    target match {
+      case HNull => null // materialized as (null) string
+      case HBool => if (node.isBoolean) node.asBoolean() else null
+      case HNum(kind, _, scale) =>
+        val text = node.asText()
+        try kind match {
+          case NumKind.Byte    => java.lang.Byte.valueOf(text)
+          case NumKind.Short   => java.lang.Short.valueOf(text)
+          case NumKind.Int     => java.lang.Integer.valueOf(text)
+          case NumKind.Long    => java.lang.Long.valueOf(text)
+          case NumKind.Decimal =>
+            new java.math.BigDecimal(text)
+              .setScale(scale, java.math.RoundingMode.HALF_UP)
+          case NumKind.Float   => java.lang.Float.valueOf(text)
+          case NumKind.Double  => java.lang.Double.valueOf(text)
+        } catch { case _: NumberFormatException => null }
+      case HStr(kind) =>
+        val s = node.asText()
+        kind match {
+          case StrKind.Binary =>
+            try s.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+            catch { case _: NumberFormatException => null }
+          case StrKind.Timestamp => parseTimestamp(s)
+          case _ => s
+        }
+      case HList(elem) =>
+        if (!node.isArray) null
+        else node.elements().asScala.map(convert(_, elem)).toSeq
+      case HStruct(fields) =>
+        if (!node.isObject) null
+        else Row.fromSeq(fields.iterator.map { case (name, ft) =>
+          convert(node.get(name), ft)
+        }.toSeq)
+      case HUnion(branches) =>
+        // first branch that subsumes this value's discovered type wins
+        val vt = JsonInfer.inferDoc(node.toString)
+        val idx = branches.indexWhere(_.subsumes(vt))
+        val cells = branches.zipWithIndex.map { case (b, i) =>
+          if (i == idx) convert(node, b) else null
+        }
+        if (idx < 0) null
+        else Row.fromSeq(java.lang.Byte.valueOf(idx.toByte) +: cells)
+    }
+  }
+
+  /** Best-effort parse of the reference's timestamp shapes
+    * (`YYYY[-/]MM[-/]DD[T ]HH:MM:SS` + optional zone/quotes,
+    * JsonSchemaFinder.java:44-47); unparseable → null. */
+  private[infer] def parseTimestamp(s: String): Timestamp = {
+    val cleaned = s.stripPrefix("\"").stripSuffix("\"").replace('/', '-')
+    val norm = cleaned.replace("T", " ").stripSuffix("Z")
+    try Timestamp.valueOf(norm.take(19))
+    catch { case _: Exception => null }
+  }
+}

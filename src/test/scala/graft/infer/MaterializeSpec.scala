@@ -1,0 +1,76 @@
+package graft.infer
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Infer→materialize round trip over a heterogeneous corpus — the
+  * union-typed path from_json cannot handle. */
+class MaterializeSpec extends SparkTestBase {
+
+  private val corpus = Seq(
+    """{"u": true, "x": 1}""",
+    """{"u": 5, "x": 2}""",
+    """{"u": {"i": 1}, "x": 3}""",
+    """{"u": "0a", "x": 4, "extra": [1.5]}""",
+    """{"x": 5}""")
+
+  test("heterogeneous corpus materializes with union encoding") {
+    import spark.implicits._
+    val ds = spark.createDataset(corpus)
+    val inferred = ds.select(new InferSchemaAgg().toColumn).head()
+    val df = Materialize.materialize(ds, inferred).orderBy(col("x"))
+
+    // union field: struct<tag, u0..u3> with canonical branch order
+    val uType = df.schema("u").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(uType.fieldNames.head == "tag")
+    assert(uType.fields.length == 5) // tag + binary|boolean|struct|tinyint
+
+    val rows = df.collect()
+    assert(rows.length == corpus.length)
+    // doc with u=true: exactly one branch set, the boolean one
+    val r0 = rows(0).getAs[org.apache.spark.sql.Row]("u")
+    val boolIdx = uType.fieldNames.indexWhere(n =>
+      uType(n).dataType == org.apache.spark.sql.types.BooleanType)
+    assert(r0.getAs[Boolean](boolIdx))
+    // doc with u={"i":1}: struct branch set
+    val r2 = rows(2).getAs[org.apache.spark.sql.Row]("u")
+    val structIdx = uType.fieldNames.indexWhere(n =>
+      uType(n).dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(r2.getAs[org.apache.spark.sql.Row](structIdx).getByte(0) == 1.toByte)
+    // doc without u: null union
+    assert(rows(4).isNullAt(rows(4).fieldIndex("u")))
+    // tags are distinct branch indices
+    val tags = rows.take(4).map(_.getAs[org.apache.spark.sql.Row]("u").getByte(0)).toSet
+    assert(tags.size == 4)
+  }
+
+  test("materialized primitives carry inferred widths and kinds") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"n": 1, "d": 1.5, "b": "0a1b", "t": "2016-01-05T12:34:56Z"}""",
+      """{"n": 40000, "d": 2.25}""")
+    val ds = spark.createDataset(docs)
+    val inferred = ds.select(new InferSchemaAgg().toColumn).head()
+    val df = Materialize.materialize(ds, inferred).orderBy(col("n"))
+    val rows = df.collect()
+    assert(rows(0).getAs[Int]("n") == 1) // widened to int by doc 2
+    assert(rows(0).getAs[java.math.BigDecimal]("d").toPlainString == "1.5" ||
+      rows(0).getAs[java.math.BigDecimal]("d").toPlainString == "1.50")
+    assert(rows(0).getAs[Array[Byte]]("b").toSeq == Seq(0x0a.toByte, 0x1b.toByte))
+    assert(rows(0).getAs[java.sql.Timestamp]("t") ==
+      java.sql.Timestamp.valueOf("2016-01-05 12:34:56"))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("b")))
+  }
+
+  test("queries run over the materialized union (branch histogram)") {
+    import spark.implicits._
+    val ds = spark.createDataset(corpus)
+    val inferred = ds.select(new InferSchemaAgg().toColumn).head()
+    val hist = Materialize.materialize(ds, inferred)
+      .groupBy(col("u.tag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tag")).collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("null") -> r.getLong(1))
+    assert(hist.toMap.values.sum == corpus.length)
+    assert(hist.length == 5) // 4 branches + null
+  }
+}
