@@ -54,6 +54,42 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: every `every`-th frame of each decoded payload,
+    * with its byte offset — the explode stage a video-curation
+    * pipeline feeds to per-frame feature extraction. Pure expressions
+    * over the decoded metadata (`sequence` + `explode`), so the frame
+    * index set and offsets are oracle-reproducible. */
+  def sampleFrames(spark: SparkSession, docs: DataFrame, every: Int): DataFrame = {
+    decodeMeta(spark, docs).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+        // explicit floor: Spark's double->bigint cast truncates while
+        // DuckDB's rounds, so the oracle uses FLOOR on both sides
+        floor(col("frame_idx").cast("bigint") * col("n_bytes") / col("n_frames"))
+          .as("byte_offset"))
+  }
+
+  /** Feature extraction stub: a deterministic pseudo-embedding from
+    * payload bytes (a real pipeline would run an image/audio encoder
+    * here — same mapPartitions batch shape, same output schema
+    * `array<float>`, directly consumable by [[VectorOps]]). */
+  def extractFeatures(spark: SparkSession, docs: DataFrame,
+                      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    withPayload(docs).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < payload.length) {
+          v(i % dim) += (payload(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        (id, v.toSeq)
+      }
+    }.toDF("doc_id", "feature")
+  }
+
   /** Metadata extraction + aggregate by format — the downstream query
     * a curation pipeline runs over decoded metadata. */
   def metaSummary(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -187,7 +187,22 @@ object LlmQueries {
       |  CAST(sum(n_frames) AS BIGINT) AS total_frames
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s, Tables(s, dir, "documents"), every = 5)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val q66Sql =
+    """WITH m AS (SELECT doc_id,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    1 + (octet_length(encode(text)) % 30) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, frame_idx,
+      |  CAST(FLOOR(frame_idx * n_bytes / n_frames) AS BIGINT) AS byte_offset
+      |FROM m, unnest(range(0, n_frames, 5)) AS t(frame_idx)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_multimodal_frames" -> (q66 _),
     "q50_dedup_exact" -> (q50 _),
     "q51_neardup_jaccard" -> (q51 _),
     "q52_neardup_minhash" -> (q52 _),
@@ -202,6 +217,7 @@ object LlmQueries {
     "q65_multimodal_meta" -> (q65 _))
 
   val oracle: Map[String, String] = Map(
+    "q66_multimodal_frames" -> q66Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_neardup_jaccard" -> q51Sql,
     "q54_text_stats" -> q54Sql,
