@@ -117,6 +117,35 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream–static enrichment join: the static dim is broadcast to
+    * every micro-batch (no state, no watermark needed) — the standard
+    * way to attach slowly-changing reference data to a stream. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream–stream interval join: purchases matched to views by the
+    * same user within `windowSpec` before the purchase. Both sides
+    * carry watermarks so matched/expired state is evicted — the
+    * bounded-state requirement of stream–stream joins. */
+  def purchasesWithRecentViews(events: DataFrame,
+                               lateness: String = "30 minutes",
+                               window_ : String = "10 minutes"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    purchases.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $window_"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** Incremental schema inference over a JSON stream: the running
     * lattice join surfaced per micro-batch (complete mode) — the
     * streaming form of the reference's whole program. */

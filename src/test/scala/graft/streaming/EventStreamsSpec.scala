@@ -102,6 +102,49 @@ class EventStreamsSpec extends SparkTestBase {
       s"got ${sessions.toSeq}")
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.enrich(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((ts(1), 1L, "click", 1.0), (ts(2), 3L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+    assert(rows == Map(1L -> "gold", 3L -> null))
+  }
+
+  test("stream-stream interval join matches views within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+      .withColumn("event_id", (col("user_id") * 1000 +
+        expr("unix_timestamp(ts) % 1000")).cast("long"))
+    val q = EventStreams.purchasesWithRecentViews(events)
+      .writeStream.format("memory").queryName("pv")
+      .outputMode("append").start()
+    // user 1: view at 10:00, purchase at 10:05 (match); view at 10:20,
+    // purchase at 10:35 (outside 10-minute window → no match)
+    mem.addData((ts(0), 1L, "view", 0.0), (ts(5), 1L, "purchase", 9.0),
+      (ts(20), 1L, "view", 0.0), (ts(35), 1L, "purchase", 9.0))
+    q.processAllAvailable()
+    // advance watermarks to flush join state
+    mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 9L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.table("pv").collect()
+      .map(r => (r.getAs[Timestamp]("purchase_ts").toString,
+        r.getAs[Timestamp]("view_ts").toString))
+    assert(matches.toSeq == Seq(("2024-01-01 10:05:00.0", "2024-01-01 10:00:00.0")),
+      s"got ${matches.toSeq}")
+  }
+
   test("streaming schema inference converges per micro-batch (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
