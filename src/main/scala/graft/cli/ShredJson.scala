@@ -8,7 +8,9 @@ import org.apache.spark.sql.SparkSession
   * (reference `bin/shred-json:24-25` → `JsonShredder.main`,
   * JsonShredder.java:89-111).
   *
-  * Usage: ShredJson <outDir> <json file or glob>...
+  * Usage: ShredJson [--whole] <outDir> <json file or glob>...
+  * (`--whole` reads each file as one unit for documents spanning
+  * lines, like FindJsonSchema.)
   *
   * Writes one directory per dotted column path under `outDir`
   * (`path=root.a.b/part-*.txt`), the scale-out version of the
@@ -16,9 +18,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ShredJson {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ShredJson <outDir> <json file or glob>...")
-    val outDir = args.head
-    val files = args.tail
+    val whole = args.contains("--whole")
+    val rest = args.filterNot(_ == "--whole")
+    require(rest.length >= 2,
+      "usage: ShredJson [--whole] <outDir> <json file or glob>...")
+    val outDir = rest.head
+    val files = rest.tail
 
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
@@ -30,7 +35,12 @@ object ShredJson {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.textFile(files: _*)
+    val docs =
+      if (whole) {
+        import spark.implicits._
+        spark.read.option("wholetext", "true").text(files: _*)
+          .select(org.apache.spark.sql.functions.col("value")).as[String]
+      } else spark.read.textFile(files: _*)
     val count = docs.count()
     Shredder.writeShredded(docs, outDir)
     println(s"$count records read")

@@ -524,6 +524,29 @@ object Relational {
       |  greatest(c_nationkey, 10) AS nk_floor
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** SQL entry point + correlated scalar subquery — the full Spark SQL
+    * parser/analyzer surface over registered views (the reference has
+    * no SQL at all; our engine inherits Spark's). Parts priced well
+    * above their brand's average. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part").createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT p_partkey, p_brand,
+        |  CAST(p_retailprice AS DECIMAL(12,2)) AS price
+        |FROM part_v p
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) + 40
+        |                       FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  private val q15Sql =
+    """SELECT p_partkey, p_brand,
+      |  CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      |FROM part p
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) + 40
+      |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+      |ORDER BY p_partkey""".stripMargin
+
   /** Map scalar-function family (construct, extract, keys/values,
     * cardinality) — no map-typed testdata column exists, so the map is
     * built from row values, exercised, and decomposed back to plain
@@ -583,6 +606,7 @@ object Relational {
     "q12_semi_join" -> (q12 _),
     "q13_anti_join" -> (q13 _),
     "q14_range_join" -> (q14 _),
+    "q15_sql_subquery" -> (q15 _),
     "q17_map_fns" -> (q17 _),
     "q19_array_fns" -> (q19 _),
     "q20_distinct_agg" -> (q20 _),
@@ -611,6 +635,7 @@ object Relational {
     "q12_semi_join" -> q12Sql,
     "q13_anti_join" -> q13Sql,
     "q14_range_join" -> q14Sql,
+    "q15_sql_subquery" -> q15Sql,
     "q17_map_fns" -> q17Sql,
     "q19_array_fns" -> q19Sql,
     "q20_distinct_agg" -> q20Sql,

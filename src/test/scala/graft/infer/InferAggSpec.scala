@@ -75,6 +75,38 @@ class InferAggSpec extends SparkTestBase {
       JsonInfer.inferAll(corpus :+ """{"m":1}{"m":2}""").canonical)
   }
 
+  test("duplicate JSON keys: last value wins (Gson JsonObject semantics)") {
+    assert(JsonInfer.inferDoc("""{"a": 1, "a": "x"}""").toString
+      == "struct<a:string>")
+  }
+
+  test("fuzz: distributed inference equals local fold on random JSON") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def randJson(depth: Int): String = {
+      if (depth == 0) rnd.nextInt(6) match {
+        case 0 => rnd.nextInt(100000).toString
+        case 1 => s""""w${rnd.nextInt(5)}""""
+        case 2 => "true"
+        case 3 => "null"
+        case 4 => s"${rnd.nextInt(100)}.${rnd.nextInt(1000)}"
+        case _ => "\"2016-01-05T12:34:56Z\""
+      } else rnd.nextInt(3) match {
+        case 0 => (0 until rnd.nextInt(4))
+          .map(i => s""""k${rnd.nextInt(4)}": ${randJson(depth - 1)}""")
+          .mkString("{", ", ", "}")
+        case 1 => (0 until rnd.nextInt(4)).map(_ => randJson(depth - 1))
+          .mkString("[", ", ", "]")
+        case _ => randJson(0)
+      }
+    }
+    val docs = Seq.fill(300)(randJson(3))
+    val local = JsonInfer.inferAll(docs).canonical
+    val distributed = spark.createDataset(docs).repartition(7)
+      .select(new InferSchemaAgg().toColumn).head()
+    assert(distributed == local)
+  }
+
   test("decimal cap: >38-digit merged precision degrades to double in Spark type") {
     val wide = HNum(NumKind.Decimal, 40, 5)
     assert(InferSchema.toSparkType(wide) ==
