@@ -41,7 +41,12 @@ object ShredJson {
         spark.read.option("wholetext", "true").text(files: _*)
           .select(org.apache.spark.sql.functions.col("value")).as[String]
       } else spark.read.textFile(files: _*)
-    val count = docs.count()
+    // document count, not row/file count (a whole-file row or a line
+    // with concatenated docs carries several)
+    val count = {
+      import spark.implicits._
+      docs.map(Shredder.countDocs).reduce(_ + _)
+    }
     Shredder.writeShredded(docs, outDir)
     println(s"$count records read")
     println()

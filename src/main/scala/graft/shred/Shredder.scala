@@ -56,6 +56,23 @@ object Shredder {
     out.toSeq
   }
 
+  /** Count of top-level JSON documents in `text` (streaming, skips
+    * children; the reference's per-document record count,
+    * JsonShredder.java:101-104). */
+  def countDocs(text: String): Long = {
+    if (text == null) return 0L
+    val p = factory.createParser(text)
+    try {
+      var n = 0L
+      try {
+        while (p.nextToken() != null) { n += 1; p.skipChildren() }
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException =>
+      }
+      n
+    } finally p.close()
+  }
+
   /** `Dataset[String]` of JSON docs → `Dataset[(path, value)]`. */
   def shred(docs: Dataset[String]): Dataset[(String, String)] = {
     import docs.sparkSession.implicits._
