@@ -303,6 +303,23 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY status, priority""".stripMargin
 
+  /** Pivot: one column per order status, decimal-exact sums. Pivot
+    * values are declared explicitly (never inferred by a scan) — at
+    * 100 TB an inferred pivot would mean an extra distinct pass. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"), 14, 2)))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q25Sql =
+    """PIVOT (SELECT o_orderpriority, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(14,2)) AS p FROM orders)
+      |ON o_orderstatus IN ('F', 'O', 'P') USING sum(p)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- window functions ---------------------------------------------------
 
   /** Ranking window: top-3 orders per customer (deterministic via a
@@ -614,6 +631,7 @@ object Relational {
     "q22_rollup" -> (q22 _),
     "q23_cube" -> (q23 _),
     "q24_grouping_sets" -> (q24 _),
+    "q25_pivot" -> (q25 _),
     "q30_window_rank" -> (q30 _),
     "q31_window_running" -> (q31 _),
     "q32_window_lag_lead" -> (q32 _),
@@ -643,6 +661,7 @@ object Relational {
     "q22_rollup" -> q22Sql,
     "q23_cube" -> q23Sql,
     "q24_grouping_sets" -> q24Sql,
+    "q25_pivot" -> q25Sql,
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
     "q32_window_lag_lead" -> q32Sql,
