@@ -23,6 +23,9 @@ import scala.jdk.CollectionConverters._
   */
 object Materialize {
 
+  // one thread-safe mapper per executor JVM, not per row
+  @transient private lazy val mapper = new ObjectMapper()
+
   /** [[InferSchema.toSparkType]] with non-materializable `NullType`
     * leaves replaced by (always-null) strings. */
   def toMaterializableSparkType(t: HType): SType =
@@ -52,7 +55,7 @@ object Materialize {
     implicit val enc = RowEncoder.encoderFor(schema)
     docs.map { doc =>
       val node =
-        try new ObjectMapper().readTree(if (doc == null || doc.isEmpty) "null" else doc)
+        try mapper.readTree(if (doc == null || doc.isEmpty) "null" else doc)
         catch { case _: Exception => null }
       if (isStruct) convert(node, t).asInstanceOf[Row]
       else Row(convert(node, t))
