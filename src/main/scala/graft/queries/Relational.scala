@@ -303,6 +303,30 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY status, priority""".stripMargin
 
+  /** Statistical aggregates: exact interpolated percentiles (both
+    * engines use the p·(n−1) linear-interpolation definition),
+    * stddev/correlation rounded to absorb summation-order ulps. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q26Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Pivot: one column per order status, decimal-exact sums. Pivot
     * values are declared explicitly (never inferred by a scan) — at
     * 100 TB an inferred pivot would mean an extra distinct pass. */
@@ -632,6 +656,7 @@ object Relational {
     "q23_cube" -> (q23 _),
     "q24_grouping_sets" -> (q24 _),
     "q25_pivot" -> (q25 _),
+    "q26_stats_agg" -> (q26 _),
     "q30_window_rank" -> (q30 _),
     "q31_window_running" -> (q31 _),
     "q32_window_lag_lead" -> (q32 _),
@@ -662,6 +687,7 @@ object Relational {
     "q23_cube" -> q23Sql,
     "q24_grouping_sets" -> q24Sql,
     "q25_pivot" -> q25Sql,
+    "q26_stats_agg" -> q26Sql,
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
     "q32_window_lag_lead" -> q32Sql,
