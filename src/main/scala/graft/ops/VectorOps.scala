@@ -112,9 +112,12 @@ object VectorOps {
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = prepared(embeddings)
       .withColumn("fv", array_to_vector(col("v")))
+    // few coalesced partitions for the tiny iterative fit: each KMeans
+    // iteration is a job, and task-scheduling overhead dominates at
+    // sample scale (production would fit on a sampled subset anyway)
     val model = new KMeans().setK(nCells).setSeed(11).setMaxIter(3)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(corpus.select(col("fv")))
+      .fit(corpus.select(col("fv")).coalesce(4))
     val celled = model.transform(corpus).drop("fv")
     // the query set is small by contract: compute probe cells driver-side
     val centers = model.clusterCenters.map(_.toArray)
