@@ -1,9 +1,7 @@
 package graft.cli
 
-import graft.GraftExtensions
 import graft.infer.{InferSchema, InferSchemaCountAgg}
 import graft.types.{HStruct, HType}
-import org.apache.spark.sql.SparkSession
 
 /** Distributed equivalent of the reference's `find-json-schema` CLI
   * (reference `bin/find-json-schema:24-25` →
@@ -32,22 +30,8 @@ object FindJsonSchema {
     val files = args.filterNot(a => a == "-f" || a == "--whole")
     require(files.nonEmpty, "usage: FindJsonSchema [-f] [--whole] <json file or glob>...")
 
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .appName("graft-find-json-schema")
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    val docs =
-      if (whole) {
-        import spark.implicits._
-        spark.read.option("wholetext", "true").text(files: _*)
-          .select(org.apache.spark.sql.functions.col("value")).as[String]
-      } else spark.read.textFile(files: _*)
+    val spark = CliSession.build("graft-find-json-schema")
+    val docs = CliSession.readDocs(spark, files.toSeq, whole)
     // one pass: tiny per-partition partial schemas, one combine
     val (schema, count) = docs.select(new InferSchemaCountAgg().toColumn).head()
 

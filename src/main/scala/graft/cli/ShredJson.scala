@@ -1,8 +1,6 @@
 package graft.cli
 
-import graft.GraftExtensions
 import graft.shred.Shredder
-import org.apache.spark.sql.SparkSession
 
 /** Distributed equivalent of the reference's `shred-json` CLI
   * (reference `bin/shred-json:24-25` → `JsonShredder.main`,
@@ -15,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   * Writes one directory per dotted column path under `outDir`
   * (`path=root.a.b/part-*.txt`), the scale-out version of the
   * reference's one-file-per-column layout (JsonShredder.java:52-62).
+  * Documents are read, counted, and shredded in ONE pass (the count
+  * rides an accumulator inside the shred flatMap).
   */
 object ShredJson {
   def main(args: Array[String]): Unit = {
@@ -25,30 +25,22 @@ object ShredJson {
     val outDir = rest.head
     val files = rest.tail
 
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .appName("graft-shred-json")
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = CliSession.build("graft-shred-json")
+    val docs = CliSession.readDocs(spark, files, whole)
 
-    val docs =
-      if (whole) {
-        import spark.implicits._
-        spark.read.option("wholetext", "true").text(files: _*)
-          .select(org.apache.spark.sql.functions.col("value")).as[String]
-      } else spark.read.textFile(files: _*)
-    // document count, not row/file count (a whole-file row or a line
-    // with concatenated docs carries several)
-    val count = {
-      import spark.implicits._
-      docs.map(Shredder.countDocs).reduce(_ + _)
+    // single pass: the shred flatMap counts documents as it walks them
+    // (a whole-file row or a concatenated line carries several docs)
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("documents")
+    val shredded = docs.flatMap { d =>
+      val (rows, n) = Shredder.flattenCount(d)
+      acc.add(n)
+      rows
     }
-    Shredder.writeShredded(docs, outDir)
-    println(s"$count records read")
+    shredded.toDF("path", "value")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("path").text(outDir)
+    println(s"${acc.value} records read")
     println()
     spark.stop()
   }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Accumulation is left-to-right in double, exactly like the composed
   * form, so results are bit-identical and oracle comparisons are
-  * unaffected. Null *elements* are not expected (embedding vectors);
-  * a null array yields null via the standard binary null contract.
+  * unaffected; mismatched array lengths yield null, also matching the
+  * composed form (zip_with pads with nulls, nullifying the sum). Null
+  * *elements* are not expected (embedding vectors); a null array
+  * yields null via the standard binary null contract.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -39,10 +41,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths → null, matching the composed form exactly
+    // (zip_with pads with nulls, which nullify the whole sum)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -52,12 +59,16 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_s = 0.0;
-         |for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
-         |  ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int ${ev.value}_n = $a.numElements();
+         |  double ${ev.value}_s = 0.0;
+         |  for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+         |    ${ev.value}_s += $a.getDouble(${ev.value}_i) * $b.getDouble(${ev.value}_i);
+         |  }
+         |  ${ev.value} = ${ev.value}_s;
          |}
-         |${ev.value} = ${ev.value}_s;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(

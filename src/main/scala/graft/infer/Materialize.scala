@@ -51,13 +51,18 @@ object Materialize {
     }
     val t = inferred
     val isStruct = inferred.isInstanceOf[HStruct]
-    val spark = docs.sparkSession
+    val width = schema.length
     implicit val enc = RowEncoder.encoderFor(schema)
     docs.map { doc =>
       val node =
         try mapper.readTree(if (doc == null || doc.isEmpty) "null" else doc)
         catch { case _: Exception => null }
-      if (isStruct) convert(node, t).asInstanceOf[Row]
+      if (isStruct) convert(node, t) match {
+        // corrupt / non-object / null doc: an all-null row, never a
+        // null top-level Row (RowEncoder rejects those → job death)
+        case r: Row => r
+        case _ => Row.fromSeq(Seq.fill(width)(null))
+      }
       else Row(convert(node, t))
     }
   }

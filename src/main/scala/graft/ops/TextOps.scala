@@ -35,9 +35,14 @@ object TextOps {
     if (n <= 1) wordHashSet(text)
     else {
       val words = split(text, " ")
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(words) - lit(n), lit(-1))),
-        i => xxhash64(concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+      // a doc with fewer than n words has no n-grams; guard explicitly
+      // (sequence(0, -1) is NOT empty — it descends — and slice would
+      // then throw on start 0)
+      when(size(words) >= lit(n),
+        array_distinct(transform(
+          sequence(lit(0), size(words) - lit(n)),
+          i => xxhash64(concat_ws(" ", slice(words, i + lit(1), lit(n)))))))
+        .otherwise(array().cast("array<bigint>"))
     }
 
   /** Canonical token-set fingerprint: md5 of the sorted distinct word
@@ -81,7 +86,11 @@ object TextOps {
           .exists(_.catalog.functionExists("graft_isect")))
         call_function("graft_isect", a, b).cast("double")
       else size(array_intersect(a, b)).cast("double")
-    inter / (sa + sb - inter)
+    // two empty sets: J defined as 0 (empty docs must not near-dup-match
+    // every other empty doc at scale), and the guard keeps ANSI mode
+    // from throwing DIVIDE_BY_ZERO when Catalyst reorders this ahead of
+    // the join's short-circuiting predicates
+    when(sa + sb - inter > 0, inter / (sa + sb - inter)).otherwise(lit(0.0))
   }
 
   /** Pair sides carry their shingle sets SORTED so the per-pair
@@ -147,7 +156,11 @@ object TextOps {
     else {
       val base = transform(hashes, h => pmod(h, lit(MinhashPrime)))
       array(coefficients(n).map { case (a, b) =>
-        array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+        // coalesce: min over an empty set is the hash-domain max (the
+        // native expression's convention), not null
+        coalesce(
+          array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime)))),
+          lit(MinhashPrime))
       }: _*)
     }
 

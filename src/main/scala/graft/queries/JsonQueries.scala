@@ -151,6 +151,11 @@ object JsonQueries {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"),
         when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    // Tie caveat: among several views sharing the SAME (user_id, ts),
+    // this picks the max event_id deterministically while DuckDB ASOF
+    // picks an unspecified one — the driver corpus has no such ties
+    // (microsecond event times); a corpus with ties would need the
+    // oracle rewritten with an explicit tiebreak.
     // views sort before purchases at equal ts, so "<=" semantics match
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("tag"), col("event_id"))

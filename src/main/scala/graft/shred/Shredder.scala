@@ -27,10 +27,18 @@ object Shredder {
   private val factory = new JsonFactory()
 
   /** Flatten all documents concatenated in `text` to (path, value). */
-  def flatten(text: String, prefix: String = "root"): Seq[(String, String)] = {
+  def flatten(text: String, prefix: String = "root"): Seq[(String, String)] =
+    flattenCount(text, prefix)._1
+
+  /** As [[flatten]], also returning the number of top-level documents
+    * walked — lets callers count records in the same parse pass
+    * (the reference counts per document, JsonShredder.java:101-104). */
+  def flattenCount(text: String,
+                   prefix: String = "root"): (Seq[(String, String)], Long) = {
     val out = new ArrayBuffer[(String, String)]()
-    if (text == null) return out.toSeq
+    if (text == null) return (out.toSeq, 0L)
     val p = factory.createParser(text)
+    var n = 0L
 
     def walk(name: String): Unit = p.currentToken() match {
       case JsonToken.VALUE_NULL => // just skip it (JsonShredder.java:70-71)
@@ -47,30 +55,13 @@ object Shredder {
 
     try {
       try {
-        while (p.nextToken() != null) walk(prefix)
+        while (p.nextToken() != null) { n += 1; walk(prefix) }
       } catch {
         // keep leaves already shredded; a corrupt doc must not kill the job
         case _: com.fasterxml.jackson.core.JacksonException =>
       }
     } finally p.close()
-    out.toSeq
-  }
-
-  /** Count of top-level JSON documents in `text` (streaming, skips
-    * children; the reference's per-document record count,
-    * JsonShredder.java:101-104). */
-  def countDocs(text: String): Long = {
-    if (text == null) return 0L
-    val p = factory.createParser(text)
-    try {
-      var n = 0L
-      try {
-        while (p.nextToken() != null) { n += 1; p.skipChildren() }
-      } catch {
-        case _: com.fasterxml.jackson.core.JacksonException =>
-      }
-      n
-    } finally p.close()
+    (out.toSeq, n)
   }
 
   /** `Dataset[String]` of JSON docs → `Dataset[(path, value)]`. */

@@ -25,14 +25,19 @@ class DotProductSpec extends SparkTestBase {
     }
   }
 
-  test("null array yields null; mismatched lengths use the shorter") {
+  test("null array and mismatched lengths yield null (composed-form parity)") {
     import spark.implicits._
     val df = Seq(
       (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 5.0))),
-      (None, Some(Seq(1.0)))).toDF("a", "b")
-    val out = df.select(call_function("graft_dot", col("a"), col("b"))).collect()
-    assert(out(0).getDouble(0) == 11.0)
-    assert(out(1).isNullAt(0))
+      (None, Some(Seq(1.0))),
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))).toDF("a", "b")
+    val out = df.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("composed")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1)) // ragged → null both
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).getDouble(0) == 11.0 && out(2).getDouble(1) == 11.0)
   }
 
   test("type check rejects non-double arrays") {

@@ -42,4 +42,14 @@ class MinhashSignatureSpec extends SparkTestBase {
           r.getAs[scala.collection.Seq[Long]]("sig")).toMap
     assert(sigs(1) == sigs(5))
   }
+
+  test("empty shingle set: native and composed agree (hash-domain max)") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[Long]).toDF("hashes")
+    val native = df.select(call_function("graft_minhash", col("hashes"), lit(4)))
+      .head().getAs[scala.collection.Seq[Long]](0)
+    val composed = df.select(
+      graft.ops.TextOps.minhashSignatureFromHashes(col("hashes"), 4).as("s"))
+    assert(native.toSeq == Seq.fill(4)(2147483647L))
+  }
 }

@@ -44,6 +44,16 @@ class MaterializeSpec extends SparkTestBase {
     assert(tags.size == 4)
   }
 
+  test("corrupt, empty, and non-object docs yield all-null rows, not failures") {
+    import spark.implicits._
+    val ds = spark.createDataset(corpus)
+    val inferred = ds.select(new InferSchemaAgg().toColumn).head()
+    val dirty = spark.createDataset(Seq("{{{not json", "", "5", null))
+    val rows = Materialize.materialize(dirty, inferred).collect()
+    assert(rows.length == 4)
+    rows.foreach { r => (0 until r.length).foreach(i => assert(r.isNullAt(i))) }
+  }
+
   test("materialized primitives carry inferred widths and kinds") {
     import spark.implicits._
     val docs = Seq(

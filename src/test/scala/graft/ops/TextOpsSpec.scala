@@ -66,6 +66,16 @@ class TextOpsSpec extends SparkTestBase {
     assert(bi == Set((0L, 1L)))
   }
 
+  test("short documents (fewer words than n) survive n-gram near-dup") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, "one", "x", "en"),
+      (1L, "a b c d e f", "x", "en"),
+      (2L, "a b c d e f", "x", "en"))).toDF("doc_id", "text", "source", "lang")
+    val pairs = TextOps.nearDupExact(d2, 0.9, ngram = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs == Set((1L, 2L))) // the 1-word doc has no trigrams, no crash
+  }
+
   test("text stats are computed per document") {
     val r = TextOps.textStats(docs.withColumn("n_chars", length(col("text"))))
       .where(col("doc_id") === 0).head()
