@@ -145,6 +145,27 @@ class EventStreamsSpec extends SparkTestBase {
       s"got ${matches.toSeq}")
   }
 
+  test("file sink: windowed aggregates append to checkpointed parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events, "10 minutes", "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    mem.addData((ts(1), 1L, "click", 1.0), (ts(2), 1L, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData((ts(31), 1L, "click", 4.0)) // finalize the first window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    assert(rows.toSeq.contains(("2024-01-01 10:00:00.0", "click", 2L)), s"got ${rows.toSeq}")
+  }
+
   test("streaming schema inference converges per micro-batch (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
