@@ -67,6 +67,14 @@ object TextOps {
         count(lit(1)).as("n_dups"),
         countDistinct(col("source")).as("n_sources"))
 
+  /** Materialized dedup: the surviving (min-id-per-fingerprint) rows
+    * of the input — the downstream shape a pipeline actually consumes
+    * (a semi-join of the corpus against the winners). */
+  def dedupedDocs(docs: DataFrame): DataFrame = {
+    val keep = dedupExact(docs).select(col("keep_doc_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_doc_id"), "left_semi")
+  }
+
   /** Exact unigram Jaccard similarity between two word-set columns
     * (|∩| / |∪| as double — both engines compute the identical IEEE
     * quotient of small ints). */

@@ -25,6 +25,20 @@ object LlmQueries {
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY fp ORDER BY keep_doc_id""".stripMargin
 
+  /** The deduplicated corpus itself (survivor rows), not just the
+    * group table — what a training pipeline feeds downstream. */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupedDocs(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q57Sql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id IN (
+      |  SELECT min(doc_id) FROM documents
+      |  GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')))
+      |ORDER BY doc_id""".stripMargin
+
   private def q51(s: SparkSession, dir: String): DataFrame =
     TextOps.nearDupExact(Tables(s, dir, "documents"), 0.9)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -210,6 +224,7 @@ object LlmQueries {
     "q54_text_stats" -> (q54 _),
     "q55_lang_id" -> (q55 _),
     "q56_fingerprint" -> (q56 _),
+    "q57_dedup_survivors" -> (q57 _),
     "q60_cosine_topk" -> (q60 _),
     "q61_ann_lsh" -> (q61 _),
     "q62_embedding_neardup" -> (q62 _),
@@ -223,6 +238,7 @@ object LlmQueries {
     "q54_text_stats" -> q54Sql,
     "q55_lang_id" -> q55Sql,
     "q56_fingerprint" -> q56Sql,
+    "q57_dedup_survivors" -> q57Sql,
     "q60_cosine_topk" -> q60Sql,
     "q62_embedding_neardup" -> q62Sql,
     "q65_multimodal_meta" -> q65Sql)

@@ -344,6 +344,43 @@ object Relational {
       |ON o_orderstatus IN ('F', 'O', 'P') USING sum(p)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Positional explode (UDTF surface beyond plain explode): element
+    * index + value rows from an array column. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id") < 5)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("pos"),
+        round(col("col").cast("double"), 4).as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  private val q27Sql =
+    // DuckDB lacks WITH ORDINALITY; parallel unnest/generate_subscripts
+    // zip positionally
+    """SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+      |  round(CAST(unnest(embedding) AS DOUBLE), 4) AS val
+      |FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin
+
+  /** Ordered string aggregation (collect_list is order-nondeterministic
+    * in a distributed run — sorting inside the aggregate restores
+    * determinism; the oracle's string_agg gets an explicit ORDER BY). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
+  private val q28Sql =
+    """SELECT r_name, count(*) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   // ---- window functions ---------------------------------------------------
 
   /** Ranking window: top-3 orders per customer (deterministic via a
@@ -657,6 +694,8 @@ object Relational {
     "q24_grouping_sets" -> (q24 _),
     "q25_pivot" -> (q25 _),
     "q26_stats_agg" -> (q26 _),
+    "q27_posexplode" -> (q27 _),
+    "q28_string_agg" -> (q28 _),
     "q30_window_rank" -> (q30 _),
     "q31_window_running" -> (q31 _),
     "q32_window_lag_lead" -> (q32 _),
@@ -688,6 +727,8 @@ object Relational {
     "q24_grouping_sets" -> q24Sql,
     "q25_pivot" -> q25Sql,
     "q26_stats_agg" -> q26Sql,
+    "q27_posexplode" -> q27Sql,
+    "q28_string_agg" -> q28Sql,
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
     "q32_window_lag_lead" -> q32Sql,
