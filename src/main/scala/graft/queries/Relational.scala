@@ -612,7 +612,7 @@ object Relational {
       """SELECT p_partkey, p_brand,
         |  CAST(p_retailprice AS DECIMAL(12,2)) AS price
         |FROM part_v p
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) + 40
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) + 5
         |                       FROM part_v p2 WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin)
   }
@@ -621,7 +621,7 @@ object Relational {
     """SELECT p_partkey, p_brand,
       |  CAST(p_retailprice AS DECIMAL(12,2)) AS price
       |FROM part p
-      |WHERE p_retailprice > (SELECT avg(p_retailprice) + 40
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) + 5
       |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
       |ORDER BY p_partkey""".stripMargin
 
