@@ -26,7 +26,7 @@ object ShredJson {
     val files = rest.tail
 
     val spark = CliSession.build("graft-shred-json")
-    val docs = CliSession.readDocs(spark, files, whole)
+    val docs = CliSession.readDocs(spark, files.toSeq, whole)
 
     // single pass: the shred flatMap counts documents as it walks them
     // (a whole-file row or a concatenated line carries several docs)

@@ -27,7 +27,7 @@ object Skew {
                  factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(factor.toLong)))
+      pmod(xxhash64(struct(left.columns.toIndexedSeq.map(col): _*)), lit(factor.toLong)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     salted.join(replicated,

@@ -73,7 +73,7 @@ object VectorOps {
     * high probability. */
   def lshSignature(v: Column, bits: Int, dim: Int): Column =
     hyperplanes(bits, dim).zipWithIndex.map { case (h, j) =>
-      when(dot(v, array(h.map(lit): _*)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(v, array(h.toIndexedSeq.map(lit): _*)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate top-k: candidates share the query's LSH bucket; the
