@@ -18,7 +18,7 @@ class EventStreamsSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
-    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
 
     val q = EventStreams.tumblingCounts(events, "10 minutes", "10 minutes")
       .writeStream.format("memory").queryName("tumbling")
@@ -53,7 +53,7 @@ class EventStreamsSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
-    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
     val q = EventStreams.slidingCounts(events, "10 minutes", "5 minutes", "10 minutes")
       .writeStream.format("memory").queryName("sliding")
       .outputMode("append").start()
@@ -107,7 +107,7 @@ class EventStreamsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
-    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
     val q = EventStreams.enrich(events, dim, "user_id")
       .writeStream.format("memory").queryName("enriched")
       .outputMode("append").start()
@@ -123,7 +123,7 @@ class EventStreamsSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
-    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
       .withColumn("event_id", (col("user_id") * 1000 +
         expr("unix_timestamp(ts) % 1000")).cast("long"))
     val q = EventStreams.purchasesWithRecentViews(events)
@@ -150,7 +150,7 @@ class EventStreamsSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
-    val events = mem.toDF.toDF("ts", "user_id", "event_type", "value")
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
     val q = EventStreams.tumblingCounts(events, "10 minutes", "10 minutes")
       .writeStream.format("parquet")
       .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
@@ -170,7 +170,7 @@ class EventStreamsSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
-    val q = EventStreams.streamingInferSchema(mem.toDF.toDF("value"))
+    val q = EventStreams.streamingInferSchema(mem.toDF().toDF("value"))
       .writeStream.format("memory").queryName("inferred")
       .outputMode("complete").start()
     mem.addData("""{"a": 1}""")
