@@ -29,7 +29,12 @@ object ShredJson {
     val docs = CliSession.readDocs(spark, files.toSeq, whole)
 
     // single pass: the shred flatMap counts documents as it walks them
-    // (a whole-file row or a concatenated line carries several docs)
+    // (a whole-file row or a concatenated line carries several docs).
+    // The count rides an accumulator updated in a transformation, so a
+    // retried/speculated task can over-count — acceptable for this
+    // purely diagnostic stderr-style line (the reference's count is
+    // informational too); the shredded OUTPUT stays exactly-once via
+    // the file commit protocol.
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("documents")
     val shredded = docs.flatMap { d =>
@@ -37,9 +42,7 @@ object ShredJson {
       acc.add(n)
       rows
     }
-    shredded.toDF("path", "value")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("path").text(outDir)
+    Shredder.writeShreddedRows(shredded, outDir)
     println(s"${acc.value} records read")
     println()
     spark.stop()

@@ -50,14 +50,17 @@ object Materialize {
       case other => StructType(Seq(StructField("value", other, nullable = true)))
     }
     val t = inferred
-    val isStruct = inferred.isInstanceOf[HStruct]
+    // HStruct AND HUnion both materialize to a multi-field struct row
+    // (the union's struct<tag,u0,…> encoding); only primitive/list
+    // roots get wrapped in a single "value" field
+    val rowShaped = toMaterializableSparkType(inferred).isInstanceOf[StructType]
     val width = schema.length
     implicit val enc = RowEncoder.encoderFor(schema)
     docs.map { doc =>
       val node =
         try mapper.readTree(if (doc == null || doc.isEmpty) "null" else doc)
         catch { case _: Exception => null }
-      if (isStruct) convert(node, t) match {
+      if (rowShaped) convert(node, t) match {
         // corrupt / non-object / null doc: an all-null row, never a
         // null top-level Row (RowEncoder rejects those → job death)
         case r: Row => r

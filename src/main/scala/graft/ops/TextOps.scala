@@ -163,13 +163,17 @@ object TextOps {
       call_function("graft_minhash", hashes, lit(n))
     else {
       val base = transform(hashes, h => pmod(h, lit(MinhashPrime)))
-      array(coefficients(n).map { case (a, b) =>
+      val sig = array(coefficients(n).map { case (a, b) =>
         // coalesce: min over an empty set is the hash-domain max (the
         // native expression's convention), not null
         coalesce(
           array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime)))),
           lit(MinhashPrime))
       }: _*)
+      // null input array → null signature (the native expression's
+      // unary null contract; coalesce alone would turn it into the
+      // sentinel signature and bucket null docs together)
+      when(hashes.isNotNull, sig)
     }
 
   /** LSH banding: doc rows exploded to one row per band with a hashed

@@ -72,6 +72,12 @@ object Shredder {
 
   /** Shred and write one directory per column path. */
   def writeShredded(docs: Dataset[String], outDir: String): Unit =
-    shred(docs).toDF("path", "value")
+    writeShreddedRows(shred(docs), outDir)
+
+  /** Sink for an already-shredded (path, value) dataset — the single
+    * source of truth for the output layout (mode, partition column,
+    * format), shared by the library path and the CLI. */
+  def writeShreddedRows(shredded: Dataset[(String, String)], outDir: String): Unit =
+    shredded.toDF("path", "value")
       .write.mode(SaveMode.Overwrite).partitionBy("path").text(outDir)
 }

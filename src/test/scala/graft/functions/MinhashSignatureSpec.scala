@@ -43,13 +43,32 @@ class MinhashSignatureSpec extends SparkTestBase {
     assert(sigs(1) == sigs(5))
   }
 
-  test("empty shingle set: native and composed agree (hash-domain max)") {
+  test("empty and null shingle sets: native and composed branches agree") {
     import spark.implicits._
-    val df = Seq(Seq.empty[Long]).toDF("hashes")
-    val native = df.select(call_function("graft_minhash", col("hashes"), lit(4)))
-      .head().getAs[scala.collection.Seq[Long]](0)
-    val composed = df.select(
-      graft.ops.TextOps.minhashSignatureFromHashes(col("hashes"), 4).as("s"))
-    assert(native.toSeq == Seq.fill(4)(2147483647L))
+    val p = 2147483647L
+    val coeffs = {
+      val r = new scala.util.Random(42)
+      Seq.fill(4)((r.nextInt(Int.MaxValue - 1).toLong + 1L, r.nextInt(Int.MaxValue).toLong))
+    }
+    // the composed fallback, constructed directly (SparkTestBase
+    // installs the extensions, so TextOps would route to the native fn)
+    def composedSig(hashes: org.apache.spark.sql.Column) = {
+      val base = transform(hashes, h => pmod(h, lit(p)))
+      val sig = array(coeffs.map { case (a, b) =>
+        coalesce(array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(p)))), lit(p))
+      }: _*)
+      when(hashes.isNotNull, sig)
+    }
+    val df = Seq(Some(Seq.empty[Long]), Some(Seq(7L, 8L)), None).toDF("hashes")
+    val rows = df.select(
+      call_function("graft_minhash", col("hashes"), lit(4)).as("native"),
+      composedSig(col("hashes")).as("composed")).collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getAs[scala.collection.Seq[Long]](0).toSeq
+      val c = if (r.isNullAt(1)) null else r.getAs[scala.collection.Seq[Long]](1).toSeq
+      assert(n == c, s"native=$n composed=$c")
+    }
+    assert(rows(0).getAs[scala.collection.Seq[Long]](0).toSeq == Seq.fill(4)(p))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 }

@@ -54,6 +54,20 @@ class MaterializeSpec extends SparkTestBase {
     rows.foreach { r => (0 until r.length).foreach(i => assert(r.isNullAt(i))) }
   }
 
+  test("a top-level-union corpus (mixed root shapes) materializes") {
+    import spark.implicits._
+    val mixed = Seq("5", """{"a": 1}""", "true", "not json at all")
+    val ds = spark.createDataset(mixed)
+    val inferred = ds.select(new InferSchemaAgg().toColumn).head()
+    val df = Materialize.materialize(ds, inferred)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    assert(df.schema.fieldNames.head == "tag")
+    // the corrupt doc is an all-null row; others carry distinct tags
+    val tags = rows.flatMap(r => if (r.isNullAt(0)) None else Some(r.getByte(0)))
+    assert(tags.toSet.size == 3)
+  }
+
   test("materialized primitives carry inferred widths and kinds") {
     import spark.implicits._
     val docs = Seq(
