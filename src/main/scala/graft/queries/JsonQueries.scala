@@ -44,13 +44,13 @@ object JsonQueries {
       .select(from_json(col("props"), schema).as("p"), col("value"))
       .select(col("p.k").cast("long").as("k"), col("value"))
       .groupBy(col("k"))
-      .agg(sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .orderBy(col("k"))
   }
 
   private val q45Sql =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-      |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY k ORDER BY k""".stripMargin
 
   /** Flagship: the reference's whole purpose as one query — the
@@ -90,7 +90,7 @@ object JsonQueries {
     Tables(s, dir, "events")
       .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
@@ -99,7 +99,7 @@ object JsonQueries {
   private val q48Sql =
     """SELECT CAST(to_timestamp(floor(epoch(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
       |  event_type, count(*) AS n,
-      |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *     (partial+final, any partitioning) sums are bit-identical to the
   *     oracle's sequential sums; raw double sums would drift by ulps
   *     under reordering;
+  *   - the FINAL rendering of every decimal output is cast back to
+  *     DOUBLE on both sides: decimal→double conversion is correctly
+  *     rounded in both engines, so the bits match, whereas leaving the
+  *     column DECIMAL exposes the engines' differing precision/scale
+  *     inference to the driver's type-preserving hash (round-1
+  *     hash_match failures on exactly the decimal-output queries);
   *   - every result carries a total ORDER BY with a unique tiebreak,
   *     so the rowset is fully deterministic;
   *   - aggregate/computed columns are aliased identically on both
@@ -30,6 +36,10 @@ object Relational {
 
   private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
 
+  /** Final rendering of an exact-decimal result as a correctly-rounded
+    * double (see class doc: decimal stays internal, double goes out). */
+  private def asD(c: Column): Column = c.cast("double")
+
   // ---- scan / filter / project / aggregate --------------------------------
 
   /** TPC-H Q1-style pricing summary: full-scan partial+final hash agg. */
@@ -38,10 +48,10 @@ object Relational {
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"), 12, 2)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"), 14, 2)).as("sum_base_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 6)).as("sum_disc_price"),
-        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 18, 6)).as("sum_charge"),
+        asD(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+        asD(sum(dec(col("l_extendedprice"), 14, 2))).as("sum_base_price"),
+        asD(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 6))).as("sum_disc_price"),
+        asD(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 18, 6))).as("sum_charge"),
         round(avg(dec(col("l_quantity"), 12, 2)), 4).cast("double").as("avg_qty"),
         round(avg(dec(col("l_discount"), 8, 4)), 4).cast("double").as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -50,10 +60,10 @@ object Relational {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
       |  CAST(round(avg(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS avg_qty,
       |  CAST(round(avg(CAST(l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS avg_disc,
       |  count(*) AS count_order
@@ -70,13 +80,13 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec(col("l_extendedprice") * col("l_discount"), 18, 6).as("revenue"))
+        asD(dec(col("l_extendedprice") * col("l_discount"), 18, 6)).as("revenue"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
   private val q02Sql =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_extendedprice * l_discount AS DECIMAL(18,6)) AS revenue
+      |  CAST(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -88,12 +98,12 @@ object Relational {
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice") * col("l_discount"), 18, 6)).as("revenue"),
+      .agg(asD(sum(dec(col("l_extendedprice") * col("l_discount"), 18, 6))).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
   private val q03Sql =
-    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue,
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -109,13 +119,13 @@ object Relational {
     val p = Tables(s, dir, "part")
     l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(dec(col("l_quantity"), 12, 2)).as("sum_qty"),
+      .agg(asD(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
   }
 
   private val q10Sql =
-    """SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+    """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  count(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
@@ -139,13 +149,13 @@ object Relational {
         col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 6)).as("revenue"))
+      .agg(asD(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 6))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   private val q11Sql =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -199,13 +209,13 @@ object Relational {
         col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_parts"),
-        sum(dec(col("p_retailprice"), 12, 2)).as("sum_price"))
+        asD(sum(dec(col("p_retailprice"), 12, 2))).as("sum_price"))
       .orderBy(col("band"))
   }
 
   private val q14Sql =
     """SELECT band, count(*) AS n_parts,
-      |  sum(CAST(p_retailprice AS DECIMAL(12,2))) AS sum_price
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM part
       |JOIN (VALUES (900.0, 925.0, 'low'), (925.0, 950.0, 'mid_low'),
       |             (950.0, 975.0, 'mid_high'), (975.0, 1000.0, 'high'))
@@ -247,7 +257,7 @@ object Relational {
     Tables(s, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"), 14, 2)).as("sum_price"))
+        asD(sum(dec(col("o_totalprice"), 14, 2))).as("sum_price"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("sum_price"))
@@ -258,7 +268,7 @@ object Relational {
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       |  coalesce(o_orderpriority, 'ALL') AS priority,
       |  count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
@@ -287,7 +297,7 @@ object Relational {
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"), 14, 2)).as("sum_price"))
+        asD(sum(dec(col("o_totalprice"), 14, 2))).as("sum_price"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("sum_price"))
@@ -298,7 +308,7 @@ object Relational {
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       |  coalesce(o_orderpriority, 'ALL') AS priority,
       |  count(*) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(14,2))) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY status, priority""".stripMargin
@@ -335,14 +345,19 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(sum(dec(col("o_totalprice"), 14, 2)))
+      .select(col("o_orderpriority"), asD(col("F")).as("F"),
+        asD(col("O")).as("O"), asD(col("P")).as("P"))
       .orderBy(col("o_orderpriority"))
   }
 
   private val q25Sql =
-    """PIVOT (SELECT o_orderpriority, o_orderstatus,
-      |         CAST(o_totalprice AS DECIMAL(14,2)) AS p FROM orders)
-      |ON o_orderstatus IN ('F', 'O', 'P') USING sum(p)
-      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    """SELECT o_orderpriority, CAST("F" AS DOUBLE) AS "F",
+      |  CAST("O" AS DOUBLE) AS "O", CAST("P" AS DOUBLE) AS "P"
+      |FROM (PIVOT (SELECT o_orderpriority, o_orderstatus,
+      |               CAST(o_totalprice AS DECIMAL(14,2)) AS p FROM orders)
+      |      ON o_orderstatus IN ('F', 'O', 'P') USING sum(p)
+      |      GROUP BY o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** Positional explode (UDTF surface beyond plain explode): element
     * index + value rows from an array column. */
@@ -392,14 +407,14 @@ object Relational {
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .where(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-        dec(col("o_totalprice"), 14, 2).as("totalprice"))
+        asD(dec(col("o_totalprice"), 14, 2)).as("totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
   private val q30Sql =
     """SELECT o_custkey, rn, o_orderkey, totalprice FROM (
       |  SELECT o_custkey, o_orderkey,
-      |    CAST(o_totalprice AS DECIMAL(14,2)) AS totalprice,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) t
@@ -413,15 +428,15 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec(col("o_totalprice"), 14, 2)).over(w).as("running_total"))
+        asD(sum(dec(col("o_totalprice"), 14, 2)).over(w)).as("running_total"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   private val q31Sql =
     """SELECT o_custkey, o_orderkey,
-      |  sum(CAST(o_totalprice AS DECIMAL(14,2)))
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
       |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** lag/lead offsets: per-customer order gaps in days. */
@@ -454,14 +469,14 @@ object Relational {
   private def q35(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        dec(col("l_extendedprice"), 14, 2).as("price"))
+        asD(dec(col("l_extendedprice"), 14, 2)).as("price"))
       .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(100)
   }
 
   private val q35Sql =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+      |  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) AS DOUBLE) AS price
       |FROM lineitem
       |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
 
@@ -610,7 +625,7 @@ object Relational {
     Tables(s, dir, "part").createOrReplaceTempView("part_v")
     s.sql(
       """SELECT p_partkey, p_brand,
-        |  CAST(p_retailprice AS DECIMAL(12,2)) AS price
+        |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM part_v p
         |WHERE p_retailprice > (SELECT avg(p_retailprice) + 5
         |                       FROM part_v p2 WHERE p2.p_brand = p.p_brand)
@@ -619,7 +634,7 @@ object Relational {
 
   private val q15Sql =
     """SELECT p_partkey, p_brand,
-      |  CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price
       |FROM part p
       |WHERE p_retailprice > (SELECT avg(p_retailprice) + 5
       |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
@@ -648,7 +663,7 @@ object Relational {
       |  m['missing'][1] AS m_missing,
       |  array_to_string(map_keys(m), ',') AS m_keys,
       |  array_to_string(map_values(m), ',') AS m_values,
-      |  cardinality(m) AS m_size
+      |  CAST(cardinality(m) AS BIGINT) AS m_size
       |FROM t ORDER BY p_partkey""".stripMargin
 
   /** Array scalar-function family over the embeddings table. */
