@@ -23,14 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinhashSignature(child: Expression, n: Int)
   extends UnaryExpression {
 
-  private val P = 2147483647L // 2^31 - 1
+  private val P = UniversalHash.Prime
 
-  // same derivation as TextOps.coefficients (fixed seed 42)
-  private lazy val coeffs: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private lazy val coeffs: Array[(Long, Long)] = UniversalHash.coefficients(n)
   private lazy val as: Array[Long] = coeffs.map(_._1)
   private lazy val bs: Array[Long] = coeffs.map(_._2)
 

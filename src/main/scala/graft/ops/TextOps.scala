@@ -134,15 +134,12 @@ object TextOps {
 
   // ---- MinHash + LSH ------------------------------------------------------
 
-  private val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne prime)
+  // single source of truth shared with the native graft_minhash
+  // expression — see graft.functions.UniversalHash
+  private val MinhashPrime = graft.functions.UniversalHash.Prime
 
-  /** Fixed universal-hash coefficients (seeded — signatures must be
-    * identical across executors, runs, and cluster sizes). */
-  private def coefficients(n: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
-      rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private def coefficients(n: Int): Seq[(Long, Long)] =
+    graft.functions.UniversalHash.coefficients(n).toSeq
 
   /** MinHash signature of a word-set column: for each of `n` universal
     * hashes h_i(x) = (a_i·x + b_i) mod p, the min over the set's

@@ -16,22 +16,22 @@ import org.apache.spark.sql.functions._
 object Tables {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // scoped conf flip: the legacy mapping is consulted when the
-      // reader converts the footer schema (at read time); restore the
-      // previous value so unrelated later reads fail fast on
-      // TIMESTAMP(NANOS) instead of silently yielding bigint
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try
-        s.read.parquet(s"$dir/$name.parquet")
-          // floor division (not `div`, which truncates toward zero and
-          // would diverge from DuckDB's ns->us floor on pre-epoch
-          // values): subtract the positive remainder first
-          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-      finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      // Monotonic conf set: the legacy mapping is consulted when the
+      // reader converts the footer schema, and a per-read
+      // DataFrameReader option does NOT reach that converter (probed
+      // empirically on 4.1 — footer inference still throws
+      // PARQUET_TYPE_ILLEGAL). Setting the flag and leaving it set is
+      // race-free under concurrent query construction (set/set is
+      // idempotent; the old set-then-restore pattern could unset the
+      // flag mid-read on a sibling thread). Trade-off: any OTHER
+      // table with a TIMESTAMP(NANOS) column now reads as bigint
+      // instead of failing fast — `events` is the only such table in
+      // the corpus, and its `ts` is always converted right here.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        // floor division (not `div`, which truncates toward zero and
+        // would diverge from DuckDB's ns->us floor on pre-epoch
+        // values): subtract the positive remainder first
+        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     } else s.read.parquet(s"$dir/$name.parquet")
 }

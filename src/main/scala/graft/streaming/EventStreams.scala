@@ -91,7 +91,12 @@ object EventStreams {
           val t = e.ts.getTime
           cur match {
             case Some(st) if t - st.lastTs < gapMs =>
-              cur = Some(st.copy(lastTs = math.max(st.lastTs, t), n = st.n + 1,
+              // start = min: a late (but within-watermark) event older
+              // than the current session start must extend the session
+              // backwards, matching session_window's gap-merged start
+              // for out-of-order arrivals across micro-batches
+              cur = Some(st.copy(start = math.min(st.start, t),
+                lastTs = math.max(st.lastTs, t), n = st.n + 1,
                 sumValue = st.sumValue + e.value))
             case Some(st) =>
               out :+= ClosedSession(userId, new Timestamp(st.start),

@@ -102,6 +102,37 @@ class EventStreamsSpec extends SparkTestBase {
       s"got ${sessions.toSeq}")
   }
 
+  test("sessionizer extends session_start backwards for late in-gap events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(spark, mem.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+
+    // batch 1 opens the session at 10:10; batch 2 delivers a LATE event
+    // at 10:05 — behind the open session's start but ahead of the
+    // watermark (10:10 − 30 min) and within the gap — which must pull
+    // session_start back to 10:05 (matching session_window's gap-merge)
+    mem.addData(EventStreams.Event(ts(10), 1L, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(ts(5), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to time the session out
+    mem.addData(EventStreams.Event(Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.Event(Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("late_sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n_events")))
+    assert(sessions.contains((1L, "2024-01-01 10:05:00.0", 2L)),
+      s"got ${sessions.toSeq}")
+  }
+
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
