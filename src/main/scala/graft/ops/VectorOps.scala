@@ -99,28 +99,77 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF-style approximate top-k: a coarse quantizer (Spark ML KMeans,
-    * seeded) partitions the corpus into cells; each query probes its
-    * `nProbe` nearest cells and scores only those candidates. The
-    * 100 TB shape: the quantizer trains on a sample, cell assignment
-    * is one embarrassingly-parallel pass, and the probe join is keyed
-    * by cell — candidate volume scales with corpus/nCells · nProbe,
-    * not with the corpus. */
+  /** Deterministic Lloyd's k-means over a driver-local sample: the
+    * coarse-quantizer training step of IVF. Init takes k evenly-spaced
+    * points of the (id-sorted) sample; empty cells keep their previous
+    * center. Pure local arithmetic — identical centers on any cluster
+    * layout, no per-iteration Spark jobs. */
+  private def localKMeans(points: Array[Array[Double]], k: Int,
+                          iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    var centers = Array.tabulate(math.min(k, n))(i => points((i.toLong * n / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](points(0).length))
+      val counts = new Array[Long](centers.length)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < centers.length) {
+          var d = 0.0; var j = 0
+          val c = centers(i)
+          while (j < p.length) { val t = p(j) - c(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var j = 0
+        while (j < p.length) { s(j) += p(j); j += 1 }
+      }
+      centers = centers.indices.map { i =>
+        if (counts(i) == 0) centers(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    centers
+  }
+
+  /** Expression-form nearest-cell assignment: argmin over the literal
+    * center list of ‖v‖² − 2⟨v,cᵢ⟩ + ‖cᵢ‖² (the ‖v‖² term is constant
+    * per row and dropped). Codegen'd — one pass, no UDF, no ML vector
+    * conversion. Ties break to the lower cell id via the struct
+    * ordering. */
+  private def nearestCell(v: Column, centers: Array[Array[Double]]): Column = {
+    val ds = centers.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((dot(v, array(c.toIndexedSeq.map(lit): _*)) * lit(-2.0) + lit(c2)).as("d"),
+        lit(i).as("cell"))
+    }
+    array_min(array(ds.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** IVF-style approximate top-k: a coarse quantizer partitions the
+    * corpus into cells; each query probes its `nProbe` nearest cells
+    * and scores only those candidates. The 100 TB shape: the quantizer
+    * trains driver-side on a bounded deterministic sample (every m-th
+    * vec_id — layout-independent, unlike `sample()`), cell assignment
+    * is one embarrassingly-parallel codegen'd pass, and the probe join
+    * is keyed by cell — candidate volume scales with
+    * corpus/nCells · nProbe, not with the corpus. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nCells: Int = 16, nProbe: Int = 4,
+              maxTrain: Int = 4096): DataFrame = {
     val corpus = prepared(embeddings)
-      .withColumn("fv", array_to_vector(col("v")))
-    // few coalesced partitions for the tiny iterative fit: each KMeans
-    // iteration is a job, and task-scheduling overhead dominates at
-    // sample scale (production would fit on a sampled subset anyway)
-    val model = new KMeans().setK(nCells).setSeed(11).setMaxIter(3)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(corpus.select(col("fv")).coalesce(4))
-    val celled = model.transform(corpus).drop("fv")
+    val total = corpus.count()
+    val every = math.max(1L, total / maxTrain)
+    val trainRows = corpus
+      .where(pmod(col("vec_id"), lit(every)) === 0)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .sortBy(_.getAs[Long]("vec_id"))
+      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    val centers = localKMeans(trainRows, nCells, iters = 5)
+    val celled = corpus.withColumn("cell", nearestCell(col("v"), centers))
     // the query set is small by contract: compute probe cells driver-side
-    val centers = model.clusterCenters.map(_.toArray)
     val qRows = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
       .collect()
