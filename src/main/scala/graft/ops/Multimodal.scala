@@ -70,6 +70,27 @@ object Multimodal {
           .as("byte_offset"))
   }
 
+  /** One resized media row: original + fitted dimensions, output size. */
+  case class Resized(doc_id: Long, width: Long, height: Long,
+                     out_w: Long, out_h: Long, out_bytes: Long)
+
+  /** Resize stage stub: fit each decoded payload into a `box`×`box`
+    * square preserving aspect ratio (integer floor arithmetic, so the
+    * dimensions are oracle-reproducible). A real implementation would
+    * transform pixels in the same mapPartitions pass — the Spark-side
+    * shape (typed partition pass, columnar output, no driver collect)
+    * is the real thing; only the pixel work is stubbed. */
+  def resize(spark: SparkSession, docs: DataFrame, box: Int = 224): Dataset[Resized] = {
+    import spark.implicits._
+    decodeMeta(spark, docs).map { m =>
+      val (w, h) = (m.width.toLong, m.height.toLong)
+      val (ow, oh) =
+        if (w >= h) (box.toLong, math.max(1L, h * box / w))
+        else (math.max(1L, w * box / h), box.toLong)
+      Resized(m.doc_id, w, h, ow, oh, ow * oh * 3)
+    }
+  }
+
   /** Feature extraction stub: a deterministic pseudo-embedding from
     * payload bytes (a real pipeline would run an image/audio encoder
     * here — same mapPartitions batch shape, same output schema

@@ -294,6 +294,36 @@ object TextOps {
         .cast("double") / length(col("text")).cast("double"), 4).as("punct_ratio"))
   }
 
+  /** Stopwords for quality density scoring (the langid marker set plus
+    * common function words; on a real corpus this is a per-language
+    * list). */
+  val QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Gopher/C4-style document quality signals: stopword density, mean
+    * word length, hard pass/fail flag, and a composite score in [0,1].
+    * Pure per-row expressions — embarrassingly parallel, no shuffle.
+    * Ratios are quotients of small ints (identical IEEE doubles on any
+    * engine); the exported ratios are rounded to 4, the flags and the
+    * score are computed from the raw ratios with the same expression
+    * shape mirrored in the oracle SQL. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val nStop = size(filter(words, w => w.isin(QualityStopwords: _*))).cast("double")
+    val stopRatio = nStop / nWords
+    val meanWordLen = length(replace(col("text"), lit(" "), lit(""))).cast("double") / nWords
+    docs.select(
+      col("doc_id"),
+      size(words).cast("bigint").as("n_words"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      (size(words) >= 8 && stopRatio >= 0.02 &&
+        meanWordLen.between(2.0, 12.0)).as("quality_ok"),
+      round(least(stopRatio * lit(5.0), lit(1.0)) * lit(0.6) +
+        when(meanWordLen.between(2.0, 12.0), lit(0.4)).otherwise(lit(0.0)), 4)
+        .as("quality_score"))
+  }
+
   /** Stopword-profile language ID. On real corpora the profiles would
     * be per-language n-gram tables; the heuristic shape (count marker
     * hits per language, argmax via CASE) is what matters and is

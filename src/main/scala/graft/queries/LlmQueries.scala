@@ -87,6 +87,29 @@ object LlmQueries {
       |        length(text), 4) AS punct_ratio
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q58Sql =
+    """WITH t AS (SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','in','to','is'], x)))::DOUBLE
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    length(replace(text, ' ', ''))::DOUBLE
+      |      / len(string_split(text, ' ')) AS mean_word_len
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  round(stop_ratio, 4) AS stop_ratio,
+      |  round(mean_word_len, 4) AS mean_word_len,
+      |  (n_words >= 8 AND stop_ratio >= 0.02
+      |   AND mean_word_len BETWEEN 2.0 AND 12.0) AS quality_ok,
+      |  round(least(stop_ratio * 5.0, 1.0) * 0.6 +
+      |    CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0
+      |         THEN 0.4 ELSE 0.0 END, 4) AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+
   private def q55(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -201,6 +224,26 @@ object LlmQueries {
       |  CAST(sum(n_frames) AS BIGINT) AS total_frames
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(s, Tables(s, dir, "documents")).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q67Sql =
+    """WITH d AS (SELECT doc_id,
+      |    64 + (octet_length(encode(text)) % 512) AS width,
+      |    64 + ((octet_length(encode(text)) * 7) % 512) AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  CASE WHEN width >= height THEN 224
+      |       ELSE greatest(1, width * 224 // height) END AS out_w,
+      |  CASE WHEN width >= height THEN greatest(1, height * 224 // width)
+      |       ELSE 224 END AS out_h,
+      |  (CASE WHEN width >= height THEN 224
+      |        ELSE greatest(1, width * 224 // height) END) *
+      |  (CASE WHEN width >= height THEN greatest(1, height * 224 // width)
+      |        ELSE 224 END) * 3 AS out_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
+
   private def q66(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(s, Tables(s, dir, "documents"), every = 5)
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -225,11 +268,13 @@ object LlmQueries {
     "q55_lang_id" -> (q55 _),
     "q56_fingerprint" -> (q56 _),
     "q57_dedup_survivors" -> (q57 _),
+    "q58_quality_score" -> (q58 _),
     "q60_cosine_topk" -> (q60 _),
     "q61_ann_lsh" -> (q61 _),
     "q62_embedding_neardup" -> (q62 _),
     "q63_ann_ivf" -> (q63 _),
-    "q65_multimodal_meta" -> (q65 _))
+    "q65_multimodal_meta" -> (q65 _),
+    "q67_multimodal_resize" -> (q67 _))
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,
@@ -239,7 +284,9 @@ object LlmQueries {
     "q55_lang_id" -> q55Sql,
     "q56_fingerprint" -> q56Sql,
     "q57_dedup_survivors" -> q57Sql,
+    "q58_quality_score" -> q58Sql,
     "q60_cosine_topk" -> q60Sql,
     "q62_embedding_neardup" -> q62Sql,
-    "q65_multimodal_meta" -> q65Sql)
+    "q65_multimodal_meta" -> q65Sql,
+    "q67_multimodal_resize" -> q67Sql)
 }

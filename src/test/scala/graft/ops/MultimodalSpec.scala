@@ -30,6 +30,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(d0 == Seq((0L, 0L), (3L, 2L), (6L, 5L), (9L, 8L)))
   }
 
+  test("resize fits the box preserving aspect with floor arithmetic") {
+    val r = Multimodal.resize(spark, docs, box = 224).collect()
+      .map(x => x.doc_id -> x).toMap
+    r.values.foreach { x =>
+      assert(math.max(x.out_w, x.out_h) == 224L, s"long side must hit the box: $x")
+      assert(x.out_w <= 224L && x.out_h <= 224L && x.out_w >= 1L && x.out_h >= 1L)
+      assert(x.out_bytes == x.out_w * x.out_h * 3)
+      // aspect preserved under integer floor
+      if (x.width >= x.height)
+        assert(x.out_h == x.height * 224 / x.width)
+      else
+        assert(x.out_w == x.width * 224 / x.height)
+    }
+  }
+
   test("extracted features feed cosine top-k directly") {
     val feats = Multimodal.extractFeatures(spark, docs, dim = 8)
       .withColumnRenamed("doc_id", "vec_id")

@@ -84,6 +84,22 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_tokens") == 9)
   }
 
+  test("quality score combines stopword density and word-length flags") {
+    val q = TextOps.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: "the quick brown fox jumps over the lazy dog" — 9 words,
+    // stopwords {the, the} → ratio 2/9; 35 non-space chars → 35/9
+    val d0 = q(0L)
+    assert(d0.getAs[Long]("n_words") == 9L)
+    assert(d0.getAs[Double]("stop_ratio") == math.round(2.0 / 9.0 * 1e4) / 1e4)
+    assert(math.abs(d0.getAs[Double]("mean_word_len") - 35.0 / 9.0) < 1e-4)
+    assert(d0.getAs[Boolean]("quality_ok"))
+    val expected = math.min(2.0 / 9.0 * 5.0, 1.0) * 0.6 + 0.4
+    assert(math.abs(d0.getAs[Double]("quality_score") - expected) < 1e-4)
+    // doc 3 has no stopwords → fails the density flag
+    assert(!q(3L).getAs[Boolean]("quality_ok"))
+  }
+
   test("langId prefers marked languages and defaults to en") {
     val d2 = spark.createDataFrame(Seq(
       (0L, "der hund und die katze", "x", "de"),
