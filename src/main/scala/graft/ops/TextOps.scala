@@ -294,6 +294,42 @@ object TextOps {
         .cast("double") / length(col("text")).cast("double"), 4).as("punct_ratio"))
   }
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
+    * MOSS rolling-hash scheme): hash every character k-gram, slide a
+    * window of `w` consecutive hashes, keep each window's minimum —
+    * the selected set is position-robust and guarantees any shared
+    * substring of length ≥ k+w−1 contributes a shared fingerprint.
+    * Hashes are md5 hex strings (not xxhash64) so the min-selection
+    * order is reproducible in any engine; pure expressions, one row
+    * pass, no shuffle.
+    *
+    * Returns (doc_id, n_grams, n_selected, fp_digest) where fp_digest
+    * is the md5 of the sorted distinct selected hashes. */
+  def winnowingFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val n = (length(col("text")) - lit(k) + lit(1)).cast("int")
+    // materialize the gram-hash array as a real column: higher-order
+    // functions are interpreted with no cross-lambda CSE, so inlining
+    // this under the window transform would recompute ALL n md5s for
+    // every one of the n windows (O(n²) md5 calls per row)
+    val withGrams = docs.select(col("doc_id"), greatest(n, lit(0)).as("n"),
+      transform(sequence(lit(1), greatest(n, lit(0))),
+        i => md5(col("text").substr(i, lit(k)).cast("binary"))).as("grams"))
+    val sel = when(col("n") >= w,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), col("n") - lit(w) + lit(1)),
+        j => array_min(slice(col("grams"), j, lit(w)))))))
+      .otherwise(array().cast("array<string>"))
+    // sel as a column too: it feeds two outputs, and CollapseProject
+    // only refrains from inlining non-cheap aliases used once — this
+    // keeps both the gram pass and the window pass at once per row
+    withGrams.select(col("doc_id"), col("n"), sel.as("sel"))
+      .select(
+        col("doc_id"),
+        col("n").cast("bigint").as("n_grams"),
+        size(col("sel")).cast("bigint").as("n_selected"),
+        md5(concat_ws(",", col("sel")).cast("binary")).as("fp_digest"))
+  }
+
   /** Stopwords for quality density scoring (the langid marker set plus
     * common function words; on a real corpus this is a per-language
     * list). */

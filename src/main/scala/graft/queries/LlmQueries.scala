@@ -110,6 +110,26 @@ object LlmQueries {
       |         THEN 0.4 ELSE 0.0 END, 4) AS quality_score
       |FROM t ORDER BY doc_id""".stripMargin
 
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowingFingerprint(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q59Sql =
+    """WITH g AS (SELECT doc_id, length(text) - 8 + 1 AS n,
+      |    list_transform(range(1, length(text) - 8 + 2),
+      |                   i -> md5(substring(text, CAST(i AS INT), 8))) AS hs
+      |  FROM documents),
+      |sel AS (SELECT doc_id, n,
+      |    CASE WHEN n >= 4 THEN
+      |      list_sort(list_distinct(list_transform(range(1, n - 4 + 2),
+      |        j -> list_min(hs[j:j+3]))))
+      |    ELSE [] END AS s
+      |  FROM g)
+      |SELECT doc_id, CAST(greatest(n, 0) AS BIGINT) AS n_grams,
+      |  CAST(len(s) AS BIGINT) AS n_selected,
+      |  md5(array_to_string(s, ',')) AS fp_digest
+      |FROM sel ORDER BY doc_id""".stripMargin
+
   private def q55(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -269,6 +289,7 @@ object LlmQueries {
     "q56_fingerprint" -> (q56 _),
     "q57_dedup_survivors" -> (q57 _),
     "q58_quality_score" -> (q58 _),
+    "q59_winnowing_fp" -> (q59 _),
     "q60_cosine_topk" -> (q60 _),
     "q61_ann_lsh" -> (q61 _),
     "q62_embedding_neardup" -> (q62 _),
@@ -285,6 +306,7 @@ object LlmQueries {
     "q56_fingerprint" -> q56Sql,
     "q57_dedup_survivors" -> q57Sql,
     "q58_quality_score" -> q58Sql,
+    "q59_winnowing_fp" -> q59Sql,
     "q60_cosine_topk" -> q60Sql,
     "q62_embedding_neardup" -> q62Sql,
     "q65_multimodal_meta" -> q65Sql,

@@ -84,6 +84,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_tokens") == 9)
   }
 
+  test("winnowing fingerprint: identical docs collide, shared substrings overlap") {
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "a", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog", "a", "en"), // identical
+      (2L, "PREFIX the quick brown fox jumps over SUFFIX", "a", "en"), // long shared run
+      (3L, "zz", "a", "en")) // shorter than k → no grams
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val fp = TextOps.winnowingFingerprint(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_selected"),
+          r.getAs[String]("fp_digest"))).toMap
+    assert(fp(0L)._3 == fp(1L)._3, "identical docs must share the digest")
+    assert(fp(0L)._3 != fp(2L)._3)
+    assert(fp(3L)._1 == 0L && fp(3L)._2 == 0L)
+    // winnowing guarantee: a shared substring of length >= k+w-1 (11)
+    // contributes at least one shared selected hash — check via the op
+    // on the raw selected sets being non-disjoint is implied by equal
+    // digests for 0/1; for 0/2 we at least require both non-empty
+    assert(fp(0L)._2 > 0 && fp(2L)._2 > 0)
+  }
+
   test("quality score combines stopword density and word-length flags") {
     val q = TextOps.qualityScore(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
