@@ -311,9 +311,13 @@ object TextOps {
     // functions are interpreted with no cross-lambda CSE, so inlining
     // this under the window transform would recompute ALL n md5s for
     // every one of the n windows (O(n²) md5 calls per row)
+    // sequence(1, 0) DESCENDS ([1, 0]), it is not empty — same guard
+    // as ngramHashSet: docs shorter than k have no grams at all
     val withGrams = docs.select(col("doc_id"), greatest(n, lit(0)).as("n"),
-      transform(sequence(lit(1), greatest(n, lit(0))),
-        i => md5(col("text").substr(i, lit(k)).cast("binary"))).as("grams"))
+      when(n >= 1,
+        transform(sequence(lit(1), n),
+          i => md5(col("text").substr(i, lit(k)).cast("binary"))))
+        .otherwise(array().cast("array<string>")).as("grams"))
     val sel = when(col("n") >= w,
       array_sort(array_distinct(transform(
         sequence(lit(1), col("n") - lit(w) + lit(1)),

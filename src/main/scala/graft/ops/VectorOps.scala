@@ -107,7 +107,11 @@ object VectorOps {
   private def localKMeans(points: Array[Array[Double]], k: Int,
                           iters: Int): Array[Array[Double]] = {
     val n = points.length
-    var centers = Array.tabulate(math.min(k, n))(i => points((i.toLong * n / k).toInt).clone())
+    val m = math.min(k, n)
+    // stride by the actual center count m, not k: dividing by k when
+    // n < k would pick duplicate points, and duplicate centers freeze
+    // forever (ties resolve to the lower cell, the dup never gets rows)
+    var centers = Array.tabulate(m)(i => points((i.toLong * n / m).toInt).clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(centers.length)(new Array[Double](points(0).length))
       val counts = new Array[Long](centers.length)
@@ -161,12 +165,30 @@ object VectorOps {
     val corpus = prepared(embeddings)
     val total = corpus.count()
     val every = math.max(1L, total / maxTrain)
-    val trainRows = corpus
-      .where(pmod(col("vec_id"), lit(every)) === 0)
+    // sample on a HASH of the id, not the id itself: patterned ids
+    // (all even, offset strides) would make a plain modulo select the
+    // whole corpus or nothing. The hash spreads any id set uniformly,
+    // the orderBy+limit caps the driver collect at maxTrain rows
+    // (TakeOrderedAndProject — per-partition heaps, no full sort), and
+    // both are layout-independent, so the centers are deterministic on
+    // any cluster shape.
+    def sampled(filtered: DataFrame) = filtered
       .select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(maxTrain)
       .collect()
-      .sortBy(_.getAs[Long]("vec_id"))
       .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+    val hashed = sampled(corpus.where(pmod(xxhash64(col("vec_id")), lit(every)) === 0))
+    // degenerate-hash fallback (can only trigger for tiny corpora):
+    // train on the first maxTrain rows by id instead of failing
+    val trainRows = if (hashed.nonEmpty) hashed else sampled(corpus)
+    if (trainRows.isEmpty) {
+      // empty corpus: no cells to build — return the empty result shape
+      val spark0 = embeddings.sparkSession
+      import spark0.implicits._
+      return spark0.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "vec_id", "cos", "rank")
+        .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    }
     val centers = localKMeans(trainRows, nCells, iters = 5)
     val celled = corpus.withColumn("cell", nearestCell(col("v"), centers))
     // the query set is small by contract: compute probe cells driver-side

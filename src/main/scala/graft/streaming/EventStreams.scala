@@ -65,54 +65,54 @@ object EventStreams {
 
   /** Custom stateful sessionization via `flatMapGroupsWithState`:
     * explicit per-user state, event-time timeout keyed to the
-    * watermark, sessions emitted on close. This is the escape hatch
-    * for session semantics `session_window` can't express (e.g.
-    * value-dependent gaps); here the gap is fixed so the built-in
-    * variant above is the cross-check. */
+    * watermark, sessions emitted once the watermark passes their end +
+    * gap. This is the escape hatch for session semantics
+    * `session_window` can't express (e.g. value-dependent gaps); here
+    * the gap is fixed so the built-in variant above is the cross-check.
+    *
+    * State is a LIST of open sessions, not one: a late (but
+    * within-watermark) event can open a session entirely before the
+    * current one, or bridge two previously-separate sessions — exactly
+    * session_window's gap-merge under out-of-order arrival. A
+    * single-session state cannot represent that (it would either merge
+    * events farther than `gap` apart or emit a session the watermark
+    * has not sealed yet). Sessions close only when
+    * `lastTs + gap <= watermark`, so no later event can retroactively
+    * extend an emitted session. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapMs: Long): Dataset[ClosedSession] = {
     import spark.implicits._
 
     def fn(userId: Long, batch: Iterator[Event],
-           state: GroupState[SessionState]): Iterator[ClosedSession] = {
-      val sorted = batch.toSeq.sortBy(_.ts.getTime)
-      var out = Vector.empty[ClosedSession]
-      var cur = state.getOption
-      if (sorted.isEmpty) {
-        if (state.hasTimedOut) {
-          cur.foreach { st =>
-            out :+= ClosedSession(userId, new Timestamp(st.start),
-              new Timestamp(st.lastTs), st.n, st.sumValue)
-          }
-          state.remove()
+           state: GroupState[Seq[SessionState]]): Iterator[ClosedSession] = {
+      var sessions = state.getOption.getOrElse(Seq.empty).toList
+      batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        // sessions this event is within `gap` of (either side, strict,
+        // matching session_window's boundary semantics); merging the
+        // event can bridge several of them into one
+        val (near, far) = sessions.partition(s =>
+          t - s.lastTs < gapMs && s.start - t < gapMs)
+        val merged = near.foldLeft(SessionState(t, t, 1, e.value)) { (acc, s) =>
+          SessionState(math.min(acc.start, s.start),
+            math.max(acc.lastTs, s.lastTs), acc.n + s.n,
+            acc.sumValue + s.sumValue)
         }
-      } else {
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(st) if t - st.lastTs < gapMs =>
-              // start = min: a late (but within-watermark) event older
-              // than the current session start must extend the session
-              // backwards, matching session_window's gap-merged start
-              // for out-of-order arrivals across micro-batches
-              cur = Some(st.copy(start = math.min(st.start, t),
-                lastTs = math.max(st.lastTs, t), n = st.n + 1,
-                sumValue = st.sumValue + e.value))
-            case Some(st) =>
-              out :+= ClosedSession(userId, new Timestamp(st.start),
-                new Timestamp(st.lastTs), st.n, st.sumValue)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach { st =>
-          state.update(st)
-          // close the session once the watermark passes last event + gap
-          state.setTimeoutTimestamp(st.lastTs + gapMs)
-        }
+        sessions = merged :: far
       }
-      out.iterator
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, open) = sessions.partition(s => s.lastTs + gapMs <= wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(open)
+        // earliest possible close time of any open session; remaining
+        // sessions have lastTs + gap > wm, so this is always > wm as
+        // setTimeoutTimestamp requires
+        state.setTimeoutTimestamp(open.map(_.lastTs).min + gapMs)
+      }
+      closed.sortBy(_.start).map(st =>
+        ClosedSession(userId, new Timestamp(st.start),
+          new Timestamp(st.lastTs), st.n, st.sumValue)).iterator
     }
 
     events

@@ -102,7 +102,7 @@ class EventStreamsSpec extends SparkTestBase {
       s"got ${sessions.toSeq}")
   }
 
-  test("sessionizer extends session_start backwards for late in-gap events") {
+  test("sessionizer handles late events: backward extend, separate, bridge") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
@@ -110,15 +110,26 @@ class EventStreamsSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("late_sessions")
       .outputMode("append").start()
 
-    // batch 1 opens the session at 10:10; batch 2 delivers a LATE event
-    // at 10:05 — behind the open session's start but ahead of the
-    // watermark (10:10 − 30 min) and within the gap — which must pull
-    // session_start back to 10:05 (matching session_window's gap-merge)
-    mem.addData(EventStreams.Event(ts(10), 1L, "click", 1.0))
+    // user 1: open at 10:10, then a LATE in-gap event at 10:05 → one
+    //   session starting 10:05 (backward gap-merge, = session_window)
+    // user 5: open at 10:30, then a late event at 10:05 — 25 min
+    //   before the session start, beyond the 10-min gap → must stay a
+    //   SEPARATE session, not merge (a single-session state would
+    //   wrongly merge it: t - lastTs is negative, trivially < gap)
+    // user 6: sessions at 10:00 and 10:16, then a late 10:08 in
+    //   between → bridges both into ONE session of 3
+    mem.addData(
+      EventStreams.Event(ts(10), 1L, "click", 1.0),
+      EventStreams.Event(ts(30), 5L, "click", 1.0),
+      EventStreams.Event(ts(0), 6L, "click", 1.0),
+      EventStreams.Event(ts(16), 6L, "click", 1.0))
     q.processAllAvailable()
-    mem.addData(EventStreams.Event(ts(5), 1L, "click", 1.0))
+    mem.addData(
+      EventStreams.Event(ts(5), 1L, "click", 1.0),
+      EventStreams.Event(ts(5), 5L, "click", 1.0),
+      EventStreams.Event(ts(8), 6L, "click", 1.0))
     q.processAllAvailable()
-    // advance the watermark far enough to time the session out
+    // advance the watermark far enough to close everything
     mem.addData(EventStreams.Event(Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "x", 0.0))
     q.processAllAvailable()
     mem.addData(EventStreams.Event(Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "x", 0.0))
@@ -128,9 +139,14 @@ class EventStreamsSpec extends SparkTestBase {
     val sessions = spark.table("late_sessions").collect()
       .map(r => (r.getAs[Long]("user_id"),
         r.getAs[Timestamp]("session_start").toString,
-        r.getAs[Long]("n_events")))
+        r.getAs[Long]("n_events"))).toSet
     assert(sessions.contains((1L, "2024-01-01 10:05:00.0", 2L)),
-      s"got ${sessions.toSeq}")
+      s"got $sessions")
+    assert(sessions.contains((5L, "2024-01-01 10:05:00.0", 1L)) &&
+      sessions.contains((5L, "2024-01-01 10:30:00.0", 1L)),
+      s"far-older late event must stay separate: $sessions")
+    assert(sessions.contains((6L, "2024-01-01 10:00:00.0", 3L)),
+      s"in-between late event must bridge: $sessions")
   }
 
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
