@@ -73,4 +73,17 @@ class PlanQualitySpec extends SparkTestBase {
     val p = plan("q60_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("quality/winnowing text operators are shuffle-free scans") {
+    // the operators themselves (without the query's presentation
+    // ORDER BY) must be pure projection pipelines over the scan — no
+    // Exchange anywhere, the shape that scales embarrassingly at 100 TB
+    val docs = Tables(spark, sfDir, "documents")
+    for ((name, df) <- Seq(
+      "qualityScore" -> graft.ops.TextOps.qualityScore(docs),
+      "winnowingFingerprint" -> graft.ops.TextOps.winnowingFingerprint(docs))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
 }
