@@ -122,6 +122,18 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact deduplication by key: state keeps one entry per
+    * key only until the watermark passes it (`dropDuplicates` without
+    * the watermark bound would grow state forever on an unbounded
+    * stream). The batch twin is `TextOps.dedupExact` — this is the
+    * ingest-time form a training-data pipeline runs before anything
+    * else touches the stream. */
+  def dedupStream(events: DataFrame, key: String,
+                  lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Stream–static enrichment join: the static dim is broadcast to
     * every micro-batch (no state, no watermark needed) — the standard
     * way to attach slowly-changing reference data to a stream. */

@@ -149,6 +149,29 @@ class EventStreamsSpec extends SparkTestBase {
       s"in-between late event must bridge: $sessions")
   }
 
+  test("streaming dedup drops in-watermark duplicates and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+      .withColumn("event_id", col("user_id") * 100 + col("value").cast("long"))
+    val q = EventStreams.dedupStream(events, "event_id", "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    // batch 1: two distinct ids, one in-batch duplicate
+    mem.addData((ts(1), 1L, "click", 1.0), (ts(2), 1L, "click", 1.0),
+      (ts(3), 2L, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of id 101 within the watermark →
+    // dropped; one new id
+    mem.addData((ts(4), 1L, "click", 1.0), (ts(5), 3L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("deduped").collect()
+      .map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(ids == Seq(101L, 201L, 301L), s"got $ids")
+  }
+
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
