@@ -225,6 +225,47 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Near-duplicate GROUP reduction: connected components of the
+    * near-dup pair graph via min-label propagation. Pair enumeration
+    * is quadratic in duplicate-group size (the sf0.1 corpus already
+    * yields ~48k pairs from 5k docs) — a real pipeline collapses the
+    * pair list to one canonical id per component and keeps one
+    * survivor. Each iteration is one keyed shuffle
+    * (edges ⋈ labels → min per node); convergence takes
+    * O(component diameter) iterations (near-dup components are
+    * near-cliques, so 2–3 in practice); `localCheckpoint` truncates
+    * the growing lineage so the plan stays constant-size per
+    * iteration. Deterministic: min is order-free.
+    *
+    * Returns (doc_id, group_id) for every document; singletons label
+    * themselves. */
+  def nearDupGroups(docs: DataFrame, threshold: Double, ngram: Int = 1,
+                    maxIters: Int = 20): DataFrame = {
+    val pairs = nearDupExact(docs, threshold, ngram)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.where(col("label") =!= col("old_label")).count()
+      labels = updated.select(col("doc_id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("group_id"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit simhash of a word list: sign-sum of per-word hash bits.

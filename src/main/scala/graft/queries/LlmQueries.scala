@@ -54,6 +54,34 @@ object LlmQueries {
       |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup connected components (canonical group id per document);
+    * the DuckDB oracle reconstructs the same components with a
+    * recursive CTE (reachable-label closure + min per node). */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    TextOps.nearDupGroups(Tables(s, dir, "documents"), 0.9)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("group_id"))).cast("bigint"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q64Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+      |e AS (SELECT da AS s, db AS d FROM p UNION ALL SELECT db, da FROM p),
+      |lp(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.s, lp.label FROM e JOIN lp ON lp.id = e.d),
+      |g AS (SELECT id AS doc_id, min(label) AS group_id FROM lp GROUP BY id)
+      |SELECT doc_id, group_id,
+      |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** MinHash-LSH near-dup (rows-only: LSH recall is probabilistic, so
     * no exact oracle; the exact-verify filter guarantees precision). */
   private def q52(s: SparkSession, dir: String): DataFrame =
@@ -294,6 +322,7 @@ object LlmQueries {
     "q61_ann_lsh" -> (q61 _),
     "q62_embedding_neardup" -> (q62 _),
     "q63_ann_ivf" -> (q63 _),
+    "q64_neardup_groups" -> (q64 _),
     "q65_multimodal_meta" -> (q65 _),
     "q67_multimodal_resize" -> (q67 _))
 
@@ -309,6 +338,7 @@ object LlmQueries {
     "q59_winnowing_fp" -> q59Sql,
     "q60_cosine_topk" -> q60Sql,
     "q62_embedding_neardup" -> q62Sql,
+    "q64_neardup_groups" -> q64Sql,
     "q65_multimodal_meta" -> q65Sql,
     "q67_multimodal_resize" -> q67Sql)
 }

@@ -84,6 +84,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_tokens") == 9)
   }
 
+  test("near-dup groups propagate labels across chains (transitive closure)") {
+    // chain: 10~11 and 11~12 clear the threshold pairwise, but 10~12
+    // does NOT — the component must still unite all three (requires
+    // >1 propagation hop), while 13 stays a singleton
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 x1" // J(a,b) = 9/11 ≈ 0.818
+    val c = "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2" // J(b,c) = 9/11; J(a,c) = 8/12 ≈ 0.667
+    val rows = Seq((10L, a, "s", "en"), (11L, b, "s", "en"),
+      (12L, c, "s", "en"), (13L, "totally different text here", "s", "en"))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val groups = TextOps.nearDupGroups(docs, 0.8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(groups(10L) == 10L && groups(11L) == 10L && groups(12L) == 10L,
+      s"chain must collapse to one group: $groups")
+    assert(groups(13L) == 13L)
+  }
+
   test("winnowing fingerprint: identical docs collide, shared substrings overlap") {
     val rows = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", "a", "en"),
