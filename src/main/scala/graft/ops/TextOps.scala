@@ -241,29 +241,56 @@ object TextOps {
     * themselves. */
   def nearDupGroups(docs: DataFrame, threshold: Double, ngram: Int = 1,
                     maxIters: Int = 20): DataFrame = {
-    val pairs = nearDupExact(docs, threshold, ngram)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    // The loop runs GraphX/Pregel-style over co-partitioned pair RDDs —
+    // the one shape where dropping below the DataFrame API is the right
+    // Spark tool: edges are hash-partitioned ONCE and every iteration's
+    // equi-joins against the same partitioner are shuffle-free, so one
+    // iteration costs exactly one shuffle (the min reduce); a DataFrame
+    // loop re-shuffles both join sides every round and cannot free its
+    // checkpoint blocks. Previous iterations are unpersisted explicitly.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
+    // (labelSource, labelTarget): each undirected pair feeds both ways.
+    // Materialized once — the expensive pair verification never reruns.
+    val edges = nearDupExact(docs, threshold, ngram)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id")).as[Long].rdd
+      .map(id => (id, id)).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prev: org.apache.spark.rdd.RDD[_] = labels
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = updated.where(col("label") =!= col("old_label")).count()
-      labels = updated.select(col("doc_id"), col("label"))
+      val nbrMin = edges.join(labels) // co-partitioned: no shuffle here
+        .map { case (_, (target, label)) => (target, label) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // the one shuffle
+      val joined = labels.leftOuterJoin(nbrMin, part) // co-partitioned
+        .mapValues { case (l, o) =>
+          val nl = math.min(l, o.getOrElse(l)); (nl, nl != l)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = joined.filter(_._2._2).count()
+      prev.unpersist(blocking = false) // joined is materialized; prev is dead
+      labels = joined.mapValues(_._1)
+      prev = joined
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("group_id"))
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupGroups did not converge in $maxIters iterations " +
+          "(component diameter exceeds maxIters); raise maxIters — " +
+          "returning partial labels would silently split components")
+    val out = labels.toDF("doc_id", "group_id")
+      // the result outlives the loop; detach it from the persisted rdds
+      .localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    prev.unpersist(blocking = false)
+    out
   }
 
   // ---- SimHash ------------------------------------------------------------

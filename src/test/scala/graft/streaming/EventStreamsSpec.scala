@@ -166,10 +166,19 @@ class EventStreamsSpec extends SparkTestBase {
     // dropped; one new id
     mem.addData((ts(4), 1L, "click", 1.0), (ts(5), 3L, "view", 1.0))
     q.processAllAvailable()
+    // batch 3 advances the watermark to 10:30 (10:40 − 10 min), past
+    // id 101's expiry (10:02 + 10 min) → its state is EVICTED
+    mem.addData((ts(40), 9L, "view", 9.0))
+    q.processAllAvailable()
+    // batch 4: id 101 again, above the watermark — with its state
+    // evicted it must be re-emitted: the observable proof state is
+    // bounded by the watermark instead of growing forever
+    mem.addData((ts(35), 1L, "click", 1.0))
+    q.processAllAvailable()
     q.stop()
     val ids = spark.table("deduped").collect()
       .map(_.getAs[Long]("event_id")).sorted.toSeq
-    assert(ids == Seq(101L, 201L, 301L), s"got $ids")
+    assert(ids == Seq(101L, 101L, 201L, 301L, 909L), s"got $ids")
   }
 
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
