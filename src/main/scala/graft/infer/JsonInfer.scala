@@ -142,4 +142,25 @@ object JsonInfer {
     * main loop, JsonSchemaFinder.java:239-245). */
   def inferAll(docs: IterableOnce[String]): HType =
     docs.iterator.foldLeft(HNull: HType)((acc, d) => HType.merge(acc, inferDoc(d)))
+
+  /** [[typeOf]] over an already-parsed Jackson DOM node — the shape
+    * [[Materialize]] needs for union-branch selection, where
+    * re-serializing the node and re-parsing it through [[inferDoc]]
+    * would double-walk every union value. Mirrors the streaming
+    * classifier exactly: numeric nodes classify on Jackson's canonical
+    * literal rendering, the same text `inferDoc(node.toString)` would
+    * see. */
+  def inferNode(node: com.fasterxml.jackson.databind.JsonNode): HType = {
+    import scala.jdk.CollectionConverters._
+    if (node == null || node.isMissingNode || node.isNull) HNull
+    else if (node.isBoolean) HBool
+    else if (node.isNumber) classifyNumber(node.asText())
+    else if (node.isTextual) classifyString(node.textValue())
+    else if (node.isArray)
+      HList(node.elements().asScala.foldLeft(HNull: HType)(
+        (acc, e) => HType.merge(acc, inferNode(e))))
+    else // object: sorted fields, same as the streaming TreeMap fold
+      HStruct(TreeMap.from(node.properties().asScala.map(
+        e => e.getKey -> inferNode(e.getValue))))
+  }
 }

@@ -108,8 +108,10 @@ object Materialize {
           convert(node.get(name), ft)
         }.toSeq)
       case HUnion(branches) =>
-        // first branch that subsumes this value's discovered type wins
-        val vt = JsonInfer.inferDoc(node.toString)
+        // first branch that subsumes this value's discovered type wins;
+        // typed directly off the DOM (re-serializing + re-parsing the
+        // node would double-walk every union value)
+        val vt = JsonInfer.inferNode(node)
         val idx = branches.indexWhere(_.subsumes(vt))
         val cells = branches.zipWithIndex.map { case (b, i) =>
           if (i == idx) convert(node, b) else null

@@ -44,6 +44,31 @@ class MaterializeSpec extends SparkTestBase {
     assert(tags.size == 4)
   }
 
+  test("DOM-based inferNode matches the streaming classifier on the same rendering") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val docs = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 127, "b": 128, "c": 32768, "d": 2147483648, "e": 9223372036854775807}""",
+      """{"n": 1.5, "m": 1.2e9}""",
+      """{"t": "2024-01-01 10:00:00", "h": "deadbeef", "s": "plain"}""",
+      """[1, "x", null, {"k": true}]""",
+      """{"nested": {"deep": [[1.25], [2]]}, "nil": null}""",
+      """true""", """null""", """"2024/01/02T03:04:05"""", """12.3456789""")
+    for (d <- docs) {
+      val tree = mapper.readTree(d)
+      assert(graft.infer.JsonInfer.inferNode(tree) ==
+        graft.infer.JsonInfer.inferDoc(tree.toString),
+        s"DOM vs streaming divergence on $d")
+    }
+    // overflow edge: the DOM holds Double.POSITIVE_INFINITY whose
+    // re-rendering ("Infinity") is not parseable JSON — the old
+    // round-trip path degraded to a partial parse here, inferNode
+    // classifies it as the double the raw literal would have been
+    import graft.types.{HNum, NumKind}
+    assert(graft.infer.JsonInfer.inferNode(mapper.readTree("1e999")) ==
+      HNum(NumKind.Double, 0, 0))
+  }
+
   test("corrupt, empty, and non-object docs yield all-null rows, not failures") {
     import spark.implicits._
     val ds = spark.createDataset(corpus)
