@@ -510,6 +510,37 @@ object Relational {
       |SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
       |ORDER BY k""".stripMargin
 
+  /** INTERSECT ALL — multiset semantics: a part key appearing m times
+    * among returned items and n times among accepted ones survives
+    * min(m,n) times (plain INTERSECT would collapse to one). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val a = l.where(col("l_returnflag") === "R").select(col("l_partkey").as("k"))
+    val b = l.where(col("l_returnflag") === "A").select(col("l_partkey").as("k"))
+    a.intersectAll(b).orderBy(col("k"))
+  }
+
+  private val q33Sql =
+    """SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      |INTERSECT ALL
+      |SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      |ORDER BY k""".stripMargin
+
+  /** EXCEPT ALL — multiset difference: m occurrences minus n
+    * occurrences leaves max(m−n, 0) rows per key. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+    val a = l.where(col("l_returnflag") === "R").select(col("l_partkey").as("k"))
+    val b = l.where(col("l_returnflag") === "A").select(col("l_partkey").as("k"))
+    a.exceptAll(b).orderBy(col("k"))
+  }
+
+  private val q34Sql =
+    """SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      |EXCEPT ALL
+      |SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'A'
+      |ORDER BY k""".stripMargin
+
   /** UNION ALL + re-aggregation across two sources. */
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables(s, dir, "customer")
@@ -714,6 +745,8 @@ object Relational {
     "q30_window_rank" -> (q30 _),
     "q31_window_running" -> (q31 _),
     "q32_window_lag_lead" -> (q32 _),
+    "q33_intersect_all" -> (q33 _),
+    "q34_except_all" -> (q34 _),
     "q35_topk" -> (q35 _),
     "q36_intersect" -> (q36 _),
     "q37_except" -> (q37 _),
@@ -747,6 +780,8 @@ object Relational {
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
     "q32_window_lag_lead" -> q32Sql,
+    "q33_intersect_all" -> q33Sql,
+    "q34_except_all" -> q34Sql,
     "q35_topk" -> q35Sql,
     "q36_intersect" -> q36Sql,
     "q37_except" -> q37Sql,
