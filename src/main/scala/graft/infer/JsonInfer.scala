@@ -146,10 +146,13 @@ object JsonInfer {
   /** [[typeOf]] over an already-parsed Jackson DOM node — the shape
     * [[Materialize]] needs for union-branch selection, where
     * re-serializing the node and re-parsing it through [[inferDoc]]
-    * would double-walk every union value. Mirrors the streaming
-    * classifier exactly: numeric nodes classify on Jackson's canonical
-    * literal rendering, the same text `inferDoc(node.toString)` would
-    * see. */
+    * would double-walk every union value. Numeric nodes classify on
+    * Jackson's canonical literal rendering, the same text
+    * `inferDoc(node.toString)` would see — with one deliberate
+    * divergence: a double that overflowed to ±Infinity at parse time
+    * re-renders as the QUOTED string "Infinity", which the old
+    * round-trip classified as a plain string; here it classifies as
+    * the double the raw literal implies (pinned by MaterializeSpec). */
   def inferNode(node: com.fasterxml.jackson.databind.JsonNode): HType = {
     import scala.jdk.CollectionConverters._
     if (node == null || node.isMissingNode || node.isNull) HNull

@@ -60,10 +60,10 @@ class MaterializeSpec extends SparkTestBase {
         graft.infer.JsonInfer.inferDoc(tree.toString),
         s"DOM vs streaming divergence on $d")
     }
-    // overflow edge: the DOM holds Double.POSITIVE_INFINITY whose
-    // re-rendering ("Infinity") is not parseable JSON — the old
-    // round-trip path degraded to a partial parse here, inferNode
-    // classifies it as the double the raw literal would have been
+    // overflow edge: the DOM holds Double.POSITIVE_INFINITY, which
+    // re-renders as the QUOTED string "Infinity" — the old round-trip
+    // path classified that as a plain string; inferNode deliberately
+    // classifies it as the double the raw literal implies
     import graft.types.{HNum, NumKind}
     assert(graft.infer.JsonInfer.inferNode(mapper.readTree("1e999")) ==
       HNum(NumKind.Double, 0, 0))
