@@ -420,6 +420,42 @@ object Relational {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Top-k per group via the bounded-heap typed aggregator
+    * ([[graft.functions.TopKByScore]]) — same semantics as q30's
+    * window form (and the same oracle modulo rank assignment), but the
+    * 100 TB execution shape: a partial+final aggregation whose state
+    * is k entries per key, so the map-side combine ships k rows per
+    * key per partition and nothing ever sorts a whole group. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"),
+        struct(col("o_orderkey"), asD(dec(col("o_totalprice"), 14, 2)).as("p")).as("e"))
+      .as[(Long, (Long, Double))]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.TopKByScore(3).toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.iterator.zipWithIndex.map { case ((orderkey, price), i) =>
+          (cust, (i + 1).toLong, orderkey, price)
+        }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "totalprice")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q29Sql =
+    // ranks by the ROUNDED price (the heap's score), not the raw one —
+    // the round-floats-before-ranking convention
+    """SELECT o_custkey, rn, o_orderkey, totalprice FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) DESC,
+      |               o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   /** Running-total frame window (rows between unbounded preceding and
     * current row) — exact decimal prefix sums. */
   private def q31(s: SparkSession, dir: String): DataFrame = {
@@ -742,6 +778,7 @@ object Relational {
     "q26_stats_agg" -> (q26 _),
     "q27_posexplode" -> (q27 _),
     "q28_string_agg" -> (q28 _),
+    "q29_topk_per_group" -> (q29 _),
     "q30_window_rank" -> (q30 _),
     "q31_window_running" -> (q31 _),
     "q32_window_lag_lead" -> (q32 _),
@@ -777,6 +814,7 @@ object Relational {
     "q26_stats_agg" -> q26Sql,
     "q27_posexplode" -> q27Sql,
     "q28_string_agg" -> q28Sql,
+    "q29_topk_per_group" -> q29Sql,
     "q30_window_rank" -> q30Sql,
     "q31_window_running" -> q31Sql,
     "q32_window_lag_lead" -> q32Sql,
