@@ -259,8 +259,15 @@ object TextOps {
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // iteration 1 fused into init: with identity labels the first
+    // neighbor-min is just min(target) per source — one reduceByKey,
+    // no label join
+    val nbr0 = edges.map { case (labelSource, target) => (target, labelSource) }
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
     var labels = docs.select(col("doc_id")).as[Long].rdd
       .map(id => (id, id)).partitionBy(part)
+      .leftOuterJoin(nbr0, part)
+      .mapValues { case (id, o) => math.min(id, o.getOrElse(id)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: org.apache.spark.rdd.RDD[_] = labels
     var iter = 0
