@@ -409,6 +409,34 @@ object TextOps {
         md5(concat_ws(",", col("sel")).cast("binary")).as("fp_digest"))
   }
 
+  /** Per-document top-k characteristic terms by smoothed TF-IDF:
+    * tf(doc,term) · ln((N+1)/(df(term)+1)), rounded to 4 before
+    * ranking with a term tiebreak (the cross-engine float-ranking
+    * convention). Two keyed shuffles (tf and df aggregations) + a
+    * broadcast scalar N + a per-doc window — the document-frequency
+    * table is vocabulary-sized, so the tf⋈df join broadcasts on real
+    * corpora and shuffles only when the vocabulary itself is huge. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = words.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"),
+        col("tf"), col("df"))
+  }
+
   /** Stopwords for quality density scoring (the langid marker set plus
     * common function words; on a real corpus this is a per-language
     * list). */

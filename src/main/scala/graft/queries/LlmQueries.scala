@@ -158,6 +158,25 @@ object LlmQueries {
       |  md5(array_to_string(s, ',')) AS fp_digest
       |FROM sel ORDER BY doc_id""".stripMargin
 
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q68Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |        round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 4) AS tfidf
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, term) AS rank FROM s)
+      |SELECT doc_id, rank, term, tfidf,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   private def q55(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -324,7 +343,8 @@ object LlmQueries {
     "q63_ann_ivf" -> (q63 _),
     "q64_neardup_groups" -> (q64 _),
     "q65_multimodal_meta" -> (q65 _),
-    "q67_multimodal_resize" -> (q67 _))
+    "q67_multimodal_resize" -> (q67 _),
+    "q68_tfidf_top_terms" -> (q68 _))
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,
@@ -340,5 +360,6 @@ object LlmQueries {
     "q62_embedding_neardup" -> q62Sql,
     "q64_neardup_groups" -> q64Sql,
     "q65_multimodal_meta" -> q65Sql,
-    "q67_multimodal_resize" -> q67Sql)
+    "q67_multimodal_resize" -> q67Sql,
+    "q68_tfidf_top_terms" -> q68Sql)
 }

@@ -84,6 +84,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_tokens") == 9)
   }
 
+  test("tfidf ranks a document's unique terms above ubiquitous ones") {
+    val rows = Seq(
+      (0L, "common common unique0", "s", "en"),
+      (1L, "common unique1 unique1", "s", "en"),
+      (2L, "common plain words", "s", "en"))
+    val d = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val top = TextOps.tfidfTopTerms(d, k = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("term"), r.getAs[Double]("tfidf"))).toMap
+    // "common" appears in all docs → idf ln(4/4)=0; unique terms win
+    assert(top(0L)._1 == "unique0")
+    assert(top(1L)._1 == "unique1")
+    // doc 1's winner scores tf=2 · ln(4/2)
+    assert(math.abs(top(1L)._2 - math.round(2 * math.log(2.0) * 1e4) / 1e4) < 1e-9)
+    assert(Set("plain", "words").contains(top(2L)._1))
+  }
+
   test("near-dup groups propagate labels across chains (transitive closure)") {
     // chain: 10~11 and 11~12 clear the threshold pairwise, but 10~12
     // does NOT — the component must still unite all three (requires
