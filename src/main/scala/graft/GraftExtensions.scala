@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinhashSignature, SortedIntersectSize}
+import graft.functions.{DotProduct, MinhashSignature, SortedIntersectSize, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_isect"),
       (children: Seq[Expression]) =>
         SortedIntersectSize(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
+      (children: Seq[Expression]) => (children(1), children(2)) match {
+        case (Literal(k: Int, _), Literal(w: Int, _)) =>
+          WinnowFingerprint(children.head, k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow(text, k, w): k and w must be integer literals, got $other")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),

@@ -380,7 +380,25 @@ object TextOps {
     *
     * Returns (doc_id, n_grams, n_selected, fp_digest) where fp_digest
     * is the md5 of the sorted distinct selected hashes. */
-  def winnowingFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+  def winnowingFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("graft_winnow"))) {
+      // native one-pass expression (monotonic-deque window minimum,
+      // reused digest); coalesce gives null text the same (0, 0,
+      // md5-of-empty) row the composed form's null-swallowing
+      // greatest/when chain produces
+      docs.select(col("doc_id"),
+        call_function("graft_winnow",
+          coalesce(col("text"), lit("")), lit(k), lit(w)).as("fp"))
+        .select(col("doc_id"), col("fp.n_grams").as("n_grams"),
+          col("fp.n_selected").as("n_selected"),
+          col("fp.fp_digest").as("fp_digest"))
+    } else winnowingFingerprintComposed(docs, k, w)
+
+  /** Composed-expression fallback (and the parity oracle for the
+    * native form — the spec asserts bit-identical output). */
+  private[graft] def winnowingFingerprintComposed(
+      docs: DataFrame, k: Int, w: Int): DataFrame = {
     val n = (length(col("text")) - lit(k) + lit(1)).cast("int")
     // materialize the gram-hash array as a real column: higher-order
     // functions are interpreted with no cross-lambda CSE, so inlining
