@@ -20,6 +20,8 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKByScore(k: Int)
   extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
 
+  require(k > 0, s"top-k needs k > 0, got $k")
+
   private def lt(a: (Long, Double), b: (Long, Double)): Boolean =
     a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
 

@@ -260,10 +260,10 @@ object TextOps {
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     // iteration 1 fused into init: with identity labels the first
-    // neighbor-min is just min(target) per source — one reduceByKey,
-    // no label join
-    val nbr0 = edges.map { case (labelSource, target) => (target, labelSource) }
-      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+    // neighbor-min per node is min over the values already keyed by
+    // that node (the edge list is symmetric), so reduceByKey on the
+    // EXISTING key reuses the partitioner — no shuffle at all
+    val nbr0 = edges.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
     var labels = docs.select(col("doc_id")).as[Long].rdd
       .map(id => (id, id)).partitionBy(part)
       .leftOuterJoin(nbr0, part)
@@ -440,8 +440,10 @@ object TextOps {
       explode(split(col("text"), " ")).as("term"))
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = words.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // tf already holds exactly one row per (doc, term), so document
+    // frequency is a plain count over it — no second corpus scan +
+    // explode, and no countDistinct over raw word occurrences
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df_, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") *

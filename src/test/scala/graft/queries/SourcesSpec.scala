@@ -4,54 +4,72 @@ import graft.SparkTestBase
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
-/** Source/sink format coverage beyond the parquet star schema
-  * (SURVEY §2.2 scans/sinks line): csv, json and orc round-trips
-  * preserve the data; the json path also exercises schema-on-read. */
+import java.nio.file.Files
+
+/** Source/sink coverage (SURVEY §2.2 row 1): parquet, JSON (plain and
+  * gz), CSV with header/schema, text, and partitioned writes all round
+  * trip through the engine. */
 class SourcesSpec extends SparkTestBase {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
 
   private def sample = Tables(spark, sfDir, "nation")
 
-  private def assertSame(a: Array[(Int, String)], b: Array[(Int, String)]): Unit =
-    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
-
-  private def keyName(df: org.apache.spark.sql.DataFrame): Array[(Int, String)] =
-    df.select(col("n_nationkey").cast("int"), col("n_name"))
-      .collect().map(r => (r.getInt(0), r.getString(1)))
-
-  test("csv sink/source round-trips with header and explicit schema") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
-    sample.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
-    val back = spark.read.option("header", "true")
-      .schema(sample.schema).csv(dir)
-    assertSame(keyName(sample), keyName(back))
+  test("parquet round trip") {
+    sample.write.mode(SaveMode.Overwrite).parquet(s"$tmp/nation_pq")
+    val back = spark.read.parquet(s"$tmp/nation_pq")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      sample.orderBy("n_nationkey").collect().toSeq)
   }
 
-  test("json sink/source round-trips under schema-on-read inference") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
-    sample.write.mode(SaveMode.Overwrite).json(dir)
-    val back = spark.read.json(dir) // inferred schema
-    assertSame(keyName(sample), keyName(back))
+  test("json round trip (plain and gzip)") {
+    sample.write.mode(SaveMode.Overwrite).json(s"$tmp/nation_json")
+    sample.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").json(s"$tmp/nation_json_gz")
+    for (dir <- Seq(s"$tmp/nation_json", s"$tmp/nation_json_gz")) {
+      val back = spark.read.json(dir)
+      assert(back.count() == sample.count())
+      assert(back.columns.sorted.toSeq == sample.columns.sorted.toSeq)
+    }
   }
 
-  test("orc sink/source round-trips with full schema fidelity") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
-    sample.write.mode(SaveMode.Overwrite).orc(dir)
-    val back = spark.read.orc(dir)
-    assert(back.schema == sample.schema)
-    assertSame(keyName(sample), keyName(back))
+  test("csv round trip with header and explicit schema") {
+    sample.write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read
+      .option("header", "true").schema(sample.schema).csv(s"$tmp/nation_csv")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      sample.orderBy("n_nationkey").collect().toSeq)
   }
 
-  test("partitioned parquet sink prunes partitions on read") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+  test("partitioned parquet write prunes partitions on read") {
     Tables(spark, sfDir, "orders")
-      .withColumn("status", col("o_orderstatus"))
-      .write.mode(SaveMode.Overwrite).partitionBy("status").parquet(dir)
-    val one = spark.read.parquet(dir).where(col("status") === "F")
-    one.collect()
-    val scan = one.queryExecution.executedPlan.toString
-    // partition filter must prune at the source, not post-filter rows
-    assert(scan.contains("PartitionFilters") &&
-      scan.contains("status"), scan)
-    assert(one.select(countDistinct(col("status"))).head().getLong(0) == 1L)
+      .withColumn("y", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("y").parquet(s"$tmp/orders_part")
+    val pruned = spark.read.parquet(s"$tmp/orders_part").where(col("y") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(y"), plan)
+    val expect = Tables(spark, sfDir, "orders")
+      .where(year(col("o_orderdate")) === 1996).count()
+    assert(pruned.count() == expect)
+  }
+
+  test("orc round trip with full schema fidelity") {
+    sample.write.mode(SaveMode.Overwrite).orc(s"$tmp/nation_orc")
+    val back = spark.read.orc(s"$tmp/nation_orc")
+    assert(back.schema == sample.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      sample.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("text source feeds inference; gz text decodes transparently") {
+    import spark.implicits._
+    val docs = Seq("""{"a": 1}""", """{"a": 2000, "b": "x"}""")
+    spark.createDataset(docs).toDF("value").coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      .text(s"$tmp/docs_gz")
+    val inferred = spark.read.textFile(s"$tmp/docs_gz")
+      .select(new graft.infer.InferSchemaAgg().toColumn).head()
+    assert(inferred.toString == "struct<a:smallint,b:string>")
   }
 }
