@@ -427,6 +427,32 @@ object TextOps {
         md5(concat_ws(",", col("sel")).cast("binary")).as("fp_digest"))
   }
 
+  /** Deterministic per-source sampling for data mixing: a document is
+    * kept when the first hex byte of md5(doc_id) falls below its
+    * source's threshold (rate ≈ threshold/256). Unlike `sample()`,
+    * whose per-partition RNG changes with the physical layout, the
+    * decision is a pure function of the row — identical on any
+    * cluster shape, re-runnable, and auditable (the reproducibility
+    * property a training-data mixture needs). One broadcast join
+    * against the rate table, zero shuffles. */
+  def stableSample(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    docs.join(broadcast(rates), "source")
+      .where(bucket < col("threshold"))
+      .drop("threshold")
+  }
+
+  /** Train/eval contamination: training documents whose token-set
+    * fingerprint collides with any document of the held-out set — the
+    * pre-training hygiene check run before any benchmark is trusted.
+    * One fingerprint projection per side + a semi join (broadcast when
+    * the eval set is benchmark-sized). */
+  def contamination(train: DataFrame, eval_ : DataFrame): DataFrame = {
+    val fp = (d: DataFrame) => d.select(col("doc_id"),
+      tokenSetFingerprint(col("text")).as("fp"))
+    fp(train).join(fp(eval_).select(col("fp")), Seq("fp"), "left_semi")
+  }
+
   /** Per-document top-k characteristic terms by smoothed TF-IDF:
     * tf(doc,term) · ln((N+1)/(df(term)+1)), rounded to 4 before
     * ranking with a term tiebreak (the cross-engine float-ranking

@@ -158,6 +158,43 @@ object LlmQueries {
       |  md5(array_to_string(s, ',')) AS fp_digest
       |FROM sel ORDER BY doc_id""".stripMargin
 
+  /** Deterministic mixture sampling: even sources at ~25%, odd at
+    * ~50% (hex-threshold 0x40/0x80 of the first md5 byte). */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = (0 until 20).map(i =>
+      (s"src$i", if (i % 2 == 0) "40" else "80")).toDF("source", "threshold")
+    TextOps.stableSample(Tables(s, dir, "documents"), rates)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q69Sql =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+      |       THEN '40' ELSE '80' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Contamination check: docs outside src0 whose token-set
+    * fingerprint collides with the held-out src0 slice. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    TextOps.contamination(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q70Sql =
+    """WITH fp AS (SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT fp, doc_id FROM fp
+      |WHERE source <> 'src0'
+      |  AND fp IN (SELECT fp FROM fp WHERE source = 'src0')
+      |ORDER BY doc_id""".stripMargin
+
   private def q68(s: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerms(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"), col("rank"))
@@ -344,7 +381,9 @@ object LlmQueries {
     "q64_neardup_groups" -> (q64 _),
     "q65_multimodal_meta" -> (q65 _),
     "q67_multimodal_resize" -> (q67 _),
-    "q68_tfidf_top_terms" -> (q68 _))
+    "q68_tfidf_top_terms" -> (q68 _),
+    "q69_stable_sample" -> (q69 _),
+    "q70_contamination" -> (q70 _))
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,
@@ -361,5 +400,7 @@ object LlmQueries {
     "q64_neardup_groups" -> q64Sql,
     "q65_multimodal_meta" -> q65Sql,
     "q67_multimodal_resize" -> q67Sql,
-    "q68_tfidf_top_terms" -> q68Sql)
+    "q68_tfidf_top_terms" -> q68Sql,
+    "q69_stable_sample" -> q69Sql,
+    "q70_contamination" -> q70Sql)
 }

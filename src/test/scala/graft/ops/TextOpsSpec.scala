@@ -84,6 +84,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_tokens") == 9)
   }
 
+  test("stable sample is a pure row function: layout-independent, rate-shaped") {
+    import spark.implicits._
+    val many = spark.createDataFrame(
+      (0L until 2000L).map(i => (i, s"text $i", s"src${i % 2}", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val rates = Seq(("src0", "40"), ("src1", "80")).toDF("source", "threshold")
+    val a = TextOps.stableSample(many.repartition(1), rates)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextOps.stableSample(many.repartition(13), rates)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "sample must not depend on physical layout")
+    val bySrc = TextOps.stableSample(many, rates).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 0x40/256 = 25%, 0x80/256 = 50% — allow generous tolerance
+    assert(math.abs(bySrc("src0") / 1000.0 - 0.25) < 0.06, bySrc.toString)
+    assert(math.abs(bySrc("src1") / 1000.0 - 0.50) < 0.06, bySrc.toString)
+  }
+
+  test("contamination flags train docs sharing a token set with eval") {
+    val train = docs.where(col("source") === "a")
+    val eval_ = docs.where(col("source") === "b")
+    val hits = TextOps.contamination(train, eval_).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // docs 0 and 1 share doc 4's token set (the cross-source dup);
+    // 2, 3 do not collide with anything in source b
+    assert(hits == Seq(0L, 1L), s"got $hits")
+  }
+
   test("tfidf ranks a document's unique terms above ubiquitous ones") {
     val rows = Seq(
       (0L, "common common unique0", "s", "en"),
