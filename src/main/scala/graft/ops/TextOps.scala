@@ -435,12 +435,25 @@ object TextOps {
     * cluster shape, re-runnable, and auditable (the reproducibility
     * property a training-data mixture needs). One broadcast join
     * against the rate table, zero shuffles. */
-  def stableSample(docs: DataFrame, rates: DataFrame): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+  private def sampleBucket: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 2)
+
+  /** Rate-table form. CONTRACT: `rates` must cover every source value
+    * (inner-join semantics — a source absent from the table, or a
+    * NULL source, is dropped entirely, which is indistinguishable
+    * from a 0% rate). When the rate is derivable from the source
+    * value itself, prefer the Column overload, which cannot go out of
+    * sync with the source set. */
+  def stableSample(docs: DataFrame, rates: DataFrame): DataFrame =
     docs.join(broadcast(rates), "source")
-      .where(bucket < col("threshold"))
+      .where(sampleBucket < col("threshold"))
       .drop("threshold")
-  }
+
+  /** Threshold-expression form: the keep decision is
+    * first-hex-byte(md5(doc_id)) < threshold(row), entirely row-local
+    * — no rate table to keep in sync with the data. */
+  def stableSample(docs: DataFrame, threshold: Column): DataFrame =
+    docs.where(sampleBucket < threshold)
 
   /** Train/eval contamination: training documents whose token-set
     * fingerprint collides with any document of the held-out set — the

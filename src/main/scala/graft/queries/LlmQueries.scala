@@ -159,12 +159,15 @@ object LlmQueries {
       |FROM sel ORDER BY doc_id""".stripMargin
 
   /** Deterministic mixture sampling: even sources at ~25%, odd at
-    * ~50% (hex-threshold 0x40/0x80 of the first md5 byte). */
+    * ~50% (hex-threshold 0x40/0x80 of the first md5 byte). The
+    * threshold is an expression over the source value — the same rule
+    * the oracle states — so the two sides cannot drift when the
+    * source set changes. */
   private def q69(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rates = (0 until 20).map(i =>
-      (s"src$i", if (i % 2 == 0) "40" else "80")).toDF("source", "threshold")
-    TextOps.stableSample(Tables(s, dir, "documents"), rates)
+    val threshold = when(
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(2)) === 0, "40")
+      .otherwise("80")
+    TextOps.stableSample(Tables(s, dir, "documents"), threshold)
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
   }
