@@ -30,6 +30,23 @@ class WinnowFingerprintSpec extends SparkTestBase {
     }
   }
 
+  test("native equals composed on 150 random docs (ascii + unicode)") {
+    val rnd = new scala.util.Random(99)
+    val alphabets = Seq("ab ", "abcdefgh 0123", "αβγ δé✓", "a")
+    val rows = (0L until 150L).map { i =>
+      val alpha = alphabets((i % alphabets.length).toInt)
+      val len = rnd.nextInt(40)
+      val text = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      (i, text, "s", "en")
+    }
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val native = TextOps.winnowingFingerprint(docs, 5, 3)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    val composed = TextOps.winnowingFingerprintComposed(docs, 5, 3)
+      .orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(native.toSeq == composed.toSeq)
+  }
+
   test("digest reacts to content and is stable") {
     val out = TextOps.winnowingFingerprint(corpus).orderBy(col("doc_id"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp_digest")).toMap
