@@ -203,7 +203,25 @@ object TextOps {
   def nearDupMinhash(docs: DataFrame, threshold: Double,
                      nSig: Int = 64, bands: Int = 4,
                      ngram: Int = 1): DataFrame = {
-    val banded = minhashBands(docs, nSig, bands, ngram)
+    // the shingle table is consumed three times (band side + both
+    // verify joins); materialize it once — shingling the corpus is
+    // the dominant per-row cost, and this is exactly the "shingle
+    // once, reuse everywhere" shape a 100 TB pipeline persists
+    val sets = docs.select(col("doc_id"),
+      sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
+      .withColumn("sz", size(col("w")).cast("double"))
+      .localCheckpoint(true)
+    // the signature's per-lane minima are order-free, so the SORTED
+    // set yields the identical signature the raw shingle stream would
+    val rows = nSig / bands
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        hash(slice(col("sig"), i * rows + 1, rows)).as("band_key"))
+    }
+    val banded = sets
+      .withColumn("sig", minhashSignatureFromHashes(col("w"), nSig))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.band_key"))
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -211,9 +229,6 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"),
-      sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
-      .withColumn("sz", size(col("w")).cast("double"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa"),
         col("sz").as("sa")), "doc_a")
