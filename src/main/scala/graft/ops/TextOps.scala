@@ -511,6 +511,32 @@ object TextOps {
         col("tf"), col("df"))
   }
 
+  /** Within-document repetition signals (the Gopher duplicate-n-gram
+    * family): fraction of duplicated words / bigrams / trigrams plus a
+    * repetitive flag. High values mark boilerplate and degenerate spam
+    * that dedup across documents cannot see. Pure per-row expressions
+    * over exact n-gram STRINGS (not hashes — the oracle compares the
+    * same strings), zero shuffle. */
+  def repetitionStats(docs: DataFrame, flagAt: Double = 0.2): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    def grams(g: Int): Column =
+      transform(sequence(lit(1), n - lit(g - 1)), i =>
+        concat_ws(" ", (0 until g).map(o => element_at(words, i + lit(o))): _*))
+    def dupRatio(g: Int): Column = {
+      val total = (n - lit(g - 1)).cast("double")
+      when(n >= g,
+        round(lit(1.0) - size(array_distinct(grams(g))).cast("double") / total, 4))
+        .otherwise(lit(0.0))
+    }
+    val w = dupRatio(1)
+    val b = dupRatio(2)
+    val t = dupRatio(3)
+    docs.select(col("doc_id"), n.cast("bigint").as("n_words"),
+      w.as("dup_word_ratio"), b.as("dup_bigram_ratio"), t.as("dup_trigram_ratio"),
+      (w > flagAt || b > flagAt || t > flagAt).as("repetitive"))
+  }
+
   /** Stopwords for quality density scoring (the langid marker set plus
     * common function words; on a real corpus this is a per-language
     * list). */

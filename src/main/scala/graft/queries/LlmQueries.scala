@@ -198,6 +198,33 @@ object LlmQueries {
       |  AND fp IN (SELECT fp FROM fp WHERE source = 'src0')
       |ORDER BY doc_id""".stripMargin
 
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q71Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |r AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  CASE WHEN len(ws) >= 1 THEN
+      |    round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4)
+      |  ELSE 0.0 END AS dup_word_ratio,
+      |  CASE WHEN len(ws) >= 2 THEN
+      |    round(1.0 - len(list_distinct(list_transform(range(1, len(ws)),
+      |        i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])))::DOUBLE
+      |      / (len(ws) - 1), 4)
+      |  ELSE 0.0 END AS dup_bigram_ratio,
+      |  CASE WHEN len(ws) >= 3 THEN
+      |    round(1.0 - len(list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+      |             || ' ' || ws[CAST(i + 2 AS INT)])))::DOUBLE
+      |      / (len(ws) - 2), 4)
+      |  ELSE 0.0 END AS dup_trigram_ratio
+      |  FROM t)
+      |SELECT doc_id, n_words, dup_word_ratio, dup_bigram_ratio, dup_trigram_ratio,
+      |  (dup_word_ratio > 0.2 OR dup_bigram_ratio > 0.2
+      |   OR dup_trigram_ratio > 0.2) AS repetitive
+      |FROM r ORDER BY doc_id""".stripMargin
+
   private def q68(s: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopTerms(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"), col("rank"))
@@ -386,7 +413,8 @@ object LlmQueries {
     "q67_multimodal_resize" -> (q67 _),
     "q68_tfidf_top_terms" -> (q68 _),
     "q69_stable_sample" -> (q69 _),
-    "q70_contamination" -> (q70 _))
+    "q70_contamination" -> (q70 _),
+    "q71_repetition" -> (q71 _))
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,
@@ -405,5 +433,6 @@ object LlmQueries {
     "q67_multimodal_resize" -> q67Sql,
     "q68_tfidf_top_terms" -> q68Sql,
     "q69_stable_sample" -> q69Sql,
-    "q70_contamination" -> q70Sql)
+    "q70_contamination" -> q70Sql,
+    "q71_repetition" -> q71Sql)
 }

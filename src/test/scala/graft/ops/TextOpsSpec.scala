@@ -84,6 +84,25 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("n_tokens") == 9)
   }
 
+  test("repetition stats count duplicate n-gram fractions per document") {
+    val rows = Seq(
+      (0L, "a a b", "s", "en"),          // dup word 1/3; bigrams distinct
+      (1L, "x y x y x y", "s", "en"),    // heavy bigram repetition
+      (2L, "w", "s", "en"),              // no bigrams/trigrams
+      (3L, "all distinct words here", "s", "en"))
+    val d = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val r = TextOps.repetitionStats(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(math.abs(r(0L).getAs[Double]("dup_word_ratio") - 0.3333) < 1e-9)
+    assert(r(0L).getAs[Double]("dup_bigram_ratio") == 0.0)
+    // doc 1: words {x,y} → dup 4/6; bigrams: "x y"/"y x" over 5 → 3/5
+    assert(math.abs(r(1L).getAs[Double]("dup_word_ratio") - 0.6667) < 1e-9)
+    assert(math.abs(r(1L).getAs[Double]("dup_bigram_ratio") - 0.6) < 1e-9)
+    assert(r(1L).getAs[Boolean]("repetitive"))
+    assert(r(2L).getAs[Double]("dup_bigram_ratio") == 0.0)
+    assert(!r(3L).getAs[Boolean]("repetitive"))
+  }
+
   test("stable sample is a pure row function: layout-independent, rate-shaped") {
     import spark.implicits._
     val many = spark.createDataFrame(
