@@ -173,21 +173,28 @@ object TextOps {
       when(hashes.isNotNull, sig)
     }
 
-  /** LSH banding: doc rows exploded to one row per band with a hashed
-    * band key. Docs sharing any band key are near-dup candidates. */
-  def minhashBands(docs: DataFrame, nSig: Int, bands: Int,
-                   ngram: Int = 1): DataFrame = {
+  /** Shared band construction: a frame carrying a `sig` column
+    * exploded to one row per band with a hashed band key — the ONE
+    * copy of the band-key formula (both entry points below go through
+    * it, so the banding cannot drift between them). */
+  private def bandRows(withSig: DataFrame, nSig: Int, bands: Int): DataFrame = {
     val rows = nSig / bands
     val bandStructs = (0 until bands).map { i =>
       struct(lit(i).as("band"),
         hash(slice(col("sig"), i * rows + 1, rows)).as("band_key"))
     }
-    docs
-      .withColumn("sig",
-        minhashSignatureFromHashes(ngramHashSet(col("text"), ngram), nSig))
+    withSig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.band_key"))
   }
+
+  /** LSH banding: doc rows exploded to one row per band with a hashed
+    * band key. Docs sharing any band key are near-dup candidates. */
+  def minhashBands(docs: DataFrame, nSig: Int, bands: Int,
+                   ngram: Int = 1): DataFrame =
+    bandRows(docs.withColumn("sig",
+      minhashSignatureFromHashes(ngramHashSet(col("text"), ngram), nSig)),
+      nSig, bands)
 
   /** MinHash-LSH near-dup pairs: band-bucket self-join proposes
     * candidates (a keyed shuffle, no cross join), then the exact
@@ -206,22 +213,19 @@ object TextOps {
     // the shingle table is consumed three times (band side + both
     // verify joins); materialize it once — shingling the corpus is
     // the dominant per-row cost, and this is exactly the "shingle
-    // once, reuse everywhere" shape a 100 TB pipeline persists
+    // once, reuse everywhere" shape a 100 TB pipeline persists.
+    // NOTE: localCheckpoint(eager) makes THIS CALL run the shingle
+    // scan immediately (plan construction is no longer lazy); blocks
+    // are reclaimed by the context cleaner once the result is dropped
     val sets = docs.select(col("doc_id"),
       sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
       .localCheckpoint(true)
     // the signature's per-lane minima are order-free, so the SORTED
     // set yields the identical signature the raw shingle stream would
-    val rows = nSig / bands
-    val bandStructs = (0 until bands).map { i =>
-      struct(lit(i).as("band"),
-        hash(slice(col("sig"), i * rows + 1, rows)).as("band_key"))
-    }
-    val banded = sets
-      .withColumn("sig", minhashSignatureFromHashes(col("w"), nSig))
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.band_key"))
+    val banded = bandRows(
+      sets.withColumn("sig", minhashSignatureFromHashes(col("w"), nSig)),
+      nSig, bands)
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -529,12 +533,16 @@ object TextOps {
         round(lit(1.0) - size(array_distinct(grams(g))).cast("double") / total, 4))
         .otherwise(lit(0.0))
     }
-    val w = dupRatio(1)
-    val b = dupRatio(2)
-    val t = dupRatio(3)
+    // two-stage select: the ratio HOF trees are interpreted with no
+    // cross-reference CSE (same hazard as winnowingFingerprint), so
+    // referencing them again in the flag would rebuild every n-gram
+    // array twice per row — derive the flag from the named columns
     docs.select(col("doc_id"), n.cast("bigint").as("n_words"),
-      w.as("dup_word_ratio"), b.as("dup_bigram_ratio"), t.as("dup_trigram_ratio"),
-      (w > flagAt || b > flagAt || t > flagAt).as("repetitive"))
+      dupRatio(1).as("dup_word_ratio"), dupRatio(2).as("dup_bigram_ratio"),
+      dupRatio(3).as("dup_trigram_ratio"))
+      .withColumn("repetitive",
+        col("dup_word_ratio") > flagAt || col("dup_bigram_ratio") > flagAt ||
+          col("dup_trigram_ratio") > flagAt)
   }
 
   /** Stopwords for quality density scoring (the langid marker set plus

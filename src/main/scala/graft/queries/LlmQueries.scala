@@ -164,8 +164,10 @@ object LlmQueries {
     * the oracle states — so the two sides cannot drift when the
     * source set changes. */
   private def q69(s: SparkSession, dir: String): DataFrame = {
+    // bigint + effectively-unbounded suffix length on BOTH sides so a
+    // long numeric suffix cannot parse differently across engines
     val threshold = when(
-      pmod(substring(col("source"), 4, 10).cast("int"), lit(2)) === 0, "40")
+      pmod(substring(col("source"), 4, 100).cast("bigint"), lit(2)) === 0, "40")
       .otherwise("80")
     TextOps.stableSample(Tables(s, dir, "documents"), threshold)
       .select(col("doc_id"), col("source"), col("lang"))
@@ -175,7 +177,7 @@ object LlmQueries {
   private val q69Sql =
     """SELECT doc_id, source, lang FROM documents
       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-      |  CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+      |  CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0
       |       THEN '40' ELSE '80' END
       |ORDER BY doc_id""".stripMargin
 
@@ -190,8 +192,11 @@ object LlmQueries {
   }
 
   private val q70Sql =
+    // coalesce pins the NULL-text contract: Spark's concat_ws swallows
+    // a null array into md5('') while a bare array_to_string would
+    // yield NULL here and silently drop the row from the IN
     """WITH fp AS (SELECT doc_id, source,
-      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |    md5(array_to_string(list_sort(list_distinct(string_split(coalesce(text, ''), ' '))), ' ')) AS fp
       |  FROM documents)
       |SELECT fp, doc_id FROM fp
       |WHERE source <> 'src0'
