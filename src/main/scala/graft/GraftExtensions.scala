@@ -14,32 +14,52 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * expression/aggregator layer; no custom Rule or Strategy is
   * needed anywhere in this engine). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Uniform arity gate: every builder checks argument count FIRST so
+    * a wrong-arity SQL call raises a clear usage error instead of an
+    * IndexOutOfBoundsException from a positional children() access. */
+  private def arity(children: Seq[Expression], n: Int, usage: String): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$usage takes $n arguments, got ${children.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        arity(children, 2, "graft_dot(a, b)")
+        DotProduct(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_isect"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_isect"),
-      (children: Seq[Expression]) =>
-        SortedIntersectSize(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        arity(children, 2, "graft_isect(a, b)")
+        SortedIntersectSize(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
-      (children: Seq[Expression]) => (children(1), children(2)) match {
-        case (Literal(k: Int, _), Literal(w: Int, _)) =>
-          WinnowFingerprint(children.head, k, w)
-        case other => throw new IllegalArgumentException(
-          s"graft_winnow(text, k, w): k and w must be integer literals, got $other")
+      (children: Seq[Expression]) => {
+        arity(children, 3, "graft_winnow(text, k, w)")
+        (children(1), children(2)) match {
+          case (Literal(k: Int, _), Literal(w: Int, _)) =>
+            WinnowFingerprint(children.head, k, w)
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow(text, k, w): k and w must be integer literals, got $other")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
-      (children: Seq[Expression]) => children(1) match {
-        case Literal(n: Int, _) => MinhashSignature(children.head, n)
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash(hashes, n): n must be an integer literal, got $other")
+      (children: Seq[Expression]) => {
+        arity(children, 2, "graft_minhash(hashes, n)")
+        children(1) match {
+          case Literal(n: Int, _) => MinhashSignature(children.head, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash(hashes, n): n must be an integer literal, got $other")
+        }
       }))
   }
 }

@@ -12,6 +12,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // session bootstrap, not read-time side effect (ADVICE r2): the
+      // events table carries TIMESTAMP(NANOS); TablesSpec guards that
+      // no OTHER table silently reads nanos as bigint under this flag
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Native-expression probe against the session the plan will RUN on
+    * — the DataFrame's own session when one is in hand, falling back
+    * to the active session only for Column-only entry points. In a
+    * multi-session setup the active session may have graft_* installed
+    * while the frame's own session does not (or vice versa); probing
+    * the wrong one makes `call_function` fail at analysis instead of
+    * falling back to the composed form (ADVICE r2). */
+  private def hasNative(s: Option[org.apache.spark.sql.SparkSession],
+                        name: String): Boolean =
+    s.orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+      .exists(_.catalog.functionExists(name))
+
   /** Distinct word set of a text column (the unigram shingle set). */
   def wordSet(text: Column): Column = array_distinct(split(text, " "))
 
@@ -88,11 +100,10 @@ object TextOps {
     * installed the intersection is the native two-pointer merge over
     * the pre-sorted sets ([[graft.functions.SortedIntersectSize]]);
     * otherwise `array_intersect` (which hashes per pair). */
-  private def jaccardSized(a: Column, b: Column, sa: Column, sb: Column): Column = {
+  private def jaccardSized(a: Column, b: Column, sa: Column, sb: Column,
+                           nativeIsect: Boolean): Column = {
     val inter =
-      if (org.apache.spark.sql.SparkSession.getActiveSession
-          .exists(_.catalog.functionExists("graft_isect")))
-        call_function("graft_isect", a, b).cast("double")
+      if (nativeIsect) call_function("graft_isect", a, b).cast("double")
       else size(array_intersect(a, b)).cast("double")
     // two empty sets: J defined as 0 (empty docs must not near-dup-match
     // every other empty doc at scale), and the guard keeps ANSI mode
@@ -127,7 +138,8 @@ object TextOps {
       col("w").as("wb"), col("sz").as("sb"))
     a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b") &&
         sizeCompatible(col("sa"), col("sb"), threshold))
-      .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb")))
+      .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb"),
+        hasNative(Some(docs.sparkSession), "graft_isect")))
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
@@ -153,10 +165,13 @@ object TextOps {
     * with the verification stage). Uses the native one-pass
     * [[graft.functions.MinhashSignature]] when [[graft.GraftExtensions]]
     * is installed (the composed form below traverses the array once
-    * per lane through interpreted lambdas); values are identical. */
-  def minhashSignatureFromHashes(hashes: Column, n: Int): Column =
-    if (org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.catalog.functionExists("graft_minhash")))
+    * per lane through interpreted lambdas); values are identical.
+    * `session`: pass the frame's own session when known (DataFrame
+    * entry points do); the Column-only form probes the active one. */
+  def minhashSignatureFromHashes(
+      hashes: Column, n: Int,
+      session: Option[org.apache.spark.sql.SparkSession] = None): Column =
+    if (hasNative(session, "graft_minhash"))
       call_function("graft_minhash", hashes, lit(n))
     else {
       val base = transform(hashes, h => pmod(h, lit(MinhashPrime)))
@@ -193,7 +208,8 @@ object TextOps {
   def minhashBands(docs: DataFrame, nSig: Int, bands: Int,
                    ngram: Int = 1): DataFrame =
     bandRows(docs.withColumn("sig",
-      minhashSignatureFromHashes(ngramHashSet(col("text"), ngram), nSig)),
+      minhashSignatureFromHashes(ngramHashSet(col("text"), ngram), nSig,
+        Some(docs.sparkSession))),
       nSig, bands)
 
   /** MinHash-LSH near-dup pairs: band-bucket self-join proposes
@@ -224,7 +240,8 @@ object TextOps {
     // the signature's per-lane minima are order-free, so the SORTED
     // set yields the identical signature the raw shingle stream would
     val banded = bandRows(
-      sets.withColumn("sig", minhashSignatureFromHashes(col("w"), nSig)),
+      sets.withColumn("sig", minhashSignatureFromHashes(col("w"), nSig,
+        Some(docs.sparkSession))),
       nSig, bands)
     val candidates = banded.as("x")
       .join(banded.as("y"),
@@ -239,7 +256,8 @@ object TextOps {
       .join(sets.select(col("doc_id").as("doc_b"), col("w").as("wb"),
         col("sz").as("sb")), "doc_b")
       .where(sizeCompatible(col("sa"), col("sb"), threshold))
-      .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb")))
+      .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb"),
+        hasNative(Some(docs.sparkSession), "graft_isect")))
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
@@ -289,34 +307,40 @@ object TextOps {
       .mapValues { case (id, o) => math.min(id, o.getOrElse(id)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: org.apache.spark.rdd.RDD[_] = labels
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges.join(labels) // co-partitioned: no shuffle here
-        .map { case (_, (target, label)) => (target, label) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // the one shuffle
-      val joined = labels.leftOuterJoin(nbrMin, part) // co-partitioned
-        .mapValues { case (l, o) =>
-          val nl = math.min(l, o.getOrElse(l)); (nl, nl != l)
-        }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = joined.filter(_._2._2).count()
-      prev.unpersist(blocking = false) // joined is materialized; prev is dead
-      labels = joined.mapValues(_._1)
-      prev = joined
-      iter += 1
+    // try/finally: the non-convergence throw below (and any job
+    // failure inside the loop) must still release the persisted
+    // edges/prev blocks — the finally runs AFTER the result is
+    // eagerly checkpointed, so the success path loses nothing
+    try {
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIters) {
+        val nbrMin = edges.join(labels) // co-partitioned: no shuffle here
+          .map { case (_, (target, label)) => (target, label) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // the one shuffle
+        val joined = labels.leftOuterJoin(nbrMin, part) // co-partitioned
+          .mapValues { case (l, o) =>
+            val nl = math.min(l, o.getOrElse(l)); (nl, nl != l)
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = joined.filter(_._2._2).count()
+        prev.unpersist(blocking = false) // joined is materialized; prev is dead
+        labels = joined.mapValues(_._1)
+        prev = joined
+        iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"nearDupGroups did not converge in $maxIters iterations " +
+            "(component diameter exceeds maxIters); raise maxIters — " +
+            "returning partial labels would silently split components")
+      labels.toDF("doc_id", "group_id")
+        // the result outlives the loop; detach it from the persisted rdds
+        .localCheckpoint(true)
+    } finally {
+      edges.unpersist(blocking = false)
+      prev.unpersist(blocking = false)
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"nearDupGroups did not converge in $maxIters iterations " +
-          "(component diameter exceeds maxIters); raise maxIters — " +
-          "returning partial labels would silently split components")
-    val out = labels.toDF("doc_id", "group_id")
-      // the result outlives the loop; detach it from the persisted rdds
-      .localCheckpoint(true)
-    edges.unpersist(blocking = false)
-    prev.unpersist(blocking = false)
-    out
   }
 
   // ---- SimHash ------------------------------------------------------------
@@ -400,8 +424,7 @@ object TextOps {
     * Returns (doc_id, n_grams, n_selected, fp_digest) where fp_digest
     * is the md5 of the sorted distinct selected hashes. */
   def winnowingFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
-    if (org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.catalog.functionExists("graft_winnow"))) {
+    if (hasNative(Some(docs.sparkSession), "graft_winnow")) {
       // native one-pass expression (monotonic-deque window minimum,
       // reused digest); coalesce gives null text the same (0, 0,
       // md5-of-empty) row the composed form's null-swallowing

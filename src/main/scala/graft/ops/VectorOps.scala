@@ -19,16 +19,26 @@ import org.apache.spark.sql.functions._
   * projection. */
 object VectorOps {
 
+  /** Probe for the native dot expression against the session the plan
+    * will RUN on — the frame's own session when in hand (every
+    * DataFrame entry point below passes it), the active session only
+    * for the Column-only public forms. See TextOps.hasNative: probing
+    * the wrong session in a multi-session setup fails at analysis
+    * instead of falling back (ADVICE r2). */
+  private def nativeDot(s: Option[SparkSession]): Boolean =
+    s.orElse(SparkSession.getActiveSession)
+      .exists(_.catalog.functionExists("graft_dot"))
+
+  private def dotIf(native: Boolean, a: Column, b: Column): Column =
+    if (native) call_function("graft_dot", a, b)
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
   /** Element-wise dot product of two double-array columns. Prefers the
     * native codegen'd [[graft.functions.DotProduct]] when
     * [[graft.GraftExtensions]] is installed on the active session;
     * falls back to the bit-identical (but CodegenFallback) composed
     * higher-order form otherwise. */
-  def dot(a: Column, b: Column): Column =
-    if (SparkSession.getActiveSession.exists(_.catalog.functionExists("graft_dot")))
-      call_function("graft_dot", a, b)
-    else
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = dotIf(nativeDot(None), a, b)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -37,9 +47,11 @@ object VectorOps {
 
   /** Corpus projected to (vec_id, v, n): double vector + its norm,
     * computed once. */
-  private def prepared(embeddings: DataFrame): DataFrame =
+  private def prepared(embeddings: DataFrame): DataFrame = {
+    val nd = nativeDot(Some(embeddings.sparkSession))
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("n", norm(col("v")))
+      .withColumn("n", sqrt(dotIf(nd, col("v"), col("v"))))
+  }
 
   /** Exact brute-force cosine top-k: the query side (a handful of
     * vectors) is broadcast; every corpus partition scores its rows
@@ -47,11 +59,12 @@ object VectorOps {
     * the score rounded to 4 decimals with a vec_id tiebreak so the
     * result set is stable across engines and partitionings. */
   def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val nd = nativeDot(Some(embeddings.sparkSession))
     val corpus = prepared(embeddings)
     val qs = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val scored = corpus.join(broadcast(qs), col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 4))
+      .withColumn("cos", round(dotIf(nd, col("v"), col("qv")) / (col("n") * col("qn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -71,25 +84,29 @@ object VectorOps {
   /** Random-hyperplane (SimHash-for-vectors) signature: bit j is the
     * sign of ⟨v, h_j⟩. Vectors with small angle share signatures with
     * high probability. */
-  def lshSignature(v: Column, bits: Int, dim: Int): Column =
+  def lshSignature(v: Column, bits: Int, dim: Int,
+                   session: Option[SparkSession] = None): Column = {
+    val nd = nativeDot(session)
     hyperplanes(bits, dim).zipWithIndex.map { case (h, j) =>
-      when(dot(v, array(h.toIndexedSeq.map(lit): _*)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotIf(nd, v, array(h.toIndexedSeq.map(lit): _*)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Approximate top-k: candidates share the query's LSH bucket; the
     * per-bucket join replaces the corpus × query cross join. Recall
     * trades off with `bits` (more bits → smaller buckets). */
   def annTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 8, dim: Int = 64): DataFrame = {
+    val nd = Some(embeddings.sparkSession)
     val corpus = prepared(embeddings)
-      .withColumn("sig", lshSignature(col("v"), bits, dim))
+      .withColumn("sig", lshSignature(col("v"), bits, dim, nd))
     val qs = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-      .withColumn("qsig", lshSignature(col("qv"), bits, dim))
+      .withColumn("qsig", lshSignature(col("qv"), bits, dim, nd))
     val scored = corpus
       .join(broadcast(qs),
         col("sig") === col("qsig") && col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 4))
+      .withColumn("cos", round(dotIf(nativeDot(nd), col("v"), col("qv")) / (col("n") * col("qn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -142,10 +159,11 @@ object VectorOps {
     * per row and dropped). Codegen'd — one pass, no UDF, no ML vector
     * conversion. Ties break to the lower cell id via the struct
     * ordering. */
-  private def nearestCell(v: Column, centers: Array[Array[Double]]): Column = {
+  private def nearestCell(v: Column, centers: Array[Array[Double]],
+                          native: Boolean): Column = {
     val ds = centers.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
-      struct((dot(v, array(c.toIndexedSeq.map(lit): _*)) * lit(-2.0) + lit(c2)).as("d"),
+      struct((dotIf(native, v, array(c.toIndexedSeq.map(lit): _*)) * lit(-2.0) + lit(c2)).as("d"),
         lit(i).as("cell"))
     }
     array_min(array(ds.toIndexedSeq: _*)).getField("cell")
@@ -190,7 +208,8 @@ object VectorOps {
         .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
     }
     val centers = localKMeans(trainRows, nCells, iters = 5)
-    val celled = corpus.withColumn("cell", nearestCell(col("v"), centers))
+    val celled = corpus.withColumn("cell",
+      nearestCell(col("v"), centers, nativeDot(Some(embeddings.sparkSession))))
     // the query set is small by contract: compute probe cells driver-side
     val qRows = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
@@ -213,7 +232,8 @@ object VectorOps {
       .toDF("query_id", "cell", "qv", "qn")
     val scored = celled.join(broadcast(probeDf),
       celled("cell") === probeDf("cell") && col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("n") * col("qn")), 4))
+      .withColumn("cos", round(dotIf(nativeDot(Some(embeddings.sparkSession)),
+        col("v"), col("qv")) / (col("n") * col("qn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -235,7 +255,8 @@ object VectorOps {
     val b = p.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
       col("v").as("vb"), col("n").as("nb"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", dotIf(nativeDot(Some(embeddings.sparkSession)),
+        col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }

@@ -16,17 +16,20 @@ import org.apache.spark.sql.functions._
 object Tables {
   def apply(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // Monotonic conf set: the legacy mapping is consulted when the
-      // reader converts the footer schema, and a per-read
-      // DataFrameReader option does NOT reach that converter (probed
-      // empirically on 4.1 — footer inference still throws
-      // PARQUET_TYPE_ILLEGAL). Setting the flag and leaving it set is
-      // race-free under concurrent query construction (set/set is
-      // idempotent; the old set-then-restore pattern could unset the
-      // flag mid-read on a sibling thread). Trade-off: any OTHER
-      // table with a TIMESTAMP(NANOS) column now reads as bigint
-      // instead of failing fast — `events` is the only such table in
-      // the corpus, and its `ts` is always converted right here.
+      // The flag is set at session bootstrap by graft's own entry
+      // points (Verify/Bench/SparkTestBase builders); this set is the
+      // idempotent FALLBACK for externally-built sessions (e.g. the
+      // driver's own smoke session) so a library user needs no special
+      // conf. The legacy mapping is consulted when the reader converts
+      // the footer schema, and a per-read DataFrameReader option does
+      // NOT reach that converter (probed empirically on 4.1 — footer
+      // inference still throws PARQUET_TYPE_ILLEGAL). Set/set is
+      // race-free under concurrent query construction (idempotent; a
+      // set-then-restore pattern could unset the flag mid-read on a
+      // sibling thread). Trade-off: any OTHER table with a
+      // TIMESTAMP(NANOS) column reads as bigint instead of failing
+      // fast — TablesSpec guards that `events` stays the only NANOS
+      // table in the corpus.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")
         // floor division (not `div`, which truncates toward zero and

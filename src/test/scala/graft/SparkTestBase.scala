@@ -14,6 +14,9 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // events' TIMESTAMP(NANOS) mapping, set at session bootstrap
+    // (TablesSpec asserts events is the ONLY table needing it)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
