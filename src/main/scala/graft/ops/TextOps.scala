@@ -568,6 +568,59 @@ object TextOps {
           col("dup_trigram_ratio") > flagAt)
   }
 
+  /** Fixed-size overlapping word chunks — the context-window packing
+    * step of a training pipeline (chunk size `chunkWords`, stride
+    * `stride`; stride < chunkWords gives the usual overlap). Pure
+    * per-row expressions: the word array is materialized once, chunk
+    * starts come from `sequence`, and each chunk is a clamped `slice`
+    * — one explode, zero shuffles, embarrassingly parallel at any
+    * corpus size. Empty docs yield one empty chunk (start pinned to 1)
+    * rather than disappearing. */
+  def chunkDocs(docs: DataFrame, chunkWords: Int = 50, stride: Int = 40): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), words.as("ws"),
+        greatest(size(words), lit(1)).as("n"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / lit(stride)).cast("bigint").as("chunk_idx"),
+        concat_ws(" ", slice(col("ws"), col("start"), lit(chunkWords))).as("chunk"),
+        size(slice(col("ws"), col("start"), lit(chunkWords))).cast("bigint")
+          .as("n_chunk_words"))
+  }
+
+  /** Scrub patterns: email addresses, long digit runs (account/id
+    * numbers), and a configurable denylist of exact terms. The regexes
+    * stay in the portable intersection of Java regex and RE2 so the
+    * same pattern text drives both the engine and any SQL oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{9,}"
+
+  /** PII / denylist scrubbing: counts each pattern family and emits
+    * the redacted text plus its fingerprint. Pure per-row regexp
+    * projections (codegen'd, zero shuffle) — the shape of a real
+    * pre-training scrub pass at 100 TB. */
+  def piiScrub(docs: DataFrame, denyTerms: Seq[String] = Seq("spark")): DataFrame = {
+    val denyRe = denyTerms.map(java.util.regex.Pattern.quote)
+      .mkString("\\b(", "|", ")\\b")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          LongNumRe, "<NUM>"),
+        denyRe, "<TERM>")
+    // two-stage select: `redacted` feeds two outputs; as a named column
+    // the three-pass regex chain runs once per row (CollapseProject
+    // keeps non-cheap aliases used twice), not once per consumer
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col("text"), lit(LongNumRe)).cast("bigint").as("n_idnums"),
+      regexp_count(col("text"), lit(denyRe)).cast("bigint").as("n_denied"),
+      redacted.as("redacted"))
+      .withColumn("redacted_fp", md5(col("redacted")))
+  }
+
   /** Stopwords for quality density scoring (the langid marker set plus
     * common function words; on a real corpus this is a per-language
     * list). */

@@ -243,6 +243,40 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-label centroid of the embedding column, one row per (label,
+    * dimension): positional explode + a partial+final average — the
+    * keyed-aggregation shape (labels × dims keys, map-side combine),
+    * never a per-label collect. Elements are decimal-cast before the
+    * average (exact, associative — identical under any partitioning)
+    * and the mean is rounded to 4 and exported as double, per the
+    * cross-engine convention. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("pos"))
+      .agg(
+        round(avg(col("col").cast("double").cast("decimal(18,8)")), 4)
+          .cast("double").as("mean_val"),
+        count(lit(1)).as("n_vectors"))
+
+  /** Recall@k of the LSH-bucketed ANN against the exact brute-force
+    * top-k — the self-evaluation every approximate index needs before
+    * it replaces the exact path at scale. Left join exact → approx
+    * per (query, neighbor); recall = hits / k. */
+  def annRecall(embeddings: DataFrame, queries: DataFrame, k: Int,
+                bits: Int = 8, dim: Int = 64): DataFrame = {
+    val exact = cosineTopK(embeddings, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = annTopK(embeddings, queries, k, bits, dim)
+      .select(col("query_id").as("qa"), col("vec_id").as("va"))
+    exact.join(approx,
+        col("query_id") === col("qa") && col("vec_id") === col("va"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("va")).as("n_hits"), count(lit(1)).as("k"),
+        round(count(col("va")).cast("double") / count(lit(1)), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity
     * threshold. Exact all-pairs within label blocks (the corpus ships
     * a cluster label; real pipelines block on a coarse quantizer cell

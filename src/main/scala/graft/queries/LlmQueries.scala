@@ -397,6 +397,60 @@ object LlmQueries {
       |FROM m, unnest(range(0, n_frames, 5)) AS t(frame_idx)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Context-window chunking: overlapping 50-word chunks, stride 40. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q72Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, CAST(gs AS BIGINT) AS start
+      |      FROM w, unnest(range(1, greatest(len(ws), 1) + 1, 40)) AS t(gs))
+      |SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_idx,
+      |  array_to_string(ws[start : start + 49], ' ') AS chunk,
+      |  CAST(len(ws[start : start + 49]) AS BIGINT) AS n_chunk_words
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** PII / denylist scrubbing with per-family counts. */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    TextOps.piiScrub(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q73Sql =
+    """WITH r AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{9,}', '<NUM>', 'g'),
+      |      '\b(\Qspark\E)\b', '<TERM>', 'g') AS redacted,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_idnums,
+      |    CAST(len(regexp_extract_all(text, '\b(\Qspark\E)\b')) AS BIGINT) AS n_denied
+      |  FROM documents)
+      |SELECT doc_id, n_emails, n_idnums, n_denied, redacted,
+      |  md5(redacted) AS redacted_fp
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** ANN self-evaluation: recall@5 of the LSH index vs exact top-k
+    * (rows-only: the LSH bucketing is hash-family-specific). */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    VectorOps.annRecall(e, e.where(col("vec_id") < 10), 5)
+  }
+
+  /** Per-label embedding centroids (label × dimension means). */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    VectorOps.labelCentroids(Tables(s, dir, "embeddings"))
+      .orderBy(col("label"), col("pos"))
+
+  private val q75Sql =
+    """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |             unnest(embedding) AS v FROM embeddings)
+      |SELECT label, CAST(pos AS BIGINT) AS pos,
+      |  round(CAST(avg(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE), 4) AS mean_val,
+      |  count(*) AS n_vectors
+      |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_multimodal_frames" -> (q66 _),
     "q50_dedup_exact" -> (q50 _),
@@ -419,7 +473,11 @@ object LlmQueries {
     "q68_tfidf_top_terms" -> (q68 _),
     "q69_stable_sample" -> (q69 _),
     "q70_contamination" -> (q70 _),
-    "q71_repetition" -> (q71 _))
+    "q71_repetition" -> (q71 _),
+    "q72_doc_chunks" -> (q72 _),
+    "q73_pii_scrub" -> (q73 _),
+    "q74_ann_recall" -> (q74 _),
+    "q75_label_centroids" -> (q75 _))
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,
@@ -439,5 +497,9 @@ object LlmQueries {
     "q68_tfidf_top_terms" -> q68Sql,
     "q69_stable_sample" -> q69Sql,
     "q70_contamination" -> q70Sql,
-    "q71_repetition" -> q71Sql)
+    "q71_repetition" -> q71Sql,
+    "q72_doc_chunks" -> q72Sql,
+    "q73_pii_scrub" -> q73Sql,
+    // q74 rows-only: LSH recall is hash-family-specific
+    "q75_label_centroids" -> q75Sql)
 }

@@ -755,12 +755,205 @@ object Relational {
       |  len(list_filter(embedding, x -> x > 0)) AS n_positive
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** FULL OUTER join: negative-balance customer counts vs negative-
+    * balance supplier counts per nation — either side can be missing a
+    * nation, so both null-extension directions are exercised. Both
+    * sides are pre-aggregated (nation-sized), so the outer join itself
+    * is over bounded inputs at any fact scale. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").where(col("c_acctbal") < 0)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      .select(col("c_nationkey").as("ck"), col("n_cust"))
+    val su = Tables(s, dir, "supplier").where(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      .select(col("s_nationkey").as("sk"), col("n_supp"))
+    c.join(su, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q04Sql =
+    """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      |           FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      |      FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Interval (event-time range) join: views by the same user in the
+    * 24 hours before each purchase. The equi key (user_id) carries the
+    * shuffle; the time range is a residual predicate evaluated inside
+    * each key's partition — the batch twin of the streaming
+    * stream-stream interval join ([[graft.streaming.EventStreams]]). */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vuser"), col("ts").as("vts"),
+        col("event_id").as("vid"))
+    p.join(v, col("user_id") === col("vuser") &&
+        col("vts") <= col("pts") &&
+        col("vts") > col("pts") - expr("INTERVAL 24 HOURS"), "left")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("vid")).as("n_prior_views"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q05Sql =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+      |SELECT p.purchase_id, count(v.event_id) AS n_prior_views
+      |FROM p LEFT JOIN v ON p.user_id = v.user_id
+      |  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 24 HOUR
+      |GROUP BY p.purchase_id ORDER BY purchase_id""".stripMargin
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first_value / nth_value — deterministic because the ordering
+    * carries a unique tiebreak. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        nth_value(col("o_orderkey"), 1).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q06Sql =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume,
+      |  first_value(o_orderkey) OVER w AS first_key,
+      |  nth_value(o_orderkey, 2) OVER w AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Regexp function family: count / extract_all / replace / rlike. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_count(col("p_name"), lit("[aeiou]+")).cast("bigint").as("n_vowel_runs"),
+        array_join(expr("regexp_extract_all(p_type, '[A-Z]+', 0)"), ",").as("caps"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_type").rlike("BRASS|STEEL").as("is_metal"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q07Sql =
+    """SELECT p_partkey,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+      |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  regexp_matches(p_type, 'BRASS|STEEL') AS is_metal
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Edit-distance fuzzy join: probe strings matched to nation names
+    * within Levenshtein distance 2. The probe side is a bounded
+    * literal table (broadcast nested loop) — the entity-resolution
+    * shape where the candidate side stays small while the fact side
+    * scales; unmatched probes drop out (inner join). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val probes = s.createDataFrame(Seq(
+      Tuple1("NATICN_3"), Tuple1("NATION_1Z"),
+      Tuple1("XATION_20"), Tuple1("NOTAREAL"))).toDF("probe")
+    Tables(s, dir, "nation")
+      .join(broadcast(probes), levenshtein(col("probe"), col("n_name")) <= 2)
+      .select(col("probe"), col("n_name"),
+        levenshtein(col("probe"), col("n_name")).cast("bigint").as("dist"))
+      .orderBy(col("probe"), col("n_name"))
+  }
+
+  private val q08Sql =
+    """SELECT probe, n_name, CAST(levenshtein(probe, n_name) AS BIGINT) AS dist
+      |FROM nation
+      |JOIN (VALUES ('NATICN_3'), ('NATION_1Z'), ('XATION_20'), ('NOTAREAL')) p(probe)
+      |  ON levenshtein(probe, n_name) <= 2
+      |ORDER BY probe, n_name""".stripMargin
+
+  /** Fixed-width histogram: bucket by floor(price / width) with exact
+    * decimal per-bucket stats — one hash aggregation, the plan shape
+    * of any profiling pass at 100 TB. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        asD(min(dec(col("l_extendedprice"), 14, 2))).as("lo"),
+        asD(max(dec(col("l_extendedprice"), 14, 2))).as("hi"),
+        asD(sum(dec(col("l_extendedprice"), 14, 2))).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q09Sql =
+    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(min(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS lo,
+      |  CAST(max(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS hi,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** UNPIVOT (wide → long): numeric part attributes melted to
+    * (metric, value) rows — the inverse of q25's pivot. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+  }
+
+  private val q16Sql =
+    """SELECT p_partkey, metric, value FROM (
+      |  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+      |             CAST(p_retailprice AS DOUBLE) AS retailprice FROM part)
+      |  ON size, retailprice INTO NAME metric VALUE value)
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — flag-mask
+    * algebra as a partial+final hash aggregation. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bit_and(CAST(l_linenumber AS BIGINT))").as("flags_and"),
+        expr("bit_or(CAST(l_linenumber AS BIGINT))").as("flags_or"),
+        expr("bit_xor(CAST(l_linenumber AS BIGINT))").as("flags_xor"),
+        expr("bit_or(shiftleft(CAST(l_linenumber AS BIGINT), 2))").as("flags_shifted"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q18Sql =
+    """SELECT l_returnflag,
+      |  bit_and(CAST(l_linenumber AS BIGINT)) AS flags_and,
+      |  bit_or(CAST(l_linenumber AS BIGINT)) AS flags_or,
+      |  bit_xor(CAST(l_linenumber AS BIGINT)) AS flags_xor,
+      |  bit_or(CAST(l_linenumber AS BIGINT) << 2) AS flags_shifted
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_pushdown" -> (q02 _),
     "q03_agg_filter" -> (q03 _),
+    "q04_full_outer_join" -> (q04 _),
+    "q05_interval_join" -> (q05 _),
+    "q06_window_distribution" -> (q06 _),
+    "q07_regexp_fns" -> (q07 _),
+    "q08_fuzzy_join" -> (q08 _),
+    "q09_histogram" -> (q09 _),
+    "q16_unpivot" -> (q16 _),
+    "q18_bitwise_agg" -> (q18 _),
     "q10_join_agg" -> (q10 _),
     "q11_join_multiway" -> (q11 _),
     "q12_semi_join" -> (q12 _),
@@ -797,6 +990,14 @@ object Relational {
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_agg_filter" -> q03Sql,
+    "q04_full_outer_join" -> q04Sql,
+    "q05_interval_join" -> q05Sql,
+    "q06_window_distribution" -> q06Sql,
+    "q07_regexp_fns" -> q07Sql,
+    "q08_fuzzy_join" -> q08Sql,
+    "q09_histogram" -> q09Sql,
+    "q16_unpivot" -> q16Sql,
+    "q18_bitwise_agg" -> q18Sql,
     "q10_join_agg" -> q10Sql,
     "q11_join_multiway" -> q11Sql,
     "q12_semi_join" -> q12Sql,

@@ -202,6 +202,46 @@ class TextOpsSpec extends SparkTestBase {
     assert(!q(3L).getAs[Boolean]("quality_ok"))
   }
 
+  test("chunkDocs: overlapping chunks cover every word, stride apart") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, (1 to 95).map(i => s"w$i").mkString(" "), "x", "en"), // 3 chunks
+      (1L, "short doc", "x", "en"),                              // 1 chunk
+      (2L, "", "x", "en")))                                      // 1 (empty-ish) chunk
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.chunkDocs(d2, chunkWords = 50, stride = 40).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val c0 = out(0L).sortBy(_.getAs[Long]("chunk_idx"))
+    assert(c0.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
+    assert(c0.map(_.getAs[Long]("n_chunk_words")).toSeq == Seq(50L, 50L, 15L))
+    // overlap: chunk 1 starts at word 41 while chunk 0 ends at 50
+    assert(c0(1).getAs[String]("chunk").startsWith("w41 "))
+    assert(c0(0).getAs[String]("chunk").endsWith(" w50"))
+    assert(out(1L).map(_.getAs[Long]("n_chunk_words")).toSeq == Seq(2L))
+    assert(out(2L).length == 1) // empty doc still yields one chunk row
+  }
+
+  test("piiScrub redacts emails, long digit runs, and denylist terms") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, "contact bob@example.com or card 1234567890 about spark", "x", "en"),
+      (1L, "sparkle is not the word spark but sparks also is not", "x", "en"),
+      (2L, "clean text with nothing to hide", "x", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.piiScrub(d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_emails") == 1L)
+    assert(r0.getAs[Long]("n_idnums") == 1L)
+    assert(r0.getAs[Long]("n_denied") == 1L)
+    assert(r0.getAs[String]("redacted") ==
+      "contact <EMAIL> or card <NUM> about <TERM>")
+    // word boundaries: 'sparkle'/'sparks' survive, bare 'spark' does not
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_denied") == 1L)
+    assert(r1.getAs[String]("redacted") ==
+      "sparkle is not the word <TERM> but sparks also is not")
+    assert(out(2L).getAs[String]("redacted") == "clean text with nothing to hide")
+  }
+
   test("langId prefers marked languages and defaults to en") {
     val d2 = spark.createDataFrame(Seq(
       (0L, "der hund und die katze", "x", "de"),

@@ -61,6 +61,34 @@ class VectorOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall, ivf=$ivf, exact=$exact")
   }
 
+  test("labelCentroids matches the locally computed per-label means") {
+    val out = VectorOps.labelCentroids(df).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("pos")) ->
+        (r.getAs[Double]("mean_val"), r.getAs[Long]("n_vectors"))).toMap
+    assert(out.size == 4 * 16) // 4 labels × 16 dims
+    val grouped = vecs.groupBy(_._3)
+    for (label <- 0 to 3; pos <- 1 to 16) {
+      val members = grouped(label)
+      val expect = members.map(_._2(pos - 1).toDouble).sum / members.size
+      val (got, n) = out((label, pos.toLong))
+      assert(n == members.size)
+      assert(math.abs(got - expect) < 1e-3, s"label $label pos $pos")
+    }
+  }
+
+  test("annRecall reports hits/k in [0,1] for every query") {
+    val out = VectorOps.annRecall(df, df.where(col("vec_id") < 3), 3,
+      bits = 4, dim = 16).collect()
+    assert(out.map(_.getAs[Long]("query_id")).toSet == Set(0L, 1L, 2L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("k") == 3L)
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      // recall is exported rounded to 4 decimals (1/3 → 0.3333)
+      assert(math.abs(recall - r.getAs[Long]("n_hits").toDouble / 3) < 1e-4)
+    }
+  }
+
   test("embedding near-dup respects the label blocking and threshold") {
     val pairs = VectorOps.embeddingNearDup(df, 0.5).collect()
     val byId = vecs.map(v => v._1 -> v._2).toMap
