@@ -35,10 +35,23 @@ object Bench {
       val good = times.collect { case (true, t) => t }
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only a ~2000-char tail of the run's output
+    // and parses the LAST complete JSON line out of it; with 75
+    // queries the full-name form (~2.4 KB) gets its head truncated and
+    // the driver records parsed=null (observed in rounds 1–2). Keys
+    // are therefore the unique qNN prefixes (the driver contract's own
+    // example uses "q1") and seconds carry 3 decimals — ~1 KB total.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val shortKeys = results.keys.groupBy(_.takeWhile(_ != '_'))
+    def key(k: String): String = {
+      val p = k.takeWhile(_ != '_')
+      if (shortKeys(p).size == 1) p else k // collision → keep full name
+    }
+    val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
