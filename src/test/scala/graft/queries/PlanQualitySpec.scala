@@ -74,6 +74,41 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q05: interval join is keyed on user_id, never a nested loop") {
+    // the equi key must carry the join; the time range is a residual
+    // predicate inside each key — a nested loop would be quadratic in
+    // the corpus at 100 TB
+    val p = plan("q05_interval_join")
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04: full outer join runs over pre-aggregated bounded sides") {
+    val p = plan("q04_full_outer_join")
+    assert(p.contains("FullOuter"), p)
+    // both inputs aggregate (nation-sized) BELOW the join: 2 partial +
+    // 2 final HashAggregates feed it
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q08: fuzzy join broadcasts the bounded probe side") {
+    val p = plan("q08_fuzzy_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q16: unpivot plans as Expand (no join, no shuffle before sort)") {
+    val p = plan("q16_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q75: centroid aggregation is partial+final over the explode") {
+    val p = plan("q75_label_centroids")
+    assert(p.contains("Generate"), p) // posexplode
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("quality/winnowing text operators are shuffle-free scans") {
     // the operators themselves (without the query's presentation
     // ORDER BY) must be pure projection pipelines over the scan — no
@@ -81,7 +116,9 @@ class PlanQualitySpec extends SparkTestBase {
     val docs = Tables(spark, sfDir, "documents")
     for ((name, df) <- Seq(
       "qualityScore" -> graft.ops.TextOps.qualityScore(docs),
-      "winnowingFingerprint" -> graft.ops.TextOps.winnowingFingerprint(docs))) {
+      "winnowingFingerprint" -> graft.ops.TextOps.winnowingFingerprint(docs),
+      "chunkDocs" -> graft.ops.TextOps.chunkDocs(docs),
+      "piiScrub" -> graft.ops.TextOps.piiScrub(docs))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
     }
