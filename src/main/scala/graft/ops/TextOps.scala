@@ -575,9 +575,11 @@ object TextOps {
     * starts come from `sequence`, and each chunk is a clamped `slice`
     * — one explode, zero shuffles, embarrassingly parallel at any
     * corpus size. Empty docs yield one empty chunk (start pinned to 1)
-    * rather than disappearing. */
+    * rather than disappearing; null text is pinned to '' (one empty
+    * chunk) so the Spark/DuckDB twins agree by construction rather than
+    * by the corpus happening to have no nulls (ADVICE r3). */
   def chunkDocs(docs: DataFrame, chunkWords: Int = 50, stride: Int = 40): DataFrame = {
-    val words = split(col("text"), " ")
+    val words = split(coalesce(col("text"), lit("")), " ")
     docs
       .select(col("doc_id"), words.as("ws"),
         greatest(size(words), lit(1)).as("n"))
@@ -602,21 +604,28 @@ object TextOps {
     * projections (codegen'd, zero shuffle) — the shape of a real
     * pre-training scrub pass at 100 TB. */
   def piiScrub(docs: DataFrame, denyTerms: Seq[String] = Seq("spark")): DataFrame = {
-    val denyRe = denyTerms.map(java.util.regex.Pattern.quote)
-      .mkString("\\b(", "|", ")\\b")
-    val redacted =
+    // empty denylist would build \b()\b, which matches the empty string
+    // at every word boundary and sprays <TERM> through the text
+    // (ADVICE r3) — skip the denylist stage entirely instead
+    val base =
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-          LongNumRe, "<NUM>"),
-        denyRe, "<TERM>")
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>")
+    val (redacted, nDenied) =
+      if (denyTerms.isEmpty) (base, lit(0L))
+      else {
+        val denyRe = denyTerms.map(java.util.regex.Pattern.quote)
+          .mkString("\\b(", "|", ")\\b")
+        (regexp_replace(base, denyRe, "<TERM>"),
+          regexp_count(col("text"), lit(denyRe)).cast("bigint"))
+      }
     // two-stage select: `redacted` feeds two outputs; as a named column
     // the three-pass regex chain runs once per row (CollapseProject
     // keeps non-cheap aliases used twice), not once per consumer
     docs.select(col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).cast("bigint").as("n_emails"),
       regexp_count(col("text"), lit(LongNumRe)).cast("bigint").as("n_idnums"),
-      regexp_count(col("text"), lit(denyRe)).cast("bigint").as("n_denied"),
+      nDenied.as("n_denied"),
       redacted.as("redacted"))
       .withColumn("redacted_fp", md5(col("redacted")))
   }

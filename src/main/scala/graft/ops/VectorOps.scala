@@ -262,7 +262,11 @@ object VectorOps {
   /** Recall@k of the LSH-bucketed ANN against the exact brute-force
     * top-k — the self-evaluation every approximate index needs before
     * it replaces the exact path at scale. Left join exact → approx
-    * per (query, neighbor); recall = hits / k. */
+    * per (query, neighbor); recall = hits / n_exact. `n_exact` is the
+    * actual exact-side neighbor count (≤ k when the corpus is small),
+    * reported separately from the requested `k` so the denominator is
+    * explicit rather than silently shrinking under the k label
+    * (ADVICE r3). */
   def annRecall(embeddings: DataFrame, queries: DataFrame, k: Int,
                 bits: Int = 8, dim: Int = 64): DataFrame = {
     val exact = cosineTopK(embeddings, queries, k)
@@ -272,8 +276,12 @@ object VectorOps {
     exact.join(approx,
         col("query_id") === col("qa") && col("vec_id") === col("va"), "left")
       .groupBy(col("query_id"))
-      .agg(count(col("va")).as("n_hits"), count(lit(1)).as("k"),
+      .agg(count(col("va")).as("n_hits"),
+        count(lit(1)).as("n_exact"),
         round(count(col("va")).cast("double") / count(lit(1)), 4).as("recall"))
+      .withColumn("k", lit(k).cast("bigint"))
+      .select(col("query_id"), col("k"), col("n_exact"), col("n_hits"),
+        col("recall"))
       .orderBy(col("query_id"))
   }
 

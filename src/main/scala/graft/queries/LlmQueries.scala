@@ -403,7 +403,7 @@ object LlmQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   private val q72Sql =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
       |c AS (SELECT doc_id, ws, CAST(gs AS BIGINT) AS start
       |      FROM w, unnest(range(1, greatest(len(ws), 1) + 1, 40)) AS t(gs))
       |SELECT doc_id, CAST((start - 1) // 40 AS BIGINT) AS chunk_idx,

@@ -242,6 +242,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(2L).getAs[String]("redacted") == "clean text with nothing to hide")
   }
 
+  test("piiScrub with an empty denylist leaves text alone (no \\b()\\b regex)") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, "plain words stay untouched", "x", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val r = TextOps.piiScrub(d2, denyTerms = Nil).collect().head
+    assert(r.getAs[Long]("n_denied") == 0L)
+    assert(r.getAs[String]("redacted") == "plain words stay untouched")
+  }
+
+  test("chunkDocs pins null text to one empty chunk (same as empty text)") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, null.asInstanceOf[String], "x", "en"), (1L, "", "x", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.chunkDocs(d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 2)
+    // null and '' agree: one chunk, chunk = '', n_chunk_words = len(split)
+    for (id <- Seq(0L, 1L)) {
+      assert(out(id).getAs[Long]("chunk_idx") == 0L)
+      assert(out(id).getAs[String]("chunk") == out(1L).getAs[String]("chunk"))
+      assert(out(id).getAs[Long]("n_chunk_words") ==
+        out(1L).getAs[Long]("n_chunk_words"))
+    }
+  }
+
   test("langId prefers marked languages and defaults to en") {
     val d2 = spark.createDataFrame(Seq(
       (0L, "der hund und die katze", "x", "de"),

@@ -76,16 +76,20 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
-  test("annRecall reports hits/k in [0,1] for every query") {
+  test("annRecall reports hits/n_exact in [0,1] for every query") {
     val out = VectorOps.annRecall(df, df.where(col("vec_id") < 3), 3,
       bits = 4, dim = 16).collect()
     assert(out.map(_.getAs[Long]("query_id")).toSet == Set(0L, 1L, 2L))
     out.foreach { r =>
+      // k is the REQUESTED parameter; n_exact the actual denominator
       assert(r.getAs[Long]("k") == 3L)
+      val nExact = r.getAs[Long]("n_exact")
+      assert(nExact >= 1L && nExact <= 3L)
       val recall = r.getAs[Double]("recall")
       assert(recall >= 0.0 && recall <= 1.0)
       // recall is exported rounded to 4 decimals (1/3 → 0.3333)
-      assert(math.abs(recall - r.getAs[Long]("n_hits").toDouble / 3) < 1e-4)
+      assert(math.abs(recall -
+        r.getAs[Long]("n_hits").toDouble / nExact) < 1e-4)
     }
   }
 

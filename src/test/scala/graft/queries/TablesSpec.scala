@@ -9,13 +9,25 @@ import graft.SparkTestBase
   * fails here instead of silently degrading to bigint in production. */
 class TablesSpec extends SparkTestBase {
 
-  private val tables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "documents", "embeddings")
+  /** Discovered from the directory, not hardcoded, so a table added to
+    * the corpus later is automatically covered by the guard below
+    * (ADVICE r3). */
+  private def allTables: Seq[String] =
+    new java.io.File(sfDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).toSeq.sorted
+
+  test("the corpus contains at least the 10 known tables") {
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    assert(known.subsetOf(allTables.toSet),
+      s"missing tables: ${known -- allTables.toSet}")
+  }
 
   test("every table except events reads cleanly WITHOUT the nanos flag") {
     val ns = spark.newSession()
     ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    tables.foreach { t =>
+    allTables.filterNot(_ == "events").foreach { t =>
       // a TIMESTAMP(NANOS) column would throw PARQUET_TYPE_ILLEGAL here
       assert(ns.read.parquet(s"$sfDir/$t.parquet").limit(1).count() >= 0,
         s"table $t failed to read without the nanos flag")
