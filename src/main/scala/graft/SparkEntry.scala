@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{JsonQueries, LlmQueries, Relational}
+import graft.queries.{Analytic, Curation, JsonQueries, LlmQueries, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,12 +25,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ JsonQueries.queries ++ LlmQueries.queries
+    Relational.queries ++ Analytic.queries ++ JsonQueries.queries ++
+      LlmQueries.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose semantics are not
     * SQL-expressible (HLL sketches, LSH candidate generation, lattice
     * schema inference) → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ JsonQueries.oracle ++ LlmQueries.oracle
+    Relational.oracle ++ Analytic.oracle ++ JsonQueries.oracle ++
+      LlmQueries.oracle ++ Curation.oracle
 }

@@ -678,4 +678,64 @@ object TextOps {
         .when(es > en, "es")
         .otherwise("en").as("pred_lang"))
   }
+
+  /** Per-document Zipf/head statistics: hapax count, most frequent
+    * term (min-term tiebreak for determinism) and its dominance ratio
+    * — the "is this document one phrase repeated" signal that
+    * complements [[repetitionStats]]. Shape: one explode + a (doc,
+    * word) hash agg, then a window + final agg on the SAME doc_id key,
+    * so the second stage reuses the first shuffle's partitioning (one
+    * genuine shuffle over the token stream at any corpus size). */
+  def zipfStats(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val wMax = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("top_n", max(col("c")).over(wMax))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("c")).as("top_count"),
+        min(when(col("c") === col("top_n"), col("word"))).as("top_word"))
+      .withColumn("top_ratio",
+        round(col("top_count").cast("double") / col("n_words"), 4))
+  }
+
+  /** Deterministic stratified sampling: keep the `perStratum` docs
+    * with the smallest md5(doc_id) per source — a fixed QUOTA per
+    * stratum (vs [[stableSample]]'s fixed RATE). The md5 order is a
+    * uniform, engine-independent permutation, so the quota is an
+    * unbiased sample that any engine reproduces bit-identically. One
+    * window shuffle on the stratum key. */
+  def stratifiedSample(docs: DataFrame, perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= perStratum)
+  }
+
+  /** Bloom-filter contamination screen: build a Bloom filter over the
+    * eval set's token-set fingerprints ON THE EXECUTORS (the public
+    * `stat.bloomFilter` aggregate — bitwise-OR merge, so the bits are
+    * partitioning-independent), broadcast it, and flag training docs
+    * whose fingerprint might be contained. At 100 TB this is the only
+    * workable shape: the 100 TB train side is never shuffled — each
+    * row probes a ~MB-sized broadcast bitset; the (bounded, tunable)
+    * false-positive rate is the price, so the exact semi-join
+    * ([[contamination]]) remains the precision pass over the
+    * bloom-surviving slice. Returns flagged train rows only. */
+  def bloomContamination(train: DataFrame, eval_ : DataFrame,
+                         expectedEvalDocs: Long = 100000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val fpCol = tokenSetFingerprint(col("text"))
+    val bloom = eval_.select(fpCol.as("fp"))
+      .stat.bloomFilter("fp", expectedEvalDocs, fpp)
+    val mightContain = udf((fp: String) => bloom.mightContainString(fp))
+    train.select(col("doc_id"), fpCol.as("fp"))
+      .where(mightContain(col("fp")))
+  }
 }

@@ -302,4 +302,41 @@ object VectorOps {
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Per-dimension int8 symmetric quantization audit — the embedding
+    * compression a 100 TB vector store runs before switching the ANN
+    * index to int8. For each dimension: scale = max|v| / 127, q =
+    * clamp(round(v / scale)), and the reconstruction error q·scale − v
+    * aggregated exactly (each |err| is decimal-cast before summing, so
+    * partial+final aggregation is bit-identical to any sequential
+    * oracle). Two passes over the exploded elements on the SAME pos
+    * key (max-abs, then error agg) — the scale table is dim-sized, so
+    * its join back is a broadcast. All per-element arithmetic is the
+    * identical IEEE sequence on any engine (one divide, one round, one
+    * multiply, one subtract). */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val elems = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("bigint").as("pos"),
+        col("col").cast("double").as("v"))
+    val scales = elems.groupBy(col("pos"))
+      .agg(max(abs(col("v"))).as("max_abs"))
+      // an all-zero dimension has no scale (÷0 → Inf would poison
+      // round); it carries no information to quantize — drop it
+      .where(col("max_abs") > 0)
+      .withColumn("scale", col("max_abs") / 127.0d)
+    val q = round(col("v") / col("scale"), 0)
+    val qc = least(greatest(q, lit(-127.0d)), lit(127.0d))
+    val err = qc * col("scale") - col("v")
+    elems.join(broadcast(scales), "pos")
+      .withColumn("clipped", (q < -127.0d || q > 127.0d))
+      .withColumn("abs_err", abs(err).cast("decimal(20,12)"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped"),
+        round(max(col("max_abs")), 4).cast("double").as("max_abs"),
+        round(sum(col("abs_err")), 6).cast("double").as("sum_abs_err"),
+        round(max(col("abs_err")), 6).cast("double").as("max_abs_err"))
+      .orderBy(col("pos"))
+  }
 }

@@ -1,0 +1,382 @@
+package graft.queries
+
+import graft.ops.Skew
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced analytic operators (round 4): exact distributed
+  * percentiles, deciles, deterministic mode, interval RANGE window
+  * frames, correlated EXISTS / scalar subqueries, lateral top-n,
+  * CSV sink+source round-trip, temp-view SQL pipelines, and the two
+  * explicit skew-mitigation shapes (salted aggregation / salted join)
+  * whose results are provably identical to their unsalted forms — so
+  * both get full DuckDB oracles.
+  *
+  * Shares [[Relational]]'s cross-engine determinism conventions:
+  * decimal-exact aggregation, final decimals rendered as DOUBLE, total
+  * ORDER BY with unique tiebreaks, identical column aliases on both
+  * sides.
+  */
+object Analytic {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+  private def asD(c: Column): Column = c.cast("double")
+
+  /** Exact distributed percentiles (p25/p50/p75) per group with
+    * INTEGER-exact interpolation: position arithmetic is pure bigint
+    * math (lo = (n-1)·k div 4, rem = (n-1)·k mod 4) and the
+    * interpolation a + (b-a)·rem·0.25 runs in DECIMAL, so the result
+    * is bit-identical on any engine and any partitioning — unlike
+    * built-in `percentile`, whose double interpolation drifts by ulps
+    * between engines. One window sort per group (the same shuffle the
+    * sort-based aggregate would pay) + one hash agg; no driver
+    * collect. At 100 TB the window sort is the scalable path: each
+    * group sorts within its own partition set. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val v = dec(col("l_extendedprice"), 14, 2)
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+    val ranked = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), v.as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def pct(k: Int): Column = {
+      val lo = ((col("n") - 1) * k / 4).cast("bigint") // integer division
+      val rem = ((col("n") - 1) * k % 4).cast("bigint")
+      val a = min(when(col("rn") === lo + 1, col("v")))
+      val b = coalesce(min(when(col("rn") === lo + 2, col("v"))), a)
+      // rem is group-constant; max() just lifts it through the agg
+      asD(a + dec((b - a) * max(rem), 18, 2) * lit(BigDecimal("0.25")))
+    }
+    ranked.groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_rows"), pct(1).as("p25"), pct(2).as("p50"),
+        pct(3).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q76Sql =
+    """WITH r AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(14,2)) AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DECIMAL(14,2))) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, max(n) AS n_rows,
+      |  CAST(min(CASE WHEN rn = (n-1)*1//4 + 1 THEN v END)
+      |    + CAST((coalesce(min(CASE WHEN rn = (n-1)*1//4 + 2 THEN v END),
+      |                     min(CASE WHEN rn = (n-1)*1//4 + 1 THEN v END))
+      |            - min(CASE WHEN rn = (n-1)*1//4 + 1 THEN v END)) * max((n-1)*1%4) AS DECIMAL(18,2))
+      |      * CAST(0.25 AS DECIMAL(3,2)) AS DOUBLE) AS p25,
+      |  CAST(min(CASE WHEN rn = (n-1)*2//4 + 1 THEN v END)
+      |    + CAST((coalesce(min(CASE WHEN rn = (n-1)*2//4 + 2 THEN v END),
+      |                     min(CASE WHEN rn = (n-1)*2//4 + 1 THEN v END))
+      |            - min(CASE WHEN rn = (n-1)*2//4 + 1 THEN v END)) * max((n-1)*2%4) AS DECIMAL(18,2))
+      |      * CAST(0.25 AS DECIMAL(3,2)) AS DOUBLE) AS p50,
+      |  CAST(min(CASE WHEN rn = (n-1)*3//4 + 1 THEN v END)
+      |    + CAST((coalesce(min(CASE WHEN rn = (n-1)*3//4 + 2 THEN v END),
+      |                     min(CASE WHEN rn = (n-1)*3//4 + 1 THEN v END))
+      |            - min(CASE WHEN rn = (n-1)*3//4 + 1 THEN v END)) * max((n-1)*3%4) AS DECIMAL(18,2))
+      |      * CAST(0.25 AS DECIMAL(3,2)) AS DOUBLE) AS p75
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Decile-style bucketing via ntile — partitioned by market segment
+    * (a GLOBAL ntile would funnel 100 TB through one sort partition;
+    * partitioning by a real dimension keeps every sort local to its
+    * key range). Unique tiebreak (c_custkey) makes tile assignment
+    * deterministic. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, dir, "customer")
+      .withColumn("tile", ntile(4).over(w).cast("bigint"))
+      .groupBy(col("c_mktsegment"), col("tile"))
+      .agg(count(lit(1)).as("n_customers"),
+        asD(min(dec(col("c_acctbal"), 12, 2))).as("lo"),
+        asD(max(dec(col("c_acctbal"), 12, 2))).as("hi"),
+        asD(sum(dec(col("c_acctbal"), 12, 2))).as("sum_bal"))
+      .orderBy(col("c_mktsegment"), col("tile"))
+  }
+
+  private val q77Sql =
+    """WITH t AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS tile
+      |  FROM customer)
+      |SELECT c_mktsegment, tile, count(*) AS n_customers,
+      |  CAST(min(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+      |  CAST(max(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS hi,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM t GROUP BY c_mktsegment, tile ORDER BY c_mktsegment, tile""".stripMargin
+
+  /** Correlated EXISTS subquery (TPC-H Q4 shape) — Catalyst rewrites
+    * the correlation to a left-semi hash join, so at 100 TB this is
+    * one keyed shuffle, never a per-row probe. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders_v
+        |WHERE EXISTS (SELECT 1 FROM lineitem_v
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q78Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Correlated scalar subqueries (TPC-H Q17 shape) with an
+    * INTEGER-exact threshold: `q < 0.2·avg(q)` is rewritten as
+    * `5·count·q < sum(q)` in DECIMAL, so the small-quantity filter has
+    * no float boundary to disagree on. Catalyst de-correlates each
+    * scalar into an aggregate + join. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    Tables(s, dir, "part").createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT count(*) AS n_lines,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem_v l1 JOIN part_v ON p_partkey = l1.l_partkey
+        |WHERE p_size <= 3
+        |  AND CAST(l1.l_quantity AS DECIMAL(12,2)) * 5 *
+        |      (SELECT count(*) FROM lineitem_v l2 WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
+        |       FROM lineitem_v l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  private val q79Sql =
+    """SELECT count(*) AS n_lines,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+      |WHERE p_size <= 3
+      |  AND CAST(l1.l_quantity AS DECIMAL(12,2)) * 5 *
+      |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
+      |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
+
+  /** Deterministic per-group mode: most frequent value with an
+    * explicit (count DESC, value ASC) tiebreak — the built-in `mode`
+    * picks an arbitrary tie winner, which can never hash-match an
+    * oracle; spelling the tiebreak out is the operator. Two stages on
+    * the SAME key prefix (group, value) → (group): the second hash agg
+    * reuses the first shuffle's partitioning. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity"))
+    counts.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("l_returnflag"), asD(col("l_quantity")).as("mode_qty"),
+        col("n").as("n_occurrences"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q80Sql =
+    """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+      |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |                ORDER BY n DESC, l_quantity) AS rk FROM c)
+      |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty,
+      |  n AS n_occurrences
+      |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Value-range window frame: per-customer rolling 30-day order
+    * totals via RANGE BETWEEN INTERVAL — the frame is bounded by the
+    * ORDER BY value, not row counts, so simultaneous orders are peers.
+    * One shuffle on the partition key; the frame scan is a single
+    * sorted pass per partition at any scale. */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS rolling_30d,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM orders_v
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q81Sql =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS rolling_30d,
+      |  count(*) OVER w AS n_orders_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Lateral correlated subquery with ORDER BY + LIMIT: top-2 nations
+    * by summed customer balance per region. Catalyst de-correlates to
+    * a ranked join (no per-row re-execution); at scale this is the
+    * "top-n per key via join" shape, not a nested loop. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "region").createOrReplaceTempView("region_v")
+    Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.bal
+        |FROM region_v r JOIN LATERAL (
+        |  SELECT n.n_name,
+        |    CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
+        |  FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name ORDER BY bal DESC, n.n_name LIMIT 2) t
+        |ORDER BY r.r_name, t.bal DESC, t.n_name""".stripMargin)
+  }
+
+  private val q82Sql =
+    """SELECT r.r_name, t.n_name, t.bal
+      |FROM region r, LATERAL (
+      |  SELECT n.n_name,
+      |    CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name ORDER BY bal DESC, n.n_name LIMIT 2) t
+      |ORDER BY r.r_name, t.bal DESC, t.n_name""".stripMargin
+
+  /** CSV sink + source round-trip: aggregate → write CSV (header, one
+    * part) → read back under an EXPLICIT schema → re-aggregate.
+    * Doubles survive the text round-trip exactly (shortest-repr write,
+    * correctly-rounded read). The oracle computes the same final
+    * result straight from parquet — proving the CSV leg is lossless.
+    * The tiny coalesce(1) is sized to the aggregate (≤ thousands of
+    * rows), never the raw table. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_csv_rt_${Integer.toHexString(dir.hashCode)}"
+    Tables(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        asD(sum(dec(col("o_totalprice"), 14, 2))).as("total"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = "ym STRING, o_orderstatus STRING, n BIGINT, total DOUBLE"
+    s.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_months"), sum(col("n")).as("n_orders"),
+        asD(sum(dec(col("total"), 18, 2))).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q83Sql =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderstatus,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY ym, o_orderstatus)
+      |SELECT o_orderstatus, count(*) AS n_months,
+      |  CAST(sum(n) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Temp-view SQL pipeline (TPC-H Q15 shape): a revenue view named
+    * and reused twice — once for the max, once for the winner lookup.
+    * Spark plans the self-referencing view as a reused exchange, so
+    * revenue is computed once. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW revenue_v AS
+        |SELECT l_suppkey AS supplier_no,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_rev
+        |FROM lineitem_v GROUP BY l_suppkey""".stripMargin)
+    s.sql(
+      """SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier_v JOIN revenue_v ON s_suppkey = supplier_no
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue_v)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q84Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS total_rev
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Salted two-phase aggregation: the pathological-skew shape — a
+    * deterministic salt spreads each hot group over 16 partial
+    * aggregates, the final agg folds the partials. Decimal partials
+    * are exact and associative, so the result is IDENTICAL to the
+    * direct group-by (which is the oracle). At 100 TB this is how a
+    * "90% of rows share one key" aggregation avoids a straggler task. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val salt = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16L))
+    Tables(s, dir, "lineitem")
+      .withColumn("salt", salt)
+      .groupBy(col("l_linestatus"), col("salt"))
+      .agg(sum(dec(col("l_quantity"), 12, 2)).as("part_qty"),
+        count(lit(1)).as("part_n"))
+      .groupBy(col("l_linestatus"))
+      .agg(asD(sum(col("part_qty"))).as("sum_qty"),
+        sum(col("part_n")).as("n_rows"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val q89Sql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Salted replicated join ([[graft.ops.Skew.saltedJoin]]): the left
+    * side's hot keys spread across 8 salt lanes, the right side is
+    * replicated 8×. The join RESULT is provably the plain join, so the
+    * oracle is the unsalted SQL. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_extendedprice"))
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(l, sup, "l_suppkey", "s_suppkey", 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        asD(sum(dec(col("l_extendedprice"), 14, 2))).as("sum_price"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q90Sql =
+    """SELECT s_nationkey, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_exact_percentiles" -> (q76 _),
+    "q77_ntile_buckets" -> (q77 _),
+    "q78_exists_subquery" -> (q78 _),
+    "q79_scalar_subquery" -> (q79 _),
+    "q80_mode_per_group" -> (q80 _),
+    "q81_range_interval_window" -> (q81 _),
+    "q82_lateral_topn" -> (q82 _),
+    "q83_csv_roundtrip" -> (q83 _),
+    "q84_view_pipeline" -> (q84 _),
+    "q89_salted_agg" -> (q89 _),
+    "q90_salted_join" -> (q90 _))
+
+  val oracle: Map[String, String] = Map(
+    "q76_exact_percentiles" -> q76Sql,
+    "q77_ntile_buckets" -> q77Sql,
+    "q78_exists_subquery" -> q78Sql,
+    "q79_scalar_subquery" -> q79Sql,
+    "q80_mode_per_group" -> q80Sql,
+    "q81_range_interval_window" -> q81Sql,
+    "q82_lateral_topn" -> q82Sql,
+    "q83_csv_roundtrip" -> q83Sql,
+    "q84_view_pipeline" -> q84Sql,
+    "q89_salted_agg" -> q89Sql,
+    "q90_salted_join" -> q90Sql)
+}

@@ -267,6 +267,51 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("zipfStats: hapax count, deterministic top word, dominance ratio") {
+    val d2 = spark.createDataFrame(Seq(
+      (0L, "b b b a a c", "x", "en"),   // top=b(3), hapax={c}
+      (1L, "x y x y", "x", "en")))      // tie 2-2 → min word 'x'
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.zipfStats(d2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_words") == 6L)
+    assert(r0.getAs[Long]("n_distinct") == 3L)
+    assert(r0.getAs[Long]("n_hapax") == 1L)
+    assert(r0.getAs[String]("top_word") == "b")
+    assert(r0.getAs[Long]("top_count") == 3L)
+    assert(r0.getAs[Double]("top_ratio") == 0.5)
+    // tied top counts resolve to the lexicographically smallest word
+    assert(out(1L).getAs[String]("top_word") == "x")
+    assert(out(1L).getAs[Long]("n_hapax") == 0L)
+  }
+
+  test("stratifiedSample: exact quota per stratum, layout-independent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = TextOps.stratifiedSample(docs, 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).sorted.toSeq
+    val b = TextOps.stratifiedSample(docs.repartition(13), 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).sorted.toSeq
+    assert(a == b, "sample must not depend on physical layout")
+    val bySource = a.groupBy(_._2).map { case (s, xs) => s -> xs.size }
+    assert(bySource.values.forall(_ == 5), s"quota violated: $bySource")
+  }
+
+  test("bloomContamination flags a superset of the exact contamination") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.where(col("source") =!= "src0")
+    val eval_ = docs.where(col("source") === "src0")
+    val exact = TextOps.contamination(train, eval_).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = TextOps.bloomContamination(train, eval_)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact.subsetOf(bloomed),
+      s"bloom missed true positives: ${exact -- bloomed}")
+    // the precision pass: bloom-survivors ∩ exact == exact (composition
+    // a 100 TB pipeline runs — bloom prunes, semi-join confirms)
+    assert(bloomed.intersect(exact) == exact)
+  }
+
   test("langId prefers marked languages and defaults to en") {
     val d2 = spark.createDataFrame(Seq(
       (0L, "der hund und die katze", "x", "de"),

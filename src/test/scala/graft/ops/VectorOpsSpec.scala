@@ -93,6 +93,22 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("quantizeEmbeddings: int8 error bounded by scale/2, nothing clipped") {
+    val out = VectorOps.quantizeEmbeddings(df).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val maxAbs = r.getAs[Double]("max_abs")
+      val scale = maxAbs / 127.0
+      // round-to-nearest quantization error is at most half a step
+      // (+ rounding slack from the 6-decimal export)
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-6,
+        s"pos ${r.getAs[Long]("pos")}")
+      // |q| = |round(v/scale)| ≤ round(127) → clamp never engages
+      assert(r.getAs[Long]("n_clipped") == 0L)
+      assert(r.getAs[Long]("n_values") == vecs.size.toLong)
+    }
+  }
+
   test("embedding near-dup respects the label blocking and threshold") {
     val pairs = VectorOps.embeddingNearDup(df, 0.5).collect()
     val byId = vecs.map(v => v._1 -> v._2).toMap

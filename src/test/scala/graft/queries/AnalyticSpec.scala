@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-4 analytic operators that the DuckDB gate
+  * can't express: exact-percentile algebra against a local oracle,
+  * salted == unsalted equivalence, and CSV round-trip losslessness. */
+class AnalyticSpec extends SparkTestBase {
+
+  private def q(name: String) = SparkEntryRef.queries(name)(spark, sfDir)
+
+  test("exact percentiles match a locally computed sorted-multiset oracle") {
+    val rows = q("q76_exact_percentiles").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val data = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    for ((flag, sorted) <- data) {
+      val n = sorted.size
+      def pct(k: Int): Double = {
+        val lo = ((n - 1).toLong * k / 4).toInt
+        val rem = ((n - 1).toLong * k % 4).toInt
+        val a = sorted(lo)
+        val b = if (lo + 1 < n) sorted(lo + 1) else a
+        (a + (b - a) * rem * BigDecimal("0.25")).toDouble
+      }
+      val r = rows(flag)
+      assert(r.getAs[Long]("n_rows") == n.toLong)
+      assert(r.getAs[Double]("p25") == pct(1), s"p25 of $flag")
+      assert(r.getAs[Double]("p50") == pct(2), s"p50 of $flag")
+      assert(r.getAs[Double]("p75") == pct(3), s"p75 of $flag")
+    }
+  }
+
+  test("salted aggregation is bit-identical to the direct group-by") {
+    val salted = q("q89_salted_agg").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val direct = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_linestatus")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(salted == direct)
+  }
+
+  test("CSV round-trip preserves doubles exactly") {
+    val viaCsv = q("q83_csv_roundtrip").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_months"), sum(col("n")).as("n_orders"),
+        sum(col("total").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaCsv == direct)
+  }
+}
+
+/** Indirection so the spec reads like the driver does (SparkEntry is
+  * in the parent package). */
+private object SparkEntryRef {
+  def queries = graft.SparkEntry.queries
+}
