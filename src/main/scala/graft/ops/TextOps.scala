@@ -125,23 +125,78 @@ object TextOps {
   private def sizeCompatible(sa: Column, sb: Column, threshold: Double): Column =
     least(sa, sb) >= greatest(sa, sb) * lit(threshold)
 
-  /** Blocked exact near-dup pairs: documents are compared only within
-    * a blocking key (here `source`), never corpus × corpus. Returns
-    * (doc_a, doc_b, jac) for pairs with Jaccard >= threshold. */
-  def nearDupExact(docs: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
-    val sides = docs.select(col("doc_id"), col("source"),
-      sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
-      .withColumn("sz", size(col("w")).cast("double"))
-    val a = sides.select(col("doc_id").as("doc_a"), col("source"),
-      col("w").as("wa"), col("sz").as("sa"))
-    val b = sides.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
-      col("w").as("wb"), col("sz").as("sb"))
-    a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b") &&
-        sizeCompatible(col("sa"), col("sb"), threshold))
+  /** Exact Jaccard verification of a (doc_a, doc_b) candidate list:
+    * joins candidates back to the shingle table `sets` (doc_id, w, sz)
+    * twice and keeps pairs clearing the threshold. Shared by the exact
+    * prefix-filter path and the MinHash-LSH path so the verify math
+    * cannot drift between them. */
+  private def verifyCandidates(candidates: DataFrame, sets: DataFrame,
+      threshold: Double,
+      session: Option[org.apache.spark.sql.SparkSession]): DataFrame =
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+        col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+        col("sz").as("sb")), "doc_b")
+      .where(sizeCompatible(col("sa"), col("sb"), threshold))
       .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb"),
-        hasNative(Some(docs.sparkSession), "graft_isect")))
+        hasNative(session, "graft_isect")))
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+
+  /** EXACT near-dup pairs, 100 TB-safe: prefix-filter candidate
+    * generation (the AllPairs / PPJoin family — Bayardo et al.
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Vernica et al.
+    * SIGMOD'10 for the MapReduce shape) followed by exact Jaccard
+    * verification, all within the `source` blocking key the query
+    * semantics demand.
+    *
+    * Soundness (100% recall): with every doc's shingle set ordered by
+    * a single global total order (ascending document frequency, ties
+    * by token hash), any pair with J ≥ t shares at least one token
+    * inside both docs' first |w| − ⌈t·|w|⌉ + 1 tokens — so a join on
+    * prefix tokens proposes every qualifying pair, and the exact
+    * verify keeps precision at 1. Unlike blocking by `source`
+    * (all-pairs within a block — quadratic in block size, fatal when
+    * one source holds billions of docs), candidate volume here is
+    * Σ_token C(prefix-df(token), 2): bounded by token frequency, and
+    * the rarest-first ordering keeps stopword-like shingles out of
+    * the prefixes. Every stage is a linear scan or a keyed shuffle.
+    *
+    * No PPJoin positional filter: its required-overlap bound
+    * ⌈t·(|A|+|B|)/(1+t)⌉ computed in doubles can round up at the
+    * exact threshold boundary (J = t pairs are valid and the oracle
+    * keeps them), so the marginal pruning is not worth the fp
+    * soundness hazard. The size filter is exact and stays.
+    *
+    * Returns (doc_a, doc_b, jac) for pairs with Jaccard >= threshold. */
+  def nearDupExact(docs: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // consumed by the df count, the prefix self-join and both verify
+    // joins — materialize the shingling once (see nearDupMinhash note)
+    val sets = docs.select(col("doc_id"), col("source"),
+      sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
+      .withColumn("sz", size(col("w")).cast("double"))
+      .localCheckpoint(true)
+    val toks = sets.select(col("doc_id"), col("source"), col("sz"),
+      explode(col("w")).as("t"))
+    // global token order: ascending document frequency, ties by hash —
+    // one wordcount shuffle, linear in corpus token volume
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "t")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+    val prefix = ranked
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("source"), col("t"), col("sz"))
+    val candidates = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.t") === col("y.t") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          sizeCompatible(col("x.sz"), col("y.sz"), threshold))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyCandidates(candidates, sets, threshold, Some(docs.sparkSession))
   }
 
   // ---- MinHash + LSH ------------------------------------------------------
@@ -250,16 +305,7 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa"),
-        col("sz").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("w").as("wb"),
-        col("sz").as("sb")), "doc_b")
-      .where(sizeCompatible(col("sa"), col("sb"), threshold))
-      .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb"),
-        hasNative(Some(docs.sparkSession), "graft_isect")))
-      .where(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    verifyCandidates(candidates, sets, threshold, Some(docs.sparkSession))
   }
 
   /** Near-duplicate GROUP reduction: connected components of the

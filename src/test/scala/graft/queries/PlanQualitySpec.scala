@@ -109,6 +109,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q51: candidates come from the token-keyed prefix join, never a source-blocked all-pairs self-join") {
+    val p = plan("q51_neardup_jaccard")
+    // no unkeyed pair enumeration anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    val keyLines = p.linesIterator.filter(_.contains("eft keys")).toList
+    assert(keyLines.nonEmpty, p)
+    // the quadratic shape this pin forbids: a join keyed on source
+    // alone (all-pairs within a source — fatal when one source holds
+    // billions of docs at 100 TB)
+    assert(!keyLines.exists(_.contains("[1]: [source")), p)
+    // the candidate self-join is keyed on the prefix token first
+    assert(keyLines.exists(_.contains("[t#")), p)
+  }
+
   test("quality/winnowing text operators are shuffle-free scans") {
     // the operators themselves (without the query's presentation
     // ORDER BY) must be pure projection pipelines over the scan — no
