@@ -123,6 +123,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(keyLines.exists(_.contains("[t#")), p)
   }
 
+  test("q79: scalar-subquery semantics plan as ONE lineitem scan (window form)") {
+    val p = plan("q79_scalar_subquery")
+    // scan table names live on the "Location:" detail lines
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // filtered part side
+    assert(p.contains("Window"), p)
+  }
+
+  test("q84: the revenue view's aggregation exchange is computed once and reused") {
+    // reuse is a physical/runtime property — inspect the executed plan
+    val df = graft.SparkEntry.queries("q84_view_pipeline")(spark, sfDir)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+    assert(ex.contains("ReusedExchange") || ex.contains("reused"), ex)
+  }
+
   test("quality/winnowing text operators are shuffle-free scans") {
     // the operators themselves (without the query's presentation
     // ORDER BY) must be pure projection pipelines over the scan — no
