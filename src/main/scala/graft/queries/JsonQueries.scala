@@ -138,6 +138,32 @@ object JsonQueries {
       |  max(n_events) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Batch twin of [[graft.streaming.EventStreams.dedupStream]]
+    * (streaming `dropDuplicatesWithinWatermark`): one surviving event
+    * per (user_id, event_type) key. The stream keeps the
+    * ARRIVAL-first row and evicts its state at the watermark; the
+    * deterministic batch rendering keeps the EVENT-TIME-first row
+    * with an event_id tiebreak — one window rank, one shuffle by the
+    * dedup key, the same per-key state bound the stream enforces. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q91Sql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM (SELECT event_id, user_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) AS rk
+      |      FROM events) t
+      |WHERE rk = 1 ORDER BY event_id""".stripMargin
+
   /** As-of join — for every purchase, the most recent prior (or
     * simultaneous) view by the same user. Spark has no ASOF operator;
     * composing it as union + running `last(..., ignoreNulls)` window
@@ -186,7 +212,8 @@ object JsonQueries {
     "q46_infer_schema" -> (q46 _),
     "q47_shred_histogram" -> (q47 _),
     "q48_tumbling_window" -> (q48 _),
-    "q49_session_window" -> (q49 _))
+    "q49_session_window" -> (q49 _),
+    "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
     "q39_asof_join" -> q39Sql,
@@ -195,5 +222,6 @@ object JsonQueries {
     // q46 rows-only: lattice inference has no SQL equivalent
     "q47_shred_histogram" -> q47Sql,
     "q48_tumbling_window" -> q48Sql,
-    "q49_session_window" -> q49Sql)
+    "q49_session_window" -> q49Sql,
+    "q91_stream_dedup" -> q91Sql)
 }

@@ -128,11 +128,16 @@ object EventStreams {
     * stream). The batch twin is `TextOps.dedupExact` — this is the
     * ingest-time form a training-data pipeline runs before anything
     * else touches the stream. */
-  def dedupStream(events: DataFrame, key: String,
+  def dedupStream(events: DataFrame, keys: Seq[String],
                   lateness: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark(key)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Single-key convenience form. */
+  def dedupStream(events: DataFrame, key: String,
+                  lateness: String): DataFrame =
+    dedupStream(events, Seq(key), lateness)
 
   /** Stream–static enrichment join: the static dim is broadcast to
     * every micro-batch (no state, no watermark needed) — the standard

@@ -181,6 +181,36 @@ class EventStreamsSpec extends SparkTestBase {
     assert(ids == Seq(101L, 101L, 201L, 301L, 909L), s"got $ids")
   }
 
+  test("streaming dedup over the real corpus keeps one row per composite key (batch-twin bridge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed sf events through MemoryStream and dedup on the SAME
+    // composite key as the q91 batch twin; the kept-row identity
+    // differs (arrival-first vs event-time-first), but the surviving
+    // KEY SET is the same one-per-key set the twin's oracle pins
+    val rows = graft.queries.Tables(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+      .as[(Timestamp, Long, String, Long)].collect().toSeq
+    val mem = MemoryStream[(Timestamp, Long, String, Long)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStreams.dedupStream(events, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_bridge")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamKeys = spark.table("dedup_bridge")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(streamKeys.distinct.size == streamKeys.size,
+      "streaming dedup emitted a key twice")
+    val twinKeys = graft.SparkEntry.queries("q91_stream_dedup")(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamKeys.toSet == twinKeys,
+      s"stream kept ${streamKeys.size} keys, twin ${twinKeys.size}")
+  }
+
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
