@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is the real thing — binary columns, a typed
   * `mapPartitions` decode stage (one decoder instance per partition,
-  * streamed batches, no driver collect), a typed metadata schema.
-  * The decoder itself is a STUB: this container has no image/audio
-  * codecs, so [[FakeDecoder.decode]] derives deterministic
-  * pseudo-metadata from the payload bytes. Swapping in a real codec
-  * changes only the body of `decode`.
+  * streamed batches, no driver collect), a typed metadata schema —
+  * and so is the header decode: [[MediaHeader.decode]] sniffs magic
+  * bytes and parses the dimension fields of real PNG / JPEG / WebP
+  * container headers with pure JVM byte reads (no codec library).
+  * Because the corpus has no media files, [[MediaHeader.synth]]
+  * writes spec-compliant headers (real PNG CRC32) in front of the
+  * text bytes, so decode exercises the same code path a real corpus
+  * would hit. Only `n_frames` remains a stub (no video container in
+  * play): `1 + n_bytes % 30`. Pixel decode (needs a codec) would
+  * slot into the same mapPartitions pass.
   */
 object Multimodal {
 
@@ -20,28 +25,121 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        format: String, n_frames: Int)
 
-  /** STUB decoder — deterministic pseudo-decode from payload bytes.
-    * A real implementation would parse the container header; the
-    * arithmetic here is intentionally reproducible in the oracle. */
-  object FakeDecoder {
+  /** Container-header codec for PNG (sig + IHDR, per the PNG spec),
+    * JPEG (SOI + SOF0 scan over markers, ITU T.81) and WebP
+    * (RIFF + VP8X extended header, per the WebP container spec).
+    * `synth` and `decode` are exact inverses for the dimension
+    * fields; `decode` also handles real files — e.g. a JPEG whose
+    * SOF comes after APP0/quantization segments (the marker scan
+    * skips them) — since that is the entire point of parsing headers
+    * rather than faking them. */
+  object MediaHeader {
+    private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    private def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    private def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    private def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+
+    /** PNG: 8-byte signature + IHDR chunk (13 data bytes, real CRC32
+      * over type+data) = 33 bytes. */
+    def pngHeader(w: Int, h: Int): Array[Byte] = {
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      val data = "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, no interlace
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      sig ++ be32(13) ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** JPEG: SOI + a single SOF0 segment (8-bit precision, 1
+      * component) = 15 bytes. */
+    def jpegHeader(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xC0.toByte) ++
+        be16(11) ++ Array[Byte](8) ++ be16(h) ++ be16(w) ++
+        Array[Byte](1, 1, 0x11, 0)
+
+    /** WebP: RIFF container + VP8X extended-format chunk (24-bit
+      * little-endian canvas size minus one) = 30 bytes. `tail` is the
+      * byte count following the header, folded into the RIFF size. */
+    def webpHeader(w: Int, h: Int, tail: Int): Array[Byte] =
+      "RIFF".getBytes ++ le32(4 + 8 + 10 + tail) ++ "WEBP".getBytes ++
+        "VP8X".getBytes ++ le32(10) ++ Array[Byte](0, 0, 0, 0) ++
+        le24(w - 1) ++ le24(h - 1)
+
+    def headerLen(format: String): Int = format match {
+      case "jpeg" => 15; case "png" => 33; case "webp" => 30
+    }
+
+    private def u8(b: Byte): Int = b & 0xFF
+    private def rdBe16(p: Array[Byte], i: Int) = (u8(p(i)) << 8) | u8(p(i + 1))
+    private def rdBe32(p: Array[Byte], i: Int) =
+      (u8(p(i)) << 24) | (u8(p(i + 1)) << 16) | (u8(p(i + 2)) << 8) | u8(p(i + 3))
+    private def rdLe24(p: Array[Byte], i: Int) =
+      u8(p(i)) | (u8(p(i + 1)) << 8) | (u8(p(i + 2)) << 16)
+
+    /** Magic-byte sniff + dimension parse. Returns (format, w, h);
+      * unrecognized payloads classify as ("unknown", 0, 0) instead of
+      * throwing — at 100 TB a poison file must not kill the stage. */
+    def sniff(p: Array[Byte]): (String, Int, Int) = {
+      if (p.length >= 24 && u8(p(0)) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+        ("png", rdBe32(p, 16), rdBe32(p, 20))
+      else if (p.length >= 4 && u8(p(0)) == 0xFF && u8(p(1)) == 0xD8) {
+        // scan segments for a start-of-frame marker (C0-C3, C5-C7...)
+        var i = 2
+        var res: (String, Int, Int) = ("unknown", 0, 0)
+        while (res._1 == "unknown" && i + 9 <= p.length && u8(p(i)) == 0xFF) {
+          val m = u8(p(i + 1))
+          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+            res = ("jpeg", rdBe16(p, i + 7), rdBe16(p, i + 5))
+          else i += 2 + rdBe16(p, i + 2) // skip marker + its payload
+        }
+        res
+      } else if (p.length >= 30 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P' &&
+        p(12) == 'V' && p(13) == 'P' && p(14) == '8' && p(15) == 'X')
+        ("webp", rdLe24(p, 24) + 1, rdLe24(p, 27) + 1)
+      else ("unknown", 0, 0)
+    }
+
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
-      val n = payload.length
-      MediaMeta(
-        doc_id = docId,
-        n_bytes = n,
-        width = 64 + (n % 512),
-        height = 64 + ((n * 7) % 512),
-        format = (docId % 3) match {
-          case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-        },
-        n_frames = 1 + (n % 30))
+      val (format, w, h) = sniff(payload)
+      MediaMeta(doc_id = docId, n_bytes = payload.length, width = w,
+        height = h, format = format,
+        // the one remaining stub: frame count needs a video container
+        n_frames = 1 + (payload.length % 30))
+    }
+
+    /** Deterministic payload synthesis for the media-free corpus:
+      * header dims derive from the text length (64 + len % 512 /
+      * 64 + 7·len % 512 — 16-bit-safe for every format above), format
+      * round-robins on doc_id. The oracle recomputes the same values
+      * from `length(text)`; the Spark side must round-trip them
+      * through the actual header bytes. */
+    def synth(docId: Long, text: Array[Byte]): Array[Byte] = {
+      val n = text.length
+      val w = 64 + (n % 512)
+      val h = 64 + ((n * 7) % 512)
+      val header = (docId % 3) match {
+        case 0 => jpegHeader(w, h)
+        case 1 => pngHeader(w, h)
+        case _ => webpHeader(w, h, n)
+      }
+      header ++ text
     }
   }
 
-  /** Documents table → binary payload column (stand-in for real media
+  /** Documents table → binary payload column: a spec-compliant media
+    * header in front of the text bytes (stand-in for real media
     * bytes; the pipeline shape is payload-source-agnostic). */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+  def withPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).cast("binary").as("t"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, t) => (id, MediaHeader.synth(id, t)) }
+      .toDF("doc_id", "payload")
+  }
 
   /** Partition-batched decode: one pass, decoder state amortized per
     * partition, output is a typed Dataset with a columnar-friendly
@@ -50,7 +148,7 @@ object Multimodal {
     import spark.implicits._
     withPayload(docs).as[(Long, Array[Byte])].mapPartitions { it =>
       // per-partition decoder setup would go here (codec init, GPU pin...)
-      it.map { case (id, payload) => FakeDecoder.decode(id, payload) }
+      it.map { case (id, payload) => MediaHeader.decode(id, payload) }
     }
   }
 

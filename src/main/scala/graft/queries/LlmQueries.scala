@@ -349,13 +349,18 @@ object LlmQueries {
         col("total_frames"))
 
   private val q65Sql =
+    // n_bytes includes the synthesized container header (JPEG
+    // SOI+SOF0 = 15, PNG sig+IHDR = 33, WebP RIFF+VP8X = 30) the
+    // Spark side genuinely parses dims back out of
     """WITH m AS (SELECT doc_id,
-      |    octet_length(encode(text)) AS n_bytes,
+      |    octet_length(encode(text)) +
+      |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END) AS n_bytes,
       |    64 + (octet_length(encode(text)) % 512) AS width,
       |    64 + ((octet_length(encode(text)) * 7) % 512) AS height,
       |    CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
       |         ELSE 'webp' END AS format,
-      |    1 + (octet_length(encode(text)) % 30) AS n_frames
+      |    1 + ((octet_length(encode(text)) +
+      |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END)) % 30) AS n_frames
       |  FROM documents)
       |SELECT format, count(*) AS n_docs,
       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
@@ -389,8 +394,10 @@ object LlmQueries {
 
   private val q66Sql =
     """WITH m AS (SELECT doc_id,
-      |    octet_length(encode(text)) AS n_bytes,
-      |    1 + (octet_length(encode(text)) % 30) AS n_frames
+      |    octet_length(encode(text)) +
+      |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END) AS n_bytes,
+      |    1 + ((octet_length(encode(text)) +
+      |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END)) % 30) AS n_frames
       |  FROM documents)
       |SELECT doc_id, frame_idx,
       |  CAST(FLOOR(frame_idx * n_bytes / n_frames) AS BIGINT) AS byte_offset

@@ -12,22 +12,49 @@ class MultimodalSpec extends SparkTestBase {
     (1L, "a somewhat longer document body here", "a", "en"),
     (2L, "x", "b", "en"))).toDF("doc_id", "text", "source", "lang")
 
-  test("decode is deterministic and length-derived") {
+  test("header codec round-trips dims through real container bytes") {
+    import Multimodal.MediaHeader._
+    for ((w, h) <- Seq((64, 64), (575, 70), (1, 1), (511, 3000))) {
+      assert(sniff(pngHeader(w, h) ++ "tail".getBytes) == ("png", w, h))
+      assert(sniff(webpHeader(w, h, 4) ++ "tail".getBytes) == ("webp", w, h))
+      if (h <= 575) // SOF0 dims are 16-bit; synth stays under 576
+        assert(sniff(jpegHeader(w, h) ++ "tail".getBytes) == ("jpeg", w, h))
+    }
+    // a real-file shape: JFIF APP0 segment before the SOF0 — the
+    // marker scan must skip it
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++
+      Array[Byte](0, 16) ++ Array.fill[Byte](14)(0)
+    val realish = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++
+      jpegHeader(320, 240).drop(2)
+    assert(sniff(realish) == ("jpeg", 320, 240))
+    // garbage and truncated payloads classify, never throw
+    assert(sniff("not media at all".getBytes)._1 == "unknown")
+    assert(sniff(Array[Byte](0x89.toByte, 'P'))._1 == "unknown")
+    assert(sniff(Array.emptyByteArray)._1 == "unknown")
+  }
+
+  test("decode parses the synthesized header: dims text-derived, bytes include header") {
+    import Multimodal.MediaHeader.headerLen
     val m = Multimodal.decodeMeta(spark, docs).collect()
       .map(x => x.doc_id -> x).toMap
-    assert(m(0L).n_bytes == 11)
-    assert(m(0L).width == 64 + 11 % 512)
     assert(m(0L).format == "jpeg" && m(1L).format == "png" && m(2L).format == "webp")
-    assert(m(2L).n_frames == 1 + 1 % 30)
+    assert(m(0L).n_bytes == 11 + headerLen("jpeg"))
+    assert(m(0L).width == 64 + 11 % 512)
+    assert(m(0L).height == 64 + (11 * 7) % 512)
+    assert(m(2L).n_bytes == 1 + headerLen("webp"))
+    assert(m(2L).n_frames == 1 + (1 + headerLen("webp")) % 30)
   }
 
   test("frame sampling explodes every k-th frame with floor offsets") {
     val f = Multimodal.sampleFrames(spark, docs, every = 3).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
         r.getAs[Long]("byte_offset")))
-    // doc 0: 11 bytes -> n_frames = 12, frames 0,3,6,9
+    // doc 0: 11 text + 15 jpeg header = 26 bytes -> n_frames = 27
+    val nBytes = 26L
+    val nFrames = 1L + nBytes % 30
+    val expected = (0L until nFrames by 3).map(i => (i, i * nBytes / nFrames))
     val d0 = f.filter(_._1 == 0L).map(x => (x._2, x._3)).sorted.toSeq
-    assert(d0 == Seq((0L, 0L), (3L, 2L), (6L, 5L), (9L, 8L)))
+    assert(d0 == expected, s"got $d0")
   }
 
   test("resize fits the box preserving aspect with floor arithmetic") {
