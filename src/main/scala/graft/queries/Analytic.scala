@@ -167,6 +167,26 @@ object Analytic {
       |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
       |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
 
+  /** Approximate-percentile sketch twin of q76 (the exact/sketch
+    * pairing q20/q21 establish for distinct counts): Spark's
+    * `percentile_approx` aggregates a mergeable Greenwald-Khanna-style
+    * sketch partial+final — no per-group sort, no window, rank error
+    * bounded by n/accuracy — which is the 100 TB path when the exact
+    * window-sort of q76 is too expensive. Rows-only by nature
+    * (sketch-algorithm-specific values); ApproxPercentileSpec bounds
+    * its error against q76's exact quartiles. */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(dec(col("l_extendedprice"), 14, 2),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"))
+      .select(col("l_returnflag"), col("n_rows"),
+        asD(col("ps").getItem(0)).as("p25"),
+        asD(col("ps").getItem(1)).as("p50"),
+        asD(col("ps").getItem(2)).as("p75"))
+      .orderBy(col("l_returnflag"))
+
   /** Deterministic per-group mode: most frequent value with an
     * explicit (count DESC, value ASC) tiebreak — the built-in `mode`
     * picks an arbitrary tie winner, which can never hash-match an
@@ -393,7 +413,8 @@ object Analytic {
     "q83_csv_roundtrip" -> (q83 _),
     "q84_view_pipeline" -> (q84 _),
     "q89_salted_agg" -> (q89 _),
-    "q90_salted_join" -> (q90 _))
+    "q90_salted_join" -> (q90 _),
+    "q92_approx_percentiles" -> (q92 _))
 
   val oracle: Map[String, String] = Map(
     "q76_exact_percentiles" -> q76Sql,
@@ -407,4 +428,7 @@ object Analytic {
     "q84_view_pipeline" -> q84Sql,
     "q89_salted_agg" -> q89Sql,
     "q90_salted_join" -> q90Sql)
+  // q92 intentionally has no oracle (sketch-algorithm-specific values,
+  // like q21's HLL estimate); ApproxPercentileSpec bounds its error
+  // against q76's exact quartiles instead
 }

@@ -34,6 +34,24 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("approx percentiles stay within sketch error of the exact quartiles") {
+    // accuracy=10000 bounds rank error by n/10000; at this SF the
+    // groups are small enough that the sketch lands within a hair of
+    // the exact interpolated quartile — 1% relative is generous slack
+    // for the interpolation-vs-order-statistic definitional gap
+    val exact = q("q76_exact_percentiles").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = q("q92_approx_percentiles").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    for ((flag, e) <- exact; a = approx(flag); p <- Seq("p25", "p50", "p75")) {
+      val (ev, av) = (e.getAs[Double](p), a.getAs[Double](p))
+      assert(math.abs(av - ev) <= math.abs(ev) * 0.01,
+        s"$p of $flag: approx $av vs exact $ev")
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"))
+    }
+  }
+
   test("salted aggregation is bit-identical to the direct group-by") {
     val salted = q("q89_salted_agg").collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
