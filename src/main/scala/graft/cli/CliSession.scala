@@ -22,13 +22,25 @@ private[cli] object CliSession {
     spark
   }
 
+  /** Per-input progress lines on stderr, reference parity
+    * (JsonSchemaFinder.java:231-232 prints one line as it opens each
+    * file). The distributed scan opens files on executors in
+    * arbitrary order, so the honest driver-side equivalent is the
+    * resolved input list before the job launches. */
+  def announceInputs(spark: SparkSession, ds: Dataset[_]): Unit =
+    ds.inputFiles.sorted.foreach(f => System.err.println(s"reading $f"))
+
   /** NDJSON lines by default; `whole` reads each file as one unit for
     * documents spanning lines (parallelism across files only). */
   def readDocs(spark: SparkSession, files: Seq[String],
-               whole: Boolean): Dataset[String] =
-    if (whole) {
-      import spark.implicits._
-      spark.read.option("wholetext", "true").text(files: _*)
-        .select(col("value")).as[String]
-    } else spark.read.textFile(files: _*)
+               whole: Boolean): Dataset[String] = {
+    val ds =
+      if (whole) {
+        import spark.implicits._
+        spark.read.option("wholetext", "true").text(files: _*)
+          .select(col("value")).as[String]
+      } else spark.read.textFile(files: _*)
+    announceInputs(spark, ds)
+    ds
+  }
 }
