@@ -584,6 +584,31 @@ object TextOps {
         col("tf"), col("df"))
   }
 
+  /** Unigram language-model quality score (the CCNet-style
+    * statistical filter): each document scored by the mean −ln p(w)
+    * of its tokens under the corpus's OWN unigram distribution —
+    * word-salad and boilerplate outliers surface at the distribution
+    * tails. Two keyed shuffles (corpus wordcount, per-doc mean) plus
+    * a broadcast scalar token total; the vocabulary-sized prob table
+    * shuffles on the token key (broadcastable on real corpora where
+    * vocab ≪ corpus). Cross-engine determinism: the per-token ln is
+    * rounded to 8 decimals and decimal-cast BEFORE the sum (exact +
+    * associative under any partitioning), final mean rounded to 4. */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log(col("cnt").cast("double") / col("n_total").cast("double")), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 4).as("nll"))
+  }
+
   /** Within-document repetition signals (the Gopher duplicate-n-gram
     * family): fraction of duplicated words / bigrams / trigrams plus a
     * repetitive flag. High values mark boilerplate and degenerate spam

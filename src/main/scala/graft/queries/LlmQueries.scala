@@ -249,6 +249,22 @@ object LlmQueries {
       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Unigram-LM quality score (CCNet-style statistical filter). */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramNll(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q93Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |           FROM documents),
+      |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+      |n AS (SELECT sum(cnt) AS n_total FROM c)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(-(CAST(sum(CAST(round(ln(cnt::DOUBLE / n_total), 8) AS DECIMAL(18,8))) AS DOUBLE)
+      |          / count(*)), 4) AS nll
+      |FROM t JOIN c USING (w) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def q55(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -484,7 +500,8 @@ object LlmQueries {
     "q72_doc_chunks" -> (q72 _),
     "q73_pii_scrub" -> (q73 _),
     "q74_ann_recall" -> (q74 _),
-    "q75_label_centroids" -> (q75 _))
+    "q75_label_centroids" -> (q75 _),
+    "q93_unigram_nll" -> (q93 _))
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,
@@ -508,5 +525,6 @@ object LlmQueries {
     "q72_doc_chunks" -> q72Sql,
     "q73_pii_scrub" -> q73Sql,
     // q74 rows-only: LSH recall is hash-family-specific
-    "q75_label_centroids" -> q75Sql)
+    "q75_label_centroids" -> q75Sql,
+    "q93_unigram_nll" -> q93Sql)
 }
