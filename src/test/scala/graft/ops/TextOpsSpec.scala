@@ -34,6 +34,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(!pairs.contains((0L, 4L))) // different source → blocked apart
   }
 
+  test("prefix-filter candidates lose no pair: nearDupExact equals brute force on a random corpus") {
+    // seeded random corpus over a small vocab (forces a dense
+    // similarity graph — worst case for candidate pruning, and
+    // plenty of pairs sitting exactly at the threshold boundary)
+    val rnd = new scala.util.Random(20260812)
+    val vocab = ('a' to 'l').map(_.toString)
+    val rows = (0L until 80L).map { id =>
+      val n = 4 + rnd.nextInt(8)
+      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "), if (id % 2 == 0) "a" else "b", "en")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    // brute-force oracle over the same distinct-word sets
+    def brute(t: Double) = (for {
+      (ia, ta, sa) <- rows.map(r => (r._1, r._2.split(" ").toSet, r._3))
+      (ib, tb, sb) <- rows.map(r => (r._1, r._2.split(" ").toSet, r._3))
+      if ia < ib && sa == sb
+      j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      if j >= t
+    } yield (ia, ib, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    for (t <- Seq(0.5, 0.9)) {
+      val got = TextOps.nearDupExact(df, t).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jac"))).toSet
+      assert(got == brute(t), s"threshold $t: " +
+        s"missing=${brute(t) -- got} extra=${got -- brute(t)}")
+    }
+  }
+
   test("minhash-LSH near-dup pairs are exact-verified (precision 1.0)") {
     val exact = TextOps.nearDupExact(docs, 0.8).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
