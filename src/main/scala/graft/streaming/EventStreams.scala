@@ -145,6 +145,19 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Ingest-time contamination scrub: drop streamed documents whose
+    * token-set fingerprint appears in the (static, benchmark-sized)
+    * eval set — the streaming form of the batch q70 check, run BEFORE
+    * contaminated text ever lands in the lake. Stream-static
+    * left_anti with the eval fingerprints broadcast per micro-batch;
+    * stateless, no watermark needed. */
+  def scrubContaminated(docs: DataFrame, evalDocs: DataFrame): DataFrame =
+    docs.withColumn("fp", graft.ops.TextOps.tokenSetFingerprint(col("text")))
+      .join(broadcast(
+        evalDocs.select(graft.ops.TextOps.tokenSetFingerprint(col("text")).as("fp"))),
+        Seq("fp"), "left_anti")
+      .drop("fp")
+
   /** Stream–stream interval join: purchases matched to views by the
     * same user within `windowSpec` before the purchase. Both sides
     * carry watermarks so matched/expired state is evicted — the

@@ -211,6 +211,26 @@ class EventStreamsSpec extends SparkTestBase {
       s"stream kept ${streamKeys.size} keys, twin ${twinKeys.size}")
   }
 
+  test("streaming contamination scrub drops eval-fingerprint docs at ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq((100L, "held out benchmark question")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.scrubContaminated(docs, evalDocs)
+      .writeStream.format("memory").queryName("scrubbed")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, "an ordinary clean training document"),
+      (2L, "held out benchmark question"),          // exact eval text
+      (3L, "question benchmark out held"),           // same token SET → contaminated
+      (4L, "benchmark question with extra words"))   // different set → clean
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("scrubbed").collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(1L, 4L), s"got $kept")
+  }
+
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
