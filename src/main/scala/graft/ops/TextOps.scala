@@ -121,9 +121,14 @@ object TextOps {
   /** Sound size prefilter: J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|), so a
     * pair failing the ratio can never clear the threshold; the check
     * is two scalar comparisons, pushed into the join condition, and
-    * prunes most pairs before any array intersection runs. */
+    * prunes most pairs before any array intersection runs. The 1e-9
+    * slack keeps the filter sound under fp: when min = t·max EXACTLY
+    * (complete containment at J = t) the product t·max can round a
+    * hair above the true integer and wrongly reject; size deltas are
+    * quantized ≥ 1/max, so the slack admits no truly-failing pair at
+    * any realistic set size, and the exact verify follows anyway. */
   private def sizeCompatible(sa: Column, sb: Column, threshold: Double): Column =
-    least(sa, sb) >= greatest(sa, sb) * lit(threshold)
+    least(sa, sb) >= greatest(sa, sb) * lit(threshold) - lit(1e-9)
 
   /** Exact Jaccard verification of a (doc_a, doc_b) candidate list:
     * joins candidates back to the shingle table `sets` (doc_id, w, sz)
@@ -186,8 +191,14 @@ object TextOps {
     val ranked = toks.join(dfreq, "t")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+    // the 1e-9 inside ceil keeps the prefix length sound under fp:
+    // t·sz for an exactly-integer product (e.g. 0.9·40) can round a
+    // hair ABOVE the integer and ceil would then shorten the prefix
+    // below the proven bound — a recall hole. Underestimating only
+    // lengthens the prefix (more candidates, verified exactly anyway).
     val prefix = ranked
-      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .where(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1))
       .select(col("doc_id"), col("source"), col("t"), col("sz"))
     val candidates = prefix.as("x")
       .join(prefix.as("y"),
