@@ -141,6 +141,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(ex.contains("ReusedExchange") || ex.contains("reused"), ex)
   }
 
+  test("q52: LSH candidates come from the band-keyed join, never a cross join") {
+    val p = plan("q52_neardup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("eft keys") && l.contains("band")), p)
+  }
+
+  test("q92: approx percentiles aggregate partial+final with no sort below the agg") {
+    val p = plan("q92_approx_percentiles")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p) // the whole point vs q76's exact path
+  }
+
+  test("q93: LM score is keyed shuffles plus one broadcast scalar total") {
+    val p = plan("q93_unigram_nll")
+    // the only nested-loop join allowed is the 1-row broadcast total
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // wordcount + per-doc, partial+final each
+  }
+
   test("quality/winnowing text operators are shuffle-free scans") {
     // the operators themselves (without the query's presentation
     // ORDER BY) must be pure projection pipelines over the scan — no
