@@ -346,13 +346,27 @@ object TextOps {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
-    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
     // (labelSource, labelTarget): each undirected pair feeds both ways.
     // Materialized once — the expensive pair verification never reruns.
-    val edges = nearDupExact(docs, threshold, ngram)
+    val rawEdges = nearDupExact(docs, threshold, ngram)
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // AQE cannot coalesce RDD stages, so size the loop's partitioner
+    // explicitly: ~500k edges per partition, clamped to the session's
+    // shuffle conf. A small pair graph then iterates in a handful of
+    // tasks instead of paying numShufflePartitions × stages of
+    // scheduling overhead per iteration; a 100 TB graph still spreads
+    // across the full conf.
+    val nEdges = rawEdges.count()
+    val part = new HashPartitioner(math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      ((nEdges + 499999L) / 500000L).toInt)))
+    val edges = rawEdges.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    // force edges so the un-partitioned copy can be dropped now — at
+    // scale holding both doubles the edge storage for the whole loop
+    edges.foreachPartition(_ => ())
+    rawEdges.unpersist(blocking = false)
     // iteration 1 fused into init: with identity labels the first
     // neighbor-min per node is min over the values already keyed by
     // that node (the edge list is symmetric), so reduceByKey on the
