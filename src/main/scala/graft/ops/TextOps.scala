@@ -609,6 +609,37 @@ object TextOps {
         col("tf"), col("df"))
   }
 
+  /** Cross-document boilerplate fraction (the substring-dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better": repeated spans across documents mark template /
+    * boilerplate text that document-level dedup cannot see). For each
+    * document: the fraction of its distinct word n-grams that occur
+    * in at least `minDocs` documents. Gram strings (not hashes) so
+    * the oracle compares identical values. Two keyed shuffles: the
+    * corpus gram-frequency aggregation and the per-doc fraction; the
+    * gram⋈df join is keyed on the gram — never corpus×corpus. */
+  def crossDocBoilerplate(docs: DataFrame, n: Int = 5,
+                          minDocs: Int = 2): DataFrame = {
+    val words = split(coalesce(col("text"), lit("")), " ")
+    // distinct per doc: a doc repeating its own gram counts once here
+    // (within-doc repetition is repetitionStats' signal, not this one)
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(words) >= n,
+        array_distinct(transform(sequence(lit(0), size(words) - lit(n)),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val dfg = grams.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
+    val per = grams.join(dfg, "g").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("boilerplate_frac"))
+    // docs too short for any n-gram still report (0, 0.0)
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("boilerplate_frac"), lit(0.0)).as("boilerplate_frac"))
+  }
+
   /** Unigram language-model quality score (the CCNet-style
     * statistical filter): each document scored by the mean −ln p(w)
     * of its tokens under the corpus's OWN unigram distribution —

@@ -265,6 +265,27 @@ object LlmQueries {
       |FROM t JOIN c USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Cross-document boilerplate fraction (substring-dedup signal). */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    TextOps.crossDocBoilerplate(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q94Sql =
+    """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      |           FROM documents),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i : i + 4], ' ') AS g
+      |      FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+      |d AS (SELECT g, count(*) AS ndocs FROM g GROUP BY g),
+      |f AS (SELECT g.doc_id, count(*) AS n_grams,
+      |        round((count(*) FILTER (d.ndocs >= 2))::DOUBLE / count(*), 4)
+      |          AS boilerplate_frac
+      |      FROM g JOIN d USING (g) GROUP BY g.doc_id)
+      |SELECT documents.doc_id,
+      |  CAST(coalesce(f.n_grams, 0) AS BIGINT) AS n_grams,
+      |  coalesce(f.boilerplate_frac, 0.0) AS boilerplate_frac
+      |FROM documents LEFT JOIN f ON documents.doc_id = f.doc_id
+      |ORDER BY documents.doc_id""".stripMargin
+
   private def q55(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -501,7 +522,8 @@ object LlmQueries {
     "q73_pii_scrub" -> (q73 _),
     "q74_ann_recall" -> (q74 _),
     "q75_label_centroids" -> (q75 _),
-    "q93_unigram_nll" -> (q93 _))
+    "q93_unigram_nll" -> (q93 _),
+    "q94_crossdoc_ngrams" -> (q94 _))
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,
@@ -526,5 +548,6 @@ object LlmQueries {
     "q73_pii_scrub" -> q73Sql,
     // q74 rows-only: LSH recall is hash-family-specific
     "q75_label_centroids" -> q75Sql,
-    "q93_unigram_nll" -> q93Sql)
+    "q93_unigram_nll" -> q93Sql,
+    "q94_crossdoc_ngrams" -> q94Sql)
 }
