@@ -177,28 +177,26 @@ object VectorOps {
     * is one embarrassingly-parallel codegen'd pass, and the probe join
     * is keyed by cell — candidate volume scales with
     * corpus/nCells · nProbe, not with the corpus. */
+  /** Bounded, layout-independent training sample in ONE corpus pass:
+    * take the maxTrain smallest rows by (hash(id), id). The hash
+    * order is a uniform pseudo-random draw regardless of id patterns
+    * (all-even ids, offset strides), the id tiebreak makes the order
+    * total, and orderBy+limit plans TakeOrderedAndProject —
+    * per-partition heaps + driver merge, never a full sort and never
+    * a separate count() scan (the previous modulo-sample shape read
+    * the corpus twice). Deterministic on any cluster layout. */
+  private def trainSample(corpus: DataFrame, maxTrain: Int): Array[Array[Double]] =
+    corpus.select(col("vec_id"), col("v"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"))
+      .limit(maxTrain)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
+
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               maxTrain: Int = 4096): DataFrame = {
     val corpus = prepared(embeddings)
-    val total = corpus.count()
-    val every = math.max(1L, total / maxTrain)
-    // sample on a HASH of the id, not the id itself: patterned ids
-    // (all even, offset strides) would make a plain modulo select the
-    // whole corpus or nothing. The hash spreads any id set uniformly,
-    // the orderBy+limit caps the driver collect at maxTrain rows
-    // (TakeOrderedAndProject — per-partition heaps, no full sort), and
-    // both are layout-independent, so the centers are deterministic on
-    // any cluster shape.
-    def sampled(filtered: DataFrame) = filtered
-      .select(col("vec_id"), col("v"))
-      .orderBy(col("vec_id")).limit(maxTrain)
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
-    val hashed = sampled(corpus.where(pmod(xxhash64(col("vec_id")), lit(every)) === 0))
-    // degenerate-hash fallback (can only trigger for tiny corpora):
-    // train on the first maxTrain rows by id instead of failing
-    val trainRows = if (hashed.nonEmpty) hashed else sampled(corpus)
+    val trainRows = trainSample(corpus, maxTrain)
     if (trainRows.isEmpty) {
       // empty corpus: no cells to build — return the empty result shape
       val spark0 = embeddings.sparkSession
@@ -239,6 +237,100 @@ object VectorOps {
     scored
       .select(col("query_id"), col("vec_id"), col("cos"))
       .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF+PQ approximate top-k (the FAISS-style index pipeline):
+    * 1. the coarse quantizer prunes each query to its nProbe nearest
+    *    cells (candidates ∝ corpus/nCells · nProbe, as in [[ivfTopK]]);
+    * 2. per-subspace product-quantization codes turn candidate scoring
+    *    into `subs` table lookups (asymmetric distance computation)
+    *    instead of a full dim-width dot product — at 100 TB the codes
+    *    are the only per-row state the scoring pass touches, 8 bytes
+    *    of ints versus 512 bytes of raw floats per vector;
+    * 3. the `rerank` best ADC candidates per query are re-scored with
+    *    the EXACT cosine, so reported scores are exact and only RECALL
+    *    is approximate.
+    * Training is driver-side Lloyd's over one bounded
+    * layout-independent sample (coarse centers + `subs` codebooks —
+    * O(sample), constant in corpus size); encoding is one codegen'd
+    * expression-argmin pass per subspace; the ADC sum is an
+    * element_at lookup chain — no UDF anywhere. Rows-only by nature
+    * (index-specific shortlists); VectorOpsSpec pins recall vs the
+    * exact path and exactness of the reported scores. */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+             nCells: Int = 16, nProbe: Int = 4,
+             subs: Int = 8, codebookSize: Int = 16, rerank: Int = 64,
+             maxTrain: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nd = nativeDot(Some(spark))
+    val corpus = prepared(embeddings)
+    val trainRows = trainSample(corpus, maxTrain)
+    if (trainRows.isEmpty) {
+      return spark.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "vec_id", "cos", "rank")
+    }
+    val dim = trainRows(0).length
+    require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
+    val w_ = dim / subs
+    val coarse = localKMeans(trainRows, nCells, iters = 5)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(subs) { s =>
+      localKMeans(trainRows.map(_.slice(s * w_, (s + 1) * w_)),
+        codebookSize, iters = 5)
+    }
+    // encode: coarse cell + one expression-argmin per subspace
+    val coded = corpus
+      .withColumn("cell", nearestCell(col("v"), coarse, nd))
+      .withColumn("codes", array((0 until subs).map { s =>
+        nearestCell(slice(col("v"), s * w_ + 1, w_), books(s), nd)
+      }: _*))
+    // query side (contract-small): probe cells plus the flattened
+    // per-subspace ADC table of partial dots ⟨q_s, center⟩
+    val qRows = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+      .collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
+      val table = Array.tabulate(subs * codebookSize) { i =>
+        val s = i / codebookSize
+        val cen = books(s)(i % codebookSize)
+        var d = 0.0; var j = 0
+        while (j < w_) { d += qv(s * w_ + j) * cen(j); j += 1 }
+        d
+      }
+      coarse.zipWithIndex.map { case (cen, i) =>
+        var d = 0.0; var j = 0
+        while (j < qv.length) { val t = qv(j) - cen(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map { case (cell, _) =>
+        (r.getAs[Long]("query_id"), cell, table.toSeq, qv.toSeq,
+          r.getAs[Double]("qn"))
+      }
+    }
+    val probeDf = spark.createDataset(probes.toSeq)
+      .toDF("query_id", "cell", "tbl", "qv", "qn")
+    // ADC: approx ⟨q,x⟩ = Σ_s tbl[s·B + code_s] — `subs` lookups
+    val adc = (0 until subs).map { s =>
+      element_at(col("tbl"),
+        (lit(s * codebookSize) + element_at(col("codes"), s + 1) + lit(1)).cast("int"))
+    }.reduce(_ + _)
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = coded.join(broadcast(probeDf),
+        coded("cell") === probeDf("cell") && col("query_id") =!= col("vec_id"))
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(shortW))
+      .where(col("srank") <= rerank)
+    // exact cosine over the shortlist only
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .withColumn("cos",
+        round(dotIf(nd, col("v"), col("qv")) / (col("n") * col("qn")), 4))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rank", row_number().over(w2))
       .where(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
   }

@@ -366,6 +366,16 @@ object LlmQueries {
     VectorOps.ivfTopK(e, e.where(col("vec_id") < 10), 3)
   }
 
+  /** IVF+PQ ANN (rows-only: index-specific shortlist; the exhaustive
+    * -settings-equal-exact pin and the recall floor live in
+    * VectorOpsSpec). nProbe=8 of 16 cells: the synthetic embeddings
+    * are near-random (max pairwise cos ~0.5), so neighbor structure
+    * is weak and a wider probe keeps recall useful. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    VectorOps.pqTopK(e, e.where(col("vec_id") < 10), 3, nProbe = 8)
+  }
+
   private def q62(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDup(Tables(s, dir, "embeddings"), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -523,7 +533,9 @@ object LlmQueries {
     "q74_ann_recall" -> (q74 _),
     "q75_label_centroids" -> (q75 _),
     "q93_unigram_nll" -> (q93 _),
-    "q94_crossdoc_ngrams" -> (q94 _))
+    "q94_crossdoc_ngrams" -> (q94 _),
+    "q95_pq_ann" -> (q95 _))
+  // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
     "q66_multimodal_frames" -> q66Sql,

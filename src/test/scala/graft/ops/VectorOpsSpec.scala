@@ -61,6 +61,39 @@ class VectorOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall, ivf=$ivf, exact=$exact")
   }
 
+  test("IVF+PQ: exhaustive settings reproduce the exact top-k; reported scores are always exact") {
+    val k = 4
+    val queries = df.where(col("vec_id") < 4)
+    val exact = VectorOps.cosineTopK(df, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))).toSet
+    // probe every cell with an unbounded shortlist: the approximation
+    // vanishes and the PQ pipeline must reproduce the exact result —
+    // pins the encode/ADC/re-rank plumbing end-to-end
+    val full = VectorOps.pqTopK(df, queries, k, nCells = 4, nProbe = 4,
+      subs = 4, rerank = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"))).toSet
+    assert(full == exact, s"missing=${exact -- full} extra=${full -- exact}")
+    // approximate settings: recall floor (same convention as IVF), and
+    // every reported score must still be the EXACT cosine — only
+    // membership is approximate, never the values
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    val approx = VectorOps.pqTopK(df, queries, k, nCells = 4, nProbe = 2,
+      subs = 4, rerank = 16).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    assert(approx.nonEmpty)
+    approx.foreach { case (q, v, c) =>
+      val expect = BigDecimal(localCosine(byId(q), byId(v)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == expect, s"($q,$v): reported $c, exact $expect")
+    }
+    val ids = approx.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(e => ids.contains((e._1, e._2))).toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("labelCentroids matches the locally computed per-label means") {
     val out = VectorOps.labelCentroids(df).collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Long]("pos")) ->
