@@ -295,10 +295,17 @@ object VectorOps {
       val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
       val table = Array.tabulate(subs * codebookSize) { i =>
         val s = i / codebookSize
-        val cen = books(s)(i % codebookSize)
-        var d = 0.0; var j = 0
-        while (j < w_) { d += qv(s * w_ + j) * cen(j); j += 1 }
-        d
+        val book = books(s)
+        val c = i % codebookSize
+        // tiny corpora train fewer than codebookSize centers; codes
+        // never reference the missing slots, so any filler works
+        if (c >= book.length) 0.0
+        else {
+          val cen = book(c)
+          var d = 0.0; var j = 0
+          while (j < w_) { d += qv(s * w_ + j) * cen(j); j += 1 }
+          d
+        }
       }
       coarse.zipWithIndex.map { case (cen, i) =>
         var d = 0.0; var j = 0

@@ -94,6 +94,13 @@ class VectorOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("IVF+PQ survives a corpus smaller than the codebook") {
+    val tiny = spark.createDataFrame(vecs.take(5)).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.pqTopK(tiny, tiny.where(col("vec_id") === 0), 2, subs = 4)
+      .collect()
+    assert(out.length == 2)
+  }
+
   test("labelCentroids matches the locally computed per-label means") {
     val out = VectorOps.labelCentroids(df).collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Long]("pos")) ->
