@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators for large-scale training-data curation:
   * exact + near-duplicate detection, document fingerprinting, token
-  * statistics, language ID. All hot paths are Catalyst expressions
-  * (codegen'd, no Python, no driver loops); the only UDF is the
-  * per-row simhash scalar (documented below).
+  * statistics, language ID, quality scoring. All hot paths are
+  * Catalyst expressions (codegen'd, no Python, no driver loops); the
+  * only UDFs are the per-row simhash scalar and the Bloom-filter
+  * membership probe (both documented at their definitions — each
+  * exists because no public expression covers it).
   *
-  * Scale shape: every operator is a per-row projection followed by at
-  * most one keyed shuffle (groupBy fingerprint / LSH-bucket join), so
-  * the plans hold at 100 TB: no cross join ever touches the full
-  * corpus × corpus space — candidate generation is always bucketed.
+  * Scale shape: every operator is a linear scan plus keyed shuffles,
+  * so the plans hold at 100 TB: no cross join ever touches the full
+  * corpus × corpus space — candidate generation is token-, band- or
+  * bucket-keyed, never all-pairs.
   */
 object TextOps {
 
