@@ -27,8 +27,12 @@ private[cli] object CliSession {
     * file). The distributed scan opens files on executors in
     * arbitrary order, so the honest driver-side equivalent is the
     * resolved input list before the job launches. */
-  def announceInputs(spark: SparkSession, ds: Dataset[_]): Unit =
-    ds.inputFiles.sorted.foreach(f => System.err.println(s"reading $f"))
+  def announceInputs(spark: SparkSession, ds: Dataset[_]): Unit = {
+    // byte-exact line format: "Reading " + file, flushed per line
+    // (JsonSchemaFinder.java:231-232 uses printlnErr + flush)
+    ds.inputFiles.sorted.foreach(f => System.err.println(s"Reading $f"))
+    System.err.flush()
+  }
 
   /** NDJSON lines by default; `whole` reads each file as one unit for
     * documents spanning lines (parallelism across files only). */

@@ -85,14 +85,34 @@ object Multimodal {
       if (p.length >= 24 && u8(p(0)) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
         ("png", rdBe32(p, 16), rdBe32(p, 20))
       else if (p.length >= 4 && u8(p(0)) == 0xFF && u8(p(1)) == 0xD8) {
-        // scan segments for a start-of-frame marker (C0-C3, C5-C7...)
+        // scan segments for a start-of-frame marker (C0-C3, C5-C7...).
+        // Real-world streams interleave 0xFF fill padding before marker
+        // ids, and some markers carry NO length word (TEM 0x01,
+        // RST0-7 0xD0-D7, SOI/EOI) — assuming a universal 2-byte length
+        // mis-advances the scan (ADVICE r5). Entropy-coded data after
+        // SOS contains no more headers, so SOS/EOI end the scan.
         var i = 2
         var res: (String, Int, Int) = ("unknown", 0, 0)
-        while (res._1 == "unknown" && i + 9 <= p.length && u8(p(i)) == 0xFF) {
-          val m = u8(p(i + 1))
-          if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
-            res = ("jpeg", rdBe16(p, i + 7), rdBe16(p, i + 5))
-          else i += 2 + rdBe16(p, i + 2) // skip marker + its payload
+        var stop = false
+        while (!stop && res._1 == "unknown" && i + 1 < p.length) {
+          if (u8(p(i)) != 0xFF) stop = true // lost marker sync — bail
+          else {
+            var j = i + 1 // skip 0xFF fill bytes before the marker id
+            while (j < p.length && u8(p(j)) == 0xFF) j += 1
+            if (j >= p.length) stop = true
+            else {
+              val m = u8(p(j))
+              if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+                // SOF payload: len(2) precision(1) height(2) width(2)
+                if (j + 8 <= p.length)
+                  res = ("jpeg", rdBe16(p, j + 6), rdBe16(p, j + 4))
+                stop = true
+              } else if (m == 0xDA || m == 0xD9) stop = true // SOS / EOI
+              else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) i = j + 1
+              else if (j + 3 <= p.length) i = j + 1 + rdBe16(p, j + 1)
+              else stop = true
+            }
+          }
         }
         res
       } else if (p.length >= 30 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&

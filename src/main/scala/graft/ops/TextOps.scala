@@ -361,9 +361,13 @@ object TextOps {
     // scheduling overhead per iteration; a 100 TB graph still spreads
     // across the full conf.
     val nEdges = rawEdges.count()
-    val part = new HashPartitioner(math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      ((nEdges + 499999L) / 500000L).toInt)))
+    // clamp in Long BEFORE narrowing: (nEdges+499999)/500000 overflows
+    // Int past ~1.07e15 edges, and a negative operand would make the
+    // min/max pair collapse the partitioner to 1 at exactly the scale
+    // it exists for (ADVICE r5)
+    val part = new HashPartitioner(math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (nEdges + 499999L) / 500000L)).toInt)
     val edges = rawEdges.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     // force edges so the un-partitioned copy can be dropped now — at
     // scale holding both doubles the edge storage for the whole loop

@@ -318,11 +318,17 @@ object VectorOps {
     }
     val probeDf = spark.createDataset(probes.toSeq)
       .toDF("query_id", "cell", "tbl", "qv", "qn")
-    // ADC: approx ⟨q,x⟩ = Σ_s tbl[s·B + code_s] — `subs` lookups
+    // ADC: approx ⟨q,x⟩ = Σ_s tbl[s·B + code_s] — `subs` lookups.
+    // Divide by the candidate norm (already on the coded rows) so the
+    // shortlist is ranked by approximate COSINE, matching the final
+    // metric — an unnormalized inner product biases the shortlist
+    // toward large-norm vectors and silently costs recall (ADVICE r5).
+    // The query norm is constant within a partition, so it can't
+    // change the order and is left out.
     val adc = (0 until subs).map { s =>
       element_at(col("tbl"),
         (lit(s * codebookSize) + element_at(col("codes"), s + 1) + lit(1)).cast("int"))
-    }.reduce(_ + _)
+    }.reduce(_ + _) / col("n")
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val shortlist = coded.join(broadcast(probeDf),

@@ -129,15 +129,23 @@ object EventStreams {
     * ingest-time form a training-data pipeline runs before anything
     * else touches the stream. */
   def dedupStream(events: DataFrame, keys: Seq[String],
-                  lateness: String = "30 minutes"): DataFrame =
+                  lateness: String = "30 minutes"): DataFrame = {
+    require(keys.nonEmpty, "dedupStream needs at least one key column")
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
-  /** Single-key convenience form. */
+  /** Single-key convenience forms. Scala allows default arguments on
+    * only one overload, so the pre-composite-key call shape
+    * `dedupStream(df, "key")` gets its own explicit 2-arg overload
+    * (ADVICE r5: the Seq migration silently broke it). */
   def dedupStream(events: DataFrame, key: String,
                   lateness: String): DataFrame =
     dedupStream(events, Seq(key), lateness)
+
+  def dedupStream(events: DataFrame, key: String): DataFrame =
+    dedupStream(events, Seq(key))
 
   /** Stream–static enrichment join: the static dim is broadcast to
     * every micro-batch (no state, no watermark needed) — the standard

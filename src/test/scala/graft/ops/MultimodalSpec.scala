@@ -27,10 +27,23 @@ class MultimodalSpec extends SparkTestBase {
     val realish = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++
       jpegHeader(320, 240).drop(2)
     assert(sniff(realish) == ("jpeg", 320, 240))
+    // 0xFF fill padding before a marker id and length-less standalone
+    // markers (TEM, RST0-7) must not desync the scan (ADVICE r5)
+    val ff = 0xFF.toByte
+    val padded = Array[Byte](ff, 0xD8.toByte, ff, ff, ff) ++ app0 ++
+      Array[Byte](ff, 0x01.toByte) ++ // TEM: standalone, no length word
+      Array[Byte](ff, 0xD0.toByte) ++ // RST0: standalone, no length word
+      Array(ff, ff) ++ jpegHeader(320, 240).drop(2)
+    assert(sniff(padded) == ("jpeg", 320, 240))
+    // entropy-coded data after SOS carries no headers — scan must stop
+    val sos = Array[Byte](ff, 0xDA.toByte, 0, 4, 1, 0) ++
+      Array.fill[Byte](32)(0x42)
+    assert(sniff(Array[Byte](ff, 0xD8.toByte) ++ sos)._1 == "unknown")
     // garbage and truncated payloads classify, never throw
     assert(sniff("not media at all".getBytes)._1 == "unknown")
     assert(sniff(Array[Byte](0x89.toByte, 'P'))._1 == "unknown")
     assert(sniff(Array.emptyByteArray)._1 == "unknown")
+    assert(sniff(Array[Byte](ff, 0xD8.toByte, ff, ff, ff))._1 == "unknown")
   }
 
   test("decode parses the synthesized header: dims text-derived, bytes include header") {

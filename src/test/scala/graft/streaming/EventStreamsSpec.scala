@@ -155,6 +155,11 @@ class EventStreamsSpec extends SparkTestBase {
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
     val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
       .withColumn("event_id", col("user_id") * 100 + col("value").cast("long"))
+    // the 2-arg single-key call shape must keep compiling (ADVICE r5)
+    EventStreams.dedupStream(events, "event_id")
+    intercept[IllegalArgumentException] {
+      EventStreams.dedupStream(events, Seq.empty[String])
+    }
     val q = EventStreams.dedupStream(events, "event_id", "10 minutes")
       .writeStream.format("memory").queryName("deduped")
       .outputMode("append").start()
