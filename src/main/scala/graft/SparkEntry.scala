@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytic, Curation, JsonQueries, LlmQueries, Relational}
+import graft.queries.{Analytic, Curation, JsonQueries, LlmQueries, Pipeline, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Analytic.queries ++ JsonQueries.queries ++
-      LlmQueries.queries ++ Curation.queries
+      LlmQueries.queries ++ Curation.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose semantics are not
@@ -34,5 +34,5 @@ object SparkEntry {
     * schema inference) → driver records a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Analytic.oracle ++ JsonQueries.oracle ++
-      LlmQueries.oracle ++ Curation.oracle
+      LlmQueries.oracle ++ Curation.oracle ++ Pipeline.oracle
 }

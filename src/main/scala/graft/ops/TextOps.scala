@@ -626,14 +626,7 @@ object TextOps {
     * gram⋈df join is keyed on the gram — never corpus×corpus. */
   def crossDocBoilerplate(docs: DataFrame, n: Int = 5,
                           minDocs: Int = 2): DataFrame = {
-    val words = split(coalesce(col("text"), lit("")), " ")
-    // distinct per doc: a doc repeating its own gram counts once here
-    // (within-doc repetition is repetitionStats' signal, not this one)
-    val grams = docs.select(col("doc_id"),
-      explode(when(size(words) >= n,
-        array_distinct(transform(sequence(lit(0), size(words) - lit(n)),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
-        .otherwise(array().cast("array<string>"))).as("g"))
+    val grams = distinctNgrams(docs, n)
     val dfg = grams.groupBy(col("g")).agg(count(lit(1)).as("ndocs"))
     val per = grams.join(dfg, "g").groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -870,5 +863,100 @@ object TextOps {
     val mightContain = udf((fp: String) => bloom.mightContainString(fp))
     train.select(col("doc_id"), fpCol.as("fp"))
       .where(mightContain(col("fp")))
+  }
+
+  /** One row per DISTINCT word n-gram per document — the
+    * substring-granularity unit shared by [[crossDocBoilerplate]] and
+    * [[ngramContamination]]. Distinct per doc: a doc repeating its own
+    * gram counts once (within-doc repetition is [[repetitionStats]]'
+    * signal). Gram STRINGS, not hashes, so an external oracle compares
+    * identical values. Docs shorter than n yield no rows. */
+  private def distinctNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val words = split(coalesce(col("text"), lit("")), " ")
+    docs.select(col("doc_id"),
+      explode(when(size(words) >= n,
+        array_distinct(transform(sequence(lit(0), size(words) - lit(n)),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+  }
+
+  /** N-gram decontamination (the GPT-3 appendix-C discipline): flag
+    * every training document that shares ANY word n-gram with the
+    * held-out eval set. Stricter than the whole-document fingerprint
+    * check ([[contamination]]), which misses eval text quoted inside a
+    * larger page. Emits one row per contaminated doc with the
+    * shared-gram count and the lexicographically first shared gram as
+    * evidence. 100 TB shape: the train side explodes to (doc, gram)
+    * and probes the DISTINCT eval gram set — benchmark-sized by
+    * contract, hence broadcast — so the train side is never shuffled
+    * on the gram; the per-doc rollup is one keyed aggregation. */
+  def ngramContamination(train: DataFrame, eval_ : DataFrame,
+                         n: Int = 5): DataFrame = {
+    val evalGrams = distinctNgrams(eval_, n).select(col("g")).distinct()
+    distinctNgrams(train, n)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        min(col("g")).as("first_gram"))
+  }
+
+  /** Concatenation packing (the GPT-style pretraining batcher): per
+    * pack key (`source` here), documents are laid end-to-end in
+    * doc_id order and the token stream is chopped into fixed
+    * `budget`-word context windows. One row per (source, window):
+    * how many documents touch it and the words it holds (== budget
+    * everywhere but the tail window, asserted by spec). The running
+    * offset is a window cumsum — packing is an ordered fold, so it is
+    * per-key sequential by nature; at 100 TB the pack key is
+    * (source, shard) and streams pack in parallel, which the single
+    * `source` key models. A document spanning k windows explodes to k
+    * rows, k ≈ len/budget — bounded by the doc length. Offsets use
+    * integer DIV (never double division, which loses exactness past
+    * 2^53 words). */
+  def contextPacking(docs: DataFrame, budget: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"),
+        size(split(coalesce(col("text"), lit("")), " ")).cast("bigint").as("nw"))
+      .withColumn("end", sum(col("nw")).over(w))
+      .withColumn("start", col("end") - col("nw"))
+      .withColumn("window_id", explode(sequence(
+        expr(s"start DIV $budget"), expr(s"(`end` - 1) DIV $budget"))))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("end"), (col("window_id") + 1) * budget) -
+          greatest(col("start"), col("window_id") * budget)).as("n_words"))
+  }
+
+  /** Quality-filter funnel: per source, how many documents each
+    * curation rule rejects and how many survive all of them — the
+    * observability table a production pipeline keeps so a filter
+    * change is attributable BEFORE the 100 TB re-run. The rules are
+    * the Gopher/C4-style signals of [[qualityScore]] and
+    * [[repetitionStats]] evaluated inline: one scan, conditional
+    * partial+final aggregation, no shuffle beyond the source key.
+    * Flags compare the RAW ratios (quotients of small ints — identical
+    * IEEE doubles on any engine), mirroring qualityScore's contract. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val stopRatio =
+      size(filter(words, w => w.isin(QualityStopwords: _*))).cast("double") / nWords
+    val meanWordLen =
+      length(replace(col("text"), lit(" "), lit(""))).cast("double") / nWords
+    val dupWordRatio = lit(1.0) - size(array_distinct(words)).cast("double") / nWords
+    val shortFail = size(words) < 8
+    val stopFail = stopRatio < 0.02
+    val lenFail = !meanWordLen.between(2.0, 12.0)
+    val repFail = dupWordRatio > 0.5
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(shortFail, 1L).otherwise(0L)).as("n_short"),
+      sum(when(stopFail, 1L).otherwise(0L)).as("n_low_stopword"),
+      sum(when(lenFail, 1L).otherwise(0L)).as("n_bad_wordlen"),
+      sum(when(repFail, 1L).otherwise(0L)).as("n_repetitive"),
+      sum(when(!shortFail && !stopFail && !lenFail && !repFail, 1L)
+        .otherwise(0L)).as("n_survivors"))
   }
 }

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.ops.{Sharding, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 pipeline operators: n-gram decontamination, deterministic
+  * shard export, context-window packing, and the quality-filter
+  * funnel. Same determinism conventions as [[LlmQueries]] (bigint
+  * counts, total ORDER BY with unique tiebreaks, raw-ratio flags). */
+object Pipeline {
+
+  /** N-gram decontamination: train docs (outside src0) sharing any
+    * word 5-gram with the held-out src0 slice — the substring-level
+    * sibling of the whole-document fingerprint check q70. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    TextOps.ngramContamination(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q96Sql =
+    """WITH w AS (SELECT doc_id, source,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, source,
+      |        array_to_string(ws[i : i + 4], ' ') AS g
+      |      FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+      |e AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+      |SELECT g.doc_id, count(*) AS n_shared_grams, min(g.g) AS first_gram
+      |FROM g JOIN e USING (g) WHERE g.source <> 'src0'
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  /** Deterministic shard export round-trip: write 8 shards, read the
+    * partitioned sink back, audit per-shard counts — the oracle
+    * recomputes the same Lehmer shard function from the raw table, so
+    * a green row proves rows landed in exactly the right shard dirs
+    * and none were lost or duplicated by the write. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_shards_${Integer.toHexString(dir.hashCode)}"
+    Sharding.writeShards(Tables(s, dir, "documents"), out, 8,
+      maxRecordsPerFile = 10000L)
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("bigint").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(coalesce(col("text"), lit("")), " ")).cast("bigint"))
+          .as("n_words"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
+  private val q97Sql =
+    """WITH s AS (SELECT *,
+      |    CAST(((doc_id * 48271) % 2147483647) % 8 AS BIGINT) AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+      |    AS n_words,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Context-window packing audit: per (source, window) doc and word
+    * counts for the concatenation-packed token stream. */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    TextOps.contextPacking(Tables(s, dir, "documents"))
+      .orderBy(col("source"), col("window_id"))
+
+  private val q98Sql =
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS nw
+      |  FROM documents),
+      |o AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e FROM d),
+      |x AS (SELECT source, doc_id, nw, e - nw AS s, e FROM o),
+      |win AS (SELECT source, doc_id, s, e,
+      |    unnest(range(s // 256, (e - 1) // 256 + 1)) AS window_id FROM x)
+      |SELECT source, window_id, count(*) AS n_docs,
+      |  CAST(sum(least(e, (window_id + 1) * 256)
+      |         - greatest(s, window_id * 256)) AS BIGINT) AS n_words
+      |FROM win GROUP BY source, window_id
+      |ORDER BY source, window_id""".stripMargin
+
+  /** Quality-filter funnel: per-source rejection counts per rule. */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    TextOps.filterFunnel(Tables(s, dir, "documents"))
+      .orderBy(col("source"))
+
+  private val q99Sql =
+    """WITH f AS (SELECT source,
+      |    len(string_split(text, ' ')) AS nw,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    length(replace(text, ' ', ''))::DOUBLE
+      |      / len(string_split(text, ' ')) AS mwl,
+      |    1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |      / len(string_split(text, ' ')) AS dup_ratio
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN nw < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST(sum(CASE WHEN stop_ratio < 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_stopword,
+      |  CAST(sum(CASE WHEN NOT (mwl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_bad_wordlen,
+      |  CAST(sum(CASE WHEN dup_ratio > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive,
+      |  CAST(sum(CASE WHEN nw >= 8 AND stop_ratio >= 0.02
+      |      AND mwl BETWEEN 2.0 AND 12.0 AND dup_ratio <= 0.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_ngram_contamination" -> (q96 _),
+    "q97_shard_export" -> (q97 _),
+    "q98_context_packing" -> (q98 _),
+    "q99_filter_funnel" -> (q99 _))
+
+  val oracle: Map[String, String] = Map(
+    "q96_ngram_contamination" -> q96Sql,
+    "q97_shard_export" -> q97Sql,
+    "q98_context_packing" -> q98Sql,
+    "q99_filter_funnel" -> q99Sql)
+}

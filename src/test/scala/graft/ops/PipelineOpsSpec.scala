@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-6 pipeline operators: n-gram decontamination, context-window
+  * packing, quality-filter funnel, deterministic shard export. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  import org.apache.spark.sql.DataFrame
+
+  private def df(rows: Seq[(Long, String, String)]): DataFrame =
+    spark.createDataFrame(rows).toDF("doc_id", "text", "source")
+
+  test("ngramContamination flags exactly the docs sharing a 5-gram with eval") {
+    val evalSet = df(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "eval")))
+    val train = df(Seq(
+      // shares "quick brown fox jumps over" (and more) with eval
+      (1L, "intro text then the quick brown fox jumps over a fence", "tr"),
+      // shares only a 4-gram ("brown fox jumps over" broken by swap)
+      (2L, "quick brown fox leaps over the lazy dog maybe", "tr"),
+      (3L, "completely unrelated words in this training document body", "tr"),
+      (4L, "", "tr")))
+    val out = TextOps.ngramContamination(train, evalSet).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_grams"), r.getAs[String]("first_gram"))).toMap
+    assert(out.keySet == Set(1L), s"got $out")
+    // doc 1 vs eval: shared 5-grams are "the quick brown fox jumps" and
+    // "quick brown fox jumps over"
+    assert(out(1L)._1 == 2L)
+    assert(out(1L)._2 == "quick brown fox jumps over") // lexicographic min
+  }
+
+  test("ngramContamination fires on the real corpus and catches verbatim quoting") {
+    // NOTE the two screens are deliberately orthogonal on this corpus:
+    // exact contamination (q70) matches token-SET fingerprints, which
+    // this word-salad corpus duplicates in scrambled ORDER — those
+    // share no literal 5-gram. The gram screen instead catches ordered
+    // substring overlap, including eval text quoted inside a larger doc
+    // (which the whole-doc fingerprint can never see).
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val train = docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"), col("source"))
+    val evalSet = docs.where(col("source") === "src0")
+    // the corpus itself has cross-source ordered overlap (6 docs at sf0.001)
+    assert(TextOps.ngramContamination(train, evalSet).count() > 0)
+    // a train doc QUOTING an eval doc verbatim inside extra context is
+    // flagged, with every eval 5-gram shared
+    val evalRow = evalSet.select(col("text")).where(size(split(col("text"), " ")) >= 10)
+      .orderBy(col("doc_id")).limit(1).collect()(0).getString(0)
+    val nEvalWords = evalRow.split(" ").length
+    val quoting = df(Seq((900001L, s"prefix words then $evalRow and a suffix", "trX")))
+    val hit = TextOps.ngramContamination(quoting, evalSet).collect()
+    assert(hit.length == 1 && hit(0).getAs[Long]("doc_id") == 900001L)
+    assert(hit(0).getAs[Long]("n_shared_grams") >= nEvalWords - 4)
+  }
+
+  test("contextPacking windows tile the concatenated stream exactly") {
+    val docs = df(Seq(
+      (1L, Seq.fill(300)("w").mkString(" "), "a"), // 300 words
+      (2L, Seq.fill(100)("w").mkString(" "), "a"), // ends at 400
+      (3L, Seq.fill(200)("w").mkString(" "), "a"), // ends at 600
+      (10L, Seq.fill(10)("w").mkString(" "), "b")))
+    val out = TextOps.contextPacking(docs, budget = 256).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("window_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"))).toMap
+    // source a: 600 words -> windows 0,1 full (256) + window 2 tail (88)
+    assert(out(("a", 0L)) == (1L, 256L)) // [0,256) ⊂ doc1
+    assert(out(("a", 1L)) == (3L, 256L)) // doc1 tail 44 + doc2 100 + doc3 112
+    assert(out(("a", 2L)) == (1L, 88L)) // doc3 tail
+    assert(out(("b", 0L)) == (1L, 10L))
+    // per-source word totals are preserved by the tiling
+    val totalA = out.collect { case (("a", _), (_, nw)) => nw }.sum
+    assert(totalA == 600L)
+  }
+
+  test("contextPacking matches per-doc word counts on the real corpus") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val packed = TextOps.contextPacking(docs)
+    val packedWords = packed.agg(sum(col("n_words"))).collect()(0).getLong(0)
+    val rawWords = docs.select(
+      sum(size(split(coalesce(col("text"), lit("")), " ")).cast("bigint")))
+      .collect()(0).getLong(0)
+    assert(packedWords == rawWords,
+      s"packing lost words: packed $packedWords raw $rawWords")
+    // every non-tail window holds exactly `budget` words
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val nonTail = packed
+      .withColumn("last_w", max(col("window_id")).over(w))
+      .where(col("window_id") < col("last_w"))
+      .where(col("n_words") =!= 256)
+    assert(nonTail.count() == 0, "a non-tail window missed its budget")
+  }
+
+  test("filterFunnel counts rejections per rule and survivors") {
+    val docs = df(Seq(
+      (1L, "the of and a in to is words enough here total eleven", "a"),
+      (2L, "short doc", "a"), // < 8 words
+      (3L, "zz zz zz zz zz zz zz zz zz zz", "a"), // repetitive + no stopwords
+      // 8 words, mean word length (3 + 7·20)/8 ≈ 17.9 > 12
+      (4L, "the abcdefghijklmnopqrst bcdefghijklmnopqrstu cdefghijklmnopqrstuv " +
+        "defghijklmnopqrstuvw efghijklmnopqrstuvwx fghijklmnopqrstuvwxy " +
+        "ghijklmnopqrstuvwxyz", "b")))
+    val out = TextOps.filterFunnel(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_short") == 1L) // doc 2
+    assert(a.getAs[Long]("n_low_stopword") == 2L) // docs 2, 3
+    assert(a.getAs[Long]("n_repetitive") == 1L) // doc 3 (dup ratio 0.9)
+    assert(a.getAs[Long]("n_survivors") == 1L) // doc 1
+    val b = out("b")
+    // doc 4: 8 words, has "the", mean word len ≈17.9 fails the len rule
+    assert(b.getAs[Long]("n_bad_wordlen") == 1L)
+    assert(b.getAs[Long]("n_survivors") == 0L)
+  }
+
+  test("shard export round-trips every row into its computed shard") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val out = "/tmp/graft_shard_spec"
+    Sharding.writeShards(docs, out, nShards = 4, maxRecordsPerFile = 50L)
+    val back = spark.read.parquet(out)
+    // no loss, no duplication
+    assert(back.count() == docs.count())
+    assert(back.select(col("doc_id")).distinct().count() == docs.count())
+    // every row landed in the shard its key computes to
+    val misplaced = back.where(
+      col("shard") =!= Sharding.shardOf(col("doc_id"), 4)).count()
+    assert(misplaced == 0L, s"$misplaced rows in the wrong shard dir")
+    // the sink produced one directory per non-empty shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    val shards = back.select(col("shard")).distinct()
+      .collect().map(r => s"shard=${r.get(0)}").toSet
+    assert(dirs == shards)
+    // maxRecordsPerFile is honored (50 rows per file at most)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    files.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 50L, s"${f.getName} holds $n rows > maxRecordsPerFile")
+    }
+  }
+
+  test("shard export is deterministic: two runs produce identical shard files") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    def checksum(dir: String): Seq[(Any, String)] = {
+      Sharding.writeShards(docs, dir, nShards = 4)
+      spark.read.parquet(dir)
+        .select(col("shard"), md5(concat_ws("|", col("doc_id"), col("text"))).as("h"))
+        .groupBy(col("shard"))
+        .agg(md5(concat_ws(",", array_sort(collect_list(col("h"))))).as("sig"))
+        .collect().map(r => (r.get(0), r.getString(1))).sortBy(_.toString()).toSeq
+    }
+    assert(checksum("/tmp/graft_shard_det_a") == checksum("/tmp/graft_shard_det_b"))
+  }
+}
