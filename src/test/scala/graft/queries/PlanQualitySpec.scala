@@ -176,4 +176,39 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
     }
   }
+
+  test("q96: eval gram set broadcasts; the train side never sort-merge joins") {
+    val p = plan("q96_ngram_contamination")
+    // the (100 TB) train side probes a broadcast of the benchmark-sized
+    // distinct eval gram set — a SortMergeJoin here would shuffle the
+    // whole exploded train gram stream on the gram key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the train scan keeps its source pushdown under the explode
+    assert(p.contains("Not(EqualTo(source,src0))"), p)
+  }
+
+  test("q98: packing reuses the window's source partitioning for the rollup") {
+    val p = plan("q98_context_packing")
+    // hashpartitioning(source) for the cumsum window is the ONLY hash
+    // exchange: the (source, window_id) aggregation is satisfied by the
+    // source clustering, so partial+final run co-located and only the
+    // presentation sort adds a range exchange
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected one hash exchange:\n$hashEx")
+    assert(hashEx.head.contains("source"), hashEx.head)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q99: filter funnel is one scan with partial+final conditional aggregation") {
+    val p = plan("q99_filter_funnel")
+    // one Location: detail line per distinct scan in the formatted plan
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1,
+      s"funnel must read documents exactly once\n$p")
+    assert(p.contains("partial_count"), p)
+    // all six rule counters fold in the same partial aggregate
+    assert(p.linesIterator.exists(l =>
+      l.contains("partial_count") && l.split("partial_sum").length - 1 == 5), p)
+  }
 }
