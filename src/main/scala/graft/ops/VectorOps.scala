@@ -408,6 +408,62 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Nearest-`nAssign` cells as an array column: the distance-struct
+    * array is sorted ascending (struct order: distance, then cell id —
+    * deterministic ties) and sliced; same codegen'd expression family
+    * as [[nearestCell]]. */
+  private def nearestCells(v: Column, centers: Array[Array[Double]],
+                           nAssign: Int, native: Boolean): Column = {
+    val ds = centers.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((dotIf(native, v, array(c.toIndexedSeq.map(lit): _*)) * lit(-2.0) + lit(c2)).as("d"),
+        lit(i).as("cell"))
+    }
+    transform(slice(array_sort(array(ds.toIndexedSeq: _*)), 1, nAssign),
+      s => s.getField("cell"))
+  }
+
+  /** Embedding near-dup with IVF-cell blocking — the production form
+    * of [[embeddingNearDup]], which blocks on a PRE-EXISTING label
+    * column; here the blocking key is learned: a coarse quantizer
+    * trained on a bounded layout-independent sample defines the
+    * cells, every vector is assigned to its `nAssign` nearest cells
+    * (multi-assignment: a pair straddling one cell boundary still
+    * collides in a shared cell unless it straddles all `nAssign`),
+    * and candidate pairs are enumerated WITHIN cells only. Candidate
+    * volume scales with nAssign²·corpus²/nCells, never corpus² — the
+    * 100 TB shape; recall is tunable via nAssign and equals 1.0 when
+    * nAssign == nCells (spec-pinned). Pair ids are deduplicated
+    * BEFORE the dot product so verify cost is per-pair, not
+    * per-shared-cell. */
+  def embeddingNearDupIvf(embeddings: DataFrame, threshold: Double,
+                          nCells: Int = 16, nAssign: Int = 4,
+                          maxTrain: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val native = nativeDot(Some(spark))
+    val corpus = prepared(embeddings)
+    val trainRows = trainSample(corpus, maxTrain)
+    if (trainRows.isEmpty) {
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("vec_a", "vec_b", "cos")
+    }
+    val centers = localKMeans(trainRows, nCells, iters = 5)
+    val celled = corpus.withColumn("cell",
+      explode(nearestCells(col("v"), centers, nAssign, native)))
+    val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = celled.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("va"), col("na"),
+        col("vb"), col("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", dotIf(native, col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Per-dimension int8 symmetric quantization audit — the embedding
     * compression a 100 TB vector store runs before switching the ANN
     * index to int8. For each dimension: scale = max|v| / 127, q =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Sharding, TextOps}
+import graft.ops.{Sharding, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -110,11 +110,21 @@ object Pipeline {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** Embedding near-dup with LEARNED blocking cells (IVF coarse
+    * quantizer + multi-assignment) — the production form of q62's
+    * label blocking. Rows-only: the cells come from k-means, which no
+    * SQL oracle can recompute; VectorOpsSpec pins exhaustive == brute
+    * force and the default recall floor instead. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    VectorOps.embeddingNearDupIvf(Tables(s, dir, "embeddings"), 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
     "q98_context_packing" -> (q98 _),
-    "q99_filter_funnel" -> (q99 _))
+    "q99_filter_funnel" -> (q99 _),
+    "q100_embedding_neardup_ivf" -> (q100 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,

@@ -94,6 +94,30 @@ class VectorOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("IVF-cell near-dup: exhaustive assignment equals brute force; defaults keep recall") {
+    val emb = graft.queries.Tables(spark, sfDir, "embeddings")
+    val brute = VectorOps.embeddingNearDup(emb.withColumn("label", lit(0)), 0.4)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nAssign == nCells: every vector in every cell — the cell
+    // blocking degenerates to (deduplicated) all-pairs, so the result
+    // must equal brute force EXACTLY
+    val full = VectorOps.embeddingNearDupIvf(emb, 0.4, nCells = 8, nAssign = 8)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute, s"missing=${brute -- full} extra=${full -- brute}")
+    // default multi-assignment on the near-random corpus (the hardest
+    // case for cell blocking: cos 0.4 pairs are barely correlated, so
+    // their cells genuinely differ): measured 54/66 at nAssign=2,
+    // 66/66 at nAssign=4 (sf0.001) — pin the default's floor
+    val dflt = VectorOps.embeddingNearDupIvf(emb, 0.4)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt.subsetOf(brute), "IVF path invented a pair")
+    val recall = dflt.size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
   test("IVF+PQ survives a corpus smaller than the codebook") {
     val tiny = spark.createDataFrame(vecs.take(5)).toDF("vec_id", "embedding", "label")
     val out = VectorOps.pqTopK(tiny, tiny.where(col("vec_id") === 0), 2, subs = 4)
