@@ -433,9 +433,15 @@ object VectorOps {
     * and candidate pairs are enumerated WITHIN cells only. Candidate
     * volume scales with nAssign²·corpus²/nCells, never corpus² — the
     * 100 TB shape; recall is tunable via nAssign and equals 1.0 when
-    * nAssign == nCells (spec-pinned). Pair ids are deduplicated
-    * BEFORE the dot product so verify cost is per-pair, not
-    * per-shared-cell. */
+    * nAssign == nCells (spec-pinned).
+    *
+    * Candidate-then-verify staging (same shape as the text near-dup
+    * paths): the cell self-join and the per-shared-cell dedup run
+    * over (cell, id) PAIRS OF LONGS only — the 64-dim vectors join
+    * back per UNIQUE candidate pair afterwards, so neither the
+    * multi-cell collisions nor the distinct ever shuffle vector
+    * payloads (the fused form moved ~2 GB of arrays through the
+    * dedup exchange at sf0.1). */
   def embeddingNearDupIvf(embeddings: DataFrame, threshold: Double,
                           nCells: Int = 16, nAssign: Int = 4,
                           maxTrain: Int = 4096): DataFrame = {
@@ -449,16 +455,18 @@ object VectorOps {
         .toDF("vec_a", "vec_b", "cos")
     }
     val centers = localKMeans(trainRows, nCells, iters = 5)
-    val celled = corpus.withColumn("cell",
-      explode(nearestCells(col("v"), centers, nAssign, native)))
-    val a = celled.select(col("cell"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("n").as("na"))
-    val b = celled.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("n").as("nb"))
-    a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("va"), col("na"),
-        col("vb"), col("nb"))
-      .dropDuplicates("vec_a", "vec_b")
+    val celled = corpus.select(col("vec_id"),
+      explode(nearestCells(col("v"), centers, nAssign, native)).as("cell"))
+    val pairs = celled.select(col("cell"), col("vec_id").as("vec_a"))
+      .join(celled.select(col("cell").as("cell_b"), col("vec_id").as("vec_b")),
+        col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    pairs
+      .join(corpus.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("n").as("na")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("n").as("nb")), "vec_b")
       .withColumn("cos", dotIf(native, col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
