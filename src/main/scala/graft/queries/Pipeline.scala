@@ -119,16 +119,48 @@ object Pipeline {
     VectorOps.embeddingNearDupIvf(Tables(s, dir, "embeddings"), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Batch twin of the streaming per-window schema inference
+    * ([[graft.streaming.EventStreams.schemaOverTime]]): hourly
+    * windows over events, each folding its props docs through the
+    * schema-merge lattice. The oracle CAN check this one (unlike the
+    * corpus-wide q46): the props stream is flat single-key JSON, so
+    * the expected flat rendering derives from the windowed value
+    * range by the same numeric-class rules `pickType` applies. */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.infer.InferSchema.of(col("props"), "flat").as("schema_flat"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("schema_flat"))
+      .orderBy(col("window_start"))
+
+  private val q101Sql =
+    """WITH e AS (SELECT
+      |    CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+      |      AS window_start,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      |  FROM events)
+      |SELECT window_start, count(*) AS n_events,
+      |  'root.k: ' || (CASE WHEN max(v) <= 127 THEN 'tinyint'
+      |                      WHEN max(v) <= 32767 THEN 'smallint'
+      |                      WHEN max(v) <= 2147483647 THEN 'int'
+      |                      ELSE 'bigint' END) || chr(10) AS schema_flat
+      |FROM e GROUP BY window_start ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
     "q98_context_packing" -> (q98 _),
     "q99_filter_funnel" -> (q99 _),
-    "q100_embedding_neardup_ivf" -> (q100 _))
+    "q100_embedding_neardup_ivf" -> (q100 _),
+    "q101_stream_schema" -> (q101 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
     "q97_shard_export" -> q97Sql,
     "q98_context_packing" -> q98Sql,
-    "q99_filter_funnel" -> q99Sql)
+    "q99_filter_funnel" -> q99Sql,
+    // q100 rows-only: k-means blocking cells are not SQL-recomputable
+    "q101_stream_schema" -> q101Sql)
 }

@@ -147,6 +147,27 @@ object EventStreams {
   def dedupStream(events: DataFrame, key: String): DataFrame =
     dedupStream(events, Seq(key))
 
+  /** Streaming schema inference — the reference's CORE capability run
+    * as a monitoring stream: per watermarked tumbling window, the JSON
+    * column folds through the schema-merge lattice (the same
+    * associative `InferSchemaStringAgg` the batch CLI uses) and the
+    * window emits its rendered schema. State per open window is ONE
+    * O(schema) tree merged map-side like any partial+final aggregate —
+    * inference over a 100 TB/day firehose has the identical one-pass
+    * shape as the batch crawl. A producer deploying a field change
+    * becomes visible in the next window's rendered schema instead of
+    * at the next batch inventory run. */
+  def schemaOverTime(events: DataFrame, jsonCol: String = "props",
+                     window_ : String = "1 hour",
+                     lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.infer.InferSchema.of(col(jsonCol), "flat").as("schema_flat"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("schema_flat"))
+
   /** Stream–static enrichment join: the static dim is broadcast to
     * every micro-batch (no state, no watermark needed) — the standard
     * way to attach slowly-changing reference data to a stream. */
