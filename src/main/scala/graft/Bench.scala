@@ -23,10 +23,13 @@ object Bench {
     // steady-state timing: each query runs twice and reports the
     // faster pass — the first execution pays one-off codegen compile
     // and JIT warm-up that a long-running cluster job never sees.
-    // If the two passes disagree by >30% the host was loaded or GC
-    // struck mid-query; one extra pass then keeps a transient spike
-    // out of the reported min (round-5 lesson: single noisy passes
-    // produced 4× phantom "regressions" on untouched queries).
+    // If the WARM pass comes out >30% slower than the cold one, the
+    // host was loaded or GC struck mid-query (warm-up asymmetry runs
+    // the other way: pass 1 carries codegen+JIT, so pass1 > pass2 is
+    // routine and must NOT trigger); one extra pass then keeps a
+    // transient spike out of the reported min (round-5 lesson: single
+    // noisy passes produced 4× phantom "regressions" on untouched
+    // queries).
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -35,8 +38,7 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val two = Seq(timed(fn), timed(fn))
-      val noisy = two.forall(_._1) &&
-        math.abs(two(0)._2 - two(1)._2) / two.map(_._2).min > 0.3
+      val noisy = two.forall(_._1) && two(1)._2 > two(0)._2 * 1.3
       val times = if (noisy) two :+ timed(fn) else two
       // min over SUCCESSFUL passes only — a fast failed pass must not
       // mask a successful run's time; all-failed reports -1

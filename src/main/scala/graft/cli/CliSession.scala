@@ -22,29 +22,30 @@ private[cli] object CliSession {
     spark
   }
 
-  /** Per-input progress lines on stderr, reference parity
-    * (JsonSchemaFinder.java:231-232 prints one line as it opens each
-    * file). The distributed scan opens files on executors in
-    * arbitrary order, so the honest driver-side equivalent is the
-    * resolved input list before the job launches. */
-  def announceInputs(spark: SparkSession, ds: Dataset[_]): Unit = {
-    // byte-exact line format: "Reading " + file, flushed per line
-    // (JsonSchemaFinder.java:231-232 uses printlnErr + flush)
-    ds.inputFiles.sorted.foreach(f => System.err.println(s"Reading $f"))
-    System.err.flush()
+  /** Per-input "Reading <file>" progress lines, reference parity.
+    * The two reference CLIs use DIFFERENT streams — the schema finder
+    * prints to stderr (its stdout is the DDL,
+    * JsonSchemaFinder.java:231-232), the shredder to stdout
+    * (JsonShredder.java:93-94) — so the stream is a parameter. The
+    * distributed scan opens files on executors in arbitrary order, so
+    * the honest driver-side equivalent is the resolved input list
+    * before the job launches. */
+  def announceInputs(ds: Dataset[_], out: java.io.PrintStream): Unit = {
+    ds.inputFiles.sorted.foreach(f => out.println(s"Reading $f"))
+    out.flush()
   }
 
   /** NDJSON lines by default; `whole` reads each file as one unit for
     * documents spanning lines (parallelism across files only). */
-  def readDocs(spark: SparkSession, files: Seq[String],
-               whole: Boolean): Dataset[String] = {
+  def readDocs(spark: SparkSession, files: Seq[String], whole: Boolean,
+               announceTo: java.io.PrintStream = System.err): Dataset[String] = {
     val ds =
       if (whole) {
         import spark.implicits._
         spark.read.option("wholetext", "true").text(files: _*)
           .select(col("value")).as[String]
       } else spark.read.textFile(files: _*)
-    announceInputs(spark, ds)
+    announceInputs(ds, announceTo)
     ds
   }
 }

@@ -26,7 +26,10 @@ object ShredJson {
     val files = rest.tail
 
     val spark = CliSession.build("graft-shred-json")
-    val docs = CliSession.readDocs(spark, files.toSeq, whole)
+    // the shredder's "Reading" lines go to STDOUT in the reference
+    // (JsonShredder.java:93-94), unlike the schema finder's stderr
+    val docs = CliSession.readDocs(spark, files.toSeq, whole,
+      announceTo = System.out)
 
     // single pass: the shred flatMap counts documents as it walks them
     // (a whole-file row or a concatenated line carries several docs).

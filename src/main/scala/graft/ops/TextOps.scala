@@ -768,21 +768,35 @@ object TextOps {
     * engine); the exported ratios are rounded to 4, the flags and the
     * score are computed from the raw ratios with the same expression
     * shape mirrored in the oracle SQL. */
+  // Quality-signal expressions and thresholds shared by qualityScore
+  // and filterFunnel — one definition so the funnel's counters can
+  // never drift from the score's flags.
+  private def qualityWords: Column = split(col("text"), " ")
+  private def qualityStopRatio: Column =
+    size(filter(qualityWords, w => w.isin(QualityStopwords: _*))).cast("double") /
+      size(qualityWords).cast("double")
+  private def qualityMeanWordLen: Column =
+    length(replace(col("text"), lit(" "), lit(""))).cast("double") /
+      size(qualityWords).cast("double")
+  private val QualityMinWords = 8
+  private val QualityMinStopRatio = 0.02
+  private val QualityWordLenRange = (2.0, 12.0)
+
   def qualityScore(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    val nWords = size(words).cast("double")
-    val nStop = size(filter(words, w => w.isin(QualityStopwords: _*))).cast("double")
-    val stopRatio = nStop / nWords
-    val meanWordLen = length(replace(col("text"), lit(" "), lit(""))).cast("double") / nWords
+    val words = qualityWords
+    val stopRatio = qualityStopRatio
+    val meanWordLen = qualityMeanWordLen
     docs.select(
       col("doc_id"),
       size(words).cast("bigint").as("n_words"),
       round(stopRatio, 4).as("stop_ratio"),
       round(meanWordLen, 4).as("mean_word_len"),
-      (size(words) >= 8 && stopRatio >= 0.02 &&
-        meanWordLen.between(2.0, 12.0)).as("quality_ok"),
+      (size(words) >= QualityMinWords && stopRatio >= QualityMinStopRatio &&
+        meanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2))
+        .as("quality_ok"),
       round(least(stopRatio * lit(5.0), lit(1.0)) * lit(0.6) +
-        when(meanWordLen.between(2.0, 12.0), lit(0.4)).otherwise(lit(0.0)), 4)
+        when(meanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2),
+          lit(0.4)).otherwise(lit(0.0)), 4)
         .as("quality_score"))
   }
 
@@ -939,16 +953,14 @@ object TextOps {
     * Flags compare the RAW ratios (quotients of small ints — identical
     * IEEE doubles on any engine), mirroring qualityScore's contract. */
   def filterFunnel(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    val nWords = size(words).cast("double")
-    val stopRatio =
-      size(filter(words, w => w.isin(QualityStopwords: _*))).cast("double") / nWords
-    val meanWordLen =
-      length(replace(col("text"), lit(" "), lit(""))).cast("double") / nWords
-    val dupWordRatio = lit(1.0) - size(array_distinct(words)).cast("double") / nWords
-    val shortFail = size(words) < 8
-    val stopFail = stopRatio < 0.02
-    val lenFail = !meanWordLen.between(2.0, 12.0)
+    val words = qualityWords
+    val dupWordRatio =
+      lit(1.0) - size(array_distinct(words)).cast("double") /
+        size(words).cast("double")
+    val shortFail = size(words) < QualityMinWords
+    val stopFail = qualityStopRatio < QualityMinStopRatio
+    val lenFail =
+      !qualityMeanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2)
     val repFail = dupWordRatio > 0.5
     docs.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),

@@ -159,15 +159,22 @@ object VectorOps {
     * per row and dropped). Codegen'd — one pass, no UDF, no ML vector
     * conversion. Ties break to the lower cell id via the struct
     * ordering. */
-  private def nearestCell(v: Column, centers: Array[Array[Double]],
-                          native: Boolean): Column = {
+  /** Per-center (distance, cell) structs — shared by the single- and
+    * multi-assignment forms so the distance expression can never
+    * diverge between them. */
+  private def cellDistances(v: Column, centers: Array[Array[Double]],
+                            native: Boolean): Column = {
     val ds = centers.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x * x).sum
       struct((dotIf(native, v, array(c.toIndexedSeq.map(lit): _*)) * lit(-2.0) + lit(c2)).as("d"),
         lit(i).as("cell"))
     }
-    array_min(array(ds.toIndexedSeq: _*)).getField("cell")
+    array(ds.toIndexedSeq: _*)
   }
+
+  private def nearestCell(v: Column, centers: Array[Array[Double]],
+                          native: Boolean): Column =
+    array_min(cellDistances(v, centers, native)).getField("cell")
 
   /** IVF-style approximate top-k: a coarse quantizer partitions the
     * corpus into cells; each query probes its `nProbe` nearest cells
@@ -324,11 +331,15 @@ object VectorOps {
     // metric — an unnormalized inner product biases the shortlist
     // toward large-norm vectors and silently costs recall (ADVICE r5).
     // The query norm is constant within a partition, so it can't
-    // change the order and is left out.
+    // change the order and is left out. A zero-norm vector would make
+    // the quotient NaN — which sorts FIRST under desc and would steal
+    // a rerank slot in every query's shortlist — so it degrades to
+    // null instead (desc default NULLS LAST: ranked dead last, and
+    // its exact cosine is NaN-filtered by the final threshold anyway).
     val adc = (0 until subs).map { s =>
       element_at(col("tbl"),
         (lit(s * codebookSize) + element_at(col("codes"), s + 1) + lit(1)).cast("int"))
-    }.reduce(_ + _) / col("n")
+    }.reduce(_ + _) / when(col("n") > 0, col("n"))
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val shortlist = coded.join(broadcast(probeDf),
@@ -413,15 +424,9 @@ object VectorOps {
     * deterministic ties) and sliced; same codegen'd expression family
     * as [[nearestCell]]. */
   private def nearestCells(v: Column, centers: Array[Array[Double]],
-                           nAssign: Int, native: Boolean): Column = {
-    val ds = centers.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((dotIf(native, v, array(c.toIndexedSeq.map(lit): _*)) * lit(-2.0) + lit(c2)).as("d"),
-        lit(i).as("cell"))
-    }
-    transform(slice(array_sort(array(ds.toIndexedSeq: _*)), 1, nAssign),
+                           nAssign: Int, native: Boolean): Column =
+    transform(slice(array_sort(cellDistances(v, centers, native)), 1, nAssign),
       s => s.getField("cell"))
-  }
 
   /** Embedding near-dup with IVF-cell blocking — the production form
     * of [[embeddingNearDup]], which blocks on a PRE-EXISTING label
@@ -455,8 +460,14 @@ object VectorOps {
         .toDF("vec_a", "vec_b", "cos")
     }
     val centers = localKMeans(trainRows, nCells, iters = 5)
+    // (vec_id, cell) only — a few longs per row. Checkpointed eagerly
+    // because it feeds BOTH sides of the self-join: without it the
+    // nCells × dim distance expression (the dominant per-row work)
+    // would run twice over the corpus (same "compute once, reuse
+    // everywhere" convention as the MinHash band rows).
     val celled = corpus.select(col("vec_id"),
       explode(nearestCells(col("v"), centers, nAssign, native)).as("cell"))
+      .localCheckpoint(true)
     val pairs = celled.select(col("cell"), col("vec_id").as("vec_a"))
       .join(celled.select(col("cell").as("cell_b"), col("vec_id").as("vec_b")),
         col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))

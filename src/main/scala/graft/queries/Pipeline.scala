@@ -127,12 +127,9 @@ object Pipeline {
     * the expected flat rendering derives from the windowed value
     * range by the same numeric-class rules `pickType` applies. */
   private def q101(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events")
-      .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"),
-        graft.infer.InferSchema.of(col("props"), "flat").as("schema_flat"))
-      .select(col("w.start").as("window_start"), col("n_events"),
-        col("schema_flat"))
+    // the STREAM transform itself (withWatermark is a documented no-op
+    // on batch data), so twin and stream cannot silently diverge
+    graft.streaming.EventStreams.schemaOverTime(Tables(s, dir, "events"))
       .orderBy(col("window_start"))
 
   private val q101Sql =
