@@ -145,13 +145,62 @@ object Pipeline {
       |                      ELSE 'bigint' END) || chr(10) AS schema_flat
       |FROM e GROUP BY window_start ORDER BY window_start""".stripMargin
 
+  /** End-to-end curation capstone — the composed pipeline a training
+    * run actually executes: exact dedup (keep min-id per token-set
+    * fingerprint) → quality gate (qualityScore's quality_ok) →
+    * decontamination (drop non-src0 docs whose fingerprint collides
+    * with the src0 eval slice) → per-source yield audit. Exercises
+    * operator COMPOSITION under one oracle: each stage is a
+    * semi/anti join against a keyed or broadcast side, so the corpus
+    * is never shuffled except on its own keys — the staged shape a
+    * 100 TB curation run ships. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val survivors = TextOps.dedupedDocs(docs)
+    val qualityKeep = TextOps.qualityScore(survivors)
+      .where(col("quality_ok")).select(col("doc_id"))
+    val kept = survivors.join(qualityKeep, Seq("doc_id"), "left_semi")
+    val evalFps = docs.where(col("source") === "src0")
+      .select(TextOps.tokenSetFingerprint(col("text")).as("fp")).distinct()
+    val cleanTrain = kept.where(col("source") =!= "src0")
+      .withColumn("fp", TextOps.tokenSetFingerprint(col("text")))
+      .join(broadcast(evalFps), Seq("fp"), "left_anti")
+      .drop("fp")
+    kept.where(col("source") === "src0").unionByName(cleanTrain)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("bigint")).as("n_words"))
+      .orderBy(col("source"))
+  }
+
+  private val q102Sql =
+    """WITH f AS (SELECT doc_id, source, text,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(coalesce(text, ''), ' '))), ' ')) AS fp
+      |  FROM documents),
+      |ded AS (SELECT * FROM f WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM f GROUP BY fp)),
+      |q AS (SELECT * FROM ded WHERE
+      |    len(string_split(text, ' ')) >= 8
+      |    AND len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |      / len(string_split(text, ' ')) >= 0.02
+      |    AND length(replace(text, ' ', ''))::DOUBLE
+      |      / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0),
+      |clean AS (SELECT * FROM q WHERE source = 'src0'
+      |    OR fp NOT IN (SELECT fp FROM f WHERE source = 'src0'))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+      |FROM clean GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
     "q98_context_packing" -> (q98 _),
     "q99_filter_funnel" -> (q99 _),
     "q100_embedding_neardup_ivf" -> (q100 _),
-    "q101_stream_schema" -> (q101 _))
+    "q101_stream_schema" -> (q101 _),
+    "q102_curation_e2e" -> (q102 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -159,5 +208,6 @@ object Pipeline {
     "q98_context_packing" -> q98Sql,
     "q99_filter_funnel" -> q99Sql,
     // q100 rows-only: k-means blocking cells are not SQL-recomputable
-    "q101_stream_schema" -> q101Sql)
+    "q101_stream_schema" -> q101Sql,
+    "q102_curation_e2e" -> q102Sql)
 }

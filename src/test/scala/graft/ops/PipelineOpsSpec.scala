@@ -116,6 +116,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b.getAs[Long]("n_survivors") == 0L)
   }
 
+  test("curation e2e stages are monotone and the final audit balances") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val nAll = docs.count()
+    val survivors = TextOps.dedupedDocs(docs)
+    val nDedup = survivors.count()
+    val kept = survivors.join(TextOps.qualityScore(survivors)
+      .where(col("quality_ok")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val nQuality = kept.count()
+    val audit = graft.SparkEntry.queries("q102_curation_e2e")(spark, sfDir)
+    val nClean = audit.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    // each stage can only drop documents
+    assert(nAll >= nDedup && nDedup >= nQuality && nQuality >= nClean,
+      s"$nAll >= $nDedup >= $nQuality >= $nClean violated")
+    assert(nClean > 0, "pipeline dropped everything — stages miswired")
+    // decontamination removes only non-src0 docs, so src0's audit row
+    // must equal its quality-gated survivor count exactly
+    val src0Audit = audit.where(col("source") === "src0")
+      .collect()(0).getAs[Long]("n_docs")
+    assert(src0Audit == kept.where(col("source") === "src0").count())
+  }
+
   test("shard export round-trips every row into its computed shard") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val out = "/tmp/graft_shard_spec"
