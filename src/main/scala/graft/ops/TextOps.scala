@@ -781,6 +781,13 @@ object TextOps {
   private val QualityMinWords = 8
   private val QualityMinStopRatio = 0.02
   private val QualityWordLenRange = (2.0, 12.0)
+  /** The composite [0,1] score itself (rounded to 4 — scores are
+    * always rounded BEFORE any ranking, per the cross-engine
+    * determinism contract). */
+  private def qualityScoreExpr: Column =
+    round(least(qualityStopRatio * lit(5.0), lit(1.0)) * lit(0.6) +
+      when(qualityMeanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2),
+        lit(0.4)).otherwise(lit(0.0)), 4)
 
   def qualityScore(docs: DataFrame): DataFrame = {
     val words = qualityWords
@@ -794,10 +801,26 @@ object TextOps {
       (size(words) >= QualityMinWords && stopRatio >= QualityMinStopRatio &&
         meanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2))
         .as("quality_ok"),
-      round(least(stopRatio * lit(5.0), lit(1.0)) * lit(0.6) +
-        when(meanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2),
-          lit(0.4)).otherwise(lit(0.0)), 4)
-        .as("quality_score"))
+      qualityScoreExpr.as("quality_score"))
+  }
+
+  /** Quality-aware dedup survivor selection: within each exact-dup
+    * group (token-set fingerprint), keep the HIGHEST-quality copy
+    * (rounded quality score, doc_id tiebreak) instead of the lowest
+    * id ([[dedupedDocs]]) — when duplicates differ in cleanliness, a
+    * production pipeline wants the clean one, and "first by id" just
+    * means "whichever was crawled first". One scan (fingerprint and
+    * score are per-row expressions) + one window shuffle on the
+    * fingerprint key. */
+  def dedupBestQuality(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    docs
+      .withColumn("fp", tokenSetFingerprint(col("text")))
+      .withColumn("quality_score", qualityScoreExpr)
+      .withColumn("pick", row_number().over(w))
+      .where(col("pick") === 1)
+      .drop("pick", "fp")
   }
 
   /** Stopword-profile language ID. On real corpora the profiles would

@@ -193,6 +193,32 @@ object Pipeline {
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
       |FROM clean GROUP BY source ORDER BY source""".stripMargin
 
+  /** Dedup with a quality-aware survivor policy (argmax score per
+    * fingerprint group, vs q57's min-id policy). */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    TextOps.dedupBestQuality(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val q103Sql =
+    """WITH t AS (SELECT doc_id, lang, source,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(coalesce(text, ''), ' '))), ' ')) AS fp,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','in','to','is'], x)))::DOUBLE
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    length(replace(text, ' ', ''))::DOUBLE
+      |      / len(string_split(text, ' ')) AS mean_word_len
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, source, fp,
+      |    round(least(stop_ratio * 5.0, 1.0) * 0.6 +
+      |      CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0
+      |           THEN 0.4 ELSE 0.0 END, 4) AS quality_score FROM t),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+      |        ORDER BY quality_score DESC, doc_id) AS rn FROM s)
+      |SELECT doc_id, lang, source, quality_score
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -200,7 +226,8 @@ object Pipeline {
     "q99_filter_funnel" -> (q99 _),
     "q100_embedding_neardup_ivf" -> (q100 _),
     "q101_stream_schema" -> (q101 _),
-    "q102_curation_e2e" -> (q102 _))
+    "q102_curation_e2e" -> (q102 _),
+    "q103_dedup_best_quality" -> (q103 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -209,5 +236,6 @@ object Pipeline {
     "q99_filter_funnel" -> q99Sql,
     // q100 rows-only: k-means blocking cells are not SQL-recomputable
     "q101_stream_schema" -> q101Sql,
-    "q102_curation_e2e" -> q102Sql)
+    "q102_curation_e2e" -> q102Sql,
+    "q103_dedup_best_quality" -> q103Sql)
 }

@@ -137,6 +137,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(src0Audit == kept.where(col("source") === "src0").count())
   }
 
+  test("quality-aware dedup keeps one survivor per group, and it is the best one") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val best = TextOps.dedupBestQuality(docs)
+    // same fingerprint partition as min-id dedup → same group count
+    assert(best.count() == TextOps.dedupedDocs(docs).count())
+    // every survivor carries its group's maximum score
+    val fp = TextOps.tokenSetFingerprint(col("text"))
+    val grpMax = docs.withColumn("fp", fp)
+      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality_score")),
+        "doc_id")
+      .groupBy(col("fp")).agg(max(col("quality_score")).as("max_score"))
+    val offenders = best // survivor rows keep their text + score
+      .withColumn("fp", fp).join(grpMax, "fp")
+      .where(col("quality_score") =!= col("max_score"))
+    assert(offenders.count() == 0)
+  }
+
   test("shard export round-trips every row into its computed shard") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val out = "/tmp/graft_shard_spec"
