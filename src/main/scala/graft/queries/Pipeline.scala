@@ -160,13 +160,20 @@ object Pipeline {
     val qualityKeep = TextOps.qualityScore(survivors)
       .where(col("quality_ok")).select(col("doc_id"))
     val kept = survivors.join(qualityKeep, Seq("doc_id"), "left_semi")
+    // decontamination as ONE broadcast left join + row filter (src0
+    // rows pass unconditionally, train rows pass iff no eval-fp hit)
+    // rather than union(src0-slice, anti-join(train-slice)): the union
+    // form duplicates the whole dedup+quality subtree per branch, so
+    // documents would be scanned twice as often. (A 100 TB run
+    // additionally persists each stage's output between stages; the
+    // oracle checks the composed semantics.)
     val evalFps = docs.where(col("source") === "src0")
       .select(TextOps.tokenSetFingerprint(col("text")).as("fp")).distinct()
-    val cleanTrain = kept.where(col("source") =!= "src0")
+      .withColumn("eval_hit", lit(true))
+    kept
       .withColumn("fp", TextOps.tokenSetFingerprint(col("text")))
-      .join(broadcast(evalFps), Seq("fp"), "left_anti")
-      .drop("fp")
-    kept.where(col("source") === "src0").unionByName(cleanTrain)
+      .join(broadcast(evalFps), Seq("fp"), "left")
+      .where(col("source") === "src0" || col("eval_hit").isNull)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("bigint")).as("n_words"))

@@ -211,4 +211,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.linesIterator.exists(l =>
       l.contains("partial_count") && l.split("partial_sum").length - 1 == 5), p)
   }
+
+  test("q102: curation stages compose as semi/left joins — no union branch duplication") {
+    val p = plan("q102_curation_e2e")
+    assert(p.contains("LeftSemi"), p)
+    // decontamination is one broadcast left join + filter, not a
+    // unioned anti-join that would rescan the dedup+quality subtree
+    assert(!p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: quality-aware dedup is one scan, one fingerprint window with group-limit pushdown") {
+    val p = plan("q103_dedup_best_quality")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1,
+      s"survivor selection must read documents exactly once\n$p")
+    // Spark's rank-limit optimization prunes per-group rows before the
+    // full window sort — the top-1-per-group shape at any scale
+    assert(p.contains("WindowGroupLimit"), p)
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("fp"), s"$hashEx")
+  }
 }
