@@ -781,6 +781,14 @@ object TextOps {
   private val QualityMinWords = 8
   private val QualityMinStopRatio = 0.02
   private val QualityWordLenRange = (2.0, 12.0)
+  /** The hard pass/fail gate as a standalone boolean expression —
+    * public so stateless consumers (the streaming ingest filter) can
+    * apply the gate without the full [[qualityScore]] projection. */
+  def qualityOk: Column =
+    size(qualityWords) >= QualityMinWords &&
+      qualityStopRatio >= QualityMinStopRatio &&
+      qualityMeanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2)
+
   /** The composite [0,1] score itself (rounded to 4 — scores are
     * always rounded BEFORE any ranking, per the cross-engine
     * determinism contract). */
@@ -798,9 +806,7 @@ object TextOps {
       size(words).cast("bigint").as("n_words"),
       round(stopRatio, 4).as("stop_ratio"),
       round(meanWordLen, 4).as("mean_word_len"),
-      (size(words) >= QualityMinWords && stopRatio >= QualityMinStopRatio &&
-        meanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2))
-        .as("quality_ok"),
+      qualityOk.as("quality_ok"),
       qualityScoreExpr.as("quality_score"))
   }
 

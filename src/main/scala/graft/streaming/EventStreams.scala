@@ -187,6 +187,29 @@ object EventStreams {
         Seq("fp"), "left_anti")
       .drop("fp")
 
+  /** The composed streaming front door of a training-data lake:
+    * watermarked content dedup (one state entry per fingerprint until
+    * the watermark passes), broadcast contamination scrub, and the
+    * stateless quality gate — documents that are duplicate, eval-
+    * contaminated, or low-quality never LAND, instead of being
+    * filtered by the next batch sweep. Composition of [[dedupStream]]
+    * + [[scrubContaminated]] + `TextOps.qualityScore`; state is
+    * bounded by the watermark, the eval side is broadcast per
+    * micro-batch, the quality gate is a pure row filter (a
+    * stream-stream self-join would need a second watermark for no
+    * reason — `TextOps.qualityOk` is the same expression
+    * `qualityScore` projects). */
+  def curatedIngest(docs: DataFrame, evalDocs: DataFrame,
+                    lateness: String = "30 minutes"): DataFrame = {
+    val deduped = docs
+      .withColumn("fp", graft.ops.TextOps.tokenSetFingerprint(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+    scrubContaminated(deduped, evalDocs)
+      .where(graft.ops.TextOps.qualityOk)
+  }
+
   /** Stream–stream interval join: purchases matched to views by the
     * same user within `windowSpec` before the purchase. Both sides
     * carry watermarks so matched/expired state is evicted — the

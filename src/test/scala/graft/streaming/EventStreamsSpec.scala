@@ -244,6 +244,30 @@ class EventStreamsSpec extends SparkTestBase {
       (1L, "root.k: tinyint\nroot.note: string\n"))
   }
 
+  test("curated ingest drops duplicate, contaminated and low-quality docs in one stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy sleeping dog"
+    val evalText = "held out benchmark question about the original corpus"
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStreams.curatedIngest(docs, evalDocs, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    mem.addData(
+      (ts(1), 1L, good),
+      (ts(2), 2L, good), // in-watermark duplicate of 1 → dropped
+      (ts(3), 3L, evalText), // eval contamination → dropped
+      (ts(4), 4L, "short doc"), // fails the quality gate → dropped
+      (ts(5), 5L, "a second wholly distinct document with the required length"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("curated").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(1L, 5L), s"got $kept")
+  }
+
   test("streaming contamination scrub drops eval-fingerprint docs at ingest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
