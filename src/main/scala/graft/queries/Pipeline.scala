@@ -157,9 +157,10 @@ object Pipeline {
   private def q102(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val survivors = TextOps.dedupedDocs(docs)
-    val qualityKeep = TextOps.qualityScore(survivors)
-      .where(col("quality_ok")).select(col("doc_id"))
-    val kept = survivors.join(qualityKeep, Seq("doc_id"), "left_semi")
+    // the quality gate is a pure row predicate — a semi-join against a
+    // qualityScore projection would replant the whole dedup subtree on
+    // the build side and double the corpus scans
+    val kept = survivors.where(TextOps.qualityOk)
     // decontamination as ONE broadcast left join + row filter (src0
     // rows pass unconditionally, train rows pass iff no eval-fp hit)
     // rather than union(src0-slice, anti-join(train-slice)): the union

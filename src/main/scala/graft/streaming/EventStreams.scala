@@ -188,26 +188,25 @@ object EventStreams {
       .drop("fp")
 
   /** The composed streaming front door of a training-data lake:
-    * watermarked content dedup (one state entry per fingerprint until
-    * the watermark passes), broadcast contamination scrub, and the
-    * stateless quality gate — documents that are duplicate, eval-
-    * contaminated, or low-quality never LAND, instead of being
-    * filtered by the next batch sweep. Composition of [[dedupStream]]
-    * + [[scrubContaminated]] + `TextOps.qualityScore`; state is
-    * bounded by the watermark, the eval side is broadcast per
-    * micro-batch, the quality gate is a pure row filter (a
-    * stream-stream self-join would need a second watermark for no
-    * reason — `TextOps.qualityOk` is the same expression
-    * `qualityScore` projects). */
+    * quality gate, contamination scrub, then watermarked content
+    * dedup — documents that are low-quality, eval-contaminated, or
+    * duplicate never LAND, instead of being filtered by the next
+    * batch sweep. Stage order matters: the stateless stages run
+    * FIRST, so a rejected document never claims a fingerprint state
+    * entry — the reverse order would let a low-quality first copy
+    * both occupy state and permanently shadow a later
+    * quality-passing duplicate inside the watermark. The fingerprint
+    * is computed once and shared by the scrub anti-join and the
+    * [[dedupStream]] key; the eval side is broadcast per
+    * micro-batch; state is bounded by the watermark. */
   def curatedIngest(docs: DataFrame, evalDocs: DataFrame,
                     lateness: String = "30 minutes"): DataFrame = {
-    val deduped = docs
-      .withColumn("fp", graft.ops.TextOps.tokenSetFingerprint(col("text")))
-      .withWatermark("ts", lateness)
-      .dropDuplicatesWithinWatermark("fp")
-      .drop("fp")
-    scrubContaminated(deduped, evalDocs)
+    val fpCol = graft.ops.TextOps.tokenSetFingerprint(col("text"))
+    val gated = docs
       .where(graft.ops.TextOps.qualityOk)
+      .withColumn("fp", fpCol)
+      .join(broadcast(evalDocs.select(fpCol.as("fp"))), Seq("fp"), "left_anti")
+    dedupStream(gated, Seq("fp"), lateness).drop("fp")
   }
 
   /** Stream–stream interval join: purchases matched to views by the

@@ -121,19 +121,21 @@ class PipelineOpsSpec extends SparkTestBase {
     val nAll = docs.count()
     val survivors = TextOps.dedupedDocs(docs)
     val nDedup = survivors.count()
-    val kept = survivors.join(TextOps.qualityScore(survivors)
-      .where(col("quality_ok")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val kept = survivors.where(TextOps.qualityOk)
     val nQuality = kept.count()
     val audit = graft.SparkEntry.queries("q102_curation_e2e")(spark, sfDir)
-    val nClean = audit.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    // null-safe: an all-dropped pipeline must reach the assert below,
+    // not NPE on the null sum
+    val nClean = Option(audit.agg(sum(col("n_docs"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     // each stage can only drop documents
     assert(nAll >= nDedup && nDedup >= nQuality && nQuality >= nClean,
       s"$nAll >= $nDedup >= $nQuality >= $nClean violated")
     assert(nClean > 0, "pipeline dropped everything — stages miswired")
     // decontamination removes only non-src0 docs, so src0's audit row
     // must equal its quality-gated survivor count exactly
-    val src0Audit = audit.where(col("source") === "src0")
-      .collect()(0).getAs[Long]("n_docs")
+    val src0Audit = audit.where(col("source") === "src0").collect()
+      .headOption.map(_.getAs[Long]("n_docs")).getOrElse(0L)
     assert(src0Audit == kept.where(col("source") === "src0").count())
   }
 
