@@ -1,9 +1,11 @@
 package graft
 
-import graft.functions.{DotProduct, MinhashSignature, SortedIntersectSize, WinnowFingerprint}
+import graft.functions.{DotProduct, MinhashSignature, PqEncode, SortedIntersectSize, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Session extensions installing graft's native expressions
   * (`SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -59,6 +61,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(n: Int, _) => MinhashSignature(children.head, n)
           case other => throw new IllegalArgumentException(
             s"graft_minhash(hashes, n): n must be an integer literal, got $other")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        arity(children, 3, "graft_pq_encode(v, books, nAssign)")
+        val books = children(1) match {
+          case Literal(ad: ArrayData,
+              ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+            Seq.tabulate(ad.numElements()) { s =>
+              val sub = ad.getArray(s)
+              Seq.tabulate(sub.numElements())(c =>
+                sub.getArray(c).toDoubleArray().toSeq)
+            }
+          case other => throw new IllegalArgumentException(
+            "graft_pq_encode(v, books, nAssign): books must be an " +
+              s"array<array<array<double>>> literal, got $other")
+        }
+        children(2) match {
+          case Literal(n: Int, _) => PqEncode(children.head, books, n)
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_encode(v, books, nAssign): nAssign must be an integer literal, got $other")
         }
       }))
   }

@@ -159,9 +159,8 @@ object VectorOps {
     * per row and dropped). Codegen'd — one pass, no UDF, no ML vector
     * conversion. Ties break to the lower cell id via the struct
     * ordering. */
-  /** Per-center (distance, cell) structs — shared by the single- and
-    * multi-assignment forms so the distance expression can never
-    * diverge between them. */
+  /** Per-center (distance, cell) structs — the composed fallback's
+    * distance expression, one definition for every assignment form. */
   private def cellDistances(v: Column, centers: Array[Array[Double]],
                             native: Boolean): Column = {
     val ds = centers.zipWithIndex.map { case (c, i) =>
@@ -172,9 +171,32 @@ object VectorOps {
     array(ds.toIndexedSeq: _*)
   }
 
-  private def nearestCell(v: Column, centers: Array[Array[Double]],
-                          native: Boolean): Column =
-    array_min(cellDistances(v, centers, native)).getField("cell")
+  /** Quantizer encode — all three call shapes (coarse cell, IVF
+    * multi-assignment, PQ codes) through ONE column: per subspace
+    * (widths from the codebook shapes, laid end-to-end), the
+    * `nAssign` nearest center indices. Routes to the native
+    * [[graft.functions.PqEncode]] when [[graft.GraftExtensions]] is
+    * installed — the composed argmin tree evaluates hundreds of
+    * interpreted nodes per row and dominated the PQ/IVF wall time —
+    * and falls back to the bit-identical composed form otherwise
+    * (parity asserted in PqEncodeSpec). */
+  private def pqEncodeIf(native: Boolean, v: Column,
+                         books: Array[Array[Array[Double]]],
+                         nAssign: Int): Column =
+    if (native)
+      call_function("graft_pq_encode", v,
+        typedLit(books.map(_.map(_.toSeq).toSeq).toSeq), lit(nAssign))
+    else if (books.length == 1)
+      transform(slice(array_sort(cellDistances(v, books(0), native)),
+        1, nAssign), s => s.getField("cell"))
+    else {
+      val w = books(0)(0).length
+      concat(books.zipWithIndex.map { case (b, s) =>
+        transform(slice(array_sort(
+          cellDistances(slice(v, s * w + 1, w), b, native)), 1, nAssign),
+          x => x.getField("cell"))
+      }.toIndexedSeq: _*)
+    }
 
   /** IVF-style approximate top-k: a coarse quantizer partitions the
     * corpus into cells; each query probes its `nProbe` nearest cells
@@ -214,7 +236,8 @@ object VectorOps {
     }
     val centers = localKMeans(trainRows, nCells, iters = 5)
     val celled = corpus.withColumn("cell",
-      nearestCell(col("v"), centers, nativeDot(Some(embeddings.sparkSession))))
+      element_at(pqEncodeIf(nativeDot(Some(embeddings.sparkSession)),
+        col("v"), Array(centers), 1), 1))
     // the query set is small by contract: compute probe cells driver-side
     val qRows = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
@@ -289,10 +312,8 @@ object VectorOps {
     }
     // encode: coarse cell + one expression-argmin per subspace
     val coded = corpus
-      .withColumn("cell", nearestCell(col("v"), coarse, nd))
-      .withColumn("codes", array((0 until subs).map { s =>
-        nearestCell(slice(col("v"), s * w_ + 1, w_), books(s), nd)
-      }: _*))
+      .withColumn("cell", element_at(pqEncodeIf(nd, col("v"), Array(coarse), 1), 1))
+      .withColumn("codes", pqEncodeIf(nd, col("v"), books, 1))
     // query side (contract-small): probe cells plus the flattened
     // per-subspace ADC table of partial dots ⟨q_s, center⟩
     val qRows = prepared(queries)
@@ -419,15 +440,6 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Nearest-`nAssign` cells as an array column: the distance-struct
-    * array is sorted ascending (struct order: distance, then cell id —
-    * deterministic ties) and sliced; same codegen'd expression family
-    * as [[nearestCell]]. */
-  private def nearestCells(v: Column, centers: Array[Array[Double]],
-                           nAssign: Int, native: Boolean): Column =
-    transform(slice(array_sort(cellDistances(v, centers, native)), 1, nAssign),
-      s => s.getField("cell"))
-
   /** Embedding near-dup with IVF-cell blocking — the production form
     * of [[embeddingNearDup]], which blocks on a PRE-EXISTING label
     * column; here the blocking key is learned: a coarse quantizer
@@ -466,7 +478,7 @@ object VectorOps {
     // would run twice over the corpus (same "compute once, reuse
     // everywhere" convention as the MinHash band rows).
     val celled = corpus.select(col("vec_id"),
-      explode(nearestCells(col("v"), centers, nAssign, native)).as("cell"))
+      explode(pqEncodeIf(native, col("v"), Array(centers), nAssign)).as("cell"))
       .localCheckpoint(true)
     val pairs = celled.select(col("cell"), col("vec_id").as("vec_a"))
       .join(celled.select(col("cell").as("cell_b"), col("vec_id").as("vec_b")),
