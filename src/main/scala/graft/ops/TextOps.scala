@@ -321,6 +321,110 @@ object TextOps {
     verifyCandidates(candidates, sets, threshold, Some(docs.sparkSession))
   }
 
+  /** Incremental dedup: flag each document of a NEW batch against an
+    * EXISTING corpus — the shape nightly ingest actually runs. Both
+    * checks are batch ⋈ corpus keyed joins; the corpus is never
+    * self-joined, and at 100 TB the fingerprint set and the prefix
+    * index are exactly the artifacts a production run would persist
+    * and maintain incrementally instead of recomputing.
+    *
+    * Exact duplicates: token-set fingerprint equi-join (one keyed
+    * shuffle of the batch against the corpus's distinct fingerprints).
+    * Near duplicates: the same prefix-filter candidate generation as
+    * [[nearDupExact]] (Bayardo et al. WWW'07; Vernica et al.
+    * SIGMOD'10), generalized to an R-S join: both sides' shingle
+    * prefixes are taken under ONE global token order (ascending
+    * document frequency over corpus ∪ batch, ties by hash — any single
+    * total order is sound; df just minimizes candidates), candidates
+    * pair only ACROSS sides, and exact Jaccard verification follows.
+    * 100% recall with exact precision, so — unlike the banded MinHash
+    * path — a SQL oracle can recompute the result by brute force.
+    *
+    * A batch doc byte-identical to a corpus doc flags as an exact dup
+    * (re-ingestion is detected, not an error); batch-internal
+    * duplicates are out of scope ([[dedupExact]] composes before).
+    *
+    * Returns one row per batch doc:
+    * (doc_id, is_exact_dup 0/1, n_near, max_jac). */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       threshold: Double, ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = Some(batch.sparkSession)
+    def shingled(df: DataFrame, side: String) =
+      df.select(col("doc_id"), lit(side).as("side"),
+        sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
+        .withColumn("sz", size(col("w")).cast("double"))
+    // one shingle table for both sides (consumed by df-count, prefix
+    // join and both verify joins — materialized once, as in
+    // nearDupMinhash)
+    val sets = shingled(corpus, "old").unionByName(shingled(batch, "new"))
+      .localCheckpoint(true)
+    val toks = sets.select(col("doc_id"), col("side"), col("sz"),
+      explode(col("w")).as("t"))
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, "t")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+    // same fp-sound prefix bound as nearDupExact (1e-9: see there)
+    val prefix = ranked
+      .where(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + lit(1))
+      .select(col("doc_id"), col("side"), col("t"), col("sz"))
+    val candidates = prefix.where(col("side") === "old").as("x")
+      .join(prefix.where(col("side") === "new").as("y"),
+        col("x.t") === col("y.t") &&
+          sizeCompatible(col("x.sz"), col("y.sz"), threshold))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val near = verifyCandidates(candidates, sets.drop("side"), threshold, session)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"), max(col("jac")).as("max_jac"))
+    val corpusFps = corpus
+      .select(tokenSetFingerprint(col("text")).as("fp")).distinct()
+      .withColumn("hit", lit(1L))
+    batch.select(col("doc_id"), tokenSetFingerprint(col("text")).as("fp"))
+      .join(corpusFps, Seq("fp"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("max_jac"))
+  }
+
+  /** Corpus data card: per (source, lang) rollup of volume, quality
+    * and exact-dup counters — the one-scan summary a training run
+    * publishes alongside the dataset. ROLLUP yields per-source
+    * subtotals and the grand total from the SAME single aggregation
+    * (one shuffle over one corpus scan); `countDistinct(fp)` is
+    * evaluated per grouping level, so the dup counter is correct for
+    * each slice and corpus-wide. Rollup null slots render as 'ALL'
+    * (no real source/lang collides with it). The mean quality score
+    * is computed ENTIRELY in integers: the pre-rounded per-doc score
+    * (at most 4 decimals) scales exactly to 1e-4 units, the sum is a
+    * bigint, and half-up division is (2s + n) div (2n) — rounding the
+    * average in doubles instead diverges from any other engine by one
+    * ulp whenever the true mean sits near a 5e-5 boundary (the binary
+    * double is a hair below the decimal literal, so one engine rounds
+    * up and the other down — observed live against DuckDB). */
+  def dataCard(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        size(qualityWords).cast("bigint").as("nw"),
+        qualityOk.cast("bigint").as("ok"),
+        tokenSetFingerprint(col("text")).as("fp"),
+        round(qualityScoreExpr * lit(10000), 0).cast("bigint").as("qs"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("ok")).as("n_quality_ok"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        sum(col("qs")).as("sq"))
+      .withColumn("avg_quality",
+        expr("CAST((2 * sq + n_docs) DIV (2 * n_docs) AS DOUBLE) / 10000.0"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("n_words"), col("n_quality_ok"),
+        col("n_exact_dups"), col("avg_quality"))
+
   /** Near-duplicate GROUP reduction: connected components of the
     * near-dup pair graph via min-label propagation. Pair enumeration
     * is quadratic in duplicate-group size (the sf0.1 corpus already

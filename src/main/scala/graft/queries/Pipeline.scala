@@ -227,6 +227,82 @@ object Pipeline {
       |SELECT doc_id, lang, source, quality_score
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Incremental dedup: the src1 slice arrives as the NEW batch and is
+    * flagged against the rest of the corpus — exact fingerprint hits
+    * plus prefix-filter near-dups with exact Jaccard verification
+    * (batch ⋈ corpus keyed joins; no corpus self-join anywhere). The
+    * oracle brute-forces batch × corpus in DuckDB — sound because the
+    * prefix filter is 100%-recall and the verify is exact. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    TextOps.incrementalDedup(
+      docs.where(col("source") === "src1"),
+      docs.where(col("source") =!= "src1"), 0.9)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q104Sql =
+    """WITH w AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |b AS (SELECT doc_id, ws FROM w WHERE source = 'src1'),
+      |c AS (SELECT doc_id, ws FROM w WHERE source <> 'src1'),
+      |p AS (SELECT b.doc_id,
+      |    round(len(list_intersect(c.ws, b.ws))::DOUBLE /
+      |          len(list_distinct(list_concat(c.ws, b.ws))), 4) AS jac
+      |  FROM b JOIN c ON len(list_intersect(c.ws, b.ws))::DOUBLE /
+      |          len(list_distinct(list_concat(c.ws, b.ws))) >= 0.9),
+      |n AS (SELECT doc_id, count(*) AS n_near, max(jac) AS max_jac
+      |      FROM p GROUP BY doc_id),
+      |f AS (SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(coalesce(text, ''), ' '))), ' ')) AS fp
+      |  FROM documents),
+      |cf AS (SELECT DISTINCT fp FROM f WHERE source <> 'src1'),
+      |bf AS (SELECT doc_id, fp FROM f WHERE source = 'src1')
+      |SELECT bf.doc_id,
+      |  CAST(CASE WHEN cf.fp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_exact_dup,
+      |  CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near,
+      |  CAST(n.max_jac AS DOUBLE) AS max_jac
+      |FROM bf LEFT JOIN cf ON bf.fp = cf.fp
+      |LEFT JOIN n ON bf.doc_id = n.doc_id
+      |ORDER BY bf.doc_id""".stripMargin
+
+  /** Corpus data card: one ROLLUP aggregation over one corpus scan. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    TextOps.dataCard(Tables(s, dir, "documents"))
+      .orderBy(col("source"), col("lang"))
+
+  private val q105Sql =
+    """WITH d AS (SELECT source, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |    CASE WHEN len(string_split(text, ' ')) >= 8
+      |      AND len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |        / len(string_split(text, ' ')) >= 0.02
+      |      AND length(replace(text, ' ', ''))::DOUBLE
+      |        / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+      |      THEN 1 ELSE 0 END AS ok,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(coalesce(text, ''), ' '))), ' ')) AS fp,
+      |    CAST(round(round(least(len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |          / len(string_split(text, ' ')) * 5.0, 1.0) * 0.6 +
+      |        CASE WHEN length(replace(text, ' ', ''))::DOUBLE
+      |            / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+      |          THEN 0.4 ELSE 0.0 END, 4) * 10000, 0) AS BIGINT) AS qs
+      |  FROM documents)
+      |SELECT coalesce(source, 'ALL') AS source,
+      |  coalesce(lang, 'ALL') AS lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(nw) AS BIGINT) AS n_words,
+      |  CAST(sum(ok) AS BIGINT) AS n_quality_ok,
+      |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+      |  CAST((2 * sum(qs) + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+      |    AS avg_quality
+      |FROM d GROUP BY ROLLUP(source, lang)
+      |ORDER BY coalesce(source, 'ALL'), coalesce(lang, 'ALL')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -235,7 +311,9 @@ object Pipeline {
     "q100_embedding_neardup_ivf" -> (q100 _),
     "q101_stream_schema" -> (q101 _),
     "q102_curation_e2e" -> (q102 _),
-    "q103_dedup_best_quality" -> (q103 _))
+    "q103_dedup_best_quality" -> (q103 _),
+    "q104_incremental_dedup" -> (q104 _),
+    "q105_data_card" -> (q105 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -245,5 +323,7 @@ object Pipeline {
     // q100 rows-only: k-means blocking cells are not SQL-recomputable
     "q101_stream_schema" -> q101Sql,
     "q102_curation_e2e" -> q102Sql,
-    "q103_dedup_best_quality" -> q103Sql)
+    "q103_dedup_best_quality" -> q103Sql,
+    "q104_incremental_dedup" -> q104Sql,
+    "q105_data_card" -> q105Sql)
 }

@@ -63,6 +63,76 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalDedup flags exact and near dups of the batch against the corpus") {
+    val corpus = docs.where(col("source") === "a") // ids 0,1,2,3
+    val batch = docs.where(col("source") === "b") // ids 4,5
+    val out = TextOps.incrementalDedup(batch, corpus, 0.7).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("is_exact_dup"), r.getAs[Long]("n_near"),
+          Option(r.get(r.fieldIndex("max_jac"))).map(_.asInstanceOf[Double]))))
+      .toMap
+    // doc 4 == doc 0's token set: exact dup AND near-dups with 0, 1 (J=1)
+    // and 2 (J=0.778)
+    assert(out(4L) == ((1L, 3L, Some(1.0))))
+    // doc 5 shares nothing above 0.7 with the corpus
+    assert(out(5L) == ((0L, 0L, None)))
+    assert(out.size == 2) // one row per batch doc, corpus rows absent
+  }
+
+  test("incrementalDedup cross-side prefix filter loses no pair vs brute force") {
+    // same adversarial corpus shape as the nearDupExact pin: small
+    // vocab, dense similarity graph, threshold-boundary pairs
+    val rnd = new scala.util.Random(20260813)
+    val vocab = ('a' to 'l').map(_.toString)
+    val rows = (0L until 80L).map { id =>
+      val n = 4 + rnd.nextInt(8)
+      val words = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "), if (id % 4 == 0) "new" else "old", "en")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val batch = df.where(col("source") === "new")
+    val corpus = df.where(col("source") === "old")
+    def brute(t: Double): Map[Long, (Long, Option[Double])] = {
+      val sets = rows.map(r => (r._1, r._2.split(" ").toSet, r._3))
+      val news = sets.filter(_._3 == "new")
+      val olds = sets.filter(_._3 == "old")
+      news.map { case (ib, tb, _) =>
+        val jacs = olds.map { case (_, ta, _) =>
+          ta.intersect(tb).size.toDouble / ta.union(tb).size }
+          .filter(_ >= t)
+          .map(j => BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        ib -> ((jacs.size.toLong,
+          if (jacs.isEmpty) None else Some(jacs.max)))
+      }.toMap
+    }
+    for (t <- Seq(0.5, 0.9)) {
+      val got = TextOps.incrementalDedup(batch, corpus, t).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_near"),
+            Option(r.get(r.fieldIndex("max_jac"))).map(_.asInstanceOf[Double]))))
+        .toMap
+      assert(got == brute(t), s"threshold $t: " +
+        s"diff=${(got.toSet -- brute(t).toSet) ++ (brute(t).toSet -- got.toSet)}")
+    }
+  }
+
+  test("dataCard rollup counters agree with directly-computed slices") {
+    val card = TextOps.dataCard(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_exact_dups"))))
+      .toMap
+    // grand total: 6 docs; fingerprint groups {0,1,4} merge → 2 dups
+    assert(card(("ALL", "ALL")) == ((6L, 2L)))
+    // source a: 4 docs, {0,1} dup within slice → 1 dup
+    assert(card(("a", "ALL")) == ((4L, 1L)))
+    // source b slice alone has no internal dups
+    assert(card(("b", "ALL")) == ((2L, 0L)))
+    // leaf slices present, subtotal rows consistent with leaves
+    assert(card(("a", "en"))._1 == 4L)
+    // rollup must NOT emit (ALL, lang) slices — rollup, not cube
+    assert(!card.keySet.exists { case (s, l) => s == "ALL" && l != "ALL" })
+  }
+
   test("minhash-LSH near-dup pairs are exact-verified (precision 1.0)") {
     val exact = TextOps.nearDupExact(docs, 0.8).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
