@@ -43,6 +43,17 @@ object Bench {
       // min over SUCCESSFUL passes only — a fast failed pass must not
       // mask a successful run's time; all-failed reports -1
       val good = times.collect { case (true, t) => t }
+      // Each pass rebuilds its plan, so blocks pinned by eager
+      // localCheckpoint/persist inside the operators are dead once the
+      // pass returns — but the context cleaner frees them only after a
+      // driver GC notices the dropped references, and 100+ queries of
+      // leakage turn into block-manager pressure that the LATE queries
+      // pay for (r5 benched q53 at 2.9s vs 1.1s isolated). A
+      // long-running cluster job never carries a previous job's blocks;
+      // drop them explicitly so each query is timed in the steady state
+      // it would actually run in.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     // The driver captures only a ~2000-char tail of the run's output
