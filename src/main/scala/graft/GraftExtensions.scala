@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinhashSignature, PqEncode, SortedIntersectSize, WinnowFingerprint}
+import graft.functions.{DotProduct, MinhashSignature, PqEncode, SimhashSignature, SortedIntersectSize, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_minhash(hashes, n): n must be an integer literal, got $other")
         }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashSignature].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        arity(children, 1, "graft_simhash(words)")
+        SimhashSignature(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_pq_encode"),

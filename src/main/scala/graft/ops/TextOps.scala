@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * exact + near-duplicate detection, document fingerprinting, token
   * statistics, language ID, quality scoring. All hot paths are
   * Catalyst expressions (codegen'd, no Python, no driver loops); the
-  * only UDFs are the per-row simhash scalar and the Bloom-filter
-  * membership probe (both documented at their definitions — each
-  * exists because no public expression covers it).
+  * only remaining UDFs are the Bloom-filter membership probe (no
+  * public expression covers it) and the simhash FALLBACK for sessions
+  * without [[graft.GraftExtensions]] (the native graft_simhash
+  * expression serves the hot path).
   *
   * Scale shape: every operator is a linear scan plus keyed shuffles,
   * so the plans hold at 100 TB: no cross join ever touches the full
@@ -527,10 +528,12 @@ object TextOps {
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit simhash of a word list: sign-sum of per-word hash bits.
-    * A per-row scalar with 64-lane bit arithmetic — the one place a
-    * Scala UDF beats an expression tree (64 aggregate() expressions
-    * would defeat codegen anyway). Deterministic: MurmurHash3 with
-    * fixed seeds, no JVM-dependent state. */
+    * The composed fallback (and parity oracle) for the native
+    * [[graft.functions.SimhashSignature]] expression — a 64-lane
+    * bit-arithmetic scalar is inexpressible as a function tree (64
+    * aggregate() expressions would defeat codegen), so the fallback
+    * is a Scala UDF. Deterministic: MurmurHash3 with fixed seeds, no
+    * JVM-dependent state. */
   val simhash64 = udf { words: Seq[String] =>
     val counts = new Array[Int](64)
     words.foreach { w =>
@@ -555,8 +558,15 @@ object TextOps {
     * chunks), then filter by exact Hamming distance via
     * `bit_count(xor)`. */
   def nearDupSimhash(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      simhash64(split(col("text"), " ")).as("sig"))
+    // native expression when installed (stays inside whole-stage
+    // codegen, no encoder round-trip); UDF fallback is bit-identical
+    // (SimhashSignatureSpec)
+    val words = split(col("text"), " ")
+    val sigExpr =
+      if (hasNative(Some(docs.sparkSession), "graft_simhash"))
+        call_function("graft_simhash", words)
+      else simhash64(words)
+    val sigs = docs.select(col("doc_id"), sigExpr.as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
