@@ -353,11 +353,13 @@ object TextOps {
     val session = Some(batch.sparkSession)
     def shingled(df: DataFrame, side: String) =
       df.select(col("doc_id"), lit(side).as("side"),
-        sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
+        sortedSet(ngramHashSet(col("text"), ngram)).as("w"),
+        tokenSetFingerprint(col("text")).as("fp"))
         .withColumn("sz", size(col("w")).cast("double"))
     // one shingle table for both sides (consumed by df-count, prefix
-    // join and both verify joins — materialized once, as in
-    // nearDupMinhash)
+    // join, both verify joins AND the exact-fingerprint legs —
+    // materialized once, so each input is scanned exactly once; the
+    // fingerprint rides along rather than re-scanning the raw text)
     val sets = shingled(corpus, "old").unionByName(shingled(batch, "new"))
       .localCheckpoint(true)
     val toks = sets.select(col("doc_id"), col("side"), col("sz"),
@@ -377,13 +379,14 @@ object TextOps {
           sizeCompatible(col("x.sz"), col("y.sz"), threshold))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val near = verifyCandidates(candidates, sets.drop("side"), threshold, session)
+    val near = verifyCandidates(candidates, sets.drop("side", "fp"),
+        threshold, session)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(count(lit(1)).as("n_near"), max(col("jac")).as("max_jac"))
-    val corpusFps = corpus
-      .select(tokenSetFingerprint(col("text")).as("fp")).distinct()
+    val corpusFps = sets.where(col("side") === "old")
+      .select(col("fp")).distinct()
       .withColumn("hit", lit(1L))
-    batch.select(col("doc_id"), tokenSetFingerprint(col("text")).as("fp"))
+    sets.where(col("side") === "new").select(col("doc_id"), col("fp"))
       .join(corpusFps, Seq("fp"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
