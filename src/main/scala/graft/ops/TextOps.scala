@@ -395,6 +395,28 @@ object TextOps {
         col("max_jac"))
   }
 
+  /** Token-budget mixture draw: materialize one epoch's sample by
+    * giving every source a token budget and taking the deterministic
+    * md5-order PREFIX of each source whose running token count stays
+    * within it — the data-mixing step every training run executes
+    * after curation (mixture weights → concrete document set).
+    * Take-while semantics are well-defined because the cumulative sum
+    * is strictly monotone (every doc has ≥ 1 word): the kept set is
+    * exactly the longest prefix with cum ≤ budget, independent of
+    * layout. One window shuffle on the source key; the budget is a
+    * per-row expression of `source`, so arbitrary weighting schemes
+    * compose without touching the scan. */
+  def mixtureSample(docs: DataFrame, budgetWords: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_words"))
+      .withColumn("cum_words", sum(col("n_words")).over(w))
+      .where(col("cum_words") <= budgetWords)
+  }
+
   /** Corpus data card: per (source, lang) rollup of volume, quality
     * and exact-dup counters — the one-scan summary a training run
     * publishes alongside the dataset. ROLLUP yields per-source

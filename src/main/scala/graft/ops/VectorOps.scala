@@ -495,6 +495,39 @@ object VectorOps {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Cluster-balanced diversity sample: k-means cells from a bounded
+    * layout-independent sample partition the corpus by topic, and a
+    * deterministic per-cell quota (md5-of-id rank, id tiebreak — the
+    * same layout-independent rank as [[graft.ops.TextOps.stratifiedSample]])
+    * keeps the draw TOPIC-balanced instead of frequency-weighted — the
+    * SemDeDup-adjacent subsampling shape (Abbas et al. 2023) a
+    * training run uses to stop head topics from drowning the tail.
+    *
+    * One projection (cell assignment is the codegen'd argmin pass, no
+    * vector ever shuffles) + one window shuffle on the cell key —
+    * holds at 100 TB: per-cell quota selection is a bounded heap per
+    * partition after the hash exchange, never a global sort. */
+  def diversitySample(embeddings: DataFrame, perCell: Int,
+                      nCells: Int = 16, maxTrain: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val native = nativeDot(Some(spark))
+    val corpus = prepared(embeddings)
+    val trainRows = trainSample(corpus, maxTrain)
+    if (trainRows.isEmpty) {
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("vec_id", "cell", "sample_rank")
+    }
+    val centers = localKMeans(trainRows, nCells, iters = 5)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    corpus.select(col("vec_id"),
+        element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1)
+          .cast("bigint").as("cell"))
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .where(col("sample_rank") <= perCell)
+  }
+
   /** Per-dimension int8 symmetric quantization audit — the embedding
     * compression a 100 TB vector store runs before switching the ANN
     * index to int8. For each dimension: scale = max|v| / 127, q =

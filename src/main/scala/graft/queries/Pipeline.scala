@@ -303,6 +303,33 @@ object Pipeline {
       |FROM d GROUP BY ROLLUP(source, lang)
       |ORDER BY coalesce(source, 'ALL'), coalesce(lang, 'ALL')""".stripMargin
 
+  /** Cluster-balanced diversity sample over embeddings (rows-only:
+    * k-means cells are not SQL-recomputable; VectorOpsSpec pins exact
+    * quotas, full coverage at large quota, and layout independence). */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    VectorOps.diversitySample(Tables(s, dir, "embeddings"), 8)
+      .orderBy(col("cell"), col("sample_rank"))
+
+  /** Token-budget mixture draw: per-source budgets from a formulaic
+    * three-tier weighting (1000/2000/3000 words by source index mod 3)
+    * so the oracle recomputes them from the source name alone. */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    TextOps.mixtureSample(Tables(s, dir, "documents"),
+      lit(1000L) * (lit(1L) + pmod(substring(col("source"), 4, 10).cast("bigint"), lit(3L))))
+      .orderBy(col("doc_id"))
+
+  private val q107Sql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |o AS (SELECT *, sum(n_words) OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum_words FROM d)
+      |SELECT doc_id, source, n_words, CAST(cum_words AS BIGINT) AS cum_words
+      |FROM o
+      |WHERE cum_words <= 1000 * (1 + CAST(substr(source, 4) AS BIGINT) % 3)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -313,7 +340,9 @@ object Pipeline {
     "q102_curation_e2e" -> (q102 _),
     "q103_dedup_best_quality" -> (q103 _),
     "q104_incremental_dedup" -> (q104 _),
-    "q105_data_card" -> (q105 _))
+    "q105_data_card" -> (q105 _),
+    "q106_diversity_sample" -> (q106 _),
+    "q107_token_budget_mix" -> (q107 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -325,5 +354,7 @@ object Pipeline {
     "q102_curation_e2e" -> q102Sql,
     "q103_dedup_best_quality" -> q103Sql,
     "q104_incremental_dedup" -> q104Sql,
-    "q105_data_card" -> q105Sql)
+    "q105_data_card" -> q105Sql,
+    // q106 rows-only: k-means cells are not SQL-recomputable
+    "q107_token_budget_mix" -> q107Sql)
 }

@@ -133,6 +133,33 @@ class TextOpsSpec extends SparkTestBase {
     assert(!card.keySet.exists { case (s, l) => s == "ALL" && l != "ALL" })
   }
 
+  test("mixtureSample takes the exact md5-order prefix within each source budget") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, Seq.fill(n)("w" + rnd.nextInt(40)).mkString(" "),
+        "src" + (id % 3), "en")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val budget = 30L
+    val got = TextOps.mixtureSample(df, lit(budget)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_words"))).toMap
+    // local oracle: md5(doc_id)-ordered take-while per source
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = rows.groupBy(_._3).values.flatMap { docs =>
+      val ordered = docs.sortBy(d => (md5hex(d._1.toString), d._1))
+      val cums = ordered.scanLeft(0L)((acc, d) => acc + d._2.split(" ").length).tail
+      ordered.zip(cums).takeWhile(_._2 <= budget).map { case (d, c) => d._1 -> c }
+    }.toMap
+    assert(got == expect)
+    // layout independence
+    val re = TextOps.mixtureSample(df.repartition(9), lit(budget)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_words"))).toMap
+    assert(re == got)
+  }
+
   test("minhash-LSH near-dup pairs are exact-verified (precision 1.0)") {
     val exact = TextOps.nearDupExact(docs, 0.8).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

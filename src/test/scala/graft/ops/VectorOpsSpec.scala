@@ -189,4 +189,27 @@ class VectorOpsSpec extends SparkTestBase {
     } yield (x._1, y._1)).toSet
     assert(pairs.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet == expect)
   }
+
+  test("diversitySample: exact per-cell quota, full coverage at large quota, layout-independent") {
+    val perCell = 3
+    val out = VectorOps.diversitySample(df, perCell, nCells = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("sample_rank")))
+    // quota: each cell contributes at most perCell rows with ranks 1..n
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.length <= perCell, s"cell $cell over quota")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // a vec_id appears at most once (nearest-cell assignment is unique)
+    assert(out.map(_._1).distinct.length == out.length)
+    // large quota covers the whole corpus exactly once
+    val all = VectorOps.diversitySample(df, perCell = 1000, nCells = 4)
+      .collect().map(_.getAs[Long]("vec_id")).sorted
+    assert(all.toSeq == (0L until 60L).toSeq)
+    // layout independence: same rows under any partitioning
+    val re = VectorOps.diversitySample(df.repartition(7), perCell, nCells = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("sample_rank"))).toSet
+    assert(re == out.toSet)
+  }
 }

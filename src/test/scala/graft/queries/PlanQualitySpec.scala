@@ -231,4 +231,24 @@ class PlanQualitySpec extends SparkTestBase {
     val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
     assert(hashEx.size == 1 && hashEx.head.contains("fp"), s"$hashEx")
   }
+
+  test("q105: data card is ONE scan feeding a rollup Expand with partial+final aggregation") {
+    val p = plan("q105_data_card")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1,
+      s"data card must read documents exactly once\n$p")
+    // rollup = Expand over grouping sets, aggregated map-side first
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Union"), p)
+  }
+
+  test("q107: mixture draw is one scan and one hash exchange on source") {
+    val p = plan("q107_token_budget_mix")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1,
+      s"mixture draw must read documents exactly once\n$p")
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("source"),
+      s"expected one source exchange:\n$hashEx")
+    assert(p.contains("Window"), p)
+  }
 }
