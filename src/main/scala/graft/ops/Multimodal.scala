@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * streamed batches, no driver collect), a typed metadata schema —
   * and so is the header decode: [[MediaHeader.decode]] sniffs magic
   * bytes and parses the dimension fields of real PNG / JPEG / WebP
-  * container headers with pure JVM byte reads (no codec library).
+  * container headers with pure JVM byte reads (no codec library);
+  * [[MediaHeader.decodeAudio]] walks real RIFF/WAVE chunks for the
+  * PCM format fields the same way.
   * Because the corpus has no media files, [[MediaHeader.synth]]
   * writes spec-compliant headers (real PNG CRC32) in front of the
   * text bytes, so decode exercises the same code path a real corpus
@@ -25,6 +27,11 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        format: String, n_frames: Int)
 
+  /** Decoded-audio metadata row (PCM WAV). */
+  case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                       channels: Int, bits: Int, n_samples: Long,
+                       duration_ms: Long)
+
   /** Container-header codec for PNG (sig + IHDR, per the PNG spec),
     * JPEG (SOI + SOF0 scan over markers, ITU T.81) and WebP
     * (RIFF + VP8X extended header, per the WebP container spec).
@@ -35,6 +42,7 @@ object Multimodal {
     * rather than faking them. */
   object MediaHeader {
     private def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     private def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
     private def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
@@ -69,6 +77,18 @@ object Multimodal {
 
     def headerLen(format: String): Int = format match {
       case "jpeg" => 15; case "png" => 33; case "webp" => 30
+    }
+
+    /** Canonical 44-byte PCM WAV header: RIFF/WAVE + 16-byte `fmt `
+      * chunk (PCM tag 1) + `data` chunk header, per the RIFF spec. */
+    def wavHeader(sampleRate: Int, channels: Int, bits: Int,
+                  dataLen: Int): Array[Byte] = {
+      val byteRate = sampleRate * channels * bits / 8
+      val blockAlign = channels * bits / 8
+      "RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(sampleRate) ++ le32(byteRate) ++ le16(blockAlign) ++ le16(bits) ++
+        "data".getBytes ++ le32(dataLen)
     }
 
     private def u8(b: Byte): Int = b & 0xFF
@@ -122,6 +142,48 @@ object Multimodal {
       else ("unknown", 0, 0)
     }
 
+    private def rdLe16(p: Array[Byte], i: Int) = u8(p(i)) | (u8(p(i + 1)) << 8)
+    private def rdLe32(p: Array[Byte], i: Int) =
+      u8(p(i)) | (u8(p(i + 1)) << 8) | (u8(p(i + 2)) << 16) | (u8(p(i + 3)) << 24)
+
+    /** PCM WAV sniff: RIFF/WAVE magic, then a chunk WALK for `fmt `
+      * and `data` (real encoders interleave LIST/INFO/fact chunks —
+      * assuming the canonical 44-byte layout would misread them; the
+      * walk also survives a truncated final chunk). Returns
+      * (sample_rate, channels, bits, data_len); None when not a WAV
+      * or no fmt chunk precedes data — a poison file classifies, it
+      * never throws. */
+    def sniffWav(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (p.length < 36 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      while (i + 8 <= p.length) {
+        val size = rdLe32(p, i + 4)
+        if (size < 0) return None // corrupt size — bail, don't loop
+        if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' ') {
+          if (i + 8 + 16 > p.length) return None
+          fmt = Some((rdLe32(p, i + 12), rdLe16(p, i + 10), rdLe16(p, i + 22)))
+        } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a') {
+          return fmt.map { case (rate, ch, bits) => (rate, ch, bits, size) }
+        }
+        // chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size + (size % 2)
+      }
+      None
+    }
+
+    def decodeAudio(docId: Long, payload: Array[Byte]): AudioMeta =
+      sniffWav(payload) match {
+        case Some((rate, ch, bits, dataLen)) =>
+          val blockAlign = math.max(1, ch * bits / 8)
+          val nSamples = dataLen.toLong / blockAlign
+          AudioMeta(docId, payload.length, rate, ch, bits, nSamples,
+            if (rate > 0) nSamples * 1000L / rate else 0L)
+        case None => AudioMeta(docId, payload.length, 0, 0, 0, 0L, 0L)
+      }
+
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
       val (format, w, h) = sniff(payload)
       MediaMeta(doc_id = docId, n_bytes = payload.length, width = w,
@@ -146,6 +208,40 @@ object Multimodal {
         case _ => webpHeader(w, h, n)
       }
       header ++ text
+    }
+  }
+
+  /** Deterministic WAV synthesis for the media-free corpus: sample
+    * rate round-robins over the common telephony/speech/CD rates on
+    * doc_id, channel count alternates mono/stereo, 16-bit PCM, and
+    * the text bytes stand in for the sample data — so the oracle
+    * recomputes every field from `doc_id` and `length(text)` while
+    * the Spark side must round-trip them through real header bytes. */
+  private[ops] def synthWav(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val rate = (docId % 3) match {
+      case 0 => 8000; case 1 => 16000; case _ => 44100
+    }
+    val channels = 1 + (docId % 2).toInt
+    MediaHeader.wavHeader(rate, channels, 16, text.length) ++ text
+  }
+
+  /** Documents table → WAV payload column (audio twin of
+    * [[withPayload]]). */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).cast("binary").as("t"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, t) => (id, synthWav(id, t)) }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Partition-batched audio decode — same typed mapPartitions shape
+    * as [[decodeMeta]], over the WAV chunk walk. */
+  def decodeAudioMeta(spark: SparkSession, docs: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    withAudioPayload(docs).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) => MediaHeader.decodeAudio(id, payload) }
     }
   }
 

@@ -415,6 +415,34 @@ object LlmQueries {
       |  CAST(sum(n_frames) AS BIGINT) AS total_frames
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
+  /** Audio metadata decode: every document carries a synthesized PCM
+    * WAV payload whose format fields derive from doc_id/text length —
+    * the Spark side must round-trip them through a real RIFF chunk
+    * walk, and the oracle recomputes them arithmetically. */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioMeta(s, Tables(s, dir, "documents")).toDF()
+      .select(col("doc_id"),
+        col("n_bytes").cast("bigint").as("n_bytes"),
+        col("sample_rate").cast("bigint").as("sample_rate"),
+        col("channels").cast("bigint").as("channels"),
+        col("bits").cast("bigint").as("bits"),
+        col("n_samples"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+
+  private val q108Sql =
+    """SELECT doc_id,
+      |  CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       ELSE 44100 END AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(16 AS BIGINT) AS bits,
+      |  CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
+      |    AS BIGINT) AS n_samples,
+      |  CAST((octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * 1000
+      |    // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |        ELSE 44100 END) AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def q67(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(s, Tables(s, dir, "documents")).toDF()
       .orderBy(col("doc_id"))
@@ -534,7 +562,8 @@ object LlmQueries {
     "q75_label_centroids" -> (q75 _),
     "q93_unigram_nll" -> (q93 _),
     "q94_crossdoc_ngrams" -> (q94 _),
-    "q95_pq_ann" -> (q95 _))
+    "q95_pq_ann" -> (q95 _),
+    "q108_audio_meta" -> (q108 _))
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
@@ -561,5 +590,6 @@ object LlmQueries {
     // q74 rows-only: LSH recall is hash-family-specific
     "q75_label_centroids" -> q75Sql,
     "q93_unigram_nll" -> q93Sql,
-    "q94_crossdoc_ngrams" -> q94Sql)
+    "q94_crossdoc_ngrams" -> q94Sql,
+    "q108_audio_meta" -> q108Sql)
 }

@@ -46,6 +46,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(sniff(Array[Byte](ff, 0xD8.toByte, ff, ff, ff))._1 == "unknown")
   }
 
+  test("WAV chunk walk round-trips PCM fields and survives non-canonical layouts") {
+    import Multimodal.MediaHeader._
+    // canonical 44-byte layout
+    assert(sniffWav(wavHeader(44100, 2, 16, 1000) ++ Array.fill[Byte](8)(1))
+      .contains((44100, 2, 16, 1000)))
+    assert(sniffWav(wavHeader(8000, 1, 16, 7)).contains((8000, 1, 16, 7)))
+    // a LIST/INFO chunk between fmt and data (real encoders emit
+    // these) — the walk must skip it, including the odd-size pad byte
+    val info = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      "INFOx".getBytes ++ Array[Byte](0) // 5 data bytes + 1 pad
+    val canonical = wavHeader(16000, 1, 16, 42)
+    val withList = canonical.take(36) ++ info ++ canonical.drop(36)
+    assert(sniffWav(withList).contains((16000, 1, 16, 42)))
+    // data before any fmt chunk → classify as non-WAV, don't guess
+    val dataFirst = canonical.take(12) ++ canonical.drop(36) ++
+      canonical.slice(12, 36)
+    assert(sniffWav(dataFirst).isEmpty)
+    // garbage, truncation and a corrupt negative chunk size never throw
+    assert(sniffWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(sniffWav("not audio".getBytes).isEmpty)
+    assert(sniffWav(Array.emptyByteArray).isEmpty)
+    val corrupt = canonical.clone()
+    corrupt(16) = 0xFF.toByte; corrupt(17) = 0xFF.toByte
+    corrupt(18) = 0xFF.toByte; corrupt(19) = 0xFF.toByte // fmt size = -1
+    assert(sniffWav(corrupt).isEmpty)
+    // decodeAudio derives sample/duration math from the parsed fields
+    val m = decodeAudio(3L, wavHeader(8000, 2, 16, 8004) ++ Array.fill[Byte](4)(0))
+    assert(m.n_samples == 8004 / 4 && m.duration_ms == 2001L * 1000 / 8000)
+    assert(decodeAudio(4L, "junk".getBytes).sample_rate == 0)
+  }
+
+  test("decodeAudioMeta: synthesized WAV fields round-trip through real chunk bytes") {
+    val metas = Multimodal.decodeAudioMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    // doc 0: rate 8000 (id%3=0), mono (1+0), text "hello world" = 11 bytes
+    assert(metas(0L).sample_rate == 8000 && metas(0L).channels == 1)
+    assert(metas(0L).n_samples == 11 / 2 && metas(0L).n_bytes == 44 + 11)
+    // doc 1: rate 16000, stereo — blockAlign 4
+    val len1 = "a somewhat longer document body here".length
+    assert(metas(1L).sample_rate == 16000 && metas(1L).channels == 2)
+    assert(metas(1L).n_samples == len1 / 4)
+    // doc 2: rate 44100, mono, 1 byte of data → 0 whole samples
+    assert(metas(2L).sample_rate == 44100 && metas(2L).n_samples == 0L)
+  }
+
   test("decode parses the synthesized header: dims text-derived, bytes include header") {
     import Multimodal.MediaHeader.headerLen
     val m = Multimodal.decodeMeta(spark, docs).collect()
