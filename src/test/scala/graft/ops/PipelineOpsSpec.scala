@@ -159,8 +159,12 @@ class PipelineOpsSpec extends SparkTestBase {
   test("shard export round-trips every row into its computed shard") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val out = "/tmp/graft_shard_spec"
-    Sharding.writeShards(docs, out, nShards = 4, maxRecordsPerFile = 50L)
+    val audit = Sharding.writeShards(docs, out, nShards = 4, maxRecordsPerFile = 50L)
     val back = spark.read.parquet(out)
+    // the observe/CollectMetrics audit rode the write job: rows written
+    // and the shard spread match the sink without any extra scan
+    assert(audit.n_rows == docs.count(), s"audit $audit")
+    assert(audit.min_shard == 0 && audit.max_shard == 3, s"audit $audit")
     // no loss, no duplication
     assert(back.count() == docs.count())
     assert(back.select(col("doc_id")).distinct().count() == docs.count())
