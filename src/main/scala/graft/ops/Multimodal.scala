@@ -157,19 +157,23 @@ object Multimodal {
       if (p.length < 36 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
         p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
         return None
-      var i = 12
+      // the cursor advances by attacker-controlled chunk sizes: walk in
+      // Long so a size near Int.MaxValue cannot wrap negative and index
+      // out of bounds (the never-throws contract)
+      var i = 12L
       var fmt: Option[(Int, Int, Int)] = None
       while (i + 8 <= p.length) {
-        val size = rdLe32(p, i + 4)
+        val ii = i.toInt
+        val size = rdLe32(p, ii + 4)
         if (size < 0) return None // corrupt size — bail, don't loop
-        if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' ') {
+        if (p(ii) == 'f' && p(ii + 1) == 'm' && p(ii + 2) == 't' && p(ii + 3) == ' ') {
           if (i + 8 + 16 > p.length) return None
-          fmt = Some((rdLe32(p, i + 12), rdLe16(p, i + 10), rdLe16(p, i + 22)))
-        } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a') {
+          fmt = Some((rdLe32(p, ii + 12), rdLe16(p, ii + 10), rdLe16(p, ii + 22)))
+        } else if (p(ii) == 'd' && p(ii + 1) == 'a' && p(ii + 2) == 't' && p(ii + 3) == 'a') {
           return fmt.map { case (rate, ch, bits) => (rate, ch, bits, size) }
         }
         // chunks are word-aligned: odd sizes carry a pad byte
-        i += 8 + size + (size % 2)
+        i += 8L + size.toLong + (size % 2)
       }
       None
     }

@@ -58,8 +58,15 @@ object Sharding {
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
         qe.observedMetrics.get(obsName).foreach { r =>
+          // min/max over ZERO rows observe as null — unboxing them
+          // would NPE on the listener thread, swallow the event, and
+          // stall the latch for the full timeout on every empty export
+          def intOr(field: String, dflt: Int): Int = {
+            val i = r.fieldIndex(field)
+            if (r.isNullAt(i)) dflt else r.getInt(i)
+          }
           result.set(WriteAudit(r.getAs[Long]("n_rows"),
-            r.getAs[Int]("min_shard"), r.getAs[Int]("max_shard")))
+            intOr("min_shard", -1), intOr("max_shard", -1)))
           latch.countDown()
         }
       override def onFailure(funcName: String,

@@ -134,23 +134,33 @@ object TextOps {
     least(sa, sb) >= greatest(sa, sb) * lit(threshold) - lit(1e-9)
 
   /** Exact Jaccard verification of a (doc_a, doc_b) candidate list:
-    * joins candidates back to the shingle table `sets` (doc_id, w, sz)
-    * twice and keeps pairs clearing the threshold. Shared by the exact
-    * prefix-filter path and the MinHash-LSH path so the verify math
-    * cannot drift between them. */
-  private def verifyCandidates(candidates: DataFrame, sets: DataFrame,
-      threshold: Double,
+    * joins candidates back to the side-a / side-b shingle tables
+    * (doc_id, w, sz) and keeps pairs clearing the threshold. ONE copy
+    * of the verify math, shared by the exact prefix-filter path and
+    * the MinHash-LSH path (both pass the same frame twice via
+    * [[verifyCandidates]]) and the incremental cross-side path
+    * (distinct frames per side — ids may legitimately collide across
+    * sides there). */
+  private def verifyCandidates2(candidates: DataFrame,
+      setsA: DataFrame, setsB: DataFrame, threshold: Double,
       session: Option[org.apache.spark.sql.SparkSession]): DataFrame =
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+      .join(setsA.select(col("doc_id").as("doc_a"), col("w").as("wa"),
         col("sz").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+      .join(setsB.select(col("doc_id").as("doc_b"), col("w").as("wb"),
         col("sz").as("sb")), "doc_b")
       .where(sizeCompatible(col("sa"), col("sb"), threshold))
       .withColumn("jac", jaccardSized(col("wa"), col("wb"), col("sa"), col("sb"),
         hasNative(session, "graft_isect")))
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+
+  /** Single-table form: both pair sides resolve in the same shingle
+    * table (doc ids unique within it). */
+  private def verifyCandidates(candidates: DataFrame, sets: DataFrame,
+      threshold: Double,
+      session: Option[org.apache.spark.sql.SparkSession]): DataFrame =
+    verifyCandidates2(candidates, sets, sets, threshold, session)
 
   /** EXACT near-dup pairs, 100 TB-safe: prefix-filter candidate
     * generation (the AllPairs / PPJoin family — Bayardo et al.
@@ -342,8 +352,12 @@ object TextOps {
     * path — a SQL oracle can recompute the result by brute force.
     *
     * A batch doc byte-identical to a corpus doc flags as an exact dup
-    * (re-ingestion is detected, not an error); batch-internal
-    * duplicates are out of scope ([[dedupExact]] composes before).
+    * (re-ingestion is detected, not an error) — including a re-ingest
+    * under the SAME doc_id: every internal stage is keyed by
+    * (side, doc_id), so an id present on both sides stays two distinct
+    * documents (prefix ranks, verify joins and the fp legs never mix
+    * their token sets). Batch-internal duplicates are out of scope
+    * ([[dedupExact]] composes before).
     *
     * Returns one row per batch doc:
     * (doc_id, is_exact_dup 0/1, n_near, max_jac). */
@@ -366,8 +380,12 @@ object TextOps {
       explode(col("w")).as("t"))
     val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val ranked = toks.join(dfreq, "t")
+      // partition by (side, doc_id): a doc_id shared across sides is
+      // two documents — ranking by bare doc_id would interleave their
+      // tokens and shorten both prefixes below the proven bound
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))))
+        Window.partitionBy(col("side"), col("doc_id"))
+          .orderBy(col("df"), col("t"))))
     // same fp-sound prefix bound as nearDupExact (1e-9: see there)
     val prefix = ranked
       .where(col("rk") <=
@@ -379,7 +397,11 @@ object TextOps {
           sizeCompatible(col("x.sz"), col("y.sz"), threshold))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val near = verifyCandidates(candidates, sets.drop("side", "fp"),
+    // side-qualified verify tables: doc_a resolves ONLY in the corpus
+    // slice, doc_b ONLY in the batch slice
+    val near = verifyCandidates2(candidates,
+        sets.where(col("side") === "old").drop("side", "fp"),
+        sets.where(col("side") === "new").drop("side", "fp"),
         threshold, session)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(count(lit(1)).as("n_near"), max(col("jac")).as("max_jac"))

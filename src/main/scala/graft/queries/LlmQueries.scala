@@ -430,16 +430,18 @@ object LlmQueries {
       .orderBy(col("doc_id"))
 
   private val q108Sql =
+    // coalesce mirrors withAudioPayload's null-padding: a NULL-text
+    // row is a 44-byte header on the Spark side, not a NULL audit row
     """SELECT doc_id,
-      |  CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(44 + octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
       |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |       ELSE 44100 END AS BIGINT) AS sample_rate,
       |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
       |  CAST(16 AS BIGINT) AS bits,
-      |  CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
+      |  CAST(octet_length(encode(coalesce(text, ''))) // ((1 + doc_id % 2) * 2)
       |    AS BIGINT) AS n_samples,
-      |  CAST((octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * 1000
-      |    // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |  CAST((octet_length(encode(coalesce(text, ''))) // ((1 + doc_id % 2) * 2))
+      |    * 1000 // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |        ELSE 44100 END) AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 

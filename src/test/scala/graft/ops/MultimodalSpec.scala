@@ -71,6 +71,12 @@ class MultimodalSpec extends SparkTestBase {
     corrupt(16) = 0xFF.toByte; corrupt(17) = 0xFF.toByte
     corrupt(18) = 0xFF.toByte; corrupt(19) = 0xFF.toByte // fmt size = -1
     assert(sniffWav(corrupt).isEmpty)
+    // a near-Int.MaxValue chunk size must not wrap the cursor negative
+    // and index out of bounds (Long walk)
+    val huge = canonical.take(12) ++ "JUNK".getBytes ++
+      Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte) ++
+      Array.fill[Byte](16)(0)
+    assert(sniffWav(huge).isEmpty)
     // decodeAudio derives sample/duration math from the parsed fields
     val m = decodeAudio(3L, wavHeader(8000, 2, 16, 8004) ++ Array.fill[Byte](4)(0))
     assert(m.n_samples == 8004 / 4 && m.duration_ms == 2001L * 1000 / 8000)

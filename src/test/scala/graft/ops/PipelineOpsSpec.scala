@@ -188,6 +188,17 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("write audit degrades cleanly on an empty export (null min/max, no stall)") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val audit = Sharding.writeShards(docs.where(lit(false)),
+      "/tmp/graft_shard_empty", nShards = 4)
+    // observe over zero rows: count 0, min/max null → sentinels (the
+    // null unbox used to NPE on the listener thread and stall the
+    // latch for its full timeout)
+    assert(audit.n_rows == 0L && audit.min_shard == -1 && audit.max_shard == -1,
+      s"audit $audit")
+  }
+
   test("shard export is deterministic: two runs produce identical shard files") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     def checksum(dir: String): Seq[(Any, String)] = {

@@ -79,6 +79,26 @@ class TextOpsSpec extends SparkTestBase {
     assert(out.size == 2) // one row per batch doc, corpus rows absent
   }
 
+  test("incrementalDedup survives a re-ingest under the SAME doc_id") {
+    // the corpus row and the batch row share doc_id 7 — every internal
+    // stage must keep them apart by (side, doc_id); interleaving their
+    // tokens would shorten both prefixes and miss the J=1.0 pair
+    val corpus = spark.createDataFrame(Seq(
+      (7L, "alpha beta gamma delta epsilon", "old", "en"),
+      (9L, "completely different content here now", "old", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val batch = spark.createDataFrame(Seq(
+      (7L, "alpha beta gamma delta epsilon", "new", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.incrementalDedup(batch, corpus, 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 7L)
+    assert(r.getAs[Long]("is_exact_dup") == 1L)
+    assert(r.getAs[Long]("n_near") == 1L) // exactly the corpus copy
+    assert(r.getAs[Double]("max_jac") == 1.0)
+  }
+
   test("incrementalDedup cross-side prefix filter loses no pair vs brute force") {
     // same adversarial corpus shape as the nearDupExact pin: small
     // vocab, dense similarity graph, threshold-boundary pairs
