@@ -330,6 +330,53 @@ object Pipeline {
       |WHERE cum_words <= 1000 * (1 + CAST(substr(source, 4) AS BIGINT) % 3)
       |ORDER BY doc_id""".stripMargin
 
+  /** Schema-evolution-tolerant scan: the corpus is re-written as two
+    * parquet EPOCHS — epoch 1 under the original schema, epoch 2 with
+    * a quality_ok column added later — and read back through ONE
+    * merged-footer scan (`mergeSchema` + partition discovery), legacy
+    * rows surfacing NULL for the post-evolution column. The
+    * storage-layer twin of the q101 streaming schema drift: a 100 TB
+    * lake accretes schema revisions over years and the engine must
+    * scan across them without a rewrite. The oracle recomputes the
+    * merged result from the raw table (epoch membership is doc_id
+    * parity), so a green row proves the merge semantics, not just the
+    * plumbing. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val out = s"/tmp/graft_evo_${Integer.toHexString(dir.hashCode)}"
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/epoch=1")
+    docs.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.qualityOk.as("quality_ok"))
+      .write.mode("overwrite").parquet(s"$out/epoch=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("quality_ok").isNull, 1L).otherwise(0L)).as("n_legacy"))
+      .orderBy(col("source"))
+  }
+
+  private val q109Sql =
+    """WITH m AS (SELECT source, n_chars,
+      |    CASE WHEN doc_id % 2 = 0 THEN NULL
+      |      WHEN len(string_split(text, ' ')) >= 8
+      |        AND len(list_filter(string_split(text, ' '),
+      |            w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |          / len(string_split(text, ' ')) >= 0.02
+      |        AND length(replace(text, ' ', ''))::DOUBLE
+      |          / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+      |      THEN 1 ELSE 0 END AS q
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(CASE WHEN q = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+      |  CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -342,7 +389,8 @@ object Pipeline {
     "q104_incremental_dedup" -> (q104 _),
     "q105_data_card" -> (q105 _),
     "q106_diversity_sample" -> (q106 _),
-    "q107_token_budget_mix" -> (q107 _))
+    "q107_token_budget_mix" -> (q107 _),
+    "q109_schema_evolution" -> (q109 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -356,5 +404,6 @@ object Pipeline {
     "q104_incremental_dedup" -> q104Sql,
     "q105_data_card" -> q105Sql,
     // q106 rows-only: k-means cells are not SQL-recomputable
-    "q107_token_budget_mix" -> q107Sql)
+    "q107_token_budget_mix" -> q107Sql,
+    "q109_schema_evolution" -> q109Sql)
 }

@@ -25,6 +25,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     val m4 = analysisMessage(
       df.select(call_function("graft_minhash", col("t"))).collect())
     assert(m4.contains("graft_minhash(hashes, n) takes 2 arguments, got 1"))
+    val m5 = analysisMessage(
+      df.select(call_function("graft_simhash", col("t"), col("t"))).collect())
+    assert(m5.contains("graft_simhash(words) takes 1 arguments, got 2"))
   }
 
   test("non-literal k/w/n still raise the literal-argument message") {

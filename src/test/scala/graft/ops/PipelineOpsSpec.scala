@@ -199,6 +199,27 @@ class PipelineOpsSpec extends SparkTestBase {
       s"audit $audit")
   }
 
+  test("merged-schema scan: evolved column is null exactly on pre-evolution files") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val out = "/tmp/graft_evo_spec"
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$out/epoch=1")
+    docs.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("source"), lit(true).as("added_later"))
+      .write.mode("overwrite").parquet(s"$out/epoch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    // one scan sees both revisions: the evolved column and the epoch
+    // partition column are in the merged schema
+    assert(merged.columns.contains("added_later") && merged.columns.contains("epoch"))
+    assert(merged.count() == docs.count())
+    // null exactly on the legacy half, populated exactly on the new half
+    assert(merged.where(col("added_later").isNull)
+      .where(col("doc_id") % 2 =!= 0).count() == 0)
+    assert(merged.where(col("added_later").isNotNull)
+      .where(col("doc_id") % 2 === 0).count() == 0)
+  }
+
   test("shard export is deterministic: two runs produce identical shard files") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     def checksum(dir: String): Seq[(Any, String)] = {
