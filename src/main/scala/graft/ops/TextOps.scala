@@ -439,6 +439,31 @@ object TextOps {
       .where(col("cum_words") <= budgetWords)
   }
 
+  /** Adaptive per-source quality gate: rank every document within its
+    * source by (rounded quality score asc, doc_id) and drop the bottom
+    * quartile — floor(n/4) docs — of EACH source. A global threshold
+    * over-prunes clean domains and under-prunes noisy ones; ranking
+    * within the domain calibrates the cutoff per source with no tuned
+    * constant. Exact by construction (a rank cutoff, not an
+    * interpolated quantile), so the oracle recomputes it verbatim; the
+    * score is rounded to 4 BEFORE ranking per the cross-engine
+    * contract, doc_id breaks ties. One scan + ONE window exchange on
+    * source (rankor and count share the partition key). At 100 TB the
+    * per-source sort is the inherent cost of an exact calibration; the
+    * sketch path (percentile_approx, q92's shape) trades exactness for
+    * a partial+final aggregate when that matters.
+    *
+    * Returns one row per doc: (doc_id, source, q, kept). */
+  def adaptiveQualityGate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), qualityScoreExpr.as("q"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("kept", expr("rn > n DIV 4"))
+      .select(col("doc_id"), col("source"), col("q"), col("kept"))
+  }
+
   /** Corpus data card: per (source, lang) rollup of volume, quality
     * and exact-dup counters — the one-scan summary a training run
     * publishes alongside the dataset. ROLLUP yields per-source

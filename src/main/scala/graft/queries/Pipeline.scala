@@ -377,6 +377,38 @@ object Pipeline {
       |  CAST(sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** Adaptive quality calibration audit: per-source drop/keep counts
+    * and the realized cutoff (lowest kept score). */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val gated = TextOps.adaptiveQualityGate(Tables(s, dir, "documents"))
+    gated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("q"))).as("cutoff_score"))
+      .orderBy(col("source"))
+  }
+
+  private val q110Sql =
+    """WITH s AS (SELECT doc_id, source,
+      |    round(least(len(list_filter(string_split(text, ' '),
+      |          w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |          / len(string_split(text, ' ')) * 5.0, 1.0) * 0.6 +
+      |        CASE WHEN length(replace(text, ' ', ''))::DOUBLE
+      |            / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+      |          THEN 0.4 ELSE 0.0 END, 4) AS q
+      |  FROM documents),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n FROM s)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN rn <= n // 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(sum(CASE WHEN rn > n // 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(min(CASE WHEN rn > n // 4 THEN q END) AS DOUBLE) AS cutoff_score
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -390,7 +422,8 @@ object Pipeline {
     "q105_data_card" -> (q105 _),
     "q106_diversity_sample" -> (q106 _),
     "q107_token_budget_mix" -> (q107 _),
-    "q109_schema_evolution" -> (q109 _))
+    "q109_schema_evolution" -> (q109 _),
+    "q110_adaptive_quality" -> (q110 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -405,5 +438,6 @@ object Pipeline {
     "q105_data_card" -> q105Sql,
     // q106 rows-only: k-means cells are not SQL-recomputable
     "q107_token_budget_mix" -> q107Sql,
-    "q109_schema_evolution" -> q109Sql)
+    "q109_schema_evolution" -> q109Sql,
+    "q110_adaptive_quality" -> q110Sql)
 }

@@ -153,6 +153,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(!card.keySet.exists { case (s, l) => s == "ALL" && l != "ALL" })
   }
 
+  test("adaptiveQualityGate drops exactly the bottom quartile of each source") {
+    val rnd = new scala.util.Random(11)
+    // sources of size 10 and 7: floor(10/4)=2 and floor(7/4)=1 dropped
+    val rows = (0L until 17L).map { id =>
+      val good = "the quick brown fox jumps over a lazy dog of note " * (1 + rnd.nextInt(3))
+      val bad = "zzz qqq xxx"
+      (id, if (rnd.nextBoolean()) good else bad,
+        if (id < 10) "big" else "small", "en")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.adaptiveQualityGate(df).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Double]("q"), r.getAs[Boolean]("kept")))
+    val bySource = out.groupBy(_._2)
+    assert(bySource("big").count(!_._4) == 2)
+    assert(bySource("small").count(!_._4) == 1)
+    // dropped docs are exactly the lowest by (q, doc_id) within source
+    bySource.foreach { case (_, docs) =>
+      val ordered = docs.sortBy(d => (d._3, d._1))
+      val k = docs.length / 4
+      assert(ordered.take(k).forall(!_._4) && ordered.drop(k).forall(_._4))
+    }
+    // layout independence
+    val re = TextOps.adaptiveQualityGate(df.repartition(5)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("kept"))).toSet
+    assert(re == out.map(d => (d._1, d._4)).toSet)
+  }
+
   test("mixtureSample takes the exact md5-order prefix within each source budget") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 60L).map { id =>
