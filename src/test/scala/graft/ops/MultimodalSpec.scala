@@ -83,6 +83,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(decodeAudio(4L, "junk".getBytes).sample_rate == 0)
   }
 
+  test("sniffWav fuzz: random blobs and mutated WAVs never throw") {
+    import Multimodal.MediaHeader._
+    val rnd = new scala.util.Random(20260815)
+    // pure garbage of every length shape
+    for (_ <- 1 to 300) {
+      val blob = Array.fill[Byte](rnd.nextInt(120))(rnd.nextInt().toByte)
+      sniffWav(blob) // must classify or reject, never throw
+    }
+    // structurally-valid WAVs with random bytes flipped anywhere
+    for (_ <- 1 to 300) {
+      val wav = wavHeader(8000 + rnd.nextInt(40000), 1 + rnd.nextInt(2), 16,
+        rnd.nextInt(1000)) ++ Array.fill[Byte](rnd.nextInt(64))(7)
+      val mutated = wav.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt().toByte
+      sniffWav(mutated)
+      decodeAudio(0L, mutated) // full decode path, same guarantee
+    }
+  }
+
   test("decodeAudioMeta: synthesized WAV fields round-trip through real chunk bytes") {
     val metas = Multimodal.decodeAudioMeta(spark, docs).collect()
       .map(m => m.doc_id -> m).toMap

@@ -181,6 +181,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(re == out.map(d => (d._1, d._4)).toSet)
   }
 
+  test("nearDupGroups equals a local union-find on a random dense pair graph") {
+    // dense random corpus (same recipe as the prefix-filter pin):
+    // chains and large components stress the label-propagation loop
+    // far beyond the deterministic chain case above
+    val rnd = new scala.util.Random(20260814)
+    val vocab = ('a' to 'l').map(_.toString)
+    val rows = (0L until 80L).map { id =>
+      val n = 4 + rnd.nextInt(8)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        if (id % 2 == 0) "a" else "b", "en")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val t = 0.5
+    // local oracle: brute-force pairs within source, then union-find
+    val sets = rows.map(r => (r._1, r._2.split(" ").toSet, r._3))
+    val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      (ia, ta, sa) <- sets; (ib, tb, sb) <- sets
+      if ia < ib && sa == sb
+      if ta.intersect(tb).size.toDouble / ta.union(tb).size >= t
+    } { val (ra, rb) = (find(ia), find(ib)); if (ra != rb) parent(ra) = rb }
+    val expect = (0L until 80L).groupBy(find).flatMap { case (_, members) =>
+      val label = members.min; members.map(_ -> label) }.toMap
+    val got = TextOps.nearDupGroups(df, t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(got == expect)
+  }
+
   test("mixtureSample takes the exact md5-order prefix within each source budget") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 60L).map { id =>
