@@ -439,6 +439,56 @@ object TextOps {
       .where(col("cum_words") <= budgetWords)
   }
 
+  /** Corpus-level boilerplate REMOVAL — the act to [[crossDocNgrams]]'
+    * measure (RefinedWeb-style span stripping): any word n-gram
+    * appearing in at least `minDf` distinct documents marks its span,
+    * the union of marked spans is cut from every document, and the
+    * text is rebuilt from the surviving words in position order.
+    *
+    * Every stage is a linear scan or a keyed shuffle: gram df is one
+    * wordcount-shaped aggregation, hot-gram marking is an equi-join on
+    * the gram key, covered positions dedup by (doc, pos), and the
+    * rebuild is a per-doc sort of surviving positions — no all-pairs
+    * anywhere, so the shape holds at 100 TB. Grams are compared as
+    * xxhash64 keys on the Spark side while the oracle uses the raw
+    * gram strings (the q51-proven hash-vs-string equivalence).
+    *
+    * Returns one row per input doc:
+    * (doc_id, n_words, n_removed, cleaned_fp = md5 of rebuilt text —
+    * an empty doc rebuilds to md5("")). */
+  def stripBoilerplate(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws")))
+    val posWords = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    val grams = base.where(col("nw") >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nw") - n),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))))
+        .as(Seq("pos", "g")))
+    val hot = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("g"))
+    val covered = grams.join(hot, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val rebuilt = posWords
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word"))).as("cleaned"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").cast("bigint").as("n_words"),
+        (col("nw") - coalesce(col("n_kept"), lit(0L))).cast("bigint")
+          .as("n_removed"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_fp"))
+  }
+
   /** Adaptive per-source quality gate: rank every document within its
     * source by (rounded quality score asc, doc_id) and drop the bottom
     * quartile — floor(n/4) docs — of EACH source. A global threshold

@@ -409,6 +409,35 @@ object Pipeline {
       |  CAST(min(CASE WHEN rn > n // 4 THEN q END) AS DOUBLE) AS cutoff_score
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Boilerplate span removal: strip every word 8-gram shared by ≥ 2
+    * documents, audit per doc (the remove-action of q94's measure). */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    TextOps.stripBoilerplate(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q111Sql =
+    """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS nw FROM documents),
+      |pw AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+      |  FROM b, unnest(range(1, nw + 1)) AS t(i)),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(ws[i : i + 7], ' ') AS gram
+      |  FROM b, unnest(range(1, nw - 8 + 2)) AS t(i) WHERE nw >= 8),
+      |hot AS (SELECT gram FROM g GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT g.doc_id, p.pos
+      |  FROM g JOIN hot USING (gram), unnest(range(g.pos, g.pos + 8)) AS p(pos)),
+      |kept AS (SELECT pw.* FROM pw LEFT JOIN cov
+      |    ON pw.doc_id = cov.doc_id AND pw.pos = cov.pos
+      |  WHERE cov.pos IS NULL),
+      |reb AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(word, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+      |  CAST(nw - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+      |  md5(coalesce(cleaned, '')) AS cleaned_fp
+      |FROM b LEFT JOIN reb USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -423,7 +452,8 @@ object Pipeline {
     "q106_diversity_sample" -> (q106 _),
     "q107_token_budget_mix" -> (q107 _),
     "q109_schema_evolution" -> (q109 _),
-    "q110_adaptive_quality" -> (q110 _))
+    "q110_adaptive_quality" -> (q110 _),
+    "q111_strip_boilerplate" -> (q111 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -439,5 +469,6 @@ object Pipeline {
     // q106 rows-only: k-means cells are not SQL-recomputable
     "q107_token_budget_mix" -> q107Sql,
     "q109_schema_evolution" -> q109Sql,
-    "q110_adaptive_quality" -> q110Sql)
+    "q110_adaptive_quality" -> q110Sql,
+    "q111_strip_boilerplate" -> q111Sql)
 }

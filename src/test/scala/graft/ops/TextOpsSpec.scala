@@ -181,6 +181,38 @@ class TextOpsSpec extends SparkTestBase {
     assert(re == out.map(d => (d._1, d._4)).toSet)
   }
 
+  test("stripBoilerplate cuts exactly the union of shared n-gram spans") {
+    // two docs share an 8-word run mid-text; a third is clean
+    val shared = "one two three four five six seven eight"
+    val rows = Seq(
+      (0L, s"alpha beta $shared gamma delta", "a", "en"),
+      (1L, s"epsilon $shared zeta", "a", "en"),
+      (2L, "nothing here repeats across documents at all", "a", "en"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+    val out = TextOps.stripBoilerplate(df, n = 8, minDf = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_fp")))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 0: the 8 shared words go, the frame words stay
+    assert(out(0L) == ((12L, 8L, md5hex("alpha beta gamma delta"))))
+    assert(out(1L) == ((10L, 8L, md5hex("epsilon zeta"))))
+    // doc 2 untouched
+    assert(out(2L) == ((7L, 0L, md5hex(rows(2)._2))))
+    // overlapping hot grams cut the UNION of spans, not double-count:
+    // two docs sharing a 9-word run have two hot 8-grams whose spans
+    // overlap in 7 positions — removal is 9 words, not 16
+    val nine = "one two three four five six seven eight nine"
+    val df2 = spark.createDataFrame(Seq(
+      (0L, s"pre $nine post", "a", "en"),
+      (1L, s"$nine tail", "a", "en"))).toDF("doc_id", "text", "source", "lang")
+    val out2 = TextOps.stripBoilerplate(df2, n = 8, minDf = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    assert(out2 == Map(0L -> 9L, 1L -> 9L))
+  }
+
   test("nearDupGroups equals a local union-find on a random dense pair graph") {
     // dense random corpus (same recipe as the prefix-filter pin):
     // chains and large components stress the label-propagation loop
