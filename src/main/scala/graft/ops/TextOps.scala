@@ -457,9 +457,15 @@ object TextOps {
     * (doc_id, n_words, n_removed, cleaned_fp = md5 of rebuilt text —
     * an empty doc rebuilds to md5("")). */
   def stripBoilerplate(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
+    // base feeds three consumers (position table, gram table, final
+    // join) and grams feeds two (df aggregation, hot-gram probe) —
+    // materialize each once, same "shingle once, reuse everywhere"
+    // convention as nearDupExact: without it the dominant gram-hash
+    // projection runs twice over the corpus and the split three times
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("nw", size(col("ws")))
+      .localCheckpoint(true)
     val posWords = base.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("pos", "word")))
     val grams = base.where(col("nw") >= n)
@@ -467,6 +473,7 @@ object TextOps {
         sequence(lit(0), col("nw") - n),
         i => xxhash64(concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))))
         .as(Seq("pos", "g")))
+      .localCheckpoint(true)
     val hot = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf)
@@ -507,7 +514,12 @@ object TextOps {
   def adaptiveQualityGate(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"), qualityScoreExpr.as("q"))
+    // unscorable (NULL-text) docs take score -1: ranked first = dropped
+    // first, deterministically. Leaving q NULL instead silently flips
+    // the rank order between engines (Spark sorts ASC NULLS FIRST,
+    // DuckDB NULLS LAST) and shifts every rank in the source
+    docs.select(col("doc_id"), col("source"),
+        coalesce(qualityScoreExpr, lit(-1.0)).as("q"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
       .withColumn("kept", expr("rn > n DIV 4"))

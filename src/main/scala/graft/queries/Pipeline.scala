@@ -343,13 +343,18 @@ object Pipeline {
     * plumbing. */
   private def q109(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val out = s"/tmp/graft_evo_${Integer.toHexString(dir.hashCode)}"
+    // unique per call: a fixed dir.hashCode path races overwrite-vs-
+    // read when two sessions run q109 on the same testdata concurrently
+    val out = s"/tmp/graft_evo_${java.util.UUID.randomUUID().toString.take(8)}"
     docs.where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/epoch=1")
     docs.where(col("doc_id") % 2 =!= 0)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        TextOps.qualityOk.as("quality_ok"))
+        // coalesce: a NULL-text doc has NULL qualityOk (3-valued
+        // logic); the oracle's CASE gives it 0, and n_legacy must
+        // count only epoch-1 rows, never unscorable epoch-2 rows
+        coalesce(TextOps.qualityOk, lit(false)).as("quality_ok"))
       .write.mode("overwrite").parquet(s"$out/epoch=2")
     s.read.option("mergeSchema", "true").parquet(out)
       .groupBy(col("source"))
@@ -391,12 +396,12 @@ object Pipeline {
 
   private val q110Sql =
     """WITH s AS (SELECT doc_id, source,
-      |    round(least(len(list_filter(string_split(text, ' '),
+      |    coalesce(round(least(len(list_filter(string_split(text, ' '),
       |          w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
       |          / len(string_split(text, ' ')) * 5.0, 1.0) * 0.6 +
       |        CASE WHEN length(replace(text, ' ', ''))::DOUBLE
       |            / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
-      |          THEN 0.4 ELSE 0.0 END, 4) AS q
+      |          THEN 0.4 ELSE 0.0 END, 4), -1.0) AS q
       |  FROM documents),
       |r AS (SELECT *,
       |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,

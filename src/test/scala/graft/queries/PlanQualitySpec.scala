@@ -251,4 +251,25 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected one source exchange:\n$hashEx")
     assert(p.contains("Window"), p)
   }
+
+  test("q110: adaptive gate is one scan whose windows share the source exchange") {
+    val p = plan("q110_adaptive_quality")
+    assert(p.linesIterator.count(_.contains("Location: InMemoryFileIndex")) == 1,
+      s"adaptive gate must read documents exactly once\n$p")
+    // rank and count windows both partition by source → one exchange
+    // (the downstream per-source aggregation reuses the clustering;
+    // only the presentation sort adds a range exchange)
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("source"),
+      s"expected one source exchange:\n$hashEx")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q111: boilerplate removal is keyed joins only — no cartesian, no nested loop") {
+    val p = plan("q111_strip_boilerplate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // the span-union dedup and the rebuild group both key by doc
+    assert(p.contains("hashpartitioning"), p)
+  }
 }
