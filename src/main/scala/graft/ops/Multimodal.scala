@@ -167,6 +167,10 @@ object Multimodal {
         val size = rdLe32(p, ii + 4)
         if (size < 0) return None // corrupt size — bail, don't loop
         if (p(ii) == 'f' && p(ii + 1) == 'm' && p(ii + 2) == 't' && p(ii + 3) == ' ') {
+          // a fmt chunk declaring < 16 bytes cannot hold the PCM
+          // format fields — reading fixed offsets anyway would parse
+          // bytes of the FOLLOWING chunk as format fields
+          if (size < 16) return None
           if (i + 8 + 16 > p.length) return None
           fmt = Some((rdLe32(p, ii + 12), rdLe16(p, ii + 10), rdLe16(p, ii + 22)))
         } else if (p(ii) == 'd' && p(ii + 1) == 'a' && p(ii + 2) == 't' && p(ii + 3) == 'a') {

@@ -86,8 +86,15 @@ object Sharding {
         .partitionBy("shard")
         .parquet(outDir)
       // the listener bus is async; bound the wait so a dropped event
-      // can never wedge the export
-      latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // can never wedge the export — and SAY when it degrades, so a
+      // stalled harvest is visible instead of silently absorbed into
+      // bench timings
+      val harvested =
+        latch.await(5, java.util.concurrent.TimeUnit.SECONDS)
+      if (!harvested)
+        System.err.println(
+          s"graft: write audit for $outDir not harvested within 5s; " +
+            "degrading to WriteAudit(-1, -1, -1)")
     } finally spark.listenerManager.unregister(listener)
     result.get
   }

@@ -433,8 +433,13 @@ object TextOps {
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // coalesce: the NULL-text guard every document-scanning query
+    // applies — without it a legacy-sizeOfNull session would emit -1
+    // word counts and break the strict monotonicity the take-while
+    // semantics rely on
     docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("bigint").as("n_words"))
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("bigint").as("n_words"))
       .withColumn("cum_words", sum(col("n_words")).over(w))
       .where(col("cum_words") <= budgetWords)
   }
@@ -542,7 +547,10 @@ object TextOps {
     * double is a hair below the decimal literal, so one engine rounds
     * up and the other down — observed live against DuckDB). */
   def dataCard(docs: DataFrame): DataFrame =
-    docs.select(col("source"), col("lang"),
+    // coalesce: the same NULL-text guard as mixtureSample — the
+    // quality expressions below all scan `text`
+    docs.withColumn("text", coalesce(col("text"), lit("")))
+      .select(col("source"), col("lang"),
         size(qualityWords).cast("bigint").as("nw"),
         qualityOk.cast("bigint").as("ok"),
         tokenSetFingerprint(col("text")).as("fp"),

@@ -278,7 +278,8 @@ object Analytic {
     * The tiny coalesce(1) is sized to the aggregate (≤ thousands of
     * rows), never the raw table. */
   private def q83(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_csv_rt_${Integer.toHexString(dir.hashCode)}"
+    val out = graft.TempRoots.path(
+      s"csv_rt_${Integer.toHexString(dir.hashCode)}")
     Tables(s, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
         col("o_orderstatus"))

@@ -438,9 +438,9 @@ object LlmQueries {
       |       ELSE 44100 END AS BIGINT) AS sample_rate,
       |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
       |  CAST(16 AS BIGINT) AS bits,
-      |  CAST(octet_length(encode(coalesce(text, ''))) // ((1 + doc_id % 2) * 2)
+      |  CAST(octet_length(encode(coalesce(text, ''))) // greatest(1, (1 + doc_id % 2) * 2)
       |    AS BIGINT) AS n_samples,
-      |  CAST((octet_length(encode(coalesce(text, ''))) // ((1 + doc_id % 2) * 2))
+      |  CAST((octet_length(encode(coalesce(text, ''))) // greatest(1, (1 + doc_id % 2) * 2))
       |    * 1000 // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
       |        ELSE 44100 END) AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin

@@ -38,7 +38,8 @@ object Pipeline {
     * a green row proves rows landed in exactly the right shard dirs
     * and none were lost or duplicated by the write. */
   private def q97(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_shards_${Integer.toHexString(dir.hashCode)}"
+    val out = graft.TempRoots.path(
+      s"shards_${Integer.toHexString(dir.hashCode)}")
     Sharding.writeShards(Tables(s, dir, "documents"), out, 8,
       maxRecordsPerFile = 10000L)
     s.read.parquet(out)
@@ -291,7 +292,8 @@ object Pipeline {
       |        CASE WHEN length(replace(text, ' ', ''))::DOUBLE
       |            / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
       |          THEN 0.4 ELSE 0.0 END, 4) * 10000, 0) AS BIGINT) AS qs
-      |  FROM documents)
+      |  FROM (SELECT source, lang, coalesce(text, '') AS text
+      |        FROM documents))
       |SELECT coalesce(source, 'ALL') AS source,
       |  coalesce(lang, 'ALL') AS lang,
       |  count(*) AS n_docs,
@@ -320,7 +322,7 @@ object Pipeline {
 
   private val q107Sql =
     """WITH d AS (SELECT doc_id, source,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_words
       |  FROM documents),
       |o AS (SELECT *, sum(n_words) OVER (PARTITION BY source
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -343,9 +345,11 @@ object Pipeline {
     * plumbing. */
   private def q109(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    // unique per call: a fixed dir.hashCode path races overwrite-vs-
-    // read when two sessions run q109 on the same testdata concurrently
-    val out = s"/tmp/graft_evo_${java.util.UUID.randomUUID().toString.take(8)}"
+    // session-scoped root: concurrent sessions cannot race a shared
+    // stable path, and repeated calls overwrite one pair of epoch dirs
+    // instead of stranding a fresh corpus copy per invocation
+    val out = graft.TempRoots.path(
+      s"evo_${Integer.toHexString(dir.hashCode)}")
     docs.where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/epoch=1")

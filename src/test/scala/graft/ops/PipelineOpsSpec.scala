@@ -158,7 +158,7 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("shard export round-trips every row into its computed shard") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
-    val out = "/tmp/graft_shard_spec"
+    val out = graft.TempRoots.path("shard_spec")
     val audit = Sharding.writeShards(docs, out, nShards = 4, maxRecordsPerFile = 50L)
     val back = spark.read.parquet(out)
     // the observe/CollectMetrics audit rode the write job: rows written
@@ -191,7 +191,8 @@ class PipelineOpsSpec extends SparkTestBase {
   test("write audit degrades cleanly on an empty export (null min/max, no stall)") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val audit = Sharding.writeShards(docs.where(lit(false)),
-      "/tmp/graft_shard_empty", nShards = 4)
+      
+      graft.TempRoots.path("shard_empty"), nShards = 4)
     // observe over zero rows: count 0, min/max null → sentinels (the
     // null unbox used to NPE on the listener thread and stall the
     // latch for its full timeout)
@@ -201,7 +202,7 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("merged-schema scan: evolved column is null exactly on pre-evolution files") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
-    val out = "/tmp/graft_evo_spec"
+    val out = graft.TempRoots.path("evo_spec")
     docs.where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("source"))
       .write.mode("overwrite").parquet(s"$out/epoch=1")
@@ -230,6 +231,7 @@ class PipelineOpsSpec extends SparkTestBase {
         .agg(md5(concat_ws(",", array_sort(collect_list(col("h"))))).as("sig"))
         .collect().map(r => (r.get(0), r.getString(1))).sortBy(_.toString()).toSeq
     }
-    assert(checksum("/tmp/graft_shard_det_a") == checksum("/tmp/graft_shard_det_b"))
+    assert(checksum(graft.TempRoots.path("shard_det_a")) ==
+      checksum(graft.TempRoots.path("shard_det_b")))
   }
 }
