@@ -16,7 +16,13 @@ object TempRoots {
 
   lazy val root: Path = {
     val p = Files.createTempDirectory("graft_session_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    // Runs concurrently with Spark's own shutdown hooks (ordering is
+    // unspecified): a file Spark is still flushing can vanish mid-walk,
+    // so cleanup is strictly best-effort — never let the hook thread die
+    // partway and strand the directory tree above the failure point.
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(p)
+      catch { case _: Throwable => () }))
     p
   }
 

@@ -90,10 +90,10 @@ object Sharding {
       // stalled harvest is visible instead of silently absorbed into
       // bench timings
       val harvested =
-        latch.await(5, java.util.concurrent.TimeUnit.SECONDS)
+        latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
       if (!harvested)
         System.err.println(
-          s"graft: write audit for $outDir not harvested within 5s; " +
+          s"graft: write audit for $outDir not harvested within 30s; " +
             "degrading to WriteAudit(-1, -1, -1)")
     } finally spark.listenerManager.unregister(listener)
     result.get

@@ -191,7 +191,6 @@ class PipelineOpsSpec extends SparkTestBase {
   test("write audit degrades cleanly on an empty export (null min/max, no stall)") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val audit = Sharding.writeShards(docs.where(lit(false)),
-      
       graft.TempRoots.path("shard_empty"), nShards = 4)
     // observe over zero rows: count 0, min/max null → sentinels (the
     // null unbox used to NPE on the listener thread and stall the

@@ -52,6 +52,21 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("HLL distinct estimate stays within 3 sigma of the exact count") {
+    // q21 runs approx_count_distinct(l_partkey, rsd=0.01); the HLL++
+    // relative standard deviation bounds the estimate, so 3*rsd is a
+    // ~99.7% envelope around q20's exact count(DISTINCT l_partkey)
+    val exact = q("q20_distinct_agg").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
+    val approx = q("q21_hll_distinct").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_parts")).toMap
+    assert(exact.keySet == approx.keySet)
+    for ((flag, ev) <- exact; av = approx(flag)) {
+      assert(math.abs(av - ev) <= math.max(1.0, ev * 0.03),
+        s"flag $flag: approx $av vs exact $ev exceeds 3*rsd")
+    }
+  }
+
   test("salted aggregation is bit-identical to the direct group-by") {
     val salted = q("q89_salted_agg").collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
