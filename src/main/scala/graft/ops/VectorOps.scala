@@ -221,28 +221,20 @@ object VectorOps {
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
 
-  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
-              maxTrain: Int = 4096): DataFrame = {
-    val corpus = prepared(embeddings)
-    val trainRows = trainSample(corpus, maxTrain)
-    if (trainRows.isEmpty) {
-      // empty corpus: no cells to build — return the empty result shape
-      val spark0 = embeddings.sparkSession
-      import spark0.implicits._
-      return spark0.emptyDataset[(Long, Long, Double, Int)]
-        .toDF("query_id", "vec_id", "cos", "rank")
-        .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
-    }
-    val centers = localKMeans(trainRows, nCells, iters = 5)
-    val celled = corpus.withColumn("cell",
-      element_at(pqEncodeIf(nativeDot(Some(embeddings.sparkSession)),
-        col("v"), Array(centers), 1), 1))
-    // the query set is small by contract: compute probe cells driver-side
-    val qRows = prepared(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-      .collect()
-    val probes = qRows.flatMap { r =>
+  /** True iff `queries` has at most `limit` rows — decided by a
+    * limit-pushdown scan that reads at most `limit + 1` rows, never the
+    * whole query table. */
+  private def isSmallQuerySet(queries: DataFrame, limit: Int): Boolean =
+    limit > 0 && queries.select(col("vec_id")).limit(limit + 1).count() <= limit
+
+  /** Driver-side probe rows for a SMALL query set: nProbe nearest
+    * coarse cells per collected query vector (full squared distance,
+    * stable sort → lower cell id wins ties, matching the expression
+    * argmin's struct ordering). */
+  private def driverProbes(qRows: Array[org.apache.spark.sql.Row],
+                           centers: Array[Array[Double]],
+                           nProbe: Int): Array[(Long, Int, scala.collection.Seq[Double], Double)] =
+    qRows.flatMap { r =>
       val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
       centers.zipWithIndex
         .map { case (c, i) =>
@@ -254,13 +246,48 @@ object VectorOps {
         .map { case (cell, _) => (r.getAs[Long]("query_id"), cell,
           r.getAs[scala.collection.Seq[Double]]("qv"), r.getAs[Double]("qn")) }
     }
+
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              maxTrain: Int = 4096, driverProbeLimit: Int = 1024): DataFrame = {
+    val corpus = prepared(embeddings)
+    val trainRows = trainSample(corpus, maxTrain)
+    if (trainRows.isEmpty) {
+      // empty corpus: no cells to build — return the empty result shape
+      val spark0 = embeddings.sparkSession
+      import spark0.implicits._
+      return spark0.emptyDataset[(Long, Long, Double, Int)]
+        .toDF("query_id", "vec_id", "cos", "rank")
+        .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+    }
+    val nd = nativeDot(Some(embeddings.sparkSession))
+    val centers = localKMeans(trainRows, nCells, iters = 5)
+    val celled = corpus.withColumn("cell",
+      element_at(pqEncodeIf(nd, col("v"), Array(centers), 1), 1))
+    val qs = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val probeDf = spark.createDataset(probes.toSeq)
-      .toDF("query_id", "cell", "qv", "qn")
-    val scored = celled.join(broadcast(probeDf),
-      celled("cell") === probeDf("cell") && col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(dotIf(nativeDot(Some(embeddings.sparkSession)),
+    // Probe assignment is two-path: a query set small enough to sit on
+    // the driver collects there and BROADCASTS (corpus never shuffles);
+    // anything bigger stays distributed — the nProbe nearest cells come
+    // from the SAME quantizer-encode expression the corpus pass uses
+    // (nAssign = nProbe), so a 100k-query batch never serializes
+    // through the driver. The cell-keyed join then shuffles both sides
+    // on nCells keys; size nCells to the corpus (≥ thousands at scale)
+    // and AQE's skew split handles hot cells.
+    val probed =
+      if (isSmallQuerySet(queries, driverProbeLimit))
+        broadcast(spark.createDataset(
+            driverProbes(qs.collect(), centers, nProbe).toSeq)
+          .toDF("query_id", "qcell", "qv", "qn"))
+      else
+        qs.withColumn("qcell",
+          explode(pqEncodeIf(nd, col("qv"), Array(centers), nProbe)))
+          .select(col("query_id"), col("qcell"), col("qv"), col("qn"))
+    val scored = celled.join(probed,
+      celled("cell") === probed("qcell") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(dotIf(nd,
         col("v"), col("qv")) / (col("n") * col("qn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -292,7 +319,7 @@ object VectorOps {
   def pqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
              nCells: Int = 16, nProbe: Int = 4,
              subs: Int = 8, codebookSize: Int = 16, rerank: Int = 64,
-             maxTrain: Int = 4096): DataFrame = {
+             maxTrain: Int = 4096, driverProbeLimit: Int = 1024): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val nd = nativeDot(Some(spark))
@@ -314,38 +341,59 @@ object VectorOps {
     val coded = corpus
       .withColumn("cell", element_at(pqEncodeIf(nd, col("v"), Array(coarse), 1), 1))
       .withColumn("codes", pqEncodeIf(nd, col("v"), books, 1))
-    // query side (contract-small): probe cells plus the flattened
-    // per-subspace ADC table of partial dots ⟨q_s, center⟩
-    val qRows = prepared(queries)
+    // query side: probe cells plus the flattened per-subspace ADC
+    // table of partial dots ⟨q_s, center⟩ — driver-built + broadcast
+    // for a contract-small query set, computed as COLUMNS (the same
+    // quantizer-encode expression plus subs·codebookSize width-w_ dot
+    // products per row) for a large batch so probing never serializes
+    // through the driver
+    val qs = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-      .collect()
-    val probes = qRows.flatMap { r =>
-      val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
-      val table = Array.tabulate(subs * codebookSize) { i =>
-        val s = i / codebookSize
-        val book = books(s)
-        val c = i % codebookSize
-        // tiny corpora train fewer than codebookSize centers; codes
-        // never reference the missing slots, so any filler works
-        if (c >= book.length) 0.0
-        else {
-          val cen = book(c)
-          var d = 0.0; var j = 0
-          while (j < w_) { d += qv(s * w_ + j) * cen(j); j += 1 }
-          d
+    val probeDf =
+      if (isSmallQuerySet(queries, driverProbeLimit)) {
+        val probes = qs.collect().flatMap { r =>
+          val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
+          val table = Array.tabulate(subs * codebookSize) { i =>
+            val s = i / codebookSize
+            val book = books(s)
+            val c = i % codebookSize
+            // tiny corpora train fewer than codebookSize centers; codes
+            // never reference the missing slots, so any filler works
+            if (c >= book.length) 0.0
+            else {
+              val cen = book(c)
+              var d = 0.0; var j = 0
+              while (j < w_) { d += qv(s * w_ + j) * cen(j); j += 1 }
+              d
+            }
+          }
+          coarse.zipWithIndex.map { case (cen, i) =>
+            var d = 0.0; var j = 0
+            while (j < qv.length) { val t = qv(j) - cen(j); d += t * t; j += 1 }
+            (i, d)
+          }.sortBy(_._2).take(nProbe).map { case (cell, _) =>
+            (r.getAs[Long]("query_id"), cell, table.toSeq, qv.toSeq,
+              r.getAs[Double]("qn"))
+          }
         }
+        broadcast(spark.createDataset(probes.toSeq)
+          .toDF("query_id", "qcell", "tbl", "qv", "qn"))
+      } else {
+        // ⟨q_s, center_c⟩ laid out with codebookSize stride to match the
+        // ADC lookup arithmetic; missing slots in under-trained books
+        // get the same 0.0 filler as the driver path
+        val tblCol = array((for {
+          s <- 0 until subs; c <- 0 until codebookSize
+        } yield {
+          if (c >= books(s).length) lit(0.0)
+          else dotIf(nd, slice(col("qv"), s * w_ + 1, w_),
+            array(books(s)(c).toIndexedSeq.map(lit): _*))
+        }): _*)
+        qs.withColumn("tbl", tblCol)
+          .withColumn("qcell",
+            explode(pqEncodeIf(nd, col("qv"), Array(coarse), nProbe)))
+          .select(col("query_id"), col("qcell"), col("tbl"), col("qv"), col("qn"))
       }
-      coarse.zipWithIndex.map { case (cen, i) =>
-        var d = 0.0; var j = 0
-        while (j < qv.length) { val t = qv(j) - cen(j); d += t * t; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(nProbe).map { case (cell, _) =>
-        (r.getAs[Long]("query_id"), cell, table.toSeq, qv.toSeq,
-          r.getAs[Double]("qn"))
-      }
-    }
-    val probeDf = spark.createDataset(probes.toSeq)
-      .toDF("query_id", "cell", "tbl", "qv", "qn")
     // ADC: approx ⟨q,x⟩ = Σ_s tbl[s·B + code_s] — `subs` lookups.
     // Divide by the candidate norm (already on the coded rows) so the
     // shortlist is ranked by approximate COSINE, matching the final
@@ -363,8 +411,8 @@ object VectorOps {
     }.reduce(_ + _) / when(col("n") > 0, col("n"))
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = coded.join(broadcast(probeDf),
-        coded("cell") === probeDf("cell") && col("query_id") =!= col("vec_id"))
+    val shortlist = coded.join(probeDf,
+        coded("cell") === probeDf("qcell") && col("query_id") =!= col("vec_id"))
       .withColumn("adc", adc)
       .withColumn("srank", row_number().over(shortW))
       .where(col("srank") <= rerank)

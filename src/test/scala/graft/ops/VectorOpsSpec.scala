@@ -94,6 +94,57 @@ class VectorOpsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("executor-side probe assignment is identical to the driver path (IVF and PQ)") {
+    // same queries through both probe paths: driverProbeLimit large →
+    // collect+broadcast, 0 → distributed expression probing; the paths
+    // must agree row-for-row (cells from the same quantizer, ADC tables
+    // from the same left-to-right dot sequence)
+    val queries = df
+    def run(limit: Int) = VectorOps.ivfTopK(df, queries, 3,
+      nCells = 4, nProbe = 2, driverProbeLimit = limit).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    assert(run(100000) == run(0))
+    def runPq(limit: Int) = VectorOps.pqTopK(df, queries, 3,
+      nCells = 4, nProbe = 2, subs = 4, rerank = 16,
+      driverProbeLimit = limit).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    assert(runPq(100000) == runPq(0))
+  }
+
+  test("a 100k-query batch runs through the distributed probe path") {
+    // 100k synthetic queries (the 60-vector corpus replicated with
+    // fresh ids) — far past any driver-collect comfort zone. The
+    // result must agree with the driver path on a common subset (per
+    // query, results depend only on that query and the corpus) and
+    // cover every query id.
+    val nRep = 100000 / 60 + 1
+    val queries = df.crossJoin(spark.range(nRep).toDF("rep"))
+      .select((col("vec_id") + col("rep") * 100 + 1000).as("vec_id"),
+        col("embedding"))
+      .limit(100000)
+    val big = VectorOps.ivfTopK(df, queries, 3, nCells = 4, nProbe = 2,
+      driverProbeLimit = 1024)
+    val got = big.groupBy().agg(
+        countDistinct(col("query_id")).as("nq"),
+        count(lit(1)).as("n")).collect()(0)
+    assert(got.getAs[Long]("nq") == 100000L, s"queries covered: $got")
+    assert(got.getAs[Long]("n") == 300000L, s"rows: $got")
+    // common subset: the first replica (rep=0 → ids 1000..1059) is the
+    // corpus itself under shifted ids; the driver path over just those
+    // 60 queries must produce the same neighbors and scores
+    val subset = queries.where(col("vec_id") < 1100)
+    val viaDriver = VectorOps.ivfTopK(df, subset, 3, nCells = 4,
+      nProbe = 2, driverProbeLimit = 1024).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    val fromBig = big.where(col("query_id") < 1100).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    assert(fromBig == viaDriver)
+  }
+
   test("IVF-cell near-dup: exhaustive assignment equals brute force; defaults keep recall") {
     val emb = graft.queries.Tables(spark, sfDir, "embeddings")
     val brute = VectorOps.embeddingNearDup(emb.withColumn("label", lit(0)), 0.4)
