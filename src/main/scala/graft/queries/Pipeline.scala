@@ -447,6 +447,23 @@ object Pipeline {
       |  md5(coalesce(cleaned, '')) AS cleaned_fp
       |FROM b LEFT JOIN reb USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
+  /** Incremental embedding index: build the IVF index once over the
+    * corpus slice (vec_id % 4 != 0), persist centroids + cell-coded
+    * vectors to parquet, then flag the NEW batch (vec_id % 4 == 0)
+    * against the STORED index — no retrain, no corpus re-encode,
+    * batch ⋈ corpus joins only. The vector twin of q104's nightly
+    * ingest shape. Rows-only: the k-means cells are not
+    * SQL-recomputable; IvfIndexSpec pins exhaustive == brute force,
+    * stored == rebuilt determinism, and the default recall floor. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.TempRoots.path("ivf_index_q112")
+    VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx)
+    VectorOps.incrementalNearDupIvf(s, idx,
+        e.where(col("vec_id") % 4 === 0), 0.4)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -462,7 +479,8 @@ object Pipeline {
     "q107_token_budget_mix" -> (q107 _),
     "q109_schema_evolution" -> (q109 _),
     "q110_adaptive_quality" -> (q110 _),
-    "q111_strip_boilerplate" -> (q111 _))
+    "q111_strip_boilerplate" -> (q111 _),
+    "q112_incremental_ivf_index" -> (q112 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins for the persisted-IVF incremental near-dup path (q112):
+  * exhaustive probing equals the brute-force cross product, the stored
+  * index is deterministic (rebuild == reuse), incremental never
+  * retrains, and default probing keeps a recall floor. */
+class IvfIndexSpec extends SparkTestBase {
+
+  private def vecs: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(77)
+    (0L until 80L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+  }
+
+  private def all = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+  private def corpus = all.where(col("vec_id") < 60)
+  private def batch = all.where(col("vec_id") >= 60)
+
+  private def localCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  private val threshold = 0.3
+
+  private def bruteForce: Set[(Long, Long)] = {
+    val byId = vecs.toMap
+    (for {
+      b <- 60L until 80L; c <- 0L until 60L
+      if localCosine(byId(b), byId(c)) >= threshold
+    } yield (b, c)).toSet
+  }
+
+  private def run(idx: String, nAssign: Int): Seq[(Long, Long, Double)] =
+    VectorOps.incrementalNearDupIvf(spark, idx, batch, threshold, nAssign)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("cos"))).toSeq.sorted
+
+  test("exhaustive probing equals the brute-force batch x corpus cross product") {
+    val idx = graft.TempRoots.path("ivfidx_spec_a")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    val got = run(idx, nAssign = 8)
+    assert(got.map(t => (t._1, t._2)).toSet == bruteForce)
+    // and every reported score is the exact cosine, rounded to 4
+    val byId = vecs.toMap
+    got.foreach { case (b, c, cos) =>
+      val expect = BigDecimal(localCosine(byId(b), byId(c)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cos == expect, s"($b,$c): $cos vs $expect")
+    }
+  }
+
+  test("a rebuilt index over the same corpus yields identical results (stored == retrained)") {
+    val idx1 = graft.TempRoots.path("ivfidx_spec_b1")
+    val idx2 = graft.TempRoots.path("ivfidx_spec_b2")
+    VectorOps.buildIvfIndex(corpus, idx1, nCells = 8)
+    VectorOps.buildIvfIndex(corpus, idx2, nCells = 8)
+    // centroids are bit-identical (deterministic sample + Lloyd's)
+    def cents(p: String) = spark.read.parquet(s"$p/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Double]]("center").toSeq)).toSeq
+    assert(cents(idx1) == cents(idx2))
+    assert(run(idx1, 4) == run(idx2, 4))
+  }
+
+  test("incremental probing reuses the stored quantizer without retraining") {
+    // a batch with a wildly different distribution (scaled 50x) must be
+    // assigned under the CORPUS-trained centroids: centroid files are
+    // untouched and the scaled batch (cosine-invariant scaling) finds
+    // exactly the pairs the unscaled batch finds
+    val idx = graft.TempRoots.path("ivfidx_spec_c")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    val before = spark.read.parquet(s"$idx/centroids").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("center").toSeq).toSet
+    val scaled = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(50.0f)).as("embedding"))
+    val got = VectorOps.incrementalNearDupIvf(spark, idx, scaled, threshold, 8)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(got == bruteForce)
+    val after = spark.read.parquet(s"$idx/centroids").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("center").toSeq).toSet
+    assert(before == after)
+  }
+
+  test("default probing keeps a recall floor against brute force") {
+    val idx = graft.TempRoots.path("ivfidx_spec_d")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    val got = run(idx, nAssign = 4).map(t => (t._1, t._2)).toSet
+    val exact = bruteForce
+    assert(got.subsetOf(exact), "incremental must never invent pairs")
+    val recall = exact.count(got.contains).toDouble / math.max(1, exact.size)
+    assert(recall >= 0.5, s"recall $recall over ${exact.size} true pairs")
+  }
+}
