@@ -267,20 +267,23 @@ object TextOps {
       when(hashes.isNotNull, sig)
     }
 
-  /** Shared band construction: a frame carrying a `sig` column
-    * exploded to one row per band with a hashed band key — the ONE
-    * copy of the band-key formula (both entry points below go through
-    * it, so the banding cannot drift between them). */
-  private def bandRows(withSig: DataFrame, nSig: Int, bands: Int): DataFrame = {
+  /** Band structs `(band, band_key)` for a signature column — the ONE
+    * copy of the band-key formula (every banded entry point, batch and
+    * streaming, goes through it, so the banding cannot drift). */
+  def bandStructs(sig: Column, nSig: Int, bands: Int): Column = {
     val rows = nSig / bands
-    val bandStructs = (0 until bands).map { i =>
+    array((0 until bands).map { i =>
       struct(lit(i).as("band"),
-        hash(slice(col("sig"), i * rows + 1, rows)).as("band_key"))
-    }
-    withSig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.band_key"))
+        hash(slice(sig, i * rows + 1, rows)).as("band_key"))
+    }: _*)
   }
+
+  /** Shared band construction: a frame carrying a `sig` column
+    * exploded to one row per band with a hashed band key. */
+  private def bandRows(withSig: DataFrame, nSig: Int, bands: Int): DataFrame =
+    withSig
+      .select(col("doc_id"), explode(bandStructs(col("sig"), nSig, bands)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.band_key"))
 
   /** LSH banding: doc rows exploded to one row per band with a hashed
     * band key. Docs sharing any band key are near-dup candidates. */
@@ -290,6 +293,36 @@ object TextOps {
       minhashSignatureFromHashes(ngramHashSet(col("text"), ngram), nSig,
         Some(docs.sparkSession))),
       nSig, bands)
+
+  /** Batch twin of [[graft.streaming.EventStreams.nearDupIngest]]'s
+    * band-claim suppression, rendered deterministically: every doc's
+    * bands rank within their band key by doc_id (the batch stand-in
+    * for arrival order), a doc is KEPT iff it claims ALL its bands
+    * (rank 1 in each). A dropped doc's unclaimed bands still hold
+    * their rank-1 claims — exactly the stream's state semantics, where
+    * a suppressed doc's novel bands still enter the dedup state and
+    * transitively suppress later near-dups of the dropped doc.
+    * One explode + one window shuffle on the band key; no self-join,
+    * no pair enumeration — the suppression decision is per-doc.
+    * Not SQL-expressible (MinHash band keys); StreamNearDupSpec pins
+    * stream == batch parity on identical input order. */
+  def nearDupSuppress(docs: DataFrame, nSig: Int = 12, bands: Int = 3,
+                      ngram: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = Some(docs.sparkSession)
+    val withSig = docs.select(col("doc_id"),
+      minhashSignatureFromHashes(ngramHashSet(col("text"), ngram), nSig,
+        session).as("sig"))
+    val rows = withSig.select(col("doc_id"),
+      explode(bandStructs(col("sig"), nSig, bands)).as("b"))
+    val w = Window.partitionBy(col("b.band"), col("b.band_key"))
+      .orderBy(col("doc_id"))
+    rows.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_lost_bands"))
+      .select(col("doc_id"), col("n_lost_bands"),
+        (col("n_lost_bands") === 0).cast("int").cast("bigint").as("is_kept"))
+  }
 
   /** MinHash-LSH near-dup pairs: band-bucket self-join proposes
     * candidates (a keyed shuffle, no cross join), then the exact

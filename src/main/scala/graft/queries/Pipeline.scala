@@ -464,6 +464,17 @@ object Pipeline {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  /** Batch twin of the streaming near-dup suppression
+    * ([[graft.streaming.EventStreams.nearDupIngest]]): per doc, how
+    * many of its MinHash LSH bands were already claimed by an earlier
+    * doc, and whether it survives the all-bands-new gate. Rows-only
+    * (band keys are MinHash-derived, not SQL-recomputable);
+    * StreamNearDupSpec pins stream == batch decision parity. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    TextOps.nearDupSuppress(
+        Tables(s, dir, "documents").where(col("text").isNotNull))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -480,7 +491,8 @@ object Pipeline {
     "q109_schema_evolution" -> (q109 _),
     "q110_adaptive_quality" -> (q110 _),
     "q111_strip_boilerplate" -> (q111 _),
-    "q112_incremental_ivf_index" -> (q112 _))
+    "q112_incremental_ivf_index" -> (q112 _),
+    "q113_neardup_suppress" -> (q113 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,

@@ -209,6 +209,46 @@ object EventStreams {
     dedupStream(gated, Seq("fp"), lateness).drop("fp")
   }
 
+  /** Streaming NEAR-duplicate suppression: [[curatedIngest]]'s content
+    * dedup catches exact token-set copies only; this stage drops
+    * paraphrased duplicates too. Each doc's MinHash signature
+    * (`graft_minhash` when installed) splits into LSH bands; band rows
+    * dedup within the watermark (`dropDuplicatesWithinWatermark` on
+    * the band key — first arrival claims the key), and a doc survives
+    * iff it claims ALL its bands. Any band collision with an earlier
+    * in-watermark doc ⇒ suppressed, the standard LSH candidate
+    * criterion. A suppressed doc's novel bands still claim state, so
+    * later near-dups of a dropped doc are suppressed transitively.
+    *
+    * Two chained stateful operators (band dedup → per-window count
+    * gate), both watermark-bounded: state is one entry per distinct
+    * band key plus one open-window aggregate per doc — never a
+    * signature archive. Emission is append-mode: a doc surfaces when
+    * its window closes (curation latency = window + lateness, the
+    * price of the all-bands gate). Batch twin:
+    * [[graft.ops.TextOps.nearDupSuppress]] (parity spec-pinned). */
+  def nearDupIngest(docs: DataFrame, nSig: Int = 12, bands: Int = 3,
+                    lateness: String = "30 minutes",
+                    window_ : String = "10 minutes"): DataFrame = {
+    val session = Some(docs.sparkSession)
+    val banded = docs
+      .withColumn("sig", graft.ops.TextOps.minhashSignatureFromHashes(
+        graft.ops.TextOps.ngramHashSet(col("text"), 1), nSig, session))
+      .select(col("ts"), col("doc_id"), col("text"),
+        explode(graft.ops.TextOps.bandStructs(col("sig"), nSig, bands)).as("b"))
+      .select(col("ts"), col("doc_id"), col("text"),
+        col("b.band").as("band"), col("b.band_key").as("band_key"))
+    val claimed = banded
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("band", "band_key")
+    claimed
+      .groupBy(window(col("ts"), window_).as("w"), col("doc_id"))
+      .agg(count(lit(1)).as("n_new_bands"), first(col("text")).as("text"))
+      .where(col("n_new_bands") === bands)
+      .select(col("w").getField("start").as("window_start"), col("doc_id"),
+        col("text"))
+  }
+
   /** Stream–stream interval join: purchases matched to views by the
     * same user within `windowSpec` before the purchase. Both sides
     * carry watermarks so matched/expired state is evicted — the
