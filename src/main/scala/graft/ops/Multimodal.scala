@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * container headers with pure JVM byte reads (no codec library);
   * [[MediaHeader.decodeAudio]] walks real RIFF/WAVE chunks for the
   * PCM format fields the same way.
-  * Because the corpus has no media files, [[MediaHeader.synth]]
-  * writes spec-compliant headers (real PNG CRC32) in front of the
-  * text bytes, so decode exercises the same code path a real corpus
-  * would hit. Only `n_frames` remains a stub (no video container in
-  * play): `1 + n_bytes % 30`. Pixel decode (needs a codec) would
-  * slot into the same mapPartitions pass.
+  * [[MediaHeader.sniffMp4]] walks real ISO-BMFF boxes
+  * (`moov/mvhd/trak/tkhd/mdia/minf/stbl/stts`) for canvas dims,
+  * timescale, duration and the frame count (Σ stts sample counts).
+  * Because the corpus has no media files, [[MediaHeader.synth]] /
+  * [[synthWav]] / [[synthMp4]] write spec-compliant headers (real PNG
+  * CRC32, real RIFF chunks, real MP4 boxes) in front of the text
+  * bytes, so decode exercises the same code path a real corpus would
+  * hit. Pixel decode (needs a codec) would slot into the same
+  * mapPartitions pass.
   */
 object Multimodal {
 
@@ -31,6 +34,10 @@ object Multimodal {
   case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int,
                        channels: Int, bits: Int, n_samples: Long,
                        duration_ms: Long)
+
+  /** Decoded-video metadata row (MP4/ISO-BMFF). */
+  case class VideoMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                       n_frames: Long, timescale: Int, duration_ms: Long)
 
   /** Container-header codec for PNG (sig + IHDR, per the PNG spec),
     * JPEG (SOI + SOF0 scan over markers, ITU T.81) and WebP
@@ -78,6 +85,56 @@ object Multimodal {
     def headerLen(format: String): Int = format match {
       case "jpeg" => 15; case "png" => 33; case "webp" => 30
     }
+
+    /** ISO-BMFF box: 32-bit big-endian size + 4CC type + payload. */
+    private def mp4box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tpe.getBytes("ISO-8859-1") ++ payload
+
+    private val unityMatrix: Array[Byte] =
+      be32(0x00010000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x00010000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+
+    /** Minimal spec-compliant MP4 header (ISO/IEC 14496-12): `ftyp` +
+      * `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stts)))))`,
+      * all version-0 full boxes, unity matrices, one video track. The
+      * frame count lives ONLY in the `stts` entries (two runs with
+      * different sample deltas, so the duration is a genuine
+      * time-to-sample sum, not count x constant); width/height are
+      * 16.16 fixed-point in `tkhd`. Every field the decoder reports
+      * must round-trip through these container bytes. */
+    def mp4Header(w: Int, h: Int, n1: Int, d1: Int, n2: Int, d2: Int,
+                  timescale: Int): Array[Byte] = {
+      val duration = n1 * d1 + n2 * d2
+      val ftyp = mp4box("ftyp",
+        "isom".getBytes ++ be32(0x200) ++ "isom".getBytes)
+      val mvhd = mp4box("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+          be32(0x00010000) ++ be16(0x0100) ++ be16(0) ++ be32(0) ++ be32(0) ++
+          unityMatrix ++ Array.fill(24)(0: Byte) ++ be32(2))
+      val tkhd = mp4box("tkhd",
+        be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration) ++
+          be32(0) ++ be32(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+          unityMatrix ++ be32(w << 16) ++ be32(h << 16))
+      val mdhd = mp4box("mdhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+          be16(0x55C4) ++ be16(0))
+      val hdlr = mp4box("hdlr",
+        be32(0) ++ be32(0) ++ "vide".getBytes ++ Array.fill(12)(0: Byte) ++
+          Array[Byte](0))
+      val stts = mp4box("stts",
+        be32(0) ++ be32(2) ++ be32(n1) ++ be32(d1) ++ be32(n2) ++ be32(d2))
+      val stbl = mp4box("stbl", stts)
+      val minf = mp4box("minf", stbl)
+      val mdia = mp4box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = mp4box("trak", tkhd ++ mdia)
+      val moov = mp4box("moov", mvhd ++ trak)
+      ftyp ++ moov
+    }
+
+    /** Byte length of [[mp4Header]] — constant (fixed box layout), so
+      * the oracle can recompute payload sizes arithmetically. */
+    val mp4HeaderLen: Int = mp4Header(64, 64, 1, 800, 1, 1200, 24000).length
 
     /** Canonical 44-byte PCM WAV header: RIFF/WAVE + 16-byte `fmt `
       * chunk (PCM tag 1) + `data` chunk header, per the RIFF spec. */
@@ -196,9 +253,85 @@ object Multimodal {
       val (format, w, h) = sniff(payload)
       MediaMeta(doc_id = docId, n_bytes = payload.length, width = w,
         height = h, format = format,
-        // the one remaining stub: frame count needs a video container
-        n_frames = 1 + (payload.length % 30))
+        // a recognized still image is one frame; video frame counts
+        // come from the MP4 stts walk in decodeVideo
+        n_frames = if (format == "unknown") 0 else 1)
     }
+
+    /** MP4 sniff: `ftyp` magic, then a recursive big-endian box walk
+      * (the ISO-BMFF twin of the WAV RIFF walk) through
+      * `moov/trak/mdia/minf/stbl` for `mvhd` (timescale, duration),
+      * `tkhd` (16.16 fixed-point canvas — read from the box END so
+      * version 0 and 1 both land on the same fields) and `stts`
+      * (frame count = Σ sample_count over the time-to-sample runs).
+      * Cursors are Long so attacker-controlled sizes cannot wrap
+      * negative; size-1 (64-bit largesize) and size-0 (to end of
+      * enclosing box) follow the spec; any inconsistent size bails
+      * out of that level. A poison payload classifies as None — the
+      * never-throws contract shared with [[sniffWav]]. */
+    def sniffMp4(p: Array[Byte]): Option[(Int, Int, Long, Int, Long)] = {
+      if (p.length < 12 || p(4) != 'f' || p(5) != 't' || p(6) != 'y' || p(7) != 'p')
+        return None
+      var w = 0; var h = 0
+      var nFrames = -1L; var timescale = 0; var duration = -1L
+      def rdBe32L(i: Long): Long = rdBe32(p, i.toInt).toLong & 0xFFFFFFFFL
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        if (depth > 8) return // malicious nesting — bound the recursion
+        var i = start
+        while (i + 8 <= end) {
+          var size = rdBe32L(i)
+          var hdr = 8L
+          if (size == 1) { // 64-bit largesize follows the type
+            if (i + 16 > end) return
+            size = (rdBe32L(i + 8) << 32) | rdBe32L(i + 12)
+            hdr = 16L
+          } else if (size == 0) size = end - i // "extends to end"
+          if (size < hdr || size > end - i) return // corrupt — bail
+          val t0 = i + 4
+          val tpe = new String(p, t0.toInt, 4, "ISO-8859-1")
+          val cs = i + hdr
+          val ce = i + size
+          tpe match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(cs, ce, depth + 1)
+            case "mvhd" if ce - cs >= 20 =>
+              val v = u8(p(cs.toInt))
+              if (v == 1 && ce - cs >= 32) {
+                // version 1: 64-bit create/modify times shift the
+                // timescale to +20 and widen duration to 64 bits
+                timescale = rdBe32(p, cs.toInt + 20)
+                duration = (rdBe32L(cs + 24) << 32) | rdBe32L(cs + 28)
+              } else {
+                timescale = rdBe32(p, cs.toInt + 12)
+                duration = rdBe32L(cs + 16)
+              }
+            case "tkhd" if w == 0 && ce - cs >= 80 =>
+              w = (rdBe32L(ce - 8) >>> 16).toInt
+              h = (rdBe32L(ce - 4) >>> 16).toInt
+            case "stts" if nFrames < 0 && ce - cs >= 8 =>
+              val n = rdBe32(p, cs.toInt + 4)
+              if (n >= 0 && 8L + n.toLong * 8 <= ce - cs) {
+                var s = 0L; var k = 0
+                while (k < n) { s += rdBe32L(cs + 8 + k * 8); k += 1 }
+                nFrames = s
+              }
+            case _ => () // ftyp, free, mdat, unknown: skip by size
+          }
+          i += size
+        }
+      }
+      walk(0L, p.length.toLong, 0)
+      if (timescale > 0 && nFrames >= 0) Some((w, h, nFrames, timescale, duration))
+      else None
+    }
+
+    def decodeVideo(docId: Long, payload: Array[Byte]): VideoMeta =
+      sniffMp4(payload) match {
+        case Some((w, h, nf, ts, dur)) =>
+          VideoMeta(docId, payload.length, w, h, nf, ts,
+            if (ts > 0 && dur >= 0) dur * 1000L / ts else 0L)
+        case None => VideoMeta(docId, payload.length, 0, 0, 0L, 0, 0L)
+      }
 
     /** Deterministic payload synthesis for the media-free corpus:
       * header dims derive from the text length (64 + len % 512 /
@@ -231,6 +364,44 @@ object Multimodal {
     }
     val channels = 1 + (docId % 2).toInt
     MediaHeader.wavHeader(rate, channels, 16, text.length) ++ text
+  }
+
+  /** Deterministic MP4 synthesis for the media-free corpus: the frame
+    * count (always ≥ 2, split into two stts runs with 800/1200-tick
+    * deltas), canvas dims and timescale all derive from doc_id/text
+    * length — so the oracle recomputes every field arithmetically
+    * while the Spark side must round-trip them through real ISO-BMFF
+    * container bytes (the green row proves the box walk, not the
+    * formula). */
+  private[ops] def synthMp4(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val nf = 2 + ((n * 3) % 240)
+    val n1 = nf / 2
+    val ts = (docId % 3) match {
+      case 0 => 24000; case 1 => 25000; case _ => 30000
+    }
+    MediaHeader.mp4Header(64 + (n % 512), 64 + ((n * 7) % 512),
+      n1, 800, nf - n1, 1200, ts) ++ text
+  }
+
+  /** Documents table → MP4 payload column (video twin of
+    * [[withPayload]]). */
+  def withVideoPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).cast("binary").as("t"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, t) => (id, synthMp4(id, t)) }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Partition-batched video decode — same typed mapPartitions shape
+    * as [[decodeMeta]], over the MP4 box walk. */
+  def decodeVideoMeta(spark: SparkSession, docs: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    withVideoPayload(docs).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) => MediaHeader.decodeVideo(id, payload) }
+    }
   }
 
   /** Documents table → WAV payload column (audio twin of
@@ -282,7 +453,8 @@ object Multimodal {
     * over the decoded metadata (`sequence` + `explode`), so the frame
     * index set and offsets are oracle-reproducible. */
   def sampleFrames(spark: SparkSession, docs: DataFrame, every: Int): DataFrame = {
-    decodeMeta(spark, docs).toDF()
+    decodeVideoMeta(spark, docs).toDF()
+      .where(col("n_frames") > 0) // a poison payload has no frames to sample
       .select(col("doc_id"), col("n_bytes"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),

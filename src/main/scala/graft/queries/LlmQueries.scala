@@ -405,14 +405,12 @@ object LlmQueries {
       |    64 + (octet_length(encode(text)) % 512) AS width,
       |    64 + ((octet_length(encode(text)) * 7) % 512) AS height,
       |    CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-      |         ELSE 'webp' END AS format,
-      |    1 + ((octet_length(encode(text)) +
-      |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END)) % 30) AS n_frames
+      |         ELSE 'webp' END AS format
       |  FROM documents)
       |SELECT format, count(*) AS n_docs,
       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
       |  max(width) AS max_width, min(height) AS min_height,
-      |  CAST(sum(n_frames) AS BIGINT) AS total_frames
+      |  count(*) AS total_frames
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
   /** Audio metadata decode: every document carries a synthesized PCM
@@ -470,16 +468,51 @@ object LlmQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
 
   private val q66Sql =
+    // n_frames/n_bytes mirror synthMp4's arithmetic; the Spark side
+    // must recover them from the MP4 stts walk (a parsing bug breaks
+    // the match). 357 = MediaHeader.mp4HeaderLen (spec-pinned).
     """WITH m AS (SELECT doc_id,
-      |    octet_length(encode(text)) +
-      |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END) AS n_bytes,
-      |    1 + ((octet_length(encode(text)) +
-      |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END)) % 30) AS n_frames
+      |    octet_length(encode(coalesce(text, ''))) + 357 AS n_bytes,
+      |    2 + ((octet_length(encode(coalesce(text, ''))) * 3) % 240) AS n_frames
       |  FROM documents)
       |SELECT doc_id, frame_idx,
       |  CAST(FLOOR(frame_idx * n_bytes / n_frames) AS BIGINT) AS byte_offset
       |FROM m, unnest(range(0, n_frames, 5)) AS t(frame_idx)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Video metadata decode: every document carries a synthesized MP4
+    * payload whose canvas/timescale/frame-count fields derive from
+    * doc_id/text length — the Spark side must round-trip them through
+    * a real ISO-BMFF box walk (moov/mvhd/trak/tkhd/stbl/stts), and
+    * the oracle recomputes them arithmetically. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoMeta(s, Tables(s, dir, "documents")).toDF()
+      .select(col("doc_id"),
+        col("n_bytes").cast("bigint").as("n_bytes"),
+        col("width").cast("bigint").as("width"),
+        col("height").cast("bigint").as("height"),
+        col("n_frames"),
+        col("timescale").cast("bigint").as("timescale"),
+        col("duration_ms"))
+      .orderBy(col("doc_id"))
+
+  private val q115Sql =
+    """WITH d AS (SELECT doc_id,
+      |    octet_length(encode(coalesce(text, ''))) AS L FROM documents),
+      |m AS (SELECT doc_id, L,
+      |    2 + ((L * 3) % 240) AS nf,
+      |    (2 + ((L * 3) % 240)) // 2 AS n1,
+      |    CASE doc_id % 3 WHEN 0 THEN 24000 WHEN 1 THEN 25000
+      |         ELSE 30000 END AS ts
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(357 + L AS BIGINT) AS n_bytes,
+      |  CAST(64 + (L % 512) AS BIGINT) AS width,
+      |  CAST(64 + ((L * 7) % 512) AS BIGINT) AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(ts AS BIGINT) AS timescale,
+      |  CAST((n1 * 800 + (nf - n1) * 1200) * 1000 // ts AS BIGINT) AS duration_ms
+      |FROM m ORDER BY doc_id""".stripMargin
 
   /** Context-window chunking: overlapping 50-word chunks, stride 40. */
   private def q72(s: SparkSession, dir: String): DataFrame =
@@ -565,7 +598,8 @@ object LlmQueries {
     "q93_unigram_nll" -> (q93 _),
     "q94_crossdoc_ngrams" -> (q94 _),
     "q95_pq_ann" -> (q95 _),
-    "q108_audio_meta" -> (q108 _))
+    "q108_audio_meta" -> (q108 _),
+    "q115_video_meta" -> (q115 _))
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
@@ -593,5 +627,6 @@ object LlmQueries {
     "q75_label_centroids" -> q75Sql,
     "q93_unigram_nll" -> q93Sql,
     "q94_crossdoc_ngrams" -> q94Sql,
-    "q108_audio_meta" -> q108Sql)
+    "q108_audio_meta" -> q108Sql,
+    "q115_video_meta" -> q115Sql)
 }

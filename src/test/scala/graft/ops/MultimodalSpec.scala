@@ -126,16 +126,83 @@ class MultimodalSpec extends SparkTestBase {
     assert(m(0L).width == 64 + 11 % 512)
     assert(m(0L).height == 64 + (11 * 7) % 512)
     assert(m(2L).n_bytes == 1 + headerLen("webp"))
-    assert(m(2L).n_frames == 1 + (1 + headerLen("webp")) % 30)
+    assert(m(2L).n_frames == 1) // a recognized still image is one frame
+  }
+
+  test("MP4 box walk round-trips fields and survives non-canonical layouts") {
+    import Multimodal.MediaHeader._
+    assert(mp4HeaderLen == 357) // the constant the q66/q115 oracles use
+    val h = mp4Header(640, 480, 10, 800, 20, 1200, 24000)
+    assert(sniffMp4(h ++ Array.fill[Byte](16)(9))
+      .contains((640, 480, 30L, 24000, 10L * 800 + 20L * 1200)))
+    // a free box between ftyp and moov (real muxers emit these) — the
+    // walk must skip it by size
+    val ftypLen = 20
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++ Array.fill[Byte](4)(0)
+    val withFree = h.take(ftypLen) ++ free ++ h.drop(ftypLen)
+    assert(sniffMp4(withFree).contains((640, 480, 30L, 24000, 32000L)))
+    // size-0 ("extends to end") on the trailing moov box still parses
+    val szEnd = h.clone()
+    szEnd(ftypLen) = 0; szEnd(ftypLen + 1) = 0
+    szEnd(ftypLen + 2) = 0; szEnd(ftypLen + 3) = 0
+    assert(sniffMp4(szEnd).contains((640, 480, 30L, 24000, 32000L)))
+    // garbage, truncation, corrupt sizes: classify None, never throw
+    assert(sniffMp4("not a video".getBytes).isEmpty)
+    assert(sniffMp4(Array.emptyByteArray).isEmpty)
+    assert(sniffMp4(h.take(40)).isEmpty)
+    val corrupt = h.clone()
+    corrupt(ftypLen) = 0xFF.toByte // moov size wraps negative as Int
+    corrupt(ftypLen + 1) = 0xFF.toByte
+    corrupt(ftypLen + 2) = 0xFF.toByte
+    corrupt(ftypLen + 3) = 0xF0.toByte
+    assert(sniffMp4(corrupt).isEmpty)
+    // an stts whose declared entry count overruns its box is ignored
+    val badStts = h.clone()
+    val sttsCount = h.length - 20 // stts entry_count offset from end: 8+4+4+16 → count at len-20
+    badStts(sttsCount) = 0x7F
+    assert(sniffMp4(badStts).isEmpty)
+  }
+
+  test("sniffMp4 fuzz: random blobs and mutated MP4s never throw") {
+    import Multimodal.MediaHeader._
+    val rnd = new scala.util.Random(20260813)
+    for (_ <- 1 to 300) {
+      val blob = Array.fill[Byte](rnd.nextInt(120))(rnd.nextInt().toByte)
+      sniffMp4(blob)
+    }
+    for (_ <- 1 to 300) {
+      val mp4 = mp4Header(1 + rnd.nextInt(4096), 1 + rnd.nextInt(4096),
+        rnd.nextInt(100), 1 + rnd.nextInt(2000), rnd.nextInt(100),
+        1 + rnd.nextInt(2000), 1 + rnd.nextInt(48000)) ++
+        Array.fill[Byte](rnd.nextInt(64))(7)
+      val mutated = mp4.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt().toByte
+      sniffMp4(mutated)
+      decodeVideo(0L, mutated) // full decode path, same guarantee
+    }
+  }
+
+  test("decodeVideoMeta: synthesized MP4 fields round-trip through real box bytes") {
+    val metas = Multimodal.decodeVideoMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    // doc 0: text 11 bytes → nf = 2 + 33 % 240 = 35 (runs 17+18),
+    // timescale 24000 (id%3=0), duration = 17*800 + 18*1200 ticks
+    assert(metas(0L).n_frames == 35L && metas(0L).timescale == 24000)
+    assert(metas(0L).n_bytes == Multimodal.MediaHeader.mp4HeaderLen + 11)
+    assert(metas(0L).width == 64 + 11 % 512 && metas(0L).height == 64 + 77 % 512)
+    assert(metas(0L).duration_ms == (17L * 800 + 18L * 1200) * 1000 / 24000)
+    // doc 1: timescale 25000
+    assert(metas(1L).timescale == 25000)
   }
 
   test("frame sampling explodes every k-th frame with floor offsets") {
     val f = Multimodal.sampleFrames(spark, docs, every = 3).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"),
         r.getAs[Long]("byte_offset")))
-    // doc 0: 11 text + 15 jpeg header = 26 bytes -> n_frames = 27
-    val nBytes = 26L
-    val nFrames = 1L + nBytes % 30
+    // doc 0: 11 text + 357 mp4 header = 368 bytes; stts frames = 35
+    val nBytes = 368L
+    val nFrames = 35L
     val expected = (0L until nFrames by 3).map(i => (i, i * nBytes / nFrames))
     val d0 = f.filter(_._1 == 0L).map(x => (x._2, x._3)).sorted.toSeq
     assert(d0 == expected, s"got $d0")
