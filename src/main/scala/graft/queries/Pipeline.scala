@@ -475,6 +475,58 @@ object Pipeline {
         Tables(s, dir, "documents").where(col("text").isNotNull))
       .orderBy(col("doc_id"))
 
+  /** Per-doc curation lineage: the FIRST stage of the q102 pipeline
+    * that drops each document (dedup → quality → contamination, in
+    * q102's stage order), or 'kept'. One scan + one fingerprint
+    * window + the same broadcast eval-fingerprint join q102 uses — a
+    * case expression over the existing stage predicates, no
+    * per-stage subtree duplication. The audit a curation run ships
+    * alongside its funnel totals: q102 says HOW MANY survived, this
+    * says WHY each casualty fell. Fully SQL-expressible → full
+    * oracle; PipelineOpsSpec reconciles its per-source 'kept' totals
+    * with q102's n_docs. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val evalFps = docs.where(col("source") === "src0")
+      .select(TextOps.tokenSetFingerprint(col("text")).as("fp")).distinct()
+      .withColumn("eval_hit", lit(true))
+    docs.withColumn("fp", TextOps.tokenSetFingerprint(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(broadcast(evalFps), Seq("fp"), "left")
+      .withColumn("first_drop_stage",
+        when(col("doc_id") =!= col("keep_id"), "dedup")
+          .when(!coalesce(TextOps.qualityOk, lit(false)), "quality")
+          .when(col("source") =!= "src0" && col("eval_hit").isNotNull,
+            "contamination")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("first_drop_stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q114Sql =
+    """WITH f AS (SELECT doc_id, source, text,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(coalesce(text, ''), ' '))), ' ')) AS fp
+      |  FROM documents),
+      |k AS (SELECT doc_id, source, text, fp,
+      |    min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f),
+      |e AS (SELECT DISTINCT fp FROM f WHERE source = 'src0')
+      |SELECT doc_id, source,
+      |  CASE WHEN doc_id <> keep_id THEN 'dedup'
+      |       WHEN NOT (len(string_split(text, ' ')) >= 8
+      |         AND len(list_filter(string_split(text, ' '),
+      |             w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |           / len(string_split(text, ' ')) >= 0.02
+      |         AND length(replace(text, ' ', ''))::DOUBLE
+      |           / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0)
+      |         THEN 'quality'
+      |       WHEN source <> 'src0' AND fp IN (SELECT fp FROM e)
+      |         THEN 'contamination'
+      |       ELSE 'kept' END AS first_drop_stage
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -492,7 +544,8 @@ object Pipeline {
     "q110_adaptive_quality" -> (q110 _),
     "q111_strip_boilerplate" -> (q111 _),
     "q112_incremental_ivf_index" -> (q112 _),
-    "q113_neardup_suppress" -> (q113 _))
+    "q113_neardup_suppress" -> (q113 _),
+    "q114_curation_lineage" -> (q114 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -509,5 +562,6 @@ object Pipeline {
     "q107_token_budget_mix" -> q107Sql,
     "q109_schema_evolution" -> q109Sql,
     "q110_adaptive_quality" -> q110Sql,
-    "q111_strip_boilerplate" -> q111Sql)
+    "q111_strip_boilerplate" -> q111Sql,
+    "q114_curation_lineage" -> q114Sql)
 }

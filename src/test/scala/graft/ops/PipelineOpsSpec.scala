@@ -139,6 +139,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(src0Audit == kept.where(col("source") === "src0").count())
   }
 
+  test("curation lineage reconciles with the funnel: kept totals equal q102, stages partition the corpus") {
+    val lineage = graft.SparkEntry.queries("q114_curation_lineage")(spark, sfDir)
+      .collect()
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    // every doc gets exactly one lineage row (the stages PARTITION the
+    // corpus — no doc double-counted, none unaccounted)
+    assert(lineage.length == docs.count())
+    val byStage = lineage.groupBy(_.getAs[String]("first_drop_stage"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(byStage.keySet.subsetOf(
+      Set("dedup", "quality", "contamination", "kept")))
+    // per-source kept counts must equal q102's funnel output exactly
+    val keptBySource = lineage.filter(_.getAs[String]("first_drop_stage") == "kept")
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    val audit = graft.SparkEntry.queries("q102_curation_e2e")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(keptBySource == audit,
+      s"lineage kept $keptBySource vs funnel $audit")
+    // and the stage counts reconcile with the independently computed
+    // stage survivor counts
+    val nDedupDrop = docs.count() - TextOps.dedupedDocs(docs).count()
+    assert(byStage.getOrElse("dedup", 0L) == nDedupDrop)
+  }
+
   test("quality-aware dedup keeps one survivor per group, and it is the best one") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val best = TextOps.dedupBestQuality(docs)
