@@ -1222,9 +1222,30 @@ object TextOps {
     * and probes the DISTINCT eval gram set — benchmark-sized by
     * contract, hence broadcast — so the train side is never shuffled
     * on the gram; the per-doc rollup is one keyed aggregation. */
+  /** `maxTrainDf`: optional stop-gram cap. A shared gram appearing in
+    * more than `maxTrainDf` TRAIN documents is boilerplate (site
+    * chrome, license headers) — it cannot identify eval text, and on a
+    * boilerplate-heavy corpus it is precisely the gram whose join
+    * output explodes (every train occurrence matches). The capped form
+    * measures each eval-shared gram's train df FIRST — the probe's
+    * partial aggregation collapses matches map-side, so the df shuffle
+    * is bounded by |eval grams|, never by train match volume — and
+    * drops hot grams from the broadcast eval set before the flagging
+    * probe. Semantics change by design: a doc whose ONLY shared grams
+    * are boilerplate is no longer flagged. */
   def ngramContamination(train: DataFrame, eval_ : DataFrame,
-                         n: Int = 5): DataFrame = {
-    val evalGrams = distinctNgrams(eval_, n).select(col("g")).distinct()
+                         n: Int = 5,
+                         maxTrainDf: Option[Int] = None): DataFrame = {
+    val evalGrams0 = distinctNgrams(eval_, n).select(col("g")).distinct()
+    val evalGrams = maxTrainDf match {
+      case None => evalGrams0
+      case Some(cap) =>
+        val hot = distinctNgrams(train, n)
+          .join(broadcast(evalGrams0), Seq("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select(col("g"))
+        evalGrams0.join(hot, Seq("g"), "left_anti")
+    }
     distinctNgrams(train, n)
       .join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("doc_id"))

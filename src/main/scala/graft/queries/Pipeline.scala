@@ -12,12 +12,16 @@ object Pipeline {
 
   /** N-gram decontamination: train docs (outside src0) sharing any
     * word 5-gram with the held-out src0 slice — the substring-level
-    * sibling of the whole-document fingerprint check q70. */
+    * sibling of the whole-document fingerprint check q70. Runs with
+    * the df-32 stop-gram cap (boilerplate grams shared by more than 32
+    * train docs are skipped); the oracle models the cap, so the gate
+    * stays exact at every SF even if a gram ever crosses it. */
   private def q96(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     TextOps.ngramContamination(
       docs.where(col("source") =!= "src0"),
-      docs.where(col("source") === "src0"))
+      docs.where(col("source") === "src0"),
+      maxTrainDf = Some(32))
       .orderBy(col("doc_id"))
   }
 
@@ -27,9 +31,12 @@ object Pipeline {
       |g AS (SELECT DISTINCT doc_id, source,
       |        array_to_string(ws[i : i + 4], ' ') AS g
       |      FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
-      |e AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+      |e AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+      |hot AS (SELECT g.g FROM g JOIN e USING (g) WHERE g.source <> 'src0'
+      |        GROUP BY g.g HAVING count(*) > 32),
+      |e2 AS (SELECT g FROM e WHERE g NOT IN (SELECT g FROM hot))
       |SELECT g.doc_id, count(*) AS n_shared_grams, min(g.g) AS first_gram
-      |FROM g JOIN e USING (g) WHERE g.source <> 'src0'
+      |FROM g JOIN e2 USING (g) WHERE g.source <> 'src0'
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** Deterministic shard export round-trip: write 8 shards, read the

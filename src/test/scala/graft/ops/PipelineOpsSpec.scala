@@ -32,6 +32,45 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(1L)._2 == "quick brown fox jumps over") // lexicographic min
   }
 
+  test("stop-gram cap: output unchanged on testdata, join volume cut on boilerplate") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val train = docs.where(col("source") =!= "src0")
+    val eval_ = docs.where(col("source") === "src0")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared_grams"),
+        r.getAs[String]("first_gram"))).toSeq.sortBy(_._1)
+    // on the real corpus no eval-shared gram reaches df 32: capped and
+    // uncapped runs must be identical
+    assert(rows(TextOps.ngramContamination(train, eval_, maxTrainDf = Some(32)))
+      == rows(TextOps.ngramContamination(train, eval_)))
+    // boilerplate-heavy synthetic corpus: 100 train docs share one
+    // footer 5-gram that also appears in eval; 2 train docs quote real
+    // eval text. Sum of n_shared_grams IS the probe join's output row
+    // count — the cap must cut it from ~102 to 2 and stop flagging the
+    // footer-only docs.
+    val footer = "all rights reserved by corp"
+    val quote = "the quick brown fox jumped over lazy dogs yesterday"
+    val synthTrain = df((0L until 100L).map(i =>
+      (i, s"unique body $i words here $footer", "web")) ++
+      Seq((100L, s"page one $quote end", "web"),
+        (101L, s"page two $quote end", "web")))
+    val synthEval = df(Seq(
+      (900L, s"benchmark question text $footer", "eval"),
+      (901L, s"benchmark with $quote inside", "eval")))
+    def volume(d: org.apache.spark.sql.DataFrame): Long =
+      Option(d.agg(sum(col("n_shared_grams"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val uncapped = TextOps.ngramContamination(synthTrain, synthEval)
+    val capped = TextOps.ngramContamination(synthTrain, synthEval,
+      maxTrainDf = Some(32))
+    assert(volume(uncapped) >= 100L, s"footer gram must explode: ${volume(uncapped)}")
+    val cappedRows = capped.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cappedRows == Set(100L, 101L),
+      s"only true quoters flagged after the cap: $cappedRows")
+    assert(volume(capped) < volume(uncapped) / 10,
+      s"capped ${volume(capped)} vs uncapped ${volume(uncapped)}")
+  }
+
   test("ngramContamination fires on the real corpus and catches verbatim quoting") {
     // NOTE the two screens are deliberately orthogonal on this corpus:
     // exact contamination (q70) matches token-SET fingerprints, which
