@@ -1225,29 +1225,29 @@ object TextOps {
   /** `maxTrainDf`: optional stop-gram cap. A shared gram appearing in
     * more than `maxTrainDf` TRAIN documents is boilerplate (site
     * chrome, license headers) — it cannot identify eval text, and on a
-    * boilerplate-heavy corpus it is precisely the gram whose join
-    * output explodes (every train occurrence matches). The capped form
-    * measures each eval-shared gram's train df FIRST — the probe's
-    * partial aggregation collapses matches map-side, so the df shuffle
-    * is bounded by |eval grams|, never by train match volume — and
-    * drops hot grams from the broadcast eval set before the flagging
-    * probe. Semantics change by design: a doc whose ONLY shared grams
-    * are boilerplate is no longer flagged. */
+    * boilerplate-heavy corpus it is precisely the gram that floods the
+    * flagged output. The capped form probes the corpus ONCE (the gram
+    * projection is the dominant cost — rerunning it for a df pass
+    * doubled q96), checkpoints the matched candidate rows (eval-shared
+    * hits only — the same volume the uncapped aggregation consumes),
+    * counts each gram's train df on that small table, and anti-joins
+    * the hot grams back out. Semantics change by design: a doc whose
+    * ONLY shared grams are boilerplate is no longer flagged. */
   def ngramContamination(train: DataFrame, eval_ : DataFrame,
                          n: Int = 5,
                          maxTrainDf: Option[Int] = None): DataFrame = {
-    val evalGrams0 = distinctNgrams(eval_, n).select(col("g")).distinct()
-    val evalGrams = maxTrainDf match {
-      case None => evalGrams0
-      case Some(cap) =>
-        val hot = distinctNgrams(train, n)
-          .join(broadcast(evalGrams0), Seq("g"))
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select(col("g"))
-        evalGrams0.join(hot, Seq("g"), "left_anti")
-    }
-    distinctNgrams(train, n)
+    val evalGrams = distinctNgrams(eval_, n).select(col("g")).distinct()
+    val matched0 = distinctNgrams(train, n)
       .join(broadcast(evalGrams), Seq("g"))
+    val matched = maxTrainDf match {
+      case None => matched0
+      case Some(cap) =>
+        val evidence = matched0.localCheckpoint(true)
+        val hot = evidence.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select(col("g"))
+        evidence.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+    matched
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"),
         min(col("g")).as("first_gram"))
