@@ -178,14 +178,29 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("q96: eval gram set broadcasts; the train side never sort-merge joins") {
-    val p = plan("q96_ngram_contamination")
+    // the capped q96 checkpoints the matched candidate rows, so its
+    // visible plan starts at the checkpoint; pin the probe shape on
+    // the uncapped operator (the identical probe subtree the capped
+    // form runs before checkpointing)...
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val probe = graft.ops.TextOps.ngramContamination(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"))
+    val pp = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the (100 TB) train side probes a broadcast of the benchmark-sized
     // distinct eval gram set — a SortMergeJoin here would shuffle the
     // whole exploded train gram stream on the gram key
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(pp.contains("BroadcastHashJoin"), pp)
+    assert(!pp.contains("SortMergeJoin"), pp)
     // the train scan keeps its source pushdown under the explode
-    assert(p.contains("Not(EqualTo(source,src0))"), p)
+    assert(pp.contains("Not(EqualTo(source,src0))"), pp)
+    // ...and on the capped query itself: the hot-gram exclusion is a
+    // broadcast anti-join over the checkpointed evidence, never a
+    // gram-keyed shuffle join
+    val p = plan("q96_ngram_contamination")
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q98: packing reuses the window's source partitioning for the rollup") {
@@ -263,6 +278,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert(hashEx.size == 1 && hashEx.head.contains("source"),
       s"expected one source exchange:\n$hashEx")
     assert(p.contains("Window"), p)
+  }
+
+  test("q112: stored-index probe prunes corpus cells dynamically, no self-join") {
+    val p = plan("q112_incremental_ivf_index")
+    // the stored corpus scan must carry a dynamic partition-pruning
+    // filter on cell: a batch probing 4 of 16 cells reads only those
+    // partitions of the index — the property that keeps incremental
+    // ingest sublinear in the stored corpus
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("ivf_index_q112/corpus"), p)
+    // batch ⋈ corpus only: exactly one join node in the whole plan
+    // (count detail headers — tree lines would double-count)
+    assert("""\(\d+\) \w*Join""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q113: near-dup suppression is one band window plus one doc rollup — no pair join") {
+    val p = plan("q113_neardup_suppress")
+    assert(!p.contains("Join"), p) // per-doc decision, never pair enumeration
+    // one hash exchange for the band-key window, one for the doc
+    // aggregate (the presentation sort is a range exchange) — nothing else
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 2, s"expected band + doc exchanges only:\n$hashEx")
+  }
+
+  test("q114: lineage is one corpus shuffle; eval fingerprints broadcast") {
+    val p = plan("q114_curation_lineage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // corpus side: one fp-window exchange; eval side: one small
+    // distinct exchange under the broadcast; presentation sort is range
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 2, s"expected fp window + eval distinct only:\n$hashEx")
   }
 
   test("q111: boilerplate removal is keyed joins only — no cartesian, no nested loop") {
