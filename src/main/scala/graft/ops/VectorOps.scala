@@ -221,31 +221,50 @@ object VectorOps {
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("v").toArray)
 
-  /** True iff `queries` has at most `limit` rows — decided by a
-    * limit-pushdown scan that reads at most `limit + 1` rows, never the
-    * whole query table. */
-  private def isSmallQuerySet(queries: DataFrame, limit: Int): Boolean =
-    limit > 0 && queries.select(col("vec_id")).limit(limit + 1).count() <= limit
+  /** Collect at most `limit + 1` prepared query rows in ONE
+    * limit-pushdown job: Some(rows) when the set fits the driver fast
+    * path, None when the batch is large and must stay distributed.
+    * (A separate count-then-collect would evaluate the query-side
+    * lineage twice.) */
+  private def smallQueryRows(qs: DataFrame,
+                             limit: Int): Option[Array[org.apache.spark.sql.Row]] = {
+    if (limit <= 0) return None
+    val rows = qs.limit(limit + 1).collect()
+    if (rows.length <= limit) Some(rows) else None
+  }
 
-  /** Driver-side probe rows for a SMALL query set: nProbe nearest
-    * coarse cells per collected query vector (full squared distance,
-    * stable sort → lower cell id wins ties, matching the expression
-    * argmin's struct ordering). */
+  /** nProbe nearest coarse cells per center, BIT-IDENTICAL to the
+    * expression path's ranking: the same −2⟨q,c⟩ + ‖c‖² IEEE sequence
+    * [[cellDistances]] evaluates (a full ‖q−c‖² would round
+    * differently in the last ulp and could order a near-tie across
+    * the two paths differently), stable ascending sort → lower cell
+    * id wins ties, matching the struct ordering of `array_sort`. */
+  private def nearestCells(qv: Array[Double], centers: Array[Array[Double]],
+                           c2: Array[Double], nProbe: Int): Seq[Int] =
+    centers.indices.map { i =>
+      val c = centers(i)
+      var dot = 0.0; var j = 0
+      while (j < qv.length) { dot += qv(j) * c(j); j += 1 }
+      (i, dot * -2.0 + c2(i))
+    }.sortBy(_._2).take(nProbe).map(_._1)
+
+  /** Squared center norms, computed exactly as the expression path's
+    * literal constants. */
+  private def centerNorms2(centers: Array[Array[Double]]): Array[Double] =
+    centers.map(c => c.map(x => x * x).sum)
+
+  /** Driver-side probe rows for a SMALL query set. */
   private def driverProbes(qRows: Array[org.apache.spark.sql.Row],
                            centers: Array[Array[Double]],
-                           nProbe: Int): Array[(Long, Int, scala.collection.Seq[Double], Double)] =
+                           nProbe: Int): Array[(Long, Int, scala.collection.Seq[Double], Double)] = {
+    val c2 = centerNorms2(centers)
     qRows.flatMap { r =>
       val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
-      centers.zipWithIndex
-        .map { case (c, i) =>
-          var d = 0.0; var j = 0
-          while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
-          (i, d)
-        }
-        .sortBy(_._2).take(nProbe)
-        .map { case (cell, _) => (r.getAs[Long]("query_id"), cell,
-          r.getAs[scala.collection.Seq[Double]]("qv"), r.getAs[Double]("qn")) }
+      nearestCells(qv, centers, c2, nProbe)
+        .map(cell => (r.getAs[Long]("query_id"), cell,
+          r.getAs[scala.collection.Seq[Double]]("qv"), r.getAs[Double]("qn")))
     }
+  }
 
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
@@ -276,15 +295,16 @@ object VectorOps {
     // through the driver. The cell-keyed join then shuffles both sides
     // on nCells keys; size nCells to the corpus (≥ thousands at scale)
     // and AQE's skew split handles hot cells.
-    val probed =
-      if (isSmallQuerySet(queries, driverProbeLimit))
+    val probed = smallQueryRows(qs, driverProbeLimit) match {
+      case Some(qRows) =>
         broadcast(spark.createDataset(
-            driverProbes(qs.collect(), centers, nProbe).toSeq)
+            driverProbes(qRows, centers, nProbe).toSeq)
           .toDF("query_id", "qcell", "qv", "qn"))
-      else
+      case None =>
         qs.withColumn("qcell",
           explode(pqEncodeIf(nd, col("qv"), Array(centers), nProbe)))
           .select(col("query_id"), col("qcell"), col("qv"), col("qn"))
+    }
     val scored = celled.join(probed,
       celled("cell") === probed("qcell") && col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(dotIf(nd,
@@ -349,9 +369,10 @@ object VectorOps {
     // through the driver
     val qs = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-    val probeDf =
-      if (isSmallQuerySet(queries, driverProbeLimit)) {
-        val probes = qs.collect().flatMap { r =>
+    val probeDf = smallQueryRows(qs, driverProbeLimit) match {
+      case Some(qRows) =>
+        val coarse2 = centerNorms2(coarse)
+        val probes = qRows.flatMap { r =>
           val qv = r.getAs[scala.collection.Seq[Double]]("qv").toArray
           val table = Array.tabulate(subs * codebookSize) { i =>
             val s = i / codebookSize
@@ -367,18 +388,15 @@ object VectorOps {
               d
             }
           }
-          coarse.zipWithIndex.map { case (cen, i) =>
-            var d = 0.0; var j = 0
-            while (j < qv.length) { val t = qv(j) - cen(j); d += t * t; j += 1 }
-            (i, d)
-          }.sortBy(_._2).take(nProbe).map { case (cell, _) =>
+          nearestCells(qv, coarse, coarse2, nProbe).map { cell =>
             (r.getAs[Long]("query_id"), cell, table.toSeq, qv.toSeq,
               r.getAs[Double]("qn"))
           }
         }
         broadcast(spark.createDataset(probes.toSeq)
           .toDF("query_id", "qcell", "tbl", "qv", "qn"))
-      } else {
+      case None =>
+        {
         // ⟨q_s, center_c⟩ laid out with codebookSize stride to match the
         // ADC lookup arithmetic; missing slots in under-trained books
         // get the same 0.0 filler as the driver path
@@ -393,7 +411,8 @@ object VectorOps {
           .withColumn("qcell",
             explode(pqEncodeIf(nd, col("qv"), Array(coarse), nProbe)))
           .select(col("query_id"), col("qcell"), col("tbl"), col("qv"), col("qn"))
-      }
+        }
+    }
     // ADC: approx ⟨q,x⟩ = Σ_s tbl[s·B + code_s] — `subs` lookups.
     // Divide by the candidate norm (already on the coded rows) so the
     // shortlist is ranked by approximate COSINE, matching the final

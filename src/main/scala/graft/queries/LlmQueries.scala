@@ -399,11 +399,14 @@ object LlmQueries {
     // n_bytes includes the synthesized container header (JPEG
     // SOI+SOF0 = 15, PNG sig+IHDR = 33, WebP RIFF+VP8X = 30) the
     // Spark side genuinely parses dims back out of
+    // coalesce mirrors withPayload's null-padding (same convention as
+    // q108/q115): a NULL-text row is a header-only payload, not a NULL
+    // audit row
     """WITH m AS (SELECT doc_id,
-      |    octet_length(encode(text)) +
+      |    octet_length(encode(coalesce(text, ''))) +
       |      (CASE doc_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 33 ELSE 30 END) AS n_bytes,
-      |    64 + (octet_length(encode(text)) % 512) AS width,
-      |    64 + ((octet_length(encode(text)) * 7) % 512) AS height,
+      |    64 + (octet_length(encode(coalesce(text, ''))) % 512) AS width,
+      |    64 + ((octet_length(encode(coalesce(text, ''))) * 7) % 512) AS height,
       |    CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
       |         ELSE 'webp' END AS format
       |  FROM documents)
@@ -449,8 +452,8 @@ object LlmQueries {
 
   private val q67Sql =
     """WITH d AS (SELECT doc_id,
-      |    64 + (octet_length(encode(text)) % 512) AS width,
-      |    64 + ((octet_length(encode(text)) * 7) % 512) AS height
+      |    64 + (octet_length(encode(coalesce(text, ''))) % 512) AS width,
+      |    64 + ((octet_length(encode(coalesce(text, ''))) * 7) % 512) AS height
       |  FROM documents)
       |SELECT doc_id, width, height,
       |  CASE WHEN width >= height THEN 224

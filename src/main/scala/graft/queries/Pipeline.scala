@@ -522,12 +522,12 @@ object Pipeline {
       |e AS (SELECT DISTINCT fp FROM f WHERE source = 'src0')
       |SELECT doc_id, source,
       |  CASE WHEN doc_id <> keep_id THEN 'dedup'
-      |       WHEN NOT (len(string_split(text, ' ')) >= 8
+      |       WHEN NOT coalesce(len(string_split(text, ' ')) >= 8
       |         AND len(list_filter(string_split(text, ' '),
       |             w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
       |           / len(string_split(text, ' ')) >= 0.02
       |         AND length(replace(text, ' ', ''))::DOUBLE
-      |           / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0)
+      |           / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0, FALSE)
       |         THEN 'quality'
       |       WHEN source <> 'src0' AND fp IN (SELECT fp FROM e)
       |         THEN 'contamination'

@@ -226,7 +226,13 @@ object EventStreams {
     * signature archive. Emission is append-mode: a doc surfaces when
     * its window closes (curation latency = window + lateness, the
     * price of the all-bands gate). Batch twin:
-    * [[graft.ops.TextOps.nearDupSuppress]] (parity spec-pinned). */
+    * [[graft.ops.TextOps.nearDupSuppress]] (parity spec-pinned).
+    * Claim order: ACROSS micro-batches, first arrival claims a band;
+    * within one micro-batch the surviving same-key row is whichever
+    * the state store meets first (post-shuffle order, not contracted)
+    * — same-batch near-dup ties resolve arbitrarily but exactly one
+    * claimant survives, so the kept/suppressed PARTITION is still
+    * correct; only which twin wins is unspecified. */
   def nearDupIngest(docs: DataFrame, nSig: Int = 12, bands: Int = 3,
                     lateness: String = "30 minutes",
                     window_ : String = "10 minutes"): DataFrame = {

@@ -84,12 +84,15 @@ class StreamNearDupSpec extends SparkTestBase {
   test("stream decisions equal the batch twin on identical arrival order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // a corpus slice fed in doc_id order with monotone timestamps, all
-    // inside one watermark era — the regime where the stream and the
-    // deterministic batch rendering must agree doc-for-doc
+    // a corpus slice fed in doc_id order, ONE DOC PER MICRO-BATCH, all
+    // inside one watermark era. Per-batch feeding matters for the pin:
+    // within a single micro-batch dropDuplicatesWithinWatermark keeps
+    // an arbitrary same-key row (post-shuffle merge order is not
+    // contracted to follow doc_id), so only cross-batch arrival order
+    // is the stream-side analogue of the batch twin's doc_id ranking
     val rows = graft.queries.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).where(col("text").isNotNull)
-      .orderBy(col("doc_id")).limit(120).collect()
+      .orderBy(col("doc_id")).limit(60).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSeq
     val mem = MemoryStream[(Timestamp, Long, String)]
     val docs = mem.toDF().toDF("ts", "doc_id", "text")
@@ -100,15 +103,15 @@ class StreamNearDupSpec extends SparkTestBase {
     try {
       rows.zipWithIndex.foreach { case ((id, text), i) =>
         mem.addData((ts(i % 50), id, text))
+        q.processAllAvailable()
       }
-      q.processAllAvailable()
       // flush: advance the watermark far enough to close the window
       mem.addData((ts(600), 999999L, "flush marker doc"))
       q.processAllAvailable()
       val streamKept = spark.table("neardup_bridge").collect()
         .map(_.getAs[Long]("doc_id")).toSet - 999999L
       val batchKept = graft.ops.TextOps.nearDupSuppress(
-          spark.createDataFrame(rows).toDF("doc_id", "text"), 12, 3)
+          spark.createDataFrame(rows.toSeq).toDF("doc_id", "text"), 12, 3)
         .where(col("is_kept") === 1).collect()
         .map(_.getAs[Long]("doc_id")).toSet
       assert(streamKept == batchKept,
