@@ -606,9 +606,7 @@ object VectorOps {
                             batch: DataFrame, threshold: Double,
                             nAssign: Int = 4): DataFrame = {
     val native = nativeDot(Some(spark))
-    val centers = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy(col("cell")).collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+    val centers = storedCenters(spark, indexDir)
     val stored = spark.read.parquet(s"$indexDir/corpus")
       .select(col("vec_id").as("corpus_id"), col("cell"),
         col("v").as("cv"), col("n").as("cn"))
@@ -620,6 +618,94 @@ object VectorOps {
       .withColumn("cos", dotIf(native, col("bv"), col("cv")) / (col("bn") * col("cn")))
       .where(col("cos") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Centroids of a stored index, cell-ordered — the quantizer every
+    * incremental operation reuses verbatim. */
+  private def storedCenters(spark: SparkSession,
+                            indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+
+  /** APPEND a batch to a stored IVF index: encode the new vectors
+    * under the STORED centroids (never retrained — the append is what
+    * completes q112's nightly cycle: flag near-dups against the index,
+    * then grow the index by the novel rows) and write them into the
+    * same cell-partitioned layout. Dynamic overwrite replaces only the
+    * cell partitions the batch touches; untouched cells keep their
+    * files byte-identical, so the write cost is proportional to the
+    * BATCH, not the index. Readers see the union: append-then-probe
+    * equals probe-of-rebuilt-corpus under the same quantizer
+    * (spec-pinned). Centroids drift from the true cell means as the
+    * corpus grows — the standard IVF trade — so a rebuild cadence
+    * (weekly, say) pairs with nightly appends. */
+  def appendToIvfIndex(spark: SparkSession, indexDir: String,
+                       batch: DataFrame): Unit = {
+    val native = nativeDot(Some(spark))
+    val centers = storedCenters(spark, indexDir)
+    val existing = spark.read.parquet(s"$indexDir/corpus")
+      .select(col("vec_id"), col("v"), col("n"), col("cell"))
+    val coded = prepared(batch).withColumn("cell",
+      element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1))
+    // union existing rows of ONLY the touched cells with the new rows,
+    // then dynamically overwrite those partitions: cheaper than a full
+    // rewrite, atomic per partition, and layout-stable for q112 probes.
+    // The carried rows materialize eagerly (localCheckpoint) BEFORE the
+    // write — Spark refuses to overwrite a path its own plan is still
+    // reading, and the checkpoint also makes the carry volume explicit:
+    // proportional to the touched cells, not the index
+    val touched = coded.select(col("cell")).distinct()
+    val carried = existing.join(broadcast(touched), Seq("cell"), "left_semi")
+      .localCheckpoint(true)
+    carried
+      .unionByName(coded.select(col("cell"), col("vec_id"), col("v"), col("n")))
+      .select(col("vec_id"), col("v"), col("n"), col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(s"$indexDir/corpus")
+  }
+
+  /** Approximate cosine top-k against a STORED index: the search-time
+    * form of [[ivfTopK]] with no training step at all — probe cells
+    * come from the stored quantizer (driver fast path under
+    * `driverProbeLimit`, expression path above it, bit-identical), and
+    * the cell-partitioned corpus scan prunes to the probed cells. The
+    * serving shape: build/append maintain the index offline, queries
+    * pay corpus/nCells · nProbe per query and never touch raw
+    * un-indexed vectors. */
+  def storedIndexTopK(spark: SparkSession, indexDir: String,
+                      queries: DataFrame, k: Int, nProbe: Int = 4,
+                      driverProbeLimit: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val native = nativeDot(Some(spark))
+    val centers = storedCenters(spark, indexDir)
+    val stored = spark.read.parquet(s"$indexDir/corpus")
+    val qs = prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val nP = math.min(nProbe, centers.length)
+    val probed = smallQueryRows(qs, driverProbeLimit) match {
+      case Some(qRows) =>
+        broadcast(spark.createDataset(
+            driverProbes(qRows, centers, nP).toSeq)
+          .toDF("query_id", "qcell", "qv", "qn"))
+      case None =>
+        qs.withColumn("qcell",
+          explode(pqEncodeIf(native, col("qv"), Array(centers), nP)))
+          .select(col("query_id"), col("qcell"), col("qv"), col("qn"))
+    }
+    val scored = stored.join(probed,
+      stored("cell") === probed("qcell") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(dotIf(native,
+        col("v"), col("qv")) / (col("n") * col("qn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Cluster-balanced diversity sample: k-means cells from a bounded

@@ -534,6 +534,25 @@ object Pipeline {
       |       ELSE 'kept' END AS first_drop_stage
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** Full index lifecycle (q112's serving-side completion): build the
+    * IVF index on the corpus slice, APPEND a nightly batch under the
+    * stored quantizer (dynamic overwrite of only the touched cell
+    * partitions — write cost ∝ batch, not index), then answer a
+    * cosine top-k query batch against the grown index with no
+    * training step at all. Rows-only (k-means cells); IvfIndexSpec
+    * pins append == rebuilt-union brute force and stored-index top-k
+    * == exact cosineTopK under exhaustive probing. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.TempRoots.path("ivf_index_q116")
+    VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx)
+    VectorOps.appendToIvfIndex(s, idx,
+      e.where(col("vec_id") % 8 === 0))
+    VectorOps.storedIndexTopK(s, idx,
+        e.where(col("vec_id") % 8 === 4), k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -552,7 +571,8 @@ object Pipeline {
     "q111_strip_boilerplate" -> (q111 _),
     "q112_incremental_ivf_index" -> (q112 _),
     "q113_neardup_suppress" -> (q113 _),
-    "q114_curation_lineage" -> (q114 _))
+    "q114_curation_lineage" -> (q114 _),
+    "q116_index_lifecycle" -> (q116 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,

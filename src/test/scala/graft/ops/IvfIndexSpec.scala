@@ -87,6 +87,49 @@ class IvfIndexSpec extends SparkTestBase {
     assert(before == after)
   }
 
+  test("append grows the index under the stored quantizer: probe equals brute force over the union") {
+    val idx = graft.TempRoots.path("ivfidx_spec_e")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    val centsBefore = spark.read.parquet(s"$idx/centroids").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("center").toSeq).toSet
+    // append docs 60..69; probe with docs 70..79
+    val b1 = all.where(col("vec_id") >= 60 && col("vec_id") < 70)
+    val b2 = all.where(col("vec_id") >= 70)
+    VectorOps.appendToIvfIndex(spark, idx, b1)
+    // the stored corpus is exactly C ∪ B1, each id once, and the
+    // quantizer is untouched
+    val ids = spark.read.parquet(s"$idx/corpus").select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 70L).toSeq, s"stored ids: $ids")
+    assert(spark.read.parquet(s"$idx/centroids").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("center").toSeq).toSet == centsBefore)
+    // exhaustive probe of B2 against the grown index == brute force
+    // B2 x (C ∪ B1)
+    val byId = vecs.toMap
+    val expect = (for {
+      b <- 70L until 80L; c <- 0L until 70L
+      if localCosine(byId(b), byId(c)) >= threshold
+    } yield (b, c)).toSet
+    val got = VectorOps.incrementalNearDupIvf(spark, idx, b2, threshold, 8)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("stored-index top-k: exhaustive probing equals brute-force cosineTopK; both probe paths agree") {
+    val idx = graft.TempRoots.path("ivfidx_spec_f")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    val queries = batch
+    def run(limit: Int) = VectorOps.storedIndexTopK(spark, idx, queries, 3,
+      nProbe = 8, driverProbeLimit = limit).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    val exact = VectorOps.cosineTopK(corpus, queries, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    assert(run(100000) == exact)
+    assert(run(0) == exact) // distributed probe path, same result
+  }
+
   test("default probing keeps a recall floor against brute force") {
     val idx = graft.TempRoots.path("ivfidx_spec_d")
     VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
