@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinhashSignature, PqEncode, SimhashSignature, SortedIntersectSize, WinnowFingerprint}
+import graft.functions.{BloomMightContain, DotProduct, MinhashSignature, PqEncode, SimhashSignature, SortedIntersectSize, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -92,6 +92,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_pq_encode(v, books, nAssign): nAssign must be an integer literal, got $other")
         }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        arity(children, 2, "graft_bloom_contains(fp, sketch)")
+        BloomMightContain(children.head, children(1))
       }))
   }
 }

@@ -1192,9 +1192,21 @@ object TextOps {
     val fpCol = tokenSetFingerprint(col("text"))
     val bloom = eval_.select(fpCol.as("fp"))
       .stat.bloomFilter("fp", expectedEvalDocs, fpp)
-    val mightContain = udf((fp: String) => bloom.mightContainString(fp))
+    // probe via the native codegen'd expression when installed (the
+    // sketch rides the plan as a binary literal, deserialized once per
+    // executor); the closure UDF is the bit-identical fallback —
+    // mightContainString is defined as mightContainBinary(utf8 bytes)
+    val probe =
+      if (hasNative(Some(train.sparkSession), "graft_bloom_contains")) {
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        call_function("graft_bloom_contains", col("fp"), lit(out.toByteArray))
+      } else {
+        val mightContain = udf((fp: String) => bloom.mightContainString(fp))
+        mightContain(col("fp"))
+      }
     train.select(col("doc_id"), fpCol.as("fp"))
-      .where(mightContain(col("fp")))
+      .where(probe)
   }
 
   /** One row per DISTINCT word n-gram per document — the

@@ -545,6 +545,24 @@ class TextOpsSpec extends SparkTestBase {
     // the precision pass: bloom-survivors ∩ exact == exact (composition
     // a 100 TB pipeline runs — bloom prunes, semi-join confirms)
     assert(bloomed.intersect(exact) == exact)
+    // the native codegen probe must be active on this session (the
+    // extension is installed) and bit-identical to the closure-UDF
+    // fallback: same sketch, mightContainString == mightContainBinary
+    // over the same UTF-8 bytes
+    assert(TextOps.bloomContamination(train, eval_).queryExecution
+      .executedPlan.toString.toLowerCase.contains("bloommightcontain"))
+    val sketch = eval_.select(
+      TextOps.tokenSetFingerprint(col("text")).as("fp"))
+      .stat.bloomFilter("fp", 100000L, 0.01)
+    val viaUdf = {
+      val mc = org.apache.spark.sql.functions.udf(
+        (fp: String) => sketch.mightContainString(fp))
+      train.select(col("doc_id"),
+          TextOps.tokenSetFingerprint(col("text")).as("fp"))
+        .where(mc(col("fp")))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(bloomed == viaUdf, "native probe diverged from the UDF fallback")
   }
 
   test("langId prefers marked languages and defaults to en") {
