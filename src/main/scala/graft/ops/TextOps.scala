@@ -294,6 +294,27 @@ object TextOps {
         Some(docs.sparkSession))),
       nSig, bands)
 
+  /** Corpus snapshot diff — the change audit between two crawls of
+    * the same lake (the input to every incremental decision: which
+    * docs need re-curation, re-embedding, re-sharding). One full
+    * outer join on doc_id comparing content fingerprints:
+    * added / removed / changed / unchanged. Both sides shuffle once
+    * on the id; fingerprints are row expressions, so the diff of two
+    * 100 TB snapshots is exactly one co-partitioned join — and with
+    * both snapshots bucketed by doc_id on disk, zero shuffles. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def fp(df: DataFrame, side: String) =
+      df.select(col("doc_id"),
+        contentFingerprint(coalesce(col("text"), lit(""))).as(s"fp_$side"))
+    fp(oldSnap, "old").join(fp(newSnap, "new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+      .select(col("doc_id"), col("status"))
+  }
+
   /** Batch twin of [[graft.streaming.EventStreams.nearDupIngest]]'s
     * band-claim suppression, rendered deterministically: every doc's
     * bands rank within their band key by doc_id (the batch stand-in

@@ -553,6 +553,39 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Corpus snapshot diff: the 'old crawl' drops every doc_id % 5 == 4
+    * and the 'new crawl' drops % 7 == 6 and rewrites the text of
+    * % 11 == 0 — so all four statuses occur and the oracle recomputes
+    * the same derivation arithmetically. One co-partitioned full outer
+    * join on doc_id; fully SQL-expressible. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
+    val newSnap = docs.where(col("doc_id") % 7 =!= 6)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" updated")))
+          .otherwise(col("text")))
+    TextOps.snapshotDiff(oldSnap, newSnap).orderBy(col("doc_id"))
+  }
+
+  private val q117Sql =
+    """WITH o AS (SELECT doc_id,
+      |    md5(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g')) AS fp
+      |  FROM documents WHERE doc_id % 5 <> 4),
+      |n AS (SELECT doc_id,
+      |    md5(regexp_replace(lower(coalesce(
+      |      CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' updated'
+      |           ELSE text END, '')), '[^a-z0-9 ]', '', 'g')) AS fp
+      |  FROM documents WHERE doc_id % 7 <> 6)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.fp IS NULL THEN 'added'
+      |       WHEN n.fp IS NULL THEN 'removed'
+      |       WHEN o.fp <> n.fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -572,7 +605,8 @@ object Pipeline {
     "q112_incremental_ivf_index" -> (q112 _),
     "q113_neardup_suppress" -> (q113 _),
     "q114_curation_lineage" -> (q114 _),
-    "q116_index_lifecycle" -> (q116 _))
+    "q116_index_lifecycle" -> (q116 _),
+    "q117_snapshot_diff" -> (q117 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -590,5 +624,6 @@ object Pipeline {
     "q109_schema_evolution" -> q109Sql,
     "q110_adaptive_quality" -> q110Sql,
     "q111_strip_boilerplate" -> q111Sql,
-    "q114_curation_lineage" -> q114Sql)
+    "q114_curation_lineage" -> q114Sql,
+    "q117_snapshot_diff" -> q117Sql)
 }
