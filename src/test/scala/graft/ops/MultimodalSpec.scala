@@ -163,6 +163,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(sniffMp4(badStts).isEmpty)
   }
 
+  test("MP4 walk handles mdat-before-moov layouts and version-1 mvhd") {
+    import Multimodal.MediaHeader._
+    val h = mp4Header(320, 240, 5, 1000, 5, 1000, 12000)
+    val ftypLen = 20
+    // non-faststart layout (common in straight-from-recorder files):
+    // the media payload box sits between ftyp and moov
+    val mdat = Array[Byte](0, 0, 0, 16) ++ "mdat".getBytes ++ Array.fill[Byte](8)(3)
+    val nonFaststart = h.take(ftypLen) ++ mdat ++ h.drop(ftypLen)
+    assert(sniffMp4(nonFaststart).contains((320, 240, 10L, 12000, 10000L)))
+    // version-1 mvhd: 64-bit create/modify times shift the timescale to
+    // +20 and widen the duration to 64 bits
+    def b32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]) = b32(8 + p.length) ++ t.getBytes ++ p
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++ // 64-bit times
+        b32(9000) ++ b32(0) ++ b32(45000) ++                // ts + 64-bit dur
+        Array.fill[Byte](80)(0))
+    val trakBytes = h.slice(ftypLen + 8 + 108, h.length) // the v0 trak
+    val v1 = h.take(ftypLen) ++ box("moov", mvhdV1 ++ trakBytes)
+    assert(sniffMp4(v1).contains((320, 240, 10L, 9000, 45000L)))
+  }
+
   test("sniffMp4 fuzz: random blobs and mutated MP4s never throw") {
     import Multimodal.MediaHeader._
     val rnd = new scala.util.Random(20260813)
