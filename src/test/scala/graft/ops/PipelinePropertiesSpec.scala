@@ -24,6 +24,66 @@ class PipelinePropertiesSpec extends SparkTestBase {
     (1 to count).flatMap(i =>
       genCorpus(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("nearDupSuppress invariants: lowest doc always kept, exact copies always suppressed, kept set is claim-consistent") {
+    val genTexts: Gen[List[String]] = for {
+      n <- Gen.choose(2, 30)
+      texts <- Gen.listOfN(n, for {
+        // small vocabulary → plenty of token-set collisions
+        w <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(w, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+      } yield ws.mkString(" "))
+    } yield texts
+    for (seed <- 1 to 10; texts <- genTexts(Gen.Parameters.default, Seed(seed.toLong))) {
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+      val out = TextOps.nearDupSuppress(docs, 12, 3).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lost_bands"),
+          r.getAs[Long]("is_kept"))).sortBy(_._1)
+      // every doc gets exactly one row; the lowest doc_id claims all
+      // its bands first and is always kept
+      assert(out.map(_._1).toSeq == rows.map(_._1))
+      assert(out.head._3 == 1L, s"doc 0 must be kept: ${out.head}")
+      // kept <-> zero lost bands, by definition
+      out.foreach { case (id, lost, kept) =>
+        assert((kept == 1L) == (lost == 0L), s"doc $id: lost=$lost kept=$kept")
+      }
+      // an exact token-set copy of an earlier doc collides on EVERY
+      // band and can never be kept
+      val fps = rows.map { case (id, t) =>
+        (id, t.split(" ").distinct.sorted.toSeq) }
+      val keptById = out.map(o => o._1 -> o._3).toMap
+      for ((id, fp) <- fps; (pid, pfp) <- fps if pid < id && pfp == fp)
+        assert(keptById(id) == 0L, s"doc $id duplicates $pid but was kept")
+    }
+  }
+
+  test("snapshotDiff invariants: statuses partition the id union, fingerprint algebra holds") {
+    val genIds: Gen[(Set[Long], Set[Long], Set[Long])] = for {
+      olds <- Gen.listOf(Gen.choose(0L, 40L)).map(_.toSet)
+      news <- Gen.listOf(Gen.choose(0L, 40L)).map(_.toSet)
+      changed <- Gen.listOf(Gen.choose(0L, 40L)).map(_.toSet)
+    } yield (olds, news, changed)
+    for (seed <- 1 to 10; (olds, news, changed) <- genIds(Gen.Parameters.default, Seed(seed.toLong))) {
+      val oldDf = spark.createDataFrame(
+        olds.toSeq.map(i => (i, s"text $i"))).toDF("doc_id", "text")
+      val newDf = spark.createDataFrame(
+        news.toSeq.map(i =>
+          (i, if (changed(i)) s"text $i changed" else s"text $i")))
+        .toDF("doc_id", "text")
+      val got = TextOps.snapshotDiff(oldDf, newDf).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(got.keySet == olds ++ news, "statuses must cover the id union")
+      for (id <- olds ++ news) {
+        val expect =
+          if (!olds(id)) "added"
+          else if (!news(id)) "removed"
+          else if (changed(id)) "changed"
+          else "unchanged"
+        assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+      }
+    }
+  }
+
   test("contextPacking conserves words and tiles exactly, for any corpus") {
     for (rows <- corpora(12)) {
       val docs = spark.createDataFrame(rows.map { case (id, w, s) =>

@@ -54,4 +54,42 @@ class BucketingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("snapshot diff over doc_id-bucketed snapshots joins without an Exchange") {
+    // the scaladoc claim on TextOps.snapshotDiff: with both crawl
+    // snapshots bucketed by doc_id on disk, the full-outer diff of two
+    // 100 TB snapshots runs with ZERO shuffles
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh-diff").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables(spark, sfDir, "documents")
+      docs.where(col("doc_id") % 5 =!= 4)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(4, "doc_id").sortBy("doc_id")
+        .option("path", s"$wh/snap_old").saveAsTable("snap_old")
+      docs.where(col("doc_id") % 7 =!= 6)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(4, "doc_id").sortBy("doc_id")
+        .option("path", s"$wh/snap_new").saveAsTable("snap_new")
+      val diff = graft.ops.TextOps.snapshotDiff(
+        spark.table("snap_old"), spark.table("snap_new"))
+      diff.collect()
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed diff shuffled a snapshot:\n$plan")
+      // and the decisions equal the unbucketed computation
+      val viaBuckets = diff.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toSet
+      val direct = graft.ops.TextOps.snapshotDiff(
+          docs.where(col("doc_id") % 5 =!= 4),
+          docs.where(col("doc_id") % 7 =!= 6)).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toSet
+      assert(viaBuckets == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS snap_old")
+      spark.sql("DROP TABLE IF EXISTS snap_new")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }
