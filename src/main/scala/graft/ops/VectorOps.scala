@@ -658,8 +658,13 @@ object VectorOps {
     val touched = coded.select(col("cell")).distinct()
     val carried = existing.join(broadcast(touched), Seq("cell"), "left_semi")
       .localCheckpoint(true)
+    // idempotence: an id already stored sits in the SAME cell (same
+    // quantizer, deterministic assignment), so the anti-join against
+    // the carried rows suffices to make a replayed append a no-op —
+    // the retry-safety a streaming foreachBatch ingest needs
+    val fresh = coded.join(carried.select(col("vec_id")), Seq("vec_id"), "left_anti")
     carried
-      .unionByName(coded.select(col("cell"), col("vec_id"), col("v"), col("n")))
+      .unionByName(fresh.select(col("cell"), col("vec_id"), col("v"), col("n")))
       .select(col("vec_id"), col("v"), col("n"), col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -278,6 +278,39 @@ object EventStreams {
         col("view_id"), col("view_ts"))
   }
 
+  /** Streaming vector-index ingest — the serving loop that keeps an
+    * ANN index fresh without retraining: each micro-batch of
+    * (vec_id, embedding) rows flags itself against the STORED index
+    * ([[graft.ops.VectorOps.incrementalNearDupIvf]] — batch ⋈ stored
+    * cells only, dynamic partition pruning) and appends ONLY the novel
+    * vectors ([[graft.ops.VectorOps.appendToIvfIndex]] — dynamic
+    * overwrite of touched cells, write cost ∝ batch). `foreachBatch`
+    * because the per-batch work is two batch operations against an
+    * external store; a replayed epoch is safe because the append
+    * anti-joins ids already stored (idempotent, spec-pinned).
+    * Batch-internal duplicates are out of scope, as in
+    * [[graft.ops.TextOps.incrementalDedup]] — compose a dedup stage
+    * upstream. */
+  def vectorIndexIngest(vectors: DataFrame, indexDir: String,
+                        threshold: Double, nAssign: Int = 4,
+                        checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dups = graft.ops.VectorOps
+            .incrementalNearDupIvf(spark, indexDir, batch, threshold, nAssign)
+            .select(col("batch_id").as("vec_id")).distinct()
+          val novel = batch.join(dups, Seq("vec_id"), "left_anti")
+          graft.ops.VectorOps.appendToIvfIndex(spark, indexDir, novel)
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Incremental schema inference over a JSON stream: the running
     * lattice join surfaced per micro-batch (complete mode) — the
     * streaming form of the reference's whole program. */

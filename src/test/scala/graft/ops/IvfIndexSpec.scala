@@ -130,6 +130,22 @@ class IvfIndexSpec extends SparkTestBase {
     assert(run(0) == exact) // distributed probe path, same result
   }
 
+  test("append is idempotent: replaying the same batch leaves the index unchanged") {
+    val idx = graft.TempRoots.path("ivfidx_spec_g")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    val b1 = all.where(col("vec_id") >= 60 && col("vec_id") < 70)
+    VectorOps.appendToIvfIndex(spark, idx, b1)
+    def snapshot() = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).sorted.toSeq
+    val once = snapshot()
+    assert(once.map(_._1) == (0L until 70L).toSeq)
+    // a replayed epoch (foreachBatch retry) must be a no-op, not a
+    // duplicate-id insertion
+    VectorOps.appendToIvfIndex(spark, idx, b1)
+    assert(snapshot() == once)
+  }
+
   test("default probing keeps a recall floor against brute force") {
     val idx = graft.TempRoots.path("ivfidx_spec_d")
     VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
