@@ -98,7 +98,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => {
         arity(children, 2, "graft_bloom_contains(fp, sketch)")
-        BloomMightContain(children.head, children(1))
+        children(1) match {
+          case Literal(bytes: Array[Byte], _) =>
+            BloomMightContain(children.head, bytes)
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_contains(fp, sketch): sketch must be a binary literal, got $other")
+        }
       }))
   }
 }

@@ -2,61 +2,59 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Membership probe of a string column against a DRIVER-BUILT bloom
-  * sketch carried as a binary literal — the codegen'd replacement for
-  * the one closure UDF that remained in a hot path
-  * ([[graft.ops.TextOps.bloomContamination]]). Spark's own
-  * `BloomFilterMightContain` is reserved for runtime join filters and
-  * expects an xxhash64 long child; this expression probes the exact
-  * `putString` hashing the sketch was built with, taking the UTF-8
-  * bytes straight from the column (no String materialization per row).
+  * sketch — the codegen'd replacement for the one closure UDF that
+  * remained in a hot path ([[graft.ops.TextOps.bloomContamination]]).
+  * Spark's own `BloomFilterMightContain` is reserved for runtime join
+  * filters and expects an xxhash64 long child; this expression probes
+  * the exact `putString` hashing the sketch was built with, taking the
+  * UTF-8 bytes straight from the column (no String materialization per
+  * row).
   *
-  * The sketch deserializes ONCE per (driver, executor) via a transient
-  * lazy val / codegen reference object — never per row. Rows: ~100 ns
-  * per probe against a broadcast-sized sketch; semantics identical to
-  * `udf(fp => bloom.mightContainString(fp))` because
+  * The serialized sketch is a CONSTRUCTOR FIELD, not a literal child
+  * (same convention as [[PqEncode]]'s codebooks): a ~120 KB binary
+  * literal would render as full hex in every plan string and ship a
+  * second copy beside the codegen reference. Here the expression
+  * itself is the single shipped copy — codegen references `this` and
+  * calls [[probe]], so the sketch deserializes lazily ONCE per
+  * (driver, executor) and rows see a field access. Semantics identical
+  * to `udf(fp => bloom.mightContainString(fp))` because
   * `mightContainString` is defined as `mightContainBinary(utf8 bytes)`
   * (parity spec-pinned). */
-case class BloomMightContain(child: Expression, sketch: Expression)
-  extends BinaryExpression {
-
-  override def left: Expression = child
-  override def right: Expression = sketch
+case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string column, got ${child.dataType.simpleString}")
-    else if (sketch.dataType != BinaryType || !sketch.foldable)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a foldable binary sketch argument")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = BooleanType
 
-  @transient private lazy val bloom: BloomFilter = {
-    val bytes = sketch.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
-  }
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
 
-  override def nullSafeEval(fp: Any, sketchBytes: Any): Any =
-    bloom.mightContainBinary(fp.asInstanceOf[UTF8String].getBytes)
+  /** Row probe — called from both interpreted eval and generated code. */
+  def probe(fp: UTF8String): Boolean = bloom.mightContainBinary(fp.getBytes)
+
+  override def nullSafeEval(fp: Any): Any = probe(fp.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // one deserialized sketch per generated class instance, shipped as
-    // a codegen reference object — the row loop sees a field access
-    val ref = ctx.addReferenceObj("bloomSketch", bloom,
-      classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, (fp, _) =>
-      s"${ev.value} = $ref.mightContainBinary($fp.getBytes());")
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, fp => s"${ev.value} = $ref.probe($fp);")
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(child = newLeft, sketch = newRight)
+  // keep plan strings compact: never render the sketch bytes
+  override def toString: String = s"bloommightcontain($child, sketch[${sketchBytes.length}B])"
+  override def sql: String = s"bloommightcontain(${child.sql})"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -279,30 +279,42 @@ object VectorOps {
         .toDF("query_id", "vec_id", "cos", "rank")
         .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
     }
-    val nd = nativeDot(Some(embeddings.sparkSession))
     val centers = localKMeans(trainRows, nCells, iters = 5)
+    val nd = nativeDot(Some(embeddings.sparkSession))
     val celled = corpus.withColumn("cell",
       element_at(pqEncodeIf(nd, col("v"), Array(centers), 1), 1))
+    cellProbeTopK(embeddings.sparkSession, celled, centers, queries, k,
+      nProbe, driverProbeLimit)
+  }
+
+  /** The shared probe/score/rank tail of [[ivfTopK]] (freshly-trained
+    * cells) and [[storedIndexTopK]] (parquet-stored cells): ONE copy of
+    * the bit-identity-critical two-path probe assignment. A query set
+    * small enough to sit on the driver collects there and BROADCASTS
+    * (the corpus never shuffles); anything bigger stays distributed —
+    * the nProbe nearest cells come from the SAME quantizer-encode
+    * expression the corpus pass uses (nAssign = nProbe), so a
+    * 100k-query batch never serializes through the driver. The
+    * cell-keyed join then shuffles on nCells keys; size nCells to the
+    * corpus (≥ thousands at scale) and AQE's skew split handles hot
+    * cells. */
+  private def cellProbeTopK(spark: SparkSession, celled: DataFrame,
+                            centers: Array[Array[Double]],
+                            queries: DataFrame, k: Int, nProbe: Int,
+                            driverProbeLimit: Int): DataFrame = {
+    import spark.implicits._
+    val nd = nativeDot(Some(spark))
+    val nP = math.min(nProbe, centers.length)
     val qs = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    // Probe assignment is two-path: a query set small enough to sit on
-    // the driver collects there and BROADCASTS (corpus never shuffles);
-    // anything bigger stays distributed — the nProbe nearest cells come
-    // from the SAME quantizer-encode expression the corpus pass uses
-    // (nAssign = nProbe), so a 100k-query batch never serializes
-    // through the driver. The cell-keyed join then shuffles both sides
-    // on nCells keys; size nCells to the corpus (≥ thousands at scale)
-    // and AQE's skew split handles hot cells.
     val probed = smallQueryRows(qs, driverProbeLimit) match {
       case Some(qRows) =>
         broadcast(spark.createDataset(
-            driverProbes(qRows, centers, nProbe).toSeq)
+            driverProbes(qRows, centers, nP).toSeq)
           .toDF("query_id", "qcell", "qv", "qn"))
       case None =>
         qs.withColumn("qcell",
-          explode(pqEncodeIf(nd, col("qv"), Array(centers), nProbe)))
+          explode(pqEncodeIf(nd, col("qv"), Array(centers), nP)))
           .select(col("query_id"), col("qcell"), col("qv"), col("qn"))
     }
     val scored = celled.join(probed,
@@ -639,7 +651,15 @@ object VectorOps {
     * equals probe-of-rebuilt-corpus under the same quantizer
     * (spec-pinned). Centroids drift from the true cell means as the
     * corpus grows — the standard IVF trade — so a rebuild cadence
-    * (weekly, say) pairs with nightly appends. */
+    * (weekly, say) pairs with nightly appends.
+    *
+    * ID CONTRACT: vec_id is immutable/content-addressed, as in every
+    * append-only ANN store. A byte-identical replay of a batch is a
+    * no-op (the anti-join below — retry safety for foreachBatch), but
+    * re-ingesting a CHANGED embedding under an existing id is
+    * undefined: same-cell updates are dropped, cross-cell ones would
+    * store the id twice. Updates require an explicit delete + rebuild
+    * (or a new id), exactly like FAISS/IVF file indexes. */
   def appendToIvfIndex(spark: SparkSession, indexDir: String,
                        batch: DataFrame): Unit = {
     val native = nativeDot(Some(spark))
@@ -682,36 +702,9 @@ object VectorOps {
     * un-indexed vectors. */
   def storedIndexTopK(spark: SparkSession, indexDir: String,
                       queries: DataFrame, k: Int, nProbe: Int = 4,
-                      driverProbeLimit: Int = 1024): DataFrame = {
-    import spark.implicits._
-    val native = nativeDot(Some(spark))
-    val centers = storedCenters(spark, indexDir)
-    val stored = spark.read.parquet(s"$indexDir/corpus")
-    val qs = prepared(queries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-    val nP = math.min(nProbe, centers.length)
-    val probed = smallQueryRows(qs, driverProbeLimit) match {
-      case Some(qRows) =>
-        broadcast(spark.createDataset(
-            driverProbes(qRows, centers, nP).toSeq)
-          .toDF("query_id", "qcell", "qv", "qn"))
-      case None =>
-        qs.withColumn("qcell",
-          explode(pqEncodeIf(native, col("qv"), Array(centers), nP)))
-          .select(col("query_id"), col("qcell"), col("qv"), col("qn"))
-    }
-    val scored = stored.join(probed,
-      stored("cell") === probed("qcell") && col("query_id") =!= col("vec_id"))
-      .withColumn("cos", round(dotIf(native,
-        col("v"), col("qv")) / (col("n") * col("qn")), 4))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .select(col("query_id"), col("vec_id"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
-  }
+                      driverProbeLimit: Int = 1024): DataFrame =
+    cellProbeTopK(spark, spark.read.parquet(s"$indexDir/corpus"),
+      storedCenters(spark, indexDir), queries, k, nProbe, driverProbeLimit)
 
   /** Cluster-balanced diversity sample: k-means cells from a bounded
     * layout-independent sample partition the corpus by topic, and a

@@ -297,14 +297,27 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = vectors.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // materialize the micro-batch once: the probe, the anti-join
+        // and the append are three actions, and a non-replayable
+        // source (Kafka) must not be re-read per action
+        val batch = batch0.localCheckpoint(true)
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val dups = graft.ops.VectorOps
             .incrementalNearDupIvf(spark, indexDir, batch, threshold, nAssign)
             .select(col("batch_id").as("vec_id")).distinct()
           val novel = batch.join(dups, Seq("vec_id"), "left_anti")
-          graft.ops.VectorOps.appendToIvfIndex(spark, indexDir, novel)
+            .localCheckpoint(true)
+          // skip the write job entirely when the whole batch was
+          // duplicates (an empty dynamic overwrite is a no-op but
+          // still schedules a job). The probe and the append each
+          // read the stored index once — two index reads per batch
+          // is the price of composing the two batch operators
+          // verbatim; the index metadata (centroids) is tiny and the
+          // corpus scan prunes to probed/touched cells.
+          if (!novel.isEmpty)
+            graft.ops.VectorOps.appendToIvfIndex(spark, indexDir, novel)
         }
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
