@@ -658,8 +658,9 @@ object VectorOps {
     * no-op (the anti-join below — retry safety for foreachBatch), but
     * re-ingesting a CHANGED embedding under an existing id is
     * undefined: same-cell updates are dropped, cross-cell ones would
-    * store the id twice. Updates require an explicit delete + rebuild
-    * (or a new id), exactly like FAISS/IVF file indexes. */
+    * store the id twice. Updates go through
+    * [[deleteFromIvfIndex]] + append (an upsert), exactly like
+    * FAISS-style stores pair remove_ids with add. */
   def appendToIvfIndex(spark: SparkSession, indexDir: String,
                        batch: DataFrame): Unit = {
     val native = nativeDot(Some(spark))
@@ -690,6 +691,42 @@ object VectorOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(s"$indexDir/corpus")
+  }
+
+  /** DELETE ids from a stored IVF index — the missing half of update
+    * support: delete + [[appendToIvfIndex]] is an upsert, closing the
+    * immutable-id contract's escape hatch without a full rebuild.
+    * Touched cells (those actually holding a deleted id) rewrite via
+    * the same dynamic partition overwrite as append — cost ∝ the cells
+    * the deleted ids live in, not the index. A cell emptied entirely
+    * is NOT rewritten by a dynamic overwrite (no rows carry its key),
+    * so its directory is removed explicitly — without that, the
+    * "deleted" rows would silently survive. */
+  def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
+                         ids: DataFrame): Unit = {
+    val existing = spark.read.parquet(s"$indexDir/corpus")
+    val touched = existing.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return // nothing stored under those ids
+    val touchedDf = broadcast(
+      spark.createDataFrame(touched.map(Tuple1(_)).toSeq).toDF("cell"))
+    // survivors of the touched cells, materialized before the write
+    // (same read-then-overwrite discipline as append)
+    val carried = existing.join(touchedDf, Seq("cell"), "left_semi")
+      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    carried.select(col("vec_id"), col("v"), col("n"), col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(s"$indexDir/corpus")
+    val survivorCells = carried.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (c <- touched if !survivorCells.contains(c)) {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/corpus/cell=$c")
+      p.getFileSystem(conf).delete(p, true)
+    }
   }
 
   /** Approximate cosine top-k against a STORED index: the search-time

@@ -146,6 +146,41 @@ class IvfIndexSpec extends SparkTestBase {
     assert(snapshot() == once)
   }
 
+  test("delete removes ids (including whole cells) and composes with append as an upsert") {
+    import spark.implicits._
+    val idx = graft.TempRoots.path("ivfidx_spec_h")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    def stored() = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).sortBy(_._1).toSeq
+    // wipe one ENTIRE cell (dynamic overwrite alone cannot express an
+    // emptied partition — the explicit dir removal must kick in) plus
+    // a couple of ids from other cells
+    val byCell = stored().groupBy(_._2)
+    val (wipeCell, wipeRows) = byCell.minBy(_._2.length)
+    val extra = stored().filter(_._2 != wipeCell).take(2).map(_._1)
+    val toDelete = wipeRows.map(_._1) ++ extra
+    VectorOps.deleteFromIvfIndex(spark, idx,
+      toDelete.toSeq.toDF("vec_id"))
+    val after = stored()
+    assert(after.map(_._1) == (0L until 60L).filterNot(toDelete.toSet).toSeq)
+    assert(!after.exists(_._2 == wipeCell), "emptied cell dir must be gone")
+    // deleting ids that are not stored is a no-op
+    VectorOps.deleteFromIvfIndex(spark, idx, Seq(99999L).toDF("vec_id"))
+    assert(stored() == after)
+    // upsert: delete + append under the same id — the id lands in
+    // exactly one cell with the NEW embedding, and probes see it
+    val newVec = vecs.find(_._1 == extra.head).get._2.map(x => -x)
+    VectorOps.deleteFromIvfIndex(spark, idx, Seq(extra.head).toDF("vec_id"))
+    VectorOps.appendToIvfIndex(spark, idx,
+      spark.createDataFrame(Seq((extra.head, newVec))).toDF("vec_id", "embedding"))
+    val rows = spark.read.parquet(s"$idx/corpus")
+      .where(col("vec_id") === extra.head).collect()
+    assert(rows.length == 1, s"upserted id must live in exactly one cell")
+    val storedV = rows(0).getAs[scala.collection.Seq[Double]]("v").toSeq
+    assert(storedV == newVec.map(_.toDouble).toSeq, "embedding must be the NEW one")
+  }
+
   test("default probing keeps a recall floor against brute force") {
     val idx = graft.TempRoots.path("ivfidx_spec_d")
     VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
