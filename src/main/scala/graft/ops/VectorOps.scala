@@ -373,15 +373,40 @@ object VectorOps {
     val coded = corpus
       .withColumn("cell", element_at(pqEncodeIf(nd, col("v"), Array(coarse), 1), 1))
       .withColumn("codes", pqEncodeIf(nd, col("v"), books, 1))
-    // query side: probe cells plus the flattened per-subspace ADC
-    // table of partial dots ⟨q_s, center⟩ — driver-built + broadcast
-    // for a contract-small query set, computed as COLUMNS (the same
-    // quantizer-encode expression plus subs·codebookSize width-w_ dot
-    // products per row) for a large batch so probing never serializes
-    // through the driver
+    val probeDf = pqProbeDf(spark, queries, coarse, books, subs,
+      codebookSize, w_, nProbe, driverProbeLimit)
+    val shortlist = adcShortlist(coded, probeDf, subs, codebookSize, rerank)
+    // exact cosine over the shortlist only (v rides the coded rows)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .withColumn("cos",
+        round(dotIf(nd, col("v"), col("qv")) / (col("n") * col("qn")), 4))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ probe rows (query_id, qcell, tbl, qv, qn): probe cells plus
+    * the flattened per-subspace ADC table of partial dots ⟨q_s,
+    * center⟩ — driver-built + broadcast for a contract-small query
+    * set, computed as COLUMNS (the same quantizer-encode expression
+    * plus subs·codebookSize width-w dot products per row) for a large
+    * batch so probing never serializes through the driver. ONE copy
+    * serves [[pqTopK]] (freshly trained) and [[storedPqIndexTopK]]
+    * (books read back from the index). */
+  private def pqProbeDf(spark: SparkSession, queries: DataFrame,
+                        coarse: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]],
+                        subs: Int, codebookSize: Int, w_ : Int,
+                        nProbe: Int, driverProbeLimit: Int): DataFrame = {
+    import spark.implicits._
+    val nd = nativeDot(Some(spark))
+    val nP = math.min(nProbe, coarse.length)
     val qs = prepared(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-    val probeDf = smallQueryRows(qs, driverProbeLimit) match {
+    smallQueryRows(qs, driverProbeLimit) match {
       case Some(qRows) =>
         val coarse2 = centerNorms2(coarse)
         val probes = qRows.flatMap { r =>
@@ -400,7 +425,7 @@ object VectorOps {
               d
             }
           }
-          nearestCells(qv, coarse, coarse2, nProbe).map { cell =>
+          nearestCells(qv, coarse, coarse2, nP).map { cell =>
             (r.getAs[Long]("query_id"), cell, table.toSeq, qv.toSeq,
               r.getAs[Double]("qn"))
           }
@@ -408,7 +433,6 @@ object VectorOps {
         broadcast(spark.createDataset(probes.toSeq)
           .toDF("query_id", "qcell", "tbl", "qv", "qn"))
       case None =>
-        {
         // ⟨q_s, center_c⟩ laid out with codebookSize stride to match the
         // ADC lookup arithmetic; missing slots in under-trained books
         // get the same 0.0 filler as the driver path
@@ -421,42 +445,39 @@ object VectorOps {
         }): _*)
         qs.withColumn("tbl", tblCol)
           .withColumn("qcell",
-            explode(pqEncodeIf(nd, col("qv"), Array(coarse), nProbe)))
+            explode(pqEncodeIf(nd, col("qv"), Array(coarse), nP)))
           .select(col("query_id"), col("qcell"), col("tbl"), col("qv"), col("qn"))
-        }
     }
-    // ADC: approx ⟨q,x⟩ = Σ_s tbl[s·B + code_s] — `subs` lookups.
-    // Divide by the candidate norm (already on the coded rows) so the
-    // shortlist is ranked by approximate COSINE, matching the final
-    // metric — an unnormalized inner product biases the shortlist
-    // toward large-norm vectors and silently costs recall (ADVICE r5).
-    // The query norm is constant within a partition, so it can't
-    // change the order and is left out. A zero-norm vector would make
-    // the quotient NaN — which sorts FIRST under desc and would steal
-    // a rerank slot in every query's shortlist — so it degrades to
-    // null instead (desc default NULLS LAST: ranked dead last, and
-    // its exact cosine is NaN-filtered by the final threshold anyway).
+  }
+
+  /** ADC shortlist shared by [[pqTopK]] and [[storedPqIndexTopK]]:
+    * approx ⟨q,x⟩ = Σ_s tbl[s·B + code_s] — `subs` lookups per
+    * candidate. Divide by the candidate norm (on the coded rows) so
+    * the shortlist is ranked by approximate COSINE, matching the final
+    * metric — an unnormalized inner product biases the shortlist
+    * toward large-norm vectors and silently costs recall (ADVICE r5).
+    * The query norm is constant within a partition, so it can't
+    * change the order and is left out. A zero-norm vector would make
+    * the quotient NaN — which sorts FIRST under desc and would steal
+    * a rerank slot in every query's shortlist — so it degrades to
+    * null instead (desc default NULLS LAST: ranked dead last, and
+    * its exact cosine is NaN-filtered by the final threshold anyway).
+    * Returns the `rerank` best candidates per query with every column
+    * of `coded` plus (query_id, qv, qn). */
+  private def adcShortlist(coded: DataFrame, probeDf: DataFrame,
+                           subs: Int, codebookSize: Int,
+                           rerank: Int): DataFrame = {
     val adc = (0 until subs).map { s =>
       element_at(col("tbl"),
         (lit(s * codebookSize) + element_at(col("codes"), s + 1) + lit(1)).cast("int"))
     }.reduce(_ + _) / when(col("n") > 0, col("n"))
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = coded.join(probeDf,
+    coded.join(probeDf,
         coded("cell") === probeDf("qcell") && col("query_id") =!= col("vec_id"))
       .withColumn("adc", adc)
       .withColumn("srank", row_number().over(shortW))
       .where(col("srank") <= rerank)
-    // exact cosine over the shortlist only
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    shortlist
-      .withColumn("cos",
-        round(dotIf(nd, col("v"), col("qv")) / (col("n") * col("qn")), 4))
-      .select(col("query_id"), col("vec_id"), col("cos"))
-      .withColumn("rank", row_number().over(w2))
-      .where(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Per-label centroid of the embedding column, one row per (label,
@@ -691,6 +712,100 @@ object VectorOps {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
       .parquet(s"$indexDir/corpus")
+  }
+
+  /** Persist an IVF+PQ index: coarse centroids, per-subspace
+    * codebooks, a meta row (subs/codebookSize/dim — the constants the
+    * ADC stride depends on), and the corpus as CODES ONLY,
+    * cell-partitioned. This is the storage form that matters at
+    * 100 TB: [[buildIvfIndex]] keeps 8·dim bytes of raw doubles per
+    * vector; here a row is `subs` small ints plus a norm (~50× less
+    * for dim 64 / subs 8), and the raw vectors stay in the source
+    * table, fetched BY ID only for the final exact rerank of
+    * shortlisted candidates — the FAISS file-index split (codes in
+    * the index, originals in the store) expressed as parquet +
+    * a keyed join. */
+  def buildIvfPqIndex(embeddings: DataFrame, indexDir: String,
+                      nCells: Int = 16, subs: Int = 8,
+                      codebookSize: Int = 16,
+                      maxTrain: Int = 4096): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val native = nativeDot(Some(spark))
+    val corpus = prepared(embeddings)
+    val trainRows = trainSample(corpus, maxTrain)
+    require(trainRows.nonEmpty, "cannot build an IVF+PQ index on an empty corpus")
+    val dim = trainRows(0).length
+    require(dim % subs == 0, s"dim $dim not divisible into $subs subspaces")
+    val w_ = dim / subs
+    val coarse = localKMeans(trainRows, nCells, iters = 5)
+    val books = Array.tabulate(subs) { s =>
+      localKMeans(trainRows.map(_.slice(s * w_, (s + 1) * w_)),
+        codebookSize, iters = 5)
+    }
+    spark.createDataset(Seq((subs, codebookSize, dim)))
+      .toDF("subs", "codebook_size", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    spark.createDataset(coarse.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    spark.createDataset(for {
+        (book, s) <- books.toIndexedSeq.zipWithIndex
+        (cen, c) <- book.toIndexedSeq.zipWithIndex
+      } yield (s, c, cen.toSeq))
+      .toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/books")
+    corpus
+      .withColumn("cell", element_at(pqEncodeIf(native, col("v"), Array(coarse), 1), 1))
+      .withColumn("codes", pqEncodeIf(native, col("v"), books, 1))
+      .select(col("vec_id"), col("codes"), col("n"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/corpus")
+  }
+
+  /** Approximate cosine top-k against a STORED IVF+PQ index: probe
+    * cells and ADC tables come from the stored quantizer/codebooks
+    * (two-path, bit-identical to [[pqTopK]]'s), the codes-only corpus
+    * scan prunes to probed cells, and the `rerank` best ADC candidates
+    * per query fetch their raw vectors from `embeddings` BY ID for the
+    * exact cosine — reported scores are exact, only recall is
+    * approximate, and the serving path never scans raw vectors. */
+  def storedPqIndexTopK(spark: SparkSession, indexDir: String,
+                        embeddings: DataFrame, queries: DataFrame, k: Int,
+                        nProbe: Int = 4, rerank: Int = 64,
+                        driverProbeLimit: Int = 1024): DataFrame = {
+    val nd = nativeDot(Some(spark))
+    val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
+    val subs = meta.getAs[Int]("subs")
+    val codebookSize = meta.getAs[Int]("codebook_size")
+    val w_ = meta.getAs[Int]("dim") / subs
+    val coarse = storedCenters(spark, indexDir)
+    val bookRows = spark.read.parquet(s"$indexDir/books")
+      .orderBy(col("sub"), col("code")).collect()
+    val books = Array.tabulate(subs) { s =>
+      bookRows.filter(_.getAs[Int]("sub") == s)
+        .map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+    }
+    val coded = spark.read.parquet(s"$indexDir/corpus")
+    val probeDf = pqProbeDf(spark, queries, coarse, books, subs,
+      codebookSize, w_, nProbe, driverProbeLimit)
+    val shortlist = adcShortlist(coded, probeDf, subs, codebookSize, rerank)
+    // id → raw vector fetch for the exact rerank (the only touch of
+    // the source table, keyed by the shortlisted ids)
+    val raw = prepared(embeddings)
+      .select(col("vec_id"), col("v"), col("n").as("rn"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
+      .join(raw, Seq("vec_id"))
+      .withColumn("cos",
+        round(dotIf(nd, col("v"), col("qv")) / (col("rn") * col("qn")), 4))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** DELETE ids from a stored IVF index — the missing half of update

@@ -181,6 +181,31 @@ class IvfIndexSpec extends SparkTestBase {
     assert(storedV == newVec.map(_.toDouble).toSeq, "embedding must be the NEW one")
   }
 
+  test("stored PQ index: codes-only on disk, equals fresh pqTopK, exhaustive equals exact") {
+    val idx = graft.TempRoots.path("ivfpq_spec")
+    VectorOps.buildIvfPqIndex(corpus, idx, nCells = 8, subs = 4)
+    // the storage claim: the stored corpus carries codes + norm, never
+    // the raw vectors
+    val cols = spark.read.parquet(s"$idx/corpus").columns.toSet
+    assert(cols == Set("vec_id", "codes", "n", "cell"), s"stored: $cols")
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    // stored == freshly trained (identical deterministic training;
+    // books/centroids round-trip parquet doubles exactly)
+    val stored = fmt(VectorOps.storedPqIndexTopK(spark, idx, corpus, batch,
+      4, nProbe = 2, rerank = 16))
+    val fresh = fmt(VectorOps.pqTopK(corpus, batch, 4, nCells = 8,
+      nProbe = 2, subs = 4, rerank = 16))
+    assert(stored == fresh)
+    // exhaustive settings: the approximation vanishes, the stored path
+    // must reproduce the exact brute-force top-k
+    val full = fmt(VectorOps.storedPqIndexTopK(spark, idx, corpus, batch,
+      4, nProbe = 8, rerank = 1000))
+    val exact = fmt(VectorOps.cosineTopK(corpus, batch, 4))
+    assert(full == exact, s"missing=${exact.toSet -- full.toSet}")
+  }
+
   test("default probing keeps a recall floor against brute force") {
     val idx = graft.TempRoots.path("ivfidx_spec_d")
     VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
