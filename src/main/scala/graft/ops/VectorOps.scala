@@ -375,8 +375,15 @@ object VectorOps {
       .withColumn("codes", pqEncodeIf(nd, col("v"), books, 1))
     val probeDf = pqProbeDf(spark, queries, coarse, books, subs,
       codebookSize, w_, nProbe, driverProbeLimit)
-    val shortlist = adcShortlist(coded, probeDf, subs, codebookSize, rerank)
-    // exact cosine over the shortlist only (v rides the coded rows)
+    // v rides the coded rows, so the rerank needs no fetch
+    exactRerank(adcShortlist(coded, probeDf, subs, codebookSize, rerank), k, nd)
+  }
+
+  /** Exact-cosine rerank tail shared by [[pqTopK]] and
+    * [[storedPqIndexTopK]] — ONE copy of the driver-contract-critical
+    * round-to-4 / vec_id-tiebreak / rank ≤ k rendering. Expects
+    * (query_id, vec_id, v, n, qv, qn) on every shortlist row. */
+  private def exactRerank(shortlist: DataFrame, k: Int, nd: Boolean): DataFrame = {
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     shortlist
@@ -791,21 +798,20 @@ object VectorOps {
     val probeDf = pqProbeDf(spark, queries, coarse, books, subs,
       codebookSize, w_, nProbe, driverProbeLimit)
     val shortlist = adcShortlist(coded, probeDf, subs, codebookSize, rerank)
-    // id → raw vector fetch for the exact rerank (the only touch of
-    // the source table, keyed by the shortlisted ids)
-    val raw = prepared(embeddings)
-      .select(col("vec_id"), col("v"), col("n").as("rn"))
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    shortlist
-      .select(col("query_id"), col("vec_id"), col("qv"), col("qn"))
-      .join(raw, Seq("vec_id"))
-      .withColumn("cos",
-        round(dotIf(nd, col("v"), col("qv")) / (col("rn") * col("qn")), 4))
-      .select(col("query_id"), col("vec_id"), col("cos"))
-      .withColumn("rank", row_number().over(w2))
-      .where(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    // id → raw vector fetch for the exact rerank: the shortlist (tiny:
+    // rerank rows per query) broadcasts against the source table, so
+    // the only raw-vector work is one scan streaming past the
+    // broadcast — no norm recomputation (the stored n is bit-identical
+    // to prepared()'s, computed by the same expression at build time)
+    // and dot products only for shortlisted rows. A serving deployment
+    // fronts this fetch with a key-value store; in-warehouse, the
+    // broadcast hash join is the honest equivalent.
+    val raw = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val fetched = raw.join(
+      broadcast(shortlist.select(col("query_id"), col("vec_id"),
+        col("n"), col("qv"), col("qn"))),
+      Seq("vec_id"))
+    exactRerank(fetched, k, nd)
   }
 
   /** DELETE ids from a stored IVF index — the missing half of update
@@ -820,21 +826,39 @@ object VectorOps {
   def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
                          ids: DataFrame): Unit = {
     val existing = spark.read.parquet(s"$indexDir/corpus")
-    val touched = existing.join(ids.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    // materialize the id set ONCE: a nondeterministic ids plan
+    // (limit/sample) evaluated twice could rewrite one id's cell while
+    // anti-joining a different id set — a silent partial delete
+    val idSet = ids.select(col("vec_id")).distinct().localCheckpoint(true)
+    val touched = existing.join(idSet, Seq("vec_id"), "left_semi")
       .select(col("cell")).distinct().collect().map(_.getInt(0))
     if (touched.isEmpty) return // nothing stored under those ids
-    val touchedDf = broadcast(
-      spark.createDataFrame(touched.map(Tuple1(_)).toSeq).toDF("cell"))
-    // survivors of the touched cells, materialized before the write
-    // (same read-then-overwrite discipline as append)
-    val carried = existing.join(touchedDf, Seq("cell"), "left_semi")
-      .join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val allCells = existing.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    // survivors of the touched cells — a STATIC isin on the partition
+    // column (guaranteed pruning; a broadcast semi-join would depend
+    // on dynamic pruning kicking in), materialized before the write
+    // (same read-then-overwrite discipline as append). Written as-is:
+    // the schema comes from the index itself, so the same function
+    // serves the raw-vector and the codes-only (PQ) layouts.
+    val carried = existing
+      .where(col("cell").isin(touched.map(Int.box).toSeq: _*))
+      .join(idSet, Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
-    carried.select(col("vec_id"), col("v"), col("n"), col("cell"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell")
-      .parquet(s"$indexDir/corpus")
+    val carriedEmpty = carried.isEmpty
+    if (carriedEmpty && touched.toSet == allCells)
+      throw new IllegalArgumentException(
+        "deleteFromIvfIndex would remove every stored vector, leaving an " +
+          "unreadable file-less index; drop the directory and rebuild with " +
+          "buildIvfIndex/buildIvfPqIndex instead")
+    if (!carriedEmpty)
+      carried
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(s"$indexDir/corpus")
+    // a cell emptied entirely is NOT rewritten by a dynamic overwrite
+    // (no surviving row carries its key) — remove its directory
     val survivorCells = carried.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSet
     val conf = spark.sparkContext.hadoopConfiguration

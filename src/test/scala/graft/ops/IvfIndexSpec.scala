@@ -181,6 +181,27 @@ class IvfIndexSpec extends SparkTestBase {
     assert(storedV == newVec.map(_.toDouble).toSeq, "embedding must be the NEW one")
   }
 
+  test("delete is layout-agnostic (works on the PQ index) and refuses to empty an index") {
+    import spark.implicits._
+    // PQ layout: the codes-only schema must survive a delete verbatim
+    val pqIdx = graft.TempRoots.path("ivfpq_spec_del")
+    VectorOps.buildIvfPqIndex(corpus, pqIdx, nCells = 8, subs = 4)
+    VectorOps.deleteFromIvfIndex(spark, pqIdx, Seq(0L, 1L, 2L).toDF("vec_id"))
+    val after = spark.read.parquet(s"$pqIdx/corpus")
+    assert(after.columns.toSet == Set("vec_id", "codes", "n", "cell"))
+    assert(after.select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+      == (3L until 60L).toSeq)
+    // deleting EVERY remaining id would leave a file-less unreadable
+    // directory — the delete must refuse with a clear error instead
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.deleteFromIvfIndex(spark, pqIdx,
+        (3L until 60L).toDF("vec_id"))
+    }
+    assert(err.getMessage.contains("rebuild"))
+    // and the refused call must not have clobbered anything
+    assert(spark.read.parquet(s"$pqIdx/corpus").count() == 57L)
+  }
+
   test("stored PQ index: codes-only on disk, equals fresh pqTopK, exhaustive equals exact") {
     val idx = graft.TempRoots.path("ivfpq_spec")
     VectorOps.buildIvfPqIndex(corpus, idx, nCells = 8, subs = 4)
