@@ -13,6 +13,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-load calibration: a fixed single-threaded arithmetic loop
+    // (deterministic work, no allocation) timed before and after the
+    // suite. Three rounds of bench adjudication have hinged on "was
+    // the host loaded?" — these two numbers answer it in the JSON
+    // itself: on an idle host both sit near the machine's baseline;
+    // a loaded or mid-run-disturbed host shows inflated or asymmetric
+    // values, flagging the suite totals as polluted.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0
+      while (i < 200000000) { acc = acc * 6364136223846793005L + i; i += 1 }
+      if (acc == 42) print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = calibrate()
     // steady-state warmup: session init, codegen, parquet reader paths,
     // and the per-table file indexes (one-row-group touch per table)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
@@ -101,7 +117,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calibAfter = calibrate()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":[${fmt(calibBefore)},${fmt(calibAfter)}]}""")
     spark.stop()
   }
 }
