@@ -695,17 +695,25 @@ object VectorOps {
     val centers = storedCenters(spark, indexDir)
     val existing = spark.read.parquet(s"$indexDir/corpus")
       .select(col("vec_id"), col("v"), col("n"), col("cell"))
+    // encoded once (checkpoint): feeds the touched-cell collect, the
+    // freshness anti-join and the union write
     val coded = prepared(batch).withColumn("cell",
-      element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1))
+        element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1))
+      .localCheckpoint(true)
     // union existing rows of ONLY the touched cells with the new rows,
     // then dynamically overwrite those partitions: cheaper than a full
     // rewrite, atomic per partition, and layout-stable for q112 probes.
-    // The carried rows materialize eagerly (localCheckpoint) BEFORE the
+    // Touched cells collect to the driver (≤ nCells ints) so the
+    // survivor scan prunes STATICALLY via isin on the partition column
+    // — a semi-join would depend on dynamic pruning kicking in. The
+    // carried rows materialize eagerly (localCheckpoint) BEFORE the
     // write — Spark refuses to overwrite a path its own plan is still
     // reading, and the checkpoint also makes the carry volume explicit:
     // proportional to the touched cells, not the index
     val touched = coded.select(col("cell")).distinct()
-    val carried = existing.join(broadcast(touched), Seq("cell"), "left_semi")
+      .collect().map(_.getInt(0))
+    val carried = existing
+      .where(col("cell").isin(touched.map(Int.box).toSeq: _*))
       .localCheckpoint(true)
     // idempotence: an id already stored sits in the SAME cell (same
     // quantizer, deterministic assignment), so the anti-join against
