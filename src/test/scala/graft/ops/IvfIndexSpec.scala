@@ -181,6 +181,17 @@ class IvfIndexSpec extends SparkTestBase {
     assert(storedV == newVec.map(_.toDouble).toSeq, "embedding must be the NEW one")
   }
 
+  test("appending an empty batch is a no-op") {
+    val idx = graft.TempRoots.path("ivfidx_spec_empty")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    def snapshot() = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))).sorted.toSeq
+    val before = snapshot()
+    VectorOps.appendToIvfIndex(spark, idx, all.where(lit(false)))
+    assert(snapshot() == before)
+  }
+
   test("delete is layout-agnostic (works on the PQ index) and refuses to empty an index") {
     import spark.implicits._
     // PQ layout: the codes-only schema must survive a delete verbatim
