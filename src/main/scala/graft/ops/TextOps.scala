@@ -294,6 +294,23 @@ object TextOps {
         Some(docs.sparkSession))),
       nSig, bands)
 
+  /** Deterministic train/val/test split: each doc's split derives
+    * ONLY from the md5 of its id against hex thresholds, so (a) the
+    * assignment is identical on any cluster layout, (b) a document
+    * keeps its split FOREVER as the corpus grows — the property that
+    * stops yesterday's val doc from leaking into tomorrow's train
+    * set — and (c) an external engine reproduces it exactly. Pure row
+    * expression: zero shuffles, fuses into whatever scan precedes
+    * it. Thresholds are first-2-hex-digit bounds: val < valHex ≤
+    * test < testHex ≤ train. */
+  def trainValTestSplit(docs: DataFrame, valHex: String = "0d",
+                        testHex: String = "1a"): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    docs.select(col("doc_id"), col("source"),
+      when(h < valHex, "val").when(h < testHex, "test")
+        .otherwise("train").as("split"))
+  }
+
   /** Corpus snapshot diff — the change audit between two crawls of
     * the same lake (the input to every incremental decision: which
     * docs need re-curation, re-embedding, re-sharding). One full

@@ -586,6 +586,22 @@ object Pipeline {
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split (~5%/~5%/~90% via md5 hex
+    * thresholds on doc_id): layout-independent, growth-stable (a doc
+    * never changes split), externally reproducible — fully oracled. */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    TextOps.trainValTestSplit(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q118Sql =
+    """SELECT doc_id, source,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+      |         THEN 'val'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+      |         THEN 'test'
+      |       ELSE 'train' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -606,7 +622,8 @@ object Pipeline {
     "q113_neardup_suppress" -> (q113 _),
     "q114_curation_lineage" -> (q114 _),
     "q116_index_lifecycle" -> (q116 _),
-    "q117_snapshot_diff" -> (q117 _))
+    "q117_snapshot_diff" -> (q117 _),
+    "q118_train_val_test" -> (q118 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -625,5 +642,6 @@ object Pipeline {
     "q110_adaptive_quality" -> q110Sql,
     "q111_strip_boilerplate" -> q111Sql,
     "q114_curation_lineage" -> q114Sql,
-    "q117_snapshot_diff" -> q117Sql)
+    "q117_snapshot_diff" -> q117Sql,
+    "q118_train_val_test" -> q118Sql)
 }
