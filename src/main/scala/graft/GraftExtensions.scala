@@ -100,7 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(children, 2, "graft_bloom_contains(fp, sketch)")
         children(1) match {
           case Literal(bytes: Array[Byte], _) =>
-            BloomMightContain(children.head, bytes)
+            BloomMightContain(children.head, bytes.toIndexedSeq)
           case other => throw new IllegalArgumentException(
             s"graft_bloom_contains(fp, sketch): sketch must be a binary literal, got $other")
         }

@@ -22,11 +22,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * second copy beside the codegen reference. Here the expression
   * itself is the single shipped copy — codegen references `this` and
   * calls [[probe]], so the sketch deserializes lazily ONCE per
-  * (driver, executor) and rows see a field access. Semantics identical
+  * (driver, executor) and rows see a field access. The field is a
+  * `Seq[Byte]` rather than `Array[Byte]` so the case class keeps
+  * STRUCTURAL equality (an array field compares by reference, and
+  * two semantically identical probes would then never canonicalize /
+  * common-subexpression-eliminate — the same convention PqEncode's
+  * codebooks follow); the hot path materializes the array once,
+  * lazily, beside the deserialized filter. Semantics identical
   * to `udf(fp => bloom.mightContainString(fp))` because
   * `mightContainString` is defined as `mightContainBinary(utf8 bytes)`
   * (parity spec-pinned). */
-case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
+case class BloomMightContain(child: Expression, sketch: Seq[Byte])
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -38,7 +44,7 @@ case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
   override def dataType: DataType = BooleanType
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch.toArray))
 
   /** Row probe — called from both interpreted eval and generated code. */
   def probe(fp: UTF8String): Boolean = bloom.mightContainBinary(fp.getBytes)
@@ -52,7 +58,7 @@ case class BloomMightContain(child: Expression, sketchBytes: Array[Byte])
   }
 
   // keep plan strings compact: never render the sketch bytes
-  override def toString: String = s"bloommightcontain($child, sketch[${sketchBytes.length}B])"
+  override def toString: String = s"bloommightcontain($child, sketch[${sketch.length}B])"
   override def sql: String = s"bloommightcontain(${child.sql})"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

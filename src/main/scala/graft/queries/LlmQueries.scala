@@ -363,7 +363,9 @@ object LlmQueries {
     * cell boundaries are float-reduction-order sensitive). */
   private def q63(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    VectorOps.ivfTopK(e, e.where(col("vec_id") < 10), 3)
+    // explicit nCells: the demo pins the r8 cell count so driver rows
+    // stay stable under the auto-√n default
+    VectorOps.ivfTopK(e, e.where(col("vec_id") < 10), 3, nCells = 16)
   }
 
   /** IVF+PQ ANN (rows-only: index-specific shortlist; the exhaustive
@@ -373,7 +375,7 @@ object LlmQueries {
     * is weak and a wider probe keeps recall useful. */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    VectorOps.pqTopK(e, e.where(col("vec_id") < 10), 3, nProbe = 8)
+    VectorOps.pqTopK(e, e.where(col("vec_id") < 10), 3, nCells = 16, nProbe = 8)
   }
 
   private def q62(s: SparkSession, dir: String): DataFrame =

@@ -124,7 +124,7 @@ object Pipeline {
     * SQL oracle can recompute; VectorOpsSpec pins exhaustive == brute
     * force and the default recall floor instead. */
   private def q100(s: SparkSession, dir: String): DataFrame =
-    VectorOps.embeddingNearDupIvf(Tables(s, dir, "embeddings"), 0.4)
+    VectorOps.embeddingNearDupIvf(Tables(s, dir, "embeddings"), 0.4, nCells = 16)
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** Batch twin of the streaming per-window schema inference
@@ -316,7 +316,7 @@ object Pipeline {
     * k-means cells are not SQL-recomputable; VectorOpsSpec pins exact
     * quotas, full coverage at large quota, and layout independence). */
   private def q106(s: SparkSession, dir: String): DataFrame =
-    VectorOps.diversitySample(Tables(s, dir, "embeddings"), 8)
+    VectorOps.diversitySample(Tables(s, dir, "embeddings"), 8, nCells = 16)
       .orderBy(col("cell"), col("sample_rank"))
 
   /** Token-budget mixture draw: per-source budgets from a formulaic
@@ -465,7 +465,9 @@ object Pipeline {
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.TempRoots.path("ivf_index_q112")
-    VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx)
+    // explicit nCells: pins the r8 cell count so driver rows stay
+    // stable under the auto-√n default
+    VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx, nCells = 16)
     VectorOps.incrementalNearDupIvf(s, idx,
         e.where(col("vec_id") % 4 === 0), 0.4)
       .orderBy(col("batch_id"), col("corpus_id"))
@@ -545,7 +547,7 @@ object Pipeline {
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.TempRoots.path("ivf_index_q116")
-    VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx)
+    VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx, nCells = 16)
     VectorOps.appendToIvfIndex(s, idx,
       e.where(col("vec_id") % 8 === 0))
     VectorOps.storedIndexTopK(s, idx,

@@ -199,7 +199,7 @@ class IvfIndexSpec extends SparkTestBase {
     VectorOps.buildIvfPqIndex(corpus, pqIdx, nCells = 8, subs = 4)
     VectorOps.deleteFromIvfIndex(spark, pqIdx, Seq(0L, 1L, 2L).toDF("vec_id"))
     val after = spark.read.parquet(s"$pqIdx/corpus")
-    assert(after.columns.toSet == Set("vec_id", "codes", "n", "cell"))
+    assert(after.columns.toSet == Set("vec_id", "codes", "n", "gen", "cell"))
     assert(after.select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
       == (3L until 60L).toSeq)
     // deleting EVERY remaining id would leave a file-less unreadable
@@ -216,10 +216,10 @@ class IvfIndexSpec extends SparkTestBase {
   test("stored PQ index: codes-only on disk, equals fresh pqTopK, exhaustive equals exact") {
     val idx = graft.TempRoots.path("ivfpq_spec")
     VectorOps.buildIvfPqIndex(corpus, idx, nCells = 8, subs = 4)
-    // the storage claim: the stored corpus carries codes + norm, never
-    // the raw vectors
+    // the storage claim: the stored corpus carries codes + norm (+ the
+    // tiny generation marker), never the raw vectors
     val cols = spark.read.parquet(s"$idx/corpus").columns.toSet
-    assert(cols == Set("vec_id", "codes", "n", "cell"), s"stored: $cols")
+    assert(cols == Set("vec_id", "codes", "n", "gen", "cell"), s"stored: $cols")
     def fmt(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
         r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
@@ -246,5 +246,170 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got.subsetOf(exact), "incremental must never invent pairs")
     val recall = exact.count(got.contains).toDouble / math.max(1, exact.size)
     assert(recall >= 0.5, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  private def stagingGone(idx: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$idx/_staging")
+    !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  test("maintenance stages durably under _staging and removes it on every exit") {
+    import spark.implicits._
+    val idx = graft.TempRoots.path("ivfidx_spec_stage")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 8)
+    // append: the staged batch+carried rows round-trip into the index
+    VectorOps.appendToIvfIndex(spark, idx,
+      all.where(col("vec_id") >= 60 && col("vec_id") < 70))
+    assert(spark.read.parquet(s"$idx/corpus").select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == (0L until 70L).toSeq)
+    assert(stagingGone(idx), "append must remove _staging")
+    // delete: same discipline
+    VectorOps.deleteFromIvfIndex(spark, idx, Seq(5L, 6L).toDF("vec_id"))
+    assert(stagingGone(idx), "delete must remove _staging")
+    // no-op paths (empty batch / unknown ids) clean up too
+    VectorOps.appendToIvfIndex(spark, idx, all.where(lit(false)))
+    assert(stagingGone(idx), "empty append must remove _staging")
+    VectorOps.deleteFromIvfIndex(spark, idx, Seq(424242L).toDF("vec_id"))
+    assert(stagingGone(idx), "no-op delete must remove _staging")
+    // the refused delete-everything path cleans up through the throw
+    intercept[IllegalArgumentException] {
+      VectorOps.deleteFromIvfIndex(spark, idx,
+        spark.read.parquet(s"$idx/corpus").select(col("vec_id")))
+    }
+    assert(stagingGone(idx), "refused delete must remove _staging")
+  }
+
+  test("PQ append: encodes under STORED books, composes, replays as a no-op, equals exact when exhaustive") {
+    import spark.implicits._
+    val b1 = all.where(col("vec_id") >= 60 && col("vec_id") < 70)
+    val b2 = all.where(col("vec_id") >= 70)
+    // one-shot vs two-batch append composition must store identical rows
+    val idxA = graft.TempRoots.path("ivfpq_spec_app_a")
+    val idxB = graft.TempRoots.path("ivfpq_spec_app_b")
+    VectorOps.buildIvfPqIndex(corpus, idxA, nCells = 8, subs = 4)
+    VectorOps.buildIvfPqIndex(corpus, idxB, nCells = 8, subs = 4)
+    VectorOps.appendToIvfPqIndex(spark, idxA, b1.unionByName(b2))
+    VectorOps.appendToIvfPqIndex(spark, idxB, b1)
+    VectorOps.appendToIvfPqIndex(spark, idxB, b2)
+    def snapshot(idx: String) = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("cell"), col("codes"), col("n")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[scala.collection.Seq[Int]]("codes").toSeq, r.getAs[Double]("n")))
+      .sortBy(_._1).toSeq
+    assert(snapshot(idxA) == snapshot(idxB))
+    assert(snapshot(idxA).map(_._1) == (0L until 80L).toSeq)
+    // replayed batch: a no-op (foreachBatch retry safety)
+    val once = snapshot(idxB)
+    VectorOps.appendToIvfPqIndex(spark, idxB, b2)
+    assert(snapshot(idxB) == once)
+    assert(stagingGone(idxB))
+    // centroids/books untouched by appends (never retrained)
+    val idxRef = graft.TempRoots.path("ivfpq_spec_app_ref")
+    VectorOps.buildIvfPqIndex(corpus, idxRef, nCells = 8, subs = 4)
+    def books(idx: String) = spark.read.parquet(s"$idx/books")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Double]]("center").toSeq)).toSeq
+    assert(books(idxA) == books(idxRef))
+    // exhaustive probing of the appended store == exact brute force
+    // over the grown union (the codes only shape the shortlist; with
+    // every cell probed and an unbounded rerank the approximation
+    // vanishes and the exact rerank decides everything)
+    val queries = all.where(col("vec_id") < 10)
+    def fmt(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq.sorted
+    val grown = fmt(VectorOps.storedPqIndexTopK(spark, idxA, all, queries,
+      3, nProbe = 8, rerank = 1000))
+    val exact = fmt(VectorOps.cosineTopK(all, queries, 3))
+    assert(grown == exact, s"missing=${exact.toSet -- grown.toSet}")
+  }
+
+  test("append forms fail fast on the wrong layout; PQ upsert composes via delete+append") {
+    import spark.implicits._
+    val pqIdx = graft.TempRoots.path("ivfpq_spec_layout")
+    val rawIdx = graft.TempRoots.path("ivfraw_spec_layout")
+    VectorOps.buildIvfPqIndex(corpus, pqIdx, nCells = 8, subs = 4)
+    VectorOps.buildIvfIndex(corpus, rawIdx, nCells = 8)
+    val b1 = all.where(col("vec_id") >= 60 && col("vec_id") < 70)
+    val rawOnPq = intercept[IllegalArgumentException] {
+      VectorOps.appendToIvfIndex(spark, pqIdx, b1)
+    }
+    assert(rawOnPq.getMessage.contains("appendToIvfPqIndex"))
+    val pqOnRaw = intercept[IllegalArgumentException] {
+      VectorOps.appendToIvfPqIndex(spark, rawIdx, b1)
+    }
+    assert(pqOnRaw.getMessage.contains("appendToIvfIndex"))
+    // upsert on the codes-only layout: delete + PQ append re-encodes
+    // the id under the stored books — present once, with NEW codes
+    val before = spark.read.parquet(s"$pqIdx/corpus")
+      .where(col("vec_id") === 3L).collect()
+    VectorOps.deleteFromIvfIndex(spark, pqIdx, Seq(3L).toDF("vec_id"))
+    val newVec = vecs.find(_._1 == 3L).get._2.map(x => -x)
+    VectorOps.appendToIvfPqIndex(spark, pqIdx,
+      spark.createDataFrame(Seq((3L, newVec))).toDF("vec_id", "embedding"))
+    val rows = spark.read.parquet(s"$pqIdx/corpus")
+      .where(col("vec_id") === 3L).collect()
+    assert(rows.length == 1, "upserted id must live in exactly one cell")
+    assert(rows(0).getAs[scala.collection.Seq[Int]]("codes").toSeq
+      != before(0).getAs[scala.collection.Seq[Int]]("codes").toSeq ||
+      rows(0).getAs[Int]("cell") != before(0).getAs[Int]("cell"),
+      "negated vector must re-encode differently")
+  }
+
+  test("auto-sized nCells derives ~sqrt(n) centroids; explicit nCells overrides") {
+    val rnd = new scala.util.Random(11)
+    def corpusOf(n: Int) = spark.createDataFrame(
+      (0L until n.toLong).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    def centroidCount(idx: String) =
+      spark.read.parquet(s"$idx/centroids").count()
+    val idx400 = graft.TempRoots.path("ivfidx_auto_400")
+    VectorOps.buildIvfIndex(corpusOf(400), idx400)
+    assert(centroidCount(idx400) == 20L) // sqrt(400)
+    val idx2500 = graft.TempRoots.path("ivfidx_auto_2500")
+    VectorOps.buildIvfIndex(corpusOf(2500), idx2500)
+    assert(centroidCount(idx2500) == 50L) // sqrt(2500)
+    // floor clamp: a tiny corpus still gets 16 cells (capped by n)
+    val idx50 = graft.TempRoots.path("ivfidx_auto_50")
+    VectorOps.buildIvfIndex(corpusOf(50), idx50)
+    assert(centroidCount(idx50) == 16L)
+    // explicit override unchanged
+    val idxExp = graft.TempRoots.path("ivfidx_auto_exp")
+    VectorOps.buildIvfIndex(corpusOf(400), idxExp, nCells = 8)
+    assert(centroidCount(idxExp) == 8L)
+  }
+
+  test("indexDrift flags a drifted append against the built population") {
+    import spark.implicits._
+    val idx = graft.TempRoots.path("ivfidx_spec_drift")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+    // synthetically drifted batch: every dimension shifted by +3 —
+    // far from every trained centroid
+    val drifted = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    VectorOps.appendToIvfIndex(spark, idx, drifted)
+    val rows = VectorOps.indexDrift(spark, idx).collect()
+    assert(rows.map(_.getAs[Long]("n_built")).sum == 60L)
+    assert(rows.map(_.getAs[Long]("n_appended")).sum == 20L)
+    val appendedCells = rows.filter(_.getAs[Long]("n_appended") > 0)
+    assert(appendedCells.nonEmpty)
+    // every cell holding appended rows must read as drifted
+    appendedCells.foreach { r =>
+      assert(r.getAs[Double]("drift_ratio") > 1.5,
+        s"cell ${r.getAs[Long]("cell")}: ${r.getAs[Double]("drift_ratio")}")
+    }
+    // built-only cells carry no appended metrics (null, not 0)
+    rows.filter(_.getAs[Long]("n_appended") == 0).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("mean_dist_appended")))
+      assert(r.isNullAt(r.fieldIndex("drift_ratio")))
+    }
+    // codes-only stores have no vectors to measure — fail fast
+    val pqIdx = graft.TempRoots.path("ivfpq_spec_drift")
+    VectorOps.buildIvfPqIndex(corpus, pqIdx, nCells = 4, subs = 4)
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.indexDrift(spark, pqIdx)
+    }
+    assert(err.getMessage.contains("codes only"))
   }
 }
