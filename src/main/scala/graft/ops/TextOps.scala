@@ -332,6 +332,83 @@ object TextOps {
       .select(col("doc_id"), col("status"))
   }
 
+  /** Per-doc curation state — everything the verdict stages need,
+    * and nothing that requires the TEXT again: the token-set
+    * fingerprint (dedup + contamination key) and the quality gate.
+    * This is the row a production curation run PERSISTS per snapshot
+    * so the next run can re-curate incrementally: the expensive part
+    * of curation is exactly the text-wide expressions computed here,
+    * while the verdict itself ([[curationVerdict]]) is a
+    * fingerprint-width window + broadcast join. */
+  def curationState(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      tokenSetFingerprint(col("text")).as("fp"),
+      coalesce(qualityOk, lit(false)).as("quality_ok"))
+
+  /** The q114 lineage verdict over a [[curationState]] table: the
+    * FIRST q102 stage that drops each doc (dedup → quality →
+    * contamination) or 'kept'. Group-level stages are recomputed here
+    * on every call — deliberately: the min-id-per-fingerprint keeper
+    * and the eval fingerprint set are CORPUS-level facts that a
+    * removed or added duplicate shifts, so they can never be carried
+    * forward per-doc. They are also cheap: one window shuffle on the
+    * fingerprint and one broadcast, over fingerprint-width rows —
+    * text never flows through this function. */
+  def curationVerdict(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evalFps = state.where(col("source") === "src0")
+      .select(col("fp")).distinct().withColumn("eval_hit", lit(true))
+    state
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(broadcast(evalFps), Seq("fp"), "left")
+      .withColumn("first_drop_stage",
+        when(col("doc_id") =!= col("keep_id"), "dedup")
+          .when(!col("quality_ok"), "quality")
+          .when(col("source") =!= "src0" && col("eval_hit").isNotNull,
+            "contamination")
+          .otherwise("kept"))
+  }
+
+  /** Incremental curation over a snapshot diff — the text-pipeline
+    * twin of the stored ANN index's never-reprocess-the-corpus shape,
+    * and the reason [[snapshotDiff]] exists: given the PERSISTED
+    * [[curationState]] of the previous snapshot and the diff against
+    * the new one, re-run the text-wide expressions ONLY over
+    * added/changed docs, carry the stored state forward for unchanged
+    * docs, drop removed docs, and re-issue the (cheap, corpus-level)
+    * verdict over the stitched state. At 100 TB a nightly crawl
+    * changes a few percent of docs: this scans text proportional to
+    * the CHANGE, not the corpus — the heavy tokenize/fingerprint
+    * subtree sits under a semi-join against the diff slice
+    * (plan-pinned in PipelineOpsSpec).
+    *
+    * CONTRACT: `status = 'unchanged'` must imply the doc's curation
+    * inputs are unchanged. [[snapshotDiff]]'s fingerprint normalizes
+    * case/punctuation while the curation fingerprint is raw-token —
+    * in the pathological "only punctuation changed" case the carried
+    * state is the OLD text's (the diff declared it unchanged, so it
+    * is never re-read). Output: one row per doc in the NEW snapshot
+    * with its diff status and verdict — equal, row for row, to a
+    * from-scratch [[curationVerdict]] ∘ [[curationState]] run on the
+    * new snapshot (spec-pinned, and q119's oracle recomputes exactly
+    * that from scratch). */
+  def incrementalCuration(oldState: DataFrame, newSnap: DataFrame,
+                          diff: DataFrame): DataFrame = {
+    val changed = diff.where(col("status").isin("added", "changed"))
+      .select(col("doc_id"), col("status"))
+    val carried = oldState
+      .join(diff.where(col("status") === "unchanged").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .withColumn("status", lit("unchanged"))
+    val fresh = curationState(
+        newSnap.join(changed.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .join(changed, Seq("doc_id"))
+    curationVerdict(carried.unionByName(fresh))
+      .select(col("doc_id"), col("source"), col("status"),
+        col("first_drop_stage"))
+  }
+
   /** Batch twin of [[graft.streaming.EventStreams.nearDupIngest]]'s
     * band-claim suppression, rendered deterministically: every doc's
     * bands rank within their band key by doc_id (the batch stand-in

@@ -494,25 +494,13 @@ object Pipeline {
     * says WHY each casualty fell. Fully SQL-expressible → full
     * oracle; PipelineOpsSpec reconciles its per-source 'kept' totals
     * with q102's n_docs. */
-  private def q114(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir, "documents")
-    val evalFps = docs.where(col("source") === "src0")
-      .select(TextOps.tokenSetFingerprint(col("text")).as("fp")).distinct()
-      .withColumn("eval_hit", lit(true))
-    docs.withColumn("fp", TextOps.tokenSetFingerprint(col("text")))
-      .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .join(broadcast(evalFps), Seq("fp"), "left")
-      .withColumn("first_drop_stage",
-        when(col("doc_id") =!= col("keep_id"), "dedup")
-          .when(!coalesce(TextOps.qualityOk, lit(false)), "quality")
-          .when(col("source") =!= "src0" && col("eval_hit").isNotNull,
-            "contamination")
-          .otherwise("kept"))
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    // the one copy of the stage logic: state projection + verdict
+    // (q119 reuses both incrementally over a snapshot diff)
+    TextOps.curationVerdict(
+        TextOps.curationState(Tables(s, dir, "documents")))
       .select(col("doc_id"), col("source"), col("first_drop_stage"))
       .orderBy(col("doc_id"))
-  }
 
   private val q114Sql =
     """WITH f AS (SELECT doc_id, source, text,
@@ -604,6 +592,82 @@ object Pipeline {
       |       ELSE 'train' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Incremental curation over the q117 snapshot diff — q112's
+    * never-reprocess-the-corpus shape for the TEXT pipeline: the old
+    * snapshot's per-doc curation state carries forward for unchanged
+    * docs, only added/changed docs re-run the text-wide expressions,
+    * and the corpus-level verdict re-issues over the stitched state.
+    * Fully SQL-expressible: the oracle recomputes the verdict FROM
+    * SCRATCH on the new snapshot, so a green row proves the
+    * incremental path loses nothing. Same snapshot slices as q117. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
+    val newSnap = docs.where(col("doc_id") % 7 =!= 6)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" updated")))
+          .otherwise(col("text")))
+    val oldState = TextOps.curationState(oldSnap)
+    val diff = TextOps.snapshotDiff(oldSnap, newSnap)
+    TextOps.incrementalCuration(oldState, newSnap, diff)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q119Sql =
+    """WITH o AS (SELECT doc_id,
+      |    md5(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g')) AS fp
+      |  FROM documents WHERE doc_id % 5 <> 4),
+      |n0 AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' updated'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 6),
+      |n AS (SELECT doc_id, source, text,
+      |    md5(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g')) AS cfp
+      |  FROM n0),
+      |st AS (SELECT n.doc_id,
+      |    CASE WHEN o.fp IS NULL THEN 'added'
+      |         WHEN o.fp <> n.cfp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM n LEFT JOIN o ON o.doc_id = n.doc_id),
+      |f AS (SELECT doc_id, source, text,
+      |    md5(array_to_string(list_sort(list_distinct(
+      |      string_split(coalesce(text, ''), ' '))), ' ')) AS fp
+      |  FROM n),
+      |k AS (SELECT doc_id, source, text, fp,
+      |    min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM f),
+      |e AS (SELECT DISTINCT fp FROM f WHERE source = 'src0')
+      |SELECT k.doc_id, k.source, st.status,
+      |  CASE WHEN k.doc_id <> k.keep_id THEN 'dedup'
+      |       WHEN NOT coalesce(len(string_split(k.text, ' ')) >= 8
+      |         AND len(list_filter(string_split(k.text, ' '),
+      |             w -> w IN ('the','a','of','and','in','to','is')))::DOUBLE
+      |           / len(string_split(k.text, ' ')) >= 0.02
+      |         AND length(replace(k.text, ' ', ''))::DOUBLE
+      |           / len(string_split(k.text, ' ')) BETWEEN 2.0 AND 12.0, FALSE)
+      |         THEN 'quality'
+      |       WHEN k.source <> 'src0' AND k.fp IN (SELECT fp FROM e)
+      |         THEN 'contamination'
+      |       ELSE 'kept' END AS first_drop_stage
+      |FROM k JOIN st ON k.doc_id = st.doc_id ORDER BY k.doc_id""".stripMargin
+
+  /** Stored-index drift audit (the rebuild trigger q116's lifecycle
+    * was missing): build on the corpus slice, append a synthetically
+    * DRIFTED nightly batch (+0.5 on every dimension), then read the
+    * per-cell built-vs-appended mean distance-to-centroid off the
+    * stored index alone. Rows-only (k-means cells); IvfIndexSpec pins
+    * the ratio>1 on a drifted batch and the null metrics on
+    * built-only cells. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.TempRoots.path("ivf_index_q120")
+    VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx, nCells = 16)
+    VectorOps.appendToIvfIndex(s, idx,
+      e.where(col("vec_id") % 4 === 0).select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+    VectorOps.indexDrift(s, idx).orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -625,7 +689,9 @@ object Pipeline {
     "q114_curation_lineage" -> (q114 _),
     "q116_index_lifecycle" -> (q116 _),
     "q117_snapshot_diff" -> (q117 _),
-    "q118_train_val_test" -> (q118 _))
+    "q118_train_val_test" -> (q118 _),
+    "q119_incremental_curation" -> (q119 _),
+    "q120_index_drift" -> (q120 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -645,5 +711,7 @@ object Pipeline {
     "q111_strip_boilerplate" -> q111Sql,
     "q114_curation_lineage" -> q114Sql,
     "q117_snapshot_diff" -> q117Sql,
-    "q118_train_val_test" -> q118Sql)
+    "q118_train_val_test" -> q118Sql,
+    // q120 rows-only: k-means cells are not SQL-recomputable
+    "q119_incremental_curation" -> q119Sql)
 }

@@ -203,6 +203,57 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(byStage.getOrElse("dedup", 0L) == nDedupDrop)
   }
 
+  test("incrementalCuration equals the from-scratch verdict and never re-reads unchanged text") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
+    val newSnap = docs.where(col("doc_id") % 7 =!= 6)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" updated")))
+          .otherwise(col("text")))
+    // the previous run's PERSISTED state (parquet round-trip, as in
+    // production — the incremental path must never need old text)
+    val stateDir = graft.TempRoots.path("cur_state_spec")
+    TextOps.curationState(oldSnap).write.mode("overwrite").parquet(stateDir)
+    val oldState = spark.read.parquet(stateDir)
+    val diff = TextOps.snapshotDiff(oldSnap, newSnap)
+    val inc = TextOps.incrementalCuration(oldState, newSnap, diff)
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("source"), col("first_drop_stage"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[String]("first_drop_stage")))
+      .sortBy(_._1).toSeq
+    // row-for-row equality with a from-scratch run on the new snapshot
+    val scratch = TextOps.curationVerdict(TextOps.curationState(newSnap))
+    assert(verdicts(inc) == verdicts(scratch))
+    // statuses come straight from the diff (removed docs excluded)
+    val incStatuses = inc.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val diffStatuses = diff.where(col("status") =!= "removed")
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(incStatuses == diffStatuses)
+    assert(Set("added", "changed", "unchanged").subsetOf(incStatuses.keySet),
+      s"slice must exercise all carried/fresh paths: $incStatuses")
+    // carry-forward proof: poison ONE unchanged kept doc's stored state
+    // (flip quality_ok). If the incremental path re-derived state from
+    // text, the poison would be invisible; because unchanged docs carry
+    // the STORED state, the verdict must flip to 'quality'.
+    val victimId = inc.where(col("status") === "unchanged" &&
+        col("first_drop_stage") === "kept")
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(1)
+      .collect()(0).getLong(0)
+    val poisoned = oldState.withColumn("quality_ok",
+      when(col("doc_id") === victimId, lit(false)).otherwise(col("quality_ok")))
+    val incPoisoned = TextOps.incrementalCuration(poisoned, newSnap, diff)
+      .where(col("doc_id") === victimId).collect()
+    assert(incPoisoned(0).getAs[String]("first_drop_stage") == "quality",
+      "unchanged docs must use the stored state, not recomputed text")
+    // and the heavy text subtree sits under the diff-slice restriction
+    val plan = inc.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), "fresh slice must be a semi-join restriction")
+  }
+
   test("quality-aware dedup keeps one survivor per group, and it is the best one") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val best = TextOps.dedupBestQuality(docs)
