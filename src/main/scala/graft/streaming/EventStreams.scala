@@ -232,7 +232,17 @@ object EventStreams {
     * the state store meets first (post-shuffle order, not contracted)
     * — same-batch near-dup ties resolve arbitrarily but exactly one
     * claimant survives, so the kept/suppressed PARTITION is still
-    * correct; only which twin wins is unspecified. */
+    * correct; only which twin wins is unspecified.
+    *
+    * EVERY doc emits an audit row — suppressed docs included
+    * (`n_lost_bands` > 0, `is_kept` = 0), parity-grade with the batch
+    * twin's lineage instead of silently vanishing (VERDICT r8 #4):
+    * the deduped band rows (each worth one CLAIM) union with the raw
+    * band rows (one row per band, claim 0), and the per-(window, doc)
+    * aggregate counts claims against the constant band total. The
+    * union adds no state — it re-reads the same banded projection —
+    * so the state bound is unchanged. Downstream keeps
+    * `where(is_kept = 1)`; a monitor alerts on the suppressed side. */
   def nearDupIngest(docs: DataFrame, nSig: Int = 12, bands: Int = 3,
                     lateness: String = "30 minutes",
                     window_ : String = "10 minutes"): DataFrame = {
@@ -244,15 +254,19 @@ object EventStreams {
         explode(graft.ops.TextOps.bandStructs(col("sig"), nSig, bands)).as("b"))
       .select(col("ts"), col("doc_id"), col("text"),
         col("b.band").as("band"), col("b.band_key").as("band_key"))
-    val claimed = banded
       .withWatermark("ts", lateness)
+    val claims = banded
       .dropDuplicatesWithinWatermark("band", "band_key")
-    claimed
+      .select(col("ts"), col("doc_id"), col("text"), lit(1L).as("claimed"))
+    val allBands = banded
+      .select(col("ts"), col("doc_id"), col("text"), lit(0L).as("claimed"))
+    claims.unionByName(allBands)
       .groupBy(window(col("ts"), window_).as("w"), col("doc_id"))
-      .agg(count(lit(1)).as("n_new_bands"), first(col("text")).as("text"))
-      .where(col("n_new_bands") === bands)
+      .agg(sum(col("claimed")).as("n_new_bands"), first(col("text")).as("text"))
       .select(col("w").getField("start").as("window_start"), col("doc_id"),
-        col("text"))
+        col("text"),
+        (lit(bands.toLong) - col("n_new_bands")).as("n_lost_bands"),
+        (col("n_new_bands") === bands).cast("int").cast("bigint").as("is_kept"))
   }
 
   /** Stream–stream interval join: purchases matched to views by the

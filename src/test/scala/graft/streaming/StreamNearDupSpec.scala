@@ -63,9 +63,18 @@ class StreamNearDupSpec extends SparkTestBase {
       // evicted from the dedup state
       mem.addData((ts(35), 4L, docC2))
       q.processAllAvailable()
-      val first = spark.table("neardup_ingest").collect()
+      val first = spark.table("neardup_ingest")
+        .where(col("is_kept") === 1).collect()
         .map(_.getAs[Long]("doc_id")).sorted.toSeq
       assert(first == Seq(1L, 3L), s"window 1 kept $first")
+      // the suppressed doc does NOT vanish: it emits an audit row with
+      // its lost-band count — the stream-side lineage the batch twin
+      // always reported
+      val suppressed = spark.table("neardup_ingest")
+        .where(col("is_kept") === 0).collect()
+      assert(suppressed.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+      val lost = suppressed(0).getAs[Long]("n_lost_bands")
+      assert(lost >= 1L && lost <= 3L, s"doc 2 lost $lost bands")
       // doc 5 re-uses C's exact text at 10:40, past the eviction: its
       // bands must be re-claimable — the observable proof that near-dup
       // state is bounded by the watermark, not an ever-growing archive
@@ -74,7 +83,8 @@ class StreamNearDupSpec extends SparkTestBase {
       // flush: advance the watermark past 10:50 to close every window
       mem.addData((ts(80), 6L, docB2))
       q.processAllAvailable()
-      val all = spark.table("neardup_ingest").collect()
+      val all = spark.table("neardup_ingest")
+        .where(col("is_kept") === 1).collect()
         .map(_.getAs[Long]("doc_id")).sorted.toSeq
       assert(all == Seq(1L, 3L, 4L, 5L),
         s"evicted band state must re-admit doc 5: $all")
@@ -108,14 +118,21 @@ class StreamNearDupSpec extends SparkTestBase {
       // flush: advance the watermark far enough to close the window
       mem.addData((ts(600), 999999L, "flush marker doc"))
       q.processAllAvailable()
-      val streamKept = spark.table("neardup_bridge").collect()
-        .map(_.getAs[Long]("doc_id")).toSet - 999999L
-      val batchKept = graft.ops.TextOps.nearDupSuppress(
+      // FULL audit parity, not just the kept set: per doc, the stream's
+      // (n_lost_bands, is_kept) lineage must equal the batch twin's on
+      // identical (per-batch) arrival order
+      val streamAudit = spark.table("neardup_bridge")
+        .where(col("doc_id") =!= 999999L).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lost_bands"),
+          r.getAs[Long]("is_kept"))).sortBy(_._1).toSeq
+      val batchAudit = graft.ops.TextOps.nearDupSuppress(
           spark.createDataFrame(rows.toSeq).toDF("doc_id", "text"), 12, 3)
-        .where(col("is_kept") === 1).collect()
-        .map(_.getAs[Long]("doc_id")).toSet
-      assert(streamKept == batchKept,
-        s"stream-only=${streamKept -- batchKept} batch-only=${batchKept -- streamKept}")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lost_bands"),
+          r.getAs[Long]("is_kept"))).sortBy(_._1).toSeq
+      assert(streamAudit == batchAudit,
+        s"stream-only=${streamAudit.toSet -- batchAudit.toSet} " +
+          s"batch-only=${batchAudit.toSet -- streamAudit.toSet}")
     } finally q.stop()
   }
 }
