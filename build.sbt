@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the 10x scale-smoke suite is excluded from the default run (it
+// synthesizes multi-thousand-doc corpora and measures wall-time);
+// run it explicitly with:
+//   sbt -batch "set Test/testOptions := Seq()" "testOnly graft.ops.ScaleSmokeSpec"
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTag")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

