@@ -38,6 +38,13 @@ object Multimodal {
                        channels: Int, bits: Int, n_samples: Long,
                        duration_ms: Long)
 
+  /** Decoded-PCM sample statistics row — the product of REAL sample
+    * decode ([[decodePcmStats]]), not header fields: every value after
+    * `channels` is a function of the 16-bit samples themselves. */
+  case class PcmStats(doc_id: Long, sample_rate: Long, channels: Long,
+                      n_samples: Long, peak_abs: Long, sum_abs: Long,
+                      zero_crossings: Long, pcm_checksum: Long)
+
   /** Decoded-video metadata row (MP4/ISO-BMFF). */
   case class VideoMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        n_frames: Long, timescale: Int, duration_ms: Long)
@@ -252,7 +259,15 @@ object Multimodal {
       * (sample_rate, channels, bits, data_len); None when not a WAV
       * or no fmt chunk precedes data — a poison file classifies, it
       * never throws. */
-    def sniffWav(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def sniffWav(p: Array[Byte]): Option[(Int, Int, Int, Int)] =
+      sniffWavData(p).map { case (rate, ch, bits, _, size) => (rate, ch, bits, size) }
+
+    /** [[sniffWav]] plus the data-chunk PAYLOAD OFFSET — the extra
+      * field sample decoding needs ([[decodePcm]]); the declared size
+      * is reported as-is (callers that read samples must clamp it to
+      * the bytes actually present — a truncated final chunk is legal
+      * input under the never-throws contract). */
+    def sniffWavData(p: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
       if (p.length < 36 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
         p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
         return None
@@ -273,7 +288,7 @@ object Multimodal {
           if (i + 8 + 16 > p.length) return None
           fmt = Some((rdLe32(p, ii + 12), rdLe16(p, ii + 10), rdLe16(p, ii + 22)))
         } else if (p(ii) == 'd' && p(ii + 1) == 'a' && p(ii + 2) == 't' && p(ii + 3) == 'a') {
-          return fmt.map { case (rate, ch, bits) => (rate, ch, bits, size) }
+          return fmt.map { case (rate, ch, bits) => (rate, ch, bits, ii + 8, size) }
         }
         // chunks are word-aligned: odd sizes carry a pad byte
         i += 8L + size.toLong + (size % 2)
@@ -289,6 +304,43 @@ object Multimodal {
           AudioMeta(docId, payload.length, rate, ch, bits, nSamples,
             if (rate > 0) nSamples * 1000L / rate else 0L)
         case None => AudioMeta(docId, payload.length, 0, 0, 0, 0L, 0L)
+      }
+
+    /** REAL 16-bit PCM sample decode: walk the RIFF chunks to the data
+      * payload, read each little-endian signed sample, and fold the
+      * stream into integer statistics — peak |s|, Σ|s|, sign-change
+      * count over the interleaved stream, and a position-weighted
+      * checksum Σ s·(1 + k mod 97). Integer stats (not float RMS) so
+      * the oracle can recompute them EXACTLY from the generating
+      * formula — a green row proves header walk + sample decode, with
+      * no rounding escape hatch. Declared data size is clamped to the
+      * bytes present and to whole frames (truncated final chunk /
+      * partial frame = legal poison input); non-PCM-16 or non-WAV
+      * payloads classify as the zero row rather than throwing. */
+    def decodePcm(docId: Long, payload: Array[Byte]): PcmStats =
+      sniffWavData(payload) match {
+        case Some((rate, ch, bits, off, size)) if bits == 16 && ch > 0 =>
+          val frameBytes = ch * 2
+          val avail = math.max(0, math.min(size, payload.length - off))
+          val n = avail / frameBytes * ch // whole frames only
+          var k = 0
+          var peak = 0L; var sumAbs = 0L; var crossings = 0L; var checksum = 0L
+          var prevNonNeg = true
+          while (k < n) {
+            val i = off + 2 * k
+            val s = (u8(payload(i)) | (payload(i + 1).toInt << 8)).toShort.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumAbs += a
+            val nonNeg = s >= 0
+            if (k > 0 && nonNeg != prevNonNeg) crossings += 1
+            prevNonNeg = nonNeg
+            checksum += s * (1L + k % 97)
+            k += 1
+          }
+          PcmStats(docId, rate.toLong, ch.toLong, n.toLong, peak, sumAbs,
+            crossings, checksum)
+        case _ => PcmStats(docId, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
       }
 
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
@@ -406,6 +458,53 @@ object Multimodal {
     }
     val channels = 1 + (docId % 2).toInt
     MediaHeader.wavHeader(rate, channels, 16, text.length) ++ text
+  }
+
+  /** Deterministic PCM WAV synthesis with REAL sample data (the audio
+    * twin of [[MediaHeader.pngImage]]): rate/channels follow
+    * [[synthWav]]'s round-robin, the frame count derives from doc_id,
+    * and sample k of the interleaved stream is the 16-bit value
+    * `((k·(7 + id mod 13) + 5·id) mod 65536) − 32768` — a
+    * deterministic sawtooth family whose statistics the oracle
+    * recomputes arithmetically while the Spark side must recover them
+    * from little-endian sample bytes behind a RIFF chunk walk. */
+  private[ops] def synthPcm(docId: Long): Array[Byte] = {
+    val rate = (docId % 3) match {
+      case 0 => 8000; case 1 => 16000; case _ => 44100
+    }
+    val channels = 1 + (docId % 2).toInt
+    val frames = 256 + ((docId * 3) % 1024).toInt
+    val total = frames * channels
+    val data = new Array[Byte](total * 2)
+    val step = 7 + docId % 13
+    var k = 0
+    while (k < total) {
+      val s = ((k * step + docId * 5) % 65536 - 32768).toInt
+      data(2 * k) = s.toByte
+      data(2 * k + 1) = (s >> 8).toByte
+      k += 1
+    }
+    MediaHeader.wavHeader(rate, channels, 16, data.length) ++ data
+  }
+
+  /** Documents table → sample-bearing WAV payload column. */
+  def withPcmPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, synthPcm(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Partition-batched REAL PCM decode — same typed mapPartitions
+    * shape as [[decodeAudioMeta]], but folding the sample stream
+    * itself ([[MediaHeader.decodePcm]]) instead of stopping at the
+    * format chunk. */
+  def decodePcmStats(spark: SparkSession, docs: DataFrame): Dataset[PcmStats] = {
+    import spark.implicits._
+    withPcmPayload(docs).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, payload) => MediaHeader.decodePcm(id, payload) }
+    }
   }
 
   /** Deterministic MP4 synthesis for the media-free corpus: the frame

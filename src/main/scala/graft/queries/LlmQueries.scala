@@ -448,6 +448,42 @@ object LlmQueries {
       |        ELSE 44100 END) AS BIGINT) AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL PCM sample decode: every document carries a WAV whose data
+    * chunk holds a deterministic 16-bit sawtooth stream
+    * ([[Multimodal.synthPcm]]); Spark walks the RIFF chunks and folds
+    * the little-endian samples into integer statistics, while the
+    * oracle recomputes those statistics ARITHMETICALLY from the
+    * generating formula over `range(0, n)` — peak |s|, Σ|s|,
+    * sign-change count and a position-weighted checksum. A green row
+    * proves chunk walk + sample decode end to end (the audio twin of
+    * q121's pixel proof); no header field can fake Σ s·(1 + k mod 97). */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodePcmStats(s, Tables(s, dir, "documents")).toDF()
+      .orderBy(col("doc_id"))
+
+  private val q122Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |         ELSE 44100 END AS rate,
+      |    1 + doc_id % 2 AS ch,
+      |    (256 + (doc_id * 3) % 1024) * (1 + doc_id % 2) AS total,
+      |    7 + doc_id % 13 AS step
+      |  FROM documents),
+      |s AS (SELECT doc_id, rate, ch, total, k.k AS k,
+      |    (k.k * step + doc_id * 5) % 65536 - 32768 AS v,
+      |    CASE WHEN k.k > 0 THEN
+      |      ((k.k - 1) * step + doc_id * 5) % 65536 - 32768 END AS pv
+      |  FROM d, unnest(range(0, total)) AS k(k))
+      |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(ch AS BIGINT) AS channels, CAST(total AS BIGINT) AS n_samples,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND (v >= 0) <> (pv >= 0)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(sum(v * (1 + k % 97)) AS BIGINT) AS pcm_checksum
+      |FROM s GROUP BY doc_id, rate, ch, total
+      |ORDER BY doc_id""".stripMargin
+
   private def q67(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(s, Tables(s, dir, "documents")).toDF()
       .orderBy(col("doc_id"))
@@ -635,7 +671,8 @@ object LlmQueries {
     "q94_crossdoc_ngrams" -> (q94 _),
     "q95_pq_ann" -> (q95 _),
     "q108_audio_meta" -> (q108 _),
-    "q115_video_meta" -> (q115 _))
+    "q115_video_meta" -> (q115 _),
+    "q122_pcm_stats" -> (q122 _))
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
@@ -665,5 +702,6 @@ object LlmQueries {
     "q93_unigram_nll" -> q93Sql,
     "q94_crossdoc_ngrams" -> q94Sql,
     "q108_audio_meta" -> q108Sql,
-    "q115_video_meta" -> q115Sql)
+    "q115_video_meta" -> q115Sql,
+    "q122_pcm_stats" -> q122Sql)
 }

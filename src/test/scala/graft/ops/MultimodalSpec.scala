@@ -299,6 +299,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(undecodable, "precondition: header-only PNG is undecodable")
   }
 
+  test("decodePcmStats: sample-decoded stats match the arithmetic model; truncation clamps") {
+    // recompute every statistic from the generating formula alone —
+    // exactly what the q122 DuckDB oracle does; agreement proves the
+    // Spark side recovered the samples from the RIFF bytes
+    def model(id: Long): (Long, Long, Long, Long, Long, Long, Long) = {
+      val rate = (id % 3) match { case 0 => 8000L; case 1 => 16000L; case _ => 44100L }
+      val ch = 1L + id % 2
+      val total = (256L + (id * 3) % 1024) * ch
+      val step = 7 + id % 13
+      var peak = 0L; var sumAbs = 0L; var cross = 0L; var checksum = 0L
+      var prevNonNeg = true
+      for (k <- 0L until total) {
+        val s = (k * step + id * 5) % 65536 - 32768
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumAbs += a
+        if (k > 0 && (s >= 0) != prevNonNeg) cross += 1
+        prevNonNeg = s >= 0
+        checksum += s * (1L + k % 97)
+      }
+      (rate, ch, total, peak, sumAbs, cross, checksum)
+    }
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val got = Multimodal.decodePcmStats(spark, ids).collect()
+      .map(r => r.doc_id -> ((r.sample_rate, r.channels, r.n_samples,
+        r.peak_abs, r.sum_abs, r.zero_crossings, r.pcm_checksum))).toMap
+    assert(got.keySet == (0L until 40L).toSet)
+    for (id <- 0L until 40L)
+      assert(got(id) == model(id), s"doc $id: ${got(id)} vs ${model(id)}")
+    // poison contract: a data chunk truncated mid-frame decodes the
+    // whole frames present (declared size clamped, partial frame
+    // dropped), and a non-WAV payload classifies as the zero row
+    import Multimodal.MediaHeader
+    val full = Multimodal.synthPcm(1L) // stereo: 4-byte frames
+    val cut = full.dropRight(5) // kills one whole frame + 1 byte of the next
+    val stats = MediaHeader.decodePcm(1L, cut)
+    val wholeFrames = (full.length - 44 - 5) / 4
+    assert(stats.n_samples == wholeFrames * 2L)
+    assert(MediaHeader.decodePcm(2L, "not a wav at all".getBytes) ==
+      Multimodal.PcmStats(2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("extracted features feed cosine top-k directly") {
     val feats = Multimodal.extractFeatures(spark, docs, dim = 8)
       .withColumnRenamed("doc_id", "vec_id")
