@@ -101,4 +101,99 @@ object Sharding {
 
   /** Counters observed during the shard write (no extra scan). */
   case class WriteAudit(n_rows: Long, min_shard: Int, max_shard: Int)
+
+  /** Result of a [[compact]] run: file counts either side of the
+    * rewrite plus the row count that rode the write job. */
+  case class CompactAudit(n_rows: Long, files_before: Long, files_after: Long)
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived 100 TB dataset needs: streaming ingests and dynamic
+    * partition overwrites accrete thousands of KB-sized parquet files,
+    * and scan cost becomes file-open cost (driver listing, footer
+    * reads, one task per tiny split) long before it is byte cost.
+    *
+    * The rewrite is content-identical and deterministic: rows are
+    * range-partitioned on `key` into `ceil(n / targetRecords)` chunks
+    * (range, not hash, so each output file covers a tight contiguous
+    * key span — min/max footer stats stay selective for data-skipping
+    * readers), sorted by `key` within each file, and written with
+    * `maxRecordsPerFile` as a hard cap. One count job (columnar
+    * metadata scan), one shuffle, one write; nothing funnels through
+    * the driver. The caller swaps the compacted dir in atomically
+    * (rename / view flip) — same publish discipline as the stored-ANN
+    * maintenance in [[graft.ops.VectorOps]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, key: String,
+              targetRecords: Long = 1000000L): CompactAudit = {
+    val in = spark.read.parquet(inDir)
+    val filesBefore = in.inputFiles.length.toLong
+    val n = in.count()
+    val nFiles = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+    in.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecords)
+      .parquet(outDir)
+    CompactAudit(n, filesBefore,
+      spark.read.parquet(outDir).inputFiles.length.toLong)
+  }
+
+  /** Morton bit-spread of a 16-bit value (zeros interleaved between
+    * its bits) — the shift-and-mask ladder every published Morton
+    * encoder uses, expressed as codegen'd Column arithmetic. */
+  private def spread16(v: Column): Column = {
+    val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-value (Morton code) of two 16-bit quantized coordinates: bits
+    * of `x` on even positions, `y` on odd. Locality on the Z-curve
+    * approximates 2-D locality, which is what makes a range partition
+    * over it a 2-D clustering. */
+  def morton(x: Column, y: Column): Column =
+    spread16(x.cast("long")).bitwiseOR(shiftleft(spread16(y.cast("long")), 1))
+
+  /** Z-order layout rewrite — 2-D data clustering for data-skipping
+    * scans: quantize two numeric dimensions to 16 bits each (min/max
+    * scaled), interleave into a Morton z-value, range-partition and
+    * sort ON the z-value, and write with bounded file sizes. Each
+    * output file then covers a small RECTANGLE of the (x, y) space, so
+    * parquet footer min/max on BOTH columns stays selective — a
+    * lexicographic sort gives tight spans on the first key only, and
+    * every file spans the full range of the second (ShardingSpec pins
+    * the contrast). This is how a 100 TB fact table serves selective
+    * two-dimensional scans (customer × date, partition × time) without
+    * an index: the reader prunes files/row-groups on footer stats
+    * alone.
+    *
+    * One tiny min/max agg (broadcast back — never a driver collect of
+    * data rows), one count for the file budget, one shuffle, one
+    * write; content is untouched (q125's oracle proves losslessness). */
+  def zorderWrite(df: DataFrame, outDir: String, x: Column, y: Column,
+                  targetRecords: Long = 1000000L): CompactAudit = {
+    val spark = df.sparkSession
+    val filesBefore = df.inputFiles.length.toLong
+    val stats = df.agg(min(x).cast("long").as("xmin"),
+      max(x).cast("long").as("xmax"),
+      min(y).cast("long").as("ymin"), max(y).cast("long").as("ymax"))
+    val n = df.count()
+    val nFiles = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+    def quant(v: Column, lo: Column, hi: Column): Column =
+      ((v.cast("long") - lo) * lit(65535L) / greatest(hi - lo, lit(1L)))
+        .cast("long")
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", morton(
+        quant(x, col("xmin"), col("xmax")),
+        quant(y, col("ymin"), col("ymax"))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "xmin", "xmax", "ymin", "ymax")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecords)
+      .parquet(outDir)
+    CompactAudit(n, filesBefore,
+      spark.read.parquet(outDir).inputFiles.length.toLong)
+  }
 }

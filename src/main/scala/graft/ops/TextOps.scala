@@ -1019,6 +1019,79 @@ object TextOps {
         col("tf"), col("df"))
   }
 
+  /** EXACT corpus-wide heavy hitters in BOUNDED memory — the two-pass
+    * shape that replaces a full-vocabulary groupBy at 100 TB, where the
+    * vocabulary itself (URLs, ids, typos) is too large to shuffle
+    * comfortably but the interesting tokens are the few above a count
+    * threshold.
+    *
+    * Pass 1 runs a Misra–Gries summary with `nCounters` counters
+    * inside each partition (pure per-partition imperative state — the
+    * canonical mapPartitions case) and emits ≤ nCounters (token, cnt)
+    * rows per partition plus one partition-total row. Summing the
+    * per-partition summaries undercounts any token by at most
+    * Σ_p Np/(nCounters+1) = N/(nCounters+1) — the classic mergeable-
+    * summary bound — so every token with true count ≥ minCount
+    * survives the filter `Σcnt ≥ minCount − N/(nCounters+1)`: a
+    * GUARANTEED superset, no false negatives. Pass 2 computes exact
+    * counts restricted to those candidates (broadcast semi-join before
+    * the groupBy), so only candidate tokens ever shuffle. Output is
+    * EXACT (`HAVING count(*) ≥ minCount` equivalent — fully oracled),
+    * provided minCount > N/(nCounters+1); size nCounters ≳ 2N/minCount
+    * (the spec pins the guarantee at the boundary).
+    *
+    * Cost: pass 1 shuffles ≤ partitions·nCounters summary rows; pass 2
+    * re-reads the corpus but shuffles only candidate-token rows. Two
+    * scans beat one full-vocabulary shuffle as soon as the vocabulary
+    * outgrows executor memory. */
+  def heavyHitters(docs: DataFrame, minCount: Long,
+                   nCounters: Int = 2048): DataFrame = {
+    require(minCount > 0 && nCounters > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toks = docs.select(
+      explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+    // per-partition Misra–Gries: increment a held counter, open a new
+    // one while capacity remains, else decrement ALL counters (the
+    // (nCounters+1)-way cancellation that yields the error bound).
+    // kind 0 = counter row, kind 1 = partition token total (its token
+    // field is unused — "" is a legal TOKEN, so a sentinel value could
+    // collide; the kind column cannot).
+    val summaries = toks.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      var np = 0L
+      while (it.hasNext) {
+        val w = it.next(); np += 1
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1)
+          case None if counts.size < nCounters => counts.update(w, 1L)
+          case None =>
+            // O(nCounters) amortized over the nCounters+1 arrivals
+            // that funded it
+            val dead = List.newBuilder[String]
+            counts.foreach { case (k, c) =>
+              if (c == 1L) dead += k else counts.update(k, c - 1)
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.iterator.map { case (w, c) => (w, c, 0) } ++
+        Iterator.single(("", np, 1))
+    }.toDF("w", "cnt", "kind")
+    val merged = summaries.where(col("kind") === 0)
+      .groupBy(col("w")).agg(sum(col("cnt")).as("est"))
+    val total = summaries.where(col("kind") === 1)
+      .agg(sum(col("cnt")).as("n_total"))
+    // est ≥ true − N/(k+1), evaluated in double (Spark's bigint `/`):
+    // the bound is exact, not a floor approximation
+    val candidates = merged.crossJoin(broadcast(total))
+      .where(col("est") >= lit(minCount) - col("n_total") / lit(nCounters + 1L))
+      .select(col("w"))
+    toks.join(broadcast(candidates), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** Cross-document boilerplate fraction (the substring-dedup signal
     * of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better": repeated spans across documents mark template /

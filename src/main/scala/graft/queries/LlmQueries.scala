@@ -484,6 +484,20 @@ object LlmQueries {
       |FROM s GROUP BY doc_id, rate, ch, total
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact heavy hitters without a full-vocabulary shuffle: bounded
+    * Misra–Gries candidates, then exact counts over candidates only
+    * ([[TextOps.heavyHitters]]). The oracle is the naive full groupBy
+    * with HAVING — equality proves the sketch pass lost nothing. */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    TextOps.heavyHitters(Tables(s, dir, "documents"), minCount = 500L)
+      .orderBy(col("w"))
+
+  private val q123Sql =
+    """SELECT w, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |      FROM documents)
+      |GROUP BY w HAVING count(*) >= 500 ORDER BY w""".stripMargin
+
   private def q67(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(s, Tables(s, dir, "documents")).toDF()
       .orderBy(col("doc_id"))
@@ -672,7 +686,8 @@ object LlmQueries {
     "q95_pq_ann" -> (q95 _),
     "q108_audio_meta" -> (q108 _),
     "q115_video_meta" -> (q115 _),
-    "q122_pcm_stats" -> (q122 _))
+    "q122_pcm_stats" -> (q122 _),
+    "q123_heavy_hitters" -> (q123 _))
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
@@ -703,5 +718,6 @@ object LlmQueries {
     "q94_crossdoc_ngrams" -> q94Sql,
     "q108_audio_meta" -> q108Sql,
     "q115_video_meta" -> q115Sql,
-    "q122_pcm_stats" -> q122Sql)
+    "q122_pcm_stats" -> q122Sql,
+    "q123_heavy_hitters" -> q123Sql)
 }

@@ -668,6 +668,58 @@ object Pipeline {
     VectorOps.indexDrift(s, idx).orderBy(col("cell"))
   }
 
+  /** Small-file compaction round-trip: fragment the documents table
+    * into 64 tiny parquet files (the shape a streaming ingest leaves
+    * behind), compact to range-clustered files
+    * ([[graft.ops.Sharding.compact]]), and read the compacted dataset
+    * back. The oracle is a plain SELECT over the source table, so a
+    * green row proves the rewrite was lossless — no dropped, altered
+    * or duplicated rows; file-count and clustering pins live in
+    * ShardingSpec. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val frag = graft.TempRoots.path(
+      s"frag_${Integer.toHexString(dir.hashCode)}")
+    val compacted = graft.TempRoots.path(
+      s"compacted_${Integer.toHexString(dir.hashCode)}")
+    Tables(s, dir, "documents").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    Sharding.compact(s, frag, compacted, "doc_id", targetRecords = 100000L)
+    s.read.parquet(compacted)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit("")).cast("binary"))
+          .as("text_md5"),
+        col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q124Sql =
+    """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, source, lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Z-order layout round-trip: rewrite orders clustered on the
+    * (customer, order-day) Z-curve ([[graft.ops.Sharding.zorderWrite]])
+    * and read the clustered dataset back. The oracle is a plain SELECT
+    * over the source table — the green row proves the layout rewrite
+    * is lossless; the data-skipping property (every file covers a
+    * tight rectangle of customer × day, vs full-range second dim under
+    * a lexicographic sort) is pinned in PipelineOpsSpec. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"zorder_${Integer.toHexString(dir.hashCode)}")
+    Sharding.zorderWrite(Tables(s, dir, "orders"), out,
+      col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")),
+      targetRecords = 2000L)
+    s.read.parquet(out)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q125Sql =
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -691,7 +743,9 @@ object Pipeline {
     "q117_snapshot_diff" -> (q117 _),
     "q118_train_val_test" -> (q118 _),
     "q119_incremental_curation" -> (q119 _),
-    "q120_index_drift" -> (q120 _))
+    "q120_index_drift" -> (q120 _),
+    "q124_compaction" -> (q124 _),
+    "q125_zorder_layout" -> (q125 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -713,5 +767,7 @@ object Pipeline {
     "q117_snapshot_diff" -> q117Sql,
     "q118_train_val_test" -> q118Sql,
     // q120 rows-only: k-means cells are not SQL-recomputable
-    "q119_incremental_curation" -> q119Sql)
+    "q119_incremental_curation" -> q119Sql,
+    "q124_compaction" -> q124Sql,
+    "q125_zorder_layout" -> q125Sql)
 }

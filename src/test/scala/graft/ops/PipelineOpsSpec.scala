@@ -303,6 +303,96 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("compaction: lossless rewrite, bounded file count, disjoint key spans per file") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val frag = graft.TempRoots.path("compact_frag")
+    val out = graft.TempRoots.path("compact_out")
+    docs.repartition(13).write.mode("overwrite").parquet(frag)
+    val audit = Sharding.compact(spark, frag, out, "doc_id",
+      targetRecords = 120L)
+    val n = docs.count()
+    val expectFiles = (n + 119) / 120
+    assert(audit.n_rows == n, s"audit $audit")
+    assert(audit.files_before == 13L, s"audit $audit")
+    // range boundaries come from a sample, so an oversized partition
+    // may split once under maxRecordsPerFile — allow a little slack,
+    // but the rewrite must beat the fragmented layout decisively
+    assert(audit.files_after >= expectFiles && audit.files_after <= expectFiles + 2,
+      s"audit $audit, expected ~$expectFiles files")
+    assert(audit.files_after < audit.files_before)
+    val back = spark.read.parquet(out)
+    assert(back.count() == n)
+    assert(back.select(col("doc_id")).distinct().count() == n)
+    // every file holds ≤ targetRecords rows and covers a key span
+    // disjoint from every other file — the footer min/max stays
+    // selective for data-skipping readers
+    val perFile = back.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("nr"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()
+    perFile.foreach(r =>
+      assert(r.getAs[Long]("nr") <= 120L, s"${r.getAs[String]("f")} too big"))
+    val spans = perFile.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, h1), (l2, _)) => assert(h1 < l2, "file key spans overlap")
+      case _ => ()
+    }
+  }
+
+  test("morton matches a reference bit-interleave") {
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L))
+    val df = spark.createDataFrame(pairs).toDF("x", "y")
+      .select(col("x"), col("y"), Sharding.morton(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("z") == ref(r.getAs[Long]("x"), r.getAs[Long]("y")))
+    }
+  }
+
+  test("zorder files cover tight rectangles on BOTH dims; lexicographic spans the full second dim") {
+    val orders = graft.queries.Tables(spark, sfDir, "orders")
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date"))
+    val zDir = graft.TempRoots.path("zorder_spec")
+    val audit = Sharding.zorderWrite(orders, zDir, col("o_custkey"), day,
+      targetRecords = 100L)
+    assert(audit.n_rows == orders.count())
+    assert(audit.files_after >= (audit.n_rows + 99) / 100)
+    // lexicographic contrast: range-partition + sort on custkey alone
+    val lexDir = graft.TempRoots.path("zorder_lex")
+    orders.repartitionByRange(audit.files_after.toInt, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 100L)
+      .parquet(lexDir)
+    // normalized mean per-file span of the SECOND dimension (order day)
+    def daySpread(dir: String): Double = {
+      val back = spark.read.parquet(dir).withColumn("d", day)
+      val global = back.agg((max(col("d")) - min(col("d"))).cast("double"))
+        .head().getDouble(0)
+      val spans = back.groupBy(input_file_name())
+        .agg(((max(col("d")) - min(col("d"))) / global).as("s"))
+        .agg(avg(col("s"))).head().getDouble(0)
+      spans
+    }
+    val zSpread = daySpread(zDir)
+    val lexSpread = daySpread(lexDir)
+    // lexicographic files each cover (nearly) the whole date range;
+    // z-order files cover a bounded rectangle — demand a decisive gap
+    assert(lexSpread > 0.8, s"lex day spread $lexSpread")
+    assert(zSpread < lexSpread * 0.6, s"z $zSpread vs lex $lexSpread")
+    // and the rewrite stayed lossless
+    assert(spark.read.parquet(zDir).count() == audit.n_rows)
+    assert(spark.read.parquet(zDir).select(col("o_orderkey")).distinct()
+      .count() == audit.n_rows)
+  }
+
   test("write audit degrades cleanly on an empty export (null min/max, no stall)") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val audit = Sharding.writeShards(docs.where(lit(false)),

@@ -565,6 +565,53 @@ class TextOpsSpec extends SparkTestBase {
     assert(bloomed == viaUdf, "native probe diverged from the UDF fallback")
   }
 
+  test("heavyHitters equals the naive groupBy, with counters far below the vocabulary") {
+    // a skewed random corpus over ~410 distinct tokens, summarized
+    // with only 24 counters — the MG pass is genuinely lossy here, so
+    // equality with the naive answer exercises the superset bound, not
+    // a vacuous everything-is-a-candidate case
+    val rnd = new scala.util.Random(20260813)
+    val rows = (0L until 200L).map { id =>
+      val words = Seq.fill(60) {
+        // three-tier skew: 5 head tokens at ~960 expected, 5 mid
+        // tokens at ~480 — straddling the 481 threshold, so the
+        // equality check exercises both sides of the boundary — and a
+        // 400-token tail far below it
+        rnd.nextInt(10) match {
+          case d if d < 4 => s"head${rnd.nextInt(5)}"
+          case 4 | 5      => s"mid${rnd.nextInt(5)}"
+          case _          => s"tail${rnd.nextInt(400)}"
+        }
+      }
+      (id, words.mkString(" "), "a", "en")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
+      .repartition(8) // multiple partitions → the summaries actually merge
+    // guarantee precondition: minCount > N/(nCounters+1) = 12000/25 =
+    // 480 — run at 481, the tightest threshold the bound admits
+    val n = 200L * 60L
+    val mc = n / 25 + 1
+    val got = TextOps.heavyHitters(df, mc, nCounters = 24).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("cnt")).toMap
+    val naive = df.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().where(col("count") >= mc).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("count")).toMap
+    assert(naive.nonEmpty, "precondition: the corpus has heavy hitters at the threshold")
+    assert(got == naive, s"sketch pass lost hitters: got ${got.keySet} vs ${naive.keySet}")
+  }
+
+  test("heavyHitters on the real corpus matches naive at the q123 threshold") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextOps.heavyHitters(df, 500L).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("cnt")).toMap
+    val naive = df.select(
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .groupBy("w").count().where(col("count") >= 500).collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("count")).toMap
+    assert(naive.nonEmpty)
+    assert(got == naive)
+  }
+
   test("langId prefers marked languages and defaults to en") {
     val d2 = spark.createDataFrame(Seq(
       (0L, "der hund und die katze", "x", "de"),
