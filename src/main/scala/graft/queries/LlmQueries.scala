@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Multimodal, TextOps, VectorOps}
+import graft.ops.{Bpe, Multimodal, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -498,6 +498,24 @@ object LlmQueries {
       |      FROM documents)
       |GROUP BY w HAVING count(*) >= 500 ORDER BY w""".stripMargin
 
+  /** Distributed BPE vocabulary induction ([[Bpe.train]]): the merge
+    * table learned from the corpus token stream, one corpus scan plus
+    * vocabulary-scale iterations. Rows-only (the argmax recursion is
+    * not SQL-expressible); BpeSpec pins the table against an
+    * independent single-node reference trainer. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainDF(s, Tables(s, dir, "documents"), nMerges = 30)
+      .orderBy(col("rank"))
+
+  /** Per-document BPE encoding statistics under the q126 merges:
+    * distinct words encode once, the corpus-scale pass is a broadcast
+    * join. Rows-only (depends on the learned merges); BpeSpec pins
+    * per-doc counts against reference encoding. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    Bpe.encodeStats(docs, Bpe.train(docs, 30)).orderBy(col("doc_id"))
+  }
+
   private def q67(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(s, Tables(s, dir, "documents")).toDF()
       .orderBy(col("doc_id"))
@@ -687,7 +705,10 @@ object LlmQueries {
     "q108_audio_meta" -> (q108 _),
     "q115_video_meta" -> (q115 _),
     "q122_pcm_stats" -> (q122 _),
-    "q123_heavy_hitters" -> (q123 _))
+    "q123_heavy_hitters" -> (q123 _),
+    "q126_bpe_vocab" -> (q126 _),
+    "q127_bpe_encode" -> (q127 _))
+  // q126/q127 rows-only: the BPE merge recursion is not SQL-expressible
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
