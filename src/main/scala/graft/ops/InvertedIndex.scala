@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored inverted text index — exact term search as the complement of
+  * the embedding-side ANN indexes ([[VectorOps]]): postings live as
+  * `(term, doc_id, tf)` parquet rows partitioned by a term-hash
+  * bucket, so a query for k terms reads ONLY the k probed bucket
+  * partitions (static partition pruning — the text twin of the IVF
+  * cell layout). One row per (term, doc) — never an array posting
+  * list, whose row width would explode on stopword-grade terms —
+  * sorted by (term, doc_id) within each bucket so parquet row-group
+  * stats prune within the bucket too.
+  *
+  * Search is relational end to end: boolean AND is a
+  * count-of-matched-terms filter, ranking is TF-IDF (the same
+  * smoothed form as [[TextOps.tfidfTopTerms]]) aggregated per doc
+  * with the repo's decimal-sum discipline and a TakeOrdered top-k.
+  * Both forms are fully DuckDB-oracled from the raw table — a green
+  * row proves the index agrees with scanning the corpus. */
+object InvertedIndex {
+
+  /** Term → bucket: CRC32 of the UTF-8 bytes mod nBuckets. CRC32 (a
+    * public, engine-independent polynomial) rather than Spark's
+    * murmur `hash()` so the driver side ([[termBucket]]) reproduces
+    * it bit-for-bit when pruning. */
+  def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(crc32(term.cast("binary")), lit(nBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[bucketOf]] for probe pruning. */
+  private[ops] def termBucket(term: String, nBuckets: Int): Int = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (c.getValue % nBuckets).toInt
+  }
+
+  /** Build the index: one corpus scan, one (term, doc) aggregation,
+    * one bucket-partitioned write, plus a one-row meta table carrying
+    * the corpus size and the bucket count (search derives everything
+    * else from the store). */
+  def build(docs: DataFrame, indexDir: String, nBuckets: Int = 64): Unit = {
+    val postings = docs
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    postings.repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+    docs.agg(count(lit(1)).as("n_docs"),
+        lit(nBuckets.toLong).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  private def meta(spark: SparkSession, indexDir: String): (Long, Int) = {
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    (m.getAs[Long]("n_docs"), m.getAs[Long]("n_buckets").toInt)
+  }
+
+  /** Postings of `terms` only: bucket pruning is STATIC (the probed
+    * bucket ids are literals computed on the driver from the query
+    * terms — ≤ one int per term), then the term filter rides the
+    * row-group stats inside each bucket. */
+  private def postingsFor(spark: SparkSession, indexDir: String,
+                          terms: Seq[String], nBuckets: Int): DataFrame = {
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    spark.read.parquet(s"$indexDir/postings")
+      .where(col("bucket").isin(buckets.map(Int.box): _*) &&
+        col("term").isin(terms: _*))
+  }
+
+  /** Boolean AND search: doc_ids containing EVERY query term, with the
+    * summed term frequency. */
+  def searchAll(spark: SparkSession, indexDir: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    val (_, nBuckets) = meta(spark, indexDir)
+    postingsFor(spark, indexDir, terms, nBuckets)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .where(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** TF-IDF-ranked top-k: score(doc) = Σ_t tf·ln((N+1)/(df_t+1)),
+    * per-term contributions rounded to 8 decimals and summed as
+    * DECIMAL (engine-exact, the q93 discipline), final score rounded
+    * to 4 before ranking with doc_id as the unique tiebreak. df comes
+    * from the probed postings alone — the full corpus is never
+    * rescanned. */
+  def searchRanked(spark: SparkSession, indexDir: String,
+                   terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    val (nDocs, nBuckets) = meta(spark, indexDir)
+    val p = postingsFor(spark, indexDir, terms, nBuckets)
+    // (term, doc) rows are unique, so df is a plain count per term
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    p.join(broadcast(dfs), "term")
+      .withColumn("contrib",
+        round(col("tf") * log(lit(nDocs + 1.0) / (col("df") + 1)), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -138,6 +138,87 @@ object Sharding {
       spark.read.parquet(outDir).inputFiles.length.toLong)
   }
 
+  /** Result of a [[mergeCdc]] run. */
+  case class CdcAudit(n_upserts: Long, n_deletes: Long,
+                      n_buckets_touched: Long)
+
+  private def stageRead(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  private def deleteDir(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Initialize a hash-bucketed document store: rows land in
+    * `bucket=<shardOf(doc_id)>` partition dirs, one shuffle. The
+    * bucket function is the same oracle-recomputable Lehmer step as
+    * [[shardOf]], so external engines can locate a doc's partition. */
+  def initDocStore(docs: DataFrame, storeDir: String, nBuckets: Int): Unit =
+    docs.withColumn("bucket", shardOf(col("doc_id"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(storeDir)
+
+  /** CDC merge (upsert + delete) into a bucketed document store — the
+    * text-corpus twin of the stored-ANN index maintenance: a change
+    * batch touches only the bucket partitions its doc_ids hash to, so
+    * merge cost is ∝ batch, never ∝ corpus. The dance is the proven
+    * one from `VectorOps.appendStaged`:
+    *
+    *   1. stage the change batch durably under `$storeDir/_staging`
+    *      (single evaluation of a possibly nondeterministic plan;
+    *      executor loss mid-write only retries tasks);
+    *   2. collect the touched bucket ids (bounded: ≤ nBuckets ints) so
+    *      the survivor scan prunes STATICALLY on the partition column;
+    *   3. stage the touched buckets' surviving rows (anti-join on the
+    *      changed ids) durably — the dynamic overwrite below must read
+    *      only durable files, never its own input path;
+    *   4. union survivors + upserts, dynamically overwrite ONLY the
+    *      touched bucket partitions.
+    *
+    * Replay-safe: re-applying the same batch rewrites the same
+    * partitions to the same content (upserts are by-id overwrites,
+    * deletes of absent ids are no-ops). `changes` carries the store
+    * columns plus `op` ∈ {upsert, delete}. */
+  def mergeCdc(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+               changes: DataFrame, nBuckets: Int): CdcAudit = {
+    val staging = s"$storeDir/_staging"
+    try {
+      val ch = stageRead(
+        changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
+        s"$staging/changes")
+      // one change row per doc_id: two upserts (or an upsert and a
+      // delete) for the same id in one batch have no defined order —
+      // unioning both would silently duplicate the row in the store.
+      // Runs over the tiny staged batch, so the check costs one small
+      // job, not a corpus scan.
+      require(ch.groupBy(col("doc_id")).count()
+        .where(col("count") > 1).isEmpty,
+        "mergeCdc batch carries conflicting rows for the same doc_id; " +
+          "resolve to one change per id upstream (last-write-wins)")
+      val touched = ch.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0))
+      if (touched.isEmpty) return CdcAudit(0L, 0L, 0L)
+      val existing = spark.read.parquet(storeDir)
+      val carried = stageRead(
+        existing.where(col("bucket").isin(touched.map(Int.box).toSeq: _*))
+          .join(ch.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+        s"$staging/carried")
+      val upserts = ch.where(col("op") === "upsert").drop("op")
+      val out = carried.unionByName(upserts)
+        .select(carried.columns.map(col).toIndexedSeq: _*)
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(storeDir)
+      CdcAudit(upserts.count(),
+        ch.where(col("op") === "delete").count(), touched.length.toLong)
+    } finally deleteDir(spark, staging)
+  }
+
   /** Morton bit-spread of a 16-bit value (zeros interleaved between
     * its bits) — the shift-and-mask ladder every published Morton
     * encoder uses, expressed as codegen'd Column arithmetic. */

@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.ops.{Sharding, TextOps, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{InvertedIndex, Sharding, TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-6 pipeline operators: n-gram decontamination, deterministic
@@ -720,6 +720,111 @@ object Pipeline {
     """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** CDC merge into a bucketed document store
+    * ([[graft.ops.Sharding.mergeCdc]]): init the store from the
+    * corpus, apply a deterministic change batch (updates, inserts,
+    * deletes), read the merged store back. The oracle recomputes the
+    * merge relationally, so a green row proves upsert/delete/bucket
+    * semantics end to end; the only-touched-buckets-rewrite and
+    * replay-idempotence pins live in PipelineOpsSpec. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.TempRoots.path(
+      s"docstore_${Integer.toHexString(dir.hashCode)}")
+    val docs = Tables(s, dir, "documents")
+    Sharding.initDocStore(docs, store, 8)
+    def withLen(text: Column) = Seq(
+      text.as("text"), col("lang"), col("source"),
+      length(text).cast("bigint").as("n_chars"))
+    val up = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id") +: withLen(
+        concat(coalesce(col("text"), lit("")), lit(" v2"))) :+
+        lit("upsert").as("op"): _*)
+    val ins = docs.where(col("doc_id") % 31 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id") +: withLen(
+        concat(lit("new "), coalesce(col("text"), lit("")))) :+
+        lit("upsert").as("op"): _*)
+    val del = docs.where(col("doc_id") % 13 === 3 && col("doc_id") % 7 =!= 0)
+      .select(col("doc_id") +: withLen(lit(null).cast("string")) :+
+        lit("delete").as("op"): _*)
+    Sharding.mergeCdc(s, store, up.unionByName(ins).unionByName(del), 8)
+    s.read.parquet(store)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"),
+        col("source"), col("n_chars"),
+        col("bucket").cast("bigint").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q128Sql =
+    """WITH up AS (SELECT doc_id, coalesce(text, '') || ' v2' AS text,
+      |    source, length(coalesce(text, '') || ' v2') AS n_chars
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |ins AS (SELECT doc_id + 1000000 AS doc_id,
+      |    'new ' || coalesce(text, '') AS text, source,
+      |    length('new ' || coalesce(text, '')) AS n_chars
+      |  FROM documents WHERE doc_id % 31 = 5),
+      |del AS (SELECT doc_id FROM documents
+      |  WHERE doc_id % 13 = 3 AND doc_id % 7 <> 0),
+      |changed AS (SELECT doc_id FROM up UNION ALL SELECT doc_id FROM ins
+      |  UNION ALL SELECT doc_id FROM del),
+      |kept AS (SELECT doc_id, text, source, n_chars FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM changed)),
+      |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM up
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT doc_id, md5(coalesce(text, '')) AS text_md5, source,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(((doc_id * 48271) % 2147483647) % 8 AS BIGINT) AS bucket
+      |FROM merged ORDER BY doc_id""".stripMargin
+
+  /** Boolean AND search over the stored inverted index
+    * ([[graft.ops.InvertedIndex]]): build postings bucketed by term
+    * hash, probe three terms reading ONLY their bucket partitions,
+    * return docs containing all three. The oracle recomputes the
+    * match by scanning the raw text — a green row proves the index
+    * agrees with the corpus. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.path(
+      s"invidx_${Integer.toHexString(dir.hashCode)}")
+    InvertedIndex.build(Tables(s, dir, "documents"), idx, nBuckets = 64)
+    InvertedIndex.searchAll(s, idx, Seq("window", "scan", "join"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q129Sql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM t
+      |  WHERE w IN ('window', 'scan', 'join') GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM tf GROUP BY doc_id HAVING count(*) = 3
+      |ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF-ranked top-k over the same stored index: df and tf come
+    * from the probed postings alone (the corpus is never rescanned),
+    * decimal-summed contributions, rounded score + doc_id tiebreak.
+    * Fully oracled against a raw-text recomputation. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.path(
+      s"invidx_${Integer.toHexString(dir.hashCode)}")
+    InvertedIndex.build(Tables(s, dir, "documents"), idx, nBuckets = 64)
+    InvertedIndex.searchRanked(s, idx, Seq("spark", "merge"), 20)
+  }
+
+  private val q130Sql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM t
+      |  WHERE w IN ('spark', 'merge') GROUP BY doc_id, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS nd FROM documents)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(round(tf * ln((nd + 1) / (df + 1)::DOUBLE), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |FROM tf JOIN df USING (w) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -745,7 +850,10 @@ object Pipeline {
     "q119_incremental_curation" -> (q119 _),
     "q120_index_drift" -> (q120 _),
     "q124_compaction" -> (q124 _),
-    "q125_zorder_layout" -> (q125 _))
+    "q125_zorder_layout" -> (q125 _),
+    "q128_cdc_merge" -> (q128 _),
+    "q129_index_search" -> (q129 _),
+    "q130_index_ranked" -> (q130 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -769,5 +877,8 @@ object Pipeline {
     // q120 rows-only: k-means cells are not SQL-recomputable
     "q119_incremental_curation" -> q119Sql,
     "q124_compaction" -> q124Sql,
-    "q125_zorder_layout" -> q125Sql)
+    "q125_zorder_layout" -> q125Sql,
+    "q128_cdc_merge" -> q128Sql,
+    "q129_index_search" -> q129Sql,
+    "q130_index_ranked" -> q130Sql)
 }

@@ -338,6 +338,35 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming CDC ingest into a bucketed document store — the lake
+    * twin of [[vectorIndexIngest]]: each micro-batch of change rows
+    * (store columns + `op` ∈ {upsert, delete}) merges via
+    * [[graft.ops.Sharding.mergeCdc]], so write cost per batch is
+    * ∝ batch (only touched bucket partitions rewrite) and the store
+    * stays point-lookup-able between batches. A replayed epoch
+    * re-applies the same by-id operations to the same partitions →
+    * identical content, which is exactly the foreachBatch retry
+    * contract; the merge itself stages the batch durably before
+    * reading the store, so a non-replayable source is evaluated
+    * once. Batches must carry one change per doc_id (mergeCdc
+    * enforces it) — resolve last-write-wins upstream, e.g. a
+    * max_by(ts) groupBy before the sink. */
+  def cdcIngest(changes: DataFrame, storeDir: String, nBuckets: Int,
+                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Sharding.mergeCdc(batch.sparkSession, storeDir, batch,
+            nBuckets)
+          ()
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Incremental schema inference over a JSON stream: the running
     * lattice join surfaced per micro-batch (complete mode) — the
     * streaming form of the reference's whole program. */

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Stored inverted index: search results equal raw-corpus scans, and
+  * the probe reads only the query terms' bucket partitions. */
+class InvertedIndexSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private lazy val idx = {
+    val dir = graft.TempRoots.path("invidx_spec")
+    InvertedIndex.build(docs, dir, nBuckets = 16)
+    dir
+  }
+
+  test("searchAll equals the brute-force AND scan of the raw text") {
+    val terms = Seq("window", "scan", "join")
+    val got = InvertedIndex.searchAll(spark, idx, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total_tf")).toMap
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val want = docs
+      .select(col("doc_id"),
+        terms.map(t => size(filter(ws, w => w === t)).cast("bigint"))
+          .reduce(_ + _).as("total_tf"),
+        terms.map(t => array_contains(ws, t)).reduce(_ && _).as("all"))
+      .where(col("all"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total_tf"))
+      .toMap
+    assert(want.nonEmpty, "precondition: some docs match all terms")
+    assert(got == want)
+  }
+
+  test("searchRanked equals the brute-force TF-IDF ranking") {
+    val terms = Seq("spark", "merge")
+    val got = InvertedIndex.searchRanked(spark, idx, terms, 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    // brute force: same smoothed formula, same decimal-sum discipline
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val want = tf.join(dfs, "w")
+      .withColumn("contrib",
+        round(col("tf") * log(lit(n + 1.0) / (col("df") + 1)), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSeq
+    assert(got == want)
+    assert(got.size == 20)
+  }
+
+  test("a term absent from the corpus yields an empty AND result, not an error") {
+    val got = InvertedIndex.searchAll(spark, idx,
+      Seq("window", "zzzzz_not_a_word"))
+    assert(got.count() == 0L)
+  }
+
+  test("the probe plan prunes to the query terms' bucket partitions") {
+    val terms = Seq("window", "scan")
+    val buckets = terms.map(InvertedIndex.termBucket(_, 16)).distinct.sorted
+    val p = InvertedIndex.searchAll(spark, idx, terms)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(buckets.forall(b => pf.contains(b.toString)), s"$buckets not in $pf")
+    // and the executed scan really is restricted: every row that
+    // reaches the probe comes from a probed bucket dir (inputFiles
+    // would list the whole relation — it ignores filters)
+    val files = spark.read.parquet(s"$idx/postings")
+      .where(col("bucket").isin(buckets.map(Int.box): _*) &&
+        col("term").isin(terms: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    assert(files.forall(f => buckets.exists(b => f.contains(s"bucket=$b"))),
+      files.mkString("\n"))
+  }
+}

@@ -393,6 +393,49 @@ class PipelineOpsSpec extends SparkTestBase {
       .count() == audit.n_rows)
   }
 
+  test("mergeCdc rewrites only touched buckets, replays idempotently, cleans staging") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val store = graft.TempRoots.path("cdc_store")
+    Sharding.initDocStore(docs, store, 8)
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(store).listFiles()
+        .filter(_.getName.startsWith("bucket=")).map { d =>
+          d.getName -> d.listFiles().map(f =>
+            s"${f.getName}:${f.lastModified}").toSet
+        }.toMap
+    val before = bucketFiles()
+    // a change batch confined to two doc_ids → at most two buckets
+    val changes = spark.createDataFrame(Seq(
+      (3L, "rewritten text", "en", "a", 14L, "upsert"),
+      (7L, null.asInstanceOf[String], "en", "a", 0L, "delete")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    val audit = Sharding.mergeCdc(spark, store, changes, 8)
+    assert(audit == Sharding.CdcAudit(1L, 1L, 2L), s"audit $audit")
+    val after = bucketFiles()
+    val touched = Seq(3L, 7L)
+      .map(id => s"bucket=${((id * 48271) % 2147483647L) % 8}").toSet
+    // untouched bucket partitions kept their exact files (same names,
+    // same mtimes); touched ones were rewritten
+    for ((b, files) <- before if !touched.contains(b))
+      assert(after(b) == files, s"untouched $b was rewritten")
+    for (b <- touched)
+      assert(after(b) != before(b), s"touched $b was not rewritten")
+    // content: doc 3 updated, doc 7 gone, everything else intact
+    val back = spark.read.parquet(store)
+    assert(back.where(col("doc_id") === 3L).select(col("text"))
+      .head().getString(0) == "rewritten text")
+    assert(back.where(col("doc_id") === 7L).count() == 0L)
+    assert(back.count() == docs.count() - 1)
+    // replay: same batch again → same content, still no staging dir
+    Sharding.mergeCdc(spark, store, changes, 8)
+    val replayed = spark.read.parquet(store)
+    assert(replayed.count() == docs.count() - 1)
+    assert(replayed.where(col("doc_id") === 3L).select(col("text"))
+      .head().getString(0) == "rewritten text")
+    assert(!new java.io.File(s"$store/_staging").exists(),
+      "staging dir survived the merge")
+  }
+
   test("write audit degrades cleanly on an empty export (null min/max, no stall)") {
     val docs = graft.queries.Tables(spark, sfDir, "documents")
     val audit = Sharding.writeShards(docs.where(lit(false)),

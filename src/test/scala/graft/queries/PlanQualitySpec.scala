@@ -319,4 +319,13 @@ class PlanQualitySpec extends SparkTestBase {
     // the span-union dedup and the rebuild group both key by doc
     assert(p.contains("hashpartitioning"), p)
   }
+
+  test("q123: heavy-hitter exact pass joins candidates BY BROADCAST — the full token stream never sort-merges") {
+    val p = plan("q123_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the exact count is partial+final over the candidate-filtered
+    // stream (map-side combine before the only token shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
