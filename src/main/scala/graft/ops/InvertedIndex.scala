@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * smoothed form as [[TextOps.tfidfTopTerms]]) aggregated per doc
   * with the repo's decimal-sum discipline and a TakeOrdered top-k.
   * Both forms are fully DuckDB-oracled from the raw table — a green
-  * row proves the index agrees with scanning the corpus. */
+  * row proves the index agrees with scanning the corpus.
+  *
+  * Growth is LSM-style: [[appendSegment]] indexes a new document
+  * batch as its own `seg=` partition family without touching existing
+  * segments; search unions segments transparently (bucket pruning
+  * holds per segment). The spec pins appended == rebuilt-from-union
+  * and replay idempotence. */
 object InvertedIndex {
 
   /** Term → bucket: CRC32 of the UTF-8 bytes mod nBuckets. CRC32 (a
@@ -35,28 +41,63 @@ object InvertedIndex {
     (c.getValue % nBuckets).toInt
   }
 
-  /** Build the index: one corpus scan, one (term, doc) aggregation,
-    * one bucket-partitioned write, plus a one-row meta table carrying
-    * the corpus size and the bucket count (search derives everything
-    * else from the store). */
-  def build(docs: DataFrame, indexDir: String, nBuckets: Int = 64): Unit = {
-    val postings = docs
+  private def postingsOf(docs: DataFrame, nBuckets: Int, seg: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .withColumn("seg", lit(seg))
+
+  private def writeSegment(postings: DataFrame, indexDir: String): Unit =
     postings.repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg", "bucket")
       .parquet(s"$indexDir/postings")
+
+  private def writeMeta(docs: DataFrame, indexDir: String, nBuckets: Int,
+                        seg: Int): Unit =
     docs.agg(count(lit(1)).as("n_docs"),
-        lit(nBuckets.toLong).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$indexDir/meta")
+        lit(nBuckets.toLong).as("n_buckets"), lit(seg).as("seg"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("seg")
+      .parquet(s"$indexDir/meta")
+
+  /** Build the index as segment 0: one corpus scan, one (term, doc)
+    * aggregation, one (seg, bucket)-partitioned write, plus a per-
+    * segment meta row carrying the segment's doc count and the bucket
+    * count (search derives everything else from the store). */
+  def build(docs: DataFrame, indexDir: String, nBuckets: Int = 64): Unit = {
+    writeSegment(postingsOf(docs, nBuckets, 0), indexDir)
+    writeMeta(docs, indexDir, nBuckets, 0)
+  }
+
+  /** LSM-style incremental growth: index a NEW batch of documents as
+    * its own segment — the append never reads or rewrites existing
+    * segments (cost ∝ batch), and every search unions segments with
+    * the same bucket pruning, because `bucket` stays a partition
+    * column under `seg`. Replay-safe: re-appending the same `segId`
+    * dynamically overwrites exactly that segment's partitions with
+    * identical content (the foreachBatch retry contract, same as the
+    * ANN index append). Segments are DISJOINT doc sets by contract
+    * (append-only corpus); updates go through a rebuild or a future
+    * delete-segment, not through overlapping appends. */
+  def appendSegment(docs: DataFrame, indexDir: String, segId: Int): Unit = {
+    require(segId > 0, "segment 0 is the build; append with segId > 0")
+    val spark = docs.sparkSession
+    val (_, nBuckets) = meta(spark, indexDir)
+    writeSegment(postingsOf(docs, nBuckets, segId), indexDir)
+    // meta partitions by seg too, so this only writes the new row
+    writeMeta(docs, indexDir, nBuckets, segId)
   }
 
   private def meta(spark: SparkSession, indexDir: String): (Long, Int) = {
-    val m = spark.read.parquet(s"$indexDir/meta").head()
-    (m.getAs[Long]("n_docs"), m.getAs[Long]("n_buckets").toInt)
+    val rows = spark.read.parquet(s"$indexDir/meta").collect()
+    (rows.map(_.getAs[Long]("n_docs")).sum,
+      rows.head.getAs[Long]("n_buckets").toInt)
   }
 
   /** Postings of `terms` only: bucket pruning is STATIC (the probed

@@ -825,6 +825,33 @@ object Pipeline {
       |FROM tf JOIN df USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Incremental index growth: build the inverted index on ⅔ of the
+    * corpus, append the remaining ⅓ as an LSM segment (never touching
+    * segment 0), search across both. The oracle recomputes the match
+    * over the FULL corpus — a green row proves the appended index
+    * equals a from-scratch build. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.path(
+      s"invidx_inc_${Integer.toHexString(dir.hashCode)}")
+    val docs = Tables(s, dir, "documents")
+    InvertedIndex.build(docs.where(col("doc_id") % 3 =!= 0), idx,
+      nBuckets = 64)
+    InvertedIndex.appendSegment(docs.where(col("doc_id") % 3 === 0), idx,
+      segId = 1)
+    InvertedIndex.searchAll(s, idx, Seq("merge", "spark"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q131Sql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM t
+      |  WHERE w IN ('merge', 'spark') GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM tf GROUP BY doc_id HAVING count(*) = 2
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -853,7 +880,8 @@ object Pipeline {
     "q125_zorder_layout" -> (q125 _),
     "q128_cdc_merge" -> (q128 _),
     "q129_index_search" -> (q129 _),
-    "q130_index_ranked" -> (q130 _))
+    "q130_index_ranked" -> (q130 _),
+    "q131_index_append" -> (q131 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -880,5 +908,6 @@ object Pipeline {
     "q125_zorder_layout" -> q125Sql,
     "q128_cdc_merge" -> q128Sql,
     "q129_index_search" -> q129Sql,
-    "q130_index_ranked" -> q130Sql)
+    "q130_index_ranked" -> q130Sql,
+    "q131_index_append" -> q131Sql)
 }

@@ -56,6 +56,40 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(got.size == 20)
   }
 
+  test("segment append equals a from-scratch build, replays idempotently, never rewrites seg 0") {
+    val dir = graft.TempRoots.path("invidx_seg")
+    val oldSlice = docs.where(col("doc_id") % 3 =!= 0)
+    val newSlice = docs.where(col("doc_id") % 3 === 0)
+    InvertedIndex.build(oldSlice, dir, nBuckets = 16)
+    def seg0Files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/postings/seg=0"))
+        .map(f => s"${f.getPath}:${f.lastModified}").toSet
+    }
+    val seg0Before = seg0Files()
+    InvertedIndex.appendSegment(newSlice, dir, segId = 1)
+    assert(seg0Files() == seg0Before, "append rewrote segment 0")
+    val terms = Seq("merge", "spark")
+    def results(d: String) = InvertedIndex.searchAll(spark, d, terms)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total_tf"))
+      .toMap
+    val appended = results(dir)
+    val rebuilt = graft.TempRoots.path("invidx_seg_rebuilt")
+    InvertedIndex.build(docs, rebuilt, nBuckets = 16)
+    assert(appended == results(rebuilt))
+    assert(appended.nonEmpty)
+    // replay the same segment id: dynamic overwrite → identical results
+    InvertedIndex.appendSegment(newSlice, dir, segId = 1)
+    assert(results(dir) == appended)
+    // ranked search sees the union too (df spans segments)
+    val rankedAppended = InvertedIndex.searchRanked(spark, dir, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rankedRebuilt = InvertedIndex.searchRanked(spark, rebuilt, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rankedAppended == rankedRebuilt)
+  }
+
   test("a term absent from the corpus yields an empty AND result, not an error") {
     val got = InvertedIndex.searchAll(spark, idx,
       Seq("window", "zzzzz_not_a_word"))
