@@ -41,11 +41,19 @@ object InvertedIndex {
     (c.getValue % nBuckets).toInt
   }
 
+  /** One postings row per (term, doc): tf plus the sorted 0-based
+    * POSITION LIST — the extra column that turns the index
+    * positional, enabling phrase queries ([[searchPhrase]]). Width is
+    * bounded by the doc's length (positions of one term in one doc),
+    * never by df — the dangerous axis stays one row per doc. */
   private def postingsOf(docs: DataFrame, nBuckets: Int, seg: Int): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(split(coalesce(col("text"), lit("")), " ")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        posexplode(split(coalesce(col("text"), lit("")), " "))
+          .as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .withColumn("seg", lit(seg))
 
@@ -123,6 +131,31 @@ object InvertedIndex {
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
       .where(col("n_terms") === terms.size)
       .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** Phrase search over the positional postings: docs where the exact
+    * word sequence occurs, with its occurrence count. An occurrence at
+    * position p means term i sits at p+i for every i, so the match is
+    * an intersection of SHIFTED position sets — one keyed (doc, pos)
+    * join per phrase term beyond the first, each over the narrow
+    * (doc_id, pos) projection of that term's postings. Never a text
+    * rescan, never a cross join; repeated terms in the phrase reuse
+    * the same postings under different shifts. */
+  def searchPhrase(spark: SparkSession, indexDir: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val (_, nBuckets) = meta(spark, indexDir)
+    val p = postingsFor(spark, indexDir, phrase.distinct, nBuckets)
+      .select(col("term"), col("doc_id"),
+        explode(col("positions")).as("pos"))
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      // positions where term i could START the phrase (shift by −i)
+      p.where(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    }
+    starts.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
   }
 
   /** TF-IDF-ranked top-k: score(doc) = Σ_t tf·ln((N+1)/(df_t+1)),

@@ -978,6 +978,29 @@ object TextOps {
   def stableSample(docs: DataFrame, threshold: Column): DataFrame =
     docs.where(sampleBucket < threshold)
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES, "Weighted random sampling with a reservoir",
+    * IPL 2006): each row draws u ∈ [0,1) as a pure function of doc_id
+    * (the Lehmer/MINSTD step — numeric, so any SQL oracle recomputes
+    * it exactly, unlike a hex-string draw) and ranks by
+    * key = u^(1/w); the k largest keys ARE a weighted sample without
+    * replacement. Layout-independent, re-runnable, auditable — the
+    * stableSample guarantees, with per-row weights. One pass +
+    * TakeOrdered top-k: no shuffle beyond the top-k reduction. Keys
+    * round to 8 before ranking with doc_id as the unique tiebreak
+    * (the cross-engine float-ranking convention; 8 digits, not 4,
+    * because u^(1/w) compresses toward 1 for heavy rows and coarse
+    * rounding would hand selection to the tiebreak). */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column): DataFrame = {
+    val u = pmod(col("doc_id") * lit(48271L), lit(2147483647L))
+      .cast("double") / 2147483647.0
+    val key = round(
+      pow(u, lit(1.0) / greatest(weight.cast("double"), lit(1.0))), 8)
+    docs.withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Train/eval contamination: training documents whose token-set
     * fingerprint collides with any document of the held-out set — the
     * pre-training hygiene check run before any benchmark is trusted.

@@ -516,6 +516,22 @@ object LlmQueries {
     Bpe.encodeStats(docs, Bpe.train(docs, 30)).orderBy(col("doc_id"))
   }
 
+  /** Weighted stable sample ([[TextOps.weightedSample]], A-ES):
+    * longer documents (weight = n_chars) are proportionally likelier,
+    * the draw is a pure row function, and the oracle recomputes the
+    * identical keys and top-k. */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    TextOps.weightedSample(Tables(s, dir, "documents"), 50,
+        col("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("es_key"))
+
+  private val q133Sql =
+    """SELECT doc_id, source, n_chars,
+      |  round(pow(((doc_id * 48271) % 2147483647) / 2147483647.0,
+      |    1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)), 8) AS es_key
+      |FROM documents
+      |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin
+
   private def q67(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(s, Tables(s, dir, "documents")).toDF()
       .orderBy(col("doc_id"))
@@ -707,7 +723,8 @@ object LlmQueries {
     "q122_pcm_stats" -> (q122 _),
     "q123_heavy_hitters" -> (q123 _),
     "q126_bpe_vocab" -> (q126 _),
-    "q127_bpe_encode" -> (q127 _))
+    "q127_bpe_encode" -> (q127 _),
+    "q133_weighted_sample" -> (q133 _))
   // q126/q127 rows-only: the BPE merge recursion is not SQL-expressible
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
@@ -740,5 +757,6 @@ object LlmQueries {
     "q108_audio_meta" -> q108Sql,
     "q115_video_meta" -> q115Sql,
     "q122_pcm_stats" -> q122Sql,
-    "q123_heavy_hitters" -> q123Sql)
+    "q123_heavy_hitters" -> q123Sql,
+    "q133_weighted_sample" -> q133Sql)
 }

@@ -852,6 +852,32 @@ object Pipeline {
       |FROM tf GROUP BY doc_id HAVING count(*) = 2
       |ORDER BY doc_id""".stripMargin
 
+  /** Phrase search over the positional inverted index
+    * ([[graft.ops.InvertedIndex.searchPhrase]]): per-doc occurrence
+    * counts of an exact word sequence, answered from shifted position
+    * intersections — never a text rescan. The oracle recomputes
+    * occurrences by zipping the split text with ordinals. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.path(
+      s"invidx_ph_${Integer.toHexString(dir.hashCode)}")
+    InvertedIndex.build(Tables(s, dir, "documents"), idx, nBuckets = 64)
+    InvertedIndex.searchPhrase(s, idx, Seq("spark", "merge"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q132Sql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      |p0 AS (SELECT doc_id,
+      |    unnest(list_zip(ws, range(1, len(ws) + 1))) AS z FROM d),
+      |p AS (SELECT doc_id, z[1] AS w, z[2] AS pos FROM p0)
+      |SELECT p1.doc_id AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM p p1 JOIN p p2
+      |  ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+      |WHERE p1.w = 'spark' AND p2.w = 'merge'
+      |GROUP BY p1.doc_id ORDER BY p1.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -881,7 +907,8 @@ object Pipeline {
     "q128_cdc_merge" -> (q128 _),
     "q129_index_search" -> (q129 _),
     "q130_index_ranked" -> (q130 _),
-    "q131_index_append" -> (q131 _))
+    "q131_index_append" -> (q131 _),
+    "q132_phrase_search" -> (q132 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -909,5 +936,6 @@ object Pipeline {
     "q128_cdc_merge" -> q128Sql,
     "q129_index_search" -> q129Sql,
     "q130_index_ranked" -> q130Sql,
-    "q131_index_append" -> q131Sql)
+    "q131_index_append" -> q131Sql,
+    "q132_phrase_search" -> q132Sql)
 }

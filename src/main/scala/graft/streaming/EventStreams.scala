@@ -367,6 +367,29 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming text-index ingest: each micro-batch of documents
+    * indexes as its own LSM segment
+    * ([[graft.ops.InvertedIndex.appendSegment]], segId = batchId + 1
+    * — build owns segment 0), so a replayed epoch overwrites ITS OWN
+    * segment with identical content: idempotence falls out of the
+    * segId↔batchId bijection, with no id bookkeeping at all. Append
+    * cost ∝ batch; existing segments are never read or rewritten. */
+  def indexIngest(docs: DataFrame, indexDir: String,
+                  checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.InvertedIndex.appendSegment(batch, indexDir,
+            segId = batchId.toInt + 1)
+          ()
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Incremental schema inference over a JSON stream: the running
     * lattice join surfaced per micro-batch (complete mode) — the
     * streaming form of the reference's whole program. */

@@ -90,6 +90,40 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(rankedAppended == rankedRebuilt)
   }
 
+  test("searchPhrase counts exact word sequences, including overlapping and repeated-term phrases") {
+    // hand-built corpus where the expected counts are visible
+    val d2 = spark.createDataFrame(Seq(
+      (0L, "a b a b a", "x", "en"),   // "a b": 2, "a b a": 2 (overlap), "a a": 0
+      (1L, "a a a", "x", "en"),       // "a a": 2 (overlapping)
+      (2L, "b a b", "x", "en"),       // "a b": 1
+      (3L, "c c c c", "x", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val dir = graft.TempRoots.path("invidx_phrase")
+    InvertedIndex.build(d2, dir, nBuckets = 4)
+    def counts(ph: Seq[String]) =
+      InvertedIndex.searchPhrase(spark, dir, ph).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences"))
+        .toMap
+    assert(counts(Seq("a", "b")) == Map(0L -> 2L, 2L -> 1L))
+    assert(counts(Seq("a", "b", "a")) == Map(0L -> 2L)) // overlapping hits
+    assert(counts(Seq("a", "a")) == Map(1L -> 2L))      // repeated term
+    assert(counts(Seq("c", "a")) == Map.empty)
+    // and on the real corpus: equals a brute-force bigram count
+    val ph = Seq("spark", "merge")
+    val got = InvertedIndex.searchPhrase(spark, idx, ph).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences"))
+      .toMap
+    val want = docs.select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .collect().flatMap { r =>
+        val ws = r.getAs[scala.collection.Seq[String]]("ws")
+        val n = ws.sliding(2).count(s => s == Seq("spark", "merge"))
+        if (n > 0) Some(r.getAs[Long]("doc_id") -> n.toLong) else None
+      }.toMap
+    assert(want.nonEmpty, "precondition: the phrase occurs in the corpus")
+    assert(got == want)
+  }
+
   test("a term absent from the corpus yields an empty AND result, not an error") {
     val got = InvertedIndex.searchAll(spark, idx,
       Seq("window", "zzzzz_not_a_word"))

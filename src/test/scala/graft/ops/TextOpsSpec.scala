@@ -612,6 +612,27 @@ class TextOpsSpec extends SparkTestBase {
     assert(got == naive)
   }
 
+  test("weightedSample selects the A-ES top-k exactly and favors heavy rows") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = df.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def key(id: Long, w: Long): Double = {
+      val u = ((id * 48271L) % 2147483647L).toDouble / 2147483647.0
+      BigDecimal(math.pow(u, 1.0 / math.max(w, 1L).toDouble))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = rows.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(50).toSeq
+    val got = TextOps.weightedSample(df, 50, col("n_chars")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("es_key"))).toSeq
+    assert(got == want)
+    // weighting matters: the weighted selection differs from the
+    // unweighted u-ranking (same u, weight 1)
+    val unweighted = rows.map { case (id, _) => (id, key(id, 1L)) }
+      .sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSet
+    assert(got.map(_._1).toSet != unweighted)
+  }
+
   test("langId prefers marked languages and defaults to en") {
     val d2 = spark.createDataFrame(Seq(
       (0L, "der hund und die katze", "x", "de"),
