@@ -89,6 +89,44 @@ class ScaleSmokeSpec extends SparkTestBase {
     assert(out10.forall { case (id, n) => by1(id % CopyOffset) == n })
   }
 
+  test("inverted index at 10x: linear build+search, exact 10x results", graft.Slow) {
+    val base = graft.queries.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs10 = replicate(base, "scale10_docs_index")
+    def buildSearch(d: DataFrame, name: String): Map[Long, Long] = {
+      val dir = graft.TempRoots.path(name)
+      InvertedIndex.build(d, dir, nBuckets = 16)
+      InvertedIndex.searchAll(spark, dir, Seq("window", "scan")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total_tf")).toMap
+    }
+    buildSearch(base, "scale10_idx_warm") // warmup (codegen + JIT)
+    val (r1, t1) = timed(buildSearch(base, "scale10_idx1"))
+    val (r10, t10) = timed(buildSearch(docs10, "scale10_idx10"))
+    assertLinear("invertedIndex build+search", t1, t10)
+    // replication algebra: every copy matches exactly as its original
+    assert(r10.size == 10 * r1.size)
+    for ((id, tf) <- r1; k <- 0 until 10)
+      assert(r10(id + k * CopyOffset) == tf)
+  }
+
+  test("heavy hitters at 10x: linear time, counts exactly 10x under a 10x threshold", graft.Slow) {
+    val base = graft.queries.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs10 = replicate(base, "scale10_docs_hh")
+    def run(d: DataFrame, mc: Long): Map[String, Long] =
+      TextOps.heavyHitters(d, mc, nCounters = 512).collect()
+        .map(r => r.getAs[String]("w") -> r.getAs[Long]("cnt")).toMap
+    run(base, 100L) // warmup
+    val (r1, t1) = timed(run(base, 100L))
+    // threshold scales with the corpus → the SAME tokens qualify, at
+    // exactly 10x their counts (and the MG bound precondition scales
+    // identically on both sides)
+    val (r10, t10) = timed(run(docs10, 1000L))
+    assertLinear("heavyHitters", t1, t10)
+    assert(r1.nonEmpty)
+    assert(r10 == r1.map { case (w, c) => w -> (10 * c) })
+  }
+
   test("cell-blocked embedding near-dup at 10x: linear time when cells scale with n", graft.Slow) {
     val base = graft.queries.Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
