@@ -45,13 +45,18 @@ object InvertedIndex {
     * POSITION LIST — the extra column that turns the index
     * positional, enabling phrase queries ([[searchPhrase]]). Width is
     * bounded by the doc's length (positions of one term in one doc),
-    * never by df — the dangerous axis stays one row per doc. */
+    * never by df — the dangerous axis stays one row per doc. `dl`
+    * (the doc's total token count) is denormalized onto every posting
+    * — the Lucene "norm" trick — so length-normalized ranking
+    * ([[searchBm25]]) needs ONLY the probed postings, never a doc
+    * table lookup; the price is one long per row. */
   private def postingsOf(docs: DataFrame, nBuckets: Int, seg: Int): DataFrame =
     docs
       .select(col("doc_id"),
-        posexplode(split(coalesce(col("text"), lit("")), " "))
-          .as(Seq("pos", "term")))
-      .groupBy(col("term"), col("doc_id"))
+        split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        posexplode(col("ws")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
@@ -68,6 +73,8 @@ object InvertedIndex {
   private def writeMeta(docs: DataFrame, indexDir: String, nBuckets: Int,
                         seg: Int): Unit =
     docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long")), lit(0L)).as("n_tokens"),
         lit(nBuckets.toLong).as("n_buckets"), lit(seg).as("seg"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -96,15 +103,17 @@ object InvertedIndex {
   def appendSegment(docs: DataFrame, indexDir: String, segId: Int): Unit = {
     require(segId > 0, "segment 0 is the build; append with segId > 0")
     val spark = docs.sparkSession
-    val (_, nBuckets) = meta(spark, indexDir)
+    val (_, _, nBuckets) = meta(spark, indexDir)
     writeSegment(postingsOf(docs, nBuckets, segId), indexDir)
     // meta partitions by seg too, so this only writes the new row
     writeMeta(docs, indexDir, nBuckets, segId)
   }
 
-  private def meta(spark: SparkSession, indexDir: String): (Long, Int) = {
+  /** (total docs, total tokens, bucket count) summed across segments. */
+  private def meta(spark: SparkSession, indexDir: String): (Long, Long, Int) = {
     val rows = spark.read.parquet(s"$indexDir/meta").collect()
     (rows.map(_.getAs[Long]("n_docs")).sum,
+      rows.map(_.getAs[Long]("n_tokens")).sum,
       rows.head.getAs[Long]("n_buckets").toInt)
   }
 
@@ -125,7 +134,7 @@ object InvertedIndex {
   def searchAll(spark: SparkSession, indexDir: String,
                 terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size)
-    val (_, nBuckets) = meta(spark, indexDir)
+    val (_, _, nBuckets) = meta(spark, indexDir)
     postingsFor(spark, indexDir, terms, nBuckets)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
@@ -144,7 +153,7 @@ object InvertedIndex {
   def searchPhrase(spark: SparkSession, indexDir: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty)
-    val (_, nBuckets) = meta(spark, indexDir)
+    val (_, _, nBuckets) = meta(spark, indexDir)
     val p = postingsFor(spark, indexDir, phrase.distinct, nBuckets)
       .select(col("term"), col("doc_id"),
         explode(col("positions")).as("pos"))
@@ -167,13 +176,51 @@ object InvertedIndex {
   def searchRanked(spark: SparkSession, indexDir: String,
                    terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size)
-    val (nDocs, nBuckets) = meta(spark, indexDir)
+    val (nDocs, _, nBuckets) = meta(spark, indexDir)
     val p = postingsFor(spark, indexDir, terms, nBuckets)
     // (term, doc) rows are unique, so df is a plain count per term
     val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     p.join(broadcast(dfs), "term")
       .withColumn("contrib",
         round(col("tf") * log(lit(nDocs + 1.0) / (col("df") + 1)), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** BM25-ranked top-k (the Lucene-variant formula):
+    * score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+    *            tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Everything comes from the store alone: df from the probed
+    * postings, dl from the denormalized per-posting norm, N and avgdl
+    * from the meta rows — the corpus is NEVER rescanned and no doc
+    * table is joined, so query cost stays proportional to the probed
+    * postings exactly as in [[searchRanked]]. Same determinism
+    * discipline: per-term contributions rounded to 8 and summed as
+    * decimal, final score rounded to 4, doc_id tiebreak, TakeOrdered
+    * top-k. The defaults k1=1.5, b=0.75 sit in the standard tuning
+    * range AND are exactly representable in binary — so k1+1, 1−b and
+    * every product stay bit-identical across engines (an inexact 1.2
+    * would make the oracle's decimal-literal arithmetic diverge in
+    * the last ulp). */
+  def searchBm25(spark: SparkSession, indexDir: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    val (nDocs, nTokens, nBuckets) = meta(spark, indexDir)
+    val avgdl = nTokens.toDouble / nDocs
+    val p = postingsFor(spark, indexDir, terms, nBuckets)
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    p.join(broadcast(dfs), "term")
+      .withColumn("idf",
+        log(lit(1.0) +
+          (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))), 8)
           .cast("decimal(18,8)"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")).cast("double"), 4).as("score"))

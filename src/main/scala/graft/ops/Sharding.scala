@@ -138,6 +138,57 @@ object Sharding {
       spark.read.parquet(outDir).inputFiles.length.toLong)
   }
 
+  /** Zone-map (file-skipping) index — the Delta/Iceberg data-skipping
+    * idea as a standalone store: ONE row per parquet data file with
+    * the file's key min/max and row count. Spark's own reader prunes
+    * ROW GROUPS from footer stats, but it still has to list the whole
+    * dataset and open every footer first; at 100 TB (≈10⁵ files) the
+    * planning cost IS the bottleneck for selective queries. The index
+    * collapses that to one read of a ~file-count-row table.
+    *
+    * Build is one column-pruned scan of the key column grouped by
+    * [[org.apache.spark.sql.functions.input_file_name]] — map-side
+    * combine ships ≤ one row per (partition, file). The index is only
+    * SELECTIVE if files are key-clustered — compose with [[compact]]
+    * (range clustering) or [[zorderWrite]]; on random layout every
+    * file spans the full key range and nothing prunes (that's the
+    * layout's fault, not the index's — same contract as parquet's own
+    * stats). */
+  def zoneMapIndex(spark: org.apache.spark.sql.SparkSession,
+                   dataDir: String, key: String, indexDir: String): Unit =
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(key)).as("min_key"), max(col(key)).as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Data-file paths whose [min, max] key span intersects [lo, hi] —
+    * the driver-side prune. The collect is bounded by the FILE count
+    * (what every table format's planner holds in memory), never by
+    * rows. */
+  def zoneMapFiles(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String, lo: Long, hi: Long): Array[String] =
+    spark.read.parquet(indexDir)
+      .where(col("max_key") >= lo && col("min_key") <= hi)
+      .select(col("file")).orderBy(col("file"))
+      .collect().map(_.getString(0))
+
+  /** Range scan through the zone map: read ONLY the files the index
+    * admits, then apply the exact predicate (the index over-approximates
+    * by design — min/max spans, not row sets). Equivalent to the full
+    * scan + filter by construction; the win is that Spark never lists
+    * or opens the skipped files. */
+  def zoneMapScan(spark: org.apache.spark.sql.SparkSession,
+                  dataDir: String, indexDir: String, key: String,
+                  lo: Long, hi: Long): DataFrame = {
+    val files = zoneMapFiles(spark, indexDir, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.where(col(key) >= lo && col(key) <= hi)
+  }
+
   /** Result of a [[mergeCdc]] run. */
   case class CdcAudit(n_upserts: Long, n_deletes: Long,
                       n_buckets_touched: Long)

@@ -885,6 +885,61 @@ object Pipeline {
       |WHERE p1.w = 'spark' AND p2.w = 'merge'
       |GROUP BY p1.doc_id ORDER BY p1.doc_id""".stripMargin
 
+  /** BM25-ranked top-k over the stored inverted index
+    * ([[graft.ops.InvertedIndex.searchBm25]]): the length-normalized
+    * ranking every text-retrieval stack serves. df, tf, dl, N and
+    * avgdl ALL come from the store (dl rides each posting as the
+    * denormalized Lucene-style norm; N and token totals sum across
+    * segment meta rows) — no doc-table join, no corpus rescan. The
+    * oracle recomputes the full formula from raw text. */
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.searchBm25(s, sharedInvIndex(s, dir),
+      Seq("window", "scan", "join"), 20)
+
+  private val q134Sql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d),
+      |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+      |  WHERE w IN ('window', 'scan', 'join') GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS nd,
+      |    CAST((SELECT sum(len(string_split(coalesce(text, ''), ' ')))
+      |      FROM documents) AS DOUBLE) AS ntok
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(round(
+      |    ln(1 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.5)
+      |      / (tf + 1.5 * (0.25 + (0.75 * dl) / (ntok / nd))), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |FROM tf JOIN df USING (w) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Zone-map file skipping ([[graft.ops.Sharding.zoneMapIndex]] /
+    * `zoneMapScan`): range-cluster the corpus ([[graft.ops.Sharding
+    * .compact]], 8 files), harvest one (file, min, max, rows) index
+    * row per file, then answer a doc_id range query reading ONLY the
+    * files the index admits. The oracle is the same filter over the
+    * raw table — a green row proves the pruned scan is exact; the
+    * actually-skips-files pin lives in PipelineOpsSpec. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val clustered = graft.TempRoots.path(
+      s"zonemap_data_${Integer.toHexString(dir.hashCode)}")
+    val idx = graft.TempRoots.path(
+      s"zonemap_idx_${Integer.toHexString(dir.hashCode)}")
+    Sharding.compact(s, s"$dir/documents.parquet", clustered, "doc_id",
+      targetRecords = 64L)
+    Sharding.zoneMapIndex(s, clustered, "doc_id", idx)
+    Sharding.zoneMapScan(s, clustered, idx, "doc_id", 100L, 180L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q135Sql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id BETWEEN 100 AND 180 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -915,7 +970,9 @@ object Pipeline {
     "q129_index_search" -> (q129 _),
     "q130_index_ranked" -> (q130 _),
     "q131_index_append" -> (q131 _),
-    "q132_phrase_search" -> (q132 _))
+    "q132_phrase_search" -> (q132 _),
+    "q134_bm25_search" -> (q134 _),
+    "q135_zone_map_scan" -> (q135 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -944,5 +1001,7 @@ object Pipeline {
     "q129_index_search" -> q129Sql,
     "q130_index_ranked" -> q130Sql,
     "q131_index_append" -> q131Sql,
-    "q132_phrase_search" -> q132Sql)
+    "q132_phrase_search" -> q132Sql,
+    "q134_bm25_search" -> q134Sql,
+    "q135_zone_map_scan" -> q135Sql)
 }

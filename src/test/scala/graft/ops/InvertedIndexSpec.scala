@@ -56,6 +56,43 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(got.size == 20)
   }
 
+  test("searchBm25 equals the brute-force BM25 ranking from raw text") {
+    val terms = Seq("window", "scan", "join")
+    val got = InvertedIndex.searchBm25(spark, idx, terms, 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    // brute force: same Lucene-variant formula, dl and avgdl from the
+    // raw text, same decimal-sum discipline
+    val (k1, b) = (1.5, 0.75)
+    val lens = docs.select(col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("dl"))
+    val n = docs.count()
+    val avgdl = lens.agg(sum(col("dl"))).collect()(0).getLong(0).toDouble / n
+    val tf = docs.select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val want = tf.join(dfs, "w").join(lens, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+      .toSeq
+    assert(got == want)
+    assert(got.size == 20)
+    // length normalization actually bites: scores are not the TF-IDF ones
+    val tfidf = InvertedIndex.searchRanked(spark, idx, terms, 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(got != tfidf)
+  }
+
   test("segment append equals a from-scratch build, replays idempotently, never rewrites seg 0") {
     val dir = graft.TempRoots.path("invidx_seg")
     val oldSlice = docs.where(col("doc_id") % 3 =!= 0)
