@@ -340,6 +340,43 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("zone map admits only intersecting files, scan is exact, empty range degrades cleanly") {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    val data = graft.TempRoots.path("zonemap_data_spec")
+    val idx = graft.TempRoots.path("zonemap_idx_spec")
+    Sharding.compact(spark, s"$sfDir/documents.parquet", data, "doc_id",
+      targetRecords = 64L)
+    Sharding.zoneMapIndex(spark, data, "doc_id", idx)
+    val total = spark.read.parquet(data).inputFiles.length
+    // index rows mirror the physical files one-to-one
+    assert(spark.read.parquet(idx).count() == total.toLong)
+    val (lo, hi) = (100L, 180L)
+    val admitted = Sharding.zoneMapFiles(spark, idx, lo, hi)
+    // the range covers ~81 of ~500 clustered rows: most files must skip
+    assert(admitted.nonEmpty && admitted.length < total,
+      s"admitted ${admitted.length} of $total files")
+    // admitted is exactly the set of files whose span intersects:
+    // every OTHER file holds no row in range (no false skips anywhere)
+    val outside = spark.read.parquet(data)
+      .where(!input_file_name().isin(admitted.toIndexedSeq: _*))
+      .where(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(outside.isEmpty, "a skipped file held an in-range row")
+    // pruned scan ≡ full filter
+    val got = Sharding.zoneMapScan(spark, data, idx, "doc_id", lo, hi)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val want = docs.where(col("doc_id") >= lo && col("doc_id") <= hi)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // the executed plan reads only the admitted files
+    val read = Sharding.zoneMapScan(spark, data, idx, "doc_id", lo, hi)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(read.toSet.subsetOf(admitted.toSet), read.mkString("\n"))
+    // a range beyond the corpus admits nothing and returns empty, typed
+    val empty = Sharding.zoneMapScan(spark, data, idx, "doc_id",
+      10000000L, 20000000L)
+    assert(empty.isEmpty && empty.columns.contains("doc_id"))
+  }
+
   test("morton matches a reference bit-interleave") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
