@@ -355,6 +355,223 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Distributed Lloyd's k-means refinement — the missing middle
+    * between the bounded-sample quantizer training ([[localKMeans]],
+    * O(sample)) and the corpus: initial centers come from the driver
+    * sample, then `iters` FULL-CORPUS rounds refine them, and a final
+    * pass reports per-cell statistics under the refined centers.
+    *
+    * Each round is one job with only bounded driver state:
+    *   - assignment is the same codegen'd quantizer-encode expression
+    *     every IVF path uses (no UDF, bit-identical tie handling);
+    *   - the sufficient statistics (count, Σv, Σ‖v‖² per cell) arrive
+    *     as posexploded (cell, pos) DECIMAL sums — map-side combine
+    *     ships ≤ nCells·dim rows per partition, and the driver
+    *     collects nCells·dim values, the same order of magnitude as
+    *     the center broadcast it sends back out;
+    *   - DECIMAL accumulation makes every round EXACT and therefore
+    *     layout-independent: double sums would let the partitioning
+    *     leak into centroid bits and flip boundary assignments (the
+    *     q93 discipline applied to learning).
+    * Empty cells keep their previous center (the [[localKMeans]]
+    * contract). Lloyd's monotonically decreases the total within-cell
+    * sum of squares; VectorOpsSpec pins non-increase per round, layout
+    * independence, and parity with a local reference.
+    *
+    * Returns one row per non-empty cell: (cell, n_rows, rss,
+    * mean_dist) with rss = Σ‖v−c‖² recovered exactly from the sums as
+    * Σ‖v‖² − 2⟨Σv,c⟩ + n‖c‖². */
+  def kmeansRefine(embeddings: DataFrame, nCells: Int = 0, iters: Int = 5,
+                   maxTrain: Int = 4096): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = prepared(embeddings).select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trainRows = trainSample(corpus, maxTrain)
+      if (trainRows.isEmpty)
+        return spark.emptyDataset[(Int, Long, Double, Double)]
+          .toDF("cell", "n_rows", "rss", "mean_dist")
+      val k = autoCells(corpus, nCells)
+      var centers = localKMeans(trainRows, k, iters = 5)
+      val nd = nativeDot(Some(spark))
+      val dim = trainRows(0).length
+
+      // one full-corpus pass: per-cell (count, Σx per dim, ΣΣx²) from
+      // exact decimal aggregation; nCells·dim rows to the driver
+      def cellStats(cs: Array[Array[Double]]): Map[Int, (Long, Array[Double], Double)] = {
+        val sums = corpus
+          .withColumn("cell",
+            element_at(pqEncodeIf(nd, col("v"), Array(cs), 1), 1))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("x").cast("decimal(30,12)")).as("sx"),
+            sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"))
+          .collect()
+        sums.groupBy(_.getAs[Int]("cell")).map { case (cell, rows) =>
+          val sx = new Array[Double](dim)
+          var sxx = java.math.BigDecimal.ZERO
+          rows.foreach { r =>
+            sx(r.getAs[Int]("pos")) = r.getAs[java.math.BigDecimal]("sx").doubleValue
+            sxx = sxx.add(r.getAs[java.math.BigDecimal]("sxx"))
+          }
+          cell -> ((rows.head.getAs[Long]("cnt"), sx, sxx.doubleValue))
+        }
+      }
+
+      for (_ <- 0 until iters) {
+        val stats = cellStats(centers)
+        centers = centers.indices.map { i =>
+          stats.get(i) match {
+            case Some((n, sx, _)) => sx.map(_ / n)
+            case None => centers(i)
+          }
+        }.toArray
+      }
+      // report under the FINAL centers
+      val fin = cellStats(centers)
+      val rows = fin.toSeq.sortBy(_._1).map { case (cell, (n, sx, sxx)) =>
+        val c = centers(cell)
+        var dot = 0.0; var c2 = 0.0; var j = 0
+        while (j < dim) { dot += sx(j) * c(j); c2 += c(j) * c(j); j += 1 }
+        val rss = math.max(0.0, sxx - 2.0 * dot + n * c2)
+        (cell, n, math.rint(rss * 10000) / 10000,
+          math.rint(math.sqrt(rss / n) * 10000) / 10000)
+      }
+      spark.createDataset(rows).toDF("cell", "n_rows", "rss", "mean_dist")
+    } finally corpus.unpersist(blocking = false)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — pure
+    * driver-side double arithmetic, deterministic (fixed sweep order,
+    * fixed convergence test), O(d³) for the d×d covariance where d is
+    * the embedding width (64 here, ≤ a few thousand in practice) —
+    * never corpus-scale. Returns (eigenvalues, eigenvectors as rows),
+    * unsorted. */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-22) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off += a(p)(q) * a(p)(q)
+      if (off > 1e-22) {
+        for (p <- 0 until d; q <- p + 1 until d) if (a(p)(q) != 0.0) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) match {
+            case 0.0 => 1.0
+            case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (j <- 0 until d) {
+            val apj = a(p)(j); val aqj = a(q)(j)
+            a(p)(j) = c * apj - s * aqj
+            a(q)(j) = s * apj + c * aqj
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((j, i) => v(i)(j)))
+  }
+
+  /** Exact covariance sufficient statistics in ONE corpus pass: n, the
+    * per-dim sums Σxᵢ and the upper-triangle second moments Σxᵢxⱼ, all
+    * as DECIMAL sums (exact ⇒ layout-independent — the kmeansRefine
+    * discipline). Each row emits d mean entries + d(d+1)/2 product
+    * entries from a codegen'd nested-transform expression; the
+    * hash-aggregate's map-side combine collapses them to ≤ d(d+3)/2
+    * rows per partition before the shuffle, and the driver collects
+    * exactly d(d+3)/2 grouped rows — O(d²) driver state for a corpus
+    * of any size (the tall-skinny regime PCA lives in). */
+  private def momentStats(corpus: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val v = col("v")
+    val meanEntries = transform(v, (x, i) =>
+      struct(i.as("i"), lit(-1).as("j"), x.as("x")))
+    val pairEntries = flatten(transform(v, (xi, i) =>
+      transform(slice(v, i + 1, lit(dim)), (xj, jj) =>
+        struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("x")))))
+    val rows = corpus
+      .select(explode(concat(meanEntries, pairEntries)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.x").as("x"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x").cast("decimal(30,12)")).as("sx"))
+      .collect()
+    val n = rows.find(r => r.getAs[Int]("j") == -1).map(_.getAs[Long]("cnt"))
+      .getOrElse(0L)
+    val sums = new Array[Double](dim)
+    val prods = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val s = r.getAs[java.math.BigDecimal]("sx").doubleValue
+      if (j == -1) sums(i) = s else { prods(i)(j) = s; prods(j)(i) = s }
+    }
+    (n, sums, prods)
+  }
+
+  /** PCA basis from the exact one-pass moments: population covariance
+    * C = E[xxᵀ] − μμᵀ, Jacobi eigensolve on the driver, components
+    * sorted by eigenvalue descending (index tiebreak) with a
+    * deterministic sign convention (the largest-|coordinate| entry is
+    * made positive; earliest index wins magnitude ties). Returns
+    * (n, mean, all d eigenvalues desc, top-k component rows). */
+  def pcaBasis(embeddings: DataFrame, k: Int,
+               dim: Int = 64): (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
+    val corpus = prepared(embeddings).select(col("vec_id"), col("v"))
+    val (n, sums, prods) = momentStats(corpus, dim)
+    require(n > 0, "pcaBasis on an empty corpus")
+    val mean = sums.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      prods(i)(j) / n - mean(i) * mean(j))
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => (-evals(i), i))
+    val topk = order.take(k).map { i =>
+      val e = evecs(i)
+      var best = 0
+      for (j <- 1 until dim)
+        if (math.abs(e(j)) > math.abs(e(best))) best = j
+      if (e(best) < 0) e.map(x => -x) else e.clone()
+    }.toArray
+    (n, mean, order.map(evals).toArray, topk)
+  }
+
+  /** Project every vector onto the top-k principal components — the
+    * embedding-compression / visualization pass. The basis is O(k·d)
+    * literals broadcast inside the plan; the projection is one
+    * codegen'd pass of k dot products per row (⟨v,e⟩ − ⟨μ,e⟩, the
+    * centered form with the constant folded driver-side), rounded to
+    * 4 for cross-layout stability. Rows-only by nature (the eigen
+    * recursion is not SQL-expressible); VectorOpsSpec pins the
+    * eigen-residual ‖Ce − λe‖, orthonormality, explained-variance
+    * ordering and layout independence. */
+  def pcaProject(embeddings: DataFrame, k: Int, dim: Int = 64): DataFrame = {
+    val (_, mean, _, basis) = pcaBasis(embeddings, k, dim)
+    val nd = nativeDot(Some(embeddings.sparkSession))
+    val corpus = prepared(embeddings).select(col("vec_id"), col("v"))
+    val pcs = basis.zipWithIndex.map { case (e, j) =>
+      val shift = e.zip(mean).map { case (ei, mi) => ei * mi }.sum
+      round(dotIf(nd, col("v"), array(e.toIndexedSeq.map(lit): _*)) - lit(shift), 4)
+        .as(s"pc${j + 1}")
+    }
+    corpus.select(col("vec_id") +: pcs.toIndexedSeq: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF+PQ approximate top-k (the FAISS-style index pipeline):
     * 1. the coarse quantizer prunes each query to its nProbe nearest
     *    cells (candidates ∝ corpus/nCells · nProbe, as in [[ivfTopK]]);

@@ -378,6 +378,27 @@ object LlmQueries {
     VectorOps.pqTopK(e, e.where(col("vec_id") < 10), 3, nCells = 16, nProbe = 8)
   }
 
+  /** Distributed k-means refinement ([[graft.ops.VectorOps
+    * .kmeansRefine]]): sample-trained centers refined over the full
+    * corpus with exact decimal sufficient statistics — per-cell sizes
+    * and residual sums of squares under the final centers. Rows-only
+    * (the Lloyd recursion is not SQL-expressible); VectorOpsSpec pins
+    * monotone inertia, layout independence, and local-reference
+    * parity. Explicit nCells pins the demo's cell count (the q63
+    * convention). */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    VectorOps.kmeansRefine(Tables(s, dir, "embeddings"), nCells = 16,
+        iters = 5)
+      .orderBy(col("cell"))
+
+  /** PCA projection ([[graft.ops.VectorOps.pcaProject]]): exact
+    * one-pass covariance moments (decimal sums), driver Jacobi
+    * eigensolve, codegen'd top-4 projection. Rows-only (eigen
+    * recursion); VectorOpsSpec pins eigen-residuals, orthonormality,
+    * variance ordering and layout independence. */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    VectorOps.pcaProject(Tables(s, dir, "embeddings"), 4)
+
   private def q62(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDup(Tables(s, dir, "embeddings"), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -724,7 +745,9 @@ object LlmQueries {
     "q123_heavy_hitters" -> (q123 _),
     "q126_bpe_vocab" -> (q126 _),
     "q127_bpe_encode" -> (q127 _),
-    "q133_weighted_sample" -> (q133 _))
+    "q133_weighted_sample" -> (q133 _),
+    "q136_kmeans_refine" -> (q136 _),
+    "q137_pca_project" -> (q137 _))
   // q126/q127 rows-only: the BPE merge recursion is not SQL-expressible
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 

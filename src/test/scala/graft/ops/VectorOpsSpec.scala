@@ -176,6 +176,149 @@ class VectorOpsSpec extends SparkTestBase {
     assert(out.length == 2)
   }
 
+  test("kmeansRefine: monotone inertia, layout independence, full parity with a local reference") {
+    def collectStats(d: org.apache.spark.sql.DataFrame, iters: Int) =
+      VectorOps.kmeansRefine(d, nCells = 4, iters = iters).collect()
+        .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("rss"), r.getAs[Double]("mean_dist")))
+        .sortBy(_._1).toSeq
+    // refinement helps: total RSS is non-increasing in iteration count
+    val rssByIters = Seq(0, 1, 3, 6).map(i => collectStats(df, i).map(_._3).sum)
+    rssByIters.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6, s"rss rose: $rssByIters")
+      case _ => ()
+    }
+    val stats = collectStats(df, 3)
+    assert(stats.map(_._2).sum == 60L) // sizes cover the corpus
+    // layout independence: exact decimal sums → identical output on a
+    // different partitioning
+    assert(collectStats(df.repartition(7), 3) == stats)
+
+    // full local reference: same sample order (via the engine's own
+    // hash expression), same init, 5 local Lloyd iters in double, then
+    // 3 refinement rounds with decimal(30,12)-rounded sums — HALF_UP
+    // at 12 dp, exact accumulation, doubleValue/n centers — and final
+    // stats under the final centers. Bit-for-bit comparison.
+    val ordered = df
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)), col("vec_id"))
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(_.toDouble).toArray)
+    val n = ordered.length
+    var centers = Array.tabulate(4)(i => ordered((i.toLong * n / 4).toInt).clone())
+    def nearest(p: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (i <- cs.indices) {
+        var dot = 0.0; var c2 = 0.0; var j = 0
+        while (j < p.length) { dot += p(j) * cs(i)(j); c2 += cs(i)(j) * cs(i)(j); j += 1 }
+        val d = -2.0 * dot + c2
+        if (d < bestD) { bestD = d; best = i }
+      }
+      best
+    }
+    // init: plain-double Lloyd over the sample (= whole corpus here),
+    // empty cells keep their center, ties to lower cell — localKMeans
+    // uses ‖p−c‖² but argmin ties behave identically on this data
+    for (_ <- 0 until 5) {
+      val groups = ordered.groupBy(p => nearest(p, centers))
+      centers = centers.indices.map(i => groups.get(i) match {
+        case Some(ps) =>
+          val s = new Array[Double](16)
+          ps.foreach(p => for (j <- 0 until 16) s(j) += p(j))
+          s.map(_ / ps.length)
+        case None => centers(i)
+      }).toArray
+    }
+    // Spark's double→decimal cast rounds the SHORTEST-STRING decimal
+    // repr (BigDecimal.decimal), not the exact binary expansion —
+    // valueOf mirrors that
+    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    def refStats(cs: Array[Array[Double]]) =
+      ordered.groupBy(p => nearest(p, cs)).map { case (cell, ps) =>
+        val sx = Array.fill(16)(java.math.BigDecimal.ZERO)
+        var sxx = java.math.BigDecimal.ZERO
+        ps.foreach { p =>
+          for (j <- 0 until 16) sx(j) = sx(j).add(dec(p(j)))
+          p.foreach(x => sxx = sxx.add(dec(x * x)))
+        }
+        cell -> ((ps.length.toLong, sx.map(_.doubleValue), sxx.doubleValue))
+      }
+    for (_ <- 0 until 3) {
+      val st = refStats(centers)
+      centers = centers.indices.map(i => st.get(i) match {
+        case Some((m, sx, _)) => sx.map(_ / m)
+        case None => centers(i)
+      }).toArray
+    }
+    val want = refStats(centers).toSeq.sortBy(_._1).map { case (cell, (m, sx, sxx)) =>
+      val c = centers(cell)
+      var dot = 0.0; var c2 = 0.0; var j = 0
+      while (j < 16) { dot += sx(j) * c(j); c2 += c(j) * c(j); j += 1 }
+      val rss = math.max(0.0, sxx - 2.0 * dot + m * c2)
+      (cell, m, math.rint(rss * 10000) / 10000,
+        math.rint(math.sqrt(rss / m) * 10000) / 10000)
+    }
+    assert(stats == want)
+  }
+
+  test("pcaBasis solves the exact covariance; pcaProject is centered, variance-ordered, layout-independent") {
+    val dim = 16
+    val (n, mean, evals, basis) = VectorOps.pcaBasis(df, 3, dim)
+    assert(n == 60L)
+    // local EXACT covariance: same decimal(30,12) rounding, exact sums
+    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val pts = vecs.map(_._2.map(_.toDouble).toArray)
+    val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
+    val prods = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
+    pts.foreach { p =>
+      for (i <- 0 until dim) {
+        sums(i) = sums(i).add(dec(p(i)))
+        for (j <- i until dim) prods(i)(j) = prods(i)(j).add(dec(p(i) * p(j)))
+      }
+    }
+    val m = sums.map(_.doubleValue / 60)
+    assert(mean.zip(m).forall { case (a, b) => a == b },
+      "mean must match the exact-decimal local computation bit-for-bit")
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      prods(a)(b).doubleValue / 60 - m(i) * m(j)
+    }
+    // eigen residual: ‖C e − λ e‖ small for every returned component
+    basis.zip(evals).foreach { case (e, l) =>
+      val r = (0 until dim).map(i =>
+        (0 until dim).map(j => cov(i)(j) * e(j)).sum - l * e(i))
+      assert(math.sqrt(r.map(x => x * x).sum) < 1e-9, s"residual for λ=$l")
+    }
+    // orthonormal, variance-ordered, all eigenvalues of a covariance ≥ ~0
+    basis.indices.foreach { a =>
+      basis.indices.foreach { b =>
+        val dot = basis(a).zip(basis(b)).map { case (x, y) => x * y }.sum
+        assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10)
+      }
+    }
+    assert(evals.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(evals.forall(_ > -1e-10))
+    assert(evals.length == dim)
+    // projection: centered (mean ≈ 0 per component), empirical variance
+    // tracks the eigenvalue, layout-independent
+    val proj = VectorOps.pcaProject(df, 3, dim).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("pc1"),
+        r.getAs[Double]("pc2"), r.getAs[Double]("pc3"))).toSeq
+    assert(proj.size == 60)
+    val cols = Seq(proj.map(_._2), proj.map(_._3), proj.map(_._4))
+    cols.zip(evals.take(3)).foreach { case (c, l) =>
+      val mu = c.sum / c.size
+      assert(math.abs(mu) < 1e-3, s"projection not centered: $mu")
+      val varc = c.map(x => (x - mu) * (x - mu)).sum / c.size
+      assert(math.abs(varc - l) / l < 0.01, s"var $varc vs λ $l")
+    }
+    val proj2 = VectorOps.pcaProject(df.repartition(7), 3, dim).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("pc1"),
+        r.getAs[Double]("pc2"), r.getAs[Double]("pc3"))).toSeq
+    assert(proj2 == proj)
+  }
+
   test("labelCentroids matches the locally computed per-label means") {
     val out = VectorOps.labelCentroids(df).collect()
       .map(r => (r.getAs[Int]("label"), r.getAs[Long]("pos")) ->
