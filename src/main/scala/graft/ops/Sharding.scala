@@ -270,6 +270,73 @@ object Sharding {
     } finally deleteDir(spark, staging)
   }
 
+  /** Initialize the incrementally-maintained per-source rollup next to
+    * a [[initDocStore]] corpus: (source, n_docs, total_chars), the
+    * materialized view [[maintainStats]] keeps current without ever
+    * rescanning the corpus. One aggregation, one tiny write. */
+  def initStatsStore(docs: DataFrame, statsDir: String): Unit =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsDir)
+
+  /** Incremental materialized-view maintenance — apply a CDC batch to
+    * the per-source rollup WITHOUT rescanning the corpus: the delta is
+    * (+new row) per upsert, (−old row) per upsert-over-existing or
+    * delete, and the old rows come from ONLY the touched `bucket=`
+    * partitions of the doc store (the same static pruning as
+    * [[mergeCdc]] — cost ∝ batch at any corpus size). All maintained
+    * aggregates are ADDITIVE integer counts/sums, so delta application
+    * is exact and order-independent.
+    *
+    * Call BEFORE [[mergeCdc]] applies the same batch (the store must
+    * still hold the old rows); apply-once semantics — replaying a
+    * batch double-counts, so a streaming caller keys application by
+    * batchId exactly like the index-ingest twins. Returns the new
+    * stats table (also persisted to `statsDir`). */
+  def maintainStats(spark: org.apache.spark.sql.SparkSession,
+                    storeDir: String, statsDir: String,
+                    changes: DataFrame, nBuckets: Int): DataFrame = {
+    // SIBLING of statsDir, not inside it: the final write fully
+    // overwrites statsDir, which would delete an in-tree staging dir
+    // out from under the very read that feeds the write
+    val staging = s"${statsDir}__staging"
+    try {
+      val ch = stageRead(
+        changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
+        s"$staging/changes")
+      val touched = ch.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0))
+      val olds =
+        if (touched.isEmpty) ch.where(lit(false))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        else spark.read.parquet(storeDir)
+          .where(col("bucket").isin(touched.map(Int.box).toSeq: _*))
+          .join(ch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      val minus = olds.select(col("source"), lit(-1L).as("d_docs"),
+        (-col("n_chars")).as("d_chars"))
+      val plus = ch.where(col("op") === "upsert")
+        .select(col("source"), lit(1L).as("d_docs"),
+          col("n_chars").as("d_chars"))
+      val delta = plus.unionByName(minus)
+        .groupBy(col("source"))
+        .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_chars")).as("d_chars"))
+      val updated = stageRead(
+        spark.read.parquet(statsDir).join(delta, Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("n_docs"), lit(0L)) +
+              coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+            (coalesce(col("total_chars"), lit(0L)) +
+              coalesce(col("d_chars"), lit(0L))).as("total_chars"))
+          .where(col("n_docs") > 0),
+        s"$staging/updated")
+      updated.coalesce(1).write.mode("overwrite").parquet(statsDir)
+      spark.read.parquet(statsDir)
+    } finally deleteDir(spark, staging)
+  }
+
   /** Morton bit-spread of a 16-bit value (zeros interleaved between
     * its bits) — the shift-and-mask ladder every published Morton
     * encoder uses, expressed as codegen'd Column arithmetic. */

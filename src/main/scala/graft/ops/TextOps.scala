@@ -1329,6 +1329,123 @@ object TextOps {
       .drop("pick", "fp")
   }
 
+  /** Feature vector for the distilled quality classifier: bias plus
+    * the scaled quality signals (stopword density, mean word length,
+    * clamped log-ish doc length). Pure row expressions — the same
+    * primitives [[qualityScore]] exports, scaled into O(1) ranges so
+    * fixed-step gradient descent is well-conditioned. */
+  private def classifierFeatures: Column = array(
+    lit(1.0),
+    qualityStopRatio * lit(10.0),
+    qualityMeanWordLen / lit(12.0),
+    least(size(qualityWords).cast("double") / lit(256.0), lit(4.0)))
+
+  private val ClassifierDim = 4
+
+  /** Deterministic Gaussian elimination with partial pivoting —
+    * driver-side d×d solve for the Newton step (d = feature count,
+    * never corpus-scale). `private[ops]` so the parity spec runs the
+    * IDENTICAL solver. */
+  private[ops] def solveLinear(a0: Array[Array[Double]],
+                               b0: Array[Double]): Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (c <- 0 until d) {
+      var piv = c
+      for (r <- c + 1 until d)
+        if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      val (ta, tb) = (a(piv), b(piv)); a(piv) = a(c); a(c) = ta
+      b(piv) = b(c); b(c) = tb
+      for (r <- c + 1 until d) {
+        val f = a(r)(c) / a(c)(c)
+        for (j <- c until d) a(r)(j) -= f * a(c)(j)
+        b(r) -= f * b(c)
+      }
+    }
+    val x = new Array[Double](d)
+    for (c <- d - 1 to 0 by -1) {
+      var s = b(c)
+      for (j <- c + 1 until d) s -= a(c)(j) * x(j)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
+  /** Train a ridge-logistic quality classifier IN the engine — the
+    * weak-supervision distillation pattern (CCNet-style): the labels
+    * come free from the hand-written hard gate ([[qualityOk]]), and
+    * the model turns the binary rule into a CALIBRATED [0,1] score
+    * that ranks borderline documents instead of cliffing them.
+    *
+    * IRLS / Newton, each iteration ONE corpus pass: codegen'd row
+    * expressions emit the weighted-Hessian upper triangle
+    * s·xᵢxⱼ (s = p(1−p)) and the gradient (y−p)·xⱼ, and the
+    * hash-aggregate DECIMAL-sums them — exactly d(d+1)/2 + d values
+    * reach the driver per iteration (the PCA-moments shape), where a
+    * ridge-damped d×d Newton step is solved. Exact sums make the
+    * whole trajectory layout-independent (bit-identical weights on
+    * any partitioning — double sums would let partition order into
+    * the model); fixed iteration count keeps it deterministic. Newton
+    * reaches the ridge-logistic optimum in single-digit passes where
+    * fixed-step GD crawls — at 100 TB the pass count IS the cost.
+    *
+    * When the corpus far exceeds what the fit needs, train on a
+    * [[stableSample]] slice and score everything — scoring is the
+    * cheap part. */
+  def trainQualityClassifier(docs: DataFrame, iters: Int = 8,
+                             ridge: Double = 1e-4): Array[Double] = {
+    val d = ClassifierDim
+    val data = docs.select(classifierFeatures.as("x"),
+        when(qualityOk, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = data.count().toDouble
+      require(n > 0, "trainQualityClassifier on an empty corpus")
+      var w = Array.fill(d)(0.0)
+      for (_ <- 0 until iters) {
+        val margin = w.zipWithIndex.map { case (wj, j) =>
+          lit(wj) * element_at(col("x"), j + 1) }.reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-margin))
+        val s = p * (lit(1.0) - p)
+        val g = col("y") - p
+        val hessCols = for (i <- 0 until d; j <- i until d) yield
+          sum((s * element_at(col("x"), i + 1) * element_at(col("x"), j + 1))
+            .cast("decimal(30,12)")).as(s"h_${i}_$j")
+        val gradCols = (0 until d).map(i =>
+          sum((g * element_at(col("x"), i + 1)).cast("decimal(30,12)"))
+            .as(s"g_$i"))
+        val row = data.select((hessCols ++ gradCols): _*).collect()(0)
+        val h = Array.ofDim[Double](d, d)
+        var idx = 0
+        for (i <- 0 until d; j <- i until d) {
+          val v = row.getDecimal(idx).doubleValue / n
+          h(i)(j) = v; h(j)(i) = v; idx += 1
+        }
+        val grad = Array.tabulate(d)(i =>
+          row.getDecimal(idx + i).doubleValue / n - ridge * w(i))
+        for (i <- 0 until d) h(i)(i) += ridge
+        val step = solveLinear(h, grad)
+        w = w.indices.map(i => w(i) + step(i)).toArray
+      }
+      w
+    } finally { data.unpersist(blocking = false); () }
+  }
+
+  /** Score every document under trained weights: calibrated
+    * probability (rounded to 4, the ranking contract), the 0.5-
+    * threshold prediction, and the gate label for audit. One
+    * embarrassing-parallel pass. */
+  def qualityClassifierScores(docs: DataFrame,
+                              weights: Array[Double]): DataFrame = {
+    require(weights.length == ClassifierDim)
+    val margin = weights.zipWithIndex.map { case (wj, j) =>
+      lit(wj) * element_at(classifierFeatures, j + 1) }.reduce(_ + _)
+    docs.select(col("doc_id"),
+        when(qualityOk, 1L).otherwise(0L).as("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-margin)), 4).as("p_quality"))
+      .withColumn("pred", (col("p_quality") >= 0.5).cast("long"))
+  }
+
   /** Stopword-profile language ID. On real corpora the profiles would
     * be per-language n-gram tables; the heuristic shape (count marker
     * hits per language, argmax via CASE) is what matters and is

@@ -399,6 +399,20 @@ object LlmQueries {
   private def q137(s: SparkSession, dir: String): DataFrame =
     VectorOps.pcaProject(Tables(s, dir, "embeddings"), 4)
 
+  /** Distilled quality classifier ([[graft.ops.TextOps
+    * .trainQualityClassifier]]): logistic regression trained in the
+    * engine on the hard gate's free labels, scored as a calibrated
+    * probability. Rows-only (the GD recursion is not SQL-
+    * expressible); TextOpsSpec pins accuracy above the majority
+    * baseline, bit parity with a local reference trainer, and
+    * layout-independent weights. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    TextOps.qualityClassifierScores(docs,
+        TextOps.trainQualityClassifier(docs))
+      .orderBy(col("doc_id"))
+  }
+
   private def q62(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDup(Tables(s, dir, "embeddings"), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -747,7 +761,8 @@ object LlmQueries {
     "q127_bpe_encode" -> (q127 _),
     "q133_weighted_sample" -> (q133 _),
     "q136_kmeans_refine" -> (q136 _),
-    "q137_pca_project" -> (q137 _))
+    "q137_pca_project" -> (q137 _),
+    "q139_quality_classifier" -> (q139 _))
   // q126/q127 rows-only: the BPE merge recursion is not SQL-expressible
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{InvertedIndex, Sharding, TextOps, VectorOps}
+import graft.ops.{InvertedIndex, Sharding, Sketches, TextOps, VectorOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -940,6 +940,77 @@ object Pipeline {
     """SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id BETWEEN 100 AND 180 ORDER BY doc_id""".stripMargin
 
+  /** Mergeable HLL sketch store ([[graft.ops.Sketches]]): sketch the
+    * orders table once into per-month shard partitions (priority ×
+    * month HLL blobs of the distinct customers), then answer the
+    * per-priority distinct-customer question from the STORE alone —
+    * the raw table is never rescanned, and sketch-of-union ==
+    * union-of-sketches makes the merge exact w.r.t. a single global
+    * sketch. Rows-only (HLL estimates); SketchesSpec pins merge
+    * exactness, the error envelope vs the true distinct, incremental
+    * shard append, and replay idempotence. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.TempRoots.path(
+      s"hll_store_${Integer.toHexString(dir.hashCode)}")
+    val orders = Tables(s, dir, "orders")
+    Sketches.writeHllShards(orders, store,
+      date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
+      col("o_orderpriority"), col("o_custkey"))
+    Sketches.mergedDistinct(s, store).orderBy(col("grp"))
+  }
+
+  /** Incremental materialized-view maintenance ([[graft.ops.Sharding
+    * .maintainStats]]): the per-source rollup is kept current under
+    * the SAME CDC batch q128 merges, by delta application against only
+    * the touched buckets' old rows — the corpus is never rescanned.
+    * The oracle recomputes the rollup from the relationally-merged
+    * corpus, so a green row proves maintained == recomputed. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.TempRoots.path(
+      s"statstore_${Integer.toHexString(dir.hashCode)}")
+    val stats = graft.TempRoots.path(
+      s"statsview_${Integer.toHexString(dir.hashCode)}")
+    val docs = Tables(s, dir, "documents")
+    Sharding.initDocStore(docs, store, 8)
+    Sharding.initStatsStore(docs, stats)
+    def withLen(text: Column) = Seq(
+      text.as("text"), col("lang"), col("source"),
+      length(text).cast("bigint").as("n_chars"))
+    val up = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id") +: withLen(
+        concat(coalesce(col("text"), lit("")), lit(" v2"))) :+
+        lit("upsert").as("op"): _*)
+    val ins = docs.where(col("doc_id") % 31 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id") +: withLen(
+        concat(lit("new "), coalesce(col("text"), lit("")))) :+
+        lit("upsert").as("op"): _*)
+    val del = docs.where(col("doc_id") % 13 === 3 && col("doc_id") % 7 =!= 0)
+      .select(col("doc_id") +: withLen(lit(null).cast("string")) :+
+        lit("delete").as("op"): _*)
+    Sharding.maintainStats(s, store, stats,
+        up.unionByName(ins).unionByName(del), 8)
+      .orderBy(col("source"))
+  }
+
+  private val q140Sql =
+    """WITH up AS (SELECT doc_id, source,
+      |    length(coalesce(text, '') || ' v2') AS n_chars
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |ins AS (SELECT doc_id + 1000000 AS doc_id, source,
+      |    length('new ' || coalesce(text, '')) AS n_chars
+      |  FROM documents WHERE doc_id % 31 = 5),
+      |del AS (SELECT doc_id FROM documents
+      |  WHERE doc_id % 13 = 3 AND doc_id % 7 <> 0),
+      |changed AS (SELECT doc_id FROM up UNION ALL SELECT doc_id FROM ins
+      |  UNION ALL SELECT doc_id FROM del),
+      |kept AS (SELECT doc_id, source, n_chars FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM changed)),
+      |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM up
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -972,7 +1043,9 @@ object Pipeline {
     "q131_index_append" -> (q131 _),
     "q132_phrase_search" -> (q132 _),
     "q134_bm25_search" -> (q134 _),
-    "q135_zone_map_scan" -> (q135 _))
+    "q135_zone_map_scan" -> (q135 _),
+    "q138_hll_sketch_store" -> (q138 _),
+    "q140_incremental_rollup" -> (q140 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -1003,5 +1076,6 @@ object Pipeline {
     "q131_index_append" -> q131Sql,
     "q132_phrase_search" -> q132Sql,
     "q134_bm25_search" -> q134Sql,
-    "q135_zone_map_scan" -> q135Sql)
+    "q135_zone_map_scan" -> q135Sql,
+    "q140_incremental_rollup" -> q140Sql)
 }

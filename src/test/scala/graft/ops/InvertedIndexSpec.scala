@@ -176,6 +176,12 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters"), p)
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
     assert(buckets.forall(b => pf.contains(b.toString)), s"$buckets not in $pf")
+    // the BM25 probe rides the identical pruned scan
+    val pBm = InvertedIndex.searchBm25(spark, idx, terms, 10)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pfBm = pBm.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(buckets.forall(b => pfBm.contains(b.toString)), pfBm)
     // and the executed scan really is restricted: every row that
     // reaches the probe comes from a probed bucket dir (inputFiles
     // would list the whole relation — it ignores filters)

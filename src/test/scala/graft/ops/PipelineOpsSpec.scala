@@ -377,6 +377,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(empty.isEmpty && empty.columns.contains("doc_id"))
   }
 
+  test("maintainStats: delta-maintained rollup equals a recompute over the merged store") {
+    val store = graft.TempRoots.path("stats_store_spec")
+    val stats = graft.TempRoots.path("stats_view_spec")
+    val base = spark.createDataFrame(Seq(
+      (0L, "aaaa", "en", "web", 4L), (1L, "bbbbbb", "en", "web", 6L),
+      (2L, "cc", "en", "book", 2L), (3L, "ddddd", "en", "book", 5L),
+      (4L, "eee", "en", "code", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sharding.initDocStore(base, store, 4)
+    Sharding.initStatsStore(base, stats)
+    val changes = spark.createDataFrame(Seq(
+      // longer text, same source        → chars delta only
+      (0L, "aaaaaaaa", "en", "web", 8L, "upsert"),
+      // SOURCE MOVE: book → web         → both sides shift
+      (2L, "cc", "en", "web", 2L, "upsert"),
+      // brand-new doc in a new source   → +1 row in stats
+      (9L, "zzzz", "en", "wiki", 4L, "upsert"),
+      // delete                          → −1; 'code' empties and drops
+      (4L, null.asInstanceOf[String], "en", "code", 0L, "delete")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    val maintained = Sharding.maintainStats(spark, store, stats, changes, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // now actually merge the same batch and recompute from scratch
+    Sharding.mergeCdc(spark, store, changes, 4)
+    val recomputed = spark.read.parquet(store)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(maintained == recomputed, s"$maintained vs $recomputed")
+    assert(maintained.map(_._1) == Seq("book", "web", "wiki"))
+    // the persisted view matches what was returned
+    val persisted = spark.read.parquet(stats)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_chars"))).sortBy(_._1).toSeq
+    assert(persisted == maintained)
+    // staging cleaned up
+    assert(!new java.io.File(s"${stats}__staging").exists())
+  }
+
   test("morton matches a reference bit-interleave") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L

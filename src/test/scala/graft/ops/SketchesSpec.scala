@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Mergeable HLL sketch store: union-of-sketches equals
+  * sketch-of-union, estimates stay inside the HLL error envelope,
+  * and shard appends touch only their own partitions. */
+class SketchesSpec extends SparkTestBase {
+
+  private lazy val orders = graft.queries.Tables(spark, sfDir, "orders")
+  private def shardCol =
+    date_format(col("o_orderdate").cast("date"), "yyyy-MM")
+
+  private def merged(dir: String): Seq[(String, Long, Long)] =
+    Sketches.mergedDistinct(spark, dir).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_distinct_est"),
+        r.getAs[Long]("n_rows"))).sortBy(_._1).toSeq
+
+  test("merged shard sketches equal one global sketch; estimates inside the lgK=12 envelope; exact row counts") {
+    val store = graft.TempRoots.path("hll_spec_store")
+    Sketches.writeHllShards(orders, store, shardCol,
+      col("o_orderpriority"), col("o_custkey"))
+    val got = merged(store)
+    // union-of-sketches == sketch-of-union: merging the per-month
+    // partials must land on the SAME registers a single whole-table
+    // sketch builds — same estimate, bit for bit
+    val global = orders.groupBy(col("o_orderpriority").as("grp"))
+      .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("o_custkey"), lit(12))).as("est"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("est"),
+        r.getAs[Long]("n"))).sortBy(_._1).toSeq
+    assert(got == global)
+    // lgK=12 relative standard error ≈ 1.04/√4096 ≈ 1.6%; 3σ ≈ 4.9%
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("d")).toMap
+    got.foreach { case (g, est, _) =>
+      val ex = exact(g).toDouble
+      assert(math.abs(est - ex) / ex < 0.05, s"$g: est $est vs exact $ex")
+    }
+    assert(got.map(_._1).toSet == exact.keySet)
+  }
+
+  test("shard append touches only its partition, matches the full build, replays idempotently") {
+    val inc = graft.TempRoots.path("hll_spec_inc")
+    val full = graft.TempRoots.path("hll_spec_full")
+    val maxMonth = orders.select(max(shardCol)).collect()(0).getString(0)
+    Sketches.writeHllShards(orders.where(shardCol =!= maxMonth), inc,
+      shardCol, col("o_orderpriority"), col("o_custkey"))
+    def oldShardFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(inc).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=") &&
+          f.getName != s"shard=$maxMonth")
+        .flatMap(walk).map(f => s"${f.getPath}:${f.lastModified}").toSet
+    }
+    val before = oldShardFiles()
+    assert(before.nonEmpty)
+    Sketches.writeHllShards(orders.where(shardCol === maxMonth), inc,
+      shardCol, col("o_orderpriority"), col("o_custkey"))
+    assert(oldShardFiles() == before, "append rewrote existing shards")
+    Sketches.writeHllShards(orders, full,
+      shardCol, col("o_orderpriority"), col("o_custkey"))
+    val appended = merged(inc)
+    assert(appended == merged(full))
+    // replay the same batch: dynamic overwrite → identical store
+    Sketches.writeHllShards(orders.where(shardCol === maxMonth), inc,
+      shardCol, col("o_orderpriority"), col("o_custkey"))
+    assert(merged(inc) == appended)
+  }
+}

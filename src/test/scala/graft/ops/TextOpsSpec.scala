@@ -17,6 +17,71 @@ class TextOpsSpec extends SparkTestBase {
     spark.createDataFrame(rows).toDF("doc_id", "text", "source", "lang")
   }
 
+  test("quality classifier: layout-independent, bit parity with a local trainer, beats the majority baseline") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val w = TextOps.trainQualityClassifier(real, iters = 8, ridge = 1e-4)
+    // exact decimal moment sums → identical weights on any layout
+    val w2 = TextOps.trainQualityClassifier(real.repartition(7), 8, 1e-4)
+    assert(w.toSeq == w2.toSeq)
+
+    // local reference trainer: same features, same fold order, decimal
+    // (30,12)-rounded Hessian/gradient sums, the SAME solver, the same
+    // Newton update arithmetic
+    val stop = TextOps.QualityStopwords.toSet
+    val rows = real.select(col("text")).collect().map { r =>
+      val text = r.getString(0)
+      val ws = text.split(" ", -1)
+      val nw = ws.length.toDouble
+      val sr = ws.count(stop).toDouble / nw
+      val mwl = text.replace(" ", "").length.toDouble / nw
+      val x = Array(1.0, sr * 10.0, mwl / 12.0,
+        math.min(nw / 256.0, 4.0))
+      val y = if (ws.length >= 8 && sr >= 0.02 && mwl >= 2.0 && mwl <= 12.0)
+        1.0 else 0.0
+      (x, y)
+    }
+    def dec(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val n = rows.length.toDouble
+    var wRef = Array.fill(4)(0.0)
+    for (_ <- 0 until 8) {
+      val hs = Array.fill(10)(java.math.BigDecimal.ZERO)
+      val gs = Array.fill(4)(java.math.BigDecimal.ZERO)
+      rows.foreach { case (x, y) =>
+        val m = x.indices.map(j => wRef(j) * x(j)).reduce(_ + _)
+        val p = 1.0 / (1.0 + math.exp(-m))
+        val s = p * (1.0 - p)
+        var idx = 0
+        for (i <- 0 until 4; j <- i until 4) {
+          hs(idx) = hs(idx).add(dec(s * x(i) * x(j))); idx += 1
+        }
+        for (i <- 0 until 4) gs(i) = gs(i).add(dec((y - p) * x(i)))
+      }
+      val h = Array.ofDim[Double](4, 4)
+      var idx = 0
+      for (i <- 0 until 4; j <- i until 4) {
+        val v = hs(idx).doubleValue / n
+        h(i)(j) = v; h(j)(i) = v; idx += 1
+      }
+      val grad = Array.tabulate(4)(i =>
+        gs(i).doubleValue / n - 1e-4 * wRef(i))
+      for (i <- 0 until 4) h(i)(i) += 1e-4
+      val step = TextOps.solveLinear(h, grad)
+      wRef = wRef.indices.map(i => wRef(i) + step(i)).toArray
+    }
+    assert(w.toSeq == wRef.toSeq,
+      s"engine ${w.toSeq} vs local ${wRef.toSeq}")
+
+    // the distilled score reproduces the gate well above the majority
+    // baseline
+    val scored = TextOps.qualityClassifierScores(real, w).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("pred")))
+    val acc = scored.count(p => p._1 == p._2).toDouble / scored.length
+    val baseline = math.max(scored.count(_._1 == 1L),
+      scored.count(_._1 == 0L)).toDouble / scored.length
+    assert(acc > baseline + 0.03 && acc > 0.9, s"acc $acc baseline $baseline")
+  }
+
   test("exact dedup groups identical token sets") {
     val fp = TextOps.dedupExact(docs).collect()
       .map(r => r.getAs[Long]("keep_doc_id") -> r.getAs[Long]("n_dups")).toMap
