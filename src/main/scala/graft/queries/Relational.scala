@@ -707,6 +707,37 @@ object Relational {
       |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
       |ORDER BY p_partkey""".stripMargin
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`, SPARK-24497) — the
+    * iterate-to-fixpoint SQL surface: each customer's ancestor chain
+    * under the decimal parent relation parent(k) = k div 10. The
+    * recursion depth is logarithmic in the key (≤ 7 levels here), the
+    * work per level is one self-join-free projection, and Catalyst
+    * executes it as repeated union steps — at scale the pattern is
+    * the relational form of the q64 connected-components loop. DuckDB
+    * runs the identical recursion for the oracle. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS custkey, c_custkey AS node, 0 AS depth
+        |  FROM customer_v
+        |  UNION ALL
+        |  SELECT custkey, node DIV 10, depth + 1 FROM anc WHERE node > 0)
+        |SELECT custkey, CAST(max(depth) AS BIGINT) AS chain_len,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin)
+  }
+
+  private val q141Sql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT c_custkey AS custkey, c_custkey AS node, 0 AS depth
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT custkey, node // 10, depth + 1 FROM anc WHERE node > 0)
+      |SELECT custkey, CAST(max(depth) AS BIGINT) AS chain_len,
+      |  CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin
+
   /** Map scalar-function family (construct, extract, keys/values,
     * cardinality) — no map-typed testdata column exists, so the map is
     * built from row values, exercised, and decomposed back to plain
@@ -960,6 +991,7 @@ object Relational {
     "q13_anti_join" -> (q13 _),
     "q14_range_join" -> (q14 _),
     "q15_sql_subquery" -> (q15 _),
+    "q141_recursive_cte" -> (q141 _),
     "q17_map_fns" -> (q17 _),
     "q19_array_fns" -> (q19 _),
     "q20_distinct_agg" -> (q20 _),
@@ -1004,6 +1036,7 @@ object Relational {
     "q13_anti_join" -> q13Sql,
     "q14_range_join" -> q14Sql,
     "q15_sql_subquery" -> q15Sql,
+    "q141_recursive_cte" -> q141Sql,
     "q17_map_fns" -> q17Sql,
     "q19_array_fns" -> q19Sql,
     "q20_distinct_agg" -> q20Sql,

@@ -390,6 +390,34 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming twin of the q138 HLL sketch store: each micro-batch
+    * sketches into its own `shard=batch-<id>` partition of the store
+    * — the statistics-side instance of the [[indexIngest]] contract.
+    * Replay of a failed batch dynamically overwrites the same shard
+    * with identical blobs (batchId keys the shard name, so no id
+    * bookkeeping), and the merged estimate stays exact w.r.t. a
+    * global sketch because HLL register-max union is idempotent and
+    * order-free. Store growth is one tiny sketch row-set per batch;
+    * compact by re-sketching shards together offline if shard count
+    * ever matters. */
+  def sketchIngest(rows: DataFrame, storeDir: String,
+                   group: org.apache.spark.sql.Column,
+                   id: org.apache.spark.sql.Column,
+                   checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Sketches.writeHllShards(batch, storeDir,
+            lit(f"batch-$batchId%06d"), group, id)
+          ()
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Incremental schema inference over a JSON stream: the running
     * lattice join surfaced per micro-batch (complete mode) — the
     * streaming form of the reference's whole program. */
