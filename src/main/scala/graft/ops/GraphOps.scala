@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge lists — the GraphX execution
+  * shape (edges partitioned ONCE by source and cached; each iteration
+  * ships only (dst, contribution) pairs through one keyed shuffle)
+  * without the GraphX dependency, and with the repo's determinism
+  * discipline: per-iteration contributions are DECIMAL-summed, so the
+  * rank vector is bit-identical on any partitioning.
+  *
+  * [[TextOps]] already holds the connected-components loop (q64);
+  * this is its weighted-propagation sibling. */
+object GraphOps {
+
+  /** Deterministic PageRank. `edges` carries (src, dst) long columns;
+    * CONTRACT: every node appears as a src AND as a dst (symmetrize a
+    * one-directional relation — that also removes dangling nodes,
+    * whose leaked mass would otherwise need the redistribute-to-all
+    * correction, and it is what makes the iteration below total: the
+    * contribution aggregate then covers every node, so no per-
+    * iteration reconciliation join against a node list is needed).
+    *
+    * Per iteration: one equi-join of the cached, src-partitioned
+    * (src, dst, deg) edge list with the rank vector (edges never
+    * re-shuffle — only the narrow rank rows move), then one
+    * (dst, contrib) aggregation — contribution = rank/outdeg in
+    * double, decimal-rounded and EXACTLY summed (layout-independent),
+    * then r' = (1−d)/N + d·Σ in double. The iterations compose LAZILY
+    * into one linear 2·iters-shuffle DAG executed by the consumer's
+    * single action — no per-iteration materialization, no
+    * driver-side anything beyond the node count.
+    *
+    * At 100 TB the cost is iters × (rank shuffle + contribution
+    * shuffle): linear per iteration, no all-pairs anything; hot dst
+    * keys (celebrity nodes) are exactly the AQE skew-split case. */
+  def pageRank(edges: DataFrame, iters: Int = 8,
+               damping: Double = 0.85,
+               broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(outdeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val n = nodes.count().toDouble
+    if (n == 0) return nodes.select(col("node"), lit(0.0).as("rank"))
+    val base = (1.0 - damping) / n
+    // two-path rank-side join (the ANN driverProbeLimit discipline):
+    // a bounded node set broadcasts — the cached edges never move and
+    // each iteration is a single map+aggregate stage; a larger graph
+    // falls back to the shuffle join. The ARITHMETIC is identical on
+    // both paths (join strategy never touches values).
+    val bcast = n <= broadcastNodeLimit.toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 0 until iters) {
+      val r = ranks.withColumnRenamed("node", "src")
+      ranks = e
+        .join(if (bcast) broadcast(r) else r, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("deg")).cast("decimal(30,12)").as("c"))
+        .groupBy(col("node"))
+        .agg((lit(base) + lit(damping) *
+          sum(col("c")).cast("double")).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    // e stays cached for the consumer's single action; Verify/Bench
+    // unpersist all persistent RDDs between queries, and any caller
+    // can sparkSession.sharedState-level unpersist after consuming
+  }
+}

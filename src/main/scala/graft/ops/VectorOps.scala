@@ -394,29 +394,91 @@ object VectorOps {
           .toDF("cell", "n_rows", "rss", "mean_dist")
       val k = autoCells(corpus, nCells)
       var centers = localKMeans(trainRows, k, iters = 5)
-      val nd = nativeDot(Some(spark))
       val dim = trainRows(0).length
 
-      // one full-corpus pass: per-cell (count, Σx per dim, ΣΣx²) from
-      // exact decimal aggregation; nCells·dim rows to the driver
+      // one full-corpus pass: per-cell (count, Σx per dim, ΣΣx²) via
+      // the momentStats accumulator shape — per-partition fixed-point
+      // sums of [[quantize12]]-quantized terms (exact ⇒ layout-
+      // independent), one partial row per (partition, non-empty cell),
+      // driver merge exact. Assignment runs the SAME −2⟨v,c⟩+‖c‖²
+      // IEEE sequence as [[nearestCells]]/the quantizer expression,
+      // strict-< ties to the lower cell — bit-identical to the probe
+      // side. No explode, no shuffle; per-row cost is the k·d
+      // distance arithmetic Lloyd's inherently needs.
       def cellStats(cs: Array[Array[Double]]): Map[Int, (Long, Array[Double], Double)] = {
-        val sums = corpus
-          .withColumn("cell",
-            element_at(pqEncodeIf(nd, col("v"), Array(cs), 1), 1))
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(col("x").cast("decimal(30,12)")).as("sx"),
-            sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"))
-          .collect()
-        sums.groupBy(_.getAs[Int]("cell")).map { case (cell, rows) =>
-          val sx = new Array[Double](dim)
-          var sxx = java.math.BigDecimal.ZERO
-          rows.foreach { r =>
-            sx(r.getAs[Int]("pos")) = r.getAs[java.math.BigDecimal]("sx").doubleValue
-            sxx = sxx.add(r.getAs[java.math.BigDecimal]("sxx"))
+        val c2 = centerNorms2(cs)
+        val bc = spark.sparkContext.broadcast((cs, c2))
+        val partials = corpus.select(col("v")).as[Seq[Double]]
+          .mapPartitions { it =>
+            val (cen, cn2) = bc.value
+            val kk = cen.length
+            val counts = new Array[Long](kk)
+            val sumL = Array.ofDim[Long](kk, dim)
+            val sumB = Array.fill(kk, dim)(java.math.BigDecimal.ZERO)
+            val sxxL = new Array[Long](kk)
+            val sxxB = Array.fill(kk)(java.math.BigDecimal.ZERO)
+            var since = 0
+            def spill(): Unit = {
+              var c = 0
+              while (c < kk) {
+                var j = 0
+                while (j < dim) {
+                  if (sumL(c)(j) != 0L) {
+                    sumB(c)(j) = sumB(c)(j)
+                      .add(java.math.BigDecimal.valueOf(sumL(c)(j), 12))
+                    sumL(c)(j) = 0L
+                  }
+                  j += 1
+                }
+                if (sxxL(c) != 0L) {
+                  sxxB(c) = sxxB(c)
+                    .add(java.math.BigDecimal.valueOf(sxxL(c), 12))
+                  sxxL(c) = 0L
+                }
+                c += 1
+              }
+              since = 0
+            }
+            it.foreach { v =>
+              val a = v.toArray
+              var best = 0; var bestD = Double.MaxValue
+              var i = 0
+              while (i < kk) {
+                val c = cen(i)
+                var dot = 0.0; var j = 0
+                while (j < dim) { dot += a(j) * c(j); j += 1 }
+                val d = dot * -2.0 + cn2(i)
+                if (d < bestD) { bestD = d; best = i }
+                i += 1
+              }
+              counts(best) += 1L
+              var j = 0
+              while (j < dim) {
+                sumL(best)(j) += quantize12(a(j))
+                sxxL(best) += quantize12(a(j) * a(j))
+                j += 1
+              }
+              since += 1
+              if (since == 4096) spill()
+            }
+            spill()
+            (0 until kk).iterator.filter(counts(_) > 0L).map(c =>
+              (c, counts(c), sumB(c).map(_.toString).toSeq, sxxB(c).toString))
           }
-          cell -> ((rows.head.getAs[Long]("cnt"), sx, sxx.doubleValue))
+          .collect()
+        partials.groupBy(_._1).map { case (cell, ps) =>
+          val sxB = Array.fill(dim)(java.math.BigDecimal.ZERO)
+          var sxx = java.math.BigDecimal.ZERO
+          var cnt = 0L
+          ps.foreach { case (_, c, ss, xx) =>
+            cnt += c
+            var j = 0
+            while (j < dim) {
+              sxB(j) = sxB(j).add(new java.math.BigDecimal(ss(j))); j += 1
+            }
+            sxx = sxx.add(new java.math.BigDecimal(xx))
+          }
+          cell -> ((cnt, sxB.map(_.doubleValue), sxx.doubleValue))
         }
       }
 
@@ -489,37 +551,93 @@ object VectorOps {
     (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d, d)((j, i) => v(i)(j)))
   }
 
+  /** Fixed-point quantization of one moment term: 12 decimal places,
+    * half-up toward +∞ (`Math.round` of the 1e12-scaled double).
+    * Quantizing every term BEFORE any summation is what makes the
+    * moment sums exact integer arithmetic and therefore
+    * layout-independent — the same guarantee the decimal(30,12) casts
+    * give elsewhere, at a fraction of the cost. */
+  private[ops] def quantize12(x: Double): Long = math.round(x * 1e12)
+
   /** Exact covariance sufficient statistics in ONE corpus pass: n, the
-    * per-dim sums Σxᵢ and the upper-triangle second moments Σxᵢxⱼ, all
-    * as DECIMAL sums (exact ⇒ layout-independent — the kmeansRefine
-    * discipline). Each row emits d mean entries + d(d+1)/2 product
-    * entries from a codegen'd nested-transform expression; the
-    * hash-aggregate's map-side combine collapses them to ≤ d(d+3)/2
-    * rows per partition before the shuffle, and the driver collects
-    * exactly d(d+3)/2 grouped rows — O(d²) driver state for a corpus
-    * of any size (the tall-skinny regime PCA lives in). */
+    * per-dim sums Σxᵢ and the upper-triangle second moments Σxᵢxⱼ.
+    * This is the MLlib Gramian shape (RowMatrix
+    * .computeGramianMatrix's treeAggregate, re-expressed on Dataset):
+    * each partition accumulates all d(d+3)/2 entries locally — terms
+    * quantized to fixed-point 1e-12 ([[quantize12]]) so the
+    * accumulation is exact integer math, long accumulators spilling
+    * into BigDecimal every 4096 rows (bounded-magnitude contract:
+    * |term| < 2e3, generous for unit-scale embeddings) — and emits
+    * ONE partial row; the driver merges ≤ numPartitions partials
+    * exactly. No explode, no shuffle, no per-element row
+    * materialization: the per-row cost is the d²/2 multiplies the
+    * Gram matrix inherently needs. Exact partials of exactly-
+    * quantized terms sum associatively ⇒ bit-identical on any
+    * partitioning. */
   private def momentStats(corpus: DataFrame, dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
-    val v = col("v")
-    val meanEntries = transform(v, (x, i) =>
-      struct(i.as("i"), lit(-1).as("j"), x.as("x")))
-    val pairEntries = flatten(transform(v, (xi, i) =>
-      transform(slice(v, i + 1, lit(dim)), (xj, jj) =>
-        struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("x")))))
-    val rows = corpus
-      .select(explode(concat(meanEntries, pairEntries)).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.x").as("x"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(col("x").cast("decimal(30,12)")).as("sx"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nEntries = dim + dim * (dim + 1) / 2
+    val partials = corpus.select(col("v")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val accL = new Array[Long](nEntries)
+        val accB = Array.fill(nEntries)(java.math.BigDecimal.ZERO)
+        var sinceSpill = 0
+        var count = 0L
+        def spill(): Unit = {
+          var k = 0
+          while (k < nEntries) {
+            if (accL(k) != 0L) {
+              accB(k) = accB(k).add(java.math.BigDecimal.valueOf(accL(k), 12))
+              accL(k) = 0L
+            }
+            k += 1
+          }
+          sinceSpill = 0
+        }
+        it.foreach { v =>
+          val a = v.toArray
+          var k = 0
+          var i = 0
+          while (i < dim) { accL(k) += quantize12(a(i)); k += 1; i += 1 }
+          i = 0
+          while (i < dim) {
+            val ai = a(i)
+            var j = i
+            while (j < dim) { accL(k) += quantize12(ai * a(j)); k += 1; j += 1 }
+            i += 1
+          }
+          count += 1L
+          sinceSpill += 1
+          if (sinceSpill == 4096) spill()
+        }
+        spill()
+        if (count == 0L) Iterator.empty
+        else Iterator.single((count, accB.map(_.toString).toSeq))
+      }
       .collect()
-    val n = rows.find(r => r.getAs[Int]("j") == -1).map(_.getAs[Long]("cnt"))
-      .getOrElse(0L)
+    val n = partials.map(_._1).sum
+    val merged = Array.fill(nEntries)(java.math.BigDecimal.ZERO)
+    partials.foreach { case (_, ss) =>
+      var k = 0
+      while (k < nEntries) {
+        merged(k) = merged(k).add(new java.math.BigDecimal(ss(k)))
+        k += 1
+      }
+    }
     val sums = new Array[Double](dim)
     val prods = Array.ofDim[Double](dim, dim)
-    rows.foreach { r =>
-      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
-      val s = r.getAs[java.math.BigDecimal]("sx").doubleValue
-      if (j == -1) sums(i) = s else { prods(i)(j) = s; prods(j)(i) = s }
+    var k = 0
+    var i = 0
+    while (i < dim) { sums(i) = merged(k).doubleValue; k += 1; i += 1 }
+    i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val s = merged(k).doubleValue
+        prods(i)(j) = s; prods(j)(i) = s; k += 1; j += 1
+      }
+      i += 1
     }
     (n, sums, prods)
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Skew
+import graft.ops.{GraphOps, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -401,6 +401,30 @@ object Analytic {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** PageRank over the customer↔supplier order graph
+    * ([[graft.ops.GraphOps.pageRank]]): symmetrized edges from
+    * orders⋈lineitem (customers at 2k, suppliers at 2k+1 — disjoint
+    * node ids), 8 decimal-exact iterations, top-20 by rounded rank.
+    * Rows-only (the power iteration is not SQL-expressible);
+    * GraphOpsSpec pins bit parity with a local reference, layout
+    * independence, and unit total mass. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    GraphOps.pageRank(sym, iters = 5)
+      .withColumn("kind", when(col("node") % 2 === 0, "customer")
+        .otherwise("supplier"))
+      .withColumn("key", (col("node") / lit(2)).cast("bigint"))
+      .select(col("kind"), col("key"), col("rank"))
+      .orderBy(col("rank").desc, col("kind"), col("key"))
+      .limit(20)
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,7 +439,8 @@ object Analytic {
     "q84_view_pipeline" -> (q84 _),
     "q89_salted_agg" -> (q89 _),
     "q90_salted_join" -> (q90 _),
-    "q92_approx_percentiles" -> (q92 _))
+    "q92_approx_percentiles" -> (q92 _),
+    "q142_pagerank" -> (q142 _))
 
   val oracle: Map[String, String] = Map(
     "q76_exact_percentiles" -> q76Sql,

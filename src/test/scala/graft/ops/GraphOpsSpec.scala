@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** PageRank: bit parity with a local reference iteration, layout
+  * independence, and conservation of probability mass. */
+class GraphOpsSpec extends SparkTestBase {
+
+  // a small deterministic digraph with asymmetric degrees: a hub
+  // (0) pointed at by everyone, a chain, and a 2-cycle; every node
+  // has outdegree >= 1
+  private def edgeSeq: Seq[(Long, Long)] = Seq(
+    (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+    (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+    (5L, 6L), (6L, 5L))
+
+  private def edges = spark.createDataFrame(edgeSeq).toDF("src", "dst")
+
+  test("pageRank matches a local reference bit-for-bit and is layout-independent") {
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.pageRank(df, iters = 8).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank"))
+        .sortBy(_._1).toSeq
+    val got = collect(edges)
+    assert(collect(edges.repartition(5)) == got)
+
+    // local mirror: same init, same contribution arithmetic
+    // (rank/deg in double → decimal(30,12) HALF_UP → exact sum →
+    // base + d·sum in double), same rounding
+    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    val deg = edgeSeq.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val base = (1.0 - 0.85) / n
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until 8) {
+      val sums = scala.collection.mutable.Map[Long, java.math.BigDecimal]()
+      edgeSeq.foreach { case (s, d) =>
+        val c = dec(rank(s) / deg(s))
+        sums(d) = sums.getOrElse(d, java.math.BigDecimal.ZERO).add(c)
+      }
+      rank = nodes.map(nd => nd -> (base + 0.85 *
+        sums.getOrElse(nd, java.math.BigDecimal.ZERO).doubleValue)).toMap
+    }
+    val want = nodes.map(nd => nd ->
+      BigDecimal(rank(nd)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(got == want, s"got $got want $want")
+
+    // probability mass conserved (no dangling nodes by construction)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-3)
+    // the hub out-ranks every chain node
+    val byNode = got.toMap
+    assert(nodes.filter(_ != 0L).forall(nd => byNode(0L) > byNode(nd)))
+  }
+}

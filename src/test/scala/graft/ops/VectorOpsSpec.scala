@@ -228,11 +228,9 @@ class VectorOpsSpec extends SparkTestBase {
         case None => centers(i)
       }).toArray
     }
-    // Spark's double→decimal cast rounds the SHORTEST-STRING decimal
-    // repr (BigDecimal.decimal), not the exact binary expansion —
-    // valueOf mirrors that
-    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
+    // same fixed-point 1e-12 term quantization as the engine
+    def dec(x: Double) = java.math.BigDecimal
+      .valueOf(VectorOps.quantize12(x), 12)
     def refStats(cs: Array[Array[Double]]) =
       ordered.groupBy(p => nearest(p, cs)).map { case (cell, ps) =>
         val sx = Array.fill(16)(java.math.BigDecimal.ZERO)
@@ -265,9 +263,10 @@ class VectorOpsSpec extends SparkTestBase {
     val dim = 16
     val (n, mean, evals, basis) = VectorOps.pcaBasis(df, 3, dim)
     assert(n == 60L)
-    // local EXACT covariance: same decimal(30,12) rounding, exact sums
-    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
+    // local EXACT covariance: same fixed-point 1e-12 term quantization
+    // (quantize12), exact integer sums
+    def dec(x: Double) = java.math.BigDecimal
+      .valueOf(VectorOps.quantize12(x), 12)
     val pts = vecs.map(_._2.map(_.toDouble).toArray)
     val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
     val prods = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
