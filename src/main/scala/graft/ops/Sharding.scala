@@ -270,6 +270,27 @@ object Sharding {
     } finally deleteDir(spark, staging)
   }
 
+  /** ANALYZE-style per-column statistics — the planner-food every
+    * warehouse maintains: row count, null count, exact distinct
+    * count, and min/max (rendered as strings so one narrow schema
+    * covers every column type; both engines compare strings with
+    * binary collation, so the rendering is oracle-stable). One
+    * COLUMN-PRUNED scan per column — at 100 TB each pass reads only
+    * its own column's pages, so the total IO is one logical table
+    * read; the exact distinct is the one genuinely heavy aggregate
+    * (one shuffle per column), which is the honest price of exact
+    * ndv — swap in the q138 HLL store when approximate is enough. */
+  def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+    }.reduce(_ unionByName _)
+
   /** Initialize the incrementally-maintained per-source rollup next to
     * a [[initDocStore]] corpus: (source, n_docs, total_chars), the
     * materialized view [[maintainStats]] keeps current without ever

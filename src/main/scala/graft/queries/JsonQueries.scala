@@ -205,7 +205,33 @@ object JsonQueries {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** JSONL sink + source round-trip — the export format the JSON-
+    * centric reference world consumes: write the documents table as
+    * newline-delimited JSON shards (Spark's codegen'd JSON writer
+    * escapes newlines/quotes inside `text`), read it back UNDER THE
+    * ORIGINAL SCHEMA (no inference round-trip ambiguity), and prove
+    * content equality against the parquet source via the oracle. At
+    * scale this is one embarrassing-parallel write + one parallel
+    * scan; schema-on-read keeps numeric widths stable. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"jsonl_${Integer.toHexString(dir.hashCode)}")
+    val docs = Tables(s, dir, "documents")
+    docs.repartition(8).write.mode("overwrite").json(out)
+    s.read.schema(docs.schema).json(out)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q144Sql =
+    """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang, source,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_jsonl_roundtrip" -> (q144 _),
     "q39_asof_join" -> (q39 _),
     "q44_json_extract" -> (q44 _),
     "q45_infer_apply" -> (q45 _),
@@ -216,6 +242,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q144_jsonl_roundtrip" -> q144Sql,
     "q39_asof_join" -> q39Sql,
     "q44_json_extract" -> q44Sql,
     "q45_infer_apply" -> q45Sql,

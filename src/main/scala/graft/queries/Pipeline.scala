@@ -1011,6 +1011,36 @@ object Pipeline {
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
+  /** ANALYZE-style table statistics ([[graft.ops.Sharding
+    * .analyzeColumns]]): per-column row/null/exact-distinct counts and
+    * string-rendered min/max over the documents table — the stats
+    * collection pass every optimizer feeds on. Fully oracled (exact
+    * aggregates, binary-collation string rendering on both engines). */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    Sharding.analyzeColumns(Tables(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("col_name"))
+
+  private val q143Sql =
+    """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+      |  count(*) - count(doc_id) AS n_nulls,
+      |  count(DISTINCT doc_id) AS n_distinct,
+      |  CAST(min(doc_id) AS VARCHAR) AS min_val,
+      |  CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+      |UNION ALL
+      |SELECT 'lang', count(*), count(*) - count(lang),
+      |  count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+      |  CAST(max(lang) AS VARCHAR) FROM documents
+      |UNION ALL
+      |SELECT 'source', count(*), count(*) - count(source),
+      |  count(DISTINCT source), CAST(min(source) AS VARCHAR),
+      |  CAST(max(source) AS VARCHAR) FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+      |  count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+      |  CAST(max(n_chars) AS VARCHAR) FROM documents
+      |ORDER BY col_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_ngram_contamination" -> (q96 _),
     "q97_shard_export" -> (q97 _),
@@ -1045,7 +1075,8 @@ object Pipeline {
     "q134_bm25_search" -> (q134 _),
     "q135_zone_map_scan" -> (q135 _),
     "q138_hll_sketch_store" -> (q138 _),
-    "q140_incremental_rollup" -> (q140 _))
+    "q140_incremental_rollup" -> (q140 _),
+    "q143_table_stats" -> (q143 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -1077,5 +1108,6 @@ object Pipeline {
     "q132_phrase_search" -> q132Sql,
     "q134_bm25_search" -> q134Sql,
     "q135_zone_map_scan" -> q135Sql,
-    "q140_incremental_rollup" -> q140Sql)
+    "q140_incremental_rollup" -> q140Sql,
+    "q143_table_stats" -> q143Sql)
 }

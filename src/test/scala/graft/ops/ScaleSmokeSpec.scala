@@ -156,4 +156,70 @@ class ScaleSmokeSpec extends SparkTestBase {
     // it must at least still find SOME pairs and never crash
     assert(c1 >= 0 && c10 >= 0)
   }
+
+  test("k-means refinement at 10x: linear time, full coverage", graft.Slow) {
+    val base = graft.queries.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val big10 = (0 until 10).map(k =>
+        base.withColumn("vec_id", col("vec_id") + lit(k * CopyOffset)))
+      .reduce(_ unionByName _)
+    val dir = graft.TempRoots.path("scale10_kmeans")
+    big10.write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    val n1 = base.count(); val n10 = big.count()
+    def run(d: DataFrame) = VectorOps.kmeansRefine(d, nCells = 8, iters = 3)
+      .collect().map(r => r.getAs[Long]("n_rows"))
+    run(base) // warmup
+    val (s1, t1) = timed(run(base))
+    val (s10, t10) = timed(run(big))
+    assertLinear("kmeansRefine", t1, t10)
+    // every row lands in exactly one cell at both scales
+    assert(s1.sum == n1 && s10.sum == n10)
+  }
+
+  test("IRLS classifier at 10x identical copies: linear time, near-identical model", graft.Slow) {
+    val base = graft.queries.Tables(spark, sfDir, "documents")
+    val docs10 = replicate(base, "scale10_docs_classifier")
+    def run(d: DataFrame) = TextOps.trainQualityClassifier(d, iters = 8)
+    run(base) // warmup
+    val (w1, t1) = timed(run(base))
+    val (w10, t10) = timed(run(docs10))
+    assertLinear("trainQualityClassifier", t1, t10)
+    // 10 identical copies leave every gradient/Hessian MEAN unchanged
+    // up to the final double rounding of 10x-scaled exact sums — the
+    // model must be the same to ~1 ulp per Newton step
+    w1.zip(w10).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+        s"weights diverged: ${w1.toSeq} vs ${w10.toSeq}")
+    }
+  }
+
+  test("pageRank at 10x disjoint copies: linear time, per-copy ranks scale by 1/10", graft.Slow) {
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+    // deterministic sparse digraph from doc ids, then symmetrize
+    val e1 = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % lit(50)).as("dst"))
+    val sym1 = e1.unionByName(
+      e1.select(col("dst").as("src"), col("src").as("dst")))
+    val sym10 = (0 until 10).map(k => sym1
+        .withColumn("src", col("src") + lit(k * CopyOffset))
+        .withColumn("dst", col("dst") + lit(k * CopyOffset)))
+      .reduce(_ unionByName _)
+    def run(d: DataFrame) = GraphOps.pageRank(d, iters = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    run(sym1) // warmup
+    val (r1, t1) = timed(run(sym1))
+    val (r10, t10) = timed(run(sym10))
+    assertLinear("pageRank", t1, t10)
+    assert(r10.size == 10 * r1.size)
+    // 10 disjoint copies split the unit mass: each node's rank is
+    // exactly its original's / 10, up to the 1e-12 quantization and
+    // the output rounding
+    r1.foreach { case (node, rank) =>
+      (0 until 10).foreach { k =>
+        assert(math.abs(r10(node + k * CopyOffset) - rank / 10) <= 2e-6,
+          s"node $node copy $k: ${r10(node + k * CopyOffset)} vs ${rank / 10}")
+      }
+    }
+  }
 }
