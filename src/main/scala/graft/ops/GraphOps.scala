@@ -28,10 +28,17 @@ object GraphOps {
     * re-shuffle — only the narrow rank rows move), then one
     * (dst, contrib) aggregation — contribution = rank/outdeg in
     * double, decimal-rounded and EXACTLY summed (layout-independent),
-    * then r' = (1−d)/N + d·Σ in double. The iterations compose LAZILY
-    * into one linear 2·iters-shuffle DAG executed by the consumer's
-    * single action — no per-iteration materialization, no
-    * driver-side anything beyond the node count.
+    * then r' = (1−d)/N + d·Σ in double. Each iteration's rank vector
+    * is MATERIALIZED (eager localCheckpoint, previous iteration's
+    * blocks freed) — the [[TextOps]] CC-loop convention. Lazy
+    * composition is wrong here: the in-loop broadcast build would
+    * re-execute the whole prior chain once per iteration (O(iters²)
+    * recomputation) and hand the consumer one iters-deep nested plan
+    * to codegen; materializing keeps every iteration's plan two
+    * shuffles deep and the rank rows are a few longs+doubles per
+    * node. (Compute-loop checkpoint, not durable-state staging — a
+    * lost executor fails one query job, nothing durable is mid-
+    * overwrite, so the stageRead discipline does not apply.)
     *
     * At 100 TB the cost is iters × (rank shuffle + contribution
     * shuffle): linear per iteration, no all-pairs anything; hot dst
@@ -39,13 +46,13 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 8,
                damping: Double = 0.85,
                broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    // by the symmetry contract every node appears as a src, so outdeg
+    // IS the node list — its count replaces a distinct over the edge
+    // list, and the deg join broadcasts whenever the rank join would
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.select(col("src"), col("dst"))
-      .join(outdeg, "src")
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node")).distinct()
-    val n = nodes.count().toDouble
+    val n = outdeg.count().toDouble
+    val nodes = outdeg.select(col("src").as("node"))
     if (n == 0) return nodes.select(col("node"), lit(0.0).as("rank"))
     val base = (1.0 - damping) / n
     // two-path rank-side join (the ANN driverProbeLimit discipline):
@@ -54,20 +61,31 @@ object GraphOps {
     // falls back to the shuffle join. The ARITHMETIC is identical on
     // both paths (join strategy never touches values).
     val bcast = n <= broadcastNodeLimit.toDouble
+    val e = edges.select(col("src"), col("dst"))
+      .join(if (bcast) broadcast(outdeg) else outdeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val r = ranks.withColumnRenamed("node", "src")
-      ranks = e
+      val next = e
         .join(if (bcast) broadcast(r) else r, "src")
         .select(col("dst").as("node"),
           (col("rank") / col("deg")).cast("decimal(30,12)").as("c"))
         .groupBy(col("node"))
         .agg((lit(base) + lit(damping) *
           sum(col("c")).cast("double")).as("rank"))
+        .localCheckpoint(true)
+      if (i > 0) ranks.unpersist(blocking = false)
+      ranks = next
     }
+    // outdeg is folded into the cached e by now (the loop materialized
+    // every iteration), so release it; if an evicted e partition ever
+    // recomputes, the lineage rebuilds outdeg from edges — correct,
+    // just slower. e itself stays cached for the consumer's single
+    // action; Verify/Bench unpersist all persistent RDDs between
+    // queries, and any caller can unpersist after consuming.
+    outdeg.unpersist(blocking = false)
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
-    // e stays cached for the consumer's single action; Verify/Bench
-    // unpersist all persistent RDDs between queries, and any caller
-    // can sparkSession.sharedState-level unpersist after consuming
   }
 }

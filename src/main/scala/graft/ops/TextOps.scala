@@ -1164,6 +1164,94 @@ object TextOps {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 4).as("nll"))
   }
 
+  /** Held-out stupid-backoff trigram LM score (Brants et al. 2007,
+    * "Large Language Models in Machine Translation"): train 1/2/3-gram
+    * counts on the even-`doc_id` half of the corpus, score each token
+    * position `i >= 3` of the odd half with
+    * `S(w|u,v) = c3(uvw)/c2(uv)`, backing off to `alpha * c2(vw)/c1(v)`
+    * and finally `alpha^2 * (c1(w)+1)/(N+V)` (add-one floor over the
+    * train token total `N` and vocab `V`). The held-out split is what
+    * makes the backoff real — scoring a corpus under its own counts
+    * never leaves the trigram level. This is the perplexity-filter
+    * shape (CCNet / Gopher quality gates) one level up from
+    * [[unigramNll]].
+    *
+    * Scale: three counting shuffles (keyed by the n-gram string), five
+    * keyed joins of the position table against the count tables, one
+    * per-doc aggregate; the position rows carry only five short
+    * strings, never the document. Cross-engine determinism: per-token
+    * `ln` rounded to 8 decimals and decimal-cast BEFORE the sum, final
+    * mean rounded to 4 (the [[unigramNll]] convention). */
+  def stupidBackoffNll(docs: DataFrame, alpha: Double = 0.4): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      split(coalesce(col("text"), lit("")), " ").as("ws"))
+    val train = base.filter(col("doc_id") % 2 === 0)
+    val scored = base.filter(col("doc_id") % 2 === 1)
+    // n-gram strings at positions i = n..len (filter keeps the
+    // sequence ascending even for docs shorter than n tokens)
+    def gramArr(n: Int): Column =
+      transform(filter(sequence(lit(1), size(col("ws"))), i => i >= n), i =>
+        concat_ws(" ",
+          (n - 1 to 0 by -1).map(o => element_at(col("ws"), i - lit(o))): _*))
+    def counts(n: Int, name: String): DataFrame =
+      train.select(explode(gramArr(n)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as(name))
+    val c1 = counts(1, "c1")
+    val c2 = counts(2, "c2")
+    val c3 = counts(3, "c3")
+    val tot = c1.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("vocab"))
+    val pos = scored.select(col("doc_id"), explode(
+      transform(filter(sequence(lit(1), size(col("ws"))), i => i >= 3), i =>
+        struct(
+          concat_ws(" ", element_at(col("ws"), i - 2),
+            element_at(col("ws"), i - 1), element_at(col("ws"), i)).as("g3"),
+          concat_ws(" ", element_at(col("ws"), i - 2),
+            element_at(col("ws"), i - 1)).as("ctx2"),
+          concat_ws(" ", element_at(col("ws"), i - 1),
+            element_at(col("ws"), i)).as("g2"),
+          element_at(col("ws"), i - 1).as("ctx1"),
+          element_at(col("ws"), i).as("w")))).as("p"))
+      .select(col("doc_id"), col("p.g3"), col("p.ctx2"), col("p.g2"),
+        col("p.ctx1"), col("p.w"))
+    val j = pos
+      .join(c3.withColumnRenamed("g", "g3"), Seq("g3"), "left")
+      .join(c2.select(col("g").as("ctx2"), col("c2").as("cctx2")),
+        Seq("ctx2"), "left")
+      .join(c2.select(col("g").as("g2"), col("c2").as("cg2")),
+        Seq("g2"), "left")
+      .join(c1.select(col("g").as("ctx1"), col("c1").as("cctx1")),
+        Seq("ctx1"), "left")
+      .join(c1.select(col("g").as("w"), col("c1").as("cw")),
+        Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+    val lvl = when(col("c3").isNotNull && col("cctx2").isNotNull, lit(0))
+      .when(col("cg2").isNotNull && col("cctx1").isNotNull, lit(1))
+      .otherwise(lit(2))
+    val score = when(col("lvl") === 0,
+        col("c3").cast("double") / col("cctx2"))
+      .when(col("lvl") === 1,
+        lit(alpha) * (col("cg2").cast("double") / col("cctx1")))
+      .otherwise(lit(alpha) * lit(alpha) *
+        ((coalesce(col("cw"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("n_tok") + col("vocab")).cast("double")))
+    val agg = j.withColumn("lvl", lvl)
+      .withColumn("lp", round(log(score), 8).cast("decimal(18,8)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 4).as("nll3"),
+        sum(when(col("lvl") === 0, lit(1L)).otherwise(lit(0L))).as("n_tri"),
+        sum(when(col("lvl") === 1, lit(1L)).otherwise(lit(0L))).as("n_bi"),
+        sum(when(col("lvl") === 2, lit(1L)).otherwise(lit(0L))).as("n_uni"))
+    scored.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("nll3"), lit(0.0)).as("nll3"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"))
+  }
+
   /** Within-document repetition signals (the Gopher duplicate-n-gram
     * family): fraction of duplicated words / bigrams / trigrams plus a
     * repetitive flag. High values mark boilerplate and degenerate spam

@@ -425,6 +425,49 @@ object Analytic {
       .limit(20)
   }
 
+  /** Count-min-sketch frequency estimation over the document token
+    * stream, audited against the exact counts of the top-20 tokens.
+    * The sketch is Spark's built-in `count_min_sketch` aggregate
+    * (spark-sketch, codegen'd partial aggregation — counter matrices
+    * merge by cell-wise add, so the result is bit-identical under any
+    * partitioning, unlike a sampled sketch). One pass builds the
+    * sketch + token total; the probe deserializes the single ~100 KB
+    * sketch row on the driver and evaluates `estimateCount` via a UDF
+    * over exactly the 20 post-limit audit rows — bounded cold path,
+    * not a hot-path UDF (the repo invariant concerns per-row
+    * pipelines). Rows-only: DuckDB has no CMS; AnalyticSpec pins the
+    * CMS guarantee est ∈ [exact, exact + ⌈eps·N⌉] and cross-layout
+    * determinism instead. At 100 TB the sketch is the point: a
+    * fixed-size (eps,δ) summary of an unbounded token stream,
+    * mergeable across any number of executors — the heavy-hitter
+    * audit (q123) keeps exact counts only for candidates; this keeps
+    * an estimate for EVERY token at O(1/eps·ln 1/δ) memory. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.0005
+    def toks = Tables(s, dir, "documents").select(
+      explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+    val skRow = toks.agg(
+      call_function("count_min_sketch",
+        col("w"), lit(eps), lit(0.99), lit(42)).as("sk"),
+      count(lit(1)).as("n_total")).head()
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+    val bound = math.ceil(eps * skRow.getAs[Long]("n_total")).toLong
+    val bc = s.sparkContext.broadcast(cms)
+    val est = udf((w: String) => bc.value.estimateCount(w))
+    toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("w")).limit(20)
+      .withColumn("cms_est", est(col("w")))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+      .withColumn("within_bound",
+        (col("cms_est") >= col("exact_cnt") &&
+          col("overcount") <= lit(bound)).cast("int").cast("bigint"))
+      .select(col("w"), col("exact_cnt"), col("cms_est"), col("overcount"),
+        col("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("w"))
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -440,7 +483,10 @@ object Analytic {
     "q89_salted_agg" -> (q89 _),
     "q90_salted_join" -> (q90 _),
     "q92_approx_percentiles" -> (q92 _),
-    "q142_pagerank" -> (q142 _))
+    "q142_pagerank" -> (q142 _),
+    "q147_countmin_audit" -> (q147 _))
+  // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
+  // AnalyticSpec pins the CMS bound + layout determinism
 
   val oracle: Map[String, String] = Map(
     "q76_exact_percentiles" -> q76Sql,

@@ -265,6 +265,63 @@ object LlmQueries {
       |FROM t JOIN c USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Held-out stupid-backoff trigram perplexity filter (train on even
+    * doc_ids, score odd) — the LM quality gate one level above q93. */
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    TextOps.stupidBackoffNll(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q145Sql =
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      |           FROM documents),
+      |tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+      |sc AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+      |c1 AS (SELECT w AS g, count(*) AS c1
+      |       FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY 1),
+      |c2 AS (SELECT ws[i-1] || ' ' || ws[i] AS g, count(*) AS c2
+      |       FROM tr, unnest(range(2, len(ws) + 1)) AS t(i) GROUP BY 1),
+      |c3 AS (SELECT ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i] AS g,
+      |         count(*) AS c3
+      |       FROM tr, unnest(range(3, len(ws) + 1)) AS t(i) GROUP BY 1),
+      |tot AS (SELECT sum(c1) AS n_tok, count(*) AS vocab FROM c1),
+      |pos AS (SELECT doc_id,
+      |    ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i] AS g3,
+      |    ws[i-2] || ' ' || ws[i-1] AS ctx2,
+      |    ws[i-1] || ' ' || ws[i] AS g2,
+      |    ws[i-1] AS ctx1, ws[i] AS w
+      |  FROM sc, unnest(range(3, len(ws) + 1)) AS t(i)),
+      |j AS (SELECT pos.doc_id,
+      |    CASE WHEN c3.c3 IS NOT NULL AND cc2.c2 IS NOT NULL THEN 0
+      |         WHEN g2c.c2 IS NOT NULL AND cc1.c1 IS NOT NULL THEN 1
+      |         ELSE 2 END AS lvl,
+      |    CASE WHEN c3.c3 IS NOT NULL AND cc2.c2 IS NOT NULL
+      |           THEN c3.c3::DOUBLE / cc2.c2
+      |         WHEN g2c.c2 IS NOT NULL AND cc1.c1 IS NOT NULL
+      |           THEN 0.4 * (g2c.c2::DOUBLE / cc1.c1)
+      |         ELSE 0.4 * 0.4 * ((coalesce(uw.c1, 0)::DOUBLE + 1.0) /
+      |                           (tot.n_tok + tot.vocab)::DOUBLE) END AS s
+      |  FROM pos LEFT JOIN c3 ON pos.g3 = c3.g
+      |  LEFT JOIN c2 cc2 ON pos.ctx2 = cc2.g
+      |  LEFT JOIN c2 g2c ON pos.g2 = g2c.g
+      |  LEFT JOIN c1 cc1 ON pos.ctx1 = cc1.g
+      |  LEFT JOIN c1 uw ON pos.w = uw.g
+      |  CROSS JOIN tot),
+      |a AS (SELECT doc_id, count(*) AS n_scored,
+      |    round(-(CAST(sum(CAST(round(ln(s), 8) AS DECIMAL(18,8)))
+      |            AS DOUBLE) / count(*)), 4) AS nll3,
+      |    count(*) FILTER (lvl = 0) AS n_tri,
+      |    count(*) FILTER (lvl = 1) AS n_bi,
+      |    count(*) FILTER (lvl = 2) AS n_uni
+      |  FROM j GROUP BY doc_id)
+      |SELECT sc.doc_id,
+      |  CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+      |  coalesce(a.nll3, 0.0) AS nll3,
+      |  CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+      |  CAST(coalesce(a.n_uni, 0) AS BIGINT) AS n_uni
+      |FROM sc LEFT JOIN a ON sc.doc_id = a.doc_id
+      |ORDER BY sc.doc_id""".stripMargin
+
   /** Cross-document boilerplate fraction (substring-dedup signal). */
   private def q94(s: SparkSession, dir: String): DataFrame =
     TextOps.crossDocBoilerplate(Tables(s, dir, "documents"))
@@ -751,6 +808,7 @@ object LlmQueries {
     "q74_ann_recall" -> (q74 _),
     "q75_label_centroids" -> (q75 _),
     "q93_unigram_nll" -> (q93 _),
+    "q145_backoff_nll" -> (q145 _),
     "q94_crossdoc_ngrams" -> (q94 _),
     "q95_pq_ann" -> (q95 _),
     "q108_audio_meta" -> (q108 _),
@@ -791,6 +849,7 @@ object LlmQueries {
     // q74 rows-only: LSH recall is hash-family-specific
     "q75_label_centroids" -> q75Sql,
     "q93_unigram_nll" -> q93Sql,
+    "q145_backoff_nll" -> q145Sql,
     "q94_crossdoc_ngrams" -> q94Sql,
     "q108_audio_meta" -> q108Sql,
     "q115_video_meta" -> q115Sql,

@@ -720,6 +720,51 @@ object Pipeline {
     """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** ORC round-trip (columnar-sink coverage beside parquet/CSV/JSONL):
+    * write a typed lineitem projection to zlib ORC, read it back, and
+    * aggregate every column class — counts, decimal-exact sums of the
+    * doubles, timestamp min/max, and a key checksum —
+    * so the oracle (same aggregate over the parquet source) proves the
+    * sink/scan preserves longs, ints, doubles, strings, and
+    * timestamps. One parallel write + one parallel scan; the ORC
+    * reader is vectorized and the aggregate pushes through it the
+    * same as parquet. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"orc_${Integer.toHexString(dir.hashCode)}")
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate"), col("l_discount"))
+      .repartition(8)
+      .write.mode("overwrite").option("compression", "zlib").orc(out)
+    s.read.orc(out)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(14,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+          .as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        sum(col("l_discount").cast("decimal(14,4)")).cast("double")
+          .as("sum_disc"),
+        sum(col("l_orderkey") * lit(7L) + col("l_linenumber"))
+          .as("key_check"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q146Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(14,4))) AS DOUBLE) AS sum_disc,
+      |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_check
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** CDC merge into a bucketed document store
     * ([[graft.ops.Sharding.mergeCdc]]): init the store from the
     * corpus, apply a deterministic change batch (updates, inserts,
@@ -1076,7 +1121,8 @@ object Pipeline {
     "q135_zone_map_scan" -> (q135 _),
     "q138_hll_sketch_store" -> (q138 _),
     "q140_incremental_rollup" -> (q140 _),
-    "q143_table_stats" -> (q143 _))
+    "q143_table_stats" -> (q143 _),
+    "q146_orc_roundtrip" -> (q146 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -1109,5 +1155,6 @@ object Pipeline {
     "q134_bm25_search" -> q134Sql,
     "q135_zone_map_scan" -> q135Sql,
     "q140_incremental_rollup" -> q140Sql,
-    "q143_table_stats" -> q143Sql)
+    "q143_table_stats" -> q143Sql,
+    "q146_orc_roundtrip" -> q146Sql)
 }

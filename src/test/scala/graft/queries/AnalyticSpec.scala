@@ -93,6 +93,31 @@ class AnalyticSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(viaCsv == direct)
   }
+
+  test("count-min estimates respect the CMS bound and ignore layout") {
+    val rows = q("q147_countmin_audit").collect()
+    assert(rows.length == 20)
+    for (r <- rows) {
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"),
+        s"undercount on ${r.getAs[String]("w")}")
+      assert(r.getAs[Long]("within_bound") == 1L,
+        s"overcount beyond eps*N on ${r.getAs[String]("w")}")
+    }
+    // cell-wise-additive counters ⇒ the merged sketch (and so every
+    // estimate) is identical under any partitioning of the stream
+    val one = spark.read.parquet(s"$sfDir/documents.parquet").coalesce(1)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .agg(call_function("count_min_sketch",
+        col("w"), lit(0.0005), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val many = spark.read.parquet(s"$sfDir/documents.parquet").repartition(13)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .agg(call_function("count_min_sketch",
+        col("w"), lit(0.0005), lit(0.99), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(one, many),
+      "sketch bytes differ across layouts")
+  }
 }
 
 /** Indirection so the spec reads like the driver does (SparkEntry is
