@@ -1164,6 +1164,46 @@ object TextOps {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 4).as("nll"))
   }
 
+  /** Temperature-scaled source mixture sampling — the domain-mixing
+    * step of a training-data pipeline (the α<1 exponent upweights
+    * small sources relative to proportional sampling, the
+    * multinomial-smoothing convention of multilingual LM training):
+    * source s gets quota ⌊k·n_s^α/Σ_t n_t^α + ½⌋, filled by the n_s
+    * docs with the smallest md5(doc_id) — a deterministic,
+    * growth-stable pseudo-random order (the [[stableSample]]
+    * convention: adding documents never reorders the surviving
+    * ranks of untouched ones within a source). Sibling of
+    * [[mixtureSample]]: this DERIVES per-source quotas from corpus
+    * statistics (doc-count temperature scaling); that one
+    * materializes a draw under externally supplied token budgets.
+    *
+    * Scale: one count aggregate (|sources| rows, broadcast back), one
+    * window rank per source partition — no shuffle beyond the rank's
+    * own keyed exchange; skewed sources are exactly the AQE-split
+    * case. Determinism: Σ n^α is decimal-summed over per-source
+    * 8-decimal roundings, so the quota arithmetic is bit-stable under
+    * any partitioning. */
+  def temperatureSample(docs: DataFrame, k: Int = 200,
+                        alpha: Double = 0.5): DataFrame = {
+    require(alpha == 0.5, "oracle parity is pinned for sqrt (alpha=0.5)")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(
+      sum(round(sqrt(col("n_docs").cast("double")), 8)
+        .cast("decimal(18,8)")).cast("double").as("z"))
+    val quota = counts.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        floor(sqrt(col("n_docs").cast("double")) / col("z") * lit(k.toDouble)
+          + lit(0.5)).cast("bigint").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .join(broadcast(quota), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+  }
+
   /** Held-out stupid-backoff trigram LM score (Brants et al. 2007,
     * "Large Language Models in Machine Translation"): train 1/2/3-gram
     * counts on the even-`doc_id` half of the corpus, score each token

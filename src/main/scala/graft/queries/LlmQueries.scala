@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ops.{Bpe, Multimodal, TextOps, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator inventory (BASELINE north star):
@@ -779,7 +779,74 @@ object LlmQueries {
       |  count(*) AS n_vectors
       |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  /** Pairwise label-centroid cosine affinity — the domain-similarity
+    * matrix a mixture designer reads next to q75's centroids (which
+    * label clusters are near-duplicates of each other, which are
+    * orthogonal). Centroid components are the q75 values (decimal-
+    * exact means rounded to 4), so the 10×10/2 matrix is bit-stable;
+    * the cosine is computed dot/(‖a‖·‖b‖) over those rounded
+    * components in index order on both engines. Scale: the centroid
+    * aggregate is one (label, pos)-keyed shuffle of scalar pairs;
+    * the pair join is |labels|² over broadcast-size rows. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val cent = VectorOps.labelCentroids(Tables(s, dir, "embeddings"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_val")))),
+        x => x("mean_val")).as("c"))
+      .select(col("label").cast("bigint").as("label"), col("c"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(dot(col("a.c"), col("b.c")) /
+          (sqrt(dot(col("a.c"), col("a.c"))) *
+            sqrt(dot(col("b.c"), col("b.c")))), 4).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  private val q148Sql =
+    """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+      |             unnest(embedding) AS v FROM embeddings),
+      |c AS (SELECT label, pos,
+      |    round(CAST(avg(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,8)))
+      |          AS DOUBLE), 4) AS m
+      |  FROM e GROUP BY label, pos),
+      |vec AS (SELECT CAST(label AS BIGINT) AS label,
+      |    list(m ORDER BY pos) AS c FROM c GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(list_dot_product(a.c, b.c) /
+      |        (sqrt(list_dot_product(a.c, a.c)) *
+      |         sqrt(list_dot_product(b.c, b.c))), 4) AS cos
+      |FROM vec a JOIN vec b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
+  /** Temperature-scaled mixture draw (α=0.5): quotas from corpus
+    * counts, filled in deterministic md5 order. */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    TextOps.temperatureSample(Tables(s, dir, "documents"))
+      .orderBy(col("source"), col("rk"))
+
+  private val q149Sql =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+      |           GROUP BY source),
+      |z AS (SELECT CAST(sum(CAST(round(sqrt(n_docs::DOUBLE), 8)
+      |        AS DECIMAL(18,8))) AS DOUBLE) AS z FROM c),
+      |q AS (SELECT source,
+      |    CAST(floor(sqrt(n_docs::DOUBLE) / z * 200.0 + 0.5) AS BIGINT)
+      |      AS quota
+      |  FROM c CROSS JOIN z),
+      |r AS (SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |SELECT r.source, r.doc_id, r.rk, q.quota
+      |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+      |ORDER BY r.source, r.rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_label_affinity" -> (q148 _),
+    "q149_temperature_mix" -> (q149 _),
     "q66_multimodal_frames" -> (q66 _),
     "q50_dedup_exact" -> (q50 _),
     "q51_neardup_jaccard" -> (q51 _),
@@ -825,6 +892,8 @@ object LlmQueries {
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
+    "q148_label_affinity" -> q148Sql,
+    "q149_temperature_mix" -> q149Sql,
     "q66_multimodal_frames" -> q66Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_neardup_jaccard" -> q51Sql,
