@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -35,26 +35,35 @@ import org.apache.spark.util.sketch.BloomFilter
 case class BloomMightContain(child: Expression, sketch: Seq[Byte])
   extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType != StringType)
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a string column, got ${child.dataType.simpleString}")
-    else TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // string probes a putString-built sketch, long a putLong-built one
+    // (the two builder paths `stat.bloomFilter` exposes); mixing key
+    // types silently probes the wrong hash family, so anything else
+    // fails analysis rather than returning all-false
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string or bigint column, got ${other.simpleString}")
+  }
 
   override def dataType: DataType = BooleanType
 
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch.toArray))
 
-  /** Row probe — called from both interpreted eval and generated code. */
+  /** Row probes — called from both interpreted eval and generated code. */
   def probe(fp: UTF8String): Boolean = bloom.mightContainBinary(fp.getBytes)
+  def probeLong(v: Long): Boolean = bloom.mightContainLong(v)
 
-  override def nullSafeEval(fp: Any): Any = probe(fp.asInstanceOf[UTF8String])
+  override def nullSafeEval(fp: Any): Any = child.dataType match {
+    case StringType => probe(fp.asInstanceOf[UTF8String])
+    case LongType   => probeLong(fp.asInstanceOf[Long])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomExpr", this,
       classOf[BloomMightContain].getName)
-    nullSafeCodeGen(ctx, ev, fp => s"${ev.value} = $ref.probe($fp);")
+    val method = if (child.dataType == LongType) "probeLong" else "probe"
+    nullSafeCodeGen(ctx, ev, fp => s"${ev.value} = $ref.$method($fp);")
   }
 
   // keep plan strings compact: never render the sketch bytes

@@ -40,6 +40,55 @@ object Relational {
     * double (see class doc: decimal stays internal, double goes out). */
   private def asD(c: Column): Column = c.cast("double")
 
+  /** Bloom-pruned join — the runtime-filter (semi-join pushdown)
+    * pattern made explicit: the dimension slice builds a bloom sketch
+    * of its join keys on the executors (`stat.bloomFilter`, bitwise-OR
+    * merge ⇒ partitioning-independent bits), and the fact side is
+    * probed by the codegen'd `graft_bloom_contains` long-key
+    * expression BEFORE the join shuffle. No false negatives ⇒ the
+    * result equals the plain join exactly (the oracle is that plain
+    * join — false positives die in the real join); what the bloom
+    * buys is never shuffling the ~97% of fact rows whose keys cannot
+    * match. At 100 TB this is the difference between shuffling the
+    * full lineitem and shuffling the urgent slice; Spark's own
+    * InjectRuntimeFilter does this opportunistically, this operator
+    * pins the shape deliberately (and PlanQualitySpec pins the
+    * probe-below-shuffle plan). */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val sel = Tables(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloom = sel.stat.bloomFilter("o_orderkey", 20000L, 0.01)
+    val probe: Column =
+      if (s.catalog.functionExists("graft_bloom_contains")) {
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        call_function("graft_bloom_contains",
+          col("l_orderkey"), lit(out.toByteArray))
+      } else {
+        val mc = udf((k: Long) => bloom.mightContainLong(k))
+        mc(col("l_orderkey"))
+      }
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .where(probe)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        asD(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          18, 6))).as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  private val q150Sql =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   // ---- scan / filter / project / aggregate --------------------------------
 
   /** TPC-H Q1-style pricing summary: full-scan partial+final hash agg. */
@@ -992,6 +1041,7 @@ object Relational {
     "q14_range_join" -> (q14 _),
     "q15_sql_subquery" -> (q15 _),
     "q141_recursive_cte" -> (q141 _),
+    "q150_bloom_join" -> (q150 _),
     "q17_map_fns" -> (q17 _),
     "q19_array_fns" -> (q19 _),
     "q20_distinct_agg" -> (q20 _),
@@ -1037,6 +1087,7 @@ object Relational {
     "q14_range_join" -> q14Sql,
     "q15_sql_subquery" -> q15Sql,
     "q141_recursive_cte" -> q141Sql,
+    "q150_bloom_join" -> q150Sql,
     "q17_map_fns" -> q17Sql,
     "q19_array_fns" -> q19Sql,
     "q20_distinct_agg" -> q20Sql,

@@ -630,6 +630,23 @@ class TextOpsSpec extends SparkTestBase {
     assert(bloomed == viaUdf, "native probe diverged from the UDF fallback")
   }
 
+  test("long-key bloom probe (native) is bit-identical to mightContainLong") {
+    import org.apache.spark.sql.functions.{call_function, lit, udf}
+    val keys = spark.range(0, 5000).toDF("id")
+    val sketch = keys.where(col("id") % 7 === 0).stat.bloomFilter("id", 1000L, 0.01)
+    val out = new java.io.ByteArrayOutputStream()
+    sketch.writeTo(out)
+    val native = keys
+      .where(call_function("graft_bloom_contains", col("id"), lit(out.toByteArray)))
+      .collect().map(_.getLong(0)).toSet
+    val mc = udf((k: Long) => sketch.mightContainLong(k))
+    val viaUdf = keys.where(mc(col("id"))).collect().map(_.getLong(0)).toSet
+    assert(native == viaUdf, "native long probe diverged from the UDF fallback")
+    // bloom has no false negatives: every inserted key must survive
+    val inserted = (0L until 5000L by 7L).toSet
+    assert(inserted.subsetOf(native), (inserted -- native).take(5).toString)
+  }
+
   test("heavyHitters equals the naive groupBy, with counters far below the vocabulary") {
     // a skewed random corpus over ~410 distinct tokens, summarized
     // with only 24 counters — the MG pass is genuinely lossy here, so

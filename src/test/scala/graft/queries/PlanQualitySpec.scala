@@ -328,4 +328,18 @@ class PlanQualitySpec extends SparkTestBase {
     // stream (map-side combine before the only token shuffle)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q150: bloom probe filters the fact side BELOW the join") {
+    val p = plan("q150_bloom_join")
+    // the codegen'd probe must appear as a Filter condition, and no
+    // closure UDF may have replaced it in an extensions-enabled session
+    assert(p.contains("bloommightcontain"), p)
+    assert(!p.toLowerCase.contains("batchevalpython"), p)
+    val probeLine = p.linesIterator.indexWhere(_.contains("bloommightcontain"))
+    // formatted explain lists operators top-down from the sink; the
+    // probe filter must sit strictly deeper than the join node
+    val joinLine = p.linesIterator.indexWhere(_.contains("Join"))
+    assert(probeLine > joinLine,
+      s"probe (line $probeLine) should be below the join (line $joinLine):\n$p")
+  }
 }
