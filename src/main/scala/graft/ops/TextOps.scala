@@ -1164,6 +1164,39 @@ object TextOps {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 4).as("nll"))
   }
 
+  /** Dictionary (vocabulary-id) encoding — the tokenize-to-ids step
+    * between curation and training: the top-`vocabSize` tokens by
+    * (count desc, token) become ids 1..V, everything else maps to the
+    * UNK id 0, and each document is re-expressed as its id sequence
+    * (fingerprinted, with an UNK count — the OOV-rate quality signal).
+    * Word-level sibling of the subword [[Bpe]] encoder: same contract
+    * (deterministic vocab, order-preserving encode), trivial trainer.
+    *
+    * Scale: one token-count shuffle; the vocab is cut by TakeOrdered
+    * top-V (never a global single-partition window over the full
+    * vocabulary — the 256-row rank window runs after the cut), then
+    * broadcast-joined against the token stream; per-doc reassembly is
+    * one doc-keyed shuffle of (pos, id) pairs. */
+  def vocabEncode(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(coalesce(col("text"), lit("")), " "))
+        .as(Seq("pos", "w")))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))).cast("bigint"))
+      .select(col("w"), col("id"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("id", coalesce(col("id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, lit(1L)).otherwise(lit(0L))).as("n_unk"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x("id").cast("string"))).cast("binary")).as("ids_md5"))
+  }
+
   /** Temperature-scaled source mixture sampling — the domain-mixing
     * step of a training-data pipeline (the α<1 exponent upweights
     * small sources relative to proportional sampling, the

@@ -821,6 +821,27 @@ object LlmQueries {
       |FROM vec a JOIN vec b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** Word-level dictionary encoding with a 256-token vocab: id
+    * sequences fingerprinted, UNK (OOV) counts surfaced. */
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabEncode(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q151Sql =
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+      |           FROM documents),
+      |t AS (SELECT doc_id, i AS pos, ws[i] AS w
+      |      FROM d, unnest(range(1, len(ws) + 1)) AS r(i)),
+      |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+      |v AS (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS id
+      |      FROM c ORDER BY cnt DESC, w LIMIT 256),
+      |e AS (SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+      |      FROM t LEFT JOIN v USING (w))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(count(*) FILTER (id = 0) AS BIGINT) AS n_unk,
+      |  md5(array_to_string(list(id::VARCHAR ORDER BY pos), ',')) AS ids_md5
+      |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Temperature-scaled mixture draw (α=0.5): quotas from corpus
     * counts, filled in deterministic md5 order. */
   private def q149(s: SparkSession, dir: String): DataFrame =
@@ -847,6 +868,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_label_affinity" -> (q148 _),
     "q149_temperature_mix" -> (q149 _),
+    "q151_vocab_encode" -> (q151 _),
     "q66_multimodal_frames" -> (q66 _),
     "q50_dedup_exact" -> (q50 _),
     "q51_neardup_jaccard" -> (q51 _),
@@ -894,6 +916,7 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "q148_label_affinity" -> q148Sql,
     "q149_temperature_mix" -> q149Sql,
+    "q151_vocab_encode" -> q151Sql,
     "q66_multimodal_frames" -> q66Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_neardup_jaccard" -> q51Sql,
