@@ -108,6 +108,13 @@ object Bench {
       // it would actually run in.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // the unpersist only DROPS references; the ContextCleaner frees
+      // the executor blocks (and broadcast/accumulator state) after a
+      // DRIVER GC notices them — without this nudge ~150 queries of
+      // dead blocks accumulate and the late queries pay block-manager
+      // + heap pressure the early ones didn't (the r5 lesson, but at
+      // suite scale). Runs OUTSIDE the timed region.
+      System.gc()
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     // The driver captures only a ~2000-char tail of the run's output

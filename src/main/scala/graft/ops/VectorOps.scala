@@ -863,6 +863,50 @@ object VectorOps {
           .cast("double").as("mean_val"),
         count(lit(1)).as("n_vectors"))
 
+  /** Distance-to-label-centroid outlier screen — the embedding-side
+    * mislabel/noise detector a curation pipeline runs after labeling:
+    * each vector's Euclidean distance to ITS label's centroid is
+    * z-scored against that label's distance distribution, and vectors
+    * beyond `zMin` surface for review. Fully oracled: the squared-
+    * distance TERMS are rounded to 8 decimals and decimal-summed per
+    * vector (associative ⇒ layout-independent, and a plain SQL sum —
+    * an index-ordered double fold would tie the result to summation
+    * order), distances rounded to 4 before the moment sums, μ/σ
+    * evaluated in the same double expression shape on both engines.
+    *
+    * Scale: centroid aggregate and per-vector term sum are two keyed
+    * shuffles of scalar rows; centroids and per-label moments are
+    * |labels|-sized broadcasts. */
+  def centroidOutliers(embeddings: DataFrame, zMin: Double = 1.5): DataFrame = {
+    val cent = labelCentroids(embeddings)
+      .select(col("label"), col("pos"), col("mean_val"))
+    val terms = embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") + 1).cast("bigint").as("pos"),
+        col("col").cast("double").as("x"))
+      .join(broadcast(cent), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        round((col("x") - col("mean_val")) * (col("x") - col("mean_val")), 8)
+          .cast("decimal(18,8)").as("t"))
+    val dists = terms.groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(sum(col("t")).cast("double")), 4).as("dist"))
+    val stats = dists.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(18,4)")).cast("double").as("s1"),
+        sum(round(col("dist") * col("dist"), 8).cast("decimal(28,8)"))
+          .cast("double").as("s2"))
+    val mu = col("s1") / col("n")
+    val sigma = sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+    dists.join(broadcast(stats), "label")
+      .where(sigma > 0)
+      .withColumn("z", round((col("dist") - mu) / sigma, 4))
+      .where(col("z") >= zMin)
+      .select(col("vec_id"), col("label").cast("bigint").as("label"),
+        col("dist"), col("z"))
+      .orderBy(col("label"), col("vec_id"))
+  }
+
   /** Recall@k of the LSH-bucketed ANN against the exact brute-force
     * top-k — the self-evaluation every approximate index needs before
     * it replaces the exact path at scale. Left join exact → approx

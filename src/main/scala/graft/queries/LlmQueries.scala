@@ -821,6 +821,39 @@ object LlmQueries {
       |FROM vec a JOIN vec b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** Embedding outliers: distance-to-label-centroid z-score ≥ 1.5 —
+    * the mislabel/noise screen over labeled vectors. */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    VectorOps.centroidOutliers(Tables(s, dir, "embeddings"))
+
+  private val q152Sql =
+    """WITH e AS (SELECT vec_id, label,
+      |    generate_subscripts(embedding, 1) AS pos,
+      |    unnest(embedding) AS x FROM embeddings),
+      |c AS (SELECT label, pos,
+      |    round(CAST(avg(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8)))
+      |          AS DOUBLE), 4) AS m
+      |  FROM e GROUP BY label, pos),
+      |t AS (SELECT e.vec_id, e.label,
+      |    CAST(round((CAST(e.x AS DOUBLE) - c.m) *
+      |               (CAST(e.x AS DOUBLE) - c.m), 8) AS DECIMAL(18,8)) AS t
+      |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos),
+      |d AS (SELECT vec_id, label,
+      |    round(sqrt(CAST(sum(t) AS DOUBLE)), 4) AS dist
+      |  FROM t GROUP BY vec_id, label),
+      |st AS (SELECT label, count(*) AS n,
+      |    CAST(sum(CAST(dist AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(round(dist * dist, 8) AS DECIMAL(28,8)))
+      |         AS DOUBLE) AS s2
+      |  FROM d GROUP BY label),
+      |z AS (SELECT d.vec_id, CAST(d.label AS BIGINT) AS label, d.dist,
+      |    round((d.dist - s1 / n) /
+      |          sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+      |  FROM d JOIN st ON d.label = st.label
+      |  WHERE sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0)
+      |SELECT vec_id, label, dist, z FROM z
+      |WHERE z >= 1.5 ORDER BY label, vec_id""".stripMargin
+
   /** Word-level dictionary encoding with a 256-token vocab: id
     * sequences fingerprinted, UNK (OOV) counts surfaced. */
   private def q151(s: SparkSession, dir: String): DataFrame =
@@ -869,6 +902,7 @@ object LlmQueries {
     "q148_label_affinity" -> (q148 _),
     "q149_temperature_mix" -> (q149 _),
     "q151_vocab_encode" -> (q151 _),
+    "q152_embedding_outliers" -> (q152 _),
     "q66_multimodal_frames" -> (q66 _),
     "q50_dedup_exact" -> (q50 _),
     "q51_neardup_jaccard" -> (q51 _),
@@ -917,6 +951,7 @@ object LlmQueries {
     "q148_label_affinity" -> q148Sql,
     "q149_temperature_mix" -> q149Sql,
     "q151_vocab_encode" -> q151Sql,
+    "q152_embedding_outliers" -> q152Sql,
     "q66_multimodal_frames" -> q66Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_neardup_jaccard" -> q51Sql,
