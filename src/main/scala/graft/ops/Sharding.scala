@@ -280,6 +280,47 @@ object Sharding {
     * read; the exact distinct is the one genuinely heavy aggregate
     * (one shuffle per column), which is the honest price of exact
     * ndv — swap in the q138 HLL store when approximate is enough. */
+  /** SCD2 (type-2 slowly changing dimension) apply — the versioned
+    * twin of [[mergeCdc]]'s overwrite semantics: instead of replacing
+    * a changed row, the current version is CLOSED (`valid_to` set to
+    * the effective timestamp) and a new open version inserted, so
+    * every historical attribute state stays queryable with an as-of
+    * predicate. A change row whose tracked attributes all equal the
+    * current open version is a NO-OP (no spurious version churn —
+    * the differ check is part of the contract, not an optimization).
+    *
+    * `current` must carry `valid_from`/`valid_to` (open = null);
+    * `changes` carries the key + the tracked attributes. Returns the
+    * full post-apply history. Scale: one key join to find genuine
+    * changes + one key anti-join for untouched rows — two keyed
+    * shuffles of dimension-sized (not fact-sized) rows; at 100 TB a
+    * dimension is still the small table, and AQE broadcasts the
+    * change side when it is bounded. */
+  def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
+                attrs: Seq[String], effTs: Column): DataFrame = {
+    val differ = attrs.map(a =>
+      !(col(s"c.$a") <=> col(s"d.$a"))).reduce(_ || _)
+    val real = changes.as("c")
+      .join(current.where(col("valid_to").isNull).as("d"), Seq(key))
+      .where(differ)
+      .select(col(key) +: attrs.map(a => col(s"c.$a")): _*)
+    val changedKeys = real.select(col(key), lit(1).as("ch"))
+    // one left join classifies every existing row: close the open
+    // version of a changed key, keep everything else verbatim —
+    // including the PRIOR closed versions of changed keys (history is
+    // append-only; only the open row ever mutates)
+    val history = current
+      .join(changedKeys, Seq(key), "left")
+      .withColumn("valid_to",
+        when(col("ch").isNotNull && col("valid_to").isNull, effTs)
+          .otherwise(col("valid_to")))
+      .drop("ch")
+    val opened = real
+      .withColumn("valid_from", effTs)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    history.unionByName(opened)
+  }
+
   def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       df.agg(

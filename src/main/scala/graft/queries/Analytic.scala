@@ -425,6 +425,113 @@ object Analytic {
       .limit(20)
   }
 
+  /** Ordered event funnel (view → click-after-view →
+    * purchase-after-click): each stage keeps the user's EARLIEST
+    * qualifying timestamp strictly after the previous stage's, so the
+    * funnel measures genuine progression, not co-occurrence. Three
+    * user-keyed aggregates + two user-keyed joins of narrow (user, ts)
+    * rows — at 100 TB the event scan is filtered per stage before any
+    * shuffle and the summary is three rows. Conversion ratios are
+    * computed over the 3-row summary (lag window + broadcast base). */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    def stage(tpe: String) = ev.where(col("event_type") === tpe)
+    val v = stage("view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = stage("click").as("e")
+      .join(v.as("v"),
+        col("e.user_id") === col("v.user_id") && col("e.ts") > col("v.t1"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+      .withColumnRenamed("user_id", "user_id2")
+    val p = stage("purchase").as("e")
+      .join(c.as("c"),
+        col("e.user_id") === col("c.user_id2") && col("e.ts") > col("c.t2"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
+    def summary(df: DataFrame, step: Long, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    val all = summary(v, 1L, "view")
+      .unionByName(summary(c, 2L, "click"))
+      .unionByName(summary(p, 3L, "purchase"))
+    val base = v.agg(count(lit(1)).as("n0"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    all.crossJoin(broadcast(base))
+      .withColumn("conv_from_start",
+        round(col("n_users").cast("double") / col("n0"), 4))
+      .withColumn("conv_from_prev",
+        coalesce(round(col("n_users").cast("double") /
+          lag(col("n_users"), 1).over(w), 4), lit(1.0)))
+      .select(col("step"), col("stage"), col("n_users"),
+        col("conv_from_prev"), col("conv_from_start"))
+      .orderBy(col("step"))
+  }
+
+  private val q153Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |s AS (SELECT 1 AS step, 'view' AS stage, count(*) AS n_users FROM v
+      |      UNION ALL
+      |      SELECT 2, 'click', count(*) FROM c
+      |      UNION ALL
+      |      SELECT 3, 'purchase', count(*) FROM p),
+      |b AS (SELECT count(*) AS n0 FROM v)
+      |SELECT CAST(step AS BIGINT) AS step, stage, n_users,
+      |  coalesce(round(n_users::DOUBLE /
+      |    lag(n_users, 1) OVER (ORDER BY step), 4), 1.0) AS conv_from_prev,
+      |  round(n_users::DOUBLE / n0, 4) AS conv_from_start
+      |FROM s CROSS JOIN b ORDER BY step""".stripMargin
+
+  /** Signup-cohort weekly retention matrix — the other classic event
+    * analytic beside the funnel: users cohorted by the ISO week of
+    * their first signup, activity collapsed to distinct (user, week)
+    * pairs BEFORE the join (the dedup that keeps the join linear in
+    * users×weeks, not events), retention = active/cohort-size via a
+    * first_value window over the offset-0 row. Week arithmetic stays
+    * in exact integer days (both engines truncate to Monday, so the
+    * day delta is always a multiple of 7). */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val act = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("wk")).distinct()
+    val j = su.join(act, "user_id")
+      .where(col("wk") >= col("cohort"))
+      .withColumn("offset_w",
+        (datediff(col("wk").cast("date"), col("cohort").cast("date")) / 7)
+          .cast("bigint"))
+      .groupBy(col("cohort"), col("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort")).orderBy(col("offset_w"))
+    j.withColumn("retention",
+        round(col("n_active").cast("double") /
+          first(col("n_active")).over(w), 4))
+      .orderBy(col("cohort"), col("offset_w"))
+  }
+
+  private val q155Sql =
+    """WITH su AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events),
+      |j AS (SELECT su.cohort,
+      |    date_diff('day', su.cohort::DATE, act.wk::DATE) // 7 AS offset_w,
+      |    count(*) AS n_active
+      |  FROM su JOIN act ON su.user_id = act.user_id
+      |  WHERE act.wk >= su.cohort GROUP BY 1, 2)
+      |SELECT cohort, CAST(offset_w AS BIGINT) AS offset_w, n_active,
+      |  round(n_active::DOUBLE / first_value(n_active)
+      |    OVER (PARTITION BY cohort ORDER BY offset_w), 4) AS retention
+      |FROM j ORDER BY cohort, offset_w""".stripMargin
+
   /** Count-min-sketch frequency estimation over the document token
     * stream, audited against the exact counts of the top-20 tokens.
     * The sketch is Spark's built-in `count_min_sketch` aggregate
@@ -484,7 +591,9 @@ object Analytic {
     "q90_salted_join" -> (q90 _),
     "q92_approx_percentiles" -> (q92 _),
     "q142_pagerank" -> (q142 _),
-    "q147_countmin_audit" -> (q147 _))
+    "q147_countmin_audit" -> (q147 _),
+    "q153_event_funnel" -> (q153 _),
+    "q155_retention_cohorts" -> (q155 _))
   // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
   // AnalyticSpec pins the CMS bound + layout determinism
 
@@ -499,7 +608,9 @@ object Analytic {
     "q83_csv_roundtrip" -> q83Sql,
     "q84_view_pipeline" -> q84Sql,
     "q89_salted_agg" -> q89Sql,
-    "q90_salted_join" -> q90Sql)
+    "q90_salted_join" -> q90Sql,
+    "q153_event_funnel" -> q153Sql,
+    "q155_retention_cohorts" -> q155Sql)
   // q92 intentionally has no oracle (sketch-algorithm-specific values,
   // like q21's HLL estimate); ApproxPercentileSpec bounds its error
   // against q76's exact quartiles instead

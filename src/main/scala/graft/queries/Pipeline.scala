@@ -765,6 +765,65 @@ object Pipeline {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** SCD2 history apply ([[graft.ops.Sharding.scd2Apply]]): version
+    * the customer dimension — a real segment change for custkey%10=3,
+    * a NO-OP change (identical attributes) for custkey%20=7 that must
+    * produce zero version churn. The oracle recomputes close+open
+    * relationally, so green proves the differ check, the close-only-
+    * the-open-row rule, and history preservation end to end. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val dim = cust.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey").cast("bigint").as("c_nationkey"))
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val changes = cust.where(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"),
+        concat(lit("SEG-"), col("c_nationkey").cast("string"))
+          .as("c_mktsegment"),
+        col("c_nationkey").cast("bigint").as("c_nationkey"))
+      .unionByName(cust.where(col("c_custkey") % 20 === 7)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey").cast("bigint").as("c_nationkey")))
+    Sharding.scd2Apply(dim, changes, "c_custkey",
+        Seq("c_mktsegment", "c_nationkey"),
+        lit("2024-06-01 00:00:00").cast("timestamp"))
+      .withColumn("is_current",
+        col("valid_to").isNull.cast("int").cast("bigint"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  private val q154Sql =
+    """WITH dim AS (SELECT c_custkey, c_mktsegment,
+      |    CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+      |ch AS (SELECT c_custkey, 'SEG-' || c_nationkey AS c_mktsegment,
+      |    CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |  FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS BIGINT)
+      |  FROM customer WHERE c_custkey % 20 = 7),
+      |chg AS (SELECT ch.c_custkey, ch.c_mktsegment, ch.c_nationkey
+      |  FROM ch JOIN dim ON ch.c_custkey = dim.c_custkey
+      |  WHERE dim.valid_to IS NULL AND
+      |    (ch.c_mktsegment IS DISTINCT FROM dim.c_mktsegment OR
+      |     ch.c_nationkey IS DISTINCT FROM dim.c_nationkey)),
+      |hist AS (SELECT d.c_custkey, d.c_mktsegment, d.c_nationkey,
+      |    d.valid_from,
+      |    CASE WHEN r.c_custkey IS NOT NULL AND d.valid_to IS NULL
+      |         THEN TIMESTAMP '2024-06-01 00:00:00'
+      |         ELSE d.valid_to END AS valid_to
+      |  FROM dim d LEFT JOIN chg r ON d.c_custkey = r.c_custkey),
+      |op AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+      |    TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to FROM chg)
+      |SELECT c_custkey, c_mktsegment, c_nationkey, valid_from, valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM (SELECT * FROM hist UNION ALL SELECT * FROM op)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   /** CDC merge into a bucketed document store
     * ([[graft.ops.Sharding.mergeCdc]]): init the store from the
     * corpus, apply a deterministic change batch (updates, inserts,
@@ -1122,7 +1181,8 @@ object Pipeline {
     "q138_hll_sketch_store" -> (q138 _),
     "q140_incremental_rollup" -> (q140 _),
     "q143_table_stats" -> (q143 _),
-    "q146_orc_roundtrip" -> (q146 _))
+    "q146_orc_roundtrip" -> (q146 _),
+    "q154_scd2_history" -> (q154 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -1156,5 +1216,6 @@ object Pipeline {
     "q135_zone_map_scan" -> q135Sql,
     "q140_incremental_rollup" -> q140Sql,
     "q143_table_stats" -> q143Sql,
-    "q146_orc_roundtrip" -> q146Sql)
+    "q146_orc_roundtrip" -> q146Sql,
+    "q154_scd2_history" -> q154Sql)
 }
