@@ -61,9 +61,13 @@ object GraphOps {
     // falls back to the shuffle join. The ARITHMETIC is identical on
     // both paths (join strategy never touches values).
     val bcast = n <= broadcastNodeLimit.toDouble
-    val e = edges.select(col("src"), col("dst"))
+    // src-partitioning only pays on the shuffle-join path (the cached
+    // layout then co-locates with every iteration's rank exchange); on
+    // the broadcast path the rank side ships whole, so the extra full
+    // shuffle of the edge list would buy nothing
+    val eJoined = edges.select(col("src"), col("dst"))
       .join(if (bcast) broadcast(outdeg) else outdeg, "src")
-      .repartition(col("src"))
+    val e = (if (bcast) eJoined else eJoined.repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (i <- 0 until iters) {

@@ -824,6 +824,63 @@ object Pipeline {
       |FROM (SELECT * FROM hist UNION ALL SELECT * FROM op)
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Point-in-time (temporal) join over the SCD2 history q154
+    * produces: every order is attributed to the dimension version
+    * valid AT ITS ORDER DATE (`valid_from <= ts < valid_to`), so
+    * pre-1998 orders of re-segmented customers land in the historical
+    * segment and later orders in the new one — the as-of semantics
+    * that make SCD2 histories queryable. Plan: equi-join on the key
+    * with the validity range as a residual condition (one keyed
+    * shuffle; versions-per-key is tiny, so the residual prunes
+    * locally). Fully oracled. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val dim = cust.select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("valid_from", lit("1990-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val changes = cust.where(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"),
+        concat(lit("SEG-"), col("c_nationkey").cast("string"))
+          .as("c_mktsegment"))
+    val hist = Sharding.scd2Apply(dim, changes, "c_custkey",
+      Seq("c_mktsegment"), lit("1998-01-01 00:00:00").cast("timestamp"))
+    Tables(s, dir, "orders")
+      .join(hist, col("o_custkey") === col("c_custkey") &&
+        col("o_orderdate") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q156Sql =
+    """WITH dim AS (SELECT c_custkey, c_mktsegment,
+      |    TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+      |chg AS (SELECT c.c_custkey,
+      |    'SEG-' || c.c_nationkey AS c_mktsegment
+      |  FROM customer c JOIN dim ON c.c_custkey = dim.c_custkey
+      |  WHERE c.c_custkey % 10 = 3 AND dim.valid_to IS NULL
+      |    AND 'SEG-' || c.c_nationkey IS DISTINCT FROM dim.c_mktsegment),
+      |hist AS (SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+      |    CASE WHEN r.c_custkey IS NOT NULL AND d.valid_to IS NULL
+      |         THEN TIMESTAMP '1998-01-01 00:00:00'
+      |         ELSE d.valid_to END AS valid_to
+      |  FROM dim d LEFT JOIN chg r ON d.c_custkey = r.c_custkey
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment,
+      |    TIMESTAMP '1998-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+      |  FROM chg)
+      |SELECT h.c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+      |  AND o.o_orderdate >= h.valid_from
+      |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+      |GROUP BY h.c_mktsegment ORDER BY h.c_mktsegment""".stripMargin
+
   /** CDC merge into a bucketed document store
     * ([[graft.ops.Sharding.mergeCdc]]): init the store from the
     * corpus, apply a deterministic change batch (updates, inserts,
@@ -1182,7 +1239,8 @@ object Pipeline {
     "q140_incremental_rollup" -> (q140 _),
     "q143_table_stats" -> (q143 _),
     "q146_orc_roundtrip" -> (q146 _),
-    "q154_scd2_history" -> (q154 _))
+    "q154_scd2_history" -> (q154 _),
+    "q156_pointintime_join" -> (q156 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -1217,5 +1275,6 @@ object Pipeline {
     "q140_incremental_rollup" -> q140Sql,
     "q143_table_stats" -> q143Sql,
     "q146_orc_roundtrip" -> q146Sql,
-    "q154_scd2_history" -> q154Sql)
+    "q154_scd2_history" -> q154Sql,
+    "q156_pointintime_join" -> q156Sql)
 }

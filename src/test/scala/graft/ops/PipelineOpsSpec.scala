@@ -559,4 +559,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(checksum(graft.TempRoots.path("shard_det_a")) ==
       checksum(graft.TempRoots.path("shard_det_b")))
   }
+
+  test("scd2Apply: closes only the open row, ignores no-ops, replays as a version no-op") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("seg", StringType),
+      StructField("valid_from", TimestampType),
+      StructField("valid_to", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1 already has history (one closed + one open version)
+    val current = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "A", ts("2020-01-01 00:00:00"), ts("2021-01-01 00:00:00")),
+        Row(1L, "B", ts("2021-01-01 00:00:00"), null),
+        Row(2L, "C", ts("2020-01-01 00:00:00"), null),
+        Row(3L, "D", ts("2020-01-01 00:00:00"), null))), schema)
+    val changes = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "B2", null, null), // real change
+        Row(2L, "C", null, null))), schema) // no-op: same attribute
+      .select(col("k"), col("seg"))
+    val eff = lit("2022-01-01 00:00:00").cast("timestamp")
+    val h1 = Sharding.scd2Apply(current, changes, "k", Seq("seg"), eff)
+    val rows = h1.collect()
+    assert(rows.length == 5, rows.mkString("\n")) // +1 version for key 1 only
+    val k1 = rows.filter(_.getLong(0) == 1L).sortBy(r => r.getTimestamp(2).getTime)
+    assert(k1.map(_.getString(1)).toSeq == Seq("A", "B", "B2"))
+    // the prior CLOSED version is untouched, the old open row closed at eff
+    assert(k1(0).getTimestamp(3) == ts("2021-01-01 00:00:00"))
+    assert(k1(1).getTimestamp(3) == ts("2022-01-01 00:00:00"))
+    assert(k1(2).getTimestamp(3) == null)
+    // no-op change: key 2 keeps its single open version
+    assert(rows.count(_.getLong(0) == 2L) == 1)
+    // replay: the same batch against the new history changes nothing
+    val h2 = Sharding.scd2Apply(h1, changes, "k", Seq("seg"),
+      lit("2023-01-01 00:00:00").cast("timestamp"))
+    assert(h2.count() == 5, "replay must not mint new versions")
+  }
 }
