@@ -532,6 +532,64 @@ object Analytic {
       |    OVER (PARTITION BY cohort ORDER BY offset_w), 4) AS retention
       |FROM j ORDER BY cohort, offset_w""".stripMargin
 
+  /** Trailing-window anomaly detection over hourly event-type counts —
+    * the monitoring query every streaming pipeline runs over its own
+    * throughput: each (type, hour) count z-scored against the
+    * preceding 24 full hours (`ROWS -24..-1` — the current row never
+    * contaminates its own baseline). The moments are sums of INTEGER
+    * counts, so μ/σ are exact under any layout with no decimal
+    * scaffolding; only complete windows with positive variance emit.
+    * One hourly pre-aggregate + one type-keyed window — both linear,
+    * both the shape a 100 TB event store wants. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-24, -1)
+    val mu = col("s1").cast("double") / col("n_prev")
+    val sigma = sqrt(col("s2").cast("double") / col("n_prev") - mu * mu)
+    hourly
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n_prev") === 24 && sigma > 0)
+      .select(col("event_type"), col("hr"), col("cnt"),
+        round(mu, 4).as("mu"), round(sigma, 4).as("sigma"),
+        round((col("cnt") - mu) / sigma, 4).as("z"),
+        (abs((col("cnt") - mu) / sigma) >= 3.0).cast("int").cast("bigint")
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val q157Sql =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |    count(*) AS cnt FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, hr, cnt,
+      |    count(*) OVER w AS n_prev,
+      |    sum(cnt) OVER w AS s1,
+      |    sum(cnt * cnt) OVER w AS s2
+      |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, hr, cnt,
+      |  round(s1::DOUBLE / n_prev, 4) AS mu,
+      |  round(sqrt(s2::DOUBLE / n_prev -
+      |    (s1::DOUBLE / n_prev) * (s1::DOUBLE / n_prev)), 4) AS sigma,
+      |  round((cnt - s1::DOUBLE / n_prev) /
+      |    sqrt(s2::DOUBLE / n_prev -
+      |      (s1::DOUBLE / n_prev) * (s1::DOUBLE / n_prev)), 4) AS z,
+      |  CAST(CASE WHEN abs((cnt - s1::DOUBLE / n_prev) /
+      |    sqrt(s2::DOUBLE / n_prev -
+      |      (s1::DOUBLE / n_prev) * (s1::DOUBLE / n_prev))) >= 3.0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM m
+      |WHERE n_prev = 24 AND
+      |  sqrt(s2::DOUBLE / n_prev -
+      |    (s1::DOUBLE / n_prev) * (s1::DOUBLE / n_prev)) > 0
+      |ORDER BY event_type, hr""".stripMargin
+
   /** Count-min-sketch frequency estimation over the document token
     * stream, audited against the exact counts of the top-20 tokens.
     * The sketch is Spark's built-in `count_min_sketch` aggregate
@@ -593,7 +651,8 @@ object Analytic {
     "q142_pagerank" -> (q142 _),
     "q147_countmin_audit" -> (q147 _),
     "q153_event_funnel" -> (q153 _),
-    "q155_retention_cohorts" -> (q155 _))
+    "q155_retention_cohorts" -> (q155 _),
+    "q157_event_anomalies" -> (q157 _))
   // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
   // AnalyticSpec pins the CMS bound + layout determinism
 
@@ -610,7 +669,8 @@ object Analytic {
     "q89_salted_agg" -> q89Sql,
     "q90_salted_join" -> q90Sql,
     "q153_event_funnel" -> q153Sql,
-    "q155_retention_cohorts" -> q155Sql)
+    "q155_retention_cohorts" -> q155Sql,
+    "q157_event_anomalies" -> q157Sql)
   // q92 intentionally has no oracle (sketch-algorithm-specific values,
   // like q21's HLL estimate); ApproxPercentileSpec bounds its error
   // against q76's exact quartiles instead

@@ -881,6 +881,76 @@ object Pipeline {
       |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
       |GROUP BY h.c_mktsegment ORDER BY h.c_mktsegment""".stripMargin
 
+  /** Declarative data-quality expectations (the dbt-test /
+    * expectations-suite shape): each table's checks fold into ONE
+    * conditional-aggregation pass — key uniqueness, null rate,
+    * derived-column consistency, domain membership, value ranges —
+    * and the single-row summaries unpivot into a (table, check,
+    * violations, pass) report. Violation COUNTS, not samples, so the
+    * report is O(checks) regardless of corpus size; a 100 TB run
+    * costs one scan per table. Fully oracled. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val b = (c: Column) => c.cast("int").cast("bigint")
+    val docs = Tables(s, dir, "documents").agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_keys"),
+      sum(b(col("text").isNull)).as("null_text"),
+      sum(b(length(coalesce(col("text"), lit(""))) =!= col("n_chars")))
+        .as("bad_nchars"),
+      sum(b(!col("lang").isin("en", "de", "fr", "es", "zh")))
+        .as("bad_lang"))
+    val ords = Tables(s, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+      sum(b(col("o_totalprice") <= 0)).as("bad_price"),
+      sum(b(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2005-01-01").cast("timestamp")))
+        .as("bad_date"))
+    def report(agg: DataFrame, tbl: String, checks: (String, String)*) =
+      agg.select(explode(array(checks.map { case (name, colName) =>
+        struct(lit(tbl).as("tbl"), lit(name).as("chk"),
+          col(colName).as("violations"), col("n_rows"))
+      }: _*)).as("r")).select(col("r.tbl"), col("r.chk"),
+        col("r.violations"), col("r.n_rows"),
+        (col("r.violations") === 0L).cast("int").cast("bigint").as("pass"))
+    report(docs, "documents",
+      "unique_key" -> "dup_keys", "no_null_text" -> "null_text",
+      "n_chars_consistent" -> "bad_nchars", "lang_in_domain" -> "bad_lang")
+      .unionByName(report(ords, "orders",
+        "unique_key" -> "dup_keys", "price_positive" -> "bad_price",
+        "date_in_range" -> "bad_date"))
+      .orderBy(col("tbl"), col("chk"))
+  }
+
+  private val q158Sql =
+    """WITH d AS (SELECT count(*) AS n_rows,
+      |    count(*) - count(DISTINCT doc_id) AS dup_keys,
+      |    CAST(count(*) FILTER (text IS NULL) AS BIGINT) AS null_text,
+      |    CAST(count(*) FILTER (length(coalesce(text, '')) <> n_chars)
+      |      AS BIGINT) AS bad_nchars,
+      |    CAST(count(*) FILTER (lang NOT IN ('en','de','fr','es','zh'))
+      |      AS BIGINT) AS bad_lang
+      |  FROM documents),
+      |o AS (SELECT count(*) AS n_rows,
+      |    count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+      |    CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS bad_price,
+      |    CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01' OR
+      |      o_orderdate >= TIMESTAMP '2005-01-01') AS BIGINT) AS bad_date
+      |  FROM orders),
+      |r AS (
+      |  SELECT 'documents' AS tbl, 'unique_key' AS chk,
+      |    CAST(dup_keys AS BIGINT) AS violations, n_rows FROM d
+      |  UNION ALL SELECT 'documents', 'no_null_text', null_text, n_rows FROM d
+      |  UNION ALL SELECT 'documents', 'n_chars_consistent', bad_nchars, n_rows FROM d
+      |  UNION ALL SELECT 'documents', 'lang_in_domain', bad_lang, n_rows FROM d
+      |  UNION ALL SELECT 'orders', 'unique_key',
+      |    CAST(dup_keys AS BIGINT), n_rows FROM o
+      |  UNION ALL SELECT 'orders', 'price_positive', bad_price, n_rows FROM o
+      |  UNION ALL SELECT 'orders', 'date_in_range', bad_date, n_rows FROM o)
+      |SELECT tbl, chk, violations, n_rows,
+      |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM r ORDER BY tbl, chk""".stripMargin
+
   /** CDC merge into a bucketed document store
     * ([[graft.ops.Sharding.mergeCdc]]): init the store from the
     * corpus, apply a deterministic change batch (updates, inserts,
@@ -1240,7 +1310,8 @@ object Pipeline {
     "q143_table_stats" -> (q143 _),
     "q146_orc_roundtrip" -> (q146 _),
     "q154_scd2_history" -> (q154 _),
-    "q156_pointintime_join" -> (q156 _))
+    "q156_pointintime_join" -> (q156 _),
+    "q158_data_expectations" -> (q158 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -1276,5 +1347,6 @@ object Pipeline {
     "q143_table_stats" -> q143Sql,
     "q146_orc_roundtrip" -> q146Sql,
     "q154_scd2_history" -> q154Sql,
-    "q156_pointintime_join" -> q156Sql)
+    "q156_pointintime_join" -> q156Sql,
+    "q158_data_expectations" -> q158Sql)
 }
