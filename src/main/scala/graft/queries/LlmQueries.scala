@@ -854,6 +854,102 @@ object LlmQueries {
       |SELECT vec_id, label, dist, z FROM z
       |WHERE z >= 1.5 ORDER BY label, vec_id""".stripMargin
 
+  /** Winsorized per-source length statistics — the robust-moments
+    * report a curation pipeline reads instead of raw means (a handful
+    * of giant or empty documents otherwise dominate): token lengths
+    * clipped at the nearest-rank p05/p95 per source (rank thresholds
+    * in exact integer arithmetic — `ceil(q·n)` as `(q·100·n+99)//100`
+    * — so no interpolation and no float rank), then exact integer
+    * sums for both raw and winsorized means. One rank window + one
+    * broadcast threshold join; ties in length are harmless because
+    * the VALUE at a rank position is order-independent. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents").select(col("source"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("bigint")
+        .as("len"))
+    val w = Window.partitionBy(col("source")).orderBy(col("len"))
+    def rankAt(pct: Int): Column =
+      floor((col("n") * pct + lit(99)) / lit(100)).cast("bigint")
+    val th = base.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("rn") === rankAt(5), col("len"))).as("p05"),
+        min(when(col("rn") === rankAt(95), col("len"))).as("p95"))
+    base.join(broadcast(th), "source")
+      .groupBy(col("source"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        round(sum(col("len")).cast("double") / count(lit(1)), 4)
+          .as("mean_raw"),
+        round(sum(least(greatest(col("len"), col("p05")), col("p95")))
+          .cast("double") / count(lit(1)), 4).as("mean_winsor"),
+        sum((col("len") < col("p05")).cast("int").cast("bigint"))
+          .as("n_clip_lo"),
+        sum((col("len") > col("p95")).cast("int").cast("bigint"))
+          .as("n_clip_hi"))
+      .orderBy(col("source"))
+  }
+
+  private val q159Sql =
+    """WITH b AS (SELECT source,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |r AS (SELECT source, len,
+      |    row_number() OVER (PARTITION BY source ORDER BY len) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n FROM b),
+      |th AS (SELECT source, max(n) AS n_rows,
+      |    min(CASE WHEN rn = (n * 5 + 99) // 100 THEN len END) AS p05,
+      |    min(CASE WHEN rn = (n * 95 + 99) // 100 THEN len END) AS p95
+      |  FROM r GROUP BY source)
+      |SELECT b.source, max(th.n_rows) AS n_rows,
+      |  max(th.p05) AS p05, max(th.p95) AS p95,
+      |  round(CAST(sum(b.len) AS DOUBLE) / count(*), 4) AS mean_raw,
+      |  round(CAST(sum(least(greatest(b.len, th.p05), th.p95)) AS DOUBLE)
+      |    / count(*), 4) AS mean_winsor,
+      |  CAST(count(*) FILTER (b.len < th.p05) AS BIGINT) AS n_clip_lo,
+      |  CAST(count(*) FILTER (b.len > th.p95) AS BIGINT) AS n_clip_hi
+      |FROM b JOIN th ON b.source = th.source
+      |GROUP BY b.source ORDER BY b.source""".stripMargin
+
+  /** Lang × source chi-square contingency audit — the independence
+    * check a dataset card reports (is language balance uniform across
+    * sources, or does one source skew the mix?): observed cell counts
+    * vs expected `r·c/N` with per-cell χ² contributions. Marginals
+    * are window sums of exact integer counts over the ~|langs×sources|
+    * cell table (one tiny shuffle after the counting aggregate); the
+    * double arithmetic is shape-identical on both engines. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val e = (col("r") * col("c")).cast("double") / col("t")
+    val d = col("n") - e
+    cells
+      .withColumn("r", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("c", sum(col("n")).over(Window.partitionBy(col("source"))))
+      .withColumn("t", sum(col("n")).over(Window.partitionBy()))
+      .select(col("lang"), col("source"), col("n"),
+        round(e, 4).as("expected"),
+        round(d * d / e, 4).as("chisq_contrib"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q160Sql =
+    """WITH cells AS (SELECT lang, source, count(*) AS n
+      |  FROM documents GROUP BY lang, source),
+      |m AS (SELECT lang, source, n,
+      |    sum(n) OVER (PARTITION BY lang) AS r,
+      |    sum(n) OVER (PARTITION BY source) AS c,
+      |    sum(n) OVER () AS t FROM cells)
+      |SELECT lang, source, n,
+      |  round(CAST(r * c AS DOUBLE) / t, 4) AS expected,
+      |  round((n - CAST(r * c AS DOUBLE) / t) *
+      |        (n - CAST(r * c AS DOUBLE) / t) /
+      |        (CAST(r * c AS DOUBLE) / t), 4) AS chisq_contrib
+      |FROM m ORDER BY lang, source""".stripMargin
+
   /** Word-level dictionary encoding with a 256-token vocab: id
     * sequences fingerprinted, UNK (OOV) counts surfaced. */
   private def q151(s: SparkSession, dir: String): DataFrame =
@@ -903,6 +999,8 @@ object LlmQueries {
     "q149_temperature_mix" -> (q149 _),
     "q151_vocab_encode" -> (q151 _),
     "q152_embedding_outliers" -> (q152 _),
+    "q159_winsorized_stats" -> (q159 _),
+    "q160_chisq_contingency" -> (q160 _),
     "q66_multimodal_frames" -> (q66 _),
     "q50_dedup_exact" -> (q50 _),
     "q51_neardup_jaccard" -> (q51 _),
@@ -952,6 +1050,8 @@ object LlmQueries {
     "q149_temperature_mix" -> q149Sql,
     "q151_vocab_encode" -> q151Sql,
     "q152_embedding_outliers" -> q152Sql,
+    "q159_winsorized_stats" -> q159Sql,
+    "q160_chisq_contingency" -> q160Sql,
     "q66_multimodal_frames" -> q66Sql,
     "q50_dedup_exact" -> q50Sql,
     "q51_neardup_jaccard" -> q51Sql,
