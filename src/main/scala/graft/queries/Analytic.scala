@@ -541,28 +541,8 @@ object Analytic {
     * scaffolding; only complete windows with positive variance emit.
     * One hourly pre-aggregate + one type-keyed window — both linear,
     * both the shape a 100 TB event store wants. */
-  private def q157(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables(s, dir, "events")
-      .groupBy(col("event_type"),
-        date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("hr"))
-      .rowsBetween(-24, -1)
-    val mu = col("s1").cast("double") / col("n_prev")
-    val sigma = sqrt(col("s2").cast("double") / col("n_prev") - mu * mu)
-    hourly
-      .withColumn("n_prev", count(lit(1)).over(w))
-      .withColumn("s1", sum(col("cnt")).over(w))
-      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
-      .where(col("n_prev") === 24 && sigma > 0)
-      .select(col("event_type"), col("hr"), col("cnt"),
-        round(mu, 4).as("mu"), round(sigma, 4).as("sigma"),
-        round((col("cnt") - mu) / sigma, 4).as("z"),
-        (abs((col("cnt") - mu) / sigma) >= 3.0).cast("int").cast("bigint")
-          .as("is_anomaly"))
-      .orderBy(col("event_type"), col("hr"))
-  }
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.hourlyAnomalies(Tables(s, dir, "events"))
 
   private val q157Sql =
     """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,

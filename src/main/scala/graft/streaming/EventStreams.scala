@@ -423,4 +423,109 @@ object EventStreams {
     * streaming form of the reference's whole program. */
   def streamingInferSchema(jsonDocs: DataFrame): DataFrame =
     jsonDocs.agg(graft.infer.InferSchema.of(col("value"), "ddl").as("ddl"))
+
+  /** Batch form of the throughput anomaly monitor (q157's body, shared
+    * so the streaming twin is parity-checked against the exact same
+    * arithmetic): hourly event-type counts z-scored against the
+    * preceding 24 hourly ROWS (`ROWS -24..-1` — hours without events
+    * produce no row and no gap-filling happens, in batch or stream).
+    * Integer moments ⇒ exact under any layout. */
+  def hourlyAnomalies(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-24, -1)
+    val mu = col("s1").cast("double") / col("n_prev")
+    val sigma = sqrt(col("s2").cast("double") / col("n_prev") - mu * mu)
+    hourly
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n_prev") === 24 && sigma > 0)
+      .select(col("event_type"), col("hr"), col("cnt"),
+        round(mu, 4).as("mu"), round(sigma, 4).as("sigma"),
+        round((col("cnt") - mu) / sigma, 4).as("z"),
+        (abs((col("cnt") - mu) / sigma) >= 3.0).cast("int").cast("bigint")
+          .as("is_anomaly"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  /** One (type, ts) observation for the streaming monitor. */
+  case class TypedTs(event_type: String, ts: Timestamp)
+
+  /** Per-type monitor state: the trailing ring of closed hourly rows
+    * (newest last, ≤ 24 kept — exactly the batch window's frame) and
+    * the still-open hour counts. Bounded: 24 + (lateness/1h + 1)
+    * entries per event type, keyed state on the type shuffle column —
+    * nothing driver-side. */
+  case class AnomalyState(ring: Seq[(Long, Long)], open: Map[Long, Long])
+
+  /** One emitted monitor row (mirrors a [[hourlyAnomalies]] row). */
+  case class HourAnomaly(event_type: String, hr: Timestamp, cnt: Long,
+                         mu: Double, sigma: Double, z: Double,
+                         is_anomaly: Long)
+
+  /** Streaming twin of [[hourlyAnomalies]] — the live form of the
+    * monitoring query: per event type, hourly counts accumulate in
+    * keyed state; when the watermark closes an hour the row is scored
+    * against the trailing 24-row ring with EXACTLY the batch twin's
+    * IEEE sequence (long moments, s/n double divisions,
+    * `BigDecimal.valueOf` HALF_UP rounding — the same ladder Spark's
+    * `round` applies), emitted, and appended to the ring. Hours close
+    * in watermark order, so ring order equals the batch window's row
+    * order; StreamAnomalySpec pins stream == batch on identical
+    * arrival order. Rows with fewer than 24 predecessors or zero
+    * variance are suppressed exactly as in batch. */
+  def anomalyIngest(spark: SparkSession, events: Dataset[TypedTs],
+                    lateness: String = "2 hours"): Dataset[HourAnomaly] = {
+    import spark.implicits._
+    val hourMs = 3600L * 1000L
+
+    def score(ring: Seq[(Long, Long)], hr: Long, cnt: Long)
+        : Option[HourAnomaly] = {
+      if (ring.size != 24) return None
+      val n = ring.size.toLong
+      var s1 = 0L; var s2 = 0L
+      ring.foreach { case (_, c) => s1 += c; s2 += c * c }
+      val mu = s1.toDouble / n
+      val sigma = math.sqrt(s2.toDouble / n - mu * mu)
+      if (!(sigma > 0)) return None
+      def r4(v: Double): Double =
+        java.math.BigDecimal.valueOf(v)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val z = (cnt - mu) / sigma
+      Some(HourAnomaly("", new Timestamp(hr), cnt, r4(mu), r4(sigma),
+        r4(z), if (math.abs(z) >= 3.0) 1L else 0L))
+    }
+
+    def fn(tpe: String, batch: Iterator[TypedTs],
+           state: GroupState[AnomalyState]): Iterator[HourAnomaly] = {
+      var st = state.getOption.getOrElse(AnomalyState(Seq.empty, Map.empty))
+      var open = st.open
+      batch.foreach { e =>
+        val h = Math.floorDiv(e.ts.getTime, hourMs) * hourMs
+        open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, stillOpen) = open.partition { case (h, _) => h + hourMs <= wm }
+      var ring = st.ring
+      val out = Seq.newBuilder[HourAnomaly]
+      closed.toSeq.sortBy(_._1).foreach { case (h, c) =>
+        score(ring, h, c).foreach(a => out += a.copy(event_type = tpe))
+        ring = (ring :+ (h, c)).takeRight(24)
+      }
+      state.update(AnomalyState(ring, stillOpen))
+      if (stillOpen.nonEmpty)
+        state.setTimeoutTimestamp(stillOpen.keys.min + hourMs)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }
