@@ -570,6 +570,79 @@ object Analytic {
       |    (s1::DOUBLE / n_prev) * (s1::DOUBLE / n_prev)) > 0
       |ORDER BY event_type, hr""".stripMargin
 
+  /** Triangle count + global clustering coefficient over the
+    * same-order part co-occurrence graph — the degree-ordered wedge
+    * join (the MapReduce triangle-counting formulation): every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, so
+    * each triangle materializes as exactly ONE wedge whose closing
+    * edge is probed by a third join, and per-vertex wedge fan-out is
+    * bounded by O(√m) — the hub-vertex explosion an id-ordered
+    * orientation would hit is exactly what the degree order prevents
+    * at 100 TB. Wedge total Σd(d−1)/2 and triangle count are exact
+    * integers; the coefficient is one double division. Fully oracled
+    * (the oracle replicates the same orientation). */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
+    val deg = pairs.select(col("x").as("node"))
+      .unionAll(pairs.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+    val oriented = withDeg.select(
+      when(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")), col("x"))
+        .otherwise(col("y")).as("u"),
+      when(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")), col("y"))
+        .otherwise(col("x")).as("v"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg.agg(
+      sum((col("deg") * (col("deg") - 1) / lit(2)).cast("bigint"))
+        .as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(wedges).crossJoin(nEdges)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
+  private val q161Sql =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pairs AS (SELECT DISTINCT a.pk AS x, b.pk AS y
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT node, count(*) AS deg FROM (
+      |    SELECT x AS node FROM pairs
+      |    UNION ALL SELECT y FROM pairs) GROUP BY node),
+      |wd AS (SELECT p.x, p.y, dx.deg AS dx, dy.deg AS dy
+      |  FROM pairs p JOIN deg dx ON p.x = dx.node
+      |  JOIN deg dy ON p.y = dy.node),
+      |o AS (SELECT
+      |    CASE WHEN dx < dy OR (dx = dy AND x < y) THEN x ELSE y END AS u,
+      |    CASE WHEN dx < dy OR (dx = dy AND x < y) THEN y ELSE x END AS v
+      |  FROM wd),
+      |tri AS (SELECT count(*) AS n_triangles
+      |  FROM o e1 JOIN o e2 ON e1.v = e2.u
+      |  WHERE EXISTS (SELECT 1 FROM o e3
+      |    WHERE e3.u = e1.u AND e3.v = e2.v)),
+      |wedges AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+      |    AS n_wedges, count(*) AS n_nodes FROM deg),
+      |ne AS (SELECT count(*) AS n_edges FROM pairs)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+      |FROM tri CROSS JOIN wedges CROSS JOIN ne""".stripMargin
+
   /** Count-min-sketch frequency estimation over the document token
     * stream, audited against the exact counts of the top-20 tokens.
     * The sketch is Spark's built-in `count_min_sketch` aggregate
@@ -632,7 +705,8 @@ object Analytic {
     "q147_countmin_audit" -> (q147 _),
     "q153_event_funnel" -> (q153 _),
     "q155_retention_cohorts" -> (q155 _),
-    "q157_event_anomalies" -> (q157 _))
+    "q157_event_anomalies" -> (q157 _),
+    "q161_triangle_count" -> (q161 _))
   // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
   // AnalyticSpec pins the CMS bound + layout determinism
 
@@ -650,7 +724,8 @@ object Analytic {
     "q90_salted_join" -> q90Sql,
     "q153_event_funnel" -> q153Sql,
     "q155_retention_cohorts" -> q155Sql,
-    "q157_event_anomalies" -> q157Sql)
+    "q157_event_anomalies" -> q157Sql,
+    "q161_triangle_count" -> q161Sql)
   // q92 intentionally has no oracle (sketch-algorithm-specific values,
   // like q21's HLL estimate); ApproxPercentileSpec bounds its error
   // against q76's exact quartiles instead
