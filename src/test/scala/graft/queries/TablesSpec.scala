@@ -2,11 +2,13 @@ package graft.queries
 
 import graft.SparkTestBase
 
-/** Guards for the session-global `nanosAsLong` trade-off (ADVICE r2):
-  * the flag makes any TIMESTAMP(NANOS) column silently read as bigint,
-  * so this spec pins that `events` is — and stays — the ONLY table in
-  * the corpus that needs it. A new NANOS column in any other table
-  * fails here instead of silently degrading to bigint in production. */
+/** Guards for the events-timestamp normalization (ADVICE r2, reworked
+  * when the driver testdata moved from TIMESTAMP(NANOS) to
+  * TIMESTAMP(MICROS, NTZ)): whatever physical layout `events.ts`
+  * ships in, `Tables` must hand every query a microsecond TIMESTAMP;
+  * and because the session-global `nanosAsLong` flag makes any
+  * TIMESTAMP(NANOS) column silently read as bigint, this spec pins
+  * that no OTHER table in the corpus carries one. */
 class TablesSpec extends SparkTestBase {
 
   /** Discovered from the directory, not hardcoded, so a table added to
@@ -34,23 +36,34 @@ class TablesSpec extends SparkTestBase {
     }
   }
 
-  test("events genuinely needs the flag (the guard detects NANOS columns)") {
-    val ns = spark.newSession()
-    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    val e = intercept[Exception] {
-      ns.read.parquet(s"$sfDir/events.parquet").limit(1).count()
-    }
-    // proves the first test would actually flag a new NANOS column
-    assert(e.getMessage.contains("Parquet") || e.getMessage.contains("PARQUET"),
-      s"expected a parquet type error, got: ${e.getMessage}")
-  }
-
-  test("Tables('events') converts ts to microsecond timestamps in a fresh session") {
+  test("Tables('events') yields microsecond timestamps in a fresh session") {
     val ns = spark.newSession()
     ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     val df = Tables(ns, sfDir, "events")
     assert(df.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
     assert(df.limit(1).count() == 1)
+  }
+
+  test("legacy nanos-as-long layout still converts (floor, not toward-zero)") {
+    // Spark cannot WRITE TIMESTAMP(NANOS), so synthesize the post-flag
+    // view of that layout — a bigint ts column — which is exactly what
+    // Tables' LongType branch consumes. Includes a pre-epoch value
+    // whose ns->us division must floor (-1500ns -> -2us), the case
+    // where `div` alone would diverge from DuckDB.
+    val dir = graft.TempRoots.path("legacy_events")
+    val rows = Seq(
+      (1L, -1500L, 7L, "click", 1.0, "{}"),
+      (2L, 1999L, 8L, "view", 2.0, "{}"),
+      (3L, 1_000_000_000L, 9L, "purchase", 3.0, "{}"))
+    spark.createDataFrame(rows)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables(spark, dir, "events")
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val us = got.selectExpr("event_id", "unix_micros(ts) AS us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(us == Map(1L -> -2L, 2L -> 1L, 3L -> 1_000_000L))
   }
 }
