@@ -190,6 +190,74 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Character-trigram substring index — the grep / pg_trgm-style
+    * complement of the word-term index above, for patterns that do
+    * NOT respect token boundaries (infixes, multi-word spans with
+    * their joining spaces): postings are one row per (gram, doc_id)
+    * for each DISTINCT character 3-gram of the document,
+    * bucket-partitioned by the same CRC32 hash so a probe reads only
+    * the pattern's gram buckets. Every substring of length ≥ 3
+    * decomposes into trigrams that ALL occur in any containing
+    * document, so the AND over the pattern's grams is a complete
+    * candidate superset; [[searchSubstring]] then verifies with ONE
+    * `contains` probe over the candidates alone — a doc_id-keyed join
+    * against the corpus, never a full-text rescan.
+    *
+    * Scale: the store is ≤ one row per document character (distinct
+    * grams per doc), two narrow columns; a search moves only the
+    * probed grams' postings (document-frequency-bounded) plus the
+    * candidate documents' text. */
+  def buildTrigramIndex(docs: DataFrame, indexDir: String,
+                        nBuckets: Int = 64): Unit = {
+    val t = coalesce(col("text"), lit(""))
+    docs.select(col("doc_id"),
+        explode(when(length(t) >= 3,
+          array_distinct(transform(sequence(lit(1), length(t) - lit(2)),
+            i => t.substr(i, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .withColumn("bucket", bucketOf(col("gram"), nBuckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("gram"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/grams")
+    docs.agg(count(lit(1)).as("n_docs"),
+        lit(nBuckets.toLong).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Substring (grep-style) search over [[buildTrigramIndex]]'s store:
+    * docs whose text contains `pattern`, with the 1-based position of
+    * the first occurrence and the non-overlapping occurrence count.
+    * Bucket pruning is static (gram buckets are driver-computed
+    * literals, ≤ one int per pattern gram); the candidate AND is a
+    * count-of-matched-grams filter, and the final `contains`
+    * verification touches candidate rows only. */
+  def searchSubstring(docs: DataFrame, indexDir: String,
+                      pattern: String): DataFrame = {
+    require(pattern.length >= 3, "substring search needs >= 3 chars")
+    require(!pattern.contains("'"), "pattern must not contain quotes")
+    val spark = docs.sparkSession
+    val nBuckets = spark.read.parquet(s"$indexDir/meta")
+      .collect().head.getAs[Long]("n_buckets").toInt
+    val grams = pattern.sliding(3).toSeq.distinct
+    val buckets = grams.map(termBucket(_, nBuckets)).distinct
+    val candidates = spark.read.parquet(s"$indexDir/grams")
+      .where(col("bucket").isin(buckets.map(Int.box): _*) &&
+        col("gram").isin(grams: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .where(col("n_grams") === grams.size)
+      .select(col("doc_id"))
+    docs.join(candidates, "doc_id")
+      .where(instr(col("text"), pattern) > 0)
+      .select(col("doc_id"),
+        instr(col("text"), pattern).cast("bigint").as("first_pos"),
+        // non-overlapping count via length shrink — same left-to-right
+        // semantics as the oracle's replace()
+        floor((length(col("text")) -
+            length(expr(s"replace(text, '$pattern', '')"))) /
+          lit(pattern.length)).cast("bigint").as("n_hits"))
+  }
+
   /** BM25-ranked top-k (the Lucene-variant formula):
     * score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
     *            tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).

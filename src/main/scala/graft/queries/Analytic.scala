@@ -688,6 +688,127 @@ object Analytic {
 
   // ---- registry -----------------------------------------------------------
 
+  /** Time-grid densification with forward fill — the resampling step
+    * every event-derived feature table needs (ML feature stores and
+    * monitoring both consume REGULAR series, but events arrive
+    * irregularly): each user's observed span becomes a dense hourly
+    * grid, gap hours carry the last observed hour-close value forward
+    * plus a staleness counter. Hour-close is the LAST event of the
+    * hour by (ts, event_id) — the unique-tiebreak discipline, since
+    * ts alone can collide.
+    *
+    * Scale shape: one (user, hour)-keyed aggregation, a per-user span
+    * explode bounded by span × users (never event count), and ONE
+    * user-partitioned ordered window for both fills — no self-join
+    * per gap, no driver loop. Skew-safe: the window key is the user,
+    * and a user's partition is their span, not their event volume. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val hourly = ev
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("h"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("value"))).as("close"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("h"))
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNotNull.cast("int").cast("bigint")
+          .as("is_observed"),
+        last(col("close"), ignoreNulls = true).over(wf)
+          .as("filled_close"),
+        (unix_timestamp(col("h")) -
+          unix_timestamp(last(when(col("n_events").isNotNull, col("h")),
+            ignoreNulls = true).over(wf)))
+          .divide(lit(3600L)).cast("bigint").as("hours_stale"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  private val q162Sql =
+    """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, ts,
+      |    event_id, value FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, h
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+      |hourly AS (SELECT user_id, h, count(*) AS n_events,
+      |    max(CASE WHEN rn = 1 THEN value END) AS close
+      |  FROM r GROUP BY user_id, h),
+      |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+      |  FROM hourly GROUP BY user_id),
+      |grid AS (SELECT user_id, CAST(gs AS TIMESTAMP) AS h
+      |  FROM span, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |    AS t(gs)),
+      |j AS (SELECT g.user_id, g.h, hourly.n_events, hourly.close
+      |  FROM grid g LEFT JOIN hourly
+      |    ON g.user_id = hourly.user_id AND g.h = hourly.h),
+      |f AS (SELECT user_id, h,
+      |    coalesce(n_events, 0) AS n_events,
+      |    CAST(n_events IS NOT NULL AS BIGINT) AS is_observed,
+      |    last_value(close IGNORE NULLS) OVER w AS filled_close,
+      |    last_value(CASE WHEN n_events IS NOT NULL THEN h END
+      |      IGNORE NULLS) OVER w AS last_h
+      |  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, h, n_events, is_observed, filled_close,
+      |  CAST(date_diff('hour', last_h, h) AS BIGINT) AS hours_stale
+      |FROM f ORDER BY user_id, h""".stripMargin
+
+  /** 2-D Pareto frontier (skyline) — customers no one beats on BOTH
+    * order count and total spend (Börzsönyi et al., "The Skyline
+    * Operator", ICDE 2001). Strict dominance: a dominates b iff a is
+    * ≥ on both axes and > on at least one; equal points tie and both
+    * survive.
+    *
+    * The naive form is an O(n²) self-join; this plan never runs it.
+    * Because only the per-x maximum can survive among rows sharing an
+    * x (anything lower is strictly dominated), the frontier is a
+    * subset of the per-x argmax rows: aggregate max(y) per x (a
+    * domain-sized table, ≤ thousands of distinct order counts at any
+    * scale), compute the running max over STRICTLY larger x with one
+    * ordered window over that tiny table, broadcast it back, and keep
+    * rows where y equals their x's max and exceeds every larger x's
+    * max. Rows shuffle once (the per-customer aggregate); the window
+    * runs over the x-domain, never the data. A continuous x would be
+    * quantile-bucketed first — same plan, bucket id for x. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(asD(sum(dec(col("o_totalprice"), 14, 2))), 4)
+          .as("total_spend"))
+    val bmax = a.groupBy(col("n_orders"))
+      .agg(max(col("total_spend")).as("my"))
+    val hi = bmax.withColumn("hi",
+      max(col("my")).over(Window.orderBy(col("n_orders").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    a.join(broadcast(hi), "n_orders")
+      .where(col("total_spend") === col("my") &&
+        (col("hi").isNull || col("total_spend") > col("hi")))
+      .select(col("c_custkey"), col("n_orders"), col("total_spend"))
+      .orderBy(col("n_orders"), col("c_custkey"))
+  }
+
+  private val q163Sql =
+    """WITH a AS (SELECT o_custkey AS c_custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE),
+      |      4) AS total_spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_custkey, n_orders, total_spend FROM a
+      |WHERE NOT EXISTS (SELECT 1 FROM a b
+      |  WHERE (b.n_orders >= a.n_orders AND b.total_spend > a.total_spend)
+      |     OR (b.n_orders > a.n_orders AND b.total_spend >= a.total_spend))
+      |ORDER BY n_orders, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
@@ -706,7 +827,9 @@ object Analytic {
     "q153_event_funnel" -> (q153 _),
     "q155_retention_cohorts" -> (q155 _),
     "q157_event_anomalies" -> (q157 _),
-    "q161_triangle_count" -> (q161 _))
+    "q161_triangle_count" -> (q161 _),
+    "q162_time_grid_fill" -> (q162 _),
+    "q163_pareto_frontier" -> (q163 _))
   // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
   // AnalyticSpec pins the CMS bound + layout determinism
 
@@ -725,7 +848,9 @@ object Analytic {
     "q153_event_funnel" -> q153Sql,
     "q155_retention_cohorts" -> q155Sql,
     "q157_event_anomalies" -> q157Sql,
-    "q161_triangle_count" -> q161Sql)
+    "q161_triangle_count" -> q161Sql,
+    "q162_time_grid_fill" -> q162Sql,
+    "q163_pareto_frontier" -> q163Sql)
   // q92 intentionally has no oracle (sketch-algorithm-specific values,
   // like q21's HLL estimate); ApproxPercentileSpec bounds its error
   // against q76's exact quartiles instead

@@ -1024,6 +1024,40 @@ object Pipeline {
       idx
     }
 
+  /** The stored character-trigram index q164 probes — same
+    * build-once serving split as [[sharedInvIndex]]. */
+  private val trigramIndexLock = new Object
+  private def sharedTrigramIndex(s: SparkSession, dir: String): String =
+    trigramIndexLock.synchronized {
+      val idx = graft.TempRoots.path(
+        s"trgidx_shared_${Integer.toHexString(dir.hashCode)}")
+      if (!new java.io.File(s"$idx/meta").exists())
+        InvertedIndex.buildTrigramIndex(
+          Tables(s, dir, "documents"), idx, nBuckets = 64)
+      idx
+    }
+
+  /** Substring (grep-style) search over the stored trigram index
+    * ([[graft.ops.InvertedIndex.searchSubstring]]): the pattern spans
+    * a word boundary, so no word-term index can answer it — the
+    * trigram AND produces a candidate superset from the probed gram
+    * buckets alone and one `contains` pass over the candidates
+    * removes coincidental gram co-occurrence. The oracle recomputes
+    * the match by scanning the raw text — a green row proves the
+    * index-pruned search misses nothing the scan finds. */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.searchSubstring(Tables(s, dir, "documents"),
+        sharedTrigramIndex(s, dir), "slow merge")
+      .orderBy(col("doc_id"))
+
+  private val q164Sql =
+    """SELECT doc_id,
+      |  CAST(position('slow merge' IN text) AS BIGINT) AS first_pos,
+      |  CAST((len(text) - len(replace(text, 'slow merge', ''))) // 10
+      |    AS BIGINT) AS n_hits
+      |FROM documents WHERE contains(text, 'slow merge')
+      |ORDER BY doc_id""".stripMargin
+
   /** Boolean AND search over the stored inverted index
     * ([[graft.ops.InvertedIndex]]): probe three terms reading ONLY
     * their bucket partitions, return docs containing all three. The
@@ -1311,7 +1345,8 @@ object Pipeline {
     "q146_orc_roundtrip" -> (q146 _),
     "q154_scd2_history" -> (q154 _),
     "q156_pointintime_join" -> (q156 _),
-    "q158_data_expectations" -> (q158 _))
+    "q158_data_expectations" -> (q158 _),
+    "q164_trigram_search" -> (q164 _))
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,
@@ -1348,5 +1383,6 @@ object Pipeline {
     "q146_orc_roundtrip" -> q146Sql,
     "q154_scd2_history" -> q154Sql,
     "q156_pointintime_join" -> q156Sql,
-    "q158_data_expectations" -> q158Sql)
+    "q158_data_expectations" -> q158Sql,
+    "q164_trigram_search" -> q164Sql)
 }

@@ -193,4 +193,61 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(files.forall(f => buckets.exists(b => f.contains(s"bucket=$b"))),
       files.mkString("\n"))
   }
+
+  private lazy val trgIdx = {
+    val dir = graft.TempRoots.path("trgidx_spec")
+    InvertedIndex.buildTrigramIndex(docs, dir, nBuckets = 16)
+    dir
+  }
+
+  test("substring search equals the brute-force contains scan") {
+    val pat = "slow merge"
+    val got = InvertedIndex.searchSubstring(docs, trgIdx, pat).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_pos"),
+        r.getAs[Long]("n_hits"))).toSet
+    val want = docs.where(instr(col("text"), pat) > 0)
+      .select(col("doc_id"), instr(col("text"), pat).cast("bigint"),
+        ((length(col("text")) -
+          length(expr(s"replace(text, '$pat', '')"))) / pat.length)
+          .cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "precondition: the pattern occurs in the corpus")
+    assert(got == want)
+  }
+
+  test("contains-verification removes coincidental gram co-occurrence") {
+    // 'par' 'ark' both occur (inside 'spark') but never adjacently as
+    // 'park' starting a word — craft a doc set where the candidate AND
+    // fires yet the substring is absent
+    val d = spark.createDataFrame(Seq(
+      (1L, "park bench"),            // true hit
+      (2L, "spar ark"),              // has 'par' and 'ark', no 'park'
+      (3L, "nothing here"))).toDF("doc_id", "text")
+    val dir = graft.TempRoots.path("trgidx_fp")
+    InvertedIndex.buildTrigramIndex(d, dir, nBuckets = 8)
+    val got = InvertedIndex.searchSubstring(d, dir, "park").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("first_pos")))
+    assert(got.toSeq == Seq((1L, 1L)))
+    // and the candidate stage really did consider doc 2 (superset
+    // property: all grams of the pattern occur in it)
+    val grams = "park".sliding(3).toSeq
+    val cand = spark.read.parquet(s"$dir/grams")
+      .where(col("gram").isin(grams: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .where(col("n") === grams.size)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cand == Set(1L, 2L))
+  }
+
+  test("the substring probe prunes to the pattern grams' buckets") {
+    val pat = "slow merge"
+    val grams = pat.sliding(3).toSeq.distinct
+    val buckets =
+      grams.map(InvertedIndex.termBucket(_, 16)).distinct.sorted
+    val p = InvertedIndex.searchSubstring(docs, trgIdx, pat)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(buckets.forall(b => pf.contains(b.toString)), s"$buckets not in $pf")
+  }
 }

@@ -125,3 +125,95 @@ class AnalyticSpec extends SparkTestBase {
 private object SparkEntryRef {
   def queries = graft.SparkEntry.queries
 }
+
+/** Invariants for the time-grid fill and Pareto-frontier operators
+  * beyond what the DuckDB gate proves: grid density/bounds and
+  * fill semantics on q162; frontier == brute-force dominance scan
+  * (including the equal-point tie rule) on q163. */
+class GridAndSkylineSpec extends SparkTestBase {
+
+  private def q(name: String) = SparkEntryRef.queries(name)(spark, sfDir)
+
+  test("the hourly grid is dense and bounded by each user's observed span") {
+    val rows = q("q162_time_grid_fill")
+      .select(col("user_id"), col("h"), col("n_events"), col("is_observed"))
+      .collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    for ((_, rs) <- byUser) {
+      val hs = rs.map(_.getAs[java.sql.Timestamp]("h").getTime).sorted
+      // dense: consecutive grid hours are exactly 1h apart, ends observed
+      assert(hs.zip(hs.tail).forall { case (a, b) => b - a == 3600000L })
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      assert(sorted.head.getAs[Long]("is_observed") == 1L)
+      assert(sorted.last.getAs[Long]("is_observed") == 1L)
+    }
+  }
+
+  test("gap hours carry the last observed close forward with true staleness") {
+    val rows = q("q162_time_grid_fill").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    var sawGap = false
+    for ((_, rs) <- byUser) {
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      var lastClose = Option.empty[Double]
+      var stale = 0L
+      for (r <- sorted) {
+        if (r.getAs[Long]("is_observed") == 1L) {
+          lastClose = Some(r.getAs[Double]("filled_close"))
+          stale = 0L
+        } else {
+          sawGap = true
+          stale += 1L
+          assert(r.getAs[Long]("n_events") == 0L)
+          assert(Some(r.getAs[Double]("filled_close")) == lastClose,
+            "gap hour must carry the previous close")
+        }
+        assert(r.getAs[Long]("hours_stale") == stale)
+      }
+    }
+    assert(sawGap, "precondition: the corpus has gap hours to fill")
+  }
+
+  test("pareto frontier equals the brute-force dominance scan, ties survive") {
+    val a = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(14,2)"))
+          .cast("double"), 4).as("total_spend"))
+      .collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("total_spend")))
+    val want = a.filter { case (_, x, y) =>
+      !a.exists { case (_, x2, y2) =>
+        (x2 >= x && y2 > y) || (x2 > x && y2 >= y)
+      }
+    }.map(t => (t._1, t._2, t._3)).toSet
+    val got = q("q163_pareto_frontier").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("total_spend"))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("equal points on both axes both survive (synthetic tie)") {
+    import graft.ops.{GraphOps => _}
+    val d = spark.createDataFrame(Seq(
+      (1L, 5L, 10.0), (2L, 5L, 10.0),   // tied frontier pair
+      (3L, 5L, 9.0),                    // dominated within x
+      (4L, 6L, 8.0),                    // frontier (higher x)
+      (5L, 4L, 10.0)                    // dominated by 1/2 (same y, lower x)
+    )).toDF("id", "x", "y")
+    val bmax = d.groupBy(col("x")).agg(max(col("y")).as("my"))
+    val hi = bmax.withColumn("hi",
+      max(col("my")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("x").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)))
+    val got = d.join(broadcast(hi), "x")
+      .where(col("y") === col("my") &&
+        (col("hi").isNull || col("y") > col("hi")))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
+}
