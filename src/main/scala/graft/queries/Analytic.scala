@@ -702,7 +702,10 @@ object Analytic {
     * user-partitioned ordered window for both fills — no self-join
     * per gap, no driver loop. Skew-safe: the window key is the user,
     * and a user's partition is their span, not their event volume. */
-  private def q162(s: SparkSession, dir: String): DataFrame = {
+  /** Shared core of q162/q165: each user's events collapsed to
+    * (hour, count, hour-close) and left-joined onto that user's dense
+    * hourly span grid — gap hours surface as null n_events/close. */
+  private def hourlyEventGrid(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables(s, dir, "events")
     val hourly = ev
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
@@ -718,9 +721,13 @@ object Analytic {
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
           .as("h"))
+    grid.join(hourly, Seq("user_id", "h"), "left")
+  }
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
     val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "h"), "left")
+    hourlyEventGrid(s, dir)
       .select(col("user_id"), col("h"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         col("n_events").isNotNull.cast("int").cast("bigint")
@@ -760,6 +767,85 @@ object Analytic {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT user_id, h, n_events, is_observed, filled_close,
       |  CAST(date_diff('hour', last_h, h) AS BIGINT) AS hours_stale
+      |FROM f ORDER BY user_id, h""".stripMargin
+
+  /** Linear interpolation across gap hours — [[q162]]'s forward fill
+    * is the right resample for state-like series (a configuration, a
+    * balance); for RATE-like series the standard estimate is the
+    * line between the surrounding observations. Every gap hour sits
+    * strictly inside its user's observed span (the grid is bounded by
+    * observed endpoints), so both neighbors always exist — no
+    * extrapolation case. The weight is a ratio of exact integer
+    * second-counts evaluated in double with the identical expression
+    * shape on both engines — bit-equal unrounded (see below).
+    *
+    * Same scale shape as q162: TWO user-partitioned ordered window
+    * passes (one forward, one backward) instead of a per-gap
+    * self-join or any driver loop. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("n_events").isNotNull, col("h"))
+    val g = hourlyEventGrid(s, dir)
+      .select(col("user_id"), col("h"), col("close"),
+        col("n_events").isNotNull.cast("int").cast("bigint")
+          .as("is_observed"),
+        last(col("close"), ignoreNulls = true).over(wb).as("pv"),
+        first(col("close"), ignoreNulls = true).over(wa).as("nv"),
+        unix_timestamp(last(obsH, ignoreNulls = true).over(wb)).as("pu"),
+        unix_timestamp(first(obsH, ignoreNulls = true).over(wa)).as("nu"))
+    // UNROUNDED: the two engines run the identical IEEE expression
+    // (same integer ratio, same multiply-add order) so the doubles
+    // are bit-equal as-is; a final round(,4) would REINTRODUCE
+    // divergence, because Spark rounds the shortest decimal rendering
+    // (BigDecimal.valueOf) while DuckDB rounds the exact binary —
+    // half-ulp inputs split between 4th-decimal neighbors.
+    g.select(col("user_id"), col("h"), col("is_observed"),
+        when(col("is_observed") === 1L, col("close"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((unix_timestamp(col("h")) - col("pu")).cast("double") /
+              (col("nu") - col("pu")).cast("double")))
+          .as("interp_close"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  private val q165Sql =
+    """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, ts,
+      |    event_id, value FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, h
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+      |hourly AS (SELECT user_id, h, count(*) AS n_events,
+      |    max(CASE WHEN rn = 1 THEN value END) AS close
+      |  FROM r GROUP BY user_id, h),
+      |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+      |  FROM hourly GROUP BY user_id),
+      |grid AS (SELECT user_id, CAST(gs AS TIMESTAMP) AS h
+      |  FROM span, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+      |    AS t(gs)),
+      |j AS (SELECT g.user_id, g.h, hourly.n_events, hourly.close
+      |  FROM grid g LEFT JOIN hourly
+      |    ON g.user_id = hourly.user_id AND g.h = hourly.h),
+      |f AS (SELECT user_id, h, close,
+      |    CAST(n_events IS NOT NULL AS BIGINT) AS is_observed,
+      |    last_value(close IGNORE NULLS) OVER wb AS pv,
+      |    first_value(close IGNORE NULLS) OVER wa AS nv,
+      |    last_value(CASE WHEN n_events IS NOT NULL THEN h END
+      |      IGNORE NULLS) OVER wb AS ph,
+      |    first_value(CASE WHEN n_events IS NOT NULL THEN h END
+      |      IGNORE NULLS) OVER wa AS nh
+      |  FROM j WINDOW
+      |    wb AS (PARTITION BY user_id ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (PARTITION BY user_id ORDER BY h
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, h, is_observed,
+      |  CASE WHEN is_observed = 1 THEN close
+      |    ELSE pv + (nv - pv) *
+      |      (CAST(date_diff('second', ph, h) AS DOUBLE) /
+      |       CAST(date_diff('second', ph, nh) AS DOUBLE)) END
+      |    AS interp_close
       |FROM f ORDER BY user_id, h""".stripMargin
 
   /** 2-D Pareto frontier (skyline) — customers no one beats on BOTH
@@ -829,7 +915,8 @@ object Analytic {
     "q157_event_anomalies" -> (q157 _),
     "q161_triangle_count" -> (q161 _),
     "q162_time_grid_fill" -> (q162 _),
-    "q163_pareto_frontier" -> (q163 _))
+    "q163_pareto_frontier" -> (q163 _),
+    "q165_linear_interp" -> (q165 _))
   // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
   // AnalyticSpec pins the CMS bound + layout determinism
 
@@ -850,7 +937,8 @@ object Analytic {
     "q157_event_anomalies" -> q157Sql,
     "q161_triangle_count" -> q161Sql,
     "q162_time_grid_fill" -> q162Sql,
-    "q163_pareto_frontier" -> q163Sql)
+    "q163_pareto_frontier" -> q163Sql,
+    "q165_linear_interp" -> q165Sql)
   // q92 intentionally has no oracle (sketch-algorithm-specific values,
   // like q21's HLL estimate); ApproxPercentileSpec bounds its error
   // against q76's exact quartiles instead

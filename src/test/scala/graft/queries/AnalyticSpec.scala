@@ -175,6 +175,51 @@ class GridAndSkylineSpec extends SparkTestBase {
     assert(sawGap, "precondition: the corpus has gap hours to fill")
   }
 
+  test("linear interpolation lies on the segment between surrounding closes") {
+    val q162r = q("q162_time_grid_fill")
+      .select(col("user_id"), col("h"), col("is_observed"),
+        col("filled_close")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp]("h").getTime) ->
+        (r.getAs[Long]("is_observed"), r.getAs[Double]("filled_close")))
+      .toMap
+    val rows = q("q165_linear_interp").collect()
+    var checkedGap = false
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    for ((_, rs) <- byUser) {
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      // walk gaps: value must sit strictly between (or at) the
+      // surrounding observed closes and progress monotonically toward
+      // the next observation
+      var i = 0
+      while (i < sorted.length) {
+        val r = sorted(i)
+        val key = (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("h").getTime)
+        val (obs, filled) = q162r(key)
+        assert(r.getAs[Long]("is_observed") == obs)
+        if (obs == 1L)
+          assert(r.getAs[Double]("interp_close") == filled,
+            "observed hours pass the close through unchanged")
+        else {
+          checkedGap = true
+          // find surrounding observed values
+          val prev = (i - 1 to 0 by -1)
+            .find(j => sorted(j).getAs[Long]("is_observed") == 1L).get
+          val next = (i + 1 until sorted.length)
+            .find(j => sorted(j).getAs[Long]("is_observed") == 1L).get
+          val pv = sorted(prev).getAs[Double]("interp_close")
+          val nv = sorted(next).getAs[Double]("interp_close")
+          val w = (i - prev).toDouble / (next - prev).toDouble
+          val want = pv + (nv - pv) * w
+          assert(r.getAs[Double]("interp_close") == want,
+            s"gap interp at $key: got ${r.getAs[Double]("interp_close")}, want $want")
+        }
+        i += 1
+      }
+    }
+    assert(checkedGap, "precondition: the corpus has gap hours")
+  }
+
   test("pareto frontier equals the brute-force dominance scan, ties survive") {
     val a = spark.read.parquet(s"$sfDir/orders.parquet")
       .groupBy(col("o_custkey").as("c_custkey"))
