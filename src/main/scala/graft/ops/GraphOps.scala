@@ -8,7 +8,7 @@ import org.apache.spark.storage.StorageLevel
   * shape (edges partitioned ONCE by source and cached; each iteration
   * ships only (dst, contribution) pairs through one keyed shuffle)
   * without the GraphX dependency, and with the repo's determinism
-  * discipline: per-iteration contributions are DECIMAL-summed, so the
+  * discipline: per-iteration contributions are exactly summed, so the
   * rank vector is bit-identical on any partitioning.
   *
   * [[TextOps]] already holds the connected-components loop (q64);
@@ -27,7 +27,8 @@ object GraphOps {
     * (src, dst, deg) edge list with the rank vector (edges never
     * re-shuffle — only the narrow rank rows move), then one
     * (dst, contrib) aggregation — contribution = rank/outdeg in
-    * double, decimal-rounded and EXACTLY summed (layout-independent),
+    * double, quantized to 1e-12 micro-units and EXACTLY long-summed
+    * (layout-independent),
     * then r' = (1−d)/N + d·Σ in double. Each iteration's rank vector
     * is MATERIALIZED (eager localCheckpoint, previous iteration's
     * blocks freed) — the [[TextOps]] CC-loop convention. Lazy
@@ -74,11 +75,18 @@ object GraphOps {
       val r = ranks.withColumnRenamed("node", "src")
       val next = e
         .join(if (bcast) broadcast(r) else r, "src")
+        // micro-unit (1e-12) INTEGER contributions: same 12-decimal
+        // HALF_UP quantization as a decimal(_,12) cast, but the sum
+        // is a codegen'd long add instead of per-row BigDecimal
+        // allocation — the cast was ~40% of each iteration's wall
+        // time. Still exactly associative ⇒ layout-independent.
+        // Bounds: |c| ≤ 1e12 and Σc ≤ 1e12·mass(=1) ≪ 2^63.
         .select(col("dst").as("node"),
-          (col("rank") / col("deg")).cast("decimal(30,12)").as("c"))
+          round((col("rank") / col("deg")) * lit(1e12))
+            .cast("long").as("c"))
         .groupBy(col("node"))
         .agg((lit(base) + lit(damping) *
-          sum(col("c")).cast("double")).as("rank"))
+          (sum(col("c")).cast("double") / lit(1e12))).as("rank"))
         .localCheckpoint(true)
       if (i > 0) ranks.unpersist(blocking = false)
       ranks = next

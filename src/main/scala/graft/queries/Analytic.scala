@@ -584,9 +584,19 @@ object Analytic {
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // (x, y) long pairs only — checkpointed eagerly because FIVE
+    // consumers read it (deg, both orientation joins via withDeg, the
+    // edge count, and transitively every tri alias): without the
+    // barrier each alias re-runs the lineitem self-join + distinct
+    // (the dominant cost), and the same applies one level up to
+    // `oriented` below, which the triangle probe reads three times
+    // under different join keys (no exchange reuse across them). The
+    // two checkpoints took this query from 17.9s to the cost of one
+    // pair materialization at sf0.1.
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
+      .localCheckpoint(true)
     val deg = pairs.select(col("x").as("node"))
       .unionAll(pairs.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -600,12 +610,34 @@ object Analytic {
       when(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")), col("y"))
         .otherwise(col("x")).as("v"))
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
-      .join(oriented.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"),
-        "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    // Edge-iterator intersection instead of wedge-materialize-then-
+    // semi-join: the wedge join emits Σ out(v)·in(v) rows (49M at
+    // sf0.1 — it alone made this query 12s), while intersecting the
+    // two endpoints' OUT-adjacency per edge touches only
+    // Σ(|adj(u)|+|adj(v)|) ints inside one codegen'd expression and
+    // shuffles nothing: the adjacency table is |nodes| rows (out-
+    // degree ≤ √m under the degree orientation, so ≤ √m longs per
+    // row) and broadcasts. Each triangle u→v, u→w, v→w is counted
+    // exactly once, at its (u,v) edge — w sits in adj(u) ∩ adj(v);
+    // the other two edges find no completing vertex in OUT-adjacency.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val native = scala.util.Try(s.sessionState.functionRegistry
+      .functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_isect")))
+      .getOrElse(false)
+    def isect(a: Column, b: Column): Column =
+      // neighbor lists are sets, so the composed fallback is exact
+      if (native) call_function("graft_isect", a, b)
+      else size(array_intersect(a, b)).cast("long")
+    val empty = array().cast("array<bigint>")
+    val tri = oriented
+      .join(broadcast(adj), "u")
+      .join(broadcast(adj.select(col("u").as("v"),
+        col("nbrs").as("nbrs_v"))), Seq("v"), "left")
+      .agg(coalesce(sum(isect(col("nbrs"),
+        coalesce(col("nbrs_v"), empty))), lit(0L)).as("n_triangles"))
     val wedges = deg.agg(
       sum((col("deg") * (col("deg") - 1) / lit(2)).cast("bigint"))
         .as("n_wedges"),

@@ -26,23 +26,24 @@ class GraphOpsSpec extends SparkTestBase {
     assert(collect(edges.repartition(5)) == got)
 
     // local mirror: same init, same contribution arithmetic
-    // (rank/deg in double → decimal(30,12) HALF_UP → exact sum →
-    // base + d·sum in double), same rounding
-    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
+    // (rank/deg in double → ×1e12 → HALF_UP to integer micro-units,
+    // the exact sequence of Spark's round(x·1e12).cast(long) →
+    // exact long sum → base + d·(sum/1e12) in double), same rounding
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.length.toDouble
     val deg = edgeSeq.groupBy(_._1).map { case (s, es) => s -> es.length }
     val base = (1.0 - 0.85) / n
     var rank = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 0 until 8) {
-      val sums = scala.collection.mutable.Map[Long, java.math.BigDecimal]()
+      val sums = scala.collection.mutable.Map[Long, Long]()
       edgeSeq.foreach { case (s, d) =>
-        val c = dec(rank(s) / deg(s))
-        sums(d) = sums.getOrElse(d, java.math.BigDecimal.ZERO).add(c)
+        val c = micro(rank(s) / deg(s))
+        sums(d) = sums.getOrElse(d, 0L) + c
       }
       rank = nodes.map(nd => nd -> (base + 0.85 *
-        sums.getOrElse(nd, java.math.BigDecimal.ZERO).doubleValue)).toMap
+        (sums.getOrElse(nd, 0L).toDouble / 1e12))).toMap
     }
     val want = nodes.map(nd => nd ->
       BigDecimal(rank(nd)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
