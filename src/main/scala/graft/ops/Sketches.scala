@@ -50,4 +50,36 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
           .as("n_distinct_est"),
         sum(col("n_rows")).as("n_rows"))
+
+  /** Pairwise distinct-overlap estimates between group sketches, from
+    * the store alone: HLL has no native intersection, but
+    * inclusion–exclusion over the union sketch gives
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) (clamped at 0), and with it a
+    * Jaccard estimate — the "how much do these two sources/shards
+    * share?" question answered in milliseconds without touching raw
+    * data. Error compounds across the three estimates (≈ √3× a single
+    * sketch's relative error against the UNION size, so small
+    * overlaps of large sets drown first — SketchesSpec pins the
+    * envelope); groups are few by construction, so the pair self-join
+    * is a broadcast over a group-count-sized table. */
+  def overlapEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val g = spark.read.parquet(dir)
+      .groupBy(col("grp"))
+      .agg(hll_union_agg(col("sketch")).as("sk"))
+    val pairs = g.select(col("grp").as("grp_a"), col("sk").as("sk_a"))
+      .join(broadcast(g.select(col("grp").as("grp_b"),
+        col("sk").as("sk_b"))), col("grp_a") < col("grp_b"))
+    pairs.select(col("grp_a"), col("grp_b"),
+        hll_sketch_estimate(col("sk_a")).as("est_a"),
+        hll_sketch_estimate(col("sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+      // estimates are bigint (the hll_sketch_estimate return type, as
+      // in mergedDistinct); the overlap stays in exact integer
+      // arithmetic, only the Jaccard ratio is floating
+      .withColumn("est_overlap",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("jaccard_est",
+        round(col("est_overlap").cast("double") / col("est_union"), 4))
+  }
 }

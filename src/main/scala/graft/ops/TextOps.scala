@@ -1001,6 +1001,68 @@ object TextOps {
       .limit(k)
   }
 
+  /** Deterministic multinomial-bootstrap confidence interval for a
+    * per-source mean — the uncertainty every data-card point estimate
+    * should carry (Efron's bootstrap, with the standard Poisson(1)
+    * approximation to the multinomial resample weights so each
+    * (doc, replica) weight is INDEPENDENT of corpus size). Everything
+    * is derandomized: the per-(doc, replica) uniform is the repo's
+    * Lehmer LCG on integer arithmetic (the [[weightedSample]]
+    * convention — exactly reproducible in any engine, no float seed
+    * state), inverted through fixed Poisson CDF literals to a weight
+    * in 0..6. Replica means are ratios of EXACT integer sums, kept
+    * unrounded (identical IEEE division on both engines — the q165
+    * lesson: rounding, not arithmetic, is what diverges), ranked with
+    * the replica id as unique tiebreak, and the CI bounds are
+    * nearest-rank order statistics in integer rank arithmetic (the
+    * q159 discipline).
+    *
+    * Scale: the explode multiplies the scan by `nReplicas`, but the
+    * generated rows fold into the map-side partial aggregate
+    * immediately — the shuffle carries only (source, replica) rows.
+    * One keyed aggregation + one B-row-per-source rank window. */
+  def bootstrapMeanCI(docs: DataFrame, metric: Column,
+                      nReplicas: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nReplicas >= 20, s"nReplicas ($nReplicas) too small for p05/p95")
+    val base = docs.select(col("source"), col("doc_id"),
+      metric.cast("long").as("m"))
+    // Poisson(1) CDF inverse on a Lehmer-LCG uniform; thresholds are
+    // decimal literals, so both engines parse the identical double
+    val u = pmod((col("doc_id") * lit(nReplicas.toLong) + col("b") +
+        lit(1L)) * lit(48271L), lit(2147483647L))
+      .cast("double") / lit(2147483647.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .otherwise(6L)
+    val rep = base
+      .select(col("source"), col("doc_id"), col("m"),
+        explode(sequence(lit(0L), lit(nReplicas - 1L))).as("b"))
+      .select(col("source"), col("b"), col("m"), w.as("w"))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * col("m")).as("num"), sum(col("w")).as("den"))
+      .select(col("source"), col("b"),
+        (col("num").cast("double") / col("den").cast("double")).as("mb"))
+    val rk = rep.withColumn("rn", row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("mb"), col("b"))))
+    val lo = (nReplicas * 5 + 99) / 100
+    val hi = (nReplicas * 95 + 99) / 100
+    val ci = rk.groupBy(col("source"))
+      .agg(min(when(col("rn") === lo, col("mb"))).as("ci_lo"),
+        min(when(col("rn") === hi, col("mb"))).as("ci_hi"))
+    val obs = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("m")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_obs"))
+    obs.join(ci, "source")
+      .select(col("source"), col("n_docs"), col("mean_obs"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Train/eval contamination: training documents whose token-set
     * fingerprint collides with any document of the held-out set — the
     * pre-training hygiene check run before any benchmark is trusted.

@@ -994,7 +994,48 @@ object LlmQueries {
       |FROM r JOIN q USING (source) WHERE r.rk <= q.quota
       |ORDER BY r.source, r.rk""".stripMargin
 
+  /** Bootstrap CI for the per-source mean document length
+    * ([[TextOps.bootstrapMeanCI]]): derandomized Poisson-weight
+    * resampling, exact integer replica sums, nearest-rank p05/p95 of
+    * the replica means. The one statistic a data card should never
+    * print bare is a mean without its uncertainty. */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    TextOps.bootstrapMeanCI(Tables(s, dir, "documents"), col("n_chars"))
+      .orderBy(col("source"))
+
+  private val q166Sql =
+    """WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS m
+      |  FROM documents),
+      |rep AS (SELECT source, b, m,
+      |    CASE WHEN u < 0.36787944117144233 THEN 0
+      |         WHEN u < 0.7357588823428847 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238462 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4
+      |         WHEN u < 0.9994058151824183 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM (SELECT d.*, t.b,
+      |      CAST((doc_id * 100 + b + 1) * 48271 % 2147483647 AS DOUBLE)
+      |        / 2147483647.0 AS u
+      |    FROM d, unnest(range(0, 100)) AS t(b))),
+      |ag AS (SELECT source, b,
+      |    CAST(sum(w * m) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mb
+      |  FROM rep GROUP BY source, b),
+      |rk AS (SELECT source, b, mb,
+      |    row_number() OVER (PARTITION BY source ORDER BY mb, b) AS rn
+      |  FROM ag),
+      |ci AS (SELECT source,
+      |    min(CASE WHEN rn = 5 THEN mb END) AS ci_lo,
+      |    min(CASE WHEN rn = 95 THEN mb END) AS ci_hi
+      |  FROM rk GROUP BY source),
+      |obs AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(m) AS DOUBLE) / count(*) AS mean_obs
+      |  FROM d GROUP BY source)
+      |SELECT obs.source, n_docs, mean_obs, ci_lo, ci_hi
+      |FROM obs JOIN ci USING (source) ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_bootstrap_ci" -> (q166 _),
     "q148_label_affinity" -> (q148 _),
     "q149_temperature_mix" -> (q149 _),
     "q151_vocab_encode" -> (q151 _),
@@ -1046,6 +1087,7 @@ object LlmQueries {
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
+    "q166_bootstrap_ci" -> q166Sql,
     "q148_label_affinity" -> q148Sql,
     "q149_temperature_mix" -> q149Sql,
     "q151_vocab_encode" -> q151Sql,

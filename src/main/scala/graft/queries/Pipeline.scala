@@ -1224,6 +1224,24 @@ object Pipeline {
     Sketches.mergedDistinct(s, store).orderBy(col("grp"))
   }
 
+  /** Pairwise distinct-customer overlap between order priorities, from
+    * the stored HLL sketches alone ([[graft.ops.Sketches
+    * .overlapEstimate]]): inclusion–exclusion over the union sketch —
+    * the cross-segment audience-overlap question, answered without
+    * rescanning raw data. Rows-only like q138 (HLL estimates);
+    * SketchesSpec pins the estimate envelope against the exact
+    * intersection. */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.TempRoots.path(
+      s"hll_olap_${Integer.toHexString(dir.hashCode)}")
+    val orders = Tables(s, dir, "orders")
+    Sketches.writeHllShards(orders, store,
+      date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
+      col("o_orderpriority"), col("o_custkey"))
+    Sketches.overlapEstimate(s, store)
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
   /** Incremental materialized-view maintenance ([[graft.ops.Sharding
     * .maintainStats]]): the per-source rollup is kept current under
     * the SAME CDC batch q128 merges, by delta application against only
@@ -1346,7 +1364,10 @@ object Pipeline {
     "q154_scd2_history" -> (q154 _),
     "q156_pointintime_join" -> (q156 _),
     "q158_data_expectations" -> (q158 _),
-    "q164_trigram_search" -> (q164 _))
+    "q164_trigram_search" -> (q164 _),
+    "q167_hll_overlap" -> (q167 _))
+  // q167 rows-only like q138: HLL estimates have no SQL oracle;
+  // SketchesSpec pins the overlap envelope against the exact sets
 
   val oracle: Map[String, String] = Map(
     "q96_ngram_contamination" -> q96Sql,

@@ -71,4 +71,33 @@ class SketchesSpec extends SparkTestBase {
       shardCol, col("o_orderpriority"), col("o_custkey"))
     assert(merged(inc) == appended)
   }
+
+  test("pairwise overlap estimates stay inside the compounded envelope") {
+    val store = graft.TempRoots.path("hll_overlap_spec")
+    Sketches.writeHllShards(orders, store, shardCol,
+      col("o_orderpriority"), col("o_custkey"))
+    val got = Sketches.overlapEstimate(spark, store).collect()
+      .map(r => (r.getAs[String]("grp_a"), r.getAs[String]("grp_b")) ->
+        (r.getAs[Long]("est_overlap").toDouble,
+          r.getAs[Long]("est_union").toDouble))
+      .toMap
+    val ids = orders.select(col("o_orderpriority").as("g"),
+        col("o_custkey").as("id")).distinct()
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("id"))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    val groups = ids.keys.toSeq.sorted
+    assert(got.keySet ==
+      (for (a <- groups; b <- groups if a < b) yield (a, b)).toSet)
+    for (((a, b), (ov, un)) <- got) {
+      val exOv = (ids(a) & ids(b)).size.toDouble
+      val exUn = (ids(a) | ids(b)).size.toDouble
+      // inclusion–exclusion compounds three lgK=12 estimates; each is
+      // ~1.6% rse of its SET size, and the overlap error scales with
+      // the UNION size: allow 3σ·√3 ≈ 8.5% of the exact union
+      assert(math.abs(ov - exOv) <= 0.085 * exUn,
+        s"($a,$b): est_overlap=$ov exact=$exOv union=$exUn")
+      assert(math.abs(un - exUn) <= 0.049 * exUn,
+        s"($a,$b): est_union=$un exact=$exUn")
+    }
+  }
 }
