@@ -100,4 +100,58 @@ object GraphOps {
     outdeg.unpersist(blocking = false)
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Deterministic synchronous label propagation (Raghavan et al.,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", 2007) — community detection as the fourth
+    * member of the graph family (PageRank here, connected components
+    * in [[TextOps]], triangles in q161). Same edge contract as
+    * [[pageRank]]: (src, dst) longs, symmetric.
+    *
+    * Derandomized against the paper's two nondeterminism sources: the
+    * update is SYNCHRONOUS (no visit order) and ties break on the
+    * SMALLEST label — so the assignment is identical on any cluster
+    * layout. Each node votes its own current label once alongside its
+    * neighbors' (the hold-back variant), which damps the 2-cycle
+    * label oscillation synchronous LPA exhibits on bipartite-ish
+    * graphs. Init: label = node id.
+    *
+    * Per iteration: one keyed join shipping only (node, label) rows
+    * onto the cached edge list, one (dst, label) count, one per-node
+    * argmax — all linear in edges; labels are materialized eagerly
+    * (the CC-loop convention), so the plan never nests across
+    * iterations. Hot communities are hot KEYS only in the (dst,
+    * label) count, whose partial aggregation absorbs them. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist(blocking = false)
+      return nodes.select(col("node"), lit(0L).as("label"))
+    }
+    val bcast = n <= broadcastNodeLimit
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 0 until iters) {
+      val l = labels.withColumnRenamed("node", "src")
+      val arriving = e
+        .join(if (bcast) broadcast(l) else l, "src")
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels) // the hold-back self-vote
+      val next = arriving
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): labels are non-negative
+        // node ids, so max over (c, −label) realizes the tiebreak
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      labels = next
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
 }

@@ -927,6 +927,32 @@ object Analytic {
       |     OR (b.n_orders > a.n_orders AND b.total_spend >= a.total_spend))
       |ORDER BY n_orders, c_custkey""".stripMargin
 
+  /** Community detection over the symmetrized customer↔supplier order
+    * graph ([[GraphOps.labelPropagation]]): top communities with
+    * their customer/supplier composition — the market-segmentation
+    * view of the same graph q142 ranks. Rows-only (iterative label
+    * recursion, like q142/q64); GraphOpsSpec pins determinism,
+    * layout-independence, and exact communities on synthetic
+    * graphs. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    GraphOps.labelPropagation(sym, iters = 4)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum((col("node") % 2 === 0).cast("int").cast("long"))
+          .as("n_customers"),
+        sum((col("node") % 2 === 1).cast("int").cast("long"))
+          .as("n_suppliers"))
+      .orderBy(col("n_nodes").desc, col("label"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
@@ -948,7 +974,10 @@ object Analytic {
     "q161_triangle_count" -> (q161 _),
     "q162_time_grid_fill" -> (q162 _),
     "q163_pareto_frontier" -> (q163 _),
-    "q165_linear_interp" -> (q165 _))
+    "q165_linear_interp" -> (q165 _),
+    "q168_communities" -> (q168 _))
+  // q168 rows-only like q142: the label recursion has no SQL oracle;
+  // GraphOpsSpec pins exact communities on synthetic graphs
   // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
   // AnalyticSpec pins the CMS bound + layout determinism
 

@@ -56,4 +56,39 @@ class GraphOpsSpec extends SparkTestBase {
     val byNode = got.toMap
     assert(nodes.filter(_ != 0L).forall(nd => byNode(0L) > byNode(nd)))
   }
+
+  private def sym(es: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    es ++ es.map(e => (e._2, e._1))
+
+  test("label propagation finds disjoint components as separate communities, layout-independent") {
+    // two disjoint triangles: each converges to its min id in one
+    // synchronous round (all neighbor labels tie at count 1 → min)
+    val es = sym(Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L)))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.labelPropagation(df, iters = 5).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
+        .sortBy(_._1).toSeq
+    val edges = spark.createDataFrame(sym(Seq((0L, 1L), (1L, 2L),
+      (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L)))).toDF("src", "dst")
+    val got = run(edges)
+    assert(got == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    assert(run(edges.repartition(7)) == got)
+    assert(es.nonEmpty)
+  }
+
+  test("the self-vote damps the bipartite 2-cycle oscillation") {
+    // a 4-cycle is bipartite: neighbor-only synchronous LPA swaps the
+    // two sides' labels forever; with the hold-back self-vote the
+    // labels must be STABLE across consecutive iteration counts
+    val square = spark.createDataFrame(sym(Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))).toDF("src", "dst")
+    def labelsAt(k: Int) =
+      GraphOps.labelPropagation(square, iters = k).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
+        .sortBy(_._1).toSeq
+    assert(labelsAt(4) == labelsAt(5),
+      "labels must have converged, not oscillate with iteration parity")
+  }
 }
