@@ -342,4 +342,44 @@ class PlanQualitySpec extends SparkTestBase {
     assert(probeLine > joinLine,
       s"probe (line $probeLine) should be below the join (line $joinLine):\n$p")
   }
+
+  test("q162/q165: grid fill is windows over ONE grid join — no per-gap self-join, no cartesian") {
+    for (q <- Seq("q162_time_grid_fill", "q165_linear_interp")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // exactly one join: the grid ⋈ hourly left join (windows do the
+      // filling; a per-gap approach would join again). Count TREE
+      // lines only — the formatted detail section repeats node names.
+      val joins = p.linesIterator.count(l =>
+        (l.contains("+- ") || l.contains(":- ")) &&
+          ("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+            .findFirstIn(l).isDefined))
+      assert(joins == 1, s"$q: expected 1 join, got $joins\n$p")
+    }
+  }
+
+  test("q163: skyline never self-joins the data — the frontier filter is a broadcast of the x-domain table") {
+    val p = plan("q163_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // one broadcast join (domain table back onto the aggregate); the
+    // O(n²) NOT EXISTS shape would plan a second, non-broadcast join
+    val sm = "SortMergeJoin".r.findAllIn(p).size
+    assert(sm == 0, s"no sort-merge join expected\n$p")
+  }
+
+  test("q161: triangle probe broadcasts the adjacency table, never re-joining the wedge set") {
+    val p = plan("q161_triangle_count")
+    // two broadcast joins of the (bounded, out-degree <= sqrt m)
+    // adjacency lists onto the oriented edges (tree lines only)
+    assert(p.linesIterator.count(l =>
+      (l.contains("+- ") || l.contains(":- ")) &&
+        l.contains("BroadcastHashJoin")) >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the native sorted-intersect expression carries the count
+    assert(p.toLowerCase.contains("sortedintersectsize") ||
+      p.contains("graft_isect"), p)
+  }
 }
