@@ -1063,6 +1063,49 @@ object TextOps {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** Cross-source quantile normalization — the distribution-alignment
+    * step before mixing heterogeneous sources (the bioinformatics
+    * quantile-normalization recipe applied to corpus metrics): each
+    * document's metric is replaced by the GLOBAL metric value at the
+    * same quantile position its rank occupies within its source, so
+    * every source ends up with the global distribution and
+    * cross-source thresholds compare like for like.
+    *
+    * Exact and engine-reproducible without a global sort: the
+    * per-source rank is a source-partitioned window (unique doc_id
+    * tiebreak), the target global position is pure integer arithmetic
+    * (ceil(rk·N/n_s) as (rk·N + n_s − 1) div n_s), and the global
+    * order is represented as a CDF over the metric's VALUE DOMAIN — a
+    * domain-sized running-sum window (the q163 skyline discipline:
+    * windows over domains, never over data) broadcast back as
+    * [lo, cum] intervals that each target position range-joins into.
+    * Data shuffles once (the source window); the interval probe is a
+    * broadcast of the bounded value-domain table. */
+  def quantileNormalize(docs: DataFrame, metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("source"),
+      metric.cast("long").as("m"))
+    val r = d
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("m"), col("doc_id"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val n = d.agg(count(lit(1)).as("nt"))
+    val wCdf = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = d.groupBy(col("m")).agg(count(lit(1)).as("c"))
+      .select(col("m").as("gm"),
+        sum(col("c")).over(wCdf).as("cum"),
+        (sum(col("c")).over(wCdf) - col("c") + lit(1L)).as("lo"))
+    val t = r.crossJoin(broadcast(n))
+      // integer ceil-division (DIV, not `/`): float division would
+      // lose exactness once rk·N crosses 2^53
+      .withColumn("tpos", expr("(rk * nt + ns - 1) div ns"))
+    t.join(broadcast(cdf),
+        col("tpos") >= col("lo") && col("tpos") <= col("cum"))
+      .select(col("doc_id"), col("source"), col("m"),
+        col("gm").as("m_norm"))
+  }
+
   /** Train/eval contamination: training documents whose token-set
     * fingerprint collides with any document of the held-out set — the
     * pre-training hygiene check run before any benchmark is trusted.

@@ -1034,8 +1034,36 @@ object LlmQueries {
       |SELECT obs.source, n_docs, mean_obs, ci_lo, ci_hi
       |FROM obs JOIN ci USING (source) ORDER BY source""".stripMargin
 
+  /** Cross-source quantile normalization of document length
+    * ([[TextOps.quantileNormalize]]): every source re-expressed on
+    * the global length distribution, so a single threshold means the
+    * same thing in every source — the alignment step before mixing. */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    TextOps.quantileNormalize(Tables(s, dir, "documents"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q169Sql =
+    """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS m
+      |  FROM documents),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY source ORDER BY m, doc_id)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY source) AS ns FROM d),
+      |n AS (SELECT count(*) AS nt FROM d),
+      |g AS (SELECT m, count(*) AS c FROM d GROUP BY m),
+      |cdf AS (SELECT m AS gm,
+      |    sum(c) OVER w AS cum, sum(c) OVER w - c + 1 AS lo
+      |  FROM g WINDOW w AS (ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |t AS (SELECT r.*, (rk * nt + ns - 1) // ns AS tpos
+      |  FROM r CROSS JOIN n)
+      |SELECT doc_id, source, m, cdf.gm AS m_norm
+      |FROM t JOIN cdf ON t.tpos BETWEEN cdf.lo AND cdf.cum
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_bootstrap_ci" -> (q166 _),
+    "q169_quantile_normalize" -> (q169 _),
     "q148_label_affinity" -> (q148 _),
     "q149_temperature_mix" -> (q149 _),
     "q151_vocab_encode" -> (q151 _),
@@ -1088,6 +1116,7 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "q166_bootstrap_ci" -> q166Sql,
+    "q169_quantile_normalize" -> q169Sql,
     "q148_label_affinity" -> q148Sql,
     "q149_temperature_mix" -> q149Sql,
     "q151_vocab_encode" -> q151Sql,

@@ -528,4 +528,93 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** One event for the grid-fill ingest (needs the event_id for the
+    * batch twin's (ts, event_id) hour-close tiebreak). */
+  case class UserTs(user_id: Long, ts: Timestamp, event_id: Long,
+                    value: Double)
+
+  /** Per-user fill state: the last CLOSED observed hour and its
+    * close, plus per-open-hour (count, best ts, best event_id, best
+    * value) accumulators. `lastHour` Long.MinValue = nothing closed
+    * yet. State is bounded by the open-hour count (≤ lateness span),
+    * never by event volume. */
+  case class GridState(lastHour: Long, lastClose: Double,
+                       open: Map[Long, (Long, Long, Long, Double)])
+
+  /** One emitted grid row (mirrors a q162 batch row). */
+  case class GridRow(user_id: Long, h: Timestamp, n_events: Long,
+                     is_observed: Long, filled_close: Double,
+                     hours_stale: Long)
+
+  /** Streaming twin of the q162 time-grid forward fill — the live
+    * resampler: per user, hourly accumulators collect in keyed state;
+    * when the watermark closes an observed hour, first the GAP hours
+    * since the previous observed hour are emitted (zero events, the
+    * carried close, a true staleness counter), then the observed row —
+    * exactly the rows the batch grid produces for the closed prefix.
+    * The hour-close is the event with the lexicographically largest
+    * (ts, event_id), the batch twin's unique tiebreak, so the carried
+    * doubles are bit-identical. Gap rows materialize lazily (emitted
+    * with the NEXT observed close), so a silent user costs state, not
+    * output, until they return; trailing gaps never exist because the
+    * batch grid also ends at the last observed hour.
+    * StreamGridFillSpec pins stream == batch on ordered arrival. */
+  def gridFillIngest(spark: SparkSession, events: Dataset[UserTs],
+                     lateness: String = "2 hours"): Dataset[GridRow] = {
+    import spark.implicits._
+    val hourMs = 3600L * 1000L
+
+    // the batch twin's tiebreak orders by the MICROSECOND timestamp;
+    // Timestamp.getTime is ms-resolution, so compare on full micros
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+    def fn(userId: Long, batch: Iterator[UserTs],
+           state: GroupState[GridState]): Iterator[GridRow] = {
+      var st = state.getOption
+        .getOrElse(GridState(Long.MinValue, 0.0, Map.empty))
+      var open = st.open
+      batch.foreach { e =>
+        val h = Math.floorDiv(e.ts.getTime, hourMs) * hourMs
+        val tm = micros(e.ts)
+        val acc = open.get(h) match {
+          case None => (1L, tm, e.event_id, e.value)
+          case Some((c, bt, bi, bv)) =>
+            if (tm > bt || (tm == bt && e.event_id > bi))
+              (c + 1L, tm, e.event_id, e.value)
+            else (c + 1L, bt, bi, bv)
+        }
+        open = open.updated(h, acc)
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, stillOpen) =
+        open.partition { case (h, _) => h + hourMs <= wm }
+      var lastHour = st.lastHour
+      var lastClose = st.lastClose
+      val out = Seq.newBuilder[GridRow]
+      closed.toSeq.sortBy(_._1).foreach { case (h, (c, _, _, v)) =>
+        if (lastHour != Long.MinValue) {
+          var g = lastHour + hourMs
+          while (g < h) {
+            out += GridRow(userId, new Timestamp(g), 0L, 0L, lastClose,
+              (g - lastHour) / hourMs)
+            g += hourMs
+          }
+        }
+        out += GridRow(userId, new Timestamp(h), c, 1L, v, 0L)
+        lastHour = h; lastClose = v
+      }
+      state.update(GridState(lastHour, lastClose, stillOpen))
+      if (stillOpen.nonEmpty)
+        state.setTimeoutTimestamp(stillOpen.keys.min + hourMs)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }
