@@ -8,6 +8,12 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify: the events NTZ->timestamp normalization in
+      // Tables is zone-relabeling only under UTC, and benchmarked row
+      // sets must match the rows the correctness gate verified on any
+      // host timezone (build.sbt sets the -D for sbt runs; this keeps
+      // direct spark-submit launches identical)
+      .config("spark.sql.session.timeZone", "UTC")
       // see Verify: events' TIMESTAMP(NANOS) mapping, set at bootstrap
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -134,7 +134,7 @@ object GraphOps {
     }
     val bcast = n <= broadcastNodeLimit
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val l = labels.withColumnRenamed("node", "src")
       val arriving = e
         .join(if (bcast) broadcast(l) else l, "src")
@@ -149,6 +149,10 @@ object GraphOps {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
+      // free the superseded iteration's checkpointed blocks (the
+      // pageRank-loop convention; i=0's labels is an unmaterialized
+      // plan, nothing to release)
+      if (i > 0) labels.unpersist(blocking = false)
       labels = next
     }
     e.unpersist(blocking = false)

@@ -235,7 +235,6 @@ object InvertedIndex {
   def searchSubstring(docs: DataFrame, indexDir: String,
                       pattern: String): DataFrame = {
     require(pattern.length >= 3, "substring search needs >= 3 chars")
-    require(!pattern.contains("'"), "pattern must not contain quotes")
     val spark = docs.sparkSession
     val nBuckets = spark.read.parquet(s"$indexDir/meta")
       .collect().head.getAs[Long]("n_buckets").toInt
@@ -252,9 +251,13 @@ object InvertedIndex {
       .select(col("doc_id"),
         instr(col("text"), pattern).cast("bigint").as("first_pos"),
         // non-overlapping count via length shrink — same left-to-right
-        // semantics as the oracle's replace()
+        // semantics as the oracle's replace(). call_function keeps the
+        // pattern a literal VALUE: an expr() splice would re-parse
+        // backslashes as SQL escapes and quote-injection would break
+        // the expression entirely
         floor((length(col("text")) -
-            length(expr(s"replace(text, '$pattern', '')"))) /
+            length(call_function("replace", col("text"), lit(pattern),
+              lit("")))) /
           lit(pattern.length)).cast("bigint").as("n_hits"))
   }
 

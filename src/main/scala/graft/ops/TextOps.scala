@@ -1045,15 +1045,24 @@ object TextOps {
       .select(col("source"), col("b"), col("m"), w.as("w"))
       .groupBy(col("source"), col("b"))
       .agg(sum(col("w") * col("m")).as("num"), sum(col("w")).as("den"))
+      // an all-zero-weight replica (probability e^(−n_source) — real
+      // for singleton sources) has no mean: DROPPED, never a NaN that
+      // would sort differently across engines; the rank bounds below
+      // use the SURVIVING replica count, so the CI stays nearest-rank
+      // over defined means on both sides
+      .where(col("den") > 0L)
       .select(col("source"), col("b"),
         (col("num").cast("double") / col("den").cast("double")).as("mb"))
-    val rk = rep.withColumn("rn", row_number().over(
-      Window.partitionBy(col("source")).orderBy(col("mb"), col("b"))))
-    val lo = (nReplicas * 5 + 99) / 100
-    val hi = (nReplicas * 95 + 99) / 100
+    val rk = rep
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("mb"), col("b"))))
+      .withColumn("nb", count(lit(1)).over(
+        Window.partitionBy(col("source"))))
     val ci = rk.groupBy(col("source"))
-      .agg(min(when(col("rn") === lo, col("mb"))).as("ci_lo"),
-        min(when(col("rn") === hi, col("mb"))).as("ci_hi"))
+      .agg(min(when(col("rn") === expr("(nb * 5 + 99) div 100"),
+        col("mb"))).as("ci_lo"),
+        min(when(col("rn") === expr("(nb * 95 + 99) div 100"),
+          col("mb"))).as("ci_hi"))
     val obs = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("m")).cast("double") / count(lit(1)).cast("double"))
@@ -1080,7 +1089,11 @@ object TextOps {
     * windows over domains, never over data) broadcast back as
     * [lo, cum] intervals that each target position range-joins into.
     * Data shuffles once (the source window); the interval probe is a
-    * broadcast of the bounded value-domain table. */
+    * broadcast NESTED-LOOP against the value-domain table (the q14
+    * literal-bands trade: compute is rows × |domain|, acceptable
+    * because the domain is bounded by contract — a genuinely
+    * continuous metric should be quantized first, exactly as q163's
+    * skyline buckets a continuous axis). */
   def quantileNormalize(docs: DataFrame, metric: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), col("source"),

@@ -632,9 +632,22 @@ object Analytic {
       if (native) call_function("graft_isect", a, b)
       else size(array_intersect(a, b)).cast("long")
     val empty = array().cast("array<bigint>")
+    // Two-path adjacency join (the driverProbeLimit discipline): the
+    // adjacency table is |nodes| rows but Θ(m) total bytes (every
+    // oriented edge sits in some nbrs array), so an unconditional
+    // broadcast hint would hit the exchange limit as the graph grows.
+    // m is a free count off the checkpointed edge blocks; under the
+    // bound (~80 MB of longs) the hint applies — and it must be a
+    // HINT, because the checkpoint-backed plan has no size stats for
+    // the static optimizer to broadcast on — above it the join
+    // degrades to a keyed shuffle. Results are join-strategy-
+    // independent either way.
+    val m = oriented.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (m <= 10000000L) broadcast(df) else df
     val tri = oriented
-      .join(broadcast(adj), "u")
-      .join(broadcast(adj.select(col("u").as("v"),
+      .join(hinted(adj), "u")
+      .join(hinted(adj.select(col("u").as("v"),
         col("nbrs").as("nbrs_v"))), Seq("v"), "left")
       .agg(coalesce(sum(isect(col("nbrs"),
         coalesce(col("nbrs_v"), empty))), lit(0L)).as("n_triangles"))

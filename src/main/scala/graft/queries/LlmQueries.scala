@@ -1020,13 +1020,14 @@ object LlmQueries {
       |    FROM d, unnest(range(0, 100)) AS t(b))),
       |ag AS (SELECT source, b,
       |    CAST(sum(w * m) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mb
-      |  FROM rep GROUP BY source, b),
+      |  FROM rep GROUP BY source, b HAVING sum(w) > 0),
       |rk AS (SELECT source, b, mb,
-      |    row_number() OVER (PARTITION BY source ORDER BY mb, b) AS rn
+      |    row_number() OVER (PARTITION BY source ORDER BY mb, b) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS nb
       |  FROM ag),
       |ci AS (SELECT source,
-      |    min(CASE WHEN rn = 5 THEN mb END) AS ci_lo,
-      |    min(CASE WHEN rn = 95 THEN mb END) AS ci_hi
+      |    min(CASE WHEN rn = (nb * 5 + 99) // 100 THEN mb END) AS ci_lo,
+      |    min(CASE WHEN rn = (nb * 95 + 99) // 100 THEN mb END) AS ci_hi
       |  FROM rk GROUP BY source),
       |obs AS (SELECT source, count(*) AS n_docs,
       |    CAST(sum(m) AS DOUBLE) / count(*) AS mean_obs

@@ -508,8 +508,12 @@ object EventStreams {
         val h = Math.floorDiv(e.ts.getTime, hourMs) * hourMs
         open = open.updated(h, open.getOrElse(h, 0L) + 1L)
       }
+      // wm == 0 = "no watermark yet": see gridFillIngest — closing
+      // pre-epoch hours against the initial 0 would emit early
       val wm = state.getCurrentWatermarkMs()
-      val (closed, stillOpen) = open.partition { case (h, _) => h + hourMs <= wm }
+      val (closed, stillOpen) =
+        if (wm == 0L) (Map.empty[Long, Long], open)
+        else open.partition { case (h, _) => h + hourMs <= wm }
       var ring = st.ring
       val out = Seq.newBuilder[HourAnomaly]
       closed.toSeq.sortBy(_._1).foreach { case (h, c) =>
@@ -587,9 +591,16 @@ object EventStreams {
         }
         open = open.updated(h, acc)
       }
+      // wm == 0 means "no watermark committed yet" (Spark's initial
+      // value) — closing against it would prematurely close PRE-EPOCH
+      // hours (negative epoch ms, in-contract per TablesSpec) while
+      // later same-hour events are still admissible. Deferring closure
+      // until a real watermark exists only delays emission, never
+      // changes the rows, so batch parity is preserved.
       val wm = state.getCurrentWatermarkMs()
       val (closed, stillOpen) =
-        open.partition { case (h, _) => h + hourMs <= wm }
+        if (wm == 0L) (Map.empty[Long, (Long, Long, Long, Double)], open)
+        else open.partition { case (h, _) => h + hourMs <= wm }
       var lastHour = st.lastHour
       var lastClose = st.lastClose
       val out = Seq.newBuilder[GridRow]

@@ -69,13 +69,11 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.labelPropagation(df, iters = 5).collect()
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
         .sortBy(_._1).toSeq
-    val edges = spark.createDataFrame(sym(Seq((0L, 1L), (1L, 2L),
-      (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L)))).toDF("src", "dst")
+    val edges = spark.createDataFrame(es).toDF("src", "dst")
     val got = run(edges)
     assert(got == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
     assert(run(edges.repartition(7)) == got)
-    assert(es.nonEmpty)
   }
 
   test("the self-vote damps the bipartite 2-cycle oscillation") {

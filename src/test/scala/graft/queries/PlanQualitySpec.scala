@@ -370,6 +370,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(sm == 0, s"no sort-merge join expected\n$p")
   }
 
+  test("q169: the CDF interval probe is a BROADCAST nested loop over the value domain — never a shuffled product") {
+    val p = plan("q169_quantile_normalize")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q161: triangle probe broadcasts the adjacency table, never re-joining the wedge set") {
     val p = plan("q161_triangle_count")
     // two broadcast joins of the (bounded, out-degree <= sqrt m)
