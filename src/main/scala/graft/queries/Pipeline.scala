@@ -1037,6 +1037,65 @@ object Pipeline {
       idx
     }
 
+  /** The chunk-level BM25 index q170 probes — the RAG serving store:
+    * documents chunked with overlap ([[graft.ops.TextOps.chunkDocs]]),
+    * each chunk indexed as its own retrieval unit under the composite
+    * key doc_id·4096 + chunk_idx (chunk counts are far below 4096 by
+    * construction: chunks advance `stride` words per step). Build-once
+    * like [[sharedInvIndex]]. */
+  private val chunkIndexLock = new Object
+  private def sharedChunkIndex(s: SparkSession, dir: String): String =
+    chunkIndexLock.synchronized {
+      val idx = graft.TempRoots.path(
+        s"chunkidx_shared_${Integer.toHexString(dir.hashCode)}")
+      if (!new java.io.File(s"$idx/meta").exists()) {
+        val chunks = TextOps.chunkDocs(Tables(s, dir, "documents"))
+          .select((col("doc_id") * 4096 + col("chunk_idx")).as("doc_id"),
+            col("chunk").as("text"))
+        InvertedIndex.build(chunks, idx, nBuckets = 64)
+      }
+      idx
+    }
+
+  /** Retrieval capstone — the RAG query path end to end: BM25 top-k
+    * over the CHUNKED corpus from the stored chunk index, results
+    * decomposed back to (source doc, chunk) coordinates. Chunk-level
+    * retrieval is what an LLM context builder actually consumes
+    * (passage granularity + overlap so no boundary-spanning hit is
+    * lost); the index answers from postings alone — the corpus is
+    * never rescanned at query time. The oracle recomputes chunking
+    * AND ranking relationally from raw text, so a green row proves
+    * the whole pipeline (chunker → index → ranker), not just the
+    * ranker. */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.searchBm25(s, sharedChunkIndex(s, dir),
+        Seq("merge", "slow"), 20)
+      .select((col("doc_id") / 4096).cast("bigint").as("src_doc_id"),
+        pmod(col("doc_id"), lit(4096L)).as("chunk_idx"), col("score"))
+
+  private val q170Sql =
+    """WITH w AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id * 4096 + (gs - 1) // 40 AS cid,
+      |    ws[gs : gs + 49] AS cw
+      |  FROM w, unnest(range(1, greatest(len(ws), 1) + 1, 40)) AS t(gs)),
+      |t AS (SELECT cid, len(cw) AS dl, unnest(cw) AS w FROM c),
+      |tf AS (SELECT cid, dl, w, count(*) AS tf FROM t
+      |  WHERE w IN ('merge', 'slow') GROUP BY cid, dl, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS nd,
+      |    CAST(sum(len(cw)) AS DOUBLE) AS ntok FROM c),
+      |s AS (SELECT cid,
+      |    round(CAST(sum(CAST(round(
+      |      ln(1 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (tf * 2.5)
+      |        / (tf + 1.5 * (0.25 + (0.75 * dl) / (ntok / nd))), 8)
+      |      AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN n
+      |  GROUP BY cid ORDER BY score DESC, cid LIMIT 20)
+      |SELECT cid // 4096 AS src_doc_id, cid % 4096 AS chunk_idx, score
+      |FROM s""".stripMargin
+
   /** Substring (grep-style) search over the stored trigram index
     * ([[graft.ops.InvertedIndex.searchSubstring]]): the pattern spans
     * a word boundary, so no word-term index can answer it — the
@@ -1373,6 +1432,7 @@ object Pipeline {
     "q156_pointintime_join" -> (q156 _),
     "q158_data_expectations" -> (q158 _),
     "q164_trigram_search" -> (q164 _),
+    "q170_chunk_retrieval" -> (q170 _),
     "q167_hll_overlap" -> (q167 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
@@ -1413,5 +1473,6 @@ object Pipeline {
     "q154_scd2_history" -> q154Sql,
     "q156_pointintime_join" -> q156Sql,
     "q158_data_expectations" -> q158Sql,
-    "q164_trigram_search" -> q164Sql)
+    "q164_trigram_search" -> q164Sql,
+    "q170_chunk_retrieval" -> q170Sql)
 }
