@@ -117,16 +117,51 @@ object InvertedIndex {
       rows.head.getAs[Long]("n_buckets").toInt)
   }
 
+  /** Tombstone a document batch — the LSM delete (the
+    * right-to-be-forgotten path): deleted ids land as their own
+    * `batch=` partition family under the index root, segments are
+    * NEVER rewritten (cost ∝ delete batch), and every search
+    * anti-joins the tombstone set. Replay-safe like [[appendSegment]]:
+    * re-running a `batchId` dynamically overwrites exactly that
+    * batch's partition with identical content. Tombstones are small
+    * relative to the corpus by contract, so the anti-join broadcasts.
+    *
+    * Lucene-parity caveat: collection statistics (N, avgdl in
+    * [[searchBm25]], and term df) still count tombstoned docs until a
+    * rebuild — exactly how deletes behave in Lucene before a merge;
+    * boolean and phrase results ([[searchAll]]/[[searchPhrase]]) are
+    * exact immediately. */
+  def deleteDocs(spark: SparkSession, indexDir: String,
+                 docIds: DataFrame, batchId: Int = 0): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$indexDir/tombstones")
+
+  private def tombstones(spark: SparkSession,
+                         indexDir: String): Option[DataFrame] =
+    if (new java.io.File(s"$indexDir/tombstones").exists())
+      Some(spark.read.parquet(s"$indexDir/tombstones")
+        .select(col("doc_id")).distinct())
+    else None
+
   /** Postings of `terms` only: bucket pruning is STATIC (the probed
     * bucket ids are literals computed on the driver from the query
     * terms — ≤ one int per term), then the term filter rides the
-    * row-group stats inside each bucket. */
+    * row-group stats inside each bucket; tombstoned docs are
+    * anti-joined out here, so every search form respects deletes. */
   private def postingsFor(spark: SparkSession, indexDir: String,
                           terms: Seq[String], nBuckets: Int): DataFrame = {
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    spark.read.parquet(s"$indexDir/postings")
+    val p = spark.read.parquet(s"$indexDir/postings")
       .where(col("bucket").isin(buckets.map(Int.box): _*) &&
         col("term").isin(terms: _*))
+    tombstones(spark, indexDir) match {
+      case Some(t) => p.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => p
+    }
   }
 
   /** Boolean AND search: doc_ids containing EVERY query term, with the

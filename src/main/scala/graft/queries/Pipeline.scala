@@ -1186,6 +1186,35 @@ object Pipeline {
       |FROM tf GROUP BY doc_id HAVING count(*) = 2
       |ORDER BY doc_id""".stripMargin
 
+  /** Tombstone-delete lifecycle over the inverted index
+    * ([[graft.ops.InvertedIndex.deleteDocs]]) — build, tombstone a
+    * batch (ids ≡ 2 mod 7), search: the right-to-be-forgotten path
+    * priced end to end like q131 prices append. Segments are never
+    * rewritten; the probe anti-joins the broadcast tombstone set. The
+    * oracle recomputes the match over the corpus MINUS the deleted
+    * ids — a green row proves deletes are exact at query time. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.path(
+      s"invidx_del_${Integer.toHexString(dir.hashCode)}")
+    val docs = Tables(s, dir, "documents")
+    if (!new java.io.File(s"$idx/meta").exists())
+      InvertedIndex.build(docs, idx, nBuckets = 64)
+    InvertedIndex.deleteDocs(s, idx,
+      docs.where(col("doc_id") % 7 === 2).select(col("doc_id")))
+    InvertedIndex.searchAll(s, idx, Seq("merge", "spark"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q171Sql =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |  FROM documents WHERE doc_id % 7 <> 2),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM t
+      |  WHERE w IN ('merge', 'spark') GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+      |FROM tf GROUP BY doc_id HAVING count(*) = 2
+      |ORDER BY doc_id""".stripMargin
+
   /** Phrase search over the positional inverted index
     * ([[graft.ops.InvertedIndex.searchPhrase]]): per-doc occurrence
     * counts of an exact word sequence, answered from shifted position
@@ -1433,6 +1462,7 @@ object Pipeline {
     "q158_data_expectations" -> (q158 _),
     "q164_trigram_search" -> (q164 _),
     "q170_chunk_retrieval" -> (q170 _),
+    "q171_index_delete" -> (q171 _),
     "q167_hll_overlap" -> (q167 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
@@ -1474,5 +1504,6 @@ object Pipeline {
     "q156_pointintime_join" -> q156Sql,
     "q158_data_expectations" -> q158Sql,
     "q164_trigram_search" -> q164Sql,
-    "q170_chunk_retrieval" -> q170Sql)
+    "q170_chunk_retrieval" -> q170Sql,
+    "q171_index_delete" -> q171Sql)
 }

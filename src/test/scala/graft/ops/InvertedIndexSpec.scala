@@ -194,6 +194,36 @@ class InvertedIndexSpec extends SparkTestBase {
       files.mkString("\n"))
   }
 
+  test("tombstone delete == rebuild without the docs; replay is a no-op; phrase search respects it") {
+    val dir = graft.TempRoots.path("invidx_tomb_spec")
+    InvertedIndex.build(docs, dir, nBuckets = 16)
+    val dead = docs.where(col("doc_id") % 5 === 1).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, dir, dead)
+    def results(idx: String) =
+      InvertedIndex.searchAll(spark, idx, Seq("merge", "spark"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("total_tf")).toMap
+    val got = results(dir)
+    val rebuilt = graft.TempRoots.path("invidx_tomb_rebuild")
+    InvertedIndex.build(docs.where(col("doc_id") % 5 =!= 1), rebuilt,
+      nBuckets = 16)
+    val want = results(rebuilt)
+    assert(want.nonEmpty)
+    assert(got == want)
+    // replay the identical delete batch: dynamic overwrite, same store
+    InvertedIndex.deleteDocs(spark, dir, dead)
+    assert(results(dir) == want)
+    // phrase search routes through the same tombstone-aware probe
+    val phraseGot = InvertedIndex.searchPhrase(spark, dir,
+        Seq("spark", "merge")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val phraseWant = InvertedIndex.searchPhrase(spark, rebuilt,
+        Seq("spark", "merge")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(phraseWant.nonEmpty)
+    assert(phraseGot == phraseWant)
+  }
+
   private lazy val trgIdx = {
     val dir = graft.TempRoots.path("trgidx_spec")
     InvertedIndex.buildTrigramIndex(docs, dir, nBuckets = 16)
