@@ -1186,6 +1186,84 @@ object Pipeline {
       |FROM tf GROUP BY doc_id HAVING count(*) = 2
       |ORDER BY doc_id""".stripMargin
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al., RRF,
+    * SIGIR 2009) of the two retrieval modalities the engine serves:
+    * the BM25 term shortlist from the stored inverted index and the
+    * exact cosine shortlist against a query embedding
+    * (doc_id ≡ vec_id, the shipped 1:1 key space). RRF needs only
+    * RANKS, so the fused score 1/(60+r_text) + 1/(60+r_vec) is a sum
+    * of exact integer reciprocals — identical IEEE on both engines,
+    * no score-scale calibration between modalities (the reason RRF is
+    * the production default for hybrid search). Docs on one list only
+    * contribute that list's term. Both shortlists are top-50 with the
+    * (score desc, id) unique tiebreak; fusion is one full-outer join
+    * of two 50-row frames — the heavy lifting stays in the index
+    * probe and the broadcast cosine scan. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = InvertedIndex.searchBm25(s, sharedInvIndex(s, dir),
+        Seq("merge", "slow"), 50)
+      // re-rank the 50-row shortlist (same order the TakeOrdered cut
+      // used); the partitionless window is over 50 rows by contract
+      .withColumn("rank_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_text"))
+    val e = Tables(s, dir, "embeddings")
+    val cos = VectorOps.cosineTopK(e, e.where(col("vec_id") === 0), 50)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
+    bm.join(cos, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_text").cast("bigint"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec").cast("bigint"), lit(0L)).as("rank_vec"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q172Sql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d),
+      |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+      |  WHERE w IN ('merge', 'slow') GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS nd,
+      |    CAST((SELECT sum(len(string_split(coalesce(text, ''), ' ')))
+      |      FROM documents) AS DOUBLE) AS ntok
+      |  FROM documents),
+      |sc AS (SELECT doc_id,
+      |    round(CAST(sum(CAST(round(
+      |      ln(1 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (tf * 2.5)
+      |        / (tf + 1.5 * (0.25 + (0.75 * dl) / (ntok / nd))), 8)
+      |      AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN n
+      |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+      |bm AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank_text
+      |  FROM sc),
+      |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+      |  WHERE vec_id = 0),
+      |cs AS (SELECT e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4)
+      |      AS cos
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |cosr AS (SELECT doc_id, rank_vec FROM (
+      |    SELECT doc_id, cos,
+      |      row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+      |    FROM cs) WHERE rank_vec <= 50),
+      |f AS (SELECT coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+      |    coalesce(bm.rank_text, 0) AS rt,
+      |    coalesce(cosr.rank_vec, 0) AS rv,
+      |    coalesce(CAST(1 AS DOUBLE) / (60 + bm.rank_text), 0) +
+      |    coalesce(CAST(1 AS DOUBLE) / (60 + cosr.rank_vec), 0) AS rrf
+      |  FROM bm FULL JOIN cosr ON bm.doc_id = cosr.doc_id)
+      |SELECT doc_id, CAST(rt AS BIGINT) AS rank_text,
+      |  CAST(rv AS BIGINT) AS rank_vec, rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   /** Tombstone-delete lifecycle over the inverted index
     * ([[graft.ops.InvertedIndex.deleteDocs]]) — build, tombstone a
     * batch (ids ≡ 2 mod 7), search: the right-to-be-forgotten path
@@ -1463,6 +1541,7 @@ object Pipeline {
     "q164_trigram_search" -> (q164 _),
     "q170_chunk_retrieval" -> (q170 _),
     "q171_index_delete" -> (q171 _),
+    "q172_hybrid_retrieval" -> (q172 _),
     "q167_hll_overlap" -> (q167 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
@@ -1505,5 +1584,6 @@ object Pipeline {
     "q158_data_expectations" -> q158Sql,
     "q164_trigram_search" -> q164Sql,
     "q170_chunk_retrieval" -> q170Sql,
-    "q171_index_delete" -> q171Sql)
+    "q171_index_delete" -> q171Sql,
+    "q172_hybrid_retrieval" -> q172Sql)
 }
