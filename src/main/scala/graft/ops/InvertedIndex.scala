@@ -225,6 +225,63 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Segment compaction — the LSM merge that completes the lifecycle
+    * (build → append → delete → COMPACT): all live postings (every
+    * segment, minus tombstones) rewrite as a single segment 0, the
+    * tombstone family disappears, and the meta row is recomputed from
+    * the live postings — so the collection statistics [[searchBm25]]
+    * reads (N, avgdl, and with them df) reflect deletes from here on,
+    * exactly like a Lucene merge. Every document owns ≥ 1 posting row
+    * (an empty text still posts its one empty token), so live doc
+    * count and token totals are recoverable from postings alone.
+    *
+    * Durable-staging discipline (the stored-ANN-index rule): the live
+    * rows are first written to `_staging` under the index root, and
+    * the overwrite of the postings dir reads from that DURABLE copy —
+    * never from the very files being replaced, and never from
+    * executor-memory lineage that an executor loss would truncate.
+    * Cost ∝ live index size — the full rewrite IS the point of a
+    * merge; deletes stay O(batch) until one is scheduled. */
+  def compactSegments(spark: SparkSession, indexDir: String): Unit = {
+    val nBuckets = meta(spark, indexDir)._3
+    val live = {
+      val p = spark.read.parquet(s"$indexDir/postings")
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+          col("positions"), col("bucket"))
+      tombstones(spark, indexDir) match {
+        case Some(t) => p.join(broadcast(t), Seq("doc_id"), "left_anti")
+        case None => p
+      }
+    }
+    val staging = s"$indexDir/_staging"
+    live.withColumn("seg", lit(0))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("seg", "bucket")
+      .parquet(s"$staging/postings")
+    val stagedPostings = spark.read.parquet(s"$staging/postings")
+    // meta from the staged live rows: dl is constant per doc, so the
+    // token total is the sum of one dl per live doc
+    val perDoc = stagedPostings.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"))
+    perDoc.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("n_tokens"),
+        lit(nBuckets.toLong).as("n_buckets"), lit(0).as("seg"))
+      .write.mode("overwrite").parquet(s"$staging/meta")
+    // swap: overwrite the live dirs FROM the durable staged copies
+    spark.read.parquet(s"$staging/postings")
+      .write.mode("overwrite").partitionBy("seg", "bucket")
+      .parquet(s"$indexDir/postings")
+    spark.read.parquet(s"$staging/meta")
+      .withColumn("seg", lit(0))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$indexDir/meta")
+    graft.TempRoots.deleteRecursively(
+      java.nio.file.Paths.get(staging))
+    graft.TempRoots.deleteRecursively(
+      java.nio.file.Paths.get(s"$indexDir/tombstones"))
+  }
+
   /** Character-trigram substring index — the grep / pg_trgm-style
     * complement of the word-term index above, for patterns that do
     * NOT respect token boundaries (infixes, multi-word spans with

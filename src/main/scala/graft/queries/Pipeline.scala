@@ -1293,6 +1293,49 @@ object Pipeline {
       |FROM tf GROUP BY doc_id HAVING count(*) = 2
       |ORDER BY doc_id""".stripMargin
 
+  /** Delete-then-compact lifecycle ([[graft.ops.InvertedIndex
+    * .compactSegments]]): tombstone a batch, merge the index, then
+    * BM25-rank — the strongest possible oracle for the whole delete
+    * story, because BM25 depends on the COLLECTION statistics (N,
+    * avgdl, df) that only the compaction refreshes: the DuckDB twin
+    * recomputes ranking over the corpus minus the deleted ids, so a
+    * green row proves tombstones were dropped AND the stats were
+    * rebuilt (q171's searchAll oracle cannot see stats). */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.path(
+      s"invidx_compact_${Integer.toHexString(dir.hashCode)}")
+    val docs = Tables(s, dir, "documents")
+    if (!new java.io.File(s"$idx/meta").exists()) {
+      InvertedIndex.build(docs, idx, nBuckets = 64)
+      InvertedIndex.deleteDocs(s, idx,
+        docs.where(col("doc_id") % 7 === 2).select(col("doc_id")))
+      InvertedIndex.compactSegments(s, idx)
+    }
+    InvertedIndex.searchBm25(s, idx, Seq("merge", "spark"), 20)
+  }
+
+  private val q173Sql =
+    """WITH live AS (SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 7 <> 2),
+      |d AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM live),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d),
+      |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+      |  WHERE w IN ('merge', 'spark') GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS nd,
+      |    CAST((SELECT sum(len(string_split(coalesce(text, ''), ' ')))
+      |      FROM live) AS DOUBLE) AS ntok
+      |  FROM live)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(round(
+      |    ln(1 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.5)
+      |      / (tf + 1.5 * (0.25 + (0.75 * dl) / (ntok / nd))), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |FROM tf JOIN df USING (w) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Phrase search over the positional inverted index
     * ([[graft.ops.InvertedIndex.searchPhrase]]): per-doc occurrence
     * counts of an exact word sequence, answered from shifted position
@@ -1542,6 +1585,7 @@ object Pipeline {
     "q170_chunk_retrieval" -> (q170 _),
     "q171_index_delete" -> (q171 _),
     "q172_hybrid_retrieval" -> (q172 _),
+    "q173_index_compaction" -> (q173 _),
     "q167_hll_overlap" -> (q167 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
@@ -1585,5 +1629,6 @@ object Pipeline {
     "q164_trigram_search" -> q164Sql,
     "q170_chunk_retrieval" -> q170Sql,
     "q171_index_delete" -> q171Sql,
-    "q172_hybrid_retrieval" -> q172Sql)
+    "q172_hybrid_retrieval" -> q172Sql,
+    "q173_index_compaction" -> q173Sql)
 }

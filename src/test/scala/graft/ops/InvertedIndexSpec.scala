@@ -224,6 +224,38 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(phraseGot == phraseWant)
   }
 
+  test("compaction merges segments, drops tombstones, and refreshes BM25 stats") {
+    val dir = graft.TempRoots.path("invidx_compact_spec")
+    val twoThirds = docs.where(col("doc_id") % 3 =!= 0)
+    InvertedIndex.build(twoThirds, dir, nBuckets = 16)
+    InvertedIndex.appendSegment(docs.where(col("doc_id") % 3 === 0), dir,
+      segId = 1)
+    val dead = docs.where(col("doc_id") % 5 === 1).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, dir, dead)
+    InvertedIndex.compactSegments(spark, dir)
+    // physical shape: one segment family, no tombstones, no staging
+    val segs = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSeq
+    assert(segs == Seq("seg=0"), segs.toString)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(!new java.io.File(s"$dir/_staging").exists())
+    // results AND ranking stats equal a fresh build on the live docs
+    val rebuilt = graft.TempRoots.path("invidx_compact_rebuild")
+    InvertedIndex.build(docs.where(col("doc_id") % 5 =!= 1), rebuilt,
+      nBuckets = 16)
+    def bm(idx: String) =
+      InvertedIndex.searchBm25(spark, idx, Seq("merge", "spark"), 20)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"))).toSeq
+    assert(bm(rebuilt).nonEmpty)
+    assert(bm(dir) == bm(rebuilt))
+    def all(idx: String) =
+      InvertedIndex.searchAll(spark, idx, Seq("window", "scan"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("total_tf")).toMap
+    assert(all(dir) == all(rebuilt))
+  }
+
   private lazy val trgIdx = {
     val dir = graft.TempRoots.path("trgidx_spec")
     InvertedIndex.buildTrigramIndex(docs, dir, nBuckets = 16)
