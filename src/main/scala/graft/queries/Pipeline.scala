@@ -1264,6 +1264,83 @@ object Pipeline {
       |  CAST(rv AS BIGINT) AS rank_vec, rrf
       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Retrieval-quality evaluation — the IR-eval harness (the text
+    * sibling of q74's ANN recall eval): precision@5/@20, recall@20
+    * and MRR of the stored-index BM25 list against an exact relevance
+    * set (docs containing BOTH query terms as tokens). Metrics are
+    * ratios of exact integer counts (unrounded doubles — identical
+    * IEEE division), MRR from the first relevant rank with the
+    * (score, doc_id) unique tiebreak. One index probe + one broadcast
+    * membership join; the truth set is one scan with pushable token
+    * predicates. */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val truth = docs
+      .where(array_contains(ws, "merge") && array_contains(ws, "slow"))
+      .select(col("doc_id"), lit(1L).as("rel"))
+    val ranked = InvertedIndex.searchBm25(s, sharedInvIndex(s, dir),
+        Seq("merge", "slow"), 20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+    val nRel = truth.agg(count(lit(1)).as("n_relevant"))
+    ranked.join(broadcast(truth), Seq("doc_id"), "left")
+      .crossJoin(broadcast(nRel))
+      .agg(max(col("n_relevant")).as("n_relevant"),
+        sum(when(col("rel") === 1L && col("rank") <= 5, 1L)
+          .otherwise(0L)).as("hits_at_5"),
+        sum(when(col("rel") === 1L, 1L).otherwise(0L)).as("hits_at_20"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"))
+      .select(col("n_relevant"), col("hits_at_5"), col("hits_at_20"),
+        (col("hits_at_5").cast("double") / lit(5.0)).as("p_at_5"),
+        (col("hits_at_20").cast("double") / lit(20.0)).as("p_at_20"),
+        (col("hits_at_20").cast("double") /
+          col("n_relevant").cast("double")).as("recall_at_20"),
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"),
+          lit(0.0)).as("mrr"))
+  }
+
+  private val q174Sql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      |truth AS (SELECT doc_id FROM d
+      |  WHERE list_contains(ws, 'merge') AND list_contains(ws, 'slow')),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d),
+      |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+      |  WHERE w IN ('merge', 'slow') GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS nd,
+      |    CAST((SELECT sum(len(string_split(coalesce(text, ''), ' ')))
+      |      FROM documents) AS DOUBLE) AS ntok
+      |  FROM documents),
+      |sc AS (SELECT doc_id,
+      |    round(CAST(sum(CAST(round(
+      |      ln(1 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (tf * 2.5)
+      |        / (tf + 1.5 * (0.25 + (0.75 * dl) / (ntok / nd))), 8)
+      |      AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN n
+      |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20),
+      |rk AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |  FROM sc),
+      |nr AS (SELECT count(*) AS n_relevant FROM truth),
+      |j AS (SELECT rk.rank,
+      |    CASE WHEN truth.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      |  FROM rk LEFT JOIN truth ON rk.doc_id = truth.doc_id)
+      |SELECT max(nr.n_relevant) AS n_relevant,
+      |  CAST(sum(CASE WHEN rel = 1 AND rank <= 5 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS hits_at_5,
+      |  CAST(sum(rel) AS BIGINT) AS hits_at_20,
+      |  CAST(sum(CASE WHEN rel = 1 AND rank <= 5 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / 5.0 AS p_at_5,
+      |  CAST(sum(rel) AS DOUBLE) / 20.0 AS p_at_20,
+      |  CAST(sum(rel) AS DOUBLE) / max(nr.n_relevant) AS recall_at_20,
+      |  coalesce(CAST(1 AS DOUBLE) /
+      |    min(CASE WHEN rel = 1 THEN rank END), 0.0) AS mrr
+      |FROM j CROSS JOIN nr""".stripMargin
+
   /** Tombstone-delete lifecycle over the inverted index
     * ([[graft.ops.InvertedIndex.deleteDocs]]) — build, tombstone a
     * batch (ids ≡ 2 mod 7), search: the right-to-be-forgotten path
@@ -1586,6 +1663,7 @@ object Pipeline {
     "q171_index_delete" -> (q171 _),
     "q172_hybrid_retrieval" -> (q172 _),
     "q173_index_compaction" -> (q173 _),
+    "q174_retrieval_eval" -> (q174 _),
     "q167_hll_overlap" -> (q167 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
@@ -1630,5 +1708,6 @@ object Pipeline {
     "q170_chunk_retrieval" -> q170Sql,
     "q171_index_delete" -> q171Sql,
     "q172_hybrid_retrieval" -> q172Sql,
-    "q173_index_compaction" -> q173Sql)
+    "q173_index_compaction" -> q173Sql,
+    "q174_retrieval_eval" -> q174Sql)
 }
