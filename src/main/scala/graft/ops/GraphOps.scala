@@ -122,6 +122,42 @@ object GraphOps {
     * (the CC-loop convention), so the plan never nests across
     * iterations. Hot communities are hot KEYS only in the (dst,
     * label) count, whose partial aggregation absorbs them. */
+  /** Multi-source BFS hop distances, frontier style: level i joins
+    * ONLY the newly discovered frontier against the cached edge list,
+    * anti-joins out already-settled nodes, and settles the rest at
+    * distance i — every node is joined exactly once per discovery,
+    * never re-expanded (the delta-iteration shape), so total work is
+    * O(edges · levels) worst case and typically far less. Frontier
+    * and settled sets are materialized per level (the CC-loop
+    * convention). Deterministic: BFS level sets are unique regardless
+    * of partitioning. Unreachable-within-`maxHops` nodes are absent
+    * from the output.
+    *
+    * The one iterative graph operator here with a FULL SQL oracle: a
+    * bounded-depth recursive CTE (UNION-deduped) computes the same
+    * min-hop map, so q175 is oracle-checked where pageRank/LPA can
+    * only be spec-pinned. */
+  def shortestHops(edges: DataFrame, seeds: DataFrame,
+                   maxHops: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    for (i <- 1 to maxHops) {
+      val nbrs = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+      val fresh = nbrs.join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i.toLong)).localCheckpoint(true)
+      val grown = dist.unionByName(fresh).localCheckpoint(true)
+      dist.unpersist(blocking = false)
+      dist = grown
+      frontier = fresh.select(col("node"))
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int = 5,
                        broadcastNodeLimit: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))

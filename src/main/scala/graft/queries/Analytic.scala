@@ -966,6 +966,52 @@ object Analytic {
       .limit(20)
   }
 
+  /** Multi-source BFS over the customer↔supplier graph
+    * ([[GraphOps.shortestHops]]): hop distance from the seed
+    * customers to every node within 4 hops — supply-chain blast
+    * radius. The ONE iterative graph query with a full oracle: the
+    * DuckDB twin is a bounded-depth recursive CTE (UNION-deduped, so
+    * path explosion collapses to distinct (node, depth) rows per
+    * level), proving the frontier iteration hop-for-hop. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables(s, dir, "orders")
+      .where(col("o_custkey") <= 2)
+      .select((col("o_custkey") * 2).as("node"))
+    GraphOps.shortestHops(sym, seeds, maxHops = 4)
+      .select(when(col("node") % 2 === 0, "customer")
+          .otherwise("supplier").as("kind"),
+        (col("node") / lit(2)).cast("bigint").as("key"),
+        col("dist"))
+      .orderBy(col("dist"), col("kind"), col("key"))
+  }
+
+  private val q175Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  UNION ALL
+      |  SELECT l_suppkey * 2 + 1, o_custkey * 2
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |seeds AS (SELECT DISTINCT o_custkey * 2 AS node FROM orders
+      |  WHERE o_custkey <= 2),
+      |r AS (SELECT node, 0 AS d FROM seeds
+      |  UNION
+      |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+      |  WHERE r.d < 4)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+      |    AS kind,
+      |  CAST(node // 2 AS BIGINT) AS key,
+      |  CAST(min(d) AS BIGINT) AS dist
+      |FROM r GROUP BY node
+      |ORDER BY dist, kind, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
@@ -988,7 +1034,8 @@ object Analytic {
     "q162_time_grid_fill" -> (q162 _),
     "q163_pareto_frontier" -> (q163 _),
     "q165_linear_interp" -> (q165 _),
-    "q168_communities" -> (q168 _))
+    "q168_communities" -> (q168 _),
+    "q175_bfs_hops" -> (q175 _))
   // q168 rows-only like q142: the label recursion has no SQL oracle;
   // GraphOpsSpec pins exact communities on synthetic graphs
   // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
@@ -1012,7 +1059,8 @@ object Analytic {
     "q161_triangle_count" -> q161Sql,
     "q162_time_grid_fill" -> q162Sql,
     "q163_pareto_frontier" -> q163Sql,
-    "q165_linear_interp" -> q165Sql)
+    "q165_linear_interp" -> q165Sql,
+    "q175_bfs_hops" -> q175Sql)
   // q92 intentionally has no oracle (sketch-algorithm-specific values,
   // like q21's HLL estimate); ApproxPercentileSpec bounds its error
   // against q76's exact quartiles instead

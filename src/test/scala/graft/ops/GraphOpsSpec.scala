@@ -76,6 +76,25 @@ class GraphOpsSpec extends SparkTestBase {
     assert(run(edges.repartition(7)) == got)
   }
 
+  test("BFS hop distances on a chain: exact levels, maxHops truncation, disjoint absent") {
+    // chain 0-1-2-3-4-5-6 plus a disjoint pair 100-101
+    val chain = sym((0L to 5L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+    val edges = spark.createDataFrame(chain).toDF("src", "dst")
+    val seeds = spark.createDataFrame(Seq(Tuple1(0L))).toDF("node")
+    def run(maxHops: Int) =
+      GraphOps.shortestHops(edges, seeds, maxHops).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist"))
+        .sortBy(_._1).toSeq
+    assert(run(4) == Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // full depth reaches the chain end; the disjoint pair never appears
+    assert(run(10) == Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 4L, 5L -> 5L, 6L -> 6L))
+    assert(run(10) ==
+      GraphOps.shortestHops(edges.repartition(5), seeds, 10).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist"))
+        .sortBy(_._1).toSeq)
+  }
+
   test("the self-vote damps the bipartite 2-cycle oscillation") {
     // a 4-cycle is bipartite: neighbor-only synchronous LPA swaps the
     // two sides' labels forever; with the hold-back self-vote the
