@@ -15,6 +15,20 @@ import org.apache.spark.storage.StorageLevel
   * this is its weighted-propagation sibling. */
 object GraphOps {
 
+  /** Release a superseded localCheckpoint's storage. `Dataset
+    * .unpersist` only consults the CacheManager (plans registered via
+    * `persist()`), so on a checkpoint-backed frame it frees NOTHING —
+    * the blocks live on the underlying RDD. Walking to the LogicalRDD
+    * leaf and unpersisting ITS rdd is what actually drops them. Only
+    * ever called on frames that are fully superseded: a truncated-
+    * lineage RDD cannot be recomputed after this. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Deterministic PageRank. `edges` carries (src, dst) long columns;
     * CONTRACT: every node appears as a src AND as a dst (symmetrize a
     * one-directional relation — that also removes dangling nodes,
@@ -88,7 +102,10 @@ object GraphOps {
         .agg((lit(base) + lit(damping) *
           (sum(col("c")).cast("double") / lit(1e12))).as("rank"))
         .localCheckpoint(true)
-      if (i > 0) ranks.unpersist(blocking = false)
+      // checkpoint-backed: route through freeCheckpoint — a plain
+      // Dataset.unpersist only consults the CacheManager and would
+      // leave every iteration's blocks pinned
+      if (i > 0) freeCheckpoint(ranks)
       ranks = next
     }
     // outdeg is folded into the cached e by now (the loop materialized
@@ -150,9 +167,12 @@ object GraphOps {
       val fresh = nbrs.join(dist, Seq("node"), "left_anti")
         .withColumn("dist", lit(i.toLong)).localCheckpoint(true)
       val grown = dist.unionByName(fresh).localCheckpoint(true)
-      dist.unpersist(blocking = false)
+      // the next frontier reads from GROWN's blocks (not fresh's), so
+      // both superseded checkpoints can be dropped immediately
+      frontier = grown.where(col("dist") === i).select(col("node"))
+      freeCheckpoint(dist)
+      freeCheckpoint(fresh)
       dist = grown
-      frontier = fresh.select(col("node"))
     }
     e.unpersist(blocking = false)
     dist
@@ -188,7 +208,7 @@ object GraphOps {
       // free the superseded iteration's checkpointed blocks (the
       // pageRank-loop convention; i=0's labels is an unmaterialized
       // plan, nothing to release)
-      if (i > 0) labels.unpersist(blocking = false)
+      if (i > 0) freeCheckpoint(labels)
       labels = next
     }
     e.unpersist(blocking = false)

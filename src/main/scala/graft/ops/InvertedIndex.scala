@@ -126,11 +126,13 @@ object InvertedIndex {
     * batch's partition with identical content. Tombstones are small
     * relative to the corpus by contract, so the anti-join broadcasts.
     *
-    * Lucene-parity caveat: collection statistics (N, avgdl in
-    * [[searchBm25]], and term df) still count tombstoned docs until a
-    * rebuild — exactly how deletes behave in Lucene before a merge;
-    * boolean and phrase results ([[searchAll]]/[[searchPhrase]]) are
-    * exact immediately. */
+    * Stats caveat: [[searchBm25]]'s N and avgdl come from the meta
+    * rows and still count tombstoned docs until [[compactSegments]]
+    * rebuilds them (Lucene's pre-merge behavior), while df is counted
+    * from the probed LIVE postings and reflects deletes immediately —
+    * a hybrid state, exact again after compaction (q173's oracle
+    * proves the refreshed form). Boolean and phrase results
+    * ([[searchAll]]/[[searchPhrase]]) are exact immediately. */
   def deleteDocs(spark: SparkSession, indexDir: String,
                  docIds: DataFrame, batchId: Int = 0): Unit =
     docIds.select(col("doc_id")).distinct()
@@ -140,10 +142,21 @@ object InvertedIndex {
       .partitionBy("batch")
       .parquet(s"$indexDir/tombstones")
 
+  /** Postings-row schema, used on every store read: an EXPLICIT
+    * schema makes a fileless directory (an empty delete batch, a
+    * compaction that tombstoned every doc — both write only _SUCCESS)
+    * read as an empty frame instead of throwing 'Unable to infer
+    * schema'. */
+  private val postingsSchema =
+    "term STRING, doc_id BIGINT, dl BIGINT, tf BIGINT, " +
+      "positions ARRAY<INT>, bucket INT, seg INT"
+  private val tombstoneSchema = "doc_id BIGINT, batch INT"
+
   private def tombstones(spark: SparkSession,
                          indexDir: String): Option[DataFrame] =
     if (new java.io.File(s"$indexDir/tombstones").exists())
-      Some(spark.read.parquet(s"$indexDir/tombstones")
+      Some(spark.read.schema(tombstoneSchema)
+        .parquet(s"$indexDir/tombstones")
         .select(col("doc_id")).distinct())
     else None
 
@@ -155,7 +168,8 @@ object InvertedIndex {
   private def postingsFor(spark: SparkSession, indexDir: String,
                           terms: Seq[String], nBuckets: Int): DataFrame = {
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val p = spark.read.parquet(s"$indexDir/postings")
+    val p = spark.read.schema(postingsSchema)
+      .parquet(s"$indexDir/postings")
       .where(col("bucket").isin(buckets.map(Int.box): _*) &&
         col("term").isin(terms: _*))
     tombstones(spark, indexDir) match {
@@ -245,7 +259,8 @@ object InvertedIndex {
   def compactSegments(spark: SparkSession, indexDir: String): Unit = {
     val nBuckets = meta(spark, indexDir)._3
     val live = {
-      val p = spark.read.parquet(s"$indexDir/postings")
+      val p = spark.read.schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
         .select(col("term"), col("doc_id"), col("dl"), col("tf"),
           col("positions"), col("bucket"))
       tombstones(spark, indexDir) match {
@@ -259,7 +274,8 @@ object InvertedIndex {
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("seg", "bucket")
       .parquet(s"$staging/postings")
-    val stagedPostings = spark.read.parquet(s"$staging/postings")
+    val stagedPostings = spark.read.schema(postingsSchema)
+      .parquet(s"$staging/postings")
     // meta from the staged live rows: dl is constant per doc, so the
     // token total is the sum of one dl per live doc
     val perDoc = stagedPostings.groupBy(col("doc_id"))
@@ -269,7 +285,7 @@ object InvertedIndex {
         lit(nBuckets.toLong).as("n_buckets"), lit(0).as("seg"))
       .write.mode("overwrite").parquet(s"$staging/meta")
     // swap: overwrite the live dirs FROM the durable staged copies
-    spark.read.parquet(s"$staging/postings")
+    spark.read.schema(postingsSchema).parquet(s"$staging/postings")
       .write.mode("overwrite").partitionBy("seg", "bucket")
       .parquet(s"$indexDir/postings")
     spark.read.parquet(s"$staging/meta")

@@ -1072,6 +1072,10 @@ object Pipeline {
         Seq("merge", "slow"), 20)
       .select((col("doc_id") / 4096).cast("bigint").as("src_doc_id"),
         pmod(col("doc_id"), lit(4096L)).as("chunk_idx"), col("score"))
+      // re-assert the total order at top level: the projection above
+      // sits over the TakeOrdered cut, and the driver-contract
+      // invariant wants the ORDER BY outermost on both sides
+      .orderBy(col("score").desc, col("src_doc_id"), col("chunk_idx"))
 
   private val q170Sql =
     """WITH w AS (SELECT doc_id,
@@ -1094,7 +1098,7 @@ object Pipeline {
       |  FROM tf JOIN df USING (w) CROSS JOIN n
       |  GROUP BY cid ORDER BY score DESC, cid LIMIT 20)
       |SELECT cid // 4096 AS src_doc_id, cid % 4096 AS chunk_idx, score
-      |FROM s""".stripMargin
+      |FROM s ORDER BY score DESC, src_doc_id, chunk_idx""".stripMargin
 
   /** Substring (grep-style) search over the stored trigram index
     * ([[graft.ops.InvertedIndex.searchSubstring]]): the pattern spans

@@ -100,8 +100,13 @@ object EventStreams {
         }
         sessions = merged :: far
       }
+      // wm == 0 = "no watermark committed yet" (see gridFillIngest):
+      // closing against the initial 0 would prematurely split
+      // pre-epoch sessions that later within-gap events should merge
       val wm = state.getCurrentWatermarkMs()
-      val (closed, open) = sessions.partition(s => s.lastTs + gapMs <= wm)
+      val (closed, open) =
+        if (wm == 0L) (Nil, sessions)
+        else sessions.partition(s => s.lastTs + gapMs <= wm)
       if (open.isEmpty) state.remove()
       else {
         state.update(open)

@@ -224,6 +224,22 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(phraseGot == phraseWant)
   }
 
+  test("an EMPTY delete batch leaves the index fully searchable (fileless tombstone dir)") {
+    val dir = graft.TempRoots.path("invidx_emptydel_spec")
+    InvertedIndex.build(docs, dir, nBuckets = 16)
+    val before = InvertedIndex.searchAll(spark, dir, Seq("merge", "spark"))
+      .count()
+    // a delete whose filter matches nothing writes only _SUCCESS —
+    // searches and compaction must treat it as zero tombstones
+    InvertedIndex.deleteDocs(spark, dir,
+      docs.where(col("doc_id") < 0).select(col("doc_id")))
+    assert(InvertedIndex.searchAll(spark, dir, Seq("merge", "spark"))
+      .count() == before)
+    InvertedIndex.compactSegments(spark, dir)
+    assert(InvertedIndex.searchAll(spark, dir, Seq("merge", "spark"))
+      .count() == before)
+  }
+
   test("compaction merges segments, drops tombstones, and refreshes BM25 stats") {
     val dir = graft.TempRoots.path("invidx_compact_spec")
     val twoThirds = docs.where(col("doc_id") % 3 =!= 0)
