@@ -54,6 +54,44 @@ object LlmQueries {
       |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Dedup-threshold calibration sweep — the similarity histogram a
+    * threshold DECISION needs (picking 0.8 vs 0.9 changes how much
+    * corpus survives; this query shows exactly what each choice
+    * costs): verified Jaccard pairs above a 0.7 floor, bucketed into
+    * 0.05 bands, with the cumulative pairs-at-or-above curve. Band
+    * arithmetic (floor(jac·20)/20 on the rounded score) is the
+    * identical IEEE sequence on both engines, so even a band boundary
+    * that falls on a binary-representation edge lands in the same
+    * bucket. Same candidate machinery as q51 (prefix-filtered, never
+    * all-pairs); the rollup is a band-keyed aggregate plus one
+    * window over the ≤ 7-row band table. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = TextOps.nearDupExact(Tables(s, dir, "documents"), 0.7)
+      .withColumn("band", floor(col("jac") * 20) / lit(20.0))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    bands.withColumn("n_pairs_at_or_above",
+        sum(col("n_pairs")).over(Window.orderBy(col("band").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("band"))
+  }
+
+  private val q176Sql =
+    """WITH w AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |p AS (SELECT round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |        len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jac
+      |  FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+      |        len(list_distinct(list_concat(a.ws, b.ws))) >= 0.7),
+      |b AS (SELECT floor(jac * 20) / 20.0 AS band, count(*) AS n_pairs
+      |  FROM p GROUP BY 1)
+      |SELECT band, n_pairs,
+      |  CAST(sum(n_pairs) OVER (ORDER BY band DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_pairs_at_or_above
+      |FROM b ORDER BY band""".stripMargin
+
   /** Near-dup connected components (canonical group id per document);
     * the DuckDB oracle reconstructs the same components with a
     * recursive CTE (reachable-label closure + min per node). */
@@ -1065,6 +1103,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_bootstrap_ci" -> (q166 _),
     "q169_quantile_normalize" -> (q169 _),
+    "q176_threshold_sweep" -> (q176 _),
     "q148_label_affinity" -> (q148 _),
     "q149_temperature_mix" -> (q149 _),
     "q151_vocab_encode" -> (q151 _),
@@ -1118,6 +1157,7 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "q166_bootstrap_ci" -> q166Sql,
     "q169_quantile_normalize" -> q169Sql,
+    "q176_threshold_sweep" -> q176Sql,
     "q148_label_affinity" -> q148Sql,
     "q149_temperature_mix" -> q149Sql,
     "q151_vocab_encode" -> q151Sql,
