@@ -1100,10 +1100,108 @@ object LlmQueries {
       |FROM t JOIN cdf ON t.tpos BETWEEN cdf.lo AND cdf.cum
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source language-mix entropy — the data-card diversity metric
+    * beside q160's χ² independence test: Shannon entropy (nats) of
+    * each source's language distribution, with the language count and
+    * majority share. Entropy terms follow the q93 discipline (p·ln p
+    * rounded to 8, decimal-summed — exact and associative under any
+    * partitioning), final values rounded to 4. One tiny (source,
+    * lang) aggregate; everything downstream is domain-sized. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("term",
+        round((col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")), 8)
+          .cast("decimal(18,8)"))
+    cells.groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(max(col("c")).cast("double") / max(col("n")), 4)
+          .as("majority_share"),
+        round(-(sum(col("term")).cast("double")), 4).as("lang_entropy"))
+      .orderBy(col("source"))
+  }
+
+  private val q177Sql =
+    """WITH cells AS (SELECT source, lang, count(*) AS c
+      |  FROM documents GROUP BY source, lang),
+      |t AS (SELECT source, lang, c,
+      |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM cells)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |  count(*) AS n_langs,
+      |  round(CAST(max(c) AS DOUBLE) / max(n), 4) AS majority_share,
+      |  round(-CAST(sum(CAST(round((c::DOUBLE / n) * ln(c::DOUBLE / n), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS lang_entropy
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  /** Pointwise-mutual-information collocations — the classic
+    * statistically-bound-phrase extractor (Church & Hanks 1990):
+    * adjacent word pairs scored by ln(p(ab)/(p(a)p(b))) over corpus
+    * counts, minimum support 5, top 20 by (rounded PMI, pair). Two
+    * keyed shuffles (bigram and unigram counts); the unigram side is
+    * vocabulary-sized so its joins broadcast on real corpora; the
+    * PMI expression shape is identical on both engines and the
+    * ranking follows the round-then-tiebreak convention. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val bigrams = Tables(s, dir, "documents")
+      .select(explode(when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - lit(2)),
+          i => struct(element_at(ws, i + lit(1)).as("w1"),
+            element_at(ws, i + lit(2)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= 5)
+    val words = Tables(s, dir, "documents")
+      .select(explode(ws).as("w"))
+    val cu = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nb = bigrams.agg(count(lit(1)).as("n_bi"))
+    val nu = words.agg(count(lit(1)).as("n_uni"))
+    cb.join(cu.select(col("w").as("w1"), col("cw").as("ca")), "w1")
+      .join(cu.select(col("w").as("w2"), col("cw").as("cb2")), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("cab"),
+        round(log((col("cab").cast("double") / col("n_bi")) /
+          ((col("ca").cast("double") / col("n_uni")) *
+            (col("cb2").cast("double") / col("n_uni")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val q178Sql =
+    """WITH d AS (SELECT string_split(coalesce(text, ''), ' ') AS ws
+      |  FROM documents),
+      |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM d, unnest(range(1, len(ws))) AS t(i)),
+      |cb AS (SELECT w1, w2, count(*) AS cab FROM bg
+      |  GROUP BY w1, w2 HAVING count(*) >= 5),
+      |wu AS (SELECT unnest(ws) AS w FROM d),
+      |cu AS (SELECT w, count(*) AS cw FROM wu GROUP BY w),
+      |nb AS (SELECT count(*) AS n_bi FROM bg),
+      |nu AS (SELECT count(*) AS n_uni FROM wu)
+      |SELECT w1, w2, cab,
+      |  round(ln((CAST(cab AS DOUBLE) / n_bi) /
+      |    ((CAST(a.cw AS DOUBLE) / n_uni) *
+      |      (CAST(b.cw AS DOUBLE) / n_uni))), 4) AS pmi
+      |FROM cb JOIN cu a ON cb.w1 = a.w
+      |JOIN cu b ON cb.w2 = b.w
+      |CROSS JOIN nb CROSS JOIN nu
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_bootstrap_ci" -> (q166 _),
     "q169_quantile_normalize" -> (q169 _),
     "q176_threshold_sweep" -> (q176 _),
+    "q177_source_entropy" -> (q177 _),
+    "q178_pmi_collocations" -> (q178 _),
     "q148_label_affinity" -> (q148 _),
     "q149_temperature_mix" -> (q149 _),
     "q151_vocab_encode" -> (q151 _),
@@ -1158,6 +1256,8 @@ object LlmQueries {
     "q166_bootstrap_ci" -> q166Sql,
     "q169_quantile_normalize" -> q169Sql,
     "q176_threshold_sweep" -> q176Sql,
+    "q177_source_entropy" -> q177Sql,
+    "q178_pmi_collocations" -> q178Sql,
     "q148_label_affinity" -> q148Sql,
     "q149_temperature_mix" -> q149Sql,
     "q151_vocab_encode" -> q151Sql,
