@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, DotProduct, MinhashSignature, PqEncode, SimhashSignature, SortedIntersectSize, WinnowFingerprint}
+import graft.functions.{BloomMightContain, DeflateLength, DotProduct, MinhashSignature, PqEncode, SimhashSignature, SortedIntersectSize, WinnowFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -91,6 +91,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(n: Int, _) => PqEncode(children.head, books, n)
           case other => throw new IllegalArgumentException(
             s"graft_pq_encode(v, books, nAssign): nAssign must be an integer literal, got $other")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (children: Seq[Expression]) => {
+        arity(children, 2, "graft_deflate_len(text, level)")
+        children(1) match {
+          case Literal(l: Int, _) => DeflateLength(children.head, l)
+          case other => throw new IllegalArgumentException(
+            s"graft_deflate_len(text, level): level must be an integer literal, got $other")
         }
       }))
     ext.injectFunction((

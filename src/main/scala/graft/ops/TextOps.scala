@@ -1473,6 +1473,51 @@ object TextOps {
           col("dup_trigram_ratio") > flagAt)
   }
 
+  /** UDF fallback for the deflate measurement — bit-identical to
+    * [[graft.functions.DeflateLength]] (same java.util.zip stream,
+    * same level, raw/nowrap); DeflateLengthSpec asserts it. */
+  private def deflateLenUdf(level: Int) =
+    udf { (t: String) =>
+      val d = new java.util.zip.Deflater(level, true)
+      try {
+        d.setInput(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        n
+      } finally d.end()
+    }
+
+  /** Compression-ratio quality signal (Gopher-style): DEFLATE each
+    * document's UTF-8 bytes and report raw/compressed — boilerplate,
+    * template spam, and phrase loops compress far better than prose,
+    * so a high ratio is a cheap language-agnostic low-entropy flag
+    * that catches repetition [[repetitionStats]]' fixed n-gram windows
+    * miss (periods longer than 3 words, non-word structure). Pure
+    * per-row work, zero shuffles; the deflate runs inside whole-stage
+    * codegen via the native [[graft.functions.DeflateLength]] when
+    * installed (UDF fallback bit-identical — same zlib call). Rows-
+    * only for the driver (DuckDB has no deflate); DeflateLengthSpec
+    * pins native==UDF parity and the flag semantics. */
+  def compressionSignal(docs: DataFrame, level: Int = 6,
+                        flagAt: Double = 3.0): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    val dl =
+      if (hasNative(Some(docs.sparkSession), "graft_deflate_len"))
+        call_function("graft_deflate_len", text, lit(level))
+      else deflateLenUdf(level)(text)
+    // column-appending (text dropped): downstream aggregates read the
+    // carried dimensions (source, lang) without a second corpus scan
+    docs
+      .withColumn("n_bytes", octet_length(text).cast("bigint"))
+      .withColumn("deflate_bytes", dl)
+      .withColumn("ratio", round(col("n_bytes").cast("double") /
+        greatest(col("deflate_bytes"), lit(1L)).cast("double"), 4))
+      .withColumn("low_entropy", col("ratio") >= lit(flagAt))
+      .drop("text")
+  }
+
   /** Fixed-size overlapping word chunks — the context-window packing
     * step of a training pipeline (chunk size `chunkWords`, stride
     * `stride`; stride < chunkWords gives the usual overlap). Pure

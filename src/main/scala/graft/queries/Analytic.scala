@@ -1012,7 +1012,46 @@ object Analytic {
       |FROM r GROUP BY node
       |ORDER BY dist, kind, key""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioural fingerprint beside q153's fixed
+    * funnel: for every ordered (from, next) event-type pair, the
+    * observed count and the row-normalized transition probability
+    * P(next | from). One window shuffle keyed on user (unique
+    * (ts, event_id) tiebreak — the determinism contract for equal
+    * timestamps) feeding a domain-sized (5×5 here) aggregate; the
+    * probability normalization is a window over that tiny table.
+    * Sequences are per-user, so the user-keyed window partitioning
+    * holds at any event volume. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq0 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(seq0).as("to_type"))
+      .where(col("to_type").isNotNull)
+    val byFrom = Window.partitionBy(col("from_type"))
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(byFrom), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val q180Sql =
+    """WITH p AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  round(CAST(n AS DOUBLE) /
+      |    sum(n) OVER (PARTITION BY from_type), 4) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_markov_transitions" -> (q180 _),
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
     "q78_exists_subquery" -> (q78 _),
@@ -1053,6 +1092,7 @@ object Analytic {
     "q84_view_pipeline" -> q84Sql,
     "q89_salted_agg" -> q89Sql,
     "q90_salted_join" -> q90Sql,
+    "q180_markov_transitions" -> q180Sql,
     "q153_event_funnel" -> q153Sql,
     "q155_retention_cohorts" -> q155Sql,
     "q157_event_anomalies" -> q157Sql,

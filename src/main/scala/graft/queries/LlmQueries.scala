@@ -1196,7 +1196,184 @@ object LlmQueries {
       |CROSS JOIN nb CROSS JOIN nu
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Ranking-quality evaluation of the CHEAP length-only signal (the
+    * classifier's clamped n_words/256 feature) against the full
+    * quality gate ([[graft.ops.TextOps.qualityOk]]): exact
+    * tie-corrected Mann–Whitney AUC plus a confusion table (tp/fp/fn/
+    * tn, precision, recall, F1) at four operating thresholds — the
+    * "can a length cutoff stand in for the full gate" measurement a
+    * pipeline makes before spending the expensive signals on every
+    * document (q176 is the dedup-threshold twin of this report).
+    *
+    * AUC is computed WITHOUT a global rank: scores are grouped (the
+    * rounded score domain is ≤10⁴ values), a window over the tiny
+    * per-score table accumulates negatives-below, and
+    * Σ pos_s·neg_below + ½·Σ pos_s·neg_s counts concordant pairs
+    * exactly. Pair counts are decimal-summed (n² exceeds 2⁵³ long
+    * before n stresses a shuffle), so the value is exact and
+    * layout-independent at any corpus size; the corpus-sized work is
+    * one scan + one score-keyed aggregate. F1 uses the integer form
+    * 2tp/(2tp+fp+fn) so every division is a single final step. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables(s, dir, "documents")
+      .select(round(least(size(split(col("text"), " ")).cast("double") /
+          lit(256.0), lit(4.0)), 4).as("sc"),
+        when(TextOps.qualityOk, 1L).otherwise(0L).as("y"))
+    val g = scored.groupBy(col("sc"))
+      .agg(sum(col("y")).as("pos_s"), sum(lit(1L) - col("y")).as("neg_s"))
+    val below = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val auc = g
+      .withColumn("neg_below", coalesce(sum(col("neg_s")).over(below), lit(0L)))
+      .agg(sum((col("pos_s") * col("neg_below")).cast("decimal(38,0)")).as("wf"),
+        sum((col("pos_s") * col("neg_s")).cast("decimal(38,0)")).as("wt"),
+        sum(col("pos_s")).as("npos"), sum(col("neg_s")).as("nneg"))
+      .select(round((col("wf").cast("double") + col("wt").cast("double") / 2.0) /
+        (col("npos").cast("double") * col("nneg").cast("double")), 6).as("auc"))
+    val th = s.range(1).select(
+      explode(array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))).as("threshold"))
+    scored.crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("sc") >= col("threshold"), col("y")).otherwise(0L)).as("tp"),
+        sum(when(col("sc") >= col("threshold"), lit(1L) - col("y")).otherwise(0L)).as("fp"),
+        sum(when(col("sc") < col("threshold"), col("y")).otherwise(0L)).as("fn"),
+        sum(when(col("sc") < col("threshold"), lit(1L) - col("y")).otherwise(0L)).as("tn"))
+      .crossJoin(broadcast(auc))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fp")), 4)).as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fn")), 4)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 4)).as("f1"),
+        col("auc"))
+      .orderBy(col("threshold"))
+  }
+
+  private val q179Sql =
+    """WITH t AS (SELECT
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','in','to','is'], x)))::DOUBLE
+      |      / len(string_split(text, ' ')) AS stop_ratio,
+      |    length(replace(text, ' ', ''))::DOUBLE
+      |      / len(string_split(text, ' ')) AS mean_word_len
+      |  FROM documents),
+      |sc AS (SELECT
+      |    round(least(n_words / 256.0, 4.0), 4) AS sc,
+      |    CASE WHEN n_words >= 8 AND stop_ratio >= 0.02
+      |         AND mean_word_len BETWEEN 2.0 AND 12.0
+      |         THEN 1 ELSE 0 END AS y
+      |  FROM t),
+      |g AS (SELECT sc, sum(y) AS pos_s, sum(1 - y) AS neg_s
+      |  FROM sc GROUP BY sc),
+      |cg AS (SELECT pos_s, neg_s,
+      |    coalesce(sum(neg_s) OVER (ORDER BY sc
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS neg_below
+      |  FROM g),
+      |a AS (SELECT round(
+      |    (CAST(sum(CAST(pos_s * neg_below AS DECIMAL(38,0))) AS DOUBLE) +
+      |     CAST(sum(CAST(pos_s * neg_s AS DECIMAL(38,0))) AS DOUBLE) / 2.0) /
+      |    (CAST(sum(pos_s) AS DOUBLE) * CAST(sum(neg_s) AS DOUBLE)), 6)
+      |    AS auc FROM cg),
+      |th AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]::DOUBLE[]) AS threshold),
+      |m AS (SELECT threshold,
+      |    sum(CASE WHEN sc >= threshold THEN y ELSE 0 END) AS tp,
+      |    sum(CASE WHEN sc >= threshold THEN 1 - y ELSE 0 END) AS fp,
+      |    sum(CASE WHEN sc < threshold THEN y ELSE 0 END) AS fn,
+      |    sum(CASE WHEN sc < threshold THEN 1 - y ELSE 0 END) AS tn
+      |  FROM sc CROSS JOIN th GROUP BY threshold)
+      |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+      |  CASE WHEN tp + fp = 0 THEN NULL
+      |       ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+      |  CASE WHEN tp + fn = 0 THEN NULL
+      |       ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall,
+      |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+      |       ELSE round(2.0 * tp / (2 * tp + fp + fn), 4) END AS f1,
+      |  auc
+      |FROM m CROSS JOIN a ORDER BY threshold""".stripMargin
+
+  /** Compression-ratio low-entropy screen
+    * ([[graft.ops.TextOps.compressionSignal]]): per-document DEFLATE
+    * ratio plus the corpus summary a curation run reads (per-source
+    * mean ratio and flagged share). Rows-only — DuckDB has no deflate;
+    * DeflateLengthSpec pins the native expression against the UDF
+    * fallback bit-for-bit and the ratio/flag arithmetic against a
+    * driver-side Deflater fold. */
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    TextOps.compressionSignal(Tables(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        // decimal-sum the rounded ratios: the mean is exact and
+        // layout-independent (double partial sums would not be)
+        round((sum(col("ratio").cast("decimal(28,8)")) /
+          count(lit(1))).cast("double"), 4).as("mean_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        sum(col("low_entropy").cast("long")).as("n_flagged"))
+      .orderBy(col("source"))
+
+  /** Per-source vocabulary drift: KL divergence (nats) of each
+    * source's unigram distribution from the corpus-wide distribution
+    * — the distribution-shift number a data card reports beside
+    * q177's entropy (which measures mix, not divergence) and the
+    * signal that decides when a domain's sampling weight needs
+    * re-fitting. Every source word also appears in the corpus counts,
+    * so no zero-denominator smoothing is needed. KL terms follow the
+    * q93 discipline (p·ln(p/q) rounded to 8, decimal-summed — exact
+    * under any partitioning). Two token-keyed shuffles (per-source
+    * and global counts) that join co-partitioned on the word key;
+    * the final aggregate is domain-sized. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+    val cs = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ns = cs.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val cg = words.groupBy(col("w")).agg(count(lit(1)).as("cg"))
+    val ng = words.agg(count(lit(1)).as("n_g"))
+    cs.join(cg, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(ng))
+      .withColumn("term",
+        round((col("c").cast("double") / col("n_s")) *
+          log((col("c").cast("double") / col("n_s")) /
+            (col("cg").cast("double") / col("n_g"))), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        round(sum(col("term")).cast("double"), 4).as("kl_from_corpus"))
+      .orderBy(col("source"))
+  }
+
+  private val q182Sql =
+    """WITH t AS (SELECT source,
+      |    unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |  FROM documents),
+      |cs AS (SELECT source, w, count(*) AS c FROM t GROUP BY source, w),
+      |ns AS (SELECT source, sum(c) AS n_s FROM cs GROUP BY source),
+      |cg AS (SELECT w, count(*) AS cg FROM t GROUP BY w),
+      |ng AS (SELECT count(*) AS n_g FROM t)
+      |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_vocab,
+      |  round(CAST(sum(CAST(round((c::DOUBLE / n_s) *
+      |      ln((c::DOUBLE / n_s) / (cg::DOUBLE / n_g)), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS kl_from_corpus
+      |FROM cs JOIN cg USING (w) JOIN ns USING (source) CROSS JOIN ng
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_score_auc" -> (q179 _),
+    "q181_compression_signal" -> (q181 _),
+    "q182_vocab_drift" -> (q182 _),
     "q166_bootstrap_ci" -> (q166 _),
     "q169_quantile_normalize" -> (q169 _),
     "q176_threshold_sweep" -> (q176 _),
@@ -1253,6 +1430,8 @@ object LlmQueries {
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
+    "q179_score_auc" -> q179Sql,
+    "q182_vocab_drift" -> q182Sql,
     "q166_bootstrap_ci" -> q166Sql,
     "q169_quantile_normalize" -> q169Sql,
     "q176_threshold_sweep" -> q176Sql,
