@@ -74,6 +74,87 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One selected row of [[mmrRerank]]'s greedy loop. */
+  private[ops] case class MmrPick(position: Int, vec_id: Long,
+                                  relevance: Double, mmr_score: Double)
+
+  /** Deterministic greedy MMR over one query's shortlist — pure
+    * function of the rank-sorted candidate array, so the result is
+    * identical under any partitioning. Scores are rounded to 4 BEFORE
+    * the argmax (the cross-engine ranking contract) with a vec_id
+    * tiebreak. `private[ops]` so the spec runs the IDENTICAL loop
+    * against hand-computed picks. */
+  private[ops] def mmrGreedy(cands: Seq[(Long, Double, Seq[Double])],
+                             k: Int, lambda: Double): Seq[MmrPick] = {
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Seq[Double], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (picked.length < k && remaining.nonEmpty) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.length) {
+        val (id, rel, u) = remaining(i)
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map { case (_, _, pu, _) =>
+            var d = 0.0; var j = 0
+            while (j < u.length) { d += u(j) * pu(j); j += 1 }
+            d
+          }.max
+        val sc = math.round((lambda * rel - (1 - lambda) * maxSim) * 10000)
+          .toDouble / 10000
+        if (sc > bestScore ||
+            (sc == bestScore && best >= 0 && id < remaining(best)._1)) {
+          best = i; bestScore = sc
+        }
+        i += 1
+      }
+      val (id, rel, u) = remaining.remove(best)
+      picked += ((id, rel, u, bestScore))
+    }
+    picked.toSeq.zipWithIndex.map { case ((id, rel, _, sc), pos) =>
+      MmrPick(pos + 1, id, rel, sc)
+    }
+  }
+
+  /** Maximal-marginal-relevance diversity rerank (Carbonell &
+    * Goldstein 1998) of the exact cosine shortlist: from each query's
+    * top-`shortlist` candidates, greedily keep `k` maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * result-diversification step after retrieval (q172's RRF fuses
+    * rankers; this de-dups what one ranker returns, e.g. so near-dup
+    * documents don't fill a context window).
+    *
+    * Scale shape: the corpus-sized work is [[cosineTopK]] (broadcast
+    * queries, per-partition scoring, top-k window). The greedy loop —
+    * inherently sequential, O(k·shortlist) dots — runs per QUERY ROW
+    * on a rank-sorted collected array of `shortlist` unit vectors, so
+    * it is bounded by the shortlist size, never the corpus; a UDF is
+    * the right tool at that altitude (per-query, not per-corpus-row).
+    * Rows-only for the driver (greedy recursion is not SQL-
+    * expressible); VectorOpsSpec pins the loop against hand-verified
+    * picks and the diversity property on clustered vectors. */
+  def mmrRerank(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+                shortlist: Int = 30, lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = prepared(embeddings)
+    val cands = cosineTopK(embeddings, queries, shortlist)
+      .join(corpus.select(col("vec_id"),
+        transform(col("v"), x => x / col("n")).as("u")), "vec_id")
+    val mmr = udf { (cs: Seq[org.apache.spark.sql.Row]) =>
+      mmrGreedy(cs.map(r => (r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3))), k, lambda)
+    }
+    cands.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("vec_id"), col("cos"), col("u")))).as("cs"))
+      .select(col("query_id"), explode(mmr(col("cs"))).as("p"))
+      .select(col("query_id"), col("p.position"), col("p.vec_id"),
+        col("p.relevance"), col("p.mmr_score"))
+      .orderBy(col("query_id"), col("position"))
+  }
+
   /** Fixed random hyperplanes (seeded — identical across executors and
     * runs). */
   private def hyperplanes(bits: Int, dim: Int): Seq[Array[Double]] = {

@@ -1370,10 +1370,22 @@ object LlmQueries {
       |FROM cs JOIN cg USING (w) JOIN ns USING (source) CROSS JOIN ng
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** MMR diversity rerank ([[graft.ops.VectorOps.mmrRerank]]) of the
+    * exact cosine shortlist for three probe queries — the context-
+    * window de-dup step after retrieval. Rows-only (greedy recursion);
+    * VectorOpsSpec pins the greedy loop on hand-verified picks, the
+    * diversity property, and layout independence. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    VectorOps.mmrRerank(e, e.where(col("vec_id") < 3), k = 10,
+      shortlist = 30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_score_auc" -> (q179 _),
     "q181_compression_signal" -> (q181 _),
     "q182_vocab_drift" -> (q182 _),
+    "q183_mmr_rerank" -> (q183 _),
     "q166_bootstrap_ci" -> (q166 _),
     "q169_quantile_normalize" -> (q169 _),
     "q176_threshold_sweep" -> (q176 _),

@@ -405,4 +405,50 @@ class VectorOpsSpec extends SparkTestBase {
         r.getAs[Long]("sample_rank"))).toSet
     assert(re == out.toSet)
   }
+
+  test("mmrGreedy: near-dup of the top pick defers below a diverse candidate") {
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),   // top relevance
+      (2L, 0.89, Seq(1.0, 0.0)),  // exact duplicate direction of 1
+      (3L, 0.5, Seq(0.0, 1.0)))   // orthogonal, lower relevance
+    val picks = VectorOps.mmrGreedy(cands, k = 3, lambda = 0.7)
+    // hand-computed: 1 first (0.63); then 3 (0.35) beats 2 (0.623-0.3=0.323)
+    assert(picks.map(_.vec_id) == Seq(1L, 3L, 2L))
+    assert(picks.map(_.position) == Seq(1, 2, 3))
+    assert(picks.map(_.mmr_score) == Seq(0.63, 0.35, 0.323))
+    // plain relevance ranking WOULD have kept the duplicate second —
+    // the deferral is the whole point of the operator
+    assert(cands.sortBy(-_._2).map(_._1).take(2) == Seq(1L, 2L))
+  }
+
+  test("mmrRerank equals the greedy loop over the collected shortlist") {
+    val queries = df.where(col("vec_id") < 2)
+    val out = VectorOps.mmrRerank(df, queries, k = 5, shortlist = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("position"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("relevance"),
+        r.getAs[Double]("mmr_score")))
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    def unit(v: Seq[Float]): Seq[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }
+    val short = VectorOps.cosineTopK(df, queries, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    for (q <- Seq(0L, 1L)) {
+      val cs = short.filter(_._1 == q).sortBy(_._2)
+        .map(c => (c._3, c._4, unit(byId(c._3)))).toSeq
+      val expect = VectorOps.mmrGreedy(cs, 5, 0.7)
+        .map(p => (q, p.position, p.vec_id, p.relevance, p.mmr_score))
+      assert(out.filter(_._1 == q).toSeq == expect, s"query $q")
+    }
+    // layout independence: identical picks under any partitioning
+    val re = VectorOps.mmrRerank(df.repartition(7), queries, k = 5,
+        shortlist = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("position"),
+        r.getAs[Long]("vec_id")))
+    assert(re.toSeq == out.map(t => (t._1, t._2, t._3)).toSeq)
+  }
 }
