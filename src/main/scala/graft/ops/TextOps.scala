@@ -1770,6 +1770,66 @@ object TextOps {
       .withColumn("pred", (col("p_quality") >= 0.5).cast("long"))
   }
 
+  /** Isotonic (pool-adjacent-violators) calibration of the cheap
+    * length signal against the quality gate: bin the normalized score,
+    * measure the per-bin empirical pass rate, then enforce
+    * monotonicity by pooling adjacent violating bins (Ayer et al.
+    * 1955) — the step after q179's AUC: AUC says the signal RANKS,
+    * the isotonic fit turns it into a calibrated probability without
+    * assuming a parametric shape.
+    *
+    * Scale shape: the corpus-sized work is ONE keyed aggregate down to
+    * `nBins` rows; PAVA is inherently sequential but runs over those
+    * ≤nBins rows on the driver (the trainQualityClassifier pattern —
+    * driver work bounded by the domain, never the corpus). Pooled
+    * means are exact rationals (Σpos/Σn of longs) divided once at the
+    * end; deterministic under any layout. Rows-only for the driver
+    * (the pooling recursion is not SQL-expressible); TextOpsSpec pins
+    * monotonicity, weighted-mean preservation, a hand-verified pooling
+    * example, and layout independence. */
+  def isotonicCalibration(docs: DataFrame, nBins: Int = 20): DataFrame = {
+    require(nBins >= 2 && nBins <= 10000, s"nBins in [2,10000], got $nBins")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // monotone in the q179 signal (so the same ranking calibrates)
+    // but capped at 1.0 rather than 4.0: the realistic length range
+    // lands mid-scale instead of crowding the first bins
+    val score = round(least(size(qualityWords).cast("double") / lit(256.0),
+      lit(1.0)), 4)
+    val binned = docs.select(
+        least(floor(score * nBins), lit(nBins - 1)).cast("long").as("bin"),
+        when(qualityOk, 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    // ≤ nBins rows by construction — bounded driver collect
+    val rows = binned.orderBy(col("bin")).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos")))
+    // PAVA over (weight=n, sum=n_pos) blocks, ascending bin order
+    final case class Block(lo: Long, hi: Long, w: Long, s: Long) {
+      def mean: Double = s.toDouble / w
+    }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.foreach { case (bin, n, pos) =>
+      stack += Block(bin, bin, n, pos)
+      while (stack.length >= 2 &&
+          stack(stack.length - 2).mean > stack.last.mean) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.remove(stack.length - 1)
+        stack += Block(a.lo, b.hi, a.w + b.w, a.s + b.s)
+      }
+    }
+    val iso = stack.flatMap(b => (b.lo to b.hi).map(_ -> b.mean)).toMap
+    val out = rows.map { case (bin, n, pos) =>
+      (bin, bin.toDouble / nBins, n, pos,
+        math.round(pos.toDouble / n * 10000).toDouble / 10000,
+        math.round(iso(bin) * 10000).toDouble / 10000)
+    }
+    spark.createDataset(out.toSeq)
+      .toDF("bin", "score_lo", "n", "n_pos", "raw_rate", "iso_rate")
+      .orderBy(col("bin"))
+  }
+
   /** Stopword-profile language ID. On real corpora the profiles would
     * be per-language n-gram tables; the heuristic shape (count marker
     * hits per language, argmax via CASE) is what matters and is

@@ -1381,11 +1381,94 @@ object LlmQueries {
       shortlist = 30)
   }
 
+  /** Per-source OLS regression of document chars on words (slope ≈
+    * mean word+separator length, intercept ≈ fixed overhead, R² the
+    * linearity of the source's length structure) — the regr_slope
+    * family re-expressed with exact arithmetic: the five sufficient
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are decimal-summed integer
+    * products, so the aggregate is exact and layout-independent at
+    * any corpus size; the closed-form slope/intercept/R² then run the
+    * SAME double op sequence on both engines over those exact sums.
+    * One keyed aggregate, domain-sized output; degenerate sources
+    * (constant x) yield NULL via the same guard on both sides. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val x = size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+    val y = col("n_chars")
+    val g = Tables(s, dir, "documents")
+      .select(col("source"), x.as("x"), y.as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double"); val sxxD = col("sxx").cast("double")
+    val syyD = col("syy").cast("double")
+    val num = nD * sxyD - sxD * syD
+    val den = nD * sxxD - sxD * sxD
+    val denY = nD * syyD - syD * syD
+    g.select(col("source"), col("n"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 4)).as("slope"),
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round((syD - (num / den) * sxD) / nD, 4)).as("intercept"),
+        when(den === 0.0 || denY === 0.0, lit(null).cast("double"))
+          .otherwise(round((num * num) / (den * denY), 4)).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  private val q184Sql =
+    """WITH d AS (SELECT source,
+      |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS x,
+      |    n_chars AS y
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS n,
+      |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+      |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+      |  FROM d GROUP BY source),
+      |f AS (SELECT source, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+      |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      |  FROM g)
+      |SELECT source, n,
+      |  CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+      |       ELSE round((nd * sxyd - sxd * syd) /
+      |                  (nd * sxxd - sxd * sxd), 4) END AS slope,
+      |  CASE WHEN nd * sxxd - sxd * sxd = 0 THEN NULL
+      |       ELSE round((syd - ((nd * sxyd - sxd * syd) /
+      |                          (nd * sxxd - sxd * sxd)) * sxd) / nd, 4)
+      |       END AS intercept,
+      |  CASE WHEN nd * sxxd - sxd * sxd = 0
+      |         OR nd * syyd - syd * syd = 0 THEN NULL
+      |       ELSE round(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+      |                  ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 4)
+      |       END AS r2
+      |FROM f ORDER BY source""".stripMargin
+
+  /** Isotonic calibration curve
+    * ([[graft.ops.TextOps.isotonicCalibration]]) of the length signal
+    * against the quality gate — q179's AUC says the signal ranks;
+    * this is the monotone probability it calibrates to. Rows-only
+    * (PAVA pooling recursion); TextOpsSpec pins monotonicity,
+    * weighted-mean preservation, a hand-verified pooling example, and
+    * layout independence. */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    TextOps.isotonicCalibration(Tables(s, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_isotonic_calibration" -> (q185 _),
     "q179_score_auc" -> (q179 _),
     "q181_compression_signal" -> (q181 _),
     "q182_vocab_drift" -> (q182 _),
     "q183_mmr_rerank" -> (q183 _),
+    "q184_ols_per_source" -> (q184 _),
     "q166_bootstrap_ci" -> (q166 _),
     "q169_quantile_normalize" -> (q169 _),
     "q176_threshold_sweep" -> (q176 _),
@@ -1444,6 +1527,7 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "q179_score_auc" -> q179Sql,
     "q182_vocab_drift" -> q182Sql,
+    "q184_ols_per_source" -> q184Sql,
     "q166_bootstrap_ci" -> q166Sql,
     "q169_quantile_normalize" -> q169Sql,
     "q176_threshold_sweep" -> q176Sql,

@@ -726,4 +726,58 @@ class TextOpsSpec extends SparkTestBase {
     assert(preds(1L) == "en")
     assert(preds(2L) == "en") // default
   }
+
+  test("isotonicCalibration: monotone, mean-preserving, hand-verified pooling") {
+    // construct docs whose length signal maps to known bins with a
+    // deliberate violation: low bin passes MORE often than a higher
+    // bin, forcing a pool. Words "the of and in to is a" keep the
+    // stopword gate passing; gate failures come from padding with
+    // non-stopwords only (stop_ratio < 0.02 needs >50 words per stop).
+    def doc(id: Long, words: Int, pass: Boolean): (Long, String) = {
+      val text =
+        if (pass) ("the of and in to is a " * 8).trim
+          .split(" ").take(math.max(words, 8)).toSeq
+          .padTo(math.max(words, 8), "the").mkString(" ")
+        else Seq.fill(math.max(words, 60))("zzz").mkString(" ")
+      (id, text)
+    }
+    // bin = floor(least(words/256,1) * 20): words=64 → bin 5,
+    // words=128 → bin 10. Make bin5 rate 1.0, bin10 rate 0.5 → violation.
+    val rows = Seq(
+      doc(0L, 64, pass = true), doc(1L, 64, pass = true),
+      doc(2L, 128, pass = true), doc(3L, 128, pass = false))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val out = TextOps.isotonicCalibration(docs, nBins = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("raw_rate"), r.getAs[Double]("iso_rate")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(5L, 10L))
+    assert(out.map(_._3).toSeq == Seq(1.0, 0.5))
+    // pooled block: (2*1.0 + 2*0.5)/4 = 0.75 on BOTH bins
+    assert(out.map(_._4).toSeq == Seq(0.75, 0.75))
+    // iso is monotone and preserves the weighted mean
+    assert(out.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4; case _ => true })
+    val wRaw = out.map(t => t._2 * t._3).sum
+    val wIso = out.map(t => t._2 * t._4).sum
+    assert(math.abs(wRaw - wIso) < 1e-9)
+  }
+
+  test("isotonicCalibration: real corpus is monotone and layout-independent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = TextOps.isotonicCalibration(docs).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("iso_rate")))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    assert(out.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4; case _ => true })
+    assert(out.map(_._2).sum == docs.count())
+    val re = TextOps.isotonicCalibration(docs.repartition(7)).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Double]("iso_rate")))
+      .sortBy(_._1)
+    assert(re.toSeq == out.toSeq)
+  }
 }
