@@ -155,6 +155,29 @@ object VectorOps {
       .orderBy(col("query_id"), col("position"))
   }
 
+  /** Seeded Gaussian random projection (Johnson–Lindenstrauss):
+    * project `inDim`-dimensional embeddings to `outDim` via a fixed
+    * N(0, 1/outDim) matrix — the cheap, data-independent
+    * dimensionality reduction beside [[pcaProject]] (which needs a
+    * covariance pass; JL needs none and its distortion bound is
+    * distribution-free). The matrix is seeded and driver-built
+    * (outDim × inDim doubles — KBs), shipped as literal arrays inside
+    * the dot expressions, so every executor sees bit-identical
+    * planes and the output is layout-independent; per-row work is
+    * outDim codegen'd dots, zero shuffles. Output coordinates are
+    * UNROUNDED (downstream ops round-then-rank per the contract). */
+  def randomProject(embeddings: DataFrame, outDim: Int, inDim: Int,
+                    seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && inDim >= 1)
+    val nd = nativeDot(Some(embeddings.sparkSession))
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val planes = Seq.fill(outDim)(Array.fill(inDim)(rnd.nextGaussian() * scale))
+    embeddings.select(col("vec_id"),
+      array(planes.map(p => dotIf(nd, asDouble(col("embedding")),
+        array(p.toIndexedSeq.map(lit): _*))): _*).as("embedding"))
+  }
+
   /** Fixed random hyperplanes (seeded — identical across executors and
     * runs). */
   private def hyperplanes(bits: Int, dim: Int): Seq[Array[Double]] = {
@@ -1011,6 +1034,32 @@ object VectorOps {
       .withColumn("k", lit(k).cast("bigint"))
       .select(col("query_id"), col("k"), col("n_exact"), col("n_hits"),
         col("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Recall of brute-force top-k run in the [[randomProject]]ed space
+    * against exact top-k in the original space — the JL twin of
+    * [[annRecall]]: measures how much neighbor structure survives the
+    * `inDim → outDim` squeeze before committing a corpus re-encode.
+    * Same harness shape: two bounded top-k frames, one keyed join,
+    * per-query counts. */
+  def jlRecall(embeddings: DataFrame, queries: DataFrame, k: Int,
+               outDim: Int, inDim: Int, seed: Long = 42L): DataFrame = {
+    val exact = cosineTopK(embeddings, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = cosineTopK(randomProject(embeddings, outDim, inDim, seed),
+        randomProject(queries, outDim, inDim, seed), k)
+      .select(col("query_id").as("qa"), col("vec_id").as("va"))
+    exact.join(approx,
+        col("query_id") === col("qa") && col("vec_id") === col("va"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("va")).as("n_hits"),
+        count(lit(1)).as("n_exact"),
+        round(count(col("va")).cast("double") / count(lit(1)), 4).as("recall"))
+      .withColumn("k", lit(k).cast("bigint"))
+      .withColumn("out_dim", lit(outDim).cast("bigint"))
+      .select(col("query_id"), col("k"), col("out_dim"), col("n_exact"),
+        col("n_hits"), col("recall"))
       .orderBy(col("query_id"))
   }
 

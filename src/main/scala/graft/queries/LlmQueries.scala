@@ -1462,7 +1462,21 @@ object LlmQueries {
   private def q185(s: SparkSession, dir: String): DataFrame =
     TextOps.isotonicCalibration(Tables(s, dir, "documents"))
 
+  /** Johnson–Lindenstrauss projection audit
+    * ([[graft.ops.VectorOps.jlRecall]]): recall@10 of cosine top-k in
+    * the seeded 64→16 random projection vs the exact space — the
+    * "can we 4× the vector budget" measurement beside q74's LSH
+    * recall. Rows-only (seeded projection matrix); VectorOpsSpec pins
+    * projection parity with a local matvec, layout independence, and
+    * a recall floor. */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    VectorOps.jlRecall(e, e.where(col("vec_id") < 5), k = 10,
+      outDim = 16, inDim = 64)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_jl_recall" -> (q186 _),
     "q185_isotonic_calibration" -> (q185 _),
     "q179_score_auc" -> (q179 _),
     "q181_compression_signal" -> (q181 _),

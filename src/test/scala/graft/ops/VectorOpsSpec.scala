@@ -451,4 +451,37 @@ class VectorOpsSpec extends SparkTestBase {
         r.getAs[Long]("vec_id")))
     assert(re.toSeq == out.map(t => (t._1, t._2, t._3)).toSeq)
   }
+
+  test("randomProject matches a local matvec; jlRecall keeps neighbor structure") {
+    val projected = VectorOps.randomProject(df, outDim = 8, inDim = 16)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    // local reference: same seed, same N(0, 1/outDim) draw order
+    val rnd = new scala.util.Random(42L)
+    val scale = 1.0 / math.sqrt(8.0)
+    val planes = Seq.fill(8)(Array.fill(16)(rnd.nextGaussian() * scale))
+    val byId = vecs.map(v => v._1 -> v._2.map(_.toDouble)).toMap
+    for ((id, v) <- byId) {
+      val expect = planes.map(p => p.zip(v).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _))
+      val got = projected(id)
+      expect.zip(got).foreach { case (e, g) =>
+        assert(math.abs(e - g) < 1e-12, s"vec $id") }
+    }
+    // layout independence: bit-identical projection under repartition
+    val re = VectorOps.randomProject(df.repartition(7), 8, 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    assert(re == projected)
+    // an 8-dim squeeze of random 16-dim vectors keeps coarse
+    // neighbor structure: mean recall@5 well above chance (5/59)
+    val rec = VectorOps.jlRecall(df, df.where(col("vec_id") < 5), k = 5,
+        outDim = 8, inDim = 16).collect()
+    assert(rec.length == 5)
+    val mean = rec.map(_.getAs[Double]("recall")).sum / rec.length
+    assert(mean > 0.2, s"mean recall $mean")
+    rec.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L)
+      assert(r.getAs[Long]("n_hits") <= 5L)
+    }
+  }
 }
