@@ -1327,20 +1327,23 @@ object LlmQueries {
     * re-fitting. Every source word also appears in the corpus counts,
     * so no zero-denominator smoothing is needed. KL terms follow the
     * q93 discipline (p·ln(p/q) rounded to 8, decimal-summed — exact
-    * under any partitioning). Two token-keyed shuffles (per-source
-    * and global counts) that join co-partitioned on the word key;
-    * the final aggregate is domain-sized. */
+    * under any partitioning). ONE token-keyed shuffle over the corpus
+    * — the per-source totals (window), global word counts, and grand
+    * total all derive from the (source, word) aggregate itself, so
+    * the exploded token stream is shuffled exactly once and the
+    * identical exchange is reused across the join's branches. */
   private def q182(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables(s, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    val cs = Tables(s, dir, "documents")
       .select(col("source"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
-    val cs = words.groupBy(col("source"), col("w"))
+      .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
-    val ns = cs.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
-    val cg = words.groupBy(col("w")).agg(count(lit(1)).as("cg"))
-    val ng = words.agg(count(lit(1)).as("n_g"))
-    cs.join(cg, "w")
-      .join(broadcast(ns), "source")
+    val withNs = cs.withColumn("n_s",
+      sum(col("c")).over(Window.partitionBy(col("source"))))
+    val cg = cs.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+    val ng = cg.agg(sum(col("cg")).as("n_g"))
+    withNs.join(cg, "w")
       .crossJoin(broadcast(ng))
       .withColumn("term",
         round((col("c").cast("double") / col("n_s")) *
