@@ -1157,14 +1157,17 @@ object LlmQueries {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
         .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val cb = bigrams.groupBy(col("w1"), col("w2"))
+    // totals derive from the grouped counts (sum of group counts ==
+    // stream count), so the exploded bigram/token streams shuffle
+    // exactly once each and their exchanges are reused (q182 pattern)
+    val cbAll = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cab"))
-      .where(col("cab") >= 5)
-    val words = Tables(s, dir, "documents")
+    val cb = cbAll.where(col("cab") >= 5)
+    val cu = Tables(s, dir, "documents")
       .select(explode(ws).as("w"))
-    val cu = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val nb = bigrams.agg(count(lit(1)).as("n_bi"))
-    val nu = words.agg(count(lit(1)).as("n_uni"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nb = cbAll.agg(sum(col("cab")).as("n_bi"))
+    val nu = cu.agg(sum(col("cw")).as("n_uni"))
     cb.join(cu.select(col("w").as("w1"), col("cw").as("ca")), "w1")
       .join(cu.select(col("w").as("w2"), col("cw").as("cb2")), "w2")
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
