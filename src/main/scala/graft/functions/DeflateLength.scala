@@ -22,9 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * over fixed bytes makes the java.util.zip output deterministic on a
   * given JVM — same value on every executor, every layout (the spec
   * pins parity against a direct Deflater fold over the same rows).
-  * One Deflater per (thread, expression) via ThreadLocal, reset per
-  * row: codegen'd rows see a field access + native deflate, never a
-  * per-row native-handle allocation. */
+  * ONE Deflater (+ scratch buffer) per JVM THREAD, shared by every
+  * DeflateLength instance via a companion ThreadLocal (setLevel +
+  * reset per row): native-handle count is bounded by the executor's
+  * thread pool — it does not grow with expression instances or
+  * queries — and rows see a field access + native deflate with zero
+  * per-row allocation. */
 case class DeflateLength(child: Expression, level: Int)
   extends UnaryExpression {
 
@@ -38,18 +41,14 @@ case class DeflateLength(child: Expression, level: Int)
 
   override def dataType: DataType = LongType
 
-  @transient private lazy val local: ThreadLocal[Deflater] =
-    new ThreadLocal[Deflater] {
-      override def initialValue(): Deflater = new Deflater(level, true)
-    }
-
   /** Row measurement — called from interpreted eval and generated code. */
   def measure(s: UTF8String): Long = {
-    val d = local.get()
+    val (d, buf) = DeflateLength.local.get()
+    // per javadoc, a new level takes effect at the next reset
+    d.setLevel(level)
     d.reset()
     d.setInput(s.getBytes)
     d.finish()
-    val buf = new Array[Byte](8192)
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
     total
@@ -68,4 +67,19 @@ case class DeflateLength(child: Expression, level: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object DeflateLength {
+  /** JVM-wide per-thread deflate state: one raw (nowrap) Deflater and
+    * one scratch buffer per thread, regardless of how many expression
+    * instances exist. Level is reapplied per row (cheap — one native
+    * field set), so instances at different levels share safely.
+    * Deliberately never end()'d: the handle count equals the live
+    * thread count, and the JDK Cleaner reclaims native state when a
+    * pool thread dies. */
+  private val local: ThreadLocal[(Deflater, Array[Byte])] =
+    new ThreadLocal[(Deflater, Array[Byte])] {
+      override def initialValue(): (Deflater, Array[Byte]) =
+        (new Deflater(Deflater.DEFAULT_COMPRESSION, true), new Array[Byte](8192))
+    }
 }

@@ -1621,6 +1621,19 @@ object TextOps {
       when(qualityMeanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2),
         lit(0.4)).otherwise(lit(0.0)), 4)
 
+  /** The cheap clamped length signal least(n_words/256, cap) shared by
+    * q179's AUC evaluation and [[isotonicCalibration]] — ONE spelling
+    * so the "same ranking calibrates" linkage cannot drift, with the
+    * NULL-text guard (un-coalesced split(NULL) would otherwise ride
+    * Spark's NULL-skipping least() into the cap). Mirrors the third
+    * [[classifierFeatures]] component, which keeps its own frozen
+    * spelling — changing a trained model's feature definition is a
+    * model change, not a refactor. Unrounded: consumers round to 4
+    * before ranking per the contract. */
+  def lengthSignal(cap: Double): Column =
+    least(size(split(coalesce(col("text"), lit("")), " ")).cast("double") /
+      lit(256.0), lit(cap))
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val words = qualityWords
     val stopRatio = qualityStopRatio
@@ -1794,8 +1807,7 @@ object TextOps {
     // monotone in the q179 signal (so the same ranking calibrates)
     // but capped at 1.0 rather than 4.0: the realistic length range
     // lands mid-scale instead of crowding the first bins
-    val score = round(least(size(qualityWords).cast("double") / lit(256.0),
-      lit(1.0)), 4)
+    val score = round(lengthSignal(1.0), 4)
     val binned = docs.select(
         least(floor(score * nBins), lit(nBins - 1)).cast("long").as("bin"),
         when(qualityOk, 1L).otherwise(0L).as("y"))

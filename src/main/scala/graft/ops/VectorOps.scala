@@ -138,10 +138,20 @@ object VectorOps {
                 shortlist: Int = 30, lambda: Double = 0.7): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val corpus = prepared(embeddings)
-    val cands = cosineTopK(embeddings, queries, shortlist)
-      .join(corpus.select(col("vec_id"),
-        transform(col("v"), x => x / col("n")).as("u")), "vec_id")
+    val nd = nativeDot(Some(spark))
+    val short = cosineTopK(embeddings, queries, shortlist)
+    // fetch-by-id for the shortlist members only (the PQ-rerank
+    // pattern): broadcast the bounded id set so the corpus streams
+    // through a broadcast join with no shuffle, and normalization
+    // runs on the matched (queries x shortlist) rows, never
+    // corpus-wide — cosineTopK already did the corpus-sized work
+    val ids = short.select(col("vec_id")).distinct()
+    val su = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(ids), "vec_id")
+      .withColumn("n", sqrt(dotIf(nd, col("v"), col("v"))))
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
+    val cands = short.join(su, "vec_id")
     val mmr = udf { (cs: Seq[org.apache.spark.sql.Row]) =>
       mmrGreedy(cs.map(r => (r.getLong(1), r.getDouble(2),
         r.getSeq[Double](3))), k, lambda)

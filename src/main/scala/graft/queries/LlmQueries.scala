@@ -1219,29 +1219,35 @@ object LlmQueries {
     * 2tp/(2tp+fp+fn) so every division is a single final step. */
   private def q179(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables(s, dir, "documents")
-      .select(round(least(size(split(col("text"), " ")).cast("double") /
-          lit(256.0), lit(4.0)), 4).as("sc"),
+    // ONE corpus pass: everything below (AUC and the confusion table)
+    // derives from this grouped score table of <=10^4 rows
+    val g = Tables(s, dir, "documents")
+      .select(round(TextOps.lengthSignal(4.0), 4).as("sc"),
         when(TextOps.qualityOk, 1L).otherwise(0L).as("y"))
-    val g = scored.groupBy(col("sc"))
+      .groupBy(col("sc"))
       .agg(sum(col("y")).as("pos_s"), sum(lit(1L) - col("y")).as("neg_s"))
     val below = Window.orderBy(col("sc"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // pair counts multiply in decimal (18,0)x(18,0): corpus-scale
+    // longs would overflow a 64-bit product long before the sums
+    // stress anything else
     val auc = g
       .withColumn("neg_below", coalesce(sum(col("neg_s")).over(below), lit(0L)))
-      .agg(sum((col("pos_s") * col("neg_below")).cast("decimal(38,0)")).as("wf"),
-        sum((col("pos_s") * col("neg_s")).cast("decimal(38,0)")).as("wt"),
+      .agg(sum(col("pos_s").cast("decimal(18,0)") *
+          col("neg_below").cast("decimal(18,0)")).as("wf"),
+        sum(col("pos_s").cast("decimal(18,0)") *
+          col("neg_s").cast("decimal(18,0)")).as("wt"),
         sum(col("pos_s")).as("npos"), sum(col("neg_s")).as("nneg"))
       .select(round((col("wf").cast("double") + col("wt").cast("double") / 2.0) /
         (col("npos").cast("double") * col("nneg").cast("double")), 6).as("auc"))
     val th = s.range(1).select(
       explode(array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))).as("threshold"))
-    scored.crossJoin(broadcast(th))
+    g.crossJoin(broadcast(th))
       .groupBy(col("threshold"))
-      .agg(sum(when(col("sc") >= col("threshold"), col("y")).otherwise(0L)).as("tp"),
-        sum(when(col("sc") >= col("threshold"), lit(1L) - col("y")).otherwise(0L)).as("fp"),
-        sum(when(col("sc") < col("threshold"), col("y")).otherwise(0L)).as("fn"),
-        sum(when(col("sc") < col("threshold"), lit(1L) - col("y")).otherwise(0L)).as("tn"))
+      .agg(sum(when(col("sc") >= col("threshold"), col("pos_s")).otherwise(0L)).as("tp"),
+        sum(when(col("sc") >= col("threshold"), col("neg_s")).otherwise(0L)).as("fp"),
+        sum(when(col("sc") < col("threshold"), col("pos_s")).otherwise(0L)).as("fn"),
+        sum(when(col("sc") < col("threshold"), col("neg_s")).otherwise(0L)).as("tn"))
       .crossJoin(broadcast(auc))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
         when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
@@ -1260,12 +1266,12 @@ object LlmQueries {
 
   private val q179Sql =
     """WITH t AS (SELECT
-      |    len(string_split(text, ' ')) AS n_words,
-      |    len(list_filter(string_split(text, ' '),
+      |    len(string_split(coalesce(text, ''), ' ')) AS n_words,
+      |    len(list_filter(string_split(coalesce(text, ''), ' '),
       |        x -> list_contains(['the','a','of','and','in','to','is'], x)))::DOUBLE
-      |      / len(string_split(text, ' ')) AS stop_ratio,
-      |    length(replace(text, ' ', ''))::DOUBLE
-      |      / len(string_split(text, ' ')) AS mean_word_len
+      |      / len(string_split(coalesce(text, ''), ' ')) AS stop_ratio,
+      |    length(replace(coalesce(text, ''), ' ', ''))::DOUBLE
+      |      / len(string_split(coalesce(text, ''), ' ')) AS mean_word_len
       |  FROM documents),
       |sc AS (SELECT
       |    round(least(n_words / 256.0, 4.0), 4) AS sc,
@@ -1275,23 +1281,25 @@ object LlmQueries {
       |  FROM t),
       |g AS (SELECT sc, sum(y) AS pos_s, sum(1 - y) AS neg_s
       |  FROM sc GROUP BY sc),
-      |cg AS (SELECT pos_s, neg_s,
+      |cg AS (SELECT sc, pos_s, neg_s,
       |    coalesce(sum(neg_s) OVER (ORDER BY sc
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS neg_below
       |  FROM g),
       |a AS (SELECT round(
-      |    (CAST(sum(CAST(pos_s * neg_below AS DECIMAL(38,0))) AS DOUBLE) +
-      |     CAST(sum(CAST(pos_s * neg_s AS DECIMAL(38,0))) AS DOUBLE) / 2.0) /
+      |    (CAST(sum(CAST(pos_s AS DECIMAL(18,0)) *
+      |              CAST(neg_below AS DECIMAL(18,0))) AS DOUBLE) +
+      |     CAST(sum(CAST(pos_s AS DECIMAL(18,0)) *
+      |              CAST(neg_s AS DECIMAL(18,0))) AS DOUBLE) / 2.0) /
       |    (CAST(sum(pos_s) AS DOUBLE) * CAST(sum(neg_s) AS DOUBLE)), 6)
       |    AS auc FROM cg),
       |th AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]::DOUBLE[]) AS threshold),
       |m AS (SELECT threshold,
-      |    sum(CASE WHEN sc >= threshold THEN y ELSE 0 END) AS tp,
-      |    sum(CASE WHEN sc >= threshold THEN 1 - y ELSE 0 END) AS fp,
-      |    sum(CASE WHEN sc < threshold THEN y ELSE 0 END) AS fn,
-      |    sum(CASE WHEN sc < threshold THEN 1 - y ELSE 0 END) AS tn
-      |  FROM sc CROSS JOIN th GROUP BY threshold)
+      |    sum(CASE WHEN sc >= threshold THEN pos_s ELSE 0 END) AS tp,
+      |    sum(CASE WHEN sc >= threshold THEN neg_s ELSE 0 END) AS fp,
+      |    sum(CASE WHEN sc < threshold THEN pos_s ELSE 0 END) AS fn,
+      |    sum(CASE WHEN sc < threshold THEN neg_s ELSE 0 END) AS tn
+      |  FROM g CROSS JOIN th GROUP BY threshold)
       |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
       |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
       |  CASE WHEN tp + fp = 0 THEN NULL

@@ -391,17 +391,17 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("q179: AUC never sorts the corpus — ranks come from the grouped score table") {
     val p = plan("q179_score_auc")
-    // exactly the aggregates' exchanges; the only Sort nodes allowed
-    // are the output ORDER BY and the tiny window over distinct
-    // scores (both AFTER aggregation to <=10^4 rows). A corpus-wide
-    // rank would show as Sort directly above the parquet scan.
-    val lines = p.linesIterator.toSeq
-    val scanIdx = lines.indexWhere(_.contains("Scan parquet"))
-    assert(scanIdx >= 0, p)
-    // the node directly consuming the scan chain must not be a Sort
-    assert(!lines.take(scanIdx).exists(_.contains("Sort ")) ||
-      p.contains("HashAggregate"), p)
-    assert(p.contains("HashAggregate"), p)
+    // the formatted tree prints root-first, so DEEPER (earlier-
+    // executed) operators sit on LATER lines: a corpus-wide rank
+    // would plan a Sort BELOW (after) the deepest HashAggregate,
+    // directly over the scan chain. Pin: every Sort line sits above
+    // the deepest aggregate — the only Sorts are the output ORDER BY
+    // and the window over the already-aggregated <=10^4-row table.
+    val tree = p.linesIterator.takeWhile(_.nonEmpty).toSeq
+    val deepestAgg = tree.lastIndexWhere(_.contains("HashAggregate"))
+    val deepestSort = tree.lastIndexWhere(_.contains("Sort"))
+    assert(deepestAgg >= 0, p)
+    assert(deepestSort >= 0 && deepestSort < deepestAgg, p)
   }
 
   test("q181: deflate runs inside whole-stage codegen — no UDF boundary") {
