@@ -43,6 +43,54 @@ class ScaleSmokeSpec extends SparkTestBase {
     assert(t10 <= 20.0 * math.max(t1, 0.3),
       s"$what: ${t10}s at 10x vs ${t1}s at 1x - super-linear growth")
 
+  test("q179/q182/q184 statistics are exactly replication-invariant at 10x, linear time", graft.Slow) {
+    // 10 identical copies leave every DISTRIBUTION unchanged while
+    // multiplying every count by exactly 10 — so AUC, KL, slope/
+    // intercept/R², precision/recall/F1 must come back bit-equal
+    // (equal real ratios are equal doubles under IEEE exact rounding)
+    // and the count columns exactly 10x. A quadratic or
+    // order-sensitive path breaks one of the two.
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir10 = graft.TempRoots.path("scale10_docs_stats")
+    (0 until 10).map(k =>
+        base.withColumn("doc_id", col("doc_id") + lit(k * CopyOffset)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+    def q(name: String, dir: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+    q("q182_vocab_drift", sfDir) // warmup
+    val (d1, t1) = timed(q("q182_vocab_drift", sfDir))
+    val (d10, t10) = timed(q("q182_vocab_drift", dir10))
+    assertLinear("vocabDrift", t1, t10)
+    val drift1 = d1.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    d10.foreach { r =>
+      val (tok, voc, kl) = drift1(r.getString(0))
+      assert(r.getLong(1) == 10 * tok)  // n_tokens exactly 10x
+      assert(r.getLong(2) == voc)       // vocabulary unchanged
+      assert(r.getDouble(3) == kl)      // KL bit-equal
+    }
+    val a1 = q("q179_score_auc", sfDir)
+    val a10 = q("q179_score_auc", dir10)
+    a1.zip(a10).foreach { case (r1, r10) =>
+      assert(r1.getDouble(0) == r10.getDouble(0)) // threshold
+      for (i <- 1 to 4)                            // tp/fp/fn/tn 10x
+        assert(r10.getLong(i) == 10 * r1.getLong(i), s"col $i")
+      for (i <- 5 to 8)                            // rates + auc equal
+        assert(r1.isNullAt(i) == r10.isNullAt(i) &&
+          (r1.isNullAt(i) || r1.getDouble(i) == r10.getDouble(i)), s"col $i")
+    }
+    val o1 = q("q184_ols_per_source", sfDir)
+    val o10 = q("q184_ols_per_source", dir10)
+    o1.zip(o10).foreach { case (r1, r10) =>
+      assert(r1.getString(0) == r10.getString(0))
+      assert(r10.getLong(1) == 10 * r1.getLong(1))
+      for (i <- 2 to 4)
+        assert(r1.isNullAt(i) == r10.isNullAt(i) &&
+          (r1.isNullAt(i) || r1.getDouble(i) == r10.getDouble(i)), s"col $i")
+    }
+  }
+
   test("near-dup suppress at 10x: linear time, exact band volume, copies all suppressed", graft.Slow) {
     val base = graft.queries.Tables(spark, sfDir, "documents")
       .where(col("text").isNotNull)
