@@ -633,4 +633,74 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** One typed event for the transition ingest (event_id carries the
+    * batch twin's unique (ts, event_id) sequence tiebreak). */
+  case class TypedUserTs(user_id: Long, ts: Timestamp, event_id: Long,
+                         event_type: String)
+
+  /** Per-user transition state: the latest CLOSED event under the
+    * (ts, event_id) order (`lastTs` Long.MinValue = none yet) plus the
+    * open buffer of events the watermark has not yet sealed. State is
+    * bounded by the user's event volume inside the lateness window
+    * (the stream–stream-join state contract), never total history. */
+  case class TransitionState(lastTs: Long, lastId: Long, lastType: String,
+                             open: Seq[(Long, Long, String)])
+
+  /** One emitted transition — a q180 pair-stream row: the (from → to)
+    * edge stamped at the `to` event's coordinates. */
+  case class Transition(user_id: Long, ts: Timestamp, event_id: Long,
+                        from_type: String, to_type: String)
+
+  /** Streaming twin of the q180 Markov transition matrix — the live
+    * pair stream: per user, events buffer in keyed state until the
+    * watermark seals them (ts ≤ wm means no earlier-ordered event can
+    * still arrive), then emit (prev → next) transitions in the batch
+    * twin's exact (ts, event_id) order, carrying the last sealed
+    * event across micro-batches. Out-of-order arrival WITHIN the
+    * lateness window reorders nothing: ordering comes from the sort
+    * at seal time, not arrival. Downstream, `groupBy(from_type,
+    * to_type).count()` over the emitted pairs IS q180's matrix —
+    * kept as a separate batch step so the append-mode pair stream
+    * stays replayable. StreamTransitionSpec pins stream pairs ==
+    * batch lead() pairs and watermark-gated emission. */
+  def transitionIngest(spark: SparkSession, events: Dataset[TypedUserTs],
+                       lateness: String = "2 hours"): Dataset[Transition] = {
+    import spark.implicits._
+
+    def fn(userId: Long, batch: Iterator[TypedUserTs],
+           state: GroupState[TransitionState]): Iterator[Transition] = {
+      val st = state.getOption.getOrElse(
+        TransitionState(Long.MinValue, Long.MinValue, "", Seq.empty))
+      val open = st.open ++
+        batch.map(e => (e.ts.getTime, e.event_id, e.event_type))
+      // wm == 0 = "no watermark committed yet" (the gridFillIngest
+      // guard): sealing pre-epoch events against the initial 0 would
+      // emit while same-ts events are still admissible
+      val wm = state.getCurrentWatermarkMs()
+      val (closed, stillOpen) =
+        if (wm == 0L) (Seq.empty[(Long, Long, String)], open)
+        else open.partition { case (t, _, _) => t <= wm }
+      var lastTs = st.lastTs; var lastId = st.lastId
+      var lastType = st.lastType
+      val out = Seq.newBuilder[Transition]
+      closed.sortBy(c => (c._1, c._2)).foreach { case (t, id, tpe) =>
+        if (lastTs != Long.MinValue)
+          out += Transition(userId, new Timestamp(t), id, lastType, tpe)
+        lastTs = t; lastId = id; lastType = tpe
+      }
+      state.update(TransitionState(lastTs, lastId, lastType, stillOpen))
+      // fire when the watermark passes the earliest open event so a
+      // quiet user's buffer still seals (min+1 > wm by construction)
+      if (stillOpen.nonEmpty)
+        state.setTimeoutTimestamp(stillOpen.map(_._1).min + 1L)
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }
