@@ -82,4 +82,38 @@ object Sketches {
       .withColumn("jaccard_est",
         round(col("est_overlap").cast("double") / col("est_union"), 4))
   }
+
+  /** Expression-level count-min table of a key column: `depth`
+    * independent hash rows (xxhash64 salted by the row index) of
+    * `width` buckets, materialized as a (j, b, c) DataFrame of at
+    * most depth×width rows — the optimizer-statistics form of the
+    * sketch, built in one explode + one keyed aggregate at any table
+    * size. Deterministic (fixed hash family, exact counts), so every
+    * derived estimate is layout-independent. */
+  def cmsTable(rows: DataFrame, key: Column, depth: Int = 4,
+               width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    rows.select(key.as("k"))
+      .select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          pmod(xxhash64(col("k"), lit(j)), lit(width.toLong)).as("b"))): _*))
+        .as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Equi-join cardinality estimate from two count-min tables built
+    * with the SAME (depth, width): |A ⋈ B| = Σ_k a_k·b_k is estimated
+    * by min_j Σ_b A[j,b]·B[j,b] (the classic CM inner product) — a
+    * never-underestimating join-size oracle computed from two
+    * depth×width tables, no matter how large the joined relations
+    * are. Products are decimal (row counts at 100 TB overflow a
+    * 64-bit product); the result is exact integer arithmetic over the
+    * sketch, so it is deterministic and layout-independent. */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.select(col("j"), col("b"), col("c").as("c2")), Seq("j", "b"))
+      .groupBy(col("j"))
+      .agg(sum(col("c").cast("decimal(18,0)") *
+        col("c2").cast("decimal(18,0)")).as("ip"))
+      .agg(min(col("ip")).cast("decimal(38,0)").as("est"))
 }

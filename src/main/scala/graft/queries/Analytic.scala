@@ -1050,7 +1050,40 @@ object Analytic {
       |    sum(n) OVER (PARTITION BY from_type), 4) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Count-min join-cardinality estimate ([[graft.ops.Sketches
+    * .cmsTable]]/[[graft.ops.Sketches.cmsJoinSize]]): |orders ⋈
+    * lineitem| estimated from two depth×width sketch tables via the
+    * classic CM inner product (min_j Σ_b A[j,b]·B[j,b]) beside the
+    * exact size — the optimizer-statistics question ("how big will
+    * this join be?") answered without joining the relations. The
+    * estimate never undercounts (per hash row, co-bucketed keys only
+    * ADD cross terms). Rows-only (the hash family is not SQL-
+    * expressible); SketchesSpec pins est ≥ exact, the width=1
+    * degenerate closed form Na·Nb, collision-free equality, and
+    * layout independence. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val o = Tables(s, dir, "orders").select(col("o_orderkey").as("k"))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+    // width sized ≳ distinct-key count (the CM sizing rule — the
+    // sketch is still only depth×width counters, data-size-free)
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsTable(o, col("k"), width = 65536),
+      Sketches.cmsTable(l, col("k"), width = 65536))
+    val exact = o.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(l.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(sum(col("ca").cast("decimal(18,0)") *
+        col("cb").cast("decimal(18,0)")).as("exact"))
+    exact.crossJoin(est)
+      .select(col("exact").cast("bigint").as("exact_rows"),
+        col("est").cast("bigint").as("est_rows"))
+      .withColumn("overcount", col("est_rows") - col("exact_rows"))
+      .withColumn("ratio",
+        round(col("est_rows").cast("double") / col("exact_rows"), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_join_size_estimate" -> (q188 _),
     "q180_markov_transitions" -> (q180 _),
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),

@@ -1489,8 +1489,43 @@ object LlmQueries {
       outDim = 16, inDim = 64)
   }
 
+  /** Normalization-robust dedup: group documents by the token-set
+    * fingerprint of the case-folded, punctuation-stripped text and
+    * report how many EXACT fingerprint groups each normalized group
+    * unites (n_exact_groups > 1 = duplicates only normalization can
+    * see — the "Hello, world!" vs "hello world" class that q50's
+    * exact fingerprint misses). Same one-keyed-shuffle shape as q50;
+    * fully oracled with the identical normalize→split→sort→md5
+    * ladder on both engines. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(coalesce(col("text"), lit("")),
+      "[^A-Za-z0-9 ]", ""))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenSetFingerprint(norm).as("nfp"),
+        TextOps.tokenSetFingerprint(col("text")).as("efp"))
+      .groupBy(col("nfp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("efp")).as("n_exact_groups"))
+      .orderBy(col("keep_doc_id"))
+  }
+
+  private val q187Sql =
+    """WITH d AS (SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(
+      |      lower(regexp_replace(coalesce(text, ''), '[^A-Za-z0-9 ]', '', 'g')),
+      |      ' '))), ' ')) AS nfp,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS efp
+      |  FROM documents)
+      |SELECT nfp, min(doc_id) AS keep_doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT efp) AS BIGINT) AS n_exact_groups
+      |FROM d GROUP BY nfp ORDER BY keep_doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_jl_recall" -> (q186 _),
+    "q187_normalized_dedup" -> (q187 _),
     "q185_isotonic_calibration" -> (q185 _),
     "q179_score_auc" -> (q179 _),
     "q181_compression_signal" -> (q181 _),
@@ -1556,6 +1591,7 @@ object LlmQueries {
     "q179_score_auc" -> q179Sql,
     "q182_vocab_drift" -> q182Sql,
     "q184_ols_per_source" -> q184Sql,
+    "q187_normalized_dedup" -> q187Sql,
     "q166_bootstrap_ci" -> q166Sql,
     "q169_quantile_normalize" -> q169Sql,
     "q176_threshold_sweep" -> q176Sql,

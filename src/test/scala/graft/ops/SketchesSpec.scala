@@ -100,4 +100,36 @@ class SketchesSpec extends SparkTestBase {
         s"($a,$b): est_union=$un exact=$exUn")
     }
   }
+
+  test("cmsJoinSize: never undercounts, width=1 closed form, collision-free equality, layout-independent") {
+    import spark.implicits._
+    def exactJoinSize(a: Seq[Long], b: Seq[Long]): Long = {
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      a.map(k => cb.getOrElse(k, 0L)).sum
+    }
+    val rnd = new scala.util.Random(7)
+    val aKeys = Seq.fill(500)(rnd.nextInt(80).toLong)
+    val bKeys = Seq.fill(800)(rnd.nextInt(120).toLong)
+    val a = aKeys.toDF("k"); val b = bKeys.toDF("k")
+    val exact = exactJoinSize(aKeys, bKeys)
+
+    def est(width: Int, af: org.apache.spark.sql.DataFrame = a,
+            bf: org.apache.spark.sql.DataFrame = b): Long =
+      Sketches.cmsJoinSize(
+          Sketches.cmsTable(af, col("k"), depth = 4, width = width),
+          Sketches.cmsTable(bf, col("k"), depth = 4, width = width))
+        .collect()(0).getDecimal(0).longValueExact()
+
+    // narrow sketch collides heavily but NEVER undercounts
+    val narrow = est(16)
+    assert(narrow >= exact, s"narrow=$narrow exact=$exact")
+    // width=1 degenerates to the closed form |A|·|B|
+    assert(est(1) == aKeys.size.toLong * bKeys.size)
+    // wide sketch over few keys: w.h.p. no bucket shares two live
+    // keys in EVERY hash row, so the min over rows is exact (seeded
+    // data — deterministic once green)
+    assert(est(1 << 16) == exact)
+    // layout independence: same sketch, same estimate, any partitioning
+    assert(est(16, a.repartition(7), b.repartition(5)) == narrow)
+  }
 }
