@@ -116,4 +116,74 @@ object Sketches {
       .agg(sum(col("c").cast("decimal(18,0)") *
         col("c2").cast("decimal(18,0)")).as("ip"))
       .agg(min(col("ip")).cast("decimal(38,0)").as("est"))
+
+  /** Mergeable fixed-bin histogram shards — the quantile member of
+    * the sketch-store family ([[writeHllShards]] answers distinct,
+    * [[cmsTable]] answers frequency, this answers distribution).
+    * `[lo, hi)` is cut into `nBins` equal-width bins; each shard
+    * contributes one exact (bin → count) table, clamped at the edge
+    * bins so out-of-range values are counted, never dropped. Bin
+    * counts merge by ADDITION (unlike HLL's register max), so the
+    * merged histogram over any shard subset is exact for that subset
+    * — order- and partition-independent by commutativity.
+    *
+    * Scale: one column-pruned pass per shard batch, shuffling at most
+    * shards×nBins aggregate rows; the store is nBins rows per shard
+    * no matter how many raw rows were scanned. Deterministic (integer
+    * counts, one fixed double `(v−lo)/w` per row), so estimates off
+    * the store are layout-independent and SQL-reproducible — q190
+    * carries a full DuckDB oracle, unusual for the sketch family. */
+  def writeHistShards(df: DataFrame, dir: String, value: Column,
+                      shard: Column, lo: Double, hi: Double,
+                      nBins: Int): Unit = {
+    require(nBins >= 2 && hi > lo, s"need nBins>=2 and hi>lo, got $nBins, [$lo,$hi]")
+    val w = (hi - lo) / nBins
+    df.select(shard.as("shard"), value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .withColumn("bin",
+        least(lit(nBins - 1), greatest(lit(0),
+          floor((col("v") - lit(lo)) / lit(w)).cast("int"))))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .repartition(col("shard"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(dir)
+  }
+
+  /** Interpolated quantile estimates from the stored histogram ALONE
+    * (raw data never rescanned): merge bin counts across shards,
+    * cumulate, and for each requested p return the first bin whose
+    * cumulative count reaches p·N plus a linear interpolation inside
+    * it — error bounded by one bin width. The window/cross-join run
+    * over ≤ nBins rows (a driver-screen-sized frame), so the
+    * single-partition window is bounded by construction, not by
+    * data size. */
+  def histQuantiles(spark: SparkSession, dir: String, lo: Double,
+                    hi: Double, nBins: Int,
+                    ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    val w = (hi - lo) / nBins
+    val cum = spark.read.parquet(dir)
+      .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("bin"))))
+      .withColumn("tot", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    cum
+      .select(col("bin"), col("c"), col("cum"), col("tot"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .where(col("cum") >= col("p") * col("tot"))
+      .groupBy(col("p"))
+      .agg(min_by(struct(col("bin"), col("c"), col("cum")), col("bin"))
+        .as("h"),
+        max(col("tot")).as("tot"))
+      .select(col("p"), col("h.bin").cast("bigint").as("bin"),
+        col("h.cum").as("n_le"),
+        round(lit(lo) + lit(w) * (col("h.bin") +
+          (col("p") * col("tot") - (col("h.cum") - col("h.c"))) /
+            col("h.c")), 4).as("est"))
+      .orderBy(col("p"))
+  }
 }

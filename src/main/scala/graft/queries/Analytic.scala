@@ -1082,8 +1082,141 @@ object Analytic {
         round(col("est_rows").cast("double") / col("exact_rows"), 4))
   }
 
+  /** Approximate functional-dependency profiling (q189): for each
+    * candidate determinant→dependent column pair, the Tane g3 error —
+    * the fraction of rows that must be removed for the FD to hold
+    * exactly, `(N − Σ_det max_per_value_count) / N`. Key-determined
+    * pairs report 0 violations; soft dependencies report their
+    * violation mass. The standard data-profiling primitive for schema
+    * discovery over ingested corpora (reference infers SCHEMA SHAPE
+    * from JSON, JsonSchemaFinder.java:129-147; this profiles VALUE
+    * dependencies the shape can't see).
+    *
+    * Scale: each pair is two keyed shuffles — (det, dep) pair counts,
+    * then per-det max/sum over at most |distinct pairs| rows — on a
+    * column-pruned scan; the final union is six 1-row aggregates.
+    * Fully DuckDB-oracled (pure GROUP BY arithmetic). */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    def g3(df: DataFrame, fd: String, det: Column, dep: Column): DataFrame =
+      df.groupBy(det.as("a"), dep.as("b")).agg(count(lit(1)).as("n"))
+        .groupBy(col("a"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+        .agg(sum(col("tot")).as("n_rows"), count(lit(1)).as("n_det"),
+          (sum(col("tot")) - sum(col("mx"))).as("violations"))
+        .select(lit(fd).as("fd"), col("n_rows"), col("n_det"),
+          col("violations"),
+          round(col("violations").cast("double") /
+            col("n_rows").cast("double"), 4).as("g3"))
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders")
+    val part = Tables(s, dir, "part")
+    g3(cust, "customer:c_custkey->c_mktsegment",
+        col("c_custkey"), col("c_mktsegment"))
+      .unionAll(g3(cust, "customer:c_nationkey->c_mktsegment",
+        col("c_nationkey"), col("c_mktsegment")))
+      .unionAll(g3(ord, "orders:o_custkey->o_orderpriority",
+        col("o_custkey"), col("o_orderpriority")))
+      .unionAll(g3(ord, "orders:o_orderkey->o_orderstatus",
+        col("o_orderkey"), col("o_orderstatus")))
+      .unionAll(g3(part, "part:p_brand->p_type",
+        col("p_brand"), col("p_type")))
+      .unionAll(g3(part, "part:p_partkey->p_size",
+        col("p_partkey"), col("p_size")))
+      .orderBy(col("fd"))
+  }
+
+  private val q189Sql = {
+    def one(fd: String, tbl: String, det: String, dep: String): String =
+      s"""SELECT '$fd' AS fd, CAST(sum(tot) AS BIGINT) AS n_rows,
+         |  count(*) AS n_det,
+         |  CAST(sum(tot) - sum(mx) AS BIGINT) AS violations,
+         |  round(CAST(sum(tot) - sum(mx) AS DOUBLE) /
+         |        CAST(sum(tot) AS DOUBLE), 4) AS g3
+         |FROM (SELECT a, max(n) AS mx, sum(n) AS tot
+         |      FROM (SELECT $det AS a, $dep AS b, count(*) AS n
+         |            FROM $tbl GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    Seq(
+      one("customer:c_custkey->c_mktsegment", "customer",
+        "c_custkey", "c_mktsegment"),
+      one("customer:c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"),
+      one("orders:o_custkey->o_orderpriority", "orders",
+        "o_custkey", "o_orderpriority"),
+      one("orders:o_orderkey->o_orderstatus", "orders",
+        "o_orderkey", "o_orderstatus"),
+      one("part:p_brand->p_type", "part", "p_brand", "p_type"),
+      one("part:p_partkey->p_size", "part", "p_partkey", "p_size"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
+  /** Frequent contiguous 3-step event paths within 30-minute sessions
+    * (q191): gaps-and-islands sessionization (lag > 1800 s opens a new
+    * session), then every contiguous `a>b>c` event-type window inside
+    * a session, counted globally — the "what do users actually do"
+    * sequence-mining primitive one level up from q180's first-order
+    * transition matrix (which forgets everything beyond one hop).
+    *
+    * Scale: both windows partition by user (one shuffle — the second
+    * window adds sid to the SAME user partitioning, no extra
+    * exchange), then one path-keyed count; top-20 is
+    * TakeOrderedAndProject. (ts, event_id) is a total order per user
+    * so lag/lead are deterministic; (n, path) is unique per output row
+    * so the limit-20 cut is engine-stable. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1)
+          .over(byUser)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(byUser))
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("e2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySession))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  private val q191Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged
+      |), steps AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w2 AS e2,
+      |    lead(event_type, 2) OVER w2 AS e3
+      |  FROM sess
+      |  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+      |)
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |  count(*) AS n
+      |FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_join_size_estimate" -> (q188 _),
+    "q189_fd_profile" -> (q189 _),
+    "q191_event_paths" -> (q191 _),
     "q180_markov_transitions" -> (q180 _),
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
@@ -1114,6 +1247,8 @@ object Analytic {
   // AnalyticSpec pins the CMS bound + layout determinism
 
   val oracle: Map[String, String] = Map(
+    "q189_fd_profile" -> q189Sql,
+    "q191_event_paths" -> q191Sql,
     "q76_exact_percentiles" -> q76Sql,
     "q77_ntile_buckets" -> q77Sql,
     "q78_exists_subquery" -> q78Sql,

@@ -765,6 +765,119 @@ object Pipeline {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** XML sink + source round-trip (q192): Spark 4's built-in XML
+    * datasource (SPARK-44265, the spark-xml merge), q146's ORC twin
+    * for the remaining interchange format — write the customer slice
+    * as `<cust>` row elements, read it back under an explicit schema,
+    * and prove the payload with the same checksum-style aggregate
+    * family (a key-weighted sum catches row loss AND field swaps;
+    * doubles survive because the writer emits Java's shortest
+    * round-trip rendering). The oracle aggregates the PARQUET
+    * original, so green proves write→escape→parse fidelity, not just
+    * self-consistency.
+    *
+    * Scale: format choice doesn't change the plan — the read is a
+    * distributed file scan (one task per split), the aggregate is the
+    * usual partial/final hash agg. XML pays a row-parse CPU cost vs
+    * ORC/parquet and has no column pruning; it's the interchange
+    * format, not the analytics store — exactly how the reference
+    * treats its JSON inputs (JsonSchemaFinder.java:239-245, scan to
+    * load, not to serve). */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = graft.TempRoots.path(
+      s"xml_${Integer.toHexString(dir.hashCode)}")
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .repartition(4)
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "cust").option("rootTag", "customers").save(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", LongType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.format("xml").option("rowTag", "cust").schema(schema).load(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast("decimal(14,2)")).cast("double")
+          .as("sum_bal"),
+        sum(col("c_custkey") * lit(7L) + col("c_nationkey"))
+          .as("key_check"),
+        min(col("c_name")).as("min_name"),
+        max(col("c_name")).as("max_name"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q192Sql =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal,
+      |  CAST(sum(c_custkey * 7 + c_nationkey) AS BIGINT) AS key_check,
+      |  min(c_name) AS min_name, max(c_name) AS max_name
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Histogram-sketch quantile store (q190,
+    * [[graft.ops.Sketches.writeHistShards]]): shard l_extendedprice
+    * into a mergeable 64-bin histogram store (8 shards by order-key
+    * mod), then answer p50/p90/p99 from the STORE alone with
+    * within-bin linear interpolation — the distribution member of the
+    * sketch-store family (q138 = distinct, q147/q188 = frequency).
+    * Unlike the HLL/CMS members, the fixed-bin histogram is exactly
+    * SQL-reproducible (integer counts + one deterministic double bin
+    * expression), so this store query carries a full DuckDB oracle;
+    * SketchesSpec additionally pins |est − exact quantile| ≤ one bin
+    * width. The (lo, hi) frame is a one-row driver collect off a
+    * column-pruned min/max pass — the same bounded-collect budget as
+    * ANN's trainSample.
+    *
+    * Scale: pass 1 is a min/max agg, pass 2 shuffles ≤ shards×nBins
+    * rows; every later quantile question costs a ≤ nBins-row read.
+    * New shards append without touching old ones (dynamic
+    * overwrite), and merged counts are exact by additivity. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"hist_${Integer.toHexString(dir.hashCode)}")
+    val li = Tables(s, dir, "lineitem")
+    val mm = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    Sketches.writeHistShards(li, out, col("l_extendedprice"),
+      pmod(col("l_orderkey"), lit(8L)), lo, hi, nBins = 64)
+    Sketches.histQuantiles(s, out, lo, hi, nBins = 64,
+      ps = Seq(0.5, 0.9, 0.99))
+  }
+
+  private val q190Sql =
+    """WITH mm AS (
+      |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+      |    (max(l_extendedprice) - min(l_extendedprice)) / 64 AS w
+      |  FROM lineitem
+      |), bins AS (
+      |  SELECT least(63, greatest(0,
+      |      CAST(floor((l_extendedprice - mm.lo) / mm.w) AS INT))) AS bin,
+      |    count(*) AS c
+      |  FROM lineitem, mm GROUP BY 1
+      |), cum AS (
+      |  SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+      |    sum(c) OVER () AS tot
+      |  FROM bins
+      |), ps(p) AS (
+      |  VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+      |         (CAST(0.99 AS DOUBLE))
+      |), hit AS (
+      |  SELECT p, min(bin) AS bin
+      |  FROM cum, ps WHERE cum >= p * tot GROUP BY p
+      |)
+      |SELECT h.p AS p, CAST(h.bin AS BIGINT) AS bin,
+      |  CAST(u.cum AS BIGINT) AS n_le,
+      |  round(mm.lo + mm.w *
+      |    (h.bin + (h.p * u.tot - (u.cum - u.c)) / u.c), 4) AS est
+      |FROM hit h JOIN cum u ON h.bin = u.bin, mm
+      |ORDER BY p""".stripMargin
+
   /** SCD2 history apply ([[graft.ops.Sharding.scd2Apply]]): version
     * the customer dimension — a real segment change for custkey%10=3,
     * a NO-OP change (identical attributes) for custkey%20=7 that must
@@ -1668,11 +1781,15 @@ object Pipeline {
     "q172_hybrid_retrieval" -> (q172 _),
     "q173_index_compaction" -> (q173 _),
     "q174_retrieval_eval" -> (q174 _),
-    "q167_hll_overlap" -> (q167 _))
+    "q167_hll_overlap" -> (q167 _),
+    "q192_xml_roundtrip" -> (q192 _),
+    "q190_hist_quantiles" -> (q190 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
 
   val oracle: Map[String, String] = Map(
+    "q192_xml_roundtrip" -> q192Sql,
+    "q190_hist_quantiles" -> q190Sql,
     "q96_ngram_contamination" -> q96Sql,
     "q97_shard_export" -> q97Sql,
     "q98_context_packing" -> q98Sql,

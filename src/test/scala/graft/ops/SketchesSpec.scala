@@ -132,4 +132,44 @@ class SketchesSpec extends SparkTestBase {
     // layout independence: same sketch, same estimate, any partitioning
     assert(est(16, a.repartition(7), b.repartition(5)) == narrow)
   }
+
+  test("histogram store: estimates within one bin width of exact quantiles; shard layout independent; counts exact") {
+    val li = graft.queries.Tables(spark, sfDir, "lineitem")
+    val mm = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val nBins = 64
+    val w = (hi - lo) / nBins
+    val ps = Seq(0.5, 0.9, 0.99)
+
+    val store = graft.TempRoots.path("hist_spec_store")
+    Sketches.writeHistShards(li, store, col("l_extendedprice"),
+      pmod(col("l_orderkey"), lit(8L)), lo, hi, nBins)
+    def quantiles(dir: String): Map[Double, Double] =
+      Sketches.histQuantiles(spark, dir, lo, hi, nBins, ps).collect()
+        .map(r => r.getAs[Double]("p") -> r.getAs[Double]("est")).toMap
+    val got = quantiles(store)
+
+    // the exact p-quantile element lives in the first bin whose
+    // cumulative count reaches p·N — the same bin the estimator
+    // interpolates inside — so the error bound is ONE bin width
+    val exact = li.stat.approxQuantile("l_extendedprice",
+      ps.toArray, 0.0)
+    ps.zip(exact).foreach { case (p, ex) =>
+      assert(math.abs(got(p) - ex) <= w + 1e-9,
+        s"p=$p est=${got(p)} exact=$ex binWidth=$w") }
+
+    // additivity: a different shard key AND input partitioning merge
+    // to the same histogram, hence identical estimates (bit for bit)
+    val store2 = graft.TempRoots.path("hist_spec_store2")
+    Sketches.writeHistShards(li.repartition(13), store2,
+      col("l_extendedprice"), pmod(col("l_partkey"), lit(3L)),
+      lo, hi, nBins)
+    assert(quantiles(store2) == got)
+
+    // merged counts are exact — no row lost to clamping
+    val tot = spark.read.parquet(store)
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(tot == li.count())
+  }
 }

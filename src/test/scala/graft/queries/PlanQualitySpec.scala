@@ -434,4 +434,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("InMemoryFileIndex")) == 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q191: both session windows share ONE user-keyed exchange; top-20 is TakeOrderedAndProject") {
+    val p = plan("q191_event_paths")
+    // hashpartitioning(user_id) satisfies the (user_id, sid) window's
+    // clustering, so sessionization + path extraction reuse one
+    // shuffle; the only other exchange is the path-keyed count
+    val exchanges = p.linesIterator
+      .count(_.matches(""".*[+\-:] Exchange \(\d+\)\s*"""))
+    assert(exchanges == 2, s"want 2 exchanges (user key + path agg), got $exchanges\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q189: every FD pair aggregates partial+final; no join anywhere") {
+    val p = plan("q189_fd_profile")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 12, p) // 6 pairs × ≥2
+  }
 }
