@@ -214,4 +214,76 @@ object GraphOps {
     e.unpersist(blocking = false)
     labels
   }
+
+  /** Deterministic HITS (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) over a DIRECTED hub →
+    * authority edge list — the query-dependent ranking complement to
+    * [[pageRank]]'s global stationary mass: hubs score by the
+    * authorities they point AT, authorities by the hubs that point at
+    * THEM. Edge multiplicity is respected (a hub citing an authority
+    * k times endorses it k times); the graph may be bipartite (ids
+    * must then be disjoint across the two sides, as in q193's
+    * even/odd encoding).
+    *
+    * The textbook normalization (divide by an L2 norm each sweep) is
+    * engine-hostile: a parallel float sum of squares is
+    * order-dependent. Here every sweep quantizes scores to 1e-12
+    * micro-units, sums them as EXACT longs (associative ⇒
+    * layout-independent, the [[pageRank]] convention), and
+    * L1-normalizes by the exact long total — same fixpoint
+    * direction, deterministic on any partitioning. Each sweep is one
+    * edge⋈score join + one keyed aggregate per side, every iterate
+    * materialized (eager localCheckpoint, prior blocks freed), so the
+    * plan stays two shuffles deep at any iteration count.
+    *
+    * At 100 TB: cost is iters × 2 × (score shuffle) — edges are
+    * cached src-partitioned and never move on the hub sweep; hot
+    * authorities are the AQE skew-split case, never a cross product. */
+  def hits(edges: DataFrame, iters: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs0 = e.select(col("src")).distinct()
+    val nH = hubs0.count()
+    if (nH == 0) {
+      e.unpersist(blocking = false)
+      return edges.sparkSession.emptyDataFrame
+        .withColumn("kind", lit("hub"))
+        .withColumn("id", lit(0L))
+        .withColumn("score", lit(0.0))
+    }
+
+    def l1Normalize(raw: DataFrame): DataFrame = {
+      // exact long total → one tiny broadcast row; c/t is the only
+      // double op and is identical on every layout
+      val tot = raw.agg(sum(col("c")).as("t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("id"), (col("c") / col("t")).as("s"))
+        .localCheckpoint(true)
+    }
+    def micro(s: org.apache.spark.sql.Column) =
+      round(s * lit(1e12)).cast("long").as("c")
+
+    var h = hubs0.select(col("src").as("id"),
+      lit(1.0 / nH).as("s")).localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 0 until iters) {
+      val aNext = l1Normalize(
+        e.join(h.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), micro(col("s")))
+          .groupBy(col("id")).agg(sum(col("c")).as("c")))
+      if (a != null) freeCheckpoint(a)
+      a = aNext
+      val hNext = l1Normalize(
+        e.join(a.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), micro(col("s")))
+          .groupBy(col("id")).agg(sum(col("c")).as("c")))
+      freeCheckpoint(h)
+      h = hNext
+    }
+    e.unpersist(blocking = false)
+    h.select(lit("hub").as("kind"), col("id"), round(col("s"), 6).as("score"))
+      .unionAll(a.select(lit("authority").as("kind"), col("id"),
+        round(col("s"), 6).as("score")))
+  }
 }

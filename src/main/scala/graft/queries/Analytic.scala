@@ -1213,10 +1213,110 @@ object Analytic {
       |FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** HITS hubs/authorities (q193, [[GraphOps.hits]]) over the
+    * DIRECTED customer→supplier order graph — who are the strongest
+    * endorsers (customers whose orders touch the influential
+    * suppliers) and the strongest authorities (suppliers endorsed by
+    * the strong customers)? q142's PageRank answers global stationary
+    * mass on the symmetrized graph; HITS keeps the direction and
+    * answers the mutually-reinforcing pair. Even/odd id encoding
+    * keeps the bipartite sides disjoint. Rows-only (power iteration
+    * is not SQL-expressible); GraphOpsSpec pins the exact fixpoint
+    * ordering on a hand-computable graph plus bit-identical scores
+    * under repartitioning. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    GraphOps.hits(edges, iters = 5)
+      .withColumn("key", (col("id") / lit(2)).cast("bigint"))
+      .select(col("kind"), col("key"), col("score"))
+      .orderBy(col("score").desc, col("kind"), col("key"))
+      .limit(24)
+  }
+
+  /** Exact-arithmetic Pearson correlation matrix (q194): all six
+    * pairwise correlations of the lineitem measures from ONE
+    * column-pruned pass — 14 decimal-exact moment sums (Σx, Σx²,
+    * Σxy) in a single partial+final aggregate, then the closed form
+    * (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) in double on the
+    * 1-row result. Engine-native `corr()` is a streaming covariance
+    * (Welford) whose float accumulation order is layout-dependent —
+    * the moment-sum form is exactly associative, so the matrix is
+    * bit-identical on any partitioning AND SQL-reproducible (full
+    * DuckDB oracle; same discipline as q76's integer-exact
+    * percentiles vs engine-native percentile). */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "disc", "l_tax" -> "tax")
+    def m(e: Column) = sum(e.cast("decimal(30,8)"))
+    val moments = Tables(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      vars.map { case (c, a) => m(col(c)).as(s"s_$a") } ++
+        vars.map { case (c, a) => m(col(c) * col(c)).as(s"ss_$a") } ++
+        (for {
+          i <- vars.indices; j <- vars.indices if i < j
+          (ci, ai) = vars(i); (cj, aj) = vars(j)
+        } yield m(col(ci) * col(cj)).as(s"sp_${ai}_$aj")): _*)
+    val pairs = for {
+      i <- vars.indices; j <- vars.indices if i < j
+      ai = vars(i)._2; aj = vars(j)._2
+    } yield {
+      val (n, sx, sy) = (col("n").cast("double"),
+        col(s"s_$ai").cast("double"), col(s"s_$aj").cast("double"))
+      val (sxx, syy, sxy) = (col(s"ss_$ai").cast("double"),
+        col(s"ss_$aj").cast("double"), col(s"sp_${ai}_$aj").cast("double"))
+      moments.select(lit(s"$ai~$aj").as("pair"), col("n"),
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+          .as("corr"))
+    }
+    pairs.reduce(_ unionAll _).orderBy(col("pair"))
+  }
+
+  private val q194Sql = {
+    val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "disc", "l_tax" -> "tax")
+    val momentCols = (
+      vars.map { case (c, a) =>
+        s"sum(CAST($c AS DECIMAL(30,8))) AS s_$a" } ++
+      vars.map { case (c, a) =>
+        s"sum(CAST($c * $c AS DECIMAL(30,8))) AS ss_$a" } ++
+      (for {
+        i <- vars.indices; j <- vars.indices if i < j
+        (ci, ai) = vars(i); (cj, aj) = vars(j)
+      } yield s"sum(CAST($ci * $cj AS DECIMAL(30,8))) AS sp_${ai}_$aj"))
+      .mkString(",\n    ")
+    val sel = (for {
+      i <- vars.indices; j <- vars.indices if i < j
+      ai = vars(i)._2; aj = vars(j)._2
+    } yield
+      s"""SELECT '$ai~$aj' AS pair, n,
+         |  round((CAST(n AS DOUBLE) * CAST(sp_${ai}_$aj AS DOUBLE)
+         |      - CAST(s_$ai AS DOUBLE) * CAST(s_$aj AS DOUBLE)) /
+         |    (sqrt(CAST(n AS DOUBLE) * CAST(ss_$ai AS DOUBLE)
+         |        - CAST(s_$ai AS DOUBLE) * CAST(s_$ai AS DOUBLE)) *
+         |     sqrt(CAST(n AS DOUBLE) * CAST(ss_$aj AS DOUBLE)
+         |        - CAST(s_$aj AS DOUBLE) * CAST(s_$aj AS DOUBLE))), 4)
+         |    AS corr FROM m""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |    $momentCols
+       |  FROM lineitem
+       |)
+       |$sel
+       |ORDER BY pair""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_join_size_estimate" -> (q188 _),
     "q189_fd_profile" -> (q189 _),
     "q191_event_paths" -> (q191 _),
+    "q193_hits_ranking" -> (q193 _),
+    "q194_corr_matrix" -> (q194 _),
     "q180_markov_transitions" -> (q180 _),
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
@@ -1249,6 +1349,7 @@ object Analytic {
   val oracle: Map[String, String] = Map(
     "q189_fd_profile" -> q189Sql,
     "q191_event_paths" -> q191Sql,
+    "q194_corr_matrix" -> q194Sql,
     "q76_exact_percentiles" -> q76Sql,
     "q77_ntile_buckets" -> q77Sql,
     "q78_exists_subquery" -> q78Sql,

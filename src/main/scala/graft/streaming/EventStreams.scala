@@ -423,6 +423,36 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming histogram-sketch ingest — [[sketchIngest]]'s
+    * distribution twin ([[graft.ops.Sketches.writeHistShards]]): each
+    * micro-batch lands as its own `shard=batch-NNNNNN` partition of
+    * exact bin counts, and because bin counts merge by ADDITION the
+    * merged store equals the one-shot batch histogram over everything
+    * that ever arrived — any arrival order, any batch split. Replay
+    * of a batch id dynamically overwrites exactly its own partition
+    * with identical rows (idempotent recovery). The (lo, hi, nBins)
+    * frame is fixed at stream start: a histogram's bins must mean the
+    * same thing in every shard, so the frame is a DESIGN-TIME
+    * contract (size it from history), not per-batch state. Cost per
+    * batch: one column-pruned pass, ≤ nBins aggregate rows written. */
+  def histIngest(rows: DataFrame, storeDir: String,
+                 value: org.apache.spark.sql.Column,
+                 lo: Double, hi: Double, nBins: Int,
+                 checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Sketches.writeHistShards(batch, storeDir,
+            value, lit(f"batch-$batchId%06d"), lo, hi, nBins)
+          ()
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Incremental schema inference over a JSON stream: the running
     * lattice join surfaced per micro-batch (complete mode) — the
     * streaming form of the reference's whole program. */

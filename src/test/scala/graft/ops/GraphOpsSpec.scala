@@ -108,4 +108,46 @@ class GraphOpsSpec extends SparkTestBase {
     assert(labelsAt(4) == labelsAt(5),
       "labels must have converged, not oscillate with iteration parity")
   }
+
+  test("HITS matches a local micro-unit reference bit-for-bit and is layout-independent") {
+    // bipartite: hub 2 endorses three authorities, hub 4 endorses one
+    // — a1(=11) must outrank a2/a3, hub 2 must outrank hub 4
+    val hitsEdges = Seq((2L, 11L), (2L, 13L), (2L, 15L), (4L, 11L))
+    val df = spark.createDataFrame(hitsEdges).toDF("src", "dst")
+    def collectScores(d: org.apache.spark.sql.DataFrame) =
+      GraphOps.hits(d, iters = 6).collect()
+        .map(r => (r.getAs[String]("kind"), r.getAs[Long]("id"),
+          r.getAs[Double]("score"))).sortBy(t => (t._1, t._2)).toSeq
+    val got = collectScores(df)
+    assert(collectScores(df.repartition(5)) == got)
+
+    // local mirror of the exact arithmetic: micro-quantize (HALF_UP
+    // long), exact long totals, double division c/t per score
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var h = hitsEdges.map(_._1).distinct.map(_ -> 0.5).toMap
+    var a = Map.empty[Long, Double]
+    for (_ <- 0 until 6) {
+      def sweep(contrib: Map[Long, Double],
+                pick: ((Long, Long)) => (Long, Long)): Map[Long, Double] = {
+        val raw = hitsEdges.map(pick).groupBy(_._2)
+          .map { case (id, es) => id -> es.map(e => micro(contrib(e._1))).sum }
+        val tot = raw.values.sum
+        raw.map { case (id, c) => id -> c.toDouble / tot.toDouble }
+      }
+      a = sweep(h, identity)
+      h = sweep(a, { case (s, d) => (d, s) })
+    }
+    val want = (h.map { case (id, s) => ("hub", id, r6(s)) } ++
+      a.map { case (id, s) => ("authority", id, r6(s)) })
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == want, s"got=$got want=$want")
+    // the structural ordering the fixpoint must produce
+    val m = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("authority", 11L)) > m(("authority", 13L)))
+    assert(m(("authority", 13L)) == m(("authority", 15L)))
+    assert(m(("hub", 2L)) > m(("hub", 4L)))
+  }
 }
