@@ -60,7 +60,58 @@ object GraphOps {
     * keys (celebrity nodes) are exactly the AQE skew-split case. */
   def pageRank(edges: DataFrame, iters: Int = 8,
                damping: Double = 0.85,
-               broadcastNodeLimit: Long = 1000000L): DataFrame = {
+               broadcastNodeLimit: Long = 1000000L,
+               driverPairLimit: Long = 1L << 21): DataFrame = {
+    val sparkSess = edges.sparkSession
+    // DRIVER fast path (the [[hits]] probe discipline): an
+    // early-terminating limit evaluates the edge lineage ONCE; if the
+    // whole list fit, iterate over primitive arrays with the
+    // IDENTICAL arithmetic — micro(rank/deg) per edge (memoized per
+    // src), exact long sums, base + d·(Σ/1e12) — so the fast path is
+    // bit-identical to the distributed one (spec-pinned against the
+    // same local reference).
+    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
+    val probe = edges.select(col("src"), col("dst"))
+      .limit(probeLimit + 1).collect()
+    if (probe.isEmpty)
+      return sparkSess.emptyDataFrame
+        .withColumn("node", lit(0L)).withColumn("rank", lit(0.0))
+    if (probe.length <= probeLimit) {
+      import sparkSess.implicits._
+      val n = probe.length
+      val srcA = new Array[Long](n); val dstA = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        srcA(i) = probe(i).getLong(0); dstA(i) = probe(i).getLong(1)
+        i += 1
+      }
+      def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      val deg = collection.mutable.LongMap.empty[Long]
+      srcA.foreach(s => deg(s) = deg.getOrElse(s, 0L) + 1L)
+      val nNodes = deg.size.toDouble
+      val base = (1.0 - damping) / nNodes
+      var rank = collection.mutable.LongMap.empty[Double]
+      deg.keysIterator.foreach(rank(_) = 1.0 / nNodes)
+      for (_ <- 0 until iters) {
+        val ms = collection.mutable.LongMap.empty[Long]
+        deg.foreach { case (s, d) => ms(s) = micro(rank(s) / d.toDouble) }
+        val sums = collection.mutable.LongMap.empty[Long]
+        var j = 0
+        while (j < n) {
+          sums(dstA(j)) = sums.getOrElse(dstA(j), 0L) + ms(srcA(j))
+          j += 1
+        }
+        val next = collection.mutable.LongMap.empty[Double]
+        sums.foreach { case (id, c) =>
+          next(id) = base + damping * (c.toDouble / 1e12) }
+        rank = next
+      }
+      return rank.toSeq.map { case (id, r) => (id, r) }
+        .toDF("node", "r")
+        .select(col("node"), round(col("r"), 6).as("rank"))
+    }
+
     // by the symmetry contract every node appears as a src, so outdeg
     // IS the node list — its count replaces a distinct over the edge
     // list, and the deg join broadcasts whenever the rank join would
@@ -155,7 +206,35 @@ object GraphOps {
     * min-hop map, so q175 is oracle-checked where pageRank/LPA can
     * only be spec-pinned. */
   def shortestHops(edges: DataFrame, seeds: DataFrame,
-                   maxHops: Int = 4): DataFrame = {
+                   maxHops: Int = 4,
+                   driverPairLimit: Long = 1L << 21): DataFrame = {
+    // DRIVER fast path (the [[hits]] probe discipline): BFS levels
+    // are pure set algebra, the local mirror is exact by construction
+    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
+    val probe0 = edges.select(col("src"), col("dst"))
+      .limit(probeLimit + 1).collect()
+    if (probe0.length <= probeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val dist = collection.mutable.LongMap.empty[Long]
+      seeds.select(col("node")).distinct().collect()
+        .foreach(r => dist(r.getLong(0)) = 0L)
+      var frontier: Array[Long] = dist.keysIterator.toArray
+      for (hop <- 1 to maxHops) {
+        val inF = collection.mutable.LongMap.empty[Boolean]
+        frontier.foreach(inF(_) = true)
+        val nextF = collection.mutable.LongMap.empty[Boolean]
+        probe0.foreach { r =>
+          val s = r.getLong(0); val d = r.getLong(1)
+          if (inF.contains(s) && !dist.contains(d)) nextF(d) = true
+        }
+        nextF.keysIterator.foreach(dist(_) = hop.toLong)
+        frontier = nextF.keysIterator.toArray
+      }
+      return dist.toSeq.map { case (nd, d) => (nd, d) }
+        .toDF("node", "dist")
+    }
+
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col("node")).distinct()
@@ -179,7 +258,51 @@ object GraphOps {
   }
 
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-                       broadcastNodeLimit: Long = 1000000L): DataFrame = {
+                       broadcastNodeLimit: Long = 1000000L,
+                       driverPairLimit: Long = 1L << 21): DataFrame = {
+    // DRIVER fast path (the [[hits]] probe discipline) — pure integer
+    // semantics (counts + (count desc, label asc) argmax), so the
+    // local mirror is exact by construction, not just bit-compatible
+    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
+    val probe0 = edges.select(col("src"), col("dst"))
+      .limit(probeLimit + 1).collect()
+    if (probe0.nonEmpty && probe0.length <= probeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val n = probe0.length
+      val srcA = new Array[Long](n); val dstA = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        srcA(i) = probe0(i).getLong(0); dstA(i) = probe0(i).getLong(1)
+        i += 1
+      }
+      var labels = collection.mutable.LongMap.empty[Long]
+      srcA.foreach(s => labels(s) = s)
+      for (_ <- 0 until iters) {
+        val counts = collection.mutable.LongMap
+          .empty[collection.mutable.LongMap[Long]]
+        def vote(node: Long, label: Long): Unit = {
+          val m = counts.getOrElseUpdate(node,
+            collection.mutable.LongMap.empty[Long])
+          m(label) = m.getOrElse(label, 0L) + 1L
+        }
+        var j = 0
+        while (j < n) { vote(dstA(j), labels(srcA(j))); j += 1 }
+        labels.foreach { case (node, l) => vote(node, l) } // self-vote
+        val next = collection.mutable.LongMap.empty[Long]
+        counts.foreach { case (node, m) =>
+          var bc = -1L; var bl = 0L
+          m.foreach { case (label, c) =>
+            if (c > bc || (c == bc && label < bl)) { bc = c; bl = label }
+          }
+          next(node) = bl
+        }
+        labels = next
+      }
+      return labels.toSeq.map { case (nd, l) => (nd, l) }
+        .toDF("node", "label")
+    }
+
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
@@ -239,49 +362,170 @@ object GraphOps {
     * At 100 TB: cost is iters × 2 × (score shuffle) — edges are
     * cached src-partitioned and never move on the hub sweep; hot
     * authorities are the AQE skew-split case, never a cross product. */
-  def hits(edges: DataFrame, iters: Int = 6): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hubs0 = e.select(col("src")).distinct()
-    val nH = hubs0.count()
-    if (nH == 0) {
-      e.unpersist(blocking = false)
-      return edges.sparkSession.emptyDataFrame
+  def hits(edges: DataFrame, iters: Int = 6,
+           broadcastNodeLimit: Long = 1000000L,
+           driverPairLimit: Long = 1L << 21): DataFrame = {
+    val spark = edges.sparkSession
+
+    // DRIVER fast path, smallest graphs: probe with an
+    // early-terminating limit - ONE evaluation of the edge lineage,
+    // no shuffle, no cache (the ANN smallQueryRows discipline). If
+    // everything fit (~32 MB of longs at the default limit), the
+    // probe IS the edge list: iterate the fixpoint over primitive
+    // arrays on the driver - the same micro-quantize /
+    // exact-long-sum / double-divide sequence as the distributed
+    // sweeps, so all paths are bit-identical (spec-pinned).
+    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
+    val probe = edges.select(col("src"), col("dst"))
+      .limit(probeLimit + 1).collect()
+    if (probe.isEmpty)
+      return spark.emptyDataFrame
         .withColumn("kind", lit("hub"))
         .withColumn("id", lit(0L))
         .withColumn("score", lit(0.0))
+
+    if (probe.length <= probeLimit) {
+      import spark.implicits._
+      val n = probe.length
+      val srcA = new Array[Long](n); val dstA = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        srcA(i) = probe(i).getLong(0); dstA(i) = probe(i).getLong(1)
+        i += 1
+      }
+      def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      // quantize once per NODE (BigDecimal), then the per-edge loop
+      // is pure long-array arithmetic
+      def sweepDriver(scores: collection.mutable.LongMap[Double],
+                      fwd: Boolean): collection.mutable.LongMap[Double] = {
+        val ms = collection.mutable.LongMap.empty[Long]
+        scores.foreach { case (id, s) => ms(id) = micro(s) }
+        val raw = collection.mutable.LongMap.empty[Long]
+        var j = 0
+        while (j < n) {
+          val k = if (fwd) srcA(j) else dstA(j)
+          val o = if (fwd) dstA(j) else srcA(j)
+          raw(o) = raw.getOrElse(o, 0L) + ms(k)
+          j += 1
+        }
+        var t = 0L
+        raw.valuesIterator.foreach(t += _)
+        val out = collection.mutable.LongMap.empty[Double]
+        raw.foreach { case (id, c) => out(id) = c.toDouble / t.toDouble }
+        out
+      }
+      var h = collection.mutable.LongMap.empty[Double]
+      val srcSet = collection.mutable.LongMap.empty[Boolean]
+      srcA.foreach(srcSet(_) = true)
+      srcSet.keysIterator.foreach(h(_) = 1.0 / srcSet.size)
+      var a = collection.mutable.LongMap.empty[Double]
+      for (_ <- 0 until iters) {
+        a = sweepDriver(h, fwd = true)
+        h = sweepDriver(a, fwd = false)
+      }
+      return (h.toSeq.map { case (id, s) => ("hub", id, s) } ++
+        a.toSeq.map { case (id, s) => ("authority", id, s) })
+        .toDF("kind", "id", "s")
+        .select(col("kind"), col("id"), round(col("s"), 6).as("score"))
     }
 
-    def l1Normalize(raw: DataFrame): DataFrame = {
-      // exact long total → one tiny broadcast row; c/t is the only
-      // double op and is identical on every layout
+    // DISTRIBUTED paths: multiplicity pre-aggregated ONCE - k
+    // parallel edges endorse kx, and wt*micro(s) == sum_k micro(s)
+    // exactly (long arithmetic), so the collapse is bit-invisible;
+    // the sweeps then move (src, dst, wt) pairs. Two-path score-side
+    // join (the pageRank discipline): bounded node sets broadcast -
+    // the cached pair list never moves; larger graphs fall back to
+    // shuffle joins against DIRECTION-ALIGNED cached copies, so only
+    // the narrow score rows move per sweep. Arithmetic is identical
+    // on every path.
+    val w = edges.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("wt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wCount = w.count()
+    var nHShuffle = -1L
+    val bcast = wCount <= broadcastNodeLimit || {
+      val nn = w.agg(countDistinct(col("src")).as("nh"),
+        countDistinct(col("dst")).as("na")).head()
+      nHShuffle = nn.getLong(0)
+      math.max(nn.getLong(0), nn.getLong(1)) <= broadcastNodeLimit
+    }
+
+    if (bcast) {
+      // DRIVER-RESIDENT score vector: a bounded node set is exactly
+      // what broadcast() would collect to the driver anyway, so hold
+      // it there between sweeps — each sweep is then ONE distributed
+      // job (pair-list join + keyed exact-long aggregate + bounded
+      // collect), no per-sweep checkpoint, no normalizer round-trip.
+      // Same arithmetic as the shuffle path: micro-quantize, exact
+      // long sums (the distributed agg), exact long total (driver),
+      // c/t as double-of-longs division.
+      import spark.implicits._
+      def sweepLocal(scores: Seq[(Long, Double)], joinKey: String,
+                     outKey: String): Seq[(Long, Double)] = {
+        val sdf = scores.toDF("id", "s").withColumnRenamed("id", joinKey)
+        val raw = w.join(broadcast(sdf), joinKey)
+          .select(col(outKey).as("id"),
+            (col("wt") * round(col("s") * lit(1e12)).cast("long")).as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("c"))
+          .collect()
+        var t = 0L
+        raw.foreach(r => t += r.getLong(1))
+        raw.map(r => r.getLong(0) -> r.getLong(1).toDouble / t.toDouble)
+          .toSeq
+      }
+      val srcs = w.select(col("src")).distinct()
+        .collect().map(_.getLong(0))
+      var h: Seq[(Long, Double)] = srcs.map(_ -> 1.0 / srcs.length).toSeq
+      var a: Seq[(Long, Double)] = Seq.empty
+      for (_ <- 0 until iters) {
+        a = sweepLocal(h, "src", "dst")
+        h = sweepLocal(a, "dst", "src")
+      }
+      return (h.map { case (id, s) => ("hub", id, s) } ++
+        a.map { case (id, s) => ("authority", id, s) })
+        .toDF("kind", "id", "s")
+        .select(col("kind"), col("id"), round(col("s"), 6).as("score"))
+    }
+
+    // shuffle path: direction-aligned cached copies so only the
+    // narrow score rows move per sweep
+    val wSrc = w.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val wDst = w.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // one sweep: raw = Σ_in wt·micro(s), checkpointed BEFORE the
+    // total so the L1 normalizer is a trivial re-aggregate of ≤ nodes
+    // checkpointed rows (never a second evaluation of the join), and
+    // the normalized view is a lazy projection the next sweep folds in
+    def sweep(scores: DataFrame, joinKey: String, outKey: String,
+              pairs: DataFrame): DataFrame = {
+      val keyed = scores.withColumnRenamed("id", joinKey)
+      val raw = pairs.join(keyed, joinKey)
+        .select(col(outKey).as("id"),
+          (col("wt") * round(col("s") * lit(1e12)).cast("long")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        .localCheckpoint(true)
       val tot = raw.agg(sum(col("c")).as("t"))
       raw.crossJoin(broadcast(tot))
         .select(col("id"), (col("c") / col("t")).as("s"))
-        .localCheckpoint(true)
     }
-    def micro(s: org.apache.spark.sql.Column) =
-      round(s * lit(1e12)).cast("long").as("c")
 
-    var h = hubs0.select(col("src").as("id"),
-      lit(1.0 / nH).as("s")).localCheckpoint(true)
+    if (nHShuffle < 0)
+      nHShuffle = w.select(col("src")).distinct().count()
+    var h = w.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0 / nHShuffle).as("s")).localCheckpoint(true)
     var a: DataFrame = null
     for (_ <- 0 until iters) {
-      val aNext = l1Normalize(
-        e.join(h.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), micro(col("s")))
-          .groupBy(col("id")).agg(sum(col("c")).as("c")))
+      val aNext = sweep(h, "src", "dst", wSrc)
       if (a != null) freeCheckpoint(a)
       a = aNext
-      val hNext = l1Normalize(
-        e.join(a.withColumnRenamed("id", "dst"), "dst")
-          .select(col("src").as("id"), micro(col("s")))
-          .groupBy(col("id")).agg(sum(col("c")).as("c")))
+      val hNext = sweep(a, "dst", "src", wDst)
       freeCheckpoint(h)
       h = hNext
     }
-    e.unpersist(blocking = false)
+    // direction-aligned copies carry the loop on the shuffle path;
+    // the base pair list behind them can go (recompute = edges scan)
+    w.unpersist(blocking = false)
     h.select(lit("hub").as("kind"), col("id"), round(col("s"), 6).as("score"))
       .unionAll(a.select(lit("authority").as("kind"), col("id"),
         round(col("s"), 6).as("score")))

@@ -1523,9 +1523,138 @@ object LlmQueries {
       |  CAST(count(DISTINCT efp) AS BIGINT) AS n_exact_groups
       |FROM d GROUP BY nfp ORDER BY keep_doc_id""".stripMargin
 
+  /** Per-dimension embedding audit (q195): flatten every vector into
+    * (dim, value) and fold exact moment sums per dimension — mean,
+    * population variance (closed form on decimal-exact sums, the q194
+    * discipline), and the min/max spread. The vector-hygiene check a
+    * production embedding pipeline runs before indexing: a collapsed
+    * dimension (spread ≈ 0) means a dead feature, a wildly off-scale
+    * one breaks L2 geometry. float→double widening is exact, and no
+    * float's binary fraction can tie at a decimal rounding boundary,
+    * so the decimal quantization is engine-identical.
+    *
+    * Scale: one explode (rows × dims, but only (dim, x) pairs — 12
+    * bytes a row) into one partial+final aggregate keyed by at most
+    * `dims` keys; no join, no window. Fully oracled via DuckDB
+    * unnest + generate_subscripts. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val x = col("xf").cast("double")
+    Tables(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("bigint").as("dim"), x.as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(20,8)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(20,8)")).as("sxx"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col("dim"), col("n"),
+        round(col("sx").cast("double") / col("n"), 4).as("mean"),
+        round((col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("variance"),
+        round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+      .orderBy(col("dim"))
+  }
+
+  private val q195Sql =
+    """WITH flat AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+      |      AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT dim, count(*) AS n,
+      |    sum(CAST(x AS DECIMAL(20,8))) AS sx,
+      |    sum(CAST(x * x AS DECIMAL(20,8))) AS sxx,
+      |    min(x) AS lo, max(x) AS hi
+      |  FROM flat GROUP BY dim
+      |)
+      |SELECT dim, n,
+      |  round(CAST(sx AS DOUBLE) / n, 4) AS mean,
+      |  round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS variance,
+      |  round(lo, 4) AS lo, round(hi, 4) AS hi
+      |FROM m ORDER BY dim""".stripMargin
+
+  /** Sorted-neighborhood near-dup blocking (q196, Hernández &
+    * Stolfo's merge/purge, SIGMOD 1995) — the third blocking
+    * strategy next to MinHash bands (q52) and SimHash chunks (q53):
+    * sort by a normalized prefix key, compare each doc only to its w
+    * nearest successors inside a prefix block, score candidates with
+    * edit distance on the normalized 80-char head. Catches the
+    * typo-duplicate class token-set methods miss (token sets are
+    * order/spelling-blind, edit distance is not).
+    *
+    * Scale: the textbook method needs ONE global sort; here the sort
+    * key's 4-char prefix is the window's PARTITION key, so each
+    * block sorts independently (one shuffle, parallel by block) —
+    * the documented trade is that a duplicate pair straddling a
+    * block boundary is missed, the standard multi-pass-key answer.
+    * The lead() window ships w candidate pairs per doc (never
+    * all-pairs); levenshtein runs on capped 80-char heads so
+    * per-pair cost is bounded. Fully oracled (identical
+    * normalize→sort→lead→levenshtein ladder, both engines' DP is the
+    * textbook metric). */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(coalesce(col("text"), lit(""))),
+      "[^a-z0-9 ]", "")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), substring(norm, 1, 80).as("head"))
+      .withColumn("blk", substring(col("head"), 1, 4))
+    val w = Window.partitionBy(col("blk"))
+      .orderBy(col("head"), col("doc_id"))
+    val withLeads = docs
+      .withColumn("cand", array((1 to 3).map(k =>
+        struct(lead(col("doc_id"), k).over(w).as("doc_b"),
+          lead(col("head"), k).over(w).as("head_b"))): _*))
+      .select(col("doc_id").as("doc_a"), col("head"),
+        explode(col("cand")).as("c"))
+      .where(col("c.doc_b").isNotNull)
+    withLeads
+      .select(col("doc_a"), col("c.doc_b").as("doc_b"),
+        levenshtein(col("head"), col("c.head_b")).cast("bigint")
+          .as("edit_dist"))
+      .where(col("edit_dist") <= 20)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q196Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(coalesce(text, '')),
+      |      '[^a-z0-9 ]', '', 'g'), 1, 80) AS head
+      |  FROM documents
+      |), keyed AS (
+      |  SELECT doc_id, head, substring(head, 1, 4) AS blk FROM d
+      |), pairs AS (
+      |  SELECT doc_id AS doc_a, head,
+      |    lead(doc_id, 1) OVER w AS b1, lead(head, 1) OVER w AS h1,
+      |    lead(doc_id, 2) OVER w AS b2, lead(head, 2) OVER w AS h2,
+      |    lead(doc_id, 3) OVER w AS b3, lead(head, 3) OVER w AS h3
+      |  FROM keyed
+      |  WINDOW w AS (PARTITION BY blk ORDER BY head, doc_id)
+      |), cand AS (
+      |  SELECT doc_a, b1 AS doc_b, levenshtein(head, h1) AS edit_dist
+      |    FROM pairs WHERE b1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_a, b2, levenshtein(head, h2)
+      |    FROM pairs WHERE b2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_a, b3, levenshtein(head, h3)
+      |    FROM pairs WHERE b3 IS NOT NULL
+      |)
+      |SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist
+      |FROM cand WHERE edit_dist <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_jl_recall" -> (q186 _),
     "q187_normalized_dedup" -> (q187 _),
+    "q195_embedding_dim_audit" -> (q195 _),
+    "q196_sorted_neighborhood" -> (q196 _),
     "q185_isotonic_calibration" -> (q185 _),
     "q179_score_auc" -> (q179 _),
     "q181_compression_signal" -> (q181 _),
@@ -1588,6 +1717,8 @@ object LlmQueries {
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
+    "q195_embedding_dim_audit" -> q195Sql,
+    "q196_sorted_neighborhood" -> q196Sql,
     "q179_score_auc" -> q179Sql,
     "q182_vocab_drift" -> q182Sql,
     "q184_ols_per_source" -> q184Sql,

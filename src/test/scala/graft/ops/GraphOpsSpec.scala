@@ -24,6 +24,15 @@ class GraphOpsSpec extends SparkTestBase {
         .sortBy(_._1).toSeq
     val got = collect(edges)
     assert(collect(edges.repartition(5)) == got)
+    // three-path contract: driver-local (default on this tiny graph),
+    // broadcast, and shuffle paths produce the SAME bits
+    def forcedPr(nodeLimit: Long) =
+      GraphOps.pageRank(edges, iters = 8, broadcastNodeLimit = nodeLimit,
+        driverPairLimit = 0L).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank"))
+        .sortBy(_._1).toSeq
+    assert(forcedPr(1000000L) == got, "broadcast path diverged")
+    assert(forcedPr(0L) == got, "shuffle path diverged")
 
     // local mirror: same init, same contribution arithmetic
     // (rank/deg in double → ×1e12 → HALF_UP to integer micro-units,
@@ -74,6 +83,12 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
     assert(run(edges.repartition(7)) == got)
+    // distributed path (forced via pair limit 0) matches the driver
+    // fast path bit for bit
+    assert(GraphOps.labelPropagation(edges, iters = 5,
+      driverPairLimit = 0L).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label"))
+      .sortBy(_._1).toSeq == got, "distributed LPA diverged")
   }
 
   test("BFS hop distances on a chain: exact levels, maxHops truncation, disjoint absent") {
@@ -93,6 +108,11 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.shortestHops(edges.repartition(5), seeds, 10).collect()
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist"))
         .sortBy(_._1).toSeq)
+    // distributed path (forced via pair limit 0) matches the driver
+    // fast path bit for bit
+    assert(GraphOps.shortestHops(edges, seeds, 10, driverPairLimit = 0L)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist"))
+      .sortBy(_._1).toSeq == run(10), "distributed BFS diverged")
   }
 
   test("the self-vote damps the bipartite 2-cycle oscillation") {
@@ -120,6 +140,15 @@ class GraphOpsSpec extends SparkTestBase {
           r.getAs[Double]("score"))).sortBy(t => (t._1, t._2)).toSeq
     val got = collectScores(df)
     assert(collectScores(df.repartition(5)) == got)
+    // the three-path contract: driver-local (default on this tiny
+    // graph), broadcast-score, and shuffle paths — SAME bits
+    def forced(nodeLimit: Long, pairLimit: Long) =
+      GraphOps.hits(df, iters = 6, broadcastNodeLimit = nodeLimit,
+        driverPairLimit = pairLimit)
+        .collect().map(r => (r.getAs[String]("kind"), r.getAs[Long]("id"),
+          r.getAs[Double]("score"))).sortBy(t => (t._1, t._2)).toSeq
+    assert(forced(1000000L, 0L) == got, "broadcast path diverged")
+    assert(forced(0L, 0L) == got, "shuffle path diverged")
 
     // local mirror of the exact arithmetic: micro-quantize (HALF_UP
     // long), exact long totals, double division c/t per score
