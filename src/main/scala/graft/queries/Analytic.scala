@@ -1162,11 +1162,14 @@ object Analytic {
     * TakeOrderedAndProject. (ts, event_id) is a total order per user
     * so lag/lead are deterministic; (n, path) is unique per output row
     * so the limit-20 cut is engine-stable. */
-  private def q191(s: SparkSession, dir: String): DataFrame = {
+  /** Gaps-and-islands sessionization shared by q191/q197: a 30-min
+    * µs-exact inactivity gap opens a new session; (ts, event_id) is a
+    * total order per user so the assignment is deterministic. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val sess = Tables(s, dir, "events")
+    Tables(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("gap_us",
         unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1)
@@ -1175,9 +1178,13 @@ object Analytic {
         when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("new_s")).over(byUser))
+  }
+
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bySession = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))
-    sess
+    sessionized(s, dir)
       .withColumn("e2", lead(col("event_type"), 1).over(bySession))
       .withColumn("e3", lead(col("event_type"), 2).over(bySession))
       .where(col("e2").isNotNull && col("e3").isNotNull)
@@ -1311,12 +1318,95 @@ object Analytic {
        |ORDER BY pair""".stripMargin
   }
 
+  /** Session-level association rules (q197, the Agrawal–Srikant
+    * support/confidence/lift frame over q191's sessions): which event
+    * types co-occur in the same session beyond what their base rates
+    * predict? Market-basket analytics with the session as the basket
+    * — the set-co-occurrence complement to q178's ADJACENCY
+    * collocations (PMI sees neighboring tokens; this sees "both
+    * happened in the visit", any distance apart).
+    *
+    * Scale: one sessionization window (user-keyed shuffle), one
+    * distinct to collapse each basket to its type set, then the
+    * pair self-join runs WITHIN session keys only (baskets have ≤
+    * |event types| items — never all-pairs across baskets); the
+    * per-type session counts and the grand total are domain-sized
+    * broadcasts. All counts integer-exact; conf/lift double with
+    * identical expression shape on both engines; fully oracled. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val items = sessionized(s, dir)
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    val nS = items.select(col("user_id"), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_s"))
+    val typeCounts = items.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.sid") === col("y.sid") &&
+          col("x.event_type") =!= col("y.event_type"))
+      .groupBy(col("x.event_type").as("ant"),
+        col("y.event_type").as("cons"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(typeCounts
+        .select(col("event_type").as("ant"), col("n_t").as("n_ant"))), "ant")
+      .join(broadcast(typeCounts
+        .select(col("event_type").as("cons"), col("n_t").as("n_cons"))),
+        "cons")
+      .crossJoin(broadcast(nS))
+      .where(col("n_both") >= 5)
+      .select(col("ant"), col("cons"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_ant"), 4).as("conf"),
+        round((col("n_both").cast("double") * col("n_s")) /
+          (col("n_ant").cast("double") * col("n_cons")), 4).as("lift"))
+      .orderBy(col("ant"), col("cons"))
+  }
+
+  private val q197Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), items AS (
+      |  SELECT DISTINCT user_id, sid, event_type FROM (
+      |    SELECT user_id, event_type,
+      |      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |    FROM flagged)
+      |), ns AS (
+      |  SELECT count(*) AS n_s FROM
+      |    (SELECT DISTINCT user_id, sid FROM items)
+      |), tc AS (
+      |  SELECT event_type, count(*) AS n_t FROM items GROUP BY 1
+      |), pairs AS (
+      |  SELECT x.event_type AS ant, y.event_type AS cons,
+      |    count(*) AS n_both
+      |  FROM items x JOIN items y
+      |    ON x.user_id = y.user_id AND x.sid = y.sid
+      |   AND x.event_type <> y.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ant, cons, n_both,
+      |  round(CAST(n_both AS DOUBLE) / ta.n_t, 4) AS conf,
+      |  round((CAST(n_both AS DOUBLE) * ns.n_s) /
+      |        (CAST(ta.n_t AS DOUBLE) * tb.n_t), 4) AS lift
+      |FROM pairs
+      |JOIN tc ta ON pairs.ant = ta.event_type
+      |JOIN tc tb ON pairs.cons = tb.event_type, ns
+      |WHERE n_both >= 5
+      |ORDER BY ant, cons""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_join_size_estimate" -> (q188 _),
     "q189_fd_profile" -> (q189 _),
     "q191_event_paths" -> (q191 _),
     "q193_hits_ranking" -> (q193 _),
     "q194_corr_matrix" -> (q194 _),
+    "q197_association_rules" -> (q197 _),
     "q180_markov_transitions" -> (q180 _),
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
@@ -1350,6 +1440,7 @@ object Analytic {
     "q189_fd_profile" -> q189Sql,
     "q191_event_paths" -> q191Sql,
     "q194_corr_matrix" -> q194Sql,
+    "q197_association_rules" -> q197Sql,
     "q76_exact_percentiles" -> q76Sql,
     "q77_ntile_buckets" -> q77Sql,
     "q78_exists_subquery" -> q78Sql,

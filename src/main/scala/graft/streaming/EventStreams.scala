@@ -733,4 +733,62 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class MgState(counts: Map[String, Long], n: Long)
+  case class MgCounter(bucket: Int, w: String, est: Long, n_bucket: Long)
+
+  /** Streaming heavy hitters — the FREQUENCY member of the streaming
+    * sketch triad ([[sketchIngest]] = distinct, [[histIngest]] =
+    * distribution): bucket-keyed Misra–Gries state, the batch q123
+    * summary ([[graft.ops.TextOps.heavyHitters]]) run as long-lived
+    * stream state instead of a per-partition pass. Tokens hash to one
+    * of `nBuckets` state keys (a token ALWAYS lands in its own
+    * bucket, so per-bucket MG guarantees apply globally); each
+    * micro-batch folds its group's tokens into the bucket's ≤
+    * `nCounters` counters with the (k+1)-way cancellation, then
+    * re-emits the bucket's full counter set (≤ k rows, update mode).
+    * Downstream reads the latest emission per bucket: every token
+    * with true count > n_bucket/(nCounters+1) is guaranteed present
+    * (spec-pinned), estimates undercount by at most that bound.
+    *
+    * Scale: state is nBuckets × nCounters (token, long) entries —
+    * size-capped by construction, never corpus-proportional — and a
+    * batch's shuffle is its own tokens keyed by bucket. No archive,
+    * no per-token state: the MG cancellation is what makes unbounded
+    * streams affordable. Exact counts for the survivors (q123's
+    * second pass) remain a batch job over the stored corpus. */
+  def heavyHitterIngest(spark: SparkSession, tokens: Dataset[String],
+                        nBuckets: Int = 64,
+                        nCounters: Int = 256): Dataset[MgCounter] = {
+    import spark.implicits._
+    require(nBuckets > 0 && nCounters > 0)
+
+    def fn(bucket: Int, batch: Iterator[String],
+           state: GroupState[MgState]): Iterator[MgCounter] = {
+      val st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      st.counts.foreach { case (k, v) => counts(k) = v }
+      var np = st.n
+      batch.foreach { w =>
+        np += 1
+        counts.get(w) match {
+          case Some(c) => counts.update(w, c + 1)
+          case None if counts.size < nCounters => counts.update(w, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            counts.foreach { case (k, c) =>
+              if (c == 1L) dead += k else counts.update(k, c - 1)
+            }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      state.update(MgState(counts.toMap, np))
+      counts.iterator.map { case (w, c) => MgCounter(bucket, w, c, np) }
+    }
+
+    tokens
+      .groupByKey(w => math.floorMod(w.hashCode, nBuckets))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }
