@@ -731,22 +731,69 @@ object TextOps {
     * Returns (doc_id, group_id) for every document; singletons label
     * themselves. */
   def nearDupGroups(docs: DataFrame, threshold: Double, ngram: Int = 1,
-                    maxIters: Int = 20): DataFrame = {
-    // The loop runs GraphX/Pregel-style over co-partitioned pair RDDs —
-    // the one shape where dropping below the DataFrame API is the right
-    // Spark tool: edges are hash-partitioned ONCE and every iteration's
-    // equi-joins against the same partitioner are shuffle-free, so one
-    // iteration costs exactly one shuffle (the min reduce); a DataFrame
-    // loop re-shuffles both join sides every round and cannot free its
-    // checkpoint blocks. Previous iterations are unpersisted explicitly.
+                    maxIters: Int = 20,
+                    driverPairLimit: Long = 1L << 21): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
+    val pairsDf = nearDupExact(docs, threshold, ngram)
+      .select(col("doc_a"), col("doc_b"))
+
+    // DRIVER fast path (the GraphOps probe discipline): a VERIFIED
+    // near-dup pair list that fits the probe collapses the whole
+    // propagation loop into union-find on the driver plus ONE
+    // broadcast left join — singletons never leave the cluster (only
+    // paired docs get a mapping row; everyone else labels itself via
+    // coalesce), so the collected object is bounded by the pair list,
+    // not the corpus. Union-find's component-min root is exactly the
+    // min-label fixpoint, so both paths agree by construction
+    // (spec-pinned).
+    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
+    val probe = pairsDf.limit(probeLimit + 1).collect()
+    if (probe.length <= probeLimit) {
+      val parent = collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      probe.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        // union by MIN id: the root IS the component minimum, the
+        // same canonical label the distributed fixpoint converges to
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val mapping = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      probe.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        mapping += ((a, find(a))); mapping += ((b, find(b)))
+      }
+      val ids = docs.select(col("doc_id"))
+      if (mapping.isEmpty)
+        return ids.select(col("doc_id"), col("doc_id").as("group_id"))
+      val mapDf = mapping.distinct.toSeq.toDF("doc_id", "grp")
+      return ids
+        .join(broadcast(mapDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("grp"), col("doc_id")).as("group_id"))
+    }
+
+    // DISTRIBUTED loop, GraphX/Pregel-style over co-partitioned pair
+    // RDDs — the one shape where dropping below the DataFrame API is
+    // the right Spark tool: edges are hash-partitioned ONCE and every
+    // iteration's equi-joins against the same partitioner are
+    // shuffle-free, so one iteration costs exactly one shuffle (the
+    // min reduce); a DataFrame loop re-shuffles both join sides every
+    // round and cannot free its checkpoint blocks. Previous
+    // iterations are unpersisted explicitly.
     // (labelSource, labelTarget): each undirected pair feeds both ways.
     // Materialized once — the expensive pair verification never reruns.
-    val rawEdges = nearDupExact(docs, threshold, ngram)
-      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+    val rawEdges = pairsDf.as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     // AQE cannot coalesce RDD stages, so size the loop's partitioner

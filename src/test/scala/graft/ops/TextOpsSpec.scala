@@ -305,6 +305,12 @@ class TextOpsSpec extends SparkTestBase {
     val got = TextOps.nearDupGroups(df, t).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
     assert(got == expect)
+    // the distributed min-label loop (forced via pair limit 0) agrees
+    // with the default driver union-find path
+    val distributed = TextOps.nearDupGroups(df, t, driverPairLimit = 0L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(distributed == expect, "distributed CC diverged")
   }
 
   test("mixtureSample takes the exact md5-order prefix within each source budget") {
