@@ -1400,6 +1400,121 @@ object Analytic {
       |WHERE n_both >= 5
       |ORDER BY ant, cons""".stripMargin
 
+  /** Referential-integrity audit (q198) — the cross-TABLE member of
+    * the data-quality family (q158 audits rows, q189 audits columns,
+    * this audits the joins between tables): orphan-key rate for every
+    * FK edge of the star schema, plus one deliberately-constrained
+    * parent (orders with status 'F' only) so the query demonstrates a
+    * non-zero rate and the oracle proves the counting, not just
+    * zeros. Each edge is ONE left join against the DISTINCT parent
+    * keys (never the parent payload) + a conditional count — a keyed
+    * shuffle per edge on column-pruned scans; at 100 TB each audit
+    * edge costs what the corresponding join itself would. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    def ri(child: DataFrame, ckey: String, parent: DataFrame,
+           pkey: String, label: String): DataFrame =
+      child.select(col(ckey).as("k"))
+        .join(parent.select(col(pkey).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(label).as("rel"), col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double") /
+            col("n_rows").cast("double"), 6).as("orphan_rate"))
+    val li = Tables(s, dir, "lineitem"); val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer"); val n = Tables(s, dir, "nation")
+    val p = Tables(s, dir, "part"); val su = Tables(s, dir, "supplier")
+    ri(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+      .unionAll(ri(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+      .unionAll(ri(li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"))
+      .unionAll(ri(o, "o_custkey", c, "c_custkey", "orders->customer"))
+      .unionAll(ri(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+      .unionAll(ri(li, "l_orderkey", o.where(col("o_orderstatus") === "F"),
+        "o_orderkey", "lineitem->orders[status=F]"))
+      .orderBy(col("rel"))
+  }
+
+  private val q198Sql = {
+    def one(child: String, ckey: String, parent: String, pkey: String,
+            label: String): String =
+      s"""SELECT '$label' AS rel, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphans,
+         |  round(CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)
+         |          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS orphan_rate
+         |FROM (SELECT $ckey AS k FROM $child) ch
+         |LEFT JOIN (SELECT DISTINCT $pkey AS k FROM $parent) p
+         |  ON ch.k = p.k""".stripMargin
+    Seq(
+      one("lineitem", "l_orderkey", "orders", "o_orderkey",
+        "lineitem->orders"),
+      one("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+      one("lineitem", "l_suppkey", "supplier", "s_suppkey",
+        "lineitem->supplier"),
+      one("orders", "o_custkey", "customer", "c_custkey",
+        "orders->customer"),
+      one("customer", "c_nationkey", "nation", "n_nationkey",
+        "customer->nation"),
+      one("lineitem", "l_orderkey",
+        "(SELECT * FROM orders WHERE o_orderstatus = 'F')", "o_orderkey",
+        "lineitem->orders[status=F]"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+  }
+
+  /** Benford first-digit audit (q199): the leading digit of
+    * o_totalprice against Benford's log10(1 + 1/d) expectation, with
+    * per-digit χ² contributions — the distribution-shape cousin of
+    * q160's independence χ² and a standard synthetic-data /
+    * fabrication screen. The expected shares are HARD-CODED six-digit
+    * constants on both engines (a live log10 would hash-diverge by an
+    * ulp between libm and java.lang.Math); digit extraction is pure
+    * string/integer arithmetic. One partial+final aggregate over one
+    * column-pruned scan. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val expCol = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
+      when(col("digit") === d, lit(benford(d - 1))).otherwise(acc) }
+    val digits = Tables(s, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("bigint").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("n_total"))))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("share"),
+        expCol.as("expected_share"),
+        round(
+          (col("n").cast("double") - col("n_total") * expCol) *
+            (col("n").cast("double") - col("n_total") * expCol) /
+            (col("n_total") * expCol), 4).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  private val q199Sql = {
+    val benford = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    // literals cast to DOUBLE: a bare 0.30103 is DECIMAL in DuckDB,
+    // and BIGINT·DECIMAL arithmetic would diverge from Spark's double
+    val cases = (1 to 9)
+      .map(d => s"WHEN digit = $d THEN CAST(${benford(d - 1)} AS DOUBLE)")
+      .mkString("CASE ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(floor(o_totalprice) AS VARCHAR), 1, 1)
+       |      AS BIGINT) AS digit
+       |  FROM orders
+       |), g AS (
+       |  SELECT digit, count(*) AS n FROM d GROUP BY 1
+       |), t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+       |SELECT digit, n,
+       |  round(CAST(n AS DOUBLE) / n_total, 6) AS share,
+       |  $cases AS expected_share,
+       |  round((CAST(n AS DOUBLE) - n_total * ($cases)) *
+       |        (CAST(n AS DOUBLE) - n_total * ($cases)) /
+       |        (n_total * ($cases)), 4) AS chi2_term
+       |FROM g, t ORDER BY digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q188_join_size_estimate" -> (q188 _),
     "q189_fd_profile" -> (q189 _),
@@ -1407,6 +1522,8 @@ object Analytic {
     "q193_hits_ranking" -> (q193 _),
     "q194_corr_matrix" -> (q194 _),
     "q197_association_rules" -> (q197 _),
+    "q198_ri_audit" -> (q198 _),
+    "q199_benford_audit" -> (q199 _),
     "q180_markov_transitions" -> (q180 _),
     "q76_exact_percentiles" -> (q76 _),
     "q77_ntile_buckets" -> (q77 _),
@@ -1441,6 +1558,8 @@ object Analytic {
     "q191_event_paths" -> q191Sql,
     "q194_corr_matrix" -> q194Sql,
     "q197_association_rules" -> q197Sql,
+    "q198_ri_audit" -> q198Sql,
+    "q199_benford_audit" -> q199Sql,
     "q76_exact_percentiles" -> q76Sql,
     "q77_ntile_buckets" -> q77Sql,
     "q78_exists_subquery" -> q78Sql,
