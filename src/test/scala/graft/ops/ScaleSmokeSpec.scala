@@ -270,4 +270,145 @@ class ScaleSmokeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q189/q190/q194/q199 relational profiling at 10x: linear time, exact 10x counts, invariant ratios", graft.Slow) {
+    // 10 copies with offset KEYS and unchanged attribute values:
+    // every count scales exactly 10x, every RATIO of 10x-scaled exact
+    // integers divides to the same real number, hence (correct IEEE
+    // rounding of the same real) the same double
+    val dir10 = graft.TempRoots.path("scale10_rel")
+    def rep(table: String, keys: Seq[String]): Unit = {
+      val base = graft.queries.Tables(spark, sfDir, table)
+      (0 until 10).map { k =>
+        keys.foldLeft(base)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * CopyOffset)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir10/$table.parquet")
+    }
+    rep("customer", Seq("c_custkey"))
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("part", Seq("p_partkey"))
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("supplier", Seq("s_suppkey"))
+    rep("nation", Seq())
+    def q(name: String, dir: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+
+    q("q189_fd_profile", sfDir) // warmup
+    val (f1, t1) = timed(q("q189_fd_profile", sfDir))
+    val (f10, t10) = timed(q("q189_fd_profile", dir10))
+    assertLinear("fdProfile", t1, t10)
+    val byFd = f1.map(r => r.getString(0) -> r).toMap
+    f10.foreach { r =>
+      val b = byFd(r.getString(0))
+      assert(r.getAs[Long]("n_rows") == 10 * b.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("violations") == 10 * b.getAs[Long]("violations"))
+      assert(r.getAs[Double]("g3") == b.getAs[Double]("g3"),
+        s"${r.getString(0)} g3 drifted")
+    }
+
+    val (h1, ht1) = timed(q("q190_hist_quantiles", sfDir))
+    val (h10, ht10) = timed(q("q190_hist_quantiles", dir10))
+    assertLinear("histQuantiles", ht1, ht10)
+    h1.zip(h10).foreach { case (a, b) =>
+      assert(a.getAs[Double]("p") == b.getAs[Double]("p"))
+      assert(a.getAs[Long]("bin") == b.getAs[Long]("bin"),
+        "quantile landed in a different bin under pure replication")
+      assert(b.getAs[Long]("n_le") == 10 * a.getAs[Long]("n_le"))
+      assert(a.getAs[Double]("est") == b.getAs[Double]("est"),
+        s"p=${a.getAs[Double]("p")} est drifted")
+    }
+
+    val (c1, ct1) = timed(q("q194_corr_matrix", sfDir))
+    val (c10, ct10) = timed(q("q194_corr_matrix", dir10))
+    assertLinear("corrMatrix", ct1, ct10)
+    c1.zip(c10).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(b.getAs[Long]("n") == 10 * a.getAs[Long]("n"))
+      assert(a.getAs[Double]("corr") == b.getAs[Double]("corr"),
+        s"${a.getString(0)} corr drifted")
+    }
+
+    val (z1, zt1) = timed(q("q199_benford_audit", sfDir))
+    val (z10, zt10) = timed(q("q199_benford_audit", dir10))
+    assertLinear("benford", zt1, zt10)
+    z1.zip(z10).foreach { case (a, b) =>
+      assert(a.getAs[Long]("digit") == b.getAs[Long]("digit"))
+      assert(b.getAs[Long]("n") == 10 * a.getAs[Long]("n"))
+      assert(a.getAs[Double]("share") == b.getAs[Double]("share"))
+      // chi2 scales linearly with n: compare against 10x the 1x term
+      // with rounding slack (both sides round to 4 independently)
+      assert(math.abs(b.getAs[Double]("chi2_term") -
+        10 * a.getAs[Double]("chi2_term")) <= 0.02,
+        s"digit ${a.getAs[Long]("digit")} chi2 not ~10x")
+    }
+  }
+
+  test("q191/q197 session analytics at 10x users: linear time, exact 10x counts, invariant ratios", graft.Slow) {
+    // 10 copies of the event log under NEW user ids: sessions, paths
+    // and co-occurrence baskets replicate exactly, so counts scale
+    // 10x and conf/lift (ratios of 10x integers) are bit-equal
+    val dir10 = graft.TempRoots.path("scale10_events")
+    val base = graft.queries.Tables(spark, sfDir, "events")
+    (0 until 10).map(k => base
+        .withColumn("user_id", col("user_id") + lit(k * CopyOffset))
+        .withColumn("event_id", col("event_id") + lit(k * CopyOffset)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir10/events.parquet")
+    def q(name: String, dir: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+
+    q("q191_event_paths", sfDir) // warmup
+    val (p1, t1) = timed(q("q191_event_paths", sfDir))
+    val (p10, t10) = timed(q("q191_event_paths", dir10))
+    assertLinear("eventPaths", t1, t10)
+    p1.zip(p10).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0),
+        "top-20 path set changed under pure replication")
+      assert(b.getAs[Long]("n") == 10 * a.getAs[Long]("n"))
+    }
+
+    val (r1, rt1) = timed(q("q197_association_rules", sfDir))
+    val (r10, rt10) = timed(q("q197_association_rules", dir10))
+    assertLinear("associationRules", rt1, rt10)
+    // the min-support cut (n_both >= 5) is ABSOLUTE, so pairs with
+    // 1x-count in [1,4] legitimately surface at 10x — compare the
+    // algebra, not raw row sets: every 1x rule reappears with exactly
+    // 10x support and bit-equal ratios, and every 10x rule at >= 50
+    // support must descend from a surviving 1x rule
+    val m10 = r10.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    r1.foreach { a =>
+      val b = m10((a.getString(0), a.getString(1)))
+      assert(b.getAs[Long]("n_both") == 10 * a.getAs[Long]("n_both"))
+      assert(a.getAs[Double]("conf") == b.getAs[Double]("conf"),
+        s"${a.getString(0)}->${a.getString(1)} conf drifted")
+      assert(a.getAs[Double]("lift") == b.getAs[Double]("lift"),
+        s"${a.getString(0)}->${a.getString(1)} lift drifted")
+    }
+    val keys1 = r1.map(r => (r.getString(0), r.getString(1))).toSet
+    r10.filter(_.getAs[Long]("n_both") >= 50L).foreach { b =>
+      assert(keys1.contains((b.getString(0), b.getString(1))),
+        s"rule ${b.getString(0)}->${b.getString(1)} appeared from nowhere")
+    }
+  }
+
+  test("sorted-neighborhood at 10x: linear time, per-doc candidate cap holds", graft.Slow) {
+    // identical copies SORT ADJACENTLY inside blocks, so cross-copy
+    // pairs legitimately appear — the structural guarantee is the
+    // WINDOW cap (<= w candidates per doc), which is what keeps the
+    // operator linear no matter how duplicated the corpus is
+    val docs10 = replicate(
+      graft.queries.Tables(spark, sfDir, "documents"), "scale10_sn")
+    val dir10 = graft.TempRoots.path("scale10_sn_tbl")
+    docs10.write.mode("overwrite").parquet(s"$dir10/documents.parquet")
+    def q(dir: String) =
+      graft.SparkEntry.queries("q196_sorted_neighborhood")(spark, dir)
+    q(sfDir).collect() // warmup
+    val (n1, t1) = timed(q(sfDir).count())
+    val (n10, t10) = timed(q(dir10).count())
+    assertLinear("sortedNeighborhood", t1, t10)
+    val nDocs10 = docs10.count()
+    assert(n10 <= 3L * nDocs10, s"candidate volume $n10 exceeds the w=3 cap")
+    assert(n10 >= n1, "10x corpus lost candidates")
+  }
 }
