@@ -29,6 +29,27 @@ object GraphOps {
       case _ => ()
     }
 
+  /** The ONE copy of the driver-fast-path probe: evaluate the (src,
+    * dst) lineage through an early-terminating limit; Some(rows) iff
+    * the whole edge list fit under `driverPairLimit`. Every
+    * spec-pinned path-parity contract in this file flows through
+    * here, so probe-discipline fixes apply everywhere at once. */
+  private def probePairs(edges: DataFrame,
+                         driverPairLimit: Long)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
+    val probe = edges.select(col("src"), col("dst"))
+      .limit(probeLimit + 1).collect()
+    if (probe.length <= probeLimit) Some(probe) else None
+  }
+
+  /** The ONE copy of the 1e-12 micro-unit quantizer (driver side) —
+    * the exact sequence of the distributed
+    * `round(s * 1e12).cast("long")`. */
+  private def microQuantize(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e12)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
   /** Deterministic PageRank. `edges` carries (src, dst) long columns;
     * CONTRACT: every node appears as a src AND as a dst (symmetrize a
     * one-directional relation — that also removes dangling nodes,
@@ -70,13 +91,10 @@ object GraphOps {
     // src), exact long sums, base + d·(Σ/1e12) — so the fast path is
     // bit-identical to the distributed one (spec-pinned against the
     // same local reference).
-    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
-    val probe = edges.select(col("src"), col("dst"))
-      .limit(probeLimit + 1).collect()
-    if (probe.isEmpty)
-      return sparkSess.emptyDataFrame
-        .withColumn("node", lit(0L)).withColumn("rank", lit(0.0))
-    if (probe.length <= probeLimit) {
+    probePairs(edges, driverPairLimit).foreach { probe =>
+      if (probe.isEmpty)
+        return sparkSess.emptyDataFrame
+          .withColumn("node", lit(0L)).withColumn("rank", lit(0.0))
       import sparkSess.implicits._
       val n = probe.length
       val srcA = new Array[Long](n); val dstA = new Array[Long](n)
@@ -85,8 +103,6 @@ object GraphOps {
         srcA(i) = probe(i).getLong(0); dstA(i) = probe(i).getLong(1)
         i += 1
       }
-      def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
       val deg = collection.mutable.LongMap.empty[Long]
       srcA.foreach(s => deg(s) = deg.getOrElse(s, 0L) + 1L)
       val nNodes = deg.size.toDouble
@@ -94,12 +110,18 @@ object GraphOps {
       var rank = collection.mutable.LongMap.empty[Double]
       deg.keysIterator.foreach(rank(_) = 1.0 / nNodes)
       for (_ <- 0 until iters) {
+        // OUT-OF-CONTRACT tolerance matching the distributed join: a
+        // src whose rank vanished (never appears as dst on a
+        // non-symmetrized input) contributes nothing, exactly as the
+        // e ⋈ rank equi-join drops its edges — no crash, same output
         val ms = collection.mutable.LongMap.empty[Long]
-        deg.foreach { case (s, d) => ms(s) = micro(rank(s) / d.toDouble) }
+        deg.foreach { case (s, d) =>
+          rank.get(s).foreach(r => ms(s) = microQuantize(r / d.toDouble)) }
         val sums = collection.mutable.LongMap.empty[Long]
         var j = 0
         while (j < n) {
-          sums(dstA(j)) = sums.getOrElse(dstA(j), 0L) + ms(srcA(j))
+          ms.get(srcA(j)).foreach(c =>
+            sums(dstA(j)) = sums.getOrElse(dstA(j), 0L) + c)
           j += 1
         }
         val next = collection.mutable.LongMap.empty[Double]
@@ -208,12 +230,9 @@ object GraphOps {
   def shortestHops(edges: DataFrame, seeds: DataFrame,
                    maxHops: Int = 4,
                    driverPairLimit: Long = 1L << 21): DataFrame = {
-    // DRIVER fast path (the [[hits]] probe discipline): BFS levels
+    // DRIVER fast path (the [[probePairs]] discipline): BFS levels
     // are pure set algebra, the local mirror is exact by construction
-    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
-    val probe0 = edges.select(col("src"), col("dst"))
-      .limit(probeLimit + 1).collect()
-    if (probe0.length <= probeLimit) {
+    probePairs(edges, driverPairLimit).foreach { probe0 =>
       val spark = edges.sparkSession
       import spark.implicits._
       val dist = collection.mutable.LongMap.empty[Long]
@@ -263,10 +282,8 @@ object GraphOps {
     // DRIVER fast path (the [[hits]] probe discipline) — pure integer
     // semantics (counts + (count desc, label asc) argmax), so the
     // local mirror is exact by construction, not just bit-compatible
-    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
-    val probe0 = edges.select(col("src"), col("dst"))
-      .limit(probeLimit + 1).collect()
-    if (probe0.nonEmpty && probe0.length <= probeLimit) {
+    probePairs(edges, driverPairLimit).foreach { probe0 =>
+      if (probe0.nonEmpty) {
       val spark = edges.sparkSession
       import spark.implicits._
       val n = probe0.length
@@ -301,6 +318,7 @@ object GraphOps {
       }
       return labels.toSeq.map { case (nd, l) => (nd, l) }
         .toDF("node", "label")
+      }
     }
 
     val e = edges.select(col("src"), col("dst"))
@@ -375,16 +393,14 @@ object GraphOps {
     // arrays on the driver - the same micro-quantize /
     // exact-long-sum / double-divide sequence as the distributed
     // sweeps, so all paths are bit-identical (spec-pinned).
-    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
-    val probe = edges.select(col("src"), col("dst"))
-      .limit(probeLimit + 1).collect()
-    if (probe.isEmpty)
+    val probed = probePairs(edges, driverPairLimit)
+    if (probed.exists(_.isEmpty))
       return spark.emptyDataFrame
         .withColumn("kind", lit("hub"))
         .withColumn("id", lit(0L))
         .withColumn("score", lit(0.0))
 
-    if (probe.length <= probeLimit) {
+    probed.foreach { probe =>
       import spark.implicits._
       val n = probe.length
       val srcA = new Array[Long](n); val dstA = new Array[Long](n)
@@ -393,14 +409,12 @@ object GraphOps {
         srcA(i) = probe(i).getLong(0); dstA(i) = probe(i).getLong(1)
         i += 1
       }
-      def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e12)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
       // quantize once per NODE (BigDecimal), then the per-edge loop
       // is pure long-array arithmetic
       def sweepDriver(scores: collection.mutable.LongMap[Double],
                       fwd: Boolean): collection.mutable.LongMap[Double] = {
         val ms = collection.mutable.LongMap.empty[Long]
-        scores.foreach { case (id, s) => ms(id) = micro(s) }
+        scores.foreach { case (id, s) => ms(id) = microQuantize(s) }
         val raw = collection.mutable.LongMap.empty[Long]
         var j = 0
         while (j < n) {

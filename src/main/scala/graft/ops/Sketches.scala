@@ -138,8 +138,10 @@ object Sketches {
                       nBins: Int): Unit = {
     require(nBins >= 2 && hi > lo, s"need nBins>=2 and hi>lo, got $nBins, [$lo,$hi]")
     val w = (hi - lo) / nBins
+    // NaN is dropped with NULL: under a non-ANSI cast floor(NaN)
+    // lands in bin 0 and silently skews every low-end quantile
     df.select(shard.as("shard"), value.cast("double").as("v"))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && !isnan(col("v")))
       .withColumn("bin",
         least(lit(nBins - 1), greatest(lit(0),
           floor((col("v") - lit(lo)) / lit(w)).cast("int"))))

@@ -737,11 +737,18 @@ object TextOps {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     import spark.implicits._
+    // The expensive pair VERIFICATION materializes exactly once, into
+    // this cache — both the path decision below and whichever path
+    // runs read from it (a limit-probe here would leave partially
+    // consumed partitions uncached and re-verify everything on the
+    // distributed path).
     val pairsDf = nearDupExact(docs, threshold, ngram)
       .select(col("doc_a"), col("doc_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairsDf.count()
 
     // DRIVER fast path (the GraphOps probe discipline): a VERIFIED
-    // near-dup pair list that fits the probe collapses the whole
+    // near-dup pair list that fits the bound collapses the whole
     // propagation loop into union-find on the driver plus ONE
     // broadcast left join — singletons never leave the cluster (only
     // paired docs get a mapping row; everyone else labels itself via
@@ -749,9 +756,9 @@ object TextOps {
     // not the corpus. Union-find's component-min root is exactly the
     // min-label fixpoint, so both paths agree by construction
     // (spec-pinned).
-    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
-    val probe = pairsDf.limit(probeLimit + 1).collect()
-    if (probe.length <= probeLimit) {
+    if (nPairs <= math.min(driverPairLimit, Int.MaxValue - 2L)) {
+      val probe = pairsDf.collect()
+      pairsDf.unpersist(blocking = false)
       val parent = collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -802,7 +809,8 @@ object TextOps {
     // tasks instead of paying numShufflePartitions × stages of
     // scheduling overhead per iteration; a 100 TB graph still spreads
     // across the full conf.
-    val nEdges = rawEdges.count()
+    // the symmetrized edge count is known from the path gate — no job
+    val nEdges = 2L * nPairs
     // clamp in Long BEFORE narrowing: (nEdges+499999)/500000 overflows
     // Int past ~1.07e15 edges, and a negative operand would make the
     // min/max pair collapse the partitioner to 1 at exactly the scale
@@ -815,6 +823,7 @@ object TextOps {
     // scale holding both doubles the edge storage for the whole loop
     edges.foreachPartition(_ => ())
     rawEdges.unpersist(blocking = false)
+    pairsDf.unpersist(blocking = false)
     // iteration 1 fused into init: with identity labels the first
     // neighbor-min per node is min over the values already keyed by
     // that node (the edge list is symmetric), so reduceByKey on the

@@ -34,6 +34,18 @@ class GraphOpsSpec extends SparkTestBase {
     assert(forcedPr(1000000L) == got, "broadcast path diverged")
     assert(forcedPr(0L) == got, "shuffle path diverged")
 
+    // OUT-OF-CONTRACT input (directed, not symmetrized): both paths
+    // must degrade identically — drop the rank-less src's edges, no
+    // crash (the driver mirror once threw here)
+    val directed = spark.createDataFrame(Seq((1L, 2L), (2L, 3L)))
+      .toDF("src", "dst")
+    def degraded(pairLimit: Long) =
+      GraphOps.pageRank(directed, iters = 3, driverPairLimit = pairLimit)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank"))
+        .sortBy(_._1).toSeq
+    assert(degraded(1000000L) == degraded(0L),
+      "out-of-contract degradation diverged between paths")
+
     // local mirror: same init, same contribution arithmetic
     // (rank/deg in double → ×1e12 → HALF_UP to integer micro-units,
     // the exact sequence of Spark's round(x·1e12).cast(long) →
