@@ -230,7 +230,49 @@ object JsonQueries {
       |  CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** VARIANT shred round-trip (q200, Spark 4's semi-structured
+    * VARIANT type, SPARK-45891): build a NESTED JSON document from
+    * typed columns, `parse_json` it into a VARIANT, and read typed
+    * paths back out with `variant_get` — the modern engine-native
+    * answer to exactly the problem the reference solves with offline
+    * schema inference (JsonSchemaFinder.java:129-147 walks documents
+    * to DISCOVER the shape; VARIANT defers the shape to read time and
+    * keeps extraction columnar). The oracle aggregates the ORIGINAL
+    * typed columns, so green proves encode→parse→path-extract is
+    * LOSSLESS for bigint/string/double — the same discipline as
+    * q192's XML and q146's ORC round-trips, applied to the binary
+    * VARIANT encoding.
+    *
+    * Scale: one scan, per-row expressions (all codegen'd), one
+    * partial+final aggregate; VARIANT's shredded binary keeps path
+    * access O(path) instead of re-tokenizing JSON text per row. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val doc = to_json(struct(col("event_id"),
+      struct(col("user_id"), col("event_type")).as("who"),
+      col("value")))
+    val v = parse_json(doc)
+    Tables(s, dir, "events")
+      .select(
+        variant_get(v, "$.who.event_type", "string").as("etype"),
+        variant_get(v, "$.event_id", "bigint").as("eid"),
+        variant_get(v, "$.who.user_id", "bigint").as("uid"),
+        variant_get(v, "$.value", "double").as("val"))
+      .groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("uid") * lit(7L) + col("eid")).as("key_check"),
+        sum(col("val").cast("decimal(14,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("etype"))
+  }
+
+  private val q200Sql =
+    """SELECT event_type AS etype, count(*) AS n,
+      |  CAST(sum(user_id * 7 + event_id) AS BIGINT) AS key_check,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY etype""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_variant_shred" -> (q200 _),
     "q144_jsonl_roundtrip" -> (q144 _),
     "q39_asof_join" -> (q39 _),
     "q44_json_extract" -> (q44 _),
@@ -242,6 +284,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q200_variant_shred" -> q200Sql,
     "q144_jsonl_roundtrip" -> q144Sql,
     "q39_asof_join" -> q39Sql,
     "q44_json_extract" -> q44Sql,
