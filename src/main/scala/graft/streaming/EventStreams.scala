@@ -734,6 +734,48 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming point-in-time enrichment against a STORED SCD2
+    * dimension ([[graft.ops.Sharding.scd2Apply]]'s output) — the
+    * stream twin of the q156 temporal join, and the piece that makes
+    * dimension REPLAY correct: an event is joined to the dimension
+    * version valid AT ITS EVENT TIME, so re-running yesterday's
+    * stream against today's history reproduces yesterday's
+    * enrichment instead of leaking today's attributes backward. A
+    * plain stream–static equi-join (Spark's built-in) would always
+    * read the LATEST version; the temporal predicate is the whole
+    * point, hence foreachBatch. Unmatched events keep their row with
+    * NULL attributes (left join — lineage over silent drops).
+    *
+    * Each batch lands under `batch=NNNNNN`, dynamic overwrite, so a
+    * replayed micro-batch rewrites exactly its own partition
+    * (the store-ingest idempotence discipline). The dimension is
+    * re-read per batch — versions published between batches take
+    * effect immediately, cost one bounded dim scan per batch. */
+  def scd2Enrich(events: DataFrame, dimDir: String, key: String,
+                 ts: String, outDir: String,
+                 checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val dim = batch.sparkSession.read.parquet(dimDir)
+          batch.join(dim,
+              batch(key) === dim(key) &&
+                batch(ts) >= dim("valid_from") &&
+                (dim("valid_to").isNull || batch(ts) < dim("valid_to")),
+              "left")
+            .drop(dim(key))
+            .withColumn("batch", lit(f"$batchId%06d"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(outDir)
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   case class MgState(counts: Map[String, Long], n: Long)
   case class MgCounter(bucket: Int, w: String, est: Long, n_bucket: Long)
 
