@@ -29,18 +29,28 @@ object GraphOps {
       case _ => ()
     }
 
-  /** The ONE copy of the driver-fast-path probe: evaluate the (src,
-    * dst) lineage through an early-terminating limit; Some(rows) iff
-    * the whole edge list fit under `driverPairLimit`. Every
-    * spec-pinned path-parity contract in this file flows through
-    * here, so probe-discipline fixes apply everywhere at once. */
-  private def probePairs(edges: DataFrame,
-                         driverPairLimit: Long)
-      : Option[Array[org.apache.spark.sql.Row]] = {
-    val probeLimit = math.min(driverPairLimit, Int.MaxValue - 2L).toInt
-    val probe = edges.select(col("src"), col("dst"))
-      .limit(probeLimit + 1).collect()
-    if (probe.length <= probeLimit) Some(probe) else None
+  /** The ONE copy of the driver-fast-path gate: persist the (src,
+    * dst) projection, materialize it ONCE with a count, and either
+    * hand the driver the collected rows (Left — cache already
+    * released) or hand the distributed path the CACHED projection
+    * (Right — caller must unpersist once its own derived caches are
+    * live). A limit-probe here would leave partially consumed
+    * partitions uncached and re-evaluate the whole edge lineage —
+    * joins, shuffles and all — on the distributed path (the
+    * nearDupGroups lesson); the price is one extra count job over
+    * the cached projection on the fast path. Every spec-pinned
+    * path-parity contract in this file flows through here, so
+    * probe-discipline fixes apply everywhere at once. */
+  private def probeOrCache(edges: DataFrame, driverPairLimit: Long)
+      : Either[Array[org.apache.spark.sql.Row], DataFrame] = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    if (n <= math.min(driverPairLimit, Int.MaxValue - 2L)) {
+      val rows = e.collect()
+      e.unpersist(blocking = false)
+      Left(rows)
+    } else Right(e)
   }
 
   /** The ONE copy of the 1e-12 micro-unit quantizer (driver side) —
@@ -84,14 +94,14 @@ object GraphOps {
                broadcastNodeLimit: Long = 1000000L,
                driverPairLimit: Long = 1L << 21): DataFrame = {
     val sparkSess = edges.sparkSession
-    // DRIVER fast path (the [[hits]] probe discipline): an
-    // early-terminating limit evaluates the edge lineage ONCE; if the
-    // whole list fit, iterate over primitive arrays with the
-    // IDENTICAL arithmetic — micro(rank/deg) per edge (memoized per
-    // src), exact long sums, base + d·(Σ/1e12) — so the fast path is
-    // bit-identical to the distributed one (spec-pinned against the
-    // same local reference).
-    probePairs(edges, driverPairLimit).foreach { probe =>
+    // DRIVER fast path (the [[probeOrCache]] discipline): the edge
+    // lineage materializes ONCE; if the whole list fit, iterate over
+    // primitive arrays with the IDENTICAL arithmetic — micro(rank/
+    // deg) per edge (memoized per src), exact long sums, base +
+    // d·(Σ/1e12) — so the fast path is bit-identical to the
+    // distributed one (spec-pinned against the same local reference).
+    val eProj = probeOrCache(edges, driverPairLimit)
+    eProj.left.foreach { probe =>
       if (probe.isEmpty)
         return sparkSess.emptyDataFrame
           .withColumn("node", lit(0L)).withColumn("rank", lit(0.0))
@@ -134,14 +144,16 @@ object GraphOps {
         .select(col("node"), round(col("r"), 6).as("rank"))
     }
 
+    // distributed path: build everything from the CACHED projection
+    // (materialized once by the gate), released after the loop
+    val eCached = eProj.toOption.get
     // by the symmetry contract every node appears as a src, so outdeg
     // IS the node list — its count replaces a distinct over the edge
     // list, and the deg join broadcasts whenever the rank join would
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = eCached.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = outdeg.count().toDouble
     val nodes = outdeg.select(col("src").as("node"))
-    if (n == 0) return nodes.select(col("node"), lit(0.0).as("rank"))
     val base = (1.0 - damping) / n
     // two-path rank-side join (the ANN driverProbeLimit discipline):
     // a bounded node set broadcasts — the cached edges never move and
@@ -153,7 +165,7 @@ object GraphOps {
     // layout then co-locates with every iteration's rank exchange); on
     // the broadcast path the rank side ships whole, so the extra full
     // shuffle of the edge list would buy nothing
-    val eJoined = edges.select(col("src"), col("dst"))
+    val eJoined = eCached
       .join(if (bcast) broadcast(outdeg) else outdeg, "src")
     val e = (if (bcast) eJoined else eJoined.repartition(col("src")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -188,6 +200,9 @@ object GraphOps {
     // action; Verify/Bench unpersist all persistent RDDs between
     // queries, and any caller can unpersist after consuming.
     outdeg.unpersist(blocking = false)
+    // the loop materialized e (checkpointed iterations force it), so
+    // the gate's projection cache has served its purpose
+    eCached.unpersist(blocking = false)
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
@@ -230,59 +245,74 @@ object GraphOps {
   def shortestHops(edges: DataFrame, seeds: DataFrame,
                    maxHops: Int = 4,
                    driverPairLimit: Long = 1L << 21): DataFrame = {
-    // DRIVER fast path (the [[probePairs]] discipline): BFS levels
-    // are pure set algebra, the local mirror is exact by construction
-    probePairs(edges, driverPairLimit).foreach { probe0 =>
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val dist = collection.mutable.LongMap.empty[Long]
-      seeds.select(col("node")).distinct().collect()
-        .foreach(r => dist(r.getLong(0)) = 0L)
-      var frontier: Array[Long] = dist.keysIterator.toArray
-      for (hop <- 1 to maxHops) {
-        val inF = collection.mutable.LongMap.empty[Boolean]
-        frontier.foreach(inF(_) = true)
-        val nextF = collection.mutable.LongMap.empty[Boolean]
-        probe0.foreach { r =>
-          val s = r.getLong(0); val d = r.getLong(1)
-          if (inF.contains(s) && !dist.contains(d)) nextF(d) = true
-        }
-        nextF.keysIterator.foreach(dist(_) = hop.toLong)
-        frontier = nextF.keysIterator.toArray
-      }
-      return dist.toSeq.map { case (nd, d) => (nd, d) }
-        .toDF("node", "dist")
-    }
+    // DRIVER fast path (the [[probeOrCache]] discipline): BFS levels
+    // are pure set algebra, the local mirror is exact by construction.
+    // The SEED set gates first with its own bounded probe (cheap -
+    // distinct+limit): the result is seeds-sized, so an unbounded
+    // seed table must stay distributed, and gating seeds before
+    // touching the edge lineage means an oversized seed set never
+    // pays the edge materialization twice.
+    val lim = math.min(driverPairLimit, Int.MaxValue - 2L)
+    val seedProbe = seeds.select(col("node")).distinct()
+      .limit(lim.toInt + 1).collect()
+    val gate: Either[Array[org.apache.spark.sql.Row], DataFrame] =
+      if (seedProbe.length <= lim) probeOrCache(edges, driverPairLimit)
+      else Right(edges.select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
-    var frontier = dist.select(col("node"))
-    for (i <- 1 to maxHops) {
-      val nbrs = e.join(frontier.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node")).distinct()
-      val fresh = nbrs.join(dist, Seq("node"), "left_anti")
-        .withColumn("dist", lit(i.toLong)).localCheckpoint(true)
-      val grown = dist.unionByName(fresh).localCheckpoint(true)
-      // the next frontier reads from GROWN's blocks (not fresh's), so
-      // both superseded checkpoints can be dropped immediately
-      frontier = grown.where(col("dist") === i).select(col("node"))
-      freeCheckpoint(dist)
-      freeCheckpoint(fresh)
-      dist = grown
+    gate match {
+      case Left(probe0) =>
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val dist = collection.mutable.LongMap.empty[Long]
+        seedProbe.foreach(r => dist(r.getLong(0)) = 0L)
+        var frontier: Array[Long] = dist.keysIterator.toArray
+        for (hop <- 1 to maxHops) {
+          val inF = collection.mutable.LongMap.empty[Boolean]
+          frontier.foreach(inF(_) = true)
+          val nextF = collection.mutable.LongMap.empty[Boolean]
+          probe0.foreach { r =>
+            val s = r.getLong(0); val d = r.getLong(1)
+            if (inF.contains(s) && !dist.contains(d)) nextF(d) = true
+          }
+          nextF.keysIterator.foreach(dist(_) = hop.toLong)
+          frontier = nextF.keysIterator.toArray
+        }
+        dist.toSeq.map { case (nd, d) => (nd, d) }
+          .toDF("node", "dist")
+
+      case Right(e) =>
+        var dist = seeds.select(col("node")).distinct()
+          .withColumn("dist", lit(0L)).localCheckpoint(true)
+        var frontier = dist.select(col("node"))
+        for (i <- 1 to maxHops) {
+          val nbrs = e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node")).distinct()
+          val fresh = nbrs.join(dist, Seq("node"), "left_anti")
+            .withColumn("dist", lit(i.toLong)).localCheckpoint(true)
+          val grown = dist.unionByName(fresh).localCheckpoint(true)
+          // the next frontier reads from GROWN's blocks (not fresh's),
+          // so both superseded checkpoints can be dropped immediately
+          frontier = grown.where(col("dist") === i).select(col("node"))
+          freeCheckpoint(dist)
+          freeCheckpoint(fresh)
+          dist = grown
+        }
+        e.unpersist(blocking = false)
+        dist
     }
-    e.unpersist(blocking = false)
-    dist
   }
 
   def labelPropagation(edges: DataFrame, iters: Int = 5,
                        broadcastNodeLimit: Long = 1000000L,
                        driverPairLimit: Long = 1L << 21): DataFrame = {
-    // DRIVER fast path (the [[hits]] probe discipline) — pure integer
-    // semantics (counts + (count desc, label asc) argmax), so the
-    // local mirror is exact by construction, not just bit-compatible
-    probePairs(edges, driverPairLimit).foreach { probe0 =>
+    // DRIVER fast path (the [[probeOrCache]] discipline) — pure
+    // integer semantics (counts + (count desc, label asc) argmax), so
+    // the local mirror is exact by construction, not just
+    // bit-compatible. An EMPTY Left falls through: the distributed
+    // path owns the typed-empty-result shape.
+    val gate = probeOrCache(edges, driverPairLimit)
+    gate.left.foreach { probe0 =>
       if (probe0.nonEmpty) {
       val spark = edges.sparkSession
       import spark.implicits._
@@ -321,8 +351,12 @@ object GraphOps {
       }
     }
 
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // distributed path: reuse the gate's cached projection when the
+    // graph was too big; rebuild (trivially) only on the empty-Left
+    // fallthrough
+    val e = gate.toOption.getOrElse(
+      edges.select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val nodes = e.select(col("src").as("node")).distinct()
     val n = nodes.count()
     if (n == 0) {
@@ -383,24 +417,26 @@ object GraphOps {
   def hits(edges: DataFrame, iters: Int = 6,
            broadcastNodeLimit: Long = 1000000L,
            driverPairLimit: Long = 1L << 21): DataFrame = {
+    // iters = 0 has no authority side at all — every path would
+    // return a different shape (or crash); make the contract explicit
+    require(iters > 0, s"hits needs iters > 0, got $iters")
     val spark = edges.sparkSession
 
-    // DRIVER fast path, smallest graphs: probe with an
-    // early-terminating limit - ONE evaluation of the edge lineage,
-    // no shuffle, no cache (the ANN smallQueryRows discipline). If
-    // everything fit (~32 MB of longs at the default limit), the
-    // probe IS the edge list: iterate the fixpoint over primitive
-    // arrays on the driver - the same micro-quantize /
-    // exact-long-sum / double-divide sequence as the distributed
-    // sweeps, so all paths are bit-identical (spec-pinned).
-    val probed = probePairs(edges, driverPairLimit)
-    if (probed.exists(_.isEmpty))
+    // DRIVER fast path, smallest graphs (the [[probeOrCache]]
+    // discipline): the edge lineage materializes ONCE; if everything
+    // fit (~32 MB of longs at the default limit), the probe IS the
+    // edge list: iterate the fixpoint over primitive arrays on the
+    // driver - the same micro-quantize / exact-long-sum /
+    // double-divide sequence as the distributed sweeps, so all paths
+    // are bit-identical (spec-pinned).
+    val gated = probeOrCache(edges, driverPairLimit)
+    if (gated.swap.exists(_.isEmpty))
       return spark.emptyDataFrame
         .withColumn("kind", lit("hub"))
         .withColumn("id", lit(0L))
         .withColumn("score", lit(0.0))
 
-    probed.foreach { probe =>
+    gated.left.foreach { probe =>
       import spark.implicits._
       val n = probe.length
       val srcA = new Array[Long](n); val dstA = new Array[Long](n)
@@ -453,10 +489,25 @@ object GraphOps {
     // shuffle joins against DIRECTION-ALIGNED cached copies, so only
     // the narrow score rows move per sweep. Arithmetic is identical
     // on every path.
-    val w = edges.groupBy(col("src"), col("dst"))
+    val eCached = gated.toOption.get
+    val w = eCached.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("wt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wCount = w.count()
+    // w is materialized — the gate's raw projection can go
+    eCached.unpersist(blocking = false)
+    // OVERFLOW guard on the exact-long L1 total: unlike pageRank
+    // (contribution = rank/deg, Σc ≤ 1e12·mass), a HITS sweep sums
+    // wt·micro(s) with no degree division, so t ≤ maxOutWeight·1e12 —
+    // a single hub with ≳9.2e6 out-weight would wrap the long total
+    // silently and poison every score. Fail loudly with the remedy
+    // instead; the check is one aggregate over the cached pair list.
+    val maxOut = w.groupBy(col("src")).agg(sum(col("wt")).as("ow"))
+      .agg(max(col("ow"))).head().getLong(0)
+    require(maxOut < Long.MaxValue / 1000000000000L,
+      s"hits: max hub out-weight $maxOut would overflow the 1e-12 " +
+        "micro-unit L1 total (bound ~9.2e6); split or pre-aggregate " +
+        "the hub's endorsements before ranking")
     var nHShuffle = -1L
     val bcast = wCount <= broadcastNodeLimit || {
       val nn = w.agg(countDistinct(col("src")).as("nh"),

@@ -142,9 +142,13 @@ object Sketches {
     // lands in bin 0 and silently skews every low-end quantile
     df.select(shard.as("shard"), value.cast("double").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
+      // clamp on the LONG floor result BEFORE narrowing: a far
+      // out-of-frame value (corrupt input under histIngest's fixed
+      // design-time frame) otherwise wraps through the int cast into
+      // an arbitrary interior bin instead of the edge bin
       .withColumn("bin",
-        least(lit(nBins - 1), greatest(lit(0),
-          floor((col("v") - lit(lo)) / lit(w)).cast("int"))))
+        least(lit(nBins - 1L), greatest(lit(0L),
+          floor((col("v") - lit(lo)) / lit(w)))).cast("int"))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("c"))
       .repartition(col("shard"))

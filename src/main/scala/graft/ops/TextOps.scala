@@ -754,8 +754,11 @@ object TextOps {
     // paired docs get a mapping row; everyone else labels itself via
     // coalesce), so the collected object is bounded by the pair list,
     // not the corpus. Union-find's component-min root is exactly the
-    // min-label fixpoint, so both paths agree by construction
-    // (spec-pinned).
+    // min-label fixpoint, so both paths agree whenever the
+    // distributed loop CONVERGES (spec-pinned); on a component whose
+    // diameter exceeds maxIters the distributed path throws (never
+    // mislabels) while union-find, exact at any diameter, still
+    // succeeds — a strict capability superset, not a divergence.
     if (nPairs <= math.min(driverPairLimit, Int.MaxValue - 2L)) {
       val probe = pairsDf.collect()
       pairsDf.unpersist(blocking = false)

@@ -1215,7 +1215,7 @@ object Analytic {
       |  FROM sess
       |  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
       |)
-      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |SELECT concat_ws('>', event_type, e2, e3) AS path,
       |  count(*) AS n
       |FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin

@@ -856,8 +856,8 @@ object Pipeline {
       |    (max(l_extendedprice) - min(l_extendedprice)) / 64 AS w
       |  FROM lineitem
       |), bins AS (
-      |  SELECT least(63, greatest(0,
-      |      CAST(floor((l_extendedprice - mm.lo) / mm.w) AS INT))) AS bin,
+      |  SELECT CAST(least(63, greatest(0,
+      |      floor((l_extendedprice - mm.lo) / mm.w))) AS INT) AS bin,
       |    count(*) AS c
       |  FROM lineitem, mm GROUP BY 1
       |), cum AS (
