@@ -1650,11 +1650,112 @@ object LlmQueries {
       |FROM cand WHERE edit_dist <= 20
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Balanced source interleave (q201): a deterministic training
+    * ORDER that round-robins across sources — each source's docs get
+    * a stable pseudo-shuffled rank (md5 order, the q88/q133 draw
+    * discipline), and the global order is (rank, source), so a batch
+    * window at any offset sees every source at its quota. The
+    * interleave_datasets shape: without it a source-ordered corpus
+    * front-loads one distribution and the early training steps
+    * overfit it. Verified by its ALGEBRA, not by materializing the
+    * permutation: per source, the mean/min/max of assigned global
+    * positions — a balanced interleave pins every source's mean
+    * position near the corpus midpoint, a concatenated order pushes
+    * them apart.
+    *
+    * Scale: one source-keyed window (rank) + one global sort for the
+    * position assignment. The global sort is the inherent cost of a
+    * total training order (it IS the output); emitting shard-local
+    * orders instead ([[graft.ops.Sharding]] q97) drops that to one
+    * range partition when global row numbers are not required. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(md5(concat_ws("|", col("doc_id"), lit("mix"))), col("doc_id"))
+    val global = Window.orderBy(col("rn"), col("source"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(bySource))
+      .withColumn("pos", row_number().over(global))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("pos")).cast("double") / count(lit(1)), 4)
+          .as("mean_pos"),
+        min(col("pos")).cast("bigint").as("first_pos"),
+        max(col("pos")).cast("bigint").as("last_pos"))
+      .orderBy(col("source"))
+  }
+
+  private val q201Sql =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(concat_ws('|', doc_id, 'mix')), doc_id) AS rn
+      |  FROM documents
+      |), positioned AS (
+      |  SELECT source,
+      |    row_number() OVER (ORDER BY rn, source) AS pos
+      |  FROM ranked
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  round(CAST(sum(pos) AS DOUBLE) / count(*), 4) AS mean_pos,
+      |  CAST(min(pos) AS BIGINT) AS first_pos,
+      |  CAST(max(pos) AS BIGINT) AS last_pos
+      |FROM positioned GROUP BY source ORDER BY source""".stripMargin
+
+  /** Length-grouped batching (q202, the LengthGroupedSampler shape):
+    * sort by length descending, cut into fixed batches of 32, and
+    * report each batch's padding waste `n·max_len − Σlen` — the
+    * quantity length-grouping minimizes, because a batch pads every
+    * sequence to its own maximum and mixing a 10k-char doc into a
+    * batch of tweets pays 31 near-full paddings. The summary row a
+    * training-efficiency dashboard plots; n_chars stands in for
+    * token length (exactly the q127 BPE stats would refine it).
+    *
+    * Scale: one sort (rank) + one keyed aggregate; like q201 the
+    * total order is the deliverable, and the per-shard variant
+    * removes the global exchange when shard-local batches suffice. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      // floor, then cast: both Spark's and DuckDB's `/` are FLOAT
+      // division, and their double→int casts round DIFFERENTLY
+      // (truncate vs half-away) — floor makes the value integral
+      // before either cast can disagree
+      .withColumn("batch_id",
+        floor((row_number().over(byLen) - 1) / lit(32)).cast("bigint"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("max_len"),
+        sum(col("n_chars")).as("sum_len"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_len") - col("sum_len"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val q202Sql =
+    """WITH ranked AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(floor((row_number() OVER (ORDER BY n_chars DESC, doc_id)
+      |         - 1) / 32) AS BIGINT) AS batch_id
+      |  FROM documents
+      |)
+      |SELECT batch_id, count(*) AS n_docs,
+      |  max(n_chars) AS max_len,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+      |  CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT)
+      |    AS padding_waste
+      |FROM ranked GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q186_jl_recall" -> (q186 _),
     "q187_normalized_dedup" -> (q187 _),
     "q195_embedding_dim_audit" -> (q195 _),
     "q196_sorted_neighborhood" -> (q196 _),
+    "q201_interleave_mix" -> (q201 _),
+    "q202_length_batches" -> (q202 _),
     "q185_isotonic_calibration" -> (q185 _),
     "q179_score_auc" -> (q179 _),
     "q181_compression_signal" -> (q181 _),
@@ -1719,6 +1820,8 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "q195_embedding_dim_audit" -> q195Sql,
     "q196_sorted_neighborhood" -> q196Sql,
+    "q201_interleave_mix" -> q201Sql,
+    "q202_length_batches" -> q202Sql,
     "q179_score_auc" -> q179Sql,
     "q182_vocab_drift" -> q182Sql,
     "q184_ols_per_source" -> q184Sql,
