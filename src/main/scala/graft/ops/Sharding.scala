@@ -457,4 +457,45 @@ object Sharding {
     CompactAudit(n, filesBefore,
       spark.read.parquet(outDir).inputFiles.length.toLong)
   }
+
+  /** Global row numbers WITHOUT a single-partition window — the
+    * scalable construction of a total order: range-repartition on the
+    * sort key, rank WITHIN each partition, then add the broadcast
+    * cumulative partition offsets (a bounded nParts-row collect). A
+    * bare `Window.orderBy(...)` funnels the entire dataset through
+    * one task; this shape keeps every stage parallel, which is the
+    * difference between "sorting 100 TB" and "sorting 100 TB on one
+    * core".
+    *
+    * CONTRACT: `sortCols` must be a TOTAL order (unique tiebreak) —
+    * positions are then layout-independent even though the range
+    * boundaries themselves may vary run to run. The input frame is
+    * persisted for the duration (two passes: partition sizes, then
+    * ranks) and released before return. */
+  def globalRank(df: DataFrame, posName: String,
+                 sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o }
+    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(e) }
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    val out = ranged
+      .withColumn(posName,
+        row_number().over(w).cast("bigint") + offExpr)
+      .drop("_pid")
+      .localCheckpoint(true)
+    ranged.unpersist(blocking = false)
+    out
+  }
 }

@@ -1663,20 +1663,24 @@ object LlmQueries {
     * position near the corpus midpoint, a concatenated order pushes
     * them apart.
     *
-    * Scale: one source-keyed window (rank) + one global sort for the
-    * position assignment. The global sort is the inherent cost of a
-    * total training order (it IS the output); emitting shard-local
-    * orders instead ([[graft.ops.Sharding]] q97) drops that to one
-    * range partition when global row numbers are not required. */
+    * Scale: one source-keyed window (rank) + the PARALLEL total-order
+    * shape ([[graft.ops.Sharding.globalRank]]: range partition →
+    * in-partition rank → broadcast offsets) for the position
+    * assignment — no single-task window anywhere; shard-local orders
+    * (q97) remain the choice when global row numbers are not
+    * required. */
   private def q201(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySource = Window.partitionBy(col("source"))
       .orderBy(md5(concat_ws("|", col("doc_id"), lit("mix"))), col("doc_id"))
-    val global = Window.orderBy(col("rn"), col("source"))
-    Tables(s, dir, "documents")
+    val ranked = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"))
       .withColumn("rn", row_number().over(bySource))
-      .withColumn("pos", row_number().over(global))
+    // the global position comes from the PARALLEL total-order shape
+    // (range partition + in-partition rank + broadcast offsets), not
+    // a bare Window.orderBy that would funnel the corpus through one
+    // task
+    graft.ops.Sharding.globalRank(ranked, "pos", col("rn"), col("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("pos")).cast("double") / count(lit(1)), 4)
@@ -1712,20 +1716,21 @@ object LlmQueries {
     * training-efficiency dashboard plots; n_chars stands in for
     * token length (exactly the q127 BPE stats would refine it).
     *
-    * Scale: one sort (rank) + one keyed aggregate; like q201 the
-    * total order is the deliverable, and the per-shard variant
-    * removes the global exchange when shard-local batches suffice. */
+    * Scale: the [[graft.ops.Sharding.globalRank]] parallel
+    * total-order shape + one keyed aggregate; the per-shard variant
+    * removes even the range exchange when shard-local batches
+    * suffice. */
   private def q202(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byLen = Window.orderBy(col("n_chars").desc, col("doc_id"))
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
+    val ranked = graft.ops.Sharding.globalRank(
+      Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "pos", col("n_chars").desc, col("doc_id"))
+    ranked
       // floor, then cast: both Spark's and DuckDB's `/` are FLOAT
       // division, and their double→int casts round DIFFERENTLY
       // (truncate vs half-away) — floor makes the value integral
       // before either cast can disagree
       .withColumn("batch_id",
-        floor((row_number().over(byLen) - 1) / lit(32)).cast("bigint"))
+        floor((col("pos") - 1) / lit(32)).cast("bigint"))
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("n_chars")).as("max_len"),
