@@ -50,4 +50,38 @@ class HistIngestSpec extends SparkTestBase {
     val tot = spark.read.parquet(dir).agg(sum(col("c"))).head().getLong(0)
     assert(tot == (b1.size + b2.size).toLong)
   }
+
+  test("checkpointed restart resumes batch ids — no shard duplicated, no shard lost") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = graft.TempRoots.path("hist_stream_restart")
+    val ckpt = graft.TempRoots.path("hist_stream_restart_ckpt")
+    val (lo, hi, nBins) = (0.0, 100.0, 10)
+    val mem = MemoryStream[(Long, Double)]
+    def start() = EventStreams.histIngest(
+      mem.toDF().toDF("id", "v"), dir, col("v"), lo, hi, nBins,
+      checkpointDir = Some(ckpt))
+
+    val q1 = start()
+    try {
+      mem.addData((0 until 200).map(i => (i.toLong, (i % 97).toDouble)): _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // a NEW query over the SAME checkpoint must continue at batch 1,
+    // not restart at 0 (which would silently overwrite shard 0) —
+    // this is what the shard-per-batchId idempotence design rests on
+    val q2 = start()
+    try {
+      mem.addData((0 until 300).map(i => (i.toLong, ((i * 7) % 83).toDouble)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted.toSeq
+    assert(shards == Seq("shard=batch-000000", "shard=batch-000001"),
+      s"restart mishandled batch ids: $shards")
+    val tot = spark.read.parquet(dir).agg(sum(col("c"))).head().getLong(0)
+    assert(tot == 500L, s"rows lost or duplicated across restart: $tot")
+  }
 }
