@@ -446,6 +446,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q30/q82: per-group top-n plans WindowGroupLimit (rank filter pushed into the sort, SPARK-37099)") {
+    // the group-limit rewrite keeps only k rows per key on EACH side
+    // of the window exchange instead of ranking everything and
+    // filtering after — the difference between shuffling k·groups
+    // rows and shuffling the whole table at 100 TB
+    for (q <- Seq("q30_window_rank", "q82_lateral_topn")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost the group-limit rewrite:\n$p")
+    }
+  }
+
   test("q201/q202: global positions never funnel through a single-partition window") {
     for (q <- Seq("q201_interleave_mix", "q202_length_batches")) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
