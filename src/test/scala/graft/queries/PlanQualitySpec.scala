@@ -479,8 +479,18 @@ class PlanQualitySpec extends SparkTestBase {
       col("n_chars").desc, col("doc_id"))
     // positions are a permutation of 1..n regardless of layout
     val n = docs.count()
-    val ps = ranked.select(col("pos")).collect().map(_.getLong(0)).sorted
-    assert(ps.toSeq == (1L to n).toSeq, "globalRank is not a permutation")
+    val rows = ranked.select(col("pos"), col("n_chars"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to n).toSeq,
+      "globalRank is not a permutation")
+    // and the permutation IS the requested total order: walking by
+    // position must walk (n_chars desc, doc_id asc)
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((_, la, ia), (_, lb, ib)) =>
+        assert(la > lb || (la == lb && ia < ib),
+          s"order violated at ($la,$ia) -> ($lb,$ib)")
+      case _ => ()
+    }
   }
 
   test("q189: every FD pair aggregates partial+final; no join anywhere") {
