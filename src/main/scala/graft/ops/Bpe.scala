@@ -87,7 +87,10 @@ object Bpe {
       .select(concat(filter(split(col("w"), ""), s => s =!= lit("")),
           array(lit(Eow))).as("syms"),
         col("cnt"))
-      .localCheckpoint(true)
+      // persist (recomputable one-scan lineage), not localCheckpoint:
+      // consumed by the gate count plus exactly one of collect /
+      // coalesce, and a lost block may recompute safely
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Two-path merge loop, same discipline as the ANN probe's
     // driverProbeLimit: the merge recursion is inherently sequential
     // and its working set is the VOCABULARY, not the corpus — when the
@@ -112,6 +115,10 @@ object Bpe {
     val vocabParts = math.max(1L, math.min(
       vocabSize / 100000L,
       vocab0.sparkSession.sessionState.conf.numShufflePartitions.toLong)).toInt
+    // localCheckpoint REQUIRED from here down (iterative fixpoint):
+    // the merge loop chains a typed map per round — see the CpEvery
+    // note below; executor loss fails the train() call and the
+    // job-level retry re-runs it (pure read path)
     var vocab = vocab0.coalesce(vocabParts).localCheckpoint(true)
     vocab0.unpersist(false)
     // lineage control without an action per round: the merge step is

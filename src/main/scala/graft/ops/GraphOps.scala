@@ -186,6 +186,11 @@ object GraphOps {
         .groupBy(col("node"))
         .agg((lit(base) + lit(damping) *
           (sum(col("c")).cast("double") / lit(1e12))).as("rank"))
+        // localCheckpoint REQUIRED (iterative fixpoint): without
+        // truncation iteration i's plan nests i chained join+agg
+        // stages — analysis cost and recompute depth blow up
+        // linearly. Executor loss fails the query; job retry re-runs
+        // it (pure read path, nothing durable at risk).
         .localCheckpoint(true)
       // checkpoint-backed: route through freeCheckpoint — a plain
       // Dataset.unpersist only consults the CacheManager and would
@@ -282,6 +287,12 @@ object GraphOps {
           .toDF("node", "dist")
 
       case Right(e) =>
+        // localCheckpoint REQUIRED throughout this loop (iterative
+        // fixpoint): dist/fresh/grown chain one join + anti-join per
+        // hop, so untruncated lineage deepens linearly and the
+        // superseded iterations' blocks could never be freed.
+        // Executor loss fails the query; retry re-runs it (pure read
+        // path).
         var dist = seeds.select(col("node")).distinct()
           .withColumn("dist", lit(0L)).localCheckpoint(true)
         var frontier = dist.select(col("node"))
@@ -379,6 +390,8 @@ object GraphOps {
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
+        // localCheckpoint REQUIRED (iterative fixpoint — the
+        // pageRank-loop justification applies verbatim)
         .localCheckpoint(true)
       // free the superseded iteration's checkpointed blocks (the
       // pageRank-loop convention; i=0's labels is an unmaterialized
@@ -569,6 +582,8 @@ object GraphOps {
         .select(col(outKey).as("id"),
           (col("wt") * round(col("s") * lit(1e12)).cast("long")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
+        // localCheckpoint REQUIRED (iterative fixpoint): each sweep
+        // feeds the next; see the pageRank-loop justification
         .localCheckpoint(true)
       val tot = raw.agg(sum(col("c")).as("t"))
       raw.crossJoin(broadcast(tot))
@@ -578,6 +593,8 @@ object GraphOps {
     if (nHShuffle < 0)
       nHShuffle = w.select(col("src")).distinct().count()
     var h = w.select(col("src").as("id")).distinct()
+      // checkpointed so freeCheckpoint (the loop's block-release
+      // protocol) applies uniformly to every iterate incl. h₀
       .select(col("id"), lit(1.0 / nHShuffle).as("s")).localCheckpoint(true)
     var a: DataFrame = null
     for (_ <- 0 until iters) {
@@ -589,8 +606,12 @@ object GraphOps {
       h = hNext
     }
     // direction-aligned copies carry the loop on the shuffle path;
-    // the base pair list behind them can go (recompute = edges scan)
+    // with h/a eagerly checkpointed above, nothing depends on them
+    // (or on the base pair list) any more — release all three
+    // (recompute, if a consumer ever forced one, = edges scan)
     w.unpersist(blocking = false)
+    wSrc.unpersist(blocking = false)
+    wDst.unpersist(blocking = false)
     h.select(lit("hub").as("kind"), col("id"), round(col("s"), 6).as("score"))
       .unionAll(a.select(lit("authority").as("kind"), col("id"),
         round(col("s"), 6).as("score")))

@@ -487,13 +487,28 @@ object Sharding {
     var acc = 0L
     val offsets = sizes.map { case (pid, c) =>
       val o = (pid, acc); acc += c; o }
-    val offExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(e) }
+    // offsets attach via a broadcast hash join on the tiny
+    // (_pid, _off) table — O(1) per row. The when()-chain alternative
+    // is O(nParts) comparisons per row and with shuffle partitions in
+    // the thousands risks codegen splitting / interpreted fallback
+    // (ADVICE r9).
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
     val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
     val out = ranged
-      .withColumn(posName,
-        row_number().over(w).cast("bigint") + offExpr)
-      .drop("_pid")
+      .withColumn(posName, row_number().over(w).cast("bigint"))
+      .join(offDf, Seq("_pid"))
+      .withColumn(posName, col(posName) + col("_off"))
+      .drop("_pid", "_off")
+      // localCheckpoint REQUIRED here — not for lineage depth but for
+      // DETERMINISM: `offsets` was collected from one concrete
+      // materialization of `ranged`, and repartitionByRange SAMPLES
+      // its boundaries, so a recompute of the (unpersisted-below)
+      // input could place rows in different partitions than the
+      // offsets were summed for — silently wrong global positions.
+      // Pinning the result makes a lost block fail the query (retry
+      // re-runs the whole construction consistently) instead of
+      // recomputing inconsistently. Fail-fast beats wrong-answer.
       .localCheckpoint(true)
     ranged.unpersist(blocking = false)
     out

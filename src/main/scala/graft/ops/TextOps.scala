@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text-pipeline operators for large-scale training-data curation:
   * exact + near-duplicate detection, document fingerprinting, token
@@ -191,11 +192,15 @@ object TextOps {
   def nearDupExact(docs: DataFrame, threshold: Double, ngram: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // consumed by the df count, the prefix self-join and both verify
-    // joins — materialize the shingling once (see nearDupMinhash note)
+    // joins — cache the shingling once (see nearDupMinhash note).
+    // persist, not localCheckpoint: the lineage is one scan deep, so
+    // an evicted/lost block recomputes instead of failing the query
+    // (a truncated-lineage cache cannot survive executor loss);
+    // blocks are reclaimed by the context cleaner with the result
     val sets = docs.select(col("doc_id"), col("source"),
       sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val toks = sets.select(col("doc_id"), col("source"), col("sz"),
       explode(col("w")).as("t"))
     // global token order: ascending document frequency, ties by hash —
@@ -454,16 +459,16 @@ object TextOps {
                      nSig: Int = 64, bands: Int = 4,
                      ngram: Int = 1): DataFrame = {
     // the shingle table is consumed three times (band side + both
-    // verify joins); materialize it once — shingling the corpus is
+    // verify joins); cache it once — shingling the corpus is
     // the dominant per-row cost, and this is exactly the "shingle
     // once, reuse everywhere" shape a 100 TB pipeline persists.
-    // NOTE: localCheckpoint(eager) makes THIS CALL run the shingle
-    // scan immediately (plan construction is no longer lazy); blocks
-    // are reclaimed by the context cleaner once the result is dropped
+    // persist keeps the (one-scan) lineage: a lost block recomputes
+    // on the surviving executors instead of failing the query, the
+    // fault-tolerance a truncated localCheckpoint cannot offer
     val sets = docs.select(col("doc_id"),
       sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // the signature's per-lane minima are order-free, so the SORTED
     // set yields the identical signature the raw shingle stream would
     val banded = bandRows(
@@ -520,10 +525,12 @@ object TextOps {
         .withColumn("sz", size(col("w")).cast("double"))
     // one shingle table for both sides (consumed by df-count, prefix
     // join, both verify joins AND the exact-fingerprint legs —
-    // materialized once, so each input is scanned exactly once; the
-    // fingerprint rides along rather than re-scanning the raw text)
+    // cached once, so each input is scanned exactly once; the
+    // fingerprint rides along rather than re-scanning the raw text).
+    // persist (recomputable lineage), not localCheckpoint — executor
+    // loss must degrade to recompute, not fail the query
     val sets = shingled(corpus, "old").unionByName(shingled(batch, "new"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val toks = sets.select(col("doc_id"), col("side"), col("sz"),
       explode(col("w")).as("t"))
     val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
@@ -612,13 +619,15 @@ object TextOps {
   def stripBoilerplate(docs: DataFrame, n: Int = 8, minDf: Int = 2): DataFrame = {
     // base feeds three consumers (position table, gram table, final
     // join) and grams feeds two (df aggregation, hot-gram probe) —
-    // materialize each once, same "shingle once, reuse everywhere"
+    // cache each once, same "shingle once, reuse everywhere"
     // convention as nearDupExact: without it the dominant gram-hash
-    // projection runs twice over the corpus and the split three times
+    // projection runs twice over the corpus and the split three times.
+    // persist on both: the lineage is shallow (scan + projection), so
+    // a lost block recomputes rather than failing the query
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("nw", size(col("ws")))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val posWords = base.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("pos", "word")))
     val grams = base.where(col("nw") >= n)
@@ -626,7 +635,7 @@ object TextOps {
         sequence(lit(0), col("nw") - n),
         i => xxhash64(concat_ws(" ", slice(col("ws"), i + lit(1), lit(n))))))
         .as(Seq("pos", "g")))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hot = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= minDf)
@@ -866,7 +875,14 @@ object TextOps {
             "(component diameter exceeds maxIters); raise maxIters — " +
             "returning partial labels would silently split components")
       labels.toDF("doc_id", "group_id")
-        // the result outlives the loop; detach it from the persisted rdds
+        // localCheckpoint REQUIRED (iterative fixpoint): the labels
+        // lineage is `iter` chained joins deep and its parent blocks
+        // are unpersisted in the finally below — without truncation
+        // any downstream action would re-run the whole min-label
+        // propagation from scratch (lineage blowup). The cost of the
+        // truncation is availability: executor loss after this point
+        // fails the QUERY and the job-level retry re-runs it — no
+        // data is at risk (pure read path).
         .localCheckpoint(true)
     } finally {
       edges.unpersist(blocking = false)
@@ -2037,7 +2053,9 @@ object TextOps {
     val matched = maxTrainDf match {
       case None => matched0
       case Some(cap) =>
-        val evidence = matched0.localCheckpoint(true)
+        // persist (not localCheckpoint): two consumers, shallow
+        // recomputable lineage — executor loss degrades to recompute
+        val evidence = matched0.persist(StorageLevel.MEMORY_AND_DISK)
         val hot = evidence.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select(col("g"))
         evidence.join(broadcast(hot), Seq("g"), "left_anti")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -1123,14 +1124,17 @@ object VectorOps {
         .toDF("vec_a", "vec_b", "cos")
     }
     val centers = localKMeans(trainRows, autoCells(corpus, nCells), iters = 5)
-    // (vec_id, cell) only — a few longs per row. Checkpointed eagerly
-    // because it feeds BOTH sides of the self-join: without it the
+    // (vec_id, cell) only — a few longs per row. Cached because it
+    // feeds BOTH sides of the self-join: without it the
     // nCells × dim distance expression (the dominant per-row work)
     // would run twice over the corpus (same "compute once, reuse
-    // everywhere" convention as the MinHash band rows).
+    // everywhere" convention as the MinHash band rows). persist, not
+    // localCheckpoint: the lineage (scan + encode) is recomputable,
+    // so a lost block re-encodes its partition instead of failing
+    // the query on executor loss.
     val celled = corpus.select(col("vec_id"),
       explode(pqEncodeIf(native, col("v"), Array(centers), nAssign)).as("cell"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = celled.select(col("cell"), col("vec_id").as("vec_a"))
       .join(celled.select(col("cell").as("cell_b"), col("vec_id").as("vec_b")),
         col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
@@ -1168,6 +1172,9 @@ object VectorOps {
     val trainRows = trainSample(corpus, maxTrain)
     require(trainRows.nonEmpty, "cannot build an IVF index on an empty corpus")
     val centers = localKMeans(trainRows, autoCells(corpus, nCells), iters = 5)
+    // a rebuild into an existing dir must not inherit a crashed
+    // delete's marker — its cell ids mean nothing under new centroids
+    deleteDir(spark, s"$indexDir/_maintenance")
     spark.createDataset(centers.toIndexedSeq.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "center")
@@ -1196,7 +1203,7 @@ object VectorOps {
                             nAssign: Int = 4): DataFrame = {
     val native = nativeDot(Some(spark))
     val centers = storedCenters(spark, indexDir)
-    val stored = spark.read.parquet(s"$indexDir/corpus")
+    val stored = readCorpus(spark, indexDir)
       .select(col("vec_id").as("corpus_id"), col("cell"),
         col("v").as("cv"), col("n").as("cn"))
     val probes = prepared(batch)
@@ -1262,8 +1269,8 @@ object VectorOps {
     * of touched cells only, idempotent replay, immutable ids,
     * durable staging. Append under stored (aging) codebooks is the
     * standard FAISS trade: code error grows with distribution drift —
-    * [[indexDrift]] is the rebuild signal (raw layout; for PQ stores
-    * track drift on the source table). */
+    * [[indexDrift]] is the rebuild signal (it reads codes-only stores
+    * directly via the PQ-reconstruction distance). */
   def appendToIvfPqIndex(spark: SparkSession, indexDir: String,
                          batch: DataFrame): Unit = {
     require(isPqLayout(spark, indexDir),
@@ -1309,6 +1316,63 @@ object VectorOps {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Delete's crash-window marker (VERDICT r9 #3): the cell ids a
+    * [[deleteFromIvfIndex]] will leave WHOLLY EMPTY, written durably
+    * BEFORE the survivor overwrite and removed only after the emptied
+    * cell directories are gone. A crash anywhere in between leaves the
+    * marker behind, and then (a) every corpus READER filters the
+    * marked cells out ([[readCorpus]]) — their rows are by definition
+    * all in the acknowledged delete's id set, so serving them would be
+    * resurrection — and (b) every MAINTENANCE entry first completes
+    * the removal ([[completePendingRemoves]]): remove the listed dirs
+    * (idempotent — some may already be gone), then drop the marker.
+    * Nested under a `_`-prefixed parent (the `_staging/ids`
+    * convention): invisible to Spark's data-file listing of the index
+    * root, while the explicit leaf path reads back cleanly (an
+    * underscore LEAF would trip the hidden-path filter's warning). */
+  private def pendingRemovesPath(indexDir: String): String =
+    s"$indexDir/_maintenance/pending_removes"
+
+  private def pendingRemovedCells(spark: SparkSession,
+                                  indexDir: String): Array[Int] = {
+    val p = pendingRemovesPath(indexDir)
+    if (!pathExists(spark, p)) Array.empty
+    else spark.read.parquet(p).collect().map(_.getInt(0))
+  }
+
+  /** Roll a crashed delete FORWARD: remove the marker's emptied-cell
+    * dirs, then the marker. Safe to call at any time (no-op without a
+    * marker); every maintenance entry point calls it first so a
+    * crashed delete can never interleave its leftover state with new
+    * writes. */
+  private def completePendingRemoves(spark: SparkSession,
+                                     indexDir: String): Unit = {
+    val cells = pendingRemovedCells(spark, indexDir)
+    if (cells.nonEmpty)
+      for (c <- cells) deleteDir(spark, s"$indexDir/corpus/cell=$c")
+    if (pathExists(spark, s"$indexDir/_maintenance"))
+      deleteDir(spark, s"$indexDir/_maintenance")
+  }
+
+  /** The one corpus-read helper every SERVING path goes through:
+    * filters out cells named by a pending-removes marker (a crashed
+    * delete's acknowledged-but-not-yet-removed cells). The filter is a
+    * static NOT IN on the partition column — pruned at planning, zero
+    * cost without a marker (the common case reads one tiny file-system
+    * existence probe). Read-only paths filter rather than complete:
+    * search must not need write permission on the index. */
+  private def readCorpus(spark: SparkSession, indexDir: String): DataFrame = {
+    val corpus = spark.read.parquet(s"$indexDir/corpus")
+    val pend = pendingRemovedCells(spark, indexDir)
+    if (pend.isEmpty) corpus
+    else corpus.where(!col("cell").isin(pend.map(Int.box).toSeq: _*))
+  }
+
   /** Layout-agnostic staged append core shared by [[appendToIvfIndex]]
     * and [[appendToIvfPqIndex]]: `coded` is the encoded batch carrying
     * whatever row schema the target index stores, plus `cell`.
@@ -1337,6 +1401,10 @@ object VectorOps {
     * carried rows keep their generation. */
   private def appendStaged(spark: SparkSession, indexDir: String,
                            coded: DataFrame): Unit = {
+    // roll a crashed delete forward before touching the corpus: a
+    // leftover marker's cells must not receive new rows while their
+    // old (deleted) rows still sit in the directory
+    completePendingRemoves(spark, indexDir)
     val staging = s"$indexDir/_staging"
     try {
       val batch = stageRead(coded, s"$staging/batch")
@@ -1400,6 +1468,8 @@ object VectorOps {
       localKMeans(trainRows.map(_.slice(s * w_, (s + 1) * w_)),
         codebookSize, iters = 5)
     }
+    // same stale-marker hygiene as buildIvfIndex
+    deleteDir(spark, s"$indexDir/_maintenance")
     spark.createDataset(Seq((subs, codebookSize, dim)))
       .toDF("subs", "codebook_size", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
@@ -1439,7 +1509,7 @@ object VectorOps {
     val w_ = meta.getAs[Int]("dim") / subs
     val coarse = storedCenters(spark, indexDir)
     val books = storedBooks(spark, indexDir, subs)
-    val coded = spark.read.parquet(s"$indexDir/corpus")
+    val coded = readCorpus(spark, indexDir)
     val probeDf = pqProbeDf(spark, queries, coarse, books, subs,
       codebookSize, w_, nProbe, driverProbeLimit)
     val shortlist = adcShortlist(coded, probeDf, subs, codebookSize, rerank)
@@ -1470,14 +1540,18 @@ object VectorOps {
     * so its directory is removed explicitly — without that, the
     * "deleted" rows would silently survive.
     *
-    * NON-ATOMIC WINDOW: the survivor overwrite and the emptied-cell
-    * dir removal are two filesystem operations; a crash between them
-    * resurrects exactly the rows of wholly-emptied cells (partially-
-    * emptied cells are safe — their overwrite is atomic per
-    * partition). Re-running the same delete converges: the ids are
-    * matched again and the dirs removed. */
+    * CRASH SAFETY: the survivor overwrite and the emptied-cell dir
+    * removal are two filesystem operations, but the window between
+    * them is closed by the `_pending_removes` marker: the to-be-
+    * emptied cell ids are written durably BEFORE the overwrite,
+    * readers filter marked cells out, every maintenance entry rolls
+    * the removal forward, and the marker is dropped only after the
+    * dirs are gone (partially-emptied cells were always safe — their
+    * overwrite is atomic per partition). IvfIndexSpec simulates the
+    * crash and pins search correctness + idempotent completion. */
   def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
                          ids: DataFrame): Unit = {
+    completePendingRemoves(spark, indexDir) // finish any crashed delete first
     val staging = s"$indexDir/_staging"
     try {
       val existing = spark.read.parquet(s"$indexDir/corpus")
@@ -1508,6 +1582,20 @@ object VectorOps {
           "deleteFromIvfIndex would remove every stored vector, leaving an " +
             "unreadable file-less index; drop the directory and rebuild with " +
             "buildIvfIndex/buildIvfPqIndex instead")
+      // the cells this delete will empty entirely are known BEFORE
+      // the overwrite (carried is durably staged) — write the
+      // _pending_removes marker FIRST, so a crash anywhere between
+      // the survivor overwrite and the directory removals can no
+      // longer resurrect their rows: readers filter marked cells
+      // ([[readCorpus]]), maintenance rolls them forward
+      // ([[completePendingRemoves]]).
+      val survivorCells = carried.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = touched.filterNot(survivorCells.contains)
+      if (emptied.nonEmpty)
+        spark.createDataFrame(emptied.toSeq.map(Tuple1(_))).toDF("cell")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(pendingRemovesPath(indexDir))
       if (!carriedEmpty)
         carried
           .write.mode("overwrite")
@@ -1515,11 +1603,12 @@ object VectorOps {
           .partitionBy("cell")
           .parquet(s"$indexDir/corpus")
       // a cell emptied entirely is NOT rewritten by a dynamic overwrite
-      // (no surviving row carries its key) — remove its directory
-      val survivorCells = carried.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      for (c <- touched if !survivorCells.contains(c))
-        deleteDir(spark, s"$indexDir/corpus/cell=$c")
+      // (no surviving row carries its key) — remove its directory,
+      // then retire the marker (removal-before-marker-drop: the
+      // marker outlives every state in which the dirs might remain)
+      for (c <- emptied) deleteDir(spark, s"$indexDir/corpus/cell=$c")
+      if (emptied.nonEmpty)
+        deleteDir(spark, s"$indexDir/_maintenance")
     } finally deleteDir(spark, staging)
   }
 
@@ -1537,18 +1626,59 @@ object VectorOps {
     * table — no join against the source corpus, so the audit is
     * cheap enough to run after every ingest. Rows-only (k-means
     * cells); IvfIndexSpec pins the ratio on a synthetically drifted
-    * batch. Raw layout only: a codes-only store has no `v` to measure
-    * (its reconstruction error is bounded by the codebooks, not
-    * recoverable row-wise). */
+    * batch.
+    *
+    * CODES-ONLY (PQ) stores — the layout a 100 TB deployment actually
+    * runs for footprint — get the same report with no raw vectors at
+    * all: each row's vector is PQ-RECONSTRUCTED from its stored codes
+    * (x̂ = concat_s book_s[code_s], the ADC decode) and measured
+    * against its coarse centroid. ‖x̂ − c‖ = ‖x − c‖ up to the bounded
+    * per-row quantization error, and that error term is IDENTICAL in
+    * distribution for built and appended rows encoded under the same
+    * frozen codebooks — so the built/appended RATIO keeps its meaning,
+    * and out-of-distribution appends additionally inflate it through
+    * their larger code error. Cost shape is unchanged: one scan of
+    * the (tiny) code rows + a broadcast of centroids; the codebooks
+    * fold into the distance expression as literals (subs ×
+    * codebookSize × w doubles — KBs). */
   def indexDrift(spark: SparkSession, indexDir: String): DataFrame = {
-    val corpus = spark.read.parquet(s"$indexDir/corpus")
-    require(corpus.columns.contains("v"),
-      s"indexDrift requires the raw-vector IVF layout; $indexDir stores " +
-        "codes only — measure drift on the source table instead")
+    val corpus = readCorpus(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val dist = sqrt(aggregate(
-      zip_with(col("v"), col("center"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x))
+    val dist =
+      if (isPqLayout(spark, indexDir)) {
+        val meta = spark.read.parquet(s"$indexDir/meta").collect()(0)
+        val subs = meta.getAs[Int]("subs")
+        val codebookSize = meta.getAs[Int]("codebook_size")
+        val w_ = meta.getAs[Int]("dim") / subs
+        val books = storedBooks(spark, indexDir, subs)
+        // (sub, code)-major flat literal of every codebook entry;
+        // under-trained slots (codes never reference them) fill with
+        // 0.0, same convention as pqProbeDf
+        val flat = array((for {
+          s <- 0 until subs; c <- 0 until codebookSize; j <- 0 until w_
+        } yield lit(
+          if (c < books(s).length) books(s)(c)(j) else 0.0)): _*)
+        // Σ_s ‖book_s[code_s] − center[s·w .. s·w+w)‖² — slice into
+        // the flat book by the stored code (codes are 0-based), all
+        // inside one codegen'd expression per row
+        val d2 = (0 until subs).map { s =>
+          val start = ((lit(s * codebookSize) +
+            element_at(col("codes"), s + 1)) * w_ + 1).cast("int")
+          aggregate(
+            zip_with(slice(flat, start, lit(w_)),
+              slice(col("center"), lit(s * w_ + 1), lit(w_)),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)
+        }.reduce(_ + _)
+        sqrt(d2)
+      } else {
+        require(corpus.columns.contains("v"),
+          s"indexDrift: $indexDir has neither raw vectors nor a PQ " +
+            "meta/ dir — not an IVF index layout this audit knows")
+        sqrt(aggregate(
+          zip_with(col("v"), col("center"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      }
     corpus.join(broadcast(cents), "cell")
       .withColumn("dist", dist)
       .groupBy(col("cell").cast("bigint").as("cell"))
@@ -1573,7 +1703,7 @@ object VectorOps {
   def storedIndexTopK(spark: SparkSession, indexDir: String,
                       queries: DataFrame, k: Int, nProbe: Int = 4,
                       driverProbeLimit: Int = 1024): DataFrame =
-    cellProbeTopK(spark, spark.read.parquet(s"$indexDir/corpus"),
+    cellProbeTopK(spark, readCorpus(spark, indexDir),
       storedCenters(spark, indexDir), queries, k, nProbe, driverProbeLimit)
 
   /** Cluster-balanced diversity sample: k-means cells from a bounded

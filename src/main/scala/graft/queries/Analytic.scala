@@ -4,6 +4,7 @@ import graft.ops.{GraphOps, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Advanced analytic operators (round 4): exact distributed
   * percentiles, deciles, deterministic mode, interval RANGE window
@@ -581,22 +582,34 @@ object Analytic {
     * at 100 TB. Wedge total Σd(d−1)/2 and triangle count are exact
     * integers; the coefficient is one double division. Fully oracled
     * (the oracle replicates the same orientation). */
+  /** q161's two-path broadcast gate: the adjacency table broadcasts
+    * only while the oriented edge count stays under this bound
+    * (Θ(m) longs across the nbrs arrays ⇒ ~80 MB at the limit) —
+    * the named-parameter convention of
+    * [[graft.ops.GraphOps.broadcastNodeLimit]] and the driver-side
+    * `driverPairLimit` gates. Above it the join degrades to a keyed
+    * shuffle with identical results. */
+  private[queries] val broadcastEdgeLimit = 10000000L
+
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // (x, y) long pairs only — checkpointed eagerly because FIVE
+    // (x, y) long pairs only — cached because FIVE
     // consumers read it (deg, both orientation joins via withDeg, the
     // edge count, and transitively every tri alias): without the
-    // barrier each alias re-runs the lineitem self-join + distinct
+    // cache each alias re-runs the lineitem self-join + distinct
     // (the dominant cost), and the same applies one level up to
     // `oriented` below, which the triangle probe reads three times
     // under different join keys (no exchange reuse across them). The
-    // two checkpoints took this query from 17.9s to the cost of one
-    // pair materialization at sf0.1.
+    // two caches took this query from 17.9s to the cost of one
+    // pair materialization at sf0.1. persist, not localCheckpoint:
+    // the lineage (scan + self-join) is recomputable, so executor
+    // loss degrades to a partition recompute instead of failing the
+    // query; blocks are reclaimed by the context cleaner.
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = pairs.select(col("x").as("node"))
       .unionAll(pairs.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -610,7 +623,7 @@ object Analytic {
       when(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")), col("y"))
         .otherwise(col("x")).as("v"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Edge-iterator intersection instead of wedge-materialize-then-
     // semi-join: the wedge join emits Σ out(v)·in(v) rows (49M at
     // sf0.1 — it alone made this query 12s), while intersecting the
@@ -636,15 +649,15 @@ object Analytic {
     // adjacency table is |nodes| rows but Θ(m) total bytes (every
     // oriented edge sits in some nbrs array), so an unconditional
     // broadcast hint would hit the exchange limit as the graph grows.
-    // m is a free count off the checkpointed edge blocks; under the
-    // bound (~80 MB of longs) the hint applies — and it must be a
-    // HINT, because the checkpoint-backed plan has no size stats for
-    // the static optimizer to broadcast on — above it the join
+    // m is a free count off the cached edge blocks; under
+    // broadcastEdgeLimit (~80 MB of longs) the hint applies — and it
+    // must be a HINT, because the cache-backed plan has no size stats
+    // for the static optimizer to broadcast on — above it the join
     // degrades to a keyed shuffle. Results are join-strategy-
     // independent either way.
     val m = oriented.count()
     def hinted(df: DataFrame): DataFrame =
-      if (m <= 10000000L) broadcast(df) else df
+      if (m <= broadcastEdgeLimit) broadcast(df) else df
     val tri = oriented
       .join(hinted(adj), "u")
       .join(hinted(adj.select(col("u").as("v"),

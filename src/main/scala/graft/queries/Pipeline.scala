@@ -668,6 +668,25 @@ object Pipeline {
     VectorOps.indexDrift(s, idx).orderBy(col("cell"))
   }
 
+  /** q120's audit on the CODES-ONLY layout — the store you'd actually
+    * run at 100 TB for footprint: build an IVF+PQ index on the corpus
+    * slice, append the same synthetically drifted batch, and read the
+    * per-cell built-vs-appended report computed entirely from stored
+    * codes + codebooks + coarse centroids (PQ-reconstruction distance
+    * — no raw vector is ever touched). Rows-only (k-means cells);
+    * IvfIndexSpec pins ratio>1 on the drifted append and ≈1 on an
+    * in-distribution one. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.TempRoots.path("ivfpq_index_q203")
+    VectorOps.buildIvfPqIndex(e.where(col("vec_id") % 4 =!= 0), idx,
+      nCells = 16)
+    VectorOps.appendToIvfPqIndex(s, idx,
+      e.where(col("vec_id") % 4 === 0).select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+    VectorOps.indexDrift(s, idx).orderBy(col("cell"))
+  }
+
   /** Small-file compaction round-trip: fragment the documents table
     * into 64 tiny parquet files (the shape a streaming ingest leaves
     * behind), compact to range-clustered files
@@ -1783,7 +1802,9 @@ object Pipeline {
     "q174_retrieval_eval" -> (q174 _),
     "q167_hll_overlap" -> (q167 _),
     "q192_xml_roundtrip" -> (q192 _),
-    "q190_hist_quantiles" -> (q190 _))
+    "q190_hist_quantiles" -> (q190 _),
+    // q203 rows-only like q120: k-means cells are not SQL-recomputable
+    "q203_pq_index_drift" -> (q203 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
 

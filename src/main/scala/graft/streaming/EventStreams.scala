@@ -319,13 +319,22 @@ object EventStreams {
       .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         // materialize the micro-batch once: the probe, the anti-join
         // and the append are three actions, and a non-replayable
-        // source (Kafka) must not be re-read per action
+        // source (Kafka) must not be re-read per action.
+        // localCheckpoint REQUIRED (not persist): the lineage roots
+        // in the epoch's source offsets, which recompute cannot
+        // honor for a non-replayable source. Executor loss here fails
+        // the EPOCH and Structured Streaming replays the batch from
+        // the checkpoint — the idempotent-replay contract this sink
+        // is spec-pinned for, so truncation costs nothing durable.
         val batch = batch0.localCheckpoint(true)
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val dups = graft.ops.VectorOps
             .incrementalNearDupIvf(spark, indexDir, batch, threshold, nAssign)
             .select(col("batch_id").as("vec_id")).distinct()
+          // same epoch-scoped truncation as `batch` above: novel is
+          // read by isEmpty + the append (two actions), and its
+          // lineage roots in the same non-replayable epoch
           val novel = batch.join(dups, Seq("vec_id"), "left_anti")
             .localCheckpoint(true)
           // skip the write job entirely when the whole batch was

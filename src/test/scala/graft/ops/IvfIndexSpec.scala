@@ -404,12 +404,88 @@ class IvfIndexSpec extends SparkTestBase {
       assert(r.isNullAt(r.fieldIndex("mean_dist_appended")))
       assert(r.isNullAt(r.fieldIndex("drift_ratio")))
     }
-    // codes-only stores have no vectors to measure — fail fast
+  }
+
+  test("a crashed delete (marker written, emptied-cell dir not removed) cannot resurrect rows; maintenance completes it") {
+    import java.nio.file.{Files, Paths}
+    val idx = graft.TempRoots.path("ivfidx_spec_crash")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+    // pick one whole cell to delete — the case whose dynamic
+    // overwrite writes nothing and relies on the dir removal
+    val byCell = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("cell")).collect()
+      .groupBy(_.getAs[Int]("cell")).view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet)
+    val (cellGone, goneIds) = byCell.toSeq.minBy(_._1)
+    // SIMULATE the crash window: the marker is durably written (what
+    // deleteFromIvfIndex does before the overwrite) but the process
+    // died before removing the cell directory — its rows still sit in
+    // the corpus files
+    spark.createDataFrame(Seq(Tuple1(cellGone))).toDF("cell")
+      .coalesce(1).write.parquet(s"$idx/_maintenance/pending_removes")
+    assert(Files.exists(Paths.get(s"$idx/corpus/cell=$cellGone")))
+    // 1. search correctness: no reader may serve the deleted rows
+    val probed = VectorOps.incrementalNearDupIvf(spark, idx, batch,
+        threshold = -1.0, nAssign = 4) // threshold -1: every probed pair reports
+      .select(col("corpus_id")).collect().map(_.getLong(0)).toSet
+    assert(probed.nonEmpty)
+    assert(probed.intersect(goneIds).isEmpty,
+      s"resurrected rows of crashed-deleted cell $cellGone")
+    val drift = VectorOps.indexDrift(spark, idx).collect()
+    assert(!drift.exists(_.getAs[Long]("cell") == cellGone.toLong))
+    // 2. idempotent completion: the next maintenance entry rolls the
+    // removal forward — dir gone, marker gone, and the append applied
+    VectorOps.appendToIvfIndex(spark, idx, batch)
+    assert(!Files.exists(Paths.get(s"$idx/corpus/cell=$cellGone")) ||
+      // the append may legitimately re-create the cell with NEW rows;
+      // if so, none of the deleted ids may be among them
+      spark.read.parquet(s"$idx/corpus")
+        .where(col("cell") === cellGone)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        .intersect(goneIds).isEmpty)
+    assert(!Files.exists(Paths.get(s"$idx/_maintenance/pending_removes")))
+    val afterIds = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(afterIds.intersect(goneIds).isEmpty)
+    // batch landed (all 20 novel ids present)
+    assert((60L until 80L).forall(afterIds.contains))
+    // completing twice is a no-op: a second maintenance call succeeds
+    VectorOps.deleteFromIvfIndex(spark, idx,
+      spark.createDataFrame(Seq(Tuple1(-1L))).toDF("vec_id"))
+    assert(!Files.exists(Paths.get(s"$idx/_maintenance/pending_removes")))
+  }
+
+  test("indexDrift on a codes-only PQ store: reconstruction-space ratio flags drift, stays ~1 in-distribution") {
+    // drifted append: every dimension shifted by +3 (the raw-layout
+    // test's synthetic drift) — appended cells must read well above 1
     val pqIdx = graft.TempRoots.path("ivfpq_spec_drift")
     VectorOps.buildIvfPqIndex(corpus, pqIdx, nCells = 4, subs = 4)
-    val err = intercept[IllegalArgumentException] {
-      VectorOps.indexDrift(spark, pqIdx)
+    val drifted = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    VectorOps.appendToIvfPqIndex(spark, pqIdx, drifted)
+    val rows = VectorOps.indexDrift(spark, pqIdx).collect()
+    assert(rows.map(_.getAs[Long]("n_built")).sum == 60L)
+    assert(rows.map(_.getAs[Long]("n_appended")).sum == 20L)
+    val appendedCells = rows.filter(_.getAs[Long]("n_appended") > 0)
+    assert(appendedCells.nonEmpty)
+    appendedCells.foreach { r =>
+      assert(r.getAs[Double]("drift_ratio") > 1.2,
+        s"cell ${r.getAs[Long]("cell")}: ${r.getAs[Double]("drift_ratio")}")
     }
-    assert(err.getMessage.contains("codes only"))
+    // in-distribution append: same generator as the build corpus —
+    // the ratio must sit near 1 (loose envelope: per-cell means over
+    // a handful of rows)
+    val pqIdx2 = graft.TempRoots.path("ivfpq_spec_nodrift")
+    VectorOps.buildIvfPqIndex(corpus, pqIdx2, nCells = 4, subs = 4)
+    VectorOps.appendToIvfPqIndex(spark, pqIdx2, batch)
+    val inDist = VectorOps.indexDrift(spark, pqIdx2).collect()
+      .filter(_.getAs[Long]("n_appended") > 0)
+      .map(_.getAs[Double]("drift_ratio"))
+    assert(inDist.nonEmpty)
+    inDist.foreach(r =>
+      assert(r > 0.5 && r < 1.5, s"in-distribution ratio $r"))
+    // built-only cells carry no appended metrics on the PQ path either
+    rows.filter(_.getAs[Long]("n_appended") == 0).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("drift_ratio")))
+    }
   }
 }
