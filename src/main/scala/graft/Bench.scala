@@ -140,7 +140,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val calibAfter = calibrate()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":[${fmt(calibBefore)},${fmt(calibAfter)}]}""")
+    val calib = s"[${fmt(calibBefore)},${fmt(calibAfter)}]"
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib}"""
+    // Tail-truncation robustness (r9: the driver captured only a
+    // ~2000-char tail of the run and the per-query line — ~3 KB at
+    // 200+ queries — lost its HEAD, total included). Three artifacts:
+    // 1. the full line (head of output, human- and driver-readable),
+    // 2. the same JSON persisted to BENCH_QUERIES.json beside the
+    //    build so per-query times survive any console truncation,
+    // 3. a compact total-only line printed LAST — whatever tail
+    //    window the driver keeps, the final short line is complete
+    //    and still leads with {"metric":"total",...}.
+    println(full)
+    val qFile = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "BENCH_QUERIES.json")
+    try java.nio.file.Files.write(qFile, (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best-effort; stdout already has it
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","calib":$calib}""")
     spark.stop()
   }
 }

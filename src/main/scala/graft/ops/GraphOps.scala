@@ -31,25 +31,41 @@ object GraphOps {
 
   /** The ONE copy of the driver-fast-path gate: persist the (src,
     * dst) projection, materialize it ONCE with a count, and either
-    * hand the driver the collected rows (Left — cache already
-    * released) or hand the distributed path the CACHED projection
-    * (Right — caller must unpersist once its own derived caches are
-    * live). A limit-probe here would leave partially consumed
-    * partitions uncached and re-evaluate the whole edge lineage —
-    * joins, shuffles and all — on the distributed path (the
-    * nearDupGroups lesson); the price is one extra count job over
-    * the cached projection on the fast path. Every spec-pinned
+    * hand the driver the edge list as two primitive long arrays
+    * (Left — cache already released) or hand the distributed path the
+    * CACHED projection (Right — caller must unpersist once its own
+    * derived caches are live). A limit-probe here would leave
+    * partially consumed partitions uncached and re-evaluate the whole
+    * edge lineage — joins, shuffles and all — on the distributed path
+    * (the nearDupGroups lesson); the price is one extra count job
+    * over the cached projection on the fast path. Every spec-pinned
     * path-parity contract in this file flows through here, so
-    * probe-discipline fixes apply everywhere at once. */
+    * probe-discipline fixes apply everywhere at once.
+    *
+    * DRIVER-HEAP COST (ADVICE r9): the fast path's steady state is
+    * 16·n bytes (two long arrays — ~32 MB at the default 2²¹ limit);
+    * the transient collect holds specialized (Long, Long) tuples,
+    * ~48·n bytes (~100 MB at the default) — a typed collect, not
+    * boxed Rows, which cost ~3× more. A caller raising
+    * driverPairLimit buys that transient linearly and should size
+    * driver memory accordingly; there is no guard beyond
+    * Int.MaxValue. */
   private def probeOrCache(edges: DataFrame, driverPairLimit: Long)
-      : Either[Array[org.apache.spark.sql.Row], DataFrame] = {
+      : Either[(Array[Long], Array[Long]), DataFrame] = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.count()
     if (n <= math.min(driverPairLimit, Int.MaxValue - 2L)) {
-      val rows = e.collect()
+      import e.sparkSession.implicits._
+      val rows = e.as[(Long, Long)].collect()
       e.unpersist(blocking = false)
-      Left(rows)
+      val srcA = new Array[Long](rows.length)
+      val dstA = new Array[Long](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        srcA(i) = rows(i)._1; dstA(i) = rows(i)._2; i += 1
+      }
+      Left((srcA, dstA))
     } else Right(e)
   }
 
@@ -101,18 +117,12 @@ object GraphOps {
     // d·(Σ/1e12) — so the fast path is bit-identical to the
     // distributed one (spec-pinned against the same local reference).
     val eProj = probeOrCache(edges, driverPairLimit)
-    eProj.left.foreach { probe =>
-      if (probe.isEmpty)
+    eProj.left.foreach { case (srcA, dstA) =>
+      if (srcA.isEmpty)
         return sparkSess.emptyDataFrame
           .withColumn("node", lit(0L)).withColumn("rank", lit(0.0))
       import sparkSess.implicits._
-      val n = probe.length
-      val srcA = new Array[Long](n); val dstA = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        srcA(i) = probe(i).getLong(0); dstA(i) = probe(i).getLong(1)
-        i += 1
-      }
+      val n = srcA.length
       val deg = collection.mutable.LongMap.empty[Long]
       srcA.foreach(s => deg(s) = deg.getOrElse(s, 0L) + 1L)
       val nNodes = deg.size.toDouble
@@ -260,13 +270,13 @@ object GraphOps {
     val lim = math.min(driverPairLimit, Int.MaxValue - 2L)
     val seedProbe = seeds.select(col("node")).distinct()
       .limit(lim.toInt + 1).collect()
-    val gate: Either[Array[org.apache.spark.sql.Row], DataFrame] =
+    val gate: Either[(Array[Long], Array[Long]), DataFrame] =
       if (seedProbe.length <= lim) probeOrCache(edges, driverPairLimit)
       else Right(edges.select(col("src"), col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
     gate match {
-      case Left(probe0) =>
+      case Left((srcA, dstA)) =>
         val spark = edges.sparkSession
         import spark.implicits._
         val dist = collection.mutable.LongMap.empty[Long]
@@ -276,9 +286,11 @@ object GraphOps {
           val inF = collection.mutable.LongMap.empty[Boolean]
           frontier.foreach(inF(_) = true)
           val nextF = collection.mutable.LongMap.empty[Boolean]
-          probe0.foreach { r =>
-            val s = r.getLong(0); val d = r.getLong(1)
+          var j = 0
+          while (j < srcA.length) {
+            val s = srcA(j); val d = dstA(j)
             if (inF.contains(s) && !dist.contains(d)) nextF(d) = true
+            j += 1
           }
           nextF.keysIterator.foreach(dist(_) = hop.toLong)
           frontier = nextF.keysIterator.toArray
@@ -323,17 +335,11 @@ object GraphOps {
     // bit-compatible. An EMPTY Left falls through: the distributed
     // path owns the typed-empty-result shape.
     val gate = probeOrCache(edges, driverPairLimit)
-    gate.left.foreach { probe0 =>
-      if (probe0.nonEmpty) {
+    gate.left.foreach { case (srcA, dstA) =>
+      if (srcA.nonEmpty) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val n = probe0.length
-      val srcA = new Array[Long](n); val dstA = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        srcA(i) = probe0(i).getLong(0); dstA(i) = probe0(i).getLong(1)
-        i += 1
-      }
+      val n = srcA.length
       var labels = collection.mutable.LongMap.empty[Long]
       srcA.foreach(s => labels(s) = s)
       for (_ <- 0 until iters) {
@@ -443,21 +449,15 @@ object GraphOps {
     // double-divide sequence as the distributed sweeps, so all paths
     // are bit-identical (spec-pinned).
     val gated = probeOrCache(edges, driverPairLimit)
-    if (gated.swap.exists(_.isEmpty))
+    if (gated.left.exists(_._1.isEmpty))
       return spark.emptyDataFrame
         .withColumn("kind", lit("hub"))
         .withColumn("id", lit(0L))
         .withColumn("score", lit(0.0))
 
-    gated.left.foreach { probe =>
+    gated.left.foreach { case (srcA, dstA) =>
       import spark.implicits._
-      val n = probe.length
-      val srcA = new Array[Long](n); val dstA = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        srcA(i) = probe(i).getLong(0); dstA(i) = probe(i).getLong(1)
-        i += 1
-      }
+      val n = srcA.length
       // quantize once per NODE (BigDecimal), then the per-edge loop
       // is pure long-array arithmetic
       def sweepDriver(scores: collection.mutable.LongMap[Double],

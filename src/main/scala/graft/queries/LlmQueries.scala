@@ -1142,30 +1142,41 @@ object LlmQueries {
   /** Pointwise-mutual-information collocations — the classic
     * statistically-bound-phrase extractor (Church & Hanks 1990):
     * adjacent word pairs scored by ln(p(ab)/(p(a)p(b))) over corpus
-    * counts, minimum support 5, top 20 by (rounded PMI, pair). Two
-    * keyed shuffles (bigram and unigram counts); the unigram side is
-    * vocabulary-sized so its joins broadcast on real corpora; the
-    * PMI expression shape is identical on both engines and the
-    * ranking follows the round-then-tiebreak convention. */
+    * counts, minimum support 5, top 20 by (rounded PMI, pair).
+    *
+    * SINGLE-SCAN shape (VERDICT r9 #5): one projection emits the
+    * unigram AND the bigram stream as tagged (kind, w1, w2) rows, so
+    * the corpus is read exactly ONCE and both count tables fall out
+    * of ONE keyed aggregation (map-side combined). The grouped table
+    * is vocabulary+bigram-vocabulary-sized — persisted (recomputable
+    * lineage) because five consumers read it; at 100 TB that cache is
+    * ≪ corpus while the saved second corpus scan is the dominant
+    * cost. Totals derive from the grouped counts (sum of group counts
+    * == stream count). PMI expression and ranking follow the
+    * round-then-tiebreak convention. */
   private def q178(s: SparkSession, dir: String): DataFrame = {
     val ws = split(coalesce(col("text"), lit("")), " ")
-    val bigrams = Tables(s, dir, "documents")
-      .select(explode(when(size(ws) >= 2,
-        transform(sequence(lit(0), size(ws) - lit(2)),
-          i => struct(element_at(ws, i + lit(1)).as("w1"),
-            element_at(ws, i + lit(2)).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // totals derive from the grouped counts (sum of group counts ==
-    // stream count), so the exploded bigram/token streams shuffle
-    // exactly once each and their exchanges are reused (q182 pattern)
-    val cbAll = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cab"))
+    val uni = transform(ws,
+      x => struct(lit(0).as("kind"), x.as("w1"),
+        lit(null).cast("string").as("w2")))
+    val bi = when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - lit(2)),
+        i => struct(lit(1).as("kind"),
+          element_at(ws, i + lit(1)).as("w1"),
+          element_at(ws, i + lit(2)).as("w2"))))
+      .otherwise(array().cast("array<struct<kind:int,w1:string,w2:string>>"))
+    val counts = Tables(s, dir, "documents")
+      .select(explode(concat(uni, bi)).as("t"))
+      .select(col("t.kind").as("kind"), col("t.w1").as("w1"),
+        col("t.w2").as("w2"))
+      .groupBy(col("kind"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cu = counts.where(col("kind") === 0)
+      .select(col("w1").as("w"), col("c").as("cw"))
+    val cbAll = counts.where(col("kind") === 1)
+      .select(col("w1"), col("w2"), col("c").as("cab"))
     val cb = cbAll.where(col("cab") >= 5)
-    val cu = Tables(s, dir, "documents")
-      .select(explode(ws).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val nb = cbAll.agg(sum(col("cab")).as("n_bi"))
     val nu = cu.agg(sum(col("cw")).as("n_uni"))
     cb.join(cu.select(col("w").as("w1"), col("cw").as("ca")), "w1")

@@ -862,7 +862,14 @@ object Pipeline {
     val li = Tables(s, dir, "lineitem")
     val mm = li.agg(min(col("l_extendedprice")).as("lo"),
       max(col("l_extendedprice")).as("hi")).head()
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    require(!mm.isNullAt(0),
+      "q190: empty lineitem — no frame to build a histogram store on")
+    val lo = mm.getDouble(0)
+    // degenerate frame (constant column or a single row): widen hi by
+    // one ulp instead of tripping writeHistShards' hi>lo contract —
+    // everything lands in bin 0 and every quantile reads back ≈ lo
+    // (ADVICE r9)
+    val hi = if (mm.getDouble(1) > lo) mm.getDouble(1) else Math.nextUp(lo)
     Sketches.writeHistShards(li, out, col("l_extendedprice"),
       pmod(col("l_orderkey"), lit(8L)), lo, hi, nBins = 64)
     Sketches.histQuantiles(s, out, lo, hi, nBins = 64,
@@ -1549,6 +1556,82 @@ object Pipeline {
       |FROM tf JOIN df USING (w) CROSS JOIN n
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Diff-driven inverted-index maintenance (VERDICT r9 #4) — the
+    * never-reindex-the-corpus path a 100 TB text index actually runs:
+    * the q117 snapshot diff drives the index lifecycle, so only
+    * DIFF-SIZED text is ever re-tokenized. Steps, in the order the
+    * tombstone semantics force (tombstones kill a doc_id across ALL
+    * segments, so a changed doc's new version must land AFTER its old
+    * id is physically gone):
+    *   1. [[graft.ops.InvertedIndex.deleteDocs]] tombstones
+    *      removed ∪ changed old ids (cost ∝ diff);
+    *   2. [[graft.ops.InvertedIndex.compactSegments]] folds the
+    *      tombstones in and refreshes collection stats — the one
+    *      index-wide step, but it rewrites already-indexed POSTINGS
+    *      (no text ever re-tokenizes) and is the same schedulable LSM
+    *      merge q173 pins;
+    *   3. [[graft.ops.InvertedIndex.appendSegment]] indexes the
+    *      added ∪ changed NEW versions as their own segment
+    *      (cost ∝ diff).
+    * The oracle recomputes BM25 over the new snapshot FROM SCRATCH —
+    * a green row proves diff-maintained == rebuilt, including the
+    * refreshed N/avgdl statistics. Query term 'updated' hits exactly
+    * the text the changed docs gained, so a stale old version or a
+    * lost new version would flip the scores. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.path(
+      s"diffidx_${Integer.toHexString(dir.hashCode)}")
+    if (!new java.io.File(s"$idx/meta").exists()) {
+      val docs = Tables(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
+      val newSnap = docs.where(col("doc_id") % 7 =!= 6)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" updated")))
+            .otherwise(col("text")))
+      InvertedIndex.build(oldSnap, idx, nBuckets = 64)
+      // diff feeds two consumers (dead ids, upsert ids) — persist the
+      // tiny (doc_id, status) table rather than re-running the
+      // full-outer fingerprint join per consumer
+      val diff = TextOps.snapshotDiff(oldSnap, newSnap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      InvertedIndex.deleteDocs(s, idx,
+        diff.where(col("status").isin("removed", "changed"))
+          .select(col("doc_id")))
+      InvertedIndex.compactSegments(s, idx)
+      InvertedIndex.appendSegment(
+        newSnap.join(diff.where(col("status").isin("added", "changed"))
+          .select(col("doc_id")), Seq("doc_id")),
+        idx, segId = 1)
+      diff.unpersist(blocking = false)
+    }
+    InvertedIndex.searchBm25(s, idx, Seq("merge", "updated"), 20)
+  }
+
+  private val q204Sql =
+    """WITH live AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' updated'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 6),
+      |d AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM live),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d),
+      |tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+      |  WHERE w IN ('merge', 'updated') GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |n AS (SELECT count(*) AS nd,
+      |    CAST((SELECT sum(len(string_split(coalesce(text, ''), ' ')))
+      |      FROM live) AS DOUBLE) AS ntok
+      |  FROM live)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(round(
+      |    ln(1 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * 2.5)
+      |      / (tf + 1.5 * (0.25 + (0.75 * dl) / (ntok / nd))), 8)
+      |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |FROM tf JOIN df USING (w) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** Phrase search over the positional inverted index
     * ([[graft.ops.InvertedIndex.searchPhrase]]): per-doc occurrence
     * counts of an exact word sequence, answered from shifted position
@@ -1804,7 +1887,8 @@ object Pipeline {
     "q192_xml_roundtrip" -> (q192 _),
     "q190_hist_quantiles" -> (q190 _),
     // q203 rows-only like q120: k-means cells are not SQL-recomputable
-    "q203_pq_index_drift" -> (q203 _))
+    "q203_pq_index_drift" -> (q203 _),
+    "q204_diff_index_maintenance" -> (q204 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
 
@@ -1851,5 +1935,6 @@ object Pipeline {
     "q171_index_delete" -> q171Sql,
     "q172_hybrid_retrieval" -> q172Sql,
     "q173_index_compaction" -> q173Sql,
-    "q174_retrieval_eval" -> q174Sql)
+    "q174_retrieval_eval" -> q174Sql,
+    "q204_diff_index_maintenance" -> q204Sql)
 }

@@ -764,6 +764,20 @@ object EventStreams {
                  ts: String, outDir: String,
                  checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail fast on name collisions (ADVICE r9) — at start(), not deep
+    // inside a micro-batch where the error surfaces as a stream crash:
+    // `batch` is the output's partition column, and any shared
+    // event/dimension attribute would make the left join ambiguous
+    require(!events.columns.contains("batch"),
+      "scd2Enrich writes a 'batch' partition column; the event stream " +
+        "already has one — rename it upstream")
+    val dimCols =
+      events.sparkSession.read.parquet(dimDir).columns.toSet
+    val clash = events.columns.toSet.intersect(dimCols) - key
+    require(clash.isEmpty,
+      s"scd2Enrich: event and dimension share non-key columns " +
+        s"${clash.toSeq.sorted.mkString(", ")} — alias the dimension " +
+        "attributes (or the event columns) before enriching")
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -172,4 +172,23 @@ class SketchesSpec extends SparkTestBase {
       .agg(sum(col("c"))).head().getLong(0)
     assert(tot == li.count())
   }
+
+  test("degenerate frame (constant column): the one-ulp widening degrades to a one-bin histogram, quantiles read back the constant") {
+    // the q190 guard (ADVICE r9): hi == lo would trip writeHistShards'
+    // contract; widening hi by one ulp puts every value in bin 0 and
+    // every quantile estimate within one (sub-ulp) bin of the constant
+    val const = spark.range(0, 100)
+      .select(col("id").as("k"), lit(42.5).as("v"))
+    val lo = 42.5
+    val hi = Math.nextUp(lo)
+    val dir = graft.TempRoots.path("hist_spec_degenerate")
+    Sketches.writeHistShards(const, dir, col("v"),
+      pmod(col("k"), lit(4L)), lo, hi, nBins = 64)
+    val got = Sketches.histQuantiles(spark, dir, lo, hi, nBins = 64,
+      ps = Seq(0.5, 0.99)).collect()
+      .map(r => r.getAs[Double]("p") -> r.getAs[Double]("est")).toMap
+    got.values.foreach(v => assert(math.abs(v - 42.5) <= 1e-9, got))
+    // and no row was lost on the way in
+    assert(spark.read.parquet(dir).agg(sum(col("c"))).head().getLong(0) == 100L)
+  }
 }

@@ -493,6 +493,15 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q178: PMI reads the documents table exactly once (single-scan emit)") {
+    val p = plan("q178_pmi_collocations")
+    // formatted-mode detail headers: one "(n) Scan parquet" per scan
+    // node — documents is the only table q178 touches
+    val scans = p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"want 1 parquet scan node, got $scans:\n$p")
+  }
+
   test("q189: every FD pair aggregates partial+final; no join anywhere") {
     val p = plan("q189_fd_profile")
     assert(!p.contains("Join"), p)
