@@ -1624,18 +1624,35 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumRe = "[0-9]{9,}"
 
-  /** PII / denylist scrubbing: counts each pattern family and emits
-    * the redacted text plus its fingerprint. Pure per-row regexp
-    * projections (codegen'd, zero shuffle) — the shape of a real
-    * pre-training scrub pass at 100 TB. */
-  def piiScrub(docs: DataFrame, denyTerms: Seq[String] = Seq("spark")): DataFrame = {
+  /** Optional extension battery for [[piiScrub]] — (name, regex,
+    * replacement token) triples in the same Java∩RE2 portable dialect
+    * (char classes, bounded repetition, `\b`, `\d` — no
+    * backreferences, no lookaround): IPv4 addresses and international
+    * phone numbers, the next two classes a C4/RefinedWeb-style
+    * release scrub redacts after emails. Applied AFTER the email/
+    * digit-run passes (an email's domain can contain ip-shaped digit
+    * runs; the earlier passes must win) and before the denylist. */
+  val ExtraPiiPatterns: Seq[(String, String, String)] = Seq(
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phone", """\+\d{1,2}-\d{3}-\d{4}""", "<PHONE>"))
+
+  /** PII / denylist scrubbing: counts each pattern family (on the
+    * ORIGINAL text) and emits the redacted text plus its fingerprint.
+    * Pure per-row regexp projections (codegen'd, zero shuffle) — the
+    * shape of a real pre-training scrub pass at 100 TB. `extras`
+    * (e.g. [[ExtraPiiPatterns]]) appends one `n_<name>` count column
+    * per pattern and folds its redactions between the digit-run pass
+    * and the denylist; policy is data, the plan shape never changes. */
+  def piiScrub(docs: DataFrame, denyTerms: Seq[String] = Seq("spark"),
+               extras: Seq[(String, String, String)] = Seq.empty): DataFrame = {
     // empty denylist would build \b()\b, which matches the empty string
     // at every word boundary and sprays <TERM> through the text
     // (ADVICE r3) — skip the denylist stage entirely instead
-    val base =
+    val base = extras.foldLeft(
       regexp_replace(
         regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-        LongNumRe, "<NUM>")
+        LongNumRe, "<NUM>")) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok) }
     val (redacted, nDenied) =
       if (denyTerms.isEmpty) (base, lit(0L))
       else {
@@ -1644,14 +1661,16 @@ object TextOps {
         (regexp_replace(base, denyRe, "<TERM>"),
           regexp_count(col("text"), lit(denyRe)).cast("bigint"))
       }
+    val extraCounts = extras.map { case (name, re, _) =>
+      regexp_count(col("text"), lit(re)).cast("bigint").as(s"n_$name") }
     // two-stage select: `redacted` feeds two outputs; as a named column
-    // the three-pass regex chain runs once per row (CollapseProject
-    // keeps non-cheap aliases used twice), not once per consumer
-    docs.select(col("doc_id"),
+    // the regex chain runs once per row (CollapseProject keeps
+    // non-cheap aliases used twice), not once per consumer
+    docs.select((Seq(col("doc_id"),
       regexp_count(col("text"), lit(EmailRe)).cast("bigint").as("n_emails"),
       regexp_count(col("text"), lit(LongNumRe)).cast("bigint").as("n_idnums"),
-      nDenied.as("n_denied"),
-      redacted.as("redacted"))
+      nDenied.as("n_denied")) ++ extraCounts :+
+      redacted.as("redacted")): _*)
       .withColumn("redacted_fp", md5(col("redacted")))
   }
 
@@ -1695,6 +1714,79 @@ object TextOps {
     round(least(qualityStopRatio * lit(5.0), lit(1.0)) * lit(0.6) +
       when(qualityMeanWordLen.between(QualityWordLenRange._1, QualityWordLenRange._2),
         lit(0.4)).otherwise(lit(0.0)), 4)
+
+  /** Gopher-style WITHIN-document repetition signals (Rae et al.
+    * 2021, "Scaling Language Models: Methods, Analysis & Insights
+    * from Training Gopher", App. A1.1) — the quality battery that
+    * catches degenerate, templated and loop-generated text that
+    * document-level dedup can't see (the doc is unique; its CONTENT
+    * repeats itself). Per document:
+    *   - `distinct_frac`  — type-token ratio (distinct words / words);
+    *   - `top_word_frac`  — share of the single most frequent word;
+    *   - `top_2gram_frac` — share of bigram slots held by the most
+    *     frequent word bigram;
+    *   - `dup_5gram_frac` — fraction of word POSITIONS covered by a
+    *     5-gram occurring more than once in the doc (the coverage
+    *     union, [[stripBoilerplate]]'s span marking turned inward).
+    * A training filter thresholds these (Gopher drops e.g.
+    * dup-5-gram-char-frac > 0.15); the signals are emitted raw so the
+    * cutoffs stay policy, not code.
+    *
+    * Every stage is a (doc_id, token)-keyed aggregation over one
+    * exploded projection of one corpus scan — keyed shuffles only,
+    * nothing all-pairs, per-doc state bounded by doc length: the
+    * shape holds at 100 TB. Shares in counts need no argmax tiebreak
+    * (only the max count matters), so the whole report is exactly
+    * SQL-reproducible; grams compare as xxhash64 on the Spark side vs
+    * raw strings in the oracle (the q51-proven equivalence). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    // four consumers (words, bigrams, 5-grams, final frame) — cache
+    // the split once; persist (shallow lineage) per the r9 convention
+    val base = docs
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val words = base.select(col("doc_id"), explode(col("ws")).as("w"))
+    val wstats = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nd"), max(col("c")).as("topw"))
+    // sequences index with size() (INT): element_at/slice require an
+    // INT position and a BIGINT-typed lambda var fails analysis
+    val bigrams = base.where(col("nw") >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => xxhash64(concat_ws(" ",
+          element_at(col("ws"), i + lit(1)),
+          element_at(col("ws"), i + lit(2)))))).as("g"))
+    val top2 = bigrams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    val g5 = base.where(col("nw") >= 5)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - 5),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i + lit(1), lit(5))))))
+        .as(Seq("pos", "g")))
+    val dup = g5.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c")).where(col("c") >= 2)
+      .select(col("doc_id"), col("g"))
+    val covered = g5.join(dup, Seq("doc_id", "g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(4))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+    base.select(col("doc_id"), col("nw"))
+      .join(wstats, Seq("doc_id"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_words"),
+        round(col("nd").cast("double") / col("nw"), 4).as("distinct_frac"),
+        round(col("topw").cast("double") / col("nw"), 4).as("top_word_frac"),
+        round(coalesce(col("top2"), lit(0L)).cast("double") /
+          greatest(col("nw") - 1, lit(1L)), 4).as("top_2gram_frac"),
+        round(coalesce(col("cov"), lit(0L)).cast("double") / col("nw"), 4)
+          .as("dup_5gram_frac"))
+  }
 
   /** The cheap clamped length signal least(n_words/256, cap) shared by
     * q179's AUC evaluation and [[isotonicCalibration]] — ONE spelling

@@ -1612,6 +1612,53 @@ object VectorOps {
     } finally deleteDir(spark, staging)
   }
 
+  /** Embedding snapshot diff — [[graft.ops.TextOps.snapshotDiff]]'s
+    * vector twin (the change audit between two embedding-table
+    * snapshots: which vectors need re-indexing). One full outer join
+    * on vec_id comparing the embeddings element-wise in DOUBLE
+    * (Spark's array equality — both sides cast, so a float vs double
+    * storage difference never reads as a change):
+    * added / removed / changed / unchanged. One co-partitioned join;
+    * with both snapshots bucketed by vec_id on disk, zero shuffles. */
+  def vectorSnapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def side(df: DataFrame, s: String) =
+      df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as(s"e_$s"))
+    side(oldSnap, "old").join(side(newSnap, "new"), Seq("vec_id"), "full_outer")
+      .withColumn("status",
+        when(col("e_old").isNull, "added")
+          .when(col("e_new").isNull, "removed")
+          .when(col("e_old") =!= col("e_new"), "changed")
+          .otherwise("unchanged"))
+      .select(col("vec_id"), col("status"))
+  }
+
+  /** Diff-driven maintenance of a stored raw-layout IVF index — the
+    * vector twin of q204's inverted-index path (VERDICT r9 #4 closed
+    * on both stores): given the index built over the OLD snapshot and
+    * the [[vectorSnapshotDiff]] against the NEW one, delete
+    * removed ∪ changed ids, then append added ∪ changed new versions
+    * — an upsert per the delete+append contract, cost ∝ diff (touched
+    * cells only), the corpus never re-encodes. DELETE FIRST: append's
+    * immutable-id anti-join would silently drop a changed id still
+    * present. After this call the stored content equals a fresh build
+    * over the new snapshot UNDER THE OLD QUANTIZER (centroids are
+    * deliberately not retrained — [[indexDrift]] is the retrain
+    * signal); IvfIndexSpec pins content equality and search parity.
+    * No-op statuses ('unchanged') never touch the store. */
+  def maintainIvfIndex(spark: SparkSession, indexDir: String,
+                       newSnap: DataFrame, diff: DataFrame): Unit = {
+    val dead = diff.where(col("status").isin("removed", "changed"))
+      .select(col("vec_id"))
+    // deleteFromIvfIndex is a no-op for unmatched ids, so the gate is
+    // only to skip the maintenance scan entirely on an all-add diff
+    if (!dead.isEmpty) deleteFromIvfIndex(spark, indexDir, dead)
+    val upserts = newSnap.join(
+      diff.where(col("status").isin("added", "changed"))
+        .select(col("vec_id")), Seq("vec_id"))
+    if (!upserts.isEmpty) appendToIvfIndex(spark, indexDir, upserts)
+  }
+
   /** Centroid-drift audit of a stored raw-layout IVF index — the
     * rebuild trigger appends accumulate toward: centroids are trained
     * once at build time, every append assigns under them verbatim, so

@@ -1765,7 +1765,115 @@ object LlmQueries {
       |    AS padding_waste
       |FROM ranked GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
+  /** Gopher repetition-filter battery
+    * ([[graft.ops.TextOps.repetitionSignals]]): per-document
+    * type-token ratio, top word/bigram shares, and duplicated-5-gram
+    * position coverage — the within-document degeneracy signals a
+    * curation pass thresholds next to [[graft.ops.TextOps.qualityOk]]
+    * (which only sees length/stopword/word-shape). Fully oracled: the
+    * oracle recomputes every share from raw text, including the
+    * coverage union over duplicated 5-grams. */
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionSignals(Tables(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private val q205Sql =
+    """WITH b AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws,
+      |    len(string_split(coalesce(text, ''), ' ')) AS nw
+      |  FROM documents),
+      |w AS (SELECT doc_id, unnest(ws) AS w FROM b),
+      |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      |ws_ AS (SELECT doc_id, count(*) AS nd, max(c) AS topw
+      |  FROM wc GROUP BY doc_id),
+      |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      |  FROM b, unnest(range(1, nw)) AS t(i) WHERE nw >= 2),
+      |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+      |bgs AS (SELECT doc_id, max(c) AS top2 FROM bgc GROUP BY doc_id),
+      |g5 AS (SELECT doc_id, i AS pos,
+      |    array_to_string(list_slice(ws, i, i + 4), ' ') AS g
+      |  FROM b, unnest(range(1, nw - 3)) AS t(i) WHERE nw >= 5),
+      |dup AS (SELECT doc_id, g FROM g5
+      |  GROUP BY doc_id, g HAVING count(*) >= 2),
+      |cov AS (SELECT doc_id, count(*) AS cov FROM (
+      |    SELECT DISTINCT g5.doc_id, p
+      |    FROM g5 JOIN dup USING (doc_id, g),
+      |      unnest(range(g5.pos, g5.pos + 5)) AS u(p))
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
+      |  round(CAST(nd AS DOUBLE) / nw, 4) AS distinct_frac,
+      |  round(CAST(topw AS DOUBLE) / nw, 4) AS top_word_frac,
+      |  round(CAST(coalesce(top2, 0) AS DOUBLE)
+      |    / greatest(nw - 1, 1), 4) AS top_2gram_frac,
+      |  round(CAST(coalesce(cov, 0) AS DOUBLE) / nw, 4) AS dup_5gram_frac
+      |FROM b JOIN ws_ USING (doc_id)
+      |LEFT JOIN bgs USING (doc_id) LEFT JOIN cov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Extended PII scrub on PII-bearing text — q73 proves the
+    * scrubber's arithmetic but the raw corpus contains no real PII,
+    * so its counts barely leave zero; here every third document gains
+    * a synthesized contact block (email, 9-digit account number, IPv4,
+    * phone — all derived arithmetically from doc_id so the oracle
+    * rebuilds the identical text) and the scrub runs with the
+    * [[graft.ops.TextOps.ExtraPiiPatterns]] battery enabled. A green
+    * row proves detection of all five classes AND the byte-exact
+    * five-stage rewrite (email → digit-run → ip → phone → denylist,
+    * the order the operator contracts) — including that unscathed
+    * docs pass through untouched. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(coalesce(col("text"), lit("")),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com acct "),
+            lpad(col("doc_id").cast("string"), 9, "0"),
+            lit(" or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.2."), (col("doc_id") % 256).cast("string"),
+            lit(".7")))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+    TextOps.piiScrub(withPii, extras = TextOps.ExtraPiiPatterns)
+      .drop("redacted") // the fingerprint carries the proof
+      .orderBy(col("doc_id"))
+  }
+
+  private val q207Sql =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')
+      |        || ' contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@mail.example.com acct '
+      |        || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+      |        || ' or +1-555-'
+      |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |        || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+      |      ELSE coalesce(text, '') END AS t
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{9,}', '<NUM>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |      '\b(\Qspark\E)\b', '<TERM>', 'g') AS redacted,
+      |    CAST(len(regexp_extract_all(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(t, '[0-9]{9,}')) AS BIGINT) AS n_idnums,
+      |    CAST(len(regexp_extract_all(t, '\b(\Qspark\E)\b')) AS BIGINT) AS n_denied,
+      |    CAST(len(regexp_extract_all(t,
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |    CAST(len(regexp_extract_all(t,
+      |      '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone
+      |  FROM p)
+      |SELECT doc_id, n_emails, n_idnums, n_denied, n_ipv4, n_phone,
+      |  md5(redacted) AS redacted_fp
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_repetition_signals" -> (q205 _),
+    "q207_pii_scrub" -> (q207 _),
     "q186_jl_recall" -> (q186 _),
     "q187_normalized_dedup" -> (q187 _),
     "q195_embedding_dim_audit" -> (q195 _),
@@ -1834,6 +1942,8 @@ object LlmQueries {
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
+    "q205_repetition_signals" -> q205Sql,
+    "q207_pii_scrub" -> q207Sql,
     "q195_embedding_dim_audit" -> q195Sql,
     "q196_sorted_neighborhood" -> q196Sql,
     "q201_interleave_mix" -> q201Sql,

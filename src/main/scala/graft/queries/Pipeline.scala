@@ -687,6 +687,60 @@ object Pipeline {
     VectorOps.indexDrift(s, idx).orderBy(col("cell"))
   }
 
+  /** Diff-driven ANN-index maintenance
+    * ([[graft.ops.VectorOps.maintainIvfIndex]]) — q204's vector twin:
+    * the [[graft.ops.VectorOps.vectorSnapshotDiff]] between an old
+    * and a new embedding snapshot drives delete (removed ∪ changed) +
+    * append (added ∪ changed), so the index follows the corpus
+    * touching only diff-sized inputs. FULLY ORACLED despite the
+    * k-means cells: the query probes exhaustively (nProbe == nCells ⇒
+    * recall 1, spec-pinned) and reported cosines are exact, so top-k
+    * over the maintained index must hash-match DuckDB's brute-force
+    * cosine top-k over the new snapshot — any resurrected, lost or
+    * stale vector flips a row. Queries are the vec_ids the new
+    * snapshot dropped (disjoint from the corpus by construction);
+    * changed vectors perturb in DOUBLE on both engines (a float-side
+    * add would diverge bitwise). */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.TempRoots.path(
+      s"diffivf_${Integer.toHexString(dir.hashCode)}")
+    val newSnap = e.where(col("vec_id") % 7 =!= 6)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding").cast("array<double>"), x => x + lit(0.25d)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+    if (!new java.io.File(s"$idx/centroids").exists()) {
+      val oldSnap = e.where(col("vec_id") % 5 =!= 4)
+      VectorOps.buildIvfIndex(oldSnap, idx, nCells = 16)
+      val diff = VectorOps.vectorSnapshotDiff(oldSnap, newSnap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      VectorOps.maintainIvfIndex(s, idx, newSnap, diff)
+      diff.unpersist(blocking = false)
+    }
+    VectorOps.storedIndexTopK(s, idx,
+        e.where(col("vec_id") % 7 === 6), k = 3, nProbe = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q206Sql =
+    """WITH ns AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 11 = 0
+      |         THEN list_transform(embedding::DOUBLE[], x -> x + 0.25)
+      |         ELSE embedding::DOUBLE[] END AS v
+      |  FROM embeddings WHERE vec_id % 7 <> 6),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 7 = 6),
+      |sc AS (SELECT query_id, ns.vec_id,
+      |    round(list_cosine_similarity(qv, v), 4) AS cos
+      |  FROM q CROSS JOIN ns),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM sc)
+      |SELECT query_id, vec_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Small-file compaction round-trip: fragment the documents table
     * into 64 tiny parquet files (the shape a streaming ingest leaves
     * behind), compact to range-clustered files
@@ -1888,7 +1942,8 @@ object Pipeline {
     "q190_hist_quantiles" -> (q190 _),
     // q203 rows-only like q120: k-means cells are not SQL-recomputable
     "q203_pq_index_drift" -> (q203 _),
-    "q204_diff_index_maintenance" -> (q204 _))
+    "q204_diff_index_maintenance" -> (q204 _),
+    "q206_diff_ivf_maintenance" -> (q206 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
 
@@ -1936,5 +1991,6 @@ object Pipeline {
     "q172_hybrid_retrieval" -> q172Sql,
     "q173_index_compaction" -> q173Sql,
     "q174_retrieval_eval" -> q174Sql,
-    "q204_diff_index_maintenance" -> q204Sql)
+    "q204_diff_index_maintenance" -> q204Sql,
+    "q206_diff_ivf_maintenance" -> q206Sql)
 }

@@ -454,6 +454,66 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(s"$idx/_maintenance/pending_removes")))
   }
 
+  test("diff-driven maintenance: store follows the new snapshot exactly, replays as a no-op, serves brute-force-equal top-k") {
+    val idx = graft.TempRoots.path("ivfidx_spec_diffmaint")
+    // old snapshot = ids 0..59; new snapshot drops %7==2, perturbs
+    // %5==0 (in DOUBLE), and gains 60..79 — all four statuses occur
+    val newSnap = all.where(col("vec_id") % 7 =!= 2)
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0,
+          transform(col("embedding").cast("array<double>"), x => x + lit(0.3d)))
+          .otherwise(col("embedding").cast("array<double>")).as("embedding"))
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+    val diff = VectorOps.vectorSnapshotDiff(corpus, newSnap)
+    val byStatus = diff.groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(byStatus.keySet), byStatus)
+    VectorOps.maintainIvfIndex(spark, idx, newSnap, diff)
+
+    def storedContent = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("v").toSeq).toMap
+    val expect = newSnap.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("embedding").toSeq).toMap
+    val got1 = storedContent
+    assert(got1 == expect,
+      s"missing=${expect.keySet -- got1.keySet} extra=${got1.keySet -- expect.keySet}")
+
+    // replaying the same maintenance converges to identical content
+    // (delete re-matches the changed ids' NEW rows, append restores)
+    VectorOps.maintainIvfIndex(spark, idx, newSnap, diff)
+    assert(storedContent == expect)
+
+    // exhaustive-probe serving off the maintained store == brute
+    // force over the new snapshot (the q206 oracle's claim)
+    val byId = expect
+    val queries = all.where(col("vec_id") % 7 === 2)
+    val qIds = queries.collect().map(_.getLong(0))
+    val qVecs = queries.collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)
+      .toMap
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = qIds.flatMap { q =>
+      byId.toSeq.map { case (id, v) => (q, id, r4(cosD(qVecs(q), v))) }
+        .sortBy { case (_, id, c) => (-c, id) }.take(3)
+        .zipWithIndex.map { case ((qq, id, c), i) => (qq, id, c, i + 1) }
+    }.toSet
+    val got = VectorOps.storedIndexTopK(spark, idx, queries, k = 3,
+        nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("indexDrift on a codes-only PQ store: reconstruction-space ratio flags drift, stays ~1 in-distribution") {
     // drifted append: every dimension shifted by +3 (the raw-layout
     // test's synthetic drift) — appended cells must read well above 1
