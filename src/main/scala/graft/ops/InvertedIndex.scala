@@ -152,9 +152,22 @@ object InvertedIndex {
       "positions ARRAY<INT>, bucket INT, seg INT"
   private val tombstoneSchema = "doc_id BIGINT, batch INT"
 
+  // Hadoop FS, not java.io: the index root may live on HDFS/S3 — a
+  // local-File existence probe would silently report "no tombstones"
+  // there and serve deleted docs (cluster-readiness, r10 sweep)
+  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   private def tombstones(spark: SparkSession,
                          indexDir: String): Option[DataFrame] =
-    if (new java.io.File(s"$indexDir/tombstones").exists())
+    if (pathExists(spark, s"$indexDir/tombstones"))
       Some(spark.read.schema(tombstoneSchema)
         .parquet(s"$indexDir/tombstones")
         .select(col("doc_id")).distinct())
@@ -292,10 +305,8 @@ object InvertedIndex {
       .withColumn("seg", lit(0))
       .write.mode("overwrite").partitionBy("seg")
       .parquet(s"$indexDir/meta")
-    graft.TempRoots.deleteRecursively(
-      java.nio.file.Paths.get(staging))
-    graft.TempRoots.deleteRecursively(
-      java.nio.file.Paths.get(s"$indexDir/tombstones"))
+    deleteDir(spark, staging)
+    deleteDir(spark, s"$indexDir/tombstones")
   }
 
   /** Character-trigram substring index — the grep / pg_trgm-style

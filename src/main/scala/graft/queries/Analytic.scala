@@ -1528,7 +1528,114 @@ object Analytic {
        |FROM g, t ORDER BY digit""".stripMargin
   }
 
+  /** Weekly cohort retention — the canonical product-analytics grid
+    * (users cohorted by first-seen ISO week × activity-week offset,
+    * retention = active / cohort size). Three keyed shuffles, all on
+    * bounded dimensions: the first-seen table is USER-sized (≪ events
+    * at any scale — the natural dimension a warehouse materializes),
+    * the distinct (user, week) activity table is user×weeks-sized,
+    * and the final grid is weeks², driver-screen-sized. Active counts
+    * are plain count(*) over the already-distinct activity rows —
+    * no countDistinct re-shuffle. Both engines truncate weeks to ISO
+    * Monday and the day-difference is an exact multiple of 7, so the
+    * offset arithmetic is integer-exact; fully oracled. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.queries.Tables(s, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val grid = activity.join(first, Seq("user_id"))
+      .groupBy(col("cw"),
+        (datediff(col("wk"), col("cw")) / 7).cast("bigint").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+    grid.join(sizes, Seq("cw"))
+      // rendered as a yyyy-MM-dd string: a DATE output column crosses
+      // the driver's pandas compare as date-object vs datetime64
+      // (dtype-kind mismatch) — the decimal-as-double lesson applied
+      // to dates
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"),
+        col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 4)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val q208Sql =
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      |  FROM events),
+      |g AS (SELECT cw,
+      |    CAST(date_diff('day', cw, wk) / 7 AS BIGINT) AS week_offset,
+      |    count(*) AS n_active
+      |  FROM a JOIN f USING (user_id) GROUP BY cw, week_offset),
+      |c AS (SELECT cw, count(*) AS n_cohort FROM f GROUP BY cw)
+      |SELECT strftime(g.cw, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
+      |  n_cohort,
+      |  round(CAST(n_active AS DOUBLE) / n_cohort, 4) AS retention
+      |FROM g JOIN c USING (cw)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Ordered conversion funnel view → click → purchase: a user
+    * reaches stage k only via an event strictly AFTER their stage-k−1
+    * time (the order requirement is what separates a funnel from
+    * three independent counts). Stage tables chain by conditional
+    * min: user-sized frames after the first aggregate, each stage one
+    * keyed join + aggregate; the three event scans each push their
+    * event_type filter into the parquet scan, so at 100 TB every
+    * stage reads only its own slice. Final report is 3 rows. Fully
+    * oracled — identical conditional-min chain in SQL. */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.queries.Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.where(col("event_type") === "click")
+      .join(t1, Seq("user_id")).where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n = t1.agg(count(lit(1)).as("n1"))
+      .crossJoin(t2.agg(count(lit(1)).as("n2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n3")))
+    n.select(expr(
+      """stack(3,
+        |'1_view', n1, CAST(NULL AS DOUBLE),
+        |'2_click', n2, round(CAST(n2 AS DOUBLE) / n1, 4),
+        |'3_purchase', n3, round(CAST(n3 AS DOUBLE) / n2, 4))
+        |AS (stage, n_users, conversion)""".stripMargin))
+      .orderBy(col("stage"))
+  }
+
+  private val q209Sql =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+      |  JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+      |  JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+      |n AS (SELECT (SELECT count(*) FROM t1) AS n1,
+      |  (SELECT count(*) FROM t2) AS n2,
+      |  (SELECT count(*) FROM t3) AS n3)
+      |SELECT stage, n_users, conversion FROM (
+      |  SELECT '1_view' AS stage, n1 AS n_users,
+      |    CAST(NULL AS DOUBLE) AS conversion FROM n
+      |  UNION ALL SELECT '2_click', n2,
+      |    round(CAST(n2 AS DOUBLE) / n1, 4) FROM n
+      |  UNION ALL SELECT '3_purchase', n3,
+      |    round(CAST(n3 AS DOUBLE) / n2, 4) FROM n)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_cohort_retention" -> (q208 _),
+    "q209_funnel_conversion" -> (q209 _),
     "q188_join_size_estimate" -> (q188 _),
     "q189_fd_profile" -> (q189 _),
     "q191_event_paths" -> (q191 _),
@@ -1567,6 +1674,8 @@ object Analytic {
   // AnalyticSpec pins the CMS bound + layout determinism
 
   val oracle: Map[String, String] = Map(
+    "q208_cohort_retention" -> q208Sql,
+    "q209_funnel_conversion" -> q209Sql,
     "q189_fd_profile" -> q189Sql,
     "q191_event_paths" -> q191Sql,
     "q194_corr_matrix" -> q194Sql,
