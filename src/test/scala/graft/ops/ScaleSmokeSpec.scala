@@ -392,6 +392,29 @@ class ScaleSmokeSpec extends SparkTestBase {
     }
   }
 
+  test("repetition signals at 10x: linear time, per-copy rows verbatim", graft.Slow) {
+    // every signal is WITHIN-document, so replication must reproduce
+    // each original's row verbatim on every copy — any cross-doc
+    // leakage (a df-keyed join sneaking in) or super-linear candidate
+    // path breaks one of the two assertions
+    val base = graft.queries.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs10 = replicate(base, "scale10_repsig")
+    def run(d: DataFrame) = TextOps.repetitionSignals(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("distinct_frac"),
+          r.getAs[Double]("top_word_frac"), r.getAs[Double]("top_2gram_frac"),
+          r.getAs[Double]("dup_5gram_frac")))
+    run(base) // warmup
+    val (out1, t1) = timed(run(base))
+    val (out10, t10) = timed(run(docs10))
+    assertLinear("repetitionSignals", t1, t10)
+    assert(out10.length == 10 * out1.length)
+    val by1 = out1.toMap
+    out10.foreach { case (id, sig) =>
+      assert(by1(id % CopyOffset) == sig, s"doc $id drifted: $sig") }
+  }
+
   test("sorted-neighborhood at 10x: linear time, per-doc candidate cap holds", graft.Slow) {
     // identical copies SORT ADJACENTLY inside blocks, so cross-copy
     // pairs legitimately appear — the structural guarantee is the
