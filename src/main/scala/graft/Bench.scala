@@ -83,6 +83,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val times = (1 to passes).map { _ =>
         val r = timed(fn)
+        spark.catalog.clearCache() // see suite loop
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         r
@@ -112,6 +113,13 @@ object Bench {
       // long-running cluster job never carries a previous job's blocks;
       // drop them explicitly so each query is timed in the steady state
       // it would actually run in.
+      // clearCache FIRST: persist()-based query caches (the r10
+      // fault-tolerance sweep) register in the CacheManager, which a
+      // bare RDD unpersist does not deregister — 200 queries of stale
+      // entries then plan-match every later query ("Asked to cache
+      // already cached data" churn) and inflate the suite-context
+      // times the way the r5 block leak did.
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       // the unpersist only DROPS references; the ContextCleaner frees

@@ -34,7 +34,12 @@ object Verify {
       }
       // free blocks pinned by eager checkpoints inside the query just
       // written — dead now, but the context cleaner only reclaims them
-      // after a driver GC (see Bench for the measured effect)
+      // after a driver GC (see Bench for the measured effect).
+      // clearCache FIRST: the r10 persist() sweep registers query
+      // caches in the CacheManager, which a bare RDD unpersist does
+      // not deregister — stale entries then plan-match later queries
+      // and force recompute-into-cache churn
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions.col
 
 /** Shared CLI plumbing: session construction and document reading
   * (both CLIs mirror the reference launchers' file handling —
-  * JsonSchemaFinder.java:233-238 / JsonShredder.java:95-100). */
-private[cli] object CliSession {
+  * JsonSchemaFinder.java:233-238 / JsonShredder.java:95-100).
+  * `private[graft]`: the graftjson DSv2 source reuses [[readDocs]]
+  * for its planning-time inference pass. */
+private[graft] object CliSession {
 
   def build(appName: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -56,18 +56,24 @@ object Materialize {
     val rowShaped = toMaterializableSparkType(inferred).isInstanceOf[StructType]
     val width = schema.length
     implicit val enc = RowEncoder.encoderFor(schema)
-    docs.map { doc =>
-      val node =
-        try mapper.readTree(if (doc == null || doc.isEmpty) "null" else doc)
-        catch { case _: Exception => null }
-      if (rowShaped) convert(node, t) match {
-        // corrupt / non-object / null doc: an all-null row, never a
-        // null top-level Row (RowEncoder rejects those → job death)
-        case r: Row => r
-        case _ => Row.fromSeq(Seq.fill(width)(null))
-      }
-      else Row(convert(node, t))
+    docs.map(docToRow(_, t, rowShaped, width))
+  }
+
+  /** One document string → one external Row under `t` — the map body
+    * of [[materialize]], shared with the graftjson DSv2 reader so the
+    * source cannot drift from the operator. Corrupt / non-object /
+    * null docs become an all-null row for struct-shaped roots (never
+    * a null top-level Row — RowEncoder rejects those → job death). */
+  private[graft] def docToRow(doc: String, t: HType, rowShaped: Boolean,
+                              width: Int): Row = {
+    val node =
+      try mapper.readTree(if (doc == null || doc.isEmpty) "null" else doc)
+      catch { case _: Exception => null }
+    if (rowShaped) convert(node, t) match {
+      case r: Row => r
+      case _ => Row.fromSeq(Seq.fill(width)(null))
     }
+    else Row(convert(node, t))
   }
 
   /** Convert one Jackson node to the JVM value Spark's RowEncoder

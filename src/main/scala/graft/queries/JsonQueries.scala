@@ -271,7 +271,39 @@ object JsonQueries {
       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY etype""".stripMargin
 
+  /** The graftjson DSv2 source end to end
+    * ([[graft.sources.JsonDocSource]]): export the documents table as
+    * JSONL, read it back through `format("graftjson")` — schema comes
+    * from the reference's inference run AT PLANNING, rows materialize
+    * through the shared [[graft.infer.Materialize]] conversion, and
+    * the per-(lang, source) aggregate proves the whole loop lossless
+    * against the parquet original. JSON writers omit null fields, so
+    * a null text arrives as a missing key and must STILL materialize
+    * as a SQL null for the sums to match — the oracle checks that
+    * too. Column pruning into the custom scan is pinned in
+    * JsonDocSourceSpec. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q210_${Integer.toHexString(dir.hashCode)}")
+    val docs = Tables(s, dir, "documents")
+    if (!new java.io.File(out).exists())
+      docs.repartition(4).write.mode("overwrite").json(out)
+    s.read.format("graftjson").load(out)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"),
+        sum(length(col("text")).cast("bigint")).as("sum_text_len"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q210Sql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_graftjson_source" -> (q210 _),
     "q200_variant_shred" -> (q200 _),
     "q144_jsonl_roundtrip" -> (q144 _),
     "q39_asof_join" -> (q39 _),
@@ -284,6 +316,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q210_graftjson_source" -> q210Sql,
     "q200_variant_shred" -> q200Sql,
     "q144_jsonl_roundtrip" -> q144Sql,
     "q39_asof_join" -> q39Sql,

@@ -1,0 +1,252 @@
+package graft.sources
+
+import graft.infer.{InferSchema, InferSchemaCountAgg, Materialize}
+import graft.types.HType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.Row
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** `spark.read.format("graftjson")` — the reference's schema-inference
+  * semantics packaged as a native DataSource V2 table, the missing
+  * end-user surface of the infer → materialize loop (reference
+  * `JsonSchemaFinder` discovers the shape offline and PRINTS it; here
+  * the discovered shape IS the table schema and the documents
+  * materialize as typed rows, union fields included — `from_json`
+  * cannot do that, SURVEY §1.4).
+  *
+  * Planning: one distributed inference pass over the files (the CLI's
+  * [[graft.infer.InferSchemaCountAgg]] aggregation — tiny partial
+  * schemas, one combine; the HType result is KBs and rides into every
+  * read task). Execution: one input partition per file, each a plain
+  * Hadoop line/whole-file read (`.gz` via the codec factory) feeding
+  * [[graft.infer.Materialize.docToRow]] — the SAME conversion the
+  * materialize operator runs, so source and operator cannot drift.
+  *
+  * Column pruning is REAL pushdown ([[SupportsPushDownRequiredColumns]]):
+  * a pruned scan converts only the requested top-level fields and
+  * ships exactly the pruned row width (the parser still walks each
+  * document once — the format is row-major text; skipping bytes
+  * within a doc is a storage-format property JSON does not have).
+  *
+  * Options: `whole=true` reads each FILE as one document unit (the
+  * CLI's `--whole` parity mode); default is NDJSON, one row per line.
+  * At 100 TB the NDJSON path parallelizes per file here — a
+  * production source would add byte-range splits within files; the
+  * shape of the interface (inference at planning, pruned typed reads)
+  * is the point.
+  *
+  * Caveat shared with every self-describing text source (CSV/JSON
+  * with inferSchema): planning runs a Spark job over the data. Reuse
+  * the table handle rather than re-`load`ing per query, or persist
+  * the materialized frame. */
+class JsonDocSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graftjson"
+
+  // accepted so a caller can round-trip .schema(df.schema) — but the
+  // table build still verifies it IS the inferred schema (getTable)
+  override def supportsExternalMetadata(): Boolean = true
+
+  // inferSchema and getTable are separate calls on one provider
+  // instance — cache the (paths, whole) → HType so the table build
+  // does not pay a second inference job
+  @volatile private var cached: Option[((Seq[String], Boolean), HType)] = None
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map { js =>
+      // DataFrameReader.load(paths: _*) encodes the list as a JSON
+      // array of strings
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readTree(js).elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Seq.empty)
+    val single = Option(options.get("path")).toSeq
+    val all = (multi ++ single).distinct
+    require(all.nonEmpty, "graftjson: no path given (use .load(path))")
+    all
+  }
+
+  private def inferHType(ps: Seq[String], whole: Boolean): HType = {
+    cached match {
+      case Some((k, t)) if k == (ps, whole) => t
+      case _ =>
+        val spark = SparkSession.active
+        val docs = graft.cli.CliSession.readDocs(spark, ps, whole,
+          announceTo = new java.io.PrintStream(
+            java.io.OutputStream.nullOutputStream()))
+        val (t, _) = docs.select(new InferSchemaCountAgg().toColumn).head()
+        val canon = t.canonical
+        cached = Some(((ps, whole), canon))
+        canon
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonDocSource.sparkSchemaOf(
+      inferHType(paths(options), options.getBoolean("whole", false)))
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val whole = options.getBoolean("whole", false)
+    val ps = paths(options)
+    val t = inferHType(ps, whole)
+    val inferred = JsonDocSource.sparkSchemaOf(t)
+    // a user-supplied schema must BE the inferred one: the reader
+    // converts through the HType tree (unions and all), and a
+    // StructType cannot be mapped back to an HType unambiguously
+    require(schema == inferred,
+      s"graftjson: user schema must match the inferred schema\n" +
+        s"  given:    ${schema.simpleString}\n" +
+        s"  inferred: ${inferred.simpleString}")
+    new JsonDocTable(ps, whole, t, inferred)
+  }
+}
+
+private[sources] object JsonDocSource {
+  def sparkSchemaOf(t: HType): StructType =
+    Materialize.toMaterializableSparkType(t) match {
+      case s: StructType => s
+      case other => StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", other, nullable = true)))
+    }
+
+  /** Expand dirs and globs to concrete data files (non-hidden). */
+  def listFiles(spark: SparkSession, ps: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    ps.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      val expanded = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(path))
+      expanded.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.filterNot { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      name.startsWith("_") || name.startsWith(".")
+    }.sorted
+  }
+}
+
+private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
+                           schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftjson(${ps.mkString(",")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonDocScanBuilder(ps, whole, t, schema)
+}
+
+private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
+                                 full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands the pruned TOP-LEVEL projection (field order
+    // preserved); nested pruning stays a conversion concern
+    required = requiredSchema
+  override def build(): Scan =
+    new JsonDocScan(ps, whole, t, full, required)
+}
+
+private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
+                          full: StructType, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    JsonDocSource.listFiles(SparkSession.active, ps)
+      .map(JsonDocPartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required)
+}
+
+private case class JsonDocPartition(path: String) extends InputPartition
+
+private case class JsonDocReaderFactory(whole: Boolean, t: HType,
+                                        fullNames: Seq[String],
+                                        required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonDocReader(p.asInstanceOf[JsonDocPartition].path, whole, t,
+      fullNames, required)
+}
+
+/** Per-file reader: Hadoop open (+ codec for `.gz`), line or
+  * whole-file units, [[Materialize.docToRow]] conversion, top-level
+  * projection to the pruned schema, Catalyst serialization. */
+private class JsonDocReader(path: String, whole: Boolean, t: HType,
+                            fullNames: Seq[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new org.apache.hadoop.fs.Path(path)
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val fs = hPath.getFileSystem(conf)
+  private val raw: java.io.InputStream = {
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      .getCodec(hPath)
+    val in = fs.open(hPath)
+    if (codec == null) in else codec.createInputStream(in)
+  }
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(raw, java.nio.charset.StandardCharsets.UTF_8))
+
+  private val rowShaped =
+    Materialize.toMaterializableSparkType(t)
+      .isInstanceOf[StructType]
+  private val width = fullNames.length
+  // pruned projection: index of each required field in the full row
+  private val idx: Array[Int] =
+    required.fieldNames.map(n => fullNames.indexOf(n))
+  private val toInternal =
+    ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
+
+  private var current: InternalRow = _
+  private var wholeDone = false
+
+  override def next(): Boolean = {
+    val doc =
+      if (whole) {
+        if (wholeDone) null
+        else {
+          wholeDone = true
+          val sb = new StringBuilder
+          var line = reader.readLine()
+          while (line != null) {
+            sb.append(line).append('\n'); line = reader.readLine()
+          }
+          sb.toString()
+        }
+      } else reader.readLine()
+    if (doc == null) { current = null; false }
+    else {
+      val row = Materialize.docToRow(doc, t, rowShaped, width)
+      val pruned = Row.fromSeq(idx.toSeq.map(i =>
+        if (i >= 0) row.get(i) else null))
+      // copy: the encoder's serializer reuses its UnsafeRow buffer
+      current = toInternal(pruned).copy()
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

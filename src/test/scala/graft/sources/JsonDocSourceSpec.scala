@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.infer.{InferSchemaCountAgg, Materialize}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The graftjson DSv2 source: schema == distributed inference,
+  * rows == Materialize (shared conversion), real column pruning into
+  * the scan, .gz + whole-file modes, and the user-schema contract. */
+class JsonDocSourceSpec extends SparkTestBase {
+
+  private def writeFixture(name: String): String = {
+    val dir = new java.io.File(graft.TempRoots.path(name))
+    dir.mkdirs()
+    val a = new java.io.PrintWriter(new java.io.File(dir, "a.json"))
+    a.println("""{"id": 1, "name": "alpha", "score": 3.5}""")
+    a.println("""{"id": 2, "name": "beta", "tags": ["x", "y"]}""")
+    a.close()
+    val b = new java.io.PrintWriter(new java.io.File(dir, "b.json"))
+    // widen id, make score a union (double vs string), null name
+    b.println("""{"id": 40000, "name": null, "score": "high"}""")
+    b.close()
+    dir.toString
+  }
+
+  test("schema is the CLI inference's materializable schema; rows equal Materialize") {
+    import spark.implicits._
+    val dir = writeFixture("graftjson_basic")
+    val df = spark.read.format("graftjson").load(dir)
+    val docs = spark.read.textFile(s"$dir/*.json")
+    val (inferred, n) = docs.select(new InferSchemaCountAgg().toColumn).head()
+    assert(df.schema ==
+      JsonDocSource.sparkSchemaOf(inferred.canonical))
+    val viaSource = df.collect().map(_.toString).sorted.toSeq
+    val viaOperator = Materialize.materialize(docs, inferred.canonical)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSource == viaOperator)
+    assert(viaSource.length == n.toInt && n == 3L)
+  }
+
+  test("column pruning reaches the scan: readSchema is exactly the projection") {
+    val dir = writeFixture("graftjson_prune")
+    val df = spark.read.format("graftjson").load(dir).select(col("name"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSeq == Seq("name"),
+      s"scan did not prune: ${scans.head.simpleString}")
+    assert(df.collect().map(_.getString(0)).toSet == Set("alpha", "beta", null))
+  }
+
+  test("gz files decode transparently; whole mode reads one doc per file") {
+    val dir = new java.io.File(graft.TempRoots.path("graftjson_gz"))
+    dir.mkdirs()
+    val gz = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "c.json.gz"))))
+    gz.println("""{"id": 7, "name": "zip"}""")
+    gz.println("""{"id": 8, "name": "zap"}""")
+    gz.close()
+    val df = spark.read.format("graftjson").load(dir.toString)
+    assert(df.count() == 2L)
+    assert(df.select(col("name")).collect().map(_.getString(0)).toSet ==
+      Set("zip", "zap"))
+
+    // whole mode: a single pretty-printed doc spanning lines is ONE row
+    val wdir = new java.io.File(graft.TempRoots.path("graftjson_whole"))
+    wdir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(wdir, "d.json"))
+    w.println("{"); w.println("""  "id": 9,"""); w.println("""  "name": "multi"""")
+    w.println("}")
+    w.close()
+    val wdf = spark.read.format("graftjson").option("whole", "true")
+      .load(wdir.toString)
+    assert(wdf.count() == 1L)
+    assert(wdf.select(col("name")).head().getString(0) == "multi")
+  }
+
+  test("a user-supplied schema must match the inferred one (unions are not reconstructible)") {
+    val dir = writeFixture("graftjson_uschema")
+    val inferredSchema = spark.read.format("graftjson").load(dir).schema
+    // the exact inferred schema is accepted...
+    assert(spark.read.format("graftjson").schema(inferredSchema)
+      .load(dir).count() == 3L)
+    // ...anything else fails fast with both schemas in the message
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graftjson")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .load(dir).collect()
+    }
+    assert(err.getMessage.contains("inferred"))
+  }
+}
