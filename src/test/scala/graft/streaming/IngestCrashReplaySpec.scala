@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *      MemoryStream holds the data), let it replay batch 1;
   *   4. assert the store CONVERGED to the one-shot no-crash result.
   *
-  * Covers three distinct idempotence mechanisms: by-id merge (CDC),
-  * batchId-keyed shard overwrite (histogram store), batchId↔segId
-  * segment overwrite (inverted index). */
+  * Covers all five store ingests and their three distinct idempotence
+  * mechanisms: by-id merge (CDC), batchId-keyed shard overwrite
+  * (histogram + HLL sketch stores), batchId↔segId segment overwrite
+  * (inverted index), and the immutable-id anti-join (vector index). */
 class IngestCrashReplaySpec extends SparkTestBase {
 
   test("cdcIngest: a partially applied batch converges under replay (by-id merge idempotence)") {
@@ -111,6 +112,87 @@ class IngestCrashReplaySpec extends SparkTestBase {
     val est = graft.ops.Sketches.histQuantiles(spark, store, lo, hi,
       nBins, Seq(0.5)).head().getAs[Double]("est")
     assert(math.abs(est - 100.0) <= (hi - lo) / nBins + 1e-9)
+  }
+
+  test("sketchIngest: a partial batch HLL shard is replaced wholesale under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = graft.TempRoots.path("crash_hll_store")
+    val ckpt = graft.TempRoots.path("crash_hll_ckpt")
+
+    val mem = MemoryStream[(String, Long)]
+    def start() = EventStreams.sketchIngest(
+      mem.toDF().toDF("grp", "id"), store, col("grp"), col("id"),
+      checkpointDir = Some(ckpt))
+
+    mem.addData((0L until 200L).map(i => ("g" + (i % 2), i)): _*)
+    val q0 = start()
+    q0.processAllAvailable(); q0.stop()
+
+    // batch 1 = ids 200..399; the crash sketched only the first 50
+    // into batch 1's shard before dying
+    mem.addData((200L until 400L).map(i => ("g" + (i % 2), i)): _*)
+    graft.ops.Sketches.writeHllShards(
+      spark.createDataFrame((200L until 250L).map(i => ("g" + (i % 2), i)))
+        .toDF("grp", "id"),
+      store, lit("batch-000001"), col("grp"), col("id"))
+
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // converged: merged distinct over the store covers ALL 400 ids per
+    // group within the HLL envelope — a lost tail (ids 250..399) would
+    // read ~25% low, far outside lgK=12's ~3% 3-sigma bound
+    val est = graft.ops.Sketches.mergedDistinct(spark, store).collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_distinct_est")).toMap
+    for (g <- Seq("g0", "g1")) {
+      assert(math.abs(est(g) - 200.0) <= 0.1 * 200.0,
+        s"$g: ${est(g)} vs 200 true distinct")
+    }
+    // and the shard family is exactly the two batch shards
+    val shards = spark.read.parquet(store).select(col("shard")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(shards == Set("batch-000000", "batch-000001"))
+  }
+
+  test("vectorIndexIngest: a partially appended batch converges under replay (immutable-id anti-join)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = graft.TempRoots.path("crash_vec_store")
+    val ckpt = graft.TempRoots.path("crash_vec_ckpt")
+    val rnd = new scala.util.Random(31)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val corpus = spark.createDataFrame(vecs(0 until 40))
+      .toDF("vec_id", "embedding")
+    graft.ops.VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def start() = EventStreams.vectorIndexIngest(
+      mem.toDF().toDF("vec_id", "embedding"), idx, threshold = 1.01,
+      checkpointDir = Some(ckpt)) // threshold > 1: nothing flags as dup
+
+    val b0 = vecs(100 until 110)
+    mem.addData(b0: _*)
+    val q0 = start()
+    q0.processAllAvailable(); q0.stop()
+
+    // batch 1 = ids 200..219; the crash appended only the first 5
+    val b1 = vecs(200 until 220)
+    mem.addData(b1: _*)
+    graft.ops.VectorOps.appendToIvfIndex(spark, idx,
+      spark.createDataFrame(b1.take(5)).toDF("vec_id", "embedding"))
+
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // converged: every id present exactly once (the anti-join skipped
+    // the 5 already-appended rows instead of duplicating them)
+    val stored = spark.read.parquet(s"$idx/corpus")
+      .groupBy(col("vec_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored.values.forall(_ == 1L), "duplicated ids after replay")
+    val want = (0L until 40L) ++ (100L until 110L) ++ (200L until 220L)
+    assert(stored.keySet == want.toSet,
+      s"missing=${want.toSet -- stored.keySet} extra=${stored.keySet -- want.toSet}")
   }
 
   test("indexIngest: a partial batch segment is replaced wholesale under replay (segId = batchId + 1)") {
