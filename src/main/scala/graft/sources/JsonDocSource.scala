@@ -57,11 +57,6 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   // table build still verifies it IS the inferred schema (getTable)
   override def supportsExternalMetadata(): Boolean = true
 
-  // inferSchema and getTable are separate calls on one provider
-  // instance — cache the (paths, whole) → HType so the table build
-  // does not pay a second inference job
-  @volatile private var cached: Option[((Seq[String], Boolean), HType)] = None
-
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { js =>
       // DataFrameReader.load(paths: _*) encodes the list as a JSON
@@ -75,20 +70,8 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     all
   }
 
-  private def inferHType(ps: Seq[String], whole: Boolean): HType = {
-    cached match {
-      case Some((k, t)) if k == (ps, whole) => t
-      case _ =>
-        val spark = SparkSession.active
-        val docs = graft.cli.CliSession.readDocs(spark, ps, whole,
-          announceTo = new java.io.PrintStream(
-            java.io.OutputStream.nullOutputStream()))
-        val (t, _) = docs.select(new InferSchemaCountAgg().toColumn).head()
-        val canon = t.canonical
-        cached = Some(((ps, whole), canon))
-        canon
-    }
-  }
+  private def inferHType(ps: Seq[String], whole: Boolean): HType =
+    JsonDocSource.inferCached(ps, whole)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     JsonDocSource.sparkSchemaOf(
@@ -114,6 +97,48 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object JsonDocSource {
+
+  /** Planning-time inference cache, JVM-wide: DataSource lookup
+    * constructs a FRESH provider per `.load()`, so an instance field
+    * would re-pay the inference job on every read of the same data.
+    * The key includes each file's (path, length, mtime) fingerprint —
+    * listing is one cheap namenode round-trip vs a full data pass —
+    * so modified inputs re-infer and unchanged ones are free. Bounded
+    * (128 entries, drop-oldest) because table sets are small and
+    * HTypes are KBs. */
+  private case class InferKey(paths: Seq[String], whole: Boolean,
+                              files: Seq[(String, Long, Long)])
+  private val inferCache =
+    new java.util.LinkedHashMap[InferKey, HType](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[InferKey, HType]): Boolean = size() > 128
+    }
+  /** Test-visible count of actual inference JOBS run (not cache hits). */
+  private[sources] val inferenceRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private[sources] def inferCached(ps: Seq[String], whole: Boolean): HType = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fingerprint = listFiles(spark, ps).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      (f, st.getLen, st.getModificationTime)
+    }
+    val key = InferKey(ps, whole, fingerprint)
+    inferCache.synchronized {
+      Option(inferCache.get(key))
+    }.getOrElse {
+      val docs = graft.cli.CliSession.readDocs(spark, ps, whole,
+        announceTo = new java.io.PrintStream(
+          java.io.OutputStream.nullOutputStream()))
+      val (t, _) = docs.select(new InferSchemaCountAgg().toColumn).head()
+      inferenceRuns.incrementAndGet()
+      val canon = t.canonical
+      inferCache.synchronized { inferCache.put(key, canon) }
+      canon
+    }
+  }
+
   def sparkSchemaOf(t: HType): StructType =
     Materialize.toMaterializableSparkType(t) match {
       case s: StructType => s
@@ -155,46 +180,128 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
 
 private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // Spark hands the pruned TOP-LEVEL projection (field order
-    // preserved); nested pruning stays a conversion concern
-    required = requiredSchema
+    // TOP-LEVEL pruning only: Spark's SchemaPruning may hand nested-
+    // pruned struct types (e.g. just `score.u0` of a union field),
+    // but the reader materializes whole top-level values — so keep
+    // each retained field's FULL type. Spark projects the nested
+    // subset above the scan; GetStructField ordinals stay valid
+    // because the field's type is unchanged.
+    required = StructType(full.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  /** BEST-EFFORT pushdown, the parquet row-group-stats contract: the
+    * source skips non-matching rows before Catalyst serialization
+    * (saving the conversion + shipping of every filtered row), but
+    * every filter is ALSO returned as residual so Spark keeps its
+    * Filter node — correctness never depends on the source's
+    * evaluation, only row volume does. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(JsonDocFilters.supports(_, full))
+    filters // all residual — see scaladoc
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
   override def build(): Scan =
-    new JsonDocScan(ps, whole, t, full, required)
+    new JsonDocScan(ps, whole, t, full, required, pushed)
 }
 
 private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
-                          full: StructType, required: StructType)
+                          full: StructType, required: StructType,
+                          pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString}"
+    s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     JsonDocSource.listFiles(SparkSession.active, ps)
       .map(JsonDocPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required)
+    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required, pushed)
 }
 
 private case class JsonDocPartition(path: String) extends InputPartition
 
 private case class JsonDocReaderFactory(whole: Boolean, t: HType,
                                         fullNames: Seq[String],
-                                        required: StructType)
+                                        required: StructType,
+                                        pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new JsonDocReader(p.asInstanceOf[JsonDocPartition].path, whole, t,
-      fullNames, required)
+      fullNames, required, pushed)
+}
+
+/** Early-skip evaluation of simple source filters against the
+  * materialized EXTERNAL row (pre-Catalyst). Supported: null probes
+  * and comparisons on top-level atomic columns — types whose external
+  * class is Comparable and whose filter literal Catalyst hands over
+  * as the SAME class (the `supports` gate). Everything else stays
+  * residual. Comparison failing on an unexpected class keeps the row
+  * (the residual Filter decides) — best-effort can drop only rows it
+  * PROVES non-matching. */
+private object JsonDocFilters {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  private def atomic(schema: StructType, name: String): Boolean =
+    schema.fields.exists(f => f.name == name && (f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }))
+
+  def supports(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => atomic(schema, a)
+    case GreaterThan(a, _) => atomic(schema, a)
+    case GreaterThanOrEqual(a, _) => atomic(schema, a)
+    case LessThan(a, _) => atomic(schema, a)
+    case LessThanOrEqual(a, _) => atomic(schema, a)
+    case IsNull(a) => atomic(schema, a)
+    case IsNotNull(a) => atomic(schema, a)
+    case _ => false
+  }
+
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+      Some(a.compareTo(b)) // scale-insensitive, unlike equals
+    case (a: Comparable[_], b) if a.getClass == b.getClass =>
+      Some(a.asInstanceOf[Comparable[Any]].compareTo(b))
+    case _ => None
+  }
+
+  /** true = the row may match (ship it); false = provably filtered. */
+  def keeps(f: Filter, row: org.apache.spark.sql.Row,
+            idx: Map[String, Int]): Boolean = f match {
+    case IsNull(a) => row.get(idx(a)) == null
+    case IsNotNull(a) => row.get(idx(a)) != null
+    case EqualTo(a, v) =>
+      val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ == 0)
+    case GreaterThan(a, v) =>
+      val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ > 0)
+    case GreaterThanOrEqual(a, v) =>
+      val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ >= 0)
+    case LessThan(a, v) =>
+      val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ < 0)
+    case LessThanOrEqual(a, v) =>
+      val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ <= 0)
+    case _ => true
+  }
 }
 
 /** Per-file reader: Hadoop open (+ codec for `.gz`), line or
   * whole-file units, [[Materialize.docToRow]] conversion, top-level
   * projection to the pruned schema, Catalyst serialization. */
 private class JsonDocReader(path: String, whole: Boolean, t: HType,
-                            fullNames: Seq[String], required: StructType)
+                            fullNames: Seq[String], required: StructType,
+                            pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReader[InternalRow] {
 
   private val hPath = new org.apache.hadoop.fs.Path(path)
@@ -216,13 +323,17 @@ private class JsonDocReader(path: String, whole: Boolean, t: HType,
   // pruned projection: index of each required field in the full row
   private val idx: Array[Int] =
     required.fieldNames.map(n => fullNames.indexOf(n))
+  // pushed filters evaluate against the FULL row (a filtered column
+  // need not be in the projection)
+  private val fullIdx: Map[String, Int] = fullNames.zipWithIndex.toMap
   private val toInternal =
     ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
 
   private var current: InternalRow = _
   private var wholeDone = false
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  final override def next(): Boolean = {
     val doc =
       if (whole) {
         if (wholeDone) null
@@ -239,11 +350,14 @@ private class JsonDocReader(path: String, whole: Boolean, t: HType,
     if (doc == null) { current = null; false }
     else {
       val row = Materialize.docToRow(doc, t, rowShaped, width)
-      val pruned = Row.fromSeq(idx.toSeq.map(i =>
-        if (i >= 0) row.get(i) else null))
-      // copy: the encoder's serializer reuses its UnsafeRow buffer
-      current = toInternal(pruned).copy()
-      true
+      if (!pushed.forall(JsonDocFilters.keeps(_, row, fullIdx))) next()
+      else {
+        val pruned = Row.fromSeq(idx.toSeq.map(i =>
+          if (i >= 0) row.get(i) else null))
+        // copy: the encoder's serializer reuses its UnsafeRow buffer
+        current = toInternal(pruned).copy()
+        true
+      }
     }
   }
 

@@ -77,6 +77,44 @@ class JsonDocSourceSpec extends SparkTestBase {
     assert(wdf.select(col("name")).head().getString(0) == "multi")
   }
 
+  test("filter pushdown: supported predicates reach the scan and skip rows; results match a full scan") {
+    val dir = writeFixture("graftjson_filters")
+    val df = spark.read.format("graftjson").load(dir)
+      .where(col("id") > 1 && col("name").isNotNull)
+    // best-effort contract: the scan reports the pushed predicates AND
+    // Spark keeps its own Filter (correctness never rides the source)
+    val desc = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString
+    assert(desc.contains("GreaterThan(id,1)"), desc)
+    assert(desc.contains("IsNotNull(name)"), desc)
+    assert(df.queryExecution.executedPlan.toString.contains("Filter"))
+    // id > 1 drops doc 1; name IS NOT NULL drops the null-name doc
+    assert(df.collect().map(_.getAs[Number]("id").longValue()).toSeq == Seq(2L))
+    // nested references stay residual-only; the scan ships the full
+    // top-level value and Spark extracts above it
+    assert(spark.read.format("graftjson").load(dir)
+      .where(col("score.u0").isNotNull).count() >= 1)
+  }
+
+  test("inference runs once per unchanged fileset across separate load() calls; a changed file re-infers") {
+    val dir = writeFixture("graftjson_cache")
+    val before = JsonDocSource.inferenceRuns.get()
+    spark.read.format("graftjson").load(dir).count()
+    val afterFirst = JsonDocSource.inferenceRuns.get()
+    assert(afterFirst >= before + 1)
+    // second independent load of the same (unchanged) files: no new job
+    spark.read.format("graftjson").load(dir).count()
+    assert(JsonDocSource.inferenceRuns.get() == afterFirst)
+    // touching the data invalidates the fingerprint
+    val extra = new java.io.PrintWriter(new java.io.File(dir, "c.json"))
+    extra.println("""{"id": 3, "name": "gamma", "fresh": true}""")
+    extra.close()
+    val df = spark.read.format("graftjson").load(dir)
+    assert(JsonDocSource.inferenceRuns.get() == afterFirst + 1)
+    assert(df.schema.fieldNames.contains("fresh"))
+  }
+
   test("a user-supplied schema must match the inferred one (unions are not reconstructible)") {
     val dir = writeFixture("graftjson_uschema")
     val inferredSchema = spark.read.format("graftjson").load(dir).schema
