@@ -155,15 +155,11 @@ object InvertedIndex {
   // Hadoop FS, not java.io: the index root may live on HDFS/S3 — a
   // local-File existence probe would silently report "no tombstones"
   // there and serve deleted docs (cluster-readiness, r10 sweep)
-  private def pathExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def pathExists(spark: SparkSession, dir: String): Boolean =
+    Fs.exists(spark, dir)
 
-  private def deleteDir(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-  }
+  private def deleteDir(spark: SparkSession, dir: String): Unit =
+    Fs.delete(spark, dir)
 
   private def tombstones(spark: SparkSession,
                          indexDir: String): Option[DataFrame] =

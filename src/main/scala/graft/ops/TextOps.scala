@@ -195,8 +195,13 @@ object TextOps {
     // joins — cache the shingling once (see nearDupMinhash note).
     // persist, not localCheckpoint: the lineage is one scan deep, so
     // an evicted/lost block recomputes instead of failing the query
-    // (a truncated-lineage cache cannot survive executor loss);
-    // blocks are reclaimed by the context cleaner with the result
+    // (a truncated-lineage cache cannot survive executor loss).
+    // RELEASE CONTRACT (applies to every persist-backed query cache
+    // in this repo): the cache registers in the session's
+    // CacheManager, which holds it until `spark.catalog.clearCache()`
+    // — it is NOT GC-reclaimed. Verify/Bench clear between queries; a
+    // long-lived session composing these operators should do the same
+    // between corpus-scale calls.
     val sets = docs.select(col("doc_id"), col("source"),
       sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))

@@ -1311,15 +1311,11 @@ object VectorOps {
     df.sparkSession.read.parquet(path)
   }
 
-  private def deleteDir(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-  }
+  private def deleteDir(spark: SparkSession, dir: String): Unit =
+    Fs.delete(spark, dir)
 
-  private def pathExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def pathExists(spark: SparkSession, dir: String): Boolean =
+    Fs.exists(spark, dir)
 
   /** Delete's crash-window marker (VERDICT r9 #3): the cell ids a
     * [[deleteFromIvfIndex]] will leave WHOLLY EMPTY, written durably
@@ -1342,7 +1338,13 @@ object VectorOps {
                                   indexDir: String): Array[Int] = {
     val p = pendingRemovesPath(indexDir)
     if (!pathExists(spark, p)) Array.empty
-    else spark.read.parquet(p).collect().map(_.getInt(0))
+    // EXPLICIT schema (the InvertedIndex.postingsSchema rule): a crash
+    // DURING the marker write leaves a fileless directory (_temporary
+    // only); schema inference would throw on it forever — bricking
+    // every reader — where an empty frame means "no pending removals"
+    // and the next maintenance call simply clears the husk
+    else spark.read.schema("cell INT").parquet(p)
+      .collect().map(_.getInt(0))
   }
 
   /** Roll a crashed delete FORWARD: remove the marker's emptied-cell

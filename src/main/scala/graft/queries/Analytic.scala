@@ -605,7 +605,8 @@ object Analytic {
     // pair materialization at sf0.1. persist, not localCheckpoint:
     // the lineage (scan + self-join) is recomputable, so executor
     // loss degrades to a partition recompute instead of failing the
-    // query; blocks are reclaimed by the context cleaner.
+    // query; release is the CacheManager contract (nearDupExact
+    // note): Verify/Bench clearCache between queries.
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
@@ -1603,11 +1604,15 @@ object Analytic {
     val n = t1.agg(count(lit(1)).as("n1"))
       .crossJoin(t2.agg(count(lit(1)).as("n2")))
       .crossJoin(t3.agg(count(lit(1)).as("n3")))
+    // nullif guards the empty-stage case IDENTICALLY on both engines:
+    // Spark's non-ANSI x/0 yields NULL but DuckDB's IEEE float ops
+    // yield inf — an un-guarded ratio hash-diverges the moment a
+    // stage is empty (review r10)
     n.select(expr(
       """stack(3,
         |'1_view', n1, CAST(NULL AS DOUBLE),
-        |'2_click', n2, round(CAST(n2 AS DOUBLE) / n1, 4),
-        |'3_purchase', n3, round(CAST(n3 AS DOUBLE) / n2, 4))
+        |'2_click', n2, round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 4),
+        |'3_purchase', n3, round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 4))
         |AS (stage, n_users, conversion)""".stripMargin))
       .orderBy(col("stage"))
   }
@@ -1628,9 +1633,9 @@ object Analytic {
       |  SELECT '1_view' AS stage, n1 AS n_users,
       |    CAST(NULL AS DOUBLE) AS conversion FROM n
       |  UNION ALL SELECT '2_click', n2,
-      |    round(CAST(n2 AS DOUBLE) / n1, 4) FROM n
+      |    round(CAST(n2 AS DOUBLE) / nullif(n1, 0), 4) FROM n
       |  UNION ALL SELECT '3_purchase', n3,
-      |    round(CAST(n3 AS DOUBLE) / n2, 4) FROM n)
+      |    round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 4) FROM n)
       |ORDER BY stage""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -118,13 +118,9 @@ private[sources] object JsonDocSource {
 
   private[sources] def inferCached(ps: Seq[String], whole: Boolean): HType = {
     val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fingerprint = listFiles(spark, ps).map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      (f, st.getLen, st.getModificationTime)
-    }
-    val key = InferKey(ps, whole, fingerprint)
+    // listFiles already returns the (path, len, mtime) statuses — one
+    // listing round-trip serves expansion AND the cache fingerprint
+    val key = InferKey(ps, whole, listFiles(spark, ps))
     inferCache.synchronized {
       Option(inferCache.get(key))
     }.getOrElse {
@@ -146,8 +142,11 @@ private[sources] object JsonDocSource {
         org.apache.spark.sql.types.StructField("value", other, nullable = true)))
     }
 
-  /** Expand dirs and globs to concrete data files (non-hidden). */
-  def listFiles(spark: SparkSession, ps: Seq[String]): Seq[String] = {
+  /** Expand dirs and globs to concrete data files (non-hidden) as
+    * (path, length, mtime) — the statuses come free with the listing,
+    * so the inference-cache fingerprint costs no second FS pass. */
+  def listFiles(spark: SparkSession,
+                ps: Seq[String]): Seq[(String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     ps.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -155,15 +154,14 @@ private[sources] object JsonDocSource {
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       val expanded = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(path))
       expanded.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-            .map(_.getPath.toString)
-        else Seq(st.getPath.toString)
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
       }
-    }.filterNot { f =>
-      val name = new org.apache.hadoop.fs.Path(f).getName
+    }.filterNot { st =>
+      val name = st.getPath.getName
       name.startsWith("_") || name.startsWith(".")
-    }.sorted
+    }.map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
   }
 }
 
@@ -221,9 +219,14 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       s"PushedFilters: [${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     JsonDocSource.listFiles(SparkSession.active, ps)
-      .map(JsonDocPartition(_): InputPartition).toArray
+      .map(f => JsonDocPartition(f._1): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required, pushed)
+    // ship the SESSION's Hadoop conf to the readers: a fresh executor
+    // Configuration would drop every spark.hadoop.* setting (S3
+    // credentials/endpoints, codec config) that planning used
+    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required, pushed,
+      new graft.ops.Fs.SerializableConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private case class JsonDocPartition(path: String) extends InputPartition
@@ -231,11 +234,12 @@ private case class JsonDocPartition(path: String) extends InputPartition
 private case class JsonDocReaderFactory(whole: Boolean, t: HType,
                                         fullNames: Seq[String],
                                         required: StructType,
-                                        pushed: Array[org.apache.spark.sql.sources.Filter])
+                                        pushed: Array[org.apache.spark.sql.sources.Filter],
+                                        conf: graft.ops.Fs.SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new JsonDocReader(p.asInstanceOf[JsonDocPartition].path, whole, t,
-      fullNames, required, pushed)
+      fullNames, required, pushed, conf.value)
 }
 
 /** Early-skip evaluation of simple source filters against the
@@ -301,11 +305,11 @@ private object JsonDocFilters {
   * projection to the pruned schema, Catalyst serialization. */
 private class JsonDocReader(path: String, whole: Boolean, t: HType,
                             fullNames: Seq[String], required: StructType,
-                            pushed: Array[org.apache.spark.sql.sources.Filter])
+                            pushed: Array[org.apache.spark.sql.sources.Filter],
+                            conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new org.apache.hadoop.fs.Path(path)
-  private val conf = new org.apache.hadoop.conf.Configuration()
   private val fs = hPath.getFileSystem(conf)
   private val raw: java.io.InputStream = {
     val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)

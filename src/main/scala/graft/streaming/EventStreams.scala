@@ -773,6 +773,12 @@ object EventStreams {
         "already has one — rename it upstream")
     val dimCols =
       events.sparkSession.read.parquet(dimDir).columns.toSet
+    // the dimension side too: a dim attribute named 'batch' would be
+    // silently OVERWRITTEN by the ingest batch id after the join —
+    // the exact silent-collision class this guard exists to kill
+    require(!dimCols.contains("batch"),
+      "scd2Enrich writes a 'batch' partition column; the dimension " +
+        "has an attribute of that name — alias it before enriching")
     val clash = events.columns.toSet.intersect(dimCols) - key
     require(clash.isEmpty,
       s"scd2Enrich: event and dimension share non-key columns " +

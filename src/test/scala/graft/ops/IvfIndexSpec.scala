@@ -452,6 +452,17 @@ class IvfIndexSpec extends SparkTestBase {
     VectorOps.deleteFromIvfIndex(spark, idx,
       spark.createDataFrame(Seq(Tuple1(-1L))).toDF("vec_id"))
     assert(!Files.exists(Paths.get(s"$idx/_maintenance/pending_removes")))
+
+    // the EARLIER crash window: death DURING the marker write leaves a
+    // fileless directory — readers must treat it as "no pending
+    // removals" (explicit schema, not inference) and maintenance must
+    // clear the husk rather than throw forever
+    Files.createDirectories(Paths.get(s"$idx/_maintenance/pending_removes"))
+    assert(VectorOps.indexDrift(spark, idx).count() > 0) // readable
+    VectorOps.appendToIvfIndex(spark, idx,
+      spark.createDataFrame(Seq((900L, Seq.fill(16)(0.5f))))
+        .toDF("vec_id", "embedding"))
+    assert(!Files.exists(Paths.get(s"$idx/_maintenance")))
   }
 
   test("diff-driven maintenance: store follows the new snapshot exactly, replays as a no-op, serves brute-force-equal top-k") {

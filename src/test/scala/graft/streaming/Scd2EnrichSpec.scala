@@ -67,4 +67,38 @@ class Scd2EnrichSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(got == batch, "stream enrichment diverged from the batch temporal join")
   }
+
+  test("column-collision guards fail fast at start(): event 'batch', dim 'batch', shared attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = graft.TempRoots.path("scd2_guard_dim")
+    Seq((1L, "A")).toDF("k", "seg")
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .write.mode("overwrite").parquet(dimDir)
+    val out = graft.TempRoots.path("scd2_guard_out")
+    def streamWith(cols: Seq[String]) = {
+      val mem = MemoryStream[(Long, Long, Timestamp)]
+      EventStreams.scd2Enrich(mem.toDF().toDF(cols: _*), dimDir, "k", "ts", out)
+    }
+    // event-side 'batch' collides with the output partition column
+    assert(intercept[IllegalArgumentException] {
+      streamWith(Seq("batch", "k", "ts"))
+    }.getMessage.contains("batch"))
+    // shared non-key attribute makes the join ambiguous
+    assert(intercept[IllegalArgumentException] {
+      streamWith(Seq("seg", "k", "ts"))
+    }.getMessage.contains("seg"))
+    // dim-side 'batch' would be silently overwritten by the batch id
+    val dimDir2 = graft.TempRoots.path("scd2_guard_dim2")
+    Seq((1L, "A", "keep")).toDF("k", "seg", "batch")
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .write.mode("overwrite").parquet(dimDir2)
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    assert(intercept[IllegalArgumentException] {
+      EventStreams.scd2Enrich(mem.toDF().toDF("event_id", "k", "ts"),
+        dimDir2, "k", "ts", out)
+    }.getMessage.contains("dimension"))
+  }
 }
