@@ -502,6 +502,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert(scans == 1, s"want 1 parquet scan node, got $scans:\n$p")
   }
 
+  test("q205: repetition signals read the documents table exactly once (persisted split)") {
+    val p = plan("q205_repetition_signals")
+    val scans = p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"want 1 parquet scan node, got $scans:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q209: each funnel stage's event_type filter reaches the parquet scan") {
+    val p = plan("q209_funnel_conversion")
+    for (stage <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$stage)"),
+        s"stage filter $stage not pushed:\n$p")
+  }
+
   test("q189: every FD pair aggregates partial+final; no join anywhere") {
     val p = plan("q189_fd_profile")
     assert(!p.contains("Join"), p)
