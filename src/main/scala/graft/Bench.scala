@@ -51,6 +51,19 @@ object Bench {
       try graft.queries.Tables(spark, sfDir, t).limit(1).count()
       catch { case _: Throwable => }
     }
+    // javax.imageio warm-up (q121's decoder): first ImageIO use pays a
+    // plugin-registry scan + zlib JIT that made pass 1 ~2× steady
+    // state (1.61s vs 0.78s isolated, r10 adjudication) — local mode
+    // shares the JVM, so one driver-side write+read warms the
+    // executor-thread path too
+    try {
+      val img = new java.awt.image.BufferedImage(
+        2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(buf.toByteArray))
+    } catch { case _: Throwable => }
     // steady-state timing: each query runs twice and reports the
     // faster pass — the first execution pays one-off codegen compile
     // and JIT warm-up that a long-running cluster job never sees.
@@ -97,37 +110,49 @@ object Bench {
       spark.stop()
       return
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val two = Seq(timed(fn), timed(fn))
-      val noisy = two.forall(_._1) && two(1)._2 > two(0)._2 * 1.3
-      val times = if (noisy) two :+ timed(fn) else two
-      // min over SUCCESSFUL passes only — a fast failed pass must not
-      // mask a successful run's time; all-failed reports -1
-      val good = times.collect { case (true, t) => t }
-      // Each pass rebuilds its plan, so blocks pinned by eager
-      // localCheckpoint/persist inside the operators are dead once the
-      // pass returns — but the context cleaner frees them only after a
-      // driver GC notices the dropped references, and 100+ queries of
-      // leakage turn into block-manager pressure that the LATE queries
-      // pay for (r5 benched q53 at 2.9s vs 1.1s isolated). A
-      // long-running cluster job never carries a previous job's blocks;
-      // drop them explicitly so each query is timed in the steady state
-      // it would actually run in.
-      // clearCache FIRST: persist()-based query caches (the r10
-      // fault-tolerance sweep) register in the CacheManager, which a
-      // bare RDD unpersist does not deregister — 200 queries of stale
-      // entries then plan-match every later query ("Asked to cache
-      // already cached data" churn) and inflate the suite-context
-      // times the way the r5 block leak did.
+    // Each pass rebuilds its plan, so blocks pinned by eager
+    // localCheckpoint/persist inside the operators are dead once the
+    // pass returns — but the context cleaner frees them only after a
+    // driver GC notices the dropped references, and 100+ queries of
+    // leakage turn into block-manager pressure that the LATE queries
+    // pay for (r5 benched q53 at 2.9s vs 1.1s isolated). A
+    // long-running cluster job never carries a previous job's blocks;
+    // drop them explicitly so each query is timed in the steady state
+    // it would actually run in.
+    // clearCache FIRST: persist()-based query caches (the r10
+    // fault-tolerance sweep) register in the CacheManager, which a
+    // bare RDD unpersist does not deregister — 200 queries of stale
+    // entries then plan-match every later query ("Asked to cache
+    // already cached data" churn) and inflate the suite-context
+    // times the way the r5 block leak did.
+    // Cleared after EVERY timed pass, not per pair (r10 lesson: the
+    // r10 persist sweep made pass 2's freshly built plan canonically
+    // match pass 1's still-registered cache, so min-of-2 silently
+    // reported a warm-cache pass for every persist-backed query —
+    // 5× off the honest cold number on q161). Matches isolated mode.
+    def timedCold(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+      val r = timed(fn)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      r
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val two = Seq(timedCold(fn), timedCold(fn))
+      val noisy = two.forall(_._1) && two(1)._2 > two(0)._2 * 1.3
+      val times = if (noisy) two :+ timedCold(fn) else two
+      // min over SUCCESSFUL passes only — a fast failed pass must not
+      // mask a successful run's time; all-failed reports -1
+      val good = times.collect { case (true, t) => t }
       // the unpersist only DROPS references; the ContextCleaner frees
       // the executor blocks (and broadcast/accumulator state) after a
       // DRIVER GC notices them — without this nudge ~150 queries of
       // dead blocks accumulate and the late queries pay block-manager
       // + heap pressure the early ones didn't (the r5 lesson, but at
-      // suite scale). Runs OUTSIDE the timed region.
+      // suite scale). Runs OUTSIDE the timed region, once per query
+      // (a per-pass gc would double ~200 stop-the-world pauses for no
+      // additional block hygiene — the unpersist per pass is what
+      // keeps pass 2 cold).
       System.gc()
       name -> (if (good.nonEmpty) good.min else -1.0)
     }

@@ -23,6 +23,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // java.io.File by contract: outDir is the driver's LOCAL dump
+    // directory (the correctness gate reads it with DuckDB on this
+    // host) — the Fs invariant covers STORE paths, not this artifact
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -69,12 +69,31 @@ object Materialize {
     val node =
       try mapper.readTree(if (doc == null || doc.isEmpty) "null" else doc)
       catch { case _: Exception => null }
+    nodeToRow(node, t, rowShaped, width)
+  }
+
+  /** [[docToRow]] over a character stream — the graftjson whole-file
+    * path feeds the file Reader straight to Jackson, so peak memory is
+    * bounded by the parsed DOCUMENT TREE, not the file's text size (a
+    * StringBuilder staging buffer doubled it). Identical outcomes:
+    * valid JSON parses to the same DOM; corrupt/empty input throws or
+    * yields a missing node, and both collapse to the all-null row the
+    * String twin produces. */
+  private[graft] def docToRow(doc: java.io.Reader, t: HType,
+                              rowShaped: Boolean, width: Int): Row = {
+    val node =
+      try mapper.readTree(doc)
+      catch { case _: Exception => null }
+    nodeToRow(node, t, rowShaped, width)
+  }
+
+  private def nodeToRow(node: JsonNode, t: HType, rowShaped: Boolean,
+                        width: Int): Row =
     if (rowShaped) convert(node, t) match {
       case r: Row => r
       case _ => Row.fromSeq(Seq.fill(width)(null))
     }
     else Row(convert(node, t))
-  }
 
   /** Convert one Jackson node to the JVM value Spark's RowEncoder
     * expects for `toMaterializableSparkType(target)`. */

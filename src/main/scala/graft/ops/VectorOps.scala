@@ -1654,11 +1654,91 @@ object VectorOps {
       .select(col("vec_id"))
     // deleteFromIvfIndex is a no-op for unmatched ids, so the gate is
     // only to skip the maintenance scan entirely on an all-add diff
-    if (!dead.isEmpty) deleteFromIvfIndex(spark, indexDir, dead)
+    if (!dead.isEmpty) {
+      try deleteFromIvfIndex(spark, indexDir, dead)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("would remove every stored vector") =>
+          // a diff marking EVERY stored id removed/changed (a full
+          // re-embedding) is a legitimate upsert, not an error: the
+          // delete's refuse-to-empty guard protects interactive
+          // callers from bricking an index, but here the new content
+          // is in hand — so rebuild over the new snapshot (same cell
+          // count; fresh centroids are CORRECT here: with zero
+          // surviving rows there is no old population whose
+          // assignments the old quantizer must keep serving).
+          // deleteFromIvfIndex throws BEFORE any mutation (marker,
+          // overwrite), so the store is still the intact old index
+          // until the rebuild's overwrite lands.
+          val nCells = storedCenters(spark, indexDir).length
+          buildIvfIndex(newSnap, indexDir, nCells)
+          return
+      }
+    }
     val upserts = newSnap.join(
       diff.where(col("status").isin("added", "changed"))
         .select(col("vec_id")), Seq("vec_id"))
     if (!upserts.isEmpty) appendToIvfIndex(spark, indexDir, upserts)
+  }
+
+  /** Cell-file compaction for stored IVF indexes (both layouts — the
+    * schema rides the index files), the vector twin of
+    * [[InvertedIndex.compactSegments]]: every append rewrites the
+    * touched cells as (carried ∪ fresh) through however many write
+    * tasks hold that cell's rows, so a nightly-append store
+    * accumulates task-count small files per hot cell — at 100 TB the
+    * scan cost of a probe becomes file-open-bound, not byte-bound.
+    * This rewrites each over-fragmented cell into exactly one parquet
+    * file (one hash-partitioned task per needy cell), leaving
+    * already-compact cells' files BYTE-UNTOUCHED (they are not read,
+    * not rewritten — immutability the spec pins by mtime). Content is
+    * preserved verbatim (gen markers included), so search results are
+    * identical before and after. Durable `_staging` + dynamic
+    * partition overwrite, and a crashed delete's pending-removes
+    * marker is rolled forward FIRST — a marked cell must not be
+    * compacted back to life. Idempotent: a second call finds nothing
+    * over the threshold and returns without scheduling a job. */
+  def compactCells(spark: SparkSession, indexDir: String,
+                   maxFilesPerCell: Int = 1): Unit = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    completePendingRemoves(spark, indexDir)
+    val corpusDir = s"$indexDir/corpus"
+    val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(corpusPath)) return
+    // one namenode listing decides the work set: cells whose data-file
+    // count exceeds the bound (hidden/_SUCCESS entries don't count)
+    val needy = fs.listStatus(corpusPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .flatMap { st =>
+        val files = fs.listStatus(st.getPath).count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (files > maxFilesPerCell)
+          Some(st.getPath.getName.stripPrefix("cell=").toInt)
+        else None
+      }
+    if (needy.isEmpty) return
+    val staging = s"$indexDir/_staging"
+    try {
+      // stage the needy cells' rows durably, then overwrite those
+      // partitions from the staged copy (the appendStaged rationale:
+      // Spark refuses to overwrite a path its plan still reads, and
+      // the staged files survive any task retry)
+      val carried = stageRead(
+        spark.read.parquet(corpusDir)
+          .where(col("cell").isin(needy.map(Int.box): _*)),
+        s"$staging/compact")
+      // one output task per needy cell → exactly one file per cell
+      // (hash collisions just mean a task writes two cells' files)
+      carried.repartition(needy.size, col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(corpusDir)
+    } finally deleteDir(spark, staging)
   }
 
   /** Centroid-drift audit of a stored raw-layout IVF index — the

@@ -611,8 +611,14 @@ object Analytic {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = pairs.select(col("x").as("node"))
-      .unionAll(pairs.select(col("y").as("node")))
+    // ONE cache decode for the degree table (explode of both
+    // endpoints), not a self-union's two: the r10 persist conversion
+    // made each columnar decode a measurable cost (isolated q161
+    // 4.2s; with this pass cut and n_edges folded into m below, the
+    // cache is decoded twice — deg, orientation join — instead of
+    // four times)
+    val deg = pairs
+      .select(explode(array(col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val withDeg = pairs
       .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
@@ -669,7 +675,10 @@ object Analytic {
       sum((col("deg") * (col("deg") - 1) / lit(2)).cast("bigint"))
         .as("n_wedges"),
       count(lit(1)).as("n_nodes"))
-    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    // |oriented| == |pairs| (orientation is a bijective reprojection),
+    // and m was already counted for the broadcast gate — the edge
+    // count is free, not a fourth decode of the pairs cache
+    val nEdges = s.range(1).select(lit(m).as("n_edges"))
     tri.crossJoin(wedges).crossJoin(nEdges)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),

@@ -286,7 +286,7 @@ object JsonQueries {
     val out = graft.TempRoots.path(
       s"graftjson_q210_${Integer.toHexString(dir.hashCode)}")
     val docs = Tables(s, dir, "documents")
-    if (!new java.io.File(out).exists())
+    if (!graft.ops.Fs.exists(s, out))
       docs.repartition(4).write.mode("overwrite").json(out)
     s.read.format("graftjson").load(out)
       .groupBy(col("lang"), col("source"))
@@ -302,8 +302,52 @@ object JsonQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** Byte-range splits in the graftjson source, end to end: export a
+    * lineitem projection as ONE NDJSON file (6 MB at sf0.01, 60 MB at
+    * sf0.1 — the single-large-file shape that previously serialized
+    * through one core), then read it back with 1 MB splits so tens of
+    * input partitions each own a byte range of the same file, lines
+    * split by the skip-first-partial / read-past-end rule. The
+    * per-(returnflag, shipmode) aggregate — counts plus two full-sum
+    * checksums — must match DuckDB over the parquet original: a line
+    * lost at a split boundary, read twice, or torn mid-record flips a
+    * sum. Integer-only projection (price in cents) so inference yields
+    * plain numeric widths, no unions. Split-vs-whole row parity is
+    * also pinned in JsonDocSourceSpec. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q212_${Integer.toHexString(dir.hashCode)}")
+    if (!graft.ops.Fs.exists(s, out))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"),
+          // double-typed price → exact integer cents via round (the
+          // *100 product alone can land a hair under the true cent
+          // value, and Spark's cast truncates where DuckDB rounds)
+          round(col("l_extendedprice") * 100).cast("bigint")
+            .as("price_cents"))
+        .coalesce(1).write.mode("overwrite").json(out)
+    s.read.format("graftjson")
+      .option("maxSplitBytes", (1L << 20).toString).load(out)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents").cast("bigint")).as("sum_cents"),
+        sum(col("l_orderkey").cast("bigint") * 7 +
+            col("l_linenumber").cast("bigint")).as("key_check"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q212Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(sum(l_orderkey * 7 + l_linenumber) AS BIGINT) AS key_check
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_graftjson_source" -> (q210 _),
+    "q212_graftjson_splits" -> (q212 _),
     "q200_variant_shred" -> (q200 _),
     "q144_jsonl_roundtrip" -> (q144 _),
     "q39_asof_join" -> (q39 _),
@@ -317,6 +361,7 @@ object JsonQueries {
 
   val oracle: Map[String, String] = Map(
     "q210_graftjson_source" -> q210Sql,
+    "q212_graftjson_splits" -> q212Sql,
     "q200_variant_shred" -> q200Sql,
     "q144_jsonl_roundtrip" -> q144Sql,
     "q39_asof_join" -> q39Sql,

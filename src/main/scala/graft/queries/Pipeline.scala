@@ -683,7 +683,7 @@ object Pipeline {
     // build-once guard (the q173/q204/q206 serving-store convention):
     // the lifecycle is deterministic, so a repeat call audits the
     // SAME store instead of paying the build+append again
-    if (!new java.io.File(s"$idx/centroids").exists()) {
+    if (!graft.ops.Fs.exists(s, s"$idx/centroids")) {
       VectorOps.buildIvfPqIndex(e.where(col("vec_id") % 4 =!= 0), idx,
         nCells = 16)
       VectorOps.appendToIvfPqIndex(s, idx,
@@ -716,7 +716,7 @@ object Pipeline {
         when(col("vec_id") % 11 === 0,
           transform(col("embedding").cast("array<double>"), x => x + lit(0.25d)))
           .otherwise(col("embedding").cast("array<double>")).as("embedding"))
-    if (!new java.io.File(s"$idx/centroids").exists()) {
+    if (!graft.ops.Fs.exists(s, s"$idx/centroids")) {
       val oldSnap = e.where(col("vec_id") % 5 =!= 4)
       VectorOps.buildIvfIndex(oldSnap, idx, nCells = 16)
       val diff = VectorOps.vectorSnapshotDiff(oldSnap, newSnap)
@@ -740,6 +740,96 @@ object Pipeline {
       |sc AS (SELECT query_id, ns.vec_id,
       |    round(list_cosine_similarity(qv, v), 4) AS cos
       |  FROM q CROSS JOIN ns),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM sc)
+      |SELECT query_id, vec_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF cell-file compaction end to end
+    * ([[graft.ops.VectorOps.compactCells]], the vector-store twin of
+    * q173's inverted-index compaction): build over 3/4 of the
+    * embeddings, grow the index with three deliberately fragmenting
+    * appends (each batch pre-split across 8 tasks, so every touched
+    * cell accumulates several small files — the shape a nightly
+    * streaming ingest leaves), compact every cell to a single file,
+    * then serve exhaustive-probe top-k. FULLY ORACLED the q206 way:
+    * nProbe == nCells ⇒ recall 1 and exact cosines, so the result
+    * must hash-match DuckDB's brute-force cosine top-k over ALL
+    * embeddings — a row lost, duplicated or altered by the compaction
+    * rewrite flips the hash. File-count / mtime / marker pins live in
+    * IvfIndexSpec. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.TempRoots.path(
+      s"compactivf_${Integer.toHexString(dir.hashCode)}")
+    if (!graft.ops.Fs.exists(s, s"$idx/centroids")) {
+      VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx,
+        nCells = 16)
+      for (r <- 0 to 2)
+        VectorOps.appendToIvfIndex(s, idx,
+          e.where(col("vec_id") % 4 === 0 && col("vec_id") % 3 === r)
+            .repartition(8))
+      VectorOps.compactCells(s, idx)
+    }
+    VectorOps.storedIndexTopK(s, idx,
+        e.where(col("vec_id") % 31 === 1), k = 3, nProbe = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q211Sql =
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 31 = 1),
+      |sc AS (SELECT query_id, c.vec_id,
+      |    round(list_cosine_similarity(qv, v), 4) AS cos
+      |  FROM q CROSS JOIN c WHERE c.vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM sc)
+      |SELECT query_id, vec_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Full-replacement maintenance ([[VectorOps.maintainIvfIndex]]'s
+    * rebuild fallback, ADVICE r10): the index is built over the even
+    * vec_ids, then the WHOLE corpus re-embeds (x → 0.9·x + 0.05, in
+    * DOUBLE on both engines) and the odd ids arrive as adds — the
+    * snapshot diff marks every stored vector dead, the case the
+    * delete's refuse-to-empty guard rejects mid-maintenance.
+    * maintainIvfIndex detects it and rebuilds over the new snapshot
+    * instead of throwing. FULLY ORACLED: exhaustive probe of the
+    * maintained store must hash-match DuckDB brute force over the
+    * re-embedded corpus — a stale (pre-transform) vector surviving
+    * anywhere flips its cosine. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val idx = graft.TempRoots.path(
+      s"fullupsert_${Integer.toHexString(dir.hashCode)}")
+    val newSnap = e.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x * lit(0.9d) + lit(0.05d)).as("embedding"))
+    if (!graft.ops.Fs.exists(s, s"$idx/centroids")) {
+      val oldSnap = e.where(col("vec_id") % 2 === 0)
+      VectorOps.buildIvfIndex(oldSnap, idx, nCells = 16)
+      val diff = VectorOps.vectorSnapshotDiff(oldSnap, newSnap)
+      VectorOps.maintainIvfIndex(s, idx, newSnap, diff)
+    }
+    VectorOps.storedIndexTopK(s, idx,
+        newSnap.where(col("vec_id") % 53 === 3), k = 3, nProbe = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q213Sql =
+    """WITH ns AS (SELECT vec_id,
+      |    list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.05) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM ns
+      |  WHERE vec_id % 53 = 3),
+      |sc AS (SELECT query_id, ns.vec_id,
+      |    round(list_cosine_similarity(qv, v), 4) AS cos
+      |  FROM q CROSS JOIN ns WHERE ns.vec_id <> query_id),
       |r AS (SELECT query_id, vec_id, cos,
       |    CAST(row_number() OVER (PARTITION BY query_id
       |      ORDER BY cos DESC, vec_id) AS INT) AS rank
@@ -1218,7 +1308,7 @@ object Pipeline {
     invIndexLock.synchronized {
       val idx = graft.TempRoots.path(
         s"invidx_shared_${Integer.toHexString(dir.hashCode)}")
-      if (!new java.io.File(s"$idx/meta").exists())
+      if (!graft.ops.Fs.exists(s, s"$idx/meta"))
         InvertedIndex.build(Tables(s, dir, "documents"), idx, nBuckets = 64)
       idx
     }
@@ -1230,7 +1320,7 @@ object Pipeline {
     trigramIndexLock.synchronized {
       val idx = graft.TempRoots.path(
         s"trgidx_shared_${Integer.toHexString(dir.hashCode)}")
-      if (!new java.io.File(s"$idx/meta").exists())
+      if (!graft.ops.Fs.exists(s, s"$idx/meta"))
         InvertedIndex.buildTrigramIndex(
           Tables(s, dir, "documents"), idx, nBuckets = 64)
       idx
@@ -1247,7 +1337,7 @@ object Pipeline {
     chunkIndexLock.synchronized {
       val idx = graft.TempRoots.path(
         s"chunkidx_shared_${Integer.toHexString(dir.hashCode)}")
-      if (!new java.io.File(s"$idx/meta").exists()) {
+      if (!graft.ops.Fs.exists(s, s"$idx/meta")) {
         val chunks = TextOps.chunkDocs(Tables(s, dir, "documents"))
           .select((col("doc_id") * 4096 + col("chunk_idx")).as("doc_id"),
             col("chunk").as("text"))
@@ -1555,7 +1645,7 @@ object Pipeline {
     val idx = graft.TempRoots.path(
       s"invidx_del_${Integer.toHexString(dir.hashCode)}")
     val docs = Tables(s, dir, "documents")
-    if (!new java.io.File(s"$idx/meta").exists())
+    if (!graft.ops.Fs.exists(s, s"$idx/meta"))
       InvertedIndex.build(docs, idx, nBuckets = 64)
     InvertedIndex.deleteDocs(s, idx,
       docs.where(col("doc_id") % 7 === 2).select(col("doc_id")))
@@ -1585,7 +1675,7 @@ object Pipeline {
     val idx = graft.TempRoots.path(
       s"invidx_compact_${Integer.toHexString(dir.hashCode)}")
     val docs = Tables(s, dir, "documents")
-    if (!new java.io.File(s"$idx/meta").exists()) {
+    if (!graft.ops.Fs.exists(s, s"$idx/meta")) {
       InvertedIndex.build(docs, idx, nBuckets = 64)
       InvertedIndex.deleteDocs(s, idx,
         docs.where(col("doc_id") % 7 === 2).select(col("doc_id")))
@@ -1641,7 +1731,7 @@ object Pipeline {
   private def q204(s: SparkSession, dir: String): DataFrame = {
     val idx = graft.TempRoots.path(
       s"diffidx_${Integer.toHexString(dir.hashCode)}")
-    if (!new java.io.File(s"$idx/meta").exists()) {
+    if (!graft.ops.Fs.exists(s, s"$idx/meta")) {
       val docs = Tables(s, dir, "documents")
       val oldSnap = docs.where(col("doc_id") % 5 =!= 4)
       val newSnap = docs.where(col("doc_id") % 7 =!= 6)
@@ -1804,7 +1894,7 @@ object Pipeline {
     hllStoreLock.synchronized {
       val store = graft.TempRoots.path(
         s"hll_shared_${Integer.toHexString(dir.hashCode)}")
-      if (!new java.io.File(store).exists())
+      if (!graft.ops.Fs.exists(s, store))
         Sketches.writeHllShards(Tables(s, dir, "orders"), store,
           date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
           col("o_orderpriority"), col("o_custkey"))
@@ -1949,7 +2039,9 @@ object Pipeline {
     // q203 rows-only like q120: k-means cells are not SQL-recomputable
     "q203_pq_index_drift" -> (q203 _),
     "q204_diff_index_maintenance" -> (q204 _),
-    "q206_diff_ivf_maintenance" -> (q206 _))
+    "q206_diff_ivf_maintenance" -> (q206 _),
+    "q211_ivf_compaction" -> (q211 _),
+    "q213_full_upsert_maintenance" -> (q213 _))
   // q167 rows-only like q138: HLL estimates have no SQL oracle;
   // SketchesSpec pins the overlap envelope against the exact sets
 
@@ -1998,5 +2090,7 @@ object Pipeline {
     "q173_index_compaction" -> q173Sql,
     "q174_retrieval_eval" -> q174Sql,
     "q204_diff_index_maintenance" -> q204Sql,
-    "q206_diff_ivf_maintenance" -> q206Sql)
+    "q206_diff_ivf_maintenance" -> q206Sql,
+    "q211_ivf_compaction" -> q211Sql,
+    "q213_full_upsert_maintenance" -> q213Sql)
 }

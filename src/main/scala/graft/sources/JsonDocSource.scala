@@ -5,6 +5,7 @@ import graft.types.HType
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.expressions.GenericRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -27,10 +28,20 @@ import scala.jdk.CollectionConverters._
   * Planning: one distributed inference pass over the files (the CLI's
   * [[graft.infer.InferSchemaCountAgg]] aggregation — tiny partial
   * schemas, one combine; the HType result is KBs and rides into every
-  * read task). Execution: one input partition per file, each a plain
-  * Hadoop line/whole-file read (`.gz` via the codec factory) feeding
-  * [[graft.infer.Materialize.docToRow]] — the SAME conversion the
-  * materialize operator runs, so source and operator cannot drift.
+  * read task). Execution: plain Hadoop reads (`.gz` via the codec
+  * factory) feeding [[graft.infer.Materialize.docToRow]] — the SAME
+  * conversion the materialize operator runs, so source and operator
+  * cannot drift.
+  *
+  * Partitioning: NDJSON files SPLIT by byte range (the standard
+  * text-source rule — a split whose start is mid-line skips forward to
+  * the next line boundary, and every split reads one line past its
+  * end, so each line lands in exactly one split), sized by
+  * `spark.sql.files.maxPartitionBytes` or the `maxSplitBytes` option —
+  * a single 100 GB NDJSON file fans out across the cluster instead of
+  * serializing through one core. `.gz` (stream-codec, not seekable)
+  * and `whole=true` (the file IS the record) are inherently
+  * unsplittable and stay one partition per file.
   *
   * Column pruning is REAL pushdown ([[SupportsPushDownRequiredColumns]]):
   * a pruned scan converts only the requested top-level fields and
@@ -39,11 +50,12 @@ import scala.jdk.CollectionConverters._
   * within a doc is a storage-format property JSON does not have).
   *
   * Options: `whole=true` reads each FILE as one document unit (the
-  * CLI's `--whole` parity mode); default is NDJSON, one row per line.
-  * At 100 TB the NDJSON path parallelizes per file here — a
-  * production source would add byte-range splits within files; the
-  * shape of the interface (inference at planning, pruned typed reads)
-  * is the point.
+  * CLI's `--whole` parity mode — the file's Reader streams straight
+  * into Jackson, so memory is bounded by the parsed document tree,
+  * not the file's text length); `maxSplitBytes=N` overrides the
+  * session's split size; `refresh=true` bypasses the planning-time
+  * inference cache for this load (same-length same-mtime rewrites are
+  * invisible to the fingerprint on coarse-mtime filesystems).
   *
   * Caveat shared with every self-describing text source (CSV/JSON
   * with inferSchema): planning runs a Spark job over the data. Reuse
@@ -70,12 +82,28 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     all
   }
 
-  private def inferHType(ps: Seq[String], whole: Boolean): HType =
-    JsonDocSource.inferCached(ps, whole)
+  // per-PROVIDER memo: DataFrameReader.load instantiates one provider
+  // and calls inferSchema then getTable on it — without this, a
+  // refresh=true load would re-run the inference job once per call
+  // (refresh bypasses the JVM-wide cache by design); with it, refresh
+  // means exactly ONE fresh inference per .load()
+  private var memo: Option[(Seq[String], Boolean, HType)] = None
+
+  private def inferHType(options: CaseInsensitiveStringMap): HType = {
+    val ps = paths(options)
+    val whole = options.getBoolean("whole", false)
+    memo match {
+      case Some((mp, mw, t)) if mp == ps && mw == whole => t
+      case _ =>
+        val t = JsonDocSource.inferCached(ps, whole,
+          options.getBoolean("refresh", false))
+        memo = Some((ps, whole, t))
+        t
+    }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    JsonDocSource.sparkSchemaOf(
-      inferHType(paths(options), options.getBoolean("whole", false)))
+    JsonDocSource.sparkSchemaOf(inferHType(options))
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
@@ -83,7 +111,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val whole = options.getBoolean("whole", false)
     val ps = paths(options)
-    val t = inferHType(ps, whole)
+    val t = inferHType(options)
     val inferred = JsonDocSource.sparkSchemaOf(t)
     // a user-supplied schema must BE the inferred one: the reader
     // converts through the HType tree (unions and all), and a
@@ -105,7 +133,12 @@ private[sources] object JsonDocSource {
     * listing is one cheap namenode round-trip vs a full data pass —
     * so modified inputs re-infer and unchanged ones are free. Bounded
     * (128 entries, drop-oldest) because table sets are small and
-    * HTypes are KBs. */
+    * HTypes are KBs. The fingerprint is only as sharp as the store's
+    * mtime granularity (whole seconds on some object stores) — a
+    * same-length rewrite inside one tick is invisible, so the
+    * `refresh=true` option and [[clearInferCache]] are the explicit
+    * escape hatches (a content checksum would re-read the data and
+    * cost exactly the pass the cache exists to avoid). */
   private case class InferKey(paths: Seq[String], whole: Boolean,
                               files: Seq[(String, Long, Long)])
   private val inferCache =
@@ -116,15 +149,26 @@ private[sources] object JsonDocSource {
   /** Test-visible count of actual inference JOBS run (not cache hits). */
   private[sources] val inferenceRuns = new java.util.concurrent.atomic.AtomicLong
 
-  private[sources] def inferCached(ps: Seq[String], whole: Boolean): HType = {
+  /** Drop every cached inference result (test hook + the JVM-lifetime
+    * remedy for fingerprint-invisible rewrites). */
+  def clearInferCache(): Unit = inferCache.synchronized { inferCache.clear() }
+
+  private[sources] def inferCached(ps: Seq[String], whole: Boolean,
+                                   refresh: Boolean = false): HType = {
     val spark = SparkSession.active
     // listFiles already returns the (path, len, mtime) statuses — one
     // listing round-trip serves expansion AND the cache fingerprint
-    val key = InferKey(ps, whole, listFiles(spark, ps))
-    inferCache.synchronized {
-      Option(inferCache.get(key))
-    }.getOrElse {
-      val docs = graft.cli.CliSession.readDocs(spark, ps, whole,
+    val files = listFiles(spark, ps)
+    val key = InferKey(ps, whole, files)
+    val cached =
+      if (refresh) None
+      else inferCache.synchronized { Option(inferCache.get(key)) }
+    cached.getOrElse {
+      // inference reads EXACTLY the files the scan will partition —
+      // one listing feeds both, so the schema can never be inferred
+      // over a different file set than the read (nested-directory or
+      // glob semantics of a second, independent listing)
+      val docs = graft.cli.CliSession.readDocs(spark, files.map(_._1), whole,
         announceTo = new java.io.PrintStream(
           java.io.OutputStream.nullOutputStream()))
       val (t, _) = docs.select(new InferSchemaCountAgg().toColumn).head()
@@ -142,21 +186,29 @@ private[sources] object JsonDocSource {
         org.apache.spark.sql.types.StructField("value", other, nullable = true)))
     }
 
-  /** Expand dirs and globs to concrete data files (non-hidden) as
-    * (path, length, mtime) — the statuses come free with the listing,
-    * so the inference-cache fingerprint costs no second FS pass. */
+  /** Expand dirs (recursively) and globs to concrete data files
+    * (non-hidden) as (path, length, mtime) — the statuses come free
+    * with the listing, so the inference-cache fingerprint costs no
+    * second FS pass. Nested directories are walked rather than
+    * silently dropped: the scan reads whatever this returns, and
+    * inference reads the same list (inferCached). */
   def listFiles(spark: SparkSession,
                 ps: Seq[String]): Seq[(String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    def walk(fs: org.apache.hadoop.fs.FileSystem,
+             st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) {
+        // hidden dirs (_temporary, .staging) pruned whole, like FileIndex
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else fs.listStatus(st.getPath).toSeq.flatMap(walk(fs, _))
+      } else Seq(st)
     ps.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       val expanded = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(path))
-      expanded.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-        else Seq(st)
-      }
+      expanded.flatMap(walk(fs, _))
     }.filterNot { st =>
       val name = st.getPath.getName
       name.startsWith("_") || name.startsWith(".")
@@ -173,11 +225,13 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonDocScanBuilder(ps, whole, t, schema)
+    new JsonDocScanBuilder(ps, whole, t, schema,
+      Option(options.get("maxSplitBytes")).map(_.toLong))
 }
 
 private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
-                                 full: StructType)
+                                 full: StructType,
+                                 maxSplitBytes: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -205,21 +259,38 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
   override def build(): Scan =
-    new JsonDocScan(ps, whole, t, full, required, pushed)
+    new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes)
 }
 
 private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           full: StructType, required: StructType,
-                          pushed: Array[org.apache.spark.sql.sources.Filter])
+                          pushed: Array[org.apache.spark.sql.sources.Filter],
+                          maxSplitBytes: Option[Long])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    JsonDocSource.listFiles(SparkSession.active, ps)
-      .map(f => JsonDocPartition(f._1): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codecs =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    // session split size unless the option overrides; clamped ≥1 MB so
+    // a mis-set option cannot plan thousands of splits per small file
+    val target = math.max(1L << 20,
+      maxSplitBytes.getOrElse(
+        spark.sessionState.conf.filesMaxPartitionBytes))
+    JsonDocSource.listFiles(spark, ps).flatMap { case (p, len, _) =>
+      val splittable = !whole &&
+        codecs.getCodec(new org.apache.hadoop.fs.Path(p)) == null
+      if (!splittable || len <= target)
+        Seq(JsonDocPartition(p, 0L, len): InputPartition)
+      else (0L until len by target).map(s =>
+        JsonDocPartition(p, s, math.min(target, len - s)): InputPartition)
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     // ship the SESSION's Hadoop conf to the readers: a fresh executor
     // Configuration would drop every spark.hadoop.* setting (S3
@@ -229,7 +300,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
         SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-private case class JsonDocPartition(path: String) extends InputPartition
+private case class JsonDocPartition(path: String, start: Long, length: Long)
+    extends InputPartition
 
 private case class JsonDocReaderFactory(whole: Boolean, t: HType,
                                         fullNames: Seq[String],
@@ -237,19 +309,21 @@ private case class JsonDocReaderFactory(whole: Boolean, t: HType,
                                         pushed: Array[org.apache.spark.sql.sources.Filter],
                                         conf: graft.ops.Fs.SerializableConf)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new JsonDocReader(p.asInstanceOf[JsonDocPartition].path, whole, t,
-      fullNames, required, pushed, conf.value)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[JsonDocPartition]
+    new JsonDocReader(part, whole, t, fullNames, required, pushed, conf.value)
+  }
 }
 
 /** Early-skip evaluation of simple source filters against the
-  * materialized EXTERNAL row (pre-Catalyst). Supported: null probes
-  * and comparisons on top-level atomic columns — types whose external
-  * class is Comparable and whose filter literal Catalyst hands over
-  * as the SAME class (the `supports` gate). Everything else stays
-  * residual. Comparison failing on an unexpected class keeps the row
-  * (the residual Filter decides) — best-effort can drop only rows it
-  * PROVES non-matching. */
+  * materialized EXTERNAL row (pre-Catalyst). Supported: null probes,
+  * comparisons and IN on top-level atomic columns — types whose
+  * external class is Comparable and whose filter literal Catalyst
+  * hands over as the SAME class (the `supports` gate) — plus the
+  * string prefix/suffix/contains probes on string columns. Everything
+  * else stays residual. Comparison failing on an unexpected class
+  * keeps the row (the residual Filter decides) — best-effort can drop
+  * only rows it PROVES non-matching. */
 private object JsonDocFilters {
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types._
@@ -262,6 +336,9 @@ private object JsonDocFilters {
       case _ => false
     }))
 
+  private def stringCol(schema: StructType, name: String): Boolean =
+    schema.fields.exists(f => f.name == name && f.dataType == StringType)
+
   def supports(f: Filter, schema: StructType): Boolean = f match {
     case EqualTo(a, _) => atomic(schema, a)
     case GreaterThan(a, _) => atomic(schema, a)
@@ -270,6 +347,10 @@ private object JsonDocFilters {
     case LessThanOrEqual(a, _) => atomic(schema, a)
     case IsNull(a) => atomic(schema, a)
     case IsNotNull(a) => atomic(schema, a)
+    case In(a, _) => atomic(schema, a)
+    case StringStartsWith(a, _) => stringCol(schema, a)
+    case StringEndsWith(a, _) => stringCol(schema, a)
+    case StringContains(a, _) => stringCol(schema, a)
     case _ => false
   }
 
@@ -281,7 +362,9 @@ private object JsonDocFilters {
     case _ => None
   }
 
-  /** true = the row may match (ship it); false = provably filtered. */
+  /** true = the row may match (ship it); false = provably filtered.
+    * Null cell semantics mirror SQL's: a null comparison/IN/LIKE is
+    * `null`, which a Filter drops — so dropping on null IS provable. */
   def keeps(f: Filter, row: org.apache.spark.sql.Row,
             idx: Map[String, Int]): Boolean = f match {
     case IsNull(a) => row.get(idx(a)) == null
@@ -296,29 +379,87 @@ private object JsonDocFilters {
       val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ < 0)
     case LessThanOrEqual(a, v) =>
       val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ <= 0)
+    case In(a, vs) =>
+      // empty IN-list is provably false; an unknown-class element
+      // makes cmp None → counted as a possible match (keep)
+      val x = row.get(idx(a))
+      x != null && vs.exists(v => v != null && cmp(x, v).forall(_ == 0))
+    case StringStartsWith(a, p) => row.get(idx(a)) match {
+      case null => false
+      case s: String => s.startsWith(p)
+      case _ => true // not provably non-matching — residual decides
+    }
+    case StringEndsWith(a, p) => row.get(idx(a)) match {
+      case null => false
+      case s: String => s.endsWith(p)
+      case _ => true
+    }
+    case StringContains(a, p) => row.get(idx(a)) match {
+      case null => false
+      case s: String => s.contains(p)
+      case _ => true
+    }
     case _ => true
   }
 }
 
-/** Per-file reader: Hadoop open (+ codec for `.gz`), line or
-  * whole-file units, [[Materialize.docToRow]] conversion, top-level
-  * projection to the pruned schema, Catalyst serialization. */
-private class JsonDocReader(path: String, whole: Boolean, t: HType,
+/** Per-split reader. Three shapes:
+  *   - `whole`: the file's Reader streams into Jackson — ONE document,
+  *     memory bounded by the parsed tree, not the text length;
+  *   - compressed NDJSON: line reader over the codec stream, whole
+  *     file (stream codecs are not seekable → plan, above, never
+  *     splits them);
+  *   - plain NDJSON byte-range split: seek to `start`, a non-zero
+  *     start discards the first (possibly partial) line, then lines
+  *     are consumed while the line's STARTING offset is ≤ the split
+  *     end — the terminal line may read past `end` (its tail bytes
+  *     belong to this split; the next split discards them). Exactly
+  *     the Hadoop text-input contract, so every line lands in
+  *     precisely one split.
+  * Rows flow through [[Materialize.docToRow]], early-skip pushed
+  * filters, a reused-buffer top-level projection to the pruned
+  * schema, and Catalyst serialization. */
+private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
                             fullNames: Seq[String], required: StructType,
                             pushed: Array[org.apache.spark.sql.sources.Filter],
                             conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val hPath = new org.apache.hadoop.fs.Path(path)
+  private val hPath = new org.apache.hadoop.fs.Path(part.path)
   private val fs = hPath.getFileSystem(conf)
-  private val raw: java.io.InputStream = {
-    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+  private val codec =
+    new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
       .getCodec(hPath)
-    val in = fs.open(hPath)
-    if (codec == null) in else codec.createInputStream(in)
+  private val rawIn = fs.open(hPath)
+
+  // split-range state (plain NDJSON only; MaxValue end = read-to-EOF)
+  private val splitEnd: Long =
+    if (whole || codec != null) Long.MaxValue else part.start + part.length
+  private var pos: Long = part.start
+  private val lineText = new org.apache.hadoop.io.Text()
+  private val lines: org.apache.hadoop.util.LineReader =
+    if (whole) null
+    else if (codec != null)
+      new org.apache.hadoop.util.LineReader(codec.createInputStream(rawIn), conf)
+    else {
+      rawIn.seek(part.start)
+      val lr = new org.apache.hadoop.util.LineReader(rawIn, conf)
+      // a non-zero start is mid-someone-else's-line (or exactly at a
+      // boundary the previous split already consumed past): discard
+      // through the first newline
+      if (part.start != 0) pos += lr.readLine(lineText)
+      lr
+    }
+
+  /** next line, or null at end-of-split/EOF; a line beginning at
+    * `pos == splitEnd` still belongs to this split (the next split's
+    * skip-first discards it) — the `<=` of the Hadoop rule. */
+  private def nextLine(): String = {
+    if (pos > splitEnd) return null
+    val consumed = lines.readLine(lineText)
+    if (consumed == 0) null
+    else { pos += consumed; lineText.toString }
   }
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(raw, java.nio.charset.StandardCharsets.UTF_8))
 
   private val rowShaped =
     Materialize.toMaterializableSparkType(t)
@@ -327,6 +468,13 @@ private class JsonDocReader(path: String, whole: Boolean, t: HType,
   // pruned projection: index of each required field in the full row
   private val idx: Array[Int] =
     required.fieldNames.map(n => fullNames.indexOf(n))
+  private val identityProjection =
+    idx.length == width && idx.zipWithIndex.forall { case (v, i) => v == i }
+  // reused across rows: the serializer consumes the values before
+  // next() is called again, and .copy() gives the UnsafeRow its own
+  // buffer — so one Array[Any] (not a fresh Seq + Row per row) serves
+  // every pruned projection this task emits
+  private val projBuf = new Array[Any](idx.length)
   // pushed filters evaluate against the FULL row (a filtered column
   // need not be in the projection)
   private val fullIdx: Map[String, Int] = fullNames.zipWithIndex.toMap
@@ -338,33 +486,42 @@ private class JsonDocReader(path: String, whole: Boolean, t: HType,
 
   @annotation.tailrec
   final override def next(): Boolean = {
-    val doc =
+    val row: Row =
       if (whole) {
         if (wholeDone) null
         else {
           wholeDone = true
-          val sb = new StringBuilder
-          var line = reader.readLine()
-          while (line != null) {
-            sb.append(line).append('\n'); line = reader.readLine()
-          }
-          sb.toString()
+          val in = if (codec == null) rawIn else codec.createInputStream(rawIn)
+          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+            in, java.nio.charset.StandardCharsets.UTF_8))
+          Materialize.docToRow(reader, t, rowShaped, width)
         }
-      } else reader.readLine()
-    if (doc == null) { current = null; false }
-    else {
-      val row = Materialize.docToRow(doc, t, rowShaped, width)
-      if (!pushed.forall(JsonDocFilters.keeps(_, row, fullIdx))) next()
-      else {
-        val pruned = Row.fromSeq(idx.toSeq.map(i =>
-          if (i >= 0) row.get(i) else null))
-        // copy: the encoder's serializer reuses its UnsafeRow buffer
-        current = toInternal(pruned).copy()
-        true
+      } else {
+        val doc = nextLine()
+        if (doc == null) null
+        else Materialize.docToRow(doc, t, rowShaped, width)
       }
+    if (row == null) { current = null; false }
+    else if (!pushed.forall(JsonDocFilters.keeps(_, row, fullIdx))) next()
+    else {
+      val pruned =
+        if (identityProjection) row
+        else {
+          var i = 0
+          while (i < idx.length) {
+            projBuf(i) = if (idx(i) >= 0) row.get(idx(i)) else null
+            i += 1
+          }
+          new GenericRow(projBuf)
+        }
+      // copy: the encoder's serializer reuses its UnsafeRow buffer
+      current = toInternal(pruned).copy()
+      true
     }
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = {
+    if (lines != null) lines.close() else rawIn.close()
+  }
 }

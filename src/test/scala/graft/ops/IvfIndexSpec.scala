@@ -559,4 +559,80 @@ class IvfIndexSpec extends SparkTestBase {
       assert(r.isNullAt(r.fieldIndex("drift_ratio")))
     }
   }
+
+  test("compactCells: fewer files, byte-identical search, untouched compact cells, idempotent, honors a crashed delete's marker") {
+    val idx = graft.TempRoots.path("ivfidx_spec_compact")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+    // three appends fragment the touched cells (each rewrite fans the
+    // cell's rows across several write tasks)
+    for (lo <- Seq(60L, 67L, 74L))
+      VectorOps.appendToIvfIndex(spark, idx,
+        all.where(col("vec_id") >= lo && col("vec_id") < lo + 7)
+          .repartition(8))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellFiles: Map[String, Seq[(String, Long)]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/corpus")).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map { st =>
+          st.getPath.getName -> fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .map(f => (f.getPath.getName, f.getModificationTime)).sorted
+        }.toMap
+    val before = cellFiles
+    assert(before.values.exists(_.size > 1), "fixture failed to fragment")
+    val searchBefore = VectorOps.storedIndexTopK(spark, idx, batch, 3,
+      nProbe = 4).collect().map(_.toString).sorted.toSeq
+    VectorOps.compactCells(spark, idx)
+    val after = cellFiles
+    // every cell now holds exactly one data file...
+    after.foreach { case (c, fl) => assert(fl.size == 1, s"$c: $fl") }
+    // ...already-compact cells were not rewritten (same file, same mtime)
+    before.filter(_._2.size == 1).foreach { case (c, fl) =>
+      assert(after(c) == fl, s"compact cell $c was touched")
+    }
+    // content (gen markers included) and search results are identical
+    assert(VectorOps.storedIndexTopK(spark, idx, batch, 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq == searchBefore)
+    // idempotent: a second call changes nothing (mtimes included)
+    VectorOps.compactCells(spark, idx)
+    assert(cellFiles == after)
+    // a crashed delete's marker is rolled forward FIRST: simulate by
+    // writing a pending_removes marker for one populated cell — after
+    // compaction that cell is gone and the marker is retired
+    val victim = after.keys.head.stripPrefix("cell=").toInt
+    spark.createDataFrame(Seq(Tuple1(victim))).toDF("cell")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$idx/_maintenance/pending_removes")
+    VectorOps.compactCells(spark, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idx/corpus/cell=$victim")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_maintenance")))
+  }
+
+  test("maintainIvfIndex: a full-replacement diff (every stored id dead) rebuilds instead of refusing") {
+    val idx = graft.TempRoots.path("ivfidx_spec_fullupsert")
+    val oldSnap = corpus
+    VectorOps.buildIvfIndex(oldSnap, idx, nCells = 4)
+    // new snapshot: every old id re-embedded (changed) + the batch ids
+    // added — the diff marks ALL stored vectors dead, the case the
+    // delete's refuse-to-empty guard would reject mid-maintenance
+    val newSnap = all.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(-1.0f)).as("embedding"))
+    val diff = VectorOps.vectorSnapshotDiff(oldSnap, newSnap)
+    assert(diff.where(col("status").isin("removed", "changed")).count() == 60L)
+    VectorOps.maintainIvfIndex(spark, idx, newSnap, diff)
+    // the store now serves the NEW snapshot exactly: content equality…
+    val stored = spark.read.parquet(s"$idx/corpus").select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(stored == (0L until 80L).toSeq, s"stored: $stored")
+    // …and search parity with a brute-force scan of the new snapshot
+    val q = newSnap.where(col("vec_id") < 5)
+    val got = VectorOps.storedIndexTopK(spark, idx, q, 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val exact = VectorOps.cosineTopK(newSnap, q, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == exact)
+  }
 }

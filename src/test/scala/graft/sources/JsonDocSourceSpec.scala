@@ -115,6 +115,76 @@ class JsonDocSourceSpec extends SparkTestBase {
     assert(df.schema.fieldNames.contains("fresh"))
   }
 
+  test("byte-range splits: one multi-MB NDJSON file reads through >1 partition, rows identical to a single-partition read") {
+    val dir = new java.io.File(graft.TempRoots.path("graftjson_splits"))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "big.json")
+    val w = new java.io.PrintWriter(f)
+    // ~4.4 MB, variable-length lines so split boundaries land mid-line
+    (1 to 60000).foreach { i =>
+      w.println(s"""{"id": $i, "name": "row-$i-${"x" * (i % 37)}"}""")
+    }
+    w.close()
+    assert(f.length() > (2L << 20))
+    val split = spark.read.format("graftjson")
+      .option("maxSplitBytes", (1L << 20).toString).load(f.toString)
+    val parts = split.rdd.getNumPartitions
+    assert(parts > 1, s"expected multiple byte-range splits, got $parts")
+    val whole = spark.read.format("graftjson").load(f.toString)
+    assert(whole.rdd.getNumPartitions == 1)
+    // identical multiset of rows either way — every line in exactly
+    // one split (skip-first-partial / read-past-end rule)
+    assert(split.count() == 60000L && whole.count() == 60000L)
+    assert(split.collect().map(_.toString).sorted.toSeq ==
+      whole.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("pushdown supports In and string prefix/suffix/contains; rows match the unfiltered scan") {
+    val dir = writeFixture("graftjson_filters2")
+    val base = spark.read.format("graftjson").load(dir)
+    val df = base.where(col("id").isin(1, 40000) && col("name").startsWith("al"))
+    val desc = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.mkString
+    assert(desc.contains("In(id"), desc)
+    assert(desc.contains("StringStartsWith(name,al)"), desc)
+    assert(df.collect().map(_.getAs[Number]("id").longValue()).toSeq == Seq(1L))
+    assert(base.where(col("name").endsWith("eta")).count() == 1L)
+    assert(base.where(col("name").contains("lph")).count() == 1L)
+    // empty IN-list and null-name rows are provably droppable, but the
+    // residual Filter owns correctness — results equal a collect+filter
+    val all = base.collect().map(_.getAs[String]("name")).filter(_ != null)
+    assert(base.where(col("name").startsWith("zzz")).count() ==
+      all.count(_.startsWith("zzz")))
+  }
+
+  test("refresh=true bypasses the inference cache; nested directories are walked consistently") {
+    val dir = writeFixture("graftjson_refresh")
+    spark.read.format("graftjson").load(dir).count()
+    val runs = JsonDocSource.inferenceRuns.get()
+    // unchanged fileset: cached
+    spark.read.format("graftjson").load(dir).count()
+    assert(JsonDocSource.inferenceRuns.get() == runs)
+    // refresh forces a re-inference over the same fingerprint
+    spark.read.format("graftjson").option("refresh", "true").load(dir).count()
+    assert(JsonDocSource.inferenceRuns.get() == runs + 1)
+
+    // a file in a NESTED subdirectory is seen by BOTH inference and
+    // the scan (one listing feeds both) — the schema includes its
+    // field and the row count includes its docs
+    val sub = new java.io.File(dir, "nested/deeper")
+    sub.mkdirs()
+    val n = new java.io.PrintWriter(new java.io.File(sub, "n.json"))
+    n.println("""{"id": 5, "name": "nested", "deep": true}""")
+    n.close()
+    val df = spark.read.format("graftjson").load(dir)
+    assert(df.schema.fieldNames.contains("deep"))
+    assert(df.count() == 4L)
+    assert(df.where(col("deep")).select(col("name")).head().getString(0)
+      == "nested")
+  }
+
   test("a user-supplied schema must match the inferred one (unions are not reconstructible)") {
     val dir = writeFixture("graftjson_uschema")
     val inferredSchema = spark.read.format("graftjson").load(dir).schema
