@@ -1647,7 +1647,62 @@ object Analytic {
       |    round(CAST(n3 AS DOUBLE) / nullif(n2, 0), 4) FROM n)
       |ORDER BY stage""".stripMargin
 
+  /** Marketing attribution over the event stream: every purchase is
+    * credited to the user's FIRST and LAST marketing touch
+    * (click/view) preceding it in (ts, event_id) order — the two
+    * standard single-touch models, computed in ONE window pass
+    * (running first/last with ignoreNulls over unbounded-preceding
+    * frames; no self-join, no per-user collect, state bounded by two
+    * carried values per row). Purchases with no prior touch land in
+    * the 'none' bucket so credit totals reconcile to the purchase
+    * total. Revenue sums go through DECIMAL(14,2) on both engines
+    * (the driver-contract float-sum rule) and out as DOUBLE. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch =
+      when(col("event_type").isin("click", "view"), col("event_type"))
+    val p = graft.queries.Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+    p.select(lit("first").as("model"),
+        coalesce(col("first_touch"), lit("none")).as("touch"), col("value"))
+      .unionAll(p.select(lit("last").as("model"),
+        coalesce(col("last_touch"), lit("none")).as("touch"), col("value")))
+      .groupBy(col("model"), col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(14,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("model"), col("touch"))
+  }
+
+  private val q215Sql =
+    """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+      |    first_value(CASE WHEN event_type IN ('click','view')
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS first_touch,
+      |    last_value(CASE WHEN event_type IN ('click','view')
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_touch
+      |  FROM events),
+      |p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+      |u AS (SELECT 'first' AS model,
+      |    coalesce(first_touch, 'none') AS touch, value FROM p
+      |  UNION ALL SELECT 'last', coalesce(last_touch, 'none'), value FROM p)
+      |SELECT model, touch, count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM u GROUP BY model, touch ORDER BY model, touch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_touch_attribution" -> (q215 _),
     "q208_cohort_retention" -> (q208 _),
     "q209_funnel_conversion" -> (q209 _),
     "q188_join_size_estimate" -> (q188 _),
@@ -1688,6 +1743,7 @@ object Analytic {
   // AnalyticSpec pins the CMS bound + layout determinism
 
   val oracle: Map[String, String] = Map(
+    "q215_touch_attribution" -> q215Sql,
     "q208_cohort_retention" -> q208Sql,
     "q209_funnel_conversion" -> q209Sql,
     "q189_fd_profile" -> q189Sql,

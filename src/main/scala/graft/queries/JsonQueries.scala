@@ -314,19 +314,28 @@ object JsonQueries {
     * sum. Integer-only projection (price in cents) so inference yields
     * plain numeric widths, no unions. Split-vs-whole row parity is
     * also pinned in JsonDocSourceSpec. */
+  /** q212/q214's shared single-file NDJSON export of the lineitem
+    * projection (build-once; map iteration order must not matter). */
+  private val q212ExportLock = new Object
+  private def q212Export(s: SparkSession, dir: String): String =
+    q212ExportLock.synchronized {
+      val out = graft.TempRoots.path(
+        s"graftjson_q212_${Integer.toHexString(dir.hashCode)}")
+      if (!graft.ops.Fs.exists(s, out))
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus"),
+            // double-typed price → exact integer cents via round (the
+            // *100 product alone can land a hair under the true cent
+            // value, and Spark's cast truncates where DuckDB rounds)
+            round(col("l_extendedprice") * 100).cast("bigint")
+              .as("price_cents"))
+          .coalesce(1).write.mode("overwrite").json(out)
+      out
+    }
+
   private def q212(s: SparkSession, dir: String): DataFrame = {
-    val out = graft.TempRoots.path(
-      s"graftjson_q212_${Integer.toHexString(dir.hashCode)}")
-    if (!graft.ops.Fs.exists(s, out))
-      Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_returnflag"), col("l_linestatus"),
-          // double-typed price → exact integer cents via round (the
-          // *100 product alone can land a hair under the true cent
-          // value, and Spark's cast truncates where DuckDB rounds)
-          round(col("l_extendedprice") * 100).cast("bigint")
-            .as("price_cents"))
-        .coalesce(1).write.mode("overwrite").json(out)
+    val out = q212Export(s, dir)
     s.read.format("graftjson")
       .option("maxSplitBytes", (1L << 20).toString).load(out)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -345,9 +354,38 @@ object JsonQueries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Source-filter pushdown through the real gate: the q212 export
+    * read back with an `In` + `StringStartsWith` predicate the
+    * graftjson scan early-skips (best-effort; Spark's residual Filter
+    * owns correctness — the plan-shape pin lives in
+    * JsonDocSourceSpec). The aggregate must match DuckDB applying the
+    * same predicates to the parquet original, so a row wrongly
+    * dropped by the source's pushed evaluation (the only way
+    * best-effort can corrupt) flips the sums. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val out = q212Export(s, dir)
+    s.read.format("graftjson")
+      .option("maxSplitBytes", (1L << 20).toString).load(out)
+      .where(col("l_returnflag").isin("A", "R") &&
+        col("l_linestatus").startsWith("F"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents").cast("bigint")).as("sum_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q214Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A', 'R') AND l_linestatus LIKE 'F%'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_graftjson_source" -> (q210 _),
     "q212_graftjson_splits" -> (q212 _),
+    "q214_graftjson_pushdown" -> (q214 _),
     "q200_variant_shred" -> (q200 _),
     "q144_jsonl_roundtrip" -> (q144 _),
     "q39_asof_join" -> (q39 _),
@@ -362,6 +400,7 @@ object JsonQueries {
   val oracle: Map[String, String] = Map(
     "q210_graftjson_source" -> q210Sql,
     "q212_graftjson_splits" -> q212Sql,
+    "q214_graftjson_pushdown" -> q214Sql,
     "q200_variant_shred" -> q200Sql,
     "q144_jsonl_roundtrip" -> q144Sql,
     "q39_asof_join" -> q39Sql,

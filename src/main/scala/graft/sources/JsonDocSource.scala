@@ -351,6 +351,13 @@ private object JsonDocFilters {
     case StringStartsWith(a, _) => stringCol(schema, a)
     case StringEndsWith(a, _) => stringCol(schema, a)
     case StringContains(a, _) => stringCol(schema, a)
+    // composites of supported leaves are sound: a row provably fails
+    // an Or only when it provably fails BOTH sides, an And when
+    // EITHER side provably fails. Not is deliberately absent —
+    // keeps() means "may match", and negating "may match" does not
+    // give "provably fails".
+    case Or(l, r) => supports(l, schema) && supports(r, schema)
+    case And(l, r) => supports(l, schema) && supports(r, schema)
     case _ => false
   }
 
@@ -399,6 +406,8 @@ private object JsonDocFilters {
       case s: String => s.contains(p)
       case _ => true
     }
+    case Or(l, r) => keeps(l, row, idx) || keeps(r, row, idx)
+    case And(l, r) => keeps(l, row, idx) && keeps(r, row, idx)
     case _ => true
   }
 }

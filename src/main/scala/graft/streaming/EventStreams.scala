@@ -179,6 +179,26 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming materialization of an NDJSON document directory — the
+    * graftjson table's streaming twin, deliberately built ON Spark's
+    * own file stream source rather than re-implementing one:
+    * `readStream.textFile` tails the directory (new files per
+    * micro-batch, exactly-once file tracking via the stream's
+    * seen-files log — machinery a custom MicroBatchStream would have
+    * to rebuild), and every line materializes through the SAME
+    * [[graft.infer.Materialize]] conversion the batch source and CLI
+    * run, so the three surfaces cannot drift. The HType is FIXED for
+    * the stream's lifetime (Structured Streaming schemas are static):
+    * discover it from a representative batch prefix (the graftjson
+    * planning pass) or reuse the batch table's; documents that don't
+    * fit a field yield null there, never a failure — and
+    * [[schemaOverTime]] is the monitoring stream that tells you when
+    * the corpus has drifted enough to re-infer and restart. */
+  def streamJsonDocs(spark: SparkSession, dir: String,
+                     inferred: graft.types.HType): DataFrame =
+    graft.infer.Materialize.materialize(
+      spark.readStream.textFile(dir), inferred.canonical)
+
   /** Ingest-time contamination scrub: drop streamed documents whose
     * token-set fingerprint appears in the (static, benchmark-sized)
     * eval set — the streaming form of the batch q70 check, run BEFORE

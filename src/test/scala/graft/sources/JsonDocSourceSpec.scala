@@ -159,6 +159,31 @@ class JsonDocSourceSpec extends SparkTestBase {
       all.count(_.startsWith("zzz")))
   }
 
+  test("Or/And composites of supported leaves push down; Not never does") {
+    val dir = writeFixture("graftjson_orand")
+    val base = spark.read.format("graftjson").load(dir)
+    val df = base.where(col("id") === 1 || col("name").endsWith("eta"))
+    val desc = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.mkString
+    assert(desc.contains("Or("), desc)
+    assert(df.collect().map(_.getAs[Number]("id").longValue()).sorted.toSeq ==
+      Seq(1L, 2L))
+    // a NOT never reaches the pushed set (negating "may match" is not
+    // "provably fails"); the residual Filter still applies it
+    val notDf = base.where(!(col("name") === "alpha"))
+    val notDesc = notDf.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.mkString
+    assert(!notDesc.contains("Not("), notDesc)
+    // NOT semantics on nulls: null name is dropped by SQL, and the
+    // residual owns that — values still correct end to end
+    assert(notDf.collect().map(_.getAs[Number]("id").longValue()).toSeq ==
+      Seq(2L))
+  }
+
   test("refresh=true bypasses the inference cache; nested directories are walked consistently") {
     val dir = writeFixture("graftjson_refresh")
     spark.read.format("graftjson").load(dir).count()
