@@ -2220,4 +2220,35 @@ object TextOps {
       sum(when(!shortFail && !stopFail && !lenFail && !repFail, 1L)
         .otherwise(0L)).as("n_survivors"))
   }
+
+  /** HTML → text extraction, the web-corpus front door before every
+    * quality/dedup operator (raw crawl text is markup): a fixed chain
+    * of codegen'd regexp projections, ORDER CONTRACTED because each
+    * stage's correctness depends on the previous —
+    *   1. `<script>`/`<style>` blocks removed WHOLE (their bodies may
+    *      contain bare `<`/`>` that would corrupt tag stripping),
+    *   2. comments removed (may contain markup),
+    *   3. remaining tags stripped,
+    *   4. entities decoded, `&amp;` LAST (else `&amp;lt;` would
+    *      double-decode — the standard pitfall),
+    *   5. whitespace collapsed and trimmed.
+    * Pure per-row projection: zero shuffle, scales linearly. A real
+    * browser-grade parser handles malformed nesting this regex chain
+    * does not — the contract here is deterministic well-formed-markup
+    * extraction, the q217 oracle replays the identical chain. */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
 }

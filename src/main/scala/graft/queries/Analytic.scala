@@ -1669,10 +1669,17 @@ object Analytic {
       .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
       .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
       .where(col("event_type") === "purchase")
-    p.select(lit("first").as("model"),
-        coalesce(col("first_touch"), lit("none")).as("touch"), col("value"))
-      .unionAll(p.select(lit("last").as("model"),
-        coalesce(col("last_touch"), lit("none")).as("touch"), col("value")))
+    // both models fold out of ONE pass (explode of a 2-struct array)
+    // instead of a self-union that would run the scan + window twice —
+    // plan-pinned to a single events scan in PlanQualitySpec
+    p.select(explode(array(
+        struct(lit("first").as("model"),
+          coalesce(col("first_touch"), lit("none")).as("touch")),
+        struct(lit("last").as("model"),
+          coalesce(col("last_touch"), lit("none")).as("touch")))).as("mt"),
+        col("value"))
+      .select(col("mt.model").as("model"), col("mt.touch").as("touch"),
+        col("value"))
       .groupBy(col("model"), col("touch"))
       .agg(count(lit(1)).as("n_purchases"),
         sum(col("value").cast("decimal(14,2)")).cast("double")

@@ -1871,7 +1871,66 @@ object LlmQueries {
       |  md5(redacted) AS redacted_fp
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** HTML → text extraction ([[graft.ops.TextOps.htmlToText]]) on
+    * synthesized well-formed markup — the corpus carries no HTML (the
+    * q207 synthesis convention), so every document is wrapped in a
+    * deterministic page: head with title + style block, body with
+    * heading, the text in a classed paragraph carrying encoded
+    * entities, a script whose body contains a BARE `<` (the token
+    * that corrupts tag stripping unless script blocks go first), and
+    * a comment containing markup. A green row proves the whole
+    * ordered chain — block removal, tag strip, entity decode with
+    * `&amp;` last, whitespace collapse — byte-exactly via the
+    * cleaned-text fingerprint, plus the title extraction. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{color:red}</style></head><body>" +
+        "<h1>Heading</h1><p class=\"b\">"),
+      coalesce(col("text"), lit("")),
+      lit(" &amp; tail &lt;i&gt; &quot;q&quot;</p>" +
+        "<script>var x = 1 < 2;</script><!-- hidden <b> --></body></html>"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), html.as("h"))
+      .select(col("doc_id"),
+        regexp_extract(col("h"), "<title>([^<]*)</title>", 1).as("title"),
+        TextOps.htmlToText(col("h")).as("clean"))
+      .select(col("doc_id"), col("title"),
+        md5(col("clean").cast("binary")).as("text_fp"),
+        length(col("clean")).cast("bigint").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q217Sql =
+    """WITH h AS (SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title><style>p{color:red}</style></head><body>'
+      |    || '<h1>Heading</h1><p class="b">' || coalesce(text, '')
+      |    || ' &amp; tail &lt;i&gt; &quot;q&quot;</p>'
+      |    || '<script>var x = 1 < 2;</script><!-- hidden <b> -->'
+      |    || '</body></html>' AS h
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    regexp_extract(h, '<title>([^<]*)</title>', 1) AS title,
+      |    trim(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(h,
+      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g'),
+      |      '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+      |      '&amp;', '&', 'g'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM h)
+      |SELECT doc_id, title, md5(clean) AS text_fp,
+      |  CAST(length(clean) AS BIGINT) AS n_chars
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_html_extract" -> (q217 _),
     "q205_repetition_signals" -> (q205 _),
     "q207_pii_scrub" -> (q207 _),
     "q186_jl_recall" -> (q186 _),
@@ -1944,6 +2003,7 @@ object LlmQueries {
   val oracle: Map[String, String] = Map(
     "q205_repetition_signals" -> q205Sql,
     "q207_pii_scrub" -> q207Sql,
+    "q217_html_extract" -> q217Sql,
     "q195_embedding_dim_audit" -> q195Sql,
     "q196_sorted_neighborhood" -> q196Sql,
     "q201_interleave_mix" -> q201Sql,

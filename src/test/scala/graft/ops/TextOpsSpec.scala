@@ -786,4 +786,23 @@ class TextOpsSpec extends SparkTestBase {
       .sortBy(_._1)
     assert(re.toSeq == out.toSeq)
   }
+
+  test("htmlToText: ordered chain handles bare < in scripts, markup in comments, entity decode with &amp; last") {
+    import spark.implicits._
+    val cases = Seq(
+      // script body with a bare `<` that would corrupt tag stripping
+      ("<body><p>hi</p><script>if (1 < 2) x()</script></body>", "hi"),
+      // style block + comment containing markup
+      ("<style>p < q {}</style><p>a</p><!-- <b>x</b> -->", "a"),
+      // entity order: &amp;lt; must decode to the literal text `&lt;`
+      // (ONE pass, amp last), never to `<`
+      ("<p>&amp;lt; and &lt;raw&gt; &quot;w&quot; &#39;y&#39; &nbsp;.</p>",
+        "&lt; and <raw> \"w\" 'y' ."),
+      // whitespace collapse + trim
+      ("<div>  a\n\n  b\t c  </div>", "a b c"))
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.ops.TextOps.htmlToText(org.apache.spark.sql.functions.col("h")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString("|"))
+  }
 }

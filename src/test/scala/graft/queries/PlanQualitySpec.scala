@@ -522,4 +522,35 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 12, p) // 6 pairs × ≥2
   }
+
+  test("q215: both attribution models fold out of ONE events scan over ONE window shuffle") {
+    val p = plan("q215_touch_attribution")
+    val scans = p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"want 1 parquet scan node, got $scans:\n$p")
+    // Catalyst splits first/last into two pipelined Window operators
+    // sharing ONE sort+exchange — exactly 3 exchanges total: the
+    // user-keyed window shuffle, the partial/final aggregate, the
+    // output sort. A self-union shape would double the scan AND the
+    // window shuffle.
+    val exchanges = p.linesIterator
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 3, s"want 3 exchanges, got $exchanges:\n$p")
+  }
+
+  test("q216: k-anonymity is one scan + partial/final aggregates, no join") {
+    val p = plan("q216_k_anonymity")
+    val scans = p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"want 1 parquet scan node, got $scans:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q217: html extraction is a pure projection — no shuffle before the final sort") {
+    val p = plan("q217_html_extract")
+    // exactly one exchange: the output ORDER BY's range partitioning
+    val exchanges = p.linesIterator
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1, s"want only the sort exchange, got $exchanges:\n$p")
+  }
 }
