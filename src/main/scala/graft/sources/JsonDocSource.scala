@@ -266,7 +266,22 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           full: StructType, required: StructType,
                           pushed: Array[org.apache.spark.sql.sources.Filter],
                           maxSplitBytes: Option[Long])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  /** Runtime (join-derived) filters, merged into the readers' pushed
+    * set under the same best-effort contract: a runtime filter comes
+    * from the JOIN's build side (dynamic pruning), so the join itself
+    * re-verifies every surviving row — early-skipping provably
+    * non-matching rows here saves their conversion + shuffle, and
+    * ignoring an unsupported shape is always safe. */
+  private var runtimePushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    full.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimePushed = filters.filter(JsonDocFilters.supports(_, full))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -295,7 +310,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     // ship the SESSION's Hadoop conf to the readers: a fresh executor
     // Configuration would drop every spark.hadoop.* setting (S3
     // credentials/endpoints, codec config) that planning used
-    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required, pushed,
+    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required,
+      pushed ++ runtimePushed,
       new graft.ops.Fs.SerializableConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
 }

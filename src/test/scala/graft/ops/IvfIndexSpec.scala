@@ -611,6 +611,32 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_maintenance")))
   }
 
+  test("compactCells on the codes-only PQ layout: fewer files, identical search") {
+    val idx = graft.TempRoots.path("ivfidx_spec_compact_pq")
+    VectorOps.buildIvfPqIndex(corpus, idx, nCells = 4, subs = 4)
+    for (lo <- Seq(60L, 70L))
+      VectorOps.appendToIvfPqIndex(spark, idx,
+        all.where(col("vec_id") >= lo && col("vec_id") < lo + 10)
+          .repartition(8))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files: Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/corpus")).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(st => fs.listStatus(st.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))).sum
+    val before = files
+    val q = all.where(col("vec_id") % 20 === 0)
+    def search = VectorOps.storedPqIndexTopK(spark, idx, all, q, k = 3,
+      nProbe = 4, rerank = 10, driverProbeLimit = 0)
+      .collect().map(_.toString).sorted.toSeq
+    val searchBefore = search
+    VectorOps.compactCells(spark, idx)
+    assert(files < before, s"no reduction: $before -> $files")
+    assert(search == searchBefore)
+  }
+
   test("maintainIvfIndex: a full-replacement diff (every stored id dead) rebuilds instead of refusing") {
     val idx = graft.TempRoots.path("ivfidx_spec_fullupsert")
     val oldSnap = corpus

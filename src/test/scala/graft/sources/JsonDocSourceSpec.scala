@@ -139,6 +139,39 @@ class JsonDocSourceSpec extends SparkTestBase {
       whole.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("byte-range splits: no trailing newline, CRLF line ends, and a boundary at EOF all read exactly once") {
+    val dir = new java.io.File(graft.TempRoots.path("graftjson_split_edges"))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "edges.json")
+    val out = new java.io.FileOutputStream(f)
+    // CRLF terminators and NO newline after the final record
+    val lines = (1 to 40000).map(i => s"""{"id": $i}""")
+    out.write(lines.mkString("\r\n").getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.format("graftjson")
+      // tiny splits (floor-clamped to 1 MB) over a ~0.6 MB file keep
+      // it one split; force multiple with the exact byte honesty:
+      // file is ~0.62 MB so use two reads — split by 1 MB (single)
+      // and by the session default — then a larger file for real
+      // multi-split coverage below
+      .option("maxSplitBytes", (1L << 20).toString).load(f.toString)
+    assert(df.count() == 40000L)
+    // bigger file: multi-split with CRLF + no trailing newline
+    val g = new java.io.File(dir, "edges_big.json")
+    val out2 = new java.io.FileOutputStream(g)
+    val lines2 = (1 to 120000).map(i =>
+      s"""{"id": $i, "pad": "${"y" * (i % 23)}"}""")
+    out2.write(lines2.mkString("\r\n").getBytes("UTF-8"))
+    out2.close()
+    assert(g.length() > (2L << 20))
+    val split = spark.read.format("graftjson")
+      .option("maxSplitBytes", (1L << 20).toString).load(g.toString)
+    assert(split.rdd.getNumPartitions > 1)
+    assert(split.count() == 120000L)
+    assert(split.agg(sum(col("id"))).head().getLong(0) ==
+      (1L to 120000L).sum)
+  }
+
   test("pushdown supports In and string prefix/suffix/contains; rows match the unfiltered scan") {
     val dir = writeFixture("graftjson_filters2")
     val base = spark.read.format("graftjson").load(dir)
@@ -208,6 +241,39 @@ class JsonDocSourceSpec extends SparkTestBase {
     assert(df.count() == 4L)
     assert(df.where(col("deep")).select(col("name")).head().getString(0)
       == "nested")
+  }
+
+  test("runtime filters merge into the readers' pushed set (SupportsRuntimeFiltering)") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.sources.In
+    val dir = writeFixture("graftjson_runtime")
+    val df = spark.read.format("graftjson").load(dir)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.head
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    // every top-level column is advertised as filterable; the join-
+    // derived In is accepted and the reader set shrinks the output —
+    // the unit-level pin of the mechanism (DPP injection itself is a
+    // planner heuristic, exercised end to end by Spark's own suites)
+    assert(rf.filterAttributes().map(_.fieldNames.mkString).toSet ==
+      df.schema.fieldNames.toSet)
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", Array(1, 2))))
+    val batch = scan.toBatch
+    val parts = batch.planInputPartitions()
+    val reader = batch.createReaderFactory()
+    val rows = parts.flatMap { p =>
+      val r = reader.createReader(p)
+      val idOrd = df.schema.fieldIndex("id")
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      while (r.next()) buf += r.get().getInt(idOrd).toLong // id infers INT
+      r.close(); buf
+    }
+    // doc with id 40000 was provably skipped at the source; 1 and 2
+    // survive (the join above would re-verify them anyway)
+    assert(rows.sorted.toSeq == Seq(1L, 2L), rows.mkString(","))
   }
 
   test("a user-supplied schema must match the inferred one (unions are not reconstructible)") {
