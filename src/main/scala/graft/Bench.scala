@@ -80,6 +80,19 @@ object Bench {
       catch { case _: Throwable => false }
       (ok, (System.nanoTime() - t0) / 1e9)
     }
+    // THE one timing path, isolated and suite alike (CLAUDE.md
+    // invariant): time a pass, then drop its caches so the next pass
+    // is cold — persist()-based query caches register in the
+    // CacheManager, which a bare RDD unpersist does not deregister,
+    // and a still-registered cache plan-matches the next pass's
+    // freshly built plan (the r10 warm-crediting bug).
+    def timedCold(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+      val r = timed(fn)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      r
+    }
     // Isolated mode: `runMain graft.Bench q64 [nPasses]` runs ONE query
     // (matched by unique qNN prefix or full name) N times (default 5)
     // in a fresh JVM and reports its min — the adjudicable steady-state
@@ -94,13 +107,7 @@ object Bench {
       require(hits.size == 1, s"query '$want' matches ${hits.size} entries: ${hits.sorted.mkString(", ")}")
       val name = hits.head
       val fn = SparkEntry.queries(name)
-      val times = (1 to passes).map { _ =>
-        val r = timed(fn)
-        spark.catalog.clearCache() // see suite loop
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        r
-      }
+      val times = (1 to passes).map(_ => timedCold(fn))
       val good = times.collect { case (true, t) => t }
       def fmtI(v: Double): String = BigDecimal(v)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -110,6 +117,9 @@ object Bench {
       spark.stop()
       return
     }
+    // Suite loop: per-pass cold timing via timedCold above (cleared
+    // after EVERY pass, not per pair — the r10 lesson: min-of-2 was
+    // silently reporting warm-cache second passes, 5× off on q161).
     // Each pass rebuilds its plan, so blocks pinned by eager
     // localCheckpoint/persist inside the operators are dead once the
     // pass returns — but the context cleaner frees them only after a
@@ -119,24 +129,6 @@ object Bench {
     // long-running cluster job never carries a previous job's blocks;
     // drop them explicitly so each query is timed in the steady state
     // it would actually run in.
-    // clearCache FIRST: persist()-based query caches (the r10
-    // fault-tolerance sweep) register in the CacheManager, which a
-    // bare RDD unpersist does not deregister — 200 queries of stale
-    // entries then plan-match every later query ("Asked to cache
-    // already cached data" churn) and inflate the suite-context
-    // times the way the r5 block leak did.
-    // Cleared after EVERY timed pass, not per pair (r10 lesson: the
-    // r10 persist sweep made pass 2's freshly built plan canonically
-    // match pass 1's still-registered cache, so min-of-2 silently
-    // reported a warm-cache pass for every persist-backed query —
-    // 5× off the honest cold number on q161). Matches isolated mode.
-    def timedCold(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
-      val r = timed(fn)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      r
-    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val two = Seq(timedCold(fn), timedCold(fn))
       val noisy = two.forall(_._1) && two(1)._2 > two(0)._2 * 1.3

@@ -2237,10 +2237,13 @@ object TextOps {
     * does not — the contract here is deterministic well-formed-markup
     * extraction, the q217 oracle replays the identical chain. */
   def htmlToText(html: Column): Column = {
+    // (?i): tag names are case-insensitive in HTML — an uppercase
+    // <SCRIPT> left unmatched would leak its body (and its bare `<`)
+    // into the tag-strip stage (review r11)
     val noScript =
-      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle =
-      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ",

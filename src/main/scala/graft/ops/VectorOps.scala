@@ -1580,10 +1580,7 @@ object VectorOps {
         s"$staging/carried")
       val carriedEmpty = carried.isEmpty
       if (carriedEmpty && touched.toSet == allCells)
-        throw new IllegalArgumentException(
-          "deleteFromIvfIndex would remove every stored vector, leaving an " +
-            "unreadable file-less index; drop the directory and rebuild with " +
-            "buildIvfIndex/buildIvfPqIndex instead")
+        throw new VectorOps.WouldEmptyIndexException
       // the cells this delete will empty entirely are known BEFORE
       // the overwrite (carried is durably staged) — write the
       // _pending_removes marker FIRST, so a crash anywhere between
@@ -1657,9 +1654,7 @@ object VectorOps {
     if (!dead.isEmpty) {
       try deleteFromIvfIndex(spark, indexDir, dead)
       catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.contains("would remove every stored vector") =>
+        case _: WouldEmptyIndexException =>
           // a diff marking EVERY stored id removed/changed (a full
           // re-embedding) is a legitimate upsert, not an error: the
           // delete's refuse-to-empty guard protects interactive
@@ -1904,4 +1899,18 @@ object VectorOps {
         round(max(col("abs_err")), 6).cast("double").as("max_abs_err"))
       .orderBy(col("pos"))
   }
+
+  /** Thrown by [[deleteFromIvfIndex]] when the id set covers every
+    * stored vector (the delete would leave an unreadable file-less
+    * index). A TYPED condition, not a message to pattern-match:
+    * [[maintainIvfIndex]] catches it to run its full-replacement
+    * rebuild; interactive callers get the actionable message.
+    * Subclasses IllegalArgumentException so existing refuse-to-empty
+    * contracts (and their spec pins) are unchanged. */
+  final class WouldEmptyIndexException extends IllegalArgumentException(
+    "deleteFromIvfIndex would remove every stored vector, leaving an " +
+      "unreadable file-less index; drop the directory and rebuild with " +
+      "buildIvfIndex/buildIvfPqIndex instead — or, when the replacement " +
+      "content is in hand, use maintainIvfIndex (its full-replacement " +
+      "fallback rebuilds over the new snapshot)")
 }

@@ -95,7 +95,7 @@ object Curation {
     def below(t: Int, what: org.apache.spark.sql.Column) =
       sum(when(col("k") < t, what).otherwise(lit(0L))).cast("bigint")
     groups.agg(
-        count(lit(1)).cast("bigint").as("g"), sum(col("k")).as("n"),
+        sum(col("k")).as("n"),
         below(2, lit(1L)).as("g2"), below(2, col("k")).as("r2"),
         below(5, lit(1L)).as("g5"), below(5, col("k")).as("r5"),
         below(10, lit(1L)).as("g10"), below(10, col("k")).as("r10"),
@@ -117,7 +117,7 @@ object Curation {
       |  FROM customer),
       |g AS (SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS k
       |  FROM q GROUP BY 1, 2, 3),
-      |s AS (SELECT count(*) AS ng, CAST(sum(k) AS BIGINT) AS n,
+      |s AS (SELECT CAST(sum(k) AS BIGINT) AS n,
       |  CAST(sum(CASE WHEN k < 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
       |  CAST(sum(CASE WHEN k < 2 THEN k ELSE 0 END) AS BIGINT) AS r2,
       |  CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS g5,

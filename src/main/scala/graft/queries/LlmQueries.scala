@@ -1916,8 +1916,8 @@ object LlmQueries {
       |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |      regexp_replace(regexp_replace(h,
-      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
       |      '(?s)<!--.*?-->', ' ', 'g'),
       |      '<[^>]+>', ' ', 'g'),
       |      '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g'),

@@ -196,19 +196,25 @@ private[sources] object JsonDocSource {
                 ps: Seq[String]): Seq[(String, Long, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     def walk(fs: org.apache.hadoop.fs.FileSystem,
-             st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+             st: org.apache.hadoop.fs.FileStatus,
+             root: Boolean): Seq[org.apache.hadoop.fs.FileStatus] =
       if (st.isDirectory) {
-        // hidden dirs (_temporary, .staging) pruned whole, like FileIndex
+        // hidden dirs (_temporary, .staging) pruned whole DURING the
+        // recursion, like FileIndex — but never the directory the user
+        // NAMED (a load("/data/_exports") must read its data, not
+        // silently plan an empty table; review r11)
         val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
-        else fs.listStatus(st.getPath).toSeq.flatMap(walk(fs, _))
+        if (!root && (name.startsWith("_") || name.startsWith(".")))
+          Seq.empty
+        else fs.listStatus(st.getPath).toSeq
+          .flatMap(walk(fs, _, root = false))
       } else Seq(st)
     ps.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(conf)
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       val expanded = if (matched.nonEmpty) matched else Seq(fs.getFileStatus(path))
-      expanded.flatMap(walk(fs, _))
+      expanded.flatMap(walk(fs, _, root = true))
     }.filterNot { st =>
       val name = st.getPath.getName
       name.startsWith("_") || name.startsWith(".")
@@ -462,6 +468,14 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
     if (whole || codec != null) Long.MaxValue else part.start + part.length
   private var pos: Long = part.start
   private val lineText = new org.apache.hadoop.io.Text()
+  // whole-file stream, built EAGERLY so close() can release it: a
+  // codec stream checked out inside next() and never closed leaked a
+  // pooled native decompressor per file (review r11) — closing the
+  // CompressionInputStream is what returns it to the CodecPool
+  private val wholeIn: java.io.InputStream =
+    if (!whole) null
+    else if (codec == null) rawIn
+    else codec.createInputStream(rawIn)
   private val lines: org.apache.hadoop.util.LineReader =
     if (whole) null
     else if (codec != null)
@@ -516,9 +530,8 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
         if (wholeDone) null
         else {
           wholeDone = true
-          val in = if (codec == null) rawIn else codec.createInputStream(rawIn)
           val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-            in, java.nio.charset.StandardCharsets.UTF_8))
+            wholeIn, java.nio.charset.StandardCharsets.UTF_8))
           Materialize.docToRow(reader, t, rowShaped, width)
         }
       } else {
@@ -546,7 +559,11 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = {
-    if (lines != null) lines.close() else rawIn.close()
-  }
+  override def close(): Unit =
+    // LineReader.close() and CompressionInputStream.close() both close
+    // the wrapped rawIn (the codec stream additionally returns its
+    // pooled decompressor); plain-whole falls through to rawIn itself
+    if (lines != null) lines.close()
+    else if (wholeIn != null) wholeIn.close()
+    else rawIn.close()
 }

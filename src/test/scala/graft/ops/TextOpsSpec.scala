@@ -792,6 +792,9 @@ class TextOpsSpec extends SparkTestBase {
     val cases = Seq(
       // script body with a bare `<` that would corrupt tag stripping
       ("<body><p>hi</p><script>if (1 < 2) x()</script></body>", "hi"),
+      // tag names are case-insensitive in HTML: an uppercase script
+      // block must be removed WHOLE, not leak its body
+      ("<BODY><P>ok</P><SCRIPT>if (a < b) c()</SCRIPT></BODY>", "ok"),
       // style block + comment containing markup
       ("<style>p < q {}</style><p>a</p><!-- <b>x</b> -->", "a"),
       // entity order: &amp;lt; must decode to the literal text `&lt;`

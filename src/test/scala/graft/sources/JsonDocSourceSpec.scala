@@ -243,6 +243,23 @@ class JsonDocSourceSpec extends SparkTestBase {
       == "nested")
   }
 
+  test("an explicitly-named hidden directory is readable; hidden SUBdirectories are still pruned") {
+    val root = new java.io.File(graft.TempRoots.path("graftjson_hidden"))
+    val named = new java.io.File(root, "_exports")
+    named.mkdirs()
+    val a = new java.io.PrintWriter(new java.io.File(named, "a.json"))
+    a.println("""{"id": 1}"""); a.close()
+    // a hidden SUBdir inside the named root stays invisible (the
+    // _staging/_temporary convention)
+    val tmp = new java.io.File(named, "_tmp")
+    tmp.mkdirs()
+    val junk = new java.io.PrintWriter(new java.io.File(tmp, "junk.json"))
+    junk.println("""{"id": 999}"""); junk.close()
+    val df = spark.read.format("graftjson").load(named.toString)
+    assert(df.collect().map(_.getAs[Number]("id").longValue()).toSeq ==
+      Seq(1L))
+  }
+
   test("runtime filters merge into the readers' pushed set (SupportsRuntimeFiltering)") {
     import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     import org.apache.spark.sql.sources.In
