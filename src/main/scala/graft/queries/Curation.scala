@@ -139,17 +139,157 @@ object Curation {
       |    round(CAST(r20 AS DOUBLE) / n, 4) FROM s)
       |ORDER BY k_threshold""".stripMargin
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022): how much
+    * retrieval quality survives keeping only the first L dimensions of
+    * every embedding — the measurement behind shipping d=8/16/32
+    * prefixes of a d=64 model to cut index bytes 8×. For each prefix
+    * length, recall@3 of truncated-cosine top-3 against full-dim
+    * top-3, with the L=64 row pinned at recall 1 as the self-check.
+    * Cosines follow the engine convention exactly (sequential-fold
+    * dot/norms, round 4 BEFORE ranking, vec_id tiebreak), and the
+    * recall mean is computed from integer hit counts (sum of ints /
+    * 3n) — a double `avg` would be partial-aggregation-order
+    * dependent and could flip the 4th decimal against the oracle.
+    * Scale shape: queries broadcast (tiny), corpus scanned once per
+    * prefix via one exploded literal array — at 100 TB this is the
+    * brute-force calibration run over a SAMPLE; the production path
+    * the audit calibrates is the IVF/PQ stores. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") % 101 === 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val sc = e.crossJoin(broadcast(q))
+      .withColumn("L", explode(lit(Array(8, 16, 32, 64))))
+      .withColumn("qs", slice(col("qv"), lit(1), col("L")))
+      .withColumn("vs", slice(col("v"), lit(1), col("L")))
+      .withColumn("cos", round(dot(col("qs"), col("vs")) /
+        (sqrt(dot(col("qs"), col("qs"))) * sqrt(dot(col("vs"), col("vs")))), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("L"), col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = sc.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select(col("L"), col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val full = top.where(col("L") === 64)
+      .select(col("query_id"), col("vec_id"))
+    top.join(full, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("L").cast("bigint").as("trunc_dim"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(top.groupBy(col("L").cast("bigint").as("trunc_dim"))
+        .agg((count(lit(1)) / 3).cast("bigint").as("n_queries")), "trunc_dim")
+      .select(col("trunc_dim"), col("n_queries"),
+        round(col("n_hits").cast("double") / (col("n_queries") * 3), 4)
+          .as("mean_recall3"))
+      .orderBy(col("trunc_dim"))
+  }
+
+  private val q218Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      |  WHERE vec_id % 101 = 5),
+      |l AS (SELECT unnest([8, 16, 32, 64]) AS L),
+      |sc AS (SELECT L, query_id, e.vec_id,
+      |    round(list_cosine_similarity(qv[1:L], v[1:L]), 4) AS cos
+      |  FROM q CROSS JOIN e CROSS JOIN l),
+      |r AS (SELECT L, query_id, vec_id, row_number() OVER (
+      |    PARTITION BY L, query_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM sc),
+      |t AS (SELECT L, query_id, vec_id FROM r WHERE rk <= 3),
+      |f AS (SELECT query_id, vec_id FROM t WHERE L = 64),
+      |h AS (SELECT t.L, count(*) AS n_hits FROM t
+      |  JOIN f ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+      |  GROUP BY t.L),
+      |n AS (SELECT L, CAST(count(*) / 3 AS BIGINT) AS n_queries
+      |  FROM t GROUP BY L)
+      |SELECT CAST(n.L AS BIGINT) AS trunc_dim, n_queries,
+      |  round(CAST(n_hits AS DOUBLE) / (n_queries * 3), 4) AS mean_recall3
+      |FROM n JOIN h ON n.L = h.L ORDER BY trunc_dim""".stripMargin
+
+  /** Exact n-gram decontamination audit (the GPT-3 appendix-C /
+    * benchmark-overlap shape): treat `doc_id % 7 = 3` as the held-out
+    * benchmark set, extract word n-grams for n ∈ {2,3,5}, and report
+    * per n how many corpus docs share at least one n-gram with the
+    * benchmark, how many distinct grams match in total, and the
+    * micro-averaged contamination rate (matched grams / all grams of
+    * the contaminated docs — two integer sums then ONE division, so no
+    * partial-aggregation-order dependence; a per-doc-ratio `avg`
+    * would sum doubles in shuffle order). Complements q85's Bloom
+    * screen with an exactly-oracled precision pass at three n.
+    * Grams join as raw strings (the q51 hash/string equivalence runs
+    * the other way here: the oracle and engine must agree exactly, so
+    * no hashing on either side).
+    *
+    * Scale shape: the benchmark gram set is DISTINCT-folded then
+    * broadcast (real benchmarks are MBs against a 100 TB corpus); the
+    * corpus side is one scan → explode → keyed distinct/aggregate —
+    * no all-pairs, per-key state bounded by doc length × 3. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val ns = Array(2, 3, 5)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("ws"))
+      .withColumn("n", explode(lit(ns)))
+      // sequence(0, negative) would DESCEND in Spark; guard short docs
+      .where(size(col("ws")) >= col("n"))
+      .select(col("doc_id"), col("n"), explode(transform(
+        sequence(lit(0), size(col("ws")) - col("n")),
+        i => concat_ws(" ", slice(col("ws"), i + lit(1), col("n"))))).as("g"))
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = grams(docs.where(col("doc_id") % 7 === 3))
+      .select(col("n"), col("g")).distinct()
+    val corpus = grams(docs.where(col("doc_id") % 7 =!= 3))
+      .distinct() // (n, doc_id, g): matched grams count once per doc
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = corpus.groupBy(col("n"), col("doc_id"))
+      .agg(count(lit(1)).as("tot"))
+    val hits = corpus.join(broadcast(bench), Seq("n", "g"))
+      .groupBy(col("n"), col("doc_id")).agg(count(lit(1)).as("h"))
+    hits.join(perDoc, Seq("n", "doc_id"))
+      .groupBy(col("n").cast("bigint").as("ngram_n"))
+      .agg(count(lit(1)).as("contaminated_docs"),
+        sum(col("h")).as("total_hits"),
+        round(sum(col("h")).cast("double") / sum(col("tot")), 4)
+          .as("contam_rate"))
+      .orderBy(col("ngram_n"))
+  }
+
+  private val q219Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents),
+      |l AS (SELECT unnest([2, 3, 5]) AS n),
+      |grams AS (SELECT n, doc_id, array_to_string(t[i : i+n-1], ' ') AS g
+      |  FROM toks CROSS JOIN l,
+      |    LATERAL unnest(range(1, len(t)-n+2)) AS s(i)),
+      |bench AS (SELECT DISTINCT n, g FROM grams WHERE doc_id % 7 = 3),
+      |corpus AS (SELECT DISTINCT n, doc_id, g FROM grams
+      |  WHERE doc_id % 7 <> 3),
+      |hits AS (SELECT n, doc_id, count(*) AS h
+      |  FROM corpus JOIN bench USING (n, g) GROUP BY 1, 2),
+      |totals AS (SELECT n, doc_id, count(*) AS tot FROM corpus
+      |  GROUP BY 1, 2)
+      |SELECT CAST(n AS BIGINT) AS ngram_n, count(*) AS contaminated_docs,
+      |  CAST(sum(h) AS BIGINT) AS total_hits,
+      |  round(CAST(sum(h) AS DOUBLE) / sum(tot), 4) AS contam_rate
+      |FROM hits JOIN totals USING (n, doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_bloom_contamination" -> (q85 _),
     "q86_embedding_quantize" -> (q86 _),
     "q87_zipf_stats" -> (q87 _),
     "q88_stratified_sample" -> (q88 _),
-    "q216_k_anonymity" -> (q216 _))
+    "q216_k_anonymity" -> (q216 _),
+    "q218_matryoshka_recall" -> (q218 _),
+    "q219_decontamination" -> (q219 _))
 
   val oracle: Map[String, String] = Map(
     // q85 rows-only: Bloom false positives are hash-family-specific
     "q86_embedding_quantize" -> q86Sql,
     "q87_zipf_stats" -> q87Sql,
     "q88_stratified_sample" -> q88Sql,
-    "q216_k_anonymity" -> q216Sql)
+    "q216_k_anonymity" -> q216Sql,
+    "q218_matryoshka_recall" -> q218Sql,
+    "q219_decontamination" -> q219Sql)
 }

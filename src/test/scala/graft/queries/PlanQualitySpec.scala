@@ -553,4 +553,36 @@ class PlanQualitySpec extends SparkTestBase {
       .count(_.matches("""\(\d+\) Exchange\s*"""))
     assert(exchanges == 1, s"want only the sort exchange, got $exchanges:\n$p")
   }
+
+  test("q218: query side broadcast; per-prefix top-3 computed once and reused") {
+    val p = plan("q218_matryoshka_recall")
+    // the tiny query set joins the corpus via broadcast — the corpus
+    // never shuffles for the cross product
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // both the hits side and the per-L totals read the persisted top-3
+    // relation instead of recomputing the scored cross product
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    // the expensive scored-window pipeline appears exactly once, as
+    // the cached plan — not inlined per consumer
+    val windows = p.linesIterator.count(_.matches("""\s*\(\d+\) Window\s*"""))
+    assert(windows <= 1, s"window pipeline duplicated ($windows):\n$p")
+  }
+
+  test("q219: benchmark gram set broadcast; corpus grams folded once and reused") {
+    val p = plan("q219_decontamination")
+    // the bench-vs-corpus gram join must be a broadcast hash join —
+    // at 100 TB the corpus side never shuffles for it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the distinct corpus gram set feeds two consumers (hits + totals)
+    // through the cache, not two explode pipelines
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
+  test("q218: the L=64 self-row pins recall exactly 1") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.SparkEntry.queries("q218_matryoshka_recall")(spark, sfDir)
+    val r64 = df.where(col("trunc_dim") === 64L).collect()
+    assert(r64.length == 1 && r64(0).getDouble(2) == 1.0, r64.mkString(","))
+  }
 }
