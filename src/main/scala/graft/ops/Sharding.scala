@@ -472,6 +472,57 @@ object Sharding {
     * boundaries themselves may vary run to run. The input frame is
     * persisted for the duration (two passes: partition sizes, then
     * ranks) and released before return. */
+  /** Global INCLUSIVE prefix sum of `value` along a total order,
+    * without a single-partition window — the parallel-prefix-sum
+    * construction: range-repartition on the sort key, running sum
+    * WITHIN each partition, then add the broadcast cumulative
+    * partition totals (a bounded nParts-row collect). The scalable
+    * twin of `sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`
+    * exactly as [[globalRank]] is of a bare `row_number()`.
+    *
+    * CONTRACT (same as globalRank): `sortCols` must be a TOTAL order;
+    * `value` must be integral — LONG sums are exact under any
+    * partitioning, where a DOUBLE's partial-order rounding would make
+    * the result layout-dependent, so a fractional value type is
+    * rejected eagerly instead of silently truncate-cast. */
+  def globalCumSum(df: DataFrame, cumName: String, value: Column,
+                   sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val vt = df.select(value).schema.head.dataType
+    require(Set("byte", "short", "integer", "long")(vt.typeName),
+      s"globalCumSum needs an integral value column, got $vt")
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value.cast("bigint"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ranged.groupBy(col("_pid"))
+      .agg(sum(col("_v")).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged
+      .withColumn(cumName, sum(col("_v")).over(w))
+      .join(offDf, Seq("_pid"))
+      .withColumn(cumName, col(cumName) + col("_off"))
+      .drop("_pid", "_off", "_v")
+      // localCheckpoint for the same DETERMINISM reason as globalRank:
+      // the offsets were summed from one concrete materialization of
+      // `ranged`, and repartitionByRange samples its boundaries — a
+      // recompute could re-place rows, silently shifting every prefix.
+      // Fail-fast on a lost block beats a wrong cumulative sum.
+      .localCheckpoint(true)
+    ranged.unpersist(blocking = false)
+    out
+  }
+
   def globalRank(df: DataFrame, posName: String,
                  sortCols: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window

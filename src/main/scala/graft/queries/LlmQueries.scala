@@ -1765,6 +1765,55 @@ object LlmQueries {
       |    AS padding_waste
       |FROM ranked GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
+  /** Concat-and-chunk sequence packing audit (q220, the GPT-2/3
+    * pretraining dataloader shape — documents concatenated in a
+    * deterministic shuffled order with one separator token each, then
+    * cut into fixed 256-token context windows): per source, how many
+    * documents straddle a window boundary (and so lose attention
+    * locality), from the GLOBAL token prefix sum. The cumulative sum
+    * comes from [[graft.ops.Sharding.globalCumSum]] — range partition,
+    * per-partition running sum, broadcast partition-total offsets —
+    * never a single-partition `ORDER BY` window, which is the
+    * difference between packing 100 TB and packing it on one core.
+    * Window ids use exact integer `DIV`, not float division (the
+    * q202 floor/cast lesson); token counts are word counts + 1
+    * separator, exact longs. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (size(split(coalesce(col("text"), lit("")), " ")) + 1)
+          .cast("bigint").as("t"))
+    val cum = graft.ops.Sharding.globalCumSum(docs, "cum", col("t"),
+      md5(concat_ws("|", col("doc_id"), lit("pack"))), col("doc_id"))
+    cum
+      .withColumn("split_doc",
+        when(expr("(cum - 1) DIV 256") > expr("(cum - t) DIV 256"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        sum(col("split_doc")).as("boundary_split_docs"),
+        round(sum(col("split_doc")).cast("double") / count(lit(1)), 4)
+          .as("split_frac"))
+      .orderBy(col("source"))
+  }
+
+  private val q220Sql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS t,
+      |    md5(concat_ws('|', doc_id, 'pack')) AS k
+      |  FROM documents),
+      |c AS (SELECT source, t,
+      |    sum(t) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS cum FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(t) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN (cum - 1) // 256 > (cum - t) // 256
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_split_docs,
+      |  round(CAST(sum(CASE WHEN (cum - 1) // 256 > (cum - t) // 256
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS split_frac
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** Gopher repetition-filter battery
     * ([[graft.ops.TextOps.repetitionSignals]]): per-document
     * type-token ratio, top word/bigram shares, and duplicated-5-gram
@@ -1932,6 +1981,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q217_html_extract" -> (q217 _),
     "q205_repetition_signals" -> (q205 _),
+    "q220_sequence_packing" -> (q220 _),
     "q207_pii_scrub" -> (q207 _),
     "q186_jl_recall" -> (q186 _),
     "q187_normalized_dedup" -> (q187 _),
@@ -2002,6 +2052,7 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "q205_repetition_signals" -> q205Sql,
+    "q220_sequence_packing" -> q220Sql,
     "q207_pii_scrub" -> q207Sql,
     "q217_html_extract" -> q217Sql,
     "q195_embedding_dim_audit" -> q195Sql,

@@ -568,6 +568,34 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows <= 1, s"window pipeline duplicated ($windows):\n$p")
   }
 
+  test("globalCumSum: matches the single-partition window, layout-invariant, rejects doubles") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.queries.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val expected = docs
+      .withColumn("cum", sum(col("n_chars")).over(
+        Window.orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (layout <- Seq(docs, docs.repartition(7), docs.repartition(1))) {
+      val got = graft.ops.Sharding
+        .globalCumSum(layout, "cum", col("n_chars"),
+          col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("cum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+    // fractional value types are rejected eagerly (a double prefix sum
+    // would be partial-order dependent)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sharding.globalCumSum(
+        docs.withColumn("d", col("n_chars").cast("double")),
+        "cum", col("d"), col("doc_id"))
+    }
+  }
+
   test("q219: benchmark gram set broadcast; corpus grams folded once and reused") {
     val p = plan("q219_decontamination")
     // the bench-vs-corpus gram join must be a broadcast hash join —
