@@ -275,6 +275,104 @@ object Curation {
       |FROM hits JOIN totals USING (n, doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Temperature-scaled source mixture (the multilingual-sampling
+    * rule of mC4/PaLM: p_i ∝ n_i^α): per-source token counts →
+    * sampling weight and boost (weight / natural share — >1 means
+    * the source is up-sampled). α = 0.5 deliberately, so the power
+    * is `sqrt` — correctly rounded by IEEE in BOTH engines, where a
+    * live `pow(x, 0.3)` would diverge in ulps (the q199 libm
+    * lesson). The denominator Σ√n_i is a SEQUENTIAL fold in source
+    * order on both sides (Spark `aggregate` over a sorted
+    * collect_list, DuckDB `list_reduce` over `list(... ORDER BY)`) —
+    * bit-identical, unlike an unordered double `sum()`. Counts are
+    * exact bigints; every division happens once, at the end.
+    * Scale shape: one scan → per-source aggregate (map-side
+    * combined, |sources| rows) → broadcast of the 1-row denominator. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("bigint").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val denom = tok.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"), sqrt(col("n_tokens"))
+          .as("pw")))),
+        lit(0.0d), (acc, x) => acc + x.getField("pw")).as("denom"),
+      sum(col("n_tokens")).as("total"))
+    tok.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_tokens"),
+        round(sqrt(col("n_tokens")) / col("denom"), 4).as("weight"),
+        round((sqrt(col("n_tokens")) / col("denom")) /
+          (col("n_tokens").cast("double") / col("total")), 4).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  private val q222Sql =
+    """WITH tok AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |d AS (SELECT
+      |    list_reduce(list(sqrt(n_tokens) ORDER BY source),
+      |      (a, b) -> a + b) AS denom,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total FROM tok)
+      |SELECT source, n_tokens,
+      |  round(sqrt(n_tokens) / denom, 4) AS weight,
+      |  round((sqrt(n_tokens) / denom) /
+      |        (CAST(n_tokens AS DOUBLE) / total), 4) AS boost
+      |FROM tok CROSS JOIN d ORDER BY source""".stripMargin
+
+  /** Rare-character-trigram fraction — the language-model-free
+    * gibberish detector (a KenLM-perplexity stand-in computable
+    * without a model): per document, the share of character-trigram
+    * OCCURRENCES whose whole-corpus frequency is ≤ 2. Natural text
+    * re-uses the corpus's common trigrams; mojibake, base64 blobs,
+    * and shuffled text land in the long tail. Every output derives
+    * from integer counts (occurrence counts, per-doc totals) with ONE
+    * division at the end — no cross-engine double-sum surface.
+    * Scale shape: one explode → corpus-keyed count (the rare SET is
+    * the long tail, so at 100 TB the semi-join against it shuffles by
+    * trigram rather than broadcasting; common-trigram skew never
+    * enters — the rare side is by construction the unskewed tail). */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(s, dir, "documents")
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .where(col("c") <= 2).select(col("g"))
+    val rareHits = grams.join(rare, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    Tables(s, dir, "documents")
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        (length(col("text")) - 2).cast("bigint").as("n_tri"))
+      .join(rareHits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tri"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        round(coalesce(col("n_rare"), lit(0L)).cast("double") /
+          col("n_tri"), 4).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q223Sql =
+    """WITH g AS (SELECT doc_id, substr(text, i, 3) AS g
+      |  FROM documents, LATERAL unnest(range(1, len(text) - 1)) AS s(i)
+      |  WHERE len(text) >= 3),
+      |rare AS (SELECT g FROM (SELECT g, count(*) AS c FROM g GROUP BY g)
+      |  WHERE c <= 2),
+      |hits AS (SELECT doc_id, count(*) AS n_rare
+      |  FROM g JOIN rare USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(text) - 2 AS BIGINT) AS n_tri,
+      |  CAST(coalesce(n_rare, 0) AS BIGINT) AS n_rare,
+      |  round(CAST(coalesce(n_rare, 0) AS DOUBLE) / (len(text) - 2), 4)
+      |    AS rare_frac
+      |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      |WHERE len(text) >= 3 ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_bloom_contamination" -> (q85 _),
     "q86_embedding_quantize" -> (q86 _),
@@ -282,7 +380,9 @@ object Curation {
     "q88_stratified_sample" -> (q88 _),
     "q216_k_anonymity" -> (q216 _),
     "q218_matryoshka_recall" -> (q218 _),
-    "q219_decontamination" -> (q219 _))
+    "q219_decontamination" -> (q219 _),
+    "q222_mixture_weights" -> (q222 _),
+    "q223_rare_trigrams" -> (q223 _))
 
   val oracle: Map[String, String] = Map(
     // q85 rows-only: Bloom false positives are hash-family-specific
@@ -291,5 +391,7 @@ object Curation {
     "q88_stratified_sample" -> q88Sql,
     "q216_k_anonymity" -> q216Sql,
     "q218_matryoshka_recall" -> q218Sql,
-    "q219_decontamination" -> q219Sql)
+    "q219_decontamination" -> q219Sql,
+    "q222_mixture_weights" -> q222Sql,
+    "q223_rare_trigrams" -> q223Sql)
 }

@@ -382,10 +382,50 @@ object JsonQueries {
       |WHERE l_returnflag IN ('A', 'R') AND l_linestatus LIKE 'F%'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Zone-map file pruning end to end
+    * ([[graft.sources.ZoneStats]]): the documents table exported as
+    * NDJSON hash-clustered on `source` (each output file holds a
+    * bounded set of sources — the natural layout of a per-tenant /
+    * per-day ingest), read back with `zonemaps=true` and a source
+    * equality filter. Planning consults the per-file string bounds
+    * the inference job recorded and SKIPS files whose zone excludes
+    * 'src3' — the scan that never runs — while the aggregate must
+    * still match DuckDB filtering the parquet original (a wrongly
+    * skipped file would drop whole langs from the result). The
+    * fewer-partitions-than-files pin lives in ZoneMapSpec. */
+  private val q221ExportLock = new Object
+  private[graft] def q221Export(s: SparkSession, dir: String): String =
+    q221ExportLock.synchronized {
+      val out = graft.TempRoots.path(
+        s"graftjson_q221_${Integer.toHexString(dir.hashCode)}")
+      if (!graft.ops.Fs.exists(s, out))
+        Tables(s, dir, "documents")
+          .repartition(8, col("source"))
+          .write.mode("overwrite").json(out)
+      out
+    }
+
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val out = q221Export(s, dir)
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .where(col("source") === "src3")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q221Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE source = 'src3'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q210_graftjson_source" -> (q210 _),
     "q212_graftjson_splits" -> (q212 _),
     "q214_graftjson_pushdown" -> (q214 _),
+    "q221_zonemap_prune" -> (q221 _),
     "q200_variant_shred" -> (q200 _),
     "q144_jsonl_roundtrip" -> (q144 _),
     "q39_asof_join" -> (q39 _),
@@ -401,6 +441,7 @@ object JsonQueries {
     "q210_graftjson_source" -> q210Sql,
     "q212_graftjson_splits" -> q212Sql,
     "q214_graftjson_pushdown" -> q214Sql,
+    "q221_zonemap_prune" -> q221Sql,
     "q200_variant_shred" -> q200Sql,
     "q144_jsonl_roundtrip" -> q144Sql,
     "q39_asof_join" -> q39Sql,

@@ -55,7 +55,13 @@ import scala.jdk.CollectionConverters._
   * not the file's text length); `maxSplitBytes=N` overrides the
   * session's split size; `refresh=true` bypasses the planning-time
   * inference cache for this load (same-length same-mtime rewrites are
-  * invisible to the fingerprint on coarse-mtime filesystems).
+  * invisible to the fingerprint on coarse-mtime filesystems);
+  * `zonemaps=true` piggybacks per-file min/max/presence statistics of
+  * the top-level fields on the SAME planning job, letting the scan
+  * skip whole files whose zone provably excludes a pushed predicate
+  * ([[ZoneStats]] — parquet's row-group-stats idea at file
+  * granularity; off by default because the stats walk re-parses each
+  * unit and holds O(files × fields) state).
   *
   * Caveat shared with every self-describing text source (CSV/JSON
   * with inferSchema): planning runs a Spark job over the data. Reuse
@@ -87,23 +93,27 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   // refresh=true load would re-run the inference job once per call
   // (refresh bypasses the JVM-wide cache by design); with it, refresh
   // means exactly ONE fresh inference per .load()
-  private var memo: Option[(Seq[String], Boolean, HType)] = None
+  private var memo: Option[(Seq[String], Boolean, Boolean,
+    (HType, Option[ZoneStats.ZoneMap]))] = None
 
-  private def inferHType(options: CaseInsensitiveStringMap): HType = {
+  private def inferBoth(options: CaseInsensitiveStringMap)
+      : (HType, Option[ZoneStats.ZoneMap]) = {
     val ps = paths(options)
     val whole = options.getBoolean("whole", false)
+    val zonemaps = options.getBoolean("zonemaps", false)
     memo match {
-      case Some((mp, mw, t)) if mp == ps && mw == whole => t
+      case Some((mp, mw, mz, r)) if mp == ps && mw == whole && mz == zonemaps =>
+        r
       case _ =>
-        val t = JsonDocSource.inferCached(ps, whole,
-          options.getBoolean("refresh", false))
-        memo = Some((ps, whole, t))
-        t
+        val r = JsonDocSource.inferCached(ps, whole,
+          options.getBoolean("refresh", false), zonemaps)
+        memo = Some((ps, whole, zonemaps, r))
+        r
     }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    JsonDocSource.sparkSchemaOf(inferHType(options))
+    JsonDocSource.sparkSchemaOf(inferBoth(options)._1)
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
@@ -111,7 +121,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val whole = options.getBoolean("whole", false)
     val ps = paths(options)
-    val t = inferHType(options)
+    val (t, zones) = inferBoth(options)
     val inferred = JsonDocSource.sparkSchemaOf(t)
     // a user-supplied schema must BE the inferred one: the reader
     // converts through the HType tree (unions and all), and a
@@ -120,7 +130,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
       s"graftjson: user schema must match the inferred schema\n" +
         s"  given:    ${schema.simpleString}\n" +
         s"  inferred: ${inferred.simpleString}")
-    new JsonDocTable(ps, whole, t, inferred)
+    new JsonDocTable(ps, whole, t, inferred, zones)
   }
 }
 
@@ -140,29 +150,43 @@ private[sources] object JsonDocSource {
     * escape hatches (a content checksum would re-read the data and
     * cost exactly the pass the cache exists to avoid). */
   private case class InferKey(paths: Seq[String], whole: Boolean,
+                              zonemaps: Boolean,
                               files: Seq[(String, Long, Long)])
   private val inferCache =
-    new java.util.LinkedHashMap[InferKey, HType](16, 0.75f, true) {
+    new java.util.LinkedHashMap[InferKey, (HType, Option[ZoneStats.ZoneMap])](
+      16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[InferKey, HType]): Boolean = size() > 128
+          e: java.util.Map.Entry[InferKey, (HType, Option[ZoneStats.ZoneMap])])
+          : Boolean = size() > 128
     }
   /** Test-visible count of actual inference JOBS run (not cache hits). */
   private[sources] val inferenceRuns = new java.util.concurrent.atomic.AtomicLong
+  /** Test-visible count of files excluded by zone-map skipping. */
+  private[sources] val zoneSkippedFiles = new java.util.concurrent.atomic.AtomicLong
 
   /** Drop every cached inference result (test hook + the JVM-lifetime
     * remedy for fingerprint-invisible rewrites). */
   def clearInferCache(): Unit = inferCache.synchronized { inferCache.clear() }
 
   private[sources] def inferCached(ps: Seq[String], whole: Boolean,
-                                   refresh: Boolean = false): HType = {
+                                   refresh: Boolean = false,
+                                   zonemaps: Boolean = false)
+      : (HType, Option[ZoneStats.ZoneMap]) = {
     val spark = SparkSession.active
     // listFiles already returns the (path, len, mtime) statuses — one
     // listing round-trip serves expansion AND the cache fingerprint
     val files = listFiles(spark, ps)
-    val key = InferKey(ps, whole, files)
+    val key = InferKey(ps, whole, zonemaps, files)
     val cached =
       if (refresh) None
-      else inferCache.synchronized { Option(inferCache.get(key)) }
+      else inferCache.synchronized {
+        Option(inferCache.get(key)).orElse(
+          // a zone-mapped entry over the same fingerprint answers a
+          // plain load for free (strictly more information)
+          if (zonemaps) None
+          else Option(inferCache.get(key.copy(zonemaps = true)))
+            .map { case (t, _) => (t, None) })
+      }
     cached.getOrElse {
       // inference reads EXACTLY the files the scan will partition —
       // one listing feeds both, so the schema can never be inferred
@@ -171,11 +195,29 @@ private[sources] object JsonDocSource {
       val docs = graft.cli.CliSession.readDocs(spark, files.map(_._1), whole,
         announceTo = new java.io.PrintStream(
           java.io.OutputStream.nullOutputStream()))
-      val (t, _) = docs.select(new InferSchemaCountAgg().toColumn).head()
+      val result =
+        if (!zonemaps) {
+          val (t, _) = docs.select(new InferSchemaCountAgg().toColumn).head()
+          (t.canonical, None)
+        } else {
+          // ONE job, two aggregations: the zone walk re-parses each
+          // unit (the inference walker is a golden-pinned parity
+          // surface — composing stats into it would risk drift), but
+          // both rides share the single read of the data, which at
+          // planning time is the cost that matters
+          import spark.implicits._
+          val pairs = docs
+            .withColumn("_f", org.apache.spark.sql.functions.input_file_name())
+            .select(org.apache.spark.sql.functions.col("_f"),
+              org.apache.spark.sql.functions.col("value"))
+            .as[(String, String)]
+          val ((t, _), zm) = pairs.select(
+            new InferPairAgg().toColumn, new ZoneStatsAgg().toColumn).head()
+          (t.canonical, Some(zm))
+        }
       inferenceRuns.incrementAndGet()
-      val canon = t.canonical
-      inferCache.synchronized { inferCache.put(key, canon) }
-      canon
+      inferCache.synchronized { inferCache.put(key, result) }
+      result
     }
   }
 
@@ -224,7 +266,8 @@ private[sources] object JsonDocSource {
 }
 
 private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
-                           schema: StructType)
+                           schema: StructType,
+                           zones: Option[ZoneStats.ZoneMap])
     extends Table with SupportsRead {
   override def name(): String = s"graftjson(${ps.mkString(",")})"
   override def schema(): StructType = schema
@@ -232,12 +275,13 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(ps, whole, t, schema,
-      Option(options.get("maxSplitBytes")).map(_.toLong))
+      Option(options.get("maxSplitBytes")).map(_.toLong), zones)
 }
 
 private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  full: StructType,
-                                 maxSplitBytes: Option[Long])
+                                 maxSplitBytes: Option[Long],
+                                 zones: Option[ZoneStats.ZoneMap])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -265,13 +309,14 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
   override def build(): Scan =
-    new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes)
+    new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes, zones)
 }
 
 private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           full: StructType, required: StructType,
                           pushed: Array[org.apache.spark.sql.sources.Filter],
-                          maxSplitBytes: Option[Long])
+                          maxSplitBytes: Option[Long],
+                          zones: Option[ZoneStats.ZoneMap])
     extends Scan with Batch with SupportsRuntimeFiltering {
   /** Runtime (join-derived) filters, merged into the readers' pushed
     * set under the same best-effort contract: a runtime filter comes
@@ -292,7 +337,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   override def toBatch: Batch = this
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (zones.isDefined) s" ZoneMaps: ${zones.get.size} files" else "")
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
@@ -303,13 +349,29 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     val target = math.max(1L << 20,
       maxSplitBytes.getOrElse(
         spark.sessionState.conf.filesMaxPartitionBytes))
+    // zone-map file skipping: the pushed set is a CONJUNCTION (Spark
+    // splits the query's filters into top-level conjuncts), so one
+    // conjunct provably empty over a file's zone excludes the whole
+    // file. Runtime (join-derived) filters take part too — Spark
+    // re-plans partitions after filter(). Dirty files (parse
+    // anomalies during the stats walk) are never skipped, nor are
+    // files absent from the zone map (written after inference ran).
+    val skippable = pushed ++ runtimePushed
+    def zoneSkips(p: String): Boolean = zones.exists(zm =>
+      skippable.nonEmpty && zm.get(p).exists(z =>
+        !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, full))))
     JsonDocSource.listFiles(spark, ps).flatMap { case (p, len, _) =>
-      val splittable = !whole &&
-        codecs.getCodec(new org.apache.hadoop.fs.Path(p)) == null
-      if (!splittable || len <= target)
-        Seq(JsonDocPartition(p, 0L, len): InputPartition)
-      else (0L until len by target).map(s =>
-        JsonDocPartition(p, s, math.min(target, len - s)): InputPartition)
+      if (zoneSkips(p)) {
+        JsonDocSource.zoneSkippedFiles.incrementAndGet()
+        Seq.empty[InputPartition]
+      } else {
+        val splittable = !whole &&
+          codecs.getCodec(new org.apache.hadoop.fs.Path(p)) == null
+        if (!splittable || len <= target)
+          Seq(JsonDocPartition(p, 0L, len): InputPartition)
+        else (0L until len by target).map(s =>
+          JsonDocPartition(p, s, math.min(target, len - s)): InputPartition)
+      }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1,0 +1,346 @@
+package graft.sources
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import java.math.{BigDecimal => JBigDecimal}
+
+/** Per-file zone maps for the graftjson source (`zonemaps=true`): the
+  * planning-time inference job already reads every byte of every file,
+  * so min/max/presence statistics of the top-level fields ride the
+  * same job and let [[JsonDocScan]] skip whole files whose zone
+  * provably excludes a pushed predicate — the parquet row-group-stats
+  * idea applied at file granularity to schemaless NDJSON. At 100 TB
+  * the scan that never runs is the cheapest scan; a date- or
+  * id-partitioned corpus (the common layout: one file set per day /
+  * per shard) prunes to the files the filter actually touches.
+  *
+  * SOUNDNESS RULES (skip only what is PROVABLY empty):
+  *   - numeric bounds are exact `BigDecimal`s of the raw JSON literal
+  *     text and are consulted only for columns whose final inferred
+  *     type is integral or decimal — those materialize the same exact
+  *     value. FLOAT/DOUBLE columns are never zone-skipped: their
+  *     binary rounding could disagree with the decimal text at a
+  *     boundary literal (the 0.1f class of corners).
+  *   - string bounds are the raw JSON string values and are consulted
+  *     only for columns whose final type is plain STRING (the
+  *     materialized value IS the raw string). Timestamp/binary-typed
+  *     string columns are never skipped: their materialized ordering
+  *     is not the lexicographic text ordering.
+  *   - only literals whose JVM class converts exactly
+  *     (Byte/Short/Integer/Long/BigInteger/BigDecimal, String) take
+  *     part; Double/Float literals never prove a skip.
+  *   - a file whose stats walk hit ANY parse anomaly is `dirty` and is
+  *     never skipped (the materializing reader is more tolerant than
+  *     a provability argument can be).
+  *   - a line carrying several concatenated docs contributes every
+  *     doc's values to the bounds (a superset of what the reader
+  *     materializes — the reader takes the line's first doc — which
+  *     can only make skipping MORE conservative).
+  *
+  * State volume: O(files × top-level fields) tiny records, merged
+  * map-side — suitable for file sets up to ~10^5 files; the option is
+  * off by default so a million-file table never pays it silently. */
+object ZoneStats {
+
+  /** Bounds/presence of one top-level field within one file.
+    * `present` counts non-null scalar (number/string) occurrences,
+    * `others` counts booleans and nested values — both materialize
+    * non-null, so null-reasoning must account for them; implicit
+    * nulls are `docs - present - others` (missing field, explicit
+    * null, or a concatenated-doc undercount — see dirty). */
+  final case class FieldZone(present: Long, others: Long,
+                             numMin: JBigDecimal, numMax: JBigDecimal,
+                             strMin: String, strMax: String)
+      extends Serializable {
+    def addNum(v: JBigDecimal): FieldZone = copy(
+      present = present + 1,
+      numMin = if (numMin == null || v.compareTo(numMin) < 0) v else numMin,
+      numMax = if (numMax == null || v.compareTo(numMax) > 0) v else numMax)
+    def addStr(v: String): FieldZone = copy(
+      present = present + 1,
+      strMin = if (strMin == null || v.compareTo(strMin) < 0) v else strMin,
+      strMax = if (strMax == null || v.compareTo(strMax) > 0) v else strMax)
+    def addOther: FieldZone = copy(others = others + 1)
+    def merge(o: FieldZone): FieldZone = FieldZone(
+      present + o.present, others + o.others,
+      minBd(numMin, o.numMin), maxBd(numMax, o.numMax),
+      minStr(strMin, o.strMin), maxStr(strMax, o.strMax))
+  }
+  private val emptyField = FieldZone(0L, 0L, null, null, null, null)
+
+  private def minBd(a: JBigDecimal, b: JBigDecimal) =
+    if (a == null) b else if (b == null) a
+    else if (a.compareTo(b) <= 0) a else b
+  private def maxBd(a: JBigDecimal, b: JBigDecimal) =
+    if (a == null) b else if (b == null) a
+    else if (a.compareTo(b) >= 0) a else b
+  private def minStr(a: String, b: String) =
+    if (a == null) b else if (b == null) a else if (a <= b) a else b
+  private def maxStr(a: String, b: String) =
+    if (a == null) b else if (b == null) a else if (a >= b) a else b
+
+  /** One file's zone: doc count, parse-anomaly flag, per-field zones. */
+  final case class FileZone(docs: Long, dirty: Boolean,
+                            fields: Map[String, FieldZone])
+      extends Serializable {
+    def merge(o: FileZone): FileZone = FileZone(
+      docs + o.docs, dirty || o.dirty,
+      (fields.keySet ++ o.fields.keySet).iterator.map { k =>
+        k -> fields.getOrElse(k, emptyField)
+          .merge(o.fields.getOrElse(k, emptyField))
+      }.toMap)
+  }
+  private val emptyFile = FileZone(0L, dirty = false, Map.empty)
+
+  type ZoneMap = Map[String, FileZone]
+
+  private val factory = new JsonFactory()
+
+  /** Walk every document concatenated in one input unit (an NDJSON
+    * line, or a whole file's text), folding top-level scalar values
+    * into the zone. Non-object roots record under the `value` column
+    * the materializer wraps them in. */
+  private[sources] def walkUnit(text: String, into: FileZone): FileZone = {
+    if (text == null || text.trim.isEmpty) return into
+    var z = into
+    val p = factory.createParser(text)
+    try {
+      try {
+        var tok = p.nextToken()
+        while (tok != null) {
+          var fields = z.fields
+          var docs = z.docs + 1
+          tok match {
+            case JsonToken.START_OBJECT =>
+              while (p.nextToken() != JsonToken.END_OBJECT) {
+                val name = p.currentName()
+                val f = fields.getOrElse(name, emptyField)
+                fields = fields.updated(name, p.nextToken() match {
+                  case JsonToken.VALUE_NUMBER_INT |
+                       JsonToken.VALUE_NUMBER_FLOAT =>
+                    f.addNum(new JBigDecimal(p.getText))
+                  case JsonToken.VALUE_STRING => f.addStr(p.getText)
+                  case JsonToken.VALUE_NULL => f
+                  case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE =>
+                    f.addOther
+                  case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+                    p.skipChildren(); f.addOther
+                  case _ => f.addOther
+                })
+              }
+            case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
+              fields = fields.updated("value",
+                fields.getOrElse("value", emptyField)
+                  .addNum(new JBigDecimal(p.getText)))
+            case JsonToken.VALUE_STRING =>
+              fields = fields.updated("value",
+                fields.getOrElse("value", emptyField).addStr(p.getText))
+            case JsonToken.VALUE_NULL => // implicit null
+            case JsonToken.START_ARRAY =>
+              p.skipChildren()
+              fields = fields.updated("value",
+                fields.getOrElse("value", emptyField).addOther)
+            case _ =>
+              fields = fields.updated("value",
+                fields.getOrElse("value", emptyField).addOther)
+          }
+          z = FileZone(docs, z.dirty, fields)
+          tok = p.nextToken()
+        }
+      } catch {
+        // partial docs already folded stay (their values DO
+        // materialize); the anomaly poisons skipping for this file
+        case _: com.fasterxml.jackson.core.JacksonException =>
+          z = z.copy(dirty = true)
+      }
+      z
+    } finally p.close()
+  }
+}
+
+/** [[graft.infer.InferSchemaCountAgg]] lifted to (fileName, unitText)
+  * pairs so it can run NEXT TO [[ZoneStatsAgg]] in one typed select —
+  * the file name is ignored; the inference semantics are exactly the
+  * wrapped aggregator's. */
+class InferPairAgg extends Aggregator[(String, String),
+    (graft.types.HType, Long), (graft.types.HType, Long)] {
+  private val inner = new graft.infer.InferSchemaCountAgg
+  def zero: (graft.types.HType, Long) = inner.zero
+  def reduce(b: (graft.types.HType, Long), in: (String, String)) =
+    inner.reduce(b, in._2)
+  def merge(a: (graft.types.HType, Long), b: (graft.types.HType, Long)) =
+    inner.merge(a, b)
+  def finish(r: (graft.types.HType, Long)) = inner.finish(r)
+  def bufferEncoder: Encoder[(graft.types.HType, Long)] = inner.bufferEncoder
+  def outputEncoder: Encoder[(graft.types.HType, Long)] = inner.outputEncoder
+}
+
+/** (fileName, unitText) → per-file [[ZoneStats.FileZone]] map — runs
+  * alongside [[graft.infer.InferSchemaCountAgg]] in the ONE planning
+  * job (two aggregations, one scan of the data). File names normalize
+  * through Hadoop `Path` so `input_file_name()`'s URI rendering and
+  * the planner's `FileStatus` rendering key identically (a missed
+  * lookup would only forgo a skip, but why forgo any). */
+class ZoneStatsAgg
+    extends Aggregator[(String, String), ZoneStats.ZoneMap, ZoneStats.ZoneMap] {
+  import ZoneStats._
+  // per-task memo (each task deserializes its own aggregator copy):
+  // lines arrive grouped by file, so one Path parse serves thousands
+  @transient private var lastRaw: String = _
+  @transient private var lastNorm: String = _
+  private def norm(f: String): String = {
+    if (f != lastRaw) {
+      lastRaw = f
+      lastNorm = new org.apache.hadoop.fs.Path(f).toString
+    }
+    lastNorm
+  }
+  def zero: ZoneMap = Map.empty
+  def reduce(b: ZoneMap, in: (String, String)): ZoneMap = {
+    val file = norm(in._1)
+    b.updated(file, walkUnit(in._2,
+      b.getOrElse(file, FileZone(0L, dirty = false, Map.empty))))
+  }
+  def merge(a: ZoneMap, b: ZoneMap): ZoneMap =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some(x), Some(y)) => k -> x.merge(y)
+        case (Some(x), None) => k -> x
+        case (None, Some(y)) => k -> y
+        case _ => k -> FileZone(0L, dirty = false, Map.empty)
+      }
+    }.toMap
+  def finish(r: ZoneMap): ZoneMap = r
+  def bufferEncoder: Encoder[ZoneMap] = Encoders.javaSerialization[ZoneMap]
+  def outputEncoder: Encoder[ZoneMap] = Encoders.javaSerialization[ZoneMap]
+}
+
+/** Decides whether a pushed filter PROVABLY matches no row of a file,
+  * given the file's zone and the table's final schema (which fixes
+  * each column's materialized representation — the soundness gate). */
+object ZoneSkip {
+  import ZoneStats.{FieldZone, FileZone}
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  /** Exact-decimal view of a filter literal, or None when the class
+    * does not convert exactly (Double/Float literals never prove). */
+  private def exactNum(v: Any): Option[JBigDecimal] = v match {
+    case x: java.lang.Byte => Some(JBigDecimal.valueOf(x.longValue))
+    case x: java.lang.Short => Some(JBigDecimal.valueOf(x.longValue))
+    case x: java.lang.Integer => Some(JBigDecimal.valueOf(x.longValue))
+    case x: java.lang.Long => Some(JBigDecimal.valueOf(x))
+    case x: java.math.BigInteger => Some(new JBigDecimal(x))
+    case x: java.math.BigDecimal => Some(x)
+    case x: scala.math.BigDecimal => Some(x.bigDecimal)
+    case x: scala.math.BigInt => Some(new JBigDecimal(x.bigInteger))
+    case _ => None
+  }
+
+  /** Is the column's materialized value EXACTLY the recorded bound
+    * domain? integral/decimal ↔ numeric bounds, plain string ↔ string
+    * bounds. Everything else (float/double, timestamp, binary, bool,
+    * nested) never zone-skips. */
+  private def numeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def colType(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  /** Least string strictly above every string with prefix `p`, if one
+    * exists in the total order (all-U+FFFF prefixes have none). */
+  private def prefixSuccessor(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == '￿') i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  /** true ⟹ no row of this file can satisfy `f`. Never called for
+    * dirty files (the scan guards). A comparison/IN/prefix on an
+    * all-null column (present==0 && others==0) is provably false for
+    * every row — SQL null semantics. */
+  def provablyEmpty(f: Filter, zone: FileZone, schema: StructType): Boolean = {
+    def fz(a: String): FieldZone =
+      zone.fields.getOrElse(a, ZoneStats.FieldZone(0L, 0L, null, null, null, null))
+    def allNull(a: String): Boolean = {
+      val z = fz(a); z.present == 0 && z.others == 0
+    }
+    def numDisjoint(a: String, test: (JBigDecimal, JBigDecimal) => Boolean): Boolean =
+      colType(schema, a).exists(numeric) && {
+        val z = fz(a)
+        // others>0 cannot happen for a numeric column (a non-number
+        // value would have widened the type) except via dirty corners
+        // — require pure numeric evidence anyway
+        z.others == 0 && (z.present == 0 ||
+          (z.numMin != null && z.numMax != null && test(z.numMin, z.numMax)))
+      }
+    def strDisjoint(a: String, test: (String, String) => Boolean): Boolean =
+      colType(schema, a).contains(StringType) && {
+        val z = fz(a)
+        z.others == 0 && (z.present == 0 ||
+          (z.strMin != null && z.strMax != null && test(z.strMin, z.strMax)))
+      }
+    f match {
+      case EqualTo(a, v) => exactNum(v) match {
+        case Some(n) => numDisjoint(a,
+          (lo, hi) => n.compareTo(lo) < 0 || n.compareTo(hi) > 0)
+        case None => v match {
+          case s: String => strDisjoint(a, (lo, hi) => s < lo || s > hi)
+          case _ => false
+        }
+      }
+      case GreaterThan(a, v) => exactNum(v) match {
+        case Some(n) => numDisjoint(a, (_, hi) => hi.compareTo(n) <= 0)
+        case None => v match {
+          case s: String => strDisjoint(a, (_, hi) => hi <= s)
+          case _ => false
+        }
+      }
+      case GreaterThanOrEqual(a, v) => exactNum(v) match {
+        case Some(n) => numDisjoint(a, (_, hi) => hi.compareTo(n) < 0)
+        case None => v match {
+          case s: String => strDisjoint(a, (_, hi) => hi < s)
+          case _ => false
+        }
+      }
+      case LessThan(a, v) => exactNum(v) match {
+        case Some(n) => numDisjoint(a, (lo, _) => lo.compareTo(n) >= 0)
+        case None => v match {
+          case s: String => strDisjoint(a, (lo, _) => lo >= s)
+          case _ => false
+        }
+      }
+      case LessThanOrEqual(a, v) => exactNum(v) match {
+        case Some(n) => numDisjoint(a, (lo, _) => lo.compareTo(n) > 0)
+        case None => v match {
+          case s: String => strDisjoint(a, (lo, _) => lo > s)
+          case _ => false
+        }
+      }
+      case In(a, vs) =>
+        // provably empty iff EVERY list element is provably absent;
+        // an empty IN list is false for every row
+        vs.isEmpty && (colType(schema, a).exists(numeric) ||
+          colType(schema, a).contains(StringType)) ||
+          (vs.nonEmpty && vs.forall(v => provablyEmpty(EqualTo(a, v), zone, schema)))
+      case IsNotNull(a) =>
+        // sound for ANY column type: no scalar and no other value seen
+        // means every materialized cell is null
+        allNull(a)
+      case StringStartsWith(a, p) =>
+        strDisjoint(a, (lo, hi) =>
+          hi < p || prefixSuccessor(p).exists(up => lo >= up))
+      case And(l, r) =>
+        provablyEmpty(l, zone, schema) || provablyEmpty(r, zone, schema)
+      case Or(l, r) =>
+        provablyEmpty(l, zone, schema) && provablyEmpty(r, zone, schema)
+      case _ => false
+    }
+  }
+}

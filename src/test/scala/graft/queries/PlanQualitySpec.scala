@@ -607,6 +607,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
   }
 
+  test("q222: one corpus scan into the source aggregate; 1-row denominator broadcast") {
+    val p = plan("q222_mixture_weights")
+    val scans = p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"want 1 parquet scan node, got $scans:\n$p")
+    // the per-source aggregate feeds both the weights and the 1-row
+    // denominator through the cache; the denominator attaches via a
+    // broadcast nested-loop (single-row cross), never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q223: the exploded trigram set folds once and serves both consumers") {
+    val p = plan("q223_rare_trigrams")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q218: the L=64 self-row pins recall exactly 1") {
     import org.apache.spark.sql.functions.col
     val df = graft.SparkEntry.queries("q218_matryoshka_recall")(spark, sfDir)

@@ -1,0 +1,223 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import java.math.{BigDecimal => JBD}
+
+/** Zone-map file skipping on the graftjson source (`zonemaps=true`):
+  * provable skips happen (counter-verified), results NEVER change
+  * (with/without-zonemaps parity on every query), and every soundness
+  * guard holds — float columns never skip, dirty files never skip,
+  * timestamp-classified strings never skip, all-null columns skip
+  * comparisons and IsNotNull. */
+class ZoneMapSpec extends SparkTestBase {
+
+  private def writeRanged(name: String): String = {
+    val dir = new java.io.File(graft.TempRoots.path(name))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    // disjoint id ranges + disjoint sources, one file each
+    put("f1.json",
+      """{"id": 1, "src": "alpha", "score": 0.5}""",
+      """{"id": 9, "src": "alpha", "score": 1.5}""")
+    put("f2.json",
+      """{"id": 100, "src": "beta", "score": 2.5}""",
+      """{"id": 190, "src": "beta", "score": 0.25}""")
+    put("f3.json",
+      """{"id": 1000, "src": "gamma", "score": 9.5}""",
+      """{"id": 1900, "src": "gamma", "score": 0.125}""")
+    dir.toString
+  }
+
+  private def skipsDuring[A](body: => A): (A, Long) = {
+    val before = JsonDocSource.zoneSkippedFiles.get()
+    val r = body
+    (r, JsonDocSource.zoneSkippedFiles.get() - before)
+  }
+
+  /** Input partitions the executed v2 scan actually planned —
+    * descending through AQE's stage wrappers. */
+  private def plannedParts(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect()
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "no BatchScanExec in plan")
+    found.head.partitions.size
+  }
+
+  test("numeric range filter skips provably-excluded files; rows identical to no-zonemaps") {
+    val dir = writeRanged("zm_ranged")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true").load(dir)
+    val plain = spark.read.format("graftjson").load(dir)
+      .where(col("id") < 50).select(col("id")).collect().map(_.getAs[Number](0).longValue).sorted
+    val q = zdf.where(col("id") < 50).select(col("id"))
+    val (parts, skipped) = skipsDuring(plannedParts(q))
+    assert(parts == 1, s"expected only f1 planned, got $parts partitions")
+    assert(skipped >= 2, s"skip counter did not move: $skipped")
+    val got = q.collect().map(_.getAs[Number](0).longValue).sorted
+    assert(got.toSeq == plain.toSeq && got.toSeq == Seq(1L, 9L))
+  }
+
+  test("string equality and prefix filters skip by string bounds") {
+    val dir = writeRanged("zm_str")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true").load(dir)
+    val q1 = zdf.where(col("src") === "beta").select(col("id"))
+    assert(plannedParts(q1) == 1)
+    assert(q1.collect().map(_.getAs[Number](0).longValue).sorted.toSeq ==
+      Seq(100L, 190L))
+    val q2 = zdf.where(col("src").startsWith("gam")).select(col("id"))
+    assert(plannedParts(q2) == 1)
+    assert(q2.collect().map(_.getAs[Number](0).longValue).sorted.toSeq ==
+      Seq(1000L, 1900L))
+  }
+
+  test("float/double columns NEVER zone-skip (binary-rounding soundness)") {
+    val dir = writeRanged("zm_float")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true").load(dir)
+    // score is float/double-typed; the literal excludes f1 numerically
+    // but the guard must keep every file
+    val (rows, skipped) = skipsDuring {
+      zdf.where(col("score") > lit(5.0f)).select(col("id")).collect()
+        .map(_.getAs[Number](0).longValue)
+    }
+    assert(rows.toSeq == Seq(1000L) && skipped == 0)
+  }
+
+  test("dirty files (parse anomalies) are never skipped") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_dirty"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "d.json"))
+    w.println("""{"id": 5}""")
+    w.println("""{"id": 6""") // truncated — walker marks file dirty
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val (rows, skipped) = skipsDuring {
+      zdf.where(col("id") > 100).collect()
+    }
+    // the corrupt line materializes an all-null row; id>100 matches
+    // nothing — but the file must still be READ, not zone-skipped
+    assert(rows.isEmpty && skipped == 0)
+  }
+
+  test("inference cache: a zone-mapped entry answers a later plain load") {
+    val dir = writeRanged("zm_cache")
+    JsonDocSource.clearInferCache()
+    val before = JsonDocSource.inferenceRuns.get()
+    spark.read.format("graftjson").option("zonemaps", "true").load(dir).schema
+    assert(JsonDocSource.inferenceRuns.get() == before + 1)
+    spark.read.format("graftjson").load(dir).schema
+    assert(JsonDocSource.inferenceRuns.get() == before + 1,
+      "plain load should reuse the zone-mapped cache entry")
+  }
+
+  test("q221: the source filter plans strictly fewer partitions than export files") {
+    val out = graft.queries.JsonQueries.q221Export(spark, sfDir)
+    val files = JsonDocSource.listFiles(spark, Seq(out)).size
+    assert(files > 1, s"export produced only $files file(s)")
+    val q = graft.SparkEntry.queries("q221_zonemap_prune")(spark, sfDir)
+    val parts = plannedParts(q)
+    assert(parts < files,
+      s"zone maps pruned nothing: $parts partitions over $files files")
+  }
+
+  // ---- ZoneSkip decision table (unit level) ----
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("s", StringType),
+    StructField("f", DoubleType), StructField("ts", TimestampType)))
+
+  private def zone(fields: (String, ZoneStats.FieldZone)*): ZoneStats.FileZone =
+    ZoneStats.FileZone(10L, dirty = false, fields.toMap)
+
+  private def numZone(lo: Long, hi: Long) = ZoneStats.FieldZone(
+    10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null)
+  private def strZone(lo: String, hi: String) = ZoneStats.FieldZone(
+    10L, 0L, null, null, lo, hi)
+
+  test("ZoneSkip: numeric comparisons against exact bounds") {
+    val z = zone("id" -> numZone(100, 200))
+    assert(ZoneSkip.provablyEmpty(LessThan("id", 100L), z, schema))
+    assert(!ZoneSkip.provablyEmpty(LessThan("id", 101L), z, schema))
+    assert(ZoneSkip.provablyEmpty(GreaterThan("id", 200L), z, schema))
+    assert(!ZoneSkip.provablyEmpty(GreaterThanOrEqual("id", 200L), z, schema))
+    assert(ZoneSkip.provablyEmpty(EqualTo("id", 99L), z, schema))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("id", 150L), z, schema))
+    assert(ZoneSkip.provablyEmpty(In("id", Array(1L, 99L, 300L)), z, schema))
+    assert(!ZoneSkip.provablyEmpty(In("id", Array(1L, 150L)), z, schema))
+    // double literals never prove, even when numerically out of range
+    assert(!ZoneSkip.provablyEmpty(LessThan("id", 50.0d), z, schema))
+  }
+
+  test("ZoneSkip: And needs one empty conjunct, Or needs both") {
+    val z = zone("id" -> numZone(100, 200))
+    val empty = LessThan("id", 100L)
+    val maybe = GreaterThan("id", 150L)
+    assert(ZoneSkip.provablyEmpty(And(empty, maybe), z, schema))
+    assert(ZoneSkip.provablyEmpty(And(maybe, empty), z, schema))
+    assert(!ZoneSkip.provablyEmpty(Or(empty, maybe), z, schema))
+    assert(ZoneSkip.provablyEmpty(Or(empty, empty), z, schema))
+  }
+
+  test("ZoneSkip: string bounds, prefix successor, all-U+FFFF prefix") {
+    val z = zone("s" -> strZone("mm", "pp"))
+    assert(ZoneSkip.provablyEmpty(EqualTo("s", "aa"), z, schema))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("s", "nn"), z, schema))
+    assert(ZoneSkip.provablyEmpty(StringStartsWith("s", "z"), z, schema))
+    assert(ZoneSkip.provablyEmpty(StringStartsWith("s", "a"), z, schema))
+    assert(!ZoneSkip.provablyEmpty(StringStartsWith("s", "n"), z, schema))
+    // prefix that IS within range never skips
+    assert(!ZoneSkip.provablyEmpty(StringStartsWith("s", "mm"), z, schema))
+    // an all-￿ prefix has no successor: only the upper-bound
+    // test may prove
+    val hi = zone("s" -> strZone("￿￿a", "￿￿z"))
+    assert(!ZoneSkip.provablyEmpty(
+      StringStartsWith("s", "￿￿"), hi, schema))
+  }
+
+  test("ZoneSkip: all-null column proves comparisons and IsNotNull; others block") {
+    val allNull = zone("id" -> ZoneStats.FieldZone(0L, 0L, null, null, null, null))
+    assert(ZoneSkip.provablyEmpty(IsNotNull("id"), allNull, schema))
+    assert(ZoneSkip.provablyEmpty(EqualTo("id", 5L), allNull, schema))
+    assert(ZoneSkip.provablyEmpty(LessThan("id", 5L), allNull, schema))
+    // a field seen with nested/boolean values is NOT all-null
+    val withOther = zone("id" -> ZoneStats.FieldZone(0L, 3L, null, null, null, null))
+    assert(!ZoneSkip.provablyEmpty(IsNotNull("id"), withOther, schema))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("id", 5L), withOther, schema))
+  }
+
+  test("ZoneSkip: float and timestamp columns never prove") {
+    val z = zone("f" -> numZone(1, 2), "ts" -> strZone("2020-01-01", "2020-12-31"))
+    assert(!ZoneSkip.provablyEmpty(GreaterThan("f", 100L), z, schema))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("ts", "2025-01-01"), z, schema))
+  }
+
+  test("walkUnit: concatenated docs, non-object roots, corrupt tails") {
+    val z0 = ZoneStats.FileZone(0L, dirty = false, Map.empty)
+    val z1 = ZoneStats.walkUnit("""{"a": 3}{"a": 7, "b": "x"}""", z0)
+    assert(z1.docs == 2 && !z1.dirty)
+    assert(z1.fields("a").numMin == JBD.valueOf(3) &&
+      z1.fields("a").numMax == JBD.valueOf(7))
+    assert(z1.fields("b").strMin == "x" && z1.fields("b").present == 1)
+    val z2 = ZoneStats.walkUnit("42", z0)
+    assert(z2.fields("value").numMin == JBD.valueOf(42))
+    val z3 = ZoneStats.walkUnit("""{"a": 1} {"a": """, z0)
+    assert(z3.dirty && z3.fields("a").present == 1)
+    val z4 = ZoneStats.walkUnit("  ", z0)
+    assert(z4.docs == 0 && !z4.dirty)
+  }
+}
