@@ -94,10 +94,10 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   // (refresh bypasses the JVM-wide cache by design); with it, refresh
   // means exactly ONE fresh inference per .load()
   private var memo: Option[(Seq[String], Boolean, Boolean,
-    (HType, Option[ZoneStats.ZoneMap]))] = None
+    (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]))] = None
 
   private def inferBoth(options: CaseInsensitiveStringMap)
-      : (HType, Option[ZoneStats.ZoneMap]) = {
+      : (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]) = {
     val ps = paths(options)
     val whole = options.getBoolean("whole", false)
     val zonemaps = options.getBoolean("zonemaps", false)
@@ -121,7 +121,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val whole = options.getBoolean("whole", false)
     val ps = paths(options)
-    val (t, zones) = inferBoth(options)
+    val (t, zones, fingerprint) = inferBoth(options)
     val inferred = JsonDocSource.sparkSchemaOf(t)
     // a user-supplied schema must BE the inferred one: the reader
     // converts through the HType tree (unions and all), and a
@@ -130,7 +130,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
       s"graftjson: user schema must match the inferred schema\n" +
         s"  given:    ${schema.simpleString}\n" +
         s"  inferred: ${inferred.simpleString}")
-    new JsonDocTable(ps, whole, t, inferred, zones)
+    new JsonDocTable(ps, whole, t, inferred, zones, fingerprint)
   }
 }
 
@@ -171,7 +171,7 @@ private[sources] object JsonDocSource {
   private[sources] def inferCached(ps: Seq[String], whole: Boolean,
                                    refresh: Boolean = false,
                                    zonemaps: Boolean = false)
-      : (HType, Option[ZoneStats.ZoneMap]) = {
+      : (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]) = {
     val spark = SparkSession.active
     // listFiles already returns the (path, len, mtime) statuses — one
     // listing round-trip serves expansion AND the cache fingerprint
@@ -187,7 +187,7 @@ private[sources] object JsonDocSource {
           else Option(inferCache.get(key.copy(zonemaps = true)))
             .map { case (t, _) => (t, None) })
       }
-    cached.getOrElse {
+    cached.map { case (t, zm) => (t, zm, files) }.getOrElse {
       // inference reads EXACTLY the files the scan will partition —
       // one listing feeds both, so the schema can never be inferred
       // over a different file set than the read (nested-directory or
@@ -217,7 +217,7 @@ private[sources] object JsonDocSource {
         }
       inferenceRuns.incrementAndGet()
       inferCache.synchronized { inferCache.put(key, result) }
-      result
+      (result._1, result._2, files)
     }
   }
 
@@ -267,7 +267,8 @@ private[sources] object JsonDocSource {
 
 private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            schema: StructType,
-                           zones: Option[ZoneStats.ZoneMap])
+                           zones: Option[ZoneStats.ZoneMap],
+                           fingerprint: Seq[(String, Long, Long)])
     extends Table with SupportsRead {
   override def name(): String = s"graftjson(${ps.mkString(",")})"
   override def schema(): StructType = schema
@@ -275,17 +276,59 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(ps, whole, t, schema,
-      Option(options.get("maxSplitBytes")).map(_.toLong), zones)
+      Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint)
 }
 
 private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  full: StructType,
                                  maxSplitBytes: Option[Long],
-                                 zones: Option[ZoneStats.ZoneMap])
+                                 zones: Option[ZoneStats.ZoneMap],
+                                 fingerprint: Seq[(String, Long, Long)])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var pushedCount: Option[Long] = None
+
+  /** COUNT(*) with no grouping, no filters, answered from the zone
+    * maps' per-file unit counts — the count of a 100 TB corpus from
+    * planning metadata, zero data read. `units` counts exactly the
+    * rows the scan emits (one per NDJSON line — blank and corrupt
+    * lines included — or one per whole-mode file). SOUND only if the
+    * files are byte-identical to the ones the stats walked, so the
+    * push re-lists and requires the (path, length, mtime) fingerprint
+    * to match the load-time listing — any drift declines the push and
+    * the ordinary scan+aggregate runs (self-healing, never wrong). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countFromZones(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedCount = countFromZones(agg)
+    pushedCount.isDefined
+  }
+
+  private def countFromZones(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Long] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val shapeOk = zones.isDefined && pushed.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (!shapeOk) None
+    else {
+      val current = JsonDocSource.listFiles(SparkSession.active, ps)
+      if (current != fingerprint) None
+      else Some(current.iterator.map { case (p, _, _) =>
+        // a file with no zone entry produced no planning rows — empty
+        zones.get.get(p).map(_.units).getOrElse(0L)
+      }.sum)
+    }
+  }
   override def pruneColumns(requiredSchema: StructType): Unit =
     // TOP-LEVEL pruning only: Spark's SchemaPruning may hand nested-
     // pruned struct types (e.g. just `score.u0` of a union field),
@@ -308,8 +351,44 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
-  override def build(): Scan =
-    new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes, zones)
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new JsonDocCountScan(ps, n)
+    case None =>
+      new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes,
+        zones)
+  }
+}
+
+/** Completed COUNT(*) pushdown: one partition, one row, one long —
+  * computed at planning from zone-map unit counts (fingerprint-
+  * verified in the builder). */
+private class JsonDocCountScan(ps: Seq[String], n: Long)
+    extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StructField}
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftjson ${ps.mkString(",")} PushedAggregation: COUNT(*)=$n (zone maps)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(JsonDocCountPartition(n))
+  override def createReaderFactory(): PartitionReaderFactory =
+    JsonDocCountReaderFactory()
+}
+
+private case class JsonDocCountPartition(n: Long) extends InputPartition
+
+private case class JsonDocCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val n = p.asInstanceOf[JsonDocCountPartition].n
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n))
+      override def close(): Unit = ()
+    }
 }
 
 private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,

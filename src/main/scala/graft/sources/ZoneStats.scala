@@ -81,18 +81,22 @@ object ZoneStats {
   private def maxStr(a: String, b: String) =
     if (a == null) b else if (b == null) a else if (a >= b) a else b
 
-  /** One file's zone: doc count, parse-anomaly flag, per-field zones. */
-  final case class FileZone(docs: Long, dirty: Boolean,
+  /** One file's zone: doc count, INPUT-UNIT count (`units` — NDJSON
+    * lines / whole-mode files — exactly the rows the scan emits, blank
+    * and corrupt lines included, because both the planning read and
+    * the scan split on the same Hadoop line rule), parse-anomaly flag,
+    * per-field zones. */
+  final case class FileZone(docs: Long, units: Long, dirty: Boolean,
                             fields: Map[String, FieldZone])
       extends Serializable {
     def merge(o: FileZone): FileZone = FileZone(
-      docs + o.docs, dirty || o.dirty,
+      docs + o.docs, units + o.units, dirty || o.dirty,
       (fields.keySet ++ o.fields.keySet).iterator.map { k =>
         k -> fields.getOrElse(k, emptyField)
           .merge(o.fields.getOrElse(k, emptyField))
       }.toMap)
   }
-  private val emptyFile = FileZone(0L, dirty = false, Map.empty)
+  private[sources] val emptyFile = FileZone(0L, 0L, dirty = false, Map.empty)
 
   type ZoneMap = Map[String, FileZone]
 
@@ -146,7 +150,7 @@ object ZoneStats {
               fields = fields.updated("value",
                 fields.getOrElse("value", emptyField).addOther)
           }
-          z = FileZone(docs, z.dirty, fields)
+          z = FileZone(docs, z.units, z.dirty, fields)
           tok = p.nextToken()
         }
       } catch {
@@ -200,8 +204,10 @@ class ZoneStatsAgg
   def zero: ZoneMap = Map.empty
   def reduce(b: ZoneMap, in: (String, String)): ZoneMap = {
     val file = norm(in._1)
-    b.updated(file, walkUnit(in._2,
-      b.getOrElse(file, FileZone(0L, dirty = false, Map.empty))))
+    // units counts EVERY input unit, blank or corrupt included — the
+    // scan emits exactly one row per unit, so Σunits IS count(*)
+    val before = b.getOrElse(file, emptyFile)
+    b.updated(file, walkUnit(in._2, before.copy(units = before.units + 1)))
   }
   def merge(a: ZoneMap, b: ZoneMap): ZoneMap =
     (a.keySet ++ b.keySet).iterator.map { k =>
@@ -209,7 +215,7 @@ class ZoneStatsAgg
         case (Some(x), Some(y)) => k -> x.merge(y)
         case (Some(x), None) => k -> x
         case (None, Some(y)) => k -> y
-        case _ => k -> FileZone(0L, dirty = false, Map.empty)
+        case _ => k -> emptyFile
       }
     }.toMap
   def finish(r: ZoneMap): ZoneMap = r

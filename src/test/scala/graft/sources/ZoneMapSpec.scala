@@ -135,6 +135,54 @@ class ZoneMapSpec extends SparkTestBase {
       s"zone maps pruned nothing: $parts partitions over $files files")
   }
 
+  test("count(*) pushdown: answered from zone metadata, one partition, no data read") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_count"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "c1.json"))
+    w.println("""{"id": 1}""")
+    w.println("") // blank line still materializes a row
+    w.println("""{"id": 3""") // corrupt line still materializes a row
+    w.print("""{"id": 4}""") // no trailing newline
+    w.close()
+    val w2 = new java.io.PrintWriter(new java.io.File(dir, "c2.json"))
+    w2.println("""{"id": 9}""")
+    w2.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val plain = spark.read.format("graftjson").load(dir.toString).count()
+    val counted = zdf.count()
+    assert(counted == plain && counted == 5L,
+      s"pushed count $counted vs scan count $plain")
+    // the pushed plan reads ONE metadata partition, not the files
+    val q = zdf.groupBy().count()
+    assert(plannedParts(q) == 1)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      q.queryExecution.executedPlan.toString)
+  }
+
+  test("count(*) pushdown declines on filters, on stale files, and without zonemaps") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_count_decline"))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "d1.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1}"""); w.println("""{"id": 50}"""); w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    // filtered count runs the real scan and filters correctly
+    assert(zdf.where(col("id") > 10).count() == 1L)
+    // whole-mode: one row per FILE
+    val wdf = spark.read.format("graftjson")
+      .option("zonemaps", "true").option("whole", "true").load(dir.toString)
+    assert(wdf.count() == 1L)
+    // stale file (append after load) → fingerprint mismatch → the
+    // push declines and the REAL count of the new content returns
+    val a = new java.io.FileWriter(f, true)
+    a.write("{\"id\": 7}\n"); a.close()
+    assert(zdf.count() == 3L, "stale zone count served after file change")
+    // no zonemaps → no pushdown path at all, plain count works
+    assert(spark.read.format("graftjson").load(dir.toString).count() == 3L)
+  }
+
   // ---- ZoneSkip decision table (unit level) ----
 
   private val schema = StructType(Seq(
@@ -142,7 +190,7 @@ class ZoneMapSpec extends SparkTestBase {
     StructField("f", DoubleType), StructField("ts", TimestampType)))
 
   private def zone(fields: (String, ZoneStats.FieldZone)*): ZoneStats.FileZone =
-    ZoneStats.FileZone(10L, dirty = false, fields.toMap)
+    ZoneStats.FileZone(10L, 10L, dirty = false, fields.toMap)
 
   private def numZone(lo: Long, hi: Long) = ZoneStats.FieldZone(
     10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null)
@@ -207,7 +255,7 @@ class ZoneMapSpec extends SparkTestBase {
   }
 
   test("walkUnit: concatenated docs, non-object roots, corrupt tails") {
-    val z0 = ZoneStats.FileZone(0L, dirty = false, Map.empty)
+    val z0 = ZoneStats.FileZone(0L, 0L, dirty = false, Map.empty)
     val z1 = ZoneStats.walkUnit("""{"a": 3}{"a": 7, "b": "x"}""", z0)
     assert(z1.docs == 2 && !z1.dirty)
     assert(z1.fields("a").numMin == JBD.valueOf(3) &&
