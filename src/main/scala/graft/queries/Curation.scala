@@ -218,9 +218,14 @@ object Curation {
     * partial-aggregation-order dependence; a per-doc-ratio `avg`
     * would sum doubles in shuffle order). Complements q85's Bloom
     * screen with an exactly-oracled precision pass at three n.
-    * Grams join as raw strings (the q51 hash/string equivalence runs
-    * the other way here: the oracle and engine must agree exactly, so
-    * no hashing on either side).
+    * Grams shuffle and join as xxhash64 of the rendered n-gram — the
+    * q51/q205 equivalence: the oracle joins raw strings, and the
+    * aggregates agree unless 64-bit hashes collide within the gram
+    * set (~1e-9 at sf0.1; the oracle compare would flag exactly
+    * that). 8-byte keys shrink the distinct+join shuffle ~4× versus
+    * rendered strings — at sf0.1 the query is compute-bound (measured
+    * 2.44s string vs 2.47s hashed, noise-equal) but the width is what
+    * survives a 1000-executor shuffle.
     *
     * Scale shape: the benchmark gram set is DISTINCT-folded then
     * broadcast (real benchmarks are MBs against a 100 TB corpus); the
@@ -235,7 +240,8 @@ object Curation {
       .where(size(col("ws")) >= col("n"))
       .select(col("doc_id"), col("n"), explode(transform(
         sequence(lit(0), size(col("ws")) - col("n")),
-        i => concat_ws(" ", slice(col("ws"), i + lit(1), col("n"))))).as("g"))
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i + lit(1), col("n"))))))
+        .as("g"))
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     val bench = grams(docs.where(col("doc_id") % 7 === 3))
       .select(col("n"), col("g")).distinct()
@@ -373,6 +379,67 @@ object Curation {
       |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       |WHERE len(text) >= 3 ORDER BY d.doc_id""".stripMargin
 
+  /** Token-distribution drift between two corpus cohorts (the χ²
+    * monitor a pipeline runs between snapshot halves / ingest days):
+    * per-token chi-square contributions for the 50 globally most
+    * frequent tokens, cohorts A = even doc_id, B = odd. Every row's
+    * arithmetic derives from exact bigint counts with an IDENTICAL
+    * operation order on both engines (expected = double(total_t)·n_A
+    * / (n_A+n_B); squares as x·x) — per-row determinism, no
+    * cross-engine Σ-of-doubles at all because the STATISTIC is
+    * reported per token, the way a drift dashboard actually plots it.
+    * Top-50 selection is total-ordered (count desc, token asc).
+    * Scale shape: one scan → token-keyed aggregate with BOTH cohort
+    * counts as conditional sums in one pass (no self-join), top-k via
+    * TakeOrderedAndProject, totals broadcast as one row. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select((col("doc_id") % 2).as("grp"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+    val counts = words.groupBy(col("w"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("count_a"),
+        sum(when(col("grp") =!= 0, 1L).otherwise(0L)).as("count_b"))
+      .orderBy((col("count_a") + col("count_b")).desc, col("w"))
+      .limit(50)
+    val totals = words.groupBy().agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("grp") =!= 0, 1L).otherwise(0L)).as("nb"))
+    val ea = (col("count_a") + col("count_b")).cast("double") *
+      col("na") / (col("na") + col("nb"))
+    val eb = (col("count_a") + col("count_b")).cast("double") *
+      col("nb") / (col("na") + col("nb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("w").as("token"), col("count_a"), col("count_b"),
+        round((col("count_a") - ea) * (col("count_a") - ea) / ea +
+          (col("count_b") - eb) * (col("count_b") - eb) / eb, 4)
+          .as("chisq_contrib"))
+      .orderBy((col("count_a") + col("count_b")).desc, col("token"))
+  }
+
+  private val q224Sql =
+    """WITH w AS (SELECT doc_id % 2 AS grp,
+      |    unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT w,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS count_a,
+      |    CAST(sum(CASE WHEN grp <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS count_b
+      |  FROM w GROUP BY w ORDER BY count_a + count_b DESC, w LIMIT 50),
+      |t AS (SELECT
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN grp <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM w)
+      |SELECT w AS token, count_a, count_b,
+      |  round((count_a - CAST(count_a + count_b AS DOUBLE) * na / (na + nb))
+      |      * (count_a - CAST(count_a + count_b AS DOUBLE) * na / (na + nb))
+      |      / (CAST(count_a + count_b AS DOUBLE) * na / (na + nb))
+      |    + (count_b - CAST(count_a + count_b AS DOUBLE) * nb / (na + nb))
+      |      * (count_b - CAST(count_a + count_b AS DOUBLE) * nb / (na + nb))
+      |      / (CAST(count_a + count_b AS DOUBLE) * nb / (na + nb)), 4)
+      |    AS chisq_contrib
+      |FROM c CROSS JOIN t
+      |ORDER BY count_a + count_b DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_bloom_contamination" -> (q85 _),
     "q86_embedding_quantize" -> (q86 _),
@@ -382,7 +449,8 @@ object Curation {
     "q218_matryoshka_recall" -> (q218 _),
     "q219_decontamination" -> (q219 _),
     "q222_mixture_weights" -> (q222 _),
-    "q223_rare_trigrams" -> (q223 _))
+    "q223_rare_trigrams" -> (q223 _),
+    "q224_token_drift" -> (q224 _))
 
   val oracle: Map[String, String] = Map(
     // q85 rows-only: Bloom false positives are hash-family-specific
@@ -393,5 +461,6 @@ object Curation {
     "q218_matryoshka_recall" -> q218Sql,
     "q219_decontamination" -> q219Sql,
     "q222_mixture_weights" -> q222Sql,
-    "q223_rare_trigrams" -> q223Sql)
+    "q223_rare_trigrams" -> q223Sql,
+    "q224_token_drift" -> q224Sql)
 }

@@ -625,6 +625,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q224: top-50 via TakeOrderedAndProject; totals broadcast, no shuffle join") {
+    val p = plan("q224_token_drift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q218: the L=64 self-row pins recall exactly 1") {
     import org.apache.spark.sql.functions.col
     val df = graft.SparkEntry.queries("q218_matryoshka_recall")(spark, sfDir)
