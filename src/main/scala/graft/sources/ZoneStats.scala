@@ -68,7 +68,7 @@ object ZoneStats {
       minBd(numMin, o.numMin), maxBd(numMax, o.numMax),
       minStr(strMin, o.strMin), maxStr(strMax, o.strMax))
   }
-  private val emptyField = FieldZone(0L, 0L, null, null, null, null)
+  private[sources] val emptyField = FieldZone(0L, 0L, null, null, null, null)
 
   private def minBd(a: JBigDecimal, b: JBigDecimal) =
     if (a == null) b else if (b == null) a

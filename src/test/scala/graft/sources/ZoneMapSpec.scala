@@ -254,6 +254,83 @@ class ZoneMapSpec extends SparkTestBase {
     assert(!ZoneSkip.provablyEmpty(EqualTo("ts", "2025-01-01"), z, schema))
   }
 
+  test("PROPERTY: walker bounds always contain what Materialize emits; units == rows") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.infer.{JsonInfer, Materialize}
+    // random flat docs over a fixed field pool: ints, decimals,
+    // strings, bools, nulls, missing fields, nested values, the
+    // occasional corrupt tail and blank line
+    val genValue: Gen[String] = Gen.oneOf(
+      Gen.choose(-100000L, 100000L).map(_.toString),
+      Gen.choose(-999999L, 999999L).map(v => s"${v / 100}.${math.abs(v % 100)}"),
+      Gen.alphaNumStr.map(s => "\"" + s.take(12) + "\""),
+      Gen.oneOf("true", "false", "null"),
+      Gen.const("[1, 2]"), Gen.const("""{"x": 1}"""))
+    val genDoc: Gen[String] = for {
+      ks <- Gen.someOf(Seq("a", "b", "c", "d"))
+      vs <- Gen.listOfN(ks.size, genValue)
+    } yield ks.zip(vs).map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", "}")
+    val genLine: Gen[String] = Gen.frequency(
+      8 -> genDoc, 1 -> Gen.const(""), 1 -> Gen.const("{\"a\": "))
+    for (seed <- 1 to 30) {
+      val lines = Gen.listOfN(25, genLine)
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      // zone over the whole "file"
+      var z = ZoneStats.emptyFile
+      lines.foreach { l => z = ZoneStats.walkUnit(l,
+        z.copy(units = z.units + 1)) }
+      assert(z.units == lines.length)
+      // materialize exactly as the scan does
+      val t = JsonInfer.inferAll(lines).canonical
+      val schema = JsonDocSource.sparkSchemaOf(t)
+      val rowShaped = Materialize
+        .toMaterializableSparkType(t)
+        .isInstanceOf[org.apache.spark.sql.types.StructType]
+      val rows = lines.map(Materialize.docToRow(_, t, rowShaped,
+        schema.length))
+      assert(rows.length == z.units.toInt)
+      // soundness: for eligible columns, every materialized non-null
+      // value sits inside the walker's bounds (dirty files exempt —
+      // the scan never consults their zones)
+      if (!z.dirty) schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val fz = z.fields.getOrElse(f.name, ZoneStats.emptyField)
+        f.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType =>
+            rows.flatMap(r => Option(r.get(i))).foreach { v =>
+              val bd = new JBD(v.toString)
+              assert(fz.numMin != null && bd.compareTo(fz.numMin) >= 0 &&
+                bd.compareTo(fz.numMax) <= 0,
+                s"seed=$seed ${f.name}: $v outside [${fz.numMin}, ${fz.numMax}]")
+            }
+          case _: org.apache.spark.sql.types.DecimalType =>
+            rows.flatMap(r => Option(r.get(i))).foreach { v =>
+              val bd = new JBD(v.toString)
+              assert(fz.numMin != null && bd.compareTo(fz.numMin) >= 0 &&
+                bd.compareTo(fz.numMax) <= 0, s"seed=$seed ${f.name}: $v")
+            }
+          case org.apache.spark.sql.types.StringType =>
+            rows.flatMap(r => Option(r.get(i))).foreach { v =>
+              val s = v.toString
+              assert(fz.strMin != null && s >= fz.strMin && s <= fz.strMax,
+                s"seed=$seed ${f.name}: '$s' outside ['${fz.strMin}', '${fz.strMax}']")
+            }
+          case _ => // float/timestamp/nested: never zone-consulted
+        }
+        // null accounting: a materialized non-null for a field the
+        // walker saw as all-null would break IsNotNull skipping
+        val nonNull = rows.count(r => r.get(i) != null)
+        if (fz.present == 0 && fz.others == 0)
+          assert(nonNull == 0, s"seed=$seed ${f.name}: " +
+            s"$nonNull non-null rows but walker saw none")
+      }
+    }
+  }
+
   test("walkUnit: concatenated docs, non-object roots, corrupt tails") {
     val z0 = ZoneStats.FileZone(0L, 0L, dirty = false, Map.empty)
     val z1 = ZoneStats.walkUnit("""{"a": 3}{"a": 7, "b": "x"}""", z0)
