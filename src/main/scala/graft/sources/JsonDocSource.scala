@@ -289,44 +289,110 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var pushedCount: Option[Long] = None
+  private var pushedMeta: Option[(StructType, Seq[Any])] = None
 
-  /** COUNT(*) with no grouping, no filters, answered from the zone
-    * maps' per-file unit counts — the count of a 100 TB corpus from
-    * planning metadata, zero data read. `units` counts exactly the
-    * rows the scan emits (one per NDJSON line — blank and corrupt
-    * lines included — or one per whole-mode file). SOUND only if the
-    * files are byte-identical to the ones the stats walked, so the
-    * push re-lists and requires the (path, length, mtime) fingerprint
-    * to match the load-time listing — any drift declines the push and
-    * the ordinary scan+aggregate runs (self-healing, never wrong). */
+  /** COUNT(*) / MIN / MAX with no grouping, no filters, answered from
+    * zone-map metadata — the `count(*), min(ts), max(ts)` corpus
+    * probe for free, zero data read. `units` counts exactly the rows
+    * the scan emits (one per NDJSON line — blank and corrupt lines
+    * included — or one per whole-mode file); min/max fold the
+    * walker's exact bounds, so they are offered ONLY for columns
+    * whose materialized value IS the recorded bound (integral /
+    * decimal / plain string — the ZoneSkip eligibility), only when NO
+    * file is dirty (a partially-walked doc folds values that never
+    * materialize, making bounds a superset: sound for skipping, wrong
+    * for answering), and with SQL null semantics (all-null → null).
+    * SOUND only if the files are byte-identical to the ones the stats
+    * walked, so the push re-lists and requires the (path, length,
+    * mtime) fingerprint to match the load-time listing — any drift,
+    * any filter, any other aggregate declines the push and the
+    * ordinary scan+aggregate runs (self-healing, never wrong). */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = countFromZones(agg).isDefined
+      : Boolean = metaFromZones(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    pushedCount = countFromZones(agg)
-    pushedCount.isDefined
+    pushedMeta = metaFromZones(agg)
+    pushedMeta.isDefined
   }
 
-  private def countFromZones(
+  private def metaFromZones(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Long] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    val shapeOk = zones.isDefined && pushed.isEmpty &&
-      agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
-    if (!shapeOk) None
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (zones.isEmpty || pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+      agg.aggregateExpressions().isEmpty) return None
+    val current = JsonDocSource.listFiles(SparkSession.active, ps)
+    if (current != fingerprint) return None
+    val zm = zones.get
+    val fileZones = current.flatMap { case (p, _, _) => zm.get(p) }
+    def topCol(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def eligible(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def bound(name: String, wantMax: Boolean): Option[(DataType, Any)] = {
+      val dt = full.fields.find(_.name == name).map(_.dataType)
+        .filter(eligible)
+      dt.flatMap { d =>
+        if (fileZones.exists(_.dirty)) None
+        else {
+          val merged = fileZones
+            .flatMap(_.fields.get(name))
+            .foldLeft(ZoneStats.emptyField)(_ merge _)
+          if (merged.others != 0) None // defensive: bounds incomplete
+          else if (merged.present == 0) Some((d, null)) // SQL null
+          else try {
+            val v: Any = d match {
+              case LongType => java.lang.Long.valueOf(
+                (if (wantMax) merged.numMax else merged.numMin).longValueExact)
+              case IntegerType => java.lang.Integer.valueOf(
+                (if (wantMax) merged.numMax else merged.numMin).intValueExact)
+              case ShortType => java.lang.Short.valueOf(
+                (if (wantMax) merged.numMax else merged.numMin).shortValueExact)
+              case ByteType => java.lang.Byte.valueOf(
+                (if (wantMax) merged.numMax else merged.numMin).byteValueExact)
+              case dec: DecimalType =>
+                // column scale ≥ every value's scale (inference), so
+                // setScale only pads — exact; anything else throws and
+                // declines below
+                (if (wantMax) merged.numMax else merged.numMin)
+                  .setScale(dec.scale)
+              case StringType => if (wantMax) merged.strMax else merged.strMin
+              case _ => return None
+            }
+            Some((d, v))
+          } catch { case _: ArithmeticException => None }
+        }
+      }
+    }
+    val resolved = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count", LongType, nullable = false),
+          java.lang.Long.valueOf(fileZones.iterator.map(_.units).sum): Any))
+      case m: Min => topCol(m.column()).flatMap(n =>
+        bound(n, wantMax = false).map { case (d, v) =>
+          (StructField(s"min_$n", d, nullable = true), v) })
+      case m: Max => topCol(m.column()).flatMap(n =>
+        bound(n, wantMax = true).map { case (d, v) =>
+          (StructField(s"max_$n", d, nullable = true), v) })
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) None
     else {
-      val current = JsonDocSource.listFiles(SparkSession.active, ps)
-      if (current != fingerprint) None
-      else Some(current.iterator.map { case (p, _, _) =>
-        // a file with no zone entry produced no planning rows — empty
-        zones.get.get(p).map(_.units).getOrElse(0L)
-      }.sum)
+      val rs = resolved.flatten
+      Some((StructType(rs.map(_._1)), rs.map(_._2)))
     }
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -351,42 +417,45 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new JsonDocCountScan(ps, n)
+  override def build(): Scan = pushedMeta match {
+    case Some((schema, values)) => new JsonDocMetaScan(ps, schema, values)
     case None =>
       new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes,
         zones)
   }
 }
 
-/** Completed COUNT(*) pushdown: one partition, one row, one long —
-  * computed at planning from zone-map unit counts (fingerprint-
-  * verified in the builder). */
-private class JsonDocCountScan(ps: Seq[String], n: Long)
+/** Completed aggregate pushdown: one partition, one row of metadata-
+  * derived values (fingerprint-verified in the builder). External
+  * values ride to the reader and convert through the same RowEncoder
+  * path as data rows. */
+private class JsonDocMetaScan(ps: Seq[String], schema: StructType,
+                              values: Seq[Any])
     extends Scan with Batch {
-  import org.apache.spark.sql.types.{LongType, StructField}
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graftjson ${ps.mkString(",")} PushedAggregation: COUNT(*)=$n (zone maps)"
+    s"graftjson ${ps.mkString(",")} PushedAggregation: " +
+      schema.fieldNames.zip(values).map { case (f, v) => s"$f=$v" }
+        .mkString("[", ", ", "] (zone maps)")
   override def planInputPartitions(): Array[InputPartition] =
-    Array(JsonDocCountPartition(n))
+    Array(JsonDocMetaPartition(schema, values))
   override def createReaderFactory(): PartitionReaderFactory =
-    JsonDocCountReaderFactory()
+    JsonDocMetaReaderFactory()
 }
 
-private case class JsonDocCountPartition(n: Long) extends InputPartition
+private case class JsonDocMetaPartition(schema: StructType, values: Seq[Any])
+    extends InputPartition
 
-private case class JsonDocCountReaderFactory() extends PartitionReaderFactory {
+private case class JsonDocMetaReaderFactory() extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val n = p.asInstanceOf[JsonDocCountPartition].n
+      private val mp = p.asInstanceOf[JsonDocMetaPartition]
       private var done = false
       override def next(): Boolean = if (done) false else { done = true; true }
       override def get(): InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](n))
+        ExpressionEncoder(RowEncoder.encoderFor(mp.schema))
+          .createSerializer()(Row.fromSeq(mp.values)).copy()
       override def close(): Unit = ()
     }
 }

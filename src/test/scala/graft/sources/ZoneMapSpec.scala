@@ -86,15 +86,38 @@ class ZoneMapSpec extends SparkTestBase {
   }
 
   test("float/double columns NEVER zone-skip (binary-rounding soundness)") {
-    val dir = writeRanged("zm_float")
-    val zdf = spark.read.format("graftjson").option("zonemaps", "true").load(dir)
-    // score is float/double-typed; the literal excludes f1 numerically
-    // but the guard must keep every file
+    // sci-notation literals classify as FLOAT (plain decimals become
+    // exact DECIMAL columns, which ARE eligible)
+    val dir = new java.io.File(graft.TempRoots.path("zm_float2"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("f1.json", """{"id": 1, "fscore": 5.0e-1}""")
+    put("f2.json", """{"id": 1000, "fscore": 9.5e0}""")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    assert(zdf.schema("fscore").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    // the literal numerically excludes f1, but a float column's
+    // binary rounding can disagree with the decimal text at a
+    // boundary — the guard must keep every file
     val (rows, skipped) = skipsDuring {
-      zdf.where(col("score") > lit(5.0f)).select(col("id")).collect()
+      zdf.where(col("fscore") > lit(5.0f)).select(col("id")).collect()
         .map(_.getAs[Number](0).longValue)
     }
     assert(rows.toSeq == Seq(1000L) && skipped == 0)
+    // and a decimal-typed score with a FLOAT literal also never skips
+    // (inexact literal class)
+    val dir2 = writeRanged("zm_float_lit")
+    val zdf2 = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir2)
+    val (rows2, skipped2) = skipsDuring {
+      zdf2.where(col("score") > lit(5.0f)).select(col("id")).collect()
+        .map(_.getAs[Number](0).longValue)
+    }
+    assert(rows2.toSeq == Seq(1000L) && skipped2 == 0)
   }
 
   test("dirty files (parse anomalies) are never skipped") {
@@ -181,6 +204,67 @@ class ZoneMapSpec extends SparkTestBase {
     assert(zdf.count() == 3L, "stale zone count served after file change")
     // no zonemaps → no pushdown path at all, plain count works
     assert(spark.read.format("graftjson").load(dir.toString).count() == 3L)
+  }
+
+  test("min/max pushdown: integral, decimal-free string, and null answers from metadata") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_minmax"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "m1.json"))
+    // sci-notation → FLOAT column; plain decimals would be DECIMAL
+    w.println("""{"id": 5, "name": "delta", "score": 1.5e0, "dec": 2.75}""")
+    w.println("""{"id": 90, "name": "alpha", "score": 5.0e-1, "dec": 0.25}""")
+    w.close()
+    val w2 = new java.io.PrintWriter(new java.io.File(dir, "m2.json"))
+    w2.println("""{"id": 40, "name": "omega", "dec": 9.50}""")
+    w2.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.agg(count(lit(1)).as("n"), min(col("id")), max(col("id")),
+      min(col("name")), max(col("name")), min(col("dec")), max(col("dec")))
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getAs[Number](1).longValue == 5L && r.getAs[Number](2).longValue == 90L)
+    assert(r.getString(3) == "alpha" && r.getString(4) == "omega")
+    assert(r.getDecimal(5).compareTo(new JBD("0.25")) == 0 &&
+      r.getDecimal(6).compareTo(new JBD("9.50")) == 0)
+    assert(plannedParts(q) == 1, "min/max did not come from metadata")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    // float column in the mix → whole push declines, real scan answers
+    assert(zdf.schema("score").dataType ==
+      org.apache.spark.sql.types.FloatType)
+    val qf = zdf.agg(min(col("id")), min(col("score")))
+    val rf = qf.collect()(0)
+    assert(rf.getAs[Number](0).longValue == 5L)
+    assert(!qf.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "float min must not be answered from zone bounds")
+    // all-null column: min is SQL null, still from metadata when alone
+    val w3 = new java.io.PrintWriter(new java.io.File(dir, "m3.json"))
+    w3.println("""{"id": 7, "extra": null}"""); w3.close()
+    val zdf2 = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q2 = zdf2.agg(min(col("extra")))
+    assert(q2.collect()(0).isNullAt(0))
+    assert(plannedParts(q2) == 1)
+  }
+
+  test("min/max pushdown declines when any file is dirty; count alone still pushes") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_minmax_dirty"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "d.json"))
+    w.println("""{"id": 5}""")
+    w.println("""{"id": 999, "k": """) // corrupt: 999 folded, never materializes
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.agg(max(col("id")))
+    // the walker folded 999 before the parse died; the materialized
+    // max is 5 — a zone answer would be WRONG, so it must decline
+    assert(q.collect()(0).getAs[Number](0).longValue == 5L)
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    // count(*) is parse-independent (units) — still metadata-answered
+    val qc = zdf.groupBy().count()
+    assert(qc.collect()(0).getLong(0) == 2L)
+    assert(qc.queryExecution.executedPlan.toString.contains("PushedAggregation"))
   }
 
   // ---- ZoneSkip decision table (unit level) ----
