@@ -1,7 +1,7 @@
 package graft.sources
 
-import graft.infer.{InferSchema, InferSchemaCountAgg, Materialize}
-import graft.types.HType
+import graft.infer.{InferSchema, Materialize}
+import graft.types.{HNull, HType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
@@ -136,37 +136,39 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
 
 private[sources] object JsonDocSource {
 
-  /** Planning-time inference cache, JVM-wide: DataSource lookup
-    * constructs a FRESH provider per `.load()`, so an instance field
-    * would re-pay the inference job on every read of the same data.
-    * The key includes each file's (path, length, mtime) fingerprint —
-    * listing is one cheap namenode round-trip vs a full data pass —
-    * so modified inputs re-infer and unchanged ones are free. Bounded
-    * (128 entries, drop-oldest) because table sets are small and
-    * HTypes are KBs. The fingerprint is only as sharp as the store's
-    * mtime granularity (whole seconds on some object stores) — a
-    * same-length rewrite inside one tick is invisible, so the
-    * `refresh=true` option and [[clearInferCache]] are the explicit
-    * escape hatches (a content checksum would re-read the data and
-    * cost exactly the pass the cache exists to avoid). */
-  private case class InferKey(paths: Seq[String], whole: Boolean,
-                              zonemaps: Boolean,
-                              files: Seq[(String, Long, Long)])
-  private val inferCache =
-    new java.util.LinkedHashMap[InferKey, (HType, Option[ZoneStats.ZoneMap])](
-      16, 0.75f, true) {
+  /** PER-FILE planning cache: (path, length, mtime, whole) → this
+    * file's merged HType, doc count, and (when walked) zone. The file
+    * grain makes planning INCREMENTAL — a load over N files re-reads
+    * only the files whose fingerprint changed since any previous
+    * load, because the schema lattice assembles from per-file results
+    * exactly as from a monolithic fold (associative + commutative
+    * join, canonical union order applied at the end — the same
+    * property that makes the distributed aggregation correct).
+    * Appending one file to a 100k-file table costs one file's read,
+    * not a corpus pass. Bounded LRU (4096 files, KBs each); the
+    * staleness contract is unchanged: the fingerprint is as sharp as
+    * the store's mtime granularity, `refresh=true` re-walks
+    * everything. */
+  private case class FileKey(path: String, len: Long, mtime: Long,
+                             whole: Boolean)
+  private case class FileResult(t: HType, docs: Long,
+                                zone: Option[ZoneStats.FileZone])
+  private val fileCache =
+    new java.util.LinkedHashMap[FileKey, FileResult](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[InferKey, (HType, Option[ZoneStats.ZoneMap])])
-          : Boolean = size() > 128
+          e: java.util.Map.Entry[FileKey, FileResult]): Boolean =
+        size() > 4096
     }
   /** Test-visible count of actual inference JOBS run (not cache hits). */
   private[sources] val inferenceRuns = new java.util.concurrent.atomic.AtomicLong
+  /** Test-visible count of FILES actually walked by inference jobs. */
+  private[sources] val filesWalked = new java.util.concurrent.atomic.AtomicLong
   /** Test-visible count of files excluded by zone-map skipping. */
   private[sources] val zoneSkippedFiles = new java.util.concurrent.atomic.AtomicLong
 
   /** Drop every cached inference result (test hook + the JVM-lifetime
     * remedy for fingerprint-invisible rewrites). */
-  def clearInferCache(): Unit = inferCache.synchronized { inferCache.clear() }
+  def clearInferCache(): Unit = fileCache.synchronized { fileCache.clear() }
 
   private[sources] def inferCached(ps: Seq[String], whole: Boolean,
                                    refresh: Boolean = false,
@@ -176,49 +178,62 @@ private[sources] object JsonDocSource {
     // listFiles already returns the (path, len, mtime) statuses — one
     // listing round-trip serves expansion AND the cache fingerprint
     val files = listFiles(spark, ps)
-    val key = InferKey(ps, whole, zonemaps, files)
-    val cached =
-      if (refresh) None
-      else inferCache.synchronized {
-        Option(inferCache.get(key)).orElse(
-          // a zone-mapped entry over the same fingerprint answers a
-          // plain load for free (strictly more information)
-          if (zonemaps) None
-          else Option(inferCache.get(key.copy(zonemaps = true)))
-            .map { case (t, _) => (t, None) })
+    val keys = files.map { case (p, l, m) => FileKey(p, l, m, whole) }
+    // a cached entry serves a plain load; a zonemaps load needs the
+    // zone too (HType-only entries re-walk — the walk carries both)
+    val hits: Map[FileKey, FileResult] =
+      if (refresh) Map.empty
+      else fileCache.synchronized {
+        keys.flatMap(k => Option(fileCache.get(k))
+          .filter(r => !zonemaps || r.zone.isDefined)
+          .map(k -> _)).toMap
       }
-    cached.map { case (t, zm) => (t, zm, files) }.getOrElse {
-      // inference reads EXACTLY the files the scan will partition —
-      // one listing feeds both, so the schema can never be inferred
-      // over a different file set than the read (nested-directory or
-      // glob semantics of a second, independent listing)
-      val docs = graft.cli.CliSession.readDocs(spark, files.map(_._1), whole,
-        announceTo = new java.io.PrintStream(
-          java.io.OutputStream.nullOutputStream()))
-      val result =
-        if (!zonemaps) {
-          val (t, _) = docs.select(new InferSchemaCountAgg().toColumn).head()
-          (t.canonical, None)
-        } else {
-          // ONE job, two aggregations: the zone walk re-parses each
-          // unit (the inference walker is a golden-pinned parity
-          // surface — composing stats into it would risk drift), but
-          // both rides share the single read of the data, which at
-          // planning time is the cost that matters
-          import spark.implicits._
-          val pairs = docs
-            .withColumn("_f", org.apache.spark.sql.functions.input_file_name())
-            .select(org.apache.spark.sql.functions.col("_f"),
-              org.apache.spark.sql.functions.col("value"))
-            .as[(String, String)]
-          val ((t, _), zm) = pairs.select(
-            new InferPairAgg().toColumn, new ZoneStatsAgg().toColumn).head()
-          (t.canonical, Some(zm))
-        }
-      inferenceRuns.incrementAndGet()
-      inferCache.synchronized { inferCache.put(key, result) }
-      (result._1, result._2, files)
-    }
+    val missKeys = keys.filterNot(hits.contains)
+    val fresh: Map[FileKey, FileResult] =
+      if (missKeys.isEmpty) Map.empty
+      else {
+        // the job reads ONLY the missing files — planning cost is
+        // proportional to the DIFF since the last load, not the
+        // table. The scan itself still partitions the full listing.
+        val docs = graft.cli.CliSession.readDocs(
+          spark, missKeys.map(_.path), whole,
+          announceTo = new java.io.PrintStream(
+            java.io.OutputStream.nullOutputStream()))
+        import spark.implicits._
+        val pairs = docs
+          .withColumn("_f", org.apache.spark.sql.functions.input_file_name())
+          .select(org.apache.spark.sql.functions.col("_f"),
+            org.apache.spark.sql.functions.col("value"))
+          .as[(String, String)]
+        // per-file inference always; the zone walk rides the same job
+        // only when asked (it re-parses each unit — the inference
+        // walker is a golden-pinned parity surface, composing stats
+        // into it would risk drift)
+        val (perFile, zm) =
+          if (zonemaps) {
+            val (pf, z) = pairs.select(
+              new InferPairAgg().toColumn, new ZoneStatsAgg().toColumn).head()
+            (pf, Some(z))
+          } else
+            (pairs.select(new InferPairAgg().toColumn).head(), None)
+        inferenceRuns.incrementAndGet()
+        filesWalked.addAndGet(missKeys.size.toLong)
+        missKeys.map { k =>
+          // a file the job produced no rows for is EMPTY (zero units)
+          val (t, n) = perFile.getOrElse(k.path, (HNull: HType, 0L))
+          k -> FileResult(t, n,
+            zm.map(_.getOrElse(k.path, ZoneStats.emptyFile)))
+        }.toMap
+      }
+    fileCache.synchronized { fresh.foreach { case (k, r) =>
+      fileCache.put(k, r) } }
+    val all = keys.map(k => k -> hits.getOrElse(k, fresh(k)))
+    val t = all.foldLeft(HNull: HType) { case (acc, (_, r)) =>
+      HType.merge(acc, r.t) }.canonical
+    val zoneMap =
+      if (!zonemaps) None
+      else Some(all.flatMap { case (k, r) => r.zone.map(k.path -> _) }.toMap)
+    (t, zoneMap, files)
   }
 
   def sparkSchemaOf(t: HType): StructType =

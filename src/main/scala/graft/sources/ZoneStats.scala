@@ -164,21 +164,49 @@ object ZoneStats {
   }
 }
 
-/** [[graft.infer.InferSchemaCountAgg]] lifted to (fileName, unitText)
-  * pairs so it can run NEXT TO [[ZoneStatsAgg]] in one typed select —
-  * the file name is ignored; the inference semantics are exactly the
-  * wrapped aggregator's. */
+/** PER-FILE schema inference: (fileName, unitText) pairs fold to a
+  * map of file → (merged HType, doc count), using exactly the
+  * golden-pinned [[graft.infer.JsonInfer.inferDocCount]] walker per
+  * unit. The per-file grain is what makes planning INCREMENTAL: the
+  * lattice join is associative+commutative and union order is fixed
+  * by `canonical` at the end, so a global schema assembled from
+  * per-file results is byte-identical to a monolithic fold — and a
+  * changed file invalidates only its own entry. File names normalize
+  * exactly as [[ZoneStatsAgg]]'s. */
 class InferPairAgg extends Aggregator[(String, String),
-    (graft.types.HType, Long), (graft.types.HType, Long)] {
-  private val inner = new graft.infer.InferSchemaCountAgg
-  def zero: (graft.types.HType, Long) = inner.zero
-  def reduce(b: (graft.types.HType, Long), in: (String, String)) =
-    inner.reduce(b, in._2)
-  def merge(a: (graft.types.HType, Long), b: (graft.types.HType, Long)) =
-    inner.merge(a, b)
-  def finish(r: (graft.types.HType, Long)) = inner.finish(r)
-  def bufferEncoder: Encoder[(graft.types.HType, Long)] = inner.bufferEncoder
-  def outputEncoder: Encoder[(graft.types.HType, Long)] = inner.outputEncoder
+    Map[String, (graft.types.HType, Long)],
+    Map[String, (graft.types.HType, Long)]] {
+  import graft.types.{HNull, HType}
+  @transient private var lastRaw: String = _
+  @transient private var lastNorm: String = _
+  private def norm(f: String): String = {
+    if (f != lastRaw) {
+      lastRaw = f
+      lastNorm = new org.apache.hadoop.fs.Path(f).toString
+    }
+    lastNorm
+  }
+  def zero: Map[String, (HType, Long)] = Map.empty
+  def reduce(b: Map[String, (HType, Long)], in: (String, String)) = {
+    val file = norm(in._1)
+    val (t, n) = graft.infer.JsonInfer.inferDocCount(in._2)
+    val (bt, bn) = b.getOrElse(file, (HNull: HType, 0L))
+    b.updated(file, (HType.merge(bt, t), bn + n))
+  }
+  def merge(a: Map[String, (HType, Long)], b: Map[String, (HType, Long)]) =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      (a.get(k), b.get(k)) match {
+        case (Some((t1, n1)), Some((t2, n2))) =>
+          k -> ((HType.merge(t1, t2), n1 + n2))
+        case (Some(x), None) => k -> x
+        case (None, Some(y)) => k -> y
+        case _ => k -> ((HNull: HType, 0L))
+      }
+    }.toMap
+  def finish(r: Map[String, (HType, Long)]) = r
+  def bufferEncoder: Encoder[Map[String, (HType, Long)]] =
+    Encoders.javaSerialization[Map[String, (HType, Long)]]
+  def outputEncoder: Encoder[Map[String, (HType, Long)]] = bufferEncoder
 }
 
 /** (fileName, unitText) → per-file [[ZoneStats.FileZone]] map — runs

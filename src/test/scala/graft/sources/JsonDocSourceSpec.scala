@@ -293,6 +293,51 @@ class JsonDocSourceSpec extends SparkTestBase {
     assert(rows.sorted.toSeq == Seq(1L, 2L), rows.mkString(","))
   }
 
+  test("incremental planning: a new file re-walks ONE file; schema widens; parity with full re-infer") {
+    import org.apache.spark.sql.functions.col
+    val dir = new java.io.File(graft.TempRoots.path("graftjson_incr"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("i1.json", """{"id": 1, "name": "a"}""")
+    put("i2.json", """{"id": 2, "name": "b"}""")
+    JsonDocSource.clearInferCache()
+    val s1 = spark.read.format("graftjson").load(dir.toString).schema
+    val walkedFull = JsonDocSource.filesWalked.get()
+    // third file introduces a brand-new field
+    put("i3.json", """{"id": 3, "name": "c", "extra": 7}""")
+    val df2 = spark.read.format("graftjson").load(dir.toString)
+    assert(JsonDocSource.filesWalked.get() == walkedFull + 1,
+      "appending one file must re-walk exactly one file")
+    assert(df2.schema.fieldNames.contains("extra") &&
+      !s1.fieldNames.contains("extra"))
+    // the incrementally assembled schema is byte-identical to a cold
+    // full inference (lattice merge is order-independent after
+    // canonicalization)
+    JsonDocSource.clearInferCache()
+    val cold = spark.read.format("graftjson").load(dir.toString).schema
+    assert(df2.schema == cold)
+    // rewriting ONE file re-walks only it
+    Thread.sleep(1100) // ensure the mtime tick moves on coarse filesystems
+    put("i1.json", """{"id": 10, "name": "z"}""")
+    val walkedBefore = JsonDocSource.filesWalked.get()
+    val df3 = spark.read.format("graftjson").load(dir.toString)
+    assert(JsonDocSource.filesWalked.get() == walkedBefore + 1)
+    assert(df3.where(col("id") === 10).count() == 1L)
+    // zonemaps over the same files: the zone walk re-reads (HType-only
+    // entries lack zones), and afterwards a plain load is free again
+    val wz = JsonDocSource.filesWalked.get()
+    spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString).count()
+    assert(JsonDocSource.filesWalked.get() == wz + 3)
+    val wp = JsonDocSource.filesWalked.get()
+    spark.read.format("graftjson").load(dir.toString).schema
+    assert(JsonDocSource.filesWalked.get() == wp,
+      "zone-walked entries must answer plain loads for free")
+  }
+
   test("a user-supplied schema must match the inferred one (unions are not reconstructible)") {
     val dir = writeFixture("graftjson_uschema")
     val inferredSchema = spark.read.format("graftjson").load(dir).schema
