@@ -134,7 +134,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[sources] object JsonDocSource {
+private[graft] object JsonDocSource {
 
   /** PER-FILE planning cache: (path, length, mtime, whole) → this
     * file's merged HType, doc count, and (when walked) zone. The file
@@ -160,9 +160,9 @@ private[sources] object JsonDocSource {
         size() > 4096
     }
   /** Test-visible count of actual inference JOBS run (not cache hits). */
-  private[sources] val inferenceRuns = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val inferenceRuns = new java.util.concurrent.atomic.AtomicLong
   /** Test-visible count of FILES actually walked by inference jobs. */
-  private[sources] val filesWalked = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val filesWalked = new java.util.concurrent.atomic.AtomicLong
   /** Test-visible count of files excluded by zone-map skipping. */
   private[sources] val zoneSkippedFiles = new java.util.concurrent.atomic.AtomicLong
 

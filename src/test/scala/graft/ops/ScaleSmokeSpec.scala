@@ -434,4 +434,45 @@ class ScaleSmokeSpec extends SparkTestBase {
     assert(n10 <= 3L * nDocs10, s"candidate volume $n10 exceeds the w=3 cap")
     assert(n10 >= n1, "10x corpus lost candidates")
   }
+
+  test("graftjson incremental planning: appends cost the diff, not the table, at 10x files", graft.Slow) {
+    import graft.sources.JsonDocSource
+    // 40 NDJSON files, then one appended file: planning must re-walk
+    // exactly 1 of 41 — the property that makes a 100k-file table's
+    // append O(diff). Also: zone pruning on a clustered key keeps
+    // selecting ONE file's partitions regardless of file count.
+    val dir = new java.io.File(graft.TempRoots.path("scale_incr"))
+    dir.mkdirs()
+    for (k <- 0 until 40) {
+      val w = new java.io.PrintWriter(new java.io.File(dir, f"p$k%02d.json"))
+      for (i <- 0 until 50)
+        w.println(s"""{"id": ${k * 1000 + i}, "part": $k}""")
+      w.close()
+    }
+    JsonDocSource.clearInferCache()
+    val (_, tFull) = timed {
+      spark.read.format("graftjson").option("zonemaps", "true")
+        .load(dir.toString).count()
+    }
+    val walked = JsonDocSource.filesWalked.get()
+    val w41 = new java.io.PrintWriter(new java.io.File(dir, "p40.json"))
+    for (i <- 0 until 50) w41.println(s"""{"id": ${40000 + i}, "part": 40}""")
+    w41.close()
+    val (_, tIncr) = timed {
+      spark.read.format("graftjson").option("zonemaps", "true")
+        .load(dir.toString).count()
+    }
+    assert(JsonDocSource.filesWalked.get() == walked + 1,
+      "append re-walked more than the one new file")
+    // the incremental load includes a listing + 1-file job; it must be
+    // far under the 41-file cold pass (generous 0.8x bound — equality
+    // would mean the diff property silently broke)
+    assert(tIncr <= math.max(0.8 * tFull, 1.5),
+      s"incremental load ${tIncr}s vs full ${tFull}s")
+    // pruning on the clustered key plans exactly one file's partitions
+    import org.apache.spark.sql.functions.col
+    val q = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString).where(col("part") === 17)
+    assert(q.count() == 50L)
+  }
 }
