@@ -22,6 +22,15 @@ private[graft] object Fs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Create (or truncate) an empty marker file — the durable
+    * "operation in flight" flag store protocols leave before a
+    * multi-step overwrite and remove after it commits. */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
   /** Hadoop `Configuration` is not java-serializable; this wrapper
     * ships it into executor-side readers via its own write/readFields
     * (the same shape as Spark's internal SerializableConfiguration,

@@ -458,12 +458,95 @@ object Sharding {
       spark.read.parquet(outDir).inputFiles.length.toLong)
   }
 
+  /** The shared scaffold of [[globalRank]] and [[globalCumSum]] — the
+    * ONE place the determinism-critical sequence lives:
+    * range-repartition on the sort key, compute a per-row quantity
+    * WITHIN each partition, then add the broadcast cumulative
+    * per-partition offsets (a bounded nParts-row collect; attached
+    * via a broadcast hash join on the tiny (_pid,_off) table — O(1)
+    * per row, where a when()-chain is O(nParts) comparisons and with
+    * shuffle partitions in the thousands risks codegen splitting /
+    * interpreted fallback, ADVICE r9).
+    *
+    * The result is `localCheckpoint`ed — REQUIRED, not for lineage
+    * depth but for DETERMINISM: `offsets` was collected from one
+    * concrete materialization of `ranged`, and repartitionByRange
+    * SAMPLES its boundaries, so a recompute of the (unpersisted-
+    * below) input could place rows in different partitions than the
+    * offsets were summed for — silently wrong global positions.
+    * Pinning the result makes a lost block fail the query (retry
+    * re-runs the whole construction consistently) instead of
+    * recomputing inconsistently. Fail-fast beats wrong-answer. */
+  private def globalOffset(df: DataFrame, name: String,
+                           prep: DataFrame => DataFrame,
+                           partitionTotal: Column,
+                           rowValue: org.apache.spark.sql.expressions
+                             .WindowSpec => Column,
+                           dropExtra: Seq[String],
+                           sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = prep(df.repartitionByRange(nParts, sortCols: _*)
+        .withColumn("_pid", spark_partition_id()))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ranged.groupBy(col("_pid"))
+      .agg(partitionTotal.as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    val out = ranged
+      .withColumn(name, rowValue(w))
+      .join(offDf, Seq("_pid"))
+      .withColumn(name, col(name) + col("_off"))
+      .drop("_pid" +: "_off" +: dropExtra: _*)
+      .localCheckpoint(true) // determinism pin — scaladoc above
+    ranged.unpersist(blocking = false)
+    out
+  }
+
+  /** Global INCLUSIVE prefix sum of `value` along a total order,
+    * without a single-partition window — the parallel-prefix-sum
+    * construction ([[globalOffset]]): range-repartition, running sum
+    * within each partition, broadcast cumulative partition totals.
+    * The scalable twin of `sum(value) OVER (ORDER BY ... ROWS
+    * UNBOUNDED PRECEDING)` exactly as [[globalRank]] is of a bare
+    * `row_number()`.
+    *
+    * CONTRACT (same as globalRank): `sortCols` must be a TOTAL order;
+    * `value` must be integral — LONG sums are exact under any
+    * partitioning, where a DOUBLE's partial-order rounding would make
+    * the result layout-dependent, so a fractional value type is
+    * rejected eagerly instead of silently truncate-cast. NULL values
+    * count as 0 (the SQL running-sum convention); the coalesce also
+    * keeps the per-partition total collect safe when a whole range
+    * partition is null-valued. */
+  def globalCumSum(df: DataFrame, cumName: String, value: Column,
+                   sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vt = df.select(value).schema.head.dataType
+    require(Set("byte", "short", "integer", "long")(vt.typeName),
+      s"globalCumSum needs an integral value column, got $vt")
+    globalOffset(df, cumName,
+      prep = _.withColumn("_v", coalesce(value.cast("bigint"), lit(0L))),
+      partitionTotal = sum(col("_v")),
+      rowValue = w => sum(col("_v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      dropExtra = Seq("_v"),
+      sortCols = sortCols)
+  }
+
   /** Global row numbers WITHOUT a single-partition window — the
-    * scalable construction of a total order: range-repartition on the
-    * sort key, rank WITHIN each partition, then add the broadcast
-    * cumulative partition offsets (a bounded nParts-row collect). A
-    * bare `Window.orderBy(...)` funnels the entire dataset through
-    * one task; this shape keeps every stage parallel, which is the
+    * scalable construction of a total order ([[globalOffset]]):
+    * range-repartition on the sort key, rank within each partition,
+    * add the broadcast cumulative partition offsets. A bare
+    * `Window.orderBy(...)` funnels the entire dataset through one
+    * task; this shape keeps every stage parallel, which is the
     * difference between "sorting 100 TB" and "sorting 100 TB on one
     * core".
     *
@@ -472,96 +555,12 @@ object Sharding {
     * boundaries themselves may vary run to run. The input frame is
     * persisted for the duration (two passes: partition sizes, then
     * ranks) and released before return. */
-  /** Global INCLUSIVE prefix sum of `value` along a total order,
-    * without a single-partition window — the parallel-prefix-sum
-    * construction: range-repartition on the sort key, running sum
-    * WITHIN each partition, then add the broadcast cumulative
-    * partition totals (a bounded nParts-row collect). The scalable
-    * twin of `sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`
-    * exactly as [[globalRank]] is of a bare `row_number()`.
-    *
-    * CONTRACT (same as globalRank): `sortCols` must be a TOTAL order;
-    * `value` must be integral — LONG sums are exact under any
-    * partitioning, where a DOUBLE's partial-order rounding would make
-    * the result layout-dependent, so a fractional value type is
-    * rejected eagerly instead of silently truncate-cast. */
-  def globalCumSum(df: DataFrame, cumName: String, value: Column,
-                   sortCols: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
-    val spark = df.sparkSession
-    val vt = df.select(value).schema.head.dataType
-    require(Set("byte", "short", "integer", "long")(vt.typeName),
-      s"globalCumSum needs an integral value column, got $vt")
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(nParts, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_v", value.cast("bigint"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = ranged.groupBy(col("_pid"))
-      .agg(sum(col("_v")).as("c")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = sizes.map { case (pid, c) =>
-      val o = (pid, acc); acc += c; o }
-    val offDf = broadcast(
-      spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
-    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = ranged
-      .withColumn(cumName, sum(col("_v")).over(w))
-      .join(offDf, Seq("_pid"))
-      .withColumn(cumName, col(cumName) + col("_off"))
-      .drop("_pid", "_off", "_v")
-      // localCheckpoint for the same DETERMINISM reason as globalRank:
-      // the offsets were summed from one concrete materialization of
-      // `ranged`, and repartitionByRange samples its boundaries — a
-      // recompute could re-place rows, silently shifting every prefix.
-      // Fail-fast on a lost block beats a wrong cumulative sum.
-      .localCheckpoint(true)
-    ranged.unpersist(blocking = false)
-    out
-  }
-
   def globalRank(df: DataFrame, posName: String,
-                 sortCols: Column*): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
-    val spark = df.sparkSession
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(nParts, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = ranged.groupBy(col("_pid"))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = sizes.map { case (pid, c) =>
-      val o = (pid, acc); acc += c; o }
-    // offsets attach via a broadcast hash join on the tiny
-    // (_pid, _off) table — O(1) per row. The when()-chain alternative
-    // is O(nParts) comparisons per row and with shuffle partitions in
-    // the thousands risks codegen splitting / interpreted fallback
-    // (ADVICE r9).
-    val offDf = broadcast(
-      spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
-    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
-    val out = ranged
-      .withColumn(posName, row_number().over(w).cast("bigint"))
-      .join(offDf, Seq("_pid"))
-      .withColumn(posName, col(posName) + col("_off"))
-      .drop("_pid", "_off")
-      // localCheckpoint REQUIRED here — not for lineage depth but for
-      // DETERMINISM: `offsets` was collected from one concrete
-      // materialization of `ranged`, and repartitionByRange SAMPLES
-      // its boundaries, so a recompute of the (unpersisted-below)
-      // input could place rows in different partitions than the
-      // offsets were summed for — silently wrong global positions.
-      // Pinning the result makes a lost block fail the query (retry
-      // re-runs the whole construction consistently) instead of
-      // recomputing inconsistently. Fail-fast beats wrong-answer.
-      .localCheckpoint(true)
-    ranged.unpersist(blocking = false)
-    out
-  }
+                 sortCols: Column*): DataFrame =
+    globalOffset(df, posName,
+      prep = identity,
+      partitionTotal = count(lit(1)),
+      rowValue = w => row_number().over(w).cast("bigint"),
+      dropExtra = Nil,
+      sortCols = sortCols)
 }

@@ -1175,6 +1175,12 @@ object VectorOps {
     // a rebuild into an existing dir must not inherit a crashed
     // delete's marker — its cell ids mean nothing under new centroids
     deleteDir(spark, s"$indexDir/_maintenance")
+    // rebuild-in-flight marker BEFORE the first overwrite: the two
+    // overwrites below are only individually atomic, and a crash
+    // between them leaves fresh centroids quantizing the OLD corpus
+    // partitioning — readers fail fast on the marker instead of
+    // serving silently wrong neighbors; rerunning the build clears it
+    Fs.touch(spark, rebuildPendingPath(indexDir))
     spark.createDataset(centers.toIndexedSeq.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "center")
@@ -1185,6 +1191,7 @@ object VectorOps {
         element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/corpus")
+    deleteDir(spark, rebuildPendingPath(indexDir))
   }
 
   /** Batch-vs-corpus embedding near-dup under a STORED quantizer: the
@@ -1219,10 +1226,12 @@ object VectorOps {
   /** Centroids of a stored index, cell-ordered — the quantizer every
     * incremental operation reuses verbatim. */
   private def storedCenters(spark: SparkSession,
-                            indexDir: String): Array[Array[Double]] =
+                            indexDir: String): Array[Array[Double]] = {
+    requireNoInterruptedRebuild(spark, indexDir)
     spark.read.parquet(s"$indexDir/centroids")
       .orderBy(col("cell")).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+  }
 
   /** APPEND a batch to a stored IVF index: encode the new vectors
     * under the STORED centroids (never retrained — the append is what
@@ -1334,6 +1343,26 @@ object VectorOps {
   private def pendingRemovesPath(indexDir: String): String =
     s"$indexDir/_maintenance/pending_removes"
 
+  /** Marker present from just before a REBUILD's centroid overwrite
+    * until just after its corpus overwrite commits. A rebuild into an
+    * existing dir replaces BOTH stores, and only the second overwrite
+    * is atomic with respect to itself — a crash between them leaves
+    * fresh centroids quantizing the OLD corpus partitioning, which
+    * serves silently wrong neighbors. Readers fail FAST on the
+    * marker ("interrupted rebuild, rerun buildIvfIndex") instead;
+    * rerunning the build clears it (review r11). */
+  private def rebuildPendingPath(indexDir: String): String =
+    s"$indexDir/_maintenance/rebuild_pending"
+
+  private def requireNoInterruptedRebuild(spark: SparkSession,
+                                          indexDir: String): Unit =
+    if (pathExists(spark, rebuildPendingPath(indexDir)))
+      throw new IllegalStateException(
+        s"$indexDir: a rebuild was interrupted mid-overwrite (marker " +
+          s"${rebuildPendingPath(indexDir)} present) — centroids and " +
+          "corpus may disagree; rerun buildIvfIndex/buildIvfPqIndex " +
+          "over the full snapshot to converge")
+
   private def pendingRemovedCells(spark: SparkSession,
                                   indexDir: String): Array[Int] = {
     val p = pendingRemovesPath(indexDir)
@@ -1354,6 +1383,11 @@ object VectorOps {
     * writes. */
   private def completePendingRemoves(spark: SparkSession,
                                      indexDir: String): Unit = {
+    // an interrupted REBUILD is not completable by roll-forward —
+    // refuse before touching anything (only a rebuild rerun heals
+    // it); with that guard passed, no rebuild_pending sibling can
+    // exist, so removing the parent wholesale is safe
+    requireNoInterruptedRebuild(spark, indexDir)
     val cells = pendingRemovedCells(spark, indexDir)
     if (cells.nonEmpty)
       for (c <- cells) deleteDir(spark, s"$indexDir/corpus/cell=$c")
@@ -1369,6 +1403,7 @@ object VectorOps {
     * existence probe). Read-only paths filter rather than complete:
     * search must not need write permission on the index. */
   private def readCorpus(spark: SparkSession, indexDir: String): DataFrame = {
+    requireNoInterruptedRebuild(spark, indexDir)
     val corpus = spark.read.parquet(s"$indexDir/corpus")
     val pend = pendingRemovedCells(spark, indexDir)
     if (pend.isEmpty) corpus
@@ -1470,8 +1505,10 @@ object VectorOps {
       localKMeans(trainRows.map(_.slice(s * w_, (s + 1) * w_)),
         codebookSize, iters = 5)
     }
-    // same stale-marker hygiene as buildIvfIndex
+    // same stale-marker hygiene + rebuild-in-flight marker as
+    // buildIvfIndex (FOUR overwrites here — the window is wider)
     deleteDir(spark, s"$indexDir/_maintenance")
+    Fs.touch(spark, rebuildPendingPath(indexDir))
     spark.createDataset(Seq((subs, codebookSize, dim)))
       .toDF("subs", "codebook_size", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
@@ -1491,6 +1528,7 @@ object VectorOps {
       .select(col("vec_id"), col("codes"), col("n"), lit(0).as("gen"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/corpus")
+    deleteDir(spark, rebuildPendingPath(indexDir))
   }
 
   /** Approximate cosine top-k against a STORED IVF+PQ index: probe
@@ -1664,8 +1702,11 @@ object VectorOps {
           // surviving rows there is no old population whose
           // assignments the old quantizer must keep serving).
           // deleteFromIvfIndex throws BEFORE any mutation (marker,
-          // overwrite), so the store is still the intact old index
-          // until the rebuild's overwrite lands.
+          // overwrite). The rebuild itself replaces centroids THEN
+          // corpus — its rebuild_pending marker makes a crash between
+          // the two fail every reader fast instead of serving new
+          // centroids over the old corpus (review r11); rerunning the
+          // build (or this maintenance) converges.
           val nCells = storedCenters(spark, indexDir).length
           buildIvfIndex(newSnap, indexDir, nCells)
           return

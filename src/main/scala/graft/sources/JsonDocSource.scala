@@ -218,6 +218,16 @@ private[graft] object JsonDocSource {
             (pairs.select(new InferPairAgg().toColumn).head(), None)
         inferenceRuns.incrementAndGet()
         filesWalked.addAndGet(missKeys.size.toLong)
+        // drift guard: every per-file key the job returned must be a
+        // file we asked for. A key outside the request set means the
+        // aggregators' file-name rendering diverged from the
+        // listing's — in which case "absent ⇒ empty" below would
+        // silently erase real files from the schema. Fail loudly.
+        val asked = missKeys.map(_.path).toSet
+        val strays = perFile.keySet.filterNot(asked)
+        if (strays.nonEmpty) throw new IllegalStateException(
+          s"graftjson: inference returned file names outside the " +
+            s"requested set (rendering drift?): ${strays.take(3).mkString(", ")}")
         missKeys.map { k =>
           // a file the job produced no rows for is EMPTY (zero units)
           val (t, n) = perFile.getOrElse(k.path, (HNull: HType, 0L))
@@ -333,6 +343,12 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     pushedMeta.isDefined
   }
 
+  // one listing serves supportCompletePushDown AND pushAggregation
+  // (Spark calls both in one planning instant; a third walk for the
+  // same answer would be pure namenode load on a 100k-file table)
+  private lazy val freshListing: Seq[(String, Long, Long)] =
+    JsonDocSource.listFiles(SparkSession.active, ps)
+
   private def metaFromZones(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Any])] = {
@@ -341,10 +357,17 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     import org.apache.spark.sql.types._
     if (zones.isEmpty || pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty) return None
-    val current = JsonDocSource.listFiles(SparkSession.active, ps)
+    val current = freshListing
     if (current != fingerprint) return None
     val zm = zones.get
     val fileZones = current.flatMap { case (p, _, _) => zm.get(p) }
+    // a line carrying several concatenated docs folds values the scan
+    // never materializes (the reader takes the line's FIRST doc):
+    // superset bounds are sound for skipping but WRONG for answering
+    // min/max — decline whenever any file's doc count exceeds its
+    // unit count (blank/corrupt lines make docs < units, which is
+    // harmless: they materialize all-null rows)
+    val boundsAnswerable = fileZones.forall(z => z.docs <= z.units)
     def topCol(
         e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -361,7 +384,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       val dt = full.fields.find(_.name == name).map(_.dataType)
         .filter(eligible)
       dt.flatMap { d =>
-        if (fileZones.exists(_.dirty)) None
+        if (fileZones.exists(_.dirty) || !boundsAnswerable) None
         else {
           val merged = fileZones
             .flatMap(_.fields.get(name))
@@ -436,7 +459,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     case Some((schema, values)) => new JsonDocMetaScan(ps, schema, values)
     case None =>
       new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes,
-        zones)
+        zones, fingerprint)
   }
 }
 
@@ -479,8 +502,12 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           full: StructType, required: StructType,
                           pushed: Array[org.apache.spark.sql.sources.Filter],
                           maxSplitBytes: Option[Long],
-                          zones: Option[ZoneStats.ZoneMap])
+                          zones: Option[ZoneStats.ZoneMap],
+                          fingerprint: Seq[(String, Long, Long)])
     extends Scan with Batch with SupportsRuntimeFiltering {
+  // load-time (path → (length, mtime)) for the stale-zone guard below
+  private val fpMap: Map[String, (Long, Long)] =
+    fingerprint.map { case (p, l, m) => p -> ((l, m)) }.toMap
   /** Runtime (join-derived) filters, merged into the readers' pushed
     * set under the same best-effort contract: a runtime filter comes
     * from the JOIN's build side (dynamic pruning), so the join itself
@@ -518,13 +545,20 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     // file. Runtime (join-derived) filters take part too — Spark
     // re-plans partitions after filter(). Dirty files (parse
     // anomalies during the stats walk) are never skipped, nor are
-    // files absent from the zone map (written after inference ran).
+    // files absent from the zone map (written after inference ran),
+    // nor — the stale guard — files whose CURRENT (length, mtime)
+    // differs from the load-time fingerprint the zone was built for:
+    // a post-load append would otherwise be pruned by bounds that
+    // never saw its rows (review r11)
     val skippable = pushed ++ runtimePushed
-    def zoneSkips(p: String): Boolean = zones.exists(zm =>
-      skippable.nonEmpty && zm.get(p).exists(z =>
-        !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, full))))
-    JsonDocSource.listFiles(spark, ps).flatMap { case (p, len, _) =>
-      if (zoneSkips(p)) {
+    def zoneSkips(p: String, len: Long, mtime: Long): Boolean =
+      zones.exists(zm =>
+        skippable.nonEmpty &&
+          fpMap.get(p).contains((len, mtime)) &&
+          zm.get(p).exists(z =>
+            !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, full))))
+    JsonDocSource.listFiles(spark, ps).flatMap { case (p, len, mtime) =>
+      if (zoneSkips(p, len, mtime)) {
         JsonDocSource.zoneSkippedFiles.incrementAndGet()
         Seq.empty[InputPartition]
       } else {

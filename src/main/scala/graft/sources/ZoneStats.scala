@@ -60,8 +60,8 @@ object ZoneStats {
       numMax = if (numMax == null || v.compareTo(numMax) > 0) v else numMax)
     def addStr(v: String): FieldZone = copy(
       present = present + 1,
-      strMin = if (strMin == null || v.compareTo(strMin) < 0) v else strMin,
-      strMax = if (strMax == null || v.compareTo(strMax) > 0) v else strMax)
+      strMin = if (strMin == null || cpCompare(v, strMin) < 0) v else strMin,
+      strMax = if (strMax == null || cpCompare(v, strMax) > 0) v else strMax)
     def addOther: FieldZone = copy(others = others + 1)
     def merge(o: FieldZone): FieldZone = FieldZone(
       present + o.present, others + o.others,
@@ -77,9 +77,27 @@ object ZoneStats {
     if (a == null) b else if (b == null) a
     else if (a.compareTo(b) >= 0) a else b
   private def minStr(a: String, b: String) =
-    if (a == null) b else if (b == null) a else if (a <= b) a else b
+    if (a == null) b else if (b == null) a
+    else if (cpCompare(a, b) <= 0) a else b
   private def maxStr(a: String, b: String) =
-    if (a == null) b else if (b == null) a else if (a >= b) a else b
+    if (a == null) b else if (b == null) a
+    else if (cpCompare(a, b) >= 0) a else b
+
+  /** CODE-POINT string comparison — the order Spark's binary
+    * UTF8String comparison realizes. Java's `String.compareTo` is
+    * UTF-16 code-UNIT order, which ranks a surrogate-pair emoji
+    * (≥ U+10000) BELOW BMP characters in [U+E000, U+FFFF]; using it
+    * for zone bounds would let a skip or a pushed min/max contradict
+    * what the engine actually computes on emoji-bearing text. */
+  def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   /** One file's zone: doc count, INPUT-UNIT count (`units` — NDJSON
     * lines / whole-mode files — exactly the rows the scan emits, blank
@@ -101,6 +119,17 @@ object ZoneStats {
   type ZoneMap = Map[String, FileZone]
 
   private val factory = new JsonFactory()
+
+  /** One rendering for file names on BOTH sides of the per-file maps:
+    * `input_file_name()` returns a URL-ENCODED URI ("a%20b.json")
+    * while the planner's `FileStatus.getPath.toString` renders
+    * decoded ("a b.json") — keying on mismatched renderings would
+    * silently record a real file as empty. Decode through
+    * `java.net.URI` when the string parses as one; fall back to the
+    * plain Path rendering. */
+  def normalizeFileName(f: String): String =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString
+    catch { case _: Exception => new org.apache.hadoop.fs.Path(f).toString }
 
   /** Walk every document concatenated in one input unit (an NDJSON
     * line, or a whole file's text), folding top-level scalar values
@@ -182,7 +211,7 @@ class InferPairAgg extends Aggregator[(String, String),
   private def norm(f: String): String = {
     if (f != lastRaw) {
       lastRaw = f
-      lastNorm = new org.apache.hadoop.fs.Path(f).toString
+      lastNorm = ZoneStats.normalizeFileName(f)
     }
     lastNorm
   }
@@ -225,7 +254,7 @@ class ZoneStatsAgg
   private def norm(f: String): String = {
     if (f != lastRaw) {
       lastRaw = f
-      lastNorm = new org.apache.hadoop.fs.Path(f).toString
+      lastNorm = ZoneStats.normalizeFileName(f)
     }
     lastNorm
   }
@@ -286,11 +315,16 @@ object ZoneSkip {
   private def colType(schema: StructType, name: String): Option[DataType] =
     schema.fields.find(_.name == name).map(_.dataType)
 
-  /** Least string strictly above every string with prefix `p`, if one
-    * exists in the total order (all-U+FFFF prefixes have none). */
+  /** Least string strictly above every string with prefix `p` in
+    * CODE-POINT order, if one safely exists. Only a char strictly
+    * below U+D7FF increments (c+1 stays a plain BMP scalar, ordered
+    * identically in code-unit and code-point terms); surrogates,
+    * U+D7FF, and U+FFFF positions are skipped — truncating after an
+    * incremented earlier char remains a correct (looser) upper
+    * bound, and a prefix with no incrementable char has none. */
   private def prefixSuccessor(p: String): Option[String] = {
     var i = p.length - 1
-    while (i >= 0 && p.charAt(i) == '￿') i -= 1
+    while (i >= 0 && p.charAt(i) >= 0xD7FF.toChar) i -= 1
     if (i < 0) None
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
@@ -325,35 +359,36 @@ object ZoneSkip {
         case Some(n) => numDisjoint(a,
           (lo, hi) => n.compareTo(lo) < 0 || n.compareTo(hi) > 0)
         case None => v match {
-          case s: String => strDisjoint(a, (lo, hi) => s < lo || s > hi)
+          case s: String => strDisjoint(a, (lo, hi) =>
+            ZoneStats.cpCompare(s, lo) < 0 || ZoneStats.cpCompare(s, hi) > 0)
           case _ => false
         }
       }
       case GreaterThan(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (_, hi) => hi.compareTo(n) <= 0)
         case None => v match {
-          case s: String => strDisjoint(a, (_, hi) => hi <= s)
+          case s: String => strDisjoint(a, (_, hi) => ZoneStats.cpCompare(hi, s) <= 0)
           case _ => false
         }
       }
       case GreaterThanOrEqual(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (_, hi) => hi.compareTo(n) < 0)
         case None => v match {
-          case s: String => strDisjoint(a, (_, hi) => hi < s)
+          case s: String => strDisjoint(a, (_, hi) => ZoneStats.cpCompare(hi, s) < 0)
           case _ => false
         }
       }
       case LessThan(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (lo, _) => lo.compareTo(n) >= 0)
         case None => v match {
-          case s: String => strDisjoint(a, (lo, _) => lo >= s)
+          case s: String => strDisjoint(a, (lo, _) => ZoneStats.cpCompare(lo, s) >= 0)
           case _ => false
         }
       }
       case LessThanOrEqual(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (lo, _) => lo.compareTo(n) > 0)
         case None => v match {
-          case s: String => strDisjoint(a, (lo, _) => lo > s)
+          case s: String => strDisjoint(a, (lo, _) => ZoneStats.cpCompare(lo, s) > 0)
           case _ => false
         }
       }
@@ -369,7 +404,8 @@ object ZoneSkip {
         allNull(a)
       case StringStartsWith(a, p) =>
         strDisjoint(a, (lo, hi) =>
-          hi < p || prefixSuccessor(p).exists(up => lo >= up))
+          ZoneStats.cpCompare(hi, p) < 0 ||
+            prefixSuccessor(p).exists(up => ZoneStats.cpCompare(lo, up) >= 0))
       case And(l, r) =>
         provablyEmpty(l, zone, schema) || provablyEmpty(r, zone, schema)
       case Or(l, r) =>

@@ -661,4 +661,34 @@ class IvfIndexSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     assert(got == exact)
   }
+
+  test("an interrupted REBUILD (marker present) fails every reader fast; rerunning the build heals") {
+    val idx = graft.TempRoots.path("ivfidx_spec_rebuild_crash")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+    // simulate the crash window: centroids overwritten, corpus not —
+    // the durable in-flight marker is still present
+    graft.ops.Fs.touch(spark, s"$idx/_maintenance/rebuild_pending")
+    val e1 = intercept[IllegalStateException] {
+      VectorOps.storedIndexTopK(spark, idx,
+        corpus.where(col("vec_id") < 3), 3, nProbe = 4).collect()
+    }
+    assert(e1.getMessage.contains("interrupted"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      VectorOps.appendToIvfIndex(spark, idx, corpus.where(col("vec_id") < 2))
+    }
+    assert(e2.getMessage.contains("interrupted"), e2.getMessage)
+    // a completed rebuild clears the marker and serves exactly again
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+    assert(!graft.ops.Fs.exists(spark, s"$idx/_maintenance/rebuild_pending"))
+    val q = corpus.where(col("vec_id") < 3)
+    val got = VectorOps.storedIndexTopK(spark, idx, q, 3,
+        nProbe = 4).collect().map(_.toString).sorted.toSeq
+    val exact = VectorOps.cosineTopK(corpus, q, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == exact)
+    // and a normal completed build leaves NO marker behind
+    val idx2 = graft.TempRoots.path("ivfidx_spec_rebuild_clean")
+    VectorOps.buildIvfPqIndex(corpus, idx2, nCells = 4, subs = 4)
+    assert(!graft.ops.Fs.exists(spark, s"$idx2/_maintenance/rebuild_pending"))
+  }
 }

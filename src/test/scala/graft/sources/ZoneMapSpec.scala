@@ -267,6 +267,63 @@ class ZoneMapSpec extends SparkTestBase {
     assert(qc.queryExecution.executedPlan.toString.contains("PushedAggregation"))
   }
 
+  test("stale-zone guard: a file modified after load is never pruned by its old bounds") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_stale_skip"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("s1.json", """{"id": 1}""", """{"id": 9}""")
+    put("s2.json", """{"id": 100}""", """{"id": 190}""")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    zdf.count() // zones active for the load-time state
+    // post-load append puts an out-of-range row into s1, whose stale
+    // zone [1, 9] would "prove" id > 400 empty
+    val a = new java.io.FileWriter(new java.io.File(dir, "s1.json"), true)
+    a.write("{\"id\": 500}\n"); a.close()
+    val got = zdf.where(col("id") > 400).select(col("id")).collect()
+      .map(_.getAs[Number](0).longValue)
+    assert(got.toSeq == Seq(500L),
+      s"stale zone pruned a modified file: ${got.mkString(",")}")
+  }
+
+  test("min/max pushdown declines on concatenated-doc lines (bounds exceed materialized rows)") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_concat_minmax"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "c.json"))
+    // ONE line, TWO docs: the reader materializes only the first
+    w.println("""{"ts": 1}{"ts": 999}""")
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.agg(max(col("ts")))
+    // a zone answer would say 999; the real scan says 1
+    assert(q.collect()(0).getAs[Number](0).longValue == 1L)
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "min/max answered from superset bounds over concatenated docs")
+    // count(*) is units-based (lines), indifferent to doc folding
+    val qc = zdf.groupBy().count()
+    assert(qc.collect()(0).getLong(0) == 1L)
+    assert(qc.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+  }
+
+  test("string bounds use CODE-POINT order (emoji above U+E000, as Spark compares)") {
+    // Java UTF-16 order ranks the surrogate-pair emoji BELOW U+E000;
+    // Spark's binary UTF8String order ranks it above
+    assert(ZoneStats.cpCompare("\uE000", "😀") < 0)
+    val z = ZoneStats.emptyField.addStr("\uE000").addStr("😀")
+    assert(z.strMax == "😀",
+      s"strMax '${z.strMax}' recorded in UTF-16 order")
+    // with UTF-16 bounds (strMax = U+E000), s > U+F000 would have
+    // been 'provably' empty and the emoji row silently dropped
+    val fz = zone("s" -> z)
+    assert(!ZoneSkip.provablyEmpty(GreaterThan("s", "\uF000"), fz, schema))
+    // the genuinely-empty direction still proves
+    assert(ZoneSkip.provablyEmpty(GreaterThan("s", "😀"), fz, schema))
+  }
+
   // ---- ZoneSkip decision table (unit level) ----
 
   private val schema = StructType(Seq(
