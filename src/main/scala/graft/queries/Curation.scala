@@ -440,6 +440,54 @@ object Curation {
       |FROM c CROSS JOIN t
       |ORDER BY count_a + count_b DESC, token""".stripMargin
 
+  /** RAG chunking audit (q225): fixed 200-char windows on a 150-char
+    * stride (25% overlap — the retrieval-chunking default shape),
+    * plus cross-corpus boilerplate detection: a chunk whose md5
+    * appears under more than one (doc, start) is repeated text that
+    * would flood a retrieval index with near-identical hits. Chunk
+    * boundaries are pure arithmetic (`sequence(1, len, 150)` ↔
+    * DuckDB `range`), fingerprints are md5 (byte-stable in both
+    * engines), and every reported number is an integer count or one
+    * final division. Scale shape: one scan → explode (bounded ×len/
+    * stride) → one md5-keyed aggregate for the duplicate set, one
+    * doc-keyed aggregate for the report; the dup set joins back by
+    * hash, never by chunk text. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")), lit(150)),
+        st => md5(col("text").substr(st, lit(200))))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select(col("fp"))
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val dupPerDoc = chunks.join(dup, Seq("fp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_chunks"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q225Sql =
+    """WITH ch AS (SELECT doc_id, md5(substr(text, i, 200)) AS fp
+      |  FROM documents, LATERAL unnest(range(1, len(text) + 1, 150))
+      |    AS s(i)),
+      |dup AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM ch
+      |  GROUP BY fp) WHERE c >= 2),
+      |pd AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+      |dd AS (SELECT doc_id, count(*) AS n_dup FROM ch JOIN dup USING (fp)
+      |  GROUP BY doc_id)
+      |SELECT pd.doc_id, n_chunks,
+      |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_chunks,
+      |  round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_chunks, 4)
+      |    AS dup_frac
+      |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id
+      |ORDER BY pd.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_bloom_contamination" -> (q85 _),
     "q86_embedding_quantize" -> (q86 _),
@@ -450,7 +498,8 @@ object Curation {
     "q219_decontamination" -> (q219 _),
     "q222_mixture_weights" -> (q222 _),
     "q223_rare_trigrams" -> (q223 _),
-    "q224_token_drift" -> (q224 _))
+    "q224_token_drift" -> (q224 _),
+    "q225_rag_chunking" -> (q225 _))
 
   val oracle: Map[String, String] = Map(
     // q85 rows-only: Bloom false positives are hash-family-specific
@@ -462,5 +511,6 @@ object Curation {
     "q219_decontamination" -> q219Sql,
     "q222_mixture_weights" -> q222Sql,
     "q223_rare_trigrams" -> q223Sql,
-    "q224_token_drift" -> q224Sql)
+    "q224_token_drift" -> q224Sql,
+    "q225_rag_chunking" -> q225Sql)
 }

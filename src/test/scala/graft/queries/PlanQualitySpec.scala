@@ -632,6 +632,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q225: chunk fingerprints fold once and serve both consumers; no cartesian") {
+    val p = plan("q225_rag_chunking")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q218: the L=64 self-row pins recall exactly 1") {
     import org.apache.spark.sql.functions.col
     val df = graft.SparkEntry.queries("q218_matryoshka_recall")(spark, sfDir)
