@@ -488,6 +488,60 @@ object Curation {
       |FROM pd LEFT JOIN dd ON pd.doc_id = dd.doc_id
       |ORDER BY pd.doc_id""".stripMargin
 
+  /** Semantic decontamination (q226) — the embedding-space complement
+    * of q219's exact n-gram pass (the SemDeDup/benchmark-leakage
+    * screen): for every corpus vector, its MAXIMUM cosine to the
+    * held-out benchmark set (`vec_id % 89 = 7`), rolled up per label
+    * as flagged-count and rate at τ = 0.3. τ calibrates per embedding
+    * model — on the synthetic vectors the cross-set max tops out
+    * ≈0.49, so 0.3 exercises the mechanics non-degenerately; a real
+    * deployment sets it from a held-out duplicate curve. Cosines
+    * follow the engine convention (sequential-fold dot/norms, round 4
+    * before comparison); flags and totals are integer counts, the
+    * rate is one division.
+    * Scale shape: the benchmark set broadcasts (tiny vs corpus), one
+    * corpus scan, per-vector max then a label-keyed rollup — at
+    * 100 TB the production path is the stored IVF index (q112's
+    * incremental screen); this is its exact calibration twin. */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val bench = e.where(col("vec_id") % 89 === 7)
+      .select(col("v").as("bv"))
+    val corpus = e.where(col("vec_id") % 89 =!= 7)
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("cos", round(dot(col("v"), col("bv")) /
+        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("bv"), col("bv")))), 4))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cos")).as("mx"))
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("mx") >= 0.3, 1L).otherwise(0L)).as("n_flagged"),
+        round(sum(when(col("mx") >= 0.3, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("flag_rate"),
+        max(col("mx")).as("max_benchmark_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val q226Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |b AS (SELECT v AS bv FROM e WHERE vec_id % 89 = 7),
+      |c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 89 <> 7),
+      |s AS (SELECT c.vec_id, c.label,
+      |    max(round(list_cosine_similarity(c.v, bv), 4)) AS mx
+      |  FROM c CROSS JOIN b GROUP BY 1, 2)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors,
+      |  CAST(sum(CASE WHEN mx >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  round(CAST(sum(CASE WHEN mx >= 0.3 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS flag_rate,
+      |  max(mx) AS max_benchmark_cos
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_bloom_contamination" -> (q85 _),
     "q86_embedding_quantize" -> (q86 _),
@@ -499,7 +553,8 @@ object Curation {
     "q222_mixture_weights" -> (q222 _),
     "q223_rare_trigrams" -> (q223 _),
     "q224_token_drift" -> (q224 _),
-    "q225_rag_chunking" -> (q225 _))
+    "q225_rag_chunking" -> (q225 _),
+    "q226_semantic_decontam" -> (q226 _))
 
   val oracle: Map[String, String] = Map(
     // q85 rows-only: Bloom false positives are hash-family-specific
@@ -512,5 +567,6 @@ object Curation {
     "q222_mixture_weights" -> q222Sql,
     "q223_rare_trigrams" -> q223Sql,
     "q224_token_drift" -> q224Sql,
-    "q225_rag_chunking" -> q225Sql)
+    "q225_rag_chunking" -> q225Sql,
+    "q226_semantic_decontam" -> q226Sql)
 }

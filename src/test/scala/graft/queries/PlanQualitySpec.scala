@@ -638,6 +638,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q226: benchmark vectors broadcast; corpus never shuffles for the cross product") {
+    val p = plan("q226_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q218: the L=64 self-row pins recall exactly 1") {
     import org.apache.spark.sql.functions.col
     val df = graft.SparkEntry.queries("q218_matryoshka_recall")(spark, sfDir)
