@@ -594,6 +594,20 @@ class PlanQualitySpec extends SparkTestBase {
         docs.withColumn("d", col("n_chars").cast("double")),
         "cum", col("d"), col("doc_id"))
     }
+    // NULL values count as 0 (including partitions that are entirely
+    // null-valued — the collected per-partition total must not NPE)
+    import org.apache.spark.sql.functions.when
+    val withNulls = docs.withColumn("v",
+      when(col("doc_id") % 3 === 0, col("n_chars")))
+    val cum = graft.ops.Sharding
+      .globalCumSum(withNulls, "cum", col("v"), col("doc_id"))
+      .orderBy(col("doc_id")).collect()
+    var running = 0L
+    cum.foreach { r =>
+      if (r.getLong(0) % 3 == 0) running += r.getLong(1)
+      assert(r.getAs[Long]("cum") == running,
+        s"doc ${r.getLong(0)}: cum ${r.getAs[Long]("cum")} != $running")
+    }
   }
 
   test("q219: benchmark gram set broadcast; corpus grams folded once and reused") {
