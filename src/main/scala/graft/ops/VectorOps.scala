@@ -1705,8 +1705,9 @@ object VectorOps {
           // overwrite). The rebuild itself replaces centroids THEN
           // corpus — its rebuild_pending marker makes a crash between
           // the two fail every reader fast instead of serving new
-          // centroids over the old corpus (review r11); rerunning the
-          // build (or this maintenance) converges.
+          // centroids over the old corpus (review r11). Recovery is a
+          // DIRECT buildIvfIndex/buildIvfPqIndex rerun (which clears
+          // the marker); maintenance entry points refuse under it.
           val nCells = storedCenters(spark, indexDir).length
           buildIvfIndex(newSnap, indexDir, nCells)
           return

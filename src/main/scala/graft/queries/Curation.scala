@@ -159,8 +159,7 @@ object Curation {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = e.where(col("vec_id") % 101 === 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    def dot = Tables.dotFold _
     val sc = e.crossJoin(broadcast(q))
       .withColumn("L", explode(lit(Array(8, 16, 32, 64))))
       .withColumn("qs", slice(col("qv"), lit(1), col("L")))
@@ -454,6 +453,12 @@ object Curation {
     * hash, never by chunk text. */
   private def q225(s: SparkSession, dir: String): DataFrame = {
     val chunks = Tables(s, dir, "documents")
+      // empty docs have no chunks — and the 3-arg sequence(1, 0, 150)
+      // THROWS on illegal boundaries (unlike the 2-arg form's
+      // auto-direction), so the guard is load-bearing, not cosmetic;
+      // the oracle's range(1, len+1, 150) yields empty and its WHERE
+      // mirrors this filter exactly
+      .where(length(col("text")) >= 1)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), length(col("text")), lit(150)),
         st => md5(col("text").substr(st, lit(200))))).as("fp"))
@@ -475,7 +480,7 @@ object Curation {
   private val q225Sql =
     """WITH ch AS (SELECT doc_id, md5(substr(text, i, 200)) AS fp
       |  FROM documents, LATERAL unnest(range(1, len(text) + 1, 150))
-      |    AS s(i)),
+      |    AS s(i) WHERE len(text) >= 1),
       |dup AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM ch
       |  GROUP BY fp) WHERE c >= 2),
       |pd AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
@@ -507,14 +512,18 @@ object Curation {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    def dot = Tables.dotFold _
+    // norms hoisted OUT of the cross product (loop-invariant — unlike
+    // q218, where they depend on the per-pair prefix slice): one fold
+    // per row instead of three per pair, numerically identical (same
+    // sequential fold over the same array)
     val bench = e.where(col("vec_id") % 89 === 7)
-      .select(col("v").as("bv"))
+      .select(col("v").as("bv"), sqrt(dot(col("v"), col("v"))).as("bnorm"))
     val corpus = e.where(col("vec_id") % 89 =!= 7)
+      .withColumn("vnorm", sqrt(dot(col("v"), col("v"))))
     corpus.crossJoin(broadcast(bench))
       .withColumn("cos", round(dot(col("v"), col("bv")) /
-        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("bv"), col("bv")))), 4))
+        (col("vnorm") * col("bnorm")), 4))
       .groupBy(col("vec_id"), col("label"))
       .agg(max(col("cos")).as("mx"))
       .groupBy(col("label").cast("bigint").as("label"))

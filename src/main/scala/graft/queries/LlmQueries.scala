@@ -833,8 +833,7 @@ object LlmQueries {
         array_sort(collect_list(struct(col("pos"), col("mean_val")))),
         x => x("mean_val")).as("c"))
       .select(col("label").cast("bigint").as("label"), col("c"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def dot(a: Column, b: Column): Column = Tables.dotFold(a, b)
     cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
       .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
         round(dot(col("a.c"), col("b.c")) /

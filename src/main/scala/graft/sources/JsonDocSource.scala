@@ -364,10 +364,10 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // a line carrying several concatenated docs folds values the scan
     // never materializes (the reader takes the line's FIRST doc):
     // superset bounds are sound for skipping but WRONG for answering
-    // min/max — decline whenever any file's doc count exceeds its
-    // unit count (blank/corrupt lines make docs < units, which is
-    // harmless: they materialize all-null rows)
-    val boundsAnswerable = fileZones.forall(z => z.docs <= z.units)
+    // min/max — the walker flags the condition PER LINE (a per-file
+    // docs-vs-units comparison would be masked by blank lines
+    // balancing the totals; review r11 #2)
+    val boundsAnswerable = !fileZones.exists(_.multiDoc)
     def topCol(
         e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -645,6 +645,16 @@ private object JsonDocFilters {
   private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
     case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
       Some(a.compareTo(b)) // scale-insensitive, unlike equals
+    // strings must compare the way the RESIDUAL filter will: Spark
+    // materializes through UTF8String (UTF-8 bytes — code-POINT
+    // order, unpaired surrogates replaced with '?'), while Java
+    // compareTo is UTF-16 code-UNIT order — they disagree for emoji
+    // vs [U+E000, U+FFFF] and for ill-formed input, and an early skip
+    // decided in the wrong order DROPS rows the engine would keep
+    // (review r11)
+    case (a: String, b: String) =>
+      Some(ZoneStats.cpCompare(ZoneStats.utf8Sanitize(a),
+        ZoneStats.utf8Sanitize(b)))
     case (a: Comparable[_], b) if a.getClass == b.getClass =>
       Some(a.asInstanceOf[Comparable[Any]].compareTo(b))
     case _ => None
@@ -674,17 +684,23 @@ private object JsonDocFilters {
       x != null && vs.exists(v => v != null && cmp(x, v).forall(_ == 0))
     case StringStartsWith(a, p) => row.get(idx(a)) match {
       case null => false
-      case s: String => s.startsWith(p)
+      // probe in the materialized (UTF-8-sanitized) domain — see cmp
+      case s: String => ZoneStats.utf8Sanitize(s)
+        .startsWith(ZoneStats.utf8Sanitize(p))
       case _ => true // not provably non-matching — residual decides
     }
     case StringEndsWith(a, p) => row.get(idx(a)) match {
       case null => false
-      case s: String => s.endsWith(p)
+      // probe in the materialized (UTF-8-sanitized) domain — see cmp
+      case s: String => ZoneStats.utf8Sanitize(s)
+        .endsWith(ZoneStats.utf8Sanitize(p))
       case _ => true
     }
     case StringContains(a, p) => row.get(idx(a)) match {
       case null => false
-      case s: String => s.contains(p)
+      // probe in the materialized (UTF-8-sanitized) domain — see cmp
+      case s: String => ZoneStats.utf8Sanitize(s)
+        .contains(ZoneStats.utf8Sanitize(p))
       case _ => true
     }
     case Or(l, r) => keeps(l, row, idx) || keeps(r, row, idx)

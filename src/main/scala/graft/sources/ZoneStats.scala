@@ -58,10 +58,18 @@ object ZoneStats {
       present = present + 1,
       numMin = if (numMin == null || v.compareTo(numMin) < 0) v else numMin,
       numMax = if (numMax == null || v.compareTo(numMax) > 0) v else numMax)
-    def addStr(v: String): FieldZone = copy(
-      present = present + 1,
-      strMin = if (strMin == null || cpCompare(v, strMin) < 0) v else strMin,
-      strMax = if (strMax == null || cpCompare(v, strMax) > 0) v else strMax)
+    def addStr(raw: String): FieldZone = {
+      // record the UTF-8-SANITIZED form: Spark materializes strings
+      // through UTF8String.fromString (Java's UTF-8 encoder), which
+      // replaces unpaired surrogates with '?'. Bounds over the raw
+      // UTF-16 form would order an escaped lone \uD800 very high
+      // while the engine compares the very low '?' — a skip decided
+      // on the raw form could prune rows the engine matches.
+      val v = utf8Sanitize(raw)
+      copy(present = present + 1,
+        strMin = if (strMin == null || cpCompare(v, strMin) < 0) v else strMin,
+        strMax = if (strMax == null || cpCompare(v, strMax) > 0) v else strMax)
+    }
     def addOther: FieldZone = copy(others = others + 1)
     def merge(o: FieldZone): FieldZone = FieldZone(
       present + o.present, others + o.others,
@@ -83,12 +91,36 @@ object ZoneStats {
     if (a == null) b else if (b == null) a
     else if (cpCompare(a, b) >= 0) a else b
 
+  /** Replace unpaired surrogates with '?', exactly as Java's UTF-8
+    * encoder (and therefore Spark's `UTF8String.fromString`) does on
+    * materialization — zone bounds and filter literals must compare
+    * in the SANITIZED domain or an escaped lone surrogate in a doc
+    * would order completely differently than its materialized form. */
+  def utf8Sanitize(s: String): String = {
+    var i = 0
+    while (i < s.length && !Character.isSurrogate(s.charAt(i))) i += 1
+    if (i == s.length) return s // fast path: no surrogates at all
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(s, 0, i)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        sb.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (Character.isSurrogate(c)) { sb.append('?'); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** CODE-POINT string comparison — the order Spark's binary
-    * UTF8String comparison realizes. Java's `String.compareTo` is
-    * UTF-16 code-UNIT order, which ranks a surrogate-pair emoji
-    * (≥ U+10000) BELOW BMP characters in [U+E000, U+FFFF]; using it
-    * for zone bounds would let a skip or a pushed min/max contradict
-    * what the engine actually computes on emoji-bearing text. */
+    * UTF8String comparison realizes (for well-formed input; ill-
+    * formed strings are [[utf8Sanitize]]d before they reach bounds or
+    * tests). Java's `String.compareTo` is UTF-16 code-UNIT order,
+    * which ranks a surrogate-pair emoji (≥ U+10000) BELOW BMP
+    * characters in [U+E000, U+FFFF]; using it for zone bounds would
+    * let a skip or a pushed min/max contradict what the engine
+    * actually computes on emoji-bearing text. */
   def cpCompare(a: String, b: String): Int = {
     var i = 0; var j = 0
     while (i < a.length && j < b.length) {
@@ -103,18 +135,26 @@ object ZoneStats {
     * lines / whole-mode files — exactly the rows the scan emits, blank
     * and corrupt lines included, because both the planning read and
     * the scan split on the same Hadoop line rule), parse-anomaly flag,
+    * PER-LINE concatenation flag (`multiDoc` — some single unit
+    * carried more than one document, so bounds include values the
+    * reader, which takes a line's FIRST doc, never materializes:
+    * still sound for skipping, unanswerable for min/max — a per-FILE
+    * docs-vs-units comparison could be masked by blank lines), and
     * per-field zones. */
   final case class FileZone(docs: Long, units: Long, dirty: Boolean,
+                            multiDoc: Boolean,
                             fields: Map[String, FieldZone])
       extends Serializable {
     def merge(o: FileZone): FileZone = FileZone(
       docs + o.docs, units + o.units, dirty || o.dirty,
+      multiDoc || o.multiDoc,
       (fields.keySet ++ o.fields.keySet).iterator.map { k =>
         k -> fields.getOrElse(k, emptyField)
           .merge(o.fields.getOrElse(k, emptyField))
       }.toMap)
   }
-  private[sources] val emptyFile = FileZone(0L, 0L, dirty = false, Map.empty)
+  private[sources] val emptyFile =
+    FileZone(0L, 0L, dirty = false, multiDoc = false, Map.empty)
 
   type ZoneMap = Map[String, FileZone]
 
@@ -179,7 +219,10 @@ object ZoneStats {
               fields = fields.updated("value",
                 fields.getOrElse("value", emptyField).addOther)
           }
-          z = FileZone(docs, z.units, z.dirty, fields)
+          // docs beyond the first within THIS unit → concatenated
+          // line: bounds exceed what the reader materializes
+          z = FileZone(docs, z.units, z.dirty,
+            z.multiDoc || docs - into.docs > 1, fields)
           tok = p.nextToken()
         }
       } catch {
@@ -359,7 +402,8 @@ object ZoneSkip {
         case Some(n) => numDisjoint(a,
           (lo, hi) => n.compareTo(lo) < 0 || n.compareTo(hi) > 0)
         case None => v match {
-          case s: String => strDisjoint(a, (lo, hi) =>
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+          strDisjoint(a, (lo, hi) =>
             ZoneStats.cpCompare(s, lo) < 0 || ZoneStats.cpCompare(s, hi) > 0)
           case _ => false
         }
@@ -367,28 +411,32 @@ object ZoneSkip {
       case GreaterThan(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (_, hi) => hi.compareTo(n) <= 0)
         case None => v match {
-          case s: String => strDisjoint(a, (_, hi) => ZoneStats.cpCompare(hi, s) <= 0)
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+          strDisjoint(a, (_, hi) => ZoneStats.cpCompare(hi, s) <= 0)
           case _ => false
         }
       }
       case GreaterThanOrEqual(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (_, hi) => hi.compareTo(n) < 0)
         case None => v match {
-          case s: String => strDisjoint(a, (_, hi) => ZoneStats.cpCompare(hi, s) < 0)
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+          strDisjoint(a, (_, hi) => ZoneStats.cpCompare(hi, s) < 0)
           case _ => false
         }
       }
       case LessThan(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (lo, _) => lo.compareTo(n) >= 0)
         case None => v match {
-          case s: String => strDisjoint(a, (lo, _) => ZoneStats.cpCompare(lo, s) >= 0)
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+          strDisjoint(a, (lo, _) => ZoneStats.cpCompare(lo, s) >= 0)
           case _ => false
         }
       }
       case LessThanOrEqual(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a, (lo, _) => lo.compareTo(n) > 0)
         case None => v match {
-          case s: String => strDisjoint(a, (lo, _) => ZoneStats.cpCompare(lo, s) > 0)
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+          strDisjoint(a, (lo, _) => ZoneStats.cpCompare(lo, s) > 0)
           case _ => false
         }
       }
@@ -402,7 +450,12 @@ object ZoneSkip {
         // sound for ANY column type: no scalar and no other value seen
         // means every materialized cell is null
         allNull(a)
-      case StringStartsWith(a, p) =>
+      case StringStartsWith(a, rawP) =>
+        // sanitize like any literal; a prefix containing an unpaired
+        // surrogate cannot prove anything (its materialized matches
+        // are '?'-rewritten) — utf8Sanitize + the successor's
+        // surrogate cutoff keep this conservative
+        val p = ZoneStats.utf8Sanitize(rawP)
         strDisjoint(a, (lo, hi) =>
           ZoneStats.cpCompare(hi, p) < 0 ||
             prefixSuccessor(p).exists(up => ZoneStats.cpCompare(lo, up) >= 0))

@@ -309,6 +309,45 @@ class ZoneMapSpec extends SparkTestBase {
     assert(qc.queryExecution.executedPlan.toString.contains("PushedAggregation"))
   }
 
+  test("min/max pushdown declines on concat lines even when blank lines balance docs==units") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_concat_masked"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "m.json"))
+    w.println("""{"ts": 1}{"ts": 999}""") // 2 docs, 1 unit
+    w.println("") // 0 docs, 1 unit → per-FILE docs == units == 2
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.agg(max(col("ts")))
+    assert(q.collect()(0).getAs[Number](0).longValue == 1L)
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "per-file docs/units comparison was masked by the blank line")
+  }
+
+  test("unpaired surrogates sanitize to '?' before bounds and literal tests (Spark's UTF-8 encoding)") {
+    // Jackson decodes \uD800 to a lone surrogate; Spark materializes
+    // it as '?' (0x3F). Bounds must live in the sanitized domain or
+    // s < "A" would be 'provably' empty while the real row matches.
+    assert(ZoneStats.utf8Sanitize("a\uD800b") == "a?b")
+    assert(ZoneStats.utf8Sanitize("ok😀ok") == "ok😀ok") // real pair intact
+    val z = ZoneStats.emptyField.addStr("\uD800")
+    assert(z.strMin == "?" && z.strMax == "?")
+    val fz = zone("s" -> z)
+    assert(!ZoneSkip.provablyEmpty(LessThan("s", "A"), fz, schema),
+      "raw-UTF-16 bound ordered the lone surrogate above 'A'")
+    // and end to end: the doc's materialized '?' row survives a < 'A'
+    // filter on a zone-mapped read
+    val dir = new java.io.File(graft.TempRoots.path("zm_surrogate"))
+    dir.mkdirs()
+    val wtr = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(new java.io.File(dir, "s.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    wtr.write("{\"s\": \"\\ud800\"}\n"); wtr.close() // ESCAPED in the JSON text
+    val rows = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString).where(col("s") < "A").collect()
+    assert(rows.length == 1, "surrogate row was zone-skipped")
+  }
+
   test("string bounds use CODE-POINT order (emoji above U+E000, as Spark compares)") {
     // Java UTF-16 order ranks the surrogate-pair emoji BELOW U+E000;
     // Spark's binary UTF8String order ranks it above
@@ -331,7 +370,7 @@ class ZoneMapSpec extends SparkTestBase {
     StructField("f", DoubleType), StructField("ts", TimestampType)))
 
   private def zone(fields: (String, ZoneStats.FieldZone)*): ZoneStats.FileZone =
-    ZoneStats.FileZone(10L, 10L, dirty = false, fields.toMap)
+    ZoneStats.FileZone(10L, 10L, dirty = false, multiDoc = false, fields.toMap)
 
   private def numZone(lo: Long, hi: Long) = ZoneStats.FieldZone(
     10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null)
@@ -473,7 +512,7 @@ class ZoneMapSpec extends SparkTestBase {
   }
 
   test("walkUnit: concatenated docs, non-object roots, corrupt tails") {
-    val z0 = ZoneStats.FileZone(0L, 0L, dirty = false, Map.empty)
+    val z0 = ZoneStats.FileZone(0L, 0L, dirty = false, multiDoc = false, Map.empty)
     val z1 = ZoneStats.walkUnit("""{"a": 3}{"a": 7, "b": "x"}""", z0)
     assert(z1.docs == 2 && !z1.dirty)
     assert(z1.fields("a").numMin == JBD.valueOf(3) &&
