@@ -44,20 +44,40 @@ import java.math.{BigDecimal => JBigDecimal}
   * off by default so a million-file table never pays it silently. */
 object ZoneStats {
 
+  /** Max distinct values retained per field per file before the exact
+    * set declares overflow (`null` set = unbounded); and the longest
+    * string a set will hold — min/max already store two full strings,
+    * the set must not multiply that by 64 on MB-sized text fields. */
+  private[sources] val SetCutoff = 64
+  private[sources] val SetMaxStrLen = 128
+
   /** Bounds/presence of one top-level field within one file.
     * `present` counts non-null scalar (number/string) occurrences,
     * `others` counts booleans and nested values — both materialize
     * non-null, so null-reasoning must account for them; implicit
     * nulls are `docs - present - others` (missing field, explicit
-    * null, or a concatenated-doc undercount — see dirty). */
+    * null, or a concatenated-doc undercount — see dirty).
+    *
+    * `numSet`/`strSet` are EXACT distinct-value sets up to
+    * [[SetCutoff]] values (`null` once overflowed): the categorical-
+    * field complement to min/max — `src = 'delta'` can be provably
+    * empty even when 'delta' sits inside [strMin, strMax], which for
+    * label-like fields (language, source, category) it almost always
+    * does. Numbers are stored `stripTrailingZeros`-canonical so set
+    * membership coincides with `compareTo`-equality (2 vs 2.0);
+    * strings are stored sanitized, like the bounds. */
   final case class FieldZone(present: Long, others: Long,
                              numMin: JBigDecimal, numMax: JBigDecimal,
-                             strMin: String, strMax: String)
+                             strMin: String, strMax: String,
+                             numSet: Set[JBigDecimal], strSet: Set[String])
       extends Serializable {
     def addNum(v: JBigDecimal): FieldZone = copy(
       present = present + 1,
       numMin = if (numMin == null || v.compareTo(numMin) < 0) v else numMin,
-      numMax = if (numMax == null || v.compareTo(numMax) > 0) v else numMax)
+      numMax = if (numMax == null || v.compareTo(numMax) > 0) v else numMax,
+      numSet =
+        if (numSet == null || v.precision > 38) null
+        else capSet(numSet + v.stripTrailingZeros))
     def addStr(raw: String): FieldZone = {
       // record the UTF-8-SANITIZED form: Spark materializes strings
       // through UTF8String.fromString (Java's UTF-8 encoder), which
@@ -68,15 +88,24 @@ object ZoneStats {
       val v = utf8Sanitize(raw)
       copy(present = present + 1,
         strMin = if (strMin == null || cpCompare(v, strMin) < 0) v else strMin,
-        strMax = if (strMax == null || cpCompare(v, strMax) > 0) v else strMax)
+        strMax = if (strMax == null || cpCompare(v, strMax) > 0) v else strMax,
+        strSet =
+          if (strSet == null || v.length > SetMaxStrLen) null
+          else capSet(strSet + v))
     }
     def addOther: FieldZone = copy(others = others + 1)
     def merge(o: FieldZone): FieldZone = FieldZone(
       present + o.present, others + o.others,
       minBd(numMin, o.numMin), maxBd(numMax, o.numMax),
-      minStr(strMin, o.strMin), maxStr(strMax, o.strMax))
+      minStr(strMin, o.strMin), maxStr(strMax, o.strMax),
+      unionSets(numSet, o.numSet), unionSets(strSet, o.strSet))
   }
-  private[sources] val emptyField = FieldZone(0L, 0L, null, null, null, null)
+  private def capSet[T](s: Set[T]): Set[T] =
+    if (s.size > SetCutoff) null else s
+  private def unionSets[T](a: Set[T], b: Set[T]): Set[T] =
+    if (a == null || b == null) null else capSet(a ++ b)
+  private[sources] val emptyField =
+    FieldZone(0L, 0L, null, null, null, null, Set.empty, Set.empty)
 
   private def minBd(a: JBigDecimal, b: JBigDecimal) =
     if (a == null) b else if (b == null) a
@@ -377,8 +406,7 @@ object ZoneSkip {
     * all-null column (present==0 && others==0) is provably false for
     * every row — SQL null semantics. */
   def provablyEmpty(f: Filter, zone: FileZone, schema: StructType): Boolean = {
-    def fz(a: String): FieldZone =
-      zone.fields.getOrElse(a, ZoneStats.FieldZone(0L, 0L, null, null, null, null))
+    def fz(a: String): FieldZone = zone.fields.getOrElse(a, ZoneStats.emptyField)
     def allNull(a: String): Boolean = {
       val z = fz(a); z.present == 0 && z.others == 0
     }
@@ -397,14 +425,34 @@ object ZoneSkip {
         z.others == 0 && (z.present == 0 ||
           (z.strMin != null && z.strMax != null && test(z.strMin, z.strMax)))
       }
+    // Distinct-set variants: the set is EXACT (complete) whenever it
+    // is non-null — including over multi-doc lines, where it is a
+    // SUPERSET of materialized values (superset only weakens a skip).
+    // The same type gates as the bound tests apply; present > 0 avoids
+    // double-claiming the all-null case the disjoint tests own.
+    def numAbsent(a: String, test: FieldZone => Boolean): Boolean =
+      colType(schema, a).exists(numeric) && {
+        val z = fz(a)
+        z.others == 0 && z.present > 0 && z.numSet != null && test(z)
+      }
+    def strAbsent(a: String, test: FieldZone => Boolean): Boolean =
+      colType(schema, a).contains(StringType) && {
+        val z = fz(a)
+        z.others == 0 && z.present > 0 && z.strSet != null && test(z)
+      }
     f match {
       case EqualTo(a, v) => exactNum(v) match {
         case Some(n) => numDisjoint(a,
-          (lo, hi) => n.compareTo(lo) < 0 || n.compareTo(hi) > 0)
+          (lo, hi) => n.compareTo(lo) < 0 || n.compareTo(hi) > 0) ||
+          // exact distinct set: absence proves emptiness even inside
+          // the bounds (the categorical-equality case min/max misses);
+          // membership is canonical-form equality == compareTo-equality
+          numAbsent(a, z => !z.numSet.contains(n.stripTrailingZeros))
         case None => v match {
           case raw: String => val s = ZoneStats.utf8Sanitize(raw)
           strDisjoint(a, (lo, hi) =>
-            ZoneStats.cpCompare(s, lo) < 0 || ZoneStats.cpCompare(s, hi) > 0)
+            ZoneStats.cpCompare(s, lo) < 0 || ZoneStats.cpCompare(s, hi) > 0) ||
+            strAbsent(a, z => !z.strSet.contains(s))
           case _ => false
         }
       }
@@ -458,7 +506,14 @@ object ZoneSkip {
         val p = ZoneStats.utf8Sanitize(rawP)
         strDisjoint(a, (lo, hi) =>
           ZoneStats.cpCompare(hi, p) < 0 ||
-            prefixSuccessor(p).exists(up => ZoneStats.cpCompare(lo, up) >= 0))
+            prefixSuccessor(p).exists(up => ZoneStats.cpCompare(lo, up) >= 0)) ||
+          // set variant: no stored value carries the prefix. Sanitized
+          // p never ends in an unpaired high surrogate, so Java
+          // code-unit startsWith == code-point prefix == the UTF-8
+          // byte prefix the engine's StartsWith tests. A value longer
+          // than SetMaxStrLen overflowed the set to null, so a prefix
+          // whose matches were all "too long to store" cannot misfire.
+          strAbsent(a, z => !z.strSet.exists(_.startsWith(p)))
       case And(l, r) =>
         provablyEmpty(l, zone, schema) || provablyEmpty(r, zone, schema)
       case Or(l, r) =>

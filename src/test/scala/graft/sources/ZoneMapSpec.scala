@@ -372,10 +372,12 @@ class ZoneMapSpec extends SparkTestBase {
   private def zone(fields: (String, ZoneStats.FieldZone)*): ZoneStats.FileZone =
     ZoneStats.FileZone(10L, 10L, dirty = false, multiDoc = false, fields.toMap)
 
+  // bound-only zones: sets deliberately OVERFLOWED (null) so these
+  // pins exercise the min/max tests in isolation
   private def numZone(lo: Long, hi: Long) = ZoneStats.FieldZone(
-    10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null)
+    10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null, null, null)
   private def strZone(lo: String, hi: String) = ZoneStats.FieldZone(
-    10L, 0L, null, null, lo, hi)
+    10L, 0L, null, null, lo, hi, null, null)
 
   test("ZoneSkip: numeric comparisons against exact bounds") {
     val z = zone("id" -> numZone(100, 200))
@@ -417,13 +419,83 @@ class ZoneMapSpec extends SparkTestBase {
       StringStartsWith("s", "￿￿"), hi, schema))
   }
 
+  test("ZoneSkip: exact distinct sets prune equality INSIDE the bounds; overflow declines") {
+    def strSetZone(vs: String*) = ZoneStats.FieldZone(
+      vs.size.toLong, 0L, null, null, vs.min, vs.max, null, vs.toSet)
+    val z = zone("s" -> strSetZone("ant", "zebra"))
+    // 'cat' sits inside [ant, zebra] — only the set can prove
+    assert(ZoneSkip.provablyEmpty(EqualTo("s", "cat"), z, schema))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("s", "ant"), z, schema))
+    assert(ZoneSkip.provablyEmpty(In("s", Array[Any]("cat", "dog")), z, schema))
+    assert(!ZoneSkip.provablyEmpty(In("s", Array[Any]("cat", "zebra")), z, schema))
+    // StartsWith via the set: no member carries the prefix
+    assert(ZoneSkip.provablyEmpty(StringStartsWith("s", "az"), z, schema))
+    assert(!ZoneSkip.provablyEmpty(StringStartsWith("s", "zeb"), z, schema))
+    // overflowed set (null): only bounds reasoning remains
+    val over = zone("s" -> strSetZone("ant", "zebra").copy(strSet = null))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("s", "cat"), over, schema))
+    // numeric: canonical forms make 2.0-in-file match a long-2 probe
+    val nz = zone("id" -> ZoneStats.emptyField
+      .addNum(new JBD("2.0")).addNum(new JBD("20")))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("id", 2L), nz, schema))
+    assert(ZoneSkip.provablyEmpty(EqualTo("id", 7L), nz, schema), "inside [2,20]")
+    // a boolean/nested sighting blocks set reasoning like bound reasoning
+    val tainted = zone("s" -> strSetZone("ant", "zebra").copy(others = 1L))
+    assert(!ZoneSkip.provablyEmpty(EqualTo("s", "cat"), tainted, schema))
+  }
+
+  test("distinct sets overflow at the cutoff and on long values; walker stays sound") {
+    // 65 distinct values overflow SetCutoff=64
+    val many = (1 to 65).foldLeft(ZoneStats.emptyField)(
+      (z, i) => z.addNum(JBD.valueOf(i.toLong)))
+    assert(many.numSet == null && many.numMin.longValueExact == 1L)
+    val atCut = (1 to 64).foldLeft(ZoneStats.emptyField)(
+      (z, i) => z.addNum(JBD.valueOf(i.toLong)))
+    assert(atCut.numSet != null && atCut.numSet.size == 64)
+    // merge across "files" overflows too
+    assert(atCut.merge(ZoneStats.emptyField.addNum(JBD.valueOf(999L)))
+      .numSet == null)
+    // a value longer than SetMaxStrLen poisons the set, not the bounds
+    val long = ZoneStats.emptyField.addStr("x" * 200).addStr("aa")
+    assert(long.strSet == null && long.strMin == "aa")
+    // duplicate values do not advance the cutoff
+    val dup = (1 to 200).foldLeft(ZoneStats.emptyField)(
+      (z, _) => z.addStr("same"))
+    assert(dup.strSet == Set("same") && dup.present == 200L)
+  }
+
+  test("set skipping end to end: equality inside every file's bounds prunes by set") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_set_e2e"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    // 'yak' lies inside f1's [ant, zebra] bounds — min/max cannot
+    // prune f1; the distinct set can
+    put("f1.json", """{"k": "ant", "n": 1}""", """{"k": "zebra", "n": 2}""")
+    put("f2.json", """{"k": "bee", "n": 3}""", """{"k": "yak", "n": 4}""")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.where(col("k") === "yak").select(col("n"))
+    val (parts, skipped) = skipsDuring(plannedParts(q))
+    assert(parts == 1, s"expected f1 set-pruned, got $parts partitions")
+    assert(skipped >= 1, s"skip counter did not move: $skipped")
+    assert(q.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(4L))
+    // parity: same rows without zonemaps
+    val plain = spark.read.format("graftjson").load(dir.toString)
+      .where(col("k") === "yak").select(col("n"))
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(plain == Seq(4L))
+  }
+
   test("ZoneSkip: all-null column proves comparisons and IsNotNull; others block") {
-    val allNull = zone("id" -> ZoneStats.FieldZone(0L, 0L, null, null, null, null))
+    val allNull = zone("id" -> ZoneStats.emptyField)
     assert(ZoneSkip.provablyEmpty(IsNotNull("id"), allNull, schema))
     assert(ZoneSkip.provablyEmpty(EqualTo("id", 5L), allNull, schema))
     assert(ZoneSkip.provablyEmpty(LessThan("id", 5L), allNull, schema))
     // a field seen with nested/boolean values is NOT all-null
-    val withOther = zone("id" -> ZoneStats.FieldZone(0L, 3L, null, null, null, null))
+    val withOther = zone("id" -> ZoneStats.emptyField.copy(others = 3L))
     assert(!ZoneSkip.provablyEmpty(IsNotNull("id"), withOther, schema))
     assert(!ZoneSkip.provablyEmpty(EqualTo("id", 5L), withOther, schema))
   }
@@ -486,18 +558,26 @@ class ZoneMapSpec extends SparkTestBase {
               assert(fz.numMin != null && bd.compareTo(fz.numMin) >= 0 &&
                 bd.compareTo(fz.numMax) <= 0,
                 s"seed=$seed ${f.name}: $v outside [${fz.numMin}, ${fz.numMax}]")
+              assert(fz.numSet == null ||
+                fz.numSet.contains(bd.stripTrailingZeros),
+                s"seed=$seed ${f.name}: $v absent from complete numSet")
             }
           case _: org.apache.spark.sql.types.DecimalType =>
             rows.flatMap(r => Option(r.get(i))).foreach { v =>
               val bd = new JBD(v.toString)
               assert(fz.numMin != null && bd.compareTo(fz.numMin) >= 0 &&
                 bd.compareTo(fz.numMax) <= 0, s"seed=$seed ${f.name}: $v")
+              assert(fz.numSet == null ||
+                fz.numSet.contains(bd.stripTrailingZeros),
+                s"seed=$seed ${f.name}: $v absent from complete numSet")
             }
           case org.apache.spark.sql.types.StringType =>
             rows.flatMap(r => Option(r.get(i))).foreach { v =>
               val s = v.toString
               assert(fz.strMin != null && s >= fz.strMin && s <= fz.strMax,
                 s"seed=$seed ${f.name}: '$s' outside ['${fz.strMin}', '${fz.strMax}']")
+              assert(fz.strSet == null || fz.strSet.contains(s),
+                s"seed=$seed ${f.name}: '$s' absent from complete strSet")
             }
           case _ => // float/timestamp/nested: never zone-consulted
         }
