@@ -366,8 +366,11 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // superset bounds are sound for skipping but WRONG for answering
     // min/max — the walker flags the condition PER LINE (a per-file
     // docs-vs-units comparison would be masked by blank lines
-    // balancing the totals; review r11 #2)
-    val boundsAnswerable = !fileZones.exists(_.multiDoc)
+    // balancing the totals; review r11 #2). Duplicate top-level keys
+    // break answering the same way: the walker folds EVERY occurrence
+    // into the bounds while Jackson's readTree materializes only the
+    // LAST — {"a":1,"a":999} has engine-min 999 but zone-min 1.
+    val boundsAnswerable = !fileZones.exists(z => z.multiDoc || z.dupKey)
     def topCol(
         e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {

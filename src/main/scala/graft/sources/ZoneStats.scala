@@ -168,22 +168,27 @@ object ZoneStats {
     * carried more than one document, so bounds include values the
     * reader, which takes a line's FIRST doc, never materializes:
     * still sound for skipping, unanswerable for min/max — a per-FILE
-    * docs-vs-units comparison could be masked by blank lines), and
-    * per-field zones. */
+    * docs-vs-units comparison could be masked by blank lines),
+    * duplicate-key flag (`dupKey` — some doc repeated a top-level
+    * key, so per-field sighting counts can exceed doc counts and the
+    * "every row is non-null" argument breaks: IsNull skipping
+    * declines; bounds/sets stay sound — duplicates only fold extra
+    * values, a superset), and per-field zones. */
   final case class FileZone(docs: Long, units: Long, dirty: Boolean,
-                            multiDoc: Boolean,
+                            multiDoc: Boolean, dupKey: Boolean,
                             fields: Map[String, FieldZone])
       extends Serializable {
     def merge(o: FileZone): FileZone = FileZone(
       docs + o.docs, units + o.units, dirty || o.dirty,
-      multiDoc || o.multiDoc,
+      multiDoc || o.multiDoc, dupKey || o.dupKey,
       (fields.keySet ++ o.fields.keySet).iterator.map { k =>
         k -> fields.getOrElse(k, emptyField)
           .merge(o.fields.getOrElse(k, emptyField))
       }.toMap)
   }
   private[sources] val emptyFile =
-    FileZone(0L, 0L, dirty = false, multiDoc = false, Map.empty)
+    FileZone(0L, 0L, dirty = false, multiDoc = false, dupKey = false,
+      Map.empty)
 
   type ZoneMap = Map[String, FileZone]
 
@@ -214,10 +219,13 @@ object ZoneStats {
         while (tok != null) {
           var fields = z.fields
           var docs = z.docs + 1
+          var dup = z.dupKey
           tok match {
             case JsonToken.START_OBJECT =>
+              val seen = new java.util.HashSet[String]()
               while (p.nextToken() != JsonToken.END_OBJECT) {
                 val name = p.currentName()
+                if (!seen.add(name)) dup = true
                 val f = fields.getOrElse(name, emptyField)
                 fields = fields.updated(name, p.nextToken() match {
                   case JsonToken.VALUE_NUMBER_INT |
@@ -251,7 +259,7 @@ object ZoneStats {
           // docs beyond the first within THIS unit → concatenated
           // line: bounds exceed what the reader materializes
           z = FileZone(docs, z.units, z.dirty,
-            z.multiDoc || docs - into.docs > 1, fields)
+            z.multiDoc || docs - into.docs > 1, dup, fields)
           tok = p.nextToken()
         }
       } catch {
@@ -498,6 +506,21 @@ object ZoneSkip {
         // sound for ANY column type: no scalar and no other value seen
         // means every materialized cell is null
         allNull(a)
+      case IsNull(a) =>
+        // provably empty iff EVERY emitted row materializes non-null:
+        // with no concatenation and no duplicate keys, each non-null
+        // sighting (present + others) belongs to exactly one doc and
+        // each doc to exactly one unit, so sightings == units means
+        // every row — blank lines included (they bump units but add
+        // no sighting, correctly blocking the proof) — carries a
+        // value. multiDoc/dupKey make sightings overcount; explicit
+        // nulls never count. Sound for ANY column type, like
+        // IsNotNull. Top-level `value` for object-rooted docs stays
+        // null and its zone stays empty, so this never misfires there.
+        !zone.multiDoc && !zone.dupKey && {
+          val z = fz(a)
+          z.present + z.others == zone.units
+        }
       case StringStartsWith(a, rawP) =>
         // sanitize like any literal; a prefix containing an unpaired
         // surrogate cannot prove anything (its materialized matches

@@ -370,7 +370,8 @@ class ZoneMapSpec extends SparkTestBase {
     StructField("f", DoubleType), StructField("ts", TimestampType)))
 
   private def zone(fields: (String, ZoneStats.FieldZone)*): ZoneStats.FileZone =
-    ZoneStats.FileZone(10L, 10L, dirty = false, multiDoc = false, fields.toMap)
+    ZoneStats.FileZone(10L, 10L, dirty = false, multiDoc = false,
+      dupKey = false, fields.toMap)
 
   // bound-only zones: sets deliberately OVERFLOWED (null) so these
   // pins exercise the min/max tests in isolation
@@ -489,6 +490,64 @@ class ZoneMapSpec extends SparkTestBase {
     assert(plain == Seq(4L))
   }
 
+  test("ZoneSkip: IsNull proves only when sightings cover every unit, sans multiDoc/dupKey") {
+    def dense(n: Long) = ZoneStats.emptyField.copy(present = n)
+    val z = zone("id" -> dense(10L)) // zone() has docs=10, units=10
+    assert(ZoneSkip.provablyEmpty(IsNull("id"), z, schema))
+    // works for ANY column type — float too (null-ness is type-blind)
+    assert(ZoneSkip.provablyEmpty(IsNull("f"),
+      zone("f" -> dense(10L)), schema))
+    // one sighting short (a blank line, a missing field, an explicit
+    // null): a null row exists
+    assert(!ZoneSkip.provablyEmpty(IsNull("id"), zone("id" -> dense(9L)), schema))
+    // others count as non-null sightings (bool/nested materialize)
+    assert(ZoneSkip.provablyEmpty(IsNull("id"),
+      zone("id" -> dense(7L).copy(others = 3L)), schema))
+    // concatenated lines / duplicate keys overcount sightings
+    assert(!ZoneSkip.provablyEmpty(IsNull("id"),
+      z.copy(multiDoc = true), schema))
+    assert(!ZoneSkip.provablyEmpty(IsNull("id"),
+      z.copy(dupKey = true), schema))
+    // a field NEVER seen: present 0 != units — IsNull correctly keeps
+    assert(!ZoneSkip.provablyEmpty(IsNull("nope"), z, schema))
+  }
+
+  test("IsNull end to end: fully-populated files are skipped, sparse files read") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_isnull_e2e"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("full.json", """{"k": "a", "n": 1}""", """{"k": "b", "n": 2}""")
+    put("sparse.json", """{"k": "c", "n": 3}""", """{"n": 4}""")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.where(col("k").isNull).select(col("n"))
+    val (parts, skipped) = skipsDuring(plannedParts(q))
+    assert(parts == 1, s"expected full.json skipped, got $parts partitions")
+    assert(skipped >= 1)
+    assert(q.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(4L))
+  }
+
+  test("duplicate top-level keys decline min/max answering (readTree is last-wins)") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_dupkey"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "d.json"))
+    w.println("""{"a": 999, "a": 1}"""); w.println("""{"a": 50}"""); w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.agg(min(col("a")), max(col("a")))
+    val r = q.collect()(0)
+    // the engine materializes the LAST duplicate (1); zone bounds
+    // folded both occurrences [1, 999] — answering from them would
+    // report max 999
+    assert(r.getAs[Number](0).longValue == 1L &&
+      r.getAs[Number](1).longValue == 50L)
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "dup-key superset bounds were pushed as answers")
+  }
+
   test("ZoneSkip: all-null column proves comparisons and IsNotNull; others block") {
     val allNull = zone("id" -> ZoneStats.emptyField)
     assert(ZoneSkip.provablyEmpty(IsNotNull("id"), allNull, schema))
@@ -525,7 +584,12 @@ class ZoneMapSpec extends SparkTestBase {
     } yield ks.zip(vs).map { case (k, v) => s""""$k": $v""" }
       .mkString("{", ", ", "}")
     val genLine: Gen[String] = Gen.frequency(
-      8 -> genDoc, 1 -> Gen.const(""), 1 -> Gen.const("{\"a\": "))
+      8 -> genDoc, 1 -> Gen.const(""), 1 -> Gen.const("{\"a\": "),
+      // duplicate keys: readTree keeps the LAST occurrence, the walker
+      // folds every one — dupKey must block IsNull proofs and min/max
+      // answering while bounds stay a sound superset
+      1 -> Gen.const("""{"a": 7, "a": null}"""),
+      1 -> Gen.const("""{"b": "dup", "b": "kept"}"""))
     for (seed <- 1 to 30) {
       val lines = Gen.listOfN(25, genLine)
         .apply(Gen.Parameters.default, Seed(seed.toLong)).get
@@ -581,6 +645,11 @@ class ZoneMapSpec extends SparkTestBase {
             }
           case _ => // float/timestamp/nested: never zone-consulted
         }
+        // IsNull soundness: a proven-empty IsNull means NO emitted row
+        // may materialize null for this column (any type)
+        if (ZoneSkip.provablyEmpty(IsNull(f.name), z, schema))
+          assert(rows.forall(_.get(i) != null),
+            s"seed=$seed ${f.name}: IsNull proven empty but a null row exists")
         // null accounting: a materialized non-null for a field the
         // walker saw as all-null would break IsNotNull skipping
         val nonNull = rows.count(r => r.get(i) != null)
@@ -592,7 +661,7 @@ class ZoneMapSpec extends SparkTestBase {
   }
 
   test("walkUnit: concatenated docs, non-object roots, corrupt tails") {
-    val z0 = ZoneStats.FileZone(0L, 0L, dirty = false, multiDoc = false, Map.empty)
+    val z0 = ZoneStats.emptyFile
     val z1 = ZoneStats.walkUnit("""{"a": 3}{"a": 7, "b": "x"}""", z0)
     assert(z1.docs == 2 && !z1.dirty)
     assert(z1.fields("a").numMin == JBD.valueOf(3) &&
