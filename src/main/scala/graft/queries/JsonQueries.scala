@@ -421,7 +421,47 @@ object JsonQueries {
       |FROM documents WHERE source = 'src3'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** NDJSON small-file compaction end to end
+    * ([[graft.sources.JsonCompact]]): the documents table exported as
+    * 32 small NDJSON files (the streaming-ingest / many-small-exports
+    * shape whose per-file costs dominate at scale), compacted through
+    * the crash-safe marker protocol into ~4 MB merged files, then
+    * read back and aggregated with doc-id and text-length checksums
+    * against the parquet original — a line lost, duplicated, or torn
+    * at any concatenation boundary flips a sum. File-count reduction,
+    * untouched-file immutability, and every crash window are pinned
+    * in JsonCompactSpec; this query proves the lifecycle lossless on
+    * real data. */
+  private val q227Lock = new Object
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q227_${Integer.toHexString(dir.hashCode)}")
+    q227Lock.synchronized {
+      if (!graft.ops.Fs.exists(s, out)) {
+        Tables(s, dir, "documents").repartition(32)
+          .write.mode("overwrite").json(out)
+        val rep = graft.sources.JsonCompact.compact(s, out,
+          targetBytes = 4L << 20)
+        require(rep.mergedInto < rep.mergedFiles,
+          s"compaction merged nothing: $rep")
+      }
+    }
+    s.read.format("graftjson").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 7).as("key_check"),
+        sum(length(col("text")).cast("bigint")).as("sum_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  private val q227Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 7) AS BIGINT) AS key_check,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_json_compaction" -> (q227 _),
     "q210_graftjson_source" -> (q210 _),
     "q212_graftjson_splits" -> (q212 _),
     "q214_graftjson_pushdown" -> (q214 _),
@@ -438,6 +478,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q227_json_compaction" -> q227Sql,
     "q210_graftjson_source" -> q210Sql,
     "q212_graftjson_splits" -> q212Sql,
     "q214_graftjson_pushdown" -> q214Sql,

@@ -1,0 +1,205 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+
+/** Small-file compaction for graftjson NDJSON tables — the
+  * streaming-ingest layout (one file per epoch) and the many-small-
+  * exports layout both accrete thousands of KB-sized files, and at
+  * scale the per-file costs (listing RPCs, open/seek, one inference
+  * walk and zone entry each, a minimum of one scan task each when
+  * below split size) dominate the actual byte throughput. Compaction
+  * concatenates small sibling files into ~targetBytes plain-NDJSON
+  * files that the scan then byte-range SPLITS, so parallelism is
+  * preserved while file counts drop by orders of magnitude.
+  *
+  * Byte-level concatenation preserves the scan's row semantics
+  * exactly: the Hadoop line rule sees the same line sequence, with a
+  * '\n' inserted between adjacent files whenever the earlier one does
+  * not already end in '\n' (this also keeps a trailing bare-'\r'
+  * terminator from swallowing a following empty line — spec-pinned).
+  * Blank and corrupt lines ride along untouched; already-large files,
+  * `.gz` files (codec selection is by extension and members would
+  * stop splitting anyway), and hidden files are never rewritten
+  * (mtime-pinned). NDJSON ONLY: a directory read with `whole=true`
+  * treats each FILE as one row — compacting it would merge rows; the
+  * table owner calls this, and owns that contract.
+  *
+  * Crash safety follows the store-wide marker protocol (cf.
+  * `VectorOps.pendingRemovesPath`, `InvertedIndex.compactSegments`):
+  *   1. merged files are staged under the hidden `_compaction/` dir —
+  *      invisible to [[JsonDocSource.listFiles]] until committed;
+  *   2. ONE marker file (`_compaction/commit`, written to a tmp name
+  *      and atomically renamed) is the commit point: it names every
+  *      staged file, its final name, and every original to remove;
+  *   3. readers consult the marker per directory: originals named
+  *      `rm` are hidden, staged files are surfaced (at the staged
+  *      path until roll-forward renames them) — so ANY crash point
+  *      yields exactly-once row visibility: before the marker the
+  *      originals are read, after it the merged bytes are;
+  *   4. maintenance (the next [[compact]] call) rolls the marker
+  *      forward idempotently: rename staged → final, delete
+  *      originals, drop the marker. Readers never write.
+  * Single-writer maintenance is assumed, like every other store in
+  * this repo. */
+object JsonCompact {
+
+  private[sources] val MarkerDirName = "_compaction"
+  private[sources] val MarkerFileName = "commit"
+
+  /** adds: (staged name under `_compaction/`, final name in the table
+    * dir); removes: original file names in the table dir. */
+  private[sources] final case class Marker(adds: Seq[(String, String)],
+                                           removes: Seq[String])
+
+  private[sources] def markerPath(dir: Path): Path =
+    new Path(new Path(dir, MarkerDirName), MarkerFileName)
+
+  /** Parse the commit marker, or None when the directory has none.
+    * The marker only ever exists fully-written (tmp + atomic rename),
+    * so a parse failure is corruption worth failing loudly on, not
+    * guessing around. */
+  private[sources] def readMarker(fs: FileSystem, dir: Path): Option[Marker] = {
+    val mp = markerPath(dir)
+    if (!fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val (adds, removes) =
+      text.split("\n").filter(_.nonEmpty).foldLeft(
+        (Vector.empty[(String, String)], Vector.empty[String])) {
+        case ((a, r), line) => line.split("\t", -1) match {
+          case Array("add", staged, fin) => (a :+ (staged -> fin), r)
+          case Array("rm", name) => (a, r :+ name)
+          case other => throw new IllegalStateException(
+            s"corrupt compaction marker line in $mp: '${other.mkString("\t")}'")
+        }
+      }
+    Some(Marker(adds, removes))
+  }
+
+  private def writeMarker(fs: FileSystem, dir: Path, m: Marker): Unit = {
+    val mp = markerPath(dir)
+    val tmp = new Path(mp.getParent, MarkerFileName + ".tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      m.adds.foreach { case (s, f) => sb.append(s"add\t$s\t$f\n") }
+      m.removes.foreach(n => sb.append(s"rm\t$n\n"))
+      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    // rename IS the commit: a crash before it leaves only invisible
+    // staging; after it, readers see the post-compaction rows
+    if (!fs.rename(tmp, mp))
+      throw new IllegalStateException(s"could not commit marker $mp")
+  }
+
+  /** Roll a pending marker forward: staged → final name, originals
+    * deleted, marker dropped. Every step tolerates having already
+    * happened, so replay after any crash converges. Returns true if
+    * there was a marker. */
+  def rollForward(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMarker(fs, root) match {
+      case None => false
+      case Some(m) =>
+        val stage = new Path(root, MarkerDirName)
+        m.adds.foreach { case (staged, fin) =>
+          val sp = new Path(stage, staged)
+          if (fs.exists(sp)) {
+            if (!fs.rename(sp, new Path(root, fin)))
+              throw new IllegalStateException(s"could not publish $sp")
+          } // else: already renamed by an earlier, interrupted replay
+        }
+        m.removes.foreach { n =>
+          val p = new Path(root, n)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+        fs.delete(markerPath(root), false)
+        // drop the staging dir only if empty (a concurrent writer is
+        // out of contract, but never destroy bytes on principle)
+        if (Option(fs.listStatus(stage)).forall(_.isEmpty))
+          fs.delete(stage, false)
+        true
+    }
+  }
+
+  final case class Report(mergedFiles: Int, mergedInto: Int,
+                          untouched: Int, rolledForward: Boolean)
+
+  /** Compact this directory's immediate small plain files into
+    * ~targetBytes merged NDJSON files. Non-recursive: nested dirs are
+    * separate zones with their own markers — compact them separately. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 64L << 20): Report = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rolled = rollForward(spark, dir)
+
+    val children = Option(fs.listStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = children.filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".gz")
+    })
+    val (small, big) = files.partition(_.getLen < targetBytes)
+    // sequential greedy packing in name order — stable, keeps
+    // neighboring epochs adjacent, O(n) over a 100k-file listing
+    val bins = {
+      val out = Vector.newBuilder[Vector[org.apache.hadoop.fs.FileStatus]]
+      var curr = Vector.empty[org.apache.hadoop.fs.FileStatus]
+      var sum = 0L
+      small.sortBy(_.getPath.getName).foreach { st =>
+        if (curr.nonEmpty && sum + st.getLen > targetBytes) {
+          out += curr; curr = Vector.empty; sum = 0L
+        }
+        curr :+= st; sum += st.getLen
+      }
+      if (curr.nonEmpty) out += curr
+      out.result().filter(_.size >= 2)
+    }
+    if (bins.isEmpty)
+      return Report(0, 0, files.size, rolled)
+
+    val stage = new Path(root, MarkerDirName)
+    fs.mkdirs(stage)
+    val adds = bins.map { bin =>
+      val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.json"
+      val out = fs.create(new Path(stage, name), true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var pendingSep = false
+        bin.foreach { st =>
+          if (st.getLen > 0) {
+            if (pendingSep) out.write('\n')
+            val in = fs.open(st.getPath)
+            var last: Byte = '\n'
+            try {
+              var n = in.read(buf)
+              while (n > 0) {
+                out.write(buf, 0, n)
+                last = buf(n - 1)
+                n = in.read(buf)
+              }
+            } finally in.close()
+            pendingSep = last != '\n'
+          }
+        }
+      } finally out.close()
+      name -> name
+    }
+    writeMarker(fs, root, Marker(adds,
+      bins.flatten.map(_.getPath.getName)))
+    rollForward(spark, dir)
+    Report(bins.map(_.size).sum, bins.size,
+      files.size - bins.map(_.size).sum, rolled)
+  }
+}

@@ -273,8 +273,40 @@ private[graft] object JsonDocSource {
         val name = st.getPath.getName
         if (!root && (name.startsWith("_") || name.startsWith(".")))
           Seq.empty
-        else fs.listStatus(st.getPath).toSeq
-          .flatMap(walk(fs, _, root = false))
+        else {
+          val children = fs.listStatus(st.getPath).toSeq
+          val walked = children.flatMap(walk(fs, _, root = false))
+          // a pending compaction marker commits a file swap the
+          // maintenance call has not yet physically applied: hide the
+          // replaced originals (immediate children only — nested dirs
+          // have their own markers) and surface the staged merged
+          // files so any crash point shows each row exactly once
+          JsonCompact.readMarker(fs, st.getPath) match {
+            case None => walked
+            case Some(m) =>
+              val gone = m.removes.toSet
+              val stage = new org.apache.hadoop.fs.Path(
+                st.getPath, JsonCompact.MarkerDirName)
+              val kept = walked.filterNot(s =>
+                s.getPath.getParent == st.getPath && gone(s.getPath.getName))
+              val staged = m.adds.flatMap { case (stagedName, fin) =>
+                // after roll-forward's rename the final name is an
+                // ordinary child (already in `walked`); before it,
+                // read the staged bytes
+                if (children.exists(_.getPath.getName == fin)) None
+                else try Some(fs.getFileStatus(
+                  new org.apache.hadoop.fs.Path(stage, stagedName)))
+                catch {
+                  // roll-forward renamed it between our listing and
+                  // this stat — the final name holds the same bytes
+                  case _: java.io.FileNotFoundException =>
+                    Some(fs.getFileStatus(
+                      new org.apache.hadoop.fs.Path(st.getPath, fin)))
+                }
+              }
+              kept ++ staged
+          }
+        }
       } else Seq(st)
     ps.flatMap { p =>
       val path = new org.apache.hadoop.fs.Path(p)
@@ -632,6 +664,7 @@ private object JsonDocFilters {
     case IsNull(a) => atomic(schema, a)
     case IsNotNull(a) => atomic(schema, a)
     case In(a, _) => atomic(schema, a)
+    case EqualNullSafe(a, _) => atomic(schema, a)
     case StringStartsWith(a, _) => stringCol(schema, a)
     case StringEndsWith(a, _) => stringCol(schema, a)
     case StringContains(a, _) => stringCol(schema, a)
@@ -672,6 +705,12 @@ private object JsonDocFilters {
     case IsNotNull(a) => row.get(idx(a)) != null
     case EqualTo(a, v) =>
       val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ == 0)
+    case EqualNullSafe(a, v) =>
+      // <=> never yields SQL null: null literal matches exactly the
+      // null cells; non-null literal behaves like EqualTo
+      val x = row.get(idx(a))
+      if (v == null) x == null
+      else x != null && cmp(x, v).forall(_ == 0)
     case GreaterThan(a, v) =>
       val x = row.get(idx(a)); x != null && cmp(x, v).forall(_ > 0)
     case GreaterThanOrEqual(a, v) =>

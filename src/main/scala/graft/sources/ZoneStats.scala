@@ -496,6 +496,11 @@ object ZoneSkip {
           case _ => false
         }
       }
+      case EqualNullSafe(a, v) =>
+        // null literal ⟺ IsNull; non-null literal can only match a
+        // non-null equal cell, so EqualTo's proof carries over
+        if (v == null) provablyEmpty(IsNull(a), zone, schema)
+        else provablyEmpty(EqualTo(a, v), zone, schema)
       case In(a, vs) =>
         // provably empty iff EVERY list element is provably absent;
         // an empty IN list is false for every row

@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Compaction of graftjson NDJSON tables: row-identical results,
+  * fewer files, untouched-file immutability, line-boundary edge
+  * preservation, and exactly-once visibility at every crash point of
+  * the marker protocol. */
+class JsonCompactSpec extends SparkTestBase {
+
+  private def mkDir(name: String): java.io.File = {
+    val dir = new java.io.File(graft.TempRoots.path(name))
+    dir.mkdirs(); dir
+  }
+  private def put(dir: java.io.File, file: String, text: String): Unit = {
+    val w = new java.io.FileWriter(new java.io.File(dir, file))
+    w.write(text); w.close()
+  }
+  private def rows(dir: java.io.File): Seq[(Any, Any)] =
+    spark.read.format("graftjson").load(dir.toString)
+      .select(col("id"), col("s")).collect()
+      .map(r => (r.get(0), r.get(1))).sortBy(_.toString).toSeq
+  private def visibleFiles(dir: java.io.File): Seq[String] =
+    JsonDocSource.listFiles(spark, Seq(dir.toString)).map(_._1)
+
+  test("compaction merges small files; rows and schema identical; scan still splits") {
+    val dir = mkDir("jc_basic")
+    (1 to 8).foreach(i =>
+      put(dir, f"part-$i%03d.json", s"""{"id": $i, "s": "v$i"}\n"""))
+    val before = rows(dir)
+    val schemaBefore = spark.read.format("graftjson").load(dir.toString).schema
+    val rep = JsonCompact.compact(spark, dir.toString, targetBytes = 1L << 20)
+    assert(rep.mergedFiles == 8 && rep.mergedInto == 1 && !rep.rolledForward)
+    assert(visibleFiles(dir).size == 1)
+    assert(!new java.io.File(dir, "_compaction").exists,
+      "staging dir must be gone after a clean compact")
+    assert(rows(dir) == before)
+    assert(spark.read.format("graftjson").load(dir.toString).schema ==
+      schemaBefore)
+    // the merged file is plain NDJSON — byte-range splitting applies
+    val split = spark.read.format("graftjson")
+      .option("maxSplitBytes", "32").load(dir.toString)
+    assert(split.select(col("id")).collect().map(_.getAs[Number](0).longValue)
+      .sorted.toSeq == (1L to 8L))
+  }
+
+  test("large files, .gz files, and hidden files are never rewritten (mtime-pinned)") {
+    val dir = mkDir("jc_pin")
+    put(dir, "big.json", (1 to 50).map(i => s"""{"id": $i, "s": "big"}""")
+      .mkString("", "\n", "\n"))
+    val gzf = new java.io.File(dir, "z.json.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gzf))
+    gz.write("""{"id": 900, "s": "gz"}""".getBytes("UTF-8")); gz.close()
+    put(dir, "s1.json", """{"id": 1, "s": "a"}""" + "\n")
+    put(dir, "s2.json", """{"id": 2, "s": "b"}""" + "\n")
+    val big = new java.io.File(dir, "big.json")
+    big.setLastModified(1700000000000L); gzf.setLastModified(1700000000000L)
+    val before = rows(dir)
+    // big.json exceeds target; s1+s2 merge; gz ignored
+    val rep = JsonCompact.compact(spark, dir.toString,
+      targetBytes = big.length - 1)
+    assert(rep.mergedFiles == 2 && rep.mergedInto == 1)
+    assert(big.lastModified == 1700000000000L &&
+      gzf.lastModified == 1700000000000L)
+    assert(rows(dir) == before)
+  }
+
+  test("line-boundary edges survive byte concatenation") {
+    val dir = mkDir("jc_edges")
+    // no trailing newline; trailing bare CR; leading blank line;
+    // a blank line unit; an empty file; a corrupt line
+    put(dir, "a.json", """{"id": 1, "s": "x"}""") // no trailing \n
+    put(dir, "b.json", "{\"id\": 2, \"s\": \"y\"}\r") // bare-CR end
+    put(dir, "c.json", "\n{\"id\": 3, \"s\": \"z\"}\n\n")
+    put(dir, "d.json", "")
+    put(dir, "e.json", "{\"id\": 4, \"s\": " + "\n" + """{"id": 5, "s": "w"}""" + "\n")
+    val plainBefore = spark.read.format("graftjson").load(dir.toString)
+    val before = plainBefore.collect().map(_.toString).sorted.toSeq
+    val cntBefore = plainBefore.count()
+    JsonCompact.compact(spark, dir.toString, targetBytes = 1L << 20)
+    assert(visibleFiles(dir).size == 1)
+    val after = spark.read.format("graftjson").load(dir.toString)
+    assert(after.collect().map(_.toString).sorted.toSeq == before)
+    assert(after.count() == cntBefore)
+  }
+
+  test("crash window: a committed marker is exactly-once visible; replay converges") {
+    val dir = mkDir("jc_crash")
+    (1 to 4).foreach(i =>
+      put(dir, f"p$i.json", s"""{"id": $i, "s": "v$i"}\n"""))
+    put(dir, "keep.json", """{"id": 99, "s": "keep"}""" + "\n")
+    val before = rows(dir)
+    // Simulate the crash AFTER the marker commit and BEFORE any
+    // roll-forward, using the production writer path: stage the
+    // merged bytes and the marker by hand, exactly as compact() does
+    // up to its commit point.
+    val stage = new java.io.File(dir, "_compaction"); stage.mkdirs()
+    put(stage, "compact-test0001.json",
+      (1 to 4).map(i => s"""{"id": $i, "s": "v$i"}""").mkString("", "\n", "\n"))
+    put(stage, "commit.tmp",
+      "add\tcompact-test0001.json\tcompact-test0001.json\n" +
+        (1 to 4).map(i => s"rm\tp$i.json\n").mkString)
+    assert(new java.io.File(stage, "commit.tmp")
+      .renameTo(new java.io.File(stage, "commit")))
+    // marker-aware reads: originals hidden, staged surfaced — no
+    // duplicates, no loss, while the originals still physically exist
+    assert((1 to 4).forall(i => new java.io.File(dir, s"p$i.json").exists))
+    assert(rows(dir) == before)
+    val vis = visibleFiles(dir)
+    assert(vis.exists(_.contains("_compaction/compact-test0001.json")))
+    assert(!vis.exists(_.contains("p1.json")))
+    // replay (the next maintenance call) rolls forward idempotently
+    val rep = JsonCompact.compact(spark, dir.toString, targetBytes = 4L)
+    assert(rep.rolledForward)
+    assert(!new java.io.File(stage, "commit").exists)
+    assert((1 to 4).forall(i => !new java.io.File(dir, s"p$i.json").exists))
+    assert(new java.io.File(dir, "compact-test0001.json").exists)
+    assert(rows(dir) == before)
+    // a HALF-rolled state (staged already renamed, originals partly
+    // deleted, marker still present) also reads exactly-once
+    val dir2 = mkDir("jc_crash2")
+    put(dir2, "q1.json", """{"id": 1, "s": "a"}""" + "\n")
+    put(dir2, "q2.json", """{"id": 2, "s": "b"}""" + "\n")
+    val st2 = new java.io.File(dir2, "_compaction"); st2.mkdirs()
+    put(dir2, "compact-test0002.json",
+      "{\"id\": 1, \"s\": \"a\"}\n{\"id\": 2, \"s\": \"b\"}\n")
+    put(st2, "commit",
+      "add\tcompact-test0002.json\tcompact-test0002.json\n" +
+        "rm\tq1.json\nrm\tq2.json\n")
+    assert(new java.io.File(dir2, "q2.json").delete()) // partly deleted
+    assert(rows(dir2) == Seq((1L, "a"), (2L, "b")).map {
+      case (a, b) => (a: Any, b: Any) })
+    assert(JsonCompact.rollForward(spark, dir2.toString))
+    assert(rows(dir2) == Seq((1L, "a"), (2L, "b")).map {
+      case (a, b) => (a: Any, b: Any) })
+  }
+
+  test("compact is a no-op on an already-compact table; zero bins on lone files") {
+    val dir = mkDir("jc_noop")
+    put(dir, "one.json", """{"id": 1, "s": "x"}""" + "\n")
+    val rep = JsonCompact.compact(spark, dir.toString)
+    assert(rep.mergedFiles == 0 && rep.mergedInto == 0 && rep.untouched == 1)
+    val m1 = new java.io.File(dir, "one.json").lastModified
+    val rep2 = JsonCompact.compact(spark, dir.toString)
+    assert(rep2.mergedFiles == 0 &&
+      new java.io.File(dir, "one.json").lastModified == m1)
+  }
+
+  test("COUNT(*) metadata pushdown declines across a compaction (fingerprint drift)") {
+    val dir = mkDir("jc_count")
+    (1 to 3).foreach(i =>
+      put(dir, f"p$i.json", s"""{"id": $i, "s": "v$i"}\n"""))
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q0 = zdf.agg(count(lit(1)).as("c"))
+    assert(q0.collect()(0).getLong(0) == 3L)
+    assert(q0.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    JsonCompact.compact(spark, dir.toString)
+    // the load-time fingerprint no longer matches → declines, rescans
+    val q1 = zdf.agg(count(lit(1)).as("c"))
+    assert(q1.collect()(0).getLong(0) == 3L)
+    assert(!q1.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+  }
+}

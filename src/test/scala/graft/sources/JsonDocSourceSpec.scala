@@ -190,6 +190,17 @@ class JsonDocSourceSpec extends SparkTestBase {
     val all = base.collect().map(_.getAs[String]("name")).filter(_ != null)
     assert(base.where(col("name").startsWith("zzz")).count() ==
       all.count(_.startsWith("zzz")))
+    // EqualNullSafe pushes for both literal shapes; results match the
+    // engine's <=> semantics (null literal selects exactly null cells)
+    val nsafe = base.where(col("name") <=> "alpha")
+    val nsDesc = nsafe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+    }.mkString
+    assert(nsDesc.contains("EqualNullSafe(name,alpha)"), nsDesc)
+    assert(nsafe.count() == 1L)
+    val nullRows = base.collect().count(_.getAs[String]("name") == null)
+    assert(base.where(col("name") <=> lit(null)).count() == nullRows.toLong)
   }
 
   test("Or/And composites of supported leaves push down; Not never does") {

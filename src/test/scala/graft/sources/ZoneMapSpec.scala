@@ -510,6 +510,13 @@ class ZoneMapSpec extends SparkTestBase {
       z.copy(dupKey = true), schema))
     // a field NEVER seen: present 0 != units — IsNull correctly keeps
     assert(!ZoneSkip.provablyEmpty(IsNull("nope"), z, schema))
+    // EqualNullSafe: null literal rides the IsNull proof, non-null
+    // literal rides EqualTo's
+    assert(ZoneSkip.provablyEmpty(EqualNullSafe("id", null), z, schema))
+    assert(!ZoneSkip.provablyEmpty(
+      EqualNullSafe("id", null), zone("id" -> dense(9L)), schema))
+    assert(ZoneSkip.provablyEmpty(
+      EqualNullSafe("id", 5L), zone("id" -> numZone(100, 200)), schema))
   }
 
   test("IsNull end to end: fully-populated files are skipped, sparse files read") {
