@@ -149,10 +149,10 @@ private[graft] object JsonDocSource {
     * staleness contract is unchanged: the fingerprint is as sharp as
     * the store's mtime granularity, `refresh=true` re-walks
     * everything. */
-  private case class FileKey(path: String, len: Long, mtime: Long,
-                             whole: Boolean)
-  private case class FileResult(t: HType, docs: Long,
-                                zone: Option[ZoneStats.FileZone])
+  private[sources] case class FileKey(path: String, len: Long, mtime: Long,
+                                      whole: Boolean)
+  private[sources] case class FileResult(t: HType, docs: Long,
+                                         zone: Option[ZoneStats.FileZone])
   private val fileCache =
     new java.util.LinkedHashMap[FileKey, FileResult](64, 0.75f, true) {
       override def removeEldestEntry(
@@ -174,6 +174,23 @@ private[graft] object JsonDocSource {
                                    refresh: Boolean = false,
                                    zonemaps: Boolean = false)
       : (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]) = {
+    val (all, files) = inferPerFile(ps, whole, refresh, zonemaps)
+    val t = all.foldLeft(HNull: HType) { case (acc, (_, r)) =>
+      HType.merge(acc, r.t) }.canonical
+    val zoneMap =
+      if (!zonemaps) None
+      else Some(all.flatMap { case (k, r) => r.zone.map(k.path -> _) }.toMap)
+    (t, zoneMap, files)
+  }
+
+  /** The per-file planning core [[inferCached]] merges and
+    * [[JsonMeta.save]] persists: every file's (fingerprint → HType,
+    * doc count, zone) through the three cache layers (memory, durable
+    * meta, walk). */
+  private[sources] def inferPerFile(ps: Seq[String], whole: Boolean,
+                                    refresh: Boolean = false,
+                                    zonemaps: Boolean = false)
+      : (Seq[(FileKey, FileResult)], Seq[(String, Long, Long)]) = {
     val spark = SparkSession.active
     // listFiles already returns the (path, len, mtime) statuses — one
     // listing round-trip serves expansion AND the cache fingerprint
@@ -188,7 +205,16 @@ private[graft] object JsonDocSource {
           .filter(r => !zonemaps || r.zone.isDefined)
           .map(k -> _)).toMap
       }
-    val missKeys = keys.filterNot(hits.contains)
+    val memMiss = keys.filterNot(hits.contains)
+    // durable planning metadata (JsonMeta.save): per-file entries
+    // fingerprinted exactly like the in-memory cache, so a FRESH JVM
+    // pays only the diff since the last save — the catalog idea.
+    // Saved entries always carry zones, so they serve both load
+    // shapes; refresh=true bypasses this layer like the others.
+    val durable: Map[FileKey, FileResult] =
+      if (refresh || memMiss.isEmpty) Map.empty
+      else JsonMeta.lookup(spark, ps, memMiss)
+    val missKeys = memMiss.filterNot(durable.contains)
     val fresh: Map[FileKey, FileResult] =
       if (missKeys.isEmpty) Map.empty
       else {
@@ -235,15 +261,13 @@ private[graft] object JsonDocSource {
             zm.map(_.getOrElse(k.path, ZoneStats.emptyFile)))
         }.toMap
       }
-    fileCache.synchronized { fresh.foreach { case (k, r) =>
-      fileCache.put(k, r) } }
-    val all = keys.map(k => k -> hits.getOrElse(k, fresh(k)))
-    val t = all.foldLeft(HNull: HType) { case (acc, (_, r)) =>
-      HType.merge(acc, r.t) }.canonical
-    val zoneMap =
-      if (!zonemaps) None
-      else Some(all.flatMap { case (k, r) => r.zone.map(k.path -> _) }.toMap)
-    (t, zoneMap, files)
+    fileCache.synchronized {
+      durable.foreach { case (k, r) => fileCache.put(k, r) }
+      fresh.foreach { case (k, r) => fileCache.put(k, r) }
+    }
+    val all = keys.map(k =>
+      k -> hits.getOrElse(k, durable.getOrElse(k, fresh(k))))
+    (all, files)
   }
 
   def sparkSchemaOf(t: HType): StructType =
