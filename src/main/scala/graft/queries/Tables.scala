@@ -57,14 +57,18 @@ object Tables {
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** The ONE sequential-fold dot product every cosine query shares
-    * (q218/q226/LlmQueries ANN baselines): `aggregate` folds left in
-    * array order, so the result is bit-stable across layouts and
-    * matches what a DuckDB oracle computes over the same arrays —
-    * the engine cosine convention. Three private copies had already
-    * accreted (review r11); any future change to the fold lands here
-    * or nowhere. */
+    * (q218/q225/q226/LlmQueries ANN baselines): left-to-right double
+    * accumulation in array order, so the result is bit-stable across
+    * layouts and matches what a DuckDB oracle computes over the same
+    * arrays — the engine cosine convention. Three private copies had
+    * already accreted (review r11); any future change to the fold
+    * lands here or nowhere. Delegates to [[graft.ops.VectorOps.dot]]:
+    * the native codegen'd `graft_dot` when GraftExtensions is
+    * installed (spec-pinned BIT-IDENTICAL to the fold — oracle parity
+    * unaffected), the composed `aggregate(zip_with(...))` fold
+    * otherwise. */
   private[queries] def dotFold(a: org.apache.spark.sql.Column,
                                b: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.ops.VectorOps.dot(a, b)
 }
