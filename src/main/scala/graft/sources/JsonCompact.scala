@@ -135,6 +135,39 @@ object JsonCompact {
   final case class Report(mergedFiles: Int, mergedInto: Int,
                           untouched: Int, rolledForward: Boolean)
 
+  /** Executor-side merge of one bin into one staged file: byte
+    * concatenation with a '\n' inserted between adjacent files
+    * whenever the earlier one does not already end in one (the rule
+    * the scaladoc contracts). Runs inside a Spark task — the driver
+    * never opens a data file. */
+  private def mergeBin(conf: org.apache.hadoop.conf.Configuration,
+                       stageDir: String, name: String,
+                       files: Seq[(String, Long)]): Unit = {
+    val sp = new Path(stageDir, name)
+    val fs = sp.getFileSystem(conf)
+    val out = fs.create(sp, true)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var pendingSep = false
+      files.foreach { case (path, len) =>
+        if (len > 0) {
+          if (pendingSep) out.write('\n')
+          val in = fs.open(new Path(path))
+          var last: Byte = '\n'
+          try {
+            var n = in.read(buf)
+            while (n > 0) {
+              out.write(buf, 0, n)
+              last = buf(n - 1)
+              n = in.read(buf)
+            }
+          } finally in.close()
+          pendingSep = last != '\n'
+        }
+      }
+    } finally out.close()
+  }
+
   /** Compact this directory's immediate small plain files into
     * ~targetBytes merged NDJSON files. Non-recursive: nested dirs are
     * separate zones with their own markers — compact them separately. */
@@ -171,32 +204,26 @@ object JsonCompact {
 
     val stage = new Path(root, MarkerDirName)
     fs.mkdirs(stage)
-    val adds = bins.map { bin =>
+    // DISTRIBUTED merge: one Spark task per bin writes its staged
+    // merged file — the byte throughput scales with the cluster, not
+    // the driver's NIC (a driver-side copy loop was the one component
+    // here whose execution would not survive a 100× file population).
+    // The driver keeps only listing, packing, and marker I/O; it never
+    // opens a data file. Lengths ship from the driver's listing so the
+    // tasks stat nothing.
+    val binSpecs = bins.map { bin =>
       val name = s"compact-${java.util.UUID.randomUUID().toString.take(12)}.json"
-      val out = fs.create(new Path(stage, name), true)
-      try {
-        val buf = new Array[Byte](1 << 20)
-        var pendingSep = false
-        bin.foreach { st =>
-          if (st.getLen > 0) {
-            if (pendingSep) out.write('\n')
-            val in = fs.open(st.getPath)
-            var last: Byte = '\n'
-            try {
-              var n = in.read(buf)
-              while (n > 0) {
-                out.write(buf, 0, n)
-                last = buf(n - 1)
-                n = in.read(buf)
-              }
-            } finally in.close()
-            pendingSep = last != '\n'
-          }
-        }
-      } finally out.close()
-      name -> name
+      (name, bin.map(st => (st.getPath.toString, st.getLen)))
     }
-    writeMarker(fs, root, Marker(adds,
+    val conf = new graft.ops.Fs.SerializableConf(
+      spark.sparkContext.hadoopConfiguration)
+    val stageStr = stage.toString
+    spark.sparkContext
+      .parallelize(binSpecs, binSpecs.size)
+      .foreach { case (name, files) =>
+        mergeBin(conf.value, stageStr, name, files)
+      }
+    writeMarker(fs, root, Marker(binSpecs.map(s => s._1 -> s._1),
       bins.flatten.map(_.getPath.getName)))
     rollForward(spark, dir)
     Report(bins.map(_.size).sum, bins.size,

@@ -138,6 +138,36 @@ class JsonCompactSpec extends SparkTestBase {
       case (a, b) => (a: Any, b: Any) })
   }
 
+  test("multi-bin compaction distributes the merge: one Spark task per bin") {
+    val dir = mkDir("jc_dist")
+    val pad = "x" * 40
+    (1 to 6).foreach(i =>
+      put(dir, f"p$i.json", s"""{"id": $i, "s": "$pad"}""" + "\n"))
+    val before = rows(dir)
+    // compact() runs exactly one Spark job (listing and marker I/O are
+    // driver-side), so every task seen between the listener's install
+    // and the job's end is a bin-merge task — one per bin
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // each file is 58 bytes: target 120 packs pairs → 3 bins of 2
+      val rep = JsonCompact.compact(spark, dir.toString, targetBytes = 120L)
+      assert(rep.mergedFiles == 6 && rep.mergedInto == 3)
+      // listener events are posted asynchronously — poll briefly
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (tasks.get < 3 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(tasks.get >= 3,
+        s"expected one merge task per bin (3), saw ${tasks.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rows(dir) == before)
+    assert(visibleFiles(dir).size == 3)
+  }
+
   test("compact is a no-op on an already-compact table; zero bins on lone files") {
     val dir = mkDir("jc_noop")
     put(dir, "one.json", """{"id": 1, "s": "x"}""" + "\n")
