@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
   * the semantics are SQL-expressible. */
 object JsonQueries {
 
+  /** Build-once guard for the session-temp NDJSON exports: a crashed
+    * or killed first run leaves a PARTIAL export that a bare
+    * directory-existence check would silently reuse (failing the
+    * oracle until the temp root is hand-removed — review r11). Gate on
+    * our own `_graft_build_ok` marker touched AFTER the whole build
+    * (write + any compaction) completes: absent marker ⇒ wipe and
+    * rebuild. The marker is hidden (`_` prefix), so graftjson listings
+    * ignore it and JsonCompact never bins it. */
+  private def buildOnce(s: SparkSession, out: String)(build: => Unit): String = {
+    val done = s"$out/_graft_build_ok"
+    if (!graft.ops.Fs.exists(s, done)) {
+      graft.ops.Fs.delete(s, out)
+      build
+      graft.ops.Fs.touch(s, done)
+    }
+    out
+  }
+
   /** JSON scalar extraction + aggregation (codegen'd `get_json_object`,
     * no UDF in the hot path). */
   private def q44(s: SparkSession, dir: String): DataFrame = {
@@ -283,11 +301,12 @@ object JsonQueries {
     * too. Column pruning into the custom scan is pinned in
     * JsonDocSourceSpec. */
   private def q210(s: SparkSession, dir: String): DataFrame = {
-    val out = graft.TempRoots.path(
+    val path = graft.TempRoots.path(
       s"graftjson_q210_${Integer.toHexString(dir.hashCode)}")
-    val docs = Tables(s, dir, "documents")
-    if (!graft.ops.Fs.exists(s, out))
-      docs.repartition(4).write.mode("overwrite").json(out)
+    val out = buildOnce(s, path) {
+      Tables(s, dir, "documents")
+        .repartition(4).write.mode("overwrite").json(path)
+    }
     s.read.format("graftjson").load(out)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -319,9 +338,9 @@ object JsonQueries {
   private val q212ExportLock = new Object
   private def q212Export(s: SparkSession, dir: String): String =
     q212ExportLock.synchronized {
-      val out = graft.TempRoots.path(
+      val path = graft.TempRoots.path(
         s"graftjson_q212_${Integer.toHexString(dir.hashCode)}")
-      if (!graft.ops.Fs.exists(s, out))
+      buildOnce(s, path) {
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_returnflag"), col("l_linestatus"),
@@ -330,8 +349,8 @@ object JsonQueries {
             // value, and Spark's cast truncates where DuckDB rounds)
             round(col("l_extendedprice") * 100).cast("bigint")
               .as("price_cents"))
-          .coalesce(1).write.mode("overwrite").json(out)
-      out
+          .coalesce(1).write.mode("overwrite").json(path)
+      }
     }
 
   private def q212(s: SparkSession, dir: String): DataFrame = {
@@ -396,13 +415,13 @@ object JsonQueries {
   private val q221ExportLock = new Object
   private[graft] def q221Export(s: SparkSession, dir: String): String =
     q221ExportLock.synchronized {
-      val out = graft.TempRoots.path(
+      val path = graft.TempRoots.path(
         s"graftjson_q221_${Integer.toHexString(dir.hashCode)}")
-      if (!graft.ops.Fs.exists(s, out))
+      buildOnce(s, path) {
         Tables(s, dir, "documents")
           .repartition(8, col("source"))
-          .write.mode("overwrite").json(out)
-      out
+          .write.mode("overwrite").json(path)
+      }
     }
 
   private def q221(s: SparkSession, dir: String): DataFrame = {
@@ -437,7 +456,9 @@ object JsonQueries {
     val out = graft.TempRoots.path(
       s"graftjson_q227_${Integer.toHexString(dir.hashCode)}")
     q227Lock.synchronized {
-      if (!graft.ops.Fs.exists(s, out)) {
+      // marker touched only after write AND compaction both complete —
+      // a crash between them rebuilds from scratch, never half-reuses
+      buildOnce(s, out) {
         Tables(s, dir, "documents").repartition(32)
           .write.mode("overwrite").json(out)
         val rep = graft.sources.JsonCompact.compact(s, out,

@@ -298,14 +298,41 @@ private[graft] object JsonDocSource {
         if (!root && (name.startsWith("_") || name.startsWith(".")))
           Seq.empty
         else {
-          val children = fs.listStatus(st.getPath).toSeq
+          // reader-vs-maintenance concurrency: the children listing and
+          // the marker read are not atomic, so a compact() cycle
+          // progressing in between can leave a listing of already-
+          // swapped originals. Snapshot the maintenance state (marker
+          // content + staging-dir presence) BEFORE and AFTER the
+          // listing; any difference means maintenance moved underneath
+          // us — re-list once (single-writer maintenance: at most one
+          // cycle can interleave, and a full cycle runs a Spark job, so
+          // it cannot also fit inside the retry's microsecond gap). The
+          // crash-point protocol needs no retry — only live concurrent
+          // maintenance does.
+          def maintState(): (Option[JsonCompact.Marker], Boolean) = (
+            JsonCompact.readMarker(fs, st.getPath),
+            fs.exists(new org.apache.hadoop.fs.Path(
+              st.getPath, JsonCompact.MarkerDirName)))
+          def listOnce(): (Seq[org.apache.hadoop.fs.FileStatus],
+            (Option[JsonCompact.Marker], Boolean)) = {
+            val before = maintState()
+            val ch = fs.listStatus(st.getPath).toSeq
+            val after = maintState()
+            (ch, if (before == after) after else null)
+          }
+          val first = listOnce()
+          val (children, marker) =
+            if (first._2 != null) (first._1, first._2._1)
+            else { val second = listOnce(); (second._1,
+              if (second._2 != null) second._2._1
+              else JsonCompact.readMarker(fs, st.getPath)) }
           val walked = children.flatMap(walk(fs, _, root = false))
           // a pending compaction marker commits a file swap the
           // maintenance call has not yet physically applied: hide the
           // replaced originals (immediate children only — nested dirs
           // have their own markers) and surface the staged merged
           // files so any crash point shows each row exactly once
-          JsonCompact.readMarker(fs, st.getPath) match {
+          marker match {
             case None => walked
             case Some(m) =>
               val gone = m.removes.toSet
@@ -449,6 +476,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
             .flatMap(_.fields.get(name))
             .foldLeft(ZoneStats.emptyField)(_ merge _)
           if (merged.others != 0) None // defensive: bounds incomplete
+          else if (d == StringType && merged.strInexact) None // loosened bounds
           else if (merged.present == 0) Some((d, null)) // SQL null
           else try {
             val v: Any = d match {

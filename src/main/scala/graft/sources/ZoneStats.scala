@@ -51,6 +51,42 @@ object ZoneStats {
   private[sources] val SetCutoff = 64
   private[sources] val SetMaxStrLen = 128
 
+  /** Longest string a min/max BOUND will hold. Document-sized text
+    * fields would otherwise put two full documents into every file's
+    * zone, multiplied across 10^5 files into the driver-held ZoneMap
+    * and the durable meta — unbounded state for the feature whose
+    * whole point is bounded planning state. A longer value folds as a
+    * LOOSENED bound (min truncated — a prefix orders ≤ the value; max
+    * prefix-successor-raised — orders ≥ every value with that prefix)
+    * and flips `strInexact`, which declines MIN/MAX answering while
+    * keeping skip decisions sound (looser bounds only skip less). */
+  private[sources] val BoundMaxStrLen = 256
+
+  /** Least string strictly above every string with prefix `p` in
+    * CODE-POINT order, if one safely exists. Only a char strictly
+    * below U+D7FF increments (c+1 stays a plain BMP scalar, ordered
+    * identically in code-unit and code-point terms); surrogates,
+    * U+D7FF, and U+FFFF positions are skipped — truncating after an
+    * incremented earlier char remains a correct (looser) upper
+    * bound, and a prefix with no incrementable char has none. */
+  private[sources] def prefixSuccessor(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) >= 0xD7FF.toChar) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
+  /** Truncate a SANITIZED (well-formed) string to the bound cap
+    * without splitting a surrogate pair — the result is a well-formed
+    * prefix, which orders ≤ the value in code-point terms. */
+  private def truncBound(v: String): String = {
+    val cut =
+      if (Character.isHighSurrogate(v.charAt(BoundMaxStrLen - 1)))
+        BoundMaxStrLen - 1
+      else BoundMaxStrLen
+    v.substring(0, cut)
+  }
+
   /** Bounds/presence of one top-level field within one file.
     * `present` counts non-null scalar (number/string) occurrences,
     * `others` counts booleans and nested values — both materialize
@@ -69,7 +105,8 @@ object ZoneStats {
   final case class FieldZone(present: Long, others: Long,
                              numMin: JBigDecimal, numMax: JBigDecimal,
                              strMin: String, strMax: String,
-                             numSet: Set[JBigDecimal], strSet: Set[String])
+                             numSet: Set[JBigDecimal], strSet: Set[String],
+                             strInexact: Boolean)
       extends Serializable {
     def addNum(v: JBigDecimal): FieldZone = copy(
       present = present + 1,
@@ -86,26 +123,39 @@ object ZoneStats {
       // while the engine compares the very low '?' — a skip decided
       // on the raw form could prune rows the engine matches.
       val v = utf8Sanitize(raw)
+      // bound-length cap: a value past BoundMaxStrLen folds LOOSENED
+      // bounds (truncated prefix as lower, prefix-successor as upper —
+      // full value when no successor exists) and flips strInexact so
+      // MIN/MAX answering declines; skipping stays sound either way
+      val (lo, hi, inexact) =
+        if (v.length <= BoundMaxStrLen) (v, v, false)
+        else {
+          val t = truncBound(v)
+          (t, prefixSuccessor(t).getOrElse(v), true)
+        }
       copy(present = present + 1,
-        strMin = if (strMin == null || cpCompare(v, strMin) < 0) v else strMin,
-        strMax = if (strMax == null || cpCompare(v, strMax) > 0) v else strMax,
+        strMin = if (strMin == null || cpCompare(lo, strMin) < 0) lo else strMin,
+        strMax = if (strMax == null || cpCompare(hi, strMax) > 0) hi else strMax,
         strSet =
           if (strSet == null || v.length > SetMaxStrLen) null
-          else capSet(strSet + v))
+          else capSet(strSet + v),
+        strInexact = strInexact || inexact)
     }
     def addOther: FieldZone = copy(others = others + 1)
     def merge(o: FieldZone): FieldZone = FieldZone(
       present + o.present, others + o.others,
       minBd(numMin, o.numMin), maxBd(numMax, o.numMax),
       minStr(strMin, o.strMin), maxStr(strMax, o.strMax),
-      unionSets(numSet, o.numSet), unionSets(strSet, o.strSet))
+      unionSets(numSet, o.numSet), unionSets(strSet, o.strSet),
+      strInexact || o.strInexact)
   }
   private def capSet[T](s: Set[T]): Set[T] =
     if (s.size > SetCutoff) null else s
   private def unionSets[T](a: Set[T], b: Set[T]): Set[T] =
     if (a == null || b == null) null else capSet(a ++ b)
   private[sources] val emptyField =
-    FieldZone(0L, 0L, null, null, null, null, Set.empty, Set.empty)
+    FieldZone(0L, 0L, null, null, null, null, Set.empty, Set.empty,
+      strInexact = false)
 
   private def minBd(a: JBigDecimal, b: JBigDecimal) =
     if (a == null) b else if (b == null) a
@@ -395,19 +445,8 @@ object ZoneSkip {
   private def colType(schema: StructType, name: String): Option[DataType] =
     schema.fields.find(_.name == name).map(_.dataType)
 
-  /** Least string strictly above every string with prefix `p` in
-    * CODE-POINT order, if one safely exists. Only a char strictly
-    * below U+D7FF increments (c+1 stays a plain BMP scalar, ordered
-    * identically in code-unit and code-point terms); surrogates,
-    * U+D7FF, and U+FFFF positions are skipped — truncating after an
-    * incremented earlier char remains a correct (looser) upper
-    * bound, and a prefix with no incrementable char has none. */
-  private def prefixSuccessor(p: String): Option[String] = {
-    var i = p.length - 1
-    while (i >= 0 && p.charAt(i) >= 0xD7FF.toChar) i -= 1
-    if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
-  }
+  private def prefixSuccessor(p: String): Option[String] =
+    ZoneStats.prefixSuccessor(p)
 
   /** true ⟹ no row of this file can satisfy `f`. Never called for
     * dirty files (the scan guards). A comparison/IN/prefix on an

@@ -376,9 +376,10 @@ class ZoneMapSpec extends SparkTestBase {
   // bound-only zones: sets deliberately OVERFLOWED (null) so these
   // pins exercise the min/max tests in isolation
   private def numZone(lo: Long, hi: Long) = ZoneStats.FieldZone(
-    10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null, null, null)
+    10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null, null, null,
+    strInexact = false)
   private def strZone(lo: String, hi: String) = ZoneStats.FieldZone(
-    10L, 0L, null, null, lo, hi, null, null)
+    10L, 0L, null, null, lo, hi, null, null, strInexact = false)
 
   test("ZoneSkip: numeric comparisons against exact bounds") {
     val z = zone("id" -> numZone(100, 200))
@@ -422,7 +423,8 @@ class ZoneMapSpec extends SparkTestBase {
 
   test("ZoneSkip: exact distinct sets prune equality INSIDE the bounds; overflow declines") {
     def strSetZone(vs: String*) = ZoneStats.FieldZone(
-      vs.size.toLong, 0L, null, null, vs.min, vs.max, null, vs.toSet)
+      vs.size.toLong, 0L, null, null, vs.min, vs.max, null, vs.toSet,
+      strInexact = false)
     val z = zone("s" -> strSetZone("ant", "zebra"))
     // 'cat' sits inside [ant, zebra] — only the set can prove
     assert(ZoneSkip.provablyEmpty(EqualTo("s", "cat"), z, schema))
@@ -463,6 +465,62 @@ class ZoneMapSpec extends SparkTestBase {
     val dup = (1 to 200).foldLeft(ZoneStats.emptyField)(
       (z, _) => z.addStr("same"))
     assert(dup.strSet == Set("same") && dup.present == 200L)
+  }
+
+  test("string bounds are length-capped: loosened, inexact-flagged, still sound") {
+    val cap = ZoneStats.BoundMaxStrLen
+    val longLow = "b" + ("a" * (cap + 100)) // sorts low, exceeds cap
+    val longHigh = "y" + ("z" * (cap + 100)) // sorts high, exceeds cap
+    val z = ZoneStats.emptyField.addStr(longLow).addStr("mm").addStr(longHigh)
+    // bounds hold no more than cap+? chars (successor may not extend)
+    assert(z.strMin.length <= cap && z.strMax.length <= cap)
+    assert(z.strInexact)
+    // loosened bounds stay correct: min ≤ every value ≤ max
+    for (v <- Seq(longLow, "mm", longHigh)) {
+      assert(ZoneStats.cpCompare(z.strMin, v) <= 0)
+      assert(ZoneStats.cpCompare(v, z.strMax) <= 0)
+    }
+    // skipping with loosened bounds: clearly-outside probes still prove
+    val fz = zone("s" -> z.copy(strSet = null))
+    assert(ZoneSkip.provablyEmpty(EqualTo("s", "a"), fz, schema),
+      "'a' orders below the truncated min prefix")
+    assert(ZoneSkip.provablyEmpty(GreaterThan("s", "z"), fz, schema),
+      "everything is below the successor-raised max")
+    // values inside the loosened range never prove (conservative)
+    assert(!ZoneSkip.provablyEmpty(EqualTo("s", longLow), fz, schema))
+    // a short-only zone stays exact
+    val exact = ZoneStats.emptyField.addStr("aa").addStr("zz")
+    assert(!exact.strInexact && exact.strMin == "aa" && exact.strMax == "zz")
+    // inexact survives merge in both directions
+    assert(exact.merge(z).strInexact && z.merge(exact).strInexact)
+    // truncation never splits a surrogate pair: a pair straddling the
+    // cap is dropped whole, and the bound stays well-formed
+    val emoji = ("x" * (cap - 1)) + "😀" + ("y" * 200)
+    val ez = ZoneStats.emptyField.addStr(emoji)
+    assert(ez.strMin.length == cap - 1 && !ez.strMin.exists(Character.isSurrogate))
+  }
+
+  test("MIN/MAX metadata pushdown declines on inexact (length-capped) string bounds") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_inexact_meta"))
+    dir.mkdirs()
+    val big = "m" * (ZoneStats.BoundMaxStrLen + 50)
+    val w = new java.io.PrintWriter(new java.io.File(dir, "f.json"))
+    w.println(s"""{"s": "aa", "n": 1}""")
+    w.println(s"""{"s": "$big", "n": 2}""")
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    // min/max over the capped column must NOT answer from metadata —
+    // the recorded max is a loosened successor, not a real value —
+    // and the scan fallback must produce the true values
+    val q = zdf.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val r = q.collect()(0)
+    assert(r.getString(0) == "aa" && r.getString(1) == big)
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    // the numeric column in the same table still answers from metadata
+    val qn = zdf.agg(min(col("n")).as("lo"), max(col("n")).as("hi"))
+    assert(qn.collect()(0).getAs[Number](0).longValue == 1L)
+    assert(qn.queryExecution.executedPlan.toString.contains("PushedAggregation"))
   }
 
   test("set skipping end to end: equality inside every file's bounds prunes by set") {
