@@ -234,14 +234,49 @@ private[graft] object JsonDocSource {
         // per-file inference always; the zone walk rides the same job
         // only when asked (it re-parses each unit — the inference
         // walker is a golden-pinned parity surface, composing stats
-        // into it would risk drift)
+        // into it would risk drift). SHARDED BY FILE: groupByKey plans
+        // a partial+final aggregation whose buffers are per-file, so
+        // no task holds more than its own files' planning state and
+        // the driver collects one small row per file (the previous
+        // whole-corpus map buffer + head() capped zonemaps at ~10^5
+        // files). Keys are the RAW input_file_name rendering (zero
+        // per-row work); normalization to the listing's rendering
+        // happens once per collected row below.
         val (perFile, zm) =
           if (zonemaps) {
-            val (pf, z) = pairs.select(
-              new InferPairAgg().toColumn, new ZoneStatsAgg().toColumn).head()
-            (pf, Some(z))
-          } else
-            (pairs.select(new InferPairAgg().toColumn).head(), None)
+            val rows = perFileAggDs(pairs).collect()
+            val pf = scala.collection.mutable.HashMap
+              .empty[String, (HType, Long)]
+            val z = scala.collection.mutable.HashMap
+              .empty[String, ZoneStats.FileZone]
+            rows.foreach { case (raw, (t, n), fz) =>
+              val f = ZoneStats.normalizeFileName(raw)
+              // two raw renderings of one file (defensive) merge like
+              // the lattice everywhere else
+              pf.get(f) match {
+                case Some((t0, n0)) => pf(f) = (HType.merge(t0, t), n0 + n)
+                case None => pf(f) = (t, n)
+              }
+              z.get(f) match {
+                case Some(z0) => z(f) = z0.merge(fz)
+                case None => z(f) = fz
+              }
+            }
+            (pf.toMap, Some(z.toMap))
+          } else {
+            val rows = pairs.groupByKey(_._1)
+              .agg(new InferFileAgg().toColumn).collect()
+            val pf = scala.collection.mutable.HashMap
+              .empty[String, (HType, Long)]
+            rows.foreach { case (raw, (t, n)) =>
+              val f = ZoneStats.normalizeFileName(raw)
+              pf.get(f) match {
+                case Some((t0, n0)) => pf(f) = (HType.merge(t0, t), n0 + n)
+                case None => pf(f) = (t, n)
+              }
+            }
+            (pf.toMap, None)
+          }
         inferenceRuns.incrementAndGet()
         filesWalked.addAndGet(missKeys.size.toLong)
         // drift guard: every per-file key the job returned must be a
@@ -269,6 +304,16 @@ private[graft] object JsonDocSource {
       k -> hits.getOrElse(k, durable.getOrElse(k, fresh(k))))
     (all, files)
   }
+
+  /** The sharded planning aggregation (test-visible so its job shape
+    * can be plan-pinned): group by raw file name, fold each group
+    * through SINGLE-FILE buffers — partial aggregation map-side,
+    * per-file buffers on the shuffle, one small output row per file. */
+  private[sources] def perFileAggDs(
+      pairs: org.apache.spark.sql.Dataset[(String, String)])
+      : org.apache.spark.sql.Dataset[(String, (HType, Long), ZoneStats.FileZone)] =
+    pairs.groupByKey(_._1)(org.apache.spark.sql.Encoders.STRING)
+      .agg(new InferFileAgg().toColumn, new ZoneFileAgg().toColumn)
 
   def sparkSchemaOf(t: HType): StructType =
     Materialize.toMaterializableSparkType(t) match {

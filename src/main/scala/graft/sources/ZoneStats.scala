@@ -39,9 +39,14 @@ import java.math.{BigDecimal => JBigDecimal}
   *     materializes — the reader takes the line's first doc — which
   *     can only make skipping MORE conservative).
   *
-  * State volume: O(files × top-level fields) tiny records, merged
-  * map-side — suitable for file sets up to ~10^5 files; the option is
-  * off by default so a million-file table never pays it silently. */
+  * State volume: one small FieldZone record per (file, field),
+  * aggregated SHARDED BY FILE ([[ZoneFileAgg]] under a
+  * `groupByKey(file)`) — map-side partials per file, shuffle of tiny
+  * buffers, no task or buffer ever holding more than its own files'
+  * state; the driver collects one row per file. The option is off by
+  * default because the stats walk re-parses each unit (planning-time
+  * CPU), not because of state: the per-file shard shape carries a
+  * million-file table. */
 object ZoneStats {
 
   /** Max distinct values retained per field per file before the exact
@@ -323,91 +328,56 @@ object ZoneStats {
   }
 }
 
-/** PER-FILE schema inference: (fileName, unitText) pairs fold to a
-  * map of file → (merged HType, doc count), using exactly the
-  * golden-pinned [[graft.infer.JsonInfer.inferDocCount]] walker per
-  * unit. The per-file grain is what makes planning INCREMENTAL: the
-  * lattice join is associative+commutative and union order is fixed
-  * by `canonical` at the end, so a global schema assembled from
-  * per-file results is byte-identical to a monolithic fold — and a
-  * changed file invalidates only its own entry. File names normalize
-  * exactly as [[ZoneStatsAgg]]'s. */
-class InferPairAgg extends Aggregator[(String, String),
-    Map[String, (graft.types.HType, Long)],
-    Map[String, (graft.types.HType, Long)]] {
+/** PER-FILE schema inference, SHARDED BY FILE: the planning job groups
+  * (fileName, unitText) pairs by file and folds each group through a
+  * single-file buffer — `groupByKey(file).agg(...)` plans a partial +
+  * final aggregation, so map tasks fold the units they read into small
+  * per-file partial buffers, the shuffle carries only those buffers,
+  * and no task (and no single aggregation buffer) ever holds more
+  * than its own files' state. The driver collects one small row per
+  * file. (The previous shape folded the WHOLE corpus's file→result
+  * map through one buffer pair and a driver `head()` — planning state
+  * capped the feature at ~10^5 files exactly where it pays most;
+  * review r11.)
+  *
+  * Uses exactly the golden-pinned
+  * [[graft.infer.JsonInfer.inferDocCount]] walker per unit. The
+  * per-file grain is what makes planning INCREMENTAL: the lattice
+  * join is associative+commutative and union order is fixed by
+  * `canonical` at the end, so a global schema assembled from per-file
+  * results is byte-identical to a monolithic fold — and a changed
+  * file invalidates only its own entry. */
+class InferFileAgg extends Aggregator[(String, String),
+    (graft.types.HType, Long), (graft.types.HType, Long)] {
   import graft.types.{HNull, HType}
-  @transient private var lastRaw: String = _
-  @transient private var lastNorm: String = _
-  private def norm(f: String): String = {
-    if (f != lastRaw) {
-      lastRaw = f
-      lastNorm = ZoneStats.normalizeFileName(f)
-    }
-    lastNorm
-  }
-  def zero: Map[String, (HType, Long)] = Map.empty
-  def reduce(b: Map[String, (HType, Long)], in: (String, String)) = {
-    val file = norm(in._1)
+  def zero: (HType, Long) = (HNull, 0L)
+  def reduce(b: (HType, Long), in: (String, String)): (HType, Long) = {
     val (t, n) = graft.infer.JsonInfer.inferDocCount(in._2)
-    val (bt, bn) = b.getOrElse(file, (HNull: HType, 0L))
-    b.updated(file, (HType.merge(bt, t), bn + n))
+    (HType.merge(b._1, t), b._2 + n)
   }
-  def merge(a: Map[String, (HType, Long)], b: Map[String, (HType, Long)]) =
-    (a.keySet ++ b.keySet).iterator.map { k =>
-      (a.get(k), b.get(k)) match {
-        case (Some((t1, n1)), Some((t2, n2))) =>
-          k -> ((HType.merge(t1, t2), n1 + n2))
-        case (Some(x), None) => k -> x
-        case (None, Some(y)) => k -> y
-        case _ => k -> ((HNull: HType, 0L))
-      }
-    }.toMap
-  def finish(r: Map[String, (HType, Long)]) = r
-  def bufferEncoder: Encoder[Map[String, (HType, Long)]] =
-    Encoders.javaSerialization[Map[String, (HType, Long)]]
-  def outputEncoder: Encoder[Map[String, (HType, Long)]] = bufferEncoder
+  def merge(a: (HType, Long), b: (HType, Long)): (HType, Long) =
+    (HType.merge(a._1, b._1), a._2 + b._2)
+  def finish(r: (HType, Long)): (HType, Long) = r
+  def bufferEncoder: Encoder[(HType, Long)] =
+    Encoders.javaSerialization[(HType, Long)]
+  def outputEncoder: Encoder[(HType, Long)] = bufferEncoder
 }
 
-/** (fileName, unitText) → per-file [[ZoneStats.FileZone]] map — runs
-  * alongside [[graft.infer.InferSchemaCountAgg]] in the ONE planning
-  * job (two aggregations, one scan of the data). File names normalize
-  * through Hadoop `Path` so `input_file_name()`'s URI rendering and
-  * the planner's `FileStatus` rendering key identically (a missed
-  * lookup would only forgo a skip, but why forgo any). */
-class ZoneStatsAgg
-    extends Aggregator[(String, String), ZoneStats.ZoneMap, ZoneStats.ZoneMap] {
+/** Single-file zone-stats fold — the zone half of the sharded
+  * planning aggregation, riding the SAME per-file groups as
+  * [[InferFileAgg]] (one scan of the data, two agg columns). */
+class ZoneFileAgg
+    extends Aggregator[(String, String), ZoneStats.FileZone, ZoneStats.FileZone] {
   import ZoneStats._
-  // per-task memo (each task deserializes its own aggregator copy):
-  // lines arrive grouped by file, so one Path parse serves thousands
-  @transient private var lastRaw: String = _
-  @transient private var lastNorm: String = _
-  private def norm(f: String): String = {
-    if (f != lastRaw) {
-      lastRaw = f
-      lastNorm = ZoneStats.normalizeFileName(f)
-    }
-    lastNorm
-  }
-  def zero: ZoneMap = Map.empty
-  def reduce(b: ZoneMap, in: (String, String)): ZoneMap = {
-    val file = norm(in._1)
-    // units counts EVERY input unit, blank or corrupt included — the
-    // scan emits exactly one row per unit, so Σunits IS count(*)
-    val before = b.getOrElse(file, emptyFile)
-    b.updated(file, walkUnit(in._2, before.copy(units = before.units + 1)))
-  }
-  def merge(a: ZoneMap, b: ZoneMap): ZoneMap =
-    (a.keySet ++ b.keySet).iterator.map { k =>
-      (a.get(k), b.get(k)) match {
-        case (Some(x), Some(y)) => k -> x.merge(y)
-        case (Some(x), None) => k -> x
-        case (None, Some(y)) => k -> y
-        case _ => k -> emptyFile
-      }
-    }.toMap
-  def finish(r: ZoneMap): ZoneMap = r
-  def bufferEncoder: Encoder[ZoneMap] = Encoders.javaSerialization[ZoneMap]
-  def outputEncoder: Encoder[ZoneMap] = Encoders.javaSerialization[ZoneMap]
+  def zero: FileZone = emptyFile
+  // units counts EVERY input unit, blank or corrupt included — the
+  // scan emits exactly one row per unit, so Σunits IS count(*)
+  def reduce(b: FileZone, in: (String, String)): FileZone =
+    walkUnit(in._2, b.copy(units = b.units + 1))
+  def merge(a: FileZone, b: FileZone): FileZone = a.merge(b)
+  def finish(r: FileZone): FileZone = r
+  def bufferEncoder: Encoder[FileZone] = Encoders.javaSerialization[FileZone]
+  def outputEncoder: Encoder[FileZone] = Encoders.javaSerialization[FileZone]
 }
 
 /** Decides whether a pushed filter PROVABLY matches no row of a file,

@@ -467,6 +467,39 @@ class ZoneMapSpec extends SparkTestBase {
     assert(dup.strSet == Set("same") && dup.present == 200L)
   }
 
+  test("planning aggregation is sharded by file: grouped partial+final, per-file buffers") {
+    import org.apache.spark.sql.Encoders
+    val pairs = spark.createDataset(Seq(
+      ("f1", """{"a": 1, "s": "x"}"""),
+      ("f1", """{"a": 9, "s": "y"}"""),
+      ("f2", """{"a": 5}"""),
+      ("f3", "")))(
+      Encoders.tuple(Encoders.STRING, Encoders.STRING))
+    val ds = JsonDocSource.perFileAggDs(pairs)
+    // job shape: a GROUPED aggregation (partial on the map side, final
+    // after a hash shuffle on the file key) — never a global single-
+    // buffer aggregate. Two aggregate nodes, both with non-empty keys,
+    // is exactly that plan; a whole-corpus map buffer would plan a
+    // keyless (global) aggregate instead.
+    val plan = ds.queryExecution.executedPlan.toString
+    val aggNodes = plan.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggNodes.size >= 2, s"expected partial+final aggregate:\n$plan")
+    assert(aggNodes.forall(_.contains("keys=[value")),
+      s"aggregation must be keyed by file, not global:\n$plan")
+    // per-file results match a direct single-file fold
+    val rows = ds.collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.keySet == Set("f1", "f2", "f3"))
+    val (t1, n1) = rows("f1")._1
+    assert(n1 == 2L && t1.isInstanceOf[graft.types.HStruct])
+    val z1 = rows("f1")._2
+    assert(z1.units == 2L && z1.docs == 2L &&
+      z1.fields("a").numMin.longValueExact == 1L &&
+      z1.fields("a").numMax.longValueExact == 9L)
+    // the empty unit counts as a unit (one scan row) but no doc
+    val z3 = rows("f3")._2
+    assert(z3.units == 1L && z3.docs == 0L)
+  }
+
   test("string bounds are length-capped: loosened, inexact-flagged, still sound") {
     val cap = ZoneStats.BoundMaxStrLen
     val longLow = "b" + ("a" * (cap + 100)) // sorts low, exceeds cap
