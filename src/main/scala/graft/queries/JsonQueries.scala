@@ -461,8 +461,11 @@ object JsonQueries {
       buildOnce(s, out) {
         Tables(s, dir, "documents").repartition(32)
           .write.mode("overwrite").json(out)
+        // refreshMeta: the durable planning metadata rides the same
+        // maintenance cycle (one listing), so the read below — and any
+        // fresh JVM after — plans walk-free
         val rep = graft.sources.JsonCompact.compact(s, out,
-          targetBytes = 4L << 20)
+          targetBytes = 4L << 20, refreshMeta = true)
         require(rep.mergedInto < rep.mergedFiles,
           s"compaction merged nothing: $rep")
       }

@@ -170,15 +170,42 @@ object JsonCompact {
 
   /** Compact this directory's immediate small plain files into
     * ~targetBytes merged NDJSON files. Non-recursive: nested dirs are
-    * separate zones with their own markers — compact them separately. */
+    * separate zones with their own markers — compact them separately.
+    *
+    * `refreshMeta=true` refreshes the durable planning metadata
+    * ([[JsonMeta.save]]) in the SAME maintenance cycle, handing it the
+    * post-swap file population this call already knows — the merged
+    * finals plus the untouched survivors — so the whole cycle costs
+    * ONE directory listing (spec-pinned) and the meta diff walks only
+    * the merged files. Falls back to the meta's own listing when a
+    * nested directory is present (this call is non-recursive and must
+    * not feed the meta a partial population). */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 64L << 20): Report = {
+              targetBytes: Long = 64L << 20,
+              refreshMeta: Boolean = false): Report = {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rolled = rollForward(spark, dir)
 
     val children = Option(fs.listStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    // the post-maintenance population for the meta refresh: every
+    // non-hidden data file (gz included — the meta covers them) minus
+    // whatever this call merges away, plus the merged finals
+    def metaListing(goneNames: Set[String], addedNames: Seq[String])
+        : Option[Seq[(String, Long, Long)]] =
+      // hidden dirs (_graftjson_meta, _compaction) are pruned by every
+      // listing — only a real nested DATA dir forces the fallback
+      if (children.exists(st => st.isDirectory && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })) None
+      else Some((children.filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !goneNames(n)
+      }) ++ addedNames.map(n => fs.getFileStatus(new Path(root, n))))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .sortBy(_._1))
     val files = children.filter(st => st.isFile && {
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".gz")
@@ -199,8 +226,11 @@ object JsonCompact {
       if (curr.nonEmpty) out += curr
       out.result().filter(_.size >= 2)
     }
-    if (bins.isEmpty)
+    if (bins.isEmpty) {
+      if (refreshMeta)
+        JsonMeta.save(spark, dir, metaListing(Set.empty, Seq.empty))
       return Report(0, 0, files.size, rolled)
+    }
 
     val stage = new Path(root, MarkerDirName)
     fs.mkdirs(stage)
@@ -226,6 +256,9 @@ object JsonCompact {
     writeMarker(fs, root, Marker(binSpecs.map(s => s._1 -> s._1),
       bins.flatten.map(_.getPath.getName)))
     rollForward(spark, dir)
+    if (refreshMeta)
+      JsonMeta.save(spark, dir, metaListing(
+        bins.flatten.map(_.getPath.getName).toSet, binSpecs.map(_._1)))
     Report(bins.map(_.size).sum, bins.size,
       files.size - bins.map(_.size).sum, rolled)
   }

@@ -165,6 +165,9 @@ private[graft] object JsonDocSource {
   private[graft] val filesWalked = new java.util.concurrent.atomic.AtomicLong
   /** Test-visible count of files excluded by zone-map skipping. */
   private[sources] val zoneSkippedFiles = new java.util.concurrent.atomic.AtomicLong
+  /** Test-visible count of [[listFiles]] walks (pins the one-listing-
+    * per-maintenance-cycle contract of compact(refreshMeta=true)). */
+  private[sources] val listingRuns = new java.util.concurrent.atomic.AtomicLong
 
   /** Drop every cached inference result (test hook + the JVM-lifetime
     * remedy for fingerprint-invisible rewrites). */
@@ -189,12 +192,16 @@ private[graft] object JsonDocSource {
     * meta, walk). */
   private[sources] def inferPerFile(ps: Seq[String], whole: Boolean,
                                     refresh: Boolean = false,
-                                    zonemaps: Boolean = false)
+                                    zonemaps: Boolean = false,
+                                    preListed: Option[Seq[(String, Long, Long)]] = None)
       : (Seq[(FileKey, FileResult)], Seq[(String, Long, Long)]) = {
     val spark = SparkSession.active
     // listFiles already returns the (path, len, mtime) statuses — one
-    // listing round-trip serves expansion AND the cache fingerprint
-    val files = listFiles(spark, ps)
+    // listing round-trip serves expansion AND the cache fingerprint.
+    // A maintenance caller that just produced an equivalent listing
+    // (compaction knows the post-swap population exactly) passes it
+    // in, so one listing serves the whole maintenance cycle.
+    val files = preListed.getOrElse(listFiles(spark, ps))
     val keys = files.map { case (p, l, m) => FileKey(p, l, m, whole) }
     // a cached entry serves a plain load; a zonemaps load needs the
     // zone too (HType-only entries re-walk — the walk carries both)
@@ -330,6 +337,7 @@ private[graft] object JsonDocSource {
     * inference reads the same list (inferCached). */
   def listFiles(spark: SparkSession,
                 ps: Seq[String]): Seq[(String, Long, Long)] = {
+    listingRuns.incrementAndGet()
     val conf = spark.sparkContext.hadoopConfiguration
     def walk(fs: org.apache.hadoop.fs.FileSystem,
              st: org.apache.hadoop.fs.FileStatus,

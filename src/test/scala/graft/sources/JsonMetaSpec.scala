@@ -34,7 +34,8 @@ class JsonMetaSpec extends SparkTestBase {
 
   test("a saved table plans walk-free in a fresh JVM; rows and schema intact") {
     val dir = mkTable("jm_basic", 6)
-    assert(JsonMeta.save(spark, dir.toString) == 6)
+    val rep = JsonMeta.save(spark, dir.toString)
+    assert(rep.total == 6 && rep.written == 6 && rep.segments == 1)
     freshJvm()
     val (rows, w) = walked {
       spark.read.format("graftjson").load(dir.toString)
@@ -94,19 +95,136 @@ class JsonMetaSpec extends SparkTestBase {
     assert(w2 == 0L)
   }
 
-  test("a corrupt meta blob degrades to a full walk, never a failure") {
+  test("a corrupt manifest or segment degrades to a full walk, never a failure") {
     val dir = mkTable("jm_corrupt", 3)
     JsonMeta.save(spark, dir.toString)
-    val mp = new java.io.File(new java.io.File(dir, "_graftjson_meta"), "cache")
-    val w0 = new java.io.FileOutputStream(mp)
-    w0.write("not a java object stream".getBytes("UTF-8")); w0.close()
+    val metaDir = new java.io.File(dir, "_graftjson_meta")
+    // corrupt every segment: lookup misses, planning walks
+    metaDir.listFiles().filter(_.getName.startsWith("seg-")).foreach { f =>
+      val w0 = new java.io.FileOutputStream(f)
+      w0.write("not a java object stream".getBytes("UTF-8")); w0.close()
+    }
     freshJvm()
     val (rows, w) = walked {
       spark.read.format("graftjson").load(dir.toString)
         .select(col("id")).collect().map(_.getAs[Number](0).longValue).sorted
     }
-    assert(w == 3L, "corrupt meta should force a full walk")
+    assert(w == 3L, "corrupt segments should force a full walk")
     assert(rows.toSeq == Seq(10L, 20L, 30L))
+    // corrupt manifest too: same degradation
+    val mp = new java.io.File(metaDir, "manifest")
+    val w1 = new java.io.FileOutputStream(mp)
+    w1.write("{not json".getBytes("UTF-8")); w1.close()
+    freshJvm()
+    val (_, w2) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(w2 == 3L, "corrupt manifest should force a full walk")
+  }
+
+  test("save cost is proportional to the diff: one appended file writes one entry") {
+    val dir = mkTable("jm_diff", 6)
+    assert(JsonMeta.save(spark, dir.toString).written == 6)
+    // no change → nothing serialized, no new segment
+    val again = JsonMeta.save(spark, dir.toString)
+    assert(again.written == 0 && again.segments == 1)
+    // one appended file → exactly one entry in one new segment
+    val w = new java.io.PrintWriter(new java.io.File(dir, "p99.json"))
+    w.println("""{"id": 990, "src": "s9"}"""); w.close()
+    val rep = JsonMeta.save(spark, dir.toString)
+    assert(rep.total == 7 && rep.written == 1 && rep.segments == 2,
+      s"expected a 1-entry diff segment, got $rep")
+    // the segmented meta still serves the whole table walk-free
+    freshJvm()
+    val (cnt, walkedN) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(cnt == 7L && walkedN == 0L)
+  }
+
+  test("segments compact past the cap; deleted files' entries drop; old readers degrade") {
+    val dir = mkTable("jm_compactseg", 2)
+    JsonMeta.save(spark, dir.toString)
+    // accrete diff segments past MaxSegments; the save that sees the
+    // cap reached folds everything back into ONE segment
+    val reports = (1 to JsonMeta.MaxSegments + 2).map { i =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, f"x$i%02d.json"))
+      w.println(s"""{"id": ${1000 + i}, "src": "sx"}"""); w.close()
+      JsonMeta.save(spark, dir.toString)
+    }
+    assert(reports.exists(_.compacted), s"cap never triggered: $reports")
+    assert(reports.forall(_.segments <= JsonMeta.MaxSegments))
+    // diff segments between compactions carry exactly one entry
+    assert(reports.filterNot(_.compacted).forall(_.written == 1))
+    // the compacting save rewrote the live table and deleted the
+    // unreferenced segment files
+    val afterCompact = reports.zipWithIndex.find(_._1.compacted).get
+    assert(afterCompact._1.written == afterCompact._1.total)
+    // delete a file: its stale entry lingers harmlessly (fingerprint
+    // misses) until the next compaction drops it
+    assert(new java.io.File(dir, "p01.json").delete())
+    val live = 1 + JsonMeta.MaxSegments + 2
+    freshJvm()
+    val (cnt, w0) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(cnt == live.toLong && w0 == 0L,
+      s"stale deleted-file entry must not resurrect rows (count $cnt, walked $w0)")
+    // force the next compaction: the merged segment holds ONLY live files
+    (1 to JsonMeta.MaxSegments).foreach { i =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, f"y$i%02d.json"))
+      w.println(s"""{"id": ${2000 + i}, "src": "sy"}"""); w.close()
+      JsonMeta.save(spark, dir.toString)
+    }
+    val repC = JsonMeta.save(spark, dir.toString)
+    assert(repC.total == live + JsonMeta.MaxSegments)
+    val segFiles = new java.io.File(dir, "_graftjson_meta")
+      .listFiles().filter(_.getName.startsWith("seg-"))
+    assert(segFiles.length == repC.segments,
+      s"unreferenced segments must be deleted: ${segFiles.length} files vs ${repC.segments} refs")
+  }
+
+  test("deserialization allowlist: a planted meta of a disallowed class is rejected, not executed") {
+    val dir = mkTable("jm_hostile", 2)
+    JsonMeta.save(spark, dir.toString)
+    val metaDir = new java.io.File(dir, "_graftjson_meta")
+    val seg = metaDir.listFiles().filter(_.getName.startsWith("seg-")).head
+    // plant a serialized object OUTSIDE the allowlist (a well-formed
+    // java stream, so only the resolveClass gate can reject it)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new java.io.File("/tmp/gadget")) // java.io.* not allowed
+    oos.close()
+    val w = new java.io.FileOutputStream(seg)
+    w.write(bos.toByteArray); w.close()
+    freshJvm()
+    // the planted stream is treated as a corrupt segment: full walk,
+    // correct rows, no deserialization of the planted class
+    val (cnt, walkedN) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(cnt == 2L && walkedN == 2L)
+  }
+
+  test("compact(refreshMeta=true): meta rides the compaction's listing; walk-free after") {
+    val dir = mkTable("jm_unified", 4)
+    JsonMeta.save(spark, dir.toString)
+    val listingsBefore = JsonDocSource.listingRuns.get()
+    val (rep, w0) = walked {
+      JsonCompact.compact(spark, dir.toString, targetBytes = 1L << 20,
+        refreshMeta = true)
+    }
+    assert(rep.mergedInto == 1)
+    assert(JsonDocSource.listingRuns.get() == listingsBefore,
+      "the meta refresh must ride the compaction's own listing — one listing per maintenance cycle")
+    assert(w0 == 1L, s"the meta diff should walk only the merged file, walked $w0")
+    // the refreshed meta serves a fresh JVM walk-free
+    freshJvm()
+    val (cnt, w1) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(cnt == 4L && w1 == 0L,
+      s"post-compaction load should plan from the refreshed meta (walked $w1)")
   }
 
   test("compaction then save: merged file is the only walk; whole-mode never hits meta") {
