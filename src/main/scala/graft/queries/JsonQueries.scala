@@ -484,7 +484,52 @@ object JsonQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** NESTED-field zone pruning end to end ([[graft.sources.ZoneSkip]]
+    * dotted paths): the documents table exported as NDJSON with a
+    * nested `meta` struct (lang + char count), hash-clustered on lang
+    * so each output file holds a bounded language set, read back with
+    * `zonemaps=true` and a NESTED equality filter (`meta.lang`).
+    * Planning resolves the dotted chain through the per-file zones the
+    * inference job recorded and skips the files whose nested bounds /
+    * distinct sets exclude 'en' — while the aggregate (doc-id checksum
+    * included) must match DuckDB filtering the parquet original, so a
+    * wrongly skipped file flips the sums. The partitions<files pin
+    * lives in ZoneMapSpec ("nested-field zones"). */
+  private val q228Lock = new Object
+  private def q228Export(s: SparkSession, dir: String): String =
+    q228Lock.synchronized {
+      val path = graft.TempRoots.path(
+        s"graftjson_q228_${Integer.toHexString(dir.hashCode)}")
+      buildOnce(s, path) {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            struct(col("lang").as("lang"),
+              col("n_chars").as("n")).as("meta"))
+          .repartition(8, col("lang"))
+          .write.mode("overwrite").json(path)
+      }
+    }
+
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val out = q228Export(s, dir)
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .where(col("meta.lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("meta.n").cast("bigint")).as("sum_chars"),
+        sum(col("doc_id").cast("bigint") * 3).as("key_check"))
+      .orderBy(col("source"))
+  }
+
+  private val q228Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id * 3) AS BIGINT) AS key_check
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_nested_zonemap" -> (q228 _),
     "q227_json_compaction" -> (q227 _),
     "q210_graftjson_source" -> (q210 _),
     "q212_graftjson_splits" -> (q212 _),
@@ -502,6 +547,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q228_nested_zonemap" -> q228Sql,
     "q227_json_compaction" -> q227Sql,
     "q210_graftjson_source" -> q210Sql,
     "q212_graftjson_splits" -> q212Sql,

@@ -450,6 +450,11 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  // EVERY offered filter, ungated: zone-map reasoning is total and
+  // conservative (an unsupported shape simply never proves), and
+  // nested-attribute filters — which the row-level reader gate
+  // rejects — are exactly what nested zones prune on
+  private var offered: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pushedMeta: Option[(StructType, Seq[Any])] = None
 
   /** COUNT(*) / MIN / MAX with no grouping, no filters, answered from
@@ -485,6 +490,10 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   private lazy val freshListing: Seq[(String, Long, Long)] =
     JsonDocSource.listFiles(SparkSession.active, ps)
 
+  // dotted path → materialized type (nested chains included), the
+  // same consultation gate the scan's file skipping uses
+  private lazy val zonePaths = ZoneSkip.eligiblePaths(t)
+
   private def metaFromZones(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Any])] = {
@@ -510,8 +519,12 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     def topCol(
         e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
-      case nr: NamedReference if nr.fieldNames().length == 1 =>
-        Some(nr.fieldNames()(0))
+      // nested references resolve through the dotted-path map: the
+      // joined rendering is exactly the walker's zone key, and only
+      // structs-only chains (within the depth cap, collision-free)
+      // are present in it
+      case nr: NamedReference =>
+        Some(nr.fieldNames().mkString(".")).filter(zonePaths.contains)
       case _ => None
     }
     def eligible(dt: DataType): Boolean = dt match {
@@ -520,8 +533,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       case _ => false
     }
     def bound(name: String, wantMax: Boolean): Option[(DataType, Any)] = {
-      val dt = full.fields.find(_.name == name).map(_.dataType)
-        .filter(eligible)
+      val dt = zonePaths.get(name).filter(eligible)
       dt.flatMap { d =>
         if (fileZones.exists(_.dirty) || !boundsAnswerable) None
         else {
@@ -591,6 +603,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pushed = filters.filter(JsonDocFilters.supports(_, full))
+    offered = filters
     filters // all residual — see scaladoc
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
@@ -598,8 +611,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   override def build(): Scan = pushedMeta match {
     case Some((schema, values)) => new JsonDocMetaScan(ps, schema, values)
     case None =>
-      new JsonDocScan(ps, whole, t, full, required, pushed, maxSplitBytes,
-        zones, fingerprint)
+      new JsonDocScan(ps, whole, t, full, required, pushed, offered,
+        maxSplitBytes, zones, fingerprint)
   }
 }
 
@@ -641,6 +654,7 @@ private case class JsonDocMetaReaderFactory() extends PartitionReaderFactory {
 private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           full: StructType, required: StructType,
                           pushed: Array[org.apache.spark.sql.sources.Filter],
+                          offered: Array[org.apache.spark.sql.sources.Filter],
                           maxSplitBytes: Option[Long],
                           zones: Option[ZoneStats.ZoneMap],
                           fingerprint: Seq[(String, Long, Long)])
@@ -648,6 +662,9 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   // load-time (path → (length, mtime)) for the stale-zone guard below
   private val fpMap: Map[String, (Long, Long)] =
     fingerprint.map { case (p, l, m) => p -> ((l, m)) }.toMap
+  // dotted path → materialized type, the zone-consultation gate
+  // (nested chains included) — one walk of the KB-sized HType
+  private lazy val zonePaths = ZoneSkip.eligiblePaths(t)
   /** Runtime (join-derived) filters, merged into the readers' pushed
     * set under the same best-effort contract: a runtime filter comes
     * from the JOIN's build side (dynamic pruning), so the join itself
@@ -656,13 +673,18 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     * ignoring an unsupported shape is always safe. */
   private var runtimePushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+  // ungated twin for zone reasoning, like `offered` vs `pushed`
+  private var runtimeOffered: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     full.fields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
   override def filter(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtimePushed = filters.filter(JsonDocFilters.supports(_, full))
+    runtimeOffered = filters
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -690,13 +712,13 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     // differs from the load-time fingerprint the zone was built for:
     // a post-load append would otherwise be pruned by bounds that
     // never saw its rows (review r11)
-    val skippable = pushed ++ runtimePushed
+    val skippable = offered ++ runtimeOffered
     def zoneSkips(p: String, len: Long, mtime: Long): Boolean =
       zones.exists(zm =>
         skippable.nonEmpty &&
           fpMap.get(p).contains((len, mtime)) &&
           zm.get(p).exists(z =>
-            !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, full))))
+            !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, zonePaths))))
     JsonDocSource.listFiles(spark, ps).flatMap { case (p, len, mtime) =>
       if (zoneSkips(p, len, mtime)) {
         JsonDocSource.zoneSkippedFiles.incrementAndGet()

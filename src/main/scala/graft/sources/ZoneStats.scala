@@ -260,10 +260,26 @@ object ZoneStats {
     try new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString
     catch { case _: Exception => new org.apache.hadoop.fs.Path(f).toString }
 
+  /** Deepest zone path recorded, in SEGMENTS (a leaf at depth
+    * [[MaxPathDepth]] has that many dot-joined segments). The walker
+    * and the eligibility map ([[ZoneSkip.eligiblePaths]]) MUST share
+    * this cap: a path the map offers but the walker never recorded
+    * would read as "all null" and mis-prove IsNotNull skips. */
+  private[sources] val MaxPathDepth = 8
+
   /** Walk every document concatenated in one input unit (an NDJSON
-    * line, or a whole file's text), folding top-level scalar values
-    * into the zone. Non-object roots record under the `value` column
-    * the materializer wraps them in. */
+    * line, or a whole file's text), folding scalar values into the
+    * zone under their DOTTED path — top-level fields as before, and
+    * fields of nested objects as `parent.child` down to
+    * [[MaxPathDepth]] segments (the shredder's path vocabulary,
+    * reference JsonShredder.java:64-81). A nested object ALSO records
+    * an `addOther` at its own path (the object itself materializes
+    * non-null there — IsNull reasoning needs the sighting); arrays
+    * stay opaque (positional semantics — their elements' paths are
+    * not column paths). Non-object roots record under the `value`
+    * column the materializer wraps them in. Duplicate keys at ANY
+    * depth set the file's dupKey flag: a repeated key double-counts
+    * sightings, which would break the sightings==units null proof. */
   private[sources] def walkUnit(text: String, into: FileZone): FileZone = {
     if (text == null || text.trim.isEmpty) return into
     var z = into
@@ -275,26 +291,44 @@ object ZoneStats {
           var fields = z.fields
           var docs = z.docs + 1
           var dup = z.dupKey
+          // fold the object whose START_OBJECT was just consumed,
+          // prefixing its field paths with `prefix` (empty at root);
+          // depth = segments already in the prefix
+          def foldObject(prefix: String, depth: Int): Unit = {
+            val seen = new java.util.HashSet[String]()
+            while (p.nextToken() != JsonToken.END_OBJECT) {
+              val name = p.currentName()
+              if (!seen.add(name)) dup = true
+              val path = if (prefix.isEmpty) name else s"$prefix.$name"
+              def at = fields.getOrElse(path, emptyField)
+              p.nextToken() match {
+                case JsonToken.VALUE_NUMBER_INT |
+                     JsonToken.VALUE_NUMBER_FLOAT =>
+                  fields = fields.updated(path,
+                    at.addNum(new JBigDecimal(p.getText)))
+                case JsonToken.VALUE_STRING =>
+                  fields = fields.updated(path, at.addStr(p.getText))
+                case JsonToken.VALUE_NULL => ()
+                case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE =>
+                  fields = fields.updated(path, at.addOther)
+                case JsonToken.START_OBJECT =>
+                  // the object itself is a non-null sighting at its
+                  // own path; its fields fold at path.child while the
+                  // depth budget lasts, opaque beyond it
+                  fields = fields.updated(path, at.addOther)
+                  if (depth + 1 < MaxPathDepth) foldObject(path, depth + 1)
+                  else p.skipChildren()
+                case JsonToken.START_ARRAY =>
+                  p.skipChildren()
+                  fields = fields.updated(path, at.addOther)
+                case _ =>
+                  fields = fields.updated(path, at.addOther)
+              }
+            }
+          }
           tok match {
             case JsonToken.START_OBJECT =>
-              val seen = new java.util.HashSet[String]()
-              while (p.nextToken() != JsonToken.END_OBJECT) {
-                val name = p.currentName()
-                if (!seen.add(name)) dup = true
-                val f = fields.getOrElse(name, emptyField)
-                fields = fields.updated(name, p.nextToken() match {
-                  case JsonToken.VALUE_NUMBER_INT |
-                       JsonToken.VALUE_NUMBER_FLOAT =>
-                    f.addNum(new JBigDecimal(p.getText))
-                  case JsonToken.VALUE_STRING => f.addStr(p.getText)
-                  case JsonToken.VALUE_NULL => f
-                  case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE =>
-                    f.addOther
-                  case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
-                    p.skipChildren(); f.addOther
-                  case _ => f.addOther
-                })
-              }
+              foldObject("", 0)
             case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
               fields = fields.updated("value",
                 fields.getOrElse("value", emptyField)
@@ -381,12 +415,69 @@ class ZoneFileAgg
 }
 
 /** Decides whether a pushed filter PROVABLY matches no row of a file,
-  * given the file's zone and the table's final schema (which fixes
-  * each column's materialized representation — the soundness gate). */
+  * given the file's zone and a map of each consultable column PATH to
+  * its materialized type (which fixes the soundness gate). Paths are
+  * the dotted vocabulary the zone walker records — top-level names
+  * and nested `parent.child` chains — exactly matching the attribute
+  * rendering Spark's nested predicate pushdown hands to V1 filters. */
 object ZoneSkip {
   import ZoneStats.{FieldZone, FileZone}
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types._
+
+  /** Every zone-consultable column path of a table, with its
+    * materialized type: all dotted paths reachable through STRUCT
+    * nodes only (a union-encoded field stops the chain — its filters
+    * arrive as `x.u0.y`, not a JSON path), capped at
+    * [[ZoneStats.MaxPathDepth]] segments exactly like the walker (a
+    * deeper path the walker never recorded would read as all-null and
+    * mis-prove an IsNotNull skip).
+    *
+    * COLLISION SOUNDNESS: a field name containing a literal '.'
+    * renders the same dotted string as a genuine nested chain
+    * (`{"a.b": 1}` vs `{"a": {"b": 1}}`), and the walker folds both
+    * into ONE zone entry. Merged bounds/sets are supersets (skips
+    * only get harder — sound), but the sightings count is INFLATED,
+    * which could mis-prove the sightings==units IsNull skip. Any
+    * rendering produced by more than one distinct path is therefore
+    * dropped entirely. */
+  def eligiblePaths(t: graft.types.HType): Map[String, DataType] = {
+    val routes = scala.collection.mutable.HashMap.empty[String, Int]
+    val types = scala.collection.mutable.HashMap.empty[String, DataType]
+    def walk(prefix: String, segs: Int, ht: graft.types.HType): Unit =
+      ht match {
+        case s: graft.types.HStruct if segs < ZoneStats.MaxPathDepth =>
+          s.fields.foreach { case (name, child) =>
+            val p = if (prefix.isEmpty) name else s"$prefix.$name"
+            // a literal '.' in the name makes the rendering span extra
+            // segments — count them so the depth cap matches what a
+            // pure nested chain of the same rendering would have
+            val childSegs = segs + 1 + name.count(_ == '.')
+            if (childSegs <= ZoneStats.MaxPathDepth) {
+              routes(p) = routes.getOrElse(p, 0) + 1
+              types(p) = graft.infer.Materialize.toMaterializableSparkType(child)
+              walk(p, childSegs, child)
+            }
+          }
+        case _ => ()
+      }
+    walk("", 0, t)
+    // a non-struct-materializing root is wrapped in a `value` column,
+    // which is also the walker's key for non-object roots (a UNION
+    // root materializes as its own struct — no wrap, no entry)
+    graft.infer.Materialize.toMaterializableSparkType(t) match {
+      case _: StructType => ()
+      case other =>
+        routes("value") = routes.getOrElse("value", 0) + 1
+        types("value") = other
+    }
+    types.iterator.filter { case (p, _) => routes(p) == 1 }.toMap
+  }
+
+  /** Top-level-only view (spec convenience + the pre-nested call
+    * shape): each field of the schema by its own name. */
+  def topLevelPaths(schema: StructType): Map[String, DataType] =
+    schema.fields.map(f => f.name -> f.dataType).toMap
 
   /** Exact-decimal view of a filter literal, or None when the class
     * does not convert exactly (Double/Float literals never prove). */
@@ -412,17 +503,24 @@ object ZoneSkip {
     case _ => false
   }
 
-  private def colType(schema: StructType, name: String): Option[DataType] =
-    schema.fields.find(_.name == name).map(_.dataType)
+  private def colType(types: Map[String, DataType],
+                      name: String): Option[DataType] = types.get(name)
 
   private def prefixSuccessor(p: String): Option[String] =
     ZoneStats.prefixSuccessor(p)
 
+  /** Spec-facing/legacy shape: top-level columns only. */
+  def provablyEmpty(f: Filter, zone: FileZone, schema: StructType): Boolean =
+    provablyEmpty(f, zone, topLevelPaths(schema))
+
   /** true ⟹ no row of this file can satisfy `f`. Never called for
     * dirty files (the scan guards). A comparison/IN/prefix on an
     * all-null column (present==0 && others==0) is provably false for
-    * every row — SQL null semantics. */
-  def provablyEmpty(f: Filter, zone: FileZone, schema: StructType): Boolean = {
+    * every row — SQL null semantics. Attribute names resolve through
+    * the `schema` PATH map ([[eligiblePaths]]) — nested chains
+    * included. */
+  def provablyEmpty(f: Filter, zone: FileZone,
+                    schema: Map[String, DataType]): Boolean = {
     def fz(a: String): FieldZone = zone.fields.getOrElse(a, ZoneStats.emptyField)
     def allNull(a: String): Boolean = {
       val z = fz(a); z.present == 0 && z.others == 0

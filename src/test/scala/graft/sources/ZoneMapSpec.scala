@@ -467,6 +467,128 @@ class ZoneMapSpec extends SparkTestBase {
     assert(dup.strSet == Set("same") && dup.present == 200L)
   }
 
+  test("nested-field zones: a nested predicate skips whole files; results exact") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_nested_e2e"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("f1.json", """{"id": 1, "meta": {"src": "a", "n": 10}}""",
+      """{"id": 2, "meta": {"src": "a", "n": 20}}""")
+    put("f2.json", """{"id": 3, "meta": {"src": "b", "n": 30}}""")
+    put("f3.json", """{"id": 4, "meta": {"src": "c", "n": 40}}""")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.where(col("meta.src") === "b").select(col("id"))
+    assert(q.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(3L))
+    // only f2 was scanned: the nested equality pruned the other files
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case other => other.children.flatMap(scans)
+    }
+    assert(scans(q.queryExecution.executedPlan).head.partitions.size == 1,
+      "nested predicate should zone-prune to the single matching file")
+    // nested range predicate prunes by the nested numeric bounds
+    val r = zdf.where(col("meta.n") > 35).select(col("id"))
+    assert(r.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(4L))
+    assert(scans(r.queryExecution.executedPlan).head.partitions.size == 1)
+  }
+
+  test("nested MIN/MAX and IsNull answer from zones; union chains and deep paths never do") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_nested_meta"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "f.json"))
+    w.println("""{"id": 1, "meta": {"src": "a", "n": 10}}""")
+    w.println("""{"id": 2, "meta": {"src": "z", "n": 42}}""")
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val m = zdf.agg(min(col("meta.n")).as("lo"), max(col("meta.n")).as("hi"),
+      max(col("meta.src")).as("s"))
+    val row = m.collect()(0)
+    assert(row.getAs[Number](0).longValue == 10L &&
+      row.getAs[Number](1).longValue == 42L && row.getString(2) == "z")
+    assert(m.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "nested min/max must answer from zone metadata")
+    // IsNotNull on the intermediate struct path prunes an all-null file
+    val dir2 = new java.io.File(graft.TempRoots.path("zm_nested_null"))
+    dir2.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val p = new java.io.PrintWriter(new java.io.File(dir2, file))
+      lines.foreach(p.println); p.close()
+    }
+    put("has.json", """{"id": 1, "meta": {"src": "a"}}""")
+    put("not.json", """{"id": 2}""")
+    val z2 = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir2.toString)
+    val before = JsonDocSource.zoneSkippedFiles.get()
+    val got = z2.where(col("meta").isNotNull).select(col("id")).collect()
+    assert(got.map(_.getAs[Number](0).longValue).toSeq == Seq(1L))
+    assert(JsonDocSource.zoneSkippedFiles.get() > before,
+      "IsNotNull(meta) should zone-skip the file where meta never appears")
+  }
+
+  test("eligiblePaths: collision drop, depth cap, union stop, value wrap") {
+    import graft.infer.JsonInfer
+    import graft.types.HType
+    def infer(docs: String*): HType =
+      docs.map(JsonInfer.inferDoc).reduce(HType.merge(_, _)).canonical
+    // literal-dot field collides with the nested chain: BOTH drop
+    val coll = ZoneSkip.eligiblePaths(infer(
+      """{"a.b": 1}""", """{"a": {"b": 2}}"""))
+    assert(!coll.contains("a.b"))
+    assert(coll.contains("a"), "the unambiguous parent survives")
+    // depth cap matches the walker: segments beyond MaxPathDepth absent
+    val deepDoc = (1 to ZoneStats.MaxPathDepth + 2)
+      .foldRight("""1""")((i, acc) => s"""{"d$i": $acc}""")
+    val deep = ZoneSkip.eligiblePaths(infer(deepDoc))
+    val within = (1 to ZoneStats.MaxPathDepth).map(i =>
+      (1 to i).map(j => s"d$j").mkString("."))
+    within.foreach(p => assert(deep.contains(p), s"missing $p"))
+    assert(!deep.keys.exists(_.count(_ == '.') >= ZoneStats.MaxPathDepth),
+      "paths beyond the walker's depth cap must not be offered")
+    // a union-typed field stops the chain (its children are u0/u1
+    // branches, not JSON paths)
+    val uni = ZoneSkip.eligiblePaths(infer(
+      """{"u": {"x": 1}}""", """{"u": 5}"""))
+    assert(uni.contains("u") && !uni.keys.exists(_.startsWith("u.")))
+    // non-object roots register the wrapping `value` column
+    val wrap = ZoneSkip.eligiblePaths(infer("42"))
+    assert(wrap.keySet == Set("value"))
+  }
+
+  test("walkUnit nested: dotted paths, parent sightings, nested dup keys, array opacity") {
+    val z = ZoneStats.walkUnit(
+      """{"meta": {"src": "a", "n": 7, "deep": {"k": 1}}, "tags": [1, 2]}""",
+      ZoneStats.emptyFile.copy(units = 1))
+    assert(z.fields("meta.src").strMin == "a")
+    assert(z.fields("meta.n").numMin.longValueExact == 7L)
+    assert(z.fields("meta.deep.k").numMin.longValueExact == 1L)
+    // the nested objects record non-null sightings at their own paths
+    assert(z.fields("meta").others == 1L && z.fields("meta.deep").others == 1L)
+    // arrays are opaque: a sighting at the array's path, no children
+    assert(z.fields("tags").others == 1L)
+    assert(!z.fields.keys.exists(_.startsWith("tags.")))
+    // duplicate keys at nested depth set the file flag
+    val dup = ZoneStats.walkUnit(
+      """{"m": {"x": 1, "x": 2}}""", ZoneStats.emptyFile.copy(units = 1))
+    assert(dup.dupKey, "nested duplicate keys must poison count-based proofs")
+    // deep nesting beyond the cap is opaque at the cap boundary
+    val deepDoc = (1 to ZoneStats.MaxPathDepth + 2)
+      .foldRight("""1""")((i, acc) => s"""{"d$i": $acc}""")
+    val deep = ZoneStats.walkUnit(deepDoc, ZoneStats.emptyFile.copy(units = 1))
+    val capPath = (1 to ZoneStats.MaxPathDepth).map(i => s"d$i").mkString(".")
+    assert(deep.fields.contains(capPath))
+    assert(!deep.fields.keys.exists(_.count(_ == '.') >= ZoneStats.MaxPathDepth),
+      "the walker must not record past its depth cap")
+  }
+
   test("planning aggregation is sharded by file: grouped partial+final, per-file buffers") {
     import org.apache.spark.sql.Encoders
     val pairs = spark.createDataset(Seq(
