@@ -528,7 +528,49 @@ object JsonQueries {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** FILTERED COUNT(*) metadata pushdown end to end: the documents
+    * table exported one NDJSON file PER LANGUAGE (the per-tenant /
+    * per-day ingest layout), read back with `zonemaps=true` and
+    * `WHERE lang = 'en'` — a filter the reader evaluates EXACTLY
+    * (string equality), so no residual Filter remains and Spark
+    * attempts aggregate pushdown; every file's zone then decides
+    * all-match (its whole unit count) or provably-empty (zero), and
+    * the count answers from metadata with zero data read. The
+    * plan-shape pin (PushedAggregation present; decline on a mixed
+    * file) lives in ZoneMapSpec; this query proves the answer equals
+    * DuckDB counting the parquet original. */
+  private val q229Lock = new Object
+  private def q229Export(s: SparkSession, dir: String): String =
+    q229Lock.synchronized {
+      val path = graft.TempRoots.path(
+        s"graftjson_q229_${Integer.toHexString(dir.hashCode)}")
+      buildOnce(s, path) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        // one file per language label — a bounded driver loop (the
+        // label set is small by construction), each append writing one
+        // single-lang file so zones can DECIDE every file
+        val langs = docs.select(col("lang")).where(col("lang").isNotNull)
+          .distinct().collect().map(_.getString(0)).sorted
+        langs.foreach { l =>
+          docs.where(col("lang") === l)
+            .coalesce(1).write.mode("append").json(path)
+        }
+      }
+    }
+
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val out = q229Export(s, dir)
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .where(col("lang") === "en")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val q229Sql =
+    "SELECT count(*) AS n_docs FROM documents WHERE lang = 'en'"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_filtered_count" -> (q229 _),
     "q228_nested_zonemap" -> (q228 _),
     "q227_json_compaction" -> (q227 _),
     "q210_graftjson_source" -> (q210 _),
@@ -547,6 +589,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q229_filtered_count" -> q229Sql,
     "q228_nested_zonemap" -> q228Sql,
     "q227_json_compaction" -> q227Sql,
     "q210_graftjson_source" -> q210Sql,

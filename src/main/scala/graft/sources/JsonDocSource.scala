@@ -500,12 +500,42 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (zones.isEmpty || pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+    if (zones.isEmpty || agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty) return None
     val current = freshListing
     if (current != fingerprint) return None
     val zm = zones.get
     val fileZones = current.flatMap { case (p, _, _) => zm.get(p) }
+    // every listed file must carry a zone — an answer must account
+    // for every row the scan would emit
+    if (fileZones.size != current.size) return None
+    // FILTERED COUNT(*): Spark only attempts aggregate pushdown when
+    // no residual Filter remains, so a non-empty pushed set here is
+    // the query's ENTIRE conjunction and every member was exact
+    // (fully pushed). The zones must DECIDE each file: all-match
+    // (every row satisfies every conjunct → contributes its full unit
+    // count) or provably-empty (contributes zero); one undecidable
+    // file declines the push and the ordinary scan runs. Bounds-based
+    // MIN/MAX never answer under filters — the recorded bounds
+    // describe the unfiltered corpus.
+    if (pushed.nonEmpty) {
+      if (!agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+        return None
+      if (fileZones.exists(_.dirty)) return None
+      val perFile = fileZones.map { z =>
+        if (pushed.forall(ZoneSkip.provablyAllMatch(_, z, zonePaths)))
+          Some(z.units)
+        else if (pushed.exists(ZoneSkip.provablyEmpty(_, z, zonePaths)))
+          Some(0L)
+        else None
+      }
+      if (perFile.exists(_.isEmpty)) return None
+      val n = java.lang.Long.valueOf(perFile.flatten.sum)
+      return Some((
+        StructType(agg.aggregateExpressions().indices.map(i =>
+          StructField(s"count_$i", LongType, nullable = false))),
+        agg.aggregateExpressions().indices.map(_ => n: Any)))
+    }
     // a line carrying several concatenated docs folds values the scan
     // never materializes (the reader takes the line's FIRST doc):
     // superset bounds are sound for skipping but WRONG for answering
@@ -594,17 +624,21 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // because the field's type is unchanged.
     required = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
-  /** BEST-EFFORT pushdown, the parquet row-group-stats contract: the
-    * source skips non-matching rows before Catalyst serialization
-    * (saving the conversion + shipping of every filtered row), but
-    * every filter is ALSO returned as residual so Spark keeps its
-    * Filter node — correctness never depends on the source's
-    * evaluation, only row volume does. */
+  /** Two-tier pushdown. EXACT filters ([[JsonDocFilters.exact]] —
+    * keeps ⟺ the engine's own TRUE) are FULLY pushed: the reader's
+    * evaluation is the correctness path and no residual Filter
+    * remains, which is what lets Spark attempt COUNT(*) aggregate
+    * pushdown under a WHERE clause. Everything else keeps the
+    * parquet row-group-stats contract: best-effort early skipping
+    * with the filter ALSO returned as residual, so Spark's Filter
+    * node owns correctness and the source only reduces row volume. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
+    // exact ⊆ supports (structurally tighter gates), so the reader
+    // evaluates every fully-pushed filter
     pushed = filters.filter(JsonDocFilters.supports(_, full))
     offered = filters
-    filters // all residual — see scaladoc
+    filters.filterNot(JsonDocFilters.exact(_, full))
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
@@ -781,6 +815,65 @@ private object JsonDocFilters {
 
   private def stringCol(schema: StructType, name: String): Boolean =
     schema.fields.exists(f => f.name == name && f.dataType == StringType)
+
+  /** The EXACT subset of [[supports]]: filters whose [[keeps]]
+    * evaluation provably coincides with the engine's own (keeps ⟺ the
+    * predicate evaluates TRUE), so the source may claim them FULLY
+    * pushed — no residual Filter — which is what lets Spark attempt
+    * aggregate pushdown under a WHERE clause. Exactness holds when
+    * the literal's runtime class matches the column's external class
+    * bit-for-bit in comparison semantics:
+    *   - integral columns (byte/short/int/long) with same-class
+    *     literals — Comparable.compareTo IS the engine's ordering;
+    *   - string columns — [[keeps]] compares UTF-8-sanitized
+    *     code-points, exactly UTF8String's binary order, and UTF-8's
+    *     self-synchronization makes char-level prefix/suffix/contains
+    *     coincide with the engine's byte-level probes;
+    *   - boolean columns with Boolean literals;
+    *   - IsNull/IsNotNull on any atomic column (only null-ness
+    *     matters);
+    *   - In with every element null-or-matching-class (a null element
+    *     yields SQL null for non-matching rows — dropped either way);
+    *   - And/Or of exact legs (keeps ⟺ TRUE composes through both).
+    * Deliberately excluded: float/double (NaN: compareTo says equal,
+    * SQL says not), decimal and timestamp (literal class varies by
+    * plan shape), and every nested attribute (keeps indexes top-level
+    * columns only). */
+  def exact(f: Filter, schema: StructType): Boolean = {
+    def cls(name: String, v: Any): Boolean = v != null &&
+      schema.fields.find(_.name == name).exists(fd => (fd.dataType, v) match {
+        case (ByteType, _: java.lang.Byte) => true
+        case (ShortType, _: java.lang.Short) => true
+        case (IntegerType, _: java.lang.Integer) => true
+        case (LongType, _: java.lang.Long) => true
+        case (StringType, _: String) => true
+        case (BooleanType, _: java.lang.Boolean) => true
+        case _ => false
+      })
+    def exactCol(name: String): Boolean =
+      schema.fields.exists(fd => fd.name == name && (fd.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType |
+             BooleanType => true
+        case _ => false
+      }))
+    f match {
+      case IsNull(a) => atomic(schema, a)
+      case IsNotNull(a) => atomic(schema, a)
+      case EqualTo(a, v) => cls(a, v)
+      case EqualNullSafe(a, v) => (v == null && atomic(schema, a)) || cls(a, v)
+      case GreaterThan(a, v) => cls(a, v)
+      case GreaterThanOrEqual(a, v) => cls(a, v)
+      case LessThan(a, v) => cls(a, v)
+      case LessThanOrEqual(a, v) => cls(a, v)
+      case In(a, vs) => exactCol(a) && vs.forall(v => v == null || cls(a, v))
+      case StringStartsWith(a, _) => stringCol(schema, a)
+      case StringEndsWith(a, _) => stringCol(schema, a)
+      case StringContains(a, _) => stringCol(schema, a)
+      case Or(l, r) => exact(l, schema) && exact(r, schema)
+      case And(l, r) => exact(l, schema) && exact(r, schema)
+      case _ => false
+    }
+  }
 
   def supports(f: Filter, schema: StructType): Boolean = f match {
     case EqualTo(a, _) => atomic(schema, a)

@@ -513,6 +513,115 @@ object ZoneSkip {
   def provablyEmpty(f: Filter, zone: FileZone, schema: StructType): Boolean =
     provablyEmpty(f, zone, topLevelPaths(schema))
 
+  /** true ⟹ EVERY row this file's scan emits satisfies `f` — the
+    * complement of [[provablyEmpty]], the second leg of filtered
+    * COUNT(*) metadata answering (all-match files contribute their
+    * full unit count, provably-empty files contribute zero, anything
+    * undecidable declines the push). Never called for dirty files.
+    *
+    * Value proofs need FULL PRESENCE: every scan row carries a value
+    * at the path (present == units, no multiDoc/dupKey inflation, no
+    * blank lines — they bump units without sightings, correctly
+    * blocking), since a null row fails every comparison. Set proofs
+    * (⊆ the filter's values) tolerate the length-capped bounds;
+    * bound proofs tolerate strInexact because loosening only makes
+    * the proof harder (a loosened min above the literal puts the true
+    * min above it too). */
+  def provablyAllMatch(f: Filter, zone: FileZone,
+                       schema: Map[String, DataType]): Boolean = {
+    def fz(a: String): FieldZone = zone.fields.getOrElse(a, ZoneStats.emptyField)
+    val counted = !zone.multiDoc && !zone.dupKey
+    def numFull(a: String): Option[FieldZone] =
+      colType(schema, a).filter(numeric).map(_ => fz(a)).filter(z =>
+        counted && z.others == 0 && z.present > 0 && z.present == zone.units)
+    def strFull(a: String): Option[FieldZone] =
+      colType(schema, a).filter(_ == StringType).map(_ => fz(a)).filter(z =>
+        counted && z.others == 0 && z.present > 0 && z.present == zone.units)
+    f match {
+      case EqualTo(a, v) => exactNum(v) match {
+        case Some(n) => numFull(a).exists(z =>
+          z.numSet != null && z.numSet == Set(n.stripTrailingZeros))
+        case None => v match {
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+            strFull(a).exists(z => z.strSet != null && z.strSet == Set(s))
+          case _ => false
+        }
+      }
+      case In(a, vs) => vs != null && vs.nonEmpty && {
+        val nums = vs.flatMap(v => exactNum(v))
+        if (nums.length == vs.length)
+          numFull(a).exists(z => z.numSet != null &&
+            z.numSet.subsetOf(nums.map(_.stripTrailingZeros).toSet))
+        else if (vs.forall(_.isInstanceOf[String]))
+          strFull(a).exists(z => z.strSet != null && z.strSet.subsetOf(
+            vs.iterator.map(v => ZoneStats.utf8Sanitize(v.asInstanceOf[String])).toSet))
+        else false
+      }
+      case GreaterThan(a, v) => exactNum(v) match {
+        case Some(n) => numFull(a).exists(z =>
+          z.numMin != null && z.numMin.compareTo(n) > 0)
+        case None => v match {
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+            strFull(a).exists(z => z.strMin != null &&
+              ZoneStats.cpCompare(z.strMin, s) > 0)
+          case _ => false
+        }
+      }
+      case GreaterThanOrEqual(a, v) => exactNum(v) match {
+        case Some(n) => numFull(a).exists(z =>
+          z.numMin != null && z.numMin.compareTo(n) >= 0)
+        case None => v match {
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+            strFull(a).exists(z => z.strMin != null &&
+              ZoneStats.cpCompare(z.strMin, s) >= 0)
+          case _ => false
+        }
+      }
+      case LessThan(a, v) => exactNum(v) match {
+        case Some(n) => numFull(a).exists(z =>
+          z.numMax != null && z.numMax.compareTo(n) < 0)
+        case None => v match {
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+            strFull(a).exists(z => z.strMax != null &&
+              ZoneStats.cpCompare(z.strMax, s) < 0)
+          case _ => false
+        }
+      }
+      case LessThanOrEqual(a, v) => exactNum(v) match {
+        case Some(n) => numFull(a).exists(z =>
+          z.numMax != null && z.numMax.compareTo(n) <= 0)
+        case None => v match {
+          case raw: String => val s = ZoneStats.utf8Sanitize(raw)
+            strFull(a).exists(z => z.strMax != null &&
+              ZoneStats.cpCompare(z.strMax, s) <= 0)
+          case _ => false
+        }
+      }
+      case IsNotNull(a) =>
+        // any column type: sightings == rows ⟹ every row non-null
+        counted && {
+          val z = fz(a); z.present + z.others == zone.units
+        }
+      case IsNull(a) =>
+        // zero sightings ⟹ every row null (sound even under multiDoc:
+        // concatenation only ever ADDS sightings)
+        colType(schema, a).isDefined && {
+          val z = fz(a); z.present == 0 && z.others == 0
+        }
+      case EqualNullSafe(a, v) =>
+        if (v == null) provablyAllMatch(IsNull(a), zone, schema)
+        else provablyAllMatch(EqualTo(a, v), zone, schema)
+      case StringStartsWith(a, rawP) =>
+        val p = ZoneStats.utf8Sanitize(rawP)
+        strFull(a).exists(z => z.strSet != null && z.strSet.forall(_.startsWith(p)))
+      case And(l, r) =>
+        provablyAllMatch(l, zone, schema) && provablyAllMatch(r, zone, schema)
+      case Or(l, r) =>
+        provablyAllMatch(l, zone, schema) || provablyAllMatch(r, zone, schema)
+      case _ => false
+    }
+  }
+
   /** true ⟹ no row of this file can satisfy `f`. Never called for
     * dirty files (the scan guards). A comparison/IN/prefix on an
     * all-null column (present==0 && others==0) is provably false for

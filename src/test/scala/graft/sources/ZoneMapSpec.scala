@@ -467,6 +467,99 @@ class ZoneMapSpec extends SparkTestBase {
     assert(dup.strSet == Set("same") && dup.present == 200L)
   }
 
+  test("filtered COUNT(*) answers from zones when every file is decided; declines otherwise") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_filtered_count"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    // single-source files: every file is all-match or provably empty
+    put("fa.json", """{"src": "a", "n": 1}""", """{"src": "a", "n": 2}""")
+    put("fb.json", """{"src": "b", "n": 3}""")
+    put("fc.json", """{"src": "c", "n": 4}""", """{"src": "c", "n": 5}""",
+      """{"src": "c", "n": 6}""")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.where(col("src") === "c").agg(count(lit(1)).as("n"))
+    assert(q.collect()(0).getLong(0) == 3L)
+    assert(q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "single-source files decide every file: the count must answer from metadata\n" +
+        q.queryExecution.executedPlan.toString)
+    // range predicate: bounds decide every file (n fully present)
+    val r = zdf.where(col("n") >= 3L).agg(count(lit(1)).as("n"))
+    assert(r.collect()(0).getLong(0) == 4L)
+    assert(r.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    // provably-empty everywhere: zero, still metadata-answered
+    val z0 = zdf.where(col("src") === "zzz").agg(count(lit(1)).as("n"))
+    assert(z0.collect()(0).getLong(0) == 0L)
+    assert(z0.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    // DECLINE: a mixed file (both 'a' and 'b') is neither all-match
+    // nor empty for src='a' — the ordinary scan runs, result correct
+    put("fmix.json", """{"src": "a", "n": 7}""", """{"src": "b", "n": 8}""")
+    val zdf2 = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val d = zdf2.where(col("src") === "a").agg(count(lit(1)).as("n"))
+    assert(d.collect()(0).getLong(0) == 3L)
+    assert(!d.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "an undecidable file must decline the filtered count push")
+    // DECLINE: min/max never answer under a filter (bounds describe
+    // the unfiltered corpus)
+    val mm = zdf2.where(col("src") === "c").agg(min(col("n")).as("lo"))
+    assert(mm.collect()(0).getAs[Number](0).longValue == 4L)
+    assert(!mm.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    // DECLINE: a null-bearing file cannot prove all-match (null row
+    // fails the equality), and IS-NULL rows count correctly
+    val dir2 = new java.io.File(graft.TempRoots.path("zm_fc_nulls"))
+    dir2.mkdirs()
+    def put2(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir2, file))
+      lines.foreach(w.println); w.close()
+    }
+    put2("g1.json", """{"src": "a", "n": 1}""", """{"src": null, "n": 2}""")
+    val z3 = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir2.toString)
+    val dn = z3.where(col("src") === "a").agg(count(lit(1)).as("n"))
+    assert(dn.collect()(0).getLong(0) == 1L)
+    assert(!dn.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    // IsNotNull all-match / IsNull proofs
+    val inn = z3.where(col("n").isNotNull).agg(count(lit(1)).as("n"))
+    assert(inn.collect()(0).getLong(0) == 2L)
+    assert(inn.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "n is present in every row: IsNotNull is all-match")
+  }
+
+  test("q229 plans as a metadata-answered filtered count on real data") {
+    val df = graft.queries.JsonQueries.queries("q229_filtered_count")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.collect()(0).getLong(0) > 0L)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "per-lang files must let the filtered count answer from metadata:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("exact filters are fully pushed (no residual Filter); best-effort ones keep theirs") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_exact_push"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "f.json"))
+    w.println("""{"s": "alpha", "d": 1.5}""")
+    w.println("""{"s": "beta", "d": 2.5}""")
+    w.close()
+    val df = spark.read.format("graftjson").load(dir.toString)
+    // string equality is exact → no Filter node survives
+    val qe = df.where(col("s") === "alpha").select(col("s"))
+    val planE = qe.queryExecution.executedPlan.toString
+    assert(!planE.contains("Filter ("),
+      s"exact string equality should be fully pushed:\n$planE")
+    assert(qe.collect().map(_.getString(0)).toSeq == Seq("alpha"))
+    // decimal comparison is NOT exact (literal class varies) → residual
+    val qd = df.where(col("d") > 2.0).select(col("s"))
+    val planD = qd.queryExecution.executedPlan.toString
+    assert(planD.contains("Filter"),
+      s"decimal comparisons must keep their residual Filter:\n$planD")
+    assert(qd.collect().map(_.getString(0)).toSeq == Seq("beta"))
+  }
+
   test("nested-field zones: a nested predicate skips whole files; results exact") {
     val dir = new java.io.File(graft.TempRoots.path("zm_nested_e2e"))
     dir.mkdirs()
