@@ -95,10 +95,80 @@ object Materialize {
     }
     else Row(convert(node, t))
 
+  /** Parse one document to a Jackson node — null (→ all-null row
+    * semantics) on corrupt/empty input, exactly [[docToRow]]'s rule.
+    * Exposed so the graftjson reader can parse once and convert
+    * selectively without drifting from the operator's parse. */
+  private[graft] def parseDoc(doc: String): JsonNode =
+    try mapper.readTree(if (doc == null || doc.isEmpty) "null" else doc)
+    catch { case _: Exception => null }
+
+  private[graft] def parseDoc(doc: java.io.Reader): JsonNode =
+    try mapper.readTree(doc)
+    catch { case _: Exception => null }
+
+  // test instrumentation: when enabled, every node→value conversion
+  // (struct/list/union node or leaf) ticks once, so specs can pin
+  // that nested pruning actually converts LESS (one volatile read per
+  // cell when disabled — negligible against the parse)
+  private[graft] val countCells = new java.util.concurrent.atomic.AtomicBoolean
+  private[graft] val cellsConverted = new java.util.concurrent.atomic.AtomicLong
+  @inline private def tick(): Unit =
+    if (countCells.get) cellsConverted.incrementAndGet()
+
+  /** MASKED conversion: produce the value for `want` — a (possibly
+    * nested-pruned) Spark type whose shape Spark derived from
+    * `toMaterializableSparkType(target)` via SchemaPruning —
+    * converting ONLY the requested subtree. Struct fields resolve by
+    * NAME against the want schema (emitting exactly its shape, so the
+    * scan's readSchema and the rows agree and GetStructField ordinals
+    * Spark rewrote for the pruned schema stay valid); array elements
+    * prune recursively; a union's `tag`/`uN` cells are served
+    * individually (only the winning branch converts, and only if
+    * requested). With `want` == the full materialized type this is
+    * value-identical to [[convert]] (property-pinned). */
+  private[graft] def convertPruned(node: JsonNode, target: HType,
+                                   want: SType): Any = {
+    if (node == null || node.isNull || node.isMissingNode) return null
+    (target, want) match {
+      case (HStruct(fields), w: StructType) =>
+        tick()
+        if (!node.isObject) null
+        else Row.fromSeq(w.fields.iterator.map { wf =>
+          fields.get(wf.name) match {
+            case Some(ft) => convertPruned(node.get(wf.name), ft, wf.dataType)
+            case None => null // defensive: want must be a subset
+          }
+        }.toSeq)
+      case (HList(elem), ArrayType(we, _)) =>
+        tick()
+        if (!node.isArray) null
+        else node.elements().asScala.map(convertPruned(_, elem, we)).toSeq
+      case (HUnion(branches), w: StructType) =>
+        tick()
+        val vt = JsonInfer.inferNode(node)
+        val idx = branches.indexWhere(_.subsumes(vt))
+        if (idx < 0) null
+        else Row.fromSeq(w.fields.iterator.map { wf =>
+          if (wf.name == "tag") java.lang.Byte.valueOf(idx.toByte)
+          else {
+            // uN cells: only the winning branch carries a value
+            val bi =
+              try wf.name.stripPrefix("u").toInt
+              catch { case _: NumberFormatException => -1 }
+            if (bi == idx) convertPruned(node, branches(bi), wf.dataType)
+            else null
+          }
+        }.toSeq)
+      case _ => convert(node, target) // leaf (or unexpected shape): full
+    }
+  }
+
   /** Convert one Jackson node to the JVM value Spark's RowEncoder
     * expects for `toMaterializableSparkType(target)`. */
   private[infer] def convert(node: JsonNode, target: HType): Any = {
     if (node == null || node.isNull || node.isMissingNode) return null
+    tick()
     target match {
       case HNull => null // materialized as (null) string
       case HBool => if (node.isBoolean) node.asBoolean() else null

@@ -616,14 +616,17 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     }
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // TOP-LEVEL pruning only: Spark's SchemaPruning may hand nested-
-    // pruned struct types (e.g. just `score.u0` of a union field),
-    // but the reader materializes whole top-level values — so keep
-    // each retained field's FULL type. Spark projects the nested
-    // subset above the scan; GetStructField ordinals stay valid
-    // because the field's type is unchanged.
-    required = StructType(full.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // NESTED pruning accepted: Spark's SchemaPruning may hand nested-
+    // pruned struct types (e.g. `meta.date` of a wide struct, or just
+    // `score.u0` of a union field) and the reader materializes
+    // EXACTLY this shape ([[graft.infer.Materialize.convertPruned]]
+    // masks conversion by field name), so a wide struct column pays
+    // conversion only for its requested subtree. Spark rewrote its
+    // GetStructField ordinals for the pruned schema, and the scan's
+    // readSchema IS that schema — they stay in agreement. Defensive:
+    // only fields of the inferred schema are accepted.
+    required = StructType(requiredSchema.fields.filter(f =>
+      full.fieldNames.contains(f.name)))
   /** Two-tier pushdown. EXACT filters ([[JsonDocFilters.exact]] —
     * keeps ⟺ the engine's own TRUE) are FULLY pushed: the reader's
     * evaluation is the correctness path and no residual Filter
@@ -771,7 +774,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     // ship the SESSION's Hadoop conf to the readers: a fresh executor
     // Configuration would drop every spark.hadoop.* setting (S3
     // credentials/endpoints, codec config) that planning used
-    JsonDocReaderFactory(whole, t, full.fieldNames.toSeq, required,
+    JsonDocReaderFactory(whole, t, full, required,
       pushed ++ runtimePushed,
       new graft.ops.Fs.SerializableConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
@@ -781,14 +784,14 @@ private case class JsonDocPartition(path: String, start: Long, length: Long)
     extends InputPartition
 
 private case class JsonDocReaderFactory(whole: Boolean, t: HType,
-                                        fullNames: Seq[String],
+                                        full: StructType,
                                         required: StructType,
                                         pushed: Array[org.apache.spark.sql.sources.Filter],
                                         conf: graft.ops.Fs.SerializableConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[JsonDocPartition]
-    new JsonDocReader(part, whole, t, fullNames, required, pushed, conf.value)
+    new JsonDocReader(part, whole, t, full, required, pushed, conf.value)
   }
 }
 
@@ -984,11 +987,15 @@ private object JsonDocFilters {
   *     belong to this split; the next split discards them). Exactly
   *     the Hadoop text-input contract, so every line lands in
   *     precisely one split.
-  * Rows flow through [[Materialize.docToRow]], early-skip pushed
-  * filters, a reused-buffer top-level projection to the pruned
-  * schema, and Catalyst serialization. */
+  * Rows flow through ONE Jackson parse ([[Materialize.parseDoc]] —
+  * the operator's own rule) and a MASKED conversion
+  * ([[Materialize.convertPruned]]) of exactly the pruned required
+  * schema plus full-typed cells for pushed-filter columns outside
+  * it, then early-skip filter evaluation, projection to the required
+  * width, and Catalyst serialization. A fully-pruned scan (count(*))
+  * skips the parse entirely — a row per line is the whole contract. */
 private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
-                            fullNames: Seq[String], required: StructType,
+                            full: StructType, required: StructType,
                             pushed: Array[org.apache.spark.sql.sources.Filter],
                             conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
@@ -1040,22 +1047,43 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
   private val rowShaped =
     Materialize.toMaterializableSparkType(t)
       .isInstanceOf[StructType]
-  private val width = fullNames.length
-  // pruned projection: index of each required field in the full row
-  private val idx: Array[Int] =
-    required.fieldNames.map(n => fullNames.indexOf(n))
-  private val identityProjection =
-    idx.length == width && idx.zipWithIndex.forall { case (v, i) => v == i }
+  // the row this reader MATERIALIZES: the (possibly nested-pruned)
+  // required schema, plus FULL-typed cells for pushed-filter columns
+  // outside it (filters only ever reference top-level atomic columns
+  // — the supports/exact gates — whose pruned and full types agree)
+  private val extraFields: Array[org.apache.spark.sql.types.StructField] =
+    pushed.flatMap(_.references).distinct
+      .filterNot(required.fieldNames.contains)
+      .flatMap(n => full.fields.find(_.name == n))
+  private val wide = StructType(required.fields ++ extraFields)
+  // keeps() indexes filter attributes in the materialized row
+  private val wideIdx: Map[String, Int] = wide.fieldNames.zipWithIndex.toMap
+  private val outWidth = required.length
+  private val identityProjection = extraFields.isEmpty
+  // a fully-pruned, unfiltered scan (count(*)) needs no parse at all:
+  // one row per input unit IS the contract
+  private val needParse = wide.nonEmpty
+  private val allNull: Row = Row.fromSeq(Seq.fill(wide.length)(null))
   // reused across rows: the serializer consumes the values before
   // next() is called again, and .copy() gives the UnsafeRow its own
   // buffer — so one Array[Any] (not a fresh Seq + Row per row) serves
   // every pruned projection this task emits
-  private val projBuf = new Array[Any](idx.length)
-  // pushed filters evaluate against the FULL row (a filtered column
-  // need not be in the projection)
-  private val fullIdx: Map[String, Int] = fullNames.zipWithIndex.toMap
+  private val projBuf = new Array[Any](outWidth)
   private val toInternal =
     ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
+
+  /** One parsed unit → the wide external row (required ∪ filter
+    * columns). Struct-materializing roots (plain structs AND the
+    * union struct<tag,u0,…> encoding) convert through the masked
+    * walk; primitive/list roots wrap in the single `value` cell. */
+  private def unitToRow(node: com.fasterxml.jackson.databind.JsonNode): Row =
+    if (rowShaped)
+      Materialize.convertPruned(node, t, wide) match {
+        case r: Row => r
+        case _ => allNull // corrupt / non-object doc
+      }
+    else new GenericRow(wide.fields.map(wf =>
+      Materialize.convertPruned(node, t, wf.dataType)): Array[Any])
 
   private var current: InternalRow = _
   private var wholeDone = false
@@ -1067,24 +1095,28 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
         if (wholeDone) null
         else {
           wholeDone = true
-          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-            wholeIn, java.nio.charset.StandardCharsets.UTF_8))
-          Materialize.docToRow(reader, t, rowShaped, width)
+          if (!needParse) allNull
+          else {
+            val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+              wholeIn, java.nio.charset.StandardCharsets.UTF_8))
+            unitToRow(Materialize.parseDoc(reader))
+          }
         }
       } else {
         val doc = nextLine()
-        if (doc == null) null
-        else Materialize.docToRow(doc, t, rowShaped, width)
+        if (doc == null) null // end of split — distinct from corrupt
+        else if (!needParse) allNull
+        else unitToRow(Materialize.parseDoc(doc))
       }
     if (row == null) { current = null; false }
-    else if (!pushed.forall(JsonDocFilters.keeps(_, row, fullIdx))) next()
+    else if (!pushed.forall(JsonDocFilters.keeps(_, row, wideIdx))) next()
     else {
       val pruned =
         if (identityProjection) row
         else {
           var i = 0
-          while (i < idx.length) {
-            projBuf(i) = if (idx(i) >= 0) row.get(idx(i)) else null
+          while (i < outWidth) {
+            projBuf(i) = row.get(i)
             i += 1
           }
           new GenericRow(projBuf)

@@ -97,6 +97,54 @@ class JsonDocSourceSpec extends SparkTestBase {
       .where(col("score.u0").isNotNull).count() >= 1)
   }
 
+  test("nested-path pruning: the scan ships and converts only the requested subtree") {
+    val dir = new java.io.File(graft.TempRoots.path("graftjson_nestprune"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "d.json"))
+    (1 to 50).foreach { i =>
+      w.println(s"""{"id": $i, "meta": {"date": "2024-01-0${i % 9 + 1}", """ +
+        s""""src": "s$i", "author": "a$i", "extra": {"x": $i, "y": $i}}}""")
+    }
+    w.close()
+    val base = spark.read.format("graftjson").load(dir.toString)
+    val q = base.select(col("meta.date").as("d"))
+    // the scan's readSchema carries ONLY the requested leaf
+    val desc = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().simpleString
+    }.mkString
+    assert(desc.contains("struct<date:string>") && !desc.contains("author"),
+      s"scan must read the pruned nested type, got $desc")
+    // values byte-identical to an unpruned read
+    val full = base.collect().map(
+      _.getAs[org.apache.spark.sql.Row]("meta").getAs[String]("date"))
+    assert(q.collect().map(_.getString(0)).toSeq == full.toSeq)
+    // conversion work measurably drops: count converted cells
+    def cells(body: => Unit): Long = {
+      graft.infer.Materialize.cellsConverted.set(0)
+      graft.infer.Materialize.countCells.set(true)
+      try { body; graft.infer.Materialize.cellsConverted.get }
+      finally graft.infer.Materialize.countCells.set(false)
+    }
+    val cFull = cells(base.select(col("id"), col("meta")).collect())
+    val cPruned = cells(q.collect())
+    assert(cPruned < cFull / 2,
+      s"pruned conversion should do a fraction of the work: $cPruned vs $cFull")
+    // union-branch pruning: score is string-or-number across docs
+    val udir = new java.io.File(graft.TempRoots.path("graftjson_uprune"))
+    udir.mkdirs()
+    val uw = new java.io.PrintWriter(new java.io.File(udir, "u.json"))
+    uw.println("""{"id": 1, "score": 5}""")
+    uw.println("""{"id": 2, "score": "high"}""")
+    uw.close()
+    val u = spark.read.format("graftjson").load(udir.toString)
+    val us = u.select(col("score.u0").as("n")).where(col("n").isNotNull)
+    assert(us.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(5L))
+    // filters on columns OUTSIDE the projection still evaluate (the
+    // reader materializes filter cells beside the pruned output)
+    val f = base.where(col("id") === 7).select(col("meta.src").as("s"))
+    assert(f.collect().map(_.getString(0)).toSeq == Seq("s7"))
+  }
+
   test("inference runs once per unchanged fileset across separate load() calls; a changed file re-infers") {
     val dir = writeFixture("graftjson_cache")
     val before = JsonDocSource.inferenceRuns.get()
