@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.infer.{InferSchema, InferSchemaAgg}
 import graft.shred.Shredder
+import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -569,7 +570,49 @@ object JsonQueries {
   private val q229Sql =
     "SELECT count(*) AS n_docs FROM documents WHERE lang = 'en'"
 
+  /** Streaming-ingest lifecycle end to end
+    * ([[graft.streaming.EventStreams.ingestEpoch]]): the documents
+    * table lands in FOUR epoch batches through the crash-idempotent
+    * ingest (deterministic epoch files, per-epoch planning-metadata
+    * refresh — one epoch is deliberately written TWICE to exercise
+    * the replay-overwrite contract on real data), then reads back
+    * through graftjson with doc-id and text-length checksums against
+    * the parquet original: a row lost, duplicated by the replay, or
+    * torn at any epoch boundary flips a sum. Walk-free planning and
+    * crash windows are pinned in JsonIngestSpec. */
+  private val q230Lock = new Object
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q230_${Integer.toHexString(dir.hashCode)}")
+    q230Lock.synchronized {
+      buildOnce(s, out) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        (0L until 4L).foreach { e =>
+          EventStreams.ingestEpoch(
+            docs.where(pmod(col("doc_id"), lit(4)) === e), out, batchId = e)
+        }
+        // replay epoch 2: must overwrite, never duplicate
+        EventStreams.ingestEpoch(
+          docs.where(pmod(col("doc_id"), lit(4)) === 2L), out, batchId = 2L)
+      }
+    }
+    s.read.format("graftjson").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 11).as("key_check"),
+        sum(length(col("text")).cast("bigint")).as("sum_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  private val q230Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 11) AS BIGINT) AS key_check,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_json_ingest" -> (q230 _),
     "q229_filtered_count" -> (q229 _),
     "q228_nested_zonemap" -> (q228 _),
     "q227_json_compaction" -> (q227 _),
@@ -589,6 +632,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q230_json_ingest" -> q230Sql,
     "q229_filtered_count" -> q229Sql,
     "q228_nested_zonemap" -> q228Sql,
     "q227_json_compaction" -> q227Sql,

@@ -679,11 +679,14 @@ private case class JsonDocMetaReaderFactory() extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val mp = p.asInstanceOf[JsonDocMetaPartition]
+      // one serializer per reader, not per get() (one row either way,
+      // but encoder construction is the expensive part)
+      private lazy val toInternal =
+        ExpressionEncoder(RowEncoder.encoderFor(mp.schema)).createSerializer()
       private var done = false
       override def next(): Boolean = if (done) false else { done = true; true }
       override def get(): InternalRow =
-        ExpressionEncoder(RowEncoder.encoderFor(mp.schema))
-          .createSerializer()(Row.fromSeq(mp.values)).copy()
+        toInternal(Row.fromSeq(mp.values)).copy()
       override def close(): Unit = ()
     }
 }

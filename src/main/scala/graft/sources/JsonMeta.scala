@@ -324,7 +324,7 @@ object JsonMeta {
   }
 
   /** Test hook: drop parsed memos (simulates a fresh JVM). */
-  private[sources] def clearParsed(): Unit = {
+  private[graft] def clearParsed(): Unit = {
     manifests.synchronized { manifests.clear() }
     segments.synchronized { segments.clear() }
   }

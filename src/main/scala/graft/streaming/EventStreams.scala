@@ -199,6 +199,65 @@ object EventStreams {
     graft.infer.Materialize.materialize(
       spark.readStream.textFile(dir), inferred.canonical)
 
+  /** One micro-batch of [[jsonIngest]]: write the batch as NDJSON
+    * under the table's hidden `_ingest_tmp` staging dir, then move
+    * the part files to DETERMINISTIC epoch names
+    * (`epoch-NNNNNN[-K].json`) in the table dir — a replayed epoch
+    * overwrites exactly its own files with identical content, so
+    * recovery is idempotent with no id bookkeeping (the
+    * [[indexIngest]] contract). A crash mid-move leaves a subset of
+    * the epoch's files visible; the replay rewrites those same names
+    * and adds the rest, converging to the identical committed state.
+    * When `refreshMeta`, the durable planning metadata refreshes in
+    * the same cycle — the meta diff walks only this epoch's files, so
+    * a fresh-JVM reader plans the table walk-free. */
+  def ingestEpoch(batch: DataFrame, dir: String, batchId: Long,
+                  nFiles: Int = 1, refreshMeta: Boolean = true): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_ingest_tmp")
+    batch.repartition(nFiles).write.mode("overwrite").json(tmp.toString)
+    val parts = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (st, k) =>
+      val name =
+        if (nFiles == 1) f"epoch-$batchId%06d.json"
+        else f"epoch-$batchId%06d-$k%03d.json"
+      val dst = new org.apache.hadoop.fs.Path(root, name)
+      if (fs.exists(dst)) fs.delete(dst, false) // replayed epoch
+      if (!fs.rename(st.getPath, dst))
+        throw new IllegalStateException(s"could not publish $dst")
+    }
+    fs.delete(tmp, true)
+    if (refreshMeta)
+      graft.sources.JsonMeta.save(spark, dir)
+    ()
+  }
+
+  /** Streaming NDJSON ingest into a graftjson table — the WRITE twin
+    * of [[streamJsonDocs]] and the front door [[graft.sources
+    * .JsonCompact.compact]] maintains behind: each micro-batch lands
+    * as its own deterministic epoch file via [[ingestEpoch]]
+    * (idempotent replay), the planning metadata stays fresh
+    * incrementally, and the accreting small epoch files are exactly
+    * the population `compact(refreshMeta=true)` later folds into
+    * split-friendly large ones. */
+  def jsonIngest(docs: DataFrame, dir: String, nFiles: Int = 1,
+                 checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) ingestEpoch(batch, dir, batchId, nFiles)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
   /** Ingest-time contamination scrub: drop streamed documents whose
     * token-set fingerprint appears in the (static, benchmark-sized)
     * eval set — the streaming form of the batch q70 check, run BEFORE

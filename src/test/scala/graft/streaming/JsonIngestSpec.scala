@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.sources.{JsonCompact, JsonDocSource, JsonMeta}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming NDJSON ingest into a graftjson table
+  * ([[EventStreams.jsonIngest]] / [[EventStreams.ingestEpoch]]):
+  * deterministic epoch files (replay-idempotent), incremental
+  * planning metadata (fresh-JVM reads walk-free), and the compaction
+  * lifecycle over the accreted epochs. */
+class JsonIngestSpec extends SparkTestBase {
+
+  private def freshJvm(): Unit = {
+    JsonDocSource.clearInferCache()
+    JsonMeta.clearParsed()
+  }
+  private def walked[A](body: => A): (A, Long) = {
+    val before = JsonDocSource.filesWalked.get()
+    val r = body
+    (r, JsonDocSource.filesWalked.get() - before)
+  }
+
+  test("epochs land as deterministic files; stream rows == table rows; meta keeps reads walk-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = graft.TempRoots.path("json_ingest")
+    new java.io.File(dir).mkdirs()
+    val b1 = (1L to 5L).map(i => (i, s"doc$i"))
+    val b2 = (6L to 9L).map(i => (i, s"doc$i"))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.jsonIngest(mem.toDF().toDF("id", "text"), dir,
+      checkpointDir = Some(graft.TempRoots.path("json_ingest_ckpt")))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("epoch-")).map(_.getName).sorted.toSeq
+    assert(files == Seq("epoch-000000.json", "epoch-000001.json"), files)
+    // the ingest refreshed the meta per epoch: a fresh JVM plans the
+    // table with zero files walked
+    freshJvm()
+    val (rows, w) = walked {
+      spark.read.format("graftjson").load(dir)
+        .select(col("id"), col("text")).collect()
+        .map(r => (r.getAs[Number]("id").longValue, r.getString(1))).sorted.toSeq
+    }
+    assert(w == 0L, s"ingest-refreshed meta should plan walk-free, walked $w")
+    assert(rows == (b1 ++ b2).sorted)
+  }
+
+  test("a replayed epoch overwrites its own file with identical content") {
+    import spark.implicits._
+    val dir = graft.TempRoots.path("json_ingest_replay")
+    new java.io.File(dir).mkdirs()
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    EventStreams.ingestEpoch(batch, dir, batchId = 7L)
+    def table = spark.read.format("graftjson").load(dir)
+      .collect().map(_.toString).sorted.toSeq
+    val first = table
+    // the foreachBatch retry contract: same id, same data → same state
+    EventStreams.ingestEpoch(batch, dir, batchId = 7L)
+    assert(table == first)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("epoch-")) == 1)
+    // staging dir never leaks into listings
+    assert(!JsonDocSource.listFiles(spark, Seq(dir))
+      .exists(_._1.contains("_ingest_tmp")))
+  }
+
+  test("compaction folds accreted epochs; rows and meta survive") {
+    import spark.implicits._
+    val dir = graft.TempRoots.path("json_ingest_compact")
+    new java.io.File(dir).mkdirs()
+    (0L until 6L).foreach { e =>
+      EventStreams.ingestEpoch(
+        Seq((e * 10, s"epoch$e")).toDF("id", "text"), dir, batchId = e)
+    }
+    val before = spark.read.format("graftjson").load(dir)
+      .collect().map(_.toString).sorted.toSeq
+    val rep = JsonCompact.compact(spark, dir, targetBytes = 1L << 20,
+      refreshMeta = true)
+    assert(rep.mergedFiles == 6 && rep.mergedInto == 1)
+    freshJvm()
+    val (after, w) = walked {
+      spark.read.format("graftjson").load(dir)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(after == before)
+    assert(w == 0L, s"post-compaction meta should serve planning, walked $w")
+  }
+}
