@@ -566,6 +566,10 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       val dt = zonePaths.get(name).filter(eligible)
       dt.flatMap { d =>
         if (fileZones.exists(_.dirty) || !boundsAnswerable) None
+        // an overflowed file that never recorded this path may still
+        // hold values for it — its merged bounds would undercount
+        else if (fileZones.exists(z =>
+          z.overflow && !z.fields.contains(name))) None
         else {
           val merged = fileZones
             .flatMap(_.fields.get(name))

@@ -215,6 +215,17 @@ object ZoneStats {
     Integer.compare(a.length - i, b.length - j)
   }
 
+  /** Most distinct paths one file's zone will hold — map-shaped JSON
+    * (objects used as dictionaries: one key per uuid/user/day) would
+    * otherwise make zone state per file UNBOUNDED, and nested
+    * recursion amplifies it. Once a file hits the cap, NEW paths stop
+    * recording and [[FileZone.overflow]] flips: recorded paths keep
+    * folding every value (their stats stay complete and provable),
+    * while a path MISSING from an overflowed file is indistinguishable
+    * from all-null — so every absence-based proof gates on
+    * `fields.contains(path) || !overflow`. */
+  private[sources] val MaxPathsPerFile = 1024
+
   /** One file's zone: doc count, INPUT-UNIT count (`units` — NDJSON
     * lines / whole-mode files — exactly the rows the scan emits, blank
     * and corrupt lines included, because both the planning read and
@@ -224,18 +235,21 @@ object ZoneStats {
     * reader, which takes a line's FIRST doc, never materializes:
     * still sound for skipping, unanswerable for min/max — a per-FILE
     * docs-vs-units comparison could be masked by blank lines),
-    * duplicate-key flag (`dupKey` — some doc repeated a top-level
-    * key, so per-field sighting counts can exceed doc counts and the
-    * "every row is non-null" argument breaks: IsNull skipping
+    * duplicate-key flag (`dupKey` — some doc repeated a key at any
+    * depth, so per-field sighting counts can exceed doc counts and
+    * the "every row is non-null" argument breaks: IsNull skipping
     * declines; bounds/sets stay sound — duplicates only fold extra
-    * values, a superset), and per-field zones. */
+    * values, a superset), path-cap flag (`overflow` — see
+    * [[MaxPathsPerFile]]), and per-path zones. */
   final case class FileZone(docs: Long, units: Long, dirty: Boolean,
                             multiDoc: Boolean, dupKey: Boolean,
+                            overflow: Boolean,
                             fields: Map[String, FieldZone])
       extends Serializable {
     def merge(o: FileZone): FileZone = FileZone(
       docs + o.docs, units + o.units, dirty || o.dirty,
       multiDoc || o.multiDoc, dupKey || o.dupKey,
+      overflow || o.overflow,
       (fields.keySet ++ o.fields.keySet).iterator.map { k =>
         k -> fields.getOrElse(k, emptyField)
           .merge(o.fields.getOrElse(k, emptyField))
@@ -243,7 +257,7 @@ object ZoneStats {
   }
   private[sources] val emptyFile =
     FileZone(0L, 0L, dirty = false, multiDoc = false, dupKey = false,
-      Map.empty)
+      overflow = false, Map.empty)
 
   type ZoneMap = Map[String, FileZone]
 
@@ -291,6 +305,17 @@ object ZoneStats {
           var fields = z.fields
           var docs = z.docs + 1
           var dup = z.dupKey
+          var over = z.overflow
+          // record a sighting at `path`, refusing NEW paths past the
+          // per-file cap (the overflow flag then blocks absence-based
+          // proofs — see MaxPathsPerFile); existing paths always fold
+          def record(path: String, f: FieldZone => FieldZone): Unit =
+            fields.get(path) match {
+              case Some(cur) => fields = fields.updated(path, f(cur))
+              case None =>
+                if (fields.size >= MaxPathsPerFile) over = true
+                else fields = fields.updated(path, f(emptyField))
+            }
           // fold the object whose START_OBJECT was just consumed,
           // prefixing its field paths with `prefix` (empty at root);
           // depth = segments already in the prefix
@@ -300,29 +325,28 @@ object ZoneStats {
               val name = p.currentName()
               if (!seen.add(name)) dup = true
               val path = if (prefix.isEmpty) name else s"$prefix.$name"
-              def at = fields.getOrElse(path, emptyField)
               p.nextToken() match {
                 case JsonToken.VALUE_NUMBER_INT |
                      JsonToken.VALUE_NUMBER_FLOAT =>
-                  fields = fields.updated(path,
-                    at.addNum(new JBigDecimal(p.getText)))
+                  record(path, _.addNum(new JBigDecimal(p.getText)))
                 case JsonToken.VALUE_STRING =>
-                  fields = fields.updated(path, at.addStr(p.getText))
+                  val s = p.getText
+                  record(path, _.addStr(s))
                 case JsonToken.VALUE_NULL => ()
                 case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE =>
-                  fields = fields.updated(path, at.addOther)
+                  record(path, _.addOther)
                 case JsonToken.START_OBJECT =>
                   // the object itself is a non-null sighting at its
                   // own path; its fields fold at path.child while the
                   // depth budget lasts, opaque beyond it
-                  fields = fields.updated(path, at.addOther)
+                  record(path, _.addOther)
                   if (depth + 1 < MaxPathDepth) foldObject(path, depth + 1)
                   else p.skipChildren()
                 case JsonToken.START_ARRAY =>
                   p.skipChildren()
-                  fields = fields.updated(path, at.addOther)
+                  record(path, _.addOther)
                 case _ =>
-                  fields = fields.updated(path, at.addOther)
+                  record(path, _.addOther)
               }
             }
           }
@@ -330,25 +354,21 @@ object ZoneStats {
             case JsonToken.START_OBJECT =>
               foldObject("", 0)
             case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
-              fields = fields.updated("value",
-                fields.getOrElse("value", emptyField)
-                  .addNum(new JBigDecimal(p.getText)))
+              record("value", _.addNum(new JBigDecimal(p.getText)))
             case JsonToken.VALUE_STRING =>
-              fields = fields.updated("value",
-                fields.getOrElse("value", emptyField).addStr(p.getText))
+              val s = p.getText
+              record("value", _.addStr(s))
             case JsonToken.VALUE_NULL => // implicit null
             case JsonToken.START_ARRAY =>
               p.skipChildren()
-              fields = fields.updated("value",
-                fields.getOrElse("value", emptyField).addOther)
+              record("value", _.addOther)
             case _ =>
-              fields = fields.updated("value",
-                fields.getOrElse("value", emptyField).addOther)
+              record("value", _.addOther)
           }
           // docs beyond the first within THIS unit → concatenated
           // line: bounds exceed what the reader materializes
           z = FileZone(docs, z.units, z.dirty,
-            z.multiDoc || docs - into.docs > 1, dup, fields)
+            z.multiDoc || docs - into.docs > 1, dup, over, fields)
           tok = p.nextToken()
         }
       } catch {
@@ -604,10 +624,13 @@ object ZoneSkip {
         }
       case IsNull(a) =>
         // zero sightings ⟹ every row null (sound even under multiDoc:
-        // concatenation only ever ADDS sightings)
-        colType(schema, a).isDefined && {
-          val z = fz(a); z.present == 0 && z.others == 0
-        }
+        // concatenation only ever ADDS sightings) — but an overflowed
+        // file may have REFUSED the path's sightings, so absence
+        // proves nothing there
+        colType(schema, a).isDefined &&
+          (zone.fields.contains(a) || !zone.overflow) && {
+            val z = fz(a); z.present == 0 && z.others == 0
+          }
       case EqualNullSafe(a, v) =>
         if (v == null) provablyAllMatch(IsNull(a), zone, schema)
         else provablyAllMatch(EqualTo(a, v), zone, schema)
@@ -631,11 +654,16 @@ object ZoneSkip {
   def provablyEmpty(f: Filter, zone: FileZone,
                     schema: Map[String, DataType]): Boolean = {
     def fz(a: String): FieldZone = zone.fields.getOrElse(a, ZoneStats.emptyField)
-    def allNull(a: String): Boolean = {
+    // a path MISSING from an OVERFLOWED file may simply have been
+    // refused by the per-file cap — absence proves nothing there;
+    // recorded paths always folded every value, so they stay provable
+    def known(a: String): Boolean =
+      zone.fields.contains(a) || !zone.overflow
+    def allNull(a: String): Boolean = known(a) && {
       val z = fz(a); z.present == 0 && z.others == 0
     }
     def numDisjoint(a: String, test: (JBigDecimal, JBigDecimal) => Boolean): Boolean =
-      colType(schema, a).exists(numeric) && {
+      known(a) && colType(schema, a).exists(numeric) && {
         val z = fz(a)
         // others>0 cannot happen for a numeric column (a non-number
         // value would have widened the type) except via dirty corners
@@ -644,7 +672,7 @@ object ZoneSkip {
           (z.numMin != null && z.numMax != null && test(z.numMin, z.numMax)))
       }
     def strDisjoint(a: String, test: (String, String) => Boolean): Boolean =
-      colType(schema, a).contains(StringType) && {
+      known(a) && colType(schema, a).contains(StringType) && {
         val z = fz(a)
         z.others == 0 && (z.present == 0 ||
           (z.strMin != null && z.strMax != null && test(z.strMin, z.strMax)))

@@ -371,7 +371,7 @@ class ZoneMapSpec extends SparkTestBase {
 
   private def zone(fields: (String, ZoneStats.FieldZone)*): ZoneStats.FileZone =
     ZoneStats.FileZone(10L, 10L, dirty = false, multiDoc = false,
-      dupKey = false, fields.toMap)
+      dupKey = false, overflow = false, fields.toMap)
 
   // bound-only zones: sets deliberately OVERFLOWED (null) so these
   // pins exercise the min/max tests in isolation
@@ -654,6 +654,35 @@ class ZoneMapSpec extends SparkTestBase {
     // non-object roots register the wrapping `value` column
     val wrap = ZoneSkip.eligiblePaths(infer("42"))
     assert(wrap.keySet == Set("value"))
+  }
+
+  test("per-file path cap: map-shaped JSON overflows soundly, absence proves nothing") {
+    // a dictionary-shaped object with more distinct keys than the cap
+    val keys = (1 to ZoneStats.MaxPathsPerFile + 50)
+    val doc = keys.map(i => s""""k$i": $i""").mkString("{", ", ", "}")
+    val z = ZoneStats.walkUnit(doc, ZoneStats.emptyFile.copy(units = 1))
+    assert(z.overflow, "past-cap paths must flip the overflow flag")
+    assert(z.fields.size == ZoneStats.MaxPathsPerFile,
+      s"state must stay capped, got ${z.fields.size}")
+    // recorded paths stay fully provable
+    val types = Map[String, org.apache.spark.sql.types.DataType](
+      "k1" -> ByteType, s"k${keys.last}" -> ByteType)
+    assert(ZoneSkip.provablyEmpty(EqualTo("k1", 99.toByte), z, types))
+    // an UNRECORDED path (dropped by the cap) proves NOTHING — its
+    // values exist in the file even though the zone never saw them
+    val dropped = s"k${keys.last}"
+    assert(!z.fields.contains(dropped))
+    assert(!ZoneSkip.provablyEmpty(IsNotNull(dropped), z, types),
+      "absence under overflow must not prove all-null")
+    assert(!ZoneSkip.provablyEmpty(EqualTo(dropped, 99.toByte), z, types))
+    assert(!ZoneSkip.provablyAllMatch(IsNull(dropped), z, types))
+    // without overflow, the same absences DO prove (the r11 behavior)
+    val small = ZoneStats.walkUnit("""{"a": 1}""",
+      ZoneStats.emptyFile.copy(units = 1))
+    assert(ZoneSkip.provablyEmpty(IsNotNull("missing"), small,
+      Map("missing" -> ByteType)))
+    // overflow survives merge in both directions
+    assert(z.merge(small).overflow && small.merge(z).overflow)
   }
 
   test("walkUnit nested: dotted paths, parent sightings, nested dup keys, array opacity") {
