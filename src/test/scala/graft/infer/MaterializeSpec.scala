@@ -122,4 +122,93 @@ class MaterializeSpec extends SparkTestBase {
     assert(hist.toMap.values.sum == corpus.length)
     assert(hist.length == 5) // 4 branches + null
   }
+
+  /** Property: the MASKED conversion ([[Materialize.convertPruned]],
+    * the graftjson nested-pruning path) equals [[Materialize.convert]]
+    * under the FULL schema, and under any random PRUNED sub-schema it
+    * equals the corresponding projection of the full conversion —
+    * over generated heterogeneous corpora (unions, nesting, arrays,
+    * hex/timestamp strings, decimals included). */
+  test("convertPruned: full-schema parity and pruned-projection parity (property)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val rnd = new scala.util.Random(20260814L)
+    def genScalar(): String = rnd.nextInt(8) match {
+      case 0 => rnd.nextInt(200).toString
+      case 1 => (rnd.nextLong() % 100000000000L).toString
+      case 2 => s"${rnd.nextInt(100)}.${rnd.nextInt(1000)}"
+      case 3 => "\"" + ("w" + rnd.nextInt(50)) + "\""
+      case 4 => "\"" + "0a1b" + "\"" // hex → binary
+      case 5 => "\"2024-03-0" + (1 + rnd.nextInt(9)) + " 10:00:00\"" // timestamp
+      case 6 => if (rnd.nextBoolean()) "true" else "false"
+      case _ => "null"
+    }
+    def genJson(depth: Int): String =
+      if (depth <= 0 || rnd.nextInt(4) == 0) genScalar()
+      else rnd.nextInt(3) match {
+        case 0 => // object over a small shared key pool → natural unions
+          val n = rnd.nextInt(4)
+          (0 until n).map(_ => "\"" + ("abcdef" (rnd.nextInt(6))) + "\": " +
+            genJson(depth - 1)).mkString("{", ", ", "}")
+        case 1 =>
+          (0 until rnd.nextInt(3)).map(_ => genJson(depth - 1))
+            .mkString("[", ", ", "]")
+        case _ => genScalar()
+      }
+    // normalize values for equality: byte arrays and rows → vectors
+    def norm(v: Any): Any = v match {
+      case a: Array[Byte] => a.toVector
+      case r: Row => r.toSeq.map(norm).toVector
+      case s: Seq[_] => s.map(norm).toVector
+      case x => x
+    }
+    // the expected pruned value: project the FULL conversion down to
+    // the want-schema by name
+    def project(v: Any, fullT: DataType, wantT: DataType): Any =
+      (v, fullT, wantT) match {
+        case (null, _, _) => null
+        case (r: Row, f: StructType, w: StructType) =>
+          Row.fromSeq(w.fields.toSeq.map { wf =>
+            val i = f.fieldIndex(wf.name)
+            project(r.get(i), f.fields(i).dataType, wf.dataType)
+          })
+        case (s: Seq[_], ArrayType(fe, _), ArrayType(we, _)) =>
+          s.map(project(_, fe, we))
+        case (x, _, _) => x
+      }
+    // random sub-schema: keep a nonempty subset of struct fields,
+    // recursing into kept struct/array children
+    def pruneType(t: DataType): DataType = t match {
+      case st: StructType =>
+        val kept = st.fields.filter(_ => rnd.nextInt(10) < 6)
+        val ensure = if (kept.isEmpty && st.fields.nonEmpty)
+          Array(st.fields(rnd.nextInt(st.fields.length))) else kept
+        StructType(ensure.map(f => f.copy(dataType = pruneType(f.dataType))))
+      case ArrayType(e, n) => ArrayType(pruneType(e), n)
+      case other => other
+    }
+    (1 to 40).foreach { round =>
+      val docs = Vector.fill(6)("{" + (0 until 1 + rnd.nextInt(4)).map(_ =>
+        "\"" + ("abcdef" (rnd.nextInt(6))) + "\": " + genJson(3))
+        .mkString(", ") + "}")
+      val t = docs.map(JsonInfer.inferDoc)
+        .reduce(graft.types.HType.merge(_, _)).canonical
+      val fullSchema = Materialize.toMaterializableSparkType(t)
+      docs.foreach { doc =>
+        val node = Materialize.parseDoc(doc)
+        val full = Materialize.convert(node, t)
+        // full-schema parity: the masked walk IS the plain walk
+        assert(norm(Materialize.convertPruned(node, t, fullSchema)) ==
+          norm(full), s"round $round full-parity diverged on $doc")
+        // pruned-projection parity over 3 random sub-schemas
+        (1 to 3).foreach { _ =>
+          val want = pruneType(fullSchema)
+          val got = Materialize.convertPruned(node, t, want)
+          val exp = project(full, fullSchema, want)
+          assert(norm(got) == norm(exp),
+            s"round $round pruned parity diverged on $doc\n want=$want")
+        }
+      }
+    }
+  }
 }
