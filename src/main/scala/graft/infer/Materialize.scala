@@ -216,6 +216,32 @@ object Materialize {
     }
   }
 
+  /** The materialized value at a structs-only dotted path — exactly
+    * what a GetStructField chain over [[convert]]'s full row extracts
+    * (field-wise conversion makes the leaf independent of its
+    * siblings), computed without converting anything else. A missing
+    * or non-object intermediate yields null, like the chain would.
+    * Powers the graftjson reader's nested-filter early skip. */
+  private[graft] def convertAtPath(node: JsonNode, t: HType,
+                                   segs: List[String]): Any = {
+    var n = node
+    var ht = t
+    var rest = segs
+    while (rest.nonEmpty) {
+      ht match {
+        case HStruct(fields) =>
+          fields.get(rest.head) match {
+            case Some(child) => ht = child
+            case None => return null
+          }
+          n = if (n == null || !n.isObject) null else n.get(rest.head)
+          rest = rest.tail
+        case _ => return null // route must be structs-only
+      }
+    }
+    convert(n, ht)
+  }
+
   /** Best-effort parse of the reference's timestamp shapes
     * (`YYYY[-/]MM[-/]DD[T ]HH:MM:SS` + optional zone/quotes,
     * JsonSchemaFinder.java:44-47); unparseable → null. */

@@ -642,8 +642,10 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     // exact ⊆ supports (structurally tighter gates), so the reader
-    // evaluates every fully-pushed filter
-    pushed = filters.filter(JsonDocFilters.supports(_, full))
+    // evaluates every fully-pushed filter; nested attributes join the
+    // best-effort set through the dotted-path map (the reader resolves
+    // them to leaf values)
+    pushed = filters.filter(JsonDocFilters.supportsPath(_, zonePaths))
     offered = filters
     filters.filterNot(JsonDocFilters.exact(_, full))
   }
@@ -726,7 +728,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    runtimePushed = filters.filter(JsonDocFilters.supports(_, full))
+    runtimePushed = filters.filter(JsonDocFilters.supportsPath(_, zonePaths))
     runtimeOffered = filters
   }
   override def readSchema(): StructType = required
@@ -815,16 +817,48 @@ private object JsonDocFilters {
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types._
 
+  private def atomicT(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   private def atomic(schema: StructType, name: String): Boolean =
-    schema.fields.exists(f => f.name == name && (f.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | StringType | BooleanType | TimestampType => true
-      case _: DecimalType => true
-      case _ => false
-    }))
+    schema.fields.exists(f => f.name == name && atomicT(f.dataType))
 
   private def stringCol(schema: StructType, name: String): Boolean =
     schema.fields.exists(f => f.name == name && f.dataType == StringType)
+
+  /** [[supports]] over the dotted-PATH map ([[ZoneSkip.eligiblePaths]]
+    * — top-level names plus structs-only nested chains, collision- and
+    * depth-gated): the early-skip gate for the reader, which resolves
+    * a nested attribute to its materialized LEAF value
+    * ([[graft.infer.Materialize.convertAtPath]] — by construction the
+    * same value the engine's GetStructField chain extracts from the
+    * shipped row, so dropping on it is sound under the best-effort
+    * contract). */
+  def supportsPath(f: Filter, types: Map[String, DataType]): Boolean = {
+    def ok(name: String): Boolean = types.get(name).exists(atomicT)
+    def str(name: String): Boolean = types.get(name).contains(StringType)
+    f match {
+      case EqualTo(a, _) => ok(a)
+      case GreaterThan(a, _) => ok(a)
+      case GreaterThanOrEqual(a, _) => ok(a)
+      case LessThan(a, _) => ok(a)
+      case LessThanOrEqual(a, _) => ok(a)
+      case IsNull(a) => ok(a)
+      case IsNotNull(a) => ok(a)
+      case In(a, _) => ok(a)
+      case EqualNullSafe(a, _) => ok(a)
+      case StringStartsWith(a, _) => str(a)
+      case StringEndsWith(a, _) => str(a)
+      case StringContains(a, _) => str(a)
+      case Or(l, r) => supportsPath(l, types) && supportsPath(r, types)
+      case And(l, r) => supportsPath(l, types) && supportsPath(r, types)
+      case _ => false
+    }
+  }
 
   /** The EXACT subset of [[supports]]: filters whose [[keeps]]
     * evaluation provably coincides with the engine's own (keeps ⟺ the
@@ -850,7 +884,13 @@ private object JsonDocFilters {
     * plan shape), and every nested attribute (keeps indexes top-level
     * columns only). */
   def exact(f: Filter, schema: StructType): Boolean = {
-    def cls(name: String, v: Any): Boolean = v != null &&
+    // plain top-level names only: an UNQUOTED dotted attribute is a
+    // nested chain (never exact), and resolving it against a
+    // literal-dot field name would evaluate the wrong column with no
+    // residual to correct it; quoted names never match field names
+    def plain(name: String): Boolean =
+      !name.contains('.') && !name.contains('`')
+    def cls(name: String, v: Any): Boolean = v != null && plain(name) &&
       schema.fields.find(_.name == name).exists(fd => (fd.dataType, v) match {
         case (ByteType, _: java.lang.Byte) => true
         case (ShortType, _: java.lang.Short) => true
@@ -861,24 +901,26 @@ private object JsonDocFilters {
         case _ => false
       })
     def exactCol(name: String): Boolean =
-      schema.fields.exists(fd => fd.name == name && (fd.dataType match {
-        case ByteType | ShortType | IntegerType | LongType | StringType |
-             BooleanType => true
-        case _ => false
-      }))
+      plain(name) &&
+        schema.fields.exists(fd => fd.name == name && (fd.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType |
+               BooleanType => true
+          case _ => false
+        }))
     f match {
-      case IsNull(a) => atomic(schema, a)
-      case IsNotNull(a) => atomic(schema, a)
+      case IsNull(a) => plain(a) && atomic(schema, a)
+      case IsNotNull(a) => plain(a) && atomic(schema, a)
       case EqualTo(a, v) => cls(a, v)
-      case EqualNullSafe(a, v) => (v == null && atomic(schema, a)) || cls(a, v)
+      case EqualNullSafe(a, v) =>
+        (v == null && plain(a) && atomic(schema, a)) || cls(a, v)
       case GreaterThan(a, v) => cls(a, v)
       case GreaterThanOrEqual(a, v) => cls(a, v)
       case LessThan(a, v) => cls(a, v)
       case LessThanOrEqual(a, v) => cls(a, v)
       case In(a, vs) => exactCol(a) && vs.forall(v => v == null || cls(a, v))
-      case StringStartsWith(a, _) => stringCol(schema, a)
-      case StringEndsWith(a, _) => stringCol(schema, a)
-      case StringContains(a, _) => stringCol(schema, a)
+      case StringStartsWith(a, _) => plain(a) && stringCol(schema, a)
+      case StringEndsWith(a, _) => plain(a) && stringCol(schema, a)
+      case StringContains(a, _) => plain(a) && stringCol(schema, a)
       case Or(l, r) => exact(l, schema) && exact(r, schema)
       case And(l, r) => exact(l, schema) && exact(r, schema)
       case _ => false
@@ -1055,22 +1097,35 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
     Materialize.toMaterializableSparkType(t)
       .isInstanceOf[StructType]
   // the row this reader MATERIALIZES: the (possibly nested-pruned)
-  // required schema, plus FULL-typed cells for pushed-filter columns
-  // outside it (filters only ever reference top-level atomic columns
-  // — the supports/exact gates — whose pruned and full types agree)
-  private val extraFields: Array[org.apache.spark.sql.types.StructField] =
+  // required schema, plus cells for pushed-filter columns outside it —
+  // top-level refs as FULL-typed extra fields (pruned and full types
+  // agree for atomic columns), NESTED refs as their materialized LEAF
+  // values resolved by route (never by re-splitting the dotted
+  // rendering, which a literal-dot field name would make ambiguous)
+  private val extraRefs: Array[String] =
     pushed.flatMap(_.references).distinct
       .filterNot(required.fieldNames.contains)
-      .flatMap(n => full.fields.find(_.name == n))
-  private val wide = StructType(required.fields ++ extraFields)
+  private val extraTop: Array[org.apache.spark.sql.types.StructField] =
+    extraRefs.flatMap(n => full.fields.find(_.name == n))
+  private val extraNested: Array[(String, List[String], HType)] = {
+    lazy val routes = ZoneSkip.eligibleRoutes(t)
+    extraRefs.filterNot(n => full.fields.exists(_.name == n))
+      .flatMap(n => routes.get(n).map { case (segs, ht) => (n, segs, ht) })
+  }
+  private val baseWide = StructType(required.fields ++ extraTop)
+  private val wide = StructType(baseWide.fields ++ extraNested.map {
+    case (n, _, ht) =>
+      org.apache.spark.sql.types.StructField(n,
+        Materialize.toMaterializableSparkType(ht), nullable = true)
+  })
   // keeps() indexes filter attributes in the materialized row
   private val wideIdx: Map[String, Int] = wide.fieldNames.zipWithIndex.toMap
   private val outWidth = required.length
-  private val identityProjection = extraFields.isEmpty
+  private val identityProjection = extraTop.isEmpty && extraNested.isEmpty
   // a fully-pruned, unfiltered scan (count(*)) needs no parse at all:
   // one row per input unit IS the contract
   private val needParse = wide.nonEmpty
-  private val allNull: Row = Row.fromSeq(Seq.fill(wide.length)(null))
+  private val allNullBase: Row = Row.fromSeq(Seq.fill(baseWide.length)(null))
   // reused across rows: the serializer consumes the values before
   // next() is called again, and .copy() gives the UnsafeRow its own
   // buffer — so one Array[Any] (not a fresh Seq + Row per row) serves
@@ -1080,17 +1135,33 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
     ExpressionEncoder(RowEncoder.encoderFor(required)).createSerializer()
 
   /** One parsed unit → the wide external row (required ∪ filter
-    * columns). Struct-materializing roots (plain structs AND the
-    * union struct<tag,u0,…> encoding) convert through the masked
-    * walk; primitive/list roots wrap in the single `value` cell. */
-  private def unitToRow(node: com.fasterxml.jackson.databind.JsonNode): Row =
-    if (rowShaped)
-      Materialize.convertPruned(node, t, wide) match {
-        case r: Row => r
-        case _ => allNull // corrupt / non-object doc
+    * columns, nested filter leaves appended last). Struct-
+    * materializing roots (plain structs AND the union struct<tag,u0,…>
+    * encoding) convert through the masked walk; primitive/list roots
+    * wrap in the single `value` cell. */
+  private def unitToRow(node: com.fasterxml.jackson.databind.JsonNode): Row = {
+    val base: Row =
+      if (baseWide.isEmpty) allNullBase
+      else if (rowShaped)
+        Materialize.convertPruned(node, t, baseWide) match {
+          case r: Row => r
+          case _ => allNullBase // corrupt / non-object doc
+        }
+      else new GenericRow(baseWide.fields.map(wf =>
+        Materialize.convertPruned(node, t, wf.dataType)): Array[Any])
+    if (extraNested.isEmpty) base
+    else {
+      val cells = new Array[Any](wide.length)
+      var i = 0
+      while (i < baseWide.length) { cells(i) = base.get(i); i += 1 }
+      var j = 0
+      while (j < extraNested.length) {
+        cells(i + j) = Materialize.convertAtPath(node, t, extraNested(j)._2)
+        j += 1
       }
-    else new GenericRow(wide.fields.map(wf =>
-      Materialize.convertPruned(node, t, wf.dataType)): Array[Any])
+      new GenericRow(cells)
+    }
+  }
 
   private var current: InternalRow = _
   private var wholeDone = false
@@ -1102,7 +1173,7 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
         if (wholeDone) null
         else {
           wholeDone = true
-          if (!needParse) allNull
+          if (!needParse) allNullBase
           else {
             val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
               wholeIn, java.nio.charset.StandardCharsets.UTF_8))
@@ -1112,7 +1183,7 @@ private class JsonDocReader(part: JsonDocPartition, whole: Boolean, t: HType,
       } else {
         val doc = nextLine()
         if (doc == null) null // end of split — distinct from corrupt
-        else if (!needParse) allNull
+        else if (!needParse) allNullBase
         else unitToRow(Materialize.parseDoc(doc))
       }
     if (row == null) { current = null; false }

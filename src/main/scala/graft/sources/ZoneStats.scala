@@ -461,10 +461,23 @@ object ZoneSkip {
     * which could mis-prove the sightings==units IsNull skip. Any
     * rendering produced by more than one distinct path is therefore
     * dropped entirely. */
-  def eligiblePaths(t: graft.types.HType): Map[String, DataType] = {
+  def eligiblePaths(t: graft.types.HType): Map[String, DataType] =
+    eligibleRoutes(t).map { case (p, (_, ht)) =>
+      p -> graft.infer.Materialize.toMaterializableSparkType(ht)
+    }
+
+  /** [[eligiblePaths]] with each path's ROUTE — the exact field-name
+    * segments (a segment may itself contain a literal '.') and the
+    * leaf HType — so a consumer that must WALK the document (the
+    * reader's nested-filter early-skip) never re-splits the rendered
+    * string ambiguously. Same collision and depth rules. */
+  private[sources] def eligibleRoutes(t: graft.types.HType)
+      : Map[String, (List[String], graft.types.HType)] = {
     val routes = scala.collection.mutable.HashMap.empty[String, Int]
-    val types = scala.collection.mutable.HashMap.empty[String, DataType]
-    def walk(prefix: String, segs: Int, ht: graft.types.HType): Unit =
+    val found =
+      scala.collection.mutable.HashMap.empty[String, (List[String], graft.types.HType)]
+    def walk(prefix: String, path: List[String], segs: Int,
+             ht: graft.types.HType): Unit =
       ht match {
         case s: graft.types.HStruct if segs < ZoneStats.MaxPathDepth =>
           s.fields.foreach { case (name, child) =>
@@ -475,23 +488,23 @@ object ZoneSkip {
             val childSegs = segs + 1 + name.count(_ == '.')
             if (childSegs <= ZoneStats.MaxPathDepth) {
               routes(p) = routes.getOrElse(p, 0) + 1
-              types(p) = graft.infer.Materialize.toMaterializableSparkType(child)
-              walk(p, childSegs, child)
+              found(p) = (path :+ name, child)
+              walk(p, path :+ name, childSegs, child)
             }
           }
         case _ => ()
       }
-    walk("", 0, t)
+    walk("", Nil, 0, t)
     // a non-struct-materializing root is wrapped in a `value` column,
     // which is also the walker's key for non-object roots (a UNION
     // root materializes as its own struct — no wrap, no entry)
     graft.infer.Materialize.toMaterializableSparkType(t) match {
       case _: StructType => ()
-      case other =>
+      case _ =>
         routes("value") = routes.getOrElse("value", 0) + 1
-        types("value") = other
+        found("value") = (Nil, t)
     }
-    types.iterator.filter { case (p, _) => routes(p) == 1 }.toMap
+    found.iterator.filter { case (p, _) => routes(p) == 1 }.toMap
   }
 
   /** Top-level-only view (spec convenience + the pre-nested call

@@ -145,6 +145,49 @@ class JsonDocSourceSpec extends SparkTestBase {
     assert(f.collect().map(_.getString(0)).toSeq == Seq("s7"))
   }
 
+  test("nested-filter early skip: pushed to the reader, values exact, ambiguity declines") {
+    val dir = new java.io.File(graft.TempRoots.path("graftjson_nestskip"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "m.json"))
+    (1 to 30).foreach { i =>
+      val src = if (i % 3 == 0) "b" else "a"
+      w.println(s"""{"id": $i, "meta": {"src": "$src", "n": $i}}""")
+    }
+    w.println("""{"id": 99}""") // meta missing → nested leaf null
+    w.close()
+    val base = spark.read.format("graftjson").load(dir.toString)
+    val q = base.where(col("meta.src") === "b").select(col("id"))
+    // the nested predicate reaches the reader's pushed set (best
+    // effort — the residual Filter stays, correctness never rides it)
+    val desc = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString
+    assert(desc.contains("EqualTo(meta.src,b)"), desc)
+    assert(q.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(q.collect().map(_.getAs[Number](0).longValue).sorted.toSeq ==
+      (1 to 30).filter(_ % 3 == 0).map(_.toLong))
+    // range + null probes on nested leaves
+    assert(base.where(col("meta.n") > 27).count() == 3L)
+    assert(base.where(col("meta.src").isNull).count() == 1L)
+    // AMBIGUITY: a literal-dot field name colliding with a real nested
+    // chain — the dotted rendering resolves to neither (collision-
+    // dropped), so nothing early-skips and the residual owns it
+    val dir2 = new java.io.File(graft.TempRoots.path("graftjson_nestamb"))
+    dir2.mkdirs()
+    val w2 = new java.io.PrintWriter(new java.io.File(dir2, "a.json"))
+    w2.println("""{"a": {"b": 1}, "k": 1}""")
+    w2.println("""{"a.b": 2, "k": 2}""")
+    w2.close()
+    val amb = spark.read.format("graftjson").load(dir2.toString)
+    val nested = amb.where(col("a.b") === 1).select(col("k"))
+    val ambDesc = nested.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString
+    assert(!ambDesc.contains("EqualTo(a.b"),
+      s"ambiguous dotted rendering must not early-skip: $ambDesc")
+    assert(nested.collect().map(_.getAs[Number](0).longValue).toSeq == Seq(1L))
+  }
+
   test("inference runs once per unchanged fileset across separate load() calls; a changed file re-infers") {
     val dir = writeFixture("graftjson_cache")
     val before = JsonDocSource.inferenceRuns.get()
