@@ -665,13 +665,23 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   * path as data rows. */
 private class JsonDocMetaScan(ps: Seq[String], schema: StructType,
                               values: Seq[Any])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graftjson ${ps.mkString(",")} PushedAggregation: " +
       schema.fieldNames.zip(values).map { case (f, v) => s"$f=$v" }
         .mkString("[", ", ", "] (zone maps)")
+  // a completed aggregate pushdown IS one row of known width
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1, schema.defaultSize.toLong))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(1L)
+    }
   override def planInputPartitions(): Array[InputPartition] =
     Array(JsonDocMetaPartition(schema, values))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -704,7 +714,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           maxSplitBytes: Option[Long],
                           zones: Option[ZoneStats.ZoneMap],
                           fingerprint: Seq[(String, Long, Long)])
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
   private val fpMap: Map[String, (Long, Long)] =
     fingerprint.map { case (p, l, m) => p -> ((l, m)) }.toMap
@@ -722,9 +733,14 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   // ungated twin for zone reasoning, like `offered` vs `pushed`
   private var runtimeOffered: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+  // the PRUNED schema, not `full`: Spark resolves these references
+  // against the scan relation's output (PartitionPruning
+  // .getFilterableTableScan), so advertising a pruned-away column is
+  // an AnalysisException at planning — and a runtime filter's key is
+  // a join key, which is necessarily in the output anyway
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    full.fields.map(f =>
+    required.fields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -737,6 +753,61 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (zones.isDefined) s" ZoneMaps: ${zones.get.size} files" else "")
+
+  /** Planning-time statistics from state already in hand — the
+    * LOAD-TIME listing (no namenode round-trip per plan) and the zone
+    * map. Without this Spark prices a DSv2 scan at the default
+    * `Long.Max`-ish size, so a KB-sized graftjson dimension is NEVER
+    * chosen for an up-front broadcast (AQE can only rescue the join
+    * after the full shuffle map stage has materialized); with it the
+    * optimizer's broadcast decision sees the real footprint.
+    *
+    *  - sizeInBytes: bytes of the files a planning-time zone skip
+    *    would keep (same provably-empty reasoning the partition
+    *    planner applies — estimating from data the scan will not read
+    *    would overprice every pruned query), scaled by the
+    *    required-to-full default row width: column pruning ships
+    *    narrower rows than the NDJSON bytes that encode them.
+    *  - numRows: the zone maps' exact per-file unit counts, offered
+    *    only when every kept file carries one and no filter is in
+    *    play (a filtered scan emits fewer rows; an overstated exact
+    *    count would mislead the join-side estimates the other way).
+    *
+    * Estimates, not answers: staleness here can only mis-price a
+    * plan, never change a result, so no fingerprint re-verification
+    * is needed (the aggregate-pushdown path, which ANSWERS queries
+    * from zones, keeps its re-listing gate). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val skippable = offered ++ runtimeOffered
+    val kept = fingerprint.filterNot { case (p, _, _) =>
+      zones.exists(zm =>
+        skippable.nonEmpty &&
+          zm.get(p).exists(z =>
+            !z.dirty &&
+              skippable.exists(ZoneSkip.provablyEmpty(_, z, zonePaths))))
+    }
+    val bytes = kept.iterator.map(_._2).sum
+    val fullW = full.defaultSize
+    val ratio =
+      if (fullW <= 0) 1.0
+      else math.min(1.0, required.defaultSize.toDouble / fullW)
+    val size =
+      if (bytes == 0) 0L else math.max(1L, (bytes * ratio).toLong)
+    val rows: Option[Long] =
+      if (skippable.isEmpty && pushed.isEmpty) zones.flatMap { zm =>
+        val counted = kept.flatMap { case (p, _, _) => zm.get(p) }
+        if (counted.size == kept.size)
+          Some(counted.iterator.map(_.units).sum)
+        else None
+      } else None
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration

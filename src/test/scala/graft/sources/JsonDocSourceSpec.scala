@@ -440,6 +440,60 @@ class JsonDocSourceSpec extends SparkTestBase {
       "zone-walked entries must answer plain loads for free")
   }
 
+  test("scan reports statistics: listing-derived size, zone-exact rows; a small table broadcasts unhinted") {
+    val dir = new java.io.File(graft.TempRoots.path("graftjson_stats"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "d.json"))
+    (1 to 40).foreach(i => w.println(s"""{"k": ${i % 8}, "pad": "x$i"}"""))
+    w.close()
+    val bytes = new java.io.File(dir, "d.json").length()
+
+    def v2Stats(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.connector.read.Statistics = {
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      // optimizedPlan: pushdown has run, the Scan is built
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r
+      }.get
+      rel.scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    }
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val st = v2Stats(zdf)
+    assert(st.sizeInBytes.getAsLong == bytes)
+    assert(st.numRows.getAsLong == 40L)
+    // column pruning scales the size estimate down
+    assert(v2Stats(zdf.select("k")).sizeInBytes.getAsLong < bytes)
+    // a filter withdraws the exact row count (the scan emits fewer
+    // rows; an overstated "exact" count would mislead the planner)
+    assert(!v2Stats(zdf.where(col("k") === 1)).numRows.isPresent)
+    // no zones: size still prices from the listing, rows are unknown
+    val plain = v2Stats(spark.read.format("graftjson").load(dir.toString))
+    assert(plain.sizeInBytes.getAsLong == bytes && !plain.numRows.isPresent)
+
+    // the decision that matters: joined to a too-big-to-broadcast
+    // side, the KB-sized graftjson table is chosen for an UP-FRONT
+    // broadcast with no hint — without reported statistics a DSv2
+    // scan prices at the default (effectively infinite) size and
+    // Catalyst plans a full sort-merge join instead
+    val bigDir = graft.TempRoots.path("graftjson_stats_big")
+    spark.range(100000)
+      .selectExpr("id % 8 as k", "md5(cast(id as string)) as payload")
+      .write.mode("overwrite").parquet(bigDir)
+    val big = spark.read.parquet(bigDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 * 1024).toString)
+      val joined = big.join(zdf, "k")
+      assert(joined.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"),
+        joined.queryExecution.sparkPlan.toString)
+      assert(joined.count() == 100000L * 5) // 40 rows over 8 keys
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a user-supplied schema must match the inferred one (unions are not reconstructible)") {
     val dir = writeFixture("graftjson_uschema")
     val inferredSchema = spark.read.format("graftjson").load(dir).schema
