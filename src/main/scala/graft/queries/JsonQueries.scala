@@ -611,7 +611,53 @@ object JsonQueries {
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Recluster lifecycle end to end ([[graft.sources.JsonCompact
+    * .recluster]]): the documents table exported hash-interleaved
+    * over 16 NDJSON files — the ingest-ordered layout where every
+    * file's key range spans the domain and zone maps can prune
+    * NOTHING — then range-clustered on `n_chars` through the crash-
+    * safe marker protocol (one Spark job: range exchange, per-
+    * partition sort, one staged file per partition). The read-back
+    * range probe now prunes by file AND the aggregate must match
+    * DuckDB over the parquet original, so a line lost, duplicated, or
+    * mis-sorted across any staged boundary flips a checksum. The
+    * pruning-turns-on pin (skip counter, metadata-answered filtered
+    * count) lives in JsonCompactSpec; this query proves the rewrite
+    * lossless on real data. */
+  private val q231Lock = new Object
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q231_${Integer.toHexString(dir.hashCode)}")
+    q231Lock.synchronized {
+      buildOnce(s, out) {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(16)
+          .write.mode("overwrite").json(out)
+        val rep = graft.sources.JsonCompact.recluster(s, out, "n_chars",
+          targetBytes = 4L << 10, refreshMeta = true)
+        require(rep.writtenFiles > 1,
+          s"recluster produced a single file — no clustering to prove: $rep")
+      }
+    }
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .where(col("n_chars") >= 450)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 13).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q231Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 13) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 450
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_recluster" -> (q231 _),
     "q230_json_ingest" -> (q230 _),
     "q229_filtered_count" -> (q229 _),
     "q228_nested_zonemap" -> (q228 _),
@@ -632,6 +678,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q231_recluster" -> q231Sql,
     "q230_json_ingest" -> q230Sql,
     "q229_filtered_count" -> q229Sql,
     "q228_nested_zonemap" -> q228Sql,

@@ -135,6 +135,20 @@ object JsonCompact {
   final case class Report(mergedFiles: Int, mergedInto: Int,
                           untouched: Int, rolledForward: Boolean)
 
+  final case class ReclusterReport(rewrittenFiles: Int, writtenFiles: Int,
+                                   rolledForward: Boolean)
+
+  /** Delete staging leftovers that no marker references — the debris
+    * of a run that crashed BEFORE its commit point. Sound under the
+    * single-writer maintenance contract: with no marker present,
+    * nothing in `_compaction/` is reachable by any reader. */
+  private def clearStaleStage(fs: FileSystem, root: Path): Unit = {
+    val stage = new Path(root, MarkerDirName)
+    if (readMarker(fs, root).isEmpty && fs.exists(stage))
+      Option(fs.listStatus(stage)).getOrElse(Array.empty)
+        .foreach(st => fs.delete(st.getPath, false))
+  }
+
   /** Executor-side merge of one bin into one staged file: byte
     * concatenation with a '\n' inserted between adjacent files
     * whenever the earlier one does not already end in one (the rule
@@ -261,5 +275,146 @@ object JsonCompact {
         bins.flatten.map(_.getPath.getName).toSet, binSpecs.map(_._1)))
     Report(bins.map(_.size).sum, bins.size,
       files.size - bins.map(_.size).sum, rolled)
+  }
+
+  /** Recluster this directory's plain NDJSON files by a key path, so
+    * the per-file zone maps become SELECTIVE: zone skipping can only
+    * prune what the physical layout separates, and an ingest-ordered
+    * corpus interleaves every key range through every file (each
+    * file's bounds span the domain — nothing is provably empty
+    * anywhere). A range-partitioned, within-partition-sorted rewrite
+    * gives each output file a tight, non-overlapping key range; a
+    * later `WHERE k = v` / range / IN then skips all but the files
+    * whose range covers it. This is the Z-order/OPTIMIZE idea of the
+    * lakehouse engines, re-expressed for NDJSON in one dimension.
+    *
+    * `byPath` is a dotted path from the zone vocabulary
+    * ([[ZoneSkip.eligiblePaths]] — top-level or structs-only nested
+    * chain, collision-free, within the depth cap) whose leaf is a
+    * type zones can prune on (integral / decimal / plain string);
+    * anything else fails fast with the eligible paths in the message.
+    * Key extraction matches the engine exactly — one Jackson parse
+    * per line, [[graft.infer.Materialize.convertAtPath]] — so a
+    * corrupt or blank line (null key) survives the rewrite and sorts
+    * into the null region, preserving the scan's unit multiset
+    * verbatim. Already-big plain files are rewritten too (clustering
+    * is global); `.gz` files are NOT (their bytes never rewrite —
+    * compact-them-elsewhere contract), so a directory with `.gz`
+    * epochs is only partially clustered. NDJSON only: whole-mode
+    * directories treat one FILE as one row — reclustering would merge
+    * rows; the table owner calls this and owns that contract.
+    *
+    * Crash safety is the compaction marker protocol unchanged: staged
+    * writes under `_compaction/`, ONE atomic marker as the commit
+    * point, reader-side marker application, idempotent roll-forward.
+    * The rewrite itself is one Spark job — range exchange + per-
+    * partition sort + one staged file per partition; the driver never
+    * opens a data file. */
+  def recluster(spark: SparkSession, dir: String, byPath: String,
+                targetBytes: Long = 64L << 20,
+                refreshMeta: Boolean = false): ReclusterReport = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rolled = rollForward(spark, dir)
+    clearStaleStage(fs, root)
+
+    // resolve the key through the same route map zone consultation
+    // uses — never by re-splitting the dotted rendering
+    val (t, _, _) = JsonDocSource.inferCached(Seq(dir), whole = false)
+    val routes = ZoneSkip.eligibleRoutes(t)
+    val (segs, leaf) = routes.getOrElse(byPath,
+      throw new IllegalArgumentException(
+        s"'$byPath' is not a clusterable path (need a collision-free " +
+          s"structs-only chain); eligible: " +
+          routes.keys.toSeq.sorted.mkString(", ")))
+    val leafDt = graft.infer.Materialize.toMaterializableSparkType(leaf)
+    val clusterable = leafDt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+    require(clusterable,
+      s"'$byPath' materializes as $leafDt — zones cannot prune it " +
+        "(integral / decimal / plain string only)")
+
+    val children = Option(fs.listStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = children.filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".gz")
+    })
+    if (files.isEmpty) {
+      if (refreshMeta) JsonMeta.save(spark, dir)
+      return ReclusterReport(0, 0, rolled)
+    }
+    val totalBytes = files.iterator.map(_.getLen).sum
+    val parts = math.max(1,
+      math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val stage = new Path(root, MarkerDirName)
+    fs.mkdirs(stage)
+
+    import org.apache.spark.sql.functions.col
+    val lines = spark.read.textFile(files.map(_.getPath.toString): _*)
+    val tCap = t
+    val segsCap = segs
+    val keyUdf = org.apache.spark.sql.functions.udf(
+      new org.apache.spark.sql.api.java.UDF1[String, Any] {
+        override def call(line: String): Any =
+          graft.infer.Materialize.convertAtPath(
+            graft.infer.Materialize.parseDoc(line), tCap, segsCap)
+      }, leafDt)
+    // range exchange → per-partition sort: globally clustered output,
+    // ~targetBytes per file; nulls (corrupt/blank lines) sort first
+    val arranged = lines.toDF("line")
+      .withColumn("_k", keyUdf(col("line")))
+      .repartitionByRange(parts, col("_k"))
+      .sortWithinPartitions("_k")
+      .select("line")
+    val run = java.util.UUID.randomUUID().toString.take(12)
+    val conf = new graft.ops.Fs.SerializableConf(
+      spark.sparkContext.hadoopConfiguration)
+    val stageStr = stage.toString
+    import spark.implicits._
+    val written = arranged.as[String].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val name = f"recluster-$run-$pid%05d.json"
+          val p = new Path(stageStr, name)
+          val ofs = p.getFileSystem(conf.value)
+          val out = ofs.create(p, true)
+          try it.foreach { l =>
+            out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+          } finally out.close()
+          Iterator.single(name)
+        }
+      }.collect().sorted
+    writeMarker(fs, root,
+      Marker(written.map(n => n -> n).toSeq, files.map(_.getPath.getName)))
+    rollForward(spark, dir)
+    if (refreshMeta) {
+      // the post-swap population from state in hand — same one-listing
+      // contract as compact(refreshMeta=true); a nested data dir
+      // forces the meta's own (recursive) listing
+      val nestedData = children.exists(st => st.isDirectory && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      val gone = files.map(_.getPath.getName).toSet
+      val listing =
+        if (nestedData) None
+        else Some((children.filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") && !gone(n)
+        }) ++ written.map(n => fs.getFileStatus(new Path(root, n))))
+          .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+          .sortBy(_._1))
+      JsonMeta.save(spark, dir, listing)
+    }
+    ReclusterReport(files.size, written.length, rolled)
   }
 }

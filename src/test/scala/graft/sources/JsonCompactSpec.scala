@@ -179,6 +179,122 @@ class JsonCompactSpec extends SparkTestBase {
       new java.io.File(dir, "one.json").lastModified == m1)
   }
 
+  test("recluster: ingest-interleaved keys become range-clustered files; zone skipping turns on") {
+    val dir = mkDir("jc_recluster")
+    // round-robin ingest layout: every file's id range spans the whole
+    // domain, so a range predicate can never prune anything
+    (0 until 4).foreach { f =>
+      put(dir, s"epoch$f.json",
+        (1 to 40).filter(_ % 4 == f % 4)
+          .map(i => s"""{"id": $i, "s": "v$i"}""").mkString("", "\n", "\n"))
+    }
+    val before = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val beforeRows = before.collect().map(_.toString).sorted.toSeq
+    val skipsBefore = JsonDocSource.zoneSkippedFiles.get()
+    assert(before.where(col("id") >= 31).count() == 10L)
+    assert(JsonDocSource.zoneSkippedFiles.get() == skipsBefore,
+      "interleaved layout must have nothing provably empty")
+    val rep = JsonCompact.recluster(spark, dir.toString, "id",
+      targetBytes = 120L)
+    assert(rep.rewrittenFiles == 4 && rep.writtenFiles >= 2)
+    assert(!new java.io.File(dir, "_compaction").exists,
+      "staging dir must be gone after a clean recluster")
+    val after = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+    // the filtered COUNT(*) now answers from metadata alone (every
+    // clustered file is decided all-match or empty) — zero scan
+    val metaCount = after.where(col("id") >= 31).agg(count(lit(1)).as("c"))
+    assert(metaCount.collect()(0).getLong(0) == 10L)
+    assert(metaCount.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "clustered files decide the filtered count from zones")
+    // a query that must SCAN prunes the out-of-range files
+    val skipsMid = JsonDocSource.zoneSkippedFiles.get()
+    assert(after.where(col("id") >= 31).select(col("s")).collect().length == 10)
+    assert(JsonDocSource.zoneSkippedFiles.get() > skipsMid,
+      "clustered layout must prune at least one file on a range probe")
+  }
+
+  test("recluster: nested dotted key; line edge cases and null keys survive verbatim") {
+    val dir = mkDir("jc_recluster_nested")
+    put(dir, "a.json",
+      """{"id": 1, "meta": {"n": 30}}""" + "\n" +
+        """{"id": 2, "meta": {"n": 10}}""" + "\n" +
+        "not json at all\n" + // corrupt → null key
+        "\n") // blank line unit → null key
+    put(dir, "b.json",
+      """{"id": 3, "meta": {"n": 20}}""" + "\r\n" + // CRLF
+        """{"id": 4}""") // missing meta → null key; no trailing \n
+    val plain = spark.read.format("graftjson").load(dir.toString)
+    val beforeRows = plain.collect().map(_.toString).sorted.toSeq
+    val cnt = plain.count()
+    val rep = JsonCompact.recluster(spark, dir.toString, "meta.n",
+      targetBytes = 1L << 20)
+    assert(rep.rewrittenFiles == 2 && rep.writtenFiles == 1)
+    val after = spark.read.format("graftjson").load(dir.toString)
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+    assert(after.count() == cnt)
+  }
+
+  test("recluster: ineligible or unknown paths fail fast; .gz files are never rewritten") {
+    val dir = mkDir("jc_recluster_guard")
+    put(dir, "a.json", """{"id": 1, "f": true, "s": "x"}""" + "\n")
+    val gzf = new java.io.File(dir, "z.json.gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gzf))
+    gz.write("""{"id": 900, "f": false, "s": "gz"}""".getBytes("UTF-8"))
+    gz.close()
+    gzf.setLastModified(1700000000000L)
+    // a boolean leaf: zones can never prune it, so clustering by it is
+    // rejected up front
+    val e1 = intercept[IllegalArgumentException] {
+      JsonCompact.recluster(spark, dir.toString, "f")
+    }
+    assert(e1.getMessage.contains("cannot prune"))
+    val e2 = intercept[IllegalArgumentException] {
+      JsonCompact.recluster(spark, dir.toString, "nope")
+    }
+    assert(e2.getMessage.contains("eligible"))
+    val before = rows(dir)
+    val rep = JsonCompact.recluster(spark, dir.toString, "id")
+    assert(rep.rewrittenFiles == 1)
+    assert(gzf.lastModified == 1700000000000L, "gz bytes never rewrite")
+    assert(rows(dir) == before)
+  }
+
+  test("recluster: stale pre-commit staging debris is cleared by the next maintenance call") {
+    val dir = mkDir("jc_recluster_stale")
+    put(dir, "a.json", """{"id": 1, "s": "x"}""" + "\n")
+    val stage = new java.io.File(dir, "_compaction"); stage.mkdirs()
+    // a crashed run's staged file, never committed by any marker:
+    // invisible to readers, deleted by the next maintenance call
+    put(stage, "recluster-dead-00000.json", """{"id": 666, "s": "ghost"}""" + "\n")
+    assert(rows(dir) == Seq((1L: Any, "x": Any)))
+    JsonCompact.recluster(spark, dir.toString, "id")
+    assert(!new java.io.File(stage, "recluster-dead-00000.json").exists)
+    assert(rows(dir) == Seq((1L: Any, "x": Any)))
+  }
+
+  test("recluster(refreshMeta=true): a fresh planning pass is walk-free") {
+    val dir = mkDir("jc_recluster_meta")
+    (0 until 3).foreach { f =>
+      put(dir, s"e$f.json",
+        (1 to 30).filter(_ % 3 == f).map(i => s"""{"id": $i, "s": "v$i"}""")
+          .mkString("", "\n", "\n"))
+    }
+    JsonCompact.recluster(spark, dir.toString, "id",
+      targetBytes = 200L, refreshMeta = true)
+    JsonDocSource.clearInferCache()
+    val walked = JsonDocSource.filesWalked.get()
+    val df = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    assert(df.count() == 30L)
+    assert(JsonDocSource.filesWalked.get() == walked,
+      "post-recluster planning must come from the refreshed durable meta")
+  }
+
   test("COUNT(*) metadata pushdown declines across a compaction (fingerprint drift)") {
     val dir = mkDir("jc_count")
     (1 to 3).foreach(i =>
