@@ -656,7 +656,60 @@ object JsonQueries {
       |FROM documents WHERE n_chars >= 450
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The native streaming source end to end
+    * ([[graft.sources.JsonDocMicroBatchStream]] via
+    * `readStream.format("graftjson")`): the documents table lands as
+    * four NDJSON epochs through the crash-idempotent ingest, tailed in
+    * TWO AvailableNow runs against ONE checkpoint (the second run is a
+    * cold restart that must resume from the offset log, not re-read),
+    * with `maxFilesPerTrigger=1` forcing multi-batch admission. The
+    * parquet sink then aggregates with doc-id and length checksums
+    * against the parquet original: a row lost at a batch boundary,
+    * re-emitted by the restart, or dropped by admission control flips
+    * a sum. Offset-log grain, crash windows, and append-only guards
+    * are pinned in JsonDocStreamSpec. */
+  private val q232Lock = new Object
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempRoots.path(
+      s"graftjson_q232_${Integer.toHexString(dir.hashCode)}")
+    val src = s"$root/src"; val sink = s"$root/sink"
+    q232Lock.synchronized {
+      buildOnce(s, root) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        def epoch(e: Long): Unit = EventStreams.ingestEpoch(
+          docs.where(pmod(col("doc_id"), lit(4)) === e), src,
+          batchId = e, refreshMeta = false)
+        def drain(): Unit = {
+          val q = s.readStream.format("graftjson")
+            .option("maxFilesPerTrigger", "1").load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        epoch(0L); epoch(1L); drain()
+        epoch(2L); epoch(3L); drain() // restart, same checkpoint
+      }
+    }
+    s.read.parquet(sink)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 17).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q232Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 17) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_stream_source" -> (q232 _),
     "q231_recluster" -> (q231 _),
     "q230_json_ingest" -> (q230 _),
     "q229_filtered_count" -> (q229 _),
@@ -678,6 +731,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q232_stream_source" -> q232Sql,
     "q231_recluster" -> q231Sql,
     "q230_json_ingest" -> q230Sql,
     "q229_filtered_count" -> q229Sql,

@@ -434,17 +434,22 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
   override def name(): String = s"graftjson(${ps.mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonDocScanBuilder(ps, whole, t, schema,
-      Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint)
+      Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 }
 
 private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  full: StructType,
                                  maxSplitBytes: Option[Long],
                                  zones: Option[ZoneStats.ZoneMap],
-                                 fingerprint: Seq[(String, Long, Long)])
+                                 fingerprint: Seq[(String, Long, Long)],
+                                 maxFilesPerTrigger: Option[Int] = None,
+                                 maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -655,7 +660,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     case Some((schema, values)) => new JsonDocMetaScan(ps, schema, values)
     case None =>
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
-        maxSplitBytes, zones, fingerprint)
+        maxSplitBytes, zones, fingerprint,
+        maxFilesPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -713,7 +719,9 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           offered: Array[org.apache.spark.sql.sources.Filter],
                           maxSplitBytes: Option[Long],
                           zones: Option[ZoneStats.ZoneMap],
-                          fingerprint: Seq[(String, Long, Long)])
+                          fingerprint: Seq[(String, Long, Long)],
+                          maxFilesPerTrigger: Option[Int] = None,
+                          maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -749,6 +757,11 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonDocMicroBatchStream(SparkSession.active, checkpointLocation,
+      ps, whole, t, full, required, pushed, maxSplitBytes,
+      maxFilesPerTrigger, maxBytesPerTrigger)
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +

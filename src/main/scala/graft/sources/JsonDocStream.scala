@@ -1,0 +1,249 @@
+package graft.sources
+
+import graft.types.HType
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** `spark.readStream.format("graftjson")` — the graftjson table as a
+  * native micro-batch source, completing the ingest loop whose write
+  * side is [[graft.streaming.EventStreams.ingestEpoch]]: epochs land
+  * as NDJSON files, and a streaming reader tails the directory with
+  * exactly-once file accounting.
+  *
+  * Offsets are BATCH IDS, not file lists: each planned batch appends
+  * one immutable log file under `<checkpoint>/graft-batches/` naming
+  * exactly the files it admitted (tmp + atomic rename — the
+  * [[JsonCompact]] marker discipline), and the engine's offset WAL
+  * stores just the id. Checkpoint cost per trigger is therefore
+  * proportional to the files that ARRIVED, never to the table — the
+  * same diff-not-table grain as [[JsonMeta]] segments. Replay is
+  * deterministic because `planInputPartitions(start, end)` re-reads
+  * the logs for `(start, end]` verbatim; a crash between our log
+  * write and the engine's WAL commit leaves an orphan log that the
+  * next `latestOffset` simply returns again (the files are already
+  * accounted as seen, the id is already durable — FileStreamSource's
+  * recovery shape).
+  *
+  * Schema locks at stream start (the load-time inference); later
+  * files materialize through that locked [[HType]] exactly like
+  * post-inference files do in a batch scan. Batches reuse the batch
+  * reader wholesale — byte-range splits for plain NDJSON, single
+  * partitions for `.gz`/whole, pushed-filter early skip — so stream
+  * and batch cannot drift row-wise.
+  *
+  * The tailed directory is APPEND-ONLY by contract: ingest epochs
+  * add files and never mutate them (a replayed epoch rewrites
+  * identical bytes at identical length). A consumed file that
+  * GROWS/shrinks or DISAPPEARS (an in-place append, or a
+  * `compact()`/`recluster()` swap — their merged outputs would be
+  * double reads of rows already emitted) fails the stream loudly at
+  * the next trigger instead of silently losing or duplicating rows;
+  * run maintenance on directories not being tailed.
+  *
+  * Admission control: `maxFilesPerTrigger` / `maxBytesPerTrigger`
+  * options (at least one file always admits, so a single file larger
+  * than the byte cap still progresses); files admit in (mtime, path)
+  * order. `Trigger.AvailableNow` snapshots the listing at start and
+  * drains exactly that set under the rate limits. */
+private[sources] class JsonDocMicroBatchStream(
+    spark: SparkSession,
+    checkpointLocation: String,
+    ps: Seq[String], whole: Boolean, t: HType,
+    full: StructType, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    maxSplitBytes: Option[Long],
+    maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  import JsonDocMicroBatchStream._
+
+  private val logDir = new Path(checkpointLocation, LogDirName)
+  // driver-side only: the session conf carries the user's fs settings
+  private val fs: FileSystem =
+    logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** path -> length at admission; rebuilt from the logs at restart. */
+  private val seen = mutable.HashMap.empty[String, Long]
+  private var latestId: Long = -1L
+  // Trigger.AvailableNow target: drain exactly this path set, then idle
+  private var availableNowTarget: Option[Set[String]] = None
+
+  locally {
+    fs.mkdirs(logDir)
+    logIds(fs, logDir).foreach { id =>
+      readLog(fs, logDir, id).foreach(e => seen(e.path) = e.len)
+      latestId = math.max(latestId, id)
+    }
+  }
+
+  override def initialOffset(): Offset = JsonStreamOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset =
+    JsonStreamOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(JsonDocSource.listFiles(spark, ps).map(_._1).toSet)
+
+  // engine always goes through the admission-control overload
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val listing = JsonDocSource.listFiles(spark, ps)
+    val present = listing.iterator.map(_._1).toSet
+    listing.foreach { case (p, len, _) =>
+      seen.get(p).foreach { admitted =>
+        if (len != admitted) throw new IllegalStateException(
+          s"graftjson stream: consumed file changed length " +
+            s"($admitted -> $len): $p — tailed directories are " +
+            "append-only (write new files; never append in place)")
+      }
+    }
+    seen.keysIterator.find(!present(_)).foreach { p =>
+      throw new IllegalStateException(
+        s"graftjson stream: consumed file disappeared: $p — " +
+          "compact()/recluster() must not run on a tailed directory")
+    }
+    var fresh = listing.filterNot(f => seen.contains(f._1))
+    availableNowTarget.foreach(tg => fresh = fresh.filter(f => tg(f._1)))
+    val admitted = applyLimit(fresh.sortBy(f => (f._3, f._1)), limit)
+    if (admitted.isEmpty) JsonStreamOffset(latestId)
+    else {
+      val id = latestId + 1
+      writeLog(fs, logDir, id,
+        admitted.map { case (p, l, m) => LogEntry(p, l, m) })
+      admitted.foreach(f => seen(f._1) = f._2)
+      latestId = id
+      JsonStreamOffset(id)
+    }
+  }
+
+  private def applyLimit(fresh: Seq[(String, Long, Long)],
+                         limit: ReadLimit): Seq[(String, Long, Long)] = {
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
+    }
+    flatten(limit).foldLeft(fresh) {
+      case (fs0, f: ReadMaxFiles) => fs0.take(math.max(1, f.maxFiles))
+      case (fs0, b: ReadMaxBytes) =>
+        // admit files until the byte budget is spent; never zero files
+        var budget = b.maxBytes
+        val it = fs0.iterator
+        val out = Seq.newBuilder[(String, Long, Long)]
+        var first = true
+        while (it.hasNext && (first || budget > 0)) {
+          val f = it.next()
+          if (first || f._2 <= budget) { out += f; budget -= f._2 }
+          else budget = 0
+          first = false
+        }
+        out.result()
+      case (fs0, _) => fs0 // allAvailable / row limits: no file cap
+    }
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[JsonStreamOffset].batchId
+    val e = end.asInstanceOf[JsonStreamOffset].batchId
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codecs =
+      new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    val target = math.max(1L << 20,
+      maxSplitBytes.getOrElse(
+        spark.sessionState.conf.filesMaxPartitionBytes))
+    ((s + 1) to e).flatMap { id =>
+      readLog(fs, logDir, id).flatMap { entry =>
+        val splittable = !whole &&
+          codecs.getCodec(new Path(entry.path)) == null
+        if (!splittable || entry.len <= target)
+          Seq(JsonDocPartition(entry.path, 0L, entry.len): InputPartition)
+        else (0L until entry.len by target).map(o =>
+          JsonDocPartition(entry.path, o,
+            math.min(target, entry.len - o)): InputPartition)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    JsonDocReaderFactory(whole, t, full, required, pushed,
+      new graft.ops.Fs.SerializableConf(
+        spark.sparkContext.hadoopConfiguration))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] object JsonDocMicroBatchStream {
+
+  private[sources] val LogDirName = "graft-batches"
+
+  private[sources] case class JsonStreamOffset(batchId: Long) extends Offset {
+    override def json(): String = batchId.toString
+  }
+
+  private[sources] case class LogEntry(path: String, len: Long, mtime: Long)
+
+  private def logPath(dir: Path, id: Long): Path =
+    new Path(dir, f"batch-$id%010d")
+
+  private[sources] def logIds(fs: FileSystem, dir: Path): Seq[Long] =
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("batch-") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("batch-").toLong).sorted
+
+  /** One immutable file per batch; tmp + rename so a torn write is
+    * never visible (an invisible tmp is re-planned from the listing
+    * on the next trigger — the id was never returned to the engine). */
+  private[sources] def writeLog(fs: FileSystem, dir: Path, id: Long,
+                                entries: Seq[LogEntry]): Unit = {
+    val p = logPath(dir, id)
+    val tmp = new Path(dir, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try entries.foreach { e =>
+      out.write(s"${e.len}\t${e.mtime}\t${e.path}\n"
+        .getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"could not commit batch log $p")
+  }
+
+  private[sources] def readLog(fs: FileSystem, dir: Path,
+                               id: Long): Seq[LogEntry] = {
+    val in = fs.open(logPath(dir, id))
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      // path LAST: it may itself contain tabs
+      val Array(len, mtime, path) = line.split("\t", 3)
+      LogEntry(path, len.toLong, mtime.toLong)
+    }.toSeq
+  }
+}
