@@ -708,7 +708,145 @@ object JsonQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The native batch WRITE path end to end
+    * ([[graft.sources.JsonDocWriteBuilder]] via
+    * `df.write.format("graftjson")`): a decoy overwrite, a real
+    * overwrite that must truncate it away (marker-protocol removes),
+    * and an append that must land next to it (marker-protocol adds) —
+    * then a graftjson read back with doc-id and length checksums
+    * against the parquet original. A decoy row surviving the
+    * truncate, an appended row lost, or any value mangled by the
+    * NDJSON rendering ([[graft.sources.JsonRowText]]) flips a sum.
+    * Crash windows, speculative-attempt sweeps, and the rendering
+    * contract are pinned in JsonDocWriteSpec. */
+  private val q233Lock = new Object
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q233_${Integer.toHexString(dir.hashCode)}")
+    q233Lock.synchronized {
+      buildOnce(s, out) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        // decoy state the overwrite must remove whole
+        docs.limit(7).withColumn("doc_id", col("doc_id") + 1000000L)
+          .write.format("graftjson").mode("overwrite").save(out)
+        docs.where(pmod(col("doc_id"), lit(2)) === 0L)
+          .write.format("graftjson").mode("overwrite").save(out)
+        docs.where(pmod(col("doc_id"), lit(2)) === 1L)
+          .write.format("graftjson").mode("append")
+          .option("refreshMeta", "true").save(out)
+      }
+    }
+    s.read.format("graftjson").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 19).as("key_check"),
+        sum(length(col("text")).cast("bigint")).as("sum_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  private val q233Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 19) AS BIGINT) AS key_check,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The native streaming SINK end to end
+    * ([[graft.sources.JsonDocStreamingWrite]] via
+    * `writeStream.format("graftjson")`): a graftjson→graftjson
+    * streaming pipe — the documents table ingested as four source
+    * epochs, tailed by the native streaming source and re-written by
+    * the native sink in TWO AvailableNow runs against one checkpoint
+    * (a real restart; `maxFilesPerTrigger=1` forces multi-epoch
+    * commits, so the sink's deterministic epoch naming is exercised
+    * across several batch ids). The sink table then reads back with
+    * checksums against the parquet original: a row duplicated by a
+    * replayed epoch, lost at a commit boundary, or mangled by the
+    * rendering flips a sum. Replay-namespace and staging-sweep pins
+    * live in JsonDocWriteSpec. */
+  private val q234Lock = new Object
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempRoots.path(
+      s"graftjson_q234_${Integer.toHexString(dir.hashCode)}")
+    val src = s"$root/src"; val sink = s"$root/sink"
+    q234Lock.synchronized {
+      buildOnce(s, root) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        def epoch(e: Long): Unit = EventStreams.ingestEpoch(
+          docs.where(pmod(col("doc_id"), lit(4)) === e), src,
+          batchId = e, refreshMeta = false)
+        def drain(): Unit = {
+          val q = s.readStream.format("graftjson")
+            .option("maxFilesPerTrigger", "1").load(src)
+            .writeStream.format("graftjson")
+            .option("path", sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        epoch(0L); epoch(1L); drain()
+        epoch(2L); epoch(3L); drain() // restart, same checkpoint
+      }
+    }
+    s.read.format("graftjson").load(sink)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 23).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q234Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 23) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Metadata-only corpus statistics ([[graft.sources
+    * .JsonDocScanBuilder]] aggregate pushdown, r12 extension): the
+    * whole `count(*) / sum / count(col) / min / max` statistics probe
+    * — plus a FILTERED sum whose per-lang file layout lets the zones
+    * decide every file — answered from zone-map metadata with ZERO
+    * data read (exact decimal sums and presence counts ride the
+    * planning walk; the kept-set partition argument makes filtered
+    * answers exact). The oracle recomputes everything from the parquet
+    * original, so a drifted sum, a miscounted null, or an unsound
+    * kept-set decision flips a value; the plans-as-metadata pin lives
+    * in ZoneMapSpec. */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val out = q229Export(s, dir)
+    val z = s.read.format("graftjson").option("zonemaps", "true").load(out)
+    val whole = z.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sc"), count(col("n_chars")).as("n_chars_cnt"),
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+        min(col("lang")).as("lang_lo"), max(col("lang")).as("lang_hi"))
+      .select(col("n_docs"), col("sc").cast("bigint").as("sum_chars"),
+        col("n_chars_cnt"), col("mn").cast("bigint").as("min_chars"),
+        col("mx").cast("bigint").as("max_chars"),
+        col("lang_lo"), col("lang_hi"))
+    val filtered = z.where(col("lang") === "en")
+      .agg(sum(col("n_chars")).as("sf"))
+      .select(col("sf").cast("bigint").as("sum_chars_en"))
+    whole.crossJoin(filtered)
+  }
+
+  private val q235Sql =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(n_chars) AS n_chars_cnt,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  min(lang) AS lang_lo, max(lang) AS lang_hi,
+      |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+      |   WHERE lang = 'en') AS sum_chars_en
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_meta_stats" -> (q235 _),
+    "q234_stream_sink" -> (q234 _),
+    "q233_write_path" -> (q233 _),
     "q232_stream_source" -> (q232 _),
     "q231_recluster" -> (q231 _),
     "q230_json_ingest" -> (q230 _),
@@ -731,6 +869,9 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q235_meta_stats" -> q235Sql,
+    "q234_stream_sink" -> q234Sql,
+    "q233_write_path" -> q233Sql,
     "q232_stream_source" -> q232Sql,
     "q231_recluster" -> q231Sql,
     "q230_json_ingest" -> q230Sql,

@@ -85,7 +85,7 @@ object JsonCompact {
     Some(Marker(adds, removes))
   }
 
-  private def writeMarker(fs: FileSystem, dir: Path, m: Marker): Unit = {
+  private[sources] def writeMarker(fs: FileSystem, dir: Path, m: Marker): Unit = {
     val mp = markerPath(dir)
     val tmp = new Path(mp.getParent, MarkerFileName + ".tmp")
     val out = fs.create(tmp, true)

@@ -121,16 +121,39 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val whole = options.getBoolean("whole", false)
     val ps = paths(options)
-    val (t, zones, fingerprint) = inferBoth(options)
-    val inferred = JsonDocSource.sparkSchemaOf(t)
-    // a user-supplied schema must BE the inferred one: the reader
-    // converts through the HType tree (unions and all), and a
-    // StructType cannot be mapped back to an HType unambiguously
-    require(schema == inferred,
-      s"graftjson: user schema must match the inferred schema\n" +
-        s"  given:    ${schema.simpleString}\n" +
-        s"  inferred: ${inferred.simpleString}")
-    new JsonDocTable(ps, whole, t, inferred, zones, fingerprint)
+    // WRITE flow: DataFrameWriter/DataStreamWriter hand external-
+    // metadata providers the WRITE QUERY's schema directly (no
+    // inferSchema call), possibly against a directory that does not
+    // exist yet — inference failing with not-found, or the given
+    // schema differing from the inferred one, yields a WRITE-ONLY
+    // table (NDJSON is schema-on-read: appended rows render under the
+    // writer's schema; the next load re-infers). Reads keep their
+    // strictness: a scan on a mismatched table throws the same
+    // message the old require raised.
+    val inferredOpt =
+      try Some(inferBoth(options))
+      catch { case _: java.io.FileNotFoundException => None }
+    inferredOpt match {
+      case Some((t, zones, fingerprint)) =>
+        val inferred = JsonDocSource.sparkSchemaOf(t)
+        if (schema == inferred)
+          new JsonDocTable(ps, whole, t, inferred, zones, fingerprint,
+            readError = None)
+        else
+          // a user-supplied READ schema must BE the inferred one: the
+          // reader converts through the HType tree (unions and all),
+          // and a StructType cannot be mapped back to an HType
+          // unambiguously
+          new JsonDocTable(ps, whole, t, schema, zones, fingerprint,
+            readError = Some(
+              s"graftjson: user schema must match the inferred schema\n" +
+                s"  given:    ${schema.simpleString}\n" +
+                s"  inferred: ${inferred.simpleString}"))
+      case None =>
+        new JsonDocTable(ps, whole, HNull, schema, None, Seq.empty,
+          readError = Some(
+            s"graftjson: path not found: ${ps.mkString(", ")}"))
+    }
   }
 }
 
@@ -429,18 +452,36 @@ private[graft] object JsonDocSource {
 private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            schema: StructType,
                            zones: Option[ZoneStats.ZoneMap],
-                           fingerprint: Seq[(String, Long, Long)])
-    extends Table with SupportsRead {
+                           fingerprint: Seq[(String, Long, Long)],
+                           readError: Option[String])
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftjson(${ps.mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // reads require the schema to BE the inferred one (the reader
+    // converts through the HType tree); a write-only table (schema
+    // mismatch or not-yet-created dir) fails loudly here
+    readError.foreach(msg => throw new IllegalArgumentException(msg))
     new JsonDocScanBuilder(ps, whole, t, schema,
       Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(ps.size == 1,
+      s"graftjson: writes need exactly one target directory, got: " +
+        ps.mkString(", "))
+    new JsonDocWriteBuilder(ps.head, whole, info)
+  }
 }
 
 private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
@@ -503,7 +544,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Any])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.types._
     if (zones.isEmpty || agg.groupByExpressions().nonEmpty ||
       agg.aggregateExpressions().isEmpty) return None
@@ -514,43 +555,46 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // every listed file must carry a zone — an answer must account
     // for every row the scan would emit
     if (fileZones.size != current.size) return None
-    // FILTERED COUNT(*): Spark only attempts aggregate pushdown when
-    // no residual Filter remains, so a non-empty pushed set here is
-    // the query's ENTIRE conjunction and every member was exact
-    // (fully pushed). The zones must DECIDE each file: all-match
-    // (every row satisfies every conjunct → contributes its full unit
-    // count) or provably-empty (contributes zero); one undecidable
-    // file declines the push and the ordinary scan runs. Bounds-based
-    // MIN/MAX never answer under filters — the recorded bounds
-    // describe the unfiltered corpus.
-    if (pushed.nonEmpty) {
-      if (!agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
-        return None
-      if (fileZones.exists(_.dirty)) return None
-      val perFile = fileZones.map { z =>
-        if (pushed.forall(ZoneSkip.provablyAllMatch(_, z, zonePaths)))
-          Some(z.units)
-        else if (pushed.exists(ZoneSkip.provablyEmpty(_, z, zonePaths)))
-          Some(0L)
-        else None
+    // FILTERS: Spark only attempts aggregate pushdown when no
+    // residual Filter remains, so a non-empty pushed set here is the
+    // query's ENTIRE conjunction and every member was exact (fully
+    // pushed). The zones must DECIDE each file: all-match (every row
+    // satisfies every conjunct — the file's rows ALL survive, so its
+    // unit count, bounds, sums and presence counts describe exactly
+    // the surviving rows) or provably-empty (contributes nothing);
+    // ONE undecidable file declines the push and the ordinary scan
+    // runs. The kept set is that partition's surviving side; with no
+    // filters it is simply every file.
+    val kept: Seq[ZoneStats.FileZone] =
+      if (pushed.isEmpty) fileZones
+      else {
+        // all-match proofs lean on complete sighting counts — a dirty
+        // walk may have missed values, so any dirty file declines the
+        // whole partition argument
+        if (fileZones.exists(_.dirty)) return None
+        val perFile = fileZones.map { z =>
+          if (pushed.forall(ZoneSkip.provablyAllMatch(_, z, zonePaths)))
+            Some(Some(z))
+          else if (pushed.exists(ZoneSkip.provablyEmpty(_, z, zonePaths)))
+            Some(None)
+          else None
+        }
+        if (perFile.exists(_.isEmpty)) return None
+        perFile.flatten.flatten
       }
-      if (perFile.exists(_.isEmpty)) return None
-      val n = java.lang.Long.valueOf(perFile.flatten.sum)
-      return Some((
-        StructType(agg.aggregateExpressions().indices.map(i =>
-          StructField(s"count_$i", LongType, nullable = false))),
-        agg.aggregateExpressions().indices.map(_ => n: Any)))
-    }
     // a line carrying several concatenated docs folds values the scan
     // never materializes (the reader takes the line's FIRST doc):
-    // superset bounds are sound for skipping but WRONG for answering
-    // min/max — the walker flags the condition PER LINE (a per-file
+    // superset bounds/sums are sound for skipping but WRONG for
+    // answering — the walker flags the condition PER LINE (a per-file
     // docs-vs-units comparison would be masked by blank lines
     // balancing the totals; review r11 #2). Duplicate top-level keys
     // break answering the same way: the walker folds EVERY occurrence
-    // into the bounds while Jackson's readTree materializes only the
-    // LAST — {"a":1,"a":999} has engine-min 999 but zone-min 1.
-    val boundsAnswerable = !fileZones.exists(z => z.multiDoc || z.dupKey)
+    // while Jackson's readTree materializes only the LAST —
+    // {"a":1,"a":999} has engine-min 999 but zone-min 1 (and a sum
+    // over both). Gates evaluate over the KEPT files — the ones the
+    // answer actually reads from.
+    val valuesAnswerable = !kept.exists(z =>
+      z.multiDoc || z.dupKey || z.dirty)
     def topCol(
         e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -567,20 +611,27 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       case _: DecimalType => true
       case _ => false
     }
+    // the merged per-path zone over the kept files, under the shared
+    // value-answering gates; None = decline
+    def mergedField(name: String, dt: DataType): Option[ZoneStats.FieldZone] = {
+      if (!valuesAnswerable) None
+      // an overflowed file that never recorded this path may still
+      // hold values for it — its merged stats would undercount
+      else if (kept.exists(z => z.overflow && !z.fields.contains(name))) None
+      else {
+        val merged = kept
+          .flatMap(_.fields.get(name))
+          .foldLeft(ZoneStats.emptyField)(_ merge _)
+        // others ≠ 0 means boolean/nested sightings under a scalar-
+        // typed path — defensive, the type gate should exclude it
+        if (merged.others != 0) None else Some(merged)
+      }
+    }
     def bound(name: String, wantMax: Boolean): Option[(DataType, Any)] = {
       val dt = zonePaths.get(name).filter(eligible)
       dt.flatMap { d =>
-        if (fileZones.exists(_.dirty) || !boundsAnswerable) None
-        // an overflowed file that never recorded this path may still
-        // hold values for it — its merged bounds would undercount
-        else if (fileZones.exists(z =>
-          z.overflow && !z.fields.contains(name))) None
-        else {
-          val merged = fileZones
-            .flatMap(_.fields.get(name))
-            .foldLeft(ZoneStats.emptyField)(_ merge _)
-          if (merged.others != 0) None // defensive: bounds incomplete
-          else if (d == StringType && merged.strInexact) None // loosened bounds
+        mergedField(name, d).flatMap { merged =>
+          if (d == StringType && merged.strInexact) None // loosened bounds
           else if (merged.present == 0) Some((d, null)) // SQL null
           else try {
             val v: Any = d match {
@@ -606,16 +657,65 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
         }
       }
     }
+    /** SUM(col) from the walker's exact per-file decimal sums: every
+      * materialized non-null value of an integral/decimal path IS its
+      * raw literal (the bounds argument), so the exact running sum is
+      * the engine's sum — answered only when the result is
+      * representable in the engine's own result type (integral sums
+      * that overflow Long, or decimal sums past the widened precision,
+      * decline rather than reproduce overflow semantics). */
+    def sumOf(name: String): Option[(DataType, Any)] = {
+      zonePaths.get(name).flatMap {
+        case d @ (ByteType | ShortType | IntegerType | LongType) =>
+          mergedField(name, d).flatMap { merged =>
+            if (merged.present == 0) Some((LongType, null)) // SQL null sum
+            else if (merged.numSum == null) None // legacy/inconsistent zone
+            else try Some((LongType,
+              java.lang.Long.valueOf(merged.numSum.longValueExact)))
+            catch { case _: ArithmeticException => None }
+          }
+        case dec: DecimalType =>
+          // Spark's Sum result type for decimal input
+          val rt = DecimalType(math.min(38, dec.precision + 10), dec.scale)
+          mergedField(name, dec).flatMap { merged =>
+            if (merged.present == 0) Some((rt, null))
+            else if (merged.numSum == null) None
+            else {
+              val v = merged.numSum.setScale(dec.scale) // pads only
+              if (v.precision > rt.precision) None // engine overflows
+              else Some((rt, v))
+            }
+          }
+        case _ => None
+      }
+    }
+    /** COUNT(col) = the walker's non-null sighting count: for the
+      * eligible types every sighted value materializes non-null
+      * (numeric literals always parse; plain strings pass through;
+      * decimal setScale only pads), so `present` IS the engine's
+      * count. Timestamp/binary string-kinds are NOT eligible — an
+      * unparseable timestamp-shaped string materializes null while
+      * the walker counted it. */
+    def countOf(name: String): Option[(DataType, Any)] =
+      zonePaths.get(name).filter(eligible).flatMap(d =>
+        mergedField(name, d).map(merged =>
+          (LongType, java.lang.Long.valueOf(merged.present))))
     val resolved = agg.aggregateExpressions().toSeq.map {
       case _: CountStar =>
         Some((StructField("count", LongType, nullable = false),
-          java.lang.Long.valueOf(fileZones.iterator.map(_.units).sum): Any))
+          java.lang.Long.valueOf(kept.iterator.map(_.units).sum): Any))
       case m: Min => topCol(m.column()).flatMap(n =>
         bound(n, wantMax = false).map { case (d, v) =>
           (StructField(s"min_$n", d, nullable = true), v) })
       case m: Max => topCol(m.column()).flatMap(n =>
         bound(n, wantMax = true).map { case (d, v) =>
           (StructField(s"max_$n", d, nullable = true), v) })
+      case s: Sum if !s.isDistinct => topCol(s.column()).flatMap(n =>
+        sumOf(n).map { case (d, v) =>
+          (StructField(s"sum_$n", d, nullable = true), v) })
+      case c: Count if !c.isDistinct => topCol(c.column()).flatMap(n =>
+        countOf(n).map { case (d, v) =>
+          (StructField(s"countcol_$n", d, nullable = false), v) })
       case _ => None
     }
     if (resolved.exists(_.isEmpty)) None

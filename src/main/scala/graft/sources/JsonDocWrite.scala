@@ -1,0 +1,500 @@
+package graft.sources
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonGenerator}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import java.time.{LocalDate, LocalDateTime, ZoneId, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** The WRITE half of the graftjson table format —
+  * `df.write.format("graftjson")` (append / overwrite) and
+  * `df.writeStream.format("graftjson")` (append), making the source a
+  * complete, symmetric table format: batch read/write, streaming
+  * read/write, plus the maintenance family (compact / recluster /
+  * durable meta) that keeps the written layout healthy.
+  *
+  * Each write task streams its rows as NDJSON into the table's hidden
+  * `_compaction/` staging dir (one file per task attempt — speculative
+  * attempts never collide because the task id is in the staged name).
+  * Commit then follows the store's established crash contracts:
+  *
+  *   - BATCH: the job's winning staged files are published through the
+  *     SAME atomic marker protocol compaction and recluster use
+  *     ([[JsonCompact]]): one `_compaction/commit` marker (tmp +
+  *     rename) names every staged→final move, and — for overwrite —
+  *     every current data file to remove. Any crash point shows
+  *     readers either the old table or the new one, never a mix;
+  *     the next maintenance call rolls the marker forward.
+  *   - STREAMING: each epoch's files rename to DETERMINISTIC names
+  *     (`epoch-NNNNNN-sPPPPP.json`) after first sweeping any files the
+  *     same epoch published before — a replayed epoch rewrites exactly
+  *     its own namespace with identical content, so recovery is
+  *     idempotent with no id bookkeeping (the
+  *     [[graft.streaming.EventStreams.ingestEpoch]] contract).
+  *
+  * NDJSON is schema-on-read: a write renders VALUES faithfully and the
+  * next load re-infers TYPES under the reference classifier
+  * (JsonSchemaFinder.java:56-134), so the round-tripped schema follows
+  * the reference's value-bucketed semantics, not the input df's
+  * nominal types (a LongType column of small values reads back as
+  * int/short/byte; a double within float range reads back as decimal
+  * or float by its rendered form). Values survive exactly for
+  * integral, string, boolean, decimal, binary (hex), and
+  * second-precision timestamps; see [[JsonRowText]] for the rendering
+  * contract. Single-writer: writes must not run concurrently with
+  * maintenance (compact/recluster) or other writers on the same
+  * directory — the store-wide contract. */
+private[sources] object JsonDocWrite {
+
+  /** Writer option: refresh the durable planning metadata
+    * ([[JsonMeta.save]]) in the same commit, so a fresh-JVM reader
+    * plans the appended files walk-free. */
+  val RefreshMetaOption = "refreshMeta"
+
+  private[sources] def runTag(queryId: String): String =
+    queryId.replace("-", "").take(12)
+
+  private[sources] def stagedBatchName(tag: String, pid: Int, tid: Long): String =
+    f"write-$tag-p$pid%05d-t$tid.json"
+  private[sources] def finalBatchName(tag: String, pid: Int): String =
+    f"part-$tag-p$pid%05d.json"
+  private[sources] def stagedStreamName(tag: String, epochId: Long, pid: Int,
+                                        tid: Long): String =
+    f"stream-$tag-e$epochId-p$pid%05d-t$tid.json"
+  private[sources] def finalStreamName(epochId: Long, pid: Int): String =
+    f"epoch-$epochId%06d-s$pid%05d.json"
+  /** The epoch's deterministic namespace, swept before a (re)publish. */
+  private[sources] def streamEpochPrefix(epochId: Long): String =
+    f"epoch-$epochId%06d-s"
+}
+
+/** One staged NDJSON file (or none — empty partitions stage nothing). */
+private[sources] case class StagedNdjsonFile(name: String, partitionId: Int,
+                                             rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class JsonDocWriteBuilder(dir: String, whole: Boolean,
+                                           info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = {
+    // fail at planning, not mid-job
+    require(!whole,
+      "graftjson: writes to a whole=true table are unsupported — whole " +
+        "mode is the one-file-one-document layout, owned by whoever " +
+        "places the files")
+    require(!dir.exists("*?[{".contains(_)),
+      s"graftjson: cannot write to a glob path: $dir")
+    val bad = JsonRowText.unsupported(info.schema(), "")
+    require(bad.isEmpty,
+      s"graftjson: schema has non-JSON-renderable fields: ${bad.mkString("; ")}")
+    new JsonDocWriteImpl(dir, info.schema(), info.queryId(), overwrite,
+      Option(info.options.get(JsonDocWrite.RefreshMetaOption))
+        .exists(_.toBoolean))
+  }
+}
+
+private class JsonDocWriteImpl(dir: String, schema: StructType,
+                               queryId: String, overwrite: Boolean,
+                               refreshMeta: Boolean)
+    extends Write {
+  override def description(): String =
+    s"graftjson write $dir (${if (overwrite) "overwrite" else "append"})"
+  override def toBatch: BatchWrite =
+    new JsonDocBatchWrite(dir, schema, JsonDocWrite.runTag(queryId),
+      overwrite, refreshMeta)
+  override def toStreaming: StreamingWrite = {
+    require(!overwrite,
+      "graftjson: streaming supports append output mode only")
+    new JsonDocStreamingWrite(dir, schema, JsonDocWrite.runTag(queryId),
+      refreshMeta)
+  }
+}
+
+private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: String,
+                                overwrite: Boolean, refreshMeta: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val stage = new Path(dir, JsonCompact.MarkerDirName).toString
+    val conf = new graft.ops.Fs.SerializableConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val s = schema
+    val t = tag
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int,
+                                taskId: Long): DataWriter[InternalRow] =
+        new NdjsonDataWriter(stage,
+          JsonDocWrite.stagedBatchName(t, partitionId, taskId),
+          partitionId, s, conf.value)
+    }
+  }
+
+  /** The commit point: ONE atomically-renamed marker naming every
+    * winning staged file's final name (and, under overwrite, every
+    * current data file to remove), then an immediate roll-forward.
+    * A crash before the marker leaves only invisible staging; after
+    * it, readers already see the post-write rows ([[JsonDocSource
+    * .listFiles]] applies pending markers). Losing speculative
+    * attempts' staged files are swept afterwards, best-effort — they
+    * are invisible debris either way. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pending marker from crashed maintenance owns the single marker
+    // slot — roll it forward first (never touches our unreferenced
+    // staged files)
+    JsonCompact.rollForward(spark, dir)
+    val staged = messages.collect {
+      case s: StagedNdjsonFile if s.rows > 0 => s
+    }.sortBy(_.partitionId)
+    val adds = staged.map(s =>
+      s.name -> JsonDocWrite.finalBatchName(tag, s.partitionId)).toSeq
+    val removes: Seq[String] =
+      if (!overwrite) Seq.empty
+      else {
+        val children =
+          try fs.listStatus(root).toSeq
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        val nestedData = children.exists(st => st.isDirectory && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        if (nestedData) throw new IllegalStateException(
+          s"graftjson: overwrite of $dir is unsupported — it has nested " +
+            "data directories, and the commit marker is per-directory")
+        children.filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(_.getPath.getName)
+      }
+    if (adds.nonEmpty || removes.nonEmpty) {
+      JsonCompact.writeMarker(fs, root, JsonCompact.Marker(adds, removes))
+      JsonCompact.rollForward(spark, dir)
+    }
+    // sweep losing attempts' staging (ours only — prefix-matched)
+    sweepStage(fs, root, n => n.startsWith(s"write-$tag-"))
+    if (refreshMeta) JsonMeta.save(spark, dir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStage(fs, root, n => n.startsWith(s"write-$tag-"))
+  }
+
+  private def sweepStage(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                         mine: String => Boolean): Unit = {
+    val stage = new Path(root, JsonCompact.MarkerDirName)
+    try
+      Option(fs.listStatus(stage)).getOrElse(Array.empty)
+        .filter(st => st.isFile && mine(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.FileNotFoundException => }
+  }
+}
+
+/** Streaming sink: per-epoch deterministic publication — the
+  * [[graft.streaming.EventStreams.ingestEpoch]] contract as a native
+  * DSv2 StreamingWrite. No marker: a replayed epoch first sweeps the
+  * files its previous attempt published (same deterministic prefix),
+  * then renames its staged files in; any crash point converges on
+  * replay because the epoch owns its whole namespace. The
+  * partial-visibility window between first rename and last is the
+  * documented ingestEpoch window, accepted for streaming (batch
+  * writes, which users point queries at mid-job, keep the stricter
+  * marker atomicity). */
+private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
+                                    tag: String, refreshMeta: Boolean)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val stage = new Path(dir, JsonCompact.MarkerDirName).toString
+    val conf = new graft.ops.Fs.SerializableConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val s = schema
+    val t = tag
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        new NdjsonDataWriter(stage,
+          JsonDocWrite.stagedStreamName(t, epochId, partitionId, taskId),
+          partitionId, s, conf.value)
+    }
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(root, JsonCompact.MarkerDirName)
+    // replay sweep: this epoch's namespace belongs to this commit —
+    // files a crashed previous attempt already published go first, so
+    // partitioning drift across restarts cannot strand stale files
+    val prefix = JsonDocWrite.streamEpochPrefix(epochId)
+    try
+      Option(fs.listStatus(root)).getOrElse(Array.empty)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.FileNotFoundException => }
+    messages.collect { case s: StagedNdjsonFile if s.rows > 0 => s }
+      .foreach { s =>
+        val sp = new Path(stage, s.name)
+        val fin = new Path(root, JsonDocWrite.finalStreamName(epochId, s.partitionId))
+        if (!fs.rename(sp, fin))
+          throw new IllegalStateException(s"could not publish $fin")
+      }
+    // losing attempts of THIS epoch (same tag+epoch prefix, different
+    // task id) are invisible staging debris — sweep
+    try
+      Option(fs.listStatus(stage)).getOrElse(Array.empty)
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(s"stream-$tag-e$epochId-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.FileNotFoundException => }
+    if (refreshMeta) JsonMeta.save(spark, dir)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val stage = new Path(new Path(dir), JsonCompact.MarkerDirName)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try
+      Option(fs.listStatus(stage)).getOrElse(Array.empty)
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(s"stream-$tag-e$epochId-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.FileNotFoundException => }
+  }
+}
+
+/** One task attempt's staged NDJSON file: rows stream through one
+  * Jackson generator straight into the (buffered) Hadoop output —
+  * memory is the 64 KB buffer, independent of row count. The file is
+  * created lazily on the first row, so empty partitions stage
+  * nothing. */
+private[sources] class NdjsonDataWriter(stageDir: String, name: String,
+                                        partitionId: Int, schema: StructType,
+                                        conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private var out: java.io.OutputStream = _
+  private var gen: JsonGenerator = _
+  private var rows = 0L
+
+  private def ensureOpen(): Unit = if (out == null) {
+    val p = new Path(stageDir, name)
+    val fs = p.getFileSystem(conf)
+    out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+    gen = JsonRowText.newGenerator(out)
+  }
+
+  override def write(record: InternalRow): Unit = {
+    ensureOpen()
+    JsonRowText.writeObject(gen, record, schema)
+    gen.writeRaw('\n')
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) { gen.flush(); out.close(); out = null }
+    StagedNdjsonFile(name, partitionId, rows)
+  }
+
+  override def abort(): Unit = {
+    close()
+    val p = new Path(stageDir, name)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  override def close(): Unit =
+    if (out != null) {
+      try { gen.flush(); out.close() } finally { out = null }
+    }
+}
+
+/** InternalRow → NDJSON rendering, designed to ROUND-TRIP through the
+  * reference classifier ([[graft.infer.JsonInfer]]) and materializer
+  * ([[graft.infer.Materialize]]):
+  *   - integral → plain digits (re-infers value-bucketed integral);
+  *   - decimal → `toPlainString` (re-infers decimal, value exact);
+  *   - float/double → shortest round-trip text; NaN/±Infinity as
+  *     quoted strings (JSON has no tokens for them) — re-inferred
+  *     types follow the classifier's value buckets, the parsed value
+  *     is the text's exact decimal reading;
+  *   - string → JSON string (escaped); note the classifier's own
+  *     rules re-type hex-pair-shaped and timestamp-shaped strings;
+  *   - boolean → true/false;
+  *   - binary → lowercase hex pairs (the classifier's Binary shape —
+  *     [[graft.infer.Materialize]] converts it back to the same
+  *     bytes);
+  *   - timestamp → `yyyy-MM-dd HH:mm:ss` in the JVM default zone,
+  *     because `Materialize.parseTimestamp` reads wall time in the
+  *     default zone and ignores zone suffixes — second precision
+  *     (sub-second micros truncate; the reference's pattern has no
+  *     fraction field);
+  *   - date → ISO `yyyy-MM-dd` (re-infers as string — the reference
+  *     has no date class);
+  *   - struct → object with NULL FIELDS OMITTED (explicit-null and
+  *     missing infer identically, and omission is what every NDJSON
+  *     producer does); array → array with nulls kept (positions
+  *     matter); map → object (re-infers as struct — the reference has
+  *     no map type).
+  * Unsupported: intervals, UDTs, variant, non-atomic map keys —
+  * rejected at planning by [[unsupported]]. */
+private[sources] object JsonRowText {
+
+  private val factory = new JsonFactory()
+
+  def newGenerator(out: java.io.OutputStream): JsonGenerator = {
+    val g = factory.createGenerator(out)
+    g.configure(JsonGenerator.Feature.AUTO_CLOSE_TARGET, false)
+    // the '\n' each row appends IS the separator; Jackson's default
+    // would prepend a space to every root value after the first
+    g.setRootValueSeparator(null)
+    g
+  }
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Schema fields JSON cannot render (dotted paths), empty = ok. */
+  def unsupported(dt: DataType, path: String): Seq[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | BinaryType | DateType |
+         TimestampType | TimestampNTZType | NullType => Seq.empty
+    case _: DecimalType => Seq.empty
+    case ArrayType(e, _) => unsupported(e, s"$path.element")
+    case StructType(fs) =>
+      fs.toSeq.flatMap(f => unsupported(f.dataType, s"$path.${f.name}"))
+    case MapType(k, v, _) =>
+      (k match {
+        case StringType | ByteType | ShortType | IntegerType | LongType |
+             BooleanType => Seq.empty
+        case other => Seq(s"$path: map key type ${other.simpleString}")
+      }) ++ unsupported(v, s"$path.value")
+    case other => Seq(s"$path: ${other.simpleString}")
+  }
+
+  /** One row → one JSON object (null fields omitted). */
+  def writeObject(gen: JsonGenerator, row: InternalRow,
+                  schema: StructType): Unit = {
+    gen.writeStartObject()
+    var i = 0
+    val fields = schema.fields
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) {
+        gen.writeFieldName(fields(i).name)
+        writeValue(gen, row, i, fields(i).dataType)
+      }
+      i += 1
+    }
+    gen.writeEndObject()
+  }
+
+  private def writeValue(gen: JsonGenerator, g: SpecializedGetters, i: Int,
+                         dt: DataType): Unit = dt match {
+    case NullType => gen.writeNull()
+    case BooleanType => gen.writeBoolean(g.getBoolean(i))
+    case ByteType => gen.writeNumber(g.getByte(i).toInt)
+    case ShortType => gen.writeNumber(g.getShort(i).toInt)
+    case IntegerType => gen.writeNumber(g.getInt(i))
+    case LongType => gen.writeNumber(g.getLong(i))
+    case FloatType =>
+      val v = g.getFloat(i)
+      if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
+        gen.writeString(v.toString)
+      else gen.writeNumber(v)
+    case DoubleType =>
+      val v = g.getDouble(i)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        gen.writeString(v.toString)
+      else gen.writeNumber(v)
+    case d: DecimalType =>
+      gen.writeNumber(
+        g.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString)
+    case StringType => gen.writeString(g.getUTF8String(i).toString)
+    case BinaryType =>
+      val bytes = g.getBinary(i)
+      val sb = new java.lang.StringBuilder(bytes.length * 2)
+      var j = 0
+      while (j < bytes.length) {
+        val b = bytes(j) & 0xff
+        sb.append(Character.forDigit(b >> 4, 16))
+        sb.append(Character.forDigit(b & 0xf, 16))
+        j += 1
+      }
+      gen.writeString(sb.toString)
+    case DateType =>
+      gen.writeString(LocalDate.ofEpochDay(g.getInt(i).toLong).toString)
+    case TimestampType =>
+      // wall time in the JVM default zone: parseTimestamp reads the
+      // rendered text via Timestamp.valueOf (default-zone wall time,
+      // zone suffix ignored), so this is the one rendering that
+      // round-trips the instant exactly, in any JVM zone
+      val inst = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .microsToInstant(g.getLong(i))
+      gen.writeString(tsFmt.format(
+        LocalDateTime.ofInstant(inst, ZoneId.systemDefault())))
+    case TimestampNTZType =>
+      val micros = g.getLong(i)
+      val secs = Math.floorDiv(micros, 1000000L)
+      gen.writeString(tsFmt.format(
+        LocalDateTime.ofEpochSecond(secs, 0, ZoneOffset.UTC)))
+    case ArrayType(et, _) =>
+      val arr = g.getArray(i)
+      gen.writeStartArray()
+      var j = 0
+      while (j < arr.numElements()) {
+        if (arr.isNullAt(j)) gen.writeNull()
+        else writeValue(gen, arr, j, et)
+        j += 1
+      }
+      gen.writeEndArray()
+    case st: StructType =>
+      writeObject(gen, g.getStruct(i, st.length), st)
+    case MapType(kt, vt, _) =>
+      val m = g.getMap(i)
+      val ks = m.keyArray()
+      val vs = m.valueArray()
+      gen.writeStartObject()
+      var j = 0
+      while (j < m.numElements()) {
+        gen.writeFieldName(keyText(ks, j, kt))
+        if (vs.isNullAt(j)) gen.writeNull()
+        else writeValue(gen, vs, j, vt)
+        j += 1
+      }
+      gen.writeEndObject()
+    case other =>
+      throw new UnsupportedOperationException(
+        s"graftjson: cannot render ${other.simpleString}")
+  }
+
+  private def keyText(ks: org.apache.spark.sql.catalyst.util.ArrayData,
+                      j: Int, kt: DataType): String = kt match {
+    case StringType => ks.getUTF8String(j).toString
+    case ByteType => ks.getByte(j).toString
+    case ShortType => ks.getShort(j).toString
+    case IntegerType => ks.getInt(j).toString
+    case LongType => ks.getLong(j).toString
+    case BooleanType => ks.getBoolean(j).toString
+    case other =>
+      throw new UnsupportedOperationException(
+        s"graftjson: map key type ${other.simpleString}")
+  }
+}

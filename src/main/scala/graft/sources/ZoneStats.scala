@@ -111,7 +111,8 @@ object ZoneStats {
                              numMin: JBigDecimal, numMax: JBigDecimal,
                              strMin: String, strMax: String,
                              numSet: Set[JBigDecimal], strSet: Set[String],
-                             strInexact: Boolean)
+                             strInexact: Boolean,
+                             numSum: JBigDecimal)
       extends Serializable {
     def addNum(v: JBigDecimal): FieldZone = copy(
       present = present + 1,
@@ -119,7 +120,11 @@ object ZoneStats {
       numMax = if (numMax == null || v.compareTo(numMax) > 0) v else numMax,
       numSet =
         if (numSet == null || v.precision > 38) null
-        else capSet(numSet + v.stripTrailingZeros))
+        else capSet(numSet + v.stripTrailingZeros),
+      // EXACT running sum of every numeric occurrence (BigDecimal add
+      // never rounds) — what SUM(col) pushdown answers from; null ⟺
+      // no numeric value folded yet
+      numSum = if (numSum == null) v else numSum.add(v))
     def addStr(raw: String): FieldZone = {
       // record the UTF-8-SANITIZED form: Spark materializes strings
       // through UTF8String.fromString (Java's UTF-8 encoder), which
@@ -152,7 +157,10 @@ object ZoneStats {
       minBd(numMin, o.numMin), maxBd(numMax, o.numMax),
       minStr(strMin, o.strMin), maxStr(strMax, o.strMax),
       unionSets(numSet, o.numSet), unionSets(strSet, o.strSet),
-      strInexact || o.strInexact)
+      strInexact || o.strInexact,
+      if (numSum == null) o.numSum
+      else if (o.numSum == null) numSum
+      else numSum.add(o.numSum))
   }
   private def capSet[T](s: Set[T]): Set[T] =
     if (s.size > SetCutoff) null else s
@@ -160,7 +168,7 @@ object ZoneStats {
     if (a == null || b == null) null else capSet(a ++ b)
   private[sources] val emptyField =
     FieldZone(0L, 0L, null, null, null, null, Set.empty, Set.empty,
-      strInexact = false)
+      strInexact = false, numSum = null)
 
   private def minBd(a: JBigDecimal, b: JBigDecimal) =
     if (a == null) b else if (b == null) a

@@ -377,9 +377,10 @@ class ZoneMapSpec extends SparkTestBase {
   // pins exercise the min/max tests in isolation
   private def numZone(lo: Long, hi: Long) = ZoneStats.FieldZone(
     10L, 0L, JBD.valueOf(lo), JBD.valueOf(hi), null, null, null, null,
-    strInexact = false)
+    strInexact = false, numSum = null)
   private def strZone(lo: String, hi: String) = ZoneStats.FieldZone(
-    10L, 0L, null, null, lo, hi, null, null, strInexact = false)
+    10L, 0L, null, null, lo, hi, null, null, strInexact = false,
+    numSum = null)
 
   test("ZoneSkip: numeric comparisons against exact bounds") {
     val z = zone("id" -> numZone(100, 200))
@@ -424,7 +425,7 @@ class ZoneMapSpec extends SparkTestBase {
   test("ZoneSkip: exact distinct sets prune equality INSIDE the bounds; overflow declines") {
     def strSetZone(vs: String*) = ZoneStats.FieldZone(
       vs.size.toLong, 0L, null, null, vs.min, vs.max, null, vs.toSet,
-      strInexact = false)
+      strInexact = false, numSum = null)
     val z = zone("s" -> strSetZone("ant", "zebra"))
     // 'cat' sits inside [ant, zebra] — only the set can prove
     assert(ZoneSkip.provablyEmpty(EqualTo("s", "cat"), z, schema))
@@ -503,11 +504,22 @@ class ZoneMapSpec extends SparkTestBase {
     assert(d.collect()(0).getLong(0) == 3L)
     assert(!d.queryExecution.executedPlan.toString.contains("PushedAggregation"),
       "an undecidable file must decline the filtered count push")
-    // DECLINE: min/max never answer under a filter (bounds describe
-    // the unfiltered corpus)
+    // min/max under a filter answer ONLY from the kept-set partition:
+    // here every file is decided (single-source + the mixed file's
+    // distinct set excludes 'c'), so fc's unfiltered bounds ARE the
+    // filtered bounds (r12 strengthening — the old rule declined all
+    // filtered min/max; the partition argument makes this exact)
     val mm = zdf2.where(col("src") === "c").agg(min(col("n")).as("lo"))
     assert(mm.collect()(0).getAs[Number](0).longValue == 4L)
-    assert(!mm.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(mm.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      "every file decided → filtered MIN answers from the kept files' bounds")
+    // DECLINE: an undecided file poisons filtered min/max exactly like
+    // the filtered count (src='a' leaves fmix neither all-match nor
+    // empty)
+    val mmUndec = zdf2.where(col("src") === "a").agg(min(col("n")).as("lo"))
+    assert(mmUndec.collect()(0).getAs[Number](0).longValue == 1L)
+    assert(!mmUndec.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
     // DECLINE: a null-bearing file cannot prove all-match (null row
     // fails the equality), and IS-NULL rows count correctly
     val dir2 = new java.io.File(graft.TempRoots.path("zm_fc_nulls"))
@@ -527,6 +539,112 @@ class ZoneMapSpec extends SparkTestBase {
     assert(inn.collect()(0).getLong(0) == 2L)
     assert(inn.queryExecution.executedPlan.toString.contains("PushedAggregation"),
       "n is present in every row: IsNotNull is all-match")
+  }
+
+  test("SUM/COUNT(col) answer from zone sums and presence counts; gates decline") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_sum_push"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("fa.json", """{"src": "a", "n": 10, "d": 1.25}""",
+      """{"src": "a", "n": 20, "d": 2.50}""")
+    put("fb.json", """{"src": "b", "n": 5, "e": 3}""",
+      """{"src": "b", "d": 0.25}""")
+    def zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // unfiltered: sum + count(col) + count(*) + min + max in ONE push
+    val q = zdf.agg(sum(col("n")).as("s"), count(col("n")).as("cn"),
+      count(lit(1)).as("c"), min(col("n")).as("lo"), max(col("n")).as("hi"),
+      sum(col("d")).as("sd"))
+    val row = q.collect()(0)
+    assert(plan(q).contains("PushedAggregation"), plan(q))
+    assert(row.getLong(0) == 35L && row.getLong(1) == 3L &&
+      row.getLong(2) == 4L)
+    assert(row.getAs[Number](3).longValue == 5L &&
+      row.getAs[Number](4).longValue == 20L)
+    assert(row.getDecimal(5).compareTo(new JBD("4.00")) == 0)
+    // the metadata answer equals the engine's own scan+aggregate
+    val noZones = spark.read.format("graftjson").load(dir.toString)
+      .agg(sum(col("n")), count(col("n")), count(lit(1)), min(col("n")),
+        max(col("n")), sum(col("d"))).collect()(0)
+    assert((0 until 6).forall(i => row.get(i) == noZones.get(i)),
+      s"$row vs $noZones")
+
+    // filtered sum: every file decided by the src distinct sets
+    val f = zdf.where(col("src") === "a").agg(sum(col("n")).as("s"))
+    assert(f.collect()(0).getLong(0) == 30L)
+    assert(plan(f).contains("PushedAggregation"), plan(f))
+    // filtered sum whose kept files never saw the column: SQL null,
+    // still metadata-answered ('e' lives only in the excluded fb)
+    val fn = zdf.where(col("src") === "a").agg(sum(col("e")).as("s"))
+    assert(fn.collect()(0).isNullAt(0))
+    assert(plan(fn).contains("PushedAggregation"), plan(fn))
+
+    // DECLINE: duplicate keys fold both occurrences into the walker's
+    // sum while the reader materializes only the LAST
+    put("fdup.json", """{"src": "z", "n": 1, "n": 999}""")
+    val qd = zdf.agg(sum(col("n")).as("s"))
+    assert(!plan(qd).contains("PushedAggregation"), plan(qd))
+    assert(qd.collect()(0).getLong(0) == 35L + 999L) // readTree last-wins
+    // count(*) cares only about units — still metadata-answered
+    val qc = zdf.agg(count(lit(1)).as("c"))
+    assert(plan(qc).contains("PushedAggregation"), plan(qc))
+    assert(qc.collect()(0).getLong(0) == 5L)
+    new java.io.File(dir, "fdup.json").delete()
+
+    // DECLINE: a multi-doc line folds values the reader never emits
+    put("fmulti.json", """{"src": "m", "n": 7} {"src": "m", "n": 8}""")
+    val qm = zdf.agg(sum(col("n")).as("s"))
+    assert(!plan(qm).contains("PushedAggregation"), plan(qm))
+    assert(qm.collect()(0).getLong(0) == 42L) // reader takes the first doc
+    new java.io.File(dir, "fmulti.json").delete()
+
+    // DECLINE: a Long-overflowing exact sum never answers (the engine
+    // wraps; we refuse to reproduce overflow semantics)
+    val dir2 = new java.io.File(graft.TempRoots.path("zm_sum_over"))
+    dir2.mkdirs()
+    val w2 = new java.io.PrintWriter(new java.io.File(dir2, "big.json"))
+    w2.println("""{"n": 9000000000000000000}""")
+    w2.println("""{"n": 9000000000000000000}""")
+    w2.close()
+    val qo = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir2.toString).agg(sum(col("n")).as("s"))
+    assert(!plan(qo).contains("PushedAggregation"), plan(qo))
+
+    // DECLINE: float/double columns never answer (binary rounding);
+    // timestamp-kind strings never answer count(col) (an unparseable
+    // timestamp-shaped string materializes null while the walker
+    // counted it)
+    val dir3 = new java.io.File(graft.TempRoots.path("zm_sum_float"))
+    dir3.mkdirs()
+    val w3 = new java.io.PrintWriter(new java.io.File(dir3, "f.json"))
+    w3.println("""{"x": 1.5e0, "ts": "2024-01-01 10:00:00"}""")
+    w3.close()
+    val df3 = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir3.toString)
+    val qf = df3.agg(sum(col("x")).as("s"))
+    assert(!plan(qf).contains("PushedAggregation"), plan(qf))
+    val qt = df3.agg(count(col("ts")).as("c"))
+    assert(!plan(qt).contains("PushedAggregation"), plan(qt))
+  }
+
+  test("q235 plans both sides as metadata-answered aggregates on real data") {
+    val df = graft.queries.JsonQueries.queries("q235_meta_stats")(
+      spark, "/root/testdata/sf0.001")
+    val row = df.collect()(0)
+    assert(row.getLong(0) > 0L && !row.isNullAt(7))
+    val plan = df.queryExecution.executedPlan.toString
+    // both the unfiltered statistics probe AND the filtered sum must
+    // be metadata scans — no BatchScan of data files anywhere
+    assert(plan.split("PushedAggregation").length >= 3,
+      s"expected two metadata-answered aggregates:\n$plan")
+    assert(!plan.contains("ReadSchema:"),
+      s"no data scan may survive:\n$plan")
   }
 
   test("q229 plans as a metadata-answered filtered count on real data") {
