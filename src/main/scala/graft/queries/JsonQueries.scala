@@ -843,7 +843,41 @@ object JsonQueries {
       |   WHERE lang = 'en') AS sum_chars_en
       |FROM documents""".stripMargin
 
+  /** GROUP BY answered from metadata (r12): the per-lang file layout
+    * (each file single-valued in `lang`, proven by the exact distinct
+    * sets, with a value in every row) lets the WHOLE grouped
+    * statistics probe — count/sum/min/max per language — fold from
+    * per-file zone stats with zero data read: the lakehouse
+    * partition-level-aggregation trick, derived from content-proven
+    * layout instead of declared partitions (recluster() produces
+    * exactly this layout for its cluster key). The oracle recomputes
+    * per group from parquet; decline gates (multi-key file, null in
+    * the key) are spec-pinned in ZoneMapSpec. */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val out = q229Export(s, dir)
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"),
+        sum(col("doc_id")).as("sd"), min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+      .select(col("lang"), col("n_docs"),
+        col("sc").cast("bigint").as("sum_chars"),
+        col("sd").cast("bigint").as("sum_ids"),
+        col("mn").cast("bigint").as("min_chars"),
+        col("mx").cast("bigint").as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q236Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_meta_groupby" -> (q236 _),
     "q235_meta_stats" -> (q235 _),
     "q234_stream_sink" -> (q234 _),
     "q233_write_path" -> (q233 _),
@@ -869,6 +903,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q236_meta_groupby" -> q236Sql,
     "q235_meta_stats" -> q235Sql,
     "q234_stream_sink" -> q234Sql,
     "q233_write_path" -> q233Sql,

@@ -501,7 +501,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   // nested-attribute filters — which the row-level reader gate
   // rejects — are exactly what nested zones prune on
   private var offered: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-  private var pushedMeta: Option[(StructType, Seq[Any])] = None
+  private var pushedMeta: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** COUNT(*) / MIN / MAX with no grouping, no filters, answered from
     * zone-map metadata — the `count(*), min(ts), max(ts)` corpus
@@ -542,12 +542,15 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
 
   private def metaFromZones(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.types._
-    if (zones.isEmpty || agg.groupByExpressions().nonEmpty ||
-      agg.aggregateExpressions().isEmpty) return None
+    // empty aggregates WITH group columns is SELECT DISTINCT — the
+    // grouped path below answers it as keys-only rows; empty both is
+    // nothing to push
+    if (zones.isEmpty || (agg.aggregateExpressions().isEmpty &&
+      agg.groupByExpressions().isEmpty)) return None
     val current = freshListing
     if (current != fingerprint) return None
     val zm = zones.get
@@ -611,15 +614,16 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       case _: DecimalType => true
       case _ => false
     }
-    // the merged per-path zone over the kept files, under the shared
+    // the merged per-path zone over a file subset, under the shared
     // value-answering gates; None = decline
-    def mergedField(name: String, dt: DataType): Option[ZoneStats.FieldZone] = {
+    def mergedField(name: String,
+                    over: Seq[ZoneStats.FileZone]): Option[ZoneStats.FieldZone] = {
       if (!valuesAnswerable) None
       // an overflowed file that never recorded this path may still
       // hold values for it — its merged stats would undercount
-      else if (kept.exists(z => z.overflow && !z.fields.contains(name))) None
+      else if (over.exists(z => z.overflow && !z.fields.contains(name))) None
       else {
-        val merged = kept
+        val merged = over
           .flatMap(_.fields.get(name))
           .foldLeft(ZoneStats.emptyField)(_ merge _)
         // others ≠ 0 means boolean/nested sightings under a scalar-
@@ -627,10 +631,11 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
         if (merged.others != 0) None else Some(merged)
       }
     }
-    def bound(name: String, wantMax: Boolean): Option[(DataType, Any)] = {
+    def bound(name: String, wantMax: Boolean,
+              over: Seq[ZoneStats.FileZone]): Option[(DataType, Any)] = {
       val dt = zonePaths.get(name).filter(eligible)
       dt.flatMap { d =>
-        mergedField(name, d).flatMap { merged =>
+        mergedField(name, over).flatMap { merged =>
           if (d == StringType && merged.strInexact) None // loosened bounds
           else if (merged.present == 0) Some((d, null)) // SQL null
           else try {
@@ -664,10 +669,11 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       * representable in the engine's own result type (integral sums
       * that overflow Long, or decimal sums past the widened precision,
       * decline rather than reproduce overflow semantics). */
-    def sumOf(name: String): Option[(DataType, Any)] = {
+    def sumOf(name: String,
+              over: Seq[ZoneStats.FileZone]): Option[(DataType, Any)] = {
       zonePaths.get(name).flatMap {
         case d @ (ByteType | ShortType | IntegerType | LongType) =>
-          mergedField(name, d).flatMap { merged =>
+          mergedField(name, over).flatMap { merged =>
             if (merged.present == 0) Some((LongType, null)) // SQL null sum
             else if (merged.numSum == null) None // legacy/inconsistent zone
             else try Some((LongType,
@@ -677,7 +683,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
         case dec: DecimalType =>
           // Spark's Sum result type for decimal input
           val rt = DecimalType(math.min(38, dec.precision + 10), dec.scale)
-          mergedField(name, dec).flatMap { merged =>
+          mergedField(name, over).flatMap { merged =>
             if (merged.present == 0) Some((rt, null))
             else if (merged.numSum == null) None
             else {
@@ -696,32 +702,128 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       * count. Timestamp/binary string-kinds are NOT eligible — an
       * unparseable timestamp-shaped string materializes null while
       * the walker counted it. */
-    def countOf(name: String): Option[(DataType, Any)] =
+    def countOf(name: String,
+                over: Seq[ZoneStats.FileZone]): Option[(DataType, Any)] =
       zonePaths.get(name).filter(eligible).flatMap(d =>
-        mergedField(name, d).map(merged =>
+        mergedField(name, over).map(merged =>
           (LongType, java.lang.Long.valueOf(merged.present))))
-    val resolved = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count", LongType, nullable = false),
-          java.lang.Long.valueOf(kept.iterator.map(_.units).sum): Any))
-      case m: Min => topCol(m.column()).flatMap(n =>
-        bound(n, wantMax = false).map { case (d, v) =>
-          (StructField(s"min_$n", d, nullable = true), v) })
-      case m: Max => topCol(m.column()).flatMap(n =>
-        bound(n, wantMax = true).map { case (d, v) =>
-          (StructField(s"max_$n", d, nullable = true), v) })
-      case s: Sum if !s.isDistinct => topCol(s.column()).flatMap(n =>
-        sumOf(n).map { case (d, v) =>
-          (StructField(s"sum_$n", d, nullable = true), v) })
-      case c: Count if !c.isDistinct => topCol(c.column()).flatMap(n =>
-        countOf(n).map { case (d, v) =>
-          (StructField(s"countcol_$n", d, nullable = false), v) })
-      case _ => None
+    /** AVG(col) for INTEGRAL paths only, and only while the exact sum
+      * and count stay ≤ 2^53: the engine accumulates integral
+      * averages in a DOUBLE sum, which is exact (partition-order-
+      * independent) precisely while every partial is an integer
+      * within double's exact range — inside that window
+      * exactSum/count reproduces the engine's one IEEE division bit
+      * for bit; outside it the engine's own answer is layout-
+      * dependent and we decline. Decimal averages decline outright
+      * (Spark's decimal divide semantics are not worth reproducing
+      * from metadata). */
+    def avgOf(name: String,
+              over: Seq[ZoneStats.FileZone]): Option[(DataType, Any)] =
+      zonePaths.get(name).flatMap {
+        case ByteType | ShortType | IntegerType | LongType =>
+          mergedField(name, over).flatMap { merged =>
+            if (merged.present == 0) Some((DoubleType, null))
+            else if (merged.numSum == null) None
+            else {
+              val exactWindow = java.math.BigDecimal.valueOf(1L << 53)
+              if (merged.numSum.abs.compareTo(exactWindow) > 0 ||
+                merged.present > (1L << 53)) None
+              else Some((DoubleType, java.lang.Double.valueOf(
+                merged.numSum.doubleValue / merged.present.toDouble)))
+            }
+          }
+        case _ => None
+      }
+    // one output row's aggregate cells over a file subset
+    def resolveAggs(over: Seq[ZoneStats.FileZone])
+        : Option[Seq[(StructField, Any)]] = {
+      val resolved = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count", LongType, nullable = false),
+            java.lang.Long.valueOf(over.iterator.map(_.units).sum): Any))
+        case m: Min => topCol(m.column()).flatMap(n =>
+          bound(n, wantMax = false, over).map { case (d, v) =>
+            (StructField(s"min_$n", d, nullable = true), v) })
+        case m: Max => topCol(m.column()).flatMap(n =>
+          bound(n, wantMax = true, over).map { case (d, v) =>
+            (StructField(s"max_$n", d, nullable = true), v) })
+        case s: Sum if !s.isDistinct => topCol(s.column()).flatMap(n =>
+          sumOf(n, over).map { case (d, v) =>
+            (StructField(s"sum_$n", d, nullable = true), v) })
+        case c: Count if !c.isDistinct => topCol(c.column()).flatMap(n =>
+          countOf(n, over).map { case (d, v) =>
+            (StructField(s"countcol_$n", d, nullable = false), v) })
+        case a: Avg if !a.isDistinct => topCol(a.column()).flatMap(n =>
+          avgOf(n, over).map { case (d, v) =>
+            (StructField(s"avg_$n", d, nullable = true), v) })
+        case _ => None
+      }
+      if (resolved.exists(_.isEmpty)) None else Some(resolved.flatten)
     }
-    if (resolved.exists(_.isEmpty)) None
-    else {
-      val rs = resolved.flatten
-      Some((StructType(rs.map(_._1)), rs.map(_._2)))
+    val groupNames: Seq[String] = agg.groupByExpressions().toSeq.map { e =>
+      topCol(e) match {
+        case Some(n) if eligible(zonePaths(n)) => n
+        case _ => return None
+      }
+    }
+    if (groupNames.isEmpty) {
+      resolveAggs(kept).map { rs =>
+        (StructType(rs.map(_._1)), Seq(rs.map(_._2)))
+      }
+    } else {
+      // GROUP BY answered from metadata when the physical layout
+      // PARTITIONS the key — each kept file single-valued in every
+      // group column (the exact distinct sets prove it) with a value
+      // in every row (sightings == units, so no null-group rows whose
+      // aggregate share the per-file stats could not apportion).
+      // That is precisely the layout recluster() produces for its
+      // cluster key and per-label exports produce for their label:
+      // the group's aggregates then fold from its files' stats alone.
+      // Any file with several key values, an overflowed set, a null,
+      // or a too-long string declines the whole push.
+      if (!valuesAnswerable) return None
+      def groupKey(z: ZoneStats.FileZone): Option[Seq[Any]] = {
+        val vs = groupNames.map { g =>
+          if (z.overflow && !z.fields.contains(g)) return None
+          val fz = z.fields.getOrElse(g, ZoneStats.emptyField)
+          if (fz.others != 0 || fz.present != z.units) return None
+          zonePaths(g) match {
+            case StringType =>
+              if (fz.strSet == null || fz.strSet.size != 1) return None
+              fz.strSet.head
+            case d =>
+              if (fz.numSet == null || fz.numSet.size != 1) return None
+              val n = fz.numSet.head
+              try d match {
+                case LongType => java.lang.Long.valueOf(n.longValueExact)
+                case IntegerType => java.lang.Integer.valueOf(n.intValueExact)
+                case ShortType => java.lang.Short.valueOf(n.shortValueExact)
+                case ByteType => java.lang.Byte.valueOf(n.byteValueExact)
+                case dec: DecimalType => n.setScale(dec.scale)
+                case _ => return None
+              } catch { case _: ArithmeticException => return None }
+          }
+        }
+        Some(vs)
+      }
+      val nonEmpty = kept.filter(_.units > 0)
+      val keyed = nonEmpty.map(z => groupKey(z) match {
+        case Some(k) => k -> z
+        case None => return None
+      })
+      val groupFields = groupNames.map(g =>
+        StructField(g, zonePaths(g), nullable = false))
+      val grouped = keyed.groupBy(_._1).toSeq
+        .sortBy(_._1.map(String.valueOf(_)).mkString(" "))
+      val rows = grouped.map { case (key, members) =>
+        resolveAggs(members.map(_._2)) match {
+          case Some(rs) => (rs.map(_._1), key ++ rs.map(_._2))
+          case None => return None
+        }
+      }
+      val aggFields = rows.headOption.map(_._1).getOrElse(
+        resolveAggs(Seq.empty).getOrElse(return None).map(_._1))
+      Some((StructType(groupFields ++ aggFields), rows.map(_._2)))
     }
   }
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -765,50 +867,59 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   }
 }
 
-/** Completed aggregate pushdown: one partition, one row of metadata-
-  * derived values (fingerprint-verified in the builder). External
-  * values ride to the reader and convert through the same RowEncoder
-  * path as data rows. */
+/** Completed aggregate pushdown: one partition holding the metadata-
+  * derived rows — ONE row for a global aggregate, one PER GROUP for a
+  * layout-decided GROUP BY (fingerprint-verified in the builder).
+  * External values ride to the reader and convert through the same
+  * RowEncoder path as data rows. */
 private class JsonDocMetaScan(ps: Seq[String], schema: StructType,
-                              values: Seq[Any])
+                              rows: Seq[Seq[Any]])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graftjson ${ps.mkString(",")} PushedAggregation: " +
-      schema.fieldNames.zip(values).map { case (f, v) => s"$f=$v" }
-        .mkString("[", ", ", "] (zone maps)")
-  // a completed aggregate pushdown IS one row of known width
+      (rows match {
+        case Seq(one) => schema.fieldNames.zip(one)
+          .map { case (f, v) => s"$f=$v" }.mkString("[", ", ", "]")
+        case many => s"[${schema.fieldNames.mkString(", ")}] " +
+          s"(${many.size} groups)"
+      }) + " (zone maps)"
+  // a completed aggregate pushdown IS its rows, width known
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(1, schema.defaultSize.toLong))
+        java.util.OptionalLong.of(
+          math.max(1, schema.defaultSize.toLong * math.max(1, rows.size)))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(1L)
+        java.util.OptionalLong.of(rows.size.toLong)
     }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(JsonDocMetaPartition(schema, values))
+    Array(JsonDocMetaPartition(schema, rows))
   override def createReaderFactory(): PartitionReaderFactory =
     JsonDocMetaReaderFactory()
 }
 
-private case class JsonDocMetaPartition(schema: StructType, values: Seq[Any])
+private case class JsonDocMetaPartition(schema: StructType,
+                                        rows: Seq[Seq[Any]])
     extends InputPartition
 
 private case class JsonDocMetaReaderFactory() extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val mp = p.asInstanceOf[JsonDocMetaPartition]
-      // one serializer per reader, not per get() (one row either way,
-      // but encoder construction is the expensive part)
+      // one serializer per reader, not per get() (a handful of rows
+      // either way, but encoder construction is the expensive part)
       private lazy val toInternal =
         ExpressionEncoder(RowEncoder.encoderFor(mp.schema)).createSerializer()
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
+      private val it = mp.rows.iterator
+      private var current: Seq[Any] = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
       override def get(): InternalRow =
-        toInternal(Row.fromSeq(mp.values)).copy()
+        toInternal(Row.fromSeq(current)).copy()
       override def close(): Unit = ()
     }
 }

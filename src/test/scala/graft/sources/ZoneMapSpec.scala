@@ -633,6 +633,62 @@ class ZoneMapSpec extends SparkTestBase {
     assert(!plan(qt).contains("PushedAggregation"), plan(qt))
   }
 
+  test("GROUP BY answers from metadata when the layout partitions the key") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_groupby"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    // per-key files: each file single-valued in `src` — the recluster
+    // / per-label-export layout
+    put("a1.json", """{"src": "a", "n": 1}""", """{"src": "a", "n": 2}""")
+    put("a2.json", """{"src": "a", "n": 10}""")
+    put("b1.json", """{"src": "b", "n": 5}""", """{"src": "b", "n": 6}""")
+    def zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    val q = zdf.groupBy(col("src")).agg(count(lit(1)).as("c"),
+      sum(col("n")).as("s"), min(col("n")).as("lo"), max(col("n")).as("hi"))
+      .orderBy(col("src"))
+    assert(plan(q).contains("PushedAggregation"), plan(q))
+    val rows = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getAs[Number](3).longValue, r.getAs[Number](4).longValue))
+    assert(rows.toSeq == Seq(("a", 3L, 13L, 1L, 10L), ("b", 2L, 11L, 5L, 6L)))
+    // identical to the engine's own scan+aggregate
+    val noZ = spark.read.format("graftjson").load(dir.toString)
+      .groupBy(col("src")).agg(count(lit(1)), sum(col("n")), min(col("n")),
+        max(col("n"))).orderBy(col("src")).collect()
+    assert(noZ.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getAs[Number](3).longValue, r.getAs[Number](4).longValue))
+      .toSeq == rows.toSeq)
+
+    // filtered GROUP BY composes with the kept-set partition
+    val f = zdf.where(col("src") === "a").groupBy(col("src"))
+      .agg(sum(col("n")).as("s"))
+    assert(plan(f).contains("PushedAggregation"), plan(f))
+    assert(f.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 13L)))
+
+    // DECLINE: a file carrying BOTH keys cannot apportion its stats
+    put("mix.json", """{"src": "a", "n": 100}""", """{"src": "b", "n": 200}""")
+    val qm = zdf.groupBy(col("src")).agg(sum(col("n")).as("s"))
+    assert(!plan(qm).contains("PushedAggregation"), plan(qm))
+    assert(qm.orderBy(col("src")).collect().map(_.getLong(1)).toSeq ==
+      Seq(113L, 211L))
+    new java.io.File(dir, "mix.json").delete()
+
+    // DECLINE: a null in the group column (present < units) — the
+    // null-group rows' aggregates cannot be split out of file stats
+    put("nulls.json", """{"src": "c", "n": 7}""", """{"n": 8}""")
+    val qn = zdf.groupBy(col("src")).agg(count(lit(1)).as("c"))
+    assert(!plan(qn).contains("PushedAggregation"), plan(qn))
+    assert(qn.collect().length == 4) // a, b, c, null — engine answers
+    new java.io.File(dir, "nulls.json").delete()
+  }
+
   test("q235 plans both sides as metadata-answered aggregates on real data") {
     val df = graft.queries.JsonQueries.queries("q235_meta_stats")(
       spark, "/root/testdata/sf0.001")
@@ -645,6 +701,70 @@ class ZoneMapSpec extends SparkTestBase {
       s"expected two metadata-answered aggregates:\n$plan")
     assert(!plan.contains("ReadSchema:"),
       s"no data scan may survive:\n$plan")
+  }
+
+  test("AVG pushes for integral columns inside the exact double window; DISTINCT pushes as keys-only") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_avg"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("a.json", """{"src": "a", "n": 1}""", """{"src": "a", "n": 2}""")
+    put("b.json", """{"src": "b", "n": 6}""")
+    def zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // inside the exact window the direct Avg push answers (avg_n in
+    // the pushed schema — no sum/count decomposition)
+    val a = zdf.agg(avg(col("n")).as("a"))
+    assert(plan(a).contains("avg_n"), plan(a))
+    assert(a.collect()(0).getDouble(0) == 3.0)
+    // identical to the engine's own computation
+    assert(spark.read.format("graftjson").load(dir.toString)
+      .agg(avg(col("n"))).collect()(0).getDouble(0) == 3.0)
+    // grouped avg rides the grouped path
+    val g = zdf.groupBy(col("src")).agg(avg(col("n")).as("a"))
+      .orderBy(col("src"))
+    assert(plan(g).contains("PushedAggregation"), plan(g))
+    assert(g.collect().map(_.getDouble(1)).toSeq == Seq(1.5, 6.0))
+
+    // outside double's exact integer window (2^53) the DIRECT Avg push
+    // declines; Spark then rewrites avg → sum/count, both of which
+    // push exactly, and divides on top — its own authorized
+    // decomposition, value-checked against the plain load
+    val dir2 = new java.io.File(graft.TempRoots.path("zm_avg_big"))
+    dir2.mkdirs()
+    val w2 = new java.io.PrintWriter(new java.io.File(dir2, "big.json"))
+    w2.println("""{"n": 9007199254740993}""") // 2^53 + 1
+    w2.close()
+    val qb = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir2.toString).agg(avg(col("n")).as("a"))
+    assert(!plan(qb).contains("avg_n"), plan(qb))
+    assert(plan(qb).contains("sum_n"), plan(qb))
+    assert(qb.collect()(0).getDouble(0) ==
+      spark.read.format("graftjson").load(dir2.toString)
+        .agg(avg(col("n"))).collect()(0).getDouble(0))
+
+    // SELECT DISTINCT on a layout-partitioned key: keys-only metadata
+    val d = zdf.select(col("src")).distinct().orderBy(col("src"))
+    val dPlan = plan(d)
+    val dRows = d.collect().map(_.getString(0)).toSeq
+    assert(dRows == Seq("a", "b"))
+    if (dPlan.contains("PushedAggregation"))
+      assert(!dPlan.contains("ReadSchema:"), dPlan)
+  }
+
+  test("q236 plans the whole grouped aggregate as metadata on real data") {
+    val df = graft.queries.JsonQueries.queries("q236_meta_groupby")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length > 1 && rows.forall(_.getLong(1) > 0L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"), plan)
+    assert(!plan.contains("ReadSchema:"), s"no data scan may survive:\n$plan")
   }
 
   test("q229 plans as a metadata-answered filtered count on real data") {
