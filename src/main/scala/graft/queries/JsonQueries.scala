@@ -876,7 +876,49 @@ object JsonQueries {
       |  CAST(max(n_chars) AS BIGINT) AS max_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Cluster-on-write end to end (`clusterBy` writer option, the
+    * write-time twin of q231's recluster): the documents table lands
+    * through ONE clustered batch write — the DSv2
+    * `RequiresDistributionAndOrdering` contract makes the ENGINE plan
+    * the range exchange + per-partition sort before the staging
+    * writers see a row — so every output file covers a tight
+    * n_chars range and the read-back range probe prunes files
+    * immediately, no post-hoc rewrite. Same checksum shape as q231:
+    * a row lost or duplicated in the exchange, a value mangled by the
+    * rendering, or an unsound prune flips a sum. The
+    * skips-to-one-file pin lives in JsonDocWriteSpec. */
+  private val q237Lock = new Object
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q237_${Integer.toHexString(dir.hashCode)}")
+    q237Lock.synchronized {
+      buildOnce(s, out) {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.format("graftjson").mode("overwrite")
+          .option("clusterBy", "n_chars")
+          .option("clusterPartitions", "8")
+          .save(out)
+      }
+    }
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .where(col("n_chars") >= 450)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 29).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q237Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 29) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 450
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_clustered_write" -> (q237 _),
     "q236_meta_groupby" -> (q236 _),
     "q235_meta_stats" -> (q235 _),
     "q234_stream_sink" -> (q234 _),
@@ -903,6 +945,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q237_clustered_write" -> q237Sql,
     "q236_meta_groupby" -> q236Sql,
     "q235_meta_stats" -> q235Sql,
     "q234_stream_sink" -> q234Sql,

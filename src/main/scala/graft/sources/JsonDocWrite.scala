@@ -58,6 +58,31 @@ private[sources] object JsonDocWrite {
     * plans the appended files walk-free. */
   val RefreshMetaOption = "refreshMeta"
 
+  /** Writer option: cluster the written files by this (dotted) column
+    * path — the write declares an ORDERED required distribution
+    * (DSv2 `RequiresDistributionAndOrdering`), so Spark range-
+    * exchanges and sorts the rows BEFORE they reach the staging
+    * writers and each output file covers a tight, non-overlapping key
+    * range: zone maps are selective from the first scan, no post-hoc
+    * [[JsonCompact.recluster]] rewrite needed. The engine plans the
+    * exchange, so skew handling (AQE) and partition sizing
+    * (`clusterTargetBytes` → advisory partition size) are the
+    * optimizer's own machinery, not custom code. */
+  val ClusterByOption = "clusterBy"
+
+  /** Writer option: advisory bytes per clustered output partition
+    * (AQE sizes the range exchange's partitions toward it — and each
+    * partition is one staged file). Only meaningful with
+    * [[ClusterByOption]]. */
+  val ClusterTargetBytesOption = "clusterTargetBytes"
+
+  /** Writer option: EXACT number of clustered output partitions
+    * (`requiredNumPartitions` — disables AQE's coalescing for the
+    * exchange; one staged file per non-empty partition). Only
+    * meaningful with [[ClusterByOption]]; prefer the advisory size at
+    * scale and this when the file count itself is the contract. */
+  val ClusterPartitionsOption = "clusterPartitions"
+
   private[sources] def runTag(queryId: String): String =
     queryId.replace("-", "").take(12)
 
@@ -96,18 +121,54 @@ private[sources] class JsonDocWriteBuilder(dir: String, whole: Boolean,
     val bad = JsonRowText.unsupported(info.schema(), "")
     require(bad.isEmpty,
       s"graftjson: schema has non-JSON-renderable fields: ${bad.mkString("; ")}")
+    val clusterBy = Option(info.options.get(JsonDocWrite.ClusterByOption))
+    clusterBy.foreach { c =>
+      // top-level names validated here (fail at planning with the
+      // schema in hand); dotted nested paths resolve in the engine's
+      // own analyzer, which raises its own unresolved-column error
+      require(c.contains('.') || info.schema().fieldNames.contains(c),
+        s"graftjson: clusterBy column '$c' is not in the write schema " +
+          s"(${info.schema().fieldNames.mkString(", ")})")
+    }
     new JsonDocWriteImpl(dir, info.schema(), info.queryId(), overwrite,
       Option(info.options.get(JsonDocWrite.RefreshMetaOption))
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      clusterBy,
+      Option(info.options.get(JsonDocWrite.ClusterTargetBytesOption))
+        .map(_.toLong).getOrElse(0L),
+      Option(info.options.get(JsonDocWrite.ClusterPartitionsOption))
+        .map(_.toInt).getOrElse(0))
   }
 }
 
 private class JsonDocWriteImpl(dir: String, schema: StructType,
                                queryId: String, overwrite: Boolean,
-                               refreshMeta: Boolean)
-    extends Write {
+                               refreshMeta: Boolean,
+                               clusterBy: Option[String] = None,
+                               clusterTargetBytes: Long = 0L,
+                               clusterPartitions: Int = 0)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+  private def sortOrders: Array[SortOrder] = clusterBy.toArray.map(c =>
+    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST))
+  /** ORDERED distribution = a range exchange + in-partition sort
+    * planned by the ENGINE: globally clustered output, each staged
+    * file a tight non-overlapping key range (nulls — absent fields —
+    * first). Unspecified when no clusterBy: an append must not pay a
+    * shuffle it didn't ask for. */
+  override def requiredDistribution(): Distribution =
+    if (clusterBy.isEmpty) Distributions.unspecified()
+    else Distributions.ordered(sortOrders)
+  override def requiredOrdering(): Array[SortOrder] = sortOrders
+  override def advisoryPartitionSizeInBytes(): Long = clusterTargetBytes
+  override def requiredNumPartitions(): Int =
+    if (clusterBy.isEmpty) 0 else clusterPartitions
   override def description(): String =
-    s"graftjson write $dir (${if (overwrite) "overwrite" else "append"})"
+    s"graftjson write $dir (${if (overwrite) "overwrite" else "append"})" +
+      clusterBy.fold("")(c => s" clustered by $c")
   override def toBatch: BatchWrite =
     new JsonDocBatchWrite(dir, schema, JsonDocWrite.runTag(queryId),
       overwrite, refreshMeta)

@@ -280,6 +280,34 @@ class JsonDocWriteSpec extends SparkTestBase {
       "durable meta must serve planning without a walk")
   }
 
+  test("clusterBy write: engine-planned range exchange makes zones selective from birth") {
+    import spark.implicits._
+    val dir = freshPath("jw_cluster")
+    // ids shuffled across partitions — an unclustered write would give
+    // every file the full key range (nothing prunable)
+    val df = spark.createDataset(scala.util.Random.shuffle((1 to 400).toList))
+      .toDF("id").repartition(4)
+    df.write.format("graftjson").mode("append")
+      .option("clusterBy", "id")
+      .option("clusterPartitions", "4") // exact ranges (AQE would coalesce KBs)
+      .save(dir)
+    val files = visible(dir)
+    assert(files.size > 1, s"need several files to prove clustering: $files")
+    // each file covers a tight range: a point probe must skip all but one
+    val z = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir)
+    val before = JsonDocSource.zoneSkippedFiles.get
+    assert(z.where(col("id") === 5).count() == 1L)
+    val skipped = JsonDocSource.zoneSkippedFiles.get - before
+    // planInputPartitions can run more than once per query (AQE
+    // re-plan) — each planning pass must skip all but one file
+    assert(skipped >= files.size - 1 && skipped % (files.size - 1) == 0,
+      s"a clustered point probe must read exactly one file (skips=$skipped)")
+    // values survived the exchange + sort intact
+    assert(z.agg(sum(col("id").cast("bigint"))).collect()(0).getLong(0) ==
+      (1 to 400).map(_.toLong).sum)
+  }
+
   test("empty partitions stage nothing; empty overwrite truncates to empty") {
     import spark.implicits._
     val dir = freshPath("jw_empty")
