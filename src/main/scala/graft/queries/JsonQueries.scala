@@ -888,10 +888,10 @@ object JsonQueries {
     * rendering, or an unsound prune flips a sum. The
     * skips-to-one-file pin lives in JsonDocWriteSpec. */
   private val q237Lock = new Object
-  private def q237(s: SparkSession, dir: String): DataFrame = {
-    val out = graft.TempRoots.path(
-      s"graftjson_q237_${Integer.toHexString(dir.hashCode)}")
+  private def q237Export(s: SparkSession, dir: String): String =
     q237Lock.synchronized {
+      val out = graft.TempRoots.path(
+        s"graftjson_q237_${Integer.toHexString(dir.hashCode)}")
       buildOnce(s, out) {
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -901,6 +901,8 @@ object JsonQueries {
           .save(out)
       }
     }
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val out = q237Export(s, dir)
     s.read.format("graftjson").option("zonemaps", "true").load(out)
       .where(col("n_chars") >= 450)
       .groupBy(col("lang"))
@@ -917,7 +919,32 @@ object JsonQueries {
       |FROM documents WHERE n_chars >= 450
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** TopN file pruning end to end (`SupportsPushDownTopN`, r12): the
+    * shortest-documents probe — `ORDER BY n_chars, doc_id LIMIT 20` —
+    * over the n_chars-CLUSTERED table reads only the files whose zone
+    * range can hold a top-20 row (partial push: the engine keeps its
+    * own TakeOrderedAndProject over the surviving files' rows, the
+    * source only shrinks the file set, so correctness never leaves
+    * the engine). The unique (n_chars, doc_id) tiebreak makes the row
+    * set deterministic for the oracle; the skips-and-equality pins
+    * (nulls-first/last, overlap boundaries, filter decline) live in
+    * ZoneMapSpec. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val out = q237Export(s, dir)
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .orderBy(col("n_chars"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+        col("n_chars").cast("bigint").as("n_chars"))
+  }
+
+  private val q238Sql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY n_chars, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_topk_pruned" -> (q238 _),
     "q237_clustered_write" -> (q237 _),
     "q236_meta_groupby" -> (q236 _),
     "q235_meta_stats" -> (q235 _),
@@ -945,6 +972,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q238_topk_pruned" -> q238Sql,
     "q237_clustered_write" -> q237Sql,
     "q236_meta_groupby" -> q236Sql,
     "q235_meta_stats" -> q235Sql,

@@ -493,7 +493,9 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   // EVERY offered filter, ungated: zone-map reasoning is total and
@@ -535,6 +537,140 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   // same answer would be pure namenode load on a 100k-file table)
   private lazy val freshListing: Seq[(String, Long, Long)] =
     JsonDocSource.listFiles(SparkSession.active, ps)
+
+  // files PROVABLY not needed for a pushed TopN/Limit, keyed with the
+  // (length, mtime) the decision was made against — the scan drops a
+  // file only when it still matches (the zoneSkips stale-guard shape)
+  private var topExcluded: Map[String, (Long, Long)] = Map.empty
+
+  /** Bare LIMIT n (no sort): ANY n rows satisfy it, so the scan keeps
+    * only a minimal listing-prefix of files whose exact zone unit
+    * counts cover the limit — `LIMIT 10` over a million-file corpus
+    * reads one file. Partial push: the engine keeps its own
+    * GlobalLimit over our rows. Declines under any filter (the
+    * surviving-row count per file is unknown) or un-zoned file. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit <= 0 || zones.isEmpty ||
+      pushed.nonEmpty || offered.nonEmpty) return false
+    val current = freshListing
+    if (current != fingerprint) return false
+    val zm = zones.get
+    val withZones = current.map { case (p, l, m) => (p, l, m, zm.get(p)) }
+    if (withZones.exists(_._4.isEmpty)) return false
+    var acc = 0L
+    val keep = withZones.takeWhile { case (_, _, _, z) =>
+      val need = acc < limit
+      acc += z.get.units
+      need
+    }.map(_._1).toSet
+    if (acc < limit || keep.size == withZones.size) return false
+    topExcluded = current.filterNot(f => keep(f._1))
+      .map { case (p, l, m) => p -> ((l, m)) }.toMap
+    true
+  }
+
+  /** ORDER BY key [ASC|DESC] LIMIT k: keep only files that can hold a
+    * top-k row. Sound superset rule on the FIRST sort key (secondary
+    * keys only reorder within ties — the k smallest lexicographic
+    * rows all sit among the k smallest first-key values): pick the
+    * smallest threshold t such that CLEAN files alone guarantee ≥ k
+    * rows ordering ≤ t (a file guarantees its `present` values when
+    * its far bound is ≤ t, plus its null rows when nulls sort first),
+    * then exclude exactly the clean files whose near bound is > t
+    * (and, when nulls sort first, that hold no nulls). Loosened
+    * bounds (strInexact / multiDoc / dupKey supersets) stay sound for
+    * BOTH sides — a looser far bound only weakens the guarantee, a
+    * looser near bound only weakens exclusion — but multiDoc/dupKey
+    * inflate `present`, so those files (and dirty ones, whose bounds
+    * may MISS values) are never excluded and never guarantee.
+    * Partial push: the engine re-sorts and limits our rows, so the
+    * only obligation is that excluded rows provably rank past k. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    import org.apache.spark.sql.types._
+    if (limit <= 0 || orders.isEmpty || zones.isEmpty ||
+      pushed.nonEmpty || offered.nonEmpty) return false
+    val current = freshListing
+    if (current != fingerprint) return false
+    val so = orders.head
+    val name = so.expression() match {
+      case nr: NamedReference => nr.fieldNames().mkString(".")
+      case _ => return false
+    }
+    val dt = zonePaths.get(name) match {
+      case Some(d @ (ByteType | ShortType | IntegerType | LongType |
+                     StringType)) => d
+      case Some(d: DecimalType) => d
+      case _ => return false
+    }
+    val isStr = dt == StringType
+    val asc = so.direction() == SortDirection.ASCENDING
+    val nullsFirst = so.nullOrdering() == NullOrdering.NULLS_FIRST
+    def cmpV(a: Any, b: Any): Int =
+      if (isStr) ZoneStats.cpCompare(a.asInstanceOf[String],
+        b.asInstanceOf[String])
+      else a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal])
+    // direction-adjusted comparison: the algorithm below always works
+    // in the "ascending effective domain"
+    def cmpDir(a: Any, b: Any): Int = if (asc) cmpV(a, b) else -cmpV(a, b)
+    val zm = zones.get
+    // (path, len, mtime, units, nulls, present, near, far, clean)
+    case class F(path: String, len: Long, mtime: Long, units: Long,
+                 nulls: Long, present: Long, near: Any, far: Any,
+                 clean: Boolean)
+    val files = current.map { case (p, l, m) =>
+      zm.get(p) match {
+        case None => F(p, l, m, 0L, 0L, 0L, null, null, clean = false)
+        case Some(z) =>
+          val fz = z.fields.get(name)
+          val statsSound = !z.dirty && !z.multiDoc && !z.dupKey &&
+            !(z.overflow && fz.isEmpty) && fz.forall(_.others == 0)
+          val present = fz.fold(0L)(_.present)
+          val bounds = fz.fold[(Any, Any)]((null, null))(f =>
+            if (isStr) (f.strMin, f.strMax) else (f.numMin, f.numMax))
+          F(p, l, m, z.units, z.units - present, present,
+            near = if (asc) bounds._1 else bounds._2,
+            far = if (asc) bounds._2 else bounds._1,
+            clean = statsSound)
+      }
+    }
+    // smallest threshold (a clean file's far bound) whose guaranteed
+    // row count reaches the limit; None = nulls alone cover it
+    val nullGuarantee =
+      if (nullsFirst) files.filter(_.clean).map(_.nulls).sum else 0L
+    val threshold: Option[Any] =
+      if (nullGuarantee >= limit) None
+      else {
+        val cand = files.filter(f => f.clean && f.present > 0)
+          .sortWith((a, b) => cmpDir(a.far, b.far) < 0)
+        var acc = nullGuarantee
+        var t: Option[Any] = null
+        val it = cand.iterator
+        while (t == null && it.hasNext) {
+          val f = it.next()
+          acc += f.present
+          if (acc >= limit) t = Some(f.far)
+        }
+        if (t == null) return false // corpus cannot guarantee k rows
+        t
+      }
+    val excluded = files.filter { f =>
+      f.clean && (!nullsFirst || f.nulls == 0) && (threshold match {
+        case None => f.present > 0 || !nullsFirst
+        case Some(t) => f.present > 0 && cmpDir(f.near, t) > 0
+      })
+    }
+    if (excluded.isEmpty) return false
+    topExcluded = excluded.map(f => f.path -> ((f.len, f.mtime))).toMap
+    true
+  }
+
+  /** Partial always: the engine keeps its Sort/Limit over our rows —
+    * the source only shrinks the file set. */
+  override def isPartiallyPushed(): Boolean = true
 
   // dotted path → materialized type (nested chains included), the
   // same consultation gate the scan's file skipping uses
@@ -863,7 +999,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     case None =>
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
         maxSplitBytes, zones, fingerprint,
-        maxFilesPerTrigger, maxBytesPerTrigger)
+        maxFilesPerTrigger, maxBytesPerTrigger, topExcluded)
   }
 }
 
@@ -932,7 +1068,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           zones: Option[ZoneStats.ZoneMap],
                           fingerprint: Seq[(String, Long, Long)],
                           maxFilesPerTrigger: Option[Int] = None,
-                          maxBytesPerTrigger: Option[Long] = None)
+                          maxBytesPerTrigger: Option[Long] = None,
+                          topExcluded: Map[String, (Long, Long)] = Map.empty)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -961,10 +1098,16 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     required.fields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+  // TopN/Limit exclusions, defensively cancelled if a runtime filter
+  // ever reaches this scan: the exclusion guarantee counted UNfiltered
+  // rows, and a row-reducing filter below the engine's Sort/Limit
+  // could promote an excluded file's row into the top-k
+  private var topExcludedActive: Map[String, (Long, Long)] = topExcluded
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtimePushed = filters.filter(JsonDocFilters.supportsPath(_, zonePaths))
     runtimeOffered = filters
+    if (filters.nonEmpty) topExcludedActive = Map.empty
   }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -976,7 +1119,9 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (zones.isDefined) s" ZoneMaps: ${zones.get.size} files" else "")
+      (if (zones.isDefined) s" ZoneMaps: ${zones.get.size} files" else "") +
+      (if (topExcludedActive.nonEmpty)
+        s" TopNExcluded: ${topExcludedActive.size} files" else "")
 
   /** Planning-time statistics from state already in hand — the
     * LOAD-TIME listing (no namenode round-trip per plan) and the zone
@@ -1061,7 +1206,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
           zm.get(p).exists(z =>
             !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, zonePaths))))
     JsonDocSource.listFiles(spark, ps).flatMap { case (p, len, mtime) =>
-      if (zoneSkips(p, len, mtime)) {
+      if (topExcludedActive.get(p).contains((len, mtime)) ||
+        zoneSkips(p, len, mtime)) {
         JsonDocSource.zoneSkippedFiles.incrementAndGet()
         Seq.empty[InputPartition]
       } else {

@@ -24,6 +24,20 @@ class JsonDocSourceSpec extends SparkTestBase {
     dir.toString
   }
 
+  test("SQL surfaces: SELECT from graftjson.`dir` and a temp view USING graftjson") {
+    val dir = writeFixture("jds_sql")
+    // path-qualified SQL-on-file resolution
+    val viaPath = spark.sql(s"SELECT id, name FROM graftjson.`$dir`")
+    assert(viaPath.collect().map(_.getAs[Number](0).longValue)
+      .sorted.toSeq == Seq(1L, 2L, 40000L))
+    // catalog-style temp view over the provider
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gj_sql_view " +
+      s"USING graftjson OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT count(*) FROM gj_sql_view")
+      .collect()(0).getLong(0) == 3L)
+    spark.sql("DROP VIEW gj_sql_view")
+  }
+
   test("schema is the CLI inference's materializable schema; rows equal Materialize") {
     import spark.implicits._
     val dir = writeFixture("graftjson_basic")

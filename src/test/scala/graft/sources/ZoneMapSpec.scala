@@ -689,6 +689,86 @@ class ZoneMapSpec extends SparkTestBase {
     new java.io.File(dir, "nulls.json").delete()
   }
 
+  test("ORDER BY + LIMIT prunes to the boundary files; bare LIMIT to a minimal prefix") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_topn"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    // clustered layout: non-overlapping id ranges per file
+    put("f1.json", (1 to 10).map(i => s"""{"id": $i, "s": "v$i"}"""): _*)
+    put("f2.json", (11 to 20).map(i => s"""{"id": $i, "s": "v$i"}"""): _*)
+    put("f3.json", (21 to 30).map(i => s"""{"id": $i, "s": "v$i"}"""): _*)
+    def zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // ascending top-5: only f1 can hold them
+    val a = zdf.orderBy(col("id")).limit(5)
+    assert(plan(a).contains("TopNExcluded: 2 files"), plan(a))
+    assert(a.collect().map(_.getAs[Number](0).intValue).toSeq == (1 to 5))
+    // descending: only f3
+    val d = zdf.orderBy(col("id").desc).limit(3)
+    assert(plan(d).contains("TopNExcluded: 2 files"), plan(d))
+    assert(d.collect().map(_.getAs[Number](0).intValue).toSeq ==
+      Seq(30, 29, 28))
+    // bare LIMIT: any rows do — a minimal file prefix
+    val l = zdf.limit(5)
+    assert(plan(l).contains("TopNExcluded: 2 files"), plan(l))
+    assert(l.count() == 5L)
+    // secondary sort keys ride along (pruning on the first key only)
+    val s2 = zdf.orderBy(col("id"), col("s")).limit(5)
+    assert(plan(s2).contains("TopNExcluded: 2 files"), plan(s2))
+    assert(s2.collect().map(_.getAs[Number](0).intValue).toSeq == (1 to 5))
+
+    // nulls first (asc default): the null-bearing file must survive
+    // and can satisfy the limit alone
+    put("fn.json", """{"s": "nokey1"}""", """{"s": "nokey2"}""")
+    val n = zdf.orderBy(col("id")).limit(2)
+    assert(plan(n).contains("TopNExcluded: 3 files"), plan(n))
+    assert(n.collect().forall(_.isNullAt(0)))
+    // nulls LAST ascending: null rows rank past a satisfied guarantee
+    val nl = zdf.orderBy(col("id").asc_nulls_last).limit(5)
+    assert(plan(nl).contains("TopNExcluded"), plan(nl))
+    assert(nl.collect().map(_.getAs[Number](0).intValue).toSeq == (1 to 5))
+    new java.io.File(dir, "fn.json").delete()
+
+    // overlapping ranges exclude only provably-past files: the
+    // tightest guarantee wins (limit 5: f1 alone covers it at t=10,
+    // so both g1's straddle and f2/f3 resolve against t=10)
+    put("g1.json", """{"id": 3, "s": "o1"}""", """{"id": 12, "s": "o2"}""")
+    val o = zdf.orderBy(col("id")).limit(5)
+    assert(plan(o).contains("TopNExcluded: 2 files"), plan(o))
+    assert(o.collect().map(_.getAs[Number](0).intValue).toSeq ==
+      Seq(1, 2, 3, 3, 4))
+    // limit 12 needs g1's rows too → t=12, and f2 (min 11 ≤ 12) must
+    // now survive: only f3 is provably past
+    val o12 = zdf.orderBy(col("id")).limit(12)
+    assert(plan(o12).contains("TopNExcluded: 1 files"), plan(o12))
+    assert(o12.collect().map(_.getAs[Number](0).intValue).toSeq ==
+      Seq(1, 2, 3, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+    new java.io.File(dir, "g1.json").delete()
+
+    // DECLINE: a filter keeps every file (per-file surviving-row
+    // counts are unknowable from zones)
+    val f = zdf.where(col("s") =!= "v1").orderBy(col("id")).limit(5)
+    assert(!plan(f).contains("TopNExcluded"), plan(f))
+    assert(f.collect().map(_.getAs[Number](0).intValue).toSeq == (2 to 6))
+  }
+
+  test("q238 plans a file-pruned top-k on the clustered table") {
+    val df = graft.queries.JsonQueries.queries("q238_topk_pruned")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopNExcluded"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the engine must keep its own top-k over the surviving files:\n$plan")
+  }
+
   test("q235 plans both sides as metadata-answered aggregates on real data") {
     val df = graft.queries.JsonQueries.queries("q235_meta_stats")(
       spark, "/root/testdata/sf0.001")
