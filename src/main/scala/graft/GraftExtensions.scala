@@ -13,8 +13,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Only expressions whose composed-function form measurably loses
   * codegen live here (SURVEY §4.2: custom code confined to the
-  * expression/aggregator layer; no custom Rule or Strategy is
-  * needed anywhere in this engine). */
+  * expression/aggregator layer), plus ONE analyzer rule —
+  * [[graft.sources.ResolveGraftSqlOnFile]], which gives the DSv2
+  * source the `FROM graftjson.`/dir`` SQL-on-file surface Spark
+  * reserves for V1 file formats. No custom Strategy or physical
+  * plan is needed anywhere in this engine. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** Uniform arity gate: every builder checks argument count FIRST so
@@ -26,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$usage takes $n arguments, got ${children.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // HINT batch, not the resolution batch: Spark's ResolveSQLOnFile
+    // throws on non-FileFormat providers before extension resolution
+    // rules (appended after it) would run — the hint batch is the one
+    // public injection point that sees the plan first
+    ext.injectHintResolutionRule(s =>
+      new graft.sources.ResolveGraftSqlOnFile(s))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -658,6 +658,17 @@ object ZoneSkip {
       case StringStartsWith(a, rawP) =>
         val p = ZoneStats.utf8Sanitize(rawP)
         strFull(a).exists(z => z.strSet != null && z.strSet.forall(_.startsWith(p)))
+      // substring/suffix tests on SANITIZED well-formed strings agree
+      // with the engine's UTF8String byte-level tests: UTF-8 is
+      // self-synchronizing, so a byte substring always aligns on
+      // code-point boundaries — Java's char-sequence contains/endsWith
+      // decides exactly the engine's predicate
+      case StringEndsWith(a, rawP) =>
+        val p = ZoneStats.utf8Sanitize(rawP)
+        strFull(a).exists(z => z.strSet != null && z.strSet.forall(_.endsWith(p)))
+      case StringContains(a, rawP) =>
+        val p = ZoneStats.utf8Sanitize(rawP)
+        strFull(a).exists(z => z.strSet != null && z.strSet.forall(_.contains(p)))
       case And(l, r) =>
         provablyAllMatch(l, zone, schema) && provablyAllMatch(r, zone, schema)
       case Or(l, r) =>
@@ -807,6 +818,20 @@ object ZoneSkip {
           // than SetMaxStrLen overflowed the set to null, so a prefix
           // whose matches were all "too long to store" cannot misfire.
           strAbsent(a, z => !z.strSet.exists(_.startsWith(p)))
+      // suffix/substring: bounds prove nothing (no ordering relation),
+      // but the EXACT distinct set does — no stored value carries the
+      // suffix/substring ⟹ no row matches. Same sanitized-domain
+      // byte-vs-char equivalence as the all-match leg; a value too
+      // long for the set overflowed it to null, so "all matches were
+      // unstored" cannot happen.
+      case StringEndsWith(a, rawP) =>
+        val p = ZoneStats.utf8Sanitize(rawP)
+        (colType(schema, a).contains(StringType) && allNull(a)) ||
+          strAbsent(a, z => !z.strSet.exists(_.endsWith(p)))
+      case StringContains(a, rawP) =>
+        val p = ZoneStats.utf8Sanitize(rawP)
+        (colType(schema, a).contains(StringType) && allNull(a)) ||
+          strAbsent(a, z => !z.strSet.exists(_.contains(p)))
       case And(l, r) =>
         provablyEmpty(l, zone, schema) || provablyEmpty(r, zone, schema)
       case Or(l, r) =>

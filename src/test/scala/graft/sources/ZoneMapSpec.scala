@@ -382,6 +382,39 @@ class ZoneMapSpec extends SparkTestBase {
     10L, 0L, null, null, lo, hi, null, null, strInexact = false,
     numSum = null)
 
+  test("ZoneSkip: suffix/substring prune and all-match through the exact set") {
+    def strSetZone(present: Long, vs: String*) = ZoneStats.FieldZone(
+      present, 0L, null, null, vs.min, vs.max, null, vs.toSet,
+      strInexact = false, numSum = null)
+    // bounds are useless for suffix/substring — only the set proves
+    val z = zone("s" -> strSetZone(2L, "alpha.txt", "beta.txt"))
+    assert(ZoneSkip.provablyEmpty(StringEndsWith("s", ".json"), z, schema))
+    assert(!ZoneSkip.provablyEmpty(StringEndsWith("s", ".txt"), z, schema))
+    assert(ZoneSkip.provablyEmpty(StringContains("s", "gamma"), z, schema))
+    assert(!ZoneSkip.provablyEmpty(StringContains("s", "pha."), z, schema))
+    // overflowed set declines both
+    val over = zone("s" -> strSetZone(2L, "alpha.txt").copy(strSet = null))
+    assert(!ZoneSkip.provablyEmpty(StringEndsWith("s", ".json"), over, schema))
+    assert(!ZoneSkip.provablyEmpty(StringContains("s", "zzz"), over, schema))
+    // all-null column: every row's test is null ⟹ provably empty
+    val nul = zone("s" -> ZoneStats.emptyField)
+    assert(ZoneSkip.provablyEmpty(StringEndsWith("s", "x"), nul, schema))
+    assert(ZoneSkip.provablyEmpty(StringContains("s", "x"), nul, schema))
+    // all-match needs FULL presence (present == units) on top of the
+    // set proof — the types map variant exercises provablyAllMatch
+    val types = ZoneSkip.topLevelPaths(schema)
+    val full = zone("s" -> strSetZone(10L, "alpha.txt", "beta.txt"))
+    assert(ZoneSkip.provablyAllMatch(StringEndsWith("s", ".txt"), full, types))
+    assert(!ZoneSkip.provablyAllMatch(StringEndsWith("s", "ta.txt"), full, types))
+    assert(ZoneSkip.provablyAllMatch(StringContains("s", ".tx"), full, types))
+    assert(!ZoneSkip.provablyAllMatch(StringContains("s", "alp"), full, types))
+    // partial presence (nulls in some rows) declines all-match
+    assert(!ZoneSkip.provablyAllMatch(StringEndsWith("s", ".txt"), z, types))
+    // non-string columns never prove
+    assert(!ZoneSkip.provablyEmpty(StringEndsWith("id", "9"),
+      zone("id" -> numZone(100, 200)), schema))
+  }
+
   test("ZoneSkip: numeric comparisons against exact bounds") {
     val z = zone("id" -> numZone(100, 200))
     assert(ZoneSkip.provablyEmpty(LessThan("id", 100L), z, schema))
