@@ -31,6 +31,20 @@ private[graft] object Fs {
       .create(p, true).close()
   }
 
+  /** Read a small driver-side control file (manifest, diff log) fully
+    * as UTF-8 text through an already-resolved filesystem — the ONE
+    * copy of the read-stream-fully loop the store protocols share. */
+  def readFullyUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Hadoop `Configuration` is not java-serializable; this wrapper
     * ships it into executor-side readers via its own write/readFields
     * (the same shape as Spark's internal SerializableConfiguration,

@@ -557,6 +557,13 @@ object JsonQueries {
           docs.where(col("lang") === l)
             .coalesce(1).write.mode("append").json(path)
         }
+        // null-lang rows land in their own file: the export must hold
+        // the WHOLE table — q235/q236 oracle it against the unfiltered
+        // documents parquet, so a dataset revision with a null lang
+        // would otherwise silently desynchronize export and oracle
+        val nulls = docs.where(col("lang").isNull)
+        if (!nulls.isEmpty)
+          nulls.coalesce(1).write.mode("append").json(path)
       }
     }
 

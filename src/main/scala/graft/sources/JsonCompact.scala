@@ -194,6 +194,30 @@ object JsonCompact {
     * the merged files. Falls back to the meta's own listing when a
     * nested directory is present (this call is non-recursive and must
     * not feed the meta a partial population). */
+  /** The post-swap file population for a maintenance-cycle meta
+    * refresh, from the listing already in hand: every non-hidden data
+    * file (gz included — the meta covers them) minus the names the
+    * cycle removed, plus the files it added. Hidden dirs
+    * (_graftjson_meta, _compaction) are pruned by every listing; a
+    * real nested DATA dir returns None so JsonMeta falls back to its
+    * own recursive listing. ONE shared copy — compact() and
+    * recluster() must not drift on the one-listing contract. */
+  private def postSwapListing(fs: FileSystem, root: Path,
+                              children: Seq[org.apache.hadoop.fs.FileStatus],
+                              goneNames: Set[String],
+                              addedNames: Seq[String])
+      : Option[Seq[(String, Long, Long)]] =
+    if (children.exists(st => st.isDirectory && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })) None
+    else Some((children.filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && !goneNames(n)
+    }) ++ addedNames.map(n => fs.getFileStatus(new Path(root, n))))
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .sortBy(_._1))
+
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 64L << 20,
               refreshMeta: Boolean = false): Report = {
@@ -203,23 +227,9 @@ object JsonCompact {
     val rolled = rollForward(spark, dir)
 
     val children = Option(fs.listStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
-    // the post-maintenance population for the meta refresh: every
-    // non-hidden data file (gz included — the meta covers them) minus
-    // whatever this call merges away, plus the merged finals
     def metaListing(goneNames: Set[String], addedNames: Seq[String])
         : Option[Seq[(String, Long, Long)]] =
-      // hidden dirs (_graftjson_meta, _compaction) are pruned by every
-      // listing — only a real nested DATA dir forces the fallback
-      if (children.exists(st => st.isDirectory && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })) None
-      else Some((children.filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".") && !goneNames(n)
-      }) ++ addedNames.map(n => fs.getFileStatus(new Path(root, n))))
-        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
-        .sortBy(_._1))
+      postSwapListing(fs, root, children, goneNames, addedNames)
     val files = children.filter(st => st.isFile && {
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".gz")
@@ -396,25 +406,11 @@ object JsonCompact {
     writeMarker(fs, root,
       Marker(written.map(n => n -> n).toSeq, files.map(_.getPath.getName)))
     rollForward(spark, dir)
-    if (refreshMeta) {
+    if (refreshMeta)
       // the post-swap population from state in hand — same one-listing
-      // contract as compact(refreshMeta=true); a nested data dir
-      // forces the meta's own (recursive) listing
-      val nestedData = children.exists(st => st.isDirectory && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      val gone = files.map(_.getPath.getName).toSet
-      val listing =
-        if (nestedData) None
-        else Some((children.filter(st => st.isFile && {
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".") && !gone(n)
-        }) ++ written.map(n => fs.getFileStatus(new Path(root, n))))
-          .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
-          .sortBy(_._1))
-      JsonMeta.save(spark, dir, listing)
-    }
+      // contract as compact(refreshMeta=true)
+      JsonMeta.save(spark, dir, postSwapListing(fs, root, children,
+        files.map(_.getPath.getName).toSet, written.toSeq))
     ReclusterReport(files.size, written.length, rolled)
   }
 }

@@ -521,14 +521,30 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     * mtime) fingerprint to match the load-time listing — any drift,
     * any filter, any other aggregate declines the push and the
     * ordinary scan+aggregate runs (self-healing, never wrong). */
+  // supportCompletePushDown and pushAggregation arrive back to back
+  // with the SAME Aggregation instance — memoize by identity so the
+  // kept-set partition proof and grouped fold run once per plan, not
+  // twice (a different instance just recomputes; never wrong)
+  private var metaMemo: Option[(AnyRef, Option[(StructType, Seq[Seq[Any]])])] =
+    None
+  private def metaFromZonesCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] = metaMemo match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = metaFromZones(agg)
+      metaMemo = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = metaFromZones(agg).isDefined
+      : Boolean = metaFromZonesCached(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    pushedMeta = metaFromZones(agg)
+    pushedMeta = metaFromZonesCached(agg)
     pushedMeta.isDefined
   }
 
@@ -859,11 +875,22 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
         case ByteType | ShortType | IntegerType | LongType =>
           mergedField(name, over).flatMap { merged =>
             if (merged.present == 0) Some((DoubleType, null))
-            else if (merged.numSum == null) None
+            else if (merged.numSum == null ||
+              merged.numMin == null || merged.numMax == null) None
             else {
+              // bound every INTERMEDIATE partial, not just the final
+              // sum: mixed signs can push a running double sum past
+              // 2^53 and back ([2^53, 3, -2^53] final-sums to 3 but
+              // rounds mid-flight), so the window is Σ|v| ≤
+              // present·max|v| ≤ 2^53 — every partial is then an
+              // integer double represents exactly, in any
+              // accumulation order
               val exactWindow = java.math.BigDecimal.valueOf(1L << 53)
-              if (merged.numSum.abs.compareTo(exactWindow) > 0 ||
-                merged.present > (1L << 53)) None
+              val maxAbs = merged.numMin.abs.max(merged.numMax.abs)
+              if (merged.present > (1L << 53) ||
+                maxAbs.multiply(
+                  java.math.BigDecimal.valueOf(merged.present))
+                  .compareTo(exactWindow) > 0) None
               else Some((DoubleType, java.lang.Double.valueOf(
                 merged.numSum.doubleValue / merged.present.toDouble)))
             }
@@ -984,13 +1011,18 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     * node owns correctness and the source only reduces row volume. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    // exact ⊆ supports (structurally tighter gates), so the reader
-    // evaluates every fully-pushed filter; nested attributes join the
-    // best-effort set through the dotted-path map (the reader resolves
-    // them to leaf values)
+    // the residual may drop a filter ONLY when the reader actually
+    // evaluates it — exact(full) alone is not enough, because the
+    // evaluated set is gated on zonePaths and the two schemas can
+    // disagree: a UNION-ROOT table materializes as struct<tag,u0,…>
+    // whose fields are atomic in `full` yet absent from the dotted-
+    // path map (eligibleRoutes only walks HStruct roots), so an
+    // exact-looking filter there would vanish from the residual
+    // while nothing evaluates it — silently unfiltered rows
     pushed = filters.filter(JsonDocFilters.supportsPath(_, zonePaths))
     offered = filters
-    filters.filterNot(JsonDocFilters.exact(_, full))
+    filters.filterNot(f => JsonDocFilters.exact(f, full) &&
+      JsonDocFilters.supportsPath(f, zonePaths))
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed

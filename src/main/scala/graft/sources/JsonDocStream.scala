@@ -232,14 +232,7 @@ private[sources] object JsonDocMicroBatchStream {
 
   private[sources] def readLog(fs: FileSystem, dir: Path,
                                id: Long): Seq[LogEntry] = {
-    val in = fs.open(logPath(dir, id))
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val text = graft.ops.Fs.readFullyUtf8(fs, logPath(dir, id))
     text.split("\n").iterator.filter(_.nonEmpty).map { line =>
       // path LAST: it may itself contain tabs
       val Array(len, mtime, path) = line.split("\t", 3)

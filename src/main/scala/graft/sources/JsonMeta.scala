@@ -131,14 +131,7 @@ object JsonMeta {
         case _ =>
           val refs =
             try {
-              val in = fs.open(mp)
-              val text = try {
-                val bos = new java.io.ByteArrayOutputStream()
-                val buf = new Array[Byte](8192)
-                var n = in.read(buf)
-                while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-                new String(bos.toByteArray, StandardCharsets.UTF_8)
-              } finally in.close()
+              val text = graft.ops.Fs.readFullyUtf8(fs, mp)
               val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
               val node = mapper.readTree(text)
               if (node.get("version").asInt() != Version) None

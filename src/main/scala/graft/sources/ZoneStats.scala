@@ -512,7 +512,30 @@ object ZoneSkip {
         routes("value") = routes.getOrElse("value", 0) + 1
         found("value") = (Nil, t)
     }
-    found.iterator.filter { case (p, _) => routes(p) == 1 }.toMap
+    // a decimal leaf whose intDigits+scale exceeds the engine's
+    // 38-digit cap ROUNDS on materialization (the encoder's
+    // changePrecision), so the raw-text values the zone walker
+    // recorded and the values the engine compares can differ — such
+    // a path must never be consulted: not for skipping, not for
+    // metadata answers, and not for the reader's early skip (a
+    // best-effort drop decided on the unrounded value would remove
+    // rows the engine's rounded comparison keeps, and the residual
+    // never sees a dropped row)
+    found.iterator.filter { case (p, (_, ht)) =>
+      routes(p) == 1 && !capRounded(ht)
+    }.toMap
+  }
+
+  /** Does materializing this leaf ROUND? — the decimal 38-digit cap
+    * (InferSchemaAgg.toSparkType: intDigits > 38 becomes DOUBLE,
+    * intDigits+scale > 38 loses scale). Raw-vs-materialized equality
+    * is the foundation of every zone proof, so capped leaves are
+    * excluded from the consultable-path map entirely. */
+  private def capRounded(ht: graft.types.HType): Boolean = ht match {
+    case graft.types.HNum(graft.types.NumKind.Decimal, i, s) =>
+      i.toLong + s.toLong >
+        org.apache.spark.sql.types.DecimalType.MAX_PRECISION
+    case _ => false
   }
 
   /** Top-level-only view (spec convenience + the pre-nested call
@@ -546,6 +569,19 @@ object ZoneSkip {
 
   private def colType(types: Map[String, DataType],
                       name: String): Option[DataType] = types.get(name)
+
+  /** Types whose every walker-sighted value provably materializes
+    * NON-null: numbers parse into the width their own values induced,
+    * plain strings pass through, booleans/structs/arrays materialize
+    * as themselves. Excluded: TIMESTAMP (the shape regex admits
+    * strings Timestamp.valueOf rejects — month 13 — which materialize
+    * SQL null) and BINARY (defensively, matching the COUNT(col)
+    * eligibility rule). The sightings==units null/not-null proofs are
+    * only sound under this predicate. */
+  private def sightedNeverNull(dt: DataType): Boolean = dt match {
+    case TimestampType | BinaryType => false
+    case _ => true
+  }
 
   private def prefixSuccessor(p: String): Option[String] =
     ZoneStats.prefixSuccessor(p)
@@ -639,8 +675,14 @@ object ZoneSkip {
         }
       }
       case IsNotNull(a) =>
-        // any column type: sightings == rows ⟹ every row non-null
-        counted && {
+        // sightings == rows ⟹ every row non-null — but ONLY for types
+        // whose sighted value always materializes: a timestamp-SHAPED
+        // string can still fail Timestamp.valueOf ("2024-13-01 …")
+        // and materialize SQL null, and binary stays gated with it
+        // defensively (the countOf() rule). Everything else — numbers
+        // always parse into their inferred width, plain strings pass
+        // through, bools/structs/arrays materialize as themselves.
+        counted && colType(schema, a).exists(sightedNeverNull) && {
           val z = fz(a); z.present + z.others == zone.units
         }
       case IsNull(a) =>
@@ -795,13 +837,18 @@ object ZoneSkip {
         // every row — blank lines included (they bump units but add
         // no sighting, correctly blocking the proof) — carries a
         // value. multiDoc/dupKey make sightings overcount; explicit
-        // nulls never count. Sound for ANY column type, like
-        // IsNotNull. Top-level `value` for object-rooted docs stays
-        // null and its zone stays empty, so this never misfires there.
-        !zone.multiDoc && !zone.dupKey && {
-          val z = fz(a)
-          z.present + z.others == zone.units
-        }
+        // nulls never count. Gated on types whose sighted value
+        // always MATERIALIZES non-null (a timestamp-shaped string can
+        // fail Timestamp.valueOf and materialize SQL null — skipping
+        // the file would drop the IS NULL row it actually holds; the
+        // IsNotNull all-match leg carries the same gate). Top-level
+        // `value` for object-rooted docs stays null and its zone
+        // stays empty, so this never misfires there.
+        !zone.multiDoc && !zone.dupKey &&
+          colType(schema, a).exists(sightedNeverNull) && {
+            val z = fz(a)
+            z.present + z.others == zone.units
+          }
       case StringStartsWith(a, rawP) =>
         // sanitize like any literal; a prefix containing an unpaired
         // surrogate cannot prove anything (its materialized matches

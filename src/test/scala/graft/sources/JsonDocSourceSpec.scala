@@ -38,6 +38,34 @@ class JsonDocSourceSpec extends SparkTestBase {
     spark.sql("DROP VIEW gj_sql_view")
   }
 
+  test("union-root filters stay in the residual and filter correctly") {
+    // a corpus mixing object and scalar roots infers a UNION root,
+    // which materializes as struct<tag,u0,…> — those fields are
+    // atomic in the table schema but ABSENT from the dotted-path map
+    // (eligibleRoutes walks struct roots only), so the reader never
+    // evaluates filters on them; the residual must therefore keep
+    // them (review r12: exact(full) alone dropped them — silently
+    // unfiltered rows)
+    val dir = new java.io.File(graft.TempRoots.path("jds_union_root"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "u.json"))
+    w.println("""{"id": 1}""")
+    w.println("""7""")
+    w.println("""{"id": 2}""")
+    w.close()
+    val df = spark.read.format("graftjson").load(dir.toString)
+    assert(df.schema.fieldNames.contains("tag"), df.schema.treeString)
+    assert(df.count() == 3L)
+    val tagged = df.where(col("tag") === 0.toByte)
+    assert(tagged.count() == 2L,
+      s"union-root tag filter returned ${tagged.count()} rows")
+    // the filter must survive as a Filter node (not silently dropped
+    // as 'fully pushed' when nothing evaluates it)
+    val hasFilter = tagged.queryExecution.executedPlan.toString
+      .contains("Filter")
+    assert(hasFilter, tagged.queryExecution.executedPlan.toString)
+  }
+
   test("schema is the CLI inference's materializable schema; rows equal Materialize") {
     import spark.implicits._
     val dir = writeFixture("graftjson_basic")

@@ -978,6 +978,91 @@ class ZoneMapSpec extends SparkTestBase {
       "IsNotNull(meta) should zone-skip the file where meta never appears")
   }
 
+  test("IsNull/IsNotNull sighting proofs exclude timestamp and binary columns") {
+    // a timestamp-SHAPED string can fail Timestamp.valueOf (month 13)
+    // and materialize SQL NULL — a sighting is NOT a non-null row, so
+    // neither the IsNull file skip nor the IsNotNull all-match proof
+    // may fire on timestamp (or, defensively, binary) columns
+    val types = ZoneSkip.topLevelPaths(schema) // has ts: timestamp
+    val tz = zone("ts" -> strZone("2024-01-01 00:00:00",
+      "2024-13-01 10:00:00"))
+    assert(!ZoneSkip.provablyEmpty(IsNull("ts"), tz, schema))
+    assert(!ZoneSkip.provablyAllMatch(IsNotNull("ts"), tz, types))
+    // plain-string sibling with identical sighting counts still proves
+    val sz = zone("s" -> strZone("a", "b"))
+    assert(ZoneSkip.provablyEmpty(IsNull("s"), sz, schema))
+    assert(ZoneSkip.provablyAllMatch(IsNotNull("s"), sz, types))
+    // the absence-based directions stay sound for ANY type: zero
+    // sightings ⟹ all null regardless of parseability
+    val none = zone()
+    assert(ZoneSkip.provablyEmpty(IsNotNull("ts"), none, schema))
+    assert(ZoneSkip.provablyAllMatch(IsNull("ts"), none, types))
+  }
+
+  test("filtered count declines on IS NOT NULL over unparseable-timestamp values") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_ts_notnull"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "t.json"))
+    w.println("""{"ts": "2024-01-01 00:00:00"}""")
+    w.println("""{"ts": "2024-13-01 10:00:00"}""") // shape-valid, month 13
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    assert(zdf.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // the engine materializes ONE null ts; a metadata answer from
+    // sighting counts would say 2 — the push must decline
+    val q = zdf.where(col("ts").isNotNull).groupBy().count()
+    assert(q.collect()(0).getLong(0) == 1L,
+      "IS NOT NULL count over an unparseable timestamp must be 1")
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedAggregation"),
+      q.queryExecution.executedPlan.toString)
+  }
+
+  test("avg pushdown declines when intermediate partials can leave the exact window") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_avg_window"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "v.json"))
+    w.println("""{"v": 9007199254740992}""") // 2^53
+    w.println("""{"v": 3}""")
+    w.println("""{"v": -9007199254740992}""")
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    // exact sum is 3 (inside 2^53) but the running double sum rounds
+    // mid-flight — the DIRECT Avg answer must decline (the engine's
+    // double accumulation is layout-dependent and irreproducible from
+    // metadata); Spark then applies its own authorized avg→sum/count
+    // decomposition, whose LONG-exact arithmetic gives the true mean
+    val q = zdf.agg(avg(col("v")))
+    assert(q.collect()(0).getDouble(0) == 1.0,
+      "decomposed avg must be the exact 3/3")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("avg_v"), s"direct AVG must have declined:\n$plan")
+    assert(plan.contains("sum_v") && plan.contains("countcol_v"),
+      s"expected the sum/count decomposition:\n$plan")
+  }
+
+  test("eligiblePaths drops decimal leaves the 38-digit cap would round") {
+    import graft.infer.JsonInfer
+    import graft.types.HType
+    def infer(docs: String*): HType =
+      docs.map(JsonInfer.inferDoc).reduce(HType.merge(_, _)).canonical
+    // a single literal past 38 digits classifies FLOAT (lexical
+    // buckets), but MERGE widening reaches capped decimals: max-int ⊔
+    // max-scale = decimal(30,9), precision 39 > 38 — the engine then
+    // materializes ROUNDED values, so no zone proof may consult it
+    val t = infer(s"""{"d": ${"9" * 30}, "ok": 2.75}""",
+      """{"d": 0.123456789, "ok": 1.5}""")
+    assert(t.toString.contains("decimal") ||
+      graft.infer.Materialize.toMaterializableSparkType(t)
+        .asInstanceOf[StructType]("d").dataType.isInstanceOf[DecimalType])
+    val paths = ZoneSkip.eligiblePaths(t)
+    assert(!paths.contains("d"),
+      s"capped decimal path must not be consultable: $paths")
+    assert(paths.get("ok").exists(_.isInstanceOf[DecimalType]))
+  }
+
   test("eligiblePaths: collision drop, depth cap, union stop, value wrap") {
     import graft.infer.JsonInfer
     import graft.types.HType
