@@ -196,6 +196,15 @@ private[graft] object JsonDocSource {
     * remedy for fingerprint-invisible rewrites). */
   def clearInferCache(): Unit = fileCache.synchronized { fileCache.clear() }
 
+  /** Insert a WRITE-TIME planning capture ([[graft.sources
+    * .JsonDocWrite]] refreshMeta commits): the writer folded the same
+    * walkers over the exact lines it rendered, so the entry is
+    * byte-identical to what a read-back walk would compute — the
+    * post-write meta refresh (and any same-JVM load) then plans the
+    * new files without re-reading them. */
+  private[sources] def seedFileCache(k: FileKey, r: FileResult): Unit =
+    fileCache.synchronized { fileCache.put(k, r) }
+
   private[sources] def inferCached(ps: Seq[String], whole: Boolean,
                                    refresh: Boolean = false,
                                    zonemaps: Boolean = false)

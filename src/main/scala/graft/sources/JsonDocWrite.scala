@@ -100,9 +100,16 @@ private[sources] object JsonDocWrite {
     f"epoch-$epochId%06d-s"
 }
 
-/** One staged NDJSON file (or none — empty partitions stage nothing). */
+/** One staged NDJSON file (or none — empty partitions stage nothing).
+  * `stats` carries the WRITE-TIME planning capture (refreshMeta
+  * writes): the task folded the golden inference walker and the zone
+  * walker over every line it rendered, so the commit can seed the
+  * per-file planning cache and refresh the durable meta with ZERO
+  * read-back — at ingest scale the post-write "walk the new files"
+  * pass is a full second read of everything just written. */
 private[sources] case class StagedNdjsonFile(name: String, partitionId: Int,
-                                             rows: Long)
+                                             rows: Long,
+                                             stats: Option[JsonDocSource.FileResult] = None)
     extends WriterCommitMessage
 
 private[sources] class JsonDocWriteBuilder(dir: String, whole: Boolean,
@@ -191,12 +198,13 @@ private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: S
       SparkSession.active.sparkContext.hadoopConfiguration)
     val s = schema
     val t = tag
+    val doRefreshMeta = refreshMeta
     new DataWriterFactory {
       override def createWriter(partitionId: Int,
                                 taskId: Long): DataWriter[InternalRow] =
         new NdjsonDataWriter(stage,
           JsonDocWrite.stagedBatchName(t, partitionId, taskId),
-          partitionId, s, conf.value)
+          partitionId, s, conf.value, capture = doRefreshMeta)
     }
   }
 
@@ -245,7 +253,21 @@ private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: S
     }
     // sweep losing attempts' staging (ours only — prefix-matched)
     sweepStage(fs, root, n => n.startsWith(s"write-$tag-"))
-    if (refreshMeta) JsonMeta.save(spark, dir)
+    if (refreshMeta) {
+      // seed the per-file planning cache with the tasks' write-time
+      // captures under the PUBLISHED fingerprint (rename preserves
+      // bytes; the stat is the authoritative (len, mtime) any later
+      // listing sees) — the save below then refreshes the durable
+      // meta without re-reading one byte of what was just written
+      staged.foreach(s => s.stats.foreach { r =>
+        val st = fs.getFileStatus(
+          new Path(root, JsonDocWrite.finalBatchName(tag, s.partitionId)))
+        JsonDocSource.seedFileCache(JsonDocSource.FileKey(
+          st.getPath.toString, st.getLen, st.getModificationTime,
+          whole = false), r)
+      })
+      JsonMeta.save(spark, dir)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -287,12 +309,13 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
       SparkSession.active.sparkContext.hadoopConfiguration)
     val s = schema
     val t = tag
+    val doRefreshMeta = refreshMeta
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new NdjsonDataWriter(stage,
           JsonDocWrite.stagedStreamName(t, epochId, partitionId, taskId),
-          partitionId, s, conf.value)
+          partitionId, s, conf.value, capture = doRefreshMeta)
     }
   }
 
@@ -317,6 +340,15 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
         val fin = new Path(root, JsonDocWrite.finalStreamName(epochId, s.partitionId))
         if (!fs.rename(sp, fin))
           throw new IllegalStateException(s"could not publish $fin")
+        // write-time planning capture → cache, under the published
+        // fingerprint (the batch-commit contract): the epoch's meta
+        // refresh below reads nothing back
+        s.stats.foreach { r =>
+          val st = fs.getFileStatus(fin)
+          JsonDocSource.seedFileCache(JsonDocSource.FileKey(
+            st.getPath.toString, st.getLen, st.getModificationTime,
+            whole = false), r)
+        }
       }
     // losing attempts of THIS epoch (same tag+epoch prefix, different
     // task id) are invisible staging debris — sweep
@@ -347,33 +379,70 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
   * Jackson generator straight into the (buffered) Hadoop output —
   * memory is the 64 KB buffer, independent of row count. The file is
   * created lazily on the first row, so empty partitions stage
-  * nothing. */
+  * nothing.
+  *
+  * With `capture=true` (refreshMeta writes) each row renders through a
+  * small per-row buffer instead, and the EXACT rendered line — the
+  * same string a read-back walk would decode, since rename publishes
+  * the staged bytes verbatim and Jackson escapes every embedded
+  * newline — folds through the golden inference walker
+  * ([[graft.infer.JsonInfer.inferDocCount]]) and the zone walker
+  * ([[ZoneStats.walkUnit]]), producing this file's planning entry
+  * byte-identically to the walk the next load would otherwise pay.
+  * Costs two in-memory parses per row; saves re-READING the whole
+  * write afterwards. */
 private[sources] class NdjsonDataWriter(stageDir: String, name: String,
                                         partitionId: Int, schema: StructType,
-                                        conf: Configuration)
+                                        conf: Configuration,
+                                        capture: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private var out: java.io.OutputStream = _
   private var gen: JsonGenerator = _
   private var rows = 0L
+  // write-time planning capture (only when capture) — exactly
+  // InferFileAgg.reduce + ZoneFileAgg.reduce over the rendered lines
+  private var lineBuf: java.io.ByteArrayOutputStream = _
+  private var ht: graft.types.HType = graft.types.HNull
+  private var docs = 0L
+  private var zone: ZoneStats.FileZone = ZoneStats.emptyFile
 
   private def ensureOpen(): Unit = if (out == null) {
     val p = new Path(stageDir, name)
     val fs = p.getFileSystem(conf)
     out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
-    gen = JsonRowText.newGenerator(out)
+    if (capture) {
+      lineBuf = new java.io.ByteArrayOutputStream(8192)
+      gen = JsonRowText.newGenerator(lineBuf)
+    } else gen = JsonRowText.newGenerator(out)
   }
 
   override def write(record: InternalRow): Unit = {
     ensureOpen()
     JsonRowText.writeObject(gen, record, schema)
-    gen.writeRaw('\n')
+    if (capture) {
+      gen.flush()
+      val bytes = lineBuf.toByteArray
+      lineBuf.reset()
+      // the fold sees the line WITHOUT its newline, exactly like the
+      // read-back line reader
+      val line = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val (t, n) = graft.infer.JsonInfer.inferDocCount(line)
+      ht = graft.types.HType.merge(ht, t)
+      docs += n
+      zone = ZoneStats.walkUnit(line, zone.copy(units = zone.units + 1))
+      out.write(bytes)
+      out.write('\n')
+    } else gen.writeRaw('\n')
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     if (out != null) { gen.flush(); out.close(); out = null }
-    StagedNdjsonFile(name, partitionId, rows)
+    StagedNdjsonFile(name, partitionId, rows,
+      if (capture && rows > 0)
+        Some(JsonDocSource.FileResult(ht, docs, Some(zone)))
+      else None)
   }
 
   override def abort(): Unit = {

@@ -280,6 +280,42 @@ class JsonDocWriteSpec extends SparkTestBase {
       "durable meta must serve planning without a walk")
   }
 
+  test("refreshMeta captures planning stats AT WRITE TIME: zero read-back, walk parity") {
+    import spark.implicits._
+    val dir = freshPath("jw_capture")
+    // exercise the capture across value classes the walkers care
+    // about: integrals, plain strings, decimals, nulls (omitted
+    // fields), and a nested struct
+    val df = Seq(
+      (1L, "alpha", Some(BigDecimal("2.75")), Some(("x", 5L))),
+      (2L, "beta", None, None),
+      (900L, "gamma", Some(BigDecimal("0.25")), Some(("y", 7L))))
+      .toDF("id", "s", "dec", "meta")
+    val walked0 = JsonDocSource.filesWalked.get
+    df.repartition(2).write.format("graftjson").mode("append")
+      .option("refreshMeta", "true").save(dir)
+    // the commit's meta refresh was fed by the writers' own folds —
+    // NOT a read-back walk of the files just written
+    assert(JsonDocSource.filesWalked.get == walked0,
+      "refreshMeta write must not re-read what it just wrote")
+    // parity: the captured entries must be byte-identical to a forced
+    // re-walk (same HType, doc counts, and zones per file)
+    val (fromCapture, _) = JsonDocSource.inferPerFile(
+      Seq(dir), whole = false, refresh = false, zonemaps = true)
+    assert(JsonDocSource.filesWalked.get == walked0) // still no walk
+    val (reWalked, _) = JsonDocSource.inferPerFile(
+      Seq(dir), whole = false, refresh = true, zonemaps = true)
+    assert(JsonDocSource.filesWalked.get > walked0) // the control DID walk
+    assert(fromCapture.toMap == reWalked.toMap,
+      s"write-time capture diverged from the walk:\n" +
+        s"  captured: $fromCapture\n  walked:   $reWalked")
+    // and a fresh-JVM-equivalent load still plans walk-free
+    JsonDocSource.clearInferCache()
+    val before = JsonDocSource.filesWalked.get
+    assert(readBack(dir).count() == 3)
+    assert(JsonDocSource.filesWalked.get == before)
+  }
+
   test("clusterBy write: engine-planned range exchange makes zones selective from birth") {
     import spark.implicits._
     val dir = freshPath("jw_cluster")
