@@ -950,7 +950,36 @@ object JsonQueries {
       |  CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents ORDER BY n_chars, doc_id LIMIT 20""".stripMargin
 
+  /** SQL-on-file over the DSv2 source (`FROM graftjson.`dir``, r12):
+    * Spark reserves the `format.`path`` syntax for V1 file formats, so
+    * [[graft.GraftExtensions]] injects a hint-batch resolution rule
+    * ([[graft.sources.ResolveGraftSqlOnFile]]) rewriting the two-part
+    * identifier into the SAME DSv2 relation `spark.read` builds — one
+    * read path, pushdown and zone maps included. This query runs the
+    * whole statement through `spark.sql`, so the driver gate exercises
+    * the parser → rule → relation chain end to end on real data. */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val out = q229Export(s, dir)
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM graftjson.`$out`
+         |WHERE n_chars > 100
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private val q239Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc
+      |FROM documents WHERE n_chars > 100
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_sql_on_file" -> (q239 _),
     "q238_topk_pruned" -> (q238 _),
     "q237_clustered_write" -> (q237 _),
     "q236_meta_groupby" -> (q236 _),
@@ -979,6 +1008,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q239_sql_on_file" -> q239Sql,
     "q238_topk_pruned" -> q238Sql,
     "q237_clustered_write" -> q237Sql,
     "q236_meta_groupby" -> q236Sql,
