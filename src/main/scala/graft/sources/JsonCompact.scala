@@ -225,6 +225,11 @@ object JsonCompact {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rolled = rollForward(spark, dir)
+    // pre-commit staging debris from a CRASHED write/recluster/compact
+    // (no marker exists — rollForward above consumed any committed one)
+    // would otherwise persist forever on a compact-only table; safe
+    // under the single-writer contract (review r12)
+    clearStaleStage(fs, root)
 
     val children = Option(fs.listStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
     def metaListing(goneNames: Set[String], addedNames: Seq[String])
@@ -272,13 +277,25 @@ object JsonCompact {
     val conf = new graft.ops.Fs.SerializableConf(
       spark.sparkContext.hadoopConfiguration)
     val stageStr = stage.toString
-    spark.sparkContext
+    // tasks stage under ATTEMPT-unique names (taskAttemptId suffix):
+    // a speculative or zombie attempt writing the same staged path as
+    // the winner would interleave bytes on non-atomic-create stores
+    // and the marker would commit a corrupt file (the JsonDocWrite
+    // taskId-in-the-name invariant; review r12). collect() returns
+    // the WINNING attempts' staged names; losers are unreferenced
+    // debris the next clearStaleStage sweeps.
+    val stagedNames: Map[String, String] = spark.sparkContext
       .parallelize(binSpecs, binSpecs.size)
-      .foreach { case (name, files) =>
-        mergeBin(conf.value, stageStr, name, files)
-      }
-    writeMarker(fs, root, Marker(binSpecs.map(s => s._1 -> s._1),
-      bins.flatten.map(_.getPath.getName)))
+      .map { case (name, files) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val staged = s"$name.a$attempt"
+        mergeBin(conf.value, stageStr, staged, files)
+        name -> staged
+      }.collect().toMap
+    writeMarker(fs, root,
+      Marker(binSpecs.map(s => stagedNames(s._1) -> s._1),
+        bins.flatten.map(_.getPath.getName)))
     rollForward(spark, dir)
     if (refreshMeta)
       JsonMeta.save(spark, dir, metaListing(
@@ -389,28 +406,35 @@ object JsonCompact {
       spark.sparkContext.hadoopConfiguration)
     val stageStr = stage.toString
     import spark.implicits._
+    // staged names are ATTEMPT-unique (same rule as compact's bin
+    // merges and JsonDocWrite): collect() returns the winning
+    // attempts' names; losers are unreferenced stage debris
     val written = arranged.as[String].rdd
       .mapPartitionsWithIndex { (pid, it) =>
         if (it.isEmpty) Iterator.empty
         else {
           val name = f"recluster-$run-$pid%05d.json"
-          val p = new Path(stageStr, name)
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val staged = s"$name.a$attempt"
+          val p = new Path(stageStr, staged)
           val ofs = p.getFileSystem(conf.value)
           val out = ofs.create(p, true)
           try it.foreach { l =>
             out.write(l.getBytes(StandardCharsets.UTF_8)); out.write('\n')
           } finally out.close()
-          Iterator.single(name)
+          Iterator.single((name, staged))
         }
-      }.collect().sorted
+      }.collect().sortBy(_._1)
     writeMarker(fs, root,
-      Marker(written.map(n => n -> n).toSeq, files.map(_.getPath.getName)))
+      Marker(written.map { case (n, s) => s -> n }.toSeq,
+        files.map(_.getPath.getName)))
     rollForward(spark, dir)
     if (refreshMeta)
       // the post-swap population from state in hand — same one-listing
       // contract as compact(refreshMeta=true)
       JsonMeta.save(spark, dir, postSwapListing(fs, root, children,
-        files.map(_.getPath.getName).toSet, written.toSeq))
+        files.map(_.getPath.getName).toSet, written.map(_._1).toSeq))
     ReclusterReport(files.size, written.length, rolled)
   }
 }

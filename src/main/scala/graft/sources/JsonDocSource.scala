@@ -1190,12 +1190,16 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val skippable = offered ++ runtimeOffered
-    val kept = fingerprint.filterNot { case (p, _, _) =>
-      zones.exists(zm =>
-        skippable.nonEmpty &&
-          zm.get(p).exists(z =>
-            !z.dirty &&
-              skippable.exists(ZoneSkip.provablyEmpty(_, z, zonePaths))))
+    val kept = fingerprint.filterNot { case (p, l, m) =>
+      // TopN/Limit exclusions shrink the scan exactly like zone skips
+      // do — counting excluded files would overstate the "exact" row
+      // count against this method's own never-overstate rule
+      topExcludedActive.get(p).contains((l, m)) ||
+        zones.exists(zm =>
+          skippable.nonEmpty &&
+            zm.get(p).exists(z =>
+              !z.dirty &&
+                skippable.exists(ZoneSkip.provablyEmpty(_, z, zonePaths))))
     }
     val bytes = kept.iterator.map(_._2).sum
     val fullW = full.defaultSize

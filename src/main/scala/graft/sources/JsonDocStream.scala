@@ -70,8 +70,12 @@ private[sources] class JsonDocMicroBatchStream(
   private val fs: FileSystem =
     logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** path -> length at admission; rebuilt from the logs at restart. */
-  private val seen = mutable.HashMap.empty[String, Long]
+  // path -> (length, mtime) at admission, rebuilt from the logs at
+  // restart: BOTH drive the append-only
+  // guard — a same-length in-place rewrite bumps mtime, and planned
+  // byte-range partitions from an old log would silently read the NEW
+  // bytes (rows lost + duplicated) if only length were checked
+  private val seen = mutable.HashMap.empty[String, (Long, Long)]
   private var latestId: Long = -1L
   // Trigger.AvailableNow target: drain exactly this path set, then idle
   private var availableNowTarget: Option[Set[String]] = None
@@ -79,7 +83,7 @@ private[sources] class JsonDocMicroBatchStream(
   locally {
     fs.mkdirs(logDir)
     logIds(fs, logDir).foreach { id =>
-      readLog(fs, logDir, id).foreach(e => seen(e.path) = e.len)
+      readLog(fs, logDir, id).foreach(e => seen(e.path) = (e.len, e.mtime))
       latestId = math.max(latestId, id)
     }
   }
@@ -111,12 +115,13 @@ private[sources] class JsonDocMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val listing = JsonDocSource.listFiles(spark, ps)
     val present = listing.iterator.map(_._1).toSet
-    listing.foreach { case (p, len, _) =>
-      seen.get(p).foreach { admitted =>
-        if (len != admitted) throw new IllegalStateException(
-          s"graftjson stream: consumed file changed length " +
-            s"($admitted -> $len): $p — tailed directories are " +
-            "append-only (write new files; never append in place)")
+    listing.foreach { case (p, len, mtime) =>
+      seen.get(p).foreach { case (aLen, aMtime) =>
+        if (len != aLen || mtime != aMtime) throw new IllegalStateException(
+          s"graftjson stream: consumed file changed " +
+            s"(len $aLen -> $len, mtime $aMtime -> $mtime): $p — tailed " +
+            "directories are append-only (write new files; never " +
+            "rewrite or append in place)")
       }
     }
     seen.keysIterator.find(!present(_)).foreach { p =>
@@ -132,7 +137,7 @@ private[sources] class JsonDocMicroBatchStream(
       val id = latestId + 1
       writeLog(fs, logDir, id,
         admitted.map { case (p, l, m) => LogEntry(p, l, m) })
-      admitted.foreach(f => seen(f._1) = f._2)
+      admitted.foreach(f => seen(f._1) = (f._2, f._3))
       latestId = id
       JsonStreamOffset(id)
     }

@@ -574,8 +574,15 @@ private[sources] object JsonRowText {
     case TimestampType =>
       // wall time in the JVM default zone: parseTimestamp reads the
       // rendered text via Timestamp.valueOf (default-zone wall time,
-      // zone suffix ignored), so this is the one rendering that
-      // round-trips the instant exactly, in any JVM zone
+      // zone suffix ignored — the reference pattern has no zone
+      // field), so this is the rendering that round-trips the
+      // instant whenever the wall time is unambiguous. DOCUMENTED
+      // DIVERGENCE: in a DST fall-back overlap hour the later
+      // offset's instants have NO wall-time text Timestamp.valueOf
+      // maps back to them (it resolves ambiguity to the earlier
+      // offset), so those rows read back one hour off under a
+      // DST-observing JVM zone; run pipelines in UTC (this engine's
+      // own sessions do) for exact round-trips
       val inst = org.apache.spark.sql.catalyst.util.DateTimeUtils
         .microsToInstant(g.getLong(i))
       gen.writeString(tsFmt.format(

@@ -303,12 +303,23 @@ object JsonMeta {
     writeManifest(fs, root, newRefs)
     if (compacting) {
       // unreferenced segments die AFTER the manifest commit — a
-      // reader on the old manifest degrades to a walk, never fails
+      // reader on the old manifest degrades to a walk, never fails.
+      // Swept from a DIRECTORY listing, not just the previous
+      // manifest's refs: a crash between writeSegment and
+      // writeManifest leaves an ORPHAN seg-*.bin no manifest ever
+      // referenced, which a refs-only sweep would keep forever
+      // (review r12); readers only open manifest-referenced segments,
+      // so deleting orphans is always safe
       val live = newRefs.map(_.name).toSet
-      refs.filterNot(r => live(r.name)).foreach { r =>
-        fs.delete(new Path(metaDir(root), r.name), false)
+      val onDisk =
+        try Option(fs.listStatus(metaDir(root))).getOrElse(Array.empty)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("seg-"))
+          .map(_.getPath.getName).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      onDisk.filterNot(live).foreach { name =>
+        fs.delete(new Path(metaDir(root), name), false)
         segments.synchronized {
-          segments.remove(new Path(metaDir(root), r.name).toString)
+          segments.remove(new Path(metaDir(root), name).toString)
         }
       }
     }

@@ -223,12 +223,28 @@ object EventStreams {
     val parts = fs.listStatus(tmp)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
+    // sweep the epoch's WHOLE namespace first, not just the names
+    // about to be written: a replayed epoch can land FEWER part files
+    // than its crashed first attempt (different upstream partitioning,
+    // an empty partition), and a stale epoch-NNNNNN-KKK.json would
+    // otherwise survive holding rows the rewritten files also carry —
+    // duplicates. (The native streaming sink sweeps its prefix for
+    // exactly this reason; review r12.)
+    val prefix = f"epoch-$batchId%06d"
+    try
+      Option(fs.listStatus(root)).getOrElse(Array.empty)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && (n == s"$prefix.json" ||
+            (n.startsWith(s"$prefix-") && n.endsWith(".json")))
+        }
+        .foreach(st => fs.delete(st.getPath, false))
+    catch { case _: java.io.FileNotFoundException => }
     parts.zipWithIndex.foreach { case (st, k) =>
       val name =
         if (nFiles == 1) f"epoch-$batchId%06d.json"
         else f"epoch-$batchId%06d-$k%03d.json"
       val dst = new org.apache.hadoop.fs.Path(root, name)
-      if (fs.exists(dst)) fs.delete(dst, false) // replayed epoch
       if (!fs.rename(st.getPath, dst))
         throw new IllegalStateException(s"could not publish $dst")
     }

@@ -277,6 +277,21 @@ class JsonCompactSpec extends SparkTestBase {
     assert(rows(dir) == Seq((1L: Any, "x": Any)))
   }
 
+  test("compact: stale pre-commit staging debris is cleared too") {
+    val dir = mkDir("jc_compact_stale")
+    put(dir, "a.json", """{"id": 1, "s": "x"}""" + "\n")
+    val stage = new java.io.File(dir, "_compaction"); stage.mkdirs()
+    // a crashed batch write's staged file (its tag's sweep never ran):
+    // compact() — the primary maintenance entry — must remove it, or
+    // a compact-only table leaks the crashed job's whole output
+    put(stage, "write-deadbeef-p00000-t1.json",
+      """{"id": 666, "s": "ghost"}""" + "\n")
+    JsonCompact.compact(spark, dir.toString)
+    assert(!new java.io.File(stage, "write-deadbeef-p00000-t1.json").exists,
+      "compact() must clear pre-commit staging debris")
+    assert(rows(dir) == Seq((1L: Any, "x": Any)))
+  }
+
   test("recluster(refreshMeta=true): a fresh planning pass is walk-free") {
     val dir = mkDir("jc_recluster_meta")
     (0 until 3).foreach { f =>

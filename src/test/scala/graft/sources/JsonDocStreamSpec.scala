@@ -169,6 +169,32 @@ class JsonDocStreamSpec extends SparkTestBase {
     assert(e2.getMessage.contains("disappeared"))
   }
 
+  test("append-only guard: a SAME-LENGTH in-place rewrite fails loudly via mtime") {
+    val dir = mkDir("gjs_rewrite")
+    val line = """{"id": 1, "s": "aa"}""" + "\n"
+    put(dir, "a.json", line)
+    val ckpt = graft.TempRoots.path("gjs_rewrite_ckpt")
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val sch = spark.read.format("graftjson").load(dir.toString).schema
+    val s = new JsonDocMicroBatchStream(spark, ckpt, Seq(dir.toString),
+      whole = false, t, sch, sch, Array.empty, None, None, None)
+    val all = org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    s.latestOffset(s.initialOffset(), all)
+    // rewrite with DIFFERENT content of IDENTICAL byte length — the
+    // length check alone would pass and planned partitions from the
+    // old log would silently read the new bytes; mtime must catch it
+    val swapped = """{"id": 7, "s": "zz"}""" + "\n"
+    assert(swapped.length == line.length)
+    put(dir, "a.json", swapped)
+    val f = new java.io.File(dir, "a.json")
+    assert(f.setLastModified(f.lastModified() + 5000),
+      "could not bump mtime for the rewrite simulation")
+    val e = intercept[IllegalStateException] {
+      s.latestOffset(s.initialOffset(), all)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("whole-mode streaming: one row per arriving file") {
     val dir = mkDir("gjs_whole")
     put(dir, "a.json", """{"id": 1, "tags": ["p", "q"]}""")

@@ -184,6 +184,30 @@ class JsonMetaSpec extends SparkTestBase {
       s"unreferenced segments must be deleted: ${segFiles.length} files vs ${repC.segments} refs")
   }
 
+  test("an orphan segment (crash between segment write and manifest commit) is swept at compaction") {
+    val dir = mkTable("jm_orphan", 2)
+    JsonMeta.save(spark, dir.toString)
+    val metaDir = new java.io.File(dir, "_graftjson_meta")
+    // a crashed save's segment no manifest ever referenced — a
+    // refs-only sweep would keep it forever
+    val orphan = new java.io.File(metaDir, "seg-orphan00000.bin")
+    val w = new java.io.FileOutputStream(orphan)
+    w.write(Array.fill[Byte](64)(7)); w.close()
+    // drive saves to the compaction point
+    (1 to JsonMeta.MaxSegments + 1).foreach { i =>
+      val pw = new java.io.PrintWriter(new java.io.File(dir, f"o$i%02d.json"))
+      pw.println(s"""{"id": ${3000 + i}, "src": "so"}"""); pw.close()
+      JsonMeta.save(spark, dir.toString)
+    }
+    assert(!orphan.exists, "compaction must sweep orphan segments")
+    // planning still healthy after the sweep
+    freshJvm()
+    val (cnt, w0) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(cnt == (2 + JsonMeta.MaxSegments + 1).toLong && w0 == 0L)
+  }
+
   test("deserialization allowlist: a planted meta of a disallowed class is rejected, not executed") {
     val dir = mkTable("jm_hostile", 2)
     JsonMeta.save(spark, dir.toString)

@@ -72,6 +72,27 @@ class JsonIngestSpec extends SparkTestBase {
       .exists(_._1.contains("_ingest_tmp")))
   }
 
+  test("a replayed epoch with FEWER part files sweeps its stale siblings") {
+    import spark.implicits._
+    val dir = graft.TempRoots.path("json_ingest_shrink")
+    new java.io.File(dir).mkdirs()
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    // first attempt lands 3 part files for epoch 4
+    EventStreams.ingestEpoch(batch, dir, batchId = 4L, nFiles = 3)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("epoch-000004")) == 3)
+    // the replay (different upstream partitioning after a restart)
+    // lands ONE file — the stale -001/-002 siblings must go, or the
+    // table double-counts their rows
+    EventStreams.ingestEpoch(batch, dir, batchId = 4L, nFiles = 1)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("epoch-000004")) == 1)
+    val rows = spark.read.format("graftjson").load(dir)
+      .select(col("id")).collect().map(_.getAs[Number](0).longValue).sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L),
+      s"stale epoch siblings duplicated rows: ${rows.mkString(",")}")
+  }
+
   test("compaction folds accreted epochs; rows and meta survive") {
     import spark.implicits._
     val dir = graft.TempRoots.path("json_ingest_compact")
