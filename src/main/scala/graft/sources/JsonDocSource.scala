@@ -297,7 +297,9 @@ private[graft] object JsonDocSource {
                 case None => pf(f) = (t, n)
               }
               z.get(f) match {
-                case Some(z0) => z(f) = z0.merge(fz)
+                // defensive dual-rendering merge: re-trim so the
+                // per-file set budget holds after the union too
+                case Some(z0) => z(f) = ZoneStats.trimFile(z0.merge(fz))
                 case None => z(f) = fz
               }
             }

@@ -441,7 +441,10 @@ private[sources] class NdjsonDataWriter(stageDir: String, name: String,
     if (out != null) { gen.flush(); out.close(); out = null }
     StagedNdjsonFile(name, partitionId, rows,
       if (capture && rows > 0)
-        Some(JsonDocSource.FileResult(ht, docs, Some(zone)))
+        // same finish-time set-budget trim as ZoneFileAgg — the
+        // capture must stay byte-identical to a read-back walk
+        Some(JsonDocSource.FileResult(ht, docs,
+          Some(ZoneStats.trimFile(zone))))
       else None)
   }
 

@@ -223,6 +223,51 @@ object ZoneStats {
     Integer.compare(a.length - i, b.length - j)
   }
 
+  /** Total bytes of exact distinct-set state one FILE's zone may
+    * retain across all its paths. Sets are already capped per path
+    * (≤ [[SetCutoff]] values of ≤ [[SetMaxStrLen]] chars), but a
+    * map-shaped file can hold [[MaxPathsPerFile]] such paths — ~8 MB
+    * of driver-held (and durably persisted) state per file in the
+    * pathological case, multiplied by the file count the feature
+    * exists to scale to. [[trimFile]] drops whole sets (→ null, the
+    * established overflow rendering every proof already declines on),
+    * largest first, until the file fits the budget; min/max bounds
+    * (512 bytes/path worst) always survive, so range pruning never
+    * degrades. 256 KB keeps every realistic categorical profile
+    * (dozens of label-like paths) intact. */
+  private[sources] val SetBytesPerFileBudget: Long = 256L << 10
+
+  /** Deterministic set-budget enforcement for one FINISHED file zone —
+    * applied by [[ZoneFileAgg.finish]] AND the write-time capture
+    * ([[graft.sources.JsonDocWrite]]), which must stay byte-identical:
+    * the decision depends only on the final folded state (path names
+    * and set contents), never on fold order. */
+  private[sources] def trimFile(z: FileZone): FileZone = {
+    def setBytes(f: FieldZone): Long = {
+      val s = if (f.strSet == null) 0L
+        else f.strSet.iterator.map(_.length.toLong).sum
+      val n = if (f.numSet == null) 0L
+        else f.numSet.iterator.map(_.toString.length.toLong).sum
+      s + n
+    }
+    val total = z.fields.valuesIterator.map(setBytes).sum
+    if (total <= SetBytesPerFileBudget) return z
+    // drop the largest sets first (path name as the unique tiebreak)
+    val byCost = z.fields.toSeq
+      .map { case (p, f) => (p, f, setBytes(f)) }
+      .filter(_._3 > 0)
+      .sortBy { case (p, _, b) => (-b, p) }
+    var over = total - SetBytesPerFileBudget
+    var fields = z.fields
+    val it = byCost.iterator
+    while (over > 0 && it.hasNext) {
+      val (p, f, b) = it.next()
+      fields = fields.updated(p, f.copy(numSet = null, strSet = null))
+      over -= b
+    }
+    z.copy(fields = fields)
+  }
+
   /** Most distinct paths one file's zone will hold — map-shaped JSON
     * (objects used as dictionaries: one key per uuid/user/day) would
     * otherwise make zone state per file UNBOUNDED, and nested
@@ -437,7 +482,10 @@ class ZoneFileAgg
   def reduce(b: FileZone, in: (String, String)): FileZone =
     walkUnit(in._2, b.copy(units = b.units + 1))
   def merge(a: FileZone, b: FileZone): FileZone = a.merge(b)
-  def finish(r: FileZone): FileZone = r
+  // the per-file set-byte budget applies to the FINISHED zone (the
+  // decision depends only on final state, so partial-order never
+  // changes it); the write-time capture applies the same trim
+  def finish(r: FileZone): FileZone = trimFile(r)
   def bufferEncoder: Encoder[FileZone] = Encoders.javaSerialization[FileZone]
   def outputEncoder: Encoder[FileZone] = Encoders.javaSerialization[FileZone]
 }

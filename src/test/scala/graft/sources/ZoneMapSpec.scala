@@ -1043,6 +1043,40 @@ class ZoneMapSpec extends SparkTestBase {
       s"expected the sum/count decomposition:\n$plan")
   }
 
+  test("per-file set-byte budget: largest sets drop to null, bounds survive, deterministic") {
+    // many paths, each with a full-width distinct set — a map-shaped
+    // file's pathological zone state
+    val wide = "w" * (ZoneStats.SetMaxStrLen - 8) // inside the per-value cap
+    val fat = (1 to 3000).map { i =>
+      f"p$i%04d" -> ZoneStats.emptyField
+        .addStr(wide + f"$i%04d".takeRight(4))
+        .addStr(wide + f"${i + 7}%04d".takeRight(4) + "z")
+    }.toMap
+    val z = ZoneStats.FileZone(3000L, 3000L, dirty = false,
+      multiDoc = false, dupKey = false, overflow = false, fat)
+    val trimmed = ZoneStats.trimFile(z)
+    def setBytes(f: ZoneStats.FieldZone): Long =
+      (if (f.strSet == null) 0L else f.strSet.iterator.map(_.length.toLong).sum) +
+        (if (f.numSet == null) 0L else f.numSet.iterator.map(_.toString.length.toLong).sum)
+    val total = trimmed.fields.valuesIterator.map(setBytes).sum
+    assert(total <= ZoneStats.SetBytesPerFileBudget,
+      s"budget not enforced: $total bytes retained")
+    // bounds survive on every path — range pruning never degrades
+    assert(trimmed.fields.valuesIterator.forall(f =>
+      f.strMin != null && f.strMax != null))
+    // dropped sets read as the established overflow rendering (null)
+    assert(trimmed.fields.valuesIterator.exists(_.strSet == null))
+    assert(trimmed.fields.valuesIterator.exists(_.strSet != null),
+      "the budget should keep sets it can afford")
+    // deterministic: same input → same output
+    assert(ZoneStats.trimFile(z) == trimmed)
+    // a small zone passes through untouched (reference equality even)
+    val small = ZoneStats.FileZone(1L, 1L, dirty = false, multiDoc = false,
+      dupKey = false, overflow = false,
+      Map("a" -> ZoneStats.emptyField.addStr("x")))
+    assert(ZoneStats.trimFile(small) eq small)
+  }
+
   test("eligiblePaths drops decimal leaves the 38-digit cap would round") {
     import graft.infer.JsonInfer
     import graft.types.HType
