@@ -978,7 +978,33 @@ object JsonQueries {
       |FROM documents WHERE n_chars > 100
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Filtered TopN file pruning (r12): `WHERE n_chars BETWEEN 100 AND
+    * 500 ORDER BY n_chars LIMIT 15` over the n_chars-CLUSTERED table —
+    * the pushed exact conjunction decides files (all-match inside the
+    * band, provably-empty outside, undecided straddles), ALL-MATCH
+    * files feed the top-k guarantee, and bound-based exclusion prunes
+    * every file provably past the threshold — including band-interior
+    * and straddle files the filter alone could never skip. The engine
+    * keeps its TakeOrderedAndProject, so correctness never leaves it.
+    * Unit pins in ZoneMapSpec. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val out = q237Export(s, dir)
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .where(col("n_chars") >= 100 && col("n_chars") <= 500)
+      .orderBy(col("n_chars"), col("doc_id"))
+      .limit(15)
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+        col("n_chars").cast("bigint").as("n_chars"))
+  }
+
+  private val q240Sql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents WHERE n_chars >= 100 AND n_chars <= 500
+      |ORDER BY n_chars, doc_id LIMIT 15""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_filtered_topk" -> (q240 _),
     "q239_sql_on_file" -> (q239 _),
     "q238_topk_pruned" -> (q238 _),
     "q237_clustered_write" -> (q237 _),
@@ -1008,6 +1034,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q240_filtered_topk" -> q240Sql,
     "q239_sql_on_file" -> q239Sql,
     "q238_topk_pruned" -> q238Sql,
     "q237_clustered_write" -> q237Sql,

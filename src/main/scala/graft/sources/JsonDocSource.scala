@@ -574,11 +574,14 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     * only a minimal listing-prefix of files whose exact zone unit
     * counts cover the limit — `LIMIT 10` over a million-file corpus
     * reads one file. Partial push: the engine keeps its own
-    * GlobalLimit over our rows. Declines under any filter (the
-    * surviving-row count per file is unknown) or un-zoned file. */
+    * GlobalLimit over our rows. A FULLY-pushed exact conjunction
+    * participates like pushTopN's: only provably all-match files
+    * advance the surviving-row guarantee (undecided prefix files are
+    * kept but count nothing); declines when the guarantee cannot be
+    * met or a file is un-zoned. */
   override def pushLimit(limit: Int): Boolean = {
-    if (limit <= 0 || zones.isEmpty ||
-      pushed.nonEmpty || offered.nonEmpty) return false
+    if (limit <= 0 || zones.isEmpty) return false
+    if (offered.exists(f => !pushed.contains(f))) return false
     val current = freshListing
     if (current != fingerprint) return false
     val zm = zones.get
@@ -587,7 +590,15 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     var acc = 0L
     val keep = withZones.takeWhile { case (_, _, _, z) =>
       val need = acc < limit
-      acc += z.get.units
+      val zz = z.get
+      // surviving-row guarantee: exact units for all-match files,
+      // nothing for undecided ones (kept in the prefix, never counted)
+      acc +=
+        (if (pushed.isEmpty) zz.units
+        else if (!zz.dirty &&
+          pushed.forall(ZoneSkip.provablyAllMatch(_, zz, zonePaths)))
+          zz.units
+        else 0L)
       need
     }.map(_._1).toSet
     if (acc < limit || keep.size == withZones.size) return false
@@ -610,15 +621,29 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     * looser near bound only weakens exclusion — but multiDoc/dupKey
     * inflate `present`, so those files (and dirty ones, whose bounds
     * may MISS values) are never excluded and never guarantee.
-    * Partial push: the engine re-sorts and limits our rows, so the
-    * only obligation is that excluded rows provably rank past k. */
+    * A FULLY-pushed exact filter conjunction participates (r12):
+    * only provably ALL-MATCH files feed the guarantee (their whole
+    * counts survive), while exclusion keeps working for every clean
+    * file because bounds cover all rows, surviving ones included;
+    * runtime (join-derived) filters still cancel the exclusion at the
+    * scan. Partial push: the engine re-sorts and limits our rows, so
+    * the only obligation is that excluded rows provably rank past
+    * k among the surviving rows. */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
-    if (limit <= 0 || orders.isEmpty || zones.isEmpty ||
-      pushed.nonEmpty || offered.nonEmpty) return false
+    if (limit <= 0 || orders.isEmpty || zones.isEmpty) return false
+    // filters participate ONLY as a fully-pushed exact conjunction
+    // (no residual — Spark does not offer TopN across a residual
+    // Filter anyway; guard regardless): an ALL-MATCH file's rows all
+    // survive, so its counts feed the guarantee unchanged, and
+    // bound-based exclusion stays sound for EVERY file because a
+    // file's bounds cover all its rows, surviving ones included —
+    // `WHERE lang = 'en' ORDER BY key LIMIT k` prunes like the
+    // unfiltered probe over the lang-matching files
+    if (offered.exists(f => !pushed.contains(f))) return false
     val current = freshListing
     if (current != fingerprint) return false
     val so = orders.head
@@ -644,34 +669,44 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // in the "ascending effective domain"
     def cmpDir(a: Any, b: Any): Int = if (asc) cmpV(a, b) else -cmpV(a, b)
     val zm = zones.get
-    // (path, len, mtime, units, nulls, present, near, far, clean)
+    // (path, len, mtime, units, nulls, present, near, far, clean,
+    //  allMatch — every row provably survives the pushed conjunction)
     case class F(path: String, len: Long, mtime: Long, units: Long,
                  nulls: Long, present: Long, near: Any, far: Any,
-                 clean: Boolean)
+                 clean: Boolean, allMatch: Boolean)
     val files = current.map { case (p, l, m) =>
       zm.get(p) match {
-        case None => F(p, l, m, 0L, 0L, 0L, null, null, clean = false)
+        case None => F(p, l, m, 0L, 0L, 0L, null, null, clean = false,
+          allMatch = false)
         case Some(z) =>
           val fz = z.fields.get(name)
           val statsSound = !z.dirty && !z.multiDoc && !z.dupKey &&
             !(z.overflow && fz.isEmpty) && fz.forall(_.others == 0)
+          // dirty walks may have MISSED values — never all-match
+          val matched = pushed.isEmpty || (!z.dirty &&
+            pushed.forall(ZoneSkip.provablyAllMatch(_, z, zonePaths)))
           val present = fz.fold(0L)(_.present)
           val bounds = fz.fold[(Any, Any)]((null, null))(f =>
             if (isStr) (f.strMin, f.strMax) else (f.numMin, f.numMax))
           F(p, l, m, z.units, z.units - present, present,
             near = if (asc) bounds._1 else bounds._2,
             far = if (asc) bounds._2 else bounds._1,
-            clean = statsSound)
+            clean = statsSound, allMatch = matched)
       }
     }
-    // smallest threshold (a clean file's far bound) whose guaranteed
-    // row count reaches the limit; None = nulls alone cover it
+    // smallest threshold (a clean ALL-MATCH file's far bound) whose
+    // guaranteed surviving-row count reaches the limit; None = nulls
+    // alone cover it. Undecided files guarantee nothing (their
+    // surviving counts are unknown) but still exclude by bounds.
     val nullGuarantee =
-      if (nullsFirst) files.filter(_.clean).map(_.nulls).sum else 0L
+      if (nullsFirst)
+        files.filter(f => f.clean && f.allMatch).map(_.nulls).sum
+      else 0L
     val threshold: Option[Any] =
       if (nullGuarantee >= limit) None
       else {
-        val cand = files.filter(f => f.clean && f.present > 0)
+        val cand = files
+          .filter(f => f.clean && f.allMatch && f.present > 0)
           .sortWith((a, b) => cmpDir(a.far, b.far) < 0)
         var acc = nullGuarantee
         var t: Option[Any] = null

@@ -791,6 +791,47 @@ class ZoneMapSpec extends SparkTestBase {
     assert(f.collect().map(_.getAs[Number](0).intValue).toSeq == (2 to 6))
   }
 
+  test("filtered TopN/Limit: all-match files guarantee, bounds exclude, undecided never guarantee") {
+    val dir = new java.io.File(graft.TempRoots.path("zm_topn_filtered"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    // clustered id ranges; src constant per file except the straddle
+    put("f1.json", (1 to 10).map(i => s"""{"id": $i, "src": "a"}"""): _*)
+    put("f2.json", (11 to 20).map(i => s"""{"id": $i, "src": "b"}"""): _*)
+    put("f3.json", (21 to 30).map(i => s"""{"id": $i, "src": "b"}"""): _*)
+    def zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // WHERE src='b' ORDER BY id LIMIT 5: f1 is provably empty
+    // (zone-skipped), f2 all-match guarantees 10 >= 5 rows at t=20,
+    // f3 (min 21 > 20) is TopN-excluded
+    val q = zdf.where(col("src") === "b").orderBy(col("id")).limit(5)
+    assert(plan(q).contains("TopNExcluded: 1 files"), plan(q))
+    assert(q.collect().map(_.getAs[Number](0).intValue).toSeq == (11 to 15))
+    // an UNDECIDED straddle file (both srcs): guarantees nothing, but
+    // its bounds keep it in (near 2 <= t) and its surviving row wins
+    put("g.json", """{"id": 2, "src": "b"}""", """{"id": 5, "src": "a"}""")
+    val q2 = zdf.where(col("src") === "b").orderBy(col("id")).limit(5)
+    assert(plan(q2).contains("TopNExcluded: 1 files"), plan(q2))
+    assert(q2.collect().map(_.getAs[Number](0).intValue).toSeq ==
+      Seq(2, 11, 12, 13, 14))
+    new java.io.File(dir, "g.json").delete()
+    // filtered bare LIMIT: the prefix counts only all-match units —
+    // f1 contributes nothing, f2's 10 rows cover the limit, f3 drops
+    val l = zdf.where(col("src") === "b").limit(5)
+    assert(plan(l).contains("TopNExcluded"), plan(l))
+    assert(l.count() == 5L)
+    // guarantee unreachable (filter matches no all-match file rows
+    // beyond the limit) -> decline, correctness via the exact reader
+    val hard = zdf.where(col("src") === "a").orderBy(col("id")).limit(50)
+    assert(!plan(hard).contains("TopNExcluded"), plan(hard))
+    assert(hard.count() == 10L)
+  }
+
   test("q238 plans a file-pruned top-k on the clustered table") {
     val df = graft.queries.JsonQueries.queries("q238_topk_pruned")(
       spark, "/root/testdata/sf0.001")
@@ -800,6 +841,17 @@ class ZoneMapSpec extends SparkTestBase {
     assert(plan.contains("TopNExcluded"), plan)
     assert(plan.contains("TakeOrderedAndProject"),
       s"the engine must keep its own top-k over the surviving files:\n$plan")
+  }
+
+  test("q240 plans a FILTERED file-pruned top-k on real data") {
+    val df = graft.queries.JsonQueries.queries("q240_filtered_topk")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 15)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopNExcluded"),
+      s"the fully-pushed band filter must not cancel TopN pruning:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("q235 plans both sides as metadata-answered aggregates on real data") {
