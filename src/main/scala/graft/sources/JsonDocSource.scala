@@ -1486,6 +1486,19 @@ private object JsonDocFilters {
     case (a: String, b: String) =>
       Some(ZoneStats.cpCompare(ZoneStats.utf8Sanitize(a),
         ZoneStats.utf8Sanitize(b)))
+    // float/double must compare the way the ENGINE does (nan-safe:
+    // NaN == NaN, NaN greater than everything, and -0.0 == 0.0).
+    // Boxed compareTo orders -0.0 BELOW 0.0, so an early skip decided
+    // on it would drop rows the engine's `-0.0 = 0.0 → TRUE` keeps —
+    // and the residual never sees a dropped row. Adding +0.0
+    // canonicalizes the zero sign (NaN stays NaN) before the
+    // primitive compare, whose NaN ordering already matches Spark's.
+    case (a: java.lang.Double, b: java.lang.Double) =>
+      Some(java.lang.Double.compare(
+        a.doubleValue + 0.0d, b.doubleValue + 0.0d))
+    case (a: java.lang.Float, b: java.lang.Float) =>
+      Some(java.lang.Float.compare(
+        a.floatValue + 0.0f, b.floatValue + 0.0f))
     case (a: Comparable[_], b) if a.getClass == b.getClass =>
       Some(a.asInstanceOf[Comparable[Any]].compareTo(b))
     case _ => None

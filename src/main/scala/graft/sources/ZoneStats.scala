@@ -299,14 +299,36 @@ object ZoneStats {
                             overflow: Boolean,
                             fields: Map[String, FieldZone])
       extends Serializable {
-    def merge(o: FileZone): FileZone = FileZone(
-      docs + o.docs, units + o.units, dirty || o.dirty,
-      multiDoc || o.multiDoc, dupKey || o.dupKey,
-      overflow || o.overflow,
-      (fields.keySet ++ o.fields.keySet).iterator.map { k =>
-        k -> fields.getOrElse(k, emptyField)
-          .merge(o.fields.getOrElse(k, emptyField))
-      }.toMap)
+    /** Merge two PARTIAL buffers of one file. The proof system's
+      * invariant is "a RECORDED path's stats are complete" — but a
+      * path one side REFUSED at its [[MaxPathsPerFile]] cap (absent
+      * there while that side overflowed) while the other side
+      * recorded it would merge into a CONTAINED path with
+      * one-side-only bounds/sets/sums, which every proof would trust
+      * (review r12: a multi-split file could then zone-skip rows the
+      * missing split holds). Such paths are DROPPED entirely: absence
+      * + the overflow flag is the established "proves nothing"
+      * rendering. The union is also re-capped (two no-overflow
+      * buffers can union past the per-file cap), keeping the
+      * lexicographically-first paths — deterministic given the two
+      * inputs, and any sound subset is a valid zone. */
+    def merge(o: FileZone): FileZone = {
+      val keys = fields.keySet ++ o.fields.keySet
+      val complete = keys.filter(k =>
+        (fields.contains(k) || !overflow) &&
+          (o.fields.contains(k) || !o.overflow))
+      val kept =
+        if (complete.size <= MaxPathsPerFile) complete
+        else complete.toSeq.sorted.take(MaxPathsPerFile).toSet
+      FileZone(
+        docs + o.docs, units + o.units, dirty || o.dirty,
+        multiDoc || o.multiDoc, dupKey || o.dupKey,
+        overflow || o.overflow || kept.size < keys.size,
+        kept.iterator.map { k =>
+          k -> fields.getOrElse(k, emptyField)
+            .merge(o.fields.getOrElse(k, emptyField))
+        }.toMap)
+    }
   }
   private[sources] val emptyFile =
     FileZone(0L, 0L, dirty = false, multiDoc = false, dupKey = false,
@@ -359,6 +381,14 @@ object ZoneStats {
           var docs = z.docs + 1
           var dup = z.dupKey
           var over = z.overflow
+          var numBad = false
+          // a numeric literal BigDecimal cannot hold (exponent beyond
+          // int range: 1e2147483648 — valid JSON the plain load reads
+          // as an infinite double) must not kill the planning job;
+          // the file folds as DIRTY (never skipped, never answers)
+          def exactNum(text: String): Option[JBigDecimal] =
+            try Some(new JBigDecimal(text))
+            catch { case _: NumberFormatException => numBad = true; None }
           // record a sighting at `path`, refusing NEW paths past the
           // per-file cap (the overflow flag then blocks absence-based
           // proofs — see MaxPathsPerFile); existing paths always fold
@@ -381,7 +411,8 @@ object ZoneStats {
               p.nextToken() match {
                 case JsonToken.VALUE_NUMBER_INT |
                      JsonToken.VALUE_NUMBER_FLOAT =>
-                  record(path, _.addNum(new JBigDecimal(p.getText)))
+                  exactNum(p.getText).foreach(bd =>
+                    record(path, _.addNum(bd)))
                 case JsonToken.VALUE_STRING =>
                   val s = p.getText
                   record(path, _.addStr(s))
@@ -407,7 +438,8 @@ object ZoneStats {
             case JsonToken.START_OBJECT =>
               foldObject("", 0)
             case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
-              record("value", _.addNum(new JBigDecimal(p.getText)))
+              exactNum(p.getText).foreach(bd =>
+                record("value", _.addNum(bd)))
             case JsonToken.VALUE_STRING =>
               val s = p.getText
               record("value", _.addStr(s))
@@ -420,7 +452,7 @@ object ZoneStats {
           }
           // docs beyond the first within THIS unit → concatenated
           // line: bounds exceed what the reader materializes
-          z = FileZone(docs, z.units, z.dirty,
+          z = FileZone(docs, z.units, z.dirty || numBad,
             z.multiDoc || docs - into.docs > 1, dup, over, fields)
           tok = p.nextToken()
         }
@@ -586,8 +618,14 @@ object ZoneSkip {
     case _ => false
   }
 
-  /** Top-level-only view (spec convenience + the pre-nested call
-    * shape): each field of the schema by its own name. */
+  /** Top-level-only view (SPEC-ONLY convenience; the pre-nested call
+    * shape): each field of the schema by its own name. Production
+    * paths MUST consult [[eligiblePaths]] instead — this view cannot
+    * apply the capRounded decimal gate (a StructType alone does not
+    * reveal whether the 38-digit cap engaged), so proofs built on it
+    * would compare raw-text bounds against engine-ROUNDED values for
+    * capped columns. Every production consumer goes through the
+    * HType-derived map; grep-verified. */
   def topLevelPaths(schema: StructType): Map[String, DataType] =
     schema.fields.map(f => f.name -> f.dataType).toMap
 

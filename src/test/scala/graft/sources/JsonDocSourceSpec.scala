@@ -38,6 +38,27 @@ class JsonDocSourceSpec extends SparkTestBase {
     spark.sql("DROP VIEW gj_sql_view")
   }
 
+  test("float/double early skip is nan-safe and zero-sign-blind, like the engine") {
+    // -0.0e0 classifies DOUBLE (the Float.MIN_VALUE quirk: zero and
+    // negative sci-notation literals fall past the float window);
+    // Spark's comparison says -0.0 = 0.0 is TRUE, while boxed
+    // Double.compareTo orders -0.0 below 0.0 — an early skip decided
+    // on the boxed order would drop the row before the residual
+    val dir = new java.io.File(graft.TempRoots.path("jds_negzero"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "z.json"))
+    w.println("""{"a": -0.0e0, "tag": "neg"}""")
+    w.println("""{"a": 1.5e0, "tag": "pos"}""")
+    w.close()
+    val df = spark.read.format("graftjson").load(dir.toString)
+    assert(df.schema("a").dataType ==
+      org.apache.spark.sql.types.DoubleType, df.schema.treeString)
+    assert(df.where(col("a") === 0.0d).count() == 1L,
+      "-0.0 must match an = 0.0 probe (engine semantics)")
+    assert(df.where(col("a") >= 0.0d).count() == 2L)
+    assert(df.where(col("a") <= -0.0d).count() == 1L)
+  }
+
   test("union-root filters stay in the residual and filter correctly") {
     // a corpus mixing object and scalar roots infers a UNION root,
     // which materializes as struct<tag,u0,…> — those fields are

@@ -1095,6 +1095,58 @@ class ZoneMapSpec extends SparkTestBase {
       s"expected the sum/count decomposition:\n$plan")
   }
 
+  test("partial-buffer merge drops paths one side's cap refused; re-caps unions") {
+    // buffer A hit the path cap and REFUSED 'key'; buffer B (another
+    // split of the SAME file) recorded it — merged stats for 'key'
+    // would be B-only (incomplete), so the path must drop entirely
+    // and the absence+overflow gates decline every proof on it
+    val a = ZoneStats.FileZone(5L, 5L, dirty = false, multiDoc = false,
+      dupKey = false, overflow = true,
+      Map("other" -> ZoneStats.emptyField.addNum(new JBD("1"))))
+    val b = ZoneStats.FileZone(3L, 3L, dirty = false, multiDoc = false,
+      dupKey = false, overflow = false,
+      Map("key" -> ZoneStats.emptyField.addNum(new JBD("100")),
+        "other" -> ZoneStats.emptyField.addNum(new JBD("2"))))
+    for (m <- Seq(a.merge(b), b.merge(a))) {
+      assert(!m.fields.contains("key"),
+        s"one-side-refused path must not survive the merge: $m")
+      assert(m.fields.contains("other")) // recorded by BOTH sides
+      assert(m.overflow)
+      // and the proofs decline on the dropped path
+      val types = Map[String, org.apache.spark.sql.types.DataType](
+        "key" -> LongType)
+      assert(!ZoneSkip.provablyEmpty(EqualTo("key", 5L), m, types))
+      assert(!ZoneSkip.provablyEmpty(IsNotNull("key"), m, types))
+    }
+    // two no-overflow buffers whose union exceeds the cap re-cap
+    def wide(offset: Int) = ZoneStats.FileZone(1L, 1L, dirty = false,
+      multiDoc = false, dupKey = false, overflow = false,
+      (0 until ZoneStats.MaxPathsPerFile).map(i =>
+        f"p${offset + i}%05d" -> ZoneStats.emptyField.addNum(new JBD("1"))).toMap)
+    val u = wide(0).merge(wide(ZoneStats.MaxPathsPerFile / 2))
+    assert(u.fields.size == ZoneStats.MaxPathsPerFile, u.fields.size)
+    assert(u.overflow, "a re-capped union must flip overflow")
+  }
+
+  test("a numeric literal past BigDecimal range folds as dirty, never a crash") {
+    // 1e2147483648 is valid JSON the plain load reads as an infinite
+    // double; BigDecimal throws on the exponent — the walk must
+    // survive and poison the file instead of killing the planning job
+    val z = ZoneStats.walkUnit("""{"a": 1e2147483648, "b": 2}""",
+      ZoneStats.emptyFile.copy(units = 1))
+    assert(z.dirty, "unfoldable numeric must mark the file dirty")
+    assert(z.fields.get("b").exists(_.present == 1), "siblings still fold")
+    // end to end: the zonemaps load plans and reads the file
+    val dir = new java.io.File(graft.TempRoots.path("zm_bignum"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "n.json"))
+    w.println("""{"a": 1e2147483648}"""); w.println("""{"a": 1.5e0}""")
+    w.close()
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    assert(zdf.count() == 2L)
+  }
+
   test("per-file set-byte budget: largest sets drop to null, bounds survive, deterministic") {
     // many paths, each with a full-width distinct set — a map-shaped
     // file's pathological zone state
