@@ -81,13 +81,35 @@ object InvertedIndex {
       .partitionBy("seg")
       .parquet(s"$indexDir/meta")
 
+  /** Marker file names: touched before a multi-step wipe/swap, removed
+    * after it completes — readers fail fast in the window and the
+    * crashed operation converges on a rerun (the store-wide crash
+    * discipline of [[VectorOps.buildIvfIndex]]). */
+  private val RebuildMarker = "_rebuild_pending"
+  private val CompactMarker = "_compact_pending"
+
   /** Build the index as segment 0: one corpus scan, one (term, doc)
     * aggregation, one (seg, bucket)-partitioned write, plus a per-
     * segment meta row carrying the segment's doc count and the bucket
-    * count (search derives everything else from the store). */
+    * count (search derives everything else from the store).
+    *
+    * A build IS a REBUILD: prior segments, tombstones, and meta rows
+    * are wiped first — the per-partition (dynamic) segment write
+    * replaces only partitions the new corpus produces, so without the
+    * wipe a rebuild would leave stale buckets/segments (and their
+    * deleted docs) being served, and a changed nBuckets would leave
+    * probes hashing against the wrong modulus (review r12). The
+    * marker makes the wipe→write window fail fast for readers and a
+    * crashed build converges by rerunning build(). */
   def build(docs: DataFrame, indexDir: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    Fs.touch(spark, s"$indexDir/$RebuildMarker")
+    deleteDir(spark, s"$indexDir/postings")
+    deleteDir(spark, s"$indexDir/meta")
+    deleteDir(spark, s"$indexDir/tombstones")
     writeSegment(postingsOf(docs, nBuckets, 0), indexDir)
     writeMeta(docs, indexDir, nBuckets, 0)
+    deleteDir(spark, s"$indexDir/$RebuildMarker")
   }
 
   /** LSM-style incremental growth: index a NEW batch of documents as
@@ -109,8 +131,19 @@ object InvertedIndex {
     writeMeta(docs, indexDir, nBuckets, segId)
   }
 
-  /** (total docs, total tokens, bucket count) summed across segments. */
+  /** (total docs, total tokens, bucket count) summed across segments.
+    * Fails FAST when a rebuild or compaction marker is pending: the
+    * live dirs may be mid-wipe or mid-swap, and serving partial
+    * postings silently would be worse than the loud error. */
   private def meta(spark: SparkSession, indexDir: String): (Long, Long, Int) = {
+    if (pathExists(spark, s"$indexDir/$RebuildMarker"))
+      throw new IllegalStateException(
+        s"inverted index $indexDir: a rebuild crashed mid-wipe " +
+          "(_rebuild_pending) — rerun build() to converge")
+    if (pathExists(spark, s"$indexDir/$CompactMarker"))
+      throw new IllegalStateException(
+        s"inverted index $indexDir: a compaction crashed mid-swap " +
+          "(_compact_pending) — rerun compactSegments() to roll forward")
     val rows = spark.read.parquet(s"$indexDir/meta").collect()
     (rows.map(_.getAs[Long]("n_docs")).sum,
       rows.map(_.getAs[Long]("n_tokens")).sum,
@@ -123,8 +156,11 @@ object InvertedIndex {
     * NEVER rewritten (cost ∝ delete batch), and every search
     * anti-joins the tombstone set. Replay-safe like [[appendSegment]]:
     * re-running a `batchId` dynamically overwrites exactly that
-    * batch's partition with identical content. Tombstones are small
-    * relative to the corpus by contract, so the anti-join broadcasts.
+    * batch's partition with identical content — which is also why
+    * `batchId` is REQUIRED with no default: two DISTINCT deletes
+    * sharing an id would silently resurrect the first one's docs
+    * (review r12). Tombstones are small relative to the corpus by
+    * contract, so the anti-join broadcasts.
     *
     * Stats caveat: [[searchBm25]]'s N and avgdl come from the meta
     * rows and still count tombstoned docs until [[compactSegments]]
@@ -134,7 +170,7 @@ object InvertedIndex {
     * proves the refreshed form). Boolean and phrase results
     * ([[searchAll]]/[[searchPhrase]]) are exact immediately. */
   def deleteDocs(spark: SparkSession, indexDir: String,
-                 docIds: DataFrame, batchId: Int = 0): Unit =
+                 docIds: DataFrame, batchId: Int): Unit =
     docIds.select(col("doc_id")).distinct()
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
@@ -266,6 +302,25 @@ object InvertedIndex {
     * Cost ∝ live index size — the full rewrite IS the point of a
     * merge; deletes stay O(batch) until one is scheduled. */
   def compactSegments(spark: SparkSession, indexDir: String): Unit = {
+    val staging = s"$indexDir/_staging"
+    val marker = s"$indexDir/$CompactMarker"
+    // ROLL-FORWARD (review r12): the marker is touched only after the
+    // staged copy is complete, so a crashed swap leaves the staged
+    // dirs as the AUTHORITATIVE live set — a rerun must redo the swap
+    // FROM STAGING, never re-stage from the (possibly emptied) live
+    // dirs: reading a half-swapped postings dir as "live" and staging
+    // it would overwrite the only surviving copy with a partial one.
+    if (pathExists(spark, marker)) {
+      if (pathExists(spark, s"$staging/postings"))
+        swapFromStaging(spark, indexDir, staging, marker)
+      else {
+        // crash inside the post-swap cleanup: the swap completed,
+        // only the tombstone/marker removal is left
+        deleteDir(spark, s"$indexDir/tombstones")
+        deleteDir(spark, marker)
+      }
+      return
+    }
     val nBuckets = meta(spark, indexDir)._3
     val live = {
       val p = spark.read.schema(postingsSchema)
@@ -277,11 +332,12 @@ object InvertedIndex {
         case None => p
       }
     }
-    val staging = s"$indexDir/_staging"
     live.withColumn("seg", lit(0))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("seg", "bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("seg", "bucket")
       .parquet(s"$staging/postings")
     val stagedPostings = spark.read.schema(postingsSchema)
       .parquet(s"$staging/postings")
@@ -293,16 +349,35 @@ object InvertedIndex {
         coalesce(sum(col("dl")), lit(0L)).as("n_tokens"),
         lit(nBuckets.toLong).as("n_buckets"), lit(0).as("seg"))
       .write.mode("overwrite").parquet(s"$staging/meta")
-    // swap: overwrite the live dirs FROM the durable staged copies
+    Fs.touch(spark, marker)
+    swapFromStaging(spark, indexDir, staging, marker)
+  }
+
+  /** The compaction swap, runnable from a fresh JVM after a crash:
+    * overwrite the live dirs FROM the durable staged copies (never
+    * from the files being replaced), then clear tombstones, staging,
+    * and the marker — in that order, so every crash point re-enters
+    * one of [[compactSegments]]'s roll-forward branches. Overwrites
+    * pin STATIC partition-overwrite semantics: under a session-wide
+    * `dynamic` default the swap would replace only the partitions
+    * the live set produces, leaving stale segments (and with them
+    * every tombstoned doc) alive. */
+  private def swapFromStaging(spark: SparkSession, indexDir: String,
+                              staging: String, marker: String): Unit = {
     spark.read.schema(postingsSchema).parquet(s"$staging/postings")
-      .write.mode("overwrite").partitionBy("seg", "bucket")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("seg", "bucket")
       .parquet(s"$indexDir/postings")
     spark.read.parquet(s"$staging/meta")
       .withColumn("seg", lit(0))
-      .write.mode("overwrite").partitionBy("seg")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("seg")
       .parquet(s"$indexDir/meta")
-    deleteDir(spark, staging)
     deleteDir(spark, s"$indexDir/tombstones")
+    deleteDir(spark, staging)
+    deleteDir(spark, marker)
   }
 
   /** Character-trigram substring index — the grep / pg_trgm-style
@@ -324,6 +399,13 @@ object InvertedIndex {
     * candidate documents' text. */
   def buildTrigramIndex(docs: DataFrame, indexDir: String,
                         nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    // same rebuild discipline as build(): marker + wipe, so a crashed
+    // rebuild fails loudly instead of serving a stale or fileless
+    // store, and a changed nBuckets cannot disagree with the grams
+    Fs.touch(spark, s"$indexDir/$RebuildMarker")
+    deleteDir(spark, s"$indexDir/grams")
+    deleteDir(spark, s"$indexDir/meta")
     val t = coalesce(col("text"), lit(""))
     docs.select(col("doc_id"),
         explode(when(length(t) >= 3,
@@ -338,6 +420,7 @@ object InvertedIndex {
     docs.agg(count(lit(1)).as("n_docs"),
         lit(nBuckets.toLong).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+    deleteDir(spark, s"$indexDir/$RebuildMarker")
   }
 
   /** Substring (grep-style) search over [[buildTrigramIndex]]'s store:
@@ -351,11 +434,20 @@ object InvertedIndex {
                       pattern: String): DataFrame = {
     require(pattern.length >= 3, "substring search needs >= 3 chars")
     val spark = docs.sparkSession
-    val nBuckets = spark.read.parquet(s"$indexDir/meta")
+    if (pathExists(spark, s"$indexDir/$RebuildMarker"))
+      throw new IllegalStateException(
+        s"trigram index $indexDir: a rebuild crashed mid-wipe " +
+          "(_rebuild_pending) — rerun buildTrigramIndex() to converge")
+    // explicit schemas: a fileless dir (crash debris) reads empty
+    // instead of throwing 'Unable to infer schema' with no cause
+    val nBuckets = spark.read.schema("n_docs BIGINT, n_buckets BIGINT")
+      .parquet(s"$indexDir/meta")
       .collect().head.getAs[Long]("n_buckets").toInt
     val grams = pattern.sliding(3).toSeq.distinct
     val buckets = grams.map(termBucket(_, nBuckets)).distinct
-    val candidates = spark.read.parquet(s"$indexDir/grams")
+    val candidates = spark.read
+      .schema("doc_id BIGINT, gram STRING, bucket INT")
+      .parquet(s"$indexDir/grams")
       .where(col("bucket").isin(buckets.map(Int.box): _*) &&
         col("gram").isin(grams: _*))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))

@@ -580,21 +580,29 @@ object VectorOps {
             (0 until kk).iterator.filter(counts(_) > 0L).map(c =>
               (c, counts(c), sumB(c).map(_.toString).toSeq, sxxB(c).toString))
           }
-          .collect()
-        partials.groupBy(_._1).map { case (cell, ps) =>
-          val sxB = Array.fill(dim)(java.math.BigDecimal.ZERO)
-          var sxx = java.math.BigDecimal.ZERO
-          var cnt = 0L
-          ps.foreach { case (_, c, ss, xx) =>
-            cnt += c
-            var j = 0
-            while (j < dim) {
-              sxB(j) = sxB(j).add(new java.math.BigDecimal(ss(j))); j += 1
-            }
-            sxx = sxx.add(new java.math.BigDecimal(xx))
+          // reduce BY CELL in the cluster, never a flat driver
+          // collect: the per-(partition, cell) partials number
+          // O(partitions × cells) at scale, while the driver only ever
+          // needs the k merged rows. BigDecimal addition is
+          // associative/commutative, so the keyed partial+final
+          // reduction is exactly the old sequential fold (review r12).
+          .groupByKey(_._1)
+          .reduceGroups { (a, b) =>
+            (a._1, a._2 + b._2,
+              a._3.zip(b._3).map { case (x, y) =>
+                new java.math.BigDecimal(x)
+                  .add(new java.math.BigDecimal(y)).toString },
+              new java.math.BigDecimal(a._4)
+                .add(new java.math.BigDecimal(b._4)).toString)
           }
-          cell -> ((cnt, sxB.map(_.doubleValue), sxx.doubleValue))
-        }
+          .map(_._2)
+          .collect()
+        partials.iterator.map { case (cell, cnt, ss, xx) =>
+          cell -> ((cnt,
+            ss.iterator.map(s => new java.math.BigDecimal(s).doubleValue)
+              .toArray,
+            new java.math.BigDecimal(xx).doubleValue))
+        }.toMap
       }
 
       for (_ <- 0 until iters) {
@@ -730,16 +738,26 @@ object VectorOps {
         if (count == 0L) Iterator.empty
         else Iterator.single((count, accB.map(_.toString).toSeq))
       }
-      .collect()
-    val n = partials.map(_._1).sum
-    val merged = Array.fill(nEntries)(java.math.BigDecimal.ZERO)
-    partials.foreach { case (_, ss) =>
-      var k = 0
-      while (k < nEntries) {
-        merged(k) = merged(k).add(new java.math.BigDecimal(ss(k)))
-        k += 1
-      }
-    }
+    // TREE-reduce the per-partition partials (depth 2): a flat
+    // collect ships partitions × (dim + dim(dim+1)/2) decimal strings
+    // through the driver — tens of GB at the 100 TB partition counts
+    // this one-pass moment accumulation exists for. BigDecimal
+    // addition is associative/commutative, so any reduction tree
+    // yields the exact same sums (review r12). The zero-count empty
+    // sentinel keeps treeAggregate total on empty corpora.
+    def mergeP(a: (Long, Seq[String]),
+               b: (Long, Seq[String])): (Long, Seq[String]) =
+      if (a._1 == 0L) b
+      else if (b._1 == 0L) a
+      else (a._1 + b._1,
+        a._2.zip(b._2).map { case (x, y) =>
+          new java.math.BigDecimal(x).add(new java.math.BigDecimal(y))
+            .toString })
+    val (n, mergedStrs) = partials.rdd.treeAggregate(
+      (0L, Seq.empty[String]))(mergeP, mergeP, depth = 2)
+    val merged =
+      if (n == 0L) Array.fill(nEntries)(java.math.BigDecimal.ZERO)
+      else mergedStrs.iterator.map(new java.math.BigDecimal(_)).toArray
     val sums = new Array[Double](dim)
     val prods = Array.ofDim[Double](dim, dim)
     var k = 0
@@ -1173,8 +1191,17 @@ object VectorOps {
     require(trainRows.nonEmpty, "cannot build an IVF index on an empty corpus")
     val centers = localKMeans(trainRows, autoCells(corpus, nCells), iters = 5)
     // a rebuild into an existing dir must not inherit a crashed
-    // delete's marker — its cell ids mean nothing under new centroids
-    deleteDir(spark, s"$indexDir/_maintenance")
+    // delete's marker — but the crashed delete must be ROLLED FORWARD
+    // (emptied-cell dirs removed), not merely forgotten: a blind
+    // marker wipe opens a window (before our own marker lands) where
+    // a crash resurrects acknowledged-deleted rows with nothing left
+    // to protect readers (review r12). A lingering rebuild marker
+    // means the LAST crash was a rebuild (it wiped _maintenance
+    // first) — this rerun IS its heal, wipe and proceed.
+    if (pathExists(spark, rebuildPendingPath(indexDir)))
+      deleteDir(spark, s"$indexDir/_maintenance")
+    else
+      completePendingRemoves(spark, indexDir)
     // rebuild-in-flight marker BEFORE the first overwrite: the two
     // overwrites below are only individually atomic, and a crash
     // between them leaves fresh centroids quantizing the OLD corpus
@@ -1189,7 +1216,13 @@ object VectorOps {
     corpus.withColumn("gen", lit(0))
       .withColumn("cell",
         element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1))
-      .write.mode("overwrite").partitionBy("cell")
+      .write.mode("overwrite")
+      // STATIC pinned: under a session-wide dynamic default this
+      // rebuild would keep old cell dirs empty under the NEW
+      // centroids — stale rows encoded under the old quantizer
+      // served alongside the new index (review r12)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell")
       .parquet(s"$indexDir/corpus")
     deleteDir(spark, rebuildPendingPath(indexDir))
   }
@@ -1376,8 +1409,15 @@ object VectorOps {
       .collect().map(_.getInt(0))
   }
 
-  /** Roll a crashed delete FORWARD: remove the marker's emptied-cell
-    * dirs, then the marker. Safe to call at any time (no-op without a
+  /** Roll a crashed delete FORWARD — the WHOLE delete, not just its
+    * emptied-cell half: a delete stages its survivors durably before
+    * the marker, so if the marker is still up and the staged
+    * survivors are readable, the survivor overwrite is REDONE from
+    * them first (a crash between the marker write and the survivor
+    * overwrite would otherwise leave partially-touched cells serving
+    * acknowledged-deleted rows forever once the marker dropped —
+    * review r12), then the emptied-cell dirs and the marker retire,
+    * then the staging. Safe to call at any time (no-op without a
     * marker); every maintenance entry point calls it first so a
     * crashed delete can never interleave its leftover state with new
     * writes. */
@@ -1388,11 +1428,32 @@ object VectorOps {
     // it); with that guard passed, no rebuild_pending sibling can
     // exist, so removing the parent wholesale is safe
     requireNoInterruptedRebuild(spark, indexDir)
+    if (!pathExists(spark, s"$indexDir/_maintenance")) return
     val cells = pendingRemovedCells(spark, indexDir)
-    if (cells.nonEmpty)
+    if (cells.nonEmpty) {
+      // a READABLE marker ⟹ the delete got past its marker write, and
+      // its staging was not yet retired (staging deletes strictly
+      // after the marker), so a readable staged-survivor set is THIS
+      // delete's — redo its dynamic overwrite (idempotent: identical
+      // content per cell) before the dir removals. An all-emptied
+      // delete staged a FILELESS carried dir; reading it throws —
+      // that simply means no survivor rewrite was owed. A marker HUSK
+      // (crash during the marker write itself) means nothing after
+      // staging ever ran — the corpus is pre-delete intact, so only
+      // the debris clears below.
+      val carriedPath = s"$indexDir/_staging/carried"
+      if (pathExists(spark, carriedPath))
+        try
+          spark.read.parquet(carriedPath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell")
+            .parquet(s"$indexDir/corpus")
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
       for (c <- cells) deleteDir(spark, s"$indexDir/corpus/cell=$c")
-    if (pathExists(spark, s"$indexDir/_maintenance"))
-      deleteDir(spark, s"$indexDir/_maintenance")
+    }
+    deleteDir(spark, s"$indexDir/_maintenance")
+    deleteDir(spark, s"$indexDir/_staging")
   }
 
   /** The one corpus-read helper every SERVING path goes through:
@@ -1506,8 +1567,12 @@ object VectorOps {
         codebookSize, iters = 5)
     }
     // same stale-marker hygiene + rebuild-in-flight marker as
-    // buildIvfIndex (FOUR overwrites here — the window is wider)
-    deleteDir(spark, s"$indexDir/_maintenance")
+    // buildIvfIndex (FOUR overwrites here — the window is wider):
+    // roll a crashed delete forward, wipe only after a crashed REBUILD
+    if (pathExists(spark, rebuildPendingPath(indexDir)))
+      deleteDir(spark, s"$indexDir/_maintenance")
+    else
+      completePendingRemoves(spark, indexDir)
     Fs.touch(spark, rebuildPendingPath(indexDir))
     spark.createDataset(Seq((subs, codebookSize, dim)))
       .toDF("subs", "codebook_size", "dim")
@@ -1526,7 +1591,9 @@ object VectorOps {
       .withColumn("cell", element_at(pqEncodeIf(native, col("v"), Array(coarse), 1), 1))
       .withColumn("codes", pqEncodeIf(native, col("v"), books, 1))
       .select(col("vec_id"), col("codes"), col("n"), lit(0).as("gen"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static") // the buildIvfIndex rule
+      .partitionBy("cell")
       .parquet(s"$indexDir/corpus")
     deleteDir(spark, rebuildPendingPath(indexDir))
   }
@@ -1593,8 +1660,13 @@ object VectorOps {
                          ids: DataFrame): Unit = {
     completePendingRemoves(spark, indexDir) // finish any crashed delete first
     val staging = s"$indexDir/_staging"
-    try {
-      val existing = spark.read.parquet(s"$indexDir/corpus")
+    // NO blanket finally-cleanup of staging: the staged survivors ARE
+    // the redo log completePendingRemoves rewrites from when a marked
+    // delete crashes or its job fails — staging must outlive the
+    // marker (review r12); it is deleted on the success path and on
+    // the explicit pre-marker exits, and a marked failure leaves it
+    // for the roll-forward
+    val existing = spark.read.parquet(s"$indexDir/corpus")
       // materialize the id set ONCE, durably: a nondeterministic ids
       // plan (limit/sample) evaluated twice could rewrite one id's cell
       // while anti-joining a different id set — a silent partial delete
@@ -1602,7 +1674,10 @@ object VectorOps {
         s"$staging/ids")
       val touched = existing.join(idSet, Seq("vec_id"), "left_semi")
         .select(col("cell")).distinct().collect().map(_.getInt(0))
-      if (touched.isEmpty) return // nothing stored under those ids
+      if (touched.isEmpty) { // nothing stored under those ids
+        deleteDir(spark, staging)
+        return
+      }
       val allCells = existing.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet
       // survivors of the touched cells — a STATIC isin on the partition
@@ -1617,8 +1692,10 @@ object VectorOps {
           .join(idSet, Seq("vec_id"), "left_anti"),
         s"$staging/carried")
       val carriedEmpty = carried.isEmpty
-      if (carriedEmpty && touched.toSet == allCells)
+      if (carriedEmpty && touched.toSet == allCells) {
+        deleteDir(spark, staging) // pre-marker exit: staging is debris
         throw new VectorOps.WouldEmptyIndexException
+      }
       // the cells this delete will empty entirely are known BEFORE
       // the overwrite (carried is durably staged) — write the
       // _pending_removes marker FIRST, so a crash anywhere between
@@ -1646,7 +1723,7 @@ object VectorOps {
       for (c <- emptied) deleteDir(spark, s"$indexDir/corpus/cell=$c")
       if (emptied.nonEmpty)
         deleteDir(spark, s"$indexDir/_maintenance")
-    } finally deleteDir(spark, staging)
+      deleteDir(spark, staging) // marker retired first, staging last
   }
 
   /** Embedding snapshot diff — [[graft.ops.TextOps.snapshotDiff]]'s

@@ -1648,7 +1648,8 @@ object Pipeline {
     if (!graft.ops.Fs.exists(s, s"$idx/meta"))
       InvertedIndex.build(docs, idx, nBuckets = 64)
     InvertedIndex.deleteDocs(s, idx,
-      docs.where(col("doc_id") % 7 === 2).select(col("doc_id")))
+      docs.where(col("doc_id") % 7 === 2).select(col("doc_id")),
+      batchId = 1)
     InvertedIndex.searchAll(s, idx, Seq("merge", "spark"))
       .orderBy(col("doc_id"))
   }
@@ -1678,7 +1679,8 @@ object Pipeline {
     if (!graft.ops.Fs.exists(s, s"$idx/meta")) {
       InvertedIndex.build(docs, idx, nBuckets = 64)
       InvertedIndex.deleteDocs(s, idx,
-        docs.where(col("doc_id") % 7 === 2).select(col("doc_id")))
+        docs.where(col("doc_id") % 7 === 2).select(col("doc_id")),
+        batchId = 1)
       InvertedIndex.compactSegments(s, idx)
     }
     InvertedIndex.searchBm25(s, idx, Seq("merge", "spark"), 20)
@@ -1747,7 +1749,7 @@ object Pipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       InvertedIndex.deleteDocs(s, idx,
         diff.where(col("status").isin("removed", "changed"))
-          .select(col("doc_id")))
+          .select(col("doc_id")), batchId = 1)
       InvertedIndex.compactSegments(s, idx)
       InvertedIndex.appendSegment(
         newSnap.join(diff.where(col("status").isin("added", "changed"))

@@ -210,7 +210,15 @@ object EventStreams {
     * and adds the rest, converging to the identical committed state.
     * When `refreshMeta`, the durable planning metadata refreshes in
     * the same cycle — the meta diff walks only this epoch's files, so
-    * a fresh-JVM reader plans the table walk-free. */
+    * a fresh-JVM reader plans the table walk-free.
+    *
+    * Replays and LIVE TAILS don't mix: a replay sweeps and rewrites
+    * its epoch's published names, which a concurrent
+    * `readStream.format("graftjson")` tail that already consumed them
+    * correctly fails LOUDLY on (the append-only mtime/disappearance
+    * guards) — replay-exposed epochs belong to the ingest pipeline's
+    * recovery, not to a tailed steady state; start tails after the
+    * ingest checkpoint has committed the epochs they will read. */
   def ingestEpoch(batch: DataFrame, dir: String, batchId: Long,
                   nFiles: Int = 1, refreshMeta: Boolean = true): Unit = {
     require(nFiles > 0, "nFiles must be positive")

@@ -127,6 +127,83 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(rankedAppended == rankedRebuilt)
   }
 
+  test("build() is a REBUILD: stale segments, tombstones, and old bucket layouts are wiped") {
+    val dir = graft.TempRoots.path("invidx_rebuild")
+    InvertedIndex.build(docs, dir, nBuckets = 16)
+    InvertedIndex.appendSegment(
+      docs.where(col("doc_id") % 2 === 0), dir, segId = 1)
+    InvertedIndex.deleteDocs(spark, dir,
+      docs.where(col("doc_id") % 5 === 0).select(col("doc_id")), batchId = 3)
+    // rebuild over a SLICE with a DIFFERENT bucket count: dynamic
+    // per-partition writes alone would leave segment 1, the
+    // tombstones, and 16-bucket partitions alive — every search would
+    // serve deleted/out-of-corpus docs or probe the wrong modulus
+    val slice = docs.where(col("doc_id") % 3 === 0)
+    InvertedIndex.build(slice, dir, nBuckets = 32)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(!new java.io.File(s"$dir/postings/seg=1").exists,
+      "rebuild must wipe stale segments")
+    val fresh = graft.TempRoots.path("invidx_rebuild_fresh")
+    InvertedIndex.build(slice, fresh, nBuckets = 32)
+    val terms = Seq("merge", "spark")
+    def res(d: String) = InvertedIndex.searchAll(spark, d, terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(dir) == res(fresh), "rebuilt store must equal a fresh build")
+  }
+
+  test("distinct delete batches never collide (explicit batchId contract)") {
+    val dir = graft.TempRoots.path("invidx_two_deletes")
+    InvertedIndex.build(docs, dir, nBuckets = 16)
+    val a = docs.where(col("doc_id") % 7 === 1).select(col("doc_id"))
+    val b = docs.where(col("doc_id") % 7 === 2).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, dir, a, batchId = 1)
+    InvertedIndex.deleteDocs(spark, dir, b, batchId = 2)
+    val deadA = a.collect().map(_.getLong(0)).toSet
+    val deadB = b.collect().map(_.getLong(0)).toSet
+    val got = InvertedIndex.searchAll(spark, dir, Seq("merge"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(deadA).isEmpty,
+      "the second delete batch must not resurrect the first")
+    assert(got.intersect(deadB).isEmpty)
+  }
+
+  test("a compaction crashed mid-swap rolls forward from staging; searches fail fast in the window") {
+    val dir = graft.TempRoots.path("invidx_compact_crash")
+    InvertedIndex.build(docs, dir, nBuckets = 16)
+    val dead = docs.where(col("doc_id") % 5 === 1).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, dir, dead, batchId = 1)
+    val wantLive = InvertedIndex.searchAll(spark, dir, Seq("merge"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // SIMULATE the crash: the staged live copy is complete and the
+    // marker is up (what compactSegments guarantees before swapping),
+    // but the live postings dir was wiped by the static overwrite's
+    // delete-before-write and the process died
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+      .select(col("doc_id")).distinct()
+    val live = spark.read.parquet(s"$dir/postings")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    live.withColumn("seg", lit(0))
+      .write.partitionBy("seg", "bucket").parquet(s"$dir/_staging/postings")
+    spark.read.parquet(s"$dir/meta").where(col("seg") === 0)
+      .write.parquet(s"$dir/_staging/meta")
+    graft.ops.Fs.touch(spark, s"$dir/_compact_pending")
+    graft.ops.Fs.delete(spark, s"$dir/postings")
+    // the window fails LOUDLY — no silent empty results
+    val e = intercept[IllegalStateException] {
+      InvertedIndex.searchAll(spark, dir, Seq("merge")).collect()
+    }
+    assert(e.getMessage.contains("compaction crashed"), e.getMessage)
+    // rerunning compactSegments must swap FROM STAGING — re-staging
+    // from the wiped live dir would destroy the only surviving copy
+    InvertedIndex.compactSegments(spark, dir)
+    val got = InvertedIndex.searchAll(spark, dir, Seq("merge"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == wantLive, "roll-forward lost or resurrected rows")
+    assert(!new java.io.File(s"$dir/_compact_pending").exists)
+    assert(!new java.io.File(s"$dir/_staging").exists)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+  }
+
   test("searchPhrase counts exact word sequences, including overlapping and repeated-term phrases") {
     // hand-built corpus where the expected counts are visible
     val d2 = spark.createDataFrame(Seq(
@@ -198,7 +275,7 @@ class InvertedIndexSpec extends SparkTestBase {
     val dir = graft.TempRoots.path("invidx_tomb_spec")
     InvertedIndex.build(docs, dir, nBuckets = 16)
     val dead = docs.where(col("doc_id") % 5 === 1).select(col("doc_id"))
-    InvertedIndex.deleteDocs(spark, dir, dead)
+    InvertedIndex.deleteDocs(spark, dir, dead, batchId = 1)
     def results(idx: String) =
       InvertedIndex.searchAll(spark, idx, Seq("merge", "spark"))
         .collect().map(r => r.getAs[Long]("doc_id") ->
@@ -211,7 +288,7 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(want.nonEmpty)
     assert(got == want)
     // replay the identical delete batch: dynamic overwrite, same store
-    InvertedIndex.deleteDocs(spark, dir, dead)
+    InvertedIndex.deleteDocs(spark, dir, dead, batchId = 1)
     assert(results(dir) == want)
     // phrase search routes through the same tombstone-aware probe
     val phraseGot = InvertedIndex.searchPhrase(spark, dir,
@@ -232,7 +309,7 @@ class InvertedIndexSpec extends SparkTestBase {
     // a delete whose filter matches nothing writes only _SUCCESS —
     // searches and compaction must treat it as zero tombstones
     InvertedIndex.deleteDocs(spark, dir,
-      docs.where(col("doc_id") < 0).select(col("doc_id")))
+      docs.where(col("doc_id") < 0).select(col("doc_id")), batchId = 2)
     assert(InvertedIndex.searchAll(spark, dir, Seq("merge", "spark"))
       .count() == before)
     InvertedIndex.compactSegments(spark, dir)
@@ -247,7 +324,7 @@ class InvertedIndexSpec extends SparkTestBase {
     InvertedIndex.appendSegment(docs.where(col("doc_id") % 3 === 0), dir,
       segId = 1)
     val dead = docs.where(col("doc_id") % 5 === 1).select(col("doc_id"))
-    InvertedIndex.deleteDocs(spark, dir, dead)
+    InvertedIndex.deleteDocs(spark, dir, dead, batchId = 1)
     InvertedIndex.compactSegments(spark, dir)
     // physical shape: one segment family, no tombstones, no staging
     val segs = new java.io.File(s"$dir/postings").listFiles()

@@ -465,6 +465,46 @@ class IvfIndexSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(s"$idx/_maintenance")))
   }
 
+  test("a delete crashed BEFORE its survivor overwrite rolls the WHOLE delete forward") {
+    import java.nio.file.{Files, Paths}
+    val idx = graft.TempRoots.path("ivfidx_spec_crash2")
+    VectorOps.buildIvfIndex(corpus, idx, nCells = 4)
+    val rows = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id"), col("cell")).collect()
+    val byCell = rows.groupBy(_.getAs[Int]("cell"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val cells = byCell.keys.toSeq.sorted
+    assert(cells.size >= 2 && byCell(cells.last).size >= 2)
+    val emptiedCell = cells.head // whole cell deleted
+    val partialCell = cells.last // one id deleted, others survive
+    val partialGone = byCell(partialCell).head
+    val deadIds = byCell(emptiedCell) + partialGone
+    // SIMULATE the crash state deleteFromIvfIndex leaves when it dies
+    // between the marker write and the survivor overwrite: staged
+    // survivors durable, marker durable, corpus fully PRE-delete
+    val touched = Seq(emptiedCell, partialCell)
+    spark.read.parquet(s"$idx/corpus")
+      .where(col("cell").isin(touched.map(Int.box): _*) &&
+        !col("vec_id").isin(deadIds.toSeq.map(Long.box): _*))
+      .write.parquet(s"$idx/_staging/carried")
+    spark.createDataFrame(Seq(Tuple1(emptiedCell))).toDF("cell")
+      .coalesce(1).write.parquet(s"$idx/_maintenance/pending_removes")
+    // any maintenance entry must now finish the ENTIRE delete: the
+    // survivor rewrite from the staged copy, the emptied dir, the
+    // marker, the staging — not just the emptied half
+    VectorOps.deleteFromIvfIndex(spark, idx,
+      spark.createDataFrame(Seq(Tuple1(-1L))).toDF("vec_id"))
+    val after = spark.read.parquet(s"$idx/corpus")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(after.intersect(deadIds).isEmpty,
+      s"partially-touched cell kept deleted rows: ${after.intersect(deadIds)}")
+    assert(after == rows.map(_.getAs[Long]("vec_id")).toSet -- deadIds,
+      "survivors must be intact")
+    assert(!Files.exists(Paths.get(s"$idx/corpus/cell=$emptiedCell")))
+    assert(!Files.exists(Paths.get(s"$idx/_maintenance")))
+    assert(!Files.exists(Paths.get(s"$idx/_staging")))
+  }
+
   test("diff-driven maintenance: store follows the new snapshot exactly, replays as a no-op, serves brute-force-equal top-k") {
     val idx = graft.TempRoots.path("ivfidx_spec_diffmaint")
     // old snapshot = ids 0..59; new snapshot drops %7==2, perturbs
