@@ -76,11 +76,16 @@ object Sharding {
     spark.listenerManager.register(listener)
     try {
       docs.withColumn("shard", shardOf(col("doc_id"), nShards))
-        .observe(obsName, count(lit(1)).as("n_rows"),
-          min(col("shard")).as("min_shard"), max(col("shard")).as("max_shard"))
         .repartition(nShards, col("shard"))
         .sortWithinPartitions(col("shard"),
           md5(col("doc_id").cast("string")), col("doc_id"))
+        // observe ABOVE the exchange, in the write's RESULT stage:
+        // map-stage accumulators apply per successful TASK ATTEMPT, so
+        // a fetch-failure retry or a speculative duplicate would
+        // double-count the audit (review r12); result-stage updates
+        // apply once per partition
+        .observe(obsName, count(lit(1)).as("n_rows"),
+          min(col("shard")).as("min_shard"), max(col("shard")).as("max_shard"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("shard")
@@ -182,6 +187,22 @@ object Sharding {
   def zoneMapScan(spark: org.apache.spark.sql.SparkSession,
                   dataDir: String, indexDir: String, key: String,
                   lo: Long, hi: Long): DataFrame = {
+    // staleness gate (the graftjson fingerprint rule's cheap half):
+    // a file ADDED to dataDir after the index build is simply absent
+    // from the index, so its rows would vanish from results SILENTLY
+    // — removed files at least fail loudly at read time. One listing
+    // of dataDir per scan is planner-grade cost; renderings normalize
+    // through the same helper both sides (input_file_name is
+    // URL-encoded, inputFiles is not).
+    val norm = graft.sources.ZoneStats.normalizeFileName _
+    val indexed = spark.read.parquet(indexDir)
+      .select(col("file")).collect().map(r => norm(r.getString(0))).toSet
+    val unknown = spark.read.parquet(dataDir).inputFiles
+      .map(norm).filterNot(indexed.contains)
+    require(unknown.isEmpty,
+      s"zone-map index $indexDir is STALE: ${unknown.length} data " +
+        s"files are not indexed (e.g. ${unknown.headOption.getOrElse("")}) " +
+        "— rebuild zoneMapIndex before scanning")
     val files = zoneMapFiles(spark, indexDir, lo, hi)
     val base =
       if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
@@ -237,37 +258,101 @@ object Sharding {
   def mergeCdc(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                changes: DataFrame, nBuckets: Int): CdcAudit = {
     val staging = s"$storeDir/_staging"
-    try {
-      val ch = stageRead(
-        changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
-        s"$staging/changes")
-      // one change row per doc_id: two upserts (or an upsert and a
-      // delete) for the same id in one batch have no defined order —
-      // unioning both would silently duplicate the row in the store.
-      // Runs over the tiny staged batch, so the check costs one small
-      // job, not a corpus scan.
-      require(ch.groupBy(col("doc_id")).count()
-        .where(col("count") > 1).isEmpty,
-        "mergeCdc batch carries conflicting rows for the same doc_id; " +
-          "resolve to one change per id upstream (last-write-wins)")
-      val touched = ch.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0))
-      if (touched.isEmpty) return CdcAudit(0L, 0L, 0L)
-      val existing = spark.read.parquet(storeDir)
-      val carried = stageRead(
-        existing.where(col("bucket").isin(touched.map(Int.box).toSeq: _*))
-          .join(ch.select(col("doc_id")), Seq("doc_id"), "left_anti"),
-        s"$staging/carried")
-      val upserts = ch.where(col("op") === "upsert").drop("op")
-      val out = carried.unionByName(upserts)
-        .select(carried.columns.map(col).toIndexedSeq: _*)
+    rollForwardCdc(spark, storeDir) // finish a crashed merge first
+    val ch = stageRead(
+      changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
+      s"$staging/changes")
+    // one change row per doc_id: two upserts (or an upsert and a
+    // delete) for the same id in one batch have no defined order —
+    // unioning both would silently duplicate the row in the store.
+    // Runs over the tiny staged batch, so the check costs one small
+    // job, not a corpus scan.
+    require(ch.groupBy(col("doc_id")).count()
+      .where(col("count") > 1).isEmpty,
+      "mergeCdc batch carries conflicting rows for the same doc_id; " +
+        "resolve to one change per id upstream (last-write-wins)")
+    val touched = ch.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) { deleteDir(spark, staging); return CdcAudit(0L, 0L, 0L) }
+    val existing = spark.read.parquet(storeDir)
+    val upserts0 = ch.where(col("op") === "upsert").drop("op")
+    // stage the complete post-merge content of the touched buckets —
+    // survivors ∪ upserts — so (a) the overwrite never reads the path
+    // it rewrites and (b) a crash ANYWHERE in the commit re-applies
+    // the whole merge from this durable copy (Spark's dynamic
+    // overwrite commits per partition as delete-then-rename; a crash
+    // between the two empties a bucket, and a replay that read the
+    // emptied bucket as "survivors" would lose its rows forever —
+    // review r12)
+    val out = stageRead(
+      existing.where(col("bucket").isin(touched.map(Int.box).toSeq: _*))
+        .join(ch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(upserts0.select(
+          existing.columns.map(col).toIndexedSeq: _*)),
+      s"$staging/out")
+    // buckets this merge EMPTIES entirely (all rows deleted, no
+    // upserts hashing there): a dynamic overwrite cannot truncate a
+    // partition with zero output rows — their dirs must be REMOVED,
+    // and the marker carries the list so a crash cannot strand them
+    // half-served (the deleteFromIvfIndex protocol)
+    val outBuckets = out.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(outBuckets.contains)
+    // the -1 sentinel makes the marker ALWAYS non-empty: a fileless
+    // husk (crash during this very write) then reads as zero rows and
+    // roll-forward can tell "marker never committed — store is
+    // pre-merge intact" from "committed with no emptied buckets"
+    spark.createDataFrame((-1 +: emptied.toSeq).map(Tuple1(_))).toDF("bucket")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$storeDir/_cdc_pending/emptied")
+    if (outBuckets.nonEmpty)
       out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(storeDir)
-      CdcAudit(upserts.count(),
-        ch.where(col("op") === "delete").count(), touched.length.toLong)
-    } finally deleteDir(spark, staging)
+    for (b <- emptied) deleteDir(spark, s"$storeDir/bucket=$b")
+    val audit = CdcAudit(upserts0.count(),
+      ch.where(col("op") === "delete").count(), touched.length.toLong)
+    deleteDir(spark, s"$storeDir/_cdc_pending")
+    deleteDir(spark, staging) // marker retired first, staging last
+    audit
+  }
+
+  /** Roll a crashed [[mergeCdc]] forward: while the `_cdc_pending`
+    * marker is up, the staged post-merge content at `_staging/out` is
+    * authoritative for its buckets — redo the dynamic overwrite from
+    * it, remove the marker's emptied-bucket dirs, then retire marker
+    * and staging. A marker HUSK (crash during the marker write) means
+    * the overwrite never started: the store is pre-merge intact and
+    * only debris clears. Idempotent, called by every mergeCdc entry. */
+  private def rollForwardCdc(spark: org.apache.spark.sql.SparkSession,
+                             storeDir: String): Unit = {
+    val markerDir = s"$storeDir/_cdc_pending"
+    if (!Fs.exists(spark, markerDir)) return
+    val rows =
+      try spark.read.schema("bucket INT")
+        .parquet(s"$markerDir/emptied").collect().map(_.getInt(0))
+      catch { case _: Exception => Array.empty[Int] }
+    // zero rows = a HUSK (the -1 sentinel makes every committed
+    // marker non-empty): the crash hit the marker write itself, so
+    // nothing after it ran and the store is pre-merge intact
+    if (rows.nonEmpty) {
+      val emptied = rows.filter(_ >= 0)
+      val outPath = s"$storeDir/_staging/out"
+      if (Fs.exists(spark, outPath))
+        // a fileless out dir (the merge emptied every touched bucket)
+        // throws on schemaless read — no survivor rewrite was owed
+        try
+          spark.read.parquet(outPath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(storeDir)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      for (b <- emptied) deleteDir(spark, s"$storeDir/bucket=$b")
+    }
+    deleteDir(spark, markerDir)
+    deleteDir(spark, s"$storeDir/_staging")
   }
 
   /** ANALYZE-style per-column statistics — the planner-food every
@@ -364,10 +449,34 @@ object Sharding {
     // overwrites statsDir, which would delete an in-tree staging dir
     // out from under the very read that feeds the write
     val staging = s"${statsDir}__staging"
+    val marker = s"${statsDir}__pending"
+    // roll a crashed publish FORWARD before reading the store: the
+    // staged updated table is the authoritative rollup while the
+    // marker is up (the overwrite below wipes statsDir first, so a
+    // crash there loses the rollup with apply-once semantics that
+    // forbid recomputing it — review r12)
+    if (Fs.exists(spark, marker)) {
+      require(Fs.exists(spark, s"$staging/updated"),
+        s"stats store $statsDir: publish marker present without its " +
+          "staged rollup — restore statsDir from backup")
+      spark.read.parquet(s"$staging/updated")
+        .coalesce(1).write.mode("overwrite").parquet(statsDir)
+      Fs.delete(spark, marker)
+      Fs.delete(spark, staging)
+    }
     try {
       val ch = stageRead(
         changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
         s"$staging/changes")
+      // the same conflicting-batch gate mergeCdc enforces, HERE too:
+      // maintainStats runs FIRST by contract, so a batch mergeCdc
+      // would reject must not have already corrupted the apply-once
+      // rollup (a duplicate upsert would +2 the plus leg while the
+      // left_semi minus leg dedups — permanently off by one)
+      require(ch.groupBy(col("doc_id")).count()
+        .where(col("count") > 1).isEmpty,
+        "maintainStats batch carries conflicting rows for the same " +
+          "doc_id; resolve to one change per id upstream")
       val touched = ch.select(col("bucket")).distinct()
         .collect().map(_.getInt(0))
       val olds =
@@ -394,9 +503,22 @@ object Sharding {
               coalesce(col("d_chars"), lit(0L))).as("total_chars"))
           .where(col("n_docs") > 0),
         s"$staging/updated")
+      // publish under the marker: staged rollup durable → marker →
+      // overwrite → marker down → staging down. A crash at any point
+      // re-enters the roll-forward above; the marker is only ever up
+      // while the staged copy exists (it is touched after stageRead)
+      Fs.touch(spark, marker)
       updated.coalesce(1).write.mode("overwrite").parquet(statsDir)
+      Fs.delete(spark, marker)
+      deleteDir(spark, staging)
       spark.read.parquet(statsDir)
-    } finally deleteDir(spark, staging)
+    } catch {
+      case e: Throwable =>
+        // only pre-marker failures may clear staging — once the
+        // marker is up, the staged rollup is the recovery source
+        if (!Fs.exists(spark, marker)) deleteDir(spark, staging)
+        throw e
+    }
   }
 
   /** Morton bit-spread of a 16-bit value (zeros interleaved between
@@ -441,8 +563,17 @@ object Sharding {
       min(y).cast("long").as("ymin"), max(y).cast("long").as("ymax"))
     val n = df.count()
     val nFiles = math.max(1L, (n + targetRecords - 1) / targetRecords).toInt
+    // DOUBLE-space quantization: (v−lo)*65535 overflows Long on wide
+    // key domains (epoch micros, snowflake ids — ANSI aborts the
+    // whole rewrite; non-ANSI silently garbles the clustering), and
+    // v−lo itself overflows on wide signed domains. Doubles never
+    // overflow, and the z-value only drives LAYOUT — content is
+    // untouched, so rounding at the 2^53 tail costs clustering
+    // resolution, never correctness (review r12).
     def quant(v: Column, lo: Column, hi: Column): Column =
-      ((v.cast("long") - lo) * lit(65535L) / greatest(hi - lo, lit(1L)))
+      least(floor((v.cast("double") - lo.cast("double")) * 65535.0d /
+          greatest(hi.cast("double") - lo.cast("double"), lit(1.0d))),
+        lit(65535.0d))
         .cast("long")
     df.crossJoin(broadcast(stats))
       .withColumn("__z", morton(

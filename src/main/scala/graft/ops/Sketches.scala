@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   * shuffle. */
 object Sketches {
 
+  /** Backfill crash-window marker: Spark's dynamic partition
+    * overwrite commits per partition as delete-then-rename, so a
+    * crash mid-commit can leave a shard's sketches GONE — and the
+    * store's whole premise is "keep the sketch, drop the data", so
+    * the partition may be unrebuildable and every merged estimate
+    * silently under-counts. The marker is up for the write's
+    * duration; readers FAIL FAST on it (loud beats a wrong estimate)
+    * and re-running the same backfill — the replay contract — clears
+    * it (review r12). */
+  private def markerPath(dir: String): String = s"$dir/_backfill_pending"
+
+  private def requireNoCrashedBackfill(spark: SparkSession,
+                                       dir: String): Unit =
+    require(!Fs.exists(spark, markerPath(dir)),
+      s"sketch store $dir: a shard backfill crashed mid-commit " +
+        "(_backfill_pending) — re-run the same backfill to converge " +
+        "before reading estimates")
+
+
   /** Sketch one shard batch (or a whole table of shards) into the
     * store: one hash-aggregate pass over the rows, one (shard, group)
     * HLL blob + exact row count out, written under `shard=` partition
@@ -30,7 +49,9 @@ object Sketches {
     * backfill) rewrites exactly that shard's partitions to identical
     * content and never touches the rest. */
   def writeHllShards(df: DataFrame, dir: String, shard: Column,
-                     group: Column, id: Column, lgK: Int = 12): Unit =
+                     group: Column, id: Column, lgK: Int = 12): Unit = {
+    val spark = df.sparkSession
+    Fs.touch(spark, markerPath(dir))
     df.groupBy(shard.as("shard"), group.as("grp"))
       .agg(hll_sketch_agg(id, lit(lgK)).as("sketch"),
         count(lit(1)).as("n_rows"))
@@ -39,17 +60,21 @@ object Sketches {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
       .parquet(dir)
+    Fs.delete(spark, markerPath(dir))
+  }
 
   /** Per-group distinct-count estimate from the STORED sketches alone
     * — the raw table is never rescanned. Register-max union across
     * shards, then the estimator; `n_rows` sums exactly alongside so
     * the consumer sees both scales. */
-  def mergedDistinct(spark: SparkSession, dir: String): DataFrame =
+  def mergedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    requireNoCrashedBackfill(spark, dir)
     spark.read.parquet(dir)
       .groupBy(col("grp"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
           .as("n_distinct_est"),
         sum(col("n_rows")).as("n_rows"))
+  }
 
   /** Pairwise distinct-overlap estimates between group sketches, from
     * the store alone: HLL has no native intersection, but
@@ -63,6 +88,7 @@ object Sketches {
     * envelope); groups are few by construction, so the pair self-join
     * is a broadcast over a group-count-sized table. */
   def overlapEstimate(spark: SparkSession, dir: String): DataFrame = {
+    requireNoCrashedBackfill(spark, dir)
     val g = spark.read.parquet(dir)
       .groupBy(col("grp"))
       .agg(hll_union_agg(col("sketch")).as("sk"))
@@ -137,6 +163,7 @@ object Sketches {
                       shard: Column, lo: Double, hi: Double,
                       nBins: Int): Unit = {
     require(nBins >= 2 && hi > lo, s"need nBins>=2 and hi>lo, got $nBins, [$lo,$hi]")
+    Fs.touch(df.sparkSession, markerPath(dir))
     val w = (hi - lo) / nBins
     // NaN is dropped with NULL: under a non-ANSI cast floor(NaN)
     // lands in bin 0 and silently skews every low-end quantile
@@ -155,6 +182,7 @@ object Sketches {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard").parquet(dir)
+    Fs.delete(df.sparkSession, markerPath(dir))
   }
 
   /** Interpolated quantile estimates from the stored histogram ALONE
@@ -170,6 +198,7 @@ object Sketches {
                     ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    requireNoCrashedBackfill(spark, dir)
     val w = (hi - lo) / nBins
     val cum = spark.read.parquet(dir)
       .groupBy(col("bin")).agg(sum(col("c")).as("c"))

@@ -844,12 +844,20 @@ object TextOps {
     // iteration 1 fused into init: with identity labels the first
     // neighbor-min per node is min over the values already keyed by
     // that node (the edge list is symmetric), so reduceByKey on the
-    // EXISTING key reuses the partitioner — no shuffle at all
+    // EXISTING key reuses the partitioner — no shuffle at all.
+    // Labels live over PAIRED NODES ONLY (every paired node is a key
+    // of the symmetric edge list): the partitioner is sized by edge
+    // count, and routing the whole corpus-sized doc set — singletons
+    // are the overwhelming majority at scale — through it would
+    // funnel billions of never-changing identity labels into a
+    // handful of tasks every iteration (review r12). Singletons join
+    // their identity groups at the END, one left join.
     val nbr0 = edges.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-    var labels = docs.select(col("doc_id")).as[Long].rdd
-      .map(id => (id, id)).partitionBy(part)
-      .leftOuterJoin(nbr0, part)
-      .mapValues { case (id, o) => math.min(id, o.getOrElse(id)) }
+    // mapPartitions(preservesPartitioning): a plain map would drop
+    // the partitioner and re-shuffle every loop join
+    var labels = nbr0
+      .mapPartitions(_.map { case (id, m) => (id, math.min(id, m)) },
+        preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prev: org.apache.spark.rdd.RDD[_] = labels
     // try/finally: the non-convergence throw below (and any job
@@ -879,7 +887,7 @@ object TextOps {
           s"nearDupGroups did not converge in $maxIters iterations " +
             "(component diameter exceeds maxIters); raise maxIters — " +
             "returning partial labels would silently split components")
-      labels.toDF("doc_id", "group_id")
+      val paired = labels.toDF("doc_id", "group_id")
         // localCheckpoint REQUIRED (iterative fixpoint): the labels
         // lineage is `iter` chained joins deep and its parent blocks
         // are unpersisted in the finally below — without truncation
@@ -889,6 +897,14 @@ object TextOps {
         // fails the QUERY and the job-level retry re-runs it — no
         // data is at risk (pure read path).
         .localCheckpoint(true)
+      // singletons (never in any pair) take their identity group via
+      // one left join — the corpus-sized set stays in DataFrame land
+      // under the engine's own partitioning, not the edge-sized loop
+      // partitioner
+      docs.select(col("doc_id"))
+        .join(paired, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"))
     } finally {
       edges.unpersist(blocking = false)
       prev.unpersist(blocking = false)
@@ -926,7 +942,16 @@ object TextOps {
     * chunk far more often than not; with maxHamming ≤ 3 recall is
     * guaranteed by pigeonhole for ≤ 3 flipped bits spread over 4
     * chunks), then filter by exact Hamming distance via
-    * `bit_count(xor)`. */
+    * `bit_count(xor)`.
+    *
+    * SCALE ENVELOPE: the chunk key space is a hard 4×2^16 constant —
+    * unlike minhash band keys, whose cardinality grows with the
+    * corpus — so expected candidates grow as n²/2^18 and the
+    * per-bucket self-join turns quadratic somewhere past ~10^8 docs.
+    * At that scale use [[nearDupMinhash]] (growing key space) or
+    * pre-partition the corpus (per source/shard) before the simhash
+    * pass; this operator's guarantee-exact distance filter is its
+    * value, not its asymptotics. */
   def nearDupSimhash(docs: DataFrame, maxHamming: Int): DataFrame = {
     // native expression when installed (stays inside whole-stage
     // codegen, no encoder round-trip); UDF fallback is bit-identical
