@@ -259,6 +259,21 @@ object Sharding {
                changes: DataFrame, nBuckets: Int): CdcAudit = {
     val staging = s"$storeDir/_staging"
     rollForwardCdc(spark, storeDir) // finish a crashed merge first
+    try mergeCdcBody(spark, storeDir, changes, nBuckets, staging)
+    catch {
+      case e: Throwable =>
+        // only PRE-marker failures may clear staging (a rejected
+        // batch, a staging-write failure): once the marker is up, the
+        // staged copy is the roll-forward's redo log
+        if (!Fs.exists(spark, s"$storeDir/_cdc_pending"))
+          deleteDir(spark, staging)
+        throw e
+    }
+  }
+
+  private def mergeCdcBody(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String, changes: DataFrame,
+                           nBuckets: Int, staging: String): CdcAudit = {
     val ch = stageRead(
       changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
       s"$staging/changes")

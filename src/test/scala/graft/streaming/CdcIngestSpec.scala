@@ -10,6 +10,54 @@ import org.apache.spark.sql.functions._
   * replay-safe. */
 class CdcIngestSpec extends SparkTestBase {
 
+  test("a delete that EMPTIES a bucket removes its dir; a crashed merge rolls forward") {
+    import spark.implicits._
+    val store = graft.TempRoots.path("cdc_emptied")
+    val docs = spark.createDataFrame(
+      (0L until 24L).map(i => (i, s"t$i", "en", "a", i)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sharding.initDocStore(docs, store, nBuckets = 4)
+    def byBucket = spark.read.parquet(store)
+      .select(col("doc_id"), col("bucket")).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val (b, ids) = byBucket.head
+    // delete EVERY doc of one bucket, no upserts hashing there: a
+    // dynamic overwrite cannot truncate a zero-output partition — the
+    // merge must REMOVE the dir (review r12: these rows previously
+    // survived silently while the audit reported the deletes applied)
+    val eraser = spark.createDataFrame(ids.toSeq.map(i =>
+        (i, null.asInstanceOf[String], "en", "a", 0L, "delete")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    Sharding.mergeCdc(spark, store, eraser, 4)
+    val after = spark.read.parquet(store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(after.intersect(ids).isEmpty, "emptied bucket's rows survived")
+    assert(!new java.io.File(s"$store/bucket=$b").exists)
+    assert(!new java.io.File(s"$store/_cdc_pending").exists)
+    assert(!new java.io.File(s"$store/_staging").exists)
+
+    // CRASH state: staged post-merge content + committed marker, with
+    // one touched bucket wiped (Spark's per-partition delete-then-
+    // rename died between the two) — the next merge entry must
+    // restore the bucket FROM STAGING, completing the crashed delete
+    val (b2, ids2) = byBucket.filter(_._2.size >= 2).head
+    val dead2 = ids2.min
+    spark.read.parquet(store)
+      .where(col("bucket") === b2 && col("doc_id") =!= dead2)
+      .write.parquet(s"$store/_staging/out")
+    spark.createDataFrame(Seq(Tuple1(-1))).toDF("bucket")
+      .coalesce(1).write.parquet(s"$store/_cdc_pending/emptied")
+    graft.ops.Fs.delete(spark, s"$store/bucket=$b2") // the torn commit
+    Sharding.mergeCdc(spark, store, eraser.where(lit(false)), 4)
+    val healed = spark.read.parquet(store)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(!healed.contains(dead2), "the crashed delete must complete")
+    assert((ids2 - dead2).subsetOf(healed),
+      "the torn bucket's survivors must be restored from staging")
+    assert(!new java.io.File(s"$store/_cdc_pending").exists)
+    assert(!new java.io.File(s"$store/_staging").exists)
+  }
+
   test("micro-batches upsert/insert/delete serially and a conflicting batch fails fast") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
