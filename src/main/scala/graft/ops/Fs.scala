@@ -31,6 +31,29 @@ private[graft] object Fs {
       .create(p, true).close()
   }
 
+  /** Atomically publish a small control file (tmp + rename): the
+    * content is either fully there or the file does not exist — the
+    * property marker/ledger protocols lean on. */
+  def writeUtf8Atomic(spark: SparkSession, path: String,
+                      text: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"could not publish $path")
+  }
+
+  /** Small control file as UTF-8 text, None when absent. */
+  def readUtf8IfExists(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None else Some(readFullyUtf8(fs, p))
+  }
+
   /** Read a small driver-side control file (manifest, diff log) fully
     * as UTF-8 text through an already-resolved filesystem — the ONE
     * copy of the read-stream-fully loop the store protocols share. */

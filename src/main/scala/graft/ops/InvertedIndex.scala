@@ -104,6 +104,12 @@ object InvertedIndex {
   def build(docs: DataFrame, indexDir: String, nBuckets: Int = 64): Unit = {
     val spark = docs.sparkSession
     Fs.touch(spark, s"$indexDir/$RebuildMarker")
+    // a crashed COMPACTION's marker and staged copy hold PRE-rebuild
+    // data — left alive, the post-rebuild "rerun compactSegments"
+    // recovery would swap that stale copy over the fresh index
+    // (review r12); the rebuild supersedes them wholesale
+    deleteDir(spark, s"$indexDir/$CompactMarker")
+    deleteDir(spark, s"$indexDir/_staging")
     deleteDir(spark, s"$indexDir/postings")
     deleteDir(spark, s"$indexDir/meta")
     deleteDir(spark, s"$indexDir/tombstones")
@@ -170,13 +176,19 @@ object InvertedIndex {
     * proves the refreshed form). Boolean and phrase results
     * ([[searchAll]]/[[searchPhrase]]) are exact immediately. */
   def deleteDocs(spark: SparkSession, indexDir: String,
-                 docIds: DataFrame, batchId: Int): Unit =
+                 docIds: DataFrame, batchId: Int): Unit = {
+    // fail fast on a pending rebuild/compaction like every search: a
+    // delete acknowledged inside a crashed compaction's window would
+    // be WIPED by the roll-forward (the staged copy predates it) —
+    // tombstones written now must never race a swap (review r12)
+    meta(spark, indexDir)
     docIds.select(col("doc_id")).distinct()
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch")
       .parquet(s"$indexDir/tombstones")
+  }
 
   /** Postings-row schema, used on every store read: an EXPLICIT
     * schema makes a fileless directory (an empty delete batch, a

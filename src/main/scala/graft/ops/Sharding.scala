@@ -344,26 +344,36 @@ object Sharding {
                              storeDir: String): Unit = {
     val markerDir = s"$storeDir/_cdc_pending"
     if (!Fs.exists(spark, markerDir)) return
+    // ONLY the fileless-dir AnalysisException means "husk" — any other
+    // failure (transient IO, throttling) must PROPAGATE: treating it
+    // as a husk would delete the marker and the staged redo log, the
+    // sole recovery source of a half-applied merge (review r12)
     val rows =
       try spark.read.schema("bucket INT")
         .parquet(s"$markerDir/emptied").collect().map(_.getInt(0))
-      catch { case _: Exception => Array.empty[Int] }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Array.empty[Int]
+      }
     // zero rows = a HUSK (the -1 sentinel makes every committed
     // marker non-empty): the crash hit the marker write itself, so
     // nothing after it ran and the store is pre-merge intact
     if (rows.nonEmpty) {
       val emptied = rows.filter(_ >= 0)
       val outPath = s"$storeDir/_staging/out"
-      if (Fs.exists(spark, outPath))
+      if (Fs.exists(spark, outPath)) {
         // a fileless out dir (the merge emptied every touched bucket)
-        // throws on schemaless read — no survivor rewrite was owed
-        try
-          spark.read.parquet(outPath)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(storeDir)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        // throws on the eager schemaless READ — no survivor rewrite
+        // was owed; a failure in the redo WRITE must propagate before
+        // the retirement below discards the redo log
+        val outDf =
+          try Some(spark.read.parquet(outPath))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        outDf.foreach(_
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket")
+          .parquet(storeDir))
+      }
       for (b <- emptied) deleteDir(spark, s"$storeDir/bucket=$b")
     }
     deleteDir(spark, markerDir)
@@ -465,17 +475,22 @@ object Sharding {
     // out from under the very read that feeds the write
     val staging = s"${statsDir}__staging"
     val marker = s"${statsDir}__pending"
+    val ledger = s"${statsDir}__last"
     // roll a crashed publish FORWARD before reading the store: the
     // staged updated table is the authoritative rollup while the
     // marker is up (the overwrite below wipes statsDir first, so a
     // crash there loses the rollup with apply-once semantics that
-    // forbid recomputing it — review r12)
-    if (Fs.exists(spark, marker)) {
+    // forbid recomputing it — review r12). The marker CARRIES the
+    // batch signature; completing the publish also writes it to the
+    // ledger, so the caller's natural retry of the same batch is
+    // detected below instead of double-applying the deltas.
+    Fs.readUtf8IfExists(spark, marker).foreach { pendingSig =>
       require(Fs.exists(spark, s"$staging/updated"),
         s"stats store $statsDir: publish marker present without its " +
           "staged rollup — restore statsDir from backup")
       spark.read.parquet(s"$staging/updated")
         .coalesce(1).write.mode("overwrite").parquet(statsDir)
+      Fs.writeUtf8Atomic(spark, ledger, pendingSig)
       Fs.delete(spark, marker)
       Fs.delete(spark, staging)
     }
@@ -483,6 +498,22 @@ object Sharding {
       val ch = stageRead(
         changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
         s"$staging/changes")
+      // deterministic batch signature (count + decimal hash-sum): the
+      // SERIAL retry of a batch whose publish already completed (via
+      // the roll-forward above or a fully-committed first attempt)
+      // must be a no-op, because delta addition is not
+      // replay-idempotent — the one ledger slot covers exactly the
+      // serial foreachBatch retry contract
+      val sigRow = ch.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(concat_ws("|",
+            col("doc_id").cast("string"), col("op")))
+          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("h"))
+        .collect()(0)
+      val sig = s"${sigRow.getLong(0)}:${sigRow.get(1)}"
+      if (Fs.readUtf8IfExists(spark, ledger).contains(sig)) {
+        deleteDir(spark, staging)
+        return spark.read.parquet(statsDir)
+      }
       // the same conflicting-batch gate mergeCdc enforces, HERE too:
       // maintainStats runs FIRST by contract, so a batch mergeCdc
       // would reject must not have already corrupted the apply-once
@@ -518,12 +549,14 @@ object Sharding {
               coalesce(col("d_chars"), lit(0L))).as("total_chars"))
           .where(col("n_docs") > 0),
         s"$staging/updated")
-      // publish under the marker: staged rollup durable → marker →
-      // overwrite → marker down → staging down. A crash at any point
-      // re-enters the roll-forward above; the marker is only ever up
-      // while the staged copy exists (it is touched after stageRead)
-      Fs.touch(spark, marker)
+      // publish under the marker: staged rollup durable → marker(sig)
+      // → overwrite → ledger(sig) → marker down → staging down. A
+      // crash at any point re-enters the roll-forward above, which
+      // finishes the publish AND the ledger write; the marker is only
+      // ever up while the staged copy exists
+      Fs.writeUtf8Atomic(spark, marker, sig)
       updated.coalesce(1).write.mode("overwrite").parquet(statsDir)
+      Fs.writeUtf8Atomic(spark, ledger, sig)
       Fs.delete(spark, marker)
       deleteDir(spark, staging)
       spark.read.parquet(statsDir)

@@ -49,8 +49,17 @@ object Sketches {
     * backfill) rewrites exactly that shard's partitions to identical
     * content and never touches the rest. */
   def writeHllShards(df: DataFrame, dir: String, shard: Column,
-                     group: Column, id: Column, lgK: Int = 12): Unit = {
+                     group: Column, id: Column, lgK: Int = 12,
+                     allowPending: Boolean = false): Unit = {
     val spark = df.sparkSession
+    // an UNRELATED later backfill must not absorb a crashed one's
+    // marker (its success would unblock readers while the crashed
+    // shard's sketches are still gone — review r12): refuse unless
+    // the caller states it IS the recovery rerun of the crashed write
+    require(allowPending || !Fs.exists(spark, markerPath(dir)),
+      s"sketch store $dir: a previous backfill crashed mid-commit " +
+        "(_backfill_pending) — re-run THAT backfill with " +
+        "allowPending=true before any other write")
     Fs.touch(spark, markerPath(dir))
     df.groupBy(shard.as("shard"), group.as("grp"))
       .agg(hll_sketch_agg(id, lit(lgK)).as("sketch"),
@@ -161,8 +170,12 @@ object Sketches {
     * carries a full DuckDB oracle, unusual for the sketch family. */
   def writeHistShards(df: DataFrame, dir: String, value: Column,
                       shard: Column, lo: Double, hi: Double,
-                      nBins: Int): Unit = {
+                      nBins: Int, allowPending: Boolean = false): Unit = {
     require(nBins >= 2 && hi > lo, s"need nBins>=2 and hi>lo, got $nBins, [$lo,$hi]")
+    require(allowPending || !Fs.exists(df.sparkSession, markerPath(dir)),
+      s"sketch store $dir: a previous backfill crashed mid-commit " +
+        "(_backfill_pending) — re-run THAT backfill with " +
+        "allowPending=true before any other write")
     Fs.touch(df.sparkSession, markerPath(dir))
     val w = (hi - lo) / nBins
     // NaN is dropped with NULL: under a non-ANSI cast floor(NaN)

@@ -1442,14 +1442,21 @@ object VectorOps {
       // staging ever ran — the corpus is pre-delete intact, so only
       // the debris clears below.
       val carriedPath = s"$indexDir/_staging/carried"
-      if (pathExists(spark, carriedPath))
-        try
-          spark.read.parquet(carriedPath)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell")
-            .parquet(s"$indexDir/corpus")
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      if (pathExists(spark, carriedPath)) {
+        // scope the fileless-dir catch to the READ alone (parquet
+        // schema resolution is eager, so a fileless carried — the
+        // all-emptied delete — throws here): a failure in the redo
+        // WRITE must propagate, or the emptied-dir/marker retirement
+        // below would discard the redo log after a failed redo
+        val carriedDf =
+          try Some(spark.read.parquet(carriedPath))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        carriedDf.foreach(_
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell")
+          .parquet(s"$indexDir/corpus"))
+      }
       for (c <- cells) deleteDir(spark, s"$indexDir/corpus/cell=$c")
     }
     deleteDir(spark, s"$indexDir/_maintenance")

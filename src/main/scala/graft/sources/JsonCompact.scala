@@ -64,14 +64,7 @@ object JsonCompact {
   private[sources] def readMarker(fs: FileSystem, dir: Path): Option[Marker] = {
     val mp = markerPath(dir)
     if (!fs.exists(mp)) return None
-    val in = fs.open(mp)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val text = graft.ops.Fs.readFullyUtf8(fs, mp)
     val (adds, removes) =
       text.split("\n").filter(_.nonEmpty).foldLeft(
         (Vector.empty[(String, String)], Vector.empty[String])) {

@@ -199,9 +199,13 @@ private[graft] object JsonDocSource {
   /** Insert a WRITE-TIME planning capture ([[graft.sources
     * .JsonDocWrite]] refreshMeta commits): the writer folded the same
     * walkers over the exact lines it rendered, so the entry is
-    * byte-identical to what a read-back walk would compute — the
-    * post-write meta refresh (and any same-JVM load) then plans the
-    * new files without re-reading them. */
+    * byte-identical to what a read-back walk would compute BELOW the
+    * per-file path cap (past [[ZoneStats.MaxPathsPerFile]] the kept
+    * path SUBSET depends on fold order — the sequential capture and a
+    * split walk's buffer merges may retain different sound subsets;
+    * both decline proofs on whatever they dropped, so answers never
+    * differ) — the post-write meta refresh (and any same-JVM load)
+    * then plans the new files without re-reading them. */
   private[sources] def seedFileCache(k: FileKey, r: FileResult): Unit =
     fileCache.synchronized { fileCache.put(k, r) }
 
