@@ -503,10 +503,17 @@ object Sharding {
       // the roll-forward above or a fully-committed first attempt)
       // must be a no-op, because delta addition is not
       // replay-idempotent — the one ledger slot covers exactly the
-      // serial foreachBatch retry contract
+      // serial foreachBatch retry contract. The hash covers EVERY
+      // change column (doc_id, op, source, n_chars), not just the
+      // keys: two consecutive upserts of the same doc with different
+      // content are distinct batches that must both apply (ADVICE
+      // r12); a truly content-identical batch's skip stays harmless
+      // because its delta is net-zero only when the content matches.
       val sigRow = ch.agg(count(lit(1)).as("n"),
         coalesce(sum(xxhash64(concat_ws("|",
-            col("doc_id").cast("string"), col("op")))
+            col("doc_id").cast("string"), col("op"),
+            coalesce(col("source"), lit("null")),
+            coalesce(col("n_chars").cast("string"), lit("null"))))
           .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("h"))
         .collect()(0)
       val sig = s"${sigRow.getLong(0)}:${sigRow.get(1)}"

@@ -320,7 +320,7 @@ object JsonQueries {
     """SELECT lang, source, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+      |FROM documents GROUP BY lang, source ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
   /** Byte-range splits in the graftjson source, end to end: export a
     * lineitem projection as ONE NDJSON file (6 MB at sf0.01, 60 MB at
@@ -439,7 +439,7 @@ object JsonQueries {
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE source = 'src3'
-      |GROUP BY lang ORDER BY lang""".stripMargin
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** NDJSON small-file compaction end to end
     * ([[graft.sources.JsonCompact]]): the documents table exported as
@@ -483,7 +483,7 @@ object JsonQueries {
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(doc_id * 7) AS BIGINT) AS key_check,
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** NESTED-field zone pruning end to end ([[graft.sources.ZoneSkip]]
     * dotted paths): the documents table exported as NDJSON with a
@@ -616,7 +616,7 @@ object JsonQueries {
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(doc_id * 11) AS BIGINT) AS key_check,
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** Recluster lifecycle end to end ([[graft.sources.JsonCompact
     * .recluster]]): the documents table exported hash-interleaved
@@ -661,7 +661,7 @@ object JsonQueries {
       |  CAST(sum(doc_id * 13) AS BIGINT) AS key_check,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE n_chars >= 450
-      |GROUP BY lang ORDER BY lang""".stripMargin
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** The native streaming source end to end
     * ([[graft.sources.JsonDocMicroBatchStream]] via
@@ -713,7 +713,7 @@ object JsonQueries {
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(doc_id * 17) AS BIGINT) AS key_check,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** The native batch WRITE path end to end
     * ([[graft.sources.JsonDocWriteBuilder]] via
@@ -756,7 +756,7 @@ object JsonQueries {
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(doc_id * 19) AS BIGINT) AS key_check,
       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** The native streaming SINK end to end
     * ([[graft.sources.JsonDocStreamingWrite]] via
@@ -809,7 +809,7 @@ object JsonQueries {
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(doc_id * 23) AS BIGINT) AS key_check,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** Metadata-only corpus statistics ([[graft.sources
     * .JsonDocScanBuilder]] aggregate pushdown, r12 extension): the
@@ -881,7 +881,7 @@ object JsonQueries {
       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
       |  CAST(min(n_chars) AS BIGINT) AS min_chars,
       |  CAST(max(n_chars) AS BIGINT) AS max_chars
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** Cluster-on-write end to end (`clusterBy` writer option, the
     * write-time twin of q231's recluster): the documents table lands
@@ -924,7 +924,7 @@ object JsonQueries {
       |  CAST(sum(doc_id * 29) AS BIGINT) AS key_check,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE n_chars >= 450
-      |GROUP BY lang ORDER BY lang""".stripMargin
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** TopN file pruning end to end (`SupportsPushDownTopN`, r12): the
     * shortest-documents probe — `ORDER BY n_chars, doc_id LIMIT 20` —
@@ -967,7 +967,7 @@ object JsonQueries {
          |  CAST(max(doc_id) AS BIGINT) AS max_doc
          |FROM graftjson.`$out`
          |WHERE n_chars > 100
-         |GROUP BY lang ORDER BY lang""".stripMargin)
+         |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin)
   }
 
   private val q239Sql =
@@ -976,7 +976,7 @@ object JsonQueries {
       |  CAST(min(doc_id) AS BIGINT) AS min_doc,
       |  CAST(max(doc_id) AS BIGINT) AS max_doc
       |FROM documents WHERE n_chars > 100
-      |GROUP BY lang ORDER BY lang""".stripMargin
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** Filtered TopN file pruning (r12): `WHERE n_chars BETWEEN 100 AND
     * 500 ORDER BY n_chars LIMIT 15` over the n_chars-CLUSTERED table —

@@ -1027,7 +1027,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       val groupFields = groupNames.map(g =>
         StructField(g, zonePaths(g), nullable = false))
       val grouped = keyed.groupBy(_._1).toSeq
-        .sortBy(_._1.map(String.valueOf(_)).mkString(" "))
+        .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))
       val rows = grouped.map { case (key, members) =>
         resolveAggs(members.map(_._2)) match {
           case Some(rs) => (rs.map(_._1), key ++ rs.map(_._2))

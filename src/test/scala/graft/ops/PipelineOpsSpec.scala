@@ -418,6 +418,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!new java.io.File(s"${stats}__staging").exists())
   }
 
+  test("maintainStats: same-keys different-content batch APPLIES; true retry is skipped") {
+    // ADVICE r12: the ledger signature must cover the change CONTENT
+    // (source, n_chars), not just doc_id/op — the same doc upserted in
+    // two consecutive batches with different lengths is a normal CDC
+    // pattern, not a retry
+    val store = graft.TempRoots.path("stats_store_sig_spec")
+    val stats = graft.TempRoots.path("stats_view_sig_spec")
+    val base = spark.createDataFrame(Seq(
+      (0L, "aaaa", "en", "web", 4L), (1L, "bb", "en", "book", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sharding.initDocStore(base, store, 4)
+    Sharding.initStatsStore(base, stats)
+    def batch(nChars: Long) = spark.createDataFrame(Seq(
+      (0L, "x" * nChars.toInt, "en", "web", nChars, "upsert")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    // batch 1: doc 0 grows to 10 chars
+    Sharding.maintainStats(spark, store, stats, batch(10L), 4)
+    Sharding.mergeCdc(spark, store, batch(10L), 4)
+    // batch 2: SAME doc_id/op multiset, DIFFERENT content (7 chars) —
+    // must apply, not be ledger-skipped
+    val after = Sharding.maintainStats(spark, store, stats, batch(7L), 4)
+      .where(col("source") === "web").collect()(0)
+    assert(after.getAs[Long]("total_chars") == 7L,
+      s"content-distinct batch was skipped as a retry: $after")
+    Sharding.mergeCdc(spark, store, batch(7L), 4)
+    // a TRUE retry of batch 2 (identical content) is a no-op
+    val retried = Sharding.maintainStats(spark, store, stats, batch(7L), 4)
+      .where(col("source") === "web").collect()(0)
+    assert(retried.getAs[Long]("total_chars") == 7L &&
+      retried.getAs[Long]("n_docs") == 1L, s"retry double-applied: $retried")
+  }
+
   test("morton matches a reference bit-interleave") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
