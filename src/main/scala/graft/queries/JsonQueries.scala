@@ -1003,7 +1003,62 @@ object JsonQueries {
       |FROM documents WHERE n_chars >= 100 AND n_chars <= 500
       |ORDER BY n_chars, doc_id LIMIT 15""".stripMargin
 
+  /** Union-BRANCH filtering under zone maps — the fuzzer-discovered
+    * corner (ZoneFuzzSpec r13, pinned in ZoneMapSpec "union-branch
+    * IsNotNull never skips"): a field that flips between string and
+    * bigint across rows infers as uniontype and materializes as
+    * struct<tag,u0,u1>; a predicate on the STRING branch (`v.u0`)
+    * makes Spark derive an IsNotNull(v.u0) constraint, and `v.u0` is a
+    * rendering the zone walker never records — treating its vacuously
+    * empty zone as all-null used to prove IsNotNull empty and skip
+    * every file whose string branch was populated. The export flips on
+    * doc-id parity so the oracle can name the surviving rows exactly
+    * (odd ids with lang below the probe); checksums over doc_id and
+    * n flip if any file is wrongly skipped. */
+  private val q241Lock = new Object
+  private def q241Export(s: SparkSession, dir: String): String =
+    q241Lock.synchronized {
+      val path = graft.TempRoots.path(
+        s"graftjson_q241_${Integer.toHexString(dir.hashCode)}")
+      buildOnce(s, path) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        // string branch for odd ids, bigint (rank 4 — canonically the
+        // SECOND branch, so the string is u0) for even ids; null lang
+        // renders the JSON null literal
+        val v = when(pmod(col("doc_id"), lit(2)) === 1,
+          coalesce(concat(lit("\""), col("lang"), lit("\"")), lit("null")))
+          .otherwise((col("doc_id").cast("bigint") + 10000000000L)
+            .cast("string"))
+        docs.select(concat(
+            lit("{\"doc_id\": "), col("doc_id").cast("string"),
+            lit(", \"n\": "), col("n_chars").cast("string"),
+            lit(", \"v\": "), v, lit("}")).as("value"))
+          .repartition(6)
+          .write.mode("overwrite").text(path)
+      }
+    }
+
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val out = q241Export(s, dir)
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .where(col("v.u0") < "fr")
+      .groupBy(col("v.u0").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 31).as("key_check"),
+        sum(col("n").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q241Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 31) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 2 = 1 AND lang < 'fr'
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_union_branch_filter" -> (q241 _),
     "q240_filtered_topk" -> (q240 _),
     "q239_sql_on_file" -> (q239 _),
     "q238_topk_pruned" -> (q238 _),
@@ -1034,6 +1089,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q241_union_branch_filter" -> q241Sql,
     "q240_filtered_topk" -> q240Sql,
     "q239_sql_on_file" -> q239Sql,
     "q238_topk_pruned" -> q238Sql,

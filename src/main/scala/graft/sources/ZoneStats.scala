@@ -912,9 +912,14 @@ object ZoneSkip {
           colType(schema, a).contains(StringType)) ||
           (vs.nonEmpty && vs.forall(v => provablyEmpty(EqualTo(a, v), zone, schema)))
       case IsNotNull(a) =>
-        // sound for ANY column type: no scalar and no other value seen
-        // means every materialized cell is null
-        allNull(a)
+        // sound for ANY column TYPE — but only for names that ARE
+        // walker paths (the consultable-path map): zero sightings at a
+        // rendering the walker never records proves nothing. Spark
+        // offers IsNotNull constraints on union-BRANCH renderings
+        // (`u.u1` of the struct<tag,u0,u1> encoding) and beyond-cap
+        // chains, whose zones are vacuously empty while the rows are
+        // not null (fuzzer-discovered, r13)
+        colType(schema, a).isDefined && allNull(a)
       case IsNull(a) =>
         // provably empty iff EVERY emitted row materializes non-null:
         // with no concatenation and no duplicate keys, each non-null

@@ -1576,6 +1576,41 @@ class ZoneMapSpec extends SparkTestBase {
     }
   }
 
+  test("union-branch IsNotNull never skips: `u.u1` is not a walker path (fuzzer r13)") {
+    // a union column materializes as struct<tag,u0,u1>; Spark derives
+    // an IsNotNull(u.u1) constraint from any predicate on the branch.
+    // The walker records sightings at the RENDERED path `u` only, so
+    // `u.u1`'s zone is vacuously empty — treating that absence as
+    // all-null proved IsNotNull empty and skipped files whose string
+    // branch was populated (ZoneFuzzSpec corpus 1 probe 27)
+    val dir = new java.io.File(graft.TempRoots.path("zm_union_branch"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file), "UTF-8")
+      lines.foreach(w.println); w.close()
+    }
+    put("f1.json", """{"id": 1, "u": 5}""", """{"id": 2, "u": "ab"}""")
+    put("f2.json", """{"id": 3, "u": "zzz"}""", """{"id": 4, "u": 7}""")
+    val zdf = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val q = zdf.where(col("u.u1") < "m").select(col("id"))
+    val (got, skipped) = skipsDuring(
+      q.collect().map(_.getAs[Number](0).longValue).sorted.toSeq)
+    assert(skipped == 0, s"union-branch probe skipped $skipped files")
+    assert(got == Seq(2L), s"got $got")
+    // the proof itself: an un-walked rendering never proves, in either
+    // direction
+    val t = JsonDocSource.inferCached(
+      Seq(dir.toString), whole = false, refresh = false, zonemaps = true)
+    val paths = ZoneSkip.eligiblePaths(t._1)
+    t._2.get.values.foreach { z =>
+      assert(!ZoneSkip.provablyEmpty(
+        org.apache.spark.sql.sources.IsNotNull("u.u1"), z, paths))
+      assert(!ZoneSkip.provablyAllMatch(
+        org.apache.spark.sql.sources.IsNull("u.u1"), z, paths))
+    }
+  }
+
   test("walkUnit: concatenated docs, non-object roots, corrupt tails") {
     val z0 = ZoneStats.emptyFile
     val z1 = ZoneStats.walkUnit("""{"a": 3}{"a": 7, "b": "x"}""", z0)
