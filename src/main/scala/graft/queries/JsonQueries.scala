@@ -1057,7 +1057,66 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 2 = 1 AND lang < 'fr'
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Writer-lease mutual exclusion end to end ([[graft.sources
+    * .JsonLease]], r13): the documents table lands through the native
+    * write; a maintenance lease is then held (simulating an in-flight
+    * compact) while a DECOY overwrite — rows that would flip every
+    * checksum — attempts to commit and must LOSE CLEANLY (fail loudly,
+    * publish nothing, leave no debris the later compact folds in);
+    * after release, compact() merges the table under its own lease.
+    * The aggregates then match DuckDB over the parquet original: a
+    * decoy row that leaked (lost-lease write publishing anyway) or a
+    * real row swept (lease failing to protect the winner's staging)
+    * flips the sums. Rejection/takeover mechanics are spec-pinned in
+    * JsonLeaseSpec. */
+  private val q242Lock = new Object
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q242_${Integer.toHexString(dir.hashCode)}")
+    q242Lock.synchronized {
+      buildOnce(s, out) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        docs.repartition(8)
+          .write.format("graftjson").mode("overwrite").save(out)
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val maintenance = graft.sources.JsonLease.acquire(
+          fs, root, "simulated-compact")
+        try {
+          val decoy = s.range(1000).select(
+            (col("id") + 900000000L).as("doc_id"),
+            org.apache.spark.sql.functions.lit("xx").as("lang"),
+            org.apache.spark.sql.functions.lit(1L).as("n_chars"))
+          val failed =
+            try {
+              decoy.write.format("graftjson").mode("overwrite").save(out)
+              false
+            } catch { case _: Exception => true }
+          require(failed,
+            "decoy write was expected to lose to the maintenance lease")
+        } finally maintenance.release()
+        val rep = graft.sources.JsonCompact.compact(
+          s, out, targetBytes = 8L << 20)
+        require(rep.mergedInto >= 1, s"compact merged nothing: $rep")
+      }
+    }
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 37).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q242Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 37) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_writer_lease" -> (q242 _),
     "q241_union_branch_filter" -> (q241 _),
     "q240_filtered_topk" -> (q240 _),
     "q239_sql_on_file" -> (q239 _),
@@ -1089,6 +1148,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q242_writer_lease" -> q242Sql,
     "q241_union_branch_filter" -> q241Sql,
     "q240_filtered_topk" -> q240Sql,
     "q239_sql_on_file" -> q239Sql,

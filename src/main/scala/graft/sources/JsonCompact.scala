@@ -139,6 +139,10 @@ object JsonCompact {
     val stage = new Path(root, MarkerDirName)
     if (readMarker(fs, root).isEmpty && fs.exists(stage))
       Option(fs.listStatus(stage)).getOrElse(Array.empty)
+        // the writer lease is live coordination state, not debris —
+        // and under the lease the debris claim is now ENFORCED, not
+        // assumed: only the lease holder reaches this sweep
+        .filterNot(_.getPath.getName == JsonLease.LeaseFileName)
         .foreach(st => fs.delete(st.getPath, false))
   }
 
@@ -217,11 +221,16 @@ object JsonCompact {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the writer lease makes the single-writer contract ENFORCED: a
+    // concurrent write/compact/recluster/ingest fails loudly here
+    // instead of corrupting the shared marker slot silently (r13)
+    val lease = JsonLease.acquire(fs, root, "compact")
+    try {
     val rolled = rollForward(spark, dir)
     // pre-commit staging debris from a CRASHED write/recluster/compact
     // (no marker exists — rollForward above consumed any committed one)
     // would otherwise persist forever on a compact-only table; safe
-    // under the single-writer contract (review r12)
+    // under the lease — only its holder reaches this sweep
     clearStaleStage(fs, root)
 
     val children = Option(fs.listStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
@@ -286,6 +295,11 @@ object JsonCompact {
         mergeBin(conf.value, stageStr, staged, files)
         name -> staged
       }.collect().toMap
+    // heartbeat after the (possibly long) merge job, then verify the
+    // lease still carries our token before the commit point — a
+    // post-TTL usurper makes us abort instead of double-publishing
+    lease.touch()
+    lease.verifyHeld()
     writeMarker(fs, root,
       Marker(binSpecs.map(s => stagedNames(s._1) -> s._1),
         bins.flatten.map(_.getPath.getName)))
@@ -295,6 +309,7 @@ object JsonCompact {
         bins.flatten.map(_.getPath.getName).toSet, binSpecs.map(_._1)))
     Report(bins.map(_.size).sum, bins.size,
       files.size - bins.map(_.size).sum, rolled)
+    } finally lease.release()
   }
 
   /** Recluster this directory's plain NDJSON files by a key path, so
@@ -336,6 +351,9 @@ object JsonCompact {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // enforced single-writer, like compact()
+    val lease = JsonLease.acquire(fs, root, "recluster")
+    try {
     val rolled = rollForward(spark, dir)
     clearStaleStage(fs, root)
 
@@ -419,6 +437,9 @@ object JsonCompact {
           Iterator.single((name, staged))
         }
       }.collect().sortBy(_._1)
+    // heartbeat + held check before the commit point (compact's rule)
+    lease.touch()
+    lease.verifyHeld()
     writeMarker(fs, root,
       Marker(written.map { case (n, s) => s -> n }.toSeq,
         files.map(_.getPath.getName)))
@@ -429,5 +450,6 @@ object JsonCompact {
       JsonMeta.save(spark, dir, postSwapListing(fs, root, children,
         files.map(_.getPath.getName).toSet, written.map(_._1).toSeq))
     ReclusterReport(files.size, written.length, rolled)
+    } finally lease.release()
   }
 }

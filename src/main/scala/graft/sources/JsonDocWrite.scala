@@ -191,8 +191,19 @@ private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: S
                                 overwrite: Boolean, refreshMeta: Boolean)
     extends BatchWrite {
 
+  // held from staging start (factory creation, driver-side) through
+  // commit/abort: a concurrent maintenance cycle would sweep our
+  // not-yet-committed staged files as debris, so the lease must cover
+  // the WHOLE write, not just the marker swap
+  private var lease: Option[JsonLease.Handle] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
+    val root = new Path(dir)
+    val lfs = root.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (lease.isEmpty)
+      lease = Some(JsonLease.acquire(lfs, root, "write"))
     val stage = new Path(dir, JsonCompact.MarkerDirName).toString
     val conf = new graft.ops.Fs.SerializableConf(
       SparkSession.active.sparkContext.hadoopConfiguration)
@@ -220,6 +231,10 @@ private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: S
     val spark = SparkSession.active
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+    // commit-point check: if a post-TTL takeover replaced our lease,
+    // abort loudly instead of racing the usurper on the marker slot
+    lease.foreach { l => l.touch(); l.verifyHeld() }
     // a pending marker from crashed maintenance owns the single marker
     // slot — roll it forward first (never touches our unreferenced
     // staged files)
@@ -268,13 +283,15 @@ private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: S
       })
       JsonMeta.save(spark, dir)
     }
+    } finally { lease.foreach(_.release()); lease = None }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    sweepStage(fs, root, n => n.startsWith(s"write-$tag-"))
+    try sweepStage(fs, root, n => n.startsWith(s"write-$tag-"))
+    finally { lease.foreach(_.release()); lease = None }
   }
 
   private def sweepStage(fs: org.apache.hadoop.fs.FileSystem, root: Path,
@@ -325,6 +342,11 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(root, JsonCompact.MarkerDirName)
+    // per-epoch lease: the sweep-then-rename publish below mutates the
+    // table namespace — a concurrent maintenance cycle fails loudly
+    // instead of interleaving. Commit-scoped (not query-lifetime) so a
+    // stopped stream never wedges the table until TTL.
+    JsonLease.withLease(fs, root, s"stream-epoch-$epochId") { _ =>
     // replay sweep: this epoch's namespace belongs to this commit —
     // files a crashed previous attempt already published go first, so
     // partitioning drift across restarts cannot strand stale files
@@ -359,6 +381,7 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
         .foreach(st => fs.delete(st.getPath, false))
     catch { case _: java.io.FileNotFoundException => }
     if (refreshMeta) JsonMeta.save(spark, dir)
+    }
   }
 
   override def abort(epochId: Long,

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/** Single-writer ENFORCEMENT for graftjson tables (VERDICT r12 #2).
+  *
+  * The store-wide contract has always been "one writer; maintenance
+  * must not run concurrently" ([[JsonDocWrite]] scaladoc) — but until
+  * now nothing enforced it, and two concurrent writers (or a write
+  * racing a compact) corrupt silently: they share the one
+  * `_compaction/commit` marker slot, and [[JsonCompact.clearStaleStage]]
+  * legitimately sweeps staging debris that a concurrent writer still
+  * references. That is the one crash class the marker protocols cannot
+  * see, because both participants follow their own protocol correctly.
+  *
+  * The lease is a file at `_compaction/lease` holding an owner token;
+  * its MTIME is the heartbeat. Every mutating entry point —
+  * `df.write.format("graftjson")` (staging through commit), the
+  * streaming sink's epoch commits, [[JsonCompact.compact]],
+  * [[JsonCompact.recluster]], and
+  * [[graft.streaming.EventStreams.ingestEpoch]] — acquires it first
+  * and fails LOUDLY (with the holder's token in the message) when
+  * another owner holds it fresh. A holder that crashed leaves a lease
+  * whose mtime goes stale; the next acquirer takes over once the TTL
+  * passes (the crashed run's committed work was already protected by
+  * the marker protocol; its pre-commit staging is debris the next
+  * maintenance sweeps).
+  *
+  * This is advisory locking on filesystem primitives: `create(path,
+  * overwrite=false)` is the atomic claim (HDFS/object-store rename
+  * semantics), a read-back verifies the claim, and [[Handle
+  * .verifyHeld]] re-checks at the commit point so a post-TTL usurper
+  * makes the original owner ABORT instead of double-committing. It
+  * turns silent corruption into a loud error — the strongest guarantee
+  * buildable without a coordination service, and the standard
+  * lakehouse answer (Delta/Iceberg on S3 make the same trade).
+  *
+  * Readers never touch the lease (reads stay lock-free through the
+  * marker protocol, exactly as before). */
+private[graft] object JsonLease {
+
+  private[sources] val LeaseFileName = "lease"
+
+  /** Default staleness TTL: long enough that a real maintenance cycle
+    * heartbeats before expiry, short enough that a crashed writer does
+    * not wedge the table for long. */
+  val DefaultTtlMs: Long = 15L * 60L * 1000L
+
+  private[sources] def leasePath(root: Path): Path =
+    new Path(new Path(root, JsonCompact.MarkerDirName), LeaseFileName)
+
+  /** A held lease. Not thread-safe; the acquiring driver thread owns it. */
+  final class Handle private[JsonLease] (fs: FileSystem, root: Path,
+                                         val owner: String) {
+    private var released = false
+
+    /** Heartbeat: bump the lease mtime so a long cycle never goes
+      * stale mid-run. Call at phase boundaries (post-job, pre-commit). */
+    def touch(): Unit = if (!released) {
+      val lp = leasePath(root)
+      try fs.setTimes(lp, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // verifyHeld decides
+    }
+
+    /** Commit-point check: the lease file must still carry OUR token.
+      * If a post-TTL takeover replaced it, the takeover believed us
+      * dead — aborting here (loudly) is what keeps two live owners
+      * from both publishing. */
+    def verifyHeld(): Unit = {
+      require(!released, "lease already released")
+      val lp = leasePath(root)
+      val current =
+        try graft.ops.Fs.readFullyUtf8(fs, lp)
+        catch { case _: java.io.IOException => "" }
+      if (current != owner) throw new IllegalStateException(
+        s"graftjson: lost the writer lease on $root (now held by " +
+          s"'${if (current.isEmpty) "<gone>" else current}'); aborting " +
+          "before commit — this run exceeded the lease TTL and another " +
+          "writer took over")
+    }
+
+    /** Drop the lease (ours only — a usurped lease is left alone).
+      * A clean cycle leaves `_compaction/` holding nothing but the
+      * lease; remove the dir too then — the spec-pinned "staging gone
+      * after a clean run" invariant predates the lease and holds. */
+    def release(): Unit = if (!released) {
+      released = true
+      val lp = leasePath(root)
+      val current =
+        try graft.ops.Fs.readFullyUtf8(fs, lp)
+        catch { case _: java.io.IOException => "" }
+      if (current == owner) {
+        fs.delete(lp, false)
+        val stage = lp.getParent
+        try
+          if (Option(fs.listStatus(stage)).forall(_.isEmpty))
+            fs.delete(stage, false)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  /** Acquire the table's writer lease or throw. `what` names the
+    * operation in the token (and thus in the conflict message the
+    * loser sees). */
+  def acquire(fs: FileSystem, root: Path, what: String,
+              ttlMs: Long = DefaultTtlMs): Handle = {
+    require(ttlMs > 0, "ttlMs must be positive")
+    val lp = leasePath(root)
+    fs.mkdirs(lp.getParent)
+    val existing =
+      try Some(fs.getFileStatus(lp))
+      catch { case _: java.io.FileNotFoundException => None }
+    existing.foreach { st =>
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (age < ttlMs) {
+        val holder =
+          try graft.ops.Fs.readFullyUtf8(fs, lp)
+          catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"graftjson: $root is locked by a concurrent writer/maintenance " +
+            s"run ('$holder', lease ${age / 1000}s old, TTL ${ttlMs / 1000}s) " +
+            "— the store is single-writer; retry after it finishes, or " +
+            "after the TTL if it crashed")
+      }
+      // stale: the holder is presumed dead — take the slot over
+      fs.delete(lp, false)
+    }
+    val owner = s"$what@${java.net.InetAddress.getLocalHost.getHostName}:" +
+      java.util.UUID.randomUUID().toString
+    // atomic claim: create-no-overwrite loses to any concurrent claimer
+    try {
+      val out = fs.create(lp, false)
+      try out.write(owner.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"graftjson: lost the lease race on $root — another writer " +
+          s"claimed it concurrently (${e.getMessage})")
+    }
+    // read-back defends filesystems whose create(false) is two-step
+    val back =
+      try graft.ops.Fs.readFullyUtf8(fs, lp)
+      catch { case _: java.io.IOException => "" }
+    if (back != owner) throw new IllegalStateException(
+      s"graftjson: lost the lease race on $root — read-back shows " +
+        s"'$back'")
+    new Handle(fs, root, owner)
+  }
+
+  /** Run `body` under the lease, releasing on every exit path. */
+  def withLease[A](fs: FileSystem, root: Path, what: String,
+                   ttlMs: Long = DefaultTtlMs)(body: Handle => A): A = {
+    val h = acquire(fs, root, what, ttlMs)
+    try body(h) finally h.release()
+  }
+}

@@ -226,6 +226,10 @@ object EventStreams {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
+    // enforced single-writer: the epoch's sweep-then-publish mutates
+    // the table namespace — a concurrent write/compact fails loudly
+    // ([[graft.sources.JsonLease]], r13)
+    graft.sources.JsonLease.withLease(fs, root, s"ingest-epoch-$batchId") { _ =>
     val tmp = new org.apache.hadoop.fs.Path(root, "_ingest_tmp")
     batch.repartition(nFiles).write.mode("overwrite").json(tmp.toString)
     val parts = fs.listStatus(tmp)
@@ -259,6 +263,7 @@ object EventStreams {
     fs.delete(tmp, true)
     if (refreshMeta)
       graft.sources.JsonMeta.save(spark, dir)
+    }
     ()
   }
 
