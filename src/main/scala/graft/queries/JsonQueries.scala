@@ -1115,7 +1115,63 @@ object JsonQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** TWO-dimensional cluster rewrite end to end ([[graft.sources
+    * .JsonCompact.zorderRecluster]], r13 — the multi-key twin of
+    * q231's recluster): the documents table exported hash-interleaved
+    * over 12 NDJSON files (every file spans BOTH key domains — nothing
+    * prunes on either), Morton-reclustered on (n_chars × doc_id)
+    * through the crash-safe marker protocol, then probed with a BAND
+    * on each key separately: after the rewrite every file covers a
+    * tight rectangle, so both probes read a small file subset (file-
+    * count pins live in JsonCompactSpec's zorder tests) while the
+    * checksummed aggregates here must still match DuckDB filtering the
+    * parquet original — a row lost, duplicated, or torn by the rewrite
+    * flips a sum. */
+  private val q243Lock = new Object
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q243_${Integer.toHexString(dir.hashCode)}")
+    q243Lock.synchronized {
+      buildOnce(s, out) {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(12) // hash scatter: interleaved on both keys
+          .write.format("graftjson").mode("overwrite").save(out)
+        val rep = graft.sources.JsonCompact.zorderRecluster(
+          s, out, "n_chars", "doc_id", targetBytes = 4L << 10)
+        require(rep.rewrittenFiles >= 12 && rep.writtenFiles >= 2,
+          s"zorder rewrite did not produce a clustered layout: $rep")
+      }
+    }
+    val t = s.read.format("graftjson").option("zonemaps", "true").load(out)
+    def probe(label: String, cond: org.apache.spark.sql.Column) =
+      t.where(cond).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 41).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .select(lit(label).as("probe"), col("n_docs"), col("key_check"),
+          col("sum_chars"))
+    probe("chars_band",
+      col("n_chars") >= 200 && col("n_chars") <= 400)
+      .unionByName(probe("id_band",
+        col("doc_id") >= 100 && col("doc_id") <= 300))
+      .orderBy(col("probe"))
+  }
+
+  private val q243Sql =
+    """SELECT 'chars_band' AS probe, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 41) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 200 AND n_chars <= 400
+      |UNION ALL
+      |SELECT 'id_band' AS probe, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 41) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id >= 100 AND doc_id <= 300
+      |ORDER BY probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_zorder_recluster" -> (q243 _),
     "q242_writer_lease" -> (q242 _),
     "q241_union_branch_filter" -> (q241 _),
     "q240_filtered_topk" -> (q240 _),
@@ -1148,6 +1204,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q243_zorder_recluster" -> q243Sql,
     "q242_writer_lease" -> q242Sql,
     "q241_union_branch_filter" -> q241Sql,
     "q240_filtered_topk" -> q240Sql,

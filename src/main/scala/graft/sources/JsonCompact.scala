@@ -57,6 +57,33 @@ object JsonCompact {
   private[sources] def markerPath(dir: Path): Path =
     new Path(new Path(dir, MarkerDirName), MarkerFileName)
 
+  /** Order-preserving DOUBLE proxy of a clusterable key leaf, for the
+    * Z-order quantization: numbers by value (rounding past 2^53 costs
+    * layout resolution only), strings by their first 8 UTF-8 bytes as
+    * a big-endian integer — the same code-point prefix order the
+    * engine's string comparisons use, so clustered files hold
+    * contiguous raw-string ranges. Null for null/absent keys. */
+  private[sources] def orderProxy(v: Any): java.lang.Double = v match {
+    case null => null
+    case n: java.lang.Byte => n.doubleValue
+    case n: java.lang.Short => n.doubleValue
+    case n: java.lang.Integer => n.doubleValue
+    case n: java.lang.Long => n.doubleValue
+    case n: java.math.BigDecimal => n.doubleValue
+    case s: String =>
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      var acc = 0L
+      var i = 0
+      while (i < 8) {
+        acc = (acc << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+        i += 1
+      }
+      // unsigned 64-bit → double (acc can wrap negative past 0x80…)
+      java.lang.Double.valueOf(
+        if (acc >= 0) acc.toDouble else acc.toDouble + 1.8446744073709552e19)
+    case _ => null
+  }
+
   /** Parse the commit marker, or None when the directory has none.
     * The marker only ever exists fully-written (tmp + atomic rename),
     * so a parse failure is corruption worth failing loudly on, not
@@ -347,7 +374,40 @@ object JsonCompact {
     * opens a data file. */
   def recluster(spark: SparkSession, dir: String, byPath: String,
                 targetBytes: Long = 64L << 20,
-                refreshMeta: Boolean = false): ReclusterReport = {
+                refreshMeta: Boolean = false): ReclusterReport =
+    reclusterImpl(spark, dir, byPath, None, targetBytes, refreshMeta)
+
+  /** TWO-dimensional cluster rewrite (Z-order / Morton interleave) —
+    * the multi-key [[recluster]]: each line's two key leaves quantize
+    * into a 16-bit rank space (double-space quantization against the
+    * corpus min/max, the [[graft.ops.Sharding.zorderWrite]] rule —
+    * layout-only, overflow-free) and bit-interleave into one Morton
+    * value the range exchange clusters on. Every output file then
+    * covers a tight RECTANGLE in (pathA, pathB) space, so point and
+    * range probes on EITHER key zone-prune to a small file subset —
+    * where the lexicographic two-key sort prunes only the first
+    * (PlanQualitySpec's zorder demonstration, now for NDJSON).
+    *
+    * String keys order by their first-8-UTF-8-bytes proxy — exactly
+    * the code-point prefix order of the engine's own comparisons, so
+    * files hold contiguous string ranges and raw-string zone bounds
+    * stay selective (ties beyond 8 bytes cost clustering resolution,
+    * never correctness: z drives LAYOUT only). Null keys (missing
+    * field, corrupt/blank line) get a null z and cluster together at
+    * the range's head, preserving the unit multiset verbatim. Same
+    * marker protocol, lease, and meta refresh as [[recluster]]. */
+  def zorderRecluster(spark: SparkSession, dir: String,
+                      pathA: String, pathB: String,
+                      targetBytes: Long = 64L << 20,
+                      refreshMeta: Boolean = false): ReclusterReport = {
+    require(pathA != pathB, "zorderRecluster needs two distinct paths")
+    reclusterImpl(spark, dir, pathA, Some(pathB), targetBytes, refreshMeta)
+  }
+
+  private def reclusterImpl(spark: SparkSession, dir: String, byPath: String,
+                            andPath: Option[String],
+                            targetBytes: Long,
+                            refreshMeta: Boolean): ReclusterReport = {
     require(targetBytes > 0, "targetBytes must be positive")
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -361,24 +421,29 @@ object JsonCompact {
     // uses — never by re-splitting the dotted rendering
     val (t, _, _) = JsonDocSource.inferCached(Seq(dir), whole = false)
     val routes = ZoneSkip.eligibleRoutes(t)
-    val (segs, leaf) = routes.getOrElse(byPath,
-      throw new IllegalArgumentException(
-        s"'$byPath' is not a clusterable path (need a collision-free " +
-          s"structs-only chain); eligible: " +
-          routes.keys.toSeq.sorted.mkString(", ")))
-    val leafDt = graft.infer.Materialize.toMaterializableSparkType(leaf)
-    val clusterable = leafDt match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.StringType => true
-      case _: org.apache.spark.sql.types.DecimalType => true
-      case _ => false
+    def resolve(p: String): (List[String],
+        org.apache.spark.sql.types.DataType) = {
+      val (segs, leaf) = routes.getOrElse(p,
+        throw new IllegalArgumentException(
+          s"'$p' is not a clusterable path (need a collision-free " +
+            s"structs-only chain); eligible: " +
+            routes.keys.toSeq.sorted.mkString(", ")))
+      val leafDt = graft.infer.Materialize.toMaterializableSparkType(leaf)
+      val clusterable = leafDt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }
+      require(clusterable,
+        s"'$p' materializes as $leafDt — zones cannot prune it " +
+          "(integral / decimal / plain string only)")
+      (segs, leafDt)
     }
-    require(clusterable,
-      s"'$byPath' materializes as $leafDt — zones cannot prune it " +
-        "(integral / decimal / plain string only)")
+    val (segs, leafDt) = resolve(byPath)
 
     val children = Option(fs.listStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
     val files = children.filter(st => st.isFile && {
@@ -395,7 +460,7 @@ object JsonCompact {
     val stage = new Path(root, MarkerDirName)
     fs.mkdirs(stage)
 
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, floor, greatest, least, lit, max, min}
     val lines = spark.read.textFile(files.map(_.getPath.toString): _*)
     val tCap = t
     val segsCap = segs
@@ -407,11 +472,48 @@ object JsonCompact {
       }, leafDt)
     // range exchange → per-partition sort: globally clustered output,
     // ~targetBytes per file; nulls (corrupt/blank lines) sort first
-    val arranged = lines.toDF("line")
-      .withColumn("_k", keyUdf(col("line")))
-      .repartitionByRange(parts, col("_k"))
-      .sortWithinPartitions("_k")
-      .select("line")
+    val arranged = andPath match {
+      case None =>
+        lines.toDF("line")
+          .withColumn("_k", keyUdf(col("line")))
+          .repartitionByRange(parts, col("_k"))
+          .sortWithinPartitions("_k")
+          .select("line")
+      case Some(p2) =>
+        // Z-order: each key leaf → an order-preserving DOUBLE proxy
+        // (numbers by value; strings by their first-8-UTF-8-bytes
+        // integer — the engine's own code-point prefix order), corpus
+        // min/max per dim via ONE tiny agg broadcast back, 16-bit
+        // double-space quantization (the zorderWrite rule), Morton
+        // interleave, then the same range exchange + sort on _z
+        val (segs2, leafDt2) = resolve(p2)
+        def proxyUdf(sg: List[String]) =
+          org.apache.spark.sql.functions.udf(
+            new org.apache.spark.sql.api.java.UDF1[String, java.lang.Double] {
+              override def call(line: String): java.lang.Double =
+                JsonCompact.orderProxy(graft.infer.Materialize.convertAtPath(
+                  graft.infer.Materialize.parseDoc(line), tCap, sg))
+            }, org.apache.spark.sql.types.DoubleType)
+        val _ = leafDt2 // gate ran; the proxy handles both families
+        val keyed = lines.toDF("line")
+          .withColumn("_ka", proxyUdf(segsCap)(col("line")))
+          .withColumn("_kb", proxyUdf(segs2)(col("line")))
+        val stats = keyed.agg(
+          min(col("_ka")).as("alo"), max(col("_ka")).as("ahi"),
+          min(col("_kb")).as("blo"), max(col("_kb")).as("bhi"))
+        def quant(v: org.apache.spark.sql.Column,
+                  lo: org.apache.spark.sql.Column,
+                  hi: org.apache.spark.sql.Column) =
+          least(floor((v - lo) * 65535.0d / greatest(hi - lo, lit(1.0d))),
+            lit(65535.0d)).cast("long")
+        keyed.crossJoin(broadcast(stats))
+          .withColumn("_z", graft.ops.Sharding.morton(
+            quant(col("_ka"), col("alo"), col("ahi")),
+            quant(col("_kb"), col("blo"), col("bhi"))))
+          .repartitionByRange(parts, col("_z"))
+          .sortWithinPartitions("_z")
+          .select("line")
+    }
     val run = java.util.UUID.randomUUID().toString.take(12)
     val conf = new graft.ops.Fs.SerializableConf(
       spark.sparkContext.hadoopConfiguration)

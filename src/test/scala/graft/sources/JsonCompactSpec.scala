@@ -217,6 +217,82 @@ class JsonCompactSpec extends SparkTestBase {
       "clustered layout must prune at least one file on a range probe")
   }
 
+  test("zorderRecluster: files become rectangles — point/range probes on EITHER key prune") {
+    val dir = mkDir("jc_zorder")
+    // 16×16 grid (x integral, y string with an order-preserving
+    // rendering), round-robin interleaved over 8 files: every file
+    // spans both full domains, nothing can prune
+    // scatter by (x+y)%8 so every file holds all 16 values of BOTH
+    // keys (a plain index stride would accidentally cluster y: the
+    // grid width is a multiple of the file count)
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield ((x + y) % 8, s"""{"x": $x, "y": "${f"k$y%02d"}", "s": "r$x-$y"}"""))
+    (0 until 8).foreach { f =>
+      put(dir, f"epoch$f.json",
+        grid.filter(_._1 == f).map(_._2).mkString("", "\n", "\n"))
+    }
+    val before = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val beforeRows = before.collect().map(_.toString).sorted.toSeq
+    val skips0 = JsonDocSource.zoneSkippedFiles.get()
+    assert(before.where(col("x") === 3).count() == 16L)
+    assert(before.where(col("y") === "k07").select(col("s")).count() == 16L)
+    assert(JsonDocSource.zoneSkippedFiles.get() == skips0,
+      "interleaved layout must have nothing provably empty")
+    val rep = JsonCompact.zorderRecluster(spark, dir.toString, "x", "y",
+      targetBytes = 600L)
+    assert(rep.rewrittenFiles == 8 && rep.writtenFiles >= 8,
+      s"want a multi-file clustered layout, got $rep")
+    assert(!new java.io.File(dir, "_compaction").exists,
+      "staging dir must be gone after a clean zorderRecluster")
+    val after = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows,
+      "zorder rewrite must preserve the row multiset verbatim")
+    val files = rep.writtenFiles
+    // point probe on X prunes (a SCAN query — project the unprobed col)
+    val skipsX = JsonDocSource.zoneSkippedFiles.get()
+    assert(after.where(col("x") === 3).select(col("s"))
+      .collect().length == 16)
+    val prunedX = JsonDocSource.zoneSkippedFiles.get() - skipsX
+    assert(prunedX >= files / 2,
+      s"x probe pruned only $prunedX of $files files")
+    // point probe on Y prunes TOO — the lexicographic counter-case
+    val skipsY = JsonDocSource.zoneSkippedFiles.get()
+    assert(after.where(col("y") === "k07").select(col("s"))
+      .collect().length == 16)
+    val prunedY = JsonDocSource.zoneSkippedFiles.get() - skipsY
+    assert(prunedY >= files / 2,
+      s"y probe pruned only $prunedY of $files files")
+    // range probes prune on both dims as well
+    val skipsR = JsonDocSource.zoneSkippedFiles.get()
+    assert(after.where(col("x") >= 12).select(col("s"))
+      .collect().length == 64)
+    assert(after.where(col("y") >= "k12").select(col("s"))
+      .collect().length == 64)
+    assert(JsonDocSource.zoneSkippedFiles.get() - skipsR >= files / 2,
+      "range probes pruned too little")
+  }
+
+  test("zorderRecluster: null keys and edge lines survive; same-path rejected") {
+    val dir = mkDir("jc_zorder_nulls")
+    put(dir, "a.json",
+      """{"x": 1, "y": 5}""" + "\n" +
+        """{"x": 2}""" + "\n" + // missing y → null proxy
+        "corrupt {line\n" +
+        "\n")
+    put(dir, "b.json", """{"x": 3, "y": 1}""")
+    val plain = spark.read.format("graftjson").load(dir.toString)
+    val beforeRows = plain.collect().map(_.toString).sorted.toSeq
+    intercept[IllegalArgumentException](
+      JsonCompact.zorderRecluster(spark, dir.toString, "x", "x"))
+    val rep = JsonCompact.zorderRecluster(spark, dir.toString, "x", "y",
+      targetBytes = 1L << 20)
+    assert(rep.rewrittenFiles == 2)
+    val after = spark.read.format("graftjson").load(dir.toString)
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+  }
+
   test("recluster: nested dotted key; line edge cases and null keys survive verbatim") {
     val dir = mkDir("jc_recluster_nested")
     put(dir, "a.json",
