@@ -1170,7 +1170,52 @@ object JsonQueries {
       |FROM documents WHERE doc_id >= 100 AND doc_id <= 300
       |ORDER BY probe""".stripMargin
 
+  /** TIME TRAVEL end to end (`option("asOfSave", k)`, r13): the
+    * documents table lands in FOUR ingest epochs (doc-id mod 4), each
+    * epoch's meta refresh minting one save in the manifest history;
+    * the query then reads the table AS OF THE SECOND SAVE — the fold
+    * of diff segments + deletion tombstones up to that id — which must
+    * equal DuckDB over exactly the first two epochs' rows (`doc_id %
+    * 4 IN (0, 1)`) of the parquet original. A later epoch's row
+    * leaking in, or a first-epoch row lost from the historical fold,
+    * flips the checksums. Tombstone replay, the compaction-VACUUM
+    * error, and the read-only/unstreamable guards are spec-pinned in
+    * JsonMetaSpec. */
+  private val q244Lock = new Object
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q244_${Integer.toHexString(dir.hashCode)}")
+    q244Lock.synchronized {
+      buildOnce(s, out) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        (0L until 4L).foreach { e =>
+          EventStreams.ingestEpoch(
+            docs.where(pmod(col("doc_id"), lit(4)) === e), out, batchId = e)
+        }
+      }
+    }
+    val saves = graft.sources.JsonMeta.saves(s, out)
+    require(saves.size >= 2, s"expected one save per epoch, got $saves")
+    s.read.format("graftjson")
+      .option("asOfSave", saves(1).toString)
+      .option("zonemaps", "true").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 43).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q244Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 43) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 4 IN (0, 1)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_time_travel" -> (q244 _),
     "q243_zorder_recluster" -> (q243 _),
     "q242_writer_lease" -> (q242 _),
     "q241_union_branch_filter" -> (q241 _),
@@ -1204,6 +1249,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q244_time_travel" -> q244Sql,
     "q243_zorder_recluster" -> q243Sql,
     "q242_writer_lease" -> q242Sql,
     "q241_union_branch_filter" -> q241Sql,

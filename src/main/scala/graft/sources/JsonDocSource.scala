@@ -93,21 +93,37 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   // refresh=true load would re-run the inference job once per call
   // (refresh bypasses the JVM-wide cache by design); with it, refresh
   // means exactly ONE fresh inference per .load()
-  private var memo: Option[(Seq[String], Boolean, Boolean,
+  private var memo: Option[(Seq[String], Boolean, Boolean, Option[Long],
     (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]))] = None
+
+  private def asOfOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("asOfSave")).map(_.toLong)
 
   private def inferBoth(options: CaseInsensitiveStringMap)
       : (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]) = {
     val ps = paths(options)
     val whole = options.getBoolean("whole", false)
     val zonemaps = options.getBoolean("zonemaps", false)
+    val asOf = asOfOf(options)
+    // TIME TRAVEL: the listing comes from the meta manifest's history
+    // fold, not the live directory ([[JsonMeta.asOfListing]] — fails
+    // loudly when the save is compacted away or its bytes are gone)
+    asOf.foreach { _ =>
+      require(!whole, "graftjson: asOfSave does not support whole=true " +
+        "(durable planning metadata covers NDJSON tables only)")
+      require(ps.size == 1,
+        "graftjson: asOfSave needs exactly one table directory")
+    }
     memo match {
-      case Some((mp, mw, mz, r)) if mp == ps && mw == whole && mz == zonemaps =>
+      case Some((mp, mw, mz, ma, r)) if mp == ps && mw == whole &&
+        mz == zonemaps && ma == asOf =>
         r
       case _ =>
+        val pre = asOf.map(n =>
+          JsonMeta.asOfListing(SparkSession.active, ps.head, n))
         val r = JsonDocSource.inferCached(ps, whole,
-          options.getBoolean("refresh", false), zonemaps)
-        memo = Some((ps, whole, zonemaps, r))
+          options.getBoolean("refresh", false), zonemaps, preListed = pre)
+        memo = Some((ps, whole, zonemaps, asOf, r))
         r
     }
   }
@@ -138,7 +154,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
         val inferred = JsonDocSource.sparkSchemaOf(t)
         if (schema == inferred)
           new JsonDocTable(ps, whole, t, inferred, zones, fingerprint,
-            readError = None)
+            readError = None, asOf = asOfOf(options))
         else
           // a user-supplied READ schema must BE the inferred one: the
           // reader converts through the HType tree (unions and all),
@@ -148,11 +164,13 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
             readError = Some(
               s"graftjson: user schema must match the inferred schema\n" +
                 s"  given:    ${schema.simpleString}\n" +
-                s"  inferred: ${inferred.simpleString}"))
+                s"  inferred: ${inferred.simpleString}"),
+            asOf = asOfOf(options))
       case None =>
         new JsonDocTable(ps, whole, HNull, schema, None, Seq.empty,
           readError = Some(
-            s"graftjson: path not found: ${ps.mkString(", ")}"))
+            s"graftjson: path not found: ${ps.mkString(", ")}"),
+          asOf = asOfOf(options))
     }
   }
 }
@@ -211,9 +229,10 @@ private[graft] object JsonDocSource {
 
   private[sources] def inferCached(ps: Seq[String], whole: Boolean,
                                    refresh: Boolean = false,
-                                   zonemaps: Boolean = false)
+                                   zonemaps: Boolean = false,
+                                   preListed: Option[Seq[(String, Long, Long)]] = None)
       : (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]) = {
-    val (all, files) = inferPerFile(ps, whole, refresh, zonemaps)
+    val (all, files) = inferPerFile(ps, whole, refresh, zonemaps, preListed)
     val t = all.foldLeft(HNull: HType) { case (acc, (_, r)) =>
       HType.merge(acc, r.t) }.canonical
     val zoneMap =
@@ -468,7 +487,8 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            schema: StructType,
                            zones: Option[ZoneStats.ZoneMap],
                            fingerprint: Seq[(String, Long, Long)],
-                           readError: Option[String])
+                           readError: Option[String],
+                           asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftjson(${ps.mkString(",")})"
@@ -487,11 +507,14 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
     new JsonDocScanBuilder(ps, whole, t, schema,
       Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      asOf = asOf)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty,
+      "graftjson: a time-travel (asOfSave) table is read-only")
     require(ps.size == 1,
       s"graftjson: writes need exactly one target directory, got: " +
         ps.mkString(", "))
@@ -505,7 +528,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  zones: Option[ZoneStats.ZoneMap],
                                  fingerprint: Seq[(String, Long, Long)],
                                  maxFilesPerTrigger: Option[Int] = None,
-                                 maxBytesPerTrigger: Option[Long] = None)
+                                 maxBytesPerTrigger: Option[Long] = None,
+                                 asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -565,9 +589,12 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
 
   // one listing serves supportCompletePushDown AND pushAggregation
   // (Spark calls both in one planning instant; a third walk for the
-  // same answer would be pure namenode load on a 100k-file table)
+  // same answer would be pure namenode load on a 100k-file table).
+  // A time-travel scan's population IS its resolved fingerprint —
+  // the live directory is a different (later) version of the table
   private lazy val freshListing: Seq[(String, Long, Long)] =
-    JsonDocSource.listFiles(SparkSession.active, ps)
+    if (asOf.isDefined) fingerprint
+    else JsonDocSource.listFiles(SparkSession.active, ps)
 
   // files PROVABLY not needed for a pushed TopN/Limit, keyed with the
   // (length, mtime) the decision was made against — the scan drops a
@@ -1081,7 +1108,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     case None =>
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
         maxSplitBytes, zones, fingerprint,
-        maxFilesPerTrigger, maxBytesPerTrigger, topExcluded)
+        maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, asOf)
   }
 }
 
@@ -1151,7 +1178,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           fingerprint: Seq[(String, Long, Long)],
                           maxFilesPerTrigger: Option[Int] = None,
                           maxBytesPerTrigger: Option[Long] = None,
-                          topExcluded: Map[String, (Long, Long)] = Map.empty)
+                          topExcluded: Map[String, (Long, Long)] = Map.empty,
+                          asOf: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -1194,16 +1222,21 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "graftjson: a time-travel (asOfSave) table cannot be streamed — " +
+        "the snapshot is frozen; tail the live table instead")
     new JsonDocMicroBatchStream(SparkSession.active, checkpointLocation,
       ps, whole, t, full, required, pushed, maxSplitBytes,
       maxFilesPerTrigger, maxBytesPerTrigger)
+  }
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (zones.isDefined) s" ZoneMaps: ${zones.get.size} files" else "") +
       (if (topExcludedActive.nonEmpty)
-        s" TopNExcluded: ${topExcludedActive.size} files" else "")
+        s" TopNExcluded: ${topExcludedActive.size} files" else "") +
+      asOf.fold("")(n => s" AsOfSave: $n")
 
   /** Planning-time statistics from state already in hand — the
     * LOAD-TIME listing (no namenode round-trip per plan) and the zone
@@ -1291,7 +1324,11 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
           fpMap.get(p).contains((len, mtime)) &&
           zm.get(p).exists(z =>
             !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, zonePaths))))
-    JsonDocSource.listFiles(spark, ps).flatMap { case (p, len, mtime) =>
+    // a time-travel scan reads its resolved snapshot, never the live
+    // listing (which is a later version of the table)
+    val population =
+      if (asOf.isDefined) fingerprint else JsonDocSource.listFiles(spark, ps)
+    population.flatMap { case (p, len, mtime) =>
       if (topExcludedActive.get(p).contains((len, mtime)) ||
         zoneSkips(p, len, mtime)) {
         JsonDocSource.zoneSkippedFiles.incrementAndGet()

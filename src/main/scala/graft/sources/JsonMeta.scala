@@ -66,18 +66,25 @@ object JsonMeta {
   private case class Entry(len: Long, mtime: Long,
                            result: JsonDocSource.FileResult)
       extends Serializable
-  private case class SegBlob(version: Int, entries: Map[String, Entry])
+  /** One save's diff: changed/new entries plus the names REMOVED from
+    * the live table since the previous save (tombstones — what makes
+    * the segment chain a reconstructible history, r13 time travel). */
+  private case class SegBlob(version: Int, entries: Map[String, Entry],
+                             removed: Set[String])
       extends Serializable
-  private val Version = 2
+  private val Version = 3
 
   private[sources] case class SegRef(name: String, count: Int,
-                                     minKey: String, maxKey: String)
+                                     minKey: String, maxKey: String,
+                                     save: Long)
 
   /** What one save did — `written` is the diff actually serialized
     * (the ∝-diff contract the spec pins), `total` the table's live
-    * entry count, `segments` the post-save segment count. */
+    * entry count, `segments` the post-save segment count, `saveId` the
+    * save's stable id in the manifest history (−1 when nothing was
+    * written — the table was unchanged and no segment was minted). */
   final case class SaveReport(total: Int, written: Int, segments: Int,
-                              compacted: Boolean)
+                              compacted: Boolean, saveId: Long = -1L)
 
   private def metaDir(root: Path): Path = new Path(root, MetaDirName)
   private def manifestPath(root: Path): Path =
@@ -118,7 +125,8 @@ object JsonMeta {
   private val manifests =
     scala.collection.mutable.HashMap.empty[String, (Long, Long, Option[Seq[SegRef]])]
   private val segments =
-    scala.collection.mutable.HashMap.empty[String, Option[Map[String, Entry]]]
+    scala.collection.mutable.HashMap
+      .empty[String, Option[(Map[String, Entry], Set[String])]]
 
   private def readManifest(fs: FileSystem, root: Path): Option[Seq[SegRef]] = {
     val mp = manifestPath(root)
@@ -140,7 +148,8 @@ object JsonMeta {
                 node.get("segments").elements().forEachRemaining { s =>
                   segs += SegRef(s.get("name").asText(),
                     s.get("count").asInt(),
-                    s.get("min").asText(), s.get("max").asText())
+                    s.get("min").asText(), s.get("max").asText(),
+                    s.get("save").asLong())
                 }
                 Some(segs.result())
               }
@@ -165,6 +174,7 @@ object JsonMeta {
       val o = arr.addObject()
       o.put("name", r.name); o.put("count", r.count)
       o.put("min", r.minKey); o.put("max", r.maxKey)
+      o.put("save", r.save)
     }
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
@@ -178,15 +188,16 @@ object JsonMeta {
     manifests.synchronized { manifests.remove(mp.toString) }
   }
 
-  private def readSegment(fs: FileSystem, root: Path,
-                          name: String): Option[Map[String, Entry]] = {
+  private def readSegment(fs: FileSystem, root: Path, name: String)
+      : Option[(Map[String, Entry], Set[String])] = {
     val sp = new Path(metaDir(root), name)
     segments.synchronized {
       segments.getOrElseUpdate(sp.toString,
         try {
           val in = new SafeObjectInputStream(fs.open(sp))
           try in.readObject() match {
-            case b: SegBlob if b.version == Version => Some(b.entries)
+            case b: SegBlob if b.version == Version =>
+              Some((b.entries, b.removed))
             case _ => None
           } finally in.close()
         } catch { case scala.util.control.NonFatal(_) => None })
@@ -194,16 +205,21 @@ object JsonMeta {
   }
 
   private def writeSegment(fs: FileSystem, root: Path,
-                           entries: Map[String, Entry]): SegRef = {
+                           entries: Map[String, Entry],
+                           removed: Set[String], save: Long): SegRef = {
     val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}.bin"
     val sp = new Path(metaDir(root), name)
     fs.mkdirs(sp.getParent)
     // no tmp dance needed: the file is invisible until a manifest
     // references it, and names are never reused
     val out = new java.io.ObjectOutputStream(fs.create(sp, true))
-    try out.writeObject(SegBlob(Version, entries)) finally out.close()
+    try out.writeObject(SegBlob(Version, entries, removed))
+    finally out.close()
+    // a deletion-only segment has no keys: an empty [min, max] range
+    // ("" > any key) never intersects a lookup
     val keys = entries.keys
-    SegRef(name, entries.size, keys.min, keys.max)
+    if (keys.isEmpty) SegRef(name, 0, "\u0001", "", save)
+    else SegRef(name, entries.size, keys.min, keys.max, save)
   }
 
   /** Serve memory-missed keys from the durable metas of the load
@@ -231,18 +247,28 @@ object JsonMeta {
           .filter(k => !k.whole && k.path.startsWith(prefix))
           .map(k => k.path.substring(prefix.length) -> k).toMap
         refs.reverseIterator.foreach { ref =>
-          if (wanted.nonEmpty &&
-            wanted.keysIterator.exists(k =>
-              ref.minKey <= k && k <= ref.maxKey)) {
-            readSegment(fs, root, ref.name).foreach { entries =>
+          if (wanted.nonEmpty) {
+            val mayHold = wanted.keysIterator.exists(k =>
+              ref.minKey <= k && k <= ref.maxKey)
+            // deletion-only segments have an empty key range but their
+            // tombstones still end the search for a removed name
+            val seg = if (mayHold || ref.count == 0)
+              readSegment(fs, root, ref.name) else None
+            seg.foreach { case (entries, removed) =>
               wanted.foreach { case (rel, k) =>
-                entries.get(rel).foreach { e =>
-                  if (e.len == k.len && e.mtime == k.mtime)
-                    found += k -> e.result
-                  // served OR superseded-stale: either way this key's
-                  // answer came from the newest segment holding it —
-                  // older segments must not resurrect an older entry
-                  wanted -= rel
+                entries.get(rel) match {
+                  case Some(e) =>
+                    if (e.len == k.len && e.mtime == k.mtime)
+                      found += k -> e.result
+                    // served OR superseded-stale: either way this key's
+                    // answer came from the newest segment holding it —
+                    // older segments must not resurrect an older entry
+                    wanted -= rel
+                  case None =>
+                    // a newer tombstone ends the search the same way: an
+                    // older segment's entry describes a DELETED file's
+                    // bytes, not whatever now bears the name
+                    if (removed.contains(rel)) wanted -= rel
                 }
               }
             }
@@ -278,28 +304,43 @@ object JsonMeta {
       else None
     }.toMap
     val refs = readManifest(fs, root).getOrElse(Seq.empty)
-    // union of live segments, later wins — only fingerprints matter
-    // for the diff, so stale entries compare unequal and re-serialize
+    // fold of live segments in save order (entries win, tombstones
+    // remove) = the live table as of the last save; only fingerprints
+    // matter for the diff, so stale entries compare unequal and
+    // re-serialize
     val persisted: Map[String, Entry] = refs.iterator
-      .flatMap(ref => readSegment(fs, root, ref.name).iterator)
-      .foldLeft(Map.empty[String, Entry])(_ ++ _)
+      .map(ref => readSegment(fs, root, ref.name))
+      .foldLeft(Map.empty[String, Entry]) {
+        case (acc, Some((entries, removed))) => (acc -- removed) ++ entries
+        case (acc, None) => acc
+      }
     val diff = current.filter { case (k, e) =>
       !persisted.get(k).exists(p => p.len == e.len && p.mtime == e.mtime)
     }
+    // tombstones: names live at the previous save, gone now — a
+    // deletion-only change MUST mint a segment (the as-of history
+    // would otherwise replay a removed file into later reads)
+    val removedNow = persisted.keySet.diff(current.keySet)
     // drop the pre-segmentation blob if one lingers (format v1)
     val legacy = new Path(metaDir(root), "cache")
     if (fs.exists(legacy)) fs.delete(legacy, false)
-    if (diff.isEmpty && refs.nonEmpty && refs.size <= MaxSegments)
+    if (diff.isEmpty && removedNow.isEmpty && refs.nonEmpty &&
+      refs.size <= MaxSegments)
       return SaveReport(current.size, 0, refs.size, compacted = false)
+    val nextSave = refs.iterator.map(_.save).foldLeft(0L)(math.max) + 1L
     val compacting = refs.size >= MaxSegments
     val (newRefs, written) =
       if (compacting || refs.isEmpty) {
         // one segment holding exactly the live table (drops deleted
-        // files' entries and every superseded duplicate)
+        // files' entries, every superseded duplicate, and the
+        // reconstructible HISTORY — earlier saves become a documented
+        // as-of error, the VACUUM trade)
         if (current.isEmpty) (Seq.empty[SegRef], 0)
-        else (Seq(writeSegment(fs, root, current)), current.size)
+        else (Seq(writeSegment(fs, root, current, Set.empty, nextSave)),
+          current.size)
       } else
-        (refs :+ writeSegment(fs, root, diff), diff.size)
+        (refs :+ writeSegment(fs, root, diff, removedNow, nextSave),
+          diff.size)
     writeManifest(fs, root, newRefs)
     if (compacting) {
       // unreferenced segments die AFTER the manifest commit — a
@@ -324,7 +365,81 @@ object JsonMeta {
       }
     }
     SaveReport(current.size, written, newRefs.size,
-      compacted = compacting)
+      compacted = compacting, saveId = nextSave)
+  }
+
+  /** The save ids available for time travel on this table, ascending
+    * (compaction squashes history into its own single save id). */
+  def saves(spark: SparkSession, dir: String): Seq[Long] = {
+    val root0 = new Path(dir)
+    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, root0.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).makeQualified(root0))
+      .getOrElse(Seq.empty).map(_.save).sorted
+  }
+
+  /** TIME TRAVEL resolution: the table's file population as of save
+    * `asOf` — the fold of manifest segments with save id ≤ asOf
+    * (entries win, tombstones remove), as absolute (path, len, mtime).
+    * Fails LOUDLY (never wrong rows) when:
+    *   - the table has no (readable) manifest;
+    *   - `asOf` predates the oldest live segment — compaction past
+    *     [[MaxSegments]] squashes history (the documented VACUUM
+    *     trade), so earlier saves are no longer reconstructible;
+    *   - `asOf` postdates the newest save (nothing was ever saved
+    *     under that id);
+    *   - a resolved file's bytes are gone or fingerprint-drifted —
+    *     compaction/overwrite physically removed the historical bytes
+    *     (graftjson retains no unreferenced files; a time-travel
+    *     deployment pairs saves with retention, like any lakehouse). */
+  def asOfListing(spark: SparkSession, dir: String,
+                  asOf: Long): Seq[(String, Long, Long)] = {
+    val root0 = new Path(dir)
+    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(root0)
+    val refs = readManifest(fs, root).getOrElse(throw new IllegalStateException(
+      s"graftjson: $dir has no planning-metadata manifest — time travel " +
+        "needs saves (refreshMeta=true writes, compact(refreshMeta=true), " +
+        "or JsonMeta.save)"))
+    require(refs.nonEmpty, s"graftjson: $dir has an empty manifest")
+    val ordered = refs.sortBy(_.save)
+    val (lo, hi) = (ordered.head.save, ordered.last.save)
+    if (asOf < lo) throw new IllegalStateException(
+      s"graftjson: save $asOf of $dir is no longer reconstructible — " +
+        s"segment compaction squashed history before save $lo (the " +
+        "documented VACUUM trade: compaction past " + MaxSegments +
+        " segments drops earlier as-of points)")
+    if (asOf > hi) throw new IllegalArgumentException(
+      s"graftjson: $dir has no save $asOf (latest is $hi)")
+    val folded = ordered.takeWhile(_.save <= asOf).foldLeft(
+      Map.empty[String, Entry]) { (acc, ref) =>
+      readSegment(fs, root, ref.name) match {
+        case Some((entries, removed)) => (acc -- removed) ++ entries
+        case None => throw new IllegalStateException(
+          s"graftjson: segment ${ref.name} of $dir is unreadable — " +
+            s"save $asOf cannot be reconstructed")
+      }
+    }
+    val q = root.toString
+    val prefix = if (q.endsWith("/")) q else q + "/"
+    folded.toSeq.sortBy(_._1).map { case (rel, e) =>
+      val p = new Path(root, rel)
+      val st = try fs.getFileStatus(p) catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"graftjson: save $asOf of $dir references $rel, whose bytes " +
+              "were physically removed (compaction/overwrite reclaims " +
+              "replaced files immediately) — this save is gone, not wrong")
+      }
+      if (st.getLen != e.len || st.getModificationTime != e.mtime)
+        throw new IllegalStateException(
+          s"graftjson: save $asOf of $dir references $rel at " +
+            s"(len=${e.len}, mtime=${e.mtime}) but the live file is " +
+            s"(len=${st.getLen}, mtime=${st.getModificationTime}) — the " +
+            "name was reused after the historical bytes were removed")
+      val _ = prefix
+      (p.toString, e.len, e.mtime)
+    }
   }
 
   /** Test hook: drop parsed memos (simulates a fresh JVM). */

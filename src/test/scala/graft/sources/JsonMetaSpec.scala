@@ -270,4 +270,96 @@ class JsonMetaSpec extends SparkTestBase {
     }
     assert(ww >= 1L, "whole-mode load must not be served by NDJSON meta")
   }
+
+  test("time travel: asOfSave reads each historical population; tombstones replay deletions") {
+    val dir = new java.io.File(graft.TempRoots.path("jm_timetravel"))
+    dir.mkdirs()
+    def put(name: String, ids: Seq[Int]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      ids.foreach(i => w.println(s"""{"id": $i}"""))
+      w.close()
+    }
+    put("a.json", Seq(1, 2))
+    val s1 = JsonMeta.save(spark, dir.toString).saveId
+    put("b.json", Seq(3, 4))
+    val s2 = JsonMeta.save(spark, dir.toString).saveId
+    // deletion-only change MUST mint a save (the tombstone rule)
+    new java.io.File(dir, "a.json").delete()
+    val s3 = JsonMeta.save(spark, dir.toString).saveId
+    assert(s3 > 0, "a deletion-only save must mint a segment")
+    put("c.json", Seq(5))
+    val s4 = JsonMeta.save(spark, dir.toString).saveId
+    assert(JsonMeta.saves(spark, dir.toString) == Seq(s1, s2, s3, s4))
+    def idsAsOf(n: Long): Seq[Long] =
+      spark.read.format("graftjson").option("asOfSave", n.toString)
+        .load(dir.toString)
+        .select(col("id")).collect().map(_.getAs[Number](0).longValue)
+        .sorted.toSeq
+    // b.json still exists bit-identical, so save 2 reconstructs even
+    // though a.json is gone from saves 3-4... no: save 1/2 include
+    // a.json whose bytes are GONE — they must fail loudly, not lie
+    val e1 = intercept[IllegalStateException](idsAsOf(s1))
+    assert(e1.getMessage.contains("physically removed"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](idsAsOf(s2))
+    assert(e2.getMessage.contains("physically removed"), e2.getMessage)
+    // save 3 (post-delete) and save 4 reconstruct exactly
+    assert(idsAsOf(s3) == Seq(3L, 4L))
+    assert(idsAsOf(s4) == Seq(3L, 4L, 5L))
+    // the live read sees the latest, time travel never mutates it
+    assert(spark.read.format("graftjson").option("refresh", "true")
+      .load(dir.toString).count() == 3)
+    // zone maps ride the meta for as-of scans too
+    val z = spark.read.format("graftjson")
+      .option("asOfSave", s4.toString).option("zonemaps", "true")
+      .load(dir.toString)
+    assert(z.where(col("id") === 5).count() == 1L)
+    // out-of-range ids fail with the documented messages
+    val eFuture = intercept[Exception](idsAsOf(s4 + 10))
+    assert(eFuture.getMessage.contains("no save"), eFuture.getMessage)
+    // a time-travel table is read-only and unstreamable
+    val eWrite = intercept[Exception] {
+      spark.range(1).selectExpr("id")
+        .write.format("graftjson").option("asOfSave", s4.toString)
+        .mode("append").save(dir.toString)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(eWrite).exists(_.contains("read-only")),
+      chain(eWrite).mkString(" | "))
+  }
+
+  test("time travel: append-only history reconstructs every save; compaction past MaxSegments degrades to the documented error") {
+    val dir = new java.io.File(graft.TempRoots.path("jm_tt_compact"))
+    dir.mkdirs()
+    // append-only epochs: no file is ever deleted, so EVERY save stays
+    // byte-reconstructible while its segment lives
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val saves = (1 to JsonMeta.MaxSegments + 2).map { e =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, f"e$e%02d.json"))
+      w.println(s"""{"id": $e}"""); w.close()
+      ids += e.toLong
+      (e, JsonMeta.save(spark, dir.toString).saveId)
+    }
+    def idsAsOf(n: Long): Seq[Long] =
+      spark.read.format("graftjson").option("asOfSave", n.toString)
+        .load(dir.toString)
+        .select(col("id")).collect().map(_.getAs[Number](0).longValue)
+        .sorted.toSeq
+    val live = JsonMeta.saves(spark, dir.toString)
+    // compaction happened at least once past MaxSegments — history
+    // squashed into single saves; the LATEST save always reconstructs
+    assert(live.nonEmpty && live.size <= JsonMeta.MaxSegments + 1)
+    assert(idsAsOf(live.last) == (1 to JsonMeta.MaxSegments + 2).map(_.toLong))
+    // every still-live save reconstructs its prefix exactly
+    live.foreach { sv =>
+      val got = idsAsOf(sv)
+      assert(got == got.sorted && got.last <= JsonMeta.MaxSegments + 2)
+    }
+    // a squashed-away early save fails with the documented VACUUM error
+    val gone = saves.map(_._2).filterNot(live.contains)
+    assert(gone.nonEmpty, "expected compaction to squash early saves")
+    val e = intercept[IllegalStateException](idsAsOf(gone.min))
+    assert(e.getMessage.contains("no longer reconstructible"), e.getMessage)
+  }
 }
