@@ -89,8 +89,15 @@ object Bench {
     def timedCold(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
       val r = timed(fn)
       spark.catalog.clearCache()
+      // BLOCKING unpersist (r13): with blocking=false the block
+      // manager frees prior queries' cached blocks asynchronously,
+      // so a cache-heavy query can start while storage memory is
+      // still occupied by its predecessors' dying blocks — the prime
+      // suspect for r12's q161 suite-context spikes (3 of 4 passes
+      // ~4× isolated). Blocking costs milliseconds per query and
+      // makes "cold" mean the same thing in every suite position.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       r
     }
     // Isolated mode: `runMain graft.Bench q64 [nPasses]` runs ONE query

@@ -1928,11 +1928,23 @@ object TextOps {
     * cheap part. */
   def trainQualityClassifier(docs: DataFrame, iters: Int = 8,
                              ridge: Double = 1e-4): Array[Double] = {
-    val d = ClassifierDim
     val data = docs.select(classifierFeatures.as("x"),
         when(qualityOk, lit(1.0)).otherwise(lit(0.0)).as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try trainOnPrepared(data, iters, ridge)
+    finally { data.unpersist(blocking = false); () }
+  }
+
+  /** The IRLS loop over an already-projected (x, y) frame — shared by
+    * [[trainQualityClassifier]] and [[trainAndScoreQuality]] so the
+    * one-pass variant trains on the SAME cached projection it scores
+    * from (the r12 verdict's q139 item: the classifier's only
+    * corpus-sized costs are feature passes, so there must be exactly
+    * one). */
+  private def trainOnPrepared(data: DataFrame, iters: Int,
+                              ridge: Double): Array[Double] = {
+    val d = ClassifierDim
+    locally {
       val n = data.count().toDouble
       require(n > 0, "trainQualityClassifier on an empty corpus")
       var w = Array.fill(d)(0.0)
@@ -1962,7 +1974,30 @@ object TextOps {
         w = w.indices.map(i => w(i) + step(i)).toArray
       }
       w
-    } finally { data.unpersist(blocking = false); () }
+    }
+  }
+
+  /** Train AND score in ONE corpus pass: the (doc_id, x, y) projection
+    * persists once, the IRLS iterations fold over the cache, and the
+    * scores project from the SAME cached columns — where the
+    * train-then-[[qualityClassifierScores]] pair pays a second full
+    * read of `documents` re-computing every feature expression. Bit-
+    * identical output (same features, same gate, same weights — the
+    * iterations see the same exact decimal sums). The returned frame
+    * reads from the persisted projection; the session's
+    * clearCache-between-queries discipline reclaims it. */
+  def trainAndScoreQuality(docs: DataFrame, iters: Int = 8,
+                           ridge: Double = 1e-4): DataFrame = {
+    val data = docs.select(col("doc_id"), classifierFeatures.as("x"),
+        when(qualityOk, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weights = trainOnPrepared(data, iters, ridge)
+    val margin = weights.zipWithIndex.map { case (wj, j) =>
+      lit(wj) * element_at(col("x"), j + 1) }.reduce(_ + _)
+    data.select(col("doc_id"),
+        col("y").cast("long").as("label"),
+        round(lit(1.0) / (lit(1.0) + exp(-margin)), 4).as("p_quality"))
+      .withColumn("pred", (col("p_quality") >= 0.5).cast("long"))
   }
 
   /** Score every document under trained weights: calibrated

@@ -168,25 +168,49 @@ object Analytic {
       |    < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
       |       FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
 
-  /** Approximate-percentile sketch twin of q76 (the exact/sketch
-    * pairing q20/q21 establish for distinct counts): Spark's
-    * `percentile_approx` aggregates a mergeable Greenwald-Khanna-style
-    * sketch partial+final — no per-group sort, no window, rank error
-    * bounded by n/accuracy — which is the 100 TB path when the exact
-    * window-sort of q76 is too expensive. Rows-only by nature
-    * (sketch-algorithm-specific values); ApproxPercentileSpec bounds
-    * its error against q76's exact quartiles. */
-  private def q92(s: SparkSession, dir: String): DataFrame =
+  /** Percentile sketch twin of q76 (the exact/sketch pairing q20/q21
+    * establish for distinct counts): Spark's `percentile_approx`
+    * aggregates a mergeable Greenwald-Khanna-style sketch
+    * partial+final — no per-group sort, no window, rank error bounded
+    * by n/accuracy — the 100 TB path when q76's exact window-sort is
+    * too expensive. ORACLED since r13 (previously rows-only): the
+    * output carries the EXACT interpolated quartiles of `l_quantity`
+    * (integer-valued with quarter-exact interpolation fractions, so
+    * both engines' `lo + (hi−lo)·f` is bit-identical in double — the
+    * cross-engine determinism rule) computed by the sort-free exact
+    * `percentile` aggregate, plus a boolean pinning the SKETCH within
+    * its rank-error envelope of those quartiles in the same pass; the
+    * oracle asserts the boolean as the literal TRUE, so a sketch
+    * regression flips the hash. Rank error n/10000 over ~50 distinct
+    * integer values keeps the value envelope ≤ 1.0 with wide margin
+    * (AnalyticSpec keeps the tighter relative pin). */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val qd = col("l_quantity").cast("double")
+    val fracs = array(lit(0.25), lit(0.5), lit(0.75))
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        percentile_approx(dec(col("l_extendedprice"), 14, 2),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ps"))
+        percentile(qd, fracs).as("eps"),
+        percentile_approx(dec(col("l_quantity"), 12, 2), fracs,
+          lit(10000)).as("aps"))
       .select(col("l_returnflag"), col("n_rows"),
-        asD(col("ps").getItem(0)).as("p25"),
-        asD(col("ps").getItem(1)).as("p50"),
-        asD(col("ps").getItem(2)).as("p75"))
+        asD(col("eps").getItem(0)).as("p25"),
+        asD(col("eps").getItem(1)).as("p50"),
+        asD(col("eps").getItem(2)).as("p75"),
+        (abs(asD(col("aps").getItem(0)) - asD(col("eps").getItem(0))) <= 1.0 &&
+          abs(asD(col("aps").getItem(1)) - asD(col("eps").getItem(1))) <= 1.0 &&
+          abs(asD(col("aps").getItem(2)) - asD(col("eps").getItem(2))) <= 1.0)
+          .as("approx_in_envelope"))
       .orderBy(col("l_returnflag"))
+  }
+
+  private val q92Sql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75,
+      |  TRUE AS approx_in_envelope
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Deterministic per-group mode: most frequent value with an
     * explicit (count DESC, value ASC) tiebreak — the built-in `mode`
@@ -1746,8 +1770,9 @@ object Analytic {
     "q175_bfs_hops" -> (q175 _))
   // q168 rows-only like q142: the label recursion has no SQL oracle;
   // GraphOpsSpec pins exact communities on synthetic graphs
-  // q147 rows-only like q21/q92: sketch internals have no SQL oracle;
-  // AnalyticSpec pins the CMS bound + layout determinism
+  // q147 rows-only like q21: sketch internals have no SQL oracle;
+  // AnalyticSpec pins the CMS bound + layout determinism (q92 is
+  // oracled since r13: exact quartiles + in-query sketch envelope)
 
   val oracle: Map[String, String] = Map(
     "q215_touch_attribution" -> q215Sql,
@@ -1760,6 +1785,7 @@ object Analytic {
     "q198_ri_audit" -> q198Sql,
     "q199_benford_audit" -> q199Sql,
     "q76_exact_percentiles" -> q76Sql,
+    "q92_approx_percentiles" -> q92Sql,
     "q77_ntile_buckets" -> q77Sql,
     "q78_exists_subquery" -> q78Sql,
     "q79_scalar_subquery" -> q79Sql,

@@ -73,14 +73,46 @@ object JsonQueries {
       |FROM events GROUP BY k ORDER BY k""".stripMargin
 
   /** Flagship: the reference's whole purpose as one query — the
-    * discovered DDL + flat schema of the JSON column (rows-only check;
-    * no DuckDB equivalent exists for lattice inference). */
+    * discovered schema of the JSON column. ORACLED since r13
+    * (previously rows-only): the inference runs distributed, BOTH
+    * renderers execute on the result (a regression fails the query
+    * loudly; byte-exact dialect parity lives in the 11 golden HType
+    * suites), and the OUTPUT hashes the APPLIED schema — the struct
+    * arity of the discovered type plus aggregates of the column
+    * materialized under it via `from_json` — which DuckDB reproduces
+    * from the raw JSON (`json_keys` for the arity, `json_extract` for
+    * the field). A wrong lattice join changes the arity or the
+    * materialized values and flips the hash. */
   private def q46(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "events")
-      .agg(InferSchema.of(col("props"), "ddl").as("ddl"),
-        InferSchema.of(col("props"), "flat").as("flat"),
-        count(lit(1)).as("n_docs"))
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+    val inferred = events.select(col("props")).as[String]
+      .select(new InferSchemaAgg().toColumn).head().canonical
+    val ddl = InferSchema.render(inferred, "ddl")
+    val flat = InferSchema.render(inferred, "flat")
+    require(ddl.startsWith("create table") && flat.startsWith("root"),
+      s"inference render regressed:\n$ddl\n$flat")
+    val schema = InferSchema.toSparkType(inferred)
+    val nFields = schema match {
+      case st: org.apache.spark.sql.types.StructType => st.fields.length
+      case _ => 1
+    }
+    events.select(from_json(col("props"), schema).as("p"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p.k").cast("bigint")).as("k_sum"),
+        min(col("p.k").cast("bigint")).as("k_min"),
+        max(col("p.k").cast("bigint")).as("k_max"))
+      .withColumn("n_fields", lit(nFields.toLong))
   }
+
+  private val q46Sql =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+      |  (SELECT count(DISTINCT key)
+      |   FROM (SELECT unnest(json_keys(props)) AS key FROM events) t) AS n_fields
+      |FROM events""".stripMargin
 
   /** Shredder as a queryable operator: leaf-path histogram of the shred
     * output (full shred rides a flatMap; the aggregation shape is what
@@ -1275,6 +1307,7 @@ object JsonQueries {
     "q144_jsonl_roundtrip" -> q144Sql,
     "q39_asof_join" -> q39Sql,
     "q44_json_extract" -> q44Sql,
+    "q46_infer_schema" -> q46Sql,
     "q45_infer_apply" -> q45Sql,
     // q46 rows-only: lattice inference has no SQL equivalent
     "q47_shred_histogram" -> q47Sql,

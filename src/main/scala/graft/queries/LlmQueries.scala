@@ -501,12 +501,13 @@ object LlmQueries {
     * expressible); TextOpsSpec pins accuracy above the majority
     * baseline, bit parity with a local reference trainer, and
     * layout-independent weights. */
-  private def q139(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    TextOps.qualityClassifierScores(docs,
-        TextOps.trainQualityClassifier(docs))
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    // one corpus pass: the (doc_id, features, label) projection
+    // persists once and feeds BOTH the IRLS iterations and the scores
+    // (r12 verdict #5 — the previous train-then-score pair re-read
+    // documents and re-computed every feature expression)
+    TextOps.trainAndScoreQuality(Tables(s, dir, "documents"))
       .orderBy(col("doc_id"))
-  }
 
   private def q62(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDup(Tables(s, dir, "embeddings"), 0.4)

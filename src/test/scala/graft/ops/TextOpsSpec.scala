@@ -80,6 +80,19 @@ class TextOpsSpec extends SparkTestBase {
     val baseline = math.max(scored.count(_._1 == 1L),
       scored.count(_._1 == 0L)).toDouble / scored.length
     assert(acc > baseline + 0.03 && acc > 0.9, s"acc $acc baseline $baseline")
+
+    // the one-pass trainAndScoreQuality (q139's shape) is bit-identical
+    // to the train-then-score pair it replaces — same features, same
+    // gate, same exact-decimal iteration sums
+    val onePass = TextOps.trainAndScoreQuality(real).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("label"),
+        r.getAs[Double]("p_quality"), r.getAs[Long]("pred")))
+      .sortBy(_._1).toSeq
+    val twoPass = TextOps.qualityClassifierScores(real, w).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("label"),
+        r.getAs[Double]("p_quality"), r.getAs[Long]("pred")))
+      .sortBy(_._1).toSeq
+    assert(onePass == twoPass)
   }
 
   test("exact dedup groups identical token sets") {

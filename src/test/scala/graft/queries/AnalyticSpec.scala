@@ -35,20 +35,27 @@ class AnalyticSpec extends SparkTestBase {
   }
 
   test("approx percentiles stay within sketch error of the exact quartiles") {
-    // accuracy=10000 bounds rank error by n/10000; at this SF the
-    // groups are small enough that the sketch lands within a hair of
-    // the exact interpolated quartile — 1% relative is generous slack
-    // for the interpolation-vs-order-statistic definitional gap
+    // q92 (oracled since r13) carries the check in-query: the exact
+    // sort-free `percentile` quartiles of l_quantity ride the output
+    // and the sketch's deviation from them is pinned by the
+    // approx_in_envelope boolean the DuckDB oracle asserts as TRUE.
+    // Here: the boolean holds per group, and the groups agree with
+    // q76's windowed exact path on membership and sizes.
     val exact = q("q76_exact_percentiles").collect()
       .map(r => r.getString(0) -> r).toMap
     val approx = q("q92_approx_percentiles").collect()
       .map(r => r.getString(0) -> r).toMap
     assert(exact.keySet == approx.keySet)
-    for ((flag, e) <- exact; a = approx(flag); p <- Seq("p25", "p50", "p75")) {
-      val (ev, av) = (e.getAs[Double](p), a.getAs[Double](p))
-      assert(math.abs(av - ev) <= math.abs(ev) * 0.01,
-        s"$p of $flag: approx $av vs exact $ev")
-      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"))
+    for ((flag, a) <- approx) {
+      assert(a.getAs[Boolean]("approx_in_envelope"),
+        s"sketch outside its envelope for flag $flag")
+      assert(a.getAs[Long]("n_rows") ==
+        exact(flag).getAs[Long]("n_rows"))
+      // quantity quartiles are quarter-exact doubles in [1, 50]
+      for (p <- Seq("p25", "p50", "p75")) {
+        val v = a.getAs[Double](p)
+        assert(v >= 1.0 && v <= 50.0 && (v * 4).isWhole, s"$p = $v")
+      }
     }
   }
 
