@@ -290,15 +290,30 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** HLL sketch distinct — the 100 TB path where exact distinct would
-    * shuffle every key. No oracle: sketch estimates are
-    * implementation-specific (driver records a rows-only check). */
+    * shuffle every key. ORACLED since r13 (previously rows-only, the
+    * q92 promotion pattern): the sketch estimate is implementation-
+    * specific, so the OUTPUT carries the exact distinct count plus a
+    * boolean pinning the HLL++ estimate inside its 3·rsd envelope of
+    * it, computed in the same pass; the oracle asserts the boolean as
+    * the literal TRUE — a sketch regression flips the hash while the
+    * estimate itself never has to match across engines. */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_items"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_items"),
+        (abs(col("ap").cast("double") - col("n_parts").cast("double")) <=
+          greatest(lit(1.0), col("n_parts").cast("double") * 0.03))
+          .as("hll_in_envelope"))
       .orderBy(col("l_returnflag"))
   }
+
+  private val q21Sql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_items, TRUE AS hll_in_envelope
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** ROLLUP hierarchy totals; subtotal rows are disambiguated with
     * COALESCE sentinels (dialect-portable, the raw data is never null). */
@@ -1091,6 +1106,7 @@ object Relational {
     "q17_map_fns" -> q17Sql,
     "q19_array_fns" -> q19Sql,
     "q20_distinct_agg" -> q20Sql,
+    "q21_hll_distinct" -> q21Sql,
     // q21 intentionally has no oracle (sketch estimate)
     "q22_rollup" -> q22Sql,
     "q23_cube" -> q23Sql,

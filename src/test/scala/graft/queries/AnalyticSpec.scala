@@ -60,17 +60,19 @@ class AnalyticSpec extends SparkTestBase {
   }
 
   test("HLL distinct estimate stays within 3 sigma of the exact count") {
-    // q21 runs approx_count_distinct(l_partkey, rsd=0.01); the HLL++
-    // relative standard deviation bounds the estimate, so 3*rsd is a
-    // ~99.7% envelope around q20's exact count(DISTINCT l_partkey)
+    // q21 (oracled since r13, the q92 promotion pattern) carries the
+    // check in-query: approx_count_distinct's deviation from the exact
+    // countDistinct computed in the same pass is pinned by the
+    // hll_in_envelope boolean the DuckDB oracle asserts as TRUE
     val exact = q("q20_distinct_agg").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
     val approx = q("q21_hll_distinct").collect()
-      .map(r => r.getString(0) -> r.getAs[Long]("approx_parts")).toMap
+      .map(r => r.getString(0) -> r).toMap
     assert(exact.keySet == approx.keySet)
-    for ((flag, ev) <- exact; av = approx(flag)) {
-      assert(math.abs(av - ev) <= math.max(1.0, ev * 0.03),
-        s"flag $flag: approx $av vs exact $ev exceeds 3*rsd")
+    for ((flag, ev) <- exact; a = approx(flag)) {
+      assert(a.getAs[Boolean]("hll_in_envelope"),
+        s"flag $flag: HLL outside its 3*rsd envelope")
+      assert(a.getAs[Long]("n_parts") == ev)
     }
   }
 
