@@ -373,8 +373,7 @@ object JsonMeta {
   def saves(spark: SparkSession, dir: String): Seq[Long] = {
     val root0 = new Path(dir)
     val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readManifest(fs, root0.getFileSystem(
-      spark.sparkContext.hadoopConfiguration).makeQualified(root0))
+    readManifest(fs, fs.makeQualified(root0))
       .getOrElse(Seq.empty).map(_.save).sorted
   }
 
@@ -420,8 +419,6 @@ object JsonMeta {
             s"save $asOf cannot be reconstructed")
       }
     }
-    val q = root.toString
-    val prefix = if (q.endsWith("/")) q else q + "/"
     folded.toSeq.sortBy(_._1).map { case (rel, e) =>
       val p = new Path(root, rel)
       val st = try fs.getFileStatus(p) catch {
@@ -437,7 +434,6 @@ object JsonMeta {
             s"(len=${e.len}, mtime=${e.mtime}) but the live file is " +
             s"(len=${st.getLen}, mtime=${st.getModificationTime}) — the " +
             "name was reused after the historical bytes were removed")
-      val _ = prefix
       (p.toString, e.len, e.mtime)
     }
   }
