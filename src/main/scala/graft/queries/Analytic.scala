@@ -745,9 +745,7 @@ object Analytic {
     * sketch row on the driver and evaluates `estimateCount` via a UDF
     * over exactly the 20 post-limit audit rows — bounded cold path,
     * not a hot-path UDF (the repo invariant concerns per-row
-    * pipelines). Rows-only: DuckDB has no CMS; AnalyticSpec pins the
-    * CMS guarantee est ∈ [exact, exact + ⌈eps·N⌉] and cross-layout
-    * determinism instead. At 100 TB the sketch is the point: a
+    * pipelines). At 100 TB the sketch is the point: a
     * fixed-size (eps,δ) summary of an unbounded token stream,
     * mergeable across any number of executors — the heavy-hitter
     * audit (q123) keeps exact counts only for candidates; this keeps
@@ -766,17 +764,29 @@ object Analytic {
     val bound = math.ceil(eps * skRow.getAs[Long]("n_total")).toLong
     val bc = s.sparkContext.broadcast(cms)
     val est = udf((w: String) => bc.value.estimateCount(w))
+    // ORACLED since r13 (the q21/q92 envelope pattern): the sketch's
+    // estimates are implementation-specific, so they stay OUT of the
+    // hashed output — the exact top-20 counts ride it along with the
+    // boolean pinning every estimate inside the CMS guarantee
+    // est ∈ [exact, exact + ⌈eps·N⌉], which the oracle asserts as the
+    // literal 1. A sketch regression (undercount, blown bound) flips
+    // the hash; AnalyticSpec keeps the layout-determinism pin.
     toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("w")).limit(20)
       .withColumn("cms_est", est(col("w")))
-      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
       .withColumn("within_bound",
         (col("cms_est") >= col("exact_cnt") &&
-          col("overcount") <= lit(bound)).cast("int").cast("bigint"))
-      .select(col("w"), col("exact_cnt"), col("cms_est"), col("overcount"),
-        col("within_bound"))
+          col("cms_est") - col("exact_cnt") <= lit(bound))
+          .cast("int").cast("bigint"))
+      .select(col("w"), col("exact_cnt"), col("within_bound"))
       .orderBy(col("exact_cnt").desc, col("w"))
   }
+
+  private val q147Sql =
+    """SELECT w, count(*) AS exact_cnt, CAST(1 AS BIGINT) AS within_bound
+      |FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |      FROM documents) t
+      |GROUP BY w ORDER BY exact_cnt DESC, w LIMIT 20""".stripMargin
 
   // ---- registry -----------------------------------------------------------
 
@@ -1770,9 +1780,9 @@ object Analytic {
     "q175_bfs_hops" -> (q175 _))
   // q168 rows-only like q142: the label recursion has no SQL oracle;
   // GraphOpsSpec pins exact communities on synthetic graphs
-  // q147 rows-only like q21: sketch internals have no SQL oracle;
-  // AnalyticSpec pins the CMS bound + layout determinism (q92 is
-  // oracled since r13: exact quartiles + in-query sketch envelope)
+  // q21/q92/q147 are oracled since r13 via the envelope pattern:
+  // exact values + an in-query boolean pinning the sketch inside its
+  // guarantee; AnalyticSpec keeps the layout-determinism pins
 
   val oracle: Map[String, String] = Map(
     "q215_touch_attribution" -> q215Sql,
@@ -1786,6 +1796,7 @@ object Analytic {
     "q199_benford_audit" -> q199Sql,
     "q76_exact_percentiles" -> q76Sql,
     "q92_approx_percentiles" -> q92Sql,
+    "q147_countmin_audit" -> q147Sql,
     "q77_ntile_buckets" -> q77Sql,
     "q78_exists_subquery" -> q78Sql,
     "q79_scalar_subquery" -> q79Sql,

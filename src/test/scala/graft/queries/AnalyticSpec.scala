@@ -106,12 +106,12 @@ class AnalyticSpec extends SparkTestBase {
   test("count-min estimates respect the CMS bound and ignore layout") {
     val rows = q("q147_countmin_audit").collect()
     assert(rows.length == 20)
-    for (r <- rows) {
-      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt"),
-        s"undercount on ${r.getAs[String]("w")}")
+    // within_bound encodes the whole CMS guarantee in-query
+    // (est >= exact AND est - exact <= ceil(eps*N)); the DuckDB
+    // oracle asserts it as the literal 1 since the r13 promotion
+    for (r <- rows)
       assert(r.getAs[Long]("within_bound") == 1L,
-        s"overcount beyond eps*N on ${r.getAs[String]("w")}")
-    }
+        s"CMS outside its guarantee on ${r.getAs[String]("w")}")
     // cell-wise-additive counters ⇒ the merged sketch (and so every
     // estimate) is identical under any partitioning of the stream
     val one = spark.read.parquet(s"$sfDir/documents.parquet").coalesce(1)
