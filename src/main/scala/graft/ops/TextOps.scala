@@ -2165,6 +2165,31 @@ object TextOps {
       .where(probe)
   }
 
+  /** Screen-then-verify bloom contamination with a no-false-negatives
+    * AUDIT (r13, the oracle-promotion shape): the bloom screen runs as
+    * in [[bloomContamination]], then the EXACT contaminated set (the
+    * q70 fingerprint semi-join) is computed and each true positive
+    * carries whether the screen flagged it. `bloom_flagged = false`
+    * would be a false NEGATIVE — impossible by the bloom guarantee —
+    * so an external oracle can assert the column as literal TRUE while
+    * the row set is the exactly-recomputable contaminated set; a probe
+    * regression (wrong hash family, truncated sketch bytes) flips it.
+    * The screen's value at 100 TB is unchanged: candidates ⊆ scan, the
+    * verify join touches only them. */
+  def bloomContaminationAudit(train: DataFrame, eval_ : DataFrame,
+                              expectedEvalDocs: Long = 100000L,
+                              fpp: Double = 0.01): DataFrame = {
+    val flagged = bloomContamination(train, eval_, expectedEvalDocs, fpp)
+    val evalFps = eval_
+      .select(tokenSetFingerprint(col("text")).as("fp")).distinct()
+    train.select(col("doc_id"), tokenSetFingerprint(col("text")).as("fp"))
+      .join(evalFps, Seq("fp"), "left_semi")
+      .join(flagged.select(col("doc_id"),
+        lit(true).as("bloom_flagged")), Seq("doc_id"), "left")
+      .select(col("fp"), col("doc_id"),
+        coalesce(col("bloom_flagged"), lit(false)).as("bloom_flagged"))
+  }
+
   /** One row per DISTINCT word n-gram per document — the
     * substring-granularity unit shared by [[crossDocBoilerplate]] and
     * [[ngramContamination]]. Distinct per doc: a doc repeating its own

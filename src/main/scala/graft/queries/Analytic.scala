@@ -1114,8 +1114,7 @@ object Analytic {
     * exact size — the optimizer-statistics question ("how big will
     * this join be?") answered without joining the relations. The
     * estimate never undercounts (per hash row, co-bucketed keys only
-    * ADD cross terms). Rows-only (the hash family is not SQL-
-    * expressible); SketchesSpec pins est ≥ exact, the width=1
+    * ADD cross terms). SketchesSpec pins est ≥ exact, the width=1
     * degenerate closed form Na·Nb, collision-free equality, and
     * layout independence. */
   private def q188(s: SparkSession, dir: String): DataFrame = {
@@ -1131,13 +1130,26 @@ object Analytic {
       .join(l.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
       .agg(sum(col("ca").cast("decimal(18,0)") *
         col("cb").cast("decimal(18,0)")).as("exact"))
+    // ORACLED since r13 (the envelope pattern): the estimate is
+    // hash-family-specific, so the hashed output carries the EXACT
+    // join size (DuckDB-recomputable) plus the sketch's one
+    // DETERMINISTIC guarantee — never undercounting (co-bucketed keys
+    // only ADD cross terms) — as a boolean the oracle asserts TRUE;
+    // SketchesSpec keeps the closed-form and layout-independence pins
     exact.crossJoin(est)
       .select(col("exact").cast("bigint").as("exact_rows"),
-        col("est").cast("bigint").as("est_rows"))
-      .withColumn("overcount", col("est_rows") - col("exact_rows"))
-      .withColumn("ratio",
-        round(col("est_rows").cast("double") / col("exact_rows"), 4))
+        (col("est").cast("bigint") >= col("exact").cast("bigint"))
+          .as("never_undercounts"))
   }
+
+  private val q188Sql =
+    """SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_rows,
+      |  TRUE AS never_undercounts
+      |FROM (SELECT k, count(*) AS ca
+      |      FROM (SELECT o_orderkey AS k FROM orders) GROUP BY k) a
+      |JOIN (SELECT k, count(*) AS cb
+      |      FROM (SELECT l_orderkey AS k FROM lineitem) GROUP BY k) b
+      |USING (k)""".stripMargin
 
   /** Approximate functional-dependency profiling (q189): for each
     * candidate determinant→dependent column pair, the Tane g3 error —
@@ -1797,6 +1809,7 @@ object Analytic {
     "q76_exact_percentiles" -> q76Sql,
     "q92_approx_percentiles" -> q92Sql,
     "q147_countmin_audit" -> q147Sql,
+    "q188_join_size_estimate" -> q188Sql,
     "q77_ntile_buckets" -> q77Sql,
     "q78_exists_subquery" -> q78Sql,
     "q79_scalar_subquery" -> q79Sql,

@@ -10,16 +10,31 @@ import org.apache.spark.sql.functions._
   * [[LlmQueries]]. */
 object Curation {
 
-  /** Bloom-filter contamination screen (rows-only: the flag set
-    * includes the filter's false positives, which are hash-family-
-    * specific — the exact semi-join q70 is the precision pass). */
+  /** Bloom-filter contamination screen. ORACLED since r13 (previously
+    * rows-only — the raw flag set includes hash-family-specific false
+    * positives): the screen still runs, but the output is the EXACT
+    * contaminated set (the q70 fingerprint semantics, DuckDB-
+    * recomputable) with each row carrying whether the bloom flagged it
+    * — false would be a false NEGATIVE, impossible by the bloom
+    * guarantee, so the oracle asserts the column as literal TRUE and a
+    * probe regression flips the hash
+    * ([[TextOps.bloomContaminationAudit]]). */
   private def q85(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    TextOps.bloomContamination(
+    TextOps.bloomContaminationAudit(
       docs.where(col("source") =!= "src0"),
       docs.where(col("source") === "src0"))
       .orderBy(col("doc_id"))
   }
+
+  private val q85Sql =
+    """WITH fp AS (SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(coalesce(text, ''), ' '))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT fp, doc_id, TRUE AS bloom_flagged FROM fp
+      |WHERE source <> 'src0'
+      |  AND fp IN (SELECT fp FROM fp WHERE source = 'src0')
+      |ORDER BY doc_id""".stripMargin
 
   /** Int8 quantization audit: per-dimension scale + exact
     * reconstruction-error aggregates. */
@@ -566,7 +581,7 @@ object Curation {
     "q226_semantic_decontam" -> (q226 _))
 
   val oracle: Map[String, String] = Map(
-    // q85 rows-only: Bloom false positives are hash-family-specific
+    "q85_bloom_contamination" -> q85Sql,
     "q86_embedding_quantize" -> q86Sql,
     "q87_zipf_stats" -> q87Sql,
     "q88_stratified_sample" -> q88Sql,

@@ -626,6 +626,13 @@ class TextOpsSpec extends SparkTestBase {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(exact.subsetOf(bloomed),
       s"bloom missed true positives: ${exact -- bloomed}")
+    // the audit shape (q85's oracled form since r13): row set == the
+    // exact contaminated set, every row bloom-flagged (a false here is
+    // a false negative — impossible by the bloom guarantee)
+    val audit = TextOps.bloomContaminationAudit(train, eval_).collect()
+    assert(audit.map(_.getAs[Long]("doc_id")).toSet == exact)
+    assert(audit.forall(_.getAs[Boolean]("bloom_flagged")),
+      "audit reported a bloom false negative")
     // the precision pass: bloom-survivors ∩ exact == exact (composition
     // a 100 TB pipeline runs — bloom prunes, semi-join confirms)
     assert(bloomed.intersect(exact) == exact)
