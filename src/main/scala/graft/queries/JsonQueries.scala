@@ -1214,7 +1214,9 @@ object JsonQueries {
     * error, and the read-only/unstreamable guards are spec-pinned in
     * JsonMetaSpec. */
   private val q244Lock = new Object
-  private def q244(s: SparkSession, dir: String): DataFrame = {
+  /** The shared four-epoch ingest lifecycle q244 (as-of) and q245
+    * (change feed) both read — one build, two history probes. */
+  private def q244Export(s: SparkSession, dir: String): String = {
     val out = graft.TempRoots.path(
       s"graftjson_q244_${Integer.toHexString(dir.hashCode)}")
     q244Lock.synchronized {
@@ -1227,6 +1229,11 @@ object JsonQueries {
         }
       }
     }
+    out
+  }
+
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val out = q244Export(s, dir)
     val saves = graft.sources.JsonMeta.saves(s, out)
     require(saves.size >= 2, s"expected one save per epoch, got $saves")
     s.read.format("graftjson")
@@ -1246,7 +1253,39 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 4 IN (0, 1)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** CHANGE FEED end to end (`option("sinceSave", k)`, r13 — the
+    * incremental-consumption twin of q244's as-of read): the same
+    * four-epoch ingest lifecycle, then a read of exactly the files
+    * ADDED after the second save — the manifest fold up to the latest
+    * save minus the entries that existed at the baseline — which must
+    * equal DuckDB over the last two epochs' rows (`doc_id % 4 IN
+    * (2, 3)`). File granularity: a compaction between saves would
+    * re-surface rewritten files (coarser, never wrong — spec-pinned
+    * in JsonMetaSpec with the empty-feed and squashed-baseline
+    * guards). */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val out = q244Export(s, dir)
+    val saves = graft.sources.JsonMeta.saves(s, out)
+    require(saves.size >= 2, s"expected one save per epoch, got $saves")
+    s.read.format("graftjson")
+      .option("sinceSave", saves(1).toString)
+      .option("zonemaps", "true").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 47).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q245Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 47) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 4 IN (2, 3)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_change_feed" -> (q245 _),
     "q244_time_travel" -> (q244 _),
     "q243_zorder_recluster" -> (q243 _),
     "q242_writer_lease" -> (q242 _),
@@ -1281,6 +1320,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q245_change_feed" -> q245Sql,
     "q244_time_travel" -> q244Sql,
     "q243_zorder_recluster" -> q243Sql,
     "q242_writer_lease" -> q242Sql,

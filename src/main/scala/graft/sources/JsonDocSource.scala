@@ -93,37 +93,55 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   // refresh=true load would re-run the inference job once per call
   // (refresh bypasses the JVM-wide cache by design); with it, refresh
   // means exactly ONE fresh inference per .load()
-  private var memo: Option[(Seq[String], Boolean, Boolean, Option[Long],
+  private var memo: Option[(Seq[String], Boolean, Boolean, Option[String],
     (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]))] = None
 
   private def asOfOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("asOfSave")).map(_.toLong)
+
+  private def sinceOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("sinceSave")).map(_.toLong)
+
+  /** The PINNED-snapshot label when either history option is set —
+    * drives the read-only/unstreamable guards and the scan reading its
+    * resolved population instead of the live listing. */
+  private def snapshotOf(options: CaseInsensitiveStringMap): Option[String] =
+    (asOfOf(options), sinceOf(options)) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graftjson: asOfSave and sinceSave are mutually exclusive")
+      case (Some(a), None) => Some(s"asOfSave $a")
+      case (None, Some(sv)) => Some(s"sinceSave $sv")
+      case _ => None
+    }
 
   private def inferBoth(options: CaseInsensitiveStringMap)
       : (HType, Option[ZoneStats.ZoneMap], Seq[(String, Long, Long)]) = {
     val ps = paths(options)
     val whole = options.getBoolean("whole", false)
     val zonemaps = options.getBoolean("zonemaps", false)
-    val asOf = asOfOf(options)
-    // TIME TRAVEL: the listing comes from the meta manifest's history
-    // fold, not the live directory ([[JsonMeta.asOfListing]] — fails
+    val snap = snapshotOf(options)
+    // TIME TRAVEL / CHANGE FEED: the listing comes from the meta
+    // manifest's history fold, not the live directory
+    // ([[JsonMeta.asOfListing]]/[[JsonMeta.sinceListing]] — fail
     // loudly when the save is compacted away or its bytes are gone)
-    asOf.foreach { _ =>
-      require(!whole, "graftjson: asOfSave does not support whole=true " +
-        "(durable planning metadata covers NDJSON tables only)")
+    snap.foreach { _ =>
+      require(!whole, "graftjson: asOfSave/sinceSave do not support " +
+        "whole=true (durable planning metadata covers NDJSON tables only)")
       require(ps.size == 1,
-        "graftjson: asOfSave needs exactly one table directory")
+        "graftjson: asOfSave/sinceSave need exactly one table directory")
     }
     memo match {
       case Some((mp, mw, mz, ma, r)) if mp == ps && mw == whole &&
-        mz == zonemaps && ma == asOf =>
+        mz == zonemaps && ma == snap =>
         r
       case _ =>
-        val pre = asOf.map(n =>
-          JsonMeta.asOfListing(SparkSession.active, ps.head, n))
+        val pre = asOfOf(options).map(n =>
+            JsonMeta.asOfListing(SparkSession.active, ps.head, n))
+          .orElse(sinceOf(options).map(n =>
+            JsonMeta.sinceListing(SparkSession.active, ps.head, n)))
         val r = JsonDocSource.inferCached(ps, whole,
           options.getBoolean("refresh", false), zonemaps, preListed = pre)
-        memo = Some((ps, whole, zonemaps, asOf, r))
+        memo = Some((ps, whole, zonemaps, snap, r))
         r
     }
   }
@@ -154,7 +172,7 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
         val inferred = JsonDocSource.sparkSchemaOf(t)
         if (schema == inferred)
           new JsonDocTable(ps, whole, t, inferred, zones, fingerprint,
-            readError = None, asOf = asOfOf(options))
+            readError = None, snapshot = snapshotOf(options))
         else
           // a user-supplied READ schema must BE the inferred one: the
           // reader converts through the HType tree (unions and all),
@@ -165,12 +183,12 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
               s"graftjson: user schema must match the inferred schema\n" +
                 s"  given:    ${schema.simpleString}\n" +
                 s"  inferred: ${inferred.simpleString}"),
-            asOf = asOfOf(options))
+            snapshot = snapshotOf(options))
       case None =>
         new JsonDocTable(ps, whole, HNull, schema, None, Seq.empty,
           readError = Some(
             s"graftjson: path not found: ${ps.mkString(", ")}"),
-          asOf = asOfOf(options))
+          snapshot = snapshotOf(options))
     }
   }
 }
@@ -488,7 +506,7 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            zones: Option[ZoneStats.ZoneMap],
                            fingerprint: Seq[(String, Long, Long)],
                            readError: Option[String],
-                           asOf: Option[Long] = None)
+                           snapshot: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftjson(${ps.mkString(",")})"
@@ -508,13 +526,13 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
       Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      asOf = asOf)
+      snapshot = snapshot)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(asOf.isEmpty,
-      "graftjson: a time-travel (asOfSave) table is read-only")
+    require(snapshot.isEmpty,
+      "graftjson: a pinned-snapshot (asOfSave/sinceSave) table is read-only")
     require(ps.size == 1,
       s"graftjson: writes need exactly one target directory, got: " +
         ps.mkString(", "))
@@ -529,7 +547,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  fingerprint: Seq[(String, Long, Long)],
                                  maxFilesPerTrigger: Option[Int] = None,
                                  maxBytesPerTrigger: Option[Long] = None,
-                                 asOf: Option[Long] = None)
+                                 snapshot: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -593,7 +611,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   // A time-travel scan's population IS its resolved fingerprint —
   // the live directory is a different (later) version of the table
   private lazy val freshListing: Seq[(String, Long, Long)] =
-    if (asOf.isDefined) fingerprint
+    if (snapshot.isDefined) fingerprint
     else JsonDocSource.listFiles(SparkSession.active, ps)
 
   // files PROVABLY not needed for a pushed TopN/Limit, keyed with the
@@ -1108,7 +1126,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     case None =>
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
         maxSplitBytes, zones, fingerprint,
-        maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, asOf)
+        maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, snapshot)
   }
 }
 
@@ -1179,7 +1197,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           maxFilesPerTrigger: Option[Int] = None,
                           maxBytesPerTrigger: Option[Long] = None,
                           topExcluded: Map[String, (Long, Long)] = Map.empty,
-                          asOf: Option[Long] = None)
+                          snapshot: Option[String] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -1223,9 +1241,9 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(asOf.isEmpty,
-      "graftjson: a time-travel (asOfSave) table cannot be streamed — " +
-        "the snapshot is frozen; tail the live table instead")
+    require(snapshot.isEmpty,
+      "graftjson: a pinned-snapshot (asOfSave/sinceSave) table cannot " +
+        "be streamed — tail the live table instead")
     new JsonDocMicroBatchStream(SparkSession.active, checkpointLocation,
       ps, whole, t, full, required, pushed, maxSplitBytes,
       maxFilesPerTrigger, maxBytesPerTrigger)
@@ -1236,7 +1254,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       (if (zones.isDefined) s" ZoneMaps: ${zones.get.size} files" else "") +
       (if (topExcludedActive.nonEmpty)
         s" TopNExcluded: ${topExcludedActive.size} files" else "") +
-      asOf.fold("")(n => s" AsOfSave: $n")
+      snapshot.fold("")(n => s" Snapshot: $n")
 
   /** Planning-time statistics from state already in hand — the
     * LOAD-TIME listing (no namenode round-trip per plan) and the zone
@@ -1327,7 +1345,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     // a time-travel scan reads its resolved snapshot, never the live
     // listing (which is a later version of the table)
     val population =
-      if (asOf.isDefined) fingerprint else JsonDocSource.listFiles(spark, ps)
+      if (snapshot.isDefined) fingerprint
+      else JsonDocSource.listFiles(spark, ps)
     population.flatMap { case (p, len, mtime) =>
       if (topExcludedActive.get(p).contains((len, mtime)) ||
         zoneSkips(p, len, mtime)) {

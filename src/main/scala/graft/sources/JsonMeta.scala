@@ -377,6 +377,66 @@ object JsonMeta {
       .getOrElse(Seq.empty).map(_.save).sorted
   }
 
+  /** CHANGE-FEED resolution (file granularity): the files ADDED or
+    * REWRITTEN strictly after save `since` that are still live — the
+    * fold up to the latest save minus the entries that already existed
+    * (same name AND fingerprint) at `since`. Reading this listing
+    * gives every row landed since that save on an append-mostly table
+    * (the ingest-epoch shape); a compaction in between REWRITES files,
+    * so their full contents re-appear in the feed — coarser, never
+    * wrong (Delta's file-level CDF makes the same trade without
+    * row-level tracking). Fails loudly like [[asOfListing]] when
+    * `since` predates the oldest live segment (squashed history: the
+    * baseline is unknowable) or postdates the newest save. */
+  def sinceListing(spark: SparkSession, dir: String,
+                   since: Long): Seq[(String, Long, Long)] = {
+    val root0 = new Path(dir)
+    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(root0)
+    val refs = readManifest(fs, root).getOrElse(throw new IllegalStateException(
+      s"graftjson: $dir has no planning-metadata manifest — sinceSave " +
+        "needs saves (refreshMeta=true writes or JsonMeta.save)"))
+    require(refs.nonEmpty, s"graftjson: $dir has an empty manifest")
+    val ordered = refs.sortBy(_.save)
+    val (lo, hi) = (ordered.head.save, ordered.last.save)
+    if (since < lo) throw new IllegalStateException(
+      s"graftjson: save $since of $dir is no longer reconstructible — " +
+        s"segment compaction squashed history before save $lo, so the " +
+        "change baseline is unknowable")
+    if (since > hi) throw new IllegalArgumentException(
+      s"graftjson: $dir has no save $since (latest is $hi)")
+    def fold(upTo: Long): Map[String, Entry] =
+      ordered.takeWhile(_.save <= upTo).foldLeft(
+        Map.empty[String, Entry]) { (acc, ref) =>
+        readSegment(fs, root, ref.name) match {
+          case Some((entries, removed)) => (acc -- removed) ++ entries
+          case None => throw new IllegalStateException(
+            s"graftjson: segment ${ref.name} of $dir is unreadable — " +
+              s"the change feed since save $since cannot be resolved")
+        }
+      }
+    val base = fold(since)
+    val changed = fold(hi).filter { case (rel, e) =>
+      !base.get(rel).exists(b => b.len == e.len && b.mtime == e.mtime)
+    }
+    changed.toSeq.sortBy(_._1).map { case (rel, e) =>
+      val p = new Path(root, rel)
+      val st = try fs.getFileStatus(p) catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"graftjson: the change feed since save $since references " +
+              s"$rel, whose bytes were physically removed — run the feed " +
+              "before maintenance reclaims the epoch files")
+      }
+      if (st.getLen != e.len || st.getModificationTime != e.mtime)
+        throw new IllegalStateException(
+          s"graftjson: change-feed file $rel drifted from its save-time " +
+            s"fingerprint ((${e.len}, ${e.mtime}) vs (${st.getLen}, " +
+            s"${st.getModificationTime})) — save again and re-resolve")
+      (p.toString, e.len, e.mtime)
+    }
+  }
+
   /** TIME TRAVEL resolution: the table's file population as of save
     * `asOf` — the fold of manifest segments with save id ≤ asOf
     * (entries win, tombstones remove), as absolute (path, len, mtime).

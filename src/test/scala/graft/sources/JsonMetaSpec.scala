@@ -362,4 +362,51 @@ class JsonMetaSpec extends SparkTestBase {
     val e = intercept[IllegalStateException](idsAsOf(gone.min))
     assert(e.getMessage.contains("no longer reconstructible"), e.getMessage)
   }
+
+  test("change feed: sinceSave reads exactly the files added/rewritten after the save") {
+    val dir = new java.io.File(graft.TempRoots.path("jm_changefeed"))
+    dir.mkdirs()
+    def put(name: String, ids: Seq[Int]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      ids.foreach(i => w.println(s"""{"id": $i}"""))
+      w.close()
+    }
+    put("e1.json", Seq(1, 2))
+    val s1 = JsonMeta.save(spark, dir.toString).saveId
+    put("e2.json", Seq(3))
+    val s2 = JsonMeta.save(spark, dir.toString).saveId
+    put("e3.json", Seq(4, 5))
+    val s3 = JsonMeta.save(spark, dir.toString).saveId
+    def idsSince(n: Long): Seq[Long] =
+      spark.read.format("graftjson").option("sinceSave", n.toString)
+        .load(dir.toString)
+        .select(col("id")).collect().map(_.getAs[Number](0).longValue)
+        .sorted.toSeq
+    assert(idsSince(s1) == Seq(3L, 4L, 5L))
+    assert(idsSince(s2) == Seq(4L, 5L))
+    // nothing changed since the latest save → an empty feed
+    assert(spark.read.format("graftjson")
+      .option("sinceSave", s3.toString).load(dir.toString).count() == 0L)
+    // the two history options are mutually exclusive; the snapshot is
+    // read-only (the shared pinned-snapshot guard)
+    intercept[Exception](spark.read.format("graftjson")
+      .option("sinceSave", s1.toString).option("asOfSave", s2.toString)
+      .load(dir.toString).count())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val eW = intercept[Exception] {
+      spark.range(1).write.format("graftjson")
+        .option("sinceSave", s1.toString).mode("append").save(dir.toString)
+    }
+    assert(chain(eW).exists(_.contains("read-only")), chain(eW).mkString(" | "))
+    // a rewrite (compaction) re-surfaces the rewritten files' contents:
+    // coarser, never wrong
+    JsonCompact.compact(spark, dir.toString, targetBytes = 1L << 20)
+    val s4 = JsonMeta.save(spark, dir.toString).saveId
+    assert(idsSince(s3) == Seq(1L, 2L, 3L, 4L, 5L),
+      "the compacted file holds every row and was written after s3")
+    assert(spark.read.format("graftjson")
+      .option("sinceSave", s4.toString).load(dir.toString).count() == 0L)
+  }
 }
