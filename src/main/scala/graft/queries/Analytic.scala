@@ -1829,7 +1829,4 @@ object Analytic {
     "q163_pareto_frontier" -> q163Sql,
     "q165_linear_interp" -> q165Sql,
     "q175_bfs_hops" -> q175Sql)
-  // q92 intentionally has no oracle (sketch-algorithm-specific values,
-  // like q21's HLL estimate); ApproxPercentileSpec bounds its error
-  // against q76's exact quartiles instead
 }

@@ -1349,7 +1349,6 @@ object JsonQueries {
     "q44_json_extract" -> q44Sql,
     "q46_infer_schema" -> q46Sql,
     "q45_infer_apply" -> q45Sql,
-    // q46 rows-only: lattice inference has no SQL equivalent
     "q47_shred_histogram" -> q47Sql,
     "q48_tumbling_window" -> q48Sql,
     "q49_session_window" -> q49Sql,

@@ -1107,7 +1107,6 @@ object Relational {
     "q19_array_fns" -> q19Sql,
     "q20_distinct_agg" -> q20Sql,
     "q21_hll_distinct" -> q21Sql,
-    // q21 intentionally has no oracle (sketch estimate)
     "q22_rollup" -> q22Sql,
     "q23_cube" -> q23Sql,
     "q24_grouping_sets" -> q24Sql,

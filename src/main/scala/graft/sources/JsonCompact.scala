@@ -472,13 +472,13 @@ object JsonCompact {
       }, leafDt)
     // range exchange → per-partition sort: globally clustered output,
     // ~targetBytes per file; nulls (corrupt/blank lines) sort first
-    val arranged = andPath match {
+    val (arranged, releaseKeyed) = andPath match {
       case None =>
-        lines.toDF("line")
+        (lines.toDF("line")
           .withColumn("_k", keyUdf(col("line")))
           .repartitionByRange(parts, col("_k"))
           .sortWithinPartitions("_k")
-          .select("line")
+          .select("line"), () => ())
       case Some(p2) =>
         // Z-order: each key leaf → an order-preserving DOUBLE proxy
         // (numbers by value; strings by their first-8-UTF-8-bytes
@@ -495,9 +495,16 @@ object JsonCompact {
                   graft.infer.Materialize.parseDoc(line), tCap, sg))
             }, org.apache.spark.sql.types.DoubleType)
         val _ = leafDt2 // gate ran; the proxy handles both families
+        // persist: the stats agg AND the shuffle both consume the
+        // keyed frame, and each proxy column costs a full Jackson
+        // parse per line — without the cache the rewrite pays the
+        // dominant parse cost twice (review r13). Non-iterative
+        // reuse ⇒ MEMORY_AND_DISK per the r10 cache discipline;
+        // released below before the marker commit.
         val keyed = lines.toDF("line")
           .withColumn("_ka", proxyUdf(segsCap)(col("line")))
           .withColumn("_kb", proxyUdf(segs2)(col("line")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stats = keyed.agg(
           min(col("_ka")).as("alo"), max(col("_ka")).as("ahi"),
           min(col("_kb")).as("blo"), max(col("_kb")).as("bhi"))
@@ -506,13 +513,14 @@ object JsonCompact {
                   hi: org.apache.spark.sql.Column) =
           least(floor((v - lo) * 65535.0d / greatest(hi - lo, lit(1.0d))),
             lit(65535.0d)).cast("long")
-        keyed.crossJoin(broadcast(stats))
+        (keyed.crossJoin(broadcast(stats))
           .withColumn("_z", graft.ops.Sharding.morton(
             quant(col("_ka"), col("alo"), col("ahi")),
             quant(col("_kb"), col("blo"), col("bhi"))))
           .repartitionByRange(parts, col("_z"))
           .sortWithinPartitions("_z")
-          .select("line")
+          .select("line"),
+          () => { keyed.unpersist(blocking = false); () })
     }
     val run = java.util.UUID.randomUUID().toString.take(12)
     val conf = new graft.ops.Fs.SerializableConf(
@@ -539,6 +547,7 @@ object JsonCompact {
           Iterator.single((name, staged))
         }
       }.collect().sortBy(_._1)
+    releaseKeyed() // the staged bytes are durable; the cache is done
     // heartbeat + held check before the commit point (compact's rule)
     lease.touch()
     lease.verifyHeld()

@@ -346,7 +346,11 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
     // table namespace — a concurrent maintenance cycle fails loudly
     // instead of interleaving. Commit-scoped (not query-lifetime) so a
     // stopped stream never wedges the table until TTL.
-    JsonLease.withLease(fs, root, s"stream-epoch-$epochId") { _ =>
+    // retrySameLabel: a crashed commit of THIS epoch must not wedge
+    // the restarted stream for the TTL — the deterministic-replay
+    // contract makes the serial retry idempotent (review r13)
+    JsonLease.withLease(fs, root, s"stream-epoch-$epochId",
+      retrySameLabel = true) { _ =>
     // replay sweep: this epoch's namespace belongs to this commit —
     // files a crashed previous attempt already published go first, so
     // partitioning drift across restarts cannot strand stale files

@@ -104,9 +104,21 @@ private[graft] object JsonLease {
 
   /** Acquire the table's writer lease or throw. `what` names the
     * operation in the token (and thus in the conflict message the
-    * loser sees). */
+    * loser sees).
+    *
+    * `retrySameLabel`: a claimant whose `what` EXACTLY matches the
+    * fresh holder's label takes the slot over immediately instead of
+    * waiting out the TTL. Safe ONLY for operations that are serial
+    * retries of one logical op by construction — the streaming sink's
+    * epoch commits and ingestEpoch, whose labels carry the epoch id
+    * and whose deterministic-replay contract already makes a re-run
+    * idempotent: a crashed epoch commit would otherwise wedge the
+    * restarted stream for the whole TTL (review r13). Batch
+    * writes/compact/recluster keep the strict rule — two "write"s are
+    * different users, not a retry. */
   def acquire(fs: FileSystem, root: Path, what: String,
-              ttlMs: Long = DefaultTtlMs): Handle = {
+              ttlMs: Long = DefaultTtlMs,
+              retrySameLabel: Boolean = false): Handle = {
     require(ttlMs > 0, "ttlMs must be positive")
     val lp = leasePath(root)
     fs.mkdirs(lp.getParent)
@@ -115,17 +127,20 @@ private[graft] object JsonLease {
       catch { case _: java.io.FileNotFoundException => None }
     existing.foreach { st =>
       val age = System.currentTimeMillis() - st.getModificationTime
-      if (age < ttlMs) {
-        val holder =
-          try graft.ops.Fs.readFullyUtf8(fs, lp)
-          catch { case _: java.io.IOException => "<unreadable>" }
+      val holder =
+        try graft.ops.Fs.readFullyUtf8(fs, lp)
+        catch { case _: java.io.IOException => "<unreadable>" }
+      val sameLabel = retrySameLabel &&
+        holder.takeWhile(_ != '@') == what
+      if (age < ttlMs && !sameLabel) {
         throw new IllegalStateException(
           s"graftjson: $root is locked by a concurrent writer/maintenance " +
             s"run ('$holder', lease ${age / 1000}s old, TTL ${ttlMs / 1000}s) " +
             "— the store is single-writer; retry after it finishes, or " +
             "after the TTL if it crashed")
       }
-      // stale: the holder is presumed dead — take the slot over
+      // stale (or the serial retry of the same logical op): the
+      // holder is presumed dead — take the slot over
       fs.delete(lp, false)
     }
     val owner = s"$what@${java.net.InetAddress.getLocalHost.getHostName}:" +
@@ -152,8 +167,9 @@ private[graft] object JsonLease {
 
   /** Run `body` under the lease, releasing on every exit path. */
   def withLease[A](fs: FileSystem, root: Path, what: String,
-                   ttlMs: Long = DefaultTtlMs)(body: Handle => A): A = {
-    val h = acquire(fs, root, what, ttlMs)
+                   ttlMs: Long = DefaultTtlMs,
+                   retrySameLabel: Boolean = false)(body: Handle => A): A = {
+    val h = acquire(fs, root, what, ttlMs, retrySameLabel)
     try body(h) finally h.release()
   }
 }

@@ -72,11 +72,17 @@ object JsonMeta {
   private case class SegBlob(version: Int, entries: Map[String, Entry],
                              removed: Set[String])
       extends Serializable
-  private val Version = 3
+  private val Version = 4
 
+  /** `removed` counts the segment's tombstones: lookup must OPEN any
+    * tombstone-carrying segment even when the wanted key misses the
+    * ENTRY range — a mixed segment's tombstone for a name outside its
+    * [min, max] would otherwise never stop the search, and an OLDER
+    * segment's entry for the deleted (possibly recreated) name could
+    * be resurrected (review r13). */
   private[sources] case class SegRef(name: String, count: Int,
                                      minKey: String, maxKey: String,
-                                     save: Long)
+                                     save: Long, removed: Int)
 
   /** What one save did — `written` is the diff actually serialized
     * (the ∝-diff contract the spec pins), `total` the table's live
@@ -149,7 +155,7 @@ object JsonMeta {
                   segs += SegRef(s.get("name").asText(),
                     s.get("count").asInt(),
                     s.get("min").asText(), s.get("max").asText(),
-                    s.get("save").asLong())
+                    s.get("save").asLong(), s.get("rm").asInt())
                 }
                 Some(segs.result())
               }
@@ -174,7 +180,7 @@ object JsonMeta {
       val o = arr.addObject()
       o.put("name", r.name); o.put("count", r.count)
       o.put("min", r.minKey); o.put("max", r.maxKey)
-      o.put("save", r.save)
+      o.put("save", r.save); o.put("rm", r.removed)
     }
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(rootNode)) finally out.close()
@@ -218,8 +224,8 @@ object JsonMeta {
     // a deletion-only segment has no keys: an empty [min, max] range
     // ("" > any key) never intersects a lookup
     val keys = entries.keys
-    if (keys.isEmpty) SegRef(name, 0, "\u0001", "", save)
-    else SegRef(name, entries.size, keys.min, keys.max, save)
+    if (keys.isEmpty) SegRef(name, 0, "\u0001", "", save, removed.size)
+    else SegRef(name, entries.size, keys.min, keys.max, save, removed.size)
   }
 
   /** Serve memory-missed keys from the durable metas of the load
@@ -250,9 +256,11 @@ object JsonMeta {
           if (wanted.nonEmpty) {
             val mayHold = wanted.keysIterator.exists(k =>
               ref.minKey <= k && k <= ref.maxKey)
-            // deletion-only segments have an empty key range but their
-            // tombstones still end the search for a removed name
-            val seg = if (mayHold || ref.count == 0)
+            // ANY tombstone-carrying segment must be read: a tombstone
+            // for a name outside the segment's entry range still ends
+            // the search (a mixed segment's [min, max] covers only its
+            // ENTRIES — review r13)
+            val seg = if (mayHold || ref.removed > 0)
               readSegment(fs, root, ref.name) else None
             seg.foreach { case (entries, removed) =>
               wanted.foreach { case (rel, k) =>

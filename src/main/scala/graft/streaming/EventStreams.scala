@@ -229,7 +229,11 @@ object EventStreams {
     // enforced single-writer: the epoch's sweep-then-publish mutates
     // the table namespace — a concurrent write/compact fails loudly
     // ([[graft.sources.JsonLease]], r13)
-    graft.sources.JsonLease.withLease(fs, root, s"ingest-epoch-$batchId") { _ =>
+    // retrySameLabel: the foreachBatch retry of THIS epoch is a serial
+    // replay of the same logical op (deterministic epoch names) — it
+    // must not wait out a crashed attempt's lease TTL (review r13)
+    graft.sources.JsonLease.withLease(fs, root, s"ingest-epoch-$batchId",
+      retrySameLabel = true) { _ =>
     val tmp = new org.apache.hadoop.fs.Path(root, "_ingest_tmp")
     batch.repartition(nFiles).write.mode("overwrite").json(tmp.toString)
     val parts = fs.listStatus(tmp)

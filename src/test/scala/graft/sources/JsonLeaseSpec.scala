@@ -123,6 +123,36 @@ class JsonLeaseSpec extends SparkTestBase {
     assert(!fs.exists(JsonLease.leasePath(root)))
   }
 
+  test("same-label retry takes over a crashed epoch lease immediately; other labels still wait the TTL") {
+    val dir = freshTable("lease_retry", files = 1)
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    // a crashed epoch commit left its fresh lease behind
+    JsonLease.acquire(fs, root, "stream-epoch-7") // never released
+    // a DIFFERENT label must still fail (the strict single-writer rule)
+    intercept[IllegalStateException](
+      JsonLease.acquire(fs, root, "compact"))
+    intercept[IllegalStateException](
+      JsonLease.acquire(fs, root, "stream-epoch-8", retrySameLabel = true))
+    // the serial retry of the SAME epoch takes over without the TTL
+    val retry = JsonLease.acquire(fs, root, "stream-epoch-7",
+      retrySameLabel = true)
+    retry.verifyHeld()
+    retry.release()
+    // end to end: a crashed ingestEpoch's lease does not wedge the
+    // replay of the same batch id
+    val batch = spark.range(3).select(col("id"), lit("r").as("s"))
+    graft.streaming.EventStreams.ingestEpoch(batch, dir, batchId = 9L)
+    JsonLease.acquire(fs, root, "ingest-epoch-9") // simulate the crash
+    graft.streaming.EventStreams.ingestEpoch(batch, dir, batchId = 9L)
+    assert(!fs.exists(JsonLease.leasePath(root)))
+    // ...but a different epoch's ingest still loses to it
+    val h = JsonLease.acquire(fs, root, "ingest-epoch-9")
+    intercept[IllegalStateException](
+      graft.streaming.EventStreams.ingestEpoch(batch, dir, batchId = 10L))
+    h.release()
+  }
+
   test("maintenance sweep never deletes a live lease; a failed write's stage debris is swept under the next lease") {
     val dir = freshTable("lease_sweep")
     val root = new Path(dir)

@@ -363,6 +363,47 @@ class JsonMetaSpec extends SparkTestBase {
     assert(e.getMessage.contains("no longer reconstructible"), e.getMessage)
   }
 
+  test("a mixed segment's tombstone outside its entry range still stops lookup (no resurrection)") {
+    // review r13: a segment with entries {zz} and tombstone {aa} has
+    // SegRef range [zz, zz]; a lookup of aa must STILL read it (the
+    // removed count forces the open) — falling through would serve an
+    // OLDER segment's entry for the deleted name, which a recreated
+    // file with colliding (len, mtime) would then wear
+    val dir = new java.io.File(graft.TempRoots.path("jm_tomb_range"))
+    dir.mkdirs()
+    def put(name: String, ids: Seq[Int]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      ids.foreach(i => w.println(s"""{"id": $i}"""))
+      w.close()
+    }
+    put("aa.json", Seq(1))
+    JsonMeta.save(spark, dir.toString) // segment 1 holds aa's entry
+    val aa = new java.io.File(dir, "aa.json")
+    val (len, mtime) = (aa.length(), aa.lastModified())
+    aa.delete()
+    put("zz.json", Seq(2))
+    JsonMeta.save(spark, dir.toString) // mixed: entry zz + tombstone aa
+    // recreate aa with DIFFERENT bytes but a COLLIDING fingerprint
+    put("aa.json", Seq(9))
+    val aa2 = new java.io.File(dir, "aa.json")
+    assert(aa2.length() == len, "fixture must collide on length")
+    aa2.setLastModified(mtime)
+    freshJvm()
+    // the PLANNING must WALK aa.json (the tombstone ends the meta
+    // search): a resurrected stale entry would carry id∈[1,1] zone
+    // bounds for a file whose bytes now hold 9 — and a zone-consulting
+    // probe for 9 would then UNSOUNDLY SKIP the file
+    val z = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    val got = z.where(col("id") === 9).select(col("id"))
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(got == Seq(9L),
+      s"got $got — a resurrected stale zone skipped the recreated file")
+    val ids = z.select(col("id")).collect()
+      .map(_.getAs[Number](0).longValue).sorted.toSeq
+    assert(ids == Seq(2L, 9L), s"got $ids")
+  }
+
   test("change feed: sinceSave reads exactly the files added/rewritten after the save") {
     val dir = new java.io.File(graft.TempRoots.path("jm_changefeed"))
     dir.mkdirs()
