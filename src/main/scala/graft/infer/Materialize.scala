@@ -23,8 +23,21 @@ import scala.jdk.CollectionConverters._
   */
 object Materialize {
 
-  // one thread-safe mapper per executor JVM, not per row
+  // one thread-safe mapper per executor JVM, not per row.
+  // USE_BIG_DECIMAL_FOR_FLOATS: Jackson's default parses non-integer
+  // JSON numbers into DOUBLES, silently rounding any decimal past
+  // double's ~16 significant digits BEFORE conversion ever sees the
+  // text — a p22 literal materialized thousands off its written value,
+  // violating the "decimal values survive exactly" contract AND the
+  // zone-proof premise that a decimal path's materialized value IS its
+  // raw literal (the r13 fuzzer caught a metadata SUM answering from
+  // exact literal sums while the engine summed double-rounded values).
+  // Exact DecimalNodes fix both; float/double columns are unaffected
+  // (Double.valueOf of the exact decimal text is the same correctly-
+  // rounded double Jackson's own parse produced).
   @transient private lazy val mapper = new ObjectMapper()
+    .configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   /** [[InferSchema.toSparkType]] with non-materializable `NullType`
     * leaves replaced by (always-null) strings. */

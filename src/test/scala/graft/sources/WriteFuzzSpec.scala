@@ -61,6 +61,14 @@ class WriteFuzzSpec extends SparkTestBase {
       ColGen(StructField("dc", DecimalType(20, 4)), rr =>
         new java.math.BigDecimal(rr.nextLong() % 100000000L)
           .movePointLeft(rr.nextInt(5)).setScale(4)),
+      // precision past double's ~16 significant digits: exact
+      // round-trip requires the reader's exact-decimal parse (the r13
+      // Jackson-double fix) — these values round-tripped thousands off
+      // before it
+      ColGen(StructField("bigdc", DecimalType(24, 4)), rr =>
+        new java.math.BigDecimal("1234567890123456789")
+          .add(new java.math.BigDecimal(rr.nextInt(1000000)))
+          .movePointLeft(rr.nextInt(3)).setScale(4)),
       ColGen(StructField("st", StringType), strVal),
       ColGen(StructField("bl", BooleanType), rr => rr.nextBoolean()),
       ColGen(StructField("bin", BinaryType), rr =>

@@ -39,8 +39,8 @@ import scala.util.Random
   * tests, TestJsonSchemaFinder.java:70-117. */
 class ZoneFuzzSpec extends SparkTestBase {
 
-  private val Corpora = 10
-  private val ProbesPerCorpus = 105 // 10 × 105 = 1050 generated cases
+  private val Corpora = 12 // seed 11 found the Jackson-double decimal bug (r13)
+  private val ProbesPerCorpus = 105 // 12 × 105 + lifecycle replays ≈ 1500 cases
 
   // ---------------------------------------------------------------
   // corpus generation
@@ -228,7 +228,8 @@ class ZoneFuzzSpec extends SparkTestBase {
     assert(g == w,
       s"""FUZZ DIVERGENCE [$what] (zone-skipped files during probe: $skipped)
          |  zone-side (${g.size} rows): ${g.take(8).mkString(" ")}
-         |  truth     (${w.size} rows): ${w.take(8).mkString(" ")}""".stripMargin)
+         |  truth     (${w.size} rows): ${w.take(8).mkString(" ")}
+         |  PLAN: ${got.queryExecution.executedPlan.toString.take(1500)}""".stripMargin)
   }
 
   // ---------------------------------------------------------------

@@ -1611,6 +1611,43 @@ class ZoneMapSpec extends SparkTestBase {
     }
   }
 
+  test("decimals past double precision materialize EXACTLY; metadata SUM equals the engine (fuzzer r13)") {
+    // Jackson's default parse put non-integer numbers through DOUBLES,
+    // rounding a p22 literal thousands off its written value before
+    // conversion ever saw the text — the zone walker folds the exact
+    // raw literal, so the metadata-answered SUM disagreed with the
+    // engine's scan sum (ZoneFuzzSpec corpus 11 probe 13). The exact-
+    // decimal mapper fixes value fidelity and the proof premise both.
+    val dir = new java.io.File(graft.TempRoots.path("zm_bigdec"))
+    dir.mkdirs()
+    def put(file: String, lines: String*): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, file))
+      lines.foreach(w.println); w.close()
+    }
+    put("f1.json",
+      """{"id": 1, "amt": 12345678901234567890.12}""",
+      """{"id": 2, "amt": -0.0042}""")
+    put("f2.json",
+      """{"id": 3, "amt": 12345678901234567890.12}""")
+    val z = spark.read.format("graftjson").option("zonemaps", "true")
+      .load(dir.toString)
+    // value fidelity: the materialized decimal IS the literal
+    val vals = z.select(col("amt").cast("string")).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(vals == Seq("-0.0042", "12345678901234567890.1200",
+      "12345678901234567890.1200"), vals)
+    // metadata-answered SUM == the engine's own aggregation
+    val meta = z.agg(sum(col("amt")).as("s"))
+    assert(meta.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "expected a metadata answer")
+    val got = meta.collect()(0).getDecimal(0)
+    val want = spark.read.format("graftjson").load(dir.toString)
+      .withColumn("g", lit(1)).groupBy(col("g"))
+      .agg(sum(col("amt")).as("s")).collect()(0).getDecimal(1)
+    assert(got.compareTo(want) == 0, s"$got vs $want")
+    assert(got.compareTo(new JBD("24691357802469135780.2358")) == 0, got)
+  }
+
   test("walkUnit: concatenated docs, non-object roots, corrupt tails") {
     val z0 = ZoneStats.emptyFile
     val z1 = ZoneStats.walkUnit("""{"a": 3}{"a": 7, "b": "x"}""", z0)
