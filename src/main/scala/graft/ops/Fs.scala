@@ -68,6 +68,44 @@ private[graft] object Fs {
     } finally in.close()
   }
 
+  /** Streaming byte-compare of two (epoch-sized — micro-batch) files,
+    * called by the ingest/sink replay paths only after their lengths
+    * already matched: a content-identical replay must KEEP the
+    * published file (an overwrite bumps its mtime, drifting it out of
+    * every historical save's fingerprint — r14). The pages were just
+    * written, so this is a memory-speed scan. */
+  def sameBytes(fs: org.apache.hadoop.fs.FileSystem,
+                a: Path, b: Path): Boolean = {
+    val ia = fs.open(a); val ib = fs.open(b)
+    try {
+      val ba = new Array[Byte](1 << 16)
+      val bb = new Array[Byte](1 << 16)
+      var same = true
+      var done = false
+      while (same && !done) {
+        val na = ia.read(ba)
+        if (na < 0) done = true
+        else {
+          // fill exactly na bytes from b to mirror a's read
+          var off = 0
+          while (same && off < na) {
+            val nb = ib.read(bb, 0, na - off)
+            if (nb <= 0) same = false
+            else {
+              var i = 0
+              while (same && i < nb) {
+                if (ba(off + i) != bb(i)) same = false
+                i += 1
+              }
+              off += nb
+            }
+          }
+        }
+      }
+      same && ib.read(bb, 0, 1) < 0
+    } finally { ia.close(); ib.close() }
+  }
+
   /** Hadoop `Configuration` is not java-serializable; this wrapper
     * ships it into executor-side readers via its own write/readFields
     * (the same shape as Spark's internal SerializableConfiguration,

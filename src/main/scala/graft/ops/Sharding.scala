@@ -514,10 +514,22 @@ object Sharding {
             col("doc_id").cast("string"), col("op"),
             coalesce(col("source"), lit("null")),
             coalesce(col("n_chars").cast("string"), lit("null"))))
-          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("h"))
+          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("h"),
+        // the r13-and-earlier signature formula (keys only), kept so a
+        // ledger written before the content-hash upgrade still detects
+        // its own batch's replay — without it the retry computes a
+        // new-format sig, mismatches, and DOUBLE-APPLIES the delta
+        // (ADVICE r13)
+        coalesce(sum(xxhash64(concat_ws("|",
+            col("doc_id").cast("string"), col("op")))
+          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("h1"))
         .collect()(0)
-      val sig = s"${sigRow.getLong(0)}:${sigRow.get(1)}"
-      if (Fs.readUtf8IfExists(spark, ledger).contains(sig)) {
+      // the recorded value carries a format tag from v2 on; a tagless
+      // recorded value is the legacy keys-only formula by construction
+      val sig = s"v2:${sigRow.getLong(0)}:${sigRow.get(1)}"
+      val legacySig = s"${sigRow.getLong(0)}:${sigRow.get(2)}"
+      val recorded = Fs.readUtf8IfExists(spark, ledger)
+      if (recorded.contains(sig) || recorded.contains(legacySig)) {
         deleteDir(spark, staging)
         return spark.read.parquet(statsDir)
       }

@@ -1284,7 +1284,73 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 4 IN (2, 3)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** RETENTION lifecycle end to end ([[graft.sources.JsonMeta.vacuum]],
+    * r14 — VERDICT r13 #2): the documents table lands in FOUR ingest
+    * epochs (one save each), then `vacuum(retainSaves = 2)` prunes
+    * history to the newest two as-of points, folding the older saves
+    * into a base segment at the horizon and physically reclaiming the
+    * superseded segment files. The SURVIVING side: the as-of read at
+    * the horizon save (= the first three epochs, `doc_id % 4 IN
+    * (0, 1, 2)`) must still match DuckDB over the parquet original —
+    * a vacuum that mis-folds entries or tombstones flips the
+    * checksums. The PRUNED side: an as-of below the horizon must fail
+    * with the NAMED retention message (never wrong rows), pinned here
+    * as an in-query boolean the oracle fixes TRUE (the q21/q92
+    * envelope pattern). Fold/sweep/no-op/lease mechanics are
+    * spec-pinned in JsonMetaSpec. */
+  private val q246Lock = new Object
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q246_${Integer.toHexString(dir.hashCode)}")
+    q246Lock.synchronized {
+      buildOnce(s, out) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        (0L until 4L).foreach { e =>
+          EventStreams.ingestEpoch(
+            docs.where(pmod(col("doc_id"), lit(4)) === e), out, batchId = e)
+        }
+        val rep = graft.sources.JsonMeta.vacuum(s, out, retainSaves = 2)
+        require(rep.squashed >= 2 && rep.retainedSaves.size == 2,
+          s"vacuum did not prune the four-save history: $rep")
+      }
+    }
+    val saves = graft.sources.JsonMeta.saves(s, out)
+    require(saves.size == 2, s"expected two retained saves, got $saves")
+    // pruned side: the save below the horizon fails with the NAMED
+    // retention message — anything else (wrong rows, the generic
+    // squash error) flips the envelope boolean and the oracle hash
+    val prunedNamed =
+      try {
+        s.read.format("graftjson")
+          .option("asOfSave", (saves.head - 1L).toString).load(out).count()
+        false
+      } catch {
+        case e: IllegalStateException =>
+          e.getMessage.contains("vacuum retention")
+        case _: Exception => false
+      }
+    s.read.format("graftjson")
+      .option("asOfSave", saves.head.toString)
+      .option("zonemaps", "true").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 53).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .withColumn("pruned_named_error", lit(prunedNamed))
+      .orderBy(col("lang"))
+  }
+
+  private val q246Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 53) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS pruned_named_error
+      |FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_vacuum_retention" -> (q246 _),
     "q245_change_feed" -> (q245 _),
     "q244_time_travel" -> (q244 _),
     "q243_zorder_recluster" -> (q243 _),
@@ -1320,6 +1386,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q246_vacuum_retention" -> q246Sql,
     "q245_change_feed" -> q245Sql,
     "q244_time_travel" -> q244Sql,
     "q243_zorder_recluster" -> q243Sql,

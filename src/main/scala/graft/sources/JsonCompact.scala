@@ -161,16 +161,41 @@ object JsonCompact {
   /** Delete staging leftovers that no marker references — the debris
     * of a run that crashed BEFORE its commit point. Sound under the
     * single-writer maintenance contract: with no marker present,
-    * nothing in `_compaction/` is reachable by any reader. */
+    * nothing in `_compaction/` is reachable by any reader.
+    *
+    * One staging population is NOT lease-covered debris: the streaming
+    * sink's epoch files (`stream-*`). The sink stages them DURING the
+    * epoch and only takes the lease at commit, so a compact that wins
+    * the lease between/inside epochs could otherwise sweep a LIVE
+    * epoch's staging out from under its upcoming commit (VERDICT r13
+    * #1). FRESH `stream-*` staging (younger than the lease TTL) is
+    * therefore treated as live: maintenance fails LOUDLY instead of
+    * sweeping — stop the stream (or outwait the TTL after a stream
+    * crash) before compacting a tailed-into table. Stale `stream-*`
+    * files are a dead stream's debris and sweep like everything else;
+    * every other population is lease-covered for its whole write, so
+    * by the time anyone else can acquire, it is ≥TTL old. */
   private def clearStaleStage(fs: FileSystem, root: Path): Unit = {
     val stage = new Path(root, MarkerDirName)
-    if (readMarker(fs, root).isEmpty && fs.exists(stage))
-      Option(fs.listStatus(stage)).getOrElse(Array.empty)
+    if (readMarker(fs, root).isEmpty && fs.exists(stage)) {
+      val entries = Option(fs.listStatus(stage)).getOrElse(Array.empty)
         // the writer lease is live coordination state, not debris —
         // and under the lease the debris claim is now ENFORCED, not
         // assumed: only the lease holder reaches this sweep
         .filterNot(_.getPath.getName == JsonLease.LeaseFileName)
-        .foreach(st => fs.delete(st.getPath, false))
+      val now = System.currentTimeMillis()
+      val liveEpoch = entries.filter(st =>
+        st.getPath.getName.startsWith("stream-") &&
+          now - st.getModificationTime < JsonLease.DefaultTtlMs)
+      if (liveEpoch.nonEmpty) throw new IllegalStateException(
+        s"graftjson: a streaming epoch appears to be staging into $root " +
+          s"right now (${liveEpoch.length} fresh stream-* staged " +
+          "file(s), e.g. " + liveEpoch.head.getPath.getName + ") — " +
+          "maintenance must not sweep live epoch staging; stop the " +
+          "stream before maintaining, or retry after the lease TTL if " +
+          "it crashed")
+      entries.foreach(st => fs.delete(st.getPath, false))
+    }
   }
 
   /** Executor-side merge of one bin into one staged file: byte

@@ -348,24 +348,50 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
     // stopped stream never wedges the table until TTL.
     // retrySameLabel: a crashed commit of THIS epoch must not wedge
     // the restarted stream for the TTL — the deterministic-replay
-    // contract makes the serial retry idempotent (review r13)
-    JsonLease.withLease(fs, root, s"stream-epoch-$epochId",
-      retrySameLabel = true) { _ =>
-    // replay sweep: this epoch's namespace belongs to this commit —
-    // files a crashed previous attempt already published go first, so
-    // partitioning drift across restarts cannot strand stale files
+    // contract makes the serial retry idempotent (review r13). The
+    // label carries the write's tag (the STABLE streaming query id —
+    // MicroBatchExecution passes `id`, not `runId`, persisted in the
+    // checkpoint) so only a true serial retry of THIS query matches:
+    // two distinct streams writing one table both starting at epoch 0
+    // must conflict loudly, not usurp each other's live lease
+    // (ADVICE r13)
+    JsonLease.withLease(fs, root, s"stream-epoch-$tag-$epochId",
+      retrySameLabel = true) { h =>
+    // two claimants can both survive a stale-lease takeover race in
+    // acquire (delete/create interleaving) — re-read the slot before
+    // the first namespace mutation so exactly one proceeds (ADVICE r13)
+    h.verifyHeld()
+    // replay reconcile: this epoch's namespace belongs to this commit.
+    // Files a crashed previous attempt published under names this
+    // attempt will NOT rewrite go first (partitioning drift across
+    // restarts cannot strand stale files); names it WILL rewrite are
+    // kept when their bytes already match — a content-identical replay
+    // must not bump the published file's mtime, or every historical
+    // save fingerprinting it loses its as-of point (VERDICT r13 #2)
     val prefix = JsonDocWrite.streamEpochPrefix(epochId)
+    val staged = messages.collect { case s: StagedNdjsonFile if s.rows > 0 => s }
+    val targetNames = staged.map(s =>
+      JsonDocWrite.finalStreamName(epochId, s.partitionId)).toSet
     try
       Option(fs.listStatus(root)).getOrElse(Array.empty)
-        .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+        .filter(st => st.isFile && st.getPath.getName.startsWith(prefix) &&
+          !targetNames.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false))
     catch { case _: java.io.FileNotFoundException => }
-    messages.collect { case s: StagedNdjsonFile if s.rows > 0 => s }
-      .foreach { s =>
+    staged.foreach { s =>
         val sp = new Path(stage, s.name)
         val fin = new Path(root, JsonDocWrite.finalStreamName(epochId, s.partitionId))
-        if (!fs.rename(sp, fin))
-          throw new IllegalStateException(s"could not publish $fin")
+        val existing =
+          try Some(fs.getFileStatus(fin))
+          catch { case _: java.io.FileNotFoundException => None }
+        val identical = existing.exists(_.getLen == fs.getFileStatus(sp).getLen) &&
+          graft.ops.Fs.sameBytes(fs, sp, fin)
+        if (identical) fs.delete(sp, false)
+        else {
+          existing.foreach(_ => fs.delete(fin, false))
+          if (!fs.rename(sp, fin))
+            throw new IllegalStateException(s"could not publish $fin")
+        }
         // write-time planning capture → cache, under the published
         // fingerprint (the batch-commit contract): the epoch's meta
         // refresh below reads nothing back
@@ -384,7 +410,12 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
           st.getPath.getName.startsWith(s"stream-$tag-e$epochId-"))
         .foreach(st => fs.delete(st.getPath, false))
     catch { case _: java.io.FileNotFoundException => }
-    if (refreshMeta) JsonMeta.save(spark, dir)
+    if (refreshMeta) {
+      // heartbeat + re-check before the meta commit: the rename loop
+      // above can outlast the TTL on a wide epoch (ADVICE r13)
+      h.touch(); h.verifyHeld()
+      JsonMeta.save(spark, dir)
+    }
     }
   }
 

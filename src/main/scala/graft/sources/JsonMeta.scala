@@ -92,6 +92,22 @@ object JsonMeta {
   final case class SaveReport(total: Int, written: Int, segments: Int,
                               compacted: Boolean, saveId: Long = -1L)
 
+  /** Parsed manifest: live segment refs in save order plus the VACUUM
+    * horizon — the save id below which history was explicitly pruned
+    * by [[vacuum]] (−1 when never vacuumed). The horizon is what lets
+    * the as-of error distinguish "you asked vacuum to drop this"
+    * (named retention message) from "segment auto-compaction squashed
+    * it" (the documented squash trade). */
+  private[sources] case class ManifestInfo(refs: Seq[SegRef],
+                                           horizon: Long)
+
+  /** What one [[vacuum]] did: `retainedSaves` the save ids still
+    * reconstructible, `squashed` how many pre-horizon segments folded
+    * into the base, `segmentsDeleted` the physical seg files
+    * reclaimed (squashed + orphans). */
+  final case class VacuumReport(retainedSaves: Seq[Long], horizon: Long,
+                                squashed: Int, segmentsDeleted: Int)
+
   private def metaDir(root: Path): Path = new Path(root, MetaDirName)
   private def manifestPath(root: Path): Path =
     new Path(metaDir(root), ManifestName)
@@ -129,21 +145,21 @@ object JsonMeta {
   // per (len, mtime), one segment parse ever (segment files are
   // immutable once referenced — new saves mint new names)
   private val manifests =
-    scala.collection.mutable.HashMap.empty[String, (Long, Long, Option[Seq[SegRef]])]
+    scala.collection.mutable.HashMap.empty[String, (Long, Long, Option[ManifestInfo])]
   private val segments =
     scala.collection.mutable.HashMap
       .empty[String, Option[(Map[String, Entry], Set[String])]]
 
-  private def readManifest(fs: FileSystem, root: Path): Option[Seq[SegRef]] = {
+  private def readManifest(fs: FileSystem, root: Path): Option[ManifestInfo] = {
     val mp = manifestPath(root)
     val st = try fs.getFileStatus(mp)
     catch { case _: java.io.FileNotFoundException => return None }
     manifests.synchronized {
       manifests.get(mp.toString) match {
-        case Some((l, m, refs)) if l == st.getLen &&
-          m == st.getModificationTime => refs
+        case Some((l, m, info)) if l == st.getLen &&
+          m == st.getModificationTime => info
         case _ =>
-          val refs =
+          val info =
             try {
               val text = graft.ops.Fs.readFullyUtf8(fs, mp)
               val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -157,24 +173,29 @@ object JsonMeta {
                     s.get("min").asText(), s.get("max").asText(),
                     s.get("save").asLong(), s.get("rm").asInt())
                 }
-                Some(segs.result())
+                // optional from r14 (vacuum): absent reads as "never
+                // vacuumed" so pre-vacuum manifests stay readable
+                val horizon =
+                  Option(node.get("horizon")).map(_.asLong()).getOrElse(-1L)
+                Some(ManifestInfo(segs.result(), horizon))
               }
             } catch { case scala.util.control.NonFatal(_) => None }
           manifests.put(mp.toString,
-            (st.getLen, st.getModificationTime, refs))
-          refs
+            (st.getLen, st.getModificationTime, info))
+          info
       }
     }
   }
 
   private def writeManifest(fs: FileSystem, root: Path,
-                            refs: Seq[SegRef]): Unit = {
+                            refs: Seq[SegRef], horizon: Long): Unit = {
     val mp = manifestPath(root)
     fs.mkdirs(mp.getParent)
     val tmp = new Path(mp.getParent, ManifestName + ".tmp")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
     rootNode.put("version", Version)
+    if (horizon >= 0L) rootNode.put("horizon", horizon)
     val arr = rootNode.putArray("segments")
     refs.foreach { r =>
       val o = arr.addObject()
@@ -247,12 +268,12 @@ object JsonMeta {
       // prefix-relativization is rendering-stable
       val q = root.toString
       val prefix = if (q.endsWith("/")) q else q + "/"
-      readManifest(fs, root).foreach { refs =>
+      readManifest(fs, root).foreach { info =>
         // rel key → original FileKey, for the misses under this root
         var wanted: Map[String, JsonDocSource.FileKey] = miss.iterator
           .filter(k => !k.whole && k.path.startsWith(prefix))
           .map(k => k.path.substring(prefix.length) -> k).toMap
-        refs.reverseIterator.foreach { ref =>
+        info.refs.reverseIterator.foreach { ref =>
           if (wanted.nonEmpty) {
             val mayHold = wanted.keysIterator.exists(k =>
               ref.minKey <= k && k <= ref.maxKey)
@@ -311,7 +332,11 @@ object JsonMeta {
         Some(k.path.substring(prefix.length) -> Entry(k.len, k.mtime, r))
       else None
     }.toMap
-    val refs = readManifest(fs, root).getOrElse(Seq.empty)
+    val manifest = readManifest(fs, root)
+    val refs = manifest.map(_.refs).getOrElse(Seq.empty)
+    // the vacuum horizon survives every later save (retention is a
+    // durable property of the table's history, not of one manifest)
+    val horizon = manifest.map(_.horizon).getOrElse(-1L)
     // fold of live segments in save order (entries win, tombstones
     // remove) = the live table as of the last save; only fingerprints
     // matter for the diff, so stale entries compare unequal and
@@ -349,10 +374,17 @@ object JsonMeta {
       } else
         (refs :+ writeSegment(fs, root, diff, removedNow, nextSave),
           diff.size)
-    writeManifest(fs, root, newRefs)
-    if (compacting) {
+    writeManifest(fs, root, newRefs, horizon)
+    if (compacting || refs.isEmpty) {
       // unreferenced segments die AFTER the manifest commit — a
       // reader on the old manifest degrades to a walk, never fails.
+      // ALSO on a fresh-manifest rewrite (refs.isEmpty): a format-
+      // version bump makes readManifest return None for the old
+      // manifest, this save rewrites v-current from scratch, and the
+      // superseded old-version segment files would otherwise orphan
+      // in _meta forever (ADVICE r13) — the same listing-based sweep
+      // reclaims them, safe because readers only ever open
+      // manifest-referenced segments.
       // Swept from a DIRECTORY listing, not just the previous
       // manifest's refs: a crash between writeSegment and
       // writeManifest leaves an ORPHAN seg-*.bin no manifest ever
@@ -382,8 +414,95 @@ object JsonMeta {
     val root0 = new Path(dir)
     val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readManifest(fs, fs.makeQualified(root0))
-      .getOrElse(Seq.empty).map(_.save).sorted
+      .map(_.refs).getOrElse(Seq.empty).map(_.save).sorted
   }
+
+  /** Explicit history retention — the lifecycle verb the implicit
+    * segment-compaction squash lacks (VERDICT r13 #2): keep the newest
+    * `retainSaves` as-of points reconstructible, fold everything older
+    * into one base segment stamped at the retention HORIZON, and
+    * physically delete the superseded segment files (plus any orphans
+    * — data-file bytes need no pass of their own: the store reclaims
+    * replaced data files eagerly at each marker roll-forward, which is
+    * exactly why a pruned save's error says "gone", never wrong rows).
+    * `asOfSave`/`sinceSave` below the horizon then fail with a NAMED
+    * retention message, distinguishable from the auto-squash trade.
+    * Lease-held: retention rewrites the manifest, and must not race
+    * another writer's save. */
+  def vacuum(spark: SparkSession, dir: String,
+             retainSaves: Int): VacuumReport = {
+    require(retainSaves >= 1, "retainSaves must be >= 1")
+    val root0 = new Path(dir)
+    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(root0)
+    JsonLease.withLease(fs, root, "vacuum") { lease =>
+      val info = readManifest(fs, root).getOrElse(
+        throw new IllegalStateException(
+          s"graftjson: $dir has no planning-metadata manifest — vacuum " +
+            "needs saves (refreshMeta=true writes or JsonMeta.save)"))
+      val ordered = info.refs.sortBy(_.save)
+      val allSaves = ordered.map(_.save)
+      val (newRefs, horizon, squashed) =
+        if (allSaves.size <= retainSaves)
+          (ordered, info.horizon, 0)
+        else {
+          val hz = allSaves(allSaves.size - retainSaves)
+          val (old, keep) = ordered.partition(_.save <= hz)
+          // the base = the table AS OF the horizon save: entries win,
+          // tombstones remove; the base itself needs no tombstones
+          // (nothing older remains for them to mask)
+          val folded = old.foldLeft(Map.empty[String, Entry]) {
+            (acc, ref) =>
+              readSegment(fs, root, ref.name) match {
+                case Some((entries, removed)) => (acc -- removed) ++ entries
+                case None => throw new IllegalStateException(
+                  s"graftjson: segment ${ref.name} of $dir is unreadable " +
+                    "— vacuum cannot fold the retained base; restore the " +
+                    "meta or delete _graftjson_meta to rebuild from a walk")
+              }
+          }
+          // written even when empty (table had no files at the
+          // horizon save): the horizon as-of point itself must stay
+          // reconstructible, and an entry-less segment costs nothing
+          // at lookup (empty key range, no tombstones)
+          val base = Seq(writeSegment(fs, root, folded, Set.empty, hz))
+          (base ++ keep, hz, old.size)
+        }
+      lease.verifyHeld()
+      writeManifest(fs, root, newRefs, horizon)
+      // physical reclamation AFTER the manifest commit (a reader on
+      // the old manifest degrades to a walk, never fails) — swept from
+      // a directory listing so crash orphans die too, like save()'s
+      // compaction sweep
+      val live = newRefs.map(_.name).toSet
+      val onDisk =
+        try Option(fs.listStatus(metaDir(root))).getOrElse(Array.empty)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("seg-"))
+          .map(_.getPath.getName).toSeq
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val dead = onDisk.filterNot(live)
+      dead.foreach { name =>
+        fs.delete(new Path(metaDir(root), name), false)
+        segments.synchronized {
+          segments.remove(new Path(metaDir(root), name).toString)
+        }
+      }
+      VacuumReport(newRefs.map(_.save).sorted, horizon, squashed,
+        dead.size)
+    }
+  }
+
+  /** The named retention error both history resolvers share: below the
+    * vacuum horizon the absence of history is a POLICY the caller set,
+    * not a side effect of segment compaction. */
+  private def retentionCheck(dir: String, asOf: Long, info: ManifestInfo,
+                             what: String): Unit =
+    if (info.horizon >= 0L && asOf < info.horizon)
+      throw new IllegalStateException(
+        s"graftjson: save $asOf of $dir was pruned by vacuum retention " +
+          s"— vacuum(retainSaves) set the history horizon to save " +
+          s"${info.horizon}, so $what below it is intentionally " +
+          "unavailable")
 
   /** CHANGE-FEED resolution (file granularity): the files ADDED or
     * REWRITTEN strictly after save `since` that are still live — the
@@ -401,12 +520,14 @@ object JsonMeta {
     val root0 = new Path(dir)
     val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(root0)
-    val refs = readManifest(fs, root).getOrElse(throw new IllegalStateException(
+    val info = readManifest(fs, root).getOrElse(throw new IllegalStateException(
       s"graftjson: $dir has no planning-metadata manifest — sinceSave " +
         "needs saves (refreshMeta=true writes or JsonMeta.save)"))
+    val refs = info.refs
     require(refs.nonEmpty, s"graftjson: $dir has an empty manifest")
     val ordered = refs.sortBy(_.save)
     val (lo, hi) = (ordered.head.save, ordered.last.save)
+    retentionCheck(dir, since, info, "a change baseline")
     if (since < lo) throw new IllegalStateException(
       s"graftjson: save $since of $dir is no longer reconstructible — " +
         s"segment compaction squashed history before save $lo, so the " +
@@ -464,13 +585,15 @@ object JsonMeta {
     val root0 = new Path(dir)
     val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(root0)
-    val refs = readManifest(fs, root).getOrElse(throw new IllegalStateException(
+    val info = readManifest(fs, root).getOrElse(throw new IllegalStateException(
       s"graftjson: $dir has no planning-metadata manifest — time travel " +
         "needs saves (refreshMeta=true writes, compact(refreshMeta=true), " +
         "or JsonMeta.save)"))
+    val refs = info.refs
     require(refs.nonEmpty, s"graftjson: $dir has an empty manifest")
     val ordered = refs.sortBy(_.save)
     val (lo, hi) = (ordered.head.save, ordered.last.save)
+    retentionCheck(dir, asOf, info, "time travel")
     if (asOf < lo) throw new IllegalStateException(
       s"graftjson: save $asOf of $dir is no longer reconstructible — " +
         s"segment compaction squashed history before save $lo (the " +

@@ -220,7 +220,8 @@ object EventStreams {
     * recovery, not to a tailed steady state; start tails after the
     * ingest checkpoint has committed the epochs they will read. */
   def ingestEpoch(batch: DataFrame, dir: String, batchId: Long,
-                  nFiles: Int = 1, refreshMeta: Boolean = true): Unit = {
+                  nFiles: Int = 1, refreshMeta: Boolean = true,
+                  opId: String = ""): Unit = {
     require(nFiles > 0, "nFiles must be positive")
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -231,42 +232,79 @@ object EventStreams {
     // ([[graft.sources.JsonLease]], r13)
     // retrySameLabel: the foreachBatch retry of THIS epoch is a serial
     // replay of the same logical op (deterministic epoch names) — it
-    // must not wait out a crashed attempt's lease TTL (review r13)
-    graft.sources.JsonLease.withLease(fs, root, s"ingest-epoch-$batchId",
-      retrySameLabel = true) { _ =>
+    // must not wait out a crashed attempt's lease TTL (review r13).
+    // `opId` scopes the retry to ONE logical pipeline: two pipelines
+    // ingesting the same table with equal batchIds must conflict
+    // loudly, not usurp each other's live lease (ADVICE r13) —
+    // [[jsonIngest]] derives it from its checkpoint; direct callers
+    // sharing a table across pipelines should pass their own
+    val label =
+      if (opId.isEmpty) s"ingest-epoch-$batchId"
+      else s"ingest-epoch-$opId-$batchId"
+    graft.sources.JsonLease.withLease(fs, root, label,
+      retrySameLabel = true) { h =>
     val tmp = new org.apache.hadoop.fs.Path(root, "_ingest_tmp")
     batch.repartition(nFiles).write.mode("overwrite").json(tmp.toString)
+    // the tmp write is a full Spark job that can outlast the lease TTL
+    // at scale: heartbeat, then re-check ownership BEFORE the first
+    // namespace mutation (the sweep below) — a post-TTL usurper makes
+    // this run abort loudly instead of interleaving (ADVICE r13)
+    h.touch(); h.verifyHeld()
     val parts = fs.listStatus(tmp)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
-    // sweep the epoch's WHOLE namespace first, not just the names
-    // about to be written: a replayed epoch can land FEWER part files
-    // than its crashed first attempt (different upstream partitioning,
-    // an empty partition), and a stale epoch-NNNNNN-KKK.json would
-    // otherwise survive holding rows the rewritten files also carry —
-    // duplicates. (The native streaming sink sweeps its prefix for
-    // exactly this reason; review r12.)
+    // the epoch's target names, then reconcile its WHOLE published
+    // namespace against them — not just the names about to be written:
+    // a replayed epoch can land FEWER part files than its crashed
+    // first attempt (different upstream partitioning, an empty
+    // partition), and a stale epoch-NNNNNN-KKK.json would otherwise
+    // survive holding rows the rewritten files also carry — duplicates.
+    // (The native streaming sink sweeps its prefix for exactly this
+    // reason; review r12.)
     val prefix = f"epoch-$batchId%06d"
+    val targets: Seq[(org.apache.hadoop.fs.FileStatus, String)] =
+      parts.zipWithIndex.map { case (st, k) =>
+        st -> (if (nFiles == 1) f"epoch-$batchId%06d.json"
+               else f"epoch-$batchId%06d-$k%03d.json")
+      }.toSeq
+    val targetNames = targets.map(_._2).toSet
     try
       Option(fs.listStatus(root)).getOrElse(Array.empty)
         .filter { st =>
           val n = st.getPath.getName
           st.isFile && (n == s"$prefix.json" ||
-            (n.startsWith(s"$prefix-") && n.endsWith(".json")))
+            (n.startsWith(s"$prefix-") && n.endsWith(".json"))) &&
+            !targetNames.contains(n)
         }
         .foreach(st => fs.delete(st.getPath, false))
     catch { case _: java.io.FileNotFoundException => }
-    parts.zipWithIndex.foreach { case (st, k) =>
-      val name =
-        if (nFiles == 1) f"epoch-$batchId%06d.json"
-        else f"epoch-$batchId%06d-$k%03d.json"
+    targets.foreach { case (st, name) =>
       val dst = new org.apache.hadoop.fs.Path(root, name)
-      if (!fs.rename(st.getPath, dst))
-        throw new IllegalStateException(s"could not publish $dst")
+      // content-identical replay keeps the PUBLISHED file: a true
+      // foreachBatch retry re-renders the same bytes, and overwriting
+      // them would bump the mtime — drifting the file out of every
+      // historical save's (len, mtime) fingerprint and killing asOf
+      // reads of replayed epochs for no reason (VERDICT r13 #2 /
+      // watchpoint r13#1). Only differing bytes replace the file.
+      val existing =
+        try Some(fs.getFileStatus(dst))
+        catch { case _: java.io.FileNotFoundException => None }
+      val identical = existing.exists(_.getLen == st.getLen) &&
+        graft.ops.Fs.sameBytes(fs, st.getPath, dst)
+      if (identical) fs.delete(st.getPath, false)
+      else {
+        existing.foreach(_ => fs.delete(dst, false))
+        if (!fs.rename(st.getPath, dst))
+          throw new IllegalStateException(s"could not publish $dst")
+      }
     }
     fs.delete(tmp, true)
-    if (refreshMeta)
+    if (refreshMeta) {
+      // the publish renames are namespace mutations too — heartbeat
+      // and re-verify before the meta commit (ADVICE r13)
+      h.touch(); h.verifyHeld()
       graft.sources.JsonMeta.save(spark, dir)
+    }
     }
     ()
   }
@@ -282,10 +320,19 @@ object EventStreams {
   def jsonIngest(docs: DataFrame, dir: String, nFiles: Int = 1,
                  checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // lease-label discriminator: stable across RESTARTS of this
+    // checkpointed pipeline (the checkpoint IS the logical stream's
+    // identity — replays must match a crashed attempt's label), unique
+    // per run otherwise (no checkpoint ⇒ no cross-run replay exists,
+    // and two concurrent unchckpointed pipelines must not share labels)
+    val opId = checkpointDir.fold(
+      java.util.UUID.randomUUID().toString.take(8))(d =>
+      f"${scala.util.hashing.MurmurHash3.stringHash(
+        new org.apache.hadoop.fs.Path(d).toUri.getPath)}%08x")
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) ingestEpoch(batch, dir, batchId, nFiles)
+        if (!batch.isEmpty) ingestEpoch(batch, dir, batchId, nFiles, opId = opId)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()

@@ -450,6 +450,40 @@ class PipelineOpsSpec extends SparkTestBase {
       retried.getAs[Long]("n_docs") == 1L, s"retry double-applied: $retried")
   }
 
+  test("maintainStats: a pre-upgrade legacy-format ledger entry still skips its own batch's retry") {
+    // ADVICE r13: the r13 signature upgrade (content hash) must not
+    // make an in-flight foreachBatch retry — recorded under the OLD
+    // formula — look like a new batch and double-apply its delta
+    val store = graft.TempRoots.path("stats_store_legacy_spec")
+    val stats = graft.TempRoots.path("stats_view_legacy_spec")
+    val base = spark.createDataFrame(Seq(
+      (0L, "aaaa", "en", "web", 4L), (1L, "bb", "en", "book", 2L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sharding.initDocStore(base, store, 4)
+    Sharding.initStatsStore(base, stats)
+    val b = spark.createDataFrame(Seq(
+      (0L, "x" * 9, "en", "web", 9L, "upsert")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    Sharding.maintainStats(spark, store, stats, b, 4)
+    // overwrite the ledger with what the PRE-upgrade code recorded for
+    // this same batch: count + keys-only hash, no format tag
+    val sigRow = b.agg(count(lit(1)),
+      coalesce(sum(xxhash64(concat_ws("|",
+          col("doc_id").cast("string"), col("op")))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")))
+      .collect()(0)
+    Fs.writeUtf8Atomic(spark, s"${stats}__last",
+      s"${sigRow.getLong(0)}:${sigRow.get(1)}")
+    // the retry (store NOT yet merged — the maintain-first contract)
+    // must be skipped: an apply would re-subtract the old 4 chars and
+    // re-add 9, leaving 14
+    val retried = Sharding.maintainStats(spark, store, stats, b, 4)
+      .where(col("source") === "web").collect()(0)
+    assert(retried.getAs[Long]("total_chars") == 9L &&
+      retried.getAs[Long]("n_docs") == 1L,
+      s"legacy-recorded batch double-applied on retry: $retried")
+  }
+
   test("morton matches a reference bit-interleave") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L

@@ -153,6 +153,60 @@ class JsonLeaseSpec extends SparkTestBase {
     h.release()
   }
 
+  test("compact fails loudly on FRESH streaming-epoch staging; sweeps it once stale") {
+    // VERDICT r13 #1: the sink stages during the epoch but only takes
+    // the lease at commit — maintenance winning the lease in that
+    // window must not sweep the live epoch's staging
+    val dir = freshTable("lease_live_epoch")
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    val stage = new Path(root, JsonCompact.MarkerDirName)
+    fs.mkdirs(stage)
+    val staged = new Path(stage, "stream-abc123def456-e3-p00000-t7.json")
+    val out = fs.create(staged, true)
+    out.write("{\"id\": 555}\n".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](
+      JsonCompact.compact(spark, dir, targetBytes = 1L << 20))
+    assert(e.getMessage.contains("streaming epoch") &&
+      e.getMessage.contains("live"), e.getMessage)
+    assert(fs.exists(staged), "compact swept live epoch staging")
+    // the failed compact released its lease
+    assert(!fs.exists(JsonLease.leasePath(root)),
+      "failed compact left its lease behind")
+    // recluster shares the guard
+    val e2 = intercept[IllegalStateException](
+      JsonCompact.recluster(spark, dir, "id", targetBytes = 1L << 20))
+    assert(e2.getMessage.contains("streaming epoch"), e2.getMessage)
+    // a crashed stream's staging goes stale after the TTL and sweeps
+    fs.setTimes(staged,
+      System.currentTimeMillis() - JsonLease.DefaultTtlMs - 1000, -1)
+    val rep = JsonCompact.compact(spark, dir, targetBytes = 1L << 20)
+    assert(rep.mergedFiles == 3)
+    assert(!fs.exists(staged), "stale stream staging survived compact")
+  }
+
+  test("two pipelines with equal batch ids conflict loudly instead of usurping each other's epoch lease") {
+    // ADVICE r13: the retry label is scoped to ONE logical pipeline —
+    // only a true serial retry (same opId) may take over a live lease
+    val dir = freshTable("lease_opid", files = 1)
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    val batch = spark.range(3).select(col("id"), lit("p").as("s"))
+    // pipeline A's epoch 0 crashed mid-commit, lease still fresh
+    graft.streaming.EventStreams.ingestEpoch(batch, dir, batchId = 0L,
+      opId = "pipeA")
+    JsonLease.acquire(fs, root, "ingest-epoch-pipeA-0") // simulate crash
+    // pipeline B, SAME batch id: must fail loudly, not usurp
+    val e = intercept[IllegalStateException](
+      graft.streaming.EventStreams.ingestEpoch(batch, dir, batchId = 0L,
+        opId = "pipeB"))
+    assert(e.getMessage.contains("locked by a concurrent"), e.getMessage)
+    // pipeline A's own serial retry takes over immediately
+    graft.streaming.EventStreams.ingestEpoch(batch, dir, batchId = 0L,
+      opId = "pipeA")
+    assert(!fs.exists(JsonLease.leasePath(root)))
+  }
+
   test("maintenance sweep never deletes a live lease; a failed write's stage debris is swept under the next lease") {
     val dir = freshTable("lease_sweep")
     val root = new Path(dir)

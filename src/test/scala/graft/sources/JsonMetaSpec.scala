@@ -208,6 +208,39 @@ class JsonMetaSpec extends SparkTestBase {
     assert(cnt == (2 + JsonMeta.MaxSegments + 1).toLong && w0 == 0L)
   }
 
+  test("a format-version bump sweeps the superseded old-version segments at the first new save") {
+    // ADVICE r13: an old-version manifest reads as absent, the next
+    // save rewrites fresh — the old segment files must not orphan in
+    // _meta forever
+    val dir = mkTable("jm_migrate", 3)
+    JsonMeta.save(spark, dir.toString)
+    val metaDir = new java.io.File(dir, "_graftjson_meta")
+    val oldSegs = metaDir.listFiles().filter(_.getName.startsWith("seg-"))
+    assert(oldSegs.nonEmpty)
+    // simulate the pre-bump layout: a manifest whose version this code
+    // no longer reads, referencing the (now old-format) segments
+    val manifest = new java.io.File(metaDir, "manifest")
+    val text = scala.io.Source.fromFile(manifest).mkString
+    val pw = new java.io.PrintWriter(manifest)
+    pw.print(text.replaceFirst("\"version\":\\d+", "\"version\":2")); pw.close()
+    freshJvm()
+    assert(JsonMeta.saves(spark, dir.toString).isEmpty,
+      "old-version manifest must read as absent")
+    val rep = JsonMeta.save(spark, dir.toString)
+    assert(rep.total == 3 && rep.written == 3 && rep.segments == 1)
+    // the superseded segments are gone; exactly the new one remains
+    val after = metaDir.listFiles().filter(_.getName.startsWith("seg-"))
+    assert(after.length == 1, after.map(_.getName).mkString(", "))
+    assert(oldSegs.forall(f => !f.exists()),
+      "old-version segments orphaned after the format upgrade")
+    // planning healthy on the rewritten meta
+    freshJvm()
+    val (cnt, w0) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(cnt == 3L && w0 == 0L)
+  }
+
   test("deserialization allowlist: a planted meta of a disallowed class is rejected, not executed") {
     val dir = mkTable("jm_hostile", 2)
     JsonMeta.save(spark, dir.toString)
@@ -402,6 +435,71 @@ class JsonMetaSpec extends SparkTestBase {
     val ids = z.select(col("id")).collect()
       .map(_.getAs[Number](0).longValue).sorted.toSeq
     assert(ids == Seq(2L, 9L), s"got $ids")
+  }
+
+  test("vacuum: retains the newest k saves, prunes older history with a NAMED retention error, reclaims segments") {
+    val dir = mkTable("jm_vacuum", 2)
+    def addFile(name: String, id: Int): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      w.println(s"""{"id": $id, "src": "sv"}"""); w.close()
+    }
+    def idsAsOf(k: Long): Seq[Long] = spark.read.format("graftjson")
+      .option("asOfSave", k.toString).load(dir.toString)
+      .select(col("id")).collect().map(_.getAs[Number](0).longValue)
+      .sorted.toSeq
+    JsonMeta.save(spark, dir.toString) // save 1: p01 p02
+    addFile("v1.json", 100)
+    JsonMeta.save(spark, dir.toString) // save 2: +v1
+    assert(idsAsOf(2L) == Seq(10L, 20L, 100L))
+    // the deletion makes saves 1-2 physically unreconstructible (the
+    // store reclaims bytes eagerly — documented); after the vacuum
+    // they must fail with the RETENTION message instead, which fires
+    // before any byte resolution
+    assert(new java.io.File(dir, "p01.json").delete())
+    addFile("v2.json", 200)
+    JsonMeta.save(spark, dir.toString) // save 3: +v2, -p01 (tombstone)
+    addFile("v3.json", 300)
+    JsonMeta.save(spark, dir.toString) // save 4: +v3
+    assert(JsonMeta.saves(spark, dir.toString) == Seq(1L, 2L, 3L, 4L))
+    val rep = JsonMeta.vacuum(spark, dir.toString, retainSaves = 2)
+    assert(rep.horizon == 3L && rep.squashed == 3 &&
+      rep.retainedSaves == Seq(3L, 4L), rep.toString)
+    assert(rep.segmentsDeleted >= 3, rep.toString)
+    assert(JsonMeta.saves(spark, dir.toString) == Seq(3L, 4L))
+    // physical reclamation: exactly the base + the save-4 diff remain
+    val segFiles = new java.io.File(dir, "_graftjson_meta").listFiles()
+      .filter(_.getName.startsWith("seg-"))
+    assert(segFiles.length == 2, segFiles.map(_.getName).mkString(", "))
+    // the retained horizon save and the newest both reconstruct,
+    // including the pre-horizon tombstone of p01
+    assert(idsAsOf(3L) == Seq(20L, 100L, 200L))
+    assert(idsAsOf(4L) == Seq(20L, 100L, 200L, 300L))
+    // the pruned side fails with the NAMED retention message on both
+    // resolvers — distinguishable from the auto-squash trade
+    val e1 = intercept[IllegalStateException](idsAsOf(2L))
+    assert(e1.getMessage.contains("vacuum retention"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      JsonMeta.sinceListing(spark, dir.toString, 1L))
+    assert(e2.getMessage.contains("vacuum retention"), e2.getMessage)
+    // the feed above the horizon still works
+    assert(JsonMeta.sinceListing(spark, dir.toString, 3L)
+      .map(t => new org.apache.hadoop.fs.Path(t._1).getName) == Seq("v3.json"))
+    // retaining more than exists is a no-op
+    val rep2 = JsonMeta.vacuum(spark, dir.toString, retainSaves = 5)
+    assert(rep2.squashed == 0 && rep2.horizon == 3L)
+    // the horizon SURVIVES later saves (retention is durable)
+    addFile("v4.json", 400)
+    JsonMeta.save(spark, dir.toString)
+    val e3 = intercept[IllegalStateException](idsAsOf(2L))
+    assert(e3.getMessage.contains("vacuum retention"), e3.getMessage)
+    // vacuum is lease-held: a live concurrent writer rejects it
+    val root = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val h = JsonLease.acquire(fs, root, "writer")
+    val e4 = intercept[IllegalStateException](
+      JsonMeta.vacuum(spark, dir.toString, retainSaves = 1))
+    assert(e4.getMessage.contains("locked by a concurrent"), e4.getMessage)
+    h.release()
   }
 
   test("change feed: sinceSave reads exactly the files added/rewritten after the save") {

@@ -93,6 +93,46 @@ class JsonIngestSpec extends SparkTestBase {
       s"stale epoch siblings duplicated rows: ${rows.mkString(",")}")
   }
 
+  test("content-identical replay keeps the published file's fingerprint: as-of reads of replayed epochs survive") {
+    // VERDICT r13 #2 / watchpoint: a foreachBatch replay used to
+    // OVERWRITE its epoch file with identical bytes, bumping the mtime
+    // and drifting it out of every historical save's fingerprint
+    import spark.implicits._
+    val dir = graft.TempRoots.path("json_ingest_asof_replay")
+    new java.io.File(dir).mkdirs()
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    EventStreams.ingestEpoch(batch, dir, batchId = 0L)
+    val f = new java.io.File(dir, "epoch-000000.json")
+    assert(f.exists)
+    // age the published file so an overwrite is mtime-VISIBLE even on
+    // coarse clocks, then re-save so the history fingerprints the aged
+    // mtime
+    f.setLastModified(System.currentTimeMillis() - 60000)
+    JsonMeta.save(spark, dir)
+    val saves = JsonMeta.saves(spark, dir)
+    val aged = f.lastModified()
+    def asOfRows = spark.read.format("graftjson")
+      .option("asOfSave", saves.last.toString).load(dir)
+      .collect().map(_.toString).sorted.toSeq
+    val before = asOfRows
+    // identical replay: the published file must be KEPT, not rewritten
+    EventStreams.ingestEpoch(batch, dir, batchId = 0L)
+    assert(f.lastModified() == aged,
+      "identical replay rewrote the published epoch file (mtime drift)")
+    assert(asOfRows == before, "as-of read drifted across identical replay")
+    // changed-content replay: the file must be REPLACED (live read
+    // shows the new rows) and the stale as-of fails loudly, never
+    // serves wrong rows
+    val changed = Seq((1L, "a"), (2L, "CHANGED")).toDF("id", "text")
+    EventStreams.ingestEpoch(changed, dir, batchId = 0L)
+    val live = spark.read.format("graftjson").option("refresh", "true")
+      .load(dir).select(col("text")).collect().map(_.getString(0)).sorted
+    assert(live.toSeq == Seq("CHANGED", "a"), live.mkString(","))
+    val e = intercept[IllegalStateException](asOfRows)
+    assert(e.getMessage.contains("name was reused") ||
+      e.getMessage.contains("physically removed"), e.getMessage)
+  }
+
   test("compaction folds accreted epochs; rows and meta survive") {
     import spark.implicits._
     val dir = graft.TempRoots.path("json_ingest_compact")
