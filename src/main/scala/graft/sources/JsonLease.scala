@@ -43,6 +43,23 @@ private[graft] object JsonLease {
 
   private[sources] val LeaseFileName = "lease"
 
+  /** All lease-file I/O goes through the RAW filesystem: a local
+    * `ChecksumFileSystem` keeps a `.crc` sidecar that is NOT updated
+    * atomically with the file, and the lease is the one file that is
+    * legitimately created/deleted by RACING processes — an interleaved
+    * create/delete leaves a stale sidecar, every later read throws
+    * ChecksumException (an IOException), release() then reads "not
+    * mine" and LEAKS the lease, wedging the table until the TTL
+    * (found by JsonLeaseRaceSpec, r14). Distributed stores (HDFS,
+    * object stores) have no client-side sidecar and are unaffected;
+    * bypassing checksums on a <100-byte advisory file loses nothing —
+    * the read-back and verifyHeld token compares are the integrity
+    * check. */
+  private def rawFs(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   /** Default staleness TTL: long enough that a real maintenance cycle
     * heartbeats before expiry, short enough that a crashed writer does
     * not wedge the table for long. */
@@ -51,7 +68,8 @@ private[graft] object JsonLease {
   private[sources] def leasePath(root: Path): Path =
     new Path(new Path(root, JsonCompact.MarkerDirName), LeaseFileName)
 
-  /** A held lease. Not thread-safe; the acquiring driver thread owns it. */
+  /** A held lease. Not thread-safe; the acquiring driver thread owns
+    * it. `fs` is already the raw filesystem (see [[rawFs]]). */
   final class Handle private[JsonLease] (fs: FileSystem, root: Path,
                                          val owner: String) {
     private var released = false
@@ -120,15 +138,16 @@ private[graft] object JsonLease {
               ttlMs: Long = DefaultTtlMs,
               retrySameLabel: Boolean = false): Handle = {
     require(ttlMs > 0, "ttlMs must be positive")
+    val rfs = rawFs(fs)
     val lp = leasePath(root)
-    fs.mkdirs(lp.getParent)
+    rfs.mkdirs(lp.getParent)
     val existing =
-      try Some(fs.getFileStatus(lp))
+      try Some(rfs.getFileStatus(lp))
       catch { case _: java.io.FileNotFoundException => None }
     existing.foreach { st =>
       val age = System.currentTimeMillis() - st.getModificationTime
       val holder =
-        try graft.ops.Fs.readFullyUtf8(fs, lp)
+        try graft.ops.Fs.readFullyUtf8(rfs, lp)
         catch { case _: java.io.IOException => "<unreadable>" }
       val sameLabel = retrySameLabel &&
         holder.takeWhile(_ != '@') == what
@@ -141,28 +160,61 @@ private[graft] object JsonLease {
       }
       // stale (or the serial retry of the same logical op): the
       // holder is presumed dead — take the slot over
-      fs.delete(lp, false)
+      rfs.delete(lp, false)
     }
-    val owner = s"$what@${java.net.InetAddress.getLocalHost.getHostName}:" +
-      java.util.UUID.randomUUID().toString
-    // atomic claim: create-no-overwrite loses to any concurrent claimer
+    val uuid = java.util.UUID.randomUUID().toString
+    val owner =
+      s"$what@${java.net.InetAddress.getLocalHost.getHostName}:$uuid"
+    // the claim: write the token to a claimer-unique tmp, then RENAME
+    // onto the lease path. A bare create(overwrite=false) is
+    // check-then-act on local filesystems — two racing claimers can
+    // interleave bytes into a TORN token owned by nobody, which no one
+    // can release and which wedges the table until the TTL (found by
+    // JsonLeaseRaceSpec, r14). Rename replaces the whole file
+    // atomically, so racing claims resolve to final-writer-wins with
+    // intact tokens; the read-back below then picks the unique winner.
+    val tmp = new Path(lp.getParent, s"$LeaseFileName.$uuid.tmp")
     try {
-      val out = fs.create(lp, false)
+      val out = rfs.create(tmp, false)
       try out.write(owner.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      if (!rfs.rename(tmp, lp)) {
+        rfs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"graftjson: lost the lease race on $root — another writer " +
+            "claimed it concurrently")
+      }
     } catch {
-      case e: java.io.IOException => throw new IllegalStateException(
-        s"graftjson: lost the lease race on $root — another writer " +
-          s"claimed it concurrently (${e.getMessage})")
+      case e: java.io.IOException =>
+        try rfs.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+        throw new IllegalStateException(
+          s"graftjson: lost the lease race on $root — another writer " +
+            s"claimed it concurrently (${e.getMessage})")
     }
-    // read-back defends filesystems whose create(false) is two-step
-    val back =
-      try graft.ops.Fs.readFullyUtf8(fs, lp)
+    // read-back resolves concurrent claims: exactly the last renamer
+    // sees its own token; every other claimer aborts loudly here. The
+    // settle-and-re-read narrows the remaining window (a racer whose
+    // existence check predated our rename but whose own rename lands
+    // after our first read-back): any claim in flight within the
+    // settle lands before the second read and makes US the aborter.
+    // Advisory locking on rename primitives cannot close this window
+    // completely (no compare-and-swap on a filesystem) — the residual
+    // is one claimer proceeding briefly until a verifyHeld or a
+    // staged-file publish fails LOUDLY, never a silent double-commit
+    // (scaladoc above; JsonLeaseRaceSpec hammers this).
+    def readBack(): String =
+      try graft.ops.Fs.readFullyUtf8(rfs, lp)
       catch { case _: java.io.IOException => "" }
+    if (readBack() != owner) throw new IllegalStateException(
+      s"graftjson: lost the lease race on $root — read-back shows " +
+        "another claimant")
+    Thread.sleep(20)
+    val back = readBack()
     if (back != owner) throw new IllegalStateException(
       s"graftjson: lost the lease race on $root — read-back shows " +
         s"'$back'")
-    new Handle(fs, root, owner)
+    new Handle(rfs, root, owner)
   }
 
   /** Run `body` under the lease, releasing on every exit path. */

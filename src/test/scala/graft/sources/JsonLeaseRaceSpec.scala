@@ -1,0 +1,161 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CyclicBarrier}
+import java.util.concurrent.atomic.AtomicLong
+
+/** REAL-THREAD concurrency harness for the lease-guarded write path
+  * (VERDICT r13 #1): the protocol specs in [[JsonLeaseSpec]] sequence
+  * interleavings on one thread; this spec races live JVM threads —
+  * barrier-started batch writes, ingest epochs, compactions, and
+  * vacuums against ONE table for 100 randomized rounds — and asserts
+  * the lease's whole contract at once:
+  *
+  *   - every racer either commits or fails LOUDLY with a lease/guard
+  *     rejection (any other failure class fails the spec);
+  *   - the final table equals a sequential replay of exactly the
+  *     committed ops (append row-sets are order-independent, compact
+  *     and vacuum are row-preserving), so a lost update, a swept live
+  *     staging file, a torn marker slot, or a double-publish all
+  *     surface as a row-multiset diff;
+  *   - the table is left healthy: no lingering lease, no pending
+  *     marker, and a fresh meta save + read round-trips.
+  *
+  * Ops are intentionally tiny (1-3 rows) — the point is interleaving
+  * coverage, not volume: with 2-3 racers per round the acquire /
+  * read-back / verifyHeld windows are hit hundreds of times. */
+class JsonLeaseRaceSpec extends SparkTestBase {
+
+  private val benign = Seq(
+    "locked by a concurrent", // fresh-lease rejection at acquire
+    "lost the lease race", // create/read-back race loser
+    "lost the writer lease", // verifyHeld abort after takeover
+    "streaming epoch", // live-epoch staging guard in maintenance
+    "no planning-metadata manifest", // vacuum before any save exists
+    // the write path resolves the TABLE (schema inference — a
+    // lock-free READER, by design) before it acquires the lease; a
+    // concurrent maintenance commit eagerly deletes replaced files, so
+    // the in-flight inference scan can fail LOUDLY mid-read. This is
+    // the store's documented reader-vs-maintenance trade (readers are
+    // never blocked, never silently lose rows — ignoreMissingFiles
+    // stays false), it happens strictly PRE-COMMIT (nothing staged
+    // yet), and a retry converges. First surfaced by this harness.
+    "FAILED_READ_FILE",
+    "does not exist",
+    // the residual advisory-locking window (acquire scaladoc): a
+    // claimer that lost exclusivity AFTER its read-back aborts loudly
+    // when its staged files were swept by the usurper — nothing was
+    // published (the marker/rename is the commit point), retry
+    // converges
+    "could not publish")
+
+  private def chain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+  test("100 randomized rounds of racing writers/ingest/compact/vacuum: loud rejections or serialized commits only; final table == sequential replay") {
+    val dir = graft.TempRoots.path("lease_race")
+    new java.io.File(dir).mkdirs()
+    spark.range(1).select(lit(0L).as("id"), lit("seed").as("s"))
+      .write.format("graftjson").mode("overwrite").save(dir)
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    committed.add(0L)
+    val rnd = new scala.util.Random(20260815L)
+    val nextId = new AtomicLong(1L)
+    val nextBatch = new AtomicLong(0L)
+    val commits = new AtomicLong(0L)
+    val rejections = new AtomicLong(0L)
+    val rejectKinds = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    (1 to 100).foreach { round =>
+      val k = 2 + rnd.nextInt(2)
+      val ops: Seq[() => Seq[Long]] = (0 until k).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 | 1 => // batch append (DSv2 staging→marker commit)
+            val base = nextId.getAndAdd(3L)
+            () => {
+              spark.range(3).select((col("id") + base).as("id"),
+                  lit("w").as("s"))
+                .write.format("graftjson").mode("append").save(dir)
+              Seq(base, base + 1, base + 2)
+            }
+          case 2 => // ingest epoch (sweep-then-publish, optional meta)
+            val base = nextId.getAndAdd(2L)
+            val bid = nextBatch.getAndIncrement()
+            val refresh = rnd.nextBoolean()
+            () => {
+              graft.streaming.EventStreams.ingestEpoch(
+                spark.range(2).select((col("id") + base).as("id"),
+                  lit("e").as("s")),
+                dir, batchId = bid, refreshMeta = refresh,
+                opId = s"race$bid")
+              Seq(base, base + 1)
+            }
+          case 3 => // maintenance: compact (row-preserving)
+            () => { JsonCompact.compact(spark, dir, targetBytes = 1L << 20)
+              Seq.empty }
+          case 4 => // maintenance: vacuum (row-preserving, meta-only)
+            () => { JsonMeta.vacuum(spark, dir, retainSaves = 2)
+              Seq.empty }
+        }
+      }
+      val barrier = new CyclicBarrier(k)
+      val hardFailures = new ConcurrentLinkedQueue[Throwable]()
+      val results = new ConcurrentLinkedQueue[Seq[Long]]()
+      val threads = ops.map { op =>
+        val t = new Thread(() => {
+          barrier.await()
+          try { results.add(op()); commits.incrementAndGet() }
+          catch {
+            case t: Throwable =>
+              chain(t).flatMap(m => benign.filter(m.contains)).headOption match {
+                case Some(kind) =>
+                  rejections.incrementAndGet()
+                  rejectKinds.merge(kind, 1, (a, b) => a + b)
+                case None => hardFailures.add(t)
+              }
+          }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join(120000))
+      assert(threads.forall(!_.isAlive), s"round $round: a racer hung")
+      assert(hardFailures.isEmpty,
+        s"round $round: non-lease failure class: ${hardFailures.peek()}")
+      results.forEach(ids => ids.foreach(committed.add(_)))
+      // with every racer joined, no lease may survive the round — a
+      // leak here wedges every later round until the TTL
+      val lp = JsonLease.leasePath(new org.apache.hadoop.fs.Path(dir))
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (lfs.exists(lp)) {
+        val holder = graft.ops.Fs.readFullyUtf8(lfs, lp)
+        fail(s"round $round: lease leaked by '$holder'")
+      }
+    }
+    // at least some of both outcomes actually happened — a harness
+    // where everything serialized by accident proves nothing
+    assert(commits.get() >= 100,
+      s"only ${commits.get()} commits; rejections by kind: $rejectKinds")
+    assert(rejections.get() >= 20,
+      s"only ${rejections.get()} rejections — the race never raced")
+    // the final fold equals a sequential replay of the committed ops
+    import scala.jdk.CollectionConverters._
+    val got = spark.read.format("graftjson").option("refresh", "true")
+      .load(dir).select(col("id")).collect()
+      .map(_.getAs[Number](0).longValue).sorted.toSeq
+    assert(got == committed.asScala.toSeq.sorted,
+      s"row multiset diverged: got ${got.size} rows, " +
+        s"expected ${committed.size} " +
+        s"(missing: ${(committed.asScala.toSet -- got.toSet).take(5)}, " +
+        s"extra: ${(got.toSet -- committed.asScala.toSet).take(5)})")
+    // table left healthy: no lease, no pending marker, meta round-trips
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(JsonLease.leasePath(root)), "a lease survived")
+    assert(JsonCompact.readMarker(fs, root).isEmpty, "a marker survived")
+    JsonMeta.save(spark, dir)
+    assert(spark.read.format("graftjson").option("refresh", "true")
+      .load(dir).count() == committed.size.toLong)
+  }
+}
