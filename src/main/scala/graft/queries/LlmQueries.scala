@@ -448,30 +448,119 @@ object LlmQueries {
       |SELECT query_id, rank, vec_id, cos FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (rows-only: approximate recall by design). */
+  /** Planted-neighbors ANN fixture (VERDICT r13 #4): the synthetic
+    * embeddings are near-random (max pairwise cos ≈ 0.51), so recall
+    * measured on them is vacuous — an index can score ~0 while being
+    * correct. This fixture PLANTS known neighbor structure: every 50th
+    * vector is a query center that spawns ten near-duplicates
+    * (deterministic xxhash64 noise, ±0.02 per dimension → cos ≈ 0.996
+    * against the center, far above the 0.51 background ceiling), ids
+    * offset to 10M + 100·center + j so family membership is decidable
+    * from the id alone — which is what lets DuckDB pin the expected
+    * row set without running any ANN. Exact top-10 of a center is its
+    * family BY CONSTRUCTION, so LSH/IVF/PQ family capture becomes a
+    * meaningful, oracle-checkable recall (the q21/q92 envelope
+    * pattern: the floor boolean flips the hash on an index
+    * regression). Everything is column expressions — the fixture
+    * costs one embeddings scan, no UDF, no driver data. */
+  private def plantedAnn(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables(s, dir, "embeddings")
+    val centers = e
+      .where(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+      .select(col("vec_id").cast("bigint").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val neighbors = centers
+      .select(col("vec_id").as("cid"), col("v"),
+        explode(sequence(lit(1L), lit(10L))).as("j"))
+      .select((lit(10000000L) + col("cid") * 100L + col("j")).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + (pmod(xxhash64(col("cid"), col("j"), i), lit(1000L))
+            .cast("double") / lit(1000.0) - lit(0.5)) * lit(0.04))
+          .as("embedding"))
+    val background = e.select(col("vec_id").cast("bigint").as("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    (background.unionByName(neighbors),
+      centers.select(col("vec_id"), col("v").as("embedding")))
+  }
+
+  /** vec_id → its planted family's center id (the fixture's id rule),
+    * null-safe for background ids. */
+  private def familyOf(vid: Column): Column =
+    when(vid > lit(10000000L),
+      floor((vid - lit(10000001L)).cast("double") / 100.0).cast("long"))
+      .otherwise(lit(-1L))
+
+  /** The shared family-capture envelope: per center, how many of the
+    * operator's top-10 belong to the center's own planted family,
+    * reported as a floor boolean the oracle pins TRUE. Centers the
+    * index returns NOTHING for still emit their row (left join) — a
+    * silent empty result is a capture of 0, not a missing row. */
+  private def familyCapture(topk: DataFrame, queries: DataFrame,
+                            floorHits: Int): DataFrame = {
+    val hits = topk
+      .groupBy(col("query_id"))
+      .agg(sum(when(familyOf(col("vec_id")) === col("query_id"), 1L)
+        .otherwise(0L)).as("family_hits"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(10L).as("n_family"),
+        (coalesce(col("family_hits"), lit(0L)) >= floorHits).as("family_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** LSH-bucketed ANN over the planted fixture — oracled via an
+    * AGGREGATE family-capture envelope: a center that sits near a
+    * hyperplane loses much of its family to single-bit bucket flips
+    * (all-or-nothing per member under single-table LSH), so a
+    * per-center floor is inherently tail-fragile; the capture summed
+    * over all centers is what the index guarantees (measured ≈ 0.9+,
+    * floor 0.5). IVF/PQ (q63/q95) keep per-center floors — their
+    * probes capture whole families. */
   private def q61(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    VectorOps.annTopK(e, e.where(col("vec_id") < 10), 3)
+    val (corpus, qs) = plantedAnn(s, dir)
+    val hits = VectorOps.annTopK(corpus, qs, 10)
+      .agg(sum(when(familyOf(col("vec_id")) === col("query_id"), 1L)
+        .otherwise(0L)).as("family_hits"))
+    qs.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(hits)
+      .select(col("n_queries"),
+        (col("n_queries") * 10L).cast("bigint").as("n_family_total"),
+        (coalesce(col("family_hits"), lit(0L)).cast("double") /
+          (col("n_queries") * 10L) >= 0.5).as("capture_ok"))
   }
 
-  /** IVF-quantized ANN (rows-only: approximate by design, and k-means
-    * cell boundaries are float-reduction-order sensitive). */
+  /** IVF-quantized ANN over the planted fixture — a family lands in
+    * its center's coarse cell almost surely (the perturbation is tiny
+    * against cell diameters), so the nProbe=4 probe must capture it
+    * nearly whole (floor 8/10). */
   private def q63(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    // explicit nCells: the demo pins the r8 cell count so driver rows
-    // stay stable under the auto-√n default
-    VectorOps.ivfTopK(e, e.where(col("vec_id") < 10), 3, nCells = 16)
+    val (corpus, qs) = plantedAnn(s, dir)
+    familyCapture(
+      VectorOps.ivfTopK(corpus, qs, 10, nCells = 16, nProbe = 4),
+      qs, floorHits = 8)
   }
 
-  /** IVF+PQ ANN (rows-only: index-specific shortlist; the exhaustive
-    * -settings-equal-exact pin and the recall floor live in
-    * VectorOpsSpec). nProbe=8 of 16 cells: the synthetic embeddings
-    * are near-random (max pairwise cos ~0.5), so neighbor structure
-    * is weak and a wider probe keeps recall useful. */
+  /** IVF+PQ ANN over the planted fixture — the ADC shortlist (64) far
+    * exceeds the family, and exact rerank restores order, so capture
+    * must be near-total (floor 8/10). */
   private def q95(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    VectorOps.pqTopK(e, e.where(col("vec_id") < 10), 3, nCells = 16, nProbe = 8)
+    val (corpus, qs) = plantedAnn(s, dir)
+    familyCapture(
+      VectorOps.pqTopK(corpus, qs, 10, nCells = 16, nProbe = 8),
+      qs, floorHits = 8)
   }
+
+  private val q61Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 10 AS BIGINT) AS n_family_total,
+      |  TRUE AS capture_ok
+      |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500""".stripMargin
+  private val q63Sql =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(10 AS BIGINT) AS n_family, TRUE AS family_ok
+      |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500
+      |ORDER BY query_id""".stripMargin
+  private val q95Sql = q63Sql
 
   /** Distributed k-means refinement ([[graft.ops.VectorOps
     * .kmeansRefine]]): sample-trained centers refined over the full
@@ -798,12 +887,42 @@ object LlmQueries {
       |  md5(redacted) AS redacted_fp
       |FROM r ORDER BY doc_id""".stripMargin
 
-  /** ANN self-evaluation: recall@5 of the LSH index vs exact top-k
-    * (rows-only: the LSH bucketing is hash-family-specific). */
+  /** ANN self-evaluation over the planted fixture (VERDICT r13 #4 —
+    * promoted from rows-only): recall@10 of the LSH index vs the exact
+    * brute-force top-10, where the exact side is the planted family BY
+    * CONSTRUCTION. Three envelope booleans the oracle pins TRUE: the
+    * exact side returns a full 10 per center (n_exact), the exact
+    * top-10 IS the family (the planting itself — a fixture regression
+    * is caught, not assumed away), and aggregate LSH recall clears the
+    * floor (0.6 — per-bit sign flips under the ±0.02 noise cost
+    * members, and 8-bit bucket equality is all-or-nothing per member).
+    * The previous rows-only recall on the raw near-random corpus
+    * measured nothing: LSH recall there is legitimately ~0. */
   private def q74(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    VectorOps.annRecall(e, e.where(col("vec_id") < 10), 5)
+    val (corpus, qs) = plantedAnn(s, dir)
+    val rec = VectorOps.annRecall(corpus, qs, 10)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_exact")).as("n_exact"),
+        sum(col("n_hits")).as("n_hits"))
+    val exactFam = VectorOps.cosineTopK(corpus, qs, 10)
+      .agg(sum(when(familyOf(col("vec_id")) === col("query_id"), 1L)
+        .otherwise(0L)).as("exact_family_hits"),
+        count(lit(1)).as("n_exact_rows"))
+    rec.crossJoin(exactFam)
+      .select(col("n_queries"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        (col("exact_family_hits") === col("n_exact_rows") &&
+          col("n_exact_rows") === col("n_queries") * 10L)
+          .as("exact_is_family"),
+        (col("n_hits").cast("double") / col("n_exact") >= 0.6)
+          .as("lsh_recall_ok"))
   }
+
+  private val q74Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 10 AS BIGINT) AS n_exact,
+      |  TRUE AS exact_is_family, TRUE AS lsh_recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500""".stripMargin
 
   /** Per-label embedding centroids (label × dimension means). */
   private def q75(s: SparkSession, dir: String): DataFrame =
@@ -2051,6 +2170,10 @@ object LlmQueries {
   // q95 rows-only like q61/q63: ANN shortlists are index-specific
 
   val oracle: Map[String, String] = Map(
+    "q61_ann_lsh" -> q61Sql,
+    "q63_ann_ivf" -> q63Sql,
+    "q95_pq_ann" -> q95Sql,
+    "q74_ann_recall" -> q74Sql,
     "q205_repetition_signals" -> q205Sql,
     "q220_sequence_packing" -> q220Sql,
     "q207_pii_scrub" -> q207Sql,
