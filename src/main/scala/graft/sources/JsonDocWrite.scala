@@ -132,10 +132,19 @@ private[sources] class JsonDocWriteBuilder(dir: String, whole: Boolean,
     clusterBy.foreach { c =>
       // top-level names validated here (fail at planning with the
       // schema in hand); dotted nested paths resolve in the engine's
-      // own analyzer, which raises its own unresolved-column error
-      require(c.contains('.') || info.schema().fieldNames.contains(c),
-        s"graftjson: clusterBy column '$c' is not in the write schema " +
-          s"(${info.schema().fieldNames.mkString(", ")})")
+      // own analyzer, which raises its own unresolved-column error.
+      // Two comma-separated keys declare the Morton-curve ordering
+      // (write-time Z-order) — resolvable only through [[GraftCatalog]]
+      // (`df.writeTo("graft.`dir`")`), because the engine looks the
+      // ordering function up in the relation's FunctionCatalog
+      val keys = c.split(",").map(_.trim)
+      require(keys.length <= 2,
+        s"graftjson: clusterBy takes one key or two ('a,b' → Morton " +
+          s"curve), got ${keys.length}: '$c'")
+      keys.foreach(k =>
+        require(k.contains('.') || info.schema().fieldNames.contains(k),
+          s"graftjson: clusterBy column '$k' is not in the write schema " +
+            s"(${info.schema().fieldNames.mkString(", ")})"))
     }
     new JsonDocWriteImpl(dir, info.schema(), info.queryId(), overwrite,
       Option(info.options.get(JsonDocWrite.RefreshMetaOption))
@@ -158,9 +167,22 @@ private class JsonDocWriteImpl(dir: String, schema: StructType,
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
-  private def sortOrders: Array[SortOrder] = clusterBy.toArray.map(c =>
-    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
-      NullOrdering.NULLS_FIRST))
+  private def sortOrders: Array[SortOrder] = clusterBy.toArray.map { c =>
+    val keys = c.split(",").map(_.trim)
+    val sortExpr =
+      if (keys.length == 2)
+        // two keys → the Morton-curve ordering, named as a function
+        // transform the engine resolves through the relation's
+        // FunctionCatalog ([[GraftCatalog.MortonFunction]]): the range
+        // exchange then partitions ON the curve, so every staged file
+        // covers a tight z-range = a small rectangle of (a, b) space —
+        // write-time Z-order, no recluster rewrite (VERDICT r13 #5)
+        Expressions.apply(GraftCatalog.MortonName,
+          Expressions.column(keys(0)), Expressions.column(keys(1)))
+      else Expressions.column(c)
+    Expressions.sort(sortExpr, SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST)
+  }
   /** ORDERED distribution = a range exchange + in-partition sort
     * planned by the ENGINE: globally clustered output, each staged
     * file a tight non-overlapping key range (nulls — absent fields —

@@ -40,7 +40,11 @@ import scala.util.Random
 class ZoneFuzzSpec extends SparkTestBase {
 
   private val Corpora = 12 // seed 11 found the Jackson-double decimal bug (r13)
-  private val ProbesPerCorpus = 105 // 12 × 105 + lifecycle replays ≈ 1500 cases
+  // case arithmetic (quoted identically in CLAUDE.md / SURVEY §2 /
+  // ARCHITECTURE — VERDICT r13 #6): 12 corpora × (105 probe attempts
+  // + 20 lifecycle replays) = 1500 generated, minus generation
+  // dead-ends (≤ 15/corpus asserted) ⇒ ≈ 1450 ran; hard gate ≥ 1000
+  private val ProbesPerCorpus = 105
 
   // ---------------------------------------------------------------
   // corpus generation
@@ -509,6 +513,7 @@ class ZoneFuzzSpec extends SparkTestBase {
         s"corpus $i only ran $ran probes ($skipped skipped)")
       total += ran
     }
+    info(s"zone fuzz: $total generated cases ran")
     assert(total >= 1000, s"only $total generated cases ran")
   }
 }
