@@ -525,11 +525,17 @@ object Sharding {
           .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("h1"))
         .collect()(0)
       // the recorded value carries a format tag from v2 on; a tagless
-      // recorded value is the legacy keys-only formula by construction
+      // recorded value is one of the two prior formulas — the
+      // content hash WITHOUT the tag (the immediately-preceding
+      // release: same fields, untagged — review r14) or the original
+      // keys-only hash — and either one recognizing its own batch
+      // means "already applied"
       val sig = s"v2:${sigRow.getLong(0)}:${sigRow.get(1)}"
-      val legacySig = s"${sigRow.getLong(0)}:${sigRow.get(2)}"
+      val untaggedContentSig = s"${sigRow.getLong(0)}:${sigRow.get(1)}"
+      val legacyKeysSig = s"${sigRow.getLong(0)}:${sigRow.get(2)}"
       val recorded = Fs.readUtf8IfExists(spark, ledger)
-      if (recorded.contains(sig) || recorded.contains(legacySig)) {
+      if (recorded.contains(sig) || recorded.contains(untaggedContentSig) ||
+        recorded.contains(legacyKeysSig)) {
         deleteDir(spark, staging)
         return spark.read.parquet(statsDir)
       }

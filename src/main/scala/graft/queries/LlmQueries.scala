@@ -2167,7 +2167,7 @@ object LlmQueries {
     "q137_pca_project" -> (q137 _),
     "q139_quality_classifier" -> (q139 _))
   // q126/q127 rows-only: the BPE merge recursion is not SQL-expressible
-  // q95 rows-only like q61/q63: ANN shortlists are index-specific
+  // q61/q63/q95/q74 oracled since r14 via the planted-neighbors fixture
 
   val oracle: Map[String, String] = Map(
     "q61_ann_lsh" -> q61Sql,
@@ -2218,7 +2218,6 @@ object LlmQueries {
     "q71_repetition" -> q71Sql,
     "q72_doc_chunks" -> q72Sql,
     "q73_pii_scrub" -> q73Sql,
-    // q74 rows-only: LSH recall is hash-family-specific
     "q75_label_centroids" -> q75Sql,
     "q93_unigram_nll" -> q93Sql,
     "q145_backoff_nll" -> q145Sql,

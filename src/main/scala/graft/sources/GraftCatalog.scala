@@ -40,7 +40,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
-  private val provider = new JsonDocSource
+
+  /** A FRESH provider per catalog call: JsonDocSource's one-slot memo
+    * exists so one .load() runs exactly one inference, and it carries
+    * no listing fingerprint — a catalog-lived provider would serve the
+    * FIRST read's listing to every later `spark.table` of the same
+    * identifier, silently missing appends (review r14). A fresh
+    * instance restores the path API's per-load semantics; the JVM-wide
+    * per-file cache still makes re-planning incremental. */
+  private def provider = new JsonDocSource
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit =
@@ -56,15 +64,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
+    val p = provider // ONE instance for the inferSchema+getTable pair
     val options = new CaseInsensitiveStringMap(
       java.util.Collections.singletonMap("path", dir))
     val schema =
-      try provider.inferSchema(options)
+      try p.inferSchema(options)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new NoSuchTableException(ident)
       }
-    provider.getTable(schema, Array.empty,
+    p.getTable(schema, Array.empty,
       java.util.Collections.singletonMap("path", dir))
   }
 
@@ -136,17 +145,13 @@ object GraftCatalog {
   private[sources] def proxy32(v: Any): Long = {
     val d: Double = v match {
       case n: java.lang.Number => n.doubleValue()
-      case s: String => return proxy32(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      // strings delegate to THE one prefix-order proxy the maintenance
+      // rewrite uses (JsonCompact.orderProxy) — the write-time and
+      // zorderRecluster curves must agree by construction, not by two
+      // copies staying in sync (review r14)
+      case s: String => JsonCompact.orderProxy(s).doubleValue()
       case s: org.apache.spark.unsafe.types.UTF8String =>
-        val bytes = s.getBytes
-        var acc = 0L
-        var i = 0
-        while (i < 8) {
-          acc = (acc << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
-          i += 1
-        }
-        if (acc >= 0) acc.toDouble else acc.toDouble + 1.8446744073709552e19
+        JsonCompact.orderProxy(s.toString).doubleValue()
       case d0: Decimal => d0.toDouble
       case b: java.lang.Boolean => if (b) 1.0 else 0.0
       case other => throw new IllegalArgumentException(

@@ -150,6 +150,29 @@ object JsonMeta {
     scala.collection.mutable.HashMap
       .empty[String, Option[(Map[String, Entry], Set[String])]]
 
+  /** Parse a manifest body. None = a foreign format version (decidable
+    * — the upgrade path rewrites from scratch); structural or JSON
+    * errors THROW and each caller decides degrade-vs-loud. */
+  private def parseManifest(text: String): Option[ManifestInfo] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(text)
+    if (node.get("version").asInt() != Version) None
+    else {
+      val segs = Vector.newBuilder[SegRef]
+      node.get("segments").elements().forEachRemaining { s =>
+        segs += SegRef(s.get("name").asText(),
+          s.get("count").asInt(),
+          s.get("min").asText(), s.get("max").asText(),
+          s.get("save").asLong(), s.get("rm").asInt())
+      }
+      // optional from r14 (vacuum): absent reads as "never vacuumed"
+      // so pre-vacuum manifests stay readable
+      val horizon =
+        Option(node.get("horizon")).map(_.asLong()).getOrElse(-1L)
+      Some(ManifestInfo(segs.result(), horizon))
+    }
+  }
+
   private def readManifest(fs: FileSystem, root: Path): Option[ManifestInfo] = {
     val mp = manifestPath(root)
     val st = try fs.getFileStatus(mp)
@@ -160,30 +183,49 @@ object JsonMeta {
           m == st.getModificationTime => info
         case _ =>
           val info =
-            try {
-              val text = graft.ops.Fs.readFullyUtf8(fs, mp)
-              val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-              val node = mapper.readTree(text)
-              if (node.get("version").asInt() != Version) None
-              else {
-                val segs = Vector.newBuilder[SegRef]
-                node.get("segments").elements().forEachRemaining { s =>
-                  segs += SegRef(s.get("name").asText(),
-                    s.get("count").asInt(),
-                    s.get("min").asText(), s.get("max").asText(),
-                    s.get("save").asLong(), s.get("rm").asInt())
-                }
-                // optional from r14 (vacuum): absent reads as "never
-                // vacuumed" so pre-vacuum manifests stay readable
-                val horizon =
-                  Option(node.get("horizon")).map(_.asLong()).getOrElse(-1L)
-                Some(ManifestInfo(segs.result(), horizon))
-              }
-            } catch { case scala.util.control.NonFatal(_) => None }
+            try parseManifest(graft.ops.Fs.readFullyUtf8(fs, mp))
+            catch { case scala.util.control.NonFatal(_) => None }
           manifests.put(mp.toString,
             (st.getLen, st.getModificationTime, info))
           info
       }
+    }
+  }
+
+  /** What a MUTATOR may assume about the manifest. Readers degrade an
+    * unreadable manifest to "absent" (planning falls back to walking —
+    * never fails); a mutator must NOT: save() rewriting from scratch
+    * resets save ids and the r14 sweep would physically delete every
+    * referenced segment, so a TRANSIENT read error would silently
+    * destroy history — and a later stored asOfSave id could resolve
+    * against a colliding new id and return wrong rows (review r14).
+    * Only the two decidable causes may rewrite-and-sweep: no manifest,
+    * or a readable manifest of a foreign format version. */
+  private sealed trait ManifestState
+  private case object ManifestAbsent extends ManifestState
+  private case object ManifestForeignVersion extends ManifestState
+  private case class ManifestOk(info: ManifestInfo) extends ManifestState
+
+  private def readManifestForMutation(fs: FileSystem,
+                                      root: Path): ManifestState = {
+    val mp = manifestPath(root)
+    val exists =
+      try { fs.getFileStatus(mp); true }
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!exists) ManifestAbsent
+    else {
+      val parsed =
+        try parseManifest(graft.ops.Fs.readFullyUtf8(fs, mp))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalStateException(
+              s"graftjson: the planning-metadata manifest of $root is " +
+                "unreadable — refusing to reset the table's history " +
+                "over a possibly-transient failure; retry, restore the " +
+                "manifest, or delete _graftjson_meta to rebuild from a " +
+                "walk", e)
+        }
+      parsed.fold[ManifestState](ManifestForeignVersion)(ManifestOk(_))
     }
   }
 
@@ -332,11 +374,19 @@ object JsonMeta {
         Some(k.path.substring(prefix.length) -> Entry(k.len, k.mtime, r))
       else None
     }.toMap
-    val manifest = readManifest(fs, root)
-    val refs = manifest.map(_.refs).getOrElse(Seq.empty)
+    // mutator-strict read: a transient manifest failure THROWS here
+    // instead of silently resetting history (review r14)
+    val state = readManifestForMutation(fs, root)
+    val refs = state match {
+      case ManifestOk(i) => i.refs
+      case _ => Seq.empty
+    }
     // the vacuum horizon survives every later save (retention is a
     // durable property of the table's history, not of one manifest)
-    val horizon = manifest.map(_.horizon).getOrElse(-1L)
+    val horizon = state match {
+      case ManifestOk(i) => i.horizon
+      case _ => -1L
+    }
     // fold of live segments in save order (entries win, tombstones
     // remove) = the live table as of the last save; only fingerprints
     // matter for the diff, so stale entries compare unequal and
@@ -436,10 +486,15 @@ object JsonMeta {
     val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(root0)
     JsonLease.withLease(fs, root, "vacuum") { lease =>
-      val info = readManifest(fs, root).getOrElse(
-        throw new IllegalStateException(
-          s"graftjson: $dir has no planning-metadata manifest — vacuum " +
-            "needs saves (refreshMeta=true writes or JsonMeta.save)"))
+      // mutator-strict: corrupt/transient manifest failures throw their
+      // own loud message instead of masquerading as "no manifest"
+      val info = readManifestForMutation(fs, root) match {
+        case ManifestOk(i) => i
+        case _ => throw new IllegalStateException(
+          s"graftjson: $dir has no current-version planning-metadata " +
+            "manifest — vacuum needs saves (refreshMeta=true writes or " +
+            "JsonMeta.save)")
+      }
       val ordered = info.refs.sortBy(_.save)
       val allSaves = ordered.map(_.save)
       val (newRefs, horizon, squashed) =

@@ -482,6 +482,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(retried.getAs[Long]("total_chars") == 9L &&
       retried.getAs[Long]("n_docs") == 1L,
       s"legacy-recorded batch double-applied on retry: $retried")
+    // the IMMEDIATELY-preceding era (review r14): the r13 release
+    // recorded the content hash UNTAGGED — its retry must skip too
+    val sig4 = b.agg(count(lit(1)),
+      coalesce(sum(xxhash64(concat_ws("|",
+          col("doc_id").cast("string"), col("op"),
+          coalesce(col("source"), lit("null")),
+          coalesce(col("n_chars").cast("string"), lit("null"))))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")))
+      .collect()(0)
+    Fs.writeUtf8Atomic(spark, s"${stats}__last",
+      s"${sig4.getLong(0)}:${sig4.get(1)}")
+    val retried4 = Sharding.maintainStats(spark, store, stats, b, 4)
+      .where(col("source") === "web").collect()(0)
+    assert(retried4.getAs[Long]("total_chars") == 9L &&
+      retried4.getAs[Long]("n_docs") == 1L,
+      s"untagged content-hash batch double-applied on retry: $retried4")
   }
 
   test("morton matches a reference bit-interleave") {

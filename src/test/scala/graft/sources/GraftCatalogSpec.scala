@@ -50,6 +50,21 @@ class GraftCatalogSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
 
+  test("repeated catalog reads see appends: no provider-memo staleness") {
+    // review r14: a catalog-lived JsonDocSource would serve the FIRST
+    // read's listing to every later spark.table of the identifier
+    useCatalog()
+    val dir = graft.TempRoots.path("catalog_fresh_reads")
+    spark.range(5).select(col("id"), lit("a").as("s"))
+      .writeTo(s"graft.`$dir`").create()
+    assert(spark.table(s"graft.`$dir`").count() == 5L)
+    // append through the PATH api (any write path must be visible)
+    spark.range(3).select((col("id") + 100L).as("id"), lit("b").as("s"))
+      .write.format("graftjson").mode("append").save(dir)
+    assert(spark.table(s"graft.`$dir`").count() == 8L,
+      "catalog read served a stale listing after an append")
+  }
+
   test("write-time two-key Z-order: clustered CREATE yields rectangles; point probes on EITHER key prune") {
     useCatalog()
     val dir = graft.TempRoots.path("catalog_zorder_write")

@@ -33,7 +33,7 @@ class JsonLeaseRaceSpec extends SparkTestBase {
     "lost the lease race", // create/read-back race loser
     "lost the writer lease", // verifyHeld abort after takeover
     "streaming epoch", // live-epoch staging guard in maintenance
-    "no planning-metadata manifest", // vacuum before any save exists
+    "planning-metadata manifest", // vacuum before any save exists
     // the write path resolves the TABLE (schema inference — a
     // lock-free READER, by design) before it acquires the lease; a
     // concurrent maintenance commit eagerly deletes replaced files, so

@@ -32,6 +32,18 @@ class JsonMetaSpec extends SparkTestBase {
     (r, JsonDocSource.filesWalked.get() - before)
   }
 
+  /** Overwrite the meta manifest's TEXT through the Hadoop fs, keeping
+    * data and checksum sidecar consistent — for simulating foreign
+    * versions / corrupt content rather than torn local reads. */
+  private def writeManifestText(dir: java.io.File, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      new java.io.File(new java.io.File(dir, "_graftjson_meta"),
+        "manifest").toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
   test("a saved table plans walk-free in a fresh JVM; rows and schema intact") {
     val dir = mkTable("jm_basic", 6)
     val rep = JsonMeta.save(spark, dir.toString)
@@ -208,6 +220,40 @@ class JsonMetaSpec extends SparkTestBase {
     assert(cnt == (2 + JsonMeta.MaxSegments + 1).toLong && w0 == 0L)
   }
 
+  test("a CORRUPT manifest fails mutators loudly (history preserved); readers still degrade to a walk") {
+    // review r14: the version-bump sweep must fire only on DECIDABLE
+    // causes — a transient/corrupt manifest read during save() would
+    // otherwise silently reset save ids AND physically delete every
+    // referenced segment
+    val dir = mkTable("jm_corrupt_manifest", 3)
+    JsonMeta.save(spark, dir.toString)
+    val metaDir = new java.io.File(dir, "_graftjson_meta")
+    val segsBefore = metaDir.listFiles().filter(_.getName.startsWith("seg-"))
+      .map(_.getName).toSet
+    // corrupt CONTENT written through the Hadoop fs (data + checksum
+    // sidecar stay consistent — the corruption is the JSON, not a
+    // test-harness crc artifact)
+    writeManifestText(dir, "{not json at all")
+    freshJvm()
+    // mutators refuse
+    val e = intercept[IllegalStateException](JsonMeta.save(spark, dir.toString))
+    assert(e.getMessage.contains("refusing to reset"), e.getMessage)
+    intercept[IllegalStateException](
+      JsonMeta.vacuum(spark, dir.toString, retainSaves = 1))
+    // the history segments survived the refusal
+    val segsAfter = metaDir.listFiles().filter(_.getName.startsWith("seg-"))
+      .map(_.getName).toSet
+    assert(segsAfter == segsBefore, "a refused mutator touched segments")
+    // readers degrade: full walk, correct rows, no failure (fresh JVM
+    // again — the refused save above already walked the files while
+    // assembling its diff, which is correct behavior, just warm)
+    freshJvm()
+    val (cnt, w) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(cnt == 3L && w == 3L)
+  }
+
   test("a format-version bump sweeps the superseded old-version segments at the first new save") {
     // ADVICE r13: an old-version manifest reads as absent, the next
     // save rewrites fresh — the old segment files must not orphan in
@@ -218,11 +264,13 @@ class JsonMetaSpec extends SparkTestBase {
     val oldSegs = metaDir.listFiles().filter(_.getName.startsWith("seg-"))
     assert(oldSegs.nonEmpty)
     // simulate the pre-bump layout: a manifest whose version this code
-    // no longer reads, referencing the (now old-format) segments
+    // no longer reads, referencing the (now old-format) segments —
+    // rewritten THROUGH the Hadoop fs so the checksum sidecar stays
+    // consistent (the difference must be the version, not a torn read)
     val manifest = new java.io.File(metaDir, "manifest")
     val text = scala.io.Source.fromFile(manifest).mkString
-    val pw = new java.io.PrintWriter(manifest)
-    pw.print(text.replaceFirst("\"version\":\\d+", "\"version\":2")); pw.close()
+    writeManifestText(dir,
+      text.replaceFirst("\"version\":\\d+", "\"version\":2"))
     freshJvm()
     assert(JsonMeta.saves(spark, dir.toString).isEmpty,
       "old-version manifest must read as absent")
