@@ -1405,7 +1405,37 @@ object JsonQueries {
       |FROM documents WHERE doc_id >= 100 AND doc_id <= 300
       |ORDER BY probe""".stripMargin
 
+  /** SQL time travel end to end (`VERSION AS OF` through
+    * [[graft.sources.GraftCatalog]], r14): the same four-epoch ingest
+    * lifecycle as q244, read AS OF THE THIRD SAVE entirely in SQL —
+    * catalog resolution, version-aware loadTable, the pinned-snapshot
+    * scan — which must equal DuckDB over the first three epochs'
+    * rows of the parquet original. The q244 twin through the OTHER
+    * front door: one resolves history via reader options, this one via
+    * the SQL standard surface. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val out = q244Export(s, dir)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val saves = graft.sources.JsonMeta.saves(s, out)
+    require(saves.size >= 3, s"expected one save per epoch, got $saves")
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(doc_id * 61) AS BIGINT) AS key_check,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM graft.`$out` VERSION AS OF ${saves(2)}
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private val q248Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 61) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_sql_time_travel" -> (q248 _),
     "q247_zorder_write" -> (q247 _),
     "q246_vacuum_retention" -> (q246 _),
     "q245_change_feed" -> (q245 _),
@@ -1443,6 +1473,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q248_sql_time_travel" -> q248Sql,
     "q247_zorder_write" -> q247Sql,
     "q246_vacuum_retention" -> q246Sql,
     "q245_change_feed" -> q245Sql,

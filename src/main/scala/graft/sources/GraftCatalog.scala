@@ -77,6 +77,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       java.util.Collections.singletonMap("path", dir))
   }
 
+  /** SQL time travel: `SELECT … FROM graft.`dir` VERSION AS OF k` —
+    * the save-id history [[JsonMeta]] keeps, resolved through the same
+    * pinned-snapshot path as `option("asOfSave", k)` (read-only,
+    * unstreamable, loud named errors below the vacuum horizon / squash
+    * / on drifted bytes). `TIMESTAMP AS OF` is deliberately
+    * unsupported: saves carry ordinal ids, not wall-clock times, and
+    * guessing a mapping would serve wrong snapshots silently. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val saveId =
+      try java.lang.Long.parseLong(version)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graftjson: VERSION AS OF takes a save id (got '$version') — " +
+            s"the ids JsonMeta.saves('$dir') lists")
+      }
+    val p = provider
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", dir)
+    opts.put("asOfSave", saveId.toString)
+    val schema =
+      try p.inferSchema(new CaseInsensitiveStringMap(opts))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new NoSuchTableException(ident)
+      }
+    p.getTable(schema, Array.empty, opts)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graftjson: TIMESTAMP AS OF is unsupported — history is keyed by " +
+        "save id (VERSION AS OF k); saves are ordinal commits, not " +
+        "wall-clock points")
+
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {

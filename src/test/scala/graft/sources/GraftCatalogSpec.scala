@@ -104,6 +104,38 @@ class GraftCatalogSpec extends SparkTestBase {
       Seq("p" + (13 * 64 + 7)))
   }
 
+  test("SQL VERSION AS OF resolves save-id history; TIMESTAMP AS OF and junk versions are loud") {
+    useCatalog()
+    val dir = graft.TempRoots.path("catalog_version_asof")
+    new java.io.File(dir).mkdirs()
+    import spark.implicits._
+    graft.streaming.EventStreams.ingestEpoch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir, batchId = 0L)
+    graft.streaming.EventStreams.ingestEpoch(
+      Seq((3L, "c")).toDF("id", "s"), dir, batchId = 1L)
+    val saves = JsonMeta.saves(spark, dir)
+    assert(saves.size == 2)
+    def idsAt(v: Long): Seq[Long] = spark.sql(
+      s"SELECT id FROM graft.`$dir` VERSION AS OF $v")
+      .collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+    assert(idsAt(saves.head) == Seq(1L, 2L))
+    assert(idsAt(saves.last) == Seq(1L, 2L, 3L))
+    // the version surface shares the pinned-snapshot guards: a
+    // nonexistent save is the resolver's own loud error
+    val e = intercept[Exception](idsAt(99L))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("has no save 99")), chain(e).mkString("|"))
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT id FROM graft.`$dir` VERSION AS OF 'junk'").collect())
+    assert(chain(e2).exists(_.contains("save id")), chain(e2).mkString("|"))
+    val e3 = intercept[Exception](spark.sql(
+      s"SELECT id FROM graft.`$dir` TIMESTAMP AS OF '2026-01-01'").collect())
+    assert(chain(e3).exists(_.contains("TIMESTAMP AS OF is unsupported")),
+      chain(e3).mkString("|"))
+  }
+
   test("two-key clusterBy through the PATH writer fails at planning (no function catalog), one-key still works") {
     val dir = graft.TempRoots.path("catalog_zorder_pathapi")
     val df = spark.range(100).select((col("id") % 10).as("a"),
