@@ -429,10 +429,15 @@ object Analytic {
   /** PageRank over the customer↔supplier order graph
     * ([[graft.ops.GraphOps.pageRank]]): symmetrized edges from
     * orders⋈lineitem (customers at 2k, suppliers at 2k+1 — disjoint
-    * node ids), 8 decimal-exact iterations, top-20 by rounded rank.
-    * Rows-only (the power iteration is not SQL-expressible);
-    * GraphOpsSpec pins bit parity with a local reference, layout
-    * independence, and unit total mass. */
+    * node ids), decimal-exact iterations. Oracled since r14 via the
+    * envelope pattern — the power-iteration values are not SQL-
+    * expressible, but the invariants that define a correct PageRank
+    * are in-query booleans the oracle pins TRUE: the node count is
+    * exact tokenizer-free arithmetic (distinct customers + distinct
+    * suppliers of the join, DuckDB-computable), total mass is 1
+    * (teleport conservation — no dangling nodes on a symmetrized
+    * graph), and every rank is positive. Bit parity with a local
+    * reference and layout independence stay pinned in GraphOpsSpec. */
   private def q142(s: SparkSession, dir: String): DataFrame = {
     val edges = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"),
@@ -442,13 +447,25 @@ object Analytic {
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
     GraphOps.pageRank(sym, iters = 5)
-      .withColumn("kind", when(col("node") % 2 === 0, "customer")
-        .otherwise("supplier"))
-      .withColumn("key", (col("node") / lit(2)).cast("bigint"))
-      .select(col("kind"), col("key"), col("rank"))
-      .orderBy(col("rank").desc, col("kind"), col("key"))
-      .limit(20)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("rank")).as("mass"),
+        min(col("rank")).as("min_rank"))
+      .select(col("n_nodes"),
+        // ranks are rounded to 6 decimals in the output, so mass can
+        // drift by up to half an ulp per node — the tolerance scales
+        // with the node count instead of assuming unrounded values
+        (abs(col("mass") - 1.0) <=
+          col("n_nodes").cast("double") * 5e-7 + 1e-6).as("mass_ok"),
+        (col("min_rank") > 0.0).as("ranks_positive"))
   }
+
+  private val q142Sql =
+    """WITH e AS (SELECT o_custkey, l_suppkey
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT CAST((SELECT count(DISTINCT o_custkey) FROM e) +
+      |            (SELECT count(DISTINCT l_suppkey) FROM e) AS BIGINT)
+      |  AS n_nodes,
+      |  TRUE AS mass_ok, TRUE AS ranks_positive""".stripMargin
 
   /** Ordered event funnel (view → click-after-view →
     * purchase-after-click): each stage keeps the user's EARLIEST
@@ -1812,6 +1829,7 @@ object Analytic {
   // guarantee; AnalyticSpec keeps the layout-determinism pins
 
   val oracle: Map[String, String] = Map(
+    "q142_pagerank" -> q142Sql,
     "q215_touch_attribution" -> q215Sql,
     "q208_cohort_retention" -> q208Sql,
     "q209_funnel_conversion" -> q209Sql,

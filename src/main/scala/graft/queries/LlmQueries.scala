@@ -120,16 +120,69 @@ object LlmQueries {
       |  CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
       |FROM g ORDER BY doc_id""".stripMargin
 
-  /** MinHash-LSH near-dup (rows-only: LSH recall is probabilistic, so
-    * no exact oracle; the exact-verify filter guarantees precision). */
-  private def q52(s: SparkSession, dir: String): DataFrame =
-    TextOps.nearDupMinhash(Tables(s, dir, "documents"), 0.9)
-      .orderBy(col("doc_a"), col("doc_b"))
+  /** Planted near-duplicate fixture — the TEXT twin of [[plantedAnn]]
+    * (r14): every 50th sufficiently-long document gets a copy with its
+    * last four characters dropped (word-shingle Jaccard ≈ 0.95+,
+    * simhash Hamming distance a few bits), ids offset by 10M so pair
+    * membership is decidable from the ids alone — which lets DuckDB
+    * pin the expected planted count without running any hashing. Raw
+    * candidate-pair output is hash-family-specific (honestly
+    * rows-only); planted CAPTURE is a meaningful, oracle-checkable
+    * recall the envelope boolean pins. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
+    val mutated = docs
+      .where(col("doc_id") % 50 === 0 && length(col("text")) >= 200)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        expr("substring(text, 1, length(text) - 4)").as("text"))
+    docs.unionByName(mutated)
+  }
 
-  /** SimHash near-dup (rows-only: hash-family-specific buckets). */
+  /** Aggregate planted-pair capture of a (doc_a, doc_b) candidate
+    * frame: how many planted (base, base+10M) pairs the operator
+    * reported, as a floor boolean over the DuckDB-pinnable planted
+    * count. */
+  private def plantedDocCapture(s: SparkSession, dir: String,
+                                pairs: DataFrame,
+                                floor: Double): DataFrame = {
+    val captured = pairs
+      .where(abs(col("doc_a") - col("doc_b")) === 10000000L &&
+        least(col("doc_a"), col("doc_b")) % 50 === 0)
+      .select(least(col("doc_a"), col("doc_b")).as("base"))
+      .distinct()
+      .agg(count(lit(1)).as("n_captured"))
+    plantedDocs(s, dir).where(col("doc_id") >= 10000000L)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(captured)
+      .select(col("n_planted"),
+        (col("n_captured").cast("double") /
+          greatest(col("n_planted"), lit(1L)) >= floor).as("capture_ok"))
+  }
+
+  private val plantedDocCaptureSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS capture_ok
+      |FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 200""".stripMargin
+
+  /** MinHash-LSH near-dup over the planted fixture — oracled via the
+    * capture envelope (r14; the raw candidate pairs stay hash-family-
+    * specific, and the banding signature parity is spec-pinned in
+    * TextOpsSpec). Floor 0.7: a 4-char truncation keeps word-shingle
+    * Jaccard ≈ 0.95+, well above the 0.8 verify threshold, and the
+    * 4×16 banding captures J≈0.95 pairs with p ≈ 0.97 each. */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    plantedDocCapture(s, dir,
+      TextOps.nearDupMinhash(plantedDocs(s, dir), 0.8), floor = 0.7)
+
+  /** SimHash near-dup over the planted fixture — same envelope; a
+    * 4-char truncation moves only a few of the 64 sign sums, far
+    * inside the Hamming-16 acceptance. */
   private def q53(s: SparkSession, dir: String): DataFrame =
-    TextOps.nearDupSimhash(Tables(s, dir, "documents"), 16)
-      .orderBy(col("doc_a"), col("doc_b"))
+    plantedDocCapture(s, dir,
+      TextOps.nearDupSimhash(plantedDocs(s, dir), 16), floor = 0.7)
+
+  private val q52Sql = plantedDocCaptureSql
+  private val q53Sql = plantedDocCaptureSql
 
   private def q54(s: SparkSession, dir: String): DataFrame =
     TextOps.textStats(Tables(s, dir, "documents"))
@@ -577,11 +630,35 @@ object LlmQueries {
 
   /** PCA projection ([[graft.ops.VectorOps.pcaProject]]): exact
     * one-pass covariance moments (decimal sums), driver Jacobi
-    * eigensolve, codegen'd top-4 projection. Rows-only (eigen
-    * recursion); VectorOpsSpec pins eigen-residuals, orthonormality,
-    * variance ordering and layout independence. */
-  private def q137(s: SparkSession, dir: String): DataFrame =
-    VectorOps.pcaProject(Tables(s, dir, "embeddings"), 4)
+    * eigensolve, codegen'd top-4 projection. Oracled since r14 via the
+    * envelope pattern — the projections themselves are eigen-recursion
+    * outputs no SQL can reproduce, but their DEFINING invariants are
+    * in-query booleans the oracle pins TRUE: component sample
+    * variances strictly descending (the eigen ordering) and pairwise
+    * correlations ≈ 0 (orthogonal components over centered data),
+    * plus the exact row count. Per-value parity/eigen-residual pins
+    * stay in VectorOpsSpec. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val proj = VectorOps.pcaProject(Tables(s, dir, "embeddings"), 4)
+    val stats = proj.agg(
+      count(lit(1)).as("n_vectors"),
+      (1 to 4).map(j => variance(col(s"pc$j")).as(s"v$j")) ++
+        (for (i <- 1 to 4; j <- i + 1 to 4)
+          yield corr(col(s"pc$i"), col(s"pc$j")).as(s"c${i}_$j")): _*)
+    val varDesc = (1 until 4).map(j =>
+      col(s"v$j") >= col(s"v${j + 1}") - lit(1e-6)).reduce(_ && _)
+    val uncorr = (for (i <- 1 to 4; j <- i + 1 to 4)
+      yield abs(coalesce(col(s"c${i}_$j"), lit(0.0))) <= lit(0.05))
+      .reduce(_ && _)
+    stats.select(col("n_vectors"), lit(4L).as("k"),
+      varDesc.as("var_desc_ok"), uncorr.as("uncorrelated_ok"))
+  }
+
+  private val q137Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(4 AS BIGINT) AS k,
+      |  TRUE AS var_desc_ok, TRUE AS uncorrelated_ok
+      |FROM embeddings""".stripMargin
 
   /** Distilled quality classifier ([[graft.ops.TextOps
     * .trainQualityClassifier]]): logistic regression trained in the
@@ -729,12 +806,35 @@ object LlmQueries {
 
   /** Per-document BPE encoding statistics under the q126 merges:
     * distinct words encode once, the corpus-scale pass is a broadcast
-    * join. Rows-only (depends on the learned merges); BpeSpec pins
-    * per-doc counts against reference encoding. */
+    * join. Oracled since r14: the per-doc WORD count is tokenizer
+    * arithmetic both engines compute exactly, and the learned
+    * encoding participates through a per-doc bounds boolean — every
+    * document's BPE token count must sit between its non-empty word
+    * count (≥1 symbol per word) and its summed word length (≤1 symbol
+    * per character); a broken merge table or encoder violates a bound
+    * and flips the hash. Merge-for-merge parity stays in BpeSpec. */
   private def q127(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    Bpe.encodeStats(docs, Bpe.train(docs, 30)).orderBy(col("doc_id"))
+    val stats = Bpe.encodeStats(docs, Bpe.train(docs, 30))
+    val t = coalesce(col("text"), lit(""))
+    val bounds = docs.select(col("doc_id"),
+      size(filter(split(t, " "), w => w =!= lit("")))
+        .cast("bigint").as("n_nonempty"),
+      (length(t) - (size(split(t, " ")) - 1))
+        .cast("bigint").as("n_word_chars"))
+    stats.join(bounds, "doc_id")
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_words").cast("bigint").as("n_words"),
+        (col("n_bpe_tokens") >= col("n_nonempty") &&
+          col("n_bpe_tokens") <= col("n_word_chars")).as("bpe_bounds_ok"))
+      .orderBy(col("doc_id"))
   }
+
+  private val q127Sql =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_words,
+      |  TRUE AS bpe_bounds_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Weighted stable sample ([[TextOps.weightedSample]], A-ES):
     * longer documents (weight = n_chars) are proportionally likelier,
@@ -2170,6 +2270,10 @@ object LlmQueries {
   // q61/q63/q95/q74 oracled since r14 via the planted-neighbors fixture
 
   val oracle: Map[String, String] = Map(
+    "q52_neardup_minhash" -> q52Sql,
+    "q53_neardup_simhash" -> q53Sql,
+    "q127_bpe_encode" -> q127Sql,
+    "q137_pca_project" -> q137Sql,
     "q61_ann_lsh" -> q61Sql,
     "q63_ann_ivf" -> q63Sql,
     "q95_pq_ann" -> q95Sql,
