@@ -1332,6 +1332,12 @@ object Analytic {
     * is not SQL-expressible); GraphOpsSpec pins the exact fixpoint
     * ordering on a hand-computable graph plus bit-identical scores
     * under repartitioning. */
+  /** Oracled since r14 via the q142 envelope convention: HITS scores
+    * are power-iteration outputs, but per-kind node counts are exact
+    * join arithmetic (DuckDB-computable) and the L1 normalization the
+    * sweeps maintain (Σscore = 1 per kind, within the 6-decimal
+    * rounding ulp budget) plus non-negativity are in-query booleans.
+    * Local-reference bit parity stays in GraphOpsSpec. */
   private def q193(s: SparkSession, dir: String): DataFrame = {
     val edges = Tables(s, dir, "orders")
       .join(Tables(s, dir, "lineitem"),
@@ -1339,11 +1345,29 @@ object Analytic {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
     GraphOps.hits(edges, iters = 5)
-      .withColumn("key", (col("id") / lit(2)).cast("bigint"))
-      .select(col("kind"), col("key"), col("score"))
-      .orderBy(col("score").desc, col("kind"), col("key"))
-      .limit(24)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("score")).as("mass"),
+        min(col("score")).as("min_score"))
+      .select(col("kind"), col("n_nodes"),
+        (abs(col("mass") - 1.0) <=
+          col("n_nodes").cast("double") * 5e-7 + 1e-6).as("mass_ok"),
+        (col("min_score") >= 0.0).as("nonneg_ok"))
+      .orderBy(col("kind"))
   }
+
+  private val q193Sql =
+    """WITH e AS (SELECT o_custkey, l_suppkey
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT 'authority' AS kind,
+      |  CAST((SELECT count(DISTINCT l_suppkey) FROM e) AS BIGINT)
+      |    AS n_nodes,
+      |  TRUE AS mass_ok, TRUE AS nonneg_ok
+      |UNION ALL
+      |SELECT 'hub',
+      |  CAST((SELECT count(DISTINCT o_custkey) FROM e) AS BIGINT),
+      |  TRUE, TRUE
+      |ORDER BY kind""".stripMargin
 
   /** Exact-arithmetic Pearson correlation matrix (q194): all six
     * pairwise correlations of the lineitem measures from ONE
@@ -1829,6 +1853,7 @@ object Analytic {
   // guarantee; AnalyticSpec keeps the layout-determinism pins
 
   val oracle: Map[String, String] = Map(
+    "q193_hits_ranking" -> q193Sql,
     "q142_pagerank" -> q142Sql,
     "q215_touch_attribution" -> q215Sql,
     "q208_cohort_retention" -> q208Sql,

@@ -624,9 +624,26 @@ object LlmQueries {
     * parity. Explicit nCells pins the demo's cell count (the q63
     * convention). */
   private def q136(s: SparkSession, dir: String): DataFrame =
+    // oracled since r14 via the envelope pattern: the per-cell stats
+    // are Lloyd-recursion outputs, but their conservation law is not —
+    // the cell sizes must sum to EXACTLY the corpus count (a vector
+    // lost or double-assigned by the in-cluster reduction flips it,
+    // DuckDB computes it independently), with cell-count bounds and
+    // non-negative residuals as companion booleans. Monotone inertia /
+    // local-reference parity stay pinned in VectorOpsSpec.
     VectorOps.kmeansRefine(Tables(s, dir, "embeddings"), nCells = 16,
         iters = 5)
-      .orderBy(col("cell"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n_rows")).as("n_vectors"),
+        min(col("rss")).as("min_rss"))
+      .select(col("n_vectors").cast("bigint").as("n_vectors"),
+        (col("n_cells") >= 1 && col("n_cells") <= 16).as("cells_bounded"),
+        (col("min_rss") >= 0.0).as("rss_nonneg"))
+
+  private val q136Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  TRUE AS cells_bounded, TRUE AS rss_nonneg
+      |FROM embeddings""".stripMargin
 
   /** PCA projection ([[graft.ops.VectorOps.pcaProject]]): exact
     * one-pass covariance moments (decimal sums), driver Jacobi
@@ -1713,11 +1730,30 @@ object LlmQueries {
     * recall. Rows-only (seeded projection matrix); VectorOpsSpec pins
     * projection parity with a local matvec, layout independence, and
     * a recall floor. */
+  /** JL-projection recall over the PLANTED fixture (oracled since r14
+    * — the raw-corpus variant was vacuous for the same reason old q74
+    * was: no neighbor structure to preserve). A 64→16 random
+    * projection keeps near-identical vectors near-identical, so the
+    * projected exact top-10 must still find the planted families: the
+    * aggregate recall floor is the envelope boolean, and the exact
+    * side's fullness is pinned like q74. */
   private def q186(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    VectorOps.jlRecall(e, e.where(col("vec_id") < 5), k = 10,
-      outDim = 16, inDim = 64)
+    val (corpus, qs) = plantedAnn(s, dir)
+    VectorOps.jlRecall(corpus, qs, k = 10, outDim = 16, inDim = 64)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_exact")).as("n_exact"),
+        sum(col("n_hits")).as("n_hits"))
+      .select(col("n_queries"),
+        col("n_exact").cast("bigint").as("n_exact"),
+        (col("n_hits").cast("double") / col("n_exact") >= 0.6)
+          .as("jl_recall_ok"))
   }
+
+  private val q186Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(count(*) * 10 AS BIGINT) AS n_exact,
+      |  TRUE AS jl_recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500""".stripMargin
 
   /** Normalization-robust dedup: group documents by the token-set
     * fingerprint of the case-folded, punctuation-stripped text and
@@ -2270,6 +2306,8 @@ object LlmQueries {
   // q61/q63/q95/q74 oracled since r14 via the planted-neighbors fixture
 
   val oracle: Map[String, String] = Map(
+    "q136_kmeans_refine" -> q136Sql,
+    "q186_jl_recall" -> q186Sql,
     "q52_neardup_minhash" -> q52Sql,
     "q53_neardup_simhash" -> q53Sql,
     "q127_bpe_encode" -> q127Sql,
