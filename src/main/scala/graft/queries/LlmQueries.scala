@@ -129,7 +129,7 @@ object LlmQueries {
     * candidate-pair output is hash-family-specific (honestly
     * rows-only); planted CAPTURE is a meaningful, oracle-checkable
     * recall the envelope boolean pins. */
-  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
     val mutated = docs
@@ -1716,12 +1716,52 @@ object LlmQueries {
   /** Isotonic calibration curve
     * ([[graft.ops.TextOps.isotonicCalibration]]) of the length signal
     * against the quality gate — q179's AUC says the signal ranks;
-    * this is the monotone probability it calibrates to. Rows-only
-    * (PAVA pooling recursion); TextOpsSpec pins monotonicity,
-    * weighted-mean preservation, a hand-verified pooling example, and
-    * layout independence. */
-  private def q185(s: SparkSession, dir: String): DataFrame =
-    TextOps.isotonicCalibration(Tables(s, dir, "documents"))
+    * this is the monotone probability it calibrates to. Oracled since
+    * r14: the PAVA pooling is a recursion, but its DEFINING properties
+    * are checkable — the doc count and the gate-positive count are
+    * exact (DuckDB recomputes the gate with the q179 expressions), the
+    * calibrated rates must be monotone non-decreasing and in [0, 1],
+    * and the calibrated mass must equal the positive count (PAVA's
+    * weighted-mean preservation) within the 4-decimal rounding budget.
+    * The hand-verified pooling example stays in TextOpsSpec. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iso = TextOps.isotonicCalibration(Tables(s, dir, "documents"))
+    val w = Window.orderBy(col("bin"))
+    val flagged = iso.select(col("n"), col("n_pos"), col("iso_rate"),
+      coalesce(col("iso_rate") >=
+        lag(col("iso_rate"), 1).over(w), lit(true)).as("mono"),
+      (col("iso_rate") >= 0.0 && col("iso_rate") <= 1.0).as("bounded"))
+    flagged.agg(sum(col("n")).as("n_docs"),
+        sum(col("n_pos")).as("n_pos"),
+        min(col("mono").cast("int")).as("mono_min"),
+        min(col("bounded").cast("int")).as("bound_min"),
+        sum(col("n").cast("double") * col("iso_rate")).as("mass"))
+      .select(col("n_docs").cast("bigint").as("n_docs"),
+        col("n_pos").cast("bigint").as("n_pos"),
+        (col("mono_min") === 1).as("monotone_ok"),
+        (abs(col("mass") - col("n_pos")) <=
+          col("n_docs").cast("double") * 5e-5 + 1e-6)
+          .as("mass_preserved_ok"),
+        (col("bound_min") === 1).as("bounds_ok"))
+  }
+
+  private val q185Sql =
+    """WITH t AS (SELECT
+      |    len(string_split(coalesce(text, ''), ' ')) AS n_words,
+      |    len(list_filter(string_split(coalesce(text, ''), ' '),
+      |        x -> list_contains(['the','a','of','and','in','to','is'], x)))::DOUBLE
+      |      / len(string_split(coalesce(text, ''), ' ')) AS stop_ratio,
+      |    length(replace(coalesce(text, ''), ' ', ''))::DOUBLE
+      |      / len(string_split(coalesce(text, ''), ' ')) AS mean_word_len
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_words >= 8 AND stop_ratio >= 0.02
+      |       AND mean_word_len BETWEEN 2.0 AND 12.0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  TRUE AS monotone_ok, TRUE AS mass_preserved_ok,
+      |  TRUE AS bounds_ok
+      |FROM t""".stripMargin
 
   /** Johnson–Lindenstrauss projection audit
     * ([[graft.ops.VectorOps.jlRecall]]): recall@10 of cosine top-k in
@@ -2306,6 +2346,7 @@ object LlmQueries {
   // q61/q63/q95/q74 oracled since r14 via the planted-neighbors fixture
 
   val oracle: Map[String, String] = Map(
+    "q185_isotonic_calibration" -> q185Sql,
     "q136_kmeans_refine" -> q136Sql,
     "q186_jl_recall" -> q186Sql,
     "q52_neardup_minhash" -> q52Sql,

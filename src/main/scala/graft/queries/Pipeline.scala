@@ -476,13 +476,39 @@ object Pipeline {
   /** Batch twin of the streaming near-dup suppression
     * ([[graft.streaming.EventStreams.nearDupIngest]]): per doc, how
     * many of its MinHash LSH bands were already claimed by an earlier
-    * doc, and whether it survives the all-bands-new gate. Rows-only
-    * (band keys are MinHash-derived, not SQL-recomputable);
-    * StreamNearDupSpec pins stream == batch decision parity. */
-  private def q113(s: SparkSession, dir: String): DataFrame =
-    TextOps.nearDupSuppress(
-        Tables(s, dir, "documents").where(col("text").isNotNull))
-      .orderBy(col("doc_id"))
+    * doc, and whether it survives the all-bands-new gate. Oracled
+    * since r14 over the planted-document fixture: band keys stay
+    * MinHash-derived (not SQL-recomputable), but a planted
+    * 4-char-truncated copy shares its base's band keys with high
+    * probability and carries the LATER id, so the suppression gate
+    * must drop most planted mutants — the floor boolean — while the
+    * doc count is exact conservation DuckDB computes independently.
+    * Stream == batch decision parity stays in StreamNearDupSpec. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val sup = TextOps.nearDupSuppress(
+      graft.queries.LlmQueries.plantedDocs(s, dir)
+        .where(col("text").isNotNull))
+    sup.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") >= 10000000L && col("is_kept") === 0L, 1L)
+          .otherwise(0L)).as("n_planted_suppressed"),
+        sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L))
+          .as("n_planted"))
+      .select(col("n_docs").cast("bigint").as("n_docs"),
+        col("n_planted").cast("bigint").as("n_planted"),
+        (col("n_planted_suppressed").cast("double") /
+          greatest(col("n_planted"), lit(1L)) >= 0.7)
+          .as("suppressed_ok"))
+  }
+
+  private val q113Sql =
+    """SELECT CAST((SELECT count(*) FROM documents WHERE text IS NOT NULL)
+      |     + (SELECT count(*) FROM documents
+      |        WHERE doc_id % 50 = 0 AND length(text) >= 200) AS BIGINT)
+      |    AS n_docs,
+      |  CAST((SELECT count(*) FROM documents
+      |        WHERE doc_id % 50 = 0 AND length(text) >= 200) AS BIGINT)
+      |    AS n_planted,
+      |  TRUE AS suppressed_ok""".stripMargin
 
   /** Per-doc curation lineage: the FIRST stage of the q102 pipeline
     * that drops each document (dedup → quality → contamination, in
@@ -2048,6 +2074,7 @@ object Pipeline {
   // SketchesSpec pins the overlap envelope against the exact sets
 
   val oracle: Map[String, String] = Map(
+    "q113_neardup_suppress" -> q113Sql,
     "q192_xml_roundtrip" -> q192Sql,
     "q190_hist_quantiles" -> q190Sql,
     "q96_ngram_contamination" -> q96Sql,
