@@ -516,7 +516,7 @@ object LlmQueries {
     * pattern: the floor boolean flips the hash on an index
     * regression). Everything is column expressions — the fixture
     * costs one embeddings scan, no UDF, no driver data. */
-  private def plantedAnn(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[queries] def plantedAnn(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings")
     val centers = e
       .where(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
@@ -538,7 +538,7 @@ object LlmQueries {
 
   /** vec_id → its planted family's center id (the fixture's id rule),
     * null-safe for background ids. */
-  private def familyOf(vid: Column): Column =
+  private[queries] def familyOf(vid: Column): Column =
     when(vid > lit(10000000L),
       floor((vid - lit(10000001L)).cast("double") / 100.0).cast("long"))
       .otherwise(lit(-1L))
@@ -684,13 +684,48 @@ object LlmQueries {
     * expressible); TextOpsSpec pins accuracy above the majority
     * baseline, bit parity with a local reference trainer, and
     * layout-independent weights. */
-  private def q139(s: SparkSession, dir: String): DataFrame =
+  private def q139(s: SparkSession, dir: String): DataFrame = {
     // one corpus pass: the (doc_id, features, label) projection
     // persists once and feeds BOTH the IRLS iterations and the scores
     // (r12 verdict #5 — the previous train-then-score pair re-read
-    // documents and re-computed every feature expression)
-    TextOps.trainAndScoreQuality(Tables(s, dir, "documents"))
-      .orderBy(col("doc_id"))
+    // documents and re-computed every feature expression).
+    // Oracled since r14 via the envelope pattern: the doc count and the
+    // gate-positive count are exact (DuckDB recomputes the gate — the
+    // q179/q185 expressions), predictions must be calibrated
+    // probabilities in [0, 1], and the trained classifier must score
+    // at least the majority baseline on its own labels — the
+    // TextOpsSpec accuracy pin made driver-visible. IRLS bit parity
+    // stays in TextOpsSpec.
+    val scored = TextOps.trainAndScoreQuality(Tables(s, dir, "documents"))
+    scored.agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).as("n_pos"),
+        avg((col("pred") === col("label")).cast("double")).as("acc"),
+        min(col("p_quality")).as("p_min"),
+        max(col("p_quality")).as("p_max"))
+      .select(col("n_docs").cast("bigint").as("n_docs"),
+        col("n_pos").cast("bigint").as("n_pos"),
+        (col("acc") >= greatest(
+          col("n_pos").cast("double") / col("n_docs"),
+          lit(1.0) - col("n_pos").cast("double") / col("n_docs")) - 1e-9)
+          .as("acc_beats_majority"),
+        (col("p_min") >= 0.0 && col("p_max") <= 1.0).as("probs_bounded"))
+  }
+
+  private val q139Sql =
+    """WITH t AS (SELECT
+      |    len(string_split(coalesce(text, ''), ' ')) AS n_words,
+      |    len(list_filter(string_split(coalesce(text, ''), ' '),
+      |        x -> list_contains(['the','a','of','and','in','to','is'], x)))::DOUBLE
+      |      / len(string_split(coalesce(text, ''), ' ')) AS stop_ratio,
+      |    length(replace(coalesce(text, ''), ' ', ''))::DOUBLE
+      |      / len(string_split(coalesce(text, ''), ' ')) AS mean_word_len
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_words >= 8 AND stop_ratio >= 0.02
+      |       AND mean_word_len BETWEEN 2.0 AND 12.0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  TRUE AS acc_beats_majority, TRUE AS probs_bounded
+      |FROM t""".stripMargin
 
   private def q62(s: SparkSession, dir: String): DataFrame =
     VectorOps.embeddingNearDup(Tables(s, dir, "embeddings"), 0.4)
@@ -817,9 +852,49 @@ object LlmQueries {
     * vocabulary-scale iterations. Rows-only (the argmax recursion is
     * not SQL-expressible); BpeSpec pins the table against an
     * independent single-node reference trainer. */
-  private def q126(s: SparkSession, dir: String): DataFrame =
-    Bpe.trainDF(s, Tables(s, dir, "documents"), nMerges = 30)
-      .orderBy(col("rank"))
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    // oracled since r14 via the envelope pattern: the learned merge
+    // table is an argmax recursion, but its well-formedness is
+    // checkable — exactly nMerges contiguous ranks (the corpus has far
+    // more than 30 repeating pairs at every SF), every merged pair
+    // occurs at least twice (BPE never merges a non-repeating pair),
+    // and every pair's concatenation is a substring of some corpus
+    // word. Merge-for-merge parity with the single-node reference
+    // trainer stays in BpeSpec.
+    val m = Bpe.trainDF(s, Tables(s, dir, "documents"), nMerges = 30)
+    val words = Tables(s, dir, "documents")
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+    // the symbolization appends the end-of-word marker, so a merge
+    // ending in Eow must match a word SUFFIX; any other merge is an
+    // in-word substring
+    val tok = concat(col("left"), col("right"))
+    val inCorpus = words
+      .join(broadcast(m.select(col("rank"),
+        when(tok.endsWith(Bpe.Eow),
+          expr(s"substring(concat(left, right), 1, " +
+            s"length(concat(left, right)) - ${Bpe.Eow.length})"))
+          .otherwise(tok).as("body"),
+        tok.endsWith(Bpe.Eow).as("at_end"))),
+        (col("at_end") && col("w").endsWith(col("body"))) ||
+          (!col("at_end") && col("w").contains(col("body"))))
+      .select(col("rank")).distinct()
+      .agg(count(lit(1)).as("n_in_corpus"))
+    m.agg(count(lit(1)).as("n_merges"),
+        min(col("rank")).as("rank_min"), max(col("rank")).as("rank_max"),
+        countDistinct(col("rank")).as("n_ranks"),
+        min(col("n_occurrences")).as("min_occ"))
+      .crossJoin(inCorpus)
+      .select(col("n_merges").cast("bigint").as("n_merges"),
+        (col("rank_min") === 0 && col("rank_max") === col("n_merges") - 1 &&
+          col("n_ranks") === col("n_merges")).as("ranks_contiguous"),
+        (col("min_occ") >= 2).as("pairs_repeat"),
+        (col("n_in_corpus") === col("n_merges")).as("pairs_in_corpus"))
+  }
+
+  private val q126Sql =
+    """SELECT CAST(30 AS BIGINT) AS n_merges, TRUE AS ranks_contiguous,
+      |  TRUE AS pairs_repeat, TRUE AS pairs_in_corpus""".stripMargin
 
   /** Per-document BPE encoding statistics under the q126 merges:
     * distinct words encode once, the corpus-scale pass is a broadcast
@@ -1566,16 +1641,29 @@ object LlmQueries {
     * fallback bit-for-bit and the ratio/flag arithmetic against a
     * driver-side Deflater fold. */
   private def q181(s: SparkSession, dir: String): DataFrame =
+    // oracled since r14: DuckDB still has no deflate, but the
+    // per-source DOC COUNTS are exact conservation it recomputes, and
+    // the deflate outputs participate through bounds booleans — every
+    // ratio in (0, 3] (a deflate stream is never empty and tiny inputs
+    // cap below 3x overhead) and flags a subset of docs. Bit parity of
+    // the native expression stays in DeflateLengthSpec.
     TextOps.compressionSignal(Tables(s, dir, "documents"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        // decimal-sum the rounded ratios: the mean is exact and
-        // layout-independent (double partial sums would not be)
-        round((sum(col("ratio").cast("decimal(28,8)")) /
-          count(lit(1))).cast("double"), 4).as("mean_ratio"),
+        min(col("ratio")).as("min_ratio"),
         max(col("ratio")).as("max_ratio"),
         sum(col("low_entropy").cast("long")).as("n_flagged"))
+      .select(col("source"), col("n_docs"),
+        (col("min_ratio") > 0.0 && col("max_ratio") <= 3.0)
+          .as("ratios_bounded"),
+        (col("n_flagged") >= 0L && col("n_flagged") <= col("n_docs"))
+          .as("flags_bounded"))
       .orderBy(col("source"))
+
+  private val q181Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  TRUE AS ratios_bounded, TRUE AS flags_bounded
+      |FROM documents GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 
   /** Per-source vocabulary drift: KL divergence (nats) of each
     * source's unigram distribution from the corpus-wide distribution
@@ -1637,10 +1725,43 @@ object LlmQueries {
     * VectorOpsSpec pins the greedy loop on hand-verified picks, the
     * diversity property, and layout independence. */
   private def q183(s: SparkSession, dir: String): DataFrame = {
+    // oracled since r14: the greedy tail is recursion, but MMR's FIRST
+    // pick is pure argmax relevance — the exact cosine top-1 with the
+    // engine-shared (rounded score desc, vec_id) tiebreak, which DuckDB
+    // recomputes independently — and the pick-set shape (k distinct
+    // members per query) is exact. The greedy-loop picks themselves
+    // stay pinned in VectorOpsSpec (hand-verified example, diversity
+    // property, layout independence).
     val e = Tables(s, dir, "embeddings")
-    VectorOps.mmrRerank(e, e.where(col("vec_id") < 3), k = 10,
+    val picks = VectorOps.mmrRerank(e, e.where(col("vec_id") < 3), k = 10,
       shortlist = 30)
+    picks.groupBy(col("query_id"))
+      .agg(min(when(col("position") === 1, col("vec_id"))).as("first_pick"),
+        count(lit(1)).as("n_picks"),
+        countDistinct(col("vec_id")).as("n_distinct"))
+      .select(col("query_id").cast("bigint").as("query_id"),
+        col("first_pick").cast("bigint").as("first_pick"),
+        col("n_picks").cast("bigint").as("n_picks"),
+        (col("n_distinct") === col("n_picks")).as("picks_distinct"))
+      .orderBy(col("query_id"))
   }
+
+  private val q183Sql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4) AS cos
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(vec_id AS BIGINT) AS first_pick,
+      |  CAST(10 AS BIGINT) AS n_picks, TRUE AS picks_distinct
+      |FROM ranked WHERE rk = 1 ORDER BY query_id""".stripMargin
 
   /** Per-source OLS regression of document chars on words (slope ≈
     * mean word+separator length, intercept ≈ fixed overhead, R² the
@@ -2346,6 +2467,10 @@ object LlmQueries {
   // q61/q63/q95/q74 oracled since r14 via the planted-neighbors fixture
 
   val oracle: Map[String, String] = Map(
+    "q139_quality_classifier" -> q139Sql,
+    "q183_mmr_rerank" -> q183Sql,
+    "q126_bpe_vocab" -> q126Sql,
+    "q181_compression_signal" -> q181Sql,
     "q185_isotonic_calibration" -> q185Sql,
     "q136_kmeans_refine" -> q136Sql,
     "q186_jl_recall" -> q186Sql,

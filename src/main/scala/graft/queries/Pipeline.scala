@@ -120,12 +120,40 @@ object Pipeline {
 
   /** Embedding near-dup with LEARNED blocking cells (IVF coarse
     * quantizer + multi-assignment) — the production form of q62's
-    * label blocking. Rows-only: the cells come from k-means, which no
-    * SQL oracle can recompute; VectorOpsSpec pins exhaustive == brute
-    * force and the default recall floor instead. */
-  private def q100(s: SparkSession, dir: String): DataFrame =
-    VectorOps.embeddingNearDupIvf(Tables(s, dir, "embeddings"), 0.4, nCells = 16)
-      .orderBy(col("vec_a"), col("vec_b"))
+    * label blocking. Oracled since r14 over the planted-neighbors
+    * fixture: the cells come from k-means, which no SQL oracle can
+    * recompute, but a planted near-duplicate lands in its center's
+    * cell (multi-assignment covers the boundary cases), so the
+    * operator must REPORT most planted (member, family) pairs — the
+    * capture floor boolean over the DuckDB-pinnable planted count.
+    * Exhaustive == brute force stays pinned in VectorOpsSpec. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, _) = graft.queries.LlmQueries.plantedAnn(s, dir)
+    val pairs = VectorOps.embeddingNearDupIvf(corpus, 0.9, nCells = 16)
+    import graft.queries.LlmQueries.familyOf
+    // a planted member is captured when it appears in ANY reported
+    // pair with its center or a family sibling
+    val captured = pairs.select(
+        when(familyOf(col("vec_a")) === col("vec_b") ||
+          familyOf(col("vec_a")) === familyOf(col("vec_b")),
+          col("vec_a")).as("m1"),
+        when(familyOf(col("vec_b")) === col("vec_a") ||
+          familyOf(col("vec_a")) === familyOf(col("vec_b")),
+          col("vec_b")).as("m2"))
+      .select(explode(array(col("m1"), col("m2"))).as("member"))
+      .where(col("member").isNotNull && col("member") >= 10000000L)
+      .agg(countDistinct(col("member")).as("n_captured"))
+    corpus.where(col("vec_id") >= 10000000L)
+      .agg(count(lit(1)).as("n_planted"))
+      .crossJoin(captured)
+      .select(col("n_planted"),
+        (col("n_captured").cast("double") /
+          greatest(col("n_planted"), lit(1L)) >= 0.7).as("capture_ok"))
+  }
+
+  private val q100Sql =
+    """SELECT CAST(count(*) * 10 AS BIGINT) AS n_planted, TRUE AS capture_ok
+      |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500""".stripMargin
 
   /** Batch twin of the streaming per-window schema inference
     * ([[graft.streaming.EventStreams.schemaOverTime]]): hourly
@@ -2075,6 +2103,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q113_neardup_suppress" -> q113Sql,
+    "q100_embedding_neardup_ivf" -> q100Sql,
     "q192_xml_roundtrip" -> q192Sql,
     "q190_hist_quantiles" -> q190Sql,
     "q96_ngram_contamination" -> q96Sql,
