@@ -33,11 +33,12 @@ import java.time.format.DateTimeFormatter
   *     readers either the old table or the new one, never a mix;
   *     the next maintenance call rolls the marker forward.
   *   - STREAMING: each epoch's files rename to DETERMINISTIC names
-  *     (`epoch-NNNNNN-sPPPPP.json`) after first sweeping any files the
-  *     same epoch published before — a replayed epoch rewrites exactly
-  *     its own namespace with identical content, so recovery is
-  *     idempotent with no id bookkeeping (the
-  *     [[graft.streaming.EventStreams.ingestEpoch]] contract).
+  *     (`epoch-NNNNNN-sPPPPP.json`) after reconciling the namespace
+  *     the same epoch published before — content-identical files are
+  *     KEPT (no mtime bump: historical save fingerprints of replayed
+  *     epochs stay valid, r14), differing ones replaced, stale sibling
+  *     names swept — so recovery is idempotent with no id bookkeeping
+  *     (the [[graft.streaming.EventStreams.ingestEpoch]] contract).
   *
   * NDJSON is schema-on-read: a write renders VALUES faithfully and the
   * next load re-infers TYPES under the reference classifier
@@ -329,10 +330,10 @@ private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: S
 
 /** Streaming sink: per-epoch deterministic publication — the
   * [[graft.streaming.EventStreams.ingestEpoch]] contract as a native
-  * DSv2 StreamingWrite. No marker: a replayed epoch first sweeps the
-  * files its previous attempt published (same deterministic prefix),
-  * then renames its staged files in; any crash point converges on
-  * replay because the epoch owns its whole namespace. The
+  * DSv2 StreamingWrite. No marker: a replayed epoch reconciles the
+  * files its previous attempt published (keep identical bytes, replace
+  * differing ones, sweep stale sibling names); any crash point
+  * converges on replay because the epoch owns its whole namespace. The
   * partial-visibility window between first rename and last is the
   * documented ingestEpoch window, accepted for streaming (batch
   * writes, which users point queries at mid-job, keep the stricter

@@ -203,11 +203,14 @@ object EventStreams {
     * under the table's hidden `_ingest_tmp` staging dir, then move
     * the part files to DETERMINISTIC epoch names
     * (`epoch-NNNNNN[-K].json`) in the table dir — a replayed epoch
-    * overwrites exactly its own files with identical content, so
-    * recovery is idempotent with no id bookkeeping (the
-    * [[indexIngest]] contract). A crash mid-move leaves a subset of
-    * the epoch's files visible; the replay rewrites those same names
-    * and adds the rest, converging to the identical committed state.
+    * reconciles exactly its own namespace: published files whose bytes
+    * already match the replay's are KEPT (no mtime bump — historical
+    * save fingerprints of replayed epochs stay valid, r14), differing
+    * ones are replaced, stale sibling names swept; recovery is
+    * idempotent with no id bookkeeping (the [[indexIngest]] contract).
+    * A crash mid-move leaves a subset of the epoch's files visible;
+    * the replay converges those same names to the identical committed
+    * state.
     * When `refreshMeta`, the durable planning metadata refreshes in
     * the same cycle — the meta diff walks only this epoch's files, so
     * a fresh-JVM reader plans the table walk-free.

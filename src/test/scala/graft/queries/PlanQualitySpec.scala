@@ -143,7 +143,11 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("q52: LSH candidates come from the band-keyed join, never a cross join") {
     val p = plan("q52_neardup_minhash")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the q93 convention applies since the r14 envelope promotion: the
+    // only nested-loop join allowed is the final scalar join of two
+    // 1-row aggregates (planted count × capture count); the CANDIDATE
+    // path must still be the band-keyed equi-join, never cartesian
+    assert(!p.contains("CartesianProduct"), p)
     assert(p.linesIterator.exists(l =>
       l.contains("eft keys") && l.contains("band")), p)
   }

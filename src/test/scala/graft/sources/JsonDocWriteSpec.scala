@@ -230,6 +230,23 @@ class JsonDocWriteSpec extends SparkTestBase {
     assert(e77 == Seq("epoch-000077-s00000.json"))
     assert(readBack(dir).select(col("id").cast("long")).collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 100L, 101L))
+
+    // content-identical replay KEEPS the published bytes (r14): an
+    // overwrite would bump the mtime and drift the file out of every
+    // historical save's fingerprint. Age the file so a rewrite is
+    // mtime-visible even on coarse clocks.
+    val pub = new java.io.File(dir, "epoch-000077-s00000.json")
+    assert(pub.setLastModified(System.currentTimeMillis() - 60000))
+    val aged = pub.lastModified()
+    sw.commit(77L, Array(stagedMsg(77L, 0, Seq(100L, 101L))))
+    assert(pub.lastModified() == aged,
+      "identical sink replay rewrote the published epoch file")
+    // changed content still REPLACES (and the rows update)
+    sw.commit(77L, Array(stagedMsg(77L, 0, Seq(100L, 102L))))
+    assert(pub.lastModified() != aged,
+      "changed-content sink replay kept stale bytes")
+    assert(readBack(dir).select(col("id").cast("long")).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 100L, 102L))
   }
 
   test("planning-time rejections: whole tables, globs, non-renderable schemas, read-after-mismatch") {

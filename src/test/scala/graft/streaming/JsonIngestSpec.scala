@@ -53,7 +53,7 @@ class JsonIngestSpec extends SparkTestBase {
     assert(rows == (b1 ++ b2).sorted)
   }
 
-  test("a replayed epoch overwrites its own file with identical content") {
+  test("a replayed epoch converges on its own namespace (identical content kept, not rewritten)") {
     import spark.implicits._
     val dir = graft.TempRoots.path("json_ingest_replay")
     new java.io.File(dir).mkdirs()
