@@ -1434,7 +1434,71 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 4 IN (0, 1, 2)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Metadata-only SQL DELETE end to end ([[graft.sources
+    * .JsonDocDelete]], r14): the documents table lands in FOUR
+    * n_chars-bucketed epochs, `DELETE FROM graft.`dir` WHERE n_chars <
+    * 250` then removes the first epoch's file WHOLE under zone proofs
+    * (all-match; the others provably empty) through the atomic marker
+    * — never reading a byte — and the survivors' checksummed
+    * aggregates must match DuckDB over the complement of the parquet
+    * original. The UNDECIDABLE side rides as an envelope boolean: a
+    * predicate splitting a surviving file must fail with the named
+    * whole-file-only error and remove nothing. Marker/lease/tombstone
+    * mechanics are spec-pinned in JsonDocDeleteSpec. */
+  private val q249Lock = new Object
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q249_${Integer.toHexString(dir.hashCode)}")
+    q249Lock.synchronized {
+      buildOnce(s, out) {
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.GraftCatalog].getName)
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Seq((0, 250), (250, 500), (500, 750), (750, Int.MaxValue))
+          .zipWithIndex.foreach { case ((lo, hi), e) =>
+            EventStreams.ingestEpoch(
+              docs.where(col("n_chars") >= lo && col("n_chars") < hi),
+              out, batchId = e.toLong)
+          }
+        s.sql(s"DELETE FROM graft.`$out` WHERE n_chars < 250").collect()
+      }
+    }
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    // the refusal probe is idempotent (a refused DELETE mutates
+    // nothing): n_chars < 300 splits the surviving [250, 500) epoch,
+    // so the statement must fail with the named whole-file-only error
+    val refusedNamed =
+      try {
+        s.sql(s"DELETE FROM graft.`$out` WHERE n_chars < 300").collect()
+        false
+      } catch {
+        case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .map(x => Option(x.getMessage).getOrElse("")).exists(m =>
+              m.contains("PROVABLY decided") ||
+                m.toLowerCase.contains("cannot delete"))
+      }
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 67).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .withColumn("refused_named_error", lit(refusedNamed))
+      .orderBy(col("lang"))
+  }
+
+  private val q249Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 67) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS refused_named_error
+      |FROM documents WHERE n_chars >= 250
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_sql_delete" -> (q249 _),
     "q248_sql_time_travel" -> (q248 _),
     "q247_zorder_write" -> (q247 _),
     "q246_vacuum_retention" -> (q246 _),
@@ -1473,6 +1537,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q249_sql_delete" -> q249Sql,
     "q248_sql_time_travel" -> q248Sql,
     "q247_zorder_write" -> q247Sql,
     "q246_vacuum_retention" -> q246Sql,

@@ -508,8 +508,30 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            readError: Option[String],
                            snapshot: Option[String] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graftjson(${ps.mkString(",")})"
+  /** Metadata-only DELETE ([[JsonDocDelete]]): pre-flight decision —
+    * Spark fails the statement loudly when false; the execution path
+    * re-decides under the lease. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !whole && snapshot.isEmpty && ps.size == 1 && readError.isEmpty &&
+      JsonDocDelete.decide(SparkSession.active, ps.head,
+        filters.toIndexedSeq).isDefined
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(!whole, "graftjson: DELETE on a whole=true table is " +
+      "unsupported — whole mode is one-file-one-document, owned by " +
+      "whoever places the files")
+    require(snapshot.isEmpty,
+      "graftjson: a pinned-snapshot (asOfSave/sinceSave) table is read-only")
+    require(ps.size == 1,
+      s"graftjson: DELETE needs exactly one table directory, got: " +
+        ps.mkString(", "))
+    JsonDocDelete.delete(SparkSession.active, ps.head, filters.toIndexedSeq)
+    ()
+  }
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
