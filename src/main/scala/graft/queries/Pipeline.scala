@@ -340,12 +340,38 @@ object Pipeline {
       |FROM d GROUP BY ROLLUP(source, lang)
       |ORDER BY coalesce(source, 'ALL'), coalesce(lang, 'ALL')""".stripMargin
 
-  /** Cluster-balanced diversity sample over embeddings (rows-only:
-    * k-means cells are not SQL-recomputable; VectorOpsSpec pins exact
-    * quotas, full coverage at large quota, and layout independence). */
-  private def q106(s: SparkSession, dir: String): DataFrame =
-    VectorOps.diversitySample(Tables(s, dir, "embeddings"), 8, nCells = 16)
-      .orderBy(col("cell"), col("sample_rank"))
+  /** Cluster-balanced diversity sample over embeddings. ORACLED since
+    * r14 (invariant envelope, the q142 pattern): the sampled ids live
+    * on k-means cells no SQL can recompute, but the sample's DEFINING
+    * law is checkable in-query — against the full cell assignment
+    * (the same deterministic quantizer, quota-unbounded), every cell
+    * must contribute EXACTLY min(quota, population) rows with dense
+    * ranks 1..n. DuckDB pins the corpus count and the law as TRUE; a
+    * skipped cell, a blown quota, or a non-deterministic rank flips a
+    * column. Layout independence stays pinned in VectorOpsSpec. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val samp = VectorOps.diversitySample(e, 8, nCells = 16)
+    // quota-unbounded call == full corpus assignment under the same
+    // (deterministic) trained quantizer: the audit's ground truth
+    val pop = VectorOps.diversitySample(e, Int.MaxValue, nCells = 16)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_pop"))
+    val perCell = samp.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_samp"), max(col("sample_rank")).as("max_rank"))
+    val lawHolds = pop.join(perCell, Seq("cell"), "left")
+      .select(when(coalesce(col("n_samp"), lit(0L)) ===
+          least(lit(8L), col("n_pop")) &&
+          coalesce(col("max_rank"), lit(0L)) ===
+          coalesce(col("n_samp"), lit(0L)), 1L).otherwise(0L).as("ok"))
+      .agg(coalesce(min(col("ok")), lit(0L)).as("mn"))
+    e.agg(count(lit(1)).cast("bigint").as("n_corpus"))
+      .crossJoin(lawHolds)
+      .select(col("n_corpus"), (col("mn") === 1L).as("quota_law_ok"))
+  }
+
+  private val q106Sql =
+    """SELECT count(*) AS n_corpus, TRUE AS quota_law_ok
+      |FROM embeddings""".stripMargin
 
   /** Token-budget mixture draw: per-source budgets from a formulaic
     * three-tier weighting (1000/2000/3000 words by source index mod 3)
@@ -487,9 +513,15 @@ object Pipeline {
     * vectors to parquet, then flag the NEW batch (vec_id % 4 == 0)
     * against the STORED index — no retrain, no corpus re-encode,
     * batch ⋈ corpus joins only. The vector twin of q104's nightly
-    * ingest shape. Rows-only: the k-means cells are not
-    * SQL-recomputable; IvfIndexSpec pins exhaustive == brute force,
-    * stored == rebuilt determinism, and the default recall floor. */
+    * ingest shape. FULLY ORACLED since r14 the q206/q211 way: the
+    * query probes exhaustively (nAssign == nCells ⇒ every (batch,
+    * corpus) pair is examined exactly once — recall 1, spec-pinned),
+    * and reported cosines are exact, so the flagged pairs must
+    * hash-match DuckDB's brute-force batch × corpus threshold join; a
+    * vector lost by the index write or mis-assigned by the stored
+    * quantizer flips a row. The pruned-probe (nAssign=4) recall floor
+    * stays pinned in IvfIndexSpec and oracled over the planted
+    * fixture as q100. */
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.TempRoots.path("ivf_index_q112")
@@ -497,9 +529,20 @@ object Pipeline {
     // stable under the auto-√n default
     VectorOps.buildIvfIndex(e.where(col("vec_id") % 4 =!= 0), idx, nCells = 16)
     VectorOps.incrementalNearDupIvf(s, idx,
-        e.where(col("vec_id") % 4 === 0), 0.4)
+        e.where(col("vec_id") % 4 === 0), 0.4, nAssign = 16)
       .orderBy(col("batch_id"), col("corpus_id"))
   }
+
+  private val q112Sql =
+    """WITH c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      |  FROM embeddings WHERE vec_id % 4 <> 0),
+      |b AS (SELECT vec_id AS batch_id, embedding::DOUBLE[] AS bv
+      |  FROM embeddings WHERE vec_id % 4 = 0)
+      |SELECT batch_id, corpus_id,
+      |  round(list_cosine_similarity(bv, cv), 4) AS cos
+      |FROM b CROSS JOIN c
+      |WHERE list_cosine_similarity(bv, cv) >= 0.4
+      |ORDER BY batch_id, corpus_id""".stripMargin
 
   /** Batch twin of the streaming near-dup suppression
     * ([[graft.streaming.EventStreams.nearDupIngest]]): per doc, how
@@ -583,9 +626,13 @@ object Pipeline {
     * stored quantizer (dynamic overwrite of only the touched cell
     * partitions — write cost ∝ batch, not index), then answer a
     * cosine top-k query batch against the grown index with no
-    * training step at all. Rows-only (k-means cells); IvfIndexSpec
-    * pins append == rebuilt-union brute force and stored-index top-k
-    * == exact cosineTopK under exhaustive probing. */
+    * training step at all. FULLY ORACLED since r14 the q206/q211 way:
+    * exhaustive probing (nProbe == nCells ⇒ recall 1) with exact
+    * cosines means the served top-k must hash-match DuckDB's
+    * brute-force cosine top-k over built ∪ appended — a row lost or
+    * duplicated by the append, or served from a stale cell partition,
+    * flips the hash. The pruned-probe serving economics stay pinned
+    * in IvfIndexSpec and oracled over the planted fixture as q63. */
   private def q116(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.TempRoots.path("ivf_index_q116")
@@ -593,9 +640,24 @@ object Pipeline {
     VectorOps.appendToIvfIndex(s, idx,
       e.where(col("vec_id") % 8 === 0))
     VectorOps.storedIndexTopK(s, idx,
-        e.where(col("vec_id") % 8 === 4), k = 3)
+        e.where(col("vec_id") % 8 === 4), k = 3, nProbe = 16)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private val q116Sql =
+    """WITH ns AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id % 4 <> 0 OR vec_id % 8 = 0),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 8 = 4),
+      |sc AS (SELECT query_id, ns.vec_id,
+      |    round(list_cosine_similarity(qv, v), 4) AS cos
+      |  FROM q CROSS JOIN ns),
+      |r AS (SELECT query_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM sc)
+      |SELECT query_id, vec_id, cos, rank FROM r
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   /** Corpus snapshot diff: the 'old crawl' drops every doc_id % 5 == 4
     * and the 'new crawl' drops % 7 == 6 and rewrites the text of
@@ -709,9 +771,16 @@ object Pipeline {
     * was missing): build on the corpus slice, append a synthetically
     * DRIFTED nightly batch (+0.5 on every dimension), then read the
     * per-cell built-vs-appended mean distance-to-centroid off the
-    * stored index alone. Rows-only (k-means cells); IvfIndexSpec pins
-    * the ratio>1 on a drifted batch and the null metrics on
-    * built-only cells. */
+    * stored index alone. ORACLED since r14 (invariant envelope, the
+    * q142 pattern): per-cell means live on k-means cells no SQL can
+    * recompute, but the audit's POPULATIONS are exact (every built and
+    * every appended row must appear in the store exactly once — DuckDB
+    * recomputes both counts from the slice predicates) and its VERDICT
+    * on a +0.5-per-dimension synthetic drift is determined (every
+    * mixed cell's ratio > 1): a row lost by the append, double-counted
+    * by the scan, or a broken distance kernel flips a column. Per-cell
+    * detail stays in IvfIndexSpec (ratio>1 drifted, null metrics on
+    * built-only cells). */
   private def q120(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.TempRoots.path("ivf_index_q120")
@@ -719,17 +788,39 @@ object Pipeline {
     VectorOps.appendToIvfIndex(s, idx,
       e.where(col("vec_id") % 4 === 0).select(col("vec_id"),
         transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
-    VectorOps.indexDrift(s, idx).orderBy(col("cell"))
+    driftVerdict(VectorOps.indexDrift(s, idx))
   }
+
+  /** Collapse an [[graft.ops.VectorOps.indexDrift]] report to its
+    * oracle-checkable envelope: exact store populations + the
+    * drift-detected verdict (ratio > 1 in EVERY cell holding both
+    * generations — the synthetic drift is gross by construction). */
+  private def driftVerdict(report: DataFrame): DataFrame =
+    report.agg(
+      sum(col("n_built")).cast("bigint").as("n_built"),
+      sum(col("n_appended")).cast("bigint").as("n_appended"),
+      coalesce(min(when(col("drift_ratio").isNotNull,
+          when(col("drift_ratio") > 1.0, 1L).otherwise(0L))),
+        lit(0L)).as("mn"))
+      .select(col("n_built"), col("n_appended"),
+        (col("mn") === 1L).as("drift_detected"))
+
+  private val driftVerdictSql =
+    """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 4 <> 0)
+      |    AS n_built,
+      |  (SELECT count(*) FROM embeddings WHERE vec_id % 4 = 0)
+      |    AS n_appended,
+      |  TRUE AS drift_detected""".stripMargin
 
   /** q120's audit on the CODES-ONLY layout — the store you'd actually
     * run at 100 TB for footprint: build an IVF+PQ index on the corpus
     * slice, append the same synthetically drifted batch, and read the
     * per-cell built-vs-appended report computed entirely from stored
     * codes + codebooks + coarse centroids (PQ-reconstruction distance
-    * — no raw vector is ever touched). Rows-only (k-means cells);
-    * IvfIndexSpec pins ratio>1 on the drifted append and ≈1 on an
-    * in-distribution one. */
+    * — no raw vector is ever touched). ORACLED since r14 via the q120
+    * [[driftVerdict]] envelope: exact populations (DuckDB recomputes
+    * the slice counts) + the determined drift verdict; per-cell
+    * ratio>1 drifted / ≈1 in-distribution stays in IvfIndexSpec. */
   private def q203(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val idx = graft.TempRoots.path(
@@ -744,7 +835,7 @@ object Pipeline {
         e.where(col("vec_id") % 4 === 0).select(col("vec_id"),
           transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
     }
-    VectorOps.indexDrift(s, idx).orderBy(col("cell"))
+    driftVerdict(VectorOps.indexDrift(s, idx))
   }
 
   /** Diff-driven ANN-index maintenance
@@ -1922,9 +2013,15 @@ object Pipeline {
     * per-priority distinct-customer question from the STORE alone —
     * the raw table is never rescanned, and sketch-of-union ==
     * union-of-sketches makes the merge exact w.r.t. a single global
-    * sketch. Rows-only (HLL estimates); SketchesSpec pins merge
-    * exactness, the error envelope vs the true distinct, incremental
-    * shard append, and replay idempotence. */
+    * sketch. ORACLED since r14 (the q21 envelope pattern): the
+    * estimate itself is sketch-implementation-specific, so the OUTPUT
+    * carries the exact per-priority distinct (computed alongside) plus
+    * a boolean pinning the store-merged estimate inside a 5% envelope
+    * of it (lgK=12 ⇒ rsd ≈ 1.6%, 3σ ≈ 4.9%) — a broken shard write,
+    * lossy merge or estimator regression flips the boolean while the
+    * estimate never has to match across engines. SketchesSpec keeps
+    * merge exactness, incremental shard append, and replay
+    * idempotence. */
   private def q138(s: SparkSession, dir: String): DataFrame = {
     val store = graft.TempRoots.path(
       s"hll_store_${Integer.toHexString(dir.hashCode)}")
@@ -1932,16 +2029,35 @@ object Pipeline {
     Sketches.writeHllShards(orders, store,
       date_format(col("o_orderdate").cast("date"), "yyyy-MM"),
       col("o_orderpriority"), col("o_custkey"))
-    Sketches.mergedDistinct(s, store).orderBy(col("grp"))
+    val exact = orders.groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    Sketches.mergedDistinct(s, store)
+      .join(exact, Seq("grp"))
+      .select(col("grp"), col("n_rows"), col("n_exact"),
+        (abs(col("n_distinct_est").cast("double") -
+          col("n_exact").cast("double")) <=
+          greatest(lit(4.0), col("n_exact").cast("double") * 0.05))
+          .as("est_in_envelope"))
+      .orderBy(col("grp"))
   }
+
+  private val q138Sql =
+    """SELECT o_orderpriority AS grp, count(*) AS n_rows,
+      |  count(DISTINCT o_custkey) AS n_exact, TRUE AS est_in_envelope
+      |FROM orders GROUP BY grp ORDER BY grp""".stripMargin
 
   /** Pairwise distinct-customer overlap between order priorities, from
     * the stored HLL sketches alone ([[graft.ops.Sketches
     * .overlapEstimate]]): inclusion–exclusion over the union sketch —
     * the cross-segment audience-overlap question, answered without
-    * rescanning raw data. Rows-only like q138 (HLL estimates);
-    * SketchesSpec pins the estimate envelope against the exact
-    * intersection. */
+    * rescanning raw data. ORACLED since r14 (the q138 envelope): the
+    * output carries the exact pairwise overlap (recomputed from the
+    * distinct (priority, custkey) pairs — DuckDB joins the same sets)
+    * plus a boolean pinning the sketch overlap inside the compounded
+    * envelope SketchesSpec proves (≈√3·3σ of the UNION size at lgK=12
+    * ⇒ ~8.5%; the query allows 10%) — small overlaps of large sets
+    * drown first, exactly the inclusion–exclusion failure mode the
+    * envelope watches. */
   /** Build-once serving store for q167's probe (the [[sharedInvIndex]]
     * split: q138 prices sketch-store CONSTRUCTION each run; the
     * overlap probe answers from an existing store). */
@@ -1957,9 +2073,39 @@ object Pipeline {
       store
     }
 
-  private def q167(s: SparkSession, dir: String): DataFrame =
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val gc = Tables(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_custkey").as("c"))
+      .distinct()
+    val sizes = gc.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val exact = gc.select(col("grp").as("grp_a"), col("c"))
+      .join(gc.select(col("grp").as("grp_b"), col("c")), Seq("c"))
+      .where(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_exact_overlap"))
+      .join(sizes.select(col("grp").as("grp_a"), col("n").as("na")),
+        Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("n").as("nb")),
+        Seq("grp_b"))
+      .withColumn("n_exact_union",
+        col("na") + col("nb") - col("n_exact_overlap"))
     Sketches.overlapEstimate(s, sharedHllStore(s, dir))
+      .join(exact, Seq("grp_a", "grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_exact_overlap"),
+        (abs(col("est_overlap").cast("double") -
+          col("n_exact_overlap").cast("double")) <=
+          greatest(lit(8.0), col("n_exact_union").cast("double") * 0.10))
+          .as("overlap_in_envelope"))
       .orderBy(col("grp_a"), col("grp_b"))
+  }
+
+  private val q167Sql =
+    """WITH gc AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS c
+      |  FROM orders)
+      |SELECT a.grp AS grp_a, b.grp AS grp_b,
+      |  count(*) AS n_exact_overlap, TRUE AS overlap_in_envelope
+      |FROM gc a JOIN gc b ON a.c = b.c AND a.grp < b.grp
+      |GROUP BY a.grp, b.grp ORDER BY grp_a, grp_b""".stripMargin
 
   /** Incremental materialized-view maintenance ([[graft.ops.Sharding
     * .maintainStats]]): the per-source rollup is kept current under
@@ -2092,16 +2238,20 @@ object Pipeline {
     "q167_hll_overlap" -> (q167 _),
     "q192_xml_roundtrip" -> (q192 _),
     "q190_hist_quantiles" -> (q190 _),
-    // q203 rows-only like q120: k-means cells are not SQL-recomputable
     "q203_pq_index_drift" -> (q203 _),
     "q204_diff_index_maintenance" -> (q204 _),
     "q206_diff_ivf_maintenance" -> (q206 _),
     "q211_ivf_compaction" -> (q211 _),
     "q213_full_upsert_maintenance" -> (q213 _))
-  // q167 rows-only like q138: HLL estimates have no SQL oracle;
-  // SketchesSpec pins the overlap envelope against the exact sets
 
   val oracle: Map[String, String] = Map(
+    "q106_diversity_sample" -> q106Sql,
+    "q112_incremental_ivf_index" -> q112Sql,
+    "q116_index_lifecycle" -> q116Sql,
+    "q120_index_drift" -> driftVerdictSql,
+    "q138_hll_sketch_store" -> q138Sql,
+    "q167_hll_overlap" -> q167Sql,
+    "q203_pq_index_drift" -> driftVerdictSql,
     "q113_neardup_suppress" -> q113Sql,
     "q100_embedding_neardup_ivf" -> q100Sql,
     "q192_xml_roundtrip" -> q192Sql,

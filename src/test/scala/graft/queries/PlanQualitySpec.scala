@@ -287,9 +287,11 @@ class PlanQualitySpec extends SparkTestBase {
   test("q112: stored-index probe prunes corpus cells dynamically, no self-join") {
     val p = plan("q112_incremental_ivf_index")
     // the stored corpus scan must carry a dynamic partition-pruning
-    // filter on cell: a batch probing 4 of 16 cells reads only those
-    // partitions of the index — the property that keeps incremental
-    // ingest sublinear in the stored corpus
+    // filter on cell — the property that keeps incremental ingest
+    // sublinear in the stored corpus when a batch probes few cells.
+    // (The oracled query probes exhaustively for its brute-force
+    // DuckDB twin; the PLAN retains the pruning filter either way,
+    // and the pruned-probe economics are pinned in IvfIndexSpec.)
     assert(p.contains("dynamicpruning"), p)
     assert(p.contains("ivf_index_q112/corpus"), p)
     // batch ⋈ corpus only: exactly one join node in the whole plan
