@@ -1497,7 +1497,75 @@ object JsonQueries {
       |FROM documents WHERE n_chars >= 250
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** SQL-callable maintenance end to end ([[graft.sources
+    * .GraftProcedures]], r14): the documents slice lands in three
+    * refreshMeta appends (three saves, several small files), then the
+    * WHOLE maintenance lifecycle runs as SQL statements — `CALL
+    * graft.compact` merges the small files under the one-marker
+    * protocol (its report must say merged-to-one), `CALL
+    * graft.recluster(..., refresh_meta => true)` range-clusters by
+    * doc_id and mints a fresh planning save, `CALL graft.vacuum(...,
+    * retain_saves => 1)` prunes history to that save, and `CALL
+    * graft.history` must list exactly the survivor — while the table's
+    * checksummed aggregates still match DuckDB over the parquet
+    * original (a row lost by any rewrite flips the hash). The
+    * post-state booleans re-verify on every run; procedure mechanics
+    * (defaults, named args, loud unknowns) are spec-pinned in
+    * GraftProcedureSpec. */
+  private val q250Lock = new Object
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q250_${Integer.toHexString(dir.hashCode)}")
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    q250Lock.synchronized {
+      buildOnce(s, out) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        (0 until 3).foreach { e =>
+          docs.where(col("doc_id") % 3 === e)
+            .write.format("graftjson").mode("append")
+            .option("refreshMeta", "true").save(out)
+        }
+        val c = s.sql(s"CALL graft.compact('$out')").collect()(0)
+        require(c.getAs[Int]("merged_into") == 1 &&
+          c.getAs[Int]("merged_files") >= 3,
+          s"compact report unexpected: $c")
+        val r = s.sql(s"CALL graft.recluster('$out', by => 'doc_id', " +
+          "refresh_meta => true)").collect()(0)
+        require(r.getAs[Int]("written_files") >= 1,
+          s"recluster report unexpected: $r")
+        val v = s.sql(s"CALL graft.vacuum('$out', retain_saves => 1)")
+          .collect()(0)
+        require(v.getAs[Int]("retained_saves") == 1,
+          s"vacuum report unexpected: $v")
+      }
+    }
+    // idempotent post-state probes (re-checked on every run): the
+    // read-only CALL surface and the lifecycle's observable outcome
+    val histOne =
+      s.sql(s"CALL graft.history('$out')").collect().length == 1
+    val filesOne =
+      graft.sources.JsonDocSource.listFiles(s, Seq(out)).size == 1
+    s.read.format("graftjson").option("zonemaps", "true").load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 71).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .withColumn("history_pruned_to_one", lit(histOne))
+      .withColumn("compacted_to_one_file", lit(filesOne))
+      .orderBy(col("lang"))
+  }
+
+  private val q250Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 71) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS history_pruned_to_one, TRUE AS compacted_to_one_file
+      |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_sql_maintenance" -> (q250 _),
     "q249_sql_delete" -> (q249 _),
     "q248_sql_time_travel" -> (q248 _),
     "q247_zorder_write" -> (q247 _),
@@ -1537,6 +1605,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q250_sql_maintenance" -> q250Sql,
     "q249_sql_delete" -> q249Sql,
     "q248_sql_time_travel" -> q248Sql,
     "q247_zorder_write" -> q247Sql,

@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * order-proxy Morton interleave the write's required ordering names.
   * No second table format, no divergence: the catalog is an ADDRESSING
   * layer. */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -153,6 +154,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (ident.name().equalsIgnoreCase(GraftCatalog.MortonName))
       new GraftCatalog.MortonFunction
     else throw new NoSuchFunctionException(ident)
+
+  // ---- ProcedureCatalog (SQL-callable maintenance; GraftProcedures) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) GraftProcedures.identifiers else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
 }
 
 object GraftCatalog {

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** SQL-callable maintenance ([[GraftProcedures]], SPARK-44167): every
+  * verb must resolve through `CALL graft.<verb>(...)`, run the SAME
+  * lease-held op as the Scala API, and hand its summary report back as
+  * the statement's result rows. */
+class GraftProcedureSpec extends SparkTestBase {
+
+  private def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+
+  private def writeBatch(dir: String, from: Long, until: Long,
+                         refreshMeta: Boolean = true): Unit =
+    spark.range(from, until)
+      .select(col("id"), concat(lit("d"), col("id")).as("s"))
+      .coalesce(1)
+      .write.format("graftjson").mode("append")
+      .option("refreshMeta", refreshMeta.toString).save(dir)
+
+  test("SHOW PROCEDURES lists the maintenance verbs") {
+    useCatalog()
+    val names = spark.sql("SHOW PROCEDURES IN graft")
+      .collect().map(_.toString().toLowerCase)
+    for (p <- Seq("compact", "recluster", "zorder", "vacuum", "history"))
+      assert(names.exists(_.contains(p)), s"$p missing in ${names.toSeq}")
+  }
+
+  test("CALL compact merges small files under defaulted params and returns its report row") {
+    useCatalog()
+    val dir = graft.TempRoots.path("proc_compact")
+    writeBatch(dir, 0, 10); writeBatch(dir, 10, 20); writeBatch(dir, 20, 30)
+    val before = JsonDocSource.listFiles(spark, Seq(dir)).size
+    assert(before >= 3)
+    // positional dir only — target_bytes and refresh_meta come from
+    // the declared defaults
+    val row = spark.sql(s"CALL graft.compact('$dir')").collect()
+    assert(row.length == 1, row.toSeq)
+    val merged = row(0).getAs[Int]("merged_files")
+    val into = row(0).getAs[Int]("merged_into")
+    assert(merged == before && into == 1, row(0).toString)
+    // content survives the rewrite verbatim
+    val back = spark.read.format("graftjson").load(dir)
+    assert(back.count() == 30L)
+    assert(JsonDocSource.listFiles(spark, Seq(dir)).size == 1)
+  }
+
+  test("CALL zorder with named args rewrites the layout and keeps the unit multiset") {
+    useCatalog()
+    val dir = graft.TempRoots.path("proc_zorder")
+    writeBatch(dir, 0, 50); writeBatch(dir, 50, 100)
+    val row = spark.sql(
+      s"CALL graft.zorder('$dir', by_a => 'id', by_b => 's', " +
+        "target_bytes => 512, refresh_meta => true)").collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Int]("written_files") >= 2, row(0).toString)
+    val back = spark.read.format("graftjson").load(dir)
+    assert(back.count() == 100L)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) == 4950L)
+  }
+
+  test("CALL history lists save ids; CALL vacuum prunes below a NAMED horizon") {
+    useCatalog()
+    val dir = graft.TempRoots.path("proc_vacuum")
+    writeBatch(dir, 0, 5); writeBatch(dir, 5, 10); writeBatch(dir, 10, 15)
+    val saves = JsonMeta.saves(spark, dir)
+    assert(saves.size == 3)
+    val hist = spark.sql(s"CALL graft.history('$dir')")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist == saves, s"$hist vs $saves")
+    val v = spark.sql(s"CALL graft.vacuum('$dir', retain_saves => 1)")
+      .collect()(0)
+    assert(v.getAs[Long]("horizon") == saves.last)
+    assert(v.getAs[Int]("retained_saves") == 1)
+    // the pruned save fails with the retention message, not wrong rows
+    val e = intercept[Exception](
+      spark.read.format("graftjson")
+        .option("asOfSave", saves.head.toString).load(dir).count())
+    assert(e.getMessage.contains("vacuum retention"), e.getMessage)
+    // the horizon save still reads
+    assert(spark.read.format("graftjson")
+      .option("asOfSave", saves.last.toString).load(dir).count() == 15L)
+  }
+
+  test("unknown procedures and namespaced lookups fail loudly") {
+    useCatalog()
+    // the engine wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE;
+    // the catalog's named message rides the cause chain
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val e1 = intercept[Exception](spark.sql("CALL graft.optimize('/tmp/x')"))
+    assert(messages(e1).contains("unknown procedure"), messages(e1))
+    val e2 = intercept[Exception](spark.sql("CALL graft.sys.compact('/tmp/x')"))
+    assert(messages(e2).contains("no procedure namespace"), messages(e2))
+  }
+}
