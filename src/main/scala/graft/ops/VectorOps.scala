@@ -1970,23 +1970,33 @@ object VectorOps {
     * partition after the hash exchange, never a global sort. */
   def diversitySample(embeddings: DataFrame, perCell: Int,
                       nCells: Int = 0, maxTrain: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    cellAssignments(embeddings, nCells, maxTrain)
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .where(col("sample_rank") <= perCell)
+  }
+
+  /** Deterministic quantizer assignment of every corpus vector — the
+    * k-means cells [[diversitySample]] balances over, exposed so the
+    * audit side (q106) can recompute per-cell POPULATIONS without
+    * paying the sample's per-cell ranking window (a full-corpus
+    * row_number that the population count immediately discards).
+    * Empty corpus → empty (vec_id, cell) frame. */
+  def cellAssignments(embeddings: DataFrame, nCells: Int = 0,
+                      maxTrain: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val native = nativeDot(Some(spark))
     val corpus = prepared(embeddings)
     val trainRows = trainSample(corpus, maxTrain)
     if (trainRows.isEmpty) {
-      return spark.emptyDataset[(Long, Long, Long)]
-        .toDF("vec_id", "cell", "sample_rank")
+      return spark.emptyDataset[(Long, Long)].toDF("vec_id", "cell")
     }
     val centers = localKMeans(trainRows, autoCells(corpus, nCells), iters = 5)
-    val w = Window.partitionBy(col("cell"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     corpus.select(col("vec_id"),
-        element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1)
-          .cast("bigint").as("cell"))
-      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
-      .where(col("sample_rank") <= perCell)
+      element_at(pqEncodeIf(native, col("v"), Array(centers), 1), 1)
+        .cast("bigint").as("cell"))
   }
 
   /** Per-dimension int8 symmetric quantization audit — the embedding

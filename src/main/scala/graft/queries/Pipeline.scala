@@ -352,9 +352,9 @@ object Pipeline {
   private def q106(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val samp = VectorOps.diversitySample(e, 8, nCells = 16)
-    // quota-unbounded call == full corpus assignment under the same
-    // (deterministic) trained quantizer: the audit's ground truth
-    val pop = VectorOps.diversitySample(e, Int.MaxValue, nCells = 16)
+    // full corpus assignment under the same deterministic quantizer:
+    // the audit's ground truth (no ranking window — populations only)
+    val pop = VectorOps.cellAssignments(e, nCells = 16)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_pop"))
     val perCell = samp.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_samp"), max(col("sample_rank")).as("max_rank"))
@@ -366,7 +366,10 @@ object Pipeline {
       .agg(coalesce(min(col("ok")), lit(0L)).as("mn"))
     e.agg(count(lit(1)).cast("bigint").as("n_corpus"))
       .crossJoin(lawHolds)
-      .select(col("n_corpus"), (col("mn") === 1L).as("quota_law_ok"))
+      // an empty corpus satisfies the law vacuously (the oracle's
+      // unconditional TRUE) — never conflate it with a violation
+      .select(col("n_corpus"),
+        (col("mn") === 1L || col("n_corpus") === 0L).as("quota_law_ok"))
   }
 
   private val q106Sql =
@@ -2074,9 +2077,13 @@ object Pipeline {
     }
 
   private def q167(s: SparkSession, dir: String): DataFrame = {
+    // one distinct pass feeds both self-join sides AND the size
+    // aggregate (three consumers — without the persist each rescans
+    // and re-distincts orders)
     val gc = Tables(s, dir, "orders")
       .select(col("o_orderpriority").as("grp"), col("o_custkey").as("c"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = gc.groupBy(col("grp")).agg(count(lit(1)).as("n"))
     val exact = gc.select(col("grp").as("grp_a"), col("c"))
       .join(gc.select(col("grp").as("grp_b"), col("c")), Seq("c"))

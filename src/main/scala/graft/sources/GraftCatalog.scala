@@ -158,7 +158,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   // ---- ProcedureCatalog (SQL-callable maintenance; GraftProcedures) ----
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) GraftProcedures.identifiers else Array.empty
+    if (namespace.isEmpty) GraftProcedures.identifiers
+    // consistent with loadProcedure: a namespaced listing is loud, not
+    // an empty result a typo'd SHOW PROCEDURES would misread as "none"
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =

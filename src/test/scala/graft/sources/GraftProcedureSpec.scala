@@ -96,5 +96,12 @@ class GraftProcedureSpec extends SparkTestBase {
     assert(messages(e1).contains("unknown procedure"), messages(e1))
     val e2 = intercept[Exception](spark.sql("CALL graft.sys.compact('/tmp/x')"))
     assert(messages(e2).contains("no procedure namespace"), messages(e2))
+    // the LISTING surface agrees with the lookup surface: a namespaced
+    // SHOW PROCEDURES is loud, never an empty "no verbs here" result
+    val e3 = intercept[Exception](
+      spark.sql("SHOW PROCEDURES IN graft.sys").collect())
+    // NoSuchNamespaceException renders as the engine's SCHEMA_NOT_FOUND
+    assert(messages(e3).toLowerCase.contains("schema `sys` cannot be found"),
+      messages(e3))
   }
 }
