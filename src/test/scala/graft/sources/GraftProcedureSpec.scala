@@ -85,6 +85,34 @@ class GraftProcedureSpec extends SparkTestBase {
       .option("asOfSave", saves.last.toString).load(dir).count() == 15L)
   }
 
+  test("DESCRIBE PROCEDURE surfaces the verb's description") {
+    useCatalog()
+    val d = spark.sql("DESCRIBE PROCEDURE graft.vacuum")
+      .collect().map(_.toString()).mkString("\n")
+    assert(d.contains("vacuum"), d)
+    assert(d.toLowerCase.contains("retain"), d)
+  }
+
+  test("CALL against a table whose writer lease is held fails loudly, mutating nothing") {
+    useCatalog()
+    val dir = graft.TempRoots.path("proc_leased")
+    writeBatch(dir, 0, 20)
+    val before = JsonDocSource.listFiles(spark, Seq(dir))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val held = JsonLease.acquire(fs, root, "spec-holder")
+    try {
+      val e = intercept[Exception](spark.sql(s"CALL graft.compact('$dir')"))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("lease") || msgs.contains("spec-holder"), msgs)
+      assert(JsonDocSource.listFiles(spark, Seq(dir)) == before)
+    } finally held.release()
+    // released → the same CALL succeeds
+    assert(spark.sql(s"CALL graft.compact('$dir')").collect().length == 1)
+  }
+
   test("unknown procedures and namespaced lookups fail loudly") {
     useCatalog()
     // the engine wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE;
