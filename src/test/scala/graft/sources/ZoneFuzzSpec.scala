@@ -42,8 +42,9 @@ class ZoneFuzzSpec extends SparkTestBase {
   private val Corpora = 12 // seed 11 found the Jackson-double decimal bug (r13)
   // case arithmetic (quoted identically in CLAUDE.md / SURVEY §2 /
   // ARCHITECTURE — VERDICT r13 #6): 12 corpora × (105 probe attempts
-  // + 20 lifecycle replays) = 1500 generated, minus generation
-  // dead-ends (≤ 15/corpus asserted) ⇒ ≈ 1450 ran; hard gate ≥ 1000
+  // + 20 lifecycle replays + 1 delete decision) = 1512 generated,
+  // minus generation dead-ends (≤ 15/corpus asserted) ⇒ ≈ 1450 ran;
+  // hard gate ≥ 1000
   private val ProbesPerCorpus = 105
 
   // ---------------------------------------------------------------
@@ -338,6 +339,40 @@ class ZoneFuzzSpec extends SparkTestBase {
     }
   }
 
+  /** One random whole-table DELETE probe over the top-level simple
+    * columns: the V1 filter the engine hands [[JsonDocDelete]], its
+    * Column twin for ground truth, and a description. Dotted literal
+    * names are excluded (col("a.b") would resolve as a nested path —
+    * not the attribute the filter names). */
+  private def genDeleteProbe(r: Random, tops: Seq[(String, DataType)],
+                             values: Map[String, Seq[Any]])
+      : Option[(org.apache.spark.sql.sources.Filter, Column, String)] = {
+    import org.apache.spark.sql.sources._
+    if (tops.isEmpty) return None
+    val (name, _) = tops(r.nextInt(tops.size))
+    val c = col(name)
+    val obs = values.getOrElse(name, Seq.empty).filterNot(_ == null)
+    def rawLit: Option[Any] =
+      if (obs.nonEmpty) Some(obs(r.nextInt(obs.size))) else None
+    r.nextInt(8) match {
+      case 0 => Some((IsNull(name), c.isNull, s"$name IS NULL"))
+      case 1 => Some((IsNotNull(name), c.isNotNull, s"$name IS NOT NULL"))
+      case 2 | 3 => rawLit.map(v =>
+        (EqualTo(name, v), c === lit(v), s"$name = $v"))
+      case 4 => rawLit.map(v =>
+        (GreaterThan(name, v), c > lit(v), s"$name > $v"))
+      case 5 => rawLit.map(v =>
+        (LessThan(name, v), c < lit(v), s"$name < $v"))
+      case 6 => rawLit.map(v =>
+        (GreaterThanOrEqual(name, v), c >= lit(v), s"$name >= $v"))
+      case _ =>
+        val vs = (0 until 1 + r.nextInt(3)).flatMap(_ => rawLit).distinct
+        if (vs.isEmpty) None
+        else Some((In(name, vs.toArray),
+          c.isin(vs.map(lit): _*), s"$name IN (${vs.size})"))
+    }
+  }
+
   // ---------------------------------------------------------------
   // the harness
   // ---------------------------------------------------------------
@@ -498,6 +533,73 @@ class ZoneFuzzSpec extends SparkTestBase {
           spark.read.format("graftjson")
             .option("asOfSave", saveId.toString)
             .option("zonemaps", "true").load(corpus.dir), 4)
+      }
+      // --- SQL-DELETE decision leg (r14, LAST — it mutates): the
+      // metadata-only deleteWhere must refuse with the named error or
+      // remove EXACTLY the predicate's rows. One-sided like skip
+      // soundness: refusal is always allowed (zones may be unable to
+      // prove), success must be exact. Success can narrow the
+      // re-inferred schema (whole files gone ⇒ fewer sightings), so
+      // the exact check compares full rows only under an unchanged
+      // schema and falls back to count + shared same-typed column
+      // multisets otherwise — schema-on-read narrowing is legitimate,
+      // a lost or resurrected ROW is not.
+      {
+        val tops = schema.fields.toSeq
+          .filterNot(_.name.contains("."))
+          .filter(_.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 StringType | BooleanType => true
+            case _ => false
+          })
+          .map(f => (f.name, f.dataType))
+        genDeleteProbe(r, tops, values) match {
+          case Some((f, p, d)) =>
+            val survivorsWant = truth.where(!coalesce(p, lit(false)))
+            val liveFiles = JsonDocSource.listFiles(
+              spark, Seq(corpus.dir)).size
+            val removed =
+              try Some(JsonDocDelete.delete(spark, corpus.dir, Seq(f)))
+              catch {
+                case e: IllegalStateException =>
+                  assert(e.getMessage.contains("PROVABLY decided"),
+                    s"corpus $idx DELETE $d unexpected refusal: " +
+                      e.getMessage)
+                  None
+              }
+            removed match {
+              case Some(n) if n == liveFiles =>
+                // everything removed: a bare read of the emptied table
+                // throws the strict no-files message by design
+                assert(survivorsWant.count() == 0L,
+                  s"corpus $idx DELETE $d removed all $n files but " +
+                    s"ground truth kept rows")
+              case Some(_) =>
+                val after = spark.read.format("graftjson")
+                  .load(corpus.dir)
+                assert(after.count() == survivorsWant.count(),
+                  s"corpus $idx post-DELETE $d row conservation")
+                if (after.schema == schema)
+                  assertSame(after, survivorsWant,
+                    s"corpus $idx post-DELETE $d")
+                else after.schema.fields
+                  .filter(af => schema.fields.exists(gf =>
+                    gf.name == af.name && gf.dataType == af.dataType))
+                  .foreach { af =>
+                    val g = after.select(col(af.name)).collect()
+                      .map(row => render(row.get(0))).sorted.toSeq
+                    val w = survivorsWant.select(col(af.name)).collect()
+                      .map(row => render(row.get(0))).sorted.toSeq
+                    assert(g == w,
+                      s"corpus $idx post-DELETE $d column ${af.name}")
+                  }
+              case None =>
+                assertSame(spark.read.format("graftjson").load(corpus.dir),
+                  truth, s"corpus $idx refused-DELETE $d left a change")
+            }
+            ran += 1
+          case None => skippedGen += 1
+        }
       }
       (ran, skippedGen)
     } finally truth.unpersist()
