@@ -39,11 +39,17 @@ import scala.util.Random
   * tests, TestJsonSchemaFinder.java:70-117. */
 class ZoneFuzzSpec extends SparkTestBase {
 
+  // delete-leg outcome tally (asserted non-vacuous at the end: the leg
+  // must exercise BOTH the success and the refusal branch across the
+  // corpus population, or its soundness claim is fiction)
+  private var deleteSucceeded = 0
+  private var deleteRefused = 0
+
   private val Corpora = 12 // seed 11 found the Jackson-double decimal bug (r13)
   // case arithmetic (quoted identically in CLAUDE.md / SURVEY §2 /
   // ARCHITECTURE — VERDICT r13 #6): 12 corpora × (105 probe attempts
-  // + 20 lifecycle replays + 1 delete decision) = 1512 generated,
-  // minus generation dead-ends (≤ 15/corpus asserted) ⇒ ≈ 1450 ran;
+  // + 20 lifecycle replays + 2 delete decisions) = 1524 generated,
+  // minus generation dead-ends (≤ 15/corpus asserted) ⇒ ≈ 1460 ran;
   // hard gate ≥ 1000
   private val ProbesPerCorpus = 105
 
@@ -158,16 +164,21 @@ class ZoneFuzzSpec extends SparkTestBase {
     else doc
   }
 
-  private case class Corpus(dir: String, clustered: Boolean)
+  private case class Corpus(dir: String, clustered: Boolean,
+                            clean: Boolean)
 
   private def writeCorpus(idx: Int): (Corpus, Seq[ColSpec]) = {
     val r = new Random(0xD00DL + idx)
     val cols = columnsFor(r)
     val nested = r.nextBoolean()
-    val dupKeys = r.nextInt(3) == 0
-    val multiDoc = r.nextInt(3) == 0
-    val dirty = r.nextInt(3) == 0
-    val blanks = r.nextBoolean()
+    // corpus 0 is forced quality-flag-free (flags still drawn so the
+    // seeded stream is unchanged): the crafted delete-decision probe
+    // needs at least one corpus where success is REQUIRED, whatever
+    // the other seeds roll
+    val dupKeys = r.nextInt(3) == 0 && idx != 0
+    val multiDoc = r.nextInt(3) == 0 && idx != 0
+    val dirty = r.nextInt(3) == 0 && idx != 0
+    val blanks = r.nextBoolean() && idx != 0
     val clustered = r.nextBoolean()
     val nFiles = 4 + r.nextInt(4)
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -200,7 +211,8 @@ class ZoneFuzzSpec extends SparkTestBase {
       chunk.foreach(w.println)
       w.close()
     }
-    (Corpus(dir.toString, clustered), cols)
+    (Corpus(dir.toString, clustered,
+      clean = !dirty && !blanks && !multiDoc && !dupKeys), cols)
   }
 
   // ---------------------------------------------------------------
@@ -567,6 +579,8 @@ class ZoneFuzzSpec extends SparkTestBase {
                       e.getMessage)
                   None
               }
+            removed.foreach(_ => deleteSucceeded += 1)
+            if (removed.isEmpty) deleteRefused += 1
             removed match {
               case Some(n) if n == liveFiles =>
                 // everything removed: a bare read of the emptied table
@@ -600,6 +614,45 @@ class ZoneFuzzSpec extends SparkTestBase {
             ran += 1
           case None => skippedGen += 1
         }
+        // crafted decidable probe: append a file whose every row has
+        // n >= 20000 (clean, exact-integral, disjoint from the
+        // generator's 0..9999 range and inside n's short width), then
+        // DELETE n >= 20000. On a fully clean corpus the decision MUST
+        // succeed — the crafted file proves all-match, every original
+        // file proves empty by exact integral bounds — and restore the
+        // pre-append table exactly; any quality flag anywhere declines
+        // the whole statement by contract (the filtered-COUNT rule).
+        val crafted = new java.io.File(corpus.dir, "zz_crafted_delete.json")
+        val cw = new java.io.PrintWriter(crafted, "UTF-8")
+        (0 until 5).foreach(i => cw.println("{\"n\": " + (20000 + i) + "}"))
+        cw.close()
+        val cf = org.apache.spark.sql.sources.GreaterThanOrEqual("n", 20000)
+        val cRemoved =
+          try Some(JsonDocDelete.delete(spark, corpus.dir, Seq(cf)))
+          catch {
+            case e: IllegalStateException =>
+              assert(e.getMessage.contains("PROVABLY decided"),
+                s"corpus $idx crafted DELETE unexpected refusal: " +
+                  e.getMessage)
+              None
+          }
+        cRemoved match {
+          case Some(nr) =>
+            deleteSucceeded += 1
+            assert(nr == 1,
+              s"corpus $idx crafted delete removed $nr files, wanted 1")
+            assertSame(spark.read.format("graftjson").load(corpus.dir),
+              truth, s"corpus $idx crafted delete must restore the table")
+          case None =>
+            deleteRefused += 1
+            assert(!corpus.clean,
+              s"corpus $idx is quality-flag-free but the crafted " +
+                "decidable delete refused")
+            // the refused statement left the crafted rows in place;
+            // unlink them so the corpus ends as it began
+            assert(crafted.delete())
+        }
+        ran += 1
       }
       (ran, skippedGen)
     } finally truth.unpersist()
@@ -616,6 +669,9 @@ class ZoneFuzzSpec extends SparkTestBase {
       total += ran
     }
     info(s"zone fuzz: $total generated cases ran")
+    info(s"delete leg: $deleteSucceeded succeeded, $deleteRefused refused")
     assert(total >= 1000, s"only $total generated cases ran")
+    assert(deleteSucceeded >= 1 && deleteRefused >= 1,
+      s"delete leg vacuous: $deleteSucceeded succeeded / $deleteRefused refused")
   }
 }
