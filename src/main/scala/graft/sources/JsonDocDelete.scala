@@ -36,6 +36,16 @@ object JsonDocDelete {
   private[sources] def decide(spark: SparkSession, dir: String,
                               filters: Seq[Filter]): Option[Seq[String]] = {
     if (filters.isEmpty) return None
+    // constant-folded conjunctions (the engine folds e.g. `id >= 10^6`
+    // over a smallint column to FALSE before translation): a FALSE leg
+    // means the statement provably matches nothing — a DECIDED no-op,
+    // no zone needed; TRUE legs are neutral, and a conjunction of only
+    // them is the bare truncate that belongs to overwrite
+    if (filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysFalse]))
+      return Some(Seq.empty)
+    val effective = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (effective.isEmpty) return None
     val (t, zonesOpt, listing) = JsonDocSource.inferCached(
       Seq(dir), whole = false, refresh = false, zonemaps = true)
     val zm = zonesOpt.getOrElse(return None)
@@ -46,9 +56,9 @@ object JsonDocDelete {
     val removes = Seq.newBuilder[String]
     perFile.foreach {
       case (p, Some(z)) =>
-        if (filters.forall(ZoneSkip.provablyAllMatch(_, z, zonePaths)))
+        if (effective.forall(ZoneSkip.provablyAllMatch(_, z, zonePaths)))
           removes += new Path(p).getName
-        else if (filters.exists(ZoneSkip.provablyEmpty(_, z, zonePaths)))
+        else if (effective.exists(ZoneSkip.provablyEmpty(_, z, zonePaths)))
           () // the file keeps every row
         else return None
       case _ => return None

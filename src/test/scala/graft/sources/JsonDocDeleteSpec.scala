@@ -107,4 +107,23 @@ class JsonDocDeleteSpec extends SparkTestBase {
     assert(spark.read.format("graftjson").option("refresh", "true")
       .load(dir).count() == 20L)
   }
+
+  test("constant-folded WHERE legs: FALSE is a decided no-op, TRUE-only refuses (bare truncate)") {
+    useCatalog()
+    val dir = rangedTable("jd_delete_folded")
+    // the engine folds an out-of-range literal over the narrow inferred
+    // type (id: 0..29 ⇒ tinyint/smallint) to FALSE before translating —
+    // the statement provably matches nothing and must succeed unchanged
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 1000000").collect()
+    assert(spark.read.format("graftjson").option("refresh", "true")
+      .load(dir).count() == 30L)
+    import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue}
+    assert(JsonDocDelete.decide(spark, dir, Seq(new AlwaysFalse))
+      .contains(Seq.empty))
+    // a conjunction of only TRUE legs is the bare truncate — refuse,
+    // overwrite owns that verb
+    assert(JsonDocDelete.decide(spark, dir, Seq(new AlwaysTrue)).isEmpty)
+    assert(spark.read.format("graftjson").option("refresh", "true")
+      .load(dir).count() == 30L)
+  }
 }
