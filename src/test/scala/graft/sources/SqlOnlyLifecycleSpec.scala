@@ -51,6 +51,16 @@ class SqlOnlyLifecycleSpec extends SparkTestBase {
       .collect()(0)
     assert(agg.getLong(0) == (0L until 700L).sum && agg.getLong(1) == 7L)
 
+    // INSERT OVERWRITE replaces the whole table through the same
+    // truncate-and-add marker commit
+    spark.sql(
+      s"""INSERT OVERWRITE $t (id, bucket, s)
+         |SELECT id, CAST(id % 7 AS BIGINT) AS bucket,
+         |  concat('d', id) AS s
+         |FROM range(0, 700)""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0)
+      == 700L)
+
     // CALL maintenance: compact the two appends' task files, mint a
     // planning save so history exists
     spark.sql(s"CALL graft.recluster('$dir', by => 'id', " +
