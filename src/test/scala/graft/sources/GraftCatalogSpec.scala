@@ -136,6 +136,45 @@ class GraftCatalogSpec extends SparkTestBase {
       chain(e3).mkString("|"))
   }
 
+  test("streaming through catalog identifiers: writeStream.toTable publishes epochs, readStream.table tails incrementally") {
+    useCatalog()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = graft.TempRoots.path("catalog_streaming")
+    val t = s"graft.`$dir`"
+    // the path-addressed catalog keeps no metadata store, so toTable
+    // requires the directory to exist — seed it the way a real
+    // pipeline would, then stream into it
+    spark.sql(s"CREATE TABLE $t AS SELECT CAST(0 AS BIGINT) AS id, 'seed' AS s")
+    // sink: memory stream → toTable resolves the SAME deterministic-
+    // epoch streaming write the path API uses
+    val ms = MemoryStream[(Long, String)]
+    val sink = ms.toDF().toDF("id", "s").writeStream
+      .option("checkpointLocation", graft.TempRoots.path("cat_stream_ck1"))
+      .toTable(t)
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      sink.processAllAvailable()
+      assert(spark.table(t).count() == 3L)
+      // source: readStream.table tails the identifier; a later SQL
+      // INSERT INTO is picked up incrementally (append-only contract)
+      val tail = spark.readStream.table(t)
+        .writeStream.format("memory").queryName("cat_stream_tail")
+        .option("checkpointLocation", graft.TempRoots.path("cat_stream_ck2"))
+        .start()
+      try {
+        tail.processAllAvailable()
+        assert(spark.table("cat_stream_tail").count() == 3L)
+        spark.sql(s"INSERT INTO $t (id, s) VALUES (3, 'c')")
+        tail.processAllAvailable()
+        val got = spark.table("cat_stream_tail").collect()
+          .map(_.getAs[Number]("id").longValue).sorted.toSeq
+        assert(got == Seq(0L, 1L, 2L, 3L), got)
+      } finally tail.stop()
+    } finally sink.stop()
+  }
+
   test("two-key clusterBy through the PATH writer fails at planning (no function catalog), one-key still works") {
     val dir = graft.TempRoots.path("catalog_zorder_pathapi")
     val df = spark.range(100).select((col("id") % 10).as("a"),
