@@ -25,5 +25,11 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("WARN")
   }
 
+  /** Register the graft V2 catalog on the shared session (idempotent;
+    * the catalog instantiates lazily per conf). */
+  protected def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+
   val sfDir = "/root/testdata/sf0.001"
 }

@@ -11,9 +11,6 @@ import org.apache.spark.sql.functions._
   * probes on EITHER key prune at first scan, no recluster rewrite. */
 class GraftCatalogSpec extends SparkTestBase {
 
-  private def useCatalog(): Unit =
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[GraftCatalog].getName)
 
   test("morton matches the reference bit-interleave on proxy values") {
     // same reference ladder as ShardingSpec's, over the proxy ints

@@ -9,9 +9,6 @@ import org.apache.spark.sql.functions._
   * the statement's result rows. */
 class GraftProcedureSpec extends SparkTestBase {
 
-  private def useCatalog(): Unit =
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[GraftCatalog].getName)
 
   private def writeBatch(dir: String, from: Long, until: Long,
                          refreshMeta: Boolean = true): Unit =

@@ -8,9 +8,6 @@ import org.apache.spark.sql.functions._
   * atomicity, lease participation, and history tombstones. */
 class JsonDocDeleteSpec extends SparkTestBase {
 
-  private def useCatalog(): Unit =
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[GraftCatalog].getName)
 
   /** Files split by an id range rule so range predicates are decidable:
     * f000 holds ids 0-9, f001 ids 10-19, f002 ids 20-29. */

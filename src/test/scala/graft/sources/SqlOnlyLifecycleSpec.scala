@@ -11,8 +11,7 @@ import graft.SparkTestBase
 class SqlOnlyLifecycleSpec extends SparkTestBase {
 
   test("CTAS, INSERT INTO, SELECT, CALL, DELETE, VERSION AS OF, DROP — all through spark.sql") {
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[GraftCatalog].getName)
+    useCatalog()
     val dir = graft.TempRoots.path("sql_only_lifecycle")
     val t = s"graft.`$dir`"
 
@@ -69,10 +68,13 @@ class SqlOnlyLifecycleSpec extends SparkTestBase {
     assert(saves.length == 1, saves.toSeq)
     val save0 = saves(0).getLong(0)
 
-    // metadata-only DELETE: the recluster clustered by id, so a
-    // boundary-aligned range is provably decided. Delete the id-range
-    // covering nothing (provably empty everywhere) — succeeds, no-op.
-    spark.sql(s"DELETE FROM $t WHERE id >= 1000000")
+    // metadata-only DELETE through the REAL zone decision: 30000 is
+    // above every id (0..699) but inside the re-inferred smallint
+    // width, so it survives constant folding, reaches decide() as a
+    // pushed comparison, and every file proves empty by exact integral
+    // bounds — a decided no-op through the proof path (the folded
+    // AlwaysFalse variant is pinned separately in JsonDocDeleteSpec).
+    spark.sql(s"DELETE FROM $t WHERE id >= 30000")
     assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0)
       == 700L)
 

@@ -622,37 +622,54 @@ class ZoneFuzzSpec extends SparkTestBase {
         // file proves empty by exact integral bounds — and restore the
         // pre-append table exactly; any quality flag anywhere declines
         // the whole statement by contract (the filtered-COUNT rule).
-        val crafted = new java.io.File(corpus.dir, "zz_crafted_delete.json")
-        val cw = new java.io.PrintWriter(crafted, "UTF-8")
-        (0 until 5).foreach(i => cw.println("{\"n\": " + (20000 + i) + "}"))
-        cw.close()
-        val cf = org.apache.spark.sql.sources.GreaterThanOrEqual("n", 20000)
-        val cRemoved =
-          try Some(JsonDocDelete.delete(spark, corpus.dir, Seq(cf)))
-          catch {
-            case e: IllegalStateException =>
-              assert(e.getMessage.contains("PROVABLY decided"),
-                s"corpus $idx crafted DELETE unexpected refusal: " +
-                  e.getMessage)
-              None
+        // The random probe above may have legitimately removed files,
+        // so restoration is checked against the CURRENT table, not the
+        // pre-mutation ground truth (review r14).
+        val liveNow = JsonDocSource.listFiles(spark, Seq(corpus.dir))
+        if (liveNow.isEmpty) skippedGen += 1 // random probe emptied it
+        else {
+          val curHandle = spark.read.format("graftjson").load(corpus.dir)
+          val curSchema = curHandle.schema
+          val curRows = curHandle.collect()
+          val curTruth = spark.createDataFrame(
+            new java.util.ArrayList[Row](java.util.Arrays.asList(curRows: _*)),
+            curSchema)
+          val crafted = new java.io.File(corpus.dir, "zz_crafted_delete.json")
+          val cw = new java.io.PrintWriter(crafted, "UTF-8")
+          (0 until 5).foreach(i => cw.println("{\"n\": " + (20000 + i) + "}"))
+          cw.close()
+          val cf = org.apache.spark.sql.sources.GreaterThanOrEqual("n", 20000)
+          val cRemoved =
+            try Some(JsonDocDelete.delete(spark, corpus.dir, Seq(cf)))
+            catch {
+              case e: IllegalStateException =>
+                assert(e.getMessage.contains("PROVABLY decided"),
+                  s"corpus $idx crafted DELETE unexpected refusal: " +
+                    e.getMessage)
+                None
+            }
+          cRemoved match {
+            case Some(nr) =>
+              deleteSucceeded += 1
+              assert(nr == 1,
+                s"corpus $idx crafted delete removed $nr files, wanted 1")
+              assertSame(spark.read.format("graftjson").load(corpus.dir),
+                curTruth, s"corpus $idx crafted delete must restore the table")
+            case None =>
+              deleteRefused += 1
+              // must-succeed only while the surviving corpus still
+              // sights n somewhere (a random removal could have taken
+              // every n-bearing file — the originals then prove
+              // nothing about n, a legitimate decline)
+              assert(!corpus.clean || !curSchema.fieldNames.contains("n"),
+                s"corpus $idx is quality-flag-free but the crafted " +
+                  "decidable delete refused")
+              // the refused statement left the crafted rows in place;
+              // unlink them so the corpus ends as it began
+              assert(crafted.delete())
           }
-        cRemoved match {
-          case Some(nr) =>
-            deleteSucceeded += 1
-            assert(nr == 1,
-              s"corpus $idx crafted delete removed $nr files, wanted 1")
-            assertSame(spark.read.format("graftjson").load(corpus.dir),
-              truth, s"corpus $idx crafted delete must restore the table")
-          case None =>
-            deleteRefused += 1
-            assert(!corpus.clean,
-              s"corpus $idx is quality-flag-free but the crafted " +
-                "decidable delete refused")
-            // the refused statement left the crafted rows in place;
-            // unlink them so the corpus ends as it began
-            assert(crafted.delete())
+          ran += 1
         }
-        ran += 1
       }
       (ran, skippedGen)
     } finally truth.unpersist()
