@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 import scala.util.Random
 
 /** Differential fuzz harness for the HISTORY surface (VERDICT r13 #7):
-  * random save / delete / rewrite / compact / vacuum lifecycles ×
-  * random `asOfSave` / `sinceSave` probes, checked against a locally
-  * tracked ground-truth listing history that never consults the
-  * engine's manifest fold.
+  * random save / delete / rewrite / compact / vacuum / SQL-deleteWhere
+  * lifecycles × random `asOfSave` / `sinceSave` probes, checked
+  * against a locally tracked ground-truth listing history that never
+  * consults the engine's manifest fold. The deleteWhere op (r14)
+  * exercises the metadata-only DELETE's tombstone save inside random
+  * histories — including the internal save triggering the
+  * segment-compaction squash, which the model follows.
   *
   * The local model records, at every minted save, the table's live
   * (file → (len, mtime, rows)) state — rows parsed with a plain line
@@ -29,12 +32,17 @@ import scala.util.Random
   *
   * Mtimes are stamped strictly increasing per authored write so
   * (len, mtime) fingerprints are unambiguous; compaction-written files
-  * keep their natural (later) mtimes. Fixed seeds; ~25 trials × ~12
+  * keep their natural (later) mtimes. Fixed seeds; 34 trials × ~12
   * lifecycle steps × asOf+since probes over every save id ≥ 500
-  * generated cases. */
+  * generated cases (measured 550; deleteWhere outcomes tallied
+  * non-vacuous). */
 class JsonMetaFuzzSpec extends SparkTestBase {
 
-  private val Trials = 30
+  private val Trials = 34
+  // SQL deleteWhere outcome tally across trials (asserted non-vacuous:
+  // the verb must both succeed and refuse somewhere in the sweep)
+  private var sqlDeleteSucceeded = 0
+  private var sqlDeleteRefused = 0
 
   private case class FileState(len: Long, mtime: Long, rows: Seq[String])
 
@@ -98,7 +106,7 @@ class JsonMetaFuzzSpec extends SparkTestBase {
     def newName(): String = { nFiles += 1; f"f$nFiles%03d.json" }
     writeFile(newName()); save()
     (0 until 12).foreach { _ =>
-      r.nextInt(8) match {
+      r.nextInt(9) match {
         case 0 | 1 | 2 => // append a new file
           writeFile(newName()); save()
         case 3 => // delete a random live file (keep at least one)
@@ -122,6 +130,43 @@ class JsonMetaFuzzSpec extends SparkTestBase {
             val rep = JsonMeta.vacuum(spark, dir.toString,
               retainSaves = 1 + r.nextInt(3))
             if (rep.horizon >= 0) vacuumHorizon = rep.horizon
+          }
+        case 8 => // metadata-only SQL deleteWhere: whole-file removal
+          // under zone proofs, minting its own tombstone save.
+          // Succeeds only when every live file's id range is decided
+          // by the random cut; an undecided cut must refuse with the
+          // named error and change nothing
+          val live0 = liveState(dir)
+          if (live0.size > 1) {
+            val k = 1 + r.nextInt(math.max(1, rowCounter))
+            val before = JsonMeta.saves(spark, dir.toString)
+            val n =
+              try JsonDocDelete.delete(spark, dir.toString,
+                Seq(org.apache.spark.sql.sources.LessThanOrEqual("id", k)))
+              catch {
+                case e: IllegalStateException =>
+                  assert(e.getMessage.contains("PROVABLY decided"),
+                    s"trial $t deleteWhere(id<=$k): " + e.getMessage)
+                  sqlDeleteRefused += 1
+                  -1
+              }
+            if (n < 0) {
+              assert(liveState(dir) == live0,
+                s"trial $t: refused deleteWhere changed the table")
+            } else if (n > 0) {
+              sqlDeleteSucceeded += 1
+              val now = JsonMeta.saves(spark, dir.toString)
+              assert(now.nonEmpty && now.last > before.last,
+                s"trial $t: deleteWhere removed $n files but minted " +
+                  s"no save ($before -> $now)")
+              snapshots += now.last -> liveState(dir)
+              // the internal tombstone save can itself trigger the
+              // segment-compaction squash — the model must follow
+              if (now.size == 1 && before.size > 1) squashBase = now.last
+              // removing every file leaves nothing for later ops to
+              // act on: repopulate the way the lifecycle would
+              if (liveState(dir).isEmpty) { writeFile(newName()); save() }
+            }
           }
       }
     }
@@ -214,6 +259,10 @@ class JsonMetaFuzzSpec extends SparkTestBase {
   test("500+ randomized history lifecycles: asOf/sinceSave equal the tracked ground truth or fail with the exact named error class") {
     var total = 0
     (0 until Trials).foreach { t => total += runTrial(t) }
+    info(s"history fuzz: $total cases; sql deleteWhere " +
+      s"$sqlDeleteSucceeded succeeded / $sqlDeleteRefused refused")
     assert(total >= 500, s"only $total lifecycle cases ran")
+    assert(sqlDeleteSucceeded >= 1 && sqlDeleteRefused >= 1,
+      s"deleteWhere op vacuous: $sqlDeleteSucceeded/$sqlDeleteRefused")
   }
 }
