@@ -417,8 +417,15 @@ object JsonMeta {
         // one segment holding exactly the live table (drops deleted
         // files' entries, every superseded duplicate, and the
         // reconstructible HISTORY — earlier saves become a documented
-        // as-of error, the VACUUM trade)
-        if (current.isEmpty) (Seq.empty[SegRef], 0)
+        // as-of error, the VACUUM trade). The base segment is written
+        // EVEN WHEN the live table is EMPTY, exactly like vacuum's
+        // base convention: a fully-deleted table keeps this save as
+        // its one as-of point (reading it is the pinned empty-frame
+        // convention) — zero refs would claim the minted saveId while
+        // silently erasing the whole history (fuzzer find, r14).
+        // A table that never had saves AND has no files records
+        // nothing, as before.
+        if (current.isEmpty && refs.isEmpty) (Seq.empty[SegRef], 0)
         else (Seq(writeSegment(fs, root, current, Set.empty, nextSave)),
           current.size)
       } else

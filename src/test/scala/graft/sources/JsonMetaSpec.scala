@@ -596,4 +596,63 @@ class JsonMetaSpec extends SparkTestBase {
     assert(spark.read.format("graftjson")
       .option("sinceSave", s4.toString).load(dir.toString).count() == 0L)
   }
+
+  test("squash on a fully-emptied table keeps ONE empty as-of point — never zero refs (fuzzer find)") {
+    val dir = new java.io.File(graft.TempRoots.path("meta_empty_squash"))
+    dir.mkdirs()
+    var clock = System.currentTimeMillis() - 7200L * 1000L
+    def put(name: String, id: Int): Unit = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      w.println(s"""{"id": $id}"""); w.close()
+      clock += 1000; assert(f.setLastModified(clock))
+    }
+    // reach the segment cap so the NEXT save squashes
+    (1 to 8).foreach { i =>
+      put(s"f$i.json", i); JsonMeta.save(spark, dir.toString)
+    }
+    assert(JsonMeta.saves(spark, dir.toString).size == 8)
+    // empty the table entirely, then save: the squash must mint a
+    // READABLE (empty) save — zero manifest refs would claim the
+    // minted saveId while erasing the whole history
+    (1 to 8).foreach { i =>
+      assert(new java.io.File(dir, s"f$i.json").delete())
+      new java.io.File(dir, s".f$i.json.crc").delete()
+    }
+    val rep = JsonMeta.save(spark, dir.toString)
+    assert(rep.saveId > 0 && rep.compacted, rep.toString)
+    assert(JsonMeta.saves(spark, dir.toString) == Seq(rep.saveId))
+    assert(spark.read.format("graftjson")
+      .option("asOfSave", rep.saveId.toString).load(dir.toString)
+      .count() == 0L)
+    // and the empty save is stable: a repeat save is a no-op
+    assert(JsonMeta.save(spark, dir.toString).saveId == -1L)
+  }
+
+  test("an all-deleted save reads as an EMPTY frame via asOfSave — the empty-change-feed convention") {
+    val dir = new java.io.File(graft.TempRoots.path("meta_empty_save"))
+    dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "a.json"), "UTF-8")
+    Seq(1, 2).foreach(i => w.println(s"""{"id": $i}"""))
+    w.close()
+    val s1 = JsonMeta.save(spark, dir.toString).saveId
+    // metadata-only DELETE of everything, decidable: id <= 2 removes
+    // the only file WHOLE and mints the tombstone save
+    val n = JsonDocDelete.delete(spark, dir.toString,
+      Seq(org.apache.spark.sql.sources.LessThanOrEqual("id", 2)))
+    assert(n == 1)
+    val s2 = JsonMeta.saves(spark, dir.toString).last
+    assert(s2 > s1)
+    // the emptied save resolves to zero files and reads as an empty
+    // (schema-less) frame — exactly the empty-change-feed convention
+    // above: count 0, never an error, never rows (the JsonMetaFuzzSpec
+    // deleteWhere op probes this corner under random histories)
+    assert(spark.read.format("graftjson")
+      .option("asOfSave", s2.toString).load(dir.toString).count() == 0L)
+    // while the pre-delete save fails loudly (bytes gone) — never
+    // wrong rows
+    val e = intercept[IllegalStateException](spark.read.format("graftjson")
+      .option("asOfSave", s1.toString).load(dir.toString).count())
+    assert(e.getMessage.contains("physically removed"), e.getMessage)
+  }
 }
