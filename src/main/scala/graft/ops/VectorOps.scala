@@ -1405,8 +1405,21 @@ object VectorOps {
     // only); schema inference would throw on it forever — bricking
     // every reader — where an empty frame means "no pending removals"
     // and the next maintenance call simply clears the husk
-    else spark.read.schema("cell INT").parquet(p)
-      .collect().map(_.getInt(0))
+    else
+      try spark.read.schema("cell INT").parquet(p)
+        .collect().map(_.getInt(0))
+      catch {
+        // maintenance retired the marker between the exists() probe
+        // and this read (the readMarker TOCTOU class, r14): the
+        // removals were fully applied, so "no pending removals" is
+        // the consistent answer — a lock-free reader must never die
+        // on a racing roll-forward
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("does not exist") =>
+          Array.empty[Int]
+        case _: java.io.FileNotFoundException => Array.empty[Int]
+      }
   }
 
   /** Roll a crashed delete FORWARD — the WHOLE delete, not just its

@@ -91,7 +91,18 @@ object JsonCompact {
   private[sources] def readMarker(fs: FileSystem, dir: Path): Option[Marker] = {
     val mp = markerPath(dir)
     if (!fs.exists(mp)) return None
-    val text = graft.ops.Fs.readFullyUtf8(fs, mp)
+    val text =
+      try graft.ops.Fs.readFullyUtf8(fs, mp)
+      catch {
+        // the marker's writer rolled it forward between our exists()
+        // and this read (suite-context race find, r14): the raw
+        // listing a caller took BEFORE the marker check is then a pure
+        // PRE-commit snapshot — staged adds invisible under
+        // `_compaction/`, removes still live — so answering "no
+        // marker" serves the consistent old table; the next listing
+        // sees the new one. Old or new, never a mix.
+        case _: java.io.FileNotFoundException => return None
+      }
     val (adds, removes) =
       text.split("\n").filter(_.nonEmpty).foldLeft(
         (Vector.empty[(String, String)], Vector.empty[String])) {

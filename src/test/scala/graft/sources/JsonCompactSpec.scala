@@ -401,4 +401,29 @@ class JsonCompactSpec extends SparkTestBase {
     assert(q1.collect()(0).getLong(0) == 3L)
     assert(!q1.queryExecution.executedPlan.toString.contains("PushedAggregation"))
   }
+
+  test("readMarker: a marker that vanishes between exists() and the read is 'already rolled forward'") {
+    // the race a streaming tail loses to a concurrent batch commit
+    // (suite-context find, r14): exists() sees the marker, the
+    // writer's roll-forward deletes it, the read throws FNF — the
+    // reader must serve the consistent no-marker answer, never die
+    val dir = new java.io.File(graft.TempRoots.path("marker_toctou"))
+    dir.mkdirs()
+    val root = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    JsonCompact.writeMarker(fs, root, JsonCompact.Marker(Seq.empty, Seq("x.json")))
+    // a view of the filesystem where the marker is visible to exists()
+    // but its bytes are gone by open() — the in-between state
+    val racing = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(p: org.apache.hadoop.fs.Path,
+                        bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (p.getName == "commit")
+          throw new java.io.FileNotFoundException(p.toString)
+        else super.open(p, bufferSize)
+    }
+    assert(JsonCompact.readMarker(racing, root).isEmpty)
+    // the intact marker still reads through the plain filesystem
+    assert(JsonCompact.readMarker(fs, root).exists(_.removes == Seq("x.json")))
+    assert(JsonCompact.rollForward(spark, dir.toString))
+  }
 }
