@@ -1413,10 +1413,12 @@ object VectorOps {
         // and this read (the readMarker TOCTOU class, r14): the
         // removals were fully applied, so "no pending removals" is
         // the consistent answer — a lock-free reader must never die
-        // on a racing roll-forward
+        // on a racing roll-forward. Matched by error CONDITION, not
+        // message text (ADVICE r14): a reworded/localized message
+        // would either re-expose the race or over-match an unrelated
+        // analysis failure as "no pending removals"
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.toLowerCase.contains("does not exist") =>
+            if e.getCondition == "PATH_NOT_FOUND" =>
           Array.empty[Int]
         case _: java.io.FileNotFoundException => Array.empty[Int]
       }

@@ -2019,12 +2019,15 @@ object Pipeline {
     * sketch. ORACLED since r14 (the q21 envelope pattern): the
     * estimate itself is sketch-implementation-specific, so the OUTPUT
     * carries the exact per-priority distinct (computed alongside) plus
-    * a boolean pinning the store-merged estimate inside a 5% envelope
-    * of it (lgK=12 ⇒ rsd ≈ 1.6%, 3σ ≈ 4.9%) — a broken shard write,
-    * lossy merge or estimator regression flips the boolean while the
-    * estimate never has to match across engines. SketchesSpec keeps
-    * merge exactness, incremental shard append, and replay
-    * idempotence. */
+    * a boolean pinning the store-merged estimate inside a 7% envelope
+    * of it (lgK=12 ⇒ rsd ≈ 1.6%, so 7% ≈ 4.3σ — real headroom over
+    * the proven 3σ ≈ 4.9% bound, ADVICE r14: an envelope at the bound
+    * itself is data-dependent and a different corpus or scale factor
+    * could flip it with a perfectly healthy sketch; measured slack at
+    * sf0.01/sf0.1 is under 2%) — a broken shard write, lossy merge or
+    * estimator regression flips the boolean while the estimate never
+    * has to match across engines. SketchesSpec keeps merge exactness,
+    * incremental shard append, and replay idempotence. */
   private def q138(s: SparkSession, dir: String): DataFrame = {
     val store = graft.TempRoots.path(
       s"hll_store_${Integer.toHexString(dir.hashCode)}")
@@ -2039,7 +2042,7 @@ object Pipeline {
       .select(col("grp"), col("n_rows"), col("n_exact"),
         (abs(col("n_distinct_est").cast("double") -
           col("n_exact").cast("double")) <=
-          greatest(lit(4.0), col("n_exact").cast("double") * 0.05))
+          greatest(lit(4.0), col("n_exact").cast("double") * 0.07))
           .as("est_in_envelope"))
       .orderBy(col("grp"))
   }
@@ -2058,9 +2061,12 @@ object Pipeline {
     * distinct (priority, custkey) pairs — DuckDB joins the same sets)
     * plus a boolean pinning the sketch overlap inside the compounded
     * envelope SketchesSpec proves (≈√3·3σ of the UNION size at lgK=12
-    * ⇒ ~8.5%; the query allows 10%) — small overlaps of large sets
-    * drown first, exactly the inclusion–exclusion failure mode the
-    * envelope watches. */
+    * ⇒ ~8.5%; the query allows 12% ≈ 4σ — headroom over the proven
+    * bound, ADVICE r14) — small overlaps of large sets drown first,
+    * exactly the inclusion–exclusion failure mode the envelope
+    * watches. Pairs ride the FULL grp×grp universe (left joins from
+    * it, overlap and estimate coalesced to 0), so a disjoint pair is
+    * asserted too instead of silently dropping (ADVICE r14). */
   /** Build-once serving store for q167's probe (the [[sharedInvIndex]]
     * split: q138 prices sketch-store CONSTRUCTION each run; the
     * overlap probe answers from an existing store). */
@@ -2085,34 +2091,53 @@ object Pipeline {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = gc.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-    val exact = gc.select(col("grp").as("grp_a"), col("c"))
+    // the FULL pair universe (ADVICE r14: an inner join on the
+    // overlap frame silently dropped any pair with ZERO exact common
+    // customers, so a sketch spuriously reporting overlap for
+    // disjoint sets was never envelope-checked) — a crossJoin of the
+    // per-group size aggregate with itself: #priorities² rows, the
+    // scalar-envelope grain
+    val pairs = sizes.select(col("grp").as("grp_a"), col("n").as("na"))
+      .crossJoin(sizes.select(col("grp").as("grp_b"), col("n").as("nb")))
+      .where(col("grp_a") < col("grp_b"))
+    val overlaps = gc.select(col("grp").as("grp_a"), col("c"))
       .join(gc.select(col("grp").as("grp_b"), col("c")), Seq("c"))
       .where(col("grp_a") < col("grp_b"))
       .groupBy(col("grp_a"), col("grp_b"))
-      .agg(count(lit(1)).as("n_exact_overlap"))
-      .join(sizes.select(col("grp").as("grp_a"), col("n").as("na")),
-        Seq("grp_a"))
-      .join(sizes.select(col("grp").as("grp_b"), col("n").as("nb")),
-        Seq("grp_b"))
+      .agg(count(lit(1)).as("n_overlap0"))
+    val exact = pairs.join(overlaps, Seq("grp_a", "grp_b"), "left")
+      .withColumn("n_exact_overlap",
+        coalesce(col("n_overlap0"), lit(0L)))
       .withColumn("n_exact_union",
         col("na") + col("nb") - col("n_exact_overlap"))
-    Sketches.overlapEstimate(s, sharedHllStore(s, dir))
-      .join(exact, Seq("grp_a", "grp_b"))
+    // 12% ≈ 4σ of the compounded bound (√3·rsd at lgK=12 ⇒ σ ≈ 2.8%
+    // of the union; the proven 3σ is ≈8.5%) — headroom over the bound
+    // per ADVICE r14, so a healthy sketch on a different corpus/scale
+    // cannot flip the boolean; a pair MISSING from the estimate frame
+    // reads as estimate 0 and is still asserted
+    exact.join(Sketches.overlapEstimate(s, sharedHllStore(s, dir)),
+        Seq("grp_a", "grp_b"), "left")
       .select(col("grp_a"), col("grp_b"), col("n_exact_overlap"),
-        (abs(col("est_overlap").cast("double") -
+        (abs(coalesce(col("est_overlap"), lit(0L)).cast("double") -
           col("n_exact_overlap").cast("double")) <=
-          greatest(lit(8.0), col("n_exact_union").cast("double") * 0.10))
+          greatest(lit(8.0), col("n_exact_union").cast("double") * 0.12))
           .as("overlap_in_envelope"))
       .orderBy(col("grp_a"), col("grp_b"))
   }
 
   private val q167Sql =
     """WITH gc AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS c
-      |  FROM orders)
-      |SELECT a.grp AS grp_a, b.grp AS grp_b,
-      |  count(*) AS n_exact_overlap, TRUE AS overlap_in_envelope
-      |FROM gc a JOIN gc b ON a.c = b.c AND a.grp < b.grp
-      |GROUP BY a.grp, b.grp ORDER BY grp_a, grp_b""".stripMargin
+      |  FROM orders),
+      |grps AS (SELECT DISTINCT grp FROM gc),
+      |ov AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n
+      |  FROM gc a JOIN gc b ON a.c = b.c AND a.grp < b.grp GROUP BY 1, 2)
+      |SELECT p.grp_a, p.grp_b,
+      |  CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_exact_overlap,
+      |  TRUE AS overlap_in_envelope
+      |FROM (SELECT x.grp AS grp_a, y.grp AS grp_b
+      |  FROM grps x, grps y WHERE x.grp < y.grp) p
+      |LEFT JOIN ov ON p.grp_a = ov.grp_a AND p.grp_b = ov.grp_b
+      |ORDER BY p.grp_a, p.grp_b""".stripMargin
 
   /** Incremental materialized-view maintenance ([[graft.ops.Sharding
     * .maintainStats]]): the per-source rollup is kept current under

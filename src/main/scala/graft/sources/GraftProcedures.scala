@@ -46,26 +46,34 @@ object GraftProcedures {
     override def description(): String = "graft maintenance summary"
   }
 
-  /** Shared shape: procedures bind to themselves (parameters are
-    * static — no overloading), run on the active session's driver, and
-    * return exactly one LocalScan of summary rows. */
-  private abstract class GraftProc(procName: String, desc: String,
+  /** Shared shape: procedures are stateless TEMPLATES (name, params,
+    * output schema, run body); [[load]] wraps one per resolution with
+    * the OWNING session captured at catalog-load time. */
+  private abstract class GraftProc(val procName: String, val desc: String,
                                    params: => Array[ProcedureParameter],
-                                   out: StructType)
+                                   val out: StructType) {
+    def paramArray: Array[ProcedureParameter] = params
+    def run(spark: SparkSession, input: InternalRow): Array[InternalRow]
+  }
+
+  /** One per [[load]] call: binds to itself (parameters are static —
+    * no overloading) and runs the verb on the session that RESOLVED
+    * the procedure, not whichever session is active on the executing
+    * thread (ADVICE r14: in a multi-session driver, `SparkSession
+    * .active` at call time could run the maintenance op under a
+    * different session's hadoopConfiguration than the one that
+    * planned the CALL). */
+  private final class BoundGraftProc(p: GraftProc, owner: SparkSession)
       extends UnboundProcedure with BoundProcedure {
-    override def name(): String = procName
-    override def description(): String = desc
+    override def name(): String = p.procName
+    override def description(): String = p.desc
     override def bind(inputType: StructType): BoundProcedure = this
-    override def parameters(): Array[ProcedureParameter] = params
+    override def parameters(): Array[ProcedureParameter] = p.paramArray
     // every verb mutates (or lists) filesystem state
     override def isDeterministic: Boolean = false
-    protected def run(spark: SparkSession,
-                      input: InternalRow): Array[InternalRow]
-    override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val spark = SparkSession.active
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
       Collections.singletonList[Scan](
-        new SummaryScan(out, run(spark, input))).iterator()
-    }
+        new SummaryScan(p.out, p.run(owner, input))).iterator()
   }
 
   private def dirParam: ProcedureParameter =
@@ -90,8 +98,8 @@ object GraftProcedures {
       StructField("merged_into", IntegerType, nullable = false),
       StructField("untouched", IntegerType, nullable = false),
       StructField("rolled_forward", BooleanType, nullable = false)))) {
-    override protected def run(spark: SparkSession,
-                               input: InternalRow): Array[InternalRow] = {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
       val r = JsonCompact.compact(spark, input.getUTF8String(0).toString,
         targetBytes = input.getLong(1), refreshMeta = input.getBoolean(2))
       Array(InternalRow(r.mergedFiles, r.mergedInto, r.untouched,
@@ -113,8 +121,8 @@ object GraftProcedures {
         .comment("dotted path to cluster by").build(),
       targetBytesParam, refreshMetaParam),
     reclusterOut) {
-    override protected def run(spark: SparkSession,
-                               input: InternalRow): Array[InternalRow] = {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
       val r = JsonCompact.recluster(spark, input.getUTF8String(0).toString,
         input.getUTF8String(1).toString,
         targetBytes = input.getLong(2), refreshMeta = input.getBoolean(3))
@@ -133,8 +141,8 @@ object GraftProcedures {
         .comment("second curve key").build(),
       targetBytesParam, refreshMetaParam),
     reclusterOut) {
-    override protected def run(spark: SparkSession,
-                               input: InternalRow): Array[InternalRow] = {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
       val r = JsonCompact.zorderRecluster(spark,
         input.getUTF8String(0).toString, input.getUTF8String(1).toString,
         input.getUTF8String(2).toString,
@@ -156,8 +164,8 @@ object GraftProcedures {
       StructField("squashed", IntegerType, nullable = false),
       StructField("segments_deleted", IntegerType, nullable = false),
       StructField("retained_saves", IntegerType, nullable = false)))) {
-    override protected def run(spark: SparkSession,
-                               input: InternalRow): Array[InternalRow] = {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
       val r = JsonMeta.vacuum(spark, input.getUTF8String(0).toString,
         retainSaves = input.getInt(1))
       Array(InternalRow(r.horizon, r.squashed, r.segmentsDeleted,
@@ -171,8 +179,8 @@ object GraftProcedures {
       "on this table, ascending (CALL graft.history(dir))",
     Array(dirParam),
     StructType(Seq(StructField("save_id", LongType, nullable = false)))) {
-    override protected def run(spark: SparkSession,
-                               input: InternalRow): Array[InternalRow] =
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] =
       JsonMeta.saves(spark, input.getUTF8String(0).toString)
         .map(id => InternalRow(id)).toArray
   }
@@ -181,17 +189,21 @@ object GraftProcedures {
     Seq(Compact, Recluster, Zorder, Vacuum, History)
 
   def identifiers: Array[Identifier] =
-    registry.map(p => Identifier.of(Array.empty, p.name())).toArray
+    registry.map(p => Identifier.of(Array.empty, p.procName)).toArray
 
   def load(ident: Identifier): UnboundProcedure = {
-    val known = registry.map(_.name()).mkString(", ")
+    val known = registry.map(_.procName).mkString(", ")
     if (ident.namespace().nonEmpty)
       throw new IllegalArgumentException(
         s"graftjson: no procedure namespace " +
           s"'${ident.namespace().mkString(".")}' — procedures live at " +
           s"the catalog root: $known")
-    registry.find(_.name().equalsIgnoreCase(ident.name())).getOrElse(
-      throw new IllegalArgumentException(
+    val proc = registry.find(_.procName.equalsIgnoreCase(ident.name()))
+      .getOrElse(throw new IllegalArgumentException(
         s"graftjson: unknown procedure '${ident.name()}' — one of: $known"))
+    // the session that RESOLVED the CALL owns its execution (ADVICE
+    // r14): procedure load happens on the planning session's thread,
+    // so `active` here IS the planner
+    new BoundGraftProc(proc, SparkSession.active)
   }
 }

@@ -731,4 +731,17 @@ class IvfIndexSpec extends SparkTestBase {
     VectorOps.buildIvfPqIndex(corpus, idx2, nCells = 4, subs = 4)
     assert(!graft.ops.Fs.exists(spark, s"$idx2/_maintenance/rebuild_pending"))
   }
+
+  test("the marker-TOCTOU catch's error condition is what Spark actually raises for a vanished path") {
+    // pendingRemovedCells tolerates a racing roll-forward by matching
+    // AnalysisException.getCondition == "PATH_NOT_FOUND" (ADVICE r14:
+    // condition, not message text). Pin that a schema'd parquet read
+    // of a nonexistent path raises exactly that condition — a Spark
+    // upgrade that renames it must fail HERE, not re-open the race.
+    val gone = graft.TempRoots.path("ivfidx_spec_no_such_marker")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.schema("cell INT").parquet(gone).collect()
+    }
+    assert(e.getCondition == "PATH_NOT_FOUND", s"condition=${e.getCondition}")
+  }
 }
