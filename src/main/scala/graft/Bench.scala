@@ -86,8 +86,21 @@ object Bench {
     // CacheManager, which a bare RDD unpersist does not deregister,
     // and a still-registered cache plan-matches the next pass's
     // freshly built plan (the r10 warm-crediting bug).
-    def timedCold(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+    // SPARK_GRAFT_BENCH_METRICS=1 prints one stderr line per pass with
+    // the storage memory occupied BEFORE and AFTER the timed region
+    // (VERDICT r14 #5: the q161 suite-vs-isolated premium adjudication
+    // needs per-pass storage evidence, not inference) — pre > 0 on a
+    // cold pass means a predecessor's blocks were still resident when
+    // this query started, exactly the suite-context pressure suspect.
+    val benchMetrics = sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1")
+    def usedStorageMB(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum / (1L << 20)
+    def timedCold(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame) = {
+      val pre = if (benchMetrics) usedStorageMB() else 0L
       val r = timed(fn)
+      val post = if (benchMetrics) usedStorageMB() else 0L
       spark.catalog.clearCache()
       // BLOCKING unpersist (r13): with blocking=false the block
       // manager frees prior queries' cached blocks asynchronously,
@@ -98,6 +111,9 @@ object Bench {
       // makes "cold" mean the same thing in every suite position.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      if (benchMetrics) System.err.println(
+        f"[bench-metrics] $name pre=${pre}MB post=${post}MB " +
+          f"t=${r._2}%.3f ok=${r._1}")
       r
     }
     // Isolated mode: `runMain graft.Bench q64 [nPasses]` runs ONE query
@@ -114,7 +130,7 @@ object Bench {
       require(hits.size == 1, s"query '$want' matches ${hits.size} entries: ${hits.sorted.mkString(", ")}")
       val name = hits.head
       val fn = SparkEntry.queries(name)
-      val times = (1 to passes).map(_ => timedCold(fn))
+      val times = (1 to passes).map(_ => timedCold(name, fn))
       val good = times.collect { case (true, t) => t }
       def fmtI(v: Double): String = BigDecimal(v)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -175,17 +191,17 @@ object Bench {
       if (shortKeys(p).size == 1) p else k // collision → keep full name
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val two = Seq(timedCold(fn), timedCold(fn))
+      val two = Seq(timedCold(name, fn), timedCold(name, fn))
       val noisyWarm = two.forall(_._1) && two(1)._2 > two(0)._2 * 1.3
       val gate = priorGate.getOrElse(key(name), Double.PositiveInfinity)
       def min2(ts: Seq[(Boolean, Double)]): Double =
         ts.collect { case (true, t) => t }.minOption.getOrElse(-1.0)
-      var times = if (noisyWarm) two :+ timedCold(fn) else two
+      var times = if (noisyWarm) two :+ timedCold(name, fn) else two
       // prior-artifact gate: both passes slow relative to last round →
       // up to two extra passes before believing a regression
       var extra = 0
       while (extra < 2 && min2(times) > gate) {
-        times :+= timedCold(fn); extra += 1
+        times :+= timedCold(name, fn); extra += 1
       }
       // min over SUCCESSFUL passes only — a fast failed pass must not
       // mask a successful run's time; all-failed reports -1
