@@ -1444,6 +1444,95 @@ object Pipeline {
       |  CAST(((doc_id * 48271) % 2147483647) % 8 AS BIGINT) AS bucket
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  /** SQL-only CDC lifecycle ([[graft.sources.GraftProcedures]]
+    * `init_doc_store`/`merge_cdc`, r15 — VERDICT r14 #2, closing the
+    * gap where the SQL mutation surface stopped at DELETE): the q128
+    * lifecycle with every mutation addressed FROM SQL — the corpus and
+    * the change batch (upserts, inserts, deletes) are temp views, the
+    * store is created by `CALL graft.init_doc_store` and merged by
+    * `CALL graft.merge_cdc` (the same staged-commit
+    * [[graft.ops.Sharding.mergeCdc]] op, pure addressing), and the
+    * merged store is read back through SQL's `parquet.` path syntax.
+    * The oracle recomputes the merge relationally (q128's twin), so a
+    * green row proves the CALL surface routes upsert/delete/bucket
+    * semantics end to end; the report-row audit (n_upserts/n_deletes
+    * exactly the batch's SQL-recomputable counts) rides as requires.
+    * Conflicting-batch and store-mismatch loudness is spec-pinned in
+    * SqlOnlyLifecycleSpec. */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val store = graft.TempRoots.path(
+      s"sqlcdc_${Integer.toHexString(dir.hashCode)}")
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .createOrReplaceTempView("q251_docs")
+    s.sql(
+      """CREATE OR REPLACE TEMP VIEW q251_changes AS
+        |SELECT doc_id, concat(coalesce(text, ''), ' v2') AS text, lang,
+        |  source,
+        |  CAST(length(concat(coalesce(text, ''), ' v2')) AS BIGINT)
+        |    AS n_chars,
+        |  'upsert' AS op
+        |FROM q251_docs WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, concat('new ', coalesce(text, '')),
+        |  lang, source,
+        |  CAST(length(concat('new ', coalesce(text, ''))) AS BIGINT),
+        |  'upsert'
+        |FROM q251_docs WHERE doc_id % 31 = 5
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS STRING), lang, source,
+        |  CAST(NULL AS BIGINT), 'delete'
+        |FROM q251_docs WHERE doc_id % 13 = 3 AND doc_id % 7 <> 0"""
+        .stripMargin)
+    val init = s.sql(
+      s"CALL graft.init_doc_store('$store', 'q251_docs', 8)").collect()(0)
+    require(init.getAs[Int]("n_buckets") == 8 && init.getAs[Long]("n_rows") > 0,
+      s"init_doc_store report unexpected: $init")
+    val rep = s.sql(
+      s"CALL graft.merge_cdc('$store', 'q251_changes', 8)").collect()(0)
+    // the report audits against the batch's own SQL-recomputable
+    // counts — a report that disagrees with the batch is a routing bug
+    // even when the merged rows come out right
+    val counts = s.sql(
+      """SELECT sum(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS u,
+        |  sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS d
+        |FROM q251_changes""".stripMargin).collect()(0)
+    require(rep.getAs[Long]("n_upserts") == counts.getAs[Long]("u") &&
+      rep.getAs[Long]("n_deletes") == counts.getAs[Long]("d"),
+      s"merge_cdc report $rep disagrees with the batch $counts")
+    s.sql(
+      s"""SELECT doc_id,
+         |  md5(CAST(coalesce(text, '') AS BINARY)) AS text_md5,
+         |  source, n_chars, CAST(bucket AS BIGINT) AS bucket
+         |FROM parquet.`$store` ORDER BY doc_id""".stripMargin)
+  }
+
+  // the merged store content is q128's by construction — same batch,
+  // same store semantics, different (SQL) addressing
+  private val q251Sql =
+    """WITH up AS (SELECT doc_id, coalesce(text, '') || ' v2' AS text,
+      |    source, length(coalesce(text, '') || ' v2') AS n_chars
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |ins AS (SELECT doc_id + 1000000 AS doc_id,
+      |    'new ' || coalesce(text, '') AS text, source,
+      |    length('new ' || coalesce(text, '')) AS n_chars
+      |  FROM documents WHERE doc_id % 31 = 5),
+      |del AS (SELECT doc_id FROM documents
+      |  WHERE doc_id % 13 = 3 AND doc_id % 7 <> 0),
+      |changed AS (SELECT doc_id FROM up UNION ALL SELECT doc_id FROM ins
+      |  UNION ALL SELECT doc_id FROM del),
+      |kept AS (SELECT doc_id, text, source, n_chars FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM changed)),
+      |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM up
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT doc_id, md5(coalesce(text, '')) AS text_md5, source,
+      |  CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(((doc_id * 48271) % 2147483647) % 8 AS BIGINT) AS bucket
+      |FROM merged ORDER BY doc_id""".stripMargin
+
   /** The stored inverted index the SEARCH queries (q129/q130/q132)
     * probe: built once per corpus and reused — the serving split every
     * index store has (a production index exists before queries arrive;
@@ -2274,9 +2363,11 @@ object Pipeline {
     "q204_diff_index_maintenance" -> (q204 _),
     "q206_diff_ivf_maintenance" -> (q206 _),
     "q211_ivf_compaction" -> (q211 _),
-    "q213_full_upsert_maintenance" -> (q213 _))
+    "q213_full_upsert_maintenance" -> (q213 _),
+    "q251_sql_merge_cdc" -> (q251 _))
 
   val oracle: Map[String, String] = Map(
+    "q251_sql_merge_cdc" -> q251Sql,
     "q106_diversity_sample" -> q106Sql,
     "q112_incremental_ivf_index" -> q112Sql,
     "q116_index_lifecycle" -> q116Sql,

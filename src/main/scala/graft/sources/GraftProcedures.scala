@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
   *   CALL graft.zorder('/data/docs', 'n_chars', 'doc_id')
   *   CALL graft.vacuum('/data/docs', retain_saves => 3)
   *   CALL graft.history('/data/docs')
+  *   CALL graft.init_doc_store('/data/store', 'docs_view', 8)
+  *   CALL graft.merge_cdc('/data/store', 'changes_view', 8)
   *   SHOW PROCEDURES IN graft
   * }}}
   *
   * Each verb resolves to the SAME lease-held, marker-committed
   * maintenance op the Scala API runs ([[JsonCompact.compact]] /
   * [[JsonCompact.recluster]] / [[JsonCompact.zorderRecluster]] /
-  * [[JsonMeta.vacuum]]) — the procedure layer is pure ADDRESSING, like
+  * [[JsonMeta.vacuum]] / [[graft.ops.Sharding.mergeCdc]]) — the
+  * procedure layer is pure ADDRESSING, like
   * the catalog itself: no second code path, every crash-safety and
   * single-writer contract is the op's own. Results come back as one
   * summary row (a [[LocalScan]] — the reports are driver-sized by
@@ -173,6 +176,70 @@ object GraftProcedures {
     }
   }
 
+  /** CDC addressing (VERDICT r14 #2): the upsert surface stops being
+    * Scala-only. Spark's row-level MERGE INTO would force a row-rewrite
+    * operator (the documented non-goal for graftjson); the CDC store is
+    * a hash-BUCKETED parquet store ([[graft.ops.Sharding.initDocStore]])
+    * whose merge cost is ∝ batch — so the SQL addressing is the CALL
+    * form over the SAME marker-committed op, with the change batch
+    * addressed as a table/view NAME resolved in the owning session
+    * (a SQL-only user stages the batch as a temp view). `n_buckets` is
+    * REQUIRED on both verbs and must agree: routing a batch with a
+    * different modulus than the store's layout would silently duplicate
+    * rows across buckets. */
+  private object InitDocStore extends GraftProc(
+    "init_doc_store",
+    "hash-bucket a source relation (table/view name, resolved in the " +
+      "calling session; must carry a doc_id column) into a " +
+      "CDC-mergeable document store " +
+      "(CALL graft.init_doc_store(dir, source, n_buckets))",
+    Array(dirParam,
+      ProcedureParameter.in("source", StringType)
+        .comment("table or view name of the rows to store").build(),
+      ProcedureParameter.in("n_buckets", IntegerType)
+        .comment("bucket count — the store's permanent layout").build()),
+    StructType(Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_buckets", IntegerType, nullable = false)))) {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
+      val dir = input.getUTF8String(0).toString
+      val n = input.getInt(2)
+      graft.ops.Sharding.initDocStore(
+        spark.table(input.getUTF8String(1).toString), dir, n)
+      // footer-count read-back: parquet answers count() from metadata,
+      // so the report costs a listing, not a data scan
+      Array(InternalRow(spark.read.parquet(dir).count(), n))
+    }
+  }
+
+  private object MergeCdc extends GraftProc(
+    "merge_cdc",
+    "apply a CDC change batch (rows with op IN ('upsert','delete'), " +
+      "one row per doc_id) to a bucketed document store under the " +
+      "_cdc_pending staged-commit protocol — merge cost is " +
+      "proportional to the batch, never the corpus " +
+      "(CALL graft.merge_cdc(dir, source, n_buckets))",
+    Array(dirParam,
+      ProcedureParameter.in("source", StringType)
+        .comment("table or view name of the change batch").build(),
+      ProcedureParameter.in("n_buckets", IntegerType)
+        .comment("must equal the store's init_doc_store bucket count")
+        .build()),
+    StructType(Seq(
+      StructField("n_upserts", LongType, nullable = false),
+      StructField("n_deletes", LongType, nullable = false),
+      StructField("n_buckets_touched", LongType, nullable = false)))) {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
+      val r = graft.ops.Sharding.mergeCdc(spark,
+        input.getUTF8String(0).toString,
+        spark.table(input.getUTF8String(1).toString),
+        input.getInt(2))
+      Array(InternalRow(r.n_upserts, r.n_deletes, r.n_buckets_touched))
+    }
+  }
+
   private object History extends GraftProc(
     "history",
     "the save ids available for VERSION AS OF / asOfSave / sinceSave " +
@@ -186,7 +253,8 @@ object GraftProcedures {
   }
 
   private val registry: Seq[GraftProc] =
-    Seq(Compact, Recluster, Zorder, Vacuum, History)
+    Seq(Compact, Recluster, Zorder, Vacuum, History,
+      InitDocStore, MergeCdc)
 
   def identifiers: Array[Identifier] =
     registry.map(p => Identifier.of(Array.empty, p.procName)).toArray

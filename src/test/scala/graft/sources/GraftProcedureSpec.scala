@@ -22,7 +22,8 @@ class GraftProcedureSpec extends SparkTestBase {
     useCatalog()
     val names = spark.sql("SHOW PROCEDURES IN graft")
       .collect().map(_.toString().toLowerCase)
-    for (p <- Seq("compact", "recluster", "zorder", "vacuum", "history"))
+    for (p <- Seq("compact", "recluster", "zorder", "vacuum", "history",
+      "init_doc_store", "merge_cdc"))
       assert(names.exists(_.contains(p)), s"$p missing in ${names.toSeq}")
   }
 

@@ -88,4 +88,76 @@ class SqlOnlyLifecycleSpec extends SparkTestBase {
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
+
+  test("CDC upsert is SQL-addressable: CALL init_doc_store + merge_cdc (r15, VERDICT r14 #2)") {
+    useCatalog()
+    val store = graft.TempRoots.path("sql_only_cdc_store")
+
+    // the corpus and the change batch are temp views — the SQL-only
+    // user's staging surface
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW cdc_docs AS
+        |SELECT id AS doc_id, concat('text ', id) AS text,
+        |  CAST(id % 100 AS BIGINT) AS n_chars
+        |FROM range(0, 200)""".stripMargin)
+    val init = spark.sql(
+      s"CALL graft.init_doc_store('$store', 'cdc_docs', 4)").collect()(0)
+    assert(init.getAs[Long]("n_rows") == 200L &&
+      init.getAs[Int]("n_buckets") == 4, init)
+
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW cdc_changes AS
+        |SELECT doc_id, concat(text, ' v2') AS text, n_chars, 'upsert' AS op
+        |FROM cdc_docs WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000, concat('new ', text), n_chars, 'upsert'
+        |FROM cdc_docs WHERE doc_id % 50 = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS STRING), CAST(NULL AS BIGINT), 'delete'
+        |FROM cdc_docs WHERE doc_id % 10 = 3""".stripMargin)
+    val rep = spark.sql(
+      s"CALL graft.merge_cdc('$store', 'cdc_changes', 4)").collect()(0)
+    assert(rep.getAs[Long]("n_upserts") == 24L &&
+      rep.getAs[Long]("n_deletes") == 20L, rep)
+
+    // merged content: 200 − 20 deletes + 4 inserts; updates in place
+    val m = spark.sql(
+      s"""SELECT count(*) AS n,
+         |  sum(CASE WHEN text LIKE '% v2' THEN 1 ELSE 0 END) AS upd,
+         |  sum(CASE WHEN doc_id >= 1000 THEN 1 ELSE 0 END) AS ins,
+         |  sum(CASE WHEN doc_id % 10 = 3 AND doc_id < 1000
+         |    THEN 1 ELSE 0 END) AS del_left
+         |FROM parquet.`$store`""".stripMargin).collect()(0)
+    assert(m.getAs[Long]("n") == 184L, m)
+    assert(m.getAs[Long]("upd") == 20L && m.getAs[Long]("ins") == 4L &&
+      m.getAs[Long]("del_left") == 0L, m)
+
+    // replay the SAME batch: upserts are by-id overwrites, deletes of
+    // absent ids are no-ops — content unchanged (the mergeCdc contract,
+    // now through the CALL surface)
+    spark.sql(s"CALL graft.merge_cdc('$store', 'cdc_changes', 4)").collect()
+    assert(spark.sql(s"SELECT count(*) FROM parquet.`$store`")
+      .collect()(0).getLong(0) == 184L)
+
+    // a conflicting batch (two rows for one doc_id) fails with the
+    // op's own named message — the procedure layer adds no laundering
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW cdc_conflict AS
+        |SELECT CAST(5 AS BIGINT) AS doc_id, 'a' AS text,
+        |  CAST(1 AS BIGINT) AS n_chars, 'upsert' AS op
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'b', CAST(2 AS BIGINT), 'delete'"""
+        .stripMargin)
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.merge_cdc('$store', 'cdc_conflict', 4)").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("conflicting rows for the same doc_id"))), e.getMessage)
+
+    // an unknown source view is loud at resolution, not a silent no-op
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graft.merge_cdc('$store', 'no_such_view_xyz', 4)").collect())
+    assert(e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e2.getMessage.toLowerCase.contains("not found"), e2.getMessage)
+  }
 }
