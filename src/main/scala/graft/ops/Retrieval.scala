@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical + vector retrieval over the TWO stored serving
+  * indexes (r15 — VERDICT r14 #4): the [[InvertedIndex]] BM25 store
+  * answers the text form of a query, the [[VectorOps]] IVF store
+  * answers its embedding form, and reciprocal-rank fusion (RRF,
+  * Cormack/Clarke/Buettcher SIGIR 2009: score = Σ 1/(k₀ + rank))
+  * merges the two top-k lists — the retrieval shape LLM data work
+  * actually serves, where neither pure BM25 nor pure cosine wins
+  * alone.
+  *
+  * Scale shape: both legs answer from their STORED index (postings
+  * buckets / cell partitions — the corpus is never rescanned), each
+  * emits at most `pool` rows, and the fusion is a full-outer join of
+  * two ≤pool-row frames followed by one ordered limit: query cost is
+  * index-probe cost, the fusion itself is O(pool). The partitionless
+  * rank windows run over ≤pool rows by the same contract q172
+  * documents.
+  *
+  * Determinism across engines: each RRF addend is one IEEE-exact
+  * division (1/(k₀+rank) with integer operands) and the fused score
+  * is ONE addition of the two — the pinned-order two-term sum the
+  * cross-engine double rules allow, which is what makes the fusion
+  * exactly recomputable in DuckDB when the vector leg probes
+  * exhaustively (nProbe == nCells ⇒ the served list IS brute-force
+  * cosine; the q112/q116 oracle pattern). Pruned-probe serving
+  * economics are pinned in RetrievalSpec.
+  *
+  * Id contract: the vector index's `vec_id`s are the same document
+  * ids the inverted index scores (the corpus convention throughout
+  * the pipeline queries). Docs absent from one list contribute only
+  * the other list's addend (their missing rank reads as 0 — the
+  * standard RRF treatment of unranked documents). */
+object Retrieval {
+
+  /** Fuse BM25 top-`pool` (from the stored inverted index, for
+    * `terms`) with cosine top-`pool` (from the stored IVF index, for
+    * the single query row in `queryVec`) into an RRF top-`k`.
+    *
+    * @param queryVec one-row frame with (vec_id, embedding) — the
+    *                 embedding form of the SAME query the terms
+    *                 express; its own id never appears in results
+    *                 (the IVF probe's self-exclusion)
+    * @param nProbe   IVF cells probed; pass the index's cell count
+    *                 for exhaustive (exact) serving
+    * @param rrfK     the RRF damping constant k₀ (60 in the paper) */
+  def hybridTopK(spark: SparkSession, invIndexDir: String,
+                 ivfIndexDir: String, terms: Seq[String],
+                 queryVec: DataFrame, k: Int, pool: Int = 50,
+                 nProbe: Int = 4, rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && pool >= k,
+      s"hybridTopK: need pool >= k >= 1, got k=$k pool=$pool")
+    val bm = InvertedIndex.searchBm25(spark, invIndexDir, terms, pool)
+      // re-rank the ≤pool-row shortlist in the same order the
+      // TakeOrdered cut used (score desc, doc_id) — q172's contract
+      .withColumn("rank_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_text"))
+    val vec = VectorOps.storedIndexTopK(spark, ivfIndexDir, queryVec,
+        pool, nProbe)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
+    def addend(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(rrfK) + rank), lit(0.0))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_text").cast("bigint"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec").cast("bigint"), lit(0L)).as("rank_vec"),
+        (addend(col("rank_text")) + addend(col("rank_vec"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1794,6 +1794,48 @@ object Pipeline {
       |  CAST(rv AS BIGINT) AS rank_vec, rrf
       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** The stored IVF index the hybrid-retrieval query (q252) probes —
+    * the vector twin of [[sharedInvIndex]]: built once over the full
+    * embeddings table and reused (a production ANN index exists before
+    * queries arrive); IVF MAINTENANCE is priced separately by
+    * q116/q206/q211. */
+  private val ivfIndexLock = new Object
+  private val ivfSharedCells = 16
+  private def sharedIvfIndex(s: SparkSession, dir: String): String =
+    ivfIndexLock.synchronized {
+      val idx = graft.TempRoots.path(
+        s"ivfidx_shared_${Integer.toHexString(dir.hashCode)}")
+      if (!graft.ops.Fs.exists(s, s"$idx/centroids"))
+        VectorOps.buildIvfIndex(Tables(s, dir, "embeddings"), idx,
+          nCells = ivfSharedCells)
+      idx
+    }
+
+  /** Hybrid retrieval from the TWO stored serving indexes
+    * ([[graft.ops.Retrieval.hybridTopK]], r15 — VERDICT r14 #4): q172
+    * fused the BM25 store with a brute-force cosine scan; this is the
+    * full serving shape — BOTH legs answer from their stored index
+    * (postings buckets + IVF cell partitions; the corpus and the
+    * embeddings table are never rescanned at query time), fused by
+    * reciprocal-rank fusion. Probing is EXHAUSTIVE on purpose
+    * (nProbe == nCells ⇒ the vector list IS brute-force cosine, the
+    * q112/q116 oracle pattern), so the fused ranks are exact
+    * deterministic arithmetic over two exact lists and DuckDB
+    * recomputes the whole fusion brute-force — q172's twin oracle.
+    * Pruned-probe serving economics (the 100 TB path) are pinned in
+    * RetrievalSpec. */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    graft.ops.Retrieval.hybridTopK(s,
+      sharedInvIndex(s, dir), sharedIvfIndex(s, dir),
+      Seq("merge", "slow"), e.where(col("vec_id") === 0),
+      k = 20, pool = 50, nProbe = ivfSharedCells)
+  }
+
+  // the exhaustive-probe vector list equals q172's brute-force leg, so
+  // the fused result shares q172's oracle verbatim
+  private val q252Sql = q172Sql
+
   /** Retrieval-quality evaluation — the IR-eval harness (the text
     * sibling of q74's ANN recall eval): precision@5/@20, recall@20
     * and MRR of the stored-index BM25 list against an exact relevance
@@ -2364,10 +2406,12 @@ object Pipeline {
     "q206_diff_ivf_maintenance" -> (q206 _),
     "q211_ivf_compaction" -> (q211 _),
     "q213_full_upsert_maintenance" -> (q213 _),
-    "q251_sql_merge_cdc" -> (q251 _))
+    "q251_sql_merge_cdc" -> (q251 _),
+    "q252_hybrid_stored_rrf" -> (q252 _))
 
   val oracle: Map[String, String] = Map(
     "q251_sql_merge_cdc" -> q251Sql,
+    "q252_hybrid_stored_rrf" -> q252Sql,
     "q106_diversity_sample" -> q106Sql,
     "q112_incremental_ivf_index" -> q112Sql,
     "q116_index_lifecycle" -> q116Sql,
