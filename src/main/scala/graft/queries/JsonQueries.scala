@@ -1571,7 +1571,91 @@ object JsonQueries {
       |  TRUE AS history_pruned_to_one, TRUE AS file_count_at_target
       |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Change feed as a STREAMING source (`startingSave`, r15 — VERDICT
+    * r14 #3, the Delta/Iceberg CDF shape): five epoch ingests mint five
+    * saves; a stream starting from the SECOND save must replay exactly
+    * the later epochs' rows from the manifest fold as per-save
+    * catch-up batches (the consumer's own save-2 prefix is swallowed
+    * via the durable baseline), then hand off to the live tail — the
+    * second drain restarts from the checkpoint after epoch 4 lands and
+    * must emit it exactly once (replay-identical: a baseline leak, a
+    * double-admitted delta, or a catch-up row lost flips the
+    * checksums). The PRUNED side rides as an envelope boolean: after
+    * vacuum(retainSaves=1) a FRESH stream from the old save must fail
+    * with the NAMED retention message (the completed stream keeps
+    * running — cdc-done skips resolution; spec-pinned). Mid-catch-up
+    * restart and per-save batch grain are pinned in JsonDocStreamSpec. */
+  private val q253Lock = new Object
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempRoots.path(
+      s"graftjson_q253_${Integer.toHexString(dir.hashCode)}")
+    val src = s"$root/src"; val sink = s"$root/sink"
+    q253Lock.synchronized {
+      buildOnce(s, root) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        def epoch(e: Long): Unit = EventStreams.ingestEpoch(
+          docs.where(pmod(col("doc_id"), lit(5)) === e), src, batchId = e)
+        epoch(0L); epoch(1L) // the consumer's held prefix: saves 1-2
+        val startFrom = graft.sources.JsonMeta.saves(s, src)(1)
+        epoch(2L); epoch(3L) // committed history the stream must replay
+        def drain(): Unit = {
+          val q = s.readStream.format("graftjson")
+            .option("startingSave", startFrom.toString).load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        drain() // catch-up: epochs 2-3 only
+        epoch(4L) // lands after completion — the live-tail hand-off
+        drain() // restart, same checkpoint: exactly the new epoch
+        val rep = graft.sources.JsonMeta.vacuum(s, src, retainSaves = 1)
+        require(rep.horizon > startFrom, s"vacuum horizon unexpected: $rep")
+      }
+    }
+    // pruned side, idempotent per run: a FRESH checkpoint from the
+    // vacuumed save must fail with the named retention message —
+    // anything else (silent re-snapshot, wrong rows) flips the boolean
+    val startFrom = graft.sources.JsonMeta.saves(s, src).head - 1L
+    val prunedNamed =
+      try {
+        val q = s.readStream.format("graftjson")
+          .option("startingSave", startFrom.toString).load(src)
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink_dead")
+          .option("checkpointLocation",
+            s"$root/ckpt_dead_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); false } finally q.stop()
+      } catch {
+        case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(x => Option(x.getMessage).exists(
+              _.contains("vacuum retention")))
+      }
+    s.read.parquet(sink)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 73).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .withColumn("pruned_named_error", lit(prunedNamed))
+      .orderBy(col("lang"))
+  }
+
+  private val q253Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 73) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS pruned_named_error
+      |FROM documents WHERE doc_id % 5 IN (2, 3, 4)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_cdc_stream" -> (q253 _),
     "q250_sql_maintenance" -> (q250 _),
     "q249_sql_delete" -> (q249 _),
     "q248_sql_time_travel" -> (q248 _),
@@ -1612,6 +1696,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q253_cdc_stream" -> q253Sql,
     "q250_sql_maintenance" -> q250Sql,
     "q249_sql_delete" -> q249Sql,
     "q248_sql_time_travel" -> q248Sql,

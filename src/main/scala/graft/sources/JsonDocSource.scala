@@ -548,7 +548,8 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
       Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      snapshot = snapshot)
+      snapshot = snapshot,
+      startingSave = Option(options.get("startingSave")).map(_.toLong))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -569,7 +570,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  fingerprint: Seq[(String, Long, Long)],
                                  maxFilesPerTrigger: Option[Int] = None,
                                  maxBytesPerTrigger: Option[Long] = None,
-                                 snapshot: Option[String] = None)
+                                 snapshot: Option[String] = None,
+                                 startingSave: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1148,7 +1150,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     case None =>
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
         maxSplitBytes, zones, fingerprint,
-        maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, snapshot)
+        maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, snapshot,
+        startingSave)
   }
 }
 
@@ -1219,7 +1222,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           maxFilesPerTrigger: Option[Int] = None,
                           maxBytesPerTrigger: Option[Long] = None,
                           topExcluded: Map[String, (Long, Long)] = Map.empty,
-                          snapshot: Option[String] = None)
+                          snapshot: Option[String] = None,
+                          startingSave: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -1260,15 +1264,21 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     if (filters.nonEmpty) topExcludedActive = Map.empty
   }
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    require(startingSave.isEmpty,
+      "graftjson: startingSave is a streaming option (readStream) — " +
+        "batch history reads use asOfSave/sinceSave")
+    this
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(snapshot.isEmpty,
       "graftjson: a pinned-snapshot (asOfSave/sinceSave) table cannot " +
-        "be streamed — tail the live table instead")
+        "be streamed — tail the live table instead (startingSave replays " +
+        "committed history as CDC before tailing)")
     new JsonDocMicroBatchStream(SparkSession.active, checkpointLocation,
       ps, whole, t, full, required, pushed, maxSplitBytes,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, startingSave)
   }
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +

@@ -50,7 +50,28 @@ import scala.collection.mutable
   * options (at least one file always admits, so a single file larger
   * than the byte cap still progresses); files admit in (mtime, path)
   * order. `Trigger.AvailableNow` snapshots the listing at start and
-  * drains exactly that set under the rate limits. */
+  * drains exactly that set under the rate limits.
+  *
+  * CHANGE-FEED start (`startingSave=k`, r15 — VERDICT r14 #3, the
+  * Delta/Iceberg CDF shape): instead of snapshotting "now" as batch 0,
+  * the stream REPLAYS committed history from save `k` before handing
+  * off to the live tail. [[JsonMeta.cdcResolve]] resolves, from the
+  * manifest fold, (a) the BASELINE — files the consumer already holds
+  * at save k, swallowed durably (written once to `cdc-baseline` under
+  * the checkpoint, never emitted) — and (b) one DELTA per later save:
+  * the files that save introduced that are still current. Catch-up
+  * batches serve the deltas in save order, never mixing saves (rate
+  * limits apply WITHIN a save), and a `cdc-done` marker commits
+  * catch-up completion so restarts after completion never re-resolve
+  * (a later vacuum of save k then cannot kill a healthy stream).
+  * Restart DURING catch-up re-resolves against the current manifest
+  * and continues where the batch logs left off (already-admitted
+  * files filter out through `seen`); a vacuumed/squashed/unknown
+  * `startingSave` fails with [[JsonMeta]]'s own named errors — never
+  * silently re-snapshots. Deletions are NOT replayed as rows: the
+  * feed is append-oriented file-level CDF (a deleted file simply
+  * stops appearing; the documented coarser-never-wrong grain of
+  * `sinceSave`). */
 private[sources] class JsonDocMicroBatchStream(
     spark: SparkSession,
     checkpointLocation: String,
@@ -59,7 +80,8 @@ private[sources] class JsonDocMicroBatchStream(
     pushed: Array[org.apache.spark.sql.sources.Filter],
     maxSplitBytes: Option[Long],
     maxFilesPerTrigger: Option[Int],
-    maxBytesPerTrigger: Option[Long])
+    maxBytesPerTrigger: Option[Long],
+    startingSave: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -79,13 +101,50 @@ private[sources] class JsonDocMicroBatchStream(
   private var latestId: Long = -1L
   // Trigger.AvailableNow target: drain exactly this path set, then idle
   private var availableNowTarget: Option[Set[String]] = None
+  // change-feed catch-up queue: per-save deltas not yet fully admitted
+  private var pendingSaves: List[(Long, List[LogEntry])] = Nil
+
+  private val baselinePath = new Path(logDir, CdcBaselineName)
+  private val cdcDonePath = new Path(logDir, CdcDoneName)
 
   locally {
+    require(startingSave.isEmpty || (ps.size == 1 && !whole),
+      "graftjson: startingSave needs exactly one NDJSON table directory " +
+        "(the change feed resolves through its planning metadata)")
     fs.mkdirs(logDir)
     logIds(fs, logDir).foreach { id =>
       readLog(fs, logDir, id).foreach(e => seen(e.path) = (e.len, e.mtime))
       latestId = math.max(latestId, id)
     }
+    startingSave.foreach { sv =>
+      // the baseline is swallowed, not emitted — it must be DURABLE
+      // before the first offset, or a restart would tail-admit the
+      // consumer's own pre-save files as fresh rows
+      if (fs.exists(baselinePath))
+        readEntriesFile(fs, baselinePath)
+          .foreach(e => seen(e.path) = (e.len, e.mtime))
+      if (!fs.exists(cdcDonePath)) {
+        val res = JsonMeta.cdcResolve(spark, ps.head, sv)
+        if (!fs.exists(baselinePath)) {
+          writeEntriesFile(fs, baselinePath,
+            res.baseline.map { case (p, l, m) => LogEntry(p, l, m) })
+          res.baseline.foreach { case (p, l, m) => seen(p) = (l, m) }
+        }
+        pendingSaves = res.deltas.iterator.map { case (save, files) =>
+          (save, files.collect {
+            case (p, l, m) if !seen.contains(p) => LogEntry(p, l, m)
+          }.toList)
+        }.filter(_._2.nonEmpty).toList
+        if (pendingSaves.isEmpty) markCdcDone()
+      }
+    }
+  }
+
+  private def markCdcDone(): Unit = {
+    // a plain create is enough: the flag's content is its existence,
+    // and a torn create still exists (idempotent to re-create)
+    val out = fs.create(cdcDonePath, true)
+    out.close()
   }
 
   override def initialOffset(): Offset = JsonStreamOffset(-1L)
@@ -128,6 +187,28 @@ private[sources] class JsonDocMicroBatchStream(
       throw new IllegalStateException(
         s"graftjson stream: consumed file disappeared: $p — " +
           "compact()/recluster() must not run on a tailed directory")
+    }
+    // change-feed catch-up first: committed history replays in save
+    // order before any live-tail admission (a fresh live file must not
+    // interleave ahead of an older save's delta), batches never mix
+    // saves, and the rate limits bound each batch WITHIN the current
+    // save's remaining files
+    if (pendingSaves.nonEmpty) {
+      val (save, files) = pendingSaves.head
+      val admitted = applyLimit(
+        files.map(e => (e.path, e.len, e.mtime)), limit)
+      val id = latestId + 1
+      writeLog(fs, logDir, id,
+        admitted.map { case (p, l, m) => LogEntry(p, l, m) })
+      admitted.foreach(f => seen(f._1) = (f._2, f._3))
+      latestId = id
+      // applyLimit admits a PREFIX, so the remainder is a drop
+      val remaining = files.drop(admitted.size)
+      pendingSaves =
+        if (remaining.isEmpty) pendingSaves.tail
+        else (save, remaining) :: pendingSaves.tail
+      if (pendingSaves.isEmpty) markCdcDone()
+      return JsonStreamOffset(id)
     }
     var fresh = listing.filterNot(f => seen.contains(f._1))
     availableNowTarget.foreach(tg => fresh = fresh.filter(f => tg(f._1)))
@@ -203,6 +284,10 @@ private[sources] class JsonDocMicroBatchStream(
 private[sources] object JsonDocMicroBatchStream {
 
   private[sources] val LogDirName = "graft-batches"
+  /** Change-feed artifacts under the log dir — neither matches the
+    * `batch-` prefix, so [[logIds]] never mistakes them for batches. */
+  private[sources] val CdcBaselineName = "cdc-baseline"
+  private[sources] val CdcDoneName = "cdc-done"
 
   private[sources] case class JsonStreamOffset(batchId: Long) extends Offset {
     override def json(): String = batchId.toString
@@ -223,9 +308,14 @@ private[sources] object JsonDocMicroBatchStream {
     * never visible (an invisible tmp is re-planned from the listing
     * on the next trigger — the id was never returned to the engine). */
   private[sources] def writeLog(fs: FileSystem, dir: Path, id: Long,
-                                entries: Seq[LogEntry]): Unit = {
-    val p = logPath(dir, id)
-    val tmp = new Path(dir, p.getName + ".tmp")
+                                entries: Seq[LogEntry]): Unit =
+    writeEntriesFile(fs, logPath(dir, id), entries)
+
+  /** Same tmp+rename commit for any entry file (batch logs and the
+    * change-feed baseline share the format). */
+  private[sources] def writeEntriesFile(fs: FileSystem, p: Path,
+                                        entries: Seq[LogEntry]): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try entries.foreach { e =>
       out.write(s"${e.len}\t${e.mtime}\t${e.path}\n"
@@ -236,8 +326,12 @@ private[sources] object JsonDocMicroBatchStream {
   }
 
   private[sources] def readLog(fs: FileSystem, dir: Path,
-                               id: Long): Seq[LogEntry] = {
-    val text = graft.ops.Fs.readFullyUtf8(fs, logPath(dir, id))
+                               id: Long): Seq[LogEntry] =
+    readEntriesFile(fs, logPath(dir, id))
+
+  private[sources] def readEntriesFile(fs: FileSystem,
+                                       p: Path): Seq[LogEntry] = {
+    val text = graft.ops.Fs.readFullyUtf8(fs, p)
     text.split("\n").iterator.filter(_.nonEmpty).map { line =>
       // path LAST: it may itself contain tabs
       val Array(len, mtime, path) = line.split("\t", 3)

@@ -566,19 +566,30 @@ object JsonMeta {
           s"${info.horizon}, so $what below it is intentionally " +
           "unavailable")
 
-  /** CHANGE-FEED resolution (file granularity): the files ADDED or
-    * REWRITTEN strictly after save `since` that are still live — the
-    * fold up to the latest save minus the entries that already existed
-    * (same name AND fingerprint) at `since`. Reading this listing
-    * gives every row landed since that save on an append-mostly table
-    * (the ingest-epoch shape); a compaction in between REWRITES files,
-    * so their full contents re-appear in the feed — coarser, never
-    * wrong (Delta's file-level CDF makes the same trade without
-    * row-level tracking). Fails loudly like [[asOfListing]] when
-    * `since` predates the oldest live segment (squashed history: the
-    * baseline is unknowable) or postdates the newest save. */
-  def sinceListing(spark: SparkSession, dir: String,
-                   since: Long): Seq[(String, Long, Long)] = {
+  /** A resolved change feed: `baseline` the files present IDENTICALLY
+    * (same name and fingerprint) at both the `since` save and the
+    * latest save — what a consumer who has read up to `since` already
+    * holds; `deltas` one entry per LATER save, carrying the files that
+    * save introduced (added or rewritten vs the previous save) that
+    * are STILL CURRENT at the latest save. A file rewritten across
+    * several saves appears only in the save of its final form — its
+    * intermediate bytes no longer exist to read (graftjson reclaims
+    * replaced files eagerly), which is the same coarser-never-wrong
+    * grain as [[sinceListing]]. baseline ∪ flatten(deltas) is exactly
+    * the latest save's population. */
+  final case class CdcResolution(
+      baseline: Seq[(String, Long, Long)],
+      deltas: Seq[(Long, Seq[(String, Long, Long)])])
+
+  /** CHANGE-FEED resolution at PER-SAVE granularity (the streaming
+    * source's shape, r15): everything [[sinceListing]] proves, plus
+    * the save-by-save batching the CDF stream serves. Fails loudly
+    * (never wrong rows) exactly like [[asOfListing]]: no manifest,
+    * `since` below the vacuum horizon (named retention message),
+    * `since` squashed by segment compaction, `since` past the newest
+    * save, or a delta file whose live bytes are gone or drifted. */
+  def cdcResolve(spark: SparkSession, dir: String,
+                 since: Long): CdcResolution = {
     val root0 = new Path(dir)
     val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(root0)
@@ -596,21 +607,25 @@ object JsonMeta {
         "change baseline is unknowable")
     if (since > hi) throw new IllegalArgumentException(
       s"graftjson: $dir has no save $since (latest is $hi)")
-    def fold(upTo: Long): Map[String, Entry] =
-      ordered.takeWhile(_.save <= upTo).foldLeft(
-        Map.empty[String, Entry]) { (acc, ref) =>
-        readSegment(fs, root, ref.name) match {
-          case Some((entries, removed)) => (acc -- removed) ++ entries
-          case None => throw new IllegalStateException(
-            s"graftjson: segment ${ref.name} of $dir is unreadable — " +
-              s"the change feed since save $since cannot be resolved")
-        }
+    // one pass over the segment chain, snapshotting the fold at every
+    // save (persistent maps share structure — O(segments) snapshots,
+    // and the chain is ≤ MaxSegments by construction)
+    var acc = Map.empty[String, Entry]
+    val folds = ordered.map { ref =>
+      readSegment(fs, root, ref.name) match {
+        case Some((entries, removed)) => acc = (acc -- removed) ++ entries
+        case None => throw new IllegalStateException(
+          s"graftjson: segment ${ref.name} of $dir is unreadable — " +
+            s"the change feed since save $since cannot be resolved")
       }
-    val base = fold(since)
-    val changed = fold(hi).filter { case (rel, e) =>
-      !base.get(rel).exists(b => b.len == e.len && b.mtime == e.mtime)
+      (ref.save, acc)
     }
-    changed.toSeq.sortBy(_._1).map { case (rel, e) =>
+    val hiFold = folds.last._2
+    val base = folds.filter(_._1 <= since).lastOption
+      .map(_._2).getOrElse(Map.empty[String, Entry])
+    def same(a: Entry, b: Entry): Boolean =
+      a.len == b.len && a.mtime == b.mtime
+    def absVerified(rel: String, e: Entry): (String, Long, Long) = {
       val p = new Path(root, rel)
       val st = try fs.getFileStatus(p) catch {
         case _: java.io.FileNotFoundException =>
@@ -626,7 +641,42 @@ object JsonMeta {
             s"${st.getModificationTime})) — save again and re-resolve")
       (p.toString, e.len, e.mtime)
     }
+    val baseline = base.toSeq
+      .filter { case (rel, e) => hiFold.get(rel).exists(same(e, _)) }
+      .sortBy(_._1)
+      .map { case (rel, e) => (new Path(root, rel).toString, e.len, e.mtime) }
+    val prevs = Map.empty[String, Entry] +: folds.map(_._2).init
+    val deltas = folds.zip(prevs)
+      .collect { case ((save, fold), prev) if save > since =>
+        val d = fold.toSeq
+          .filter { case (rel, e) =>
+            !prev.get(rel).exists(same(e, _)) &&
+              hiFold.get(rel).exists(same(e, _))
+          }
+          .sortBy(_._1)
+          .map { case (rel, e) => absVerified(rel, e) }
+        (save, d)
+      }
+      .filter(_._2.nonEmpty)
+    CdcResolution(baseline, deltas)
   }
+
+  /** CHANGE-FEED resolution (file granularity): the files ADDED or
+    * REWRITTEN strictly after save `since` that are still live — the
+    * fold up to the latest save minus the entries that already existed
+    * (same name AND fingerprint) at `since`. Reading this listing
+    * gives every row landed since that save on an append-mostly table
+    * (the ingest-epoch shape); a compaction in between REWRITES files,
+    * so their full contents re-appear in the feed — coarser, never
+    * wrong (Delta's file-level CDF makes the same trade without
+    * row-level tracking). Fails loudly like [[asOfListing]] when
+    * `since` predates the oldest live segment (squashed history: the
+    * baseline is unknowable) or postdates the newest save. Delegates
+    * to [[cdcResolve]] — ONE resolution code path (the flattened
+    * deltas are exactly the changed-and-still-live set). */
+  def sinceListing(spark: SparkSession, dir: String,
+                   since: Long): Seq[(String, Long, Long)] =
+    cdcResolve(spark, dir, since).deltas.flatMap(_._2).sortBy(_._1)
 
   /** TIME TRAVEL resolution: the table's file population as of save
     * `asOf` — the fold of manifest segments with save id ≤ asOf

@@ -195,6 +195,124 @@ class JsonDocStreamSpec extends SparkTestBase {
     assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
+  test("change-feed start: startingSave swallows the baseline, replays per-save deltas, then tails") {
+    val dir = mkDir("gjs_cdc")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n" +
+      """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 3, "s": "c"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e2.json", """{"id": 4, "s": "d"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val saves = JsonMeta.saves(spark, dir.toString)
+    assert(saves.size == 3, saves)
+    val ckpt = graft.TempRoots.path("gjs_cdc_ckpt")
+    val q = spark.readStream.format("graftjson")
+      .option("startingSave", saves.head.toString).load(dir.toString)
+      .writeStream.format("memory").queryName("gjs_cdc")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      def ids = spark.table("gjs_cdc").select(col("id").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // the consumer holds save 1 (e0) — only the later saves replay
+      assert(ids == Seq(3L, 4L), ids)
+      // per-save batch grain: one log per replayed save, never mixed
+      val logDir = new Path(s"$ckpt/sources/0",
+        JsonDocMicroBatchStream.LogDirName)
+      val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val logs = JsonDocMicroBatchStream.logIds(fs, logDir)
+      assert(logs == Seq(0L, 1L), logs)
+      assert(JsonDocMicroBatchStream.readLog(fs, logDir, 0L)
+        .map(_.path).forall(_.endsWith("e1.json")))
+      assert(JsonDocMicroBatchStream.readLog(fs, logDir, 1L)
+        .map(_.path).forall(_.endsWith("e2.json")))
+      // catch-up completion is durable
+      assert(fs.exists(new Path(logDir,
+        JsonDocMicroBatchStream.CdcDoneName)))
+      // live-tail hand-off: a post-save file arrives like any tailed one
+      put(dir, "live.json", """{"id": 5, "s": "e"}""" + "\n")
+      q.processAllAvailable()
+      assert(ids == Seq(3L, 4L, 5L), ids)
+    } finally q.stop()
+
+    // startingSave == the newest save: everything saved is baseline —
+    // only the unsaved live file is emitted
+    val q2 = spark.readStream.format("graftjson")
+      .option("startingSave", saves.last.toString).load(dir.toString)
+      .writeStream.format("memory").queryName("gjs_cdc_hi")
+      .option("checkpointLocation", graft.TempRoots.path("gjs_cdc_hi_ckpt"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      val ids2 = spark.table("gjs_cdc_hi").select(col("id").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids2 == Seq(5L), ids2)
+    } finally q2.stop()
+
+    // batch reads do not take the streaming option
+    val eb = intercept[Exception](spark.read.format("graftjson")
+      .option("startingSave", saves.head.toString).load(dir.toString)
+      .collect())
+    assert(Iterator.iterate(eb: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("streaming option"))), eb.getMessage)
+  }
+
+  test("change-feed restart: mid-catch-up continues exactly once; completion survives vacuum; a vacuumed fresh start is loud") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = mkDir("gjs_cdc_restart")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e2.json", """{"id": 3, "s": "c"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val saves = JsonMeta.saves(spark, dir.toString)
+    val ckpt = graft.TempRoots.path("gjs_cdc_restart_ckpt")
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val sch = spark.read.format("graftjson").load(dir.toString).schema
+    def stream() = new JsonDocMicroBatchStream(spark, ckpt,
+      Seq(dir.toString), whole = false, t, sch, sch, Array.empty,
+      None, None, None, Some(saves.head))
+    val one = ReadLimit.maxFiles(1)
+    val s1 = stream()
+    val off0 = s1.latestOffset(s1.initialOffset(), one)
+    assert(off0.json == "0")
+    // CRASH mid-catch-up: a fresh stream on the same checkpoint
+    // re-resolves, filters what the logs already admitted, continues
+    val s2 = stream()
+    val off1 = s2.latestOffset(s2.deserializeOffset(off0.json), one)
+    assert(off1.json == "1")
+    val logDir = new Path(ckpt, JsonDocMicroBatchStream.LogDirName)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val admitted = JsonDocMicroBatchStream.logIds(fs, logDir)
+      .flatMap(id => JsonDocMicroBatchStream.readLog(fs, logDir, id))
+      .map(_.path.split('/').last).sorted
+    assert(admitted == Seq("e1.json", "e2.json"), admitted)
+    assert(fs.exists(new Path(logDir, JsonDocMicroBatchStream.CdcDoneName)))
+    // nothing further to admit
+    val off2 = s2.latestOffset(s2.deserializeOffset(off1.json), one)
+    assert(off2.json == off1.json)
+
+    // vacuum away the starting save — a COMPLETED stream must keep
+    // running (cdc-done skips resolution), only a FRESH checkpoint
+    // fails, with the named retention message
+    JsonMeta.vacuum(spark, dir.toString, retainSaves = 1)
+    val s3 = stream()
+    val off3 = s3.latestOffset(s3.deserializeOffset(off1.json),
+      ReadLimit.allAvailable())
+    assert(off3.json == off1.json)
+    val e = intercept[IllegalStateException] {
+      new JsonDocMicroBatchStream(spark,
+        graft.TempRoots.path("gjs_cdc_fresh_ckpt"), Seq(dir.toString),
+        whole = false, t, sch, sch, Array.empty, None, None, None,
+        Some(saves.head))
+    }
+    assert(e.getMessage.contains("vacuum retention"), e.getMessage)
+  }
+
   test("whole-mode streaming: one row per arriving file") {
     val dir = mkDir("gjs_whole")
     put(dir, "a.json", """{"id": 1, "tags": ["p", "q"]}""")
