@@ -1,0 +1,287 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CyclicBarrier}
+import java.util.concurrent.atomic.AtomicLong
+
+/** REAL-THREAD reader-vs-maintenance race harness (VERDICT r14 #1 —
+  * the writer path has [[JsonLeaseRaceSpec]]; this is its reader
+  * twin, the 32d611a marker-TOCTOU class on demand): barrier-started
+  * READER threads — batch scans, zonemap/metadata-answered
+  * aggregates, `asOfSave` and `sinceSave` history reads, and a
+  * streaming-tail plan+read — race live writers, ingest epochs,
+  * compactions, and vacuums against ONE table for 100 randomized
+  * rounds. The contract under test:
+  *
+  *   - every read observes OLD-OR-NEW, NEVER A MIX: every write op
+  *     lands exactly 3 ids (base, base+1, base+2) in one committed
+  *     file, so any snapshot a reader returns must contain each batch
+  *     ALL-OR-NOTHING, duplicate-free, with only registered ids —
+  *     a torn listing, a half-applied marker, or a double-served
+  *     compact output all surface as a partial or duplicated batch;
+  *   - a reader that cannot get a consistent view fails LOUDLY with
+  *     one of the NAMED error classes (mid-scan bytes reclaimed by
+  *     maintenance, vacuumed/squashed history, drifted change-feed
+  *     fingerprints) — any other failure class fails the spec;
+  *   - metadata-answered aggregates obey the same snapshot algebra
+  *     (every valid snapshot has count ≡ 0 and sum ≡ 0 mod 3 — the
+  *     uniform-batch congruence that catches a single torn batch
+  *     without knowing which subset of batches was visible).
+  *
+  * Ops are tiny on purpose (interleaving coverage, not volume), and
+  * writer-side rejections reuse the lease spec's benign classes. */
+class JsonReadRaceSpec extends SparkTestBase {
+
+  /** Writer-side benign rejections — the lease contract's own
+    * (JsonLeaseRaceSpec's list, same trades). */
+  private val writerBenign = Seq(
+    "locked by a concurrent", "lost the lease race",
+    "lost the writer lease", "streaming epoch",
+    "planning-metadata manifest", "FAILED_READ_FILE",
+    "does not exist", "could not publish")
+
+  /** Reader-side NAMED loud classes — each one a documented
+    * reader-vs-maintenance trade, never a wrong-rows path:
+    * maintenance reclaims replaced bytes eagerly (mid-scan reads fail
+    * loudly, retry converges); history below the vacuum horizon /
+    * squashed by compaction / not yet minted; change-feed files
+    * physically removed or fingerprint-drifted; a manifest not yet
+    * written when the reader resolved. */
+  private val readerBenign = Seq(
+    "FAILED_READ_FILE", "does not exist",
+    "vacuum retention", "no longer reconstructible",
+    "has no save", "cannot be reconstructed",
+    "whose bytes were physically removed", "gone, not wrong",
+    "was reused after the historical bytes", "drifted from its save-time",
+    "planning-metadata manifest", "empty manifest",
+    // a tailed listing can race a file's delete between list and stat
+    "File does not exist", "No such file")
+
+  private def chain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+  test("100 randomized rounds of readers racing writers/compact/vacuum: old-or-new-never-a-mix, or a named loud error") {
+    val dir = graft.TempRoots.path("read_race")
+    new java.io.File(dir).mkdirs()
+    // uniform 3-row batches make snapshot validity CHECKABLE: seed is
+    // batch base 0 (ids 0,1,2), every writer claims the next base
+    spark.range(3).select(col("id"), lit("seed").as("s"))
+      .write.format("graftjson").mode("overwrite")
+      .option("refreshMeta", "true").save(dir)
+    val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    registered.add(0L)
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    Seq(0L, 1L, 2L).foreach(committed.add)
+    val rnd = new scala.util.Random(20260816L)
+    val nextBase = new AtomicLong(3L)
+    val nextBatch = new AtomicLong(0L)
+    val readerRuns = new AtomicLong(0L)
+    val readerLoud = new AtomicLong(0L)
+    val violations = new ConcurrentLinkedQueue[String]()
+
+    /** The mix detector: a returned snapshot is valid iff its ids are
+      * duplicate-free, all registered, and complete per 3-id batch. */
+    def checkIds(ids: Seq[Long], ctx: String,
+                 requireSeed: Boolean): Unit = {
+      if (ids.distinct.size != ids.size)
+        violations.add(s"$ctx: duplicated ids " +
+          ids.groupBy(identity).filter(_._2.size > 1).keys.take(3).toSeq)
+      val unknown = ids.filterNot(id => registered.contains((id / 3) * 3))
+      if (unknown.nonEmpty)
+        violations.add(s"$ctx: unregistered ids ${unknown.take(3)}")
+      val partial = ids.groupBy(id => (id / 3) * 3)
+        .filter(_._2.toSet.size != 3)
+      if (partial.nonEmpty)
+        violations.add(s"$ctx: TORN batches ${partial.keys.take(3).toSeq}")
+      if (requireSeed && !ids.contains(0L))
+        violations.add(s"$ctx: pre-committed seed batch missing")
+    }
+
+    def longs(rows: Array[org.apache.spark.sql.Row]): Seq[Long] =
+      rows.map(_.getAs[Number](0).longValue).toSeq
+
+    // ---- reader ops (each returns unit; violations go to the queue) --
+    def batchScan(): Unit = {
+      try {
+        val ids = longs(spark.read.format("graftjson").load(dir)
+          .select(col("id")).collect())
+        checkIds(ids, "batchScan", requireSeed = true)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNRESOLVED_COLUMN") =>
+          // the LIVE table always holds the seed batch, so an id-less
+          // inferred schema here means the reader's listing came up
+          // empty or torn — a violation, reported with forensics (the
+          // history readers' empty-change-feed convention does NOT
+          // apply to a live load)
+          val lf = JsonDocSource.listFiles(spark, Seq(dir))
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs0 = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val raw = Option(fs0.listStatus(root)).getOrElse(Array.empty)
+            .map(s => s"${s.getPath.getName}:${s.getLen}").toSeq
+          violations.add(s"batchScan EMPTY-SCHEMA: post-hoc listing=" +
+            s"${lf.map(x => x._1.split('/').last + ":" + x._2)} raw=$raw " +
+            s"marker=${JsonCompact.readMarker(fs0, root)}")
+      }
+    }
+    def metaAgg(): Unit = {
+      // zonemaps=true offers the metadata COUNT/SUM pushdown when the
+      // fingerprint holds and self-heals to a scan when it drifted —
+      // either path must satisfy the snapshot congruence
+      val r = spark.read.format("graftjson").option("zonemaps", "true")
+        .load(dir)
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s")).collect()(0)
+      val (n, s0) = (r.getAs[Long]("n"), r.getAs[Number]("s").longValue)
+      if (n % 3 != 0 || s0 % 3 != 0)
+        violations.add(s"metaAgg: snapshot congruence broken n=$n sum=$s0")
+    }
+    /** History reads land on the empty-change-feed convention when
+      * nothing changed (or an all-deleted save): schema-on-read gives
+      * an id-less empty frame — a CONSISTENT view, asserted empty;
+      * an id-less frame WITH rows is a violation. */
+    def idsOrEmpty(df: org.apache.spark.sql.DataFrame,
+                   ctx: String): Option[Seq[Long]] =
+      if (df.schema.fieldNames.contains("id"))
+        Some(longs(df.select(col("id")).collect()))
+      else {
+        if (df.count() != 0L)
+          violations.add(s"$ctx: id-less schema with rows")
+        None
+      }
+    def asOfRead(): Unit = {
+      val saves = JsonMeta.saves(spark, dir)
+      if (saves.nonEmpty) {
+        val pick = saves(rnd.nextInt(saves.size))
+        idsOrEmpty(spark.read.format("graftjson")
+          .option("asOfSave", pick.toString).load(dir), s"asOfSave $pick")
+          .foreach(checkIds(_, s"asOfSave $pick", requireSeed = false))
+      }
+    }
+    def sinceRead(): Unit = {
+      val saves = JsonMeta.saves(spark, dir)
+      if (saves.nonEmpty) {
+        val pick = saves(rnd.nextInt(saves.size))
+        idsOrEmpty(spark.read.format("graftjson")
+          .option("sinceSave", pick.toString).load(dir), s"sinceSave $pick")
+          .foreach(checkIds(_, s"sinceSave $pick", requireSeed = false))
+      }
+    }
+    def tailRead(): Unit = {
+      // a FRESH tail (fresh checkpoint): list-admit-plan-read in one
+      // trigger — the exact surface the 32d611a TOCTOU hit (a marker
+      // vanishing between the listing's exists() and its read)
+      val ckpt = graft.TempRoots.path(
+        s"read_race_tail_${Thread.currentThread().getId}_" +
+          s"${readerRuns.get()}")
+      val (t, _, _) = JsonDocSource.inferCached(Seq(dir), whole = false)
+      val sch = JsonDocSource.sparkSchemaOf(t)
+      val st = new JsonDocMicroBatchStream(spark, ckpt, Seq(dir),
+        whole = false, t, sch, sch, Array.empty, None, None, None)
+      val off = st.latestOffset(st.initialOffset(),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit
+          .allAvailable())
+      val parts = st.planInputPartitions(st.initialOffset(), off)
+      val factory = st.createReaderFactory()
+      val idIdx = sch.fieldIndex("id")
+      val idType = sch(idIdx).dataType
+      val ids = Seq.newBuilder[Long]
+      parts.foreach { p =>
+        val r = factory.createReader(p)
+        try while (r.next()) {
+          val v = r.get().get(idIdx, idType)
+          if (v != null) ids += v.asInstanceOf[Number].longValue
+        } finally r.close()
+      }
+      checkIds(ids.result(), "streamTail", requireSeed = true)
+    }
+
+    val readers: Vector[() => Unit] =
+      Vector(batchScan _, metaAgg _, asOfRead _, sinceRead _, tailRead _)
+
+    // ---- writer ops (the lease spec's shapes, uniform 3-row batches) --
+    def writerOp(): () => Seq[Long] = rnd.nextInt(5) match {
+      case 0 | 1 =>
+        val base = nextBase.getAndAdd(3L)
+        registered.add(base)
+        () => {
+          spark.range(3).select((col("id") + base).as("id"),
+              lit("w").as("s"))
+            .write.format("graftjson").mode("append")
+            .option("refreshMeta", rnd.nextBoolean().toString).save(dir)
+          Seq(base, base + 1, base + 2)
+        }
+      case 2 =>
+        val base = nextBase.getAndAdd(3L)
+        registered.add(base)
+        val bid = nextBatch.getAndIncrement()
+        () => {
+          graft.streaming.EventStreams.ingestEpoch(
+            spark.range(3).select((col("id") + base).as("id"),
+              lit("e").as("s")),
+            dir, batchId = bid, opId = s"readrace$bid")
+          Seq(base, base + 1, base + 2)
+        }
+      case 3 =>
+        () => { JsonCompact.compact(spark, dir, targetBytes = 1L << 20)
+          Seq.empty }
+      case 4 =>
+        () => { JsonMeta.vacuum(spark, dir, retainSaves = 2)
+          Seq.empty }
+    }
+
+    val hardFailures = new ConcurrentLinkedQueue[Throwable]()
+    (1 to 100).foreach { round =>
+      val writer = writerOp()
+      val rs = Seq.fill(2)(readers(rnd.nextInt(readers.size)))
+      val barrier = new CyclicBarrier(1 + rs.size)
+      val results = new ConcurrentLinkedQueue[Seq[Long]]()
+      val wt = new Thread(() => {
+        barrier.await()
+        try results.add(writer())
+        catch {
+          case t: Throwable =>
+            if (!chain(t).exists(m => writerBenign.exists(m.contains)))
+              hardFailures.add(t)
+        }
+      })
+      val rts = rs.map { r =>
+        new Thread(() => {
+          barrier.await()
+          readerRuns.incrementAndGet()
+          try r()
+          catch {
+            case t: Throwable =>
+              if (chain(t).exists(m => readerBenign.exists(m.contains)))
+                readerLoud.incrementAndGet()
+              else hardFailures.add(t)
+          }
+        })
+      }
+      (wt +: rts).foreach(_.start())
+      (wt +: rts).foreach(_.join(120000))
+      assert((wt +: rts).forall(!_.isAlive), s"round $round: a racer hung")
+      assert(hardFailures.isEmpty,
+        s"round $round: unexpected failure class: ${hardFailures.peek()}")
+      assert(violations.isEmpty,
+        s"round $round: consistency violation: ${violations.peek()}")
+      results.forEach(ids => ids.foreach(committed.add(_)))
+    }
+    // the harness actually read (not everything rejected or skipped)
+    assert(readerRuns.get() >= 150, s"only ${readerRuns.get()} reader runs")
+    // final fold == sequential replay of the committed writer ops —
+    // the writer-side half of the contract, same as the lease spec
+    import scala.jdk.CollectionConverters._
+    val got = spark.read.format("graftjson").option("refresh", "true")
+      .load(dir).select(col("id")).collect()
+      .map(_.getAs[Number](0).longValue).sorted.toSeq
+    assert(got == committed.asScala.toSeq.sorted,
+      s"row multiset diverged: got ${got.size}, expected ${committed.size}")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(JsonLease.leasePath(root)), "a lease survived")
+    assert(JsonCompact.readMarker(fs, root).isEmpty, "a marker survived")
+  }
+}
