@@ -260,6 +260,50 @@ class JsonMetaFuzzSpec extends SparkTestBase {
               s"got: ${e.getMessage}")
       }
       cases += 1
+      // cdcResolve probe (r15 — the CDC stream's per-save resolution,
+      // the path sinceListing now delegates to): baseline ∪ deltas
+      // must PARTITION the live population by name, the flattened
+      // deltas must be exactly the model's changed set, and every
+      // delta file must carry the fingerprint its save introduced;
+      // the error classes are sinceSave's own
+      def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+      expectedFeed match {
+        case Right(_) =>
+          val res = JsonMeta.cdcResolve(spark, dir.toString, s)
+          val baseNames = res.baseline.map(x => nameOf(x._1)).toSet
+          val deltaList = res.deltas.flatMap(_._2).map(x => nameOf(x._1))
+          assert(deltaList.size == deltaList.toSet.size,
+            s"trial $t cdc($s): a file appears in two deltas")
+          val deltaNames = deltaList.toSet
+          assert((baseNames & deltaNames).isEmpty,
+            s"trial $t cdc($s): baseline/delta overlap")
+          assert(baseNames ++ deltaNames == live.keySet,
+            s"trial $t cdc($s): partition misses live files " +
+              s"(${(live.keySet -- baseNames -- deltaNames).take(3)})")
+          val expectChanged = live.keySet.filter(n =>
+            !base.get(n).exists(b =>
+              b.len == live(n).len && b.mtime == live(n).mtime))
+          assert(deltaNames == expectChanged,
+            s"trial $t cdc($s): deltas $deltaNames vs model $expectChanged")
+          res.deltas.foreach { case (sv, files) =>
+            assert(sv > s && sv <= hi,
+              s"trial $t cdc($s): delta save $sv outside ($s, $hi]")
+            files.foreach { case (p, l, m) =>
+              val n = nameOf(p)
+              assert(snapshots.getOrElse(sv, Map.empty).get(n).exists(
+                f => f.len == l && f.mtime == m),
+                s"trial $t cdc($s): $n not introduced at save $sv " +
+                  s"with ($l, $m)")
+            }
+          }
+        case Left(msg) =>
+          val e = intercept[IllegalStateException](
+            JsonMeta.cdcResolve(spark, dir.toString, s))
+          assert(e.getMessage.contains(msg),
+            s"trial $t cdc($s): expected error class '$msg', " +
+              s"got: ${e.getMessage}")
+      }
+      cases += 1
     }
     cases
   }
