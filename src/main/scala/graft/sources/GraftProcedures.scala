@@ -17,6 +17,7 @@ import org.apache.spark.sql.types._
   *   CALL graft.recluster('/data/docs', 'doc_id')
   *   CALL graft.zorder('/data/docs', 'n_chars', 'doc_id')
   *   CALL graft.vacuum('/data/docs', retain_saves => 3)
+  *   CALL graft.save('/data/docs')
   *   CALL graft.history('/data/docs')
   *   CALL graft.init_doc_store('/data/store', 'docs_view', 8)
   *   CALL graft.merge_cdc('/data/store', 'changes_view', 8)
@@ -240,6 +241,25 @@ object GraftProcedures {
     }
   }
 
+  private object Save extends GraftProc(
+    "save",
+    "mint a planning-metadata save (a time-travel point) for the " +
+      "table's current state — the SQL form of JsonMeta.save, so a " +
+      "SQL-only operator can create history for VERSION AS OF / " +
+      "startingSave without Scala (CALL graft.save(dir))",
+    Array(dirParam),
+    StructType(Seq(
+      StructField("save_id", LongType, nullable = false),
+      StructField("total_files", IntegerType, nullable = false),
+      StructField("written", IntegerType, nullable = false),
+      StructField("segments", IntegerType, nullable = false)))) {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
+      val r = JsonMeta.save(spark, input.getUTF8String(0).toString)
+      Array(InternalRow(r.saveId, r.total, r.written, r.segments))
+    }
+  }
+
   private object History extends GraftProc(
     "history",
     "the save ids available for VERSION AS OF / asOfSave / sinceSave " +
@@ -253,7 +273,7 @@ object GraftProcedures {
   }
 
   private val registry: Seq[GraftProc] =
-    Seq(Compact, Recluster, Zorder, Vacuum, History,
+    Seq(Compact, Recluster, Zorder, Vacuum, Save, History,
       InitDocStore, MergeCdc)
 
   def identifiers: Array[Identifier] =

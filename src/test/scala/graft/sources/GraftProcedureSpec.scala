@@ -22,9 +22,34 @@ class GraftProcedureSpec extends SparkTestBase {
     useCatalog()
     val names = spark.sql("SHOW PROCEDURES IN graft")
       .collect().map(_.toString().toLowerCase)
-    for (p <- Seq("compact", "recluster", "zorder", "vacuum", "history",
-      "init_doc_store", "merge_cdc"))
+    for (p <- Seq("compact", "recluster", "zorder", "vacuum", "save",
+      "history", "init_doc_store", "merge_cdc"))
       assert(names.exists(_.contains(p)), s"$p missing in ${names.toSeq}")
+  }
+
+  test("CALL save mints a time-travel point from SQL; unchanged tables mint nothing (r15)") {
+    useCatalog()
+    val dir = graft.TempRoots.path("proc_save")
+    writeBatch(dir, 0, 10, refreshMeta = false)
+    val r1 = spark.sql(s"CALL graft.save('$dir')").collect()(0)
+    assert(r1.getAs[Long]("save_id") > 0 &&
+      r1.getAs[Int]("total_files") >= 1 &&
+      r1.getAs[Int]("written") >= 1, r1)
+    // the SQL-only history loop closes: the minted save serves
+    // VERSION AS OF immediately
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM graft.`$dir` VERSION AS OF " +
+        r1.getAs[Long]("save_id")).collect()(0).getLong(0)
+    assert(asOf == 10L)
+    // an unchanged table is a no-op save: ∝-diff, no new save id
+    val r2 = spark.sql(s"CALL graft.save('$dir')").collect()(0)
+    assert(r2.getAs[Long]("save_id") == -1L &&
+      r2.getAs[Int]("written") == 0, r2)
+    // a real diff mints the next id
+    writeBatch(dir, 10, 15, refreshMeta = false)
+    val r3 = spark.sql(s"CALL graft.save('$dir')").collect()(0)
+    assert(r3.getAs[Long]("save_id") == r1.getAs[Long]("save_id") + 1 &&
+      r3.getAs[Int]("written") >= 1, r3)
   }
 
   test("CALL compact merges small files under defaulted params and returns its report row") {

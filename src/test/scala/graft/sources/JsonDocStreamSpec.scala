@@ -313,6 +313,30 @@ class JsonDocStreamSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuum retention"), e.getMessage)
   }
 
+  test("change-feed start through the catalog identifier: readStream.table + startingSave (r15)") {
+    useCatalog()
+    val dir = mkDir("gjs_cdc_cat")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val saves = JsonMeta.saves(spark, dir.toString)
+    val q = spark.readStream
+      .option("startingSave", saves.head.toString)
+      .table(s"graft.`$dir`")
+      .writeStream.format("memory").queryName("gjs_cdc_cat")
+      .option("checkpointLocation", graft.TempRoots.path("gjs_cdc_cat_ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("gjs_cdc_cat").select(col("id").cast("long"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // the save-1 baseline (e0) is swallowed through the catalog
+      // resolution path exactly like the path-addressed one
+      assert(ids == Seq(2L), ids)
+    } finally q.stop()
+  }
+
   test("whole-mode streaming: one row per arriving file") {
     val dir = mkDir("gjs_whole")
     put(dir, "a.json", """{"id": 1, "tags": ["p", "q"]}""")

@@ -55,6 +55,12 @@ class JsonReadRaceSpec extends SparkTestBase {
     "has no save", "cannot be reconstructed",
     "whose bytes were physically removed", "gone, not wrong",
     "was reused after the historical bytes", "drifted from its save-time",
+    "cannot be resolved", // cdcResolve on a mid-squash segment
+    // a multi-trigger tail whose consumed file was swapped by a racing
+    // compact: the append-only contract's own named error ("run
+    // maintenance on directories not being tailed") — in this harness
+    // maintenance deliberately races the tail, so loud IS correct
+    "must not run on a tailed directory", "append-only",
     "planning-metadata manifest", "empty manifest",
     // a tailed listing can race a file's delete between list and stat
     "File does not exist", "No such file")
@@ -198,8 +204,53 @@ class JsonReadRaceSpec extends SparkTestBase {
       checkIds(ids.result(), "streamTail", requireSeed = true)
     }
 
+    def cdcRead(): Unit = {
+      // a change-feed stream from a random save: catch-up batches plus
+      // the live tail's first admission, read end to end — the reader
+      // that races BOTH history resolution and the live listing
+      val saves = JsonMeta.saves(spark, dir)
+      if (saves.nonEmpty) {
+        val pick = saves(rnd.nextInt(saves.size))
+        val ckpt = graft.TempRoots.path(
+          s"read_race_cdc_${Thread.currentThread().getId}_" +
+            s"${readerRuns.get()}")
+        val (t, _, _) = JsonDocSource.inferCached(Seq(dir), whole = false)
+        val sch = JsonDocSource.sparkSchemaOf(t)
+        val st = new JsonDocMicroBatchStream(spark, ckpt, Seq(dir),
+          whole = false, t, sch, sch, Array.empty, None, None, None,
+          Some(pick))
+        val all = org.apache.spark.sql.connector.read.streaming.ReadLimit
+          .allAvailable()
+        // drain: one catch-up save per trigger, then the tail's first
+        // admission; bounded by the save count plus one
+        var off = st.latestOffset(st.initialOffset(), all)
+        var prev = ""
+        var spins = 0
+        while (off.json != prev && spins < 20) {
+          prev = off.json; off = st.latestOffset(off, all); spins += 1
+        }
+        val parts = st.planInputPartitions(st.initialOffset(), off)
+        val factory = st.createReaderFactory()
+        val idIdx = sch.fieldIndex("id")
+        val idType = sch(idIdx).dataType
+        val ids = Seq.newBuilder[Long]
+        parts.foreach { p =>
+          val r = factory.createReader(p)
+          try while (r.next()) {
+            val v = r.get().get(idIdx, idType)
+            if (v != null) ids += v.asInstanceOf[Number].longValue
+          } finally r.close()
+        }
+        // the baseline is swallowed, so the seed batch may be absent;
+        // whatever IS emitted must still be whole committed batches
+        checkIds(ids.result(), s"cdcStream from $pick",
+          requireSeed = false)
+      }
+    }
+
     val readers: Vector[() => Unit] =
-      Vector(batchScan _, metaAgg _, asOfRead _, sinceRead _, tailRead _)
+      Vector(batchScan _, metaAgg _, asOfRead _, sinceRead _, tailRead _,
+        cdcRead _)
 
     // ---- writer ops (the lease spec's shapes, uniform 3-row batches) --
     def writerOp(): () => Seq[Long] = rnd.nextInt(5) match {
