@@ -54,6 +54,9 @@ object Retrieval {
                  nProbe: Int = 4, rrfK: Int = 60): DataFrame = {
     require(k >= 1 && pool >= k,
       s"hybridTopK: need pool >= k >= 1, got k=$k pool=$pool")
+    require(nProbe >= 1,
+      s"hybridTopK: nProbe must be >= 1, got $nProbe — zero probes " +
+        "would silently degrade the fusion to text-only")
     val bm = InvertedIndex.searchBm25(spark, invIndexDir, terms, pool)
       // re-rank the ≤pool-row shortlist in the same order the
       // TakeOrdered cut used (score desc, doc_id) — q172's contract

@@ -232,7 +232,13 @@ object Sharding {
   def initDocStore(docs: DataFrame, storeDir: String, nBuckets: Int): Unit =
     docs.withColumn("bucket", shardOf(col("doc_id"), nBuckets))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(storeDir)
+      .write.mode("overwrite")
+      // STATIC pinned (the r12 full-replacement rule, reachable from
+      // foreign sessions since the CALL addressing): under a
+      // session-wide dynamic default, re-initializing from a smaller
+      // source would keep stale bucket dirs alongside the new ones
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("bucket").parquet(storeDir)
 
   /** CDC merge (upsert + delete) into a bucketed document store — the
     * text-corpus twin of the stored-ANN index maintenance: a change

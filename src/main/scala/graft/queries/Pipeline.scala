@@ -1805,7 +1805,12 @@ object Pipeline {
     ivfIndexLock.synchronized {
       val idx = graft.TempRoots.path(
         s"ivfidx_shared_${Integer.toHexString(dir.hashCode)}")
-      if (!graft.ops.Fs.exists(s, s"$idx/centroids"))
+      // built ⇔ the LAST artifact exists AND no rebuild marker: the
+      // centroids land first, so probing them would wedge the session
+      // after a failed first build (rebuild marker up, never healed —
+      // self-review r15); buildIvfIndex's rerun IS the heal path
+      if (!graft.ops.Fs.exists(s, s"$idx/corpus") ||
+          graft.ops.Fs.exists(s, s"$idx/_maintenance/rebuild_pending"))
         VectorOps.buildIvfIndex(Tables(s, dir, "embeddings"), idx,
           nCells = ivfSharedCells)
       idx

@@ -610,13 +610,19 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     None
   private def metaFromZonesCached(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Seq[Any]])] = metaMemo match {
-    case Some((a, r)) if a eq agg => r
-    case _ =>
-      val r = metaFromZones(agg)
-      metaMemo = Some((agg, r))
-      r
-  }
+      : Option[(StructType, Seq[Seq[Any]])] =
+    // a BATCH plan carrying the streaming-only startingSave option
+    // must reach JsonDocScan.toBatch's loud rejection — a completed
+    // aggregate pushdown would short-circuit into a JsonDocMetaScan
+    // that silently answers from LIVE zone metadata (self-review r15)
+    if (startingSave.isDefined) None
+    else metaMemo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = metaFromZones(agg)
+        metaMemo = Some((agg, r))
+        r
+    }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)

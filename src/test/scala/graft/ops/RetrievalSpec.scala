@@ -116,9 +116,12 @@ class RetrievalSpec extends SparkTestBase {
     assert(overlap1 >= 8, s"nProbe=1 overlap $overlap1 of ${pruned1.size}")
   }
 
-  test("parameter guard: pool must hold k") {
+  test("parameter guards: pool must hold k; zero probes fail loudly instead of degrading to text-only") {
     val e = intercept[IllegalArgumentException](Retrieval.hybridTopK(
       spark, invDir, ivfDir, Seq("merge"), query, k = 10, pool = 5))
     assert(e.getMessage.contains("pool >= k"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](Retrieval.hybridTopK(
+      spark, invDir, ivfDir, Seq("merge"), query, k = 5, nProbe = 0))
+    assert(e2.getMessage.contains("nProbe"), e2.getMessage)
   }
 }

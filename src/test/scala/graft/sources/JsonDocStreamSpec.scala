@@ -258,6 +258,17 @@ class JsonDocStreamSpec extends SparkTestBase {
     assert(Iterator.iterate(eb: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(x => Option(x.getMessage).exists(
         _.contains("streaming option"))), eb.getMessage)
+    // ...and the AGGREGATE PUSHDOWN path cannot bypass the rejection
+    // by answering count(*) from live zone metadata (self-review r15:
+    // a completed pushdown short-circuits into a JsonDocMetaScan that
+    // never reaches toBatch's require)
+    val ec = intercept[Exception](spark.read.format("graftjson")
+      .option("zonemaps", "true")
+      .option("startingSave", saves.head.toString).load(dir.toString)
+      .count())
+    assert(Iterator.iterate(ec: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("streaming option"))), ec.getMessage)
   }
 
   test("change-feed restart: mid-catch-up continues exactly once; completion survives vacuum; a vacuumed fresh start is loud") {

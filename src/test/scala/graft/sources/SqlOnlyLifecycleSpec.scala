@@ -159,5 +159,29 @@ class SqlOnlyLifecycleSpec extends SparkTestBase {
       s"CALL graft.merge_cdc('$store', 'no_such_view_xyz', 4)").collect())
     assert(e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e2.getMessage.toLowerCase.contains("not found"), e2.getMessage)
+
+    // re-INIT from a smaller source under a session-wide DYNAMIC
+    // overwrite default must truncate the whole store (the r12
+    // full-replacement rule, now reachable from foreign sessions via
+    // CALL — self-review r15: a dynamic default used to keep stale
+    // bucket dirs whose doc_ids hash elsewhere)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql(
+        """CREATE OR REPLACE TEMP VIEW cdc_small AS
+          |SELECT CAST(0 AS BIGINT) AS doc_id, 'only' AS text,
+          |  CAST(4 AS BIGINT) AS n_chars""".stripMargin)
+      spark.sql(s"CALL graft.init_doc_store('$store', 'cdc_small', 4)")
+        .collect()
+      assert(spark.sql(s"SELECT count(*) FROM parquet.`$store`")
+        .collect()(0).getLong(0) == 1L,
+        "re-init under a dynamic session default kept stale buckets")
+    } finally prevMode match {
+      case Some(m) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 }
