@@ -1,0 +1,212 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+import scala.util.Random
+
+/** Differential fuzz harness for the change-feed STREAMING source
+  * (r15 — the [[JsonMetaFuzzSpec]] tradition applied to
+  * `startingSave`): random append/save/vacuum lifecycles interleaved
+  * with randomly rate-limited triggers and RESTARTS at arbitrary
+  * points, against a locally tracked model that never consults the
+  * engine's resolution.
+  *
+  * The model (files are immutable here — appends only, so name ⇒
+  * fingerprint): the baseline is pinned at the FIRST successful
+  * resolution (the files live at `startingSave`), and the stream owes
+  * exactly `everWritten − baseline`, each file EXACTLY ONCE across
+  * every restart, with catch-up batches never mixing saves. A vacuum
+  * that prunes the starting save may kill a stream that has not yet
+  * durably completed catch-up — but only LOUDLY with the named
+  * retention/squash classes, and only at a fresh resolution (a
+  * cdc-done stream must keep running); whatever was emitted before
+  * the loud end must still be exactly-once.
+  *
+  * Checks are file-level against the stream's own batch logs (the
+  * replay source of truth): row-level parity is the batch reader's
+  * contract, pinned elsewhere — what THIS surface owns is admission
+  * exactly-once under restart, baseline durability, and completion
+  * monotonicity. */
+class CdcStreamFuzzSpec extends SparkTestBase {
+
+  private val Trials = 40
+
+  private def runTrial(t: Int): (Int, Boolean, Boolean) = {
+    val dirF = new java.io.File(graft.TempRoots.path(s"cdc_fuzz_$t"))
+    dirF.mkdirs()
+    val dir = dirF.toString
+    val ckpt = graft.TempRoots.path(s"cdc_fuzz_ckpt_$t")
+    val r = new Random(9100 + t)
+    var nFiles = 0
+    var clock = System.currentTimeMillis() - 3600L * 1000L
+    def writeFile(): String = {
+      nFiles += 1
+      val name = f"f$nFiles%03d.json"
+      val w = new java.io.PrintWriter(new java.io.File(dirF, name))
+      (0 until (1 + r.nextInt(3))).foreach(i =>
+        w.println(s"""{"id": ${(nFiles % 90) + 1}, "s": "v$nFiles-$i"}"""))
+      w.close()
+      clock += 1000
+      assert(new java.io.File(dirF, name).setLastModified(clock))
+      name
+    }
+    def liveNames(): Set[String] =
+      Option(dirF.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.getName).toSet
+
+    // initial history: 2-4 saved batches; start from the OLDEST save
+    // half the time so catch-up has real work (a startFrom at head
+    // completes at construction and the vacuum interplay never fires)
+    (0 until (2 + r.nextInt(3))).foreach { _ =>
+      writeFile(); JsonMeta.save(spark, dir)
+    }
+    val saves0 = JsonMeta.saves(spark, dir)
+    val startFrom =
+      if (r.nextBoolean()) saves0.head else saves0(r.nextInt(saves0.size))
+    // model: immutable files ⇒ the baseline is exactly the files live
+    // at the chosen save (reconstruct from the engine-independent
+    // fact that files f001..fK existed at the K-th save — each save
+    // here follows exactly one write)
+    // (save ids are 1-based and minted one per changed state)
+    val baseline: Set[String] =
+      (1 to startFrom.toInt).map(i => f"f$i%03d.json").toSet
+
+    val (ht, _, _) = JsonDocSource.inferCached(Seq(dir), whole = false)
+    val sch = JsonDocSource.sparkSchemaOf(ht)
+    def mkStream() = new JsonDocMicroBatchStream(spark, ckpt, Seq(dir),
+      whole = false, ht, sch, sch, Array.empty, None, None, None,
+      Some(startFrom))
+
+    val logDir = new Path(ckpt, JsonDocMicroBatchStream.LogDirName)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def admittedByLog(): Seq[Seq[String]] =
+      JsonDocMicroBatchStream.logIds(fs, logDir).map(id =>
+        JsonDocMicroBatchStream.readLog(fs, logDir, id)
+          .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)))
+
+    // biased to ONE file per trigger: slow catch-up is what leaves
+    // the restart×vacuum window open
+    def randomLimit(): ReadLimit = r.nextInt(4) match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 | 2 => ReadLimit.maxFiles(1)
+      case _ => ReadLimit.maxBytes(1L + r.nextInt(64))
+    }
+
+    var endedLoud = false
+    // either verb can legitimately prune the starting save: explicit
+    // vacuum, or the MaxSegments auto-squash a long save history hits
+    var vacuumed = false
+    var sawSquash = false
+    var st =
+      try mkStream()
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("vacuum retention") ||
+              e.getMessage.contains("no longer reconstructible") =>
+          endedLoud = true; null
+      }
+    var off = if (st == null) null else st.initialOffset()
+    var steps = 0
+    while (!endedLoud && steps < 25) {
+      steps += 1
+      r.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          off = st.latestOffset(off, randomLimit())
+        case 3 | 4 =>
+          writeFile()
+          if (r.nextBoolean()) {
+            val rep = JsonMeta.save(spark, dir)
+            sawSquash = sawSquash || rep.compacted
+          }
+        case 5 | 6 | 7 =>
+          // RESTART at an arbitrary point: logs + baseline + cdc-done
+          // are the only durable state
+          try { st = mkStream(); off = st.initialOffset() }
+          catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("vacuum retention") ||
+                  e.getMessage.contains("no longer reconstructible") =>
+              // only legal when the starting save is really gone
+              // (vacuum horizon or auto-squash) AND catch-up had not
+              // durably completed
+              assert(vacuumed || sawSquash,
+                s"trial $t: loud resolution with history intact")
+              assert(!fs.exists(new Path(logDir,
+                JsonDocMicroBatchStream.CdcDoneName)),
+                s"trial $t: a COMPLETED stream re-resolved and died: " +
+                  e.getMessage)
+              endedLoud = true
+          }
+        case 8 | 9 =>
+          if (JsonMeta.saves(spark, dir).nonEmpty) {
+            val rep = JsonMeta.vacuum(spark, dir,
+              retainSaves = 1 + r.nextInt(2))
+            vacuumed = vacuumed || rep.horizon > startFrom
+          }
+      }
+    }
+    if (!endedLoud) {
+      // drain: everything owed must admit with no further writes
+      var prev = ""
+      var spins = 0
+      while (off.json != prev && spins < 40) {
+        prev = off.json
+        off = st.latestOffset(off, ReadLimit.allAvailable())
+        spins += 1
+      }
+      assert(fs.exists(new Path(logDir,
+        JsonDocMicroBatchStream.CdcDoneName)),
+        s"trial $t: drained stream never committed cdc-done")
+    }
+    // EXACTLY-ONCE across all restarts: the union of batch logs —
+    // duplicate admission anywhere in the lifecycle is a failure even
+    // for a loudly-ended stream
+    val batches = admittedByLog()
+    val admitted = batches.flatten
+    assert(admitted.size == admitted.toSet.size,
+      s"trial $t: a file was admitted twice: " +
+        admitted.groupBy(identity).filter(_._2.size > 1).keys.take(3))
+    assert((admitted.toSet & baseline).isEmpty,
+      s"trial $t: baseline leaked into the feed: " +
+        (admitted.toSet & baseline).take(3))
+    val owed = liveNames() -- baseline
+    if (!endedLoud)
+      assert(admitted.toSet == owed,
+        s"trial $t: admitted ${admitted.size} vs owed ${owed.size} " +
+          s"(missing ${(owed -- admitted.toSet).take(3)}, " +
+          s"extra ${(admitted.toSet -- owed).take(3)})")
+    else
+      assert(admitted.toSet.subsetOf(owed),
+        s"trial $t: loud-ended stream admitted outside the owed set")
+    // the durable baseline file records exactly the model's baseline
+    val bp = new Path(logDir, JsonDocMicroBatchStream.CdcBaselineName)
+    if (fs.exists(bp)) {
+      val recorded = JsonDocMicroBatchStream.readEntriesFile(fs, bp)
+        .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)).toSet
+      assert(recorded == baseline,
+        s"trial $t: baseline file $recorded vs model $baseline")
+    }
+    (batches.size, endedLoud, !endedLoud)
+  }
+
+  test("40 randomized startingSave lifecycles with arbitrary restarts: exactly-once admission, pinned baseline, loud-only endings") {
+    var batches = 0; var loud = 0; var drained = 0
+    (0 until Trials).foreach { t =>
+      val (b, l, d) = runTrial(t)
+      batches += b
+      if (l) loud += 1
+      if (d) drained += 1
+    }
+    info(s"cdc stream fuzz: $Trials trials, $batches batches, " +
+      s"$loud loud endings, $drained drained")
+    // non-vacuous BOTH ways: the sweep must both drain cleanly and
+    // hit the vacuumed-mid-catch-up loud ending
+    assert(drained >= 10, s"only $drained trials drained")
+    assert(loud >= 1, s"the vacuum x restart window never fired")
+    assert(batches >= 80, s"only $batches batches admitted")
+  }
+}
