@@ -1654,7 +1654,51 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 5 IN (2, 3, 4)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Row provenance through the `_file` METADATA column (r15,
+    * [[graft.sources.JsonDocSource.FileMetadataColumn]]): four epoch
+    * ingests land `doc_id % 4 == e` into the DETERMINISTIC file
+    * `epoch-00000e.json`, so the epoch id PARSED FROM EACH
+    * ROW'S `_file` must equal `doc_id % 4` recomputed arithmetically —
+    * the one query shape where file-level lineage is exactly
+    * DuckDB-recomputable. A row attributed to the wrong file (a torn
+    * JoinedRow, a split mis-attributed, a partition constant leaking
+    * across files) flips a checksum; grouping BY the parsed epoch also
+    * proves the metadata column survives aggregation pushdown-free.
+    * Hidden-until-selected/shadowing/streaming mechanics are
+    * spec-pinned in MetadataColumnSpec. */
+  private val q254Lock = new Object
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q254_${Integer.toHexString(dir.hashCode)}")
+    q254Lock.synchronized {
+      buildOnce(s, out) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        (0L until 4L).foreach { e =>
+          EventStreams.ingestEpoch(
+            docs.where(pmod(col("doc_id"), lit(4)) === e), out, batchId = e)
+        }
+      }
+    }
+    s.read.format("graftjson").load(out)
+      .select(col("doc_id"), col("n_chars"),
+        regexp_extract(col("_file"), "epoch-(\\d{6})", 1)
+          .cast("bigint").as("epoch"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 83).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("epoch"))
+  }
+
+  private val q254Sql =
+    """SELECT CAST(doc_id % 4 AS BIGINT) AS epoch, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 83) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_file_provenance" -> (q254 _),
     "q253_cdc_stream" -> (q253 _),
     "q250_sql_maintenance" -> (q250 _),
     "q249_sql_delete" -> (q249 _),
@@ -1696,6 +1740,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q254_file_provenance" -> q254Sql,
     "q253_cdc_stream" -> q253Sql,
     "q250_sql_maintenance" -> q250Sql,
     "q249_sql_delete" -> q249Sql,

@@ -404,6 +404,18 @@ private[graft] object JsonDocSource {
         org.apache.spark.sql.types.StructField("value", other, nullable = true)))
     }
 
+  /** The `_file` metadata column ([[JsonDocTable.metadataColumns]]). */
+  private[sources] val FileColName = "_file"
+  private[sources] object FileMetadataColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FileColName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "absolute path of the file this row was read from"
+  }
+
   /** Expand dirs (recursively) and globs to concrete data files
     * (non-hidden) as (path, length, mtime) — the statuses come free
     * with the listing, so the inference-cache fingerprint costs no
@@ -509,8 +521,20 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            snapshot: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graftjson(${ps.mkString(",")})"
+  /** Row provenance (`_file`, r15): the absolute path of the NDJSON
+    * file (or whole-mode document) each row was read from — the
+    * lineage primitive a CDC/curation consumer joins epochs and
+    * compaction outputs on. Shadowed defensively when the corpus
+    * itself carries a `_file` field (schema-on-read may produce one):
+    * the DATA column wins and the metadata column is not offered. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema.fieldNames.contains(JsonDocSource.FileColName))
+      Array.empty
+    else Array(JsonDocSource.FileMetadataColumn)
   /** Metadata-only DELETE ([[JsonDocDelete]]): pre-flight decision —
     * Spark fails the statement loudly when false; the execution path
     * re-decides under the lease. */
@@ -1114,7 +1138,14 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       Some((StructType(groupFields ++ aggFields), rows.map(_._2)))
     }
   }
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  // the requested `_file` METADATA field, verbatim as Spark passed it
+  // (its StructField metadata marks it a metadata column — readSchema
+  // must echo the exact field or the output attributes mismatch);
+  // only honored when the table actually OFFERED the column (a data
+  // field named _file shadows it)
+  private var fileFieldRaw: Option[org.apache.spark.sql.types.StructField] =
+    None
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // NESTED pruning accepted: Spark's SchemaPruning may hand nested-
     // pruned struct types (e.g. `meta.date` of a wide struct, or just
     // `score.u0` of a union field) and the reader materializes
@@ -1124,8 +1155,12 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // GetStructField ordinals for the pruned schema, and the scan's
     // readSchema IS that schema — they stay in agreement. Defensive:
     // only fields of the inferred schema are accepted.
+    fileFieldRaw = requiredSchema.fields.find(f =>
+      f.name == JsonDocSource.FileColName &&
+        !full.fieldNames.contains(JsonDocSource.FileColName))
     required = StructType(requiredSchema.fields.filter(f =>
       full.fieldNames.contains(f.name)))
+  }
   /** Two-tier pushdown. EXACT filters ([[JsonDocFilters.exact]] —
     * keeps ⟺ the engine's own TRUE) are FULLY pushed: the reader's
     * evaluation is the correctness path and no residual Filter
@@ -1157,7 +1192,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
         maxSplitBytes, zones, fingerprint,
         maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, snapshot,
-        startingSave)
+        startingSave, fileFieldRaw)
   }
 }
 
@@ -1229,7 +1264,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           maxBytesPerTrigger: Option[Long] = None,
                           topExcluded: Map[String, (Long, Long)] = Map.empty,
                           snapshot: Option[String] = None,
-                          startingSave: Option[Long] = None)
+                          startingSave: Option[Long] = None,
+                          fileField: Option[org.apache.spark.sql.types.StructField] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -1269,7 +1305,10 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     runtimeOffered = filters
     if (filters.nonEmpty) topExcludedActive = Map.empty
   }
-  override def readSchema(): StructType = required
+  // the metadata column rides LAST, echoing the exact field Spark
+  // requested (its field-metadata marks it a metadata attribute)
+  override def readSchema(): StructType =
+    fileField.fold(required)(f => StructType(required.fields :+ f))
   override def toBatch: Batch = {
     require(startingSave.isEmpty,
       "graftjson: startingSave is a streaming option (readStream) — " +
@@ -1284,7 +1323,19 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
         "committed history as CDC before tailing)")
     new JsonDocMicroBatchStream(SparkSession.active, checkpointLocation,
       ps, whole, t, full, required, pushed, maxSplitBytes,
-      maxFilesPerTrigger, maxBytesPerTrigger, startingSave)
+      maxFilesPerTrigger, maxBytesPerTrigger, startingSave,
+      // streaming plans resolve `_file` through the relation's
+      // metadata output but never call pruneColumns (no
+      // V2ScanRelationPushDown for micro-batch), so the stream cannot
+      // know whether the column was referenced. Whenever the table
+      // OFFERS it (not shadowed by a data field), the stream appends
+      // the trailing field unconditionally: the analyzer appends the
+      // metadata attribute LAST, so a referencing plan binds it
+      // exactly, and a non-referencing plan's ordinal-bound
+      // projection never reads the extra trailing field — one
+      // zero-copy JoinedRow constant per partition either way
+      appendFilePath =
+        !full.fieldNames.contains(JsonDocSource.FileColName))
   }
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
@@ -1400,14 +1451,37 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       }
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // ship the SESSION's Hadoop conf to the readers: a fresh executor
     // Configuration would drop every spark.hadoop.* setting (S3
     // credentials/endpoints, codec config) that planning used
-    JsonDocReaderFactory(whole, t, full, required,
+    val base = JsonDocReaderFactory(whole, t, full, required,
       pushed ++ runtimePushed,
       new graft.ops.Fs.SerializableConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
+    if (fileField.isEmpty) base else FileAppendingReaderFactory(base)
+  }
+}
+
+/** Appends the `_file` metadata value — one constant per partition,
+  * joined onto every data row with zero copy ([[JoinedRow]]); the
+  * data reader is untouched, so every pruning/pushdown/materialize
+  * contract holds verbatim. */
+private case class FileAppendingReaderFactory(inner: JsonDocReaderFactory)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val suffix = InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        p.asInstanceOf[JsonDocPartition].path))
+    new PartitionReader[InternalRow] {
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), suffix)
+      override def close(): Unit = r.close()
+    }
+  }
 }
 
 private case class JsonDocPartition(path: String, start: Long, length: Long)

@@ -81,7 +81,8 @@ private[sources] class JsonDocMicroBatchStream(
     maxSplitBytes: Option[Long],
     maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
-    startingSave: Option[Long] = None)
+    startingSave: Option[Long] = None,
+    appendFilePath: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -272,10 +273,14 @@ private[sources] class JsonDocMicroBatchStream(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    JsonDocReaderFactory(whole, t, full, required, pushed,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val base = JsonDocReaderFactory(whole, t, full, required, pushed,
       new graft.ops.Fs.SerializableConf(
         spark.sparkContext.hadoopConfiguration))
+    // `_file` metadata column selected on the stream: same per-
+    // partition constant append as the batch scan
+    if (appendFilePath) FileAppendingReaderFactory(base) else base
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
