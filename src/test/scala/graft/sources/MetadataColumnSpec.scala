@@ -73,6 +73,22 @@ class MetadataColumnSpec extends SparkTestBase {
       == Seq("payload"))
   }
 
+  test("_file over time travel: provenance of a pinned snapshot") {
+    val dir = mkDir("metacol_asof")
+    put(dir, "e0.json", """{"id": 1}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 2}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val saves = JsonMeta.saves(spark, dir.toString)
+    val got = spark.read.format("graftjson")
+      .option("asOfSave", saves.head.toString).load(dir.toString)
+      .select(col("id"), col("_file")).collect()
+      .map(r => r.getAs[Number]("id").longValue ->
+        r.getAs[String]("_file").split('/').last).toMap
+    // the snapshot's population only — attributed to its own file
+    assert(got == Map(1L -> "e0.json"), got)
+  }
+
   test("_file through SQL catalog reads and the streaming source") {
     useCatalog()
     val dir = mkDir("metacol_sql")
