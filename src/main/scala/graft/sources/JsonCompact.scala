@@ -322,7 +322,8 @@ object JsonCompact {
     }
     if (bins.isEmpty) {
       if (refreshMeta)
-        JsonMeta.save(spark, dir, metaListing(Set.empty, Seq.empty))
+        JsonMeta.saveWith(spark, dir,
+          metaListing(Set.empty, Seq.empty), lease)
       return Report(0, 0, files.size, rolled)
     }
 
@@ -368,8 +369,9 @@ object JsonCompact {
         bins.flatten.map(_.getPath.getName)))
     rollForward(spark, dir)
     if (refreshMeta)
-      JsonMeta.save(spark, dir, metaListing(
-        bins.flatten.map(_.getPath.getName).toSet, binSpecs.map(_._1)))
+      JsonMeta.saveWith(spark, dir, metaListing(
+        bins.flatten.map(_.getPath.getName).toSet, binSpecs.map(_._1)),
+        lease)
     Report(bins.map(_.size).sum, bins.size,
       files.size - bins.map(_.size).sum, rolled)
     } finally lease.release()
@@ -487,7 +489,7 @@ object JsonCompact {
       !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".gz")
     })
     if (files.isEmpty) {
-      if (refreshMeta) JsonMeta.save(spark, dir)
+      if (refreshMeta) JsonMeta.saveWith(spark, dir, None, lease)
       return ReclusterReport(0, 0, rolled)
     }
     val totalBytes = files.iterator.map(_.getLen).sum
@@ -594,8 +596,9 @@ object JsonCompact {
     if (refreshMeta)
       // the post-swap population from state in hand — same one-listing
       // contract as compact(refreshMeta=true)
-      JsonMeta.save(spark, dir, postSwapListing(fs, root, children,
-        files.map(_.getPath.getName).toSet, written.map(_._1).toSeq))
+      JsonMeta.saveWith(spark, dir, postSwapListing(fs, root, children,
+        files.map(_.getPath.getName).toSet, written.map(_._1).toSeq),
+        lease)
     ReclusterReport(files.size, written.length, rolled)
     } finally lease.release()
   }

@@ -94,7 +94,8 @@ object JsonDocDelete {
         // the removal becomes HISTORY when the table keeps durable
         // meta (tombstone segment); a table that never saved is not
         // given one as a side effect
-        if (JsonMeta.saves(spark, dir).nonEmpty) JsonMeta.save(spark, dir)
+        if (JsonMeta.saves(spark, dir).nonEmpty)
+          JsonMeta.saveWith(spark, dir, None, lease)
       }
       removes.size
     }

@@ -304,7 +304,10 @@ private[sources] class JsonDocBatchWrite(dir: String, schema: StructType, tag: S
           st.getPath.toString, st.getLen, st.getModificationTime,
           whole = false), r)
       })
-      JsonMeta.save(spark, dir)
+      lease match {
+        case Some(h) => JsonMeta.saveWith(spark, dir, None, h)
+        case None => JsonMeta.save(spark, dir)
+      }
     }
     } finally { lease.foreach(_.release()); lease = None }
   }
@@ -437,7 +440,7 @@ private[sources] class JsonDocStreamingWrite(dir: String, schema: StructType,
       // heartbeat + re-check before the meta commit: the rename loop
       // above can outlast the TTL on a wide epoch (ADVICE r13)
       h.touch(); h.verifyHeld()
-      JsonMeta.save(spark, dir)
+      JsonMeta.saveWith(spark, dir, None, h)
     }
     }
   }

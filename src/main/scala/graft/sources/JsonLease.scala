@@ -55,7 +55,7 @@ private[graft] object JsonLease {
     * bypassing checksums on a <100-byte advisory file loses nothing —
     * the read-back and verifyHeld token compares are the integrity
     * check. */
-  private def rawFs(fs: FileSystem): FileSystem = fs match {
+  private[sources] def rawFs(fs: FileSystem): FileSystem = fs match {
     case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
     case other => other
   }

@@ -306,7 +306,7 @@ object EventStreams {
       // the publish renames are namespace mutations too — heartbeat
       // and re-verify before the meta commit (ADVICE r13)
       h.touch(); h.verifyHeld()
-      graft.sources.JsonMeta.save(spark, dir)
+      graft.sources.JsonMeta.saveWith(spark, dir, None, h)
     }
     }
     ()

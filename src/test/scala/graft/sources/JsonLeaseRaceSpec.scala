@@ -34,16 +34,6 @@ class JsonLeaseRaceSpec extends SparkTestBase {
     "lost the writer lease", // verifyHeld abort after takeover
     "streaming epoch", // live-epoch staging guard in maintenance
     "planning-metadata manifest", // vacuum before any save exists
-    // the write path resolves the TABLE (schema inference — a
-    // lock-free READER, by design) before it acquires the lease; a
-    // concurrent maintenance commit eagerly deletes replaced files, so
-    // the in-flight inference scan can fail LOUDLY mid-read. This is
-    // the store's documented reader-vs-maintenance trade (readers are
-    // never blocked, never silently lose rows — ignoreMissingFiles
-    // stays false), it happens strictly PRE-COMMIT (nothing staged
-    // yet), and a retry converges. First surfaced by this harness.
-    "FAILED_READ_FILE",
-    "does not exist",
     // the residual advisory-locking window (acquire scaladoc): a
     // claimer that lost exclusivity AFTER its read-back aborts loudly
     // when its staged files were swept by the usurper — nothing was
@@ -51,12 +41,34 @@ class JsonLeaseRaceSpec extends SparkTestBase {
     // converges
     "could not publish")
 
+  /** Broad I/O substrings count as benign ONLY when the message names
+    * a path under the raced table (ADVICE r15: an unscoped "does not
+    * exist" could classify an unrelated bug as a benign trade). The
+    * documented trade behind them: the write path resolves the TABLE
+    * (schema inference — a lock-free READER, by design) before it
+    * acquires the lease; a concurrent maintenance commit eagerly
+    * deletes replaced files, so the in-flight inference scan can fail
+    * LOUDLY mid-read, strictly PRE-COMMIT; a retry converges. */
+  private val benignScoped = Seq("FAILED_READ_FILE", "does not exist")
+
   private def chain(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).toSeq
 
+  private def benignKind(msgs: Seq[String], dirToken: String): Option[String] =
+    msgs.flatMap { m =>
+      benign.filter(m.contains) ++
+        benignScoped.filter(s => m.contains(s) && m.contains(dirToken))
+    }.headOption
+
+  // validation knob (VERDICT r15 #1 done-criteria): one-off widened
+  // runs via GRAFT_LEASE_RACE_ROUNDS=N; the gate default stays 100
+  private val rounds =
+    sys.env.getOrElse("GRAFT_LEASE_RACE_ROUNDS", "100").toInt
+
   test("100 randomized rounds of racing writers/ingest/compact/vacuum: loud rejections or serialized commits only; final table == sequential replay") {
     val dir = graft.TempRoots.path("lease_race")
+    val dirToken = new java.io.File(dir).getName
     new java.io.File(dir).mkdirs()
     spark.range(1).select(lit(0L).as("id"), lit("seed").as("s"))
       .write.format("graftjson").mode("overwrite").save(dir)
@@ -68,7 +80,7 @@ class JsonLeaseRaceSpec extends SparkTestBase {
     val commits = new AtomicLong(0L)
     val rejections = new AtomicLong(0L)
     val rejectKinds = new java.util.concurrent.ConcurrentHashMap[String, Int]()
-    (1 to 100).foreach { round =>
+    (1 to rounds).foreach { round =>
       val k = 2 + rnd.nextInt(2)
       val ops: Seq[() => Seq[Long]] = (0 until k).map { _ =>
         rnd.nextInt(5) match {
@@ -109,7 +121,7 @@ class JsonLeaseRaceSpec extends SparkTestBase {
           try { results.add(op()); commits.incrementAndGet() }
           catch {
             case t: Throwable =>
-              chain(t).flatMap(m => benign.filter(m.contains)).headOption match {
+              benignKind(chain(t), dirToken) match {
                 case Some(kind) =>
                   rejections.incrementAndGet()
                   rejectKinds.merge(kind, 1, (a, b) => a + b)
@@ -135,9 +147,9 @@ class JsonLeaseRaceSpec extends SparkTestBase {
     }
     // at least some of both outcomes actually happened — a harness
     // where everything serialized by accident proves nothing
-    assert(commits.get() >= 100,
+    assert(commits.get() >= rounds,
       s"only ${commits.get()} commits; rejections by kind: $rejectKinds")
-    assert(rejections.get() >= 20,
+    assert(rejections.get() >= rounds / 5,
       s"only ${rejections.get()} rejections — the race never raced")
     // the final fold equals a sequential replay of the committed ops
     import scala.jdk.CollectionConverters._

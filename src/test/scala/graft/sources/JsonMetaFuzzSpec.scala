@@ -296,6 +296,37 @@ class JsonMetaFuzzSpec extends SparkTestBase {
                   s"with ($l, $m)")
             }
           }
+          // removal legs (r16 — VERDICT r15 #2): each save's `removed`
+          // is exactly the model's died-at-that-save set (present in
+          // the previous snapshot, absent or fingerprint-changed in
+          // this one), minus baseline names (an identical re-add is
+          // served as never-changed)
+          res.changes.foreach { c =>
+            val prevSnap = snapshots.getOrElse(c.save - 1, Map.empty)
+            val curSnap = snapshots.getOrElse(c.save, Map.empty)
+            val wantRemoved = prevSnap.keySet.filter { n =>
+              !curSnap.get(n).exists(x =>
+                x.len == prevSnap(n).len && x.mtime == prevSnap(n).mtime)
+            } -- baseNames
+            assert(c.removed.map(nameOf).toSet == wantRemoved,
+              s"trial $t cdc($s) save ${c.save}: removed " +
+                s"${c.removed.map(nameOf)} vs model $wantRemoved")
+          }
+          // mirror replay: retract-removed-then-apply-added in save
+          // order over the `since` population must land EXACTLY on
+          // the live table — the file-level CDF contract
+          var mirror: Map[String, (Long, Long)] =
+            base.map { case (n, f) => n -> (f.len, f.mtime) }
+          res.changes.foreach { c =>
+            c.removed.foreach(p => mirror -= nameOf(p))
+            c.added.foreach { case (p, l, m) =>
+              mirror += nameOf(p) -> (l, m) }
+          }
+          val liveFp = live.map { case (n, f) => n -> (f.len, f.mtime) }
+          assert(mirror == liveFp,
+            s"trial $t cdc($s): mirror replay diverged " +
+              s"(missing ${(liveFp.keySet -- mirror.keySet).take(3)}, " +
+              s"extra ${(mirror.keySet -- liveFp.keySet).take(3)})")
         case Left(msg) =>
           val e = intercept[IllegalStateException](
             JsonMeta.cdcResolve(spark, dir.toString, s))

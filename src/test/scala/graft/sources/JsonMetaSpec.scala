@@ -655,4 +655,80 @@ class JsonMetaSpec extends SparkTestBase {
       .option("asOfSave", s1.toString).load(dir.toString).count())
     assert(e.getMessage.contains("physically removed"), e.getMessage)
   }
+
+  test("save under a usurped lease aborts LOUDLY before the manifest commit (r16 judge-run race find)") {
+    val dir = mkTable("jm_usurp", 3)
+    val first = JsonMeta.save(spark, dir.toString).saveId
+    val root0 = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs0 = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = fs0.makeQualified(root0)
+    val h = JsonLease.acquire(fs0, qroot, "writerA")
+    // a change, so the save reaches its commit point (a no-op save
+    // returns before writing anything and needs no verification)
+    val w = new java.io.PrintWriter(new java.io.File(dir, "p99.json"))
+    w.println("""{"id": 990, "src": "late"}"""); w.close()
+    // simulate the post-TTL takeover: another writer's token replaces
+    // ours (raw fs, the lease file's own I/O convention)
+    val rfs = JsonLease.rawFs(fs0)
+    val lp = JsonLease.leasePath(qroot)
+    rfs.delete(lp, false)
+    val out = rfs.create(lp, true)
+    try out.write("usurper@elsewhere:deadbeef".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException](
+      JsonMeta.saveWith(spark, dir.toString, None, h))
+    assert(e.getMessage.contains("lost the writer lease"), e.getMessage)
+    // nothing was committed: the history still ends at the first save
+    assert(JsonMeta.saves(spark, dir.toString) == Seq(first))
+    rfs.delete(lp, false) // clean up the planted token
+  }
+
+  test("manifest publish leaves no tmp or checksum-sidecar debris; a pre-raw `.crc` sidecar is swept on the next commit") {
+    val dir = mkTable("jm_debris", 3)
+    JsonMeta.save(spark, dir.toString)
+    val metaDir = new java.io.File(dir, "_graftjson_meta")
+    // segments keep their checksummed sidecars (their reads stay on
+    // the session fs); only MANIFEST tmps/sidecars are debris
+    def ok(n: String) = n == "manifest" ||
+      n.startsWith("seg-") || n.startsWith(".seg-")
+    def names() = metaDir.listFiles().map(_.getName).toSeq.sorted
+    assert(names().forall(ok), s"debris after save: ${names()}")
+    // a pre-r16 checksummed write left a `.manifest.crc` sidecar that
+    // no longer describes the raw-published bytes — the next commit
+    // sweeps it (and any crashed attempt's unique tmp)
+    val crc = new java.io.FileOutputStream(
+      new java.io.File(metaDir, ".manifest.crc"))
+    crc.write(Array[Byte](1, 2, 3)); crc.close()
+    val tmp0 = new java.io.FileOutputStream(
+      new java.io.File(metaDir, "manifest.tmp.deadcafe0123"))
+    tmp0.write("torn".getBytes("UTF-8")); tmp0.close()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "p77.json"))
+    w.println("""{"id": 770, "src": "x"}"""); w.close()
+    JsonMeta.save(spark, dir.toString)
+    assert(names().forall(ok), s"debris survived the commit: ${names()}")
+    // and the table still plans walk-free — the swept sidecar never
+    // participated in a raw read
+    freshJvm()
+    val (n, walkedFiles) = walked {
+      spark.read.format("graftjson").load(dir.toString).count()
+    }
+    assert(n == 4L && walkedFiles == 0L)
+  }
+
+  test("standalone save() takes the writer lease: loud conflict while held, no lease left behind") {
+    val dir = mkTable("jm_savelease", 2)
+    val root0 = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs0 = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = fs0.makeQualified(root0)
+    val h = JsonLease.acquire(fs0, qroot, "compact")
+    val e = intercept[IllegalStateException](
+      JsonMeta.save(spark, dir.toString))
+    assert(e.getMessage.contains("locked by a concurrent"), e.getMessage)
+    h.release()
+    val rep = JsonMeta.save(spark, dir.toString)
+    assert(rep.total == 2)
+    assert(!fs0.exists(JsonLease.leasePath(qroot)), "save leaked its lease")
+    assert(!new java.io.File(dir, "_compaction").exists(),
+      "save left an empty staging dir behind")
+  }
 }

@@ -39,8 +39,7 @@ class JsonReadRaceSpec extends SparkTestBase {
   private val writerBenign = Seq(
     "locked by a concurrent", "lost the lease race",
     "lost the writer lease", "streaming epoch",
-    "planning-metadata manifest", "FAILED_READ_FILE",
-    "does not exist", "could not publish")
+    "planning-metadata manifest", "could not publish")
 
   /** Reader-side NAMED loud classes — each one a documented
     * reader-vs-maintenance trade, never a wrong-rows path:
@@ -50,7 +49,6 @@ class JsonReadRaceSpec extends SparkTestBase {
     * physically removed or fingerprint-drifted; a manifest not yet
     * written when the reader resolved. */
   private val readerBenign = Seq(
-    "FAILED_READ_FILE", "does not exist",
     "vacuum retention", "no longer reconstructible",
     "has no save", "cannot be reconstructed",
     "whose bytes were physically removed", "gone, not wrong",
@@ -61,16 +59,29 @@ class JsonReadRaceSpec extends SparkTestBase {
     // maintenance on directories not being tailed") — in this harness
     // maintenance deliberately races the tail, so loud IS correct
     "must not run on a tailed directory", "append-only",
-    "planning-metadata manifest", "empty manifest",
-    // a tailed listing can race a file's delete between list and stat
-    "File does not exist", "No such file")
+    "planning-metadata manifest", "empty manifest")
+
+  /** Broad I/O substrings count as benign ONLY when the same message
+    * names a path under the raced table (ADVICE r15 — an unscoped
+    * "does not exist" would classify a novel wrong-rows failure
+    * anywhere in the stack as a listing race): a scan can hit a file
+    * maintenance just reclaimed, and a tailed listing can race a
+    * file's delete between list and stat. */
+  private val ioScoped = Seq(
+    "FAILED_READ_FILE", "does not exist", "No such file")
 
   private def chain(t: Throwable): Seq[String] =
     Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(x => Option(x.getMessage).getOrElse("")).toSeq
 
+  private def isBenign(msgs: Seq[String], base: Seq[String],
+                       dirToken: String): Boolean =
+    msgs.exists(m => base.exists(m.contains) ||
+      ioScoped.exists(s => m.contains(s) && m.contains(dirToken)))
+
   test("100 randomized rounds of readers racing writers/compact/vacuum: old-or-new-never-a-mix, or a named loud error") {
     val dir = graft.TempRoots.path("read_race")
+    val dirToken = new java.io.File(dir).getName
     new java.io.File(dir).mkdirs()
     // uniform 3-row batches make snapshot validity CHECKABLE: seed is
     // batch base 0 (ids 0,1,2), every writer claims the next base
@@ -294,7 +305,7 @@ class JsonReadRaceSpec extends SparkTestBase {
         try results.add(writer())
         catch {
           case t: Throwable =>
-            if (!chain(t).exists(m => writerBenign.exists(m.contains)))
+            if (!isBenign(chain(t), writerBenign, dirToken))
               hardFailures.add(t)
         }
       })
@@ -305,7 +316,7 @@ class JsonReadRaceSpec extends SparkTestBase {
           try r()
           catch {
             case t: Throwable =>
-              if (chain(t).exists(m => readerBenign.exists(m.contains)))
+              if (isBenign(chain(t), readerBenign, dirToken))
                 readerLoud.incrementAndGet()
               else hardFailures.add(t)
           }
