@@ -1697,7 +1697,134 @@ object JsonQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY epoch""".stripMargin
 
+  /** CDC mirror through DELETES (`cdcDeletes=true`, r16 — VERDICT r15
+    * #2, the Delta CDF `_change_type` shape): a consumer snapshots the
+    * table at save 2 (with `_file` provenance), then keeps a MIRROR
+    * consistent through adds AND deletes by replaying committed
+    * history twice — feed A (saves 3-4: one epoch added, one epoch's
+    * file dropped + tombstone save) and, from its end position, feed B
+    * (saves 5-6: another add, another drop). Each feed emits explicit
+    * retraction rows (`_change_type='delete'`, `_file` the dead path)
+    * before that save's inserts; the mirror applies
+    * retract-by-file-then-insert. The final mirror must equal exactly
+    * the live table (epochs 2 and 3) — a missed retraction leaves
+    * ghost epoch rows, a lost insert drops a lang group, either flips
+    * the checksums against DuckDB's direct recompute. The vacuum leg
+    * rides as q253's envelope boolean: a FRESH cdcDeletes stream from
+    * the pruned save fails with the NAMED retention message. */
+  private val q255Lock = new Object
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempRoots.path(
+      s"graftjson_q255_${Integer.toHexString(dir.hashCode)}")
+    val src = s"$root/src"
+    val mirrorDir = s"$root/mirror"
+    q255Lock.synchronized {
+      buildOnce(s, root) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        def epoch(e: Long): Unit = EventStreams.ingestEpoch(
+          docs.where(pmod(col("doc_id"), lit(4)) === e), src, batchId = e)
+        // an upstream removal: the epoch's file goes away and the next
+        // save mints its tombstone — the history the feed replays (the
+        // SQL DELETE verb stays whole-file/zone-decided; mod-
+        // partitioned epochs are not range-decidable)
+        def dropEpoch(e: Long): Unit = {
+          val rootP = new org.apache.hadoop.fs.Path(src)
+          val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.listStatus(rootP).filter(st => st.isFile &&
+              st.getPath.getName.startsWith(f"epoch-$e%06d"))
+            .foreach(st => fs.delete(st.getPath, false))
+          graft.sources.JsonMeta.save(s, src)
+          ()
+        }
+        def drainFrom(startSave: Long, sink: String, ckpt: String): Unit = {
+          val q = s.readStream.format("graftjson")
+            .option("startingSave", startSave.toString)
+            .option("cdcDeletes", "true").load(src)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        // retract-then-apply at the FILE grain: a feed's inserts are
+        // final forms (never retracted by the same feed), so one
+        // anti-join + one union applies the whole feed
+        def applyFeed(sink: String): Unit = {
+          val feed = s.read.parquet(sink)
+          val mirror = s.read.parquet(mirrorDir)
+          val retracted = feed.where(col("_change_type") === "delete")
+            .select(col("_file").as("dead"))
+          val next = mirror.join(retracted,
+              mirror("_file") === retracted("dead"), "left_anti")
+            .unionByName(feed.where(col("_change_type") === "insert")
+              .select(col("doc_id"), col("lang"), col("n_chars"),
+                col("_file")))
+          val tmp = s"$mirrorDir.next"
+          next.write.mode("overwrite").parquet(tmp)
+          val fs = new org.apache.hadoop.fs.Path(mirrorDir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(mirrorDir), true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(mirrorDir)))
+        }
+        epoch(0L); epoch(1L) // saves 1-2: the consumer's held prefix
+        val start1 = graft.sources.JsonMeta.saves(s, src).last
+        s.read.format("graftjson").load(src)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("_file"))
+          .write.mode("overwrite").parquet(mirrorDir)
+        epoch(2L) // save 3: an add the feed must replay
+        dropEpoch(0L) // save 4: a DELETE the feed must retract
+        drainFrom(start1, s"$root/sinkA", s"$root/ckptA")
+        applyFeed(s"$root/sinkA")
+        val start2 = graft.sources.JsonMeta.saves(s, src).last
+        epoch(3L) // save 5
+        dropEpoch(1L) // save 6
+        drainFrom(start2, s"$root/sinkB", s"$root/ckptB")
+        applyFeed(s"$root/sinkB")
+        val rep = graft.sources.JsonMeta.vacuum(s, src, retainSaves = 1)
+        require(rep.horizon > start1, s"vacuum horizon unexpected: $rep")
+      }
+    }
+    // pruned envelope, idempotent per run (q253's shape)
+    val dead = graft.sources.JsonMeta.saves(s, src).head - 1L
+    val prunedNamed =
+      try {
+        val q = s.readStream.format("graftjson")
+          .option("startingSave", dead.toString)
+          .option("cdcDeletes", "true").load(src)
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink_dead")
+          .option("checkpointLocation",
+            s"$root/ckpt_dead_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); false } finally q.stop()
+      } catch {
+        case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(x => Option(x.getMessage).exists(
+              _.contains("vacuum retention")))
+      }
+    s.read.parquet(mirrorDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 79).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .withColumn("pruned_named_error", lit(prunedNamed))
+      .orderBy(col("lang"))
+  }
+
+  private val q255Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 79) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  TRUE AS pruned_named_error
+      |FROM documents WHERE doc_id % 4 IN (2, 3)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_cdc_mirror" -> (q255 _),
     "q254_file_provenance" -> (q254 _),
     "q253_cdc_stream" -> (q253 _),
     "q250_sql_maintenance" -> (q250 _),
@@ -1740,6 +1867,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q255_cdc_mirror" -> q255Sql,
     "q254_file_provenance" -> q254Sql,
     "q253_cdc_stream" -> q253Sql,
     "q250_sql_maintenance" -> q250Sql,

@@ -272,8 +272,47 @@ object GraftProcedures {
         .map(id => InternalRow(id)).toArray
   }
 
+  /** The file-level change feed as a SQL side-batch (r16 — VERDICT r15
+    * #2's "opt-in column or side-batch" shape): one row per per-save
+    * change since `since_save`, `change_type` 'delete' rows first
+    * within each save (the mirror's retract-then-apply order). Pure
+    * addressing over [[JsonMeta.cdcResolve]] — the ONE change-feed
+    * resolution path; the streaming twin is
+    * `readStream.option("cdcDeletes", true)`. */
+  private object Changes extends GraftProc(
+    "changes",
+    "per-save file-level changes after since_save: 'delete' rows name " +
+      "files whose previous form died at that save, 'insert' rows the " +
+      "still-current files that save introduced " +
+      "(CALL graft.changes(dir, since_save))",
+    Array(dirParam,
+      ProcedureParameter.in("since_save", LongType)
+        .comment("the consumer's save position (its rows are held, " +
+          "not re-listed)").build()),
+    StructType(Seq(
+      StructField("save_id", LongType, nullable = false),
+      StructField("change_type", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("len", LongType, nullable = true),
+      StructField("mtime", LongType, nullable = true)))) {
+    override def run(spark: SparkSession,
+                     input: InternalRow): Array[InternalRow] = {
+      val res = JsonMeta.cdcResolve(spark,
+        input.getUTF8String(0).toString, input.getLong(1))
+      res.changes.flatMap { c =>
+        c.removed.map(p => InternalRow(c.save,
+          org.apache.spark.unsafe.types.UTF8String.fromString("delete"),
+          org.apache.spark.unsafe.types.UTF8String.fromString(p),
+          null, null)) ++
+        c.added.map { case (p, l, m) => InternalRow(c.save,
+          org.apache.spark.unsafe.types.UTF8String.fromString("insert"),
+          org.apache.spark.unsafe.types.UTF8String.fromString(p), l, m) }
+      }.toArray
+    }
+  }
+
   private val registry: Seq[GraftProc] =
-    Seq(Compact, Recluster, Zorder, Vacuum, Save, History,
+    Seq(Compact, Recluster, Zorder, Vacuum, Save, History, Changes,
       InitDocStore, MergeCdc)
 
   def identifiers: Array[Identifier] =

@@ -102,6 +102,17 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   private def sinceOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("sinceSave")).map(_.toLong)
 
+  /** `cdcDeletes=true` (streaming change feed, r16): widen the output
+    * with explicit `_file` + `_change_type` DATA columns so per-save
+    * file REMOVALS can ride the stream as retraction rows. Explicit
+    * columns, not metadata columns: the micro-batch path appends the
+    * single offered metadata column unconditionally (it never sees
+    * pruneColumns), a trick that is only positionally sound for ONE
+    * column — two optional trailing fields would let a plan referencing
+    * just `_change_type` silently bind `_file`'s values. */
+  private def cdcDeletesOf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("cdcDeletes", false)
+
   /** The PINNED-snapshot label when either history option is set —
     * drives the read-only/unstreamable guards and the scan reading its
     * resolved population instead of the live listing. */
@@ -146,8 +157,10 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    JsonDocSource.sparkSchemaOf(inferBoth(options)._1)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = JsonDocSource.sparkSchemaOf(inferBoth(options)._1)
+    if (cdcDeletesOf(options)) JsonDocSource.widenCdc(s, options) else s
+  }
 
   override def getTable(schema: StructType,
                         partitioning: Array[Transform],
@@ -167,12 +180,16 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     val inferredOpt =
       try Some(inferBoth(options))
       catch { case _: java.io.FileNotFoundException => None }
+    val cdc = cdcDeletesOf(options)
     inferredOpt match {
       case Some((t, zones, fingerprint)) =>
-        val inferred = JsonDocSource.sparkSchemaOf(t)
+        val inferred0 = JsonDocSource.sparkSchemaOf(t)
+        val inferred =
+          if (cdc) JsonDocSource.widenCdc(inferred0, options) else inferred0
         if (schema == inferred)
           new JsonDocTable(ps, whole, t, inferred, zones, fingerprint,
-            readError = None, snapshot = snapshotOf(options))
+            readError = None, snapshot = snapshotOf(options),
+            cdcDeletes = cdc)
         else
           // a user-supplied READ schema must BE the inferred one: the
           // reader converts through the HType tree (unions and all),
@@ -183,12 +200,12 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
               s"graftjson: user schema must match the inferred schema\n" +
                 s"  given:    ${schema.simpleString}\n" +
                 s"  inferred: ${inferred.simpleString}"),
-            snapshot = snapshotOf(options))
+            snapshot = snapshotOf(options), cdcDeletes = cdc)
       case None =>
         new JsonDocTable(ps, whole, HNull, schema, None, Seq.empty,
           readError = Some(
             s"graftjson: path not found: ${ps.mkString(", ")}"),
-          snapshot = snapshotOf(options))
+          snapshot = snapshotOf(options), cdcDeletes = cdc)
     }
   }
 }
@@ -406,6 +423,30 @@ private[graft] object JsonDocSource {
 
   /** The `_file` metadata column ([[JsonDocTable.metadataColumns]]). */
   private[sources] val FileColName = "_file"
+  /** `cdcDeletes=true` companion column: "insert" on data rows,
+    * "delete" on file-retraction rows (the Delta CDF name). */
+  private[sources] val ChangeTypeColName = "_change_type"
+  /** The two explicit CDC columns appended by `cdcDeletes=true`. */
+  private[sources] def cdcFields: Seq[org.apache.spark.sql.types.StructField] =
+    Seq(
+      org.apache.spark.sql.types.StructField(FileColName,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(ChangeTypeColName,
+        org.apache.spark.sql.types.StringType, nullable = false))
+  /** Widen a data schema with the CDC columns, validating the option
+    * combination loudly at planning time. */
+  private[sources] def widenCdc(
+      s: StructType,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType = {
+    require(!options.getBoolean("whole", false),
+      "graftjson: cdcDeletes does not support whole=true (the change " +
+        "feed resolves through NDJSON planning metadata)")
+    cdcFields.foreach(f => require(!s.fieldNames.contains(f.name),
+      s"graftjson: cdcDeletes needs the column name '${f.name}' free, " +
+        "but the table's data carries a field of that name"))
+    StructType(s.fields ++ cdcFields)
+  }
   private[sources] object FileMetadataColumn
       extends org.apache.spark.sql.connector.catalog.MetadataColumn {
     override def name(): String = FileColName
@@ -518,7 +559,8 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            zones: Option[ZoneStats.ZoneMap],
                            fingerprint: Seq[(String, Long, Long)],
                            readError: Option[String],
-                           snapshot: Option[String] = None)
+                           snapshot: Option[String] = None,
+                           cdcDeletes: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -568,18 +610,35 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
     // converts through the HType tree); a write-only table (schema
     // mismatch or not-yet-created dir) fails loudly here
     readError.foreach(msg => throw new IllegalArgumentException(msg))
-    new JsonDocScanBuilder(ps, whole, t, schema,
+    // cdcDeletes resolves at TABLE load (it widens the schema) — a
+    // scan-time option on a table built without it (the catalog
+    // identifier path: loadTable never sees read options) must fail
+    // LOUDLY, never silently drop the retraction rows
+    require(cdcDeletes || !options.getBoolean("cdcDeletes", false),
+      "graftjson: cdcDeletes resolves when the table loads and is not " +
+        "available through a catalog identifier — use " +
+        "readStream.format(\"graftjson\").option(\"cdcDeletes\", true)" +
+        ".option(\"startingSave\", k).load(dir)")
+    // the scan plans over the DATA schema; the CDC columns are
+    // appended by the stream's reader, never materialized from JSON
+    val dataSchema =
+      if (cdcDeletes) StructType(schema.fields.dropRight(2)) else schema
+    new JsonDocScanBuilder(ps, whole, t, dataSchema,
       Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       snapshot = snapshot,
-      startingSave = Option(options.get("startingSave")).map(_.toLong))
+      startingSave = Option(options.get("startingSave")).map(_.toLong),
+      cdcDeletes = cdcDeletes)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(snapshot.isEmpty,
       "graftjson: a pinned-snapshot (asOfSave/sinceSave) table is read-only")
+    require(!cdcDeletes,
+      "graftjson: a cdcDeletes change-feed table is read-only (its " +
+        "schema carries the synthetic _file/_change_type columns)")
     require(ps.size == 1,
       s"graftjson: writes need exactly one target directory, got: " +
         ps.mkString(", "))
@@ -595,7 +654,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  maxFilesPerTrigger: Option[Int] = None,
                                  maxBytesPerTrigger: Option[Long] = None,
                                  snapshot: Option[String] = None,
-                                 startingSave: Option[Long] = None)
+                                 startingSave: Option[Long] = None,
+                                 cdcDeletes: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1192,7 +1252,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
         maxSplitBytes, zones, fingerprint,
         maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, snapshot,
-        startingSave, fileFieldRaw)
+        startingSave, fileFieldRaw, cdcDeletes)
   }
 }
 
@@ -1265,7 +1325,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           topExcluded: Map[String, (Long, Long)] = Map.empty,
                           snapshot: Option[String] = None,
                           startingSave: Option[Long] = None,
-                          fileField: Option[org.apache.spark.sql.types.StructField] = None)
+                          fileField: Option[org.apache.spark.sql.types.StructField] = None,
+                          cdcDeletes: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -1306,13 +1367,22 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     if (filters.nonEmpty) topExcludedActive = Map.empty
   }
   // the metadata column rides LAST, echoing the exact field Spark
-  // requested (its field-metadata marks it a metadata attribute)
+  // requested (its field-metadata marks it a metadata attribute);
+  // with cdcDeletes the two EXPLICIT cdc columns ride last instead
+  // (they are data columns of the widened table schema — fileField is
+  // never set there, the widened schema shadows the metadata column)
   override def readSchema(): StructType =
-    fileField.fold(required)(f => StructType(required.fields :+ f))
+    if (cdcDeletes)
+      StructType(required.fields ++ JsonDocSource.cdcFields)
+    else fileField.fold(required)(f => StructType(required.fields :+ f))
   override def toBatch: Batch = {
     require(startingSave.isEmpty,
       "graftjson: startingSave is a streaming option (readStream) — " +
         "batch history reads use asOfSave/sinceSave")
+    require(!cdcDeletes,
+      "graftjson: cdcDeletes is a streaming option (readStream with " +
+        "startingSave) — batch change-feed reads use sinceSave, and " +
+        "CALL graft.changes(dir, since) lists per-save adds/removes")
     this
   }
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1321,6 +1391,10 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       "graftjson: a pinned-snapshot (asOfSave/sinceSave) table cannot " +
         "be streamed — tail the live table instead (startingSave replays " +
         "committed history as CDC before tailing)")
+    require(!cdcDeletes || startingSave.isDefined,
+      "graftjson: cdcDeletes replays committed history — it needs " +
+        "startingSave (the live tail is append-only and never emits " +
+        "deletes)")
     new JsonDocMicroBatchStream(SparkSession.active, checkpointLocation,
       ps, whole, t, full, required, pushed, maxSplitBytes,
       maxFilesPerTrigger, maxBytesPerTrigger, startingSave,
@@ -1334,8 +1408,9 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       // exactly, and a non-referencing plan's ordinal-bound
       // projection never reads the extra trailing field — one
       // zero-copy JoinedRow constant per partition either way
-      appendFilePath =
-        !full.fieldNames.contains(JsonDocSource.FileColName))
+      appendFilePath = !cdcDeletes &&
+        !full.fieldNames.contains(JsonDocSource.FileColName),
+      cdcDeletes = cdcDeletes)
   }
   override def description(): String =
     s"graftjson ${ps.mkString(",")} ReadSchema: ${required.simpleString} " +
@@ -1486,6 +1561,48 @@ private case class FileAppendingReaderFactory(inner: JsonDocReaderFactory)
 
 private case class JsonDocPartition(path: String, start: Long, length: Long)
     extends InputPartition
+
+/** A file-level RETRACTION in a `cdcDeletes` change feed: the named
+  * file's previous form died at its save. No bytes are read — the
+  * reader emits ONE all-null row carrying (`_file`=path,
+  * `_change_type`='delete'). */
+private case class CdcRemovePartition(path: String) extends InputPartition
+
+/** `cdcDeletes=true` reader: data partitions ride as `insert` rows
+  * with the (file, change_type) pair joined on zero-copy (the
+  * [[FileAppendingReaderFactory]] mechanics); [[CdcRemovePartition]]s
+  * emit one synthetic `delete` row whose data columns are all null. */
+private case class CdcAppendingReaderFactory(inner: JsonDocReaderFactory,
+                                             dataWidth: Int)
+    extends PartitionReaderFactory {
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case CdcRemovePartition(path) =>
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(dataWidth + 2)
+        row.update(dataWidth, utf8(path))
+        row.update(dataWidth + 1, utf8("delete"))
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      case part: JsonDocPartition =>
+        val r = inner.createReader(part)
+        val suffix = InternalRow(utf8(part.path), utf8("insert"))
+        new PartitionReader[InternalRow] {
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = joined(r.get(), suffix)
+          override def close(): Unit = r.close()
+        }
+    }
+}
 
 private case class JsonDocReaderFactory(whole: Boolean, t: HType,
                                         full: StructType,

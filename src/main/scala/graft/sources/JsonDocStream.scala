@@ -68,10 +68,21 @@ import scala.collection.mutable
   * and continues where the batch logs left off (already-admitted
   * files filter out through `seen`); a vacuumed/squashed/unknown
   * `startingSave` fails with [[JsonMeta]]'s own named errors — never
-  * silently re-snapshots. Deletions are NOT replayed as rows: the
-  * feed is append-oriented file-level CDF (a deleted file simply
-  * stops appearing; the documented coarser-never-wrong grain of
-  * `sinceSave`). */
+  * silently re-snapshots. By default deletions are NOT replayed as
+  * rows (append-oriented file-level CDF: a deleted file simply stops
+  * appearing — the documented coarser-never-wrong grain of
+  * `sinceSave`); `cdcDeletes=true` (r16 — VERDICT r15 #2) opts into
+  * the full mirror contract: the schema gains explicit
+  * `_file`/`_change_type` columns, every data row rides as
+  * `_change_type='insert'`, and each catch-up save FIRST emits one
+  * all-null RETRACTION row per file whose previous form died at that
+  * save (`_change_type='delete'`, `_file` the dead path) — a
+  * consumer applying deletes-then-inserts per batch lands exactly on
+  * the live table ([[JsonMeta.SaveChanges]]). Retraction rows are
+  * exactly-once across restarts like file admissions (logged with a
+  * len=-1 sentinel carrying the save id). The LIVE tail still never
+  * emits deletes — the append-only guard stands; deletes reach the
+  * feed as committed history on the next `startingSave` resolution. */
 private[sources] class JsonDocMicroBatchStream(
     spark: SparkSession,
     checkpointLocation: String,
@@ -82,7 +93,8 @@ private[sources] class JsonDocMicroBatchStream(
     maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     startingSave: Option[Long] = None,
-    appendFilePath: Boolean = false)
+    appendFilePath: Boolean = false,
+    cdcDeletes: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -99,6 +111,9 @@ private[sources] class JsonDocMicroBatchStream(
   // byte-range partitions from an old log would silently read the NEW
   // bytes (rows lost + duplicated) if only length were checked
   private val seen = mutable.HashMap.empty[String, (Long, Long)]
+  // retraction rows already emitted, keyed (save, path) — a path can
+  // legitimately be retracted at several saves (rewrite chains)
+  private val seenRemoved = mutable.HashSet.empty[(Long, String)]
   private var latestId: Long = -1L
   // Trigger.AvailableNow target: drain exactly this path set, then idle
   private var availableNowTarget: Option[Set[String]] = None
@@ -114,7 +129,13 @@ private[sources] class JsonDocMicroBatchStream(
         "(the change feed resolves through its planning metadata)")
     fs.mkdirs(logDir)
     logIds(fs, logDir).foreach { id =>
-      readLog(fs, logDir, id).foreach(e => seen(e.path) = (e.len, e.mtime))
+      readLog(fs, logDir, id).foreach { e =>
+        // len<0 marks a RETRACTION entry (mtime carries the save id):
+        // it must never enter `seen` — the path has no live bytes for
+        // the append-only guard to fingerprint
+        if (e.len < 0L) seenRemoved += ((e.mtime, e.path))
+        else seen(e.path) = (e.len, e.mtime)
+      }
       latestId = math.max(latestId, id)
     }
     startingSave.foreach { sv =>
@@ -131,11 +152,27 @@ private[sources] class JsonDocMicroBatchStream(
             res.baseline.map { case (p, l, m) => LogEntry(p, l, m) })
           res.baseline.foreach { case (p, l, m) => seen(p) = (l, m) }
         }
-        pendingSaves = res.deltas.iterator.map { case (save, files) =>
-          (save, files.collect {
-            case (p, l, m) if !seen.contains(p) => LogEntry(p, l, m)
-          }.toList)
-        }.filter(_._2.nonEmpty).toList
+        // with cdcDeletes, each save's RETRACTIONS precede its adds
+        // (retract-then-apply is the mirror order; applyLimit admits
+        // prefixes, so the order survives rate-limited batches too)
+        pendingSaves =
+          (if (cdcDeletes)
+            res.changes.iterator.map { c =>
+              (c.save,
+                c.removed.collect {
+                  case p if !seenRemoved((c.save, p)) =>
+                    LogEntry(p, -1L, c.save)
+                }.toList :::
+                c.added.collect {
+                  case (p, l, m) if !seen.contains(p) => LogEntry(p, l, m)
+                }.toList)
+            }
+          else
+            res.deltas.iterator.map { case (save, files) =>
+              (save, files.collect {
+                case (p, l, m) if !seen.contains(p) => LogEntry(p, l, m)
+              }.toList)
+            }).filter(_._2.nonEmpty).toList
         if (pendingSaves.isEmpty) markCdcDone()
       }
     }
@@ -198,10 +235,34 @@ private[sources] class JsonDocMicroBatchStream(
       val (save, files) = pendingSaves.head
       val admitted = applyLimit(
         files.map(e => (e.path, e.len, e.mtime)), limit)
+      // drift guard (r16 — VERDICT r15 #3): the resolution verified
+      // these fingerprints ONCE, at stream construction; maintenance
+      // (compact/recluster/an in-place rewrite) can swap the bytes
+      // between resolution and this admission, and a partition planned
+      // from the stale log entry would silently read the NEW bytes.
+      // The trigger's own listing re-checks for free — fail LOUDLY,
+      // never wrong rows
+      val byPath = listing.iterator.map(f => f._1 -> ((f._2, f._3))).toMap
+      admitted.foreach { case (p, l, m) =>
+        if (l >= 0L) byPath.get(p) match {
+          case Some((cl, cm)) if cl == l && cm == m => ()
+          case Some((cl, cm)) => throw new IllegalStateException(
+            s"graftjson stream: change-feed file $p drifted from its " +
+              s"save-time fingerprint (($l, $m) vs ($cl, $cm)) — " +
+              "maintenance rewrote it mid-replay; restart the feed " +
+              "from a newer save")
+          case None => throw new IllegalStateException(
+            s"graftjson stream: change-feed file $p, whose bytes were " +
+              "physically removed mid-replay — restart the feed from " +
+              "a newer save")
+        }
+      }
       val id = latestId + 1
       writeLog(fs, logDir, id,
         admitted.map { case (p, l, m) => LogEntry(p, l, m) })
-      admitted.foreach(f => seen(f._1) = (f._2, f._3))
+      admitted.foreach(f =>
+        if (f._2 >= 0L) seen(f._1) = (f._2, f._3)
+        else seenRemoved += ((f._3, f._1)))
       latestId = id
       // applyLimit admits a PREFIX, so the remainder is a drop
       val remaining = files.drop(admitted.size)
@@ -235,13 +296,15 @@ private[sources] class JsonDocMicroBatchStream(
       case (fs0, f: ReadMaxFiles) => fs0.take(math.max(1, f.maxFiles))
       case (fs0, b: ReadMaxBytes) =>
         // admit files until the byte budget is spent; never zero files
+        // (retraction entries, len<0, cost nothing)
         var budget = b.maxBytes
         val it = fs0.iterator
         val out = Seq.newBuilder[(String, Long, Long)]
         var first = true
         while (it.hasNext && (first || budget > 0)) {
           val f = it.next()
-          if (first || f._2 <= budget) { out += f; budget -= f._2 }
+          val cost = math.max(0L, f._2)
+          if (first || cost <= budget) { out += f; budget -= cost }
           else budget = 0
           first = false
         }
@@ -262,13 +325,18 @@ private[sources] class JsonDocMicroBatchStream(
         spark.sessionState.conf.filesMaxPartitionBytes))
     ((s + 1) to e).flatMap { id =>
       readLog(fs, logDir, id).flatMap { entry =>
-        val splittable = !whole &&
-          codecs.getCodec(new Path(entry.path)) == null
-        if (!splittable || entry.len <= target)
-          Seq(JsonDocPartition(entry.path, 0L, entry.len): InputPartition)
-        else (0L until entry.len by target).map(o =>
-          JsonDocPartition(entry.path, o,
-            math.min(target, entry.len - o)): InputPartition)
+        if (entry.len < 0L)
+          // retraction entry: one synthetic delete row, no file read
+          Seq(CdcRemovePartition(entry.path): InputPartition)
+        else {
+          val splittable = !whole &&
+            codecs.getCodec(new Path(entry.path)) == null
+          if (!splittable || entry.len <= target)
+            Seq(JsonDocPartition(entry.path, 0L, entry.len): InputPartition)
+          else (0L until entry.len by target).map(o =>
+            JsonDocPartition(entry.path, o,
+              math.min(target, entry.len - o)): InputPartition)
+        }
       }
     }.toArray
   }
@@ -278,8 +346,11 @@ private[sources] class JsonDocMicroBatchStream(
       new graft.ops.Fs.SerializableConf(
         spark.sparkContext.hadoopConfiguration))
     // `_file` metadata column selected on the stream: same per-
-    // partition constant append as the batch scan
-    if (appendFilePath) FileAppendingReaderFactory(base) else base
+    // partition constant append as the batch scan. cdcDeletes appends
+    // the two EXPLICIT cdc columns instead (and serves retractions).
+    if (cdcDeletes) CdcAppendingReaderFactory(base, required.size)
+    else if (appendFilePath) FileAppendingReaderFactory(base)
+    else base
   }
 
   override def commit(end: Offset): Unit = ()

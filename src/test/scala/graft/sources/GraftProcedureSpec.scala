@@ -23,8 +23,42 @@ class GraftProcedureSpec extends SparkTestBase {
     val names = spark.sql("SHOW PROCEDURES IN graft")
       .collect().map(_.toString().toLowerCase)
     for (p <- Seq("compact", "recluster", "zorder", "vacuum", "save",
-      "history", "init_doc_store", "merge_cdc"))
+      "history", "changes", "init_doc_store", "merge_cdc"))
       assert(names.exists(_.contains(p)), s"$p missing in ${names.toSeq}")
+  }
+
+  test("CALL changes lists per-save file adds AND deletes since a save — the SQL side-batch of the change feed (r16)") {
+    useCatalog()
+    val dir = graft.TempRoots.path("proc_changes")
+    writeBatch(dir, 0, 5) // save 1 (refreshMeta=true mints it)
+    val s1 = graft.sources.JsonMeta.saves(spark, dir).last
+    writeBatch(dir, 5, 9) // save 2: an add
+    // save 3: a metadata-only SQL DELETE removes the FIRST batch's
+    // file whole (ids 0-4 all match id <= 4) and mints the tombstone
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id <= 4")
+    val rows = spark.sql(s"CALL graft.changes('$dir', $s1)").collect()
+    val dels = rows.filter(_.getAs[String]("change_type") == "delete")
+    val ins = rows.filter(_.getAs[String]("change_type") == "insert")
+    assert(dels.length == 1 && ins.length == 1, rows.mkString(";"))
+    assert(dels.head.getAs[Long]("save_id") > ins.head.getAs[Long]("save_id"))
+    assert(dels.head.isNullAt(dels.head.fieldIndex("len")))
+    // the insert carries the live fingerprint; the delete names the
+    // dead file — applying both over the held save-1 state mirrors
+    // the live table (one file, ids 5-8)
+    assert(ins.head.getAs[Long]("len") > 0L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`")
+      .collect()(0).getLong(0) == 4L)
+    // a since at the head is an empty feed, not an error
+    val head = graft.sources.JsonMeta.saves(spark, dir).last
+    assert(spark.sql(s"CALL graft.changes('$dir', $head)").collect().isEmpty)
+    // below the squash/retention horizon: the resolver's own named error
+    spark.sql(s"CALL graft.vacuum('$dir', 1)")
+    val e = intercept[Exception](
+      spark.sql(s"CALL graft.changes('$dir', $s1)").collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(m =>
+        m.contains("vacuum retention") ||
+          m.contains("no longer reconstructible"))), e.getMessage)
   }
 
   test("CALL save mints a time-travel point from SQL; unchanged tables mint nothing (r15)") {

@@ -368,4 +368,171 @@ class JsonDocStreamSpec extends SparkTestBase {
         .map(_.toString).sorted.toSeq == batch)
     } finally q.stop()
   }
+
+  test("cdcDeletes: per-save retractions precede inserts, a mirror replay lands on the live table") {
+    val dir = mkDir("gjs_cdcdel")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 1: the consumer position
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 2: add e1 (v1)
+    val start = JsonMeta.saves(spark, dir.toString).head
+    // history past the consumer: rewrite e1 (retract+insert), delete
+    // e0 (retract), add e2 (insert)
+    put(dir, "e1.json",
+      """{"id": 5, "s": "B"}""" + "\n" + """{"id": 6, "s": "C"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 3
+    assert(new java.io.File(dir, "e0.json").delete())
+    new java.io.File(dir, ".e0.json.crc").delete()
+    JsonMeta.save(spark, dir.toString) // save 4: e0 tombstone
+    put(dir, "e2.json", """{"id": 4, "s": "d"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 5
+    val ckpt = graft.TempRoots.path("gjs_cdcdel_ckpt")
+    val q = spark.readStream.format("graftjson")
+      .option("startingSave", start.toString)
+      .option("cdcDeletes", "true").load(dir.toString)
+      .writeStream.format("memory").queryName("gjs_cdcdel")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("gjs_cdcdel").collect()
+      def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      val dels = rows.filter(_.getAs[String]("_change_type") == "delete")
+      val ins = rows.filter(_.getAs[String]("_change_type") == "insert")
+      // retractions: e1's v1 died at save 3, e0 died at save 4 —
+      // and their data columns are NULL (no bytes exist to read)
+      assert(dels.map(r => base(r.getAs[String]("_file"))).sorted.toSeq ==
+        Seq("e0.json", "e1.json"), dels.mkString(";"))
+      assert(dels.forall(r => r.isNullAt(r.fieldIndex("id")) &&
+        r.isNullAt(r.fieldIndex("s"))), dels.mkString(";"))
+      // inserts: e1's FINAL form only (never the dead v1) plus e2
+      assert(ins.map(_.getAs[Number]("id").longValue).sorted.toSeq ==
+        Seq(4L, 5L, 6L), ins.mkString(";"))
+      assert(ins.forall(r => Seq("e1.json", "e2.json")
+        .contains(base(r.getAs[String]("_file")))))
+      // mirror replay: consumer holds save-1 content (e0's row);
+      // retract-by-file then insert must land exactly on the live table
+      var mirror = Map("e0.json" -> Set(1L))
+      dels.foreach(r => mirror -= base(r.getAs[String]("_file")))
+      ins.foreach { r =>
+        val f = base(r.getAs[String]("_file"))
+        mirror += f -> (mirror.getOrElse(f, Set.empty) +
+          r.getAs[Number]("id").longValue)
+      }
+      val liveIds = spark.read.format("graftjson")
+        .option("refresh", "true").load(dir.toString)
+        .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(mirror.values.flatten.toSet == liveIds,
+        s"mirror ${mirror.values.flatten.toSet} vs live $liveIds")
+      // per-save batch logs: the save-3 log carries the retraction
+      // (len<0 sentinel, mtime = save id) BEFORE its insert
+      val logDir = new Path(s"$ckpt/sources/0",
+        JsonDocMicroBatchStream.LogDirName)
+      val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val log0 = JsonDocMicroBatchStream.readLog(fs, logDir, 0L)
+      assert(log0.map(e => (base(e.path), e.len < 0L)) ==
+        Seq(("e1.json", true), ("e1.json", false)), log0)
+    } finally q.stop()
+  }
+
+  test("cdcDeletes restart mid-catch-up: retractions are exactly-once across restarts") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = mkDir("gjs_cdcdel_restart")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 1
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 2
+    assert(new java.io.File(dir, "e0.json").delete())
+    new java.io.File(dir, ".e0.json.crc").delete()
+    JsonMeta.save(spark, dir.toString) // save 3: e0 tombstone
+    put(dir, "e2.json", """{"id": 3, "s": "c"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 4
+    val saves = JsonMeta.saves(spark, dir.toString)
+    val ckpt = graft.TempRoots.path("gjs_cdcdel_restart_ckpt")
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val dataSch = JsonDocSource.sparkSchemaOf(t)
+    def stream() = new JsonDocMicroBatchStream(spark, ckpt,
+      Seq(dir.toString), whole = false, t, dataSch, dataSch, Array.empty,
+      None, None, None, Some(saves.head), appendFilePath = false,
+      cdcDeletes = true)
+    val one = ReadLimit.maxFiles(1)
+    // one entry per trigger, a FRESH stream object between triggers —
+    // the hardest restart cadence
+    var off = stream().latestOffset(stream().initialOffset(), one)
+    (0 until 6).foreach { _ =>
+      val st = stream()
+      off = st.latestOffset(off, one)
+    }
+    val logDir = new Path(ckpt, JsonDocMicroBatchStream.LogDirName)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = JsonDocMicroBatchStream.logIds(fs, logDir).flatMap(id =>
+      JsonDocMicroBatchStream.readLog(fs, logDir, id))
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val keyed = entries.map(e => (base(e.path), e.len < 0L, e.mtime))
+    assert(keyed.size == keyed.toSet.size,
+      s"an entry was admitted twice: $keyed")
+    // owed: removal of e0 at save 3, adds of e1 and e2 (still current)
+    assert(entries.count(_.len < 0L) == 1)
+    assert(entries.filter(_.len < 0L).map(e => base(e.path)) ==
+      Seq("e0.json"))
+    assert(entries.filter(_.len >= 0L).map(e => base(e.path)).sorted ==
+      Seq("e1.json", "e2.json"))
+  }
+
+  test("cdcDeletes guards: streaming-only, needs startingSave, read-only table, name collision is loud") {
+    val dir = mkDir("gjs_cdcdel_guards")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    def rootMsgs(e: Throwable) =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    // batch read: loud
+    val eb = intercept[Exception](spark.read.format("graftjson")
+      .option("cdcDeletes", "true").load(dir.toString).collect())
+    assert(rootMsgs(eb).exists(_.contains("streaming option")),
+      eb.getMessage)
+    // stream without startingSave: loud at stream construction
+    val es = intercept[Exception] {
+      val q = spark.readStream.format("graftjson")
+        .option("cdcDeletes", "true").load(dir.toString)
+        .writeStream.format("memory").queryName("gjs_cdcdel_nostart")
+        .option("checkpointLocation",
+          graft.TempRoots.path("gjs_cdcdel_nostart_ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(rootMsgs(es).exists(_.contains("needs startingSave")),
+      es.getMessage)
+    // the widened table is read-only
+    val ew = intercept[Exception](
+      spark.range(1).selectExpr("id", "'x' AS s").write
+        .format("graftjson").option("cdcDeletes", "true").mode("append")
+        .save(dir.toString))
+    assert(rootMsgs(ew).exists(_.contains("read-only")), ew.getMessage)
+    // a data field named _file blocks the widening loudly (never a
+    // silently shadowed or doubled column)
+    val dir2 = mkDir("gjs_cdcdel_clash")
+    put(dir2, "e0.json", """{"id": 1, "_file": "z"}""" + "\n")
+    JsonMeta.save(spark, dir2.toString)
+    val ec = intercept[Exception](spark.readStream.format("graftjson")
+      .option("cdcDeletes", "true")
+      .option("startingSave", "1").load(dir2.toString))
+    assert(rootMsgs(ec).exists(_.contains("free")), ec.getMessage)
+    // the catalog identifier cannot carry the option (loadTable never
+    // sees read options; the schema would stay unwidened) — loud,
+    // never a silently insert-only feed
+    useCatalog()
+    val ecat = intercept[Exception] {
+      val q = spark.readStream
+        .option("cdcDeletes", "true").option("startingSave", "1")
+        .table(s"graft.`$dir`")
+        .writeStream.format("memory").queryName("gjs_cdcdel_cat")
+        .option("checkpointLocation",
+          graft.TempRoots.path("gjs_cdcdel_cat_ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(rootMsgs(ecat).exists(_.contains("catalog identifier")),
+      ecat.getMessage)
+  }
 }
