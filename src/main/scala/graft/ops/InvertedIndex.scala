@@ -517,4 +517,49 @@ object InvertedIndex {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** BM25 top-k for a QUERY BATCH — [[searchBm25]]'s formula, fanned
+    * over a (query_id, term) frame (r16 — VERDICT r15 #4): production
+    * retrieval serves a request batch, not one query per job. The
+    * postings are probed ONCE for the batch's distinct term set (the
+    * term list is collected to the driver — a query batch is
+    * driver-sized by definition, it IS the request — so the static
+    * bucket pruning of [[postingsFor]] still applies), df/idf stay
+    * query-independent, and the per-query fan-out is a broadcast join
+    * of the tiny (query_id, term) frame onto the probed postings. The
+    * top-k cut is a rank window PARTITIONED BY query (q60/q172's batch
+    * shape — a bounded heap per query after one hash exchange, never a
+    * global sort); same determinism discipline as the single-query
+    * form (decimal contribs, round-4 scores, doc_id tiebreak). */
+  def searchBm25Batch(spark: SparkSession, indexDir: String,
+                      queryTerms: DataFrame, k: Int,
+                      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"searchBm25Batch: k must be >= 1, got $k")
+    val (nDocs, nTokens, nBuckets) = meta(spark, indexDir)
+    val avgdl = nTokens.toDouble / nDocs
+    val qt = queryTerms.select(col("query_id").cast("bigint"),
+      col("term").cast("string")).distinct()
+    val terms = qt.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "searchBm25Batch: empty query batch")
+    val p = postingsFor(spark, indexDir, terms, nBuckets)
+    val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    p.join(broadcast(dfs), "term")
+      .join(broadcast(qt), "term")
+      .withColumn("idf",
+        log(lit(1.0) +
+          (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + (lit(b) * col("dl")) / lit(avgdl))), 8)
+          .cast("decimal(18,8)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("score"))
+      .withColumn("rank_text", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank_text") <= k)
+  }
 }

@@ -76,4 +76,54 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** [[hybridTopK]] for a QUERY BATCH (r16 — VERDICT r15 #4):
+    * production retrieval fans a request frame, not one query per
+    * job. Both legs stay stored-index-only and BATCHED — one postings
+    * probe for the batch's distinct terms
+    * ([[InvertedIndex.searchBm25Batch]]), one cell-probe scan for all
+    * query embeddings ([[VectorOps.storedIndexTopK]] is natively
+    * batched: the probe frame joins the cell-partitioned corpus once,
+    * per-query ranks by window) — so a 1000-query batch costs one
+    * index pass per leg, not 1000 jobs. The fusion joins the two
+    * ≤(queries × pool)-row frames on (query_id, doc_id) and cuts
+    * top-k per query with a rank window partitioned by query (q60/
+    * q172's batch shape). Same RRF determinism as the single form:
+    * each addend one IEEE-exact division, the fused score one
+    * two-term addition.
+    *
+    * @param queryTerms (query_id, term) — each query's term set,
+    *                   duplicate rows ignored
+    * @param queryVecs  (vec_id, embedding) — the SAME query_ids'
+    *                   embedding forms (the IVF leg's id convention);
+    *                   their own ids never appear in their results */
+  def hybridTopKBatch(spark: SparkSession, invIndexDir: String,
+                      ivfIndexDir: String, queryTerms: DataFrame,
+                      queryVecs: DataFrame, k: Int, pool: Int = 50,
+                      nProbe: Int = 4, rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && pool >= k,
+      s"hybridTopKBatch: need pool >= k >= 1, got k=$k pool=$pool")
+    require(nProbe >= 1,
+      s"hybridTopKBatch: nProbe must be >= 1, got $nProbe — zero " +
+        "probes would silently degrade the fusion to text-only")
+    val bm = InvertedIndex.searchBm25Batch(spark, invIndexDir,
+        queryTerms, pool)
+      .select(col("query_id"), col("doc_id"), col("rank_text"))
+    val vec = VectorOps.storedIndexTopK(spark, ivfIndexDir, queryVecs,
+        pool, nProbe)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rank").as("rank_vec"))
+    def addend(rank: Column): Column =
+      coalesce(lit(1.0) / (lit(rrfK) + rank), lit(0.0))
+    bm.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rank_text").cast("bigint"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec").cast("bigint"), lit(0L)).as("rank_vec"),
+        (addend(col("rank_text")) + addend(col("rank_vec"))).as("rrf"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))).cast("bigint"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

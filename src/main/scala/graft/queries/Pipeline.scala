@@ -1841,6 +1841,89 @@ object Pipeline {
   // the fused result shares q172's oracle verbatim
   private val q252Sql = q172Sql
 
+  /** BATCHED hybrid retrieval (r16 — VERDICT r15 #4,
+    * [[graft.ops.Retrieval.hybridTopKBatch]]): q252 served ONE query;
+    * this serves a REQUEST FRAME of 8 queries — 8 term pairs + the
+    * matching 8 query embeddings — in one postings probe and one IVF
+    * cell-probe scan, per-query ranks by window, RRF-fused top-10 per
+    * query. Probing stays exhaustive on purpose (the q112/q116 oracle
+    * pattern) so DuckDB recomputes all 8 fusions brute-force from a
+    * VALUES-table of the same (query_id, term) pairs. Pruned floors
+    * and the batch == per-query-loop parity are pinned in
+    * RetrievalSpec. */
+  private val q256Pairs: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("merge", "slow"), 1L -> Seq("hash", "join"),
+    2L -> Seq("scan", "filter"), 3L -> Seq("sort", "window"),
+    4L -> Seq("stream", "batch"), 5L -> Seq("vector", "query"),
+    6L -> Seq("group", "agg"), 7L -> Seq("fast", "small"))
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val qt = q256Pairs
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    graft.ops.Retrieval.hybridTopKBatch(s,
+      sharedInvIndex(s, dir), sharedIvfIndex(s, dir),
+      qt, e.where(col("vec_id") < 8),
+      k = 10, pool = 50, nProbe = ivfSharedCells)
+  }
+
+  private val q256Sql = {
+    val values = q256Pairs
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""WITH qt(query_id, w) AS (VALUES $values),
+      |d AS (SELECT doc_id,
+      |    string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d),
+      |tf0 AS (SELECT doc_id, dl, w, count(*) AS tf FROM t
+      |  WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY doc_id, dl, w),
+      |df AS (SELECT w, count(*) AS df FROM tf0 GROUP BY w),
+      |n AS (SELECT count(*) AS nd,
+      |    CAST((SELECT sum(len(string_split(coalesce(text, ''), ' ')))
+      |      FROM documents) AS DOUBLE) AS ntok
+      |  FROM documents),
+      |sc AS (SELECT query_id, doc_id,
+      |    round(CAST(sum(CAST(round(
+      |      ln(1 + (CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |        * (tf * 2.5)
+      |        / (tf + 1.5 * (0.25 + (0.75 * dl) / (ntok / nd))), 8)
+      |      AS DECIMAL(18,8))) AS DOUBLE), 4) AS score
+      |  FROM tf0 JOIN df USING (w) JOIN qt USING (w) CROSS JOIN n
+      |  GROUP BY query_id, doc_id),
+      |bm AS (SELECT query_id, doc_id, rank_text FROM (
+      |    SELECT query_id, doc_id, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY score DESC, doc_id)
+      |      AS rank_text
+      |    FROM sc) WHERE rank_text <= 50),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |  FROM embeddings WHERE vec_id < 8),
+      |cs AS (SELECT q.query_id, e.vec_id AS doc_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 4)
+      |      AS cos
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |cosr AS (SELECT query_id, doc_id, rank_vec FROM (
+      |    SELECT query_id, doc_id, cos, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cos DESC, doc_id)
+      |      AS rank_vec
+      |    FROM cs) WHERE rank_vec <= 50),
+      |f AS (SELECT coalesce(bm.query_id, cosr.query_id) AS query_id,
+      |    coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+      |    coalesce(bm.rank_text, 0) AS rt,
+      |    coalesce(cosr.rank_vec, 0) AS rv,
+      |    coalesce(CAST(1 AS DOUBLE) / (60 + bm.rank_text), 0) +
+      |    coalesce(CAST(1 AS DOUBLE) / (60 + cosr.rank_vec), 0) AS rrf
+      |  FROM bm FULL JOIN cosr
+      |    ON bm.query_id = cosr.query_id AND bm.doc_id = cosr.doc_id),
+      |r AS (SELECT query_id, doc_id, rt, rv, rrf, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+      |  FROM f)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |  CAST(rt AS BIGINT) AS rank_text, CAST(rv AS BIGINT) AS rank_vec,
+      |  rrf, CAST(rnk AS BIGINT) AS rank
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Retrieval-quality evaluation — the IR-eval harness (the text
     * sibling of q74's ANN recall eval): precision@5/@20, recall@20
     * and MRR of the stored-index BM25 list against an exact relevance
@@ -2412,11 +2495,13 @@ object Pipeline {
     "q211_ivf_compaction" -> (q211 _),
     "q213_full_upsert_maintenance" -> (q213 _),
     "q251_sql_merge_cdc" -> (q251 _),
-    "q252_hybrid_stored_rrf" -> (q252 _))
+    "q252_hybrid_stored_rrf" -> (q252 _),
+    "q256_hybrid_batch_rrf" -> (q256 _))
 
   val oracle: Map[String, String] = Map(
     "q251_sql_merge_cdc" -> q251Sql,
     "q252_hybrid_stored_rrf" -> q252Sql,
+    "q256_hybrid_batch_rrf" -> q256Sql,
     "q106_diversity_sample" -> q106Sql,
     "q112_incremental_ivf_index" -> q112Sql,
     "q116_index_lifecycle" -> q116Sql,

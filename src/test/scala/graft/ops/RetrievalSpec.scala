@@ -124,4 +124,68 @@ class RetrievalSpec extends SparkTestBase {
       spark, invDir, ivfDir, Seq("merge"), query, k = 5, nProbe = 0))
     assert(e2.getMessage.contains("nProbe"), e2.getMessage)
   }
+
+  // ---- the BATCH form (r16 — VERDICT r15 #4) ----
+
+  private val batchTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("merge", "slow"), 3L -> Seq("merge"),
+    7L -> Seq("slow", "w7"), 11L -> Seq("w11"))
+
+  private def batchQt: DataFrame =
+    spark.createDataFrame(
+      batchTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "term")
+
+  private def batchVecs: DataFrame =
+    embeddings.where(col("vec_id").isin(batchTerms.map(_._1): _*))
+
+  test("hybridTopKBatch equals a per-query hybridTopK loop (exhaustive probing), every query served") {
+    val got = Retrieval.hybridTopKBatch(spark, invDir, ivfDir,
+        batchQt, batchVecs, k = 12, pool = 30, nProbe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank_text"), r.getAs[Long]("rank_vec"),
+        r.getAs[Double]("rrf"), r.getAs[Long]("rank")))
+      .toSeq
+    assert(got.map(_._1).distinct.sorted == batchTerms.map(_._1),
+      "a query of the batch was not served")
+    val looped = batchTerms.flatMap { case (qid, terms) =>
+      Retrieval.hybridTopK(spark, invDir, ivfDir, terms,
+          embeddings.where(col("vec_id") === qid),
+          k = 12, pool = 30, nProbe = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getAs[Long]("doc_id"),
+          r.getAs[Long]("rank_text"), r.getAs[Long]("rank_vec"),
+          r.getAs[Double]("rrf"), i + 1L) }
+    }
+    assert(got == looped,
+      s"batch diverged from the per-query loop: " +
+        s"${got.diff(looped).take(3)} vs ${looped.diff(got).take(3)}")
+  }
+
+  test("batch pruned probing keeps the capture floor per query; guards stay loud") {
+    val exhaustive = Retrieval.hybridTopKBatch(spark, invDir, ivfDir,
+        batchQt, batchVecs, k = 12, pool = 30, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"))).toSet
+    val pruned = Retrieval.hybridTopKBatch(spark, invDir, ivfDir,
+        batchQt, batchVecs, k = 12, pool = 30, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id")))
+    // per-query row cap holds and the pruned fusion keeps a floor of
+    // the exhaustive capture (fixture-seeded, same economics as the
+    // single-query pin)
+    assert(pruned.groupBy(_._1).values.forall(_.size <= 12))
+    val overlap = pruned.count(exhaustive.contains)
+    assert(overlap >= (pruned.length * 3) / 4,
+      s"pruned batch overlap $overlap of ${pruned.length}")
+    val e = intercept[IllegalArgumentException](
+      Retrieval.hybridTopKBatch(spark, invDir, ivfDir, batchQt,
+        batchVecs, k = 10, pool = 5))
+    assert(e.getMessage.contains("pool >= k"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Retrieval.hybridTopKBatch(spark, invDir, ivfDir, batchQt,
+        batchVecs, k = 5, nProbe = 0))
+    assert(e2.getMessage.contains("nProbe"), e2.getMessage)
+  }
 }
