@@ -13,11 +13,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *
   * Only expressions whose composed-function form measurably loses
   * codegen live here (SURVEY §4.2: custom code confined to the
-  * expression/aggregator layer), plus ONE analyzer rule —
+  * expression/aggregator layer), plus TWO analyzer rules —
   * [[graft.sources.ResolveGraftSqlOnFile]], which gives the DSv2
   * source the `FROM graftjson.`/dir`` SQL-on-file surface Spark
-  * reserves for V1 file formats. No custom Strategy or physical
-  * plan is needed anywhere in this engine. */
+  * reserves for V1 file formats, and
+  * [[graft.sources.GraftDmlRefusal]], which turns the row-rewrite
+  * DML verbs (UPDATE/MERGE) into NAMED refusals that point at the
+  * supported alternatives. No custom Strategy or physical plan is
+  * needed anywhere in this engine. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** Uniform arity gate: every builder checks argument count FIRST so
@@ -35,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // public injection point that sees the plan first
     ext.injectHintResolutionRule(s =>
       new graft.sources.ResolveGraftSqlOnFile(s))
+    // NAMED refusal of UPDATE/MERGE on graftjson tables (r16): the
+    // post-hoc batch sees the RESOLVED relation and fires before
+    // CheckAnalysis's generic unsupported-operation error
+    ext.injectPostHocResolutionRule(s =>
+      new graft.sources.GraftDmlRefusal(s))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -46,3 +46,46 @@ class ResolveGraftSqlOnFile(session: SparkSession)
         DataSourceV2Relation.create(table, None, None, cis, None)
     }
 }
+
+/** NAMED refusal of the row-rewrite DML verbs on graftjson tables
+  * (r16 — VERDICT r15 #7, the last SQL DML verb): the store
+  * deliberately has NO row-rewrite path (whole-file metadata DELETE
+  * is the only SQL mutation below overwrite), so `UPDATE` and
+  * `MERGE INTO` fail with an error that names the supported
+  * alternatives instead of Spark's generic "does not support"
+  * message. Post-hoc resolution: the relation is resolved by then,
+  * and the rule fires before CheckAnalysis's generic error. DELETE
+  * is untouched — it keeps its metadata-only SupportsDelete path. */
+class GraftDmlRefusal(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def graftTable(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[JsonDocTable] =>
+        ()
+    }.isDefined
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+          if graftTable(u.table) =>
+        throw new UnsupportedOperationException(
+          "graftjson: UPDATE is deliberately unsupported — the store " +
+            "does no row rewrites. Express the change as a " +
+            "metadata-only DELETE (whole-file, zone-decided) plus an " +
+            "append, overwrite with a filtered frame " +
+            "(df.write.mode(\"overwrite\") / INSERT OVERWRITE), or " +
+            "upsert keyed documents through " +
+            "CALL graft.init_doc_store/merge_cdc")
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if graftTable(m.targetTable) =>
+        throw new UnsupportedOperationException(
+          "graftjson: MERGE INTO is deliberately unsupported — the " +
+            "store does no row rewrites. Upsert keyed documents " +
+            "through CALL graft.init_doc_store/merge_cdc (the " +
+            "bucketed CDC store), or overwrite with a filtered frame")
+      case _ => ()
+    }
+    plan
+  }
+}

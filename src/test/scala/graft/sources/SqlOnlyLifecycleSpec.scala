@@ -89,6 +89,37 @@ class SqlOnlyLifecycleSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
 
+  test("UPDATE and MERGE INTO refuse with NAMED errors pointing at the supported alternatives (r16, VERDICT r15 #7)") {
+    useCatalog()
+    val dir = graft.TempRoots.path("sql_only_update")
+    val t = s"graft.`$dir`"
+    spark.sql(
+      s"""CREATE TABLE $t AS
+         |SELECT id, concat('d', id) AS s FROM range(0, 20)""".stripMargin)
+    def msgs(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    // UPDATE: the named refusal, not Spark's generic unsupported error
+    val eu = intercept[Exception](
+      spark.sql(s"UPDATE $t SET s = 'x' WHERE id = 1"))
+    assert(msgs(eu).exists(m => m.contains("UPDATE is deliberately") &&
+      m.contains("merge_cdc")), eu.getMessage)
+    // MERGE INTO: same, pointing at the bucketed CDC store
+    spark.range(5).selectExpr("id", "'u' AS s")
+      .createOrReplaceTempView("upd_src")
+    val em = intercept[Exception](spark.sql(
+      s"""MERGE INTO $t tgt USING upd_src src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET s = src.s""".stripMargin))
+    assert(msgs(em).exists(m => m.contains("MERGE INTO is deliberately") &&
+      m.contains("merge_cdc")), em.getMessage)
+    // the refusals mutated nothing; DELETE keeps its metadata-only path
+    assert(spark.sql(s"SELECT count(*) FROM $t WHERE s = 'x'")
+      .collect()(0).getLong(0) == 0L)
+    spark.sql(s"DELETE FROM $t WHERE id >= 30000")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0)
+      == 20L)
+  }
+
   test("CDC upsert is SQL-addressable: CALL init_doc_store + merge_cdc (r15, VERDICT r14 #2)") {
     useCatalog()
     val store = graft.TempRoots.path("sql_only_cdc_store")
