@@ -31,7 +31,9 @@ import scala.util.Random
   * monotonicity. */
 class CdcStreamFuzzSpec extends SparkTestBase {
 
-  private val Trials = 40
+  // widened one-off audits (the r15 convention): GRAFT_CDC_FUZZ_TRIALS=N
+  private val Trials =
+    sys.env.getOrElse("GRAFT_CDC_FUZZ_TRIALS", "40").toInt
 
   private def runTrial(t: Int): (Int, Boolean, Boolean) = {
     val dirF = new java.io.File(graft.TempRoots.path(s"cdc_fuzz_$t"))

@@ -39,7 +39,9 @@ import scala.util.Random
   * squash-on-empty history wipe (see JsonMeta.save). */
 class JsonMetaFuzzSpec extends SparkTestBase {
 
-  private val Trials = 100
+  // widened one-off audits (the r15 convention): GRAFT_META_FUZZ_TRIALS=N
+  private val Trials =
+    sys.env.getOrElse("GRAFT_META_FUZZ_TRIALS", "100").toInt
   // SQL deleteWhere outcome tally across trials (asserted non-vacuous:
   // the verb must both succeed and refuse somewhere in the sweep)
   private var sqlDeleteSucceeded = 0
