@@ -246,7 +246,28 @@ object EventStreams {
       else s"ingest-epoch-$opId-$batchId"
     graft.sources.JsonLease.withLease(fs, root, label,
       retrySameLabel = true) { h =>
-    val tmp = new org.apache.hadoop.fs.Path(root, "_ingest_tmp")
+    // CLAIM-UNIQUE staging (r16 — a real JsonLeaseRaceSpec find, round
+    // 52 of a full-suite run): the shared `_ingest_tmp` let a
+    // residual-window double-claimant's mode(overwrite) write CLOBBER
+    // the verified holder's staged parts between its tmp job and its
+    // publish renames — the holder then LISTED the other epoch's
+    // parts and renamed FOREIGN ROWS under its own epoch names (a
+    // silent wrong-content publish; the victim's later "could not
+    // publish" was loud, the thief's commit was not). A unique dir
+    // per attempt means every claimant only ever lists its own bytes;
+    // the lease's advisory residual then degrades to loud aborts,
+    // never content theft. Crashed attempts' dirs sweep by lease TTL
+    // (fresh ones may belong to a live racer in the residual window —
+    // spared, the clearStaleStage discipline).
+    try Option(fs.listStatus(root)).getOrElse(Array.empty)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_ingest_tmp") &&
+        System.currentTimeMillis() - st.getModificationTime >
+          graft.sources.JsonLease.DefaultTtlMs)
+      .foreach(st => fs.delete(st.getPath, true))
+    catch { case _: java.io.FileNotFoundException => () }
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_ingest_tmp_${java.util.UUID.randomUUID().toString.take(12)}")
     batch.repartition(nFiles).write.mode("overwrite").json(tmp.toString)
     // the tmp write is a full Spark job that can outlast the lease TTL
     // at scale: heartbeat, then re-check ownership BEFORE the first

@@ -264,39 +264,45 @@ class JsonReadRaceSpec extends SparkTestBase {
         cdcRead _)
 
     // ---- writer ops (the lease spec's shapes, uniform 3-row batches) --
-    def writerOp(): () => Seq[Long] = rnd.nextInt(5) match {
+    def writerOp(): (Seq[Long], () => Seq[Long]) = rnd.nextInt(5) match {
       case 0 | 1 =>
         val base = nextBase.getAndAdd(3L)
         registered.add(base)
-        () => {
+        (Seq(base, base + 1, base + 2), () => {
           spark.range(3).select((col("id") + base).as("id"),
               lit("w").as("s"))
             .write.format("graftjson").mode("append")
             .option("refreshMeta", rnd.nextBoolean().toString).save(dir)
           Seq(base, base + 1, base + 2)
-        }
+        })
       case 2 =>
         val base = nextBase.getAndAdd(3L)
         registered.add(base)
         val bid = nextBatch.getAndIncrement()
-        () => {
+        (Seq(base, base + 1, base + 2), () => {
           graft.streaming.EventStreams.ingestEpoch(
             spark.range(3).select((col("id") + base).as("id"),
               lit("e").as("s")),
             dir, batchId = bid, opId = s"readrace$bid")
           Seq(base, base + 1, base + 2)
-        }
+        })
       case 3 =>
-        () => { JsonCompact.compact(spark, dir, targetBytes = 1L << 20)
-          Seq.empty }
+        (Seq.empty[Long],
+          () => { JsonCompact.compact(spark, dir, targetBytes = 1L << 20)
+            Seq.empty })
       case 4 =>
-        () => { JsonMeta.vacuum(spark, dir, retainSaves = 2)
-          Seq.empty }
+        (Seq.empty[Long],
+          () => { JsonMeta.vacuum(spark, dir, retainSaves = 2)
+            Seq.empty })
     }
 
     val hardFailures = new ConcurrentLinkedQueue[Throwable]()
+    // publish-then-lease-loss groups: all-or-nothing maybes (the lease
+    // spec's at-least-once treatment — the data commit can land before
+    // the auxiliary meta verify loses the lease)
+    val maybeGroups = new ConcurrentLinkedQueue[Seq[Long]]()
     (1 to 100).foreach { round =>
-      val writer = writerOp()
+      val (writerIds, writer) = writerOp()
       val rs = Seq.fill(2)(readers(rnd.nextInt(readers.size)))
       val barrier = new CyclicBarrier(1 + rs.size)
       val results = new ConcurrentLinkedQueue[Seq[Long]]()
@@ -307,6 +313,9 @@ class JsonReadRaceSpec extends SparkTestBase {
           case t: Throwable =>
             if (!isBenign(chain(t), writerBenign, dirToken))
               hardFailures.add(t)
+            else if (chain(t).exists(_.contains("lost the writer lease"))
+              && writerIds.nonEmpty)
+              maybeGroups.add(writerIds)
         }
       })
       val rts = rs.map { r =>
@@ -335,12 +344,23 @@ class JsonReadRaceSpec extends SparkTestBase {
     assert(readerRuns.get() >= 150, s"only ${readerRuns.get()} reader runs")
     // final fold == sequential replay of the committed writer ops —
     // the writer-side half of the contract, same as the lease spec
+    // (incl. its all-or-nothing maybe treatment)
     import scala.jdk.CollectionConverters._
     val got = spark.read.format("graftjson").option("refresh", "true")
       .load(dir).select(col("id")).collect()
-      .map(_.getAs[Number](0).longValue).sorted.toSeq
-    assert(got == committed.asScala.toSeq.sorted,
-      s"row multiset diverged: got ${got.size}, expected ${committed.size}")
+      .map(_.getAs[Number](0).longValue).toSet
+    val acked = committed.asScala.toSet
+    val maybes = maybeGroups.asScala.toSeq
+    assert((acked -- got).isEmpty,
+      s"acknowledged rows missing: ${(acked -- got).take(5)}")
+    assert((got -- (acked ++ maybes.flatten)).isEmpty,
+      s"rows from no acknowledged or maybe op: " +
+        s"${(got -- (acked ++ maybes.flatten)).take(5)}")
+    maybes.foreach { g =>
+      val present = g.count(got.contains)
+      assert(present == 0 || present == g.size,
+        s"a publish-then-lease-loss op is TORN: $g, present $present")
+    }
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(JsonLease.leasePath(root)), "a lease survived")
