@@ -1823,7 +1823,64 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 4 IN (2, 3)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** The CDC-mirror OPERATOR (r16, [[graft.ops.CdcMirror]]): q255
+    * proved the feed's retract/insert algebra by applying it inline
+    * with full-frame anti-joins; this prices the LIBRARY consumer —
+    * one mirror partition per source file, retractions remove
+    * partition dirs, inserts land as one dynamic-partition-overwrite
+    * write, O(changed files) per batch. init seeds at save 2 (the
+    * baseline the feed swallows), one sync then replays an add, a
+    * whole-file delete, and another add; the mirror read must equal
+    * DuckDB's direct recompute of the surviving epochs (0, 2, 3) —
+    * a ghost partition (missed retraction) or a lost insert flips
+    * the checksums. Idempotent-replay and loud-reseed mechanics are
+    * pinned in CdcMirrorSpec. */
+  private val q257Lock = new Object
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempRoots.path(
+      s"graftjson_q257_${Integer.toHexString(dir.hashCode)}")
+    val src = s"$root/src"; val mirror = s"$root/mirror"
+    q257Lock.synchronized {
+      buildOnce(s, root) {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        def epoch(e: Long): Unit = EventStreams.ingestEpoch(
+          docs.where(pmod(col("doc_id"), lit(4)) === e), src, batchId = e)
+        epoch(0L); epoch(1L) // saves 1-2: the mirror's seed point
+        val start = graft.sources.JsonMeta.saves(s, src).last
+        graft.ops.CdcMirror.init(s, src, mirror, start)
+        epoch(2L) // save 3: an insert the mirror must gain
+        val rootP = new org.apache.hadoop.fs.Path(src)
+        val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(rootP).filter(st => st.isFile &&
+            st.getPath.getName.startsWith("epoch-000001"))
+          .foreach(st => fs.delete(st.getPath, false))
+        graft.sources.JsonMeta.save(s, src) // save 4: epoch 1 retracted
+        epoch(3L) // save 5
+        val q = graft.ops.CdcMirror
+          .writer(s, src, mirror, s"$root/ckpt", start)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+    }
+    graft.ops.CdcMirror.read(s, mirror)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 89).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q257Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 89) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 4 IN (0, 2, 3)
+      |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_cdc_mirror_op" -> (q257 _),
     "q255_cdc_mirror" -> (q255 _),
     "q254_file_provenance" -> (q254 _),
     "q253_cdc_stream" -> (q253 _),
@@ -1867,6 +1924,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q257_cdc_mirror_op" -> q257Sql,
     "q255_cdc_mirror" -> q255Sql,
     "q254_file_provenance" -> q254Sql,
     "q253_cdc_stream" -> q253Sql,

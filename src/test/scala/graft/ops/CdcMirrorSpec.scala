@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.sources.JsonMeta
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** [[CdcMirror]]: a parquet mirror stays EXACTLY consistent with a
+  * graftjson table through adds, in-place rewrites, and deletes, by
+  * per-file partition replacement driven from the cdcDeletes feed —
+  * O(changed files) per batch, idempotent under foreachBatch replay. */
+class CdcMirrorSpec extends SparkTestBase {
+
+  private def mkDir(name: String): java.io.File = {
+    val d = new java.io.File(graft.TempRoots.path(name)); d.mkdirs(); d
+  }
+  private def put(dir: java.io.File, file: String, text: String): Unit = {
+    val w = new java.io.FileWriter(new java.io.File(dir, file))
+    w.write(text); w.close()
+  }
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    if (!df.schema.fieldNames.contains("id")) Seq.empty
+    else df.select(col("id").cast("long")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+  private def liveIds(dir: java.io.File): Seq[Long] =
+    ids(spark.read.format("graftjson").option("refresh", "true")
+      .load(dir.toString))
+
+  test("init + sync tracks adds, rewrites, and deletes exactly; restarts replay idempotently; the live tail continues") {
+    val dir = mkDir("cdcmirror_src")
+    val mirror = graft.TempRoots.path("cdcmirror_out")
+    val ckpt = graft.TempRoots.path("cdcmirror_ckpt")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 1: the mirror's seed
+    val start = JsonMeta.saves(spark, dir.toString).head
+    CdcMirror.init(spark, dir.toString, mirror, start)
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(1L))
+    // upstream history: add, rewrite, delete
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 2
+    put(dir, "e0.json",
+      """{"id": 5, "s": "A"}""" + "\n" + """{"id": 6, "s": "B"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 3: e0 rewritten
+    assert(new java.io.File(dir, "e1.json").delete())
+    new java.io.File(dir, ".e1.json.crc").delete()
+    JsonMeta.save(spark, dir.toString) // save 4: e1 tombstone
+    put(dir, "e2.json", """{"id": 4, "s": "d"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 5
+    def sync(): Unit = {
+      val q = CdcMirror.writer(spark, dir.toString, mirror, ckpt, start)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    sync()
+    assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir),
+      s"mirror ${ids(CdcMirror.read(spark, mirror))} vs live ${liveIds(dir)}")
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(4L, 5L, 6L))
+    // restart with nothing new: idempotent, nothing double-applied
+    sync()
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(4L, 5L, 6L))
+    // live-tail continuation after catch-up completion: an unsaved
+    // append flows through as an insert
+    put(dir, "e3.json", """{"id": 9, "s": "z"}""" + "\n")
+    sync()
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(4L, 5L, 6L, 9L))
+    assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir))
+  }
+
+  test("a post-completion upstream delete ends the stream LOUDLY; re-seeding from a newer save converges the mirror") {
+    val dir = mkDir("cdcmirror_reseed_src")
+    val mirror = graft.TempRoots.path("cdcmirror_reseed_out")
+    val ckpt = graft.TempRoots.path("cdcmirror_reseed_ckpt")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val start = JsonMeta.saves(spark, dir.toString).head
+    CdcMirror.init(spark, dir.toString, mirror, start)
+    def sync(ck: String, from: Long): Unit = {
+      val q = CdcMirror.writer(spark, dir.toString, mirror, ck, from)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    sync(ckpt, start)
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(1L, 2L))
+    // upstream delete AFTER the feed completed: the old checkpoint's
+    // tail holds the file as consumed — loud, never silent drift
+    assert(new java.io.File(dir, "e1.json").delete())
+    new java.io.File(dir, ".e1.json.crc").delete()
+    JsonMeta.save(spark, dir.toString)
+    val e = intercept[Exception](sync(ckpt, start))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(
+        _.contains("must not run on a tailed directory"))), e.getMessage)
+    // the documented recovery: re-seed at the newest save, stream from
+    // there under a FRESH checkpoint
+    val head = JsonMeta.saves(spark, dir.toString).last
+    CdcMirror.init(spark, dir.toString, mirror, head)
+    sync(graft.TempRoots.path("cdcmirror_reseed_ckpt2"), head)
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(1L))
+    assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir))
+  }
+}
