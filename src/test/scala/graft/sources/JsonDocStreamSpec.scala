@@ -479,6 +479,36 @@ class JsonDocStreamSpec extends SparkTestBase {
       Seq("e1.json", "e2.json"))
   }
 
+  test("catch-up admission drift guard: a file rewritten between resolution and its batch fails LOUDLY, never reads the new bytes") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = mkDir("gjs_cdc_drift")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 1
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 2
+    put(dir, "e2.json", """{"id": 3, "s": "c"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 3
+    val saves = JsonMeta.saves(spark, dir.toString)
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val sch = JsonDocSource.sparkSchemaOf(t)
+    val st = new JsonDocMicroBatchStream(spark,
+      graft.TempRoots.path("gjs_cdc_drift_ckpt"), Seq(dir.toString),
+      whole = false, t, sch, sch, Array.empty, None, None, None,
+      Some(saves.head))
+    // admit save 2's delta only; save 3's e2 stays RESOLVED-not-admitted
+    val off = st.latestOffset(st.initialOffset(), ReadLimit.maxFiles(1))
+    assert(off.json.toLong == 0L)
+    // maintenance rewrites e2 in place before its batch lands
+    put(dir, "e2.json", """{"id": 99, "s": "XX"}""" + "\n")
+    val f = new java.io.File(dir, "e2.json")
+    assert(f.setLastModified(f.lastModified() + 5000))
+    val e = intercept[IllegalStateException] {
+      st.latestOffset(off, ReadLimit.maxFiles(1))
+    }
+    assert(e.getMessage.contains("drifted from its save-time"),
+      e.getMessage)
+  }
+
   test("cdcDeletes guards: streaming-only, needs startingSave, read-only table, name collision is loud") {
     val dir = mkDir("gjs_cdcdel_guards")
     put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
