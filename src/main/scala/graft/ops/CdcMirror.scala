@@ -68,31 +68,48 @@ object CdcMirror {
     * of the insert rows. Idempotent — safe under foreachBatch replay. */
   def apply(batch: DataFrame, mirrorDir: String): Unit = {
     val spark = batch.sparkSession
-    // the changed-file set is bounded by the batch's admission (files
-    // of one save under the rate limits) — driver-sized by contract
-    val ops = batch
-      .select(col(JsonMirrorCols.file), col(JsonMirrorCols.changeType))
-      .distinct().collect()
-    def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val dels = ops.filter(_.getString(1) == "delete").map(r => base(r.getString(0)))
-    val hasInserts = ops.exists(_.getString(1) == "insert")
-    val root = new Path(mirrorDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // retract-then-apply, the feed's own order: a rewrite's retraction
-    // and re-insert of the same file land delete-first
-    dels.foreach { b =>
-      fs.delete(new Path(root, s"$PartCol=$b"), true)
-      ()
-    }
-    if (hasInserts)
-      batch.where(col(JsonMirrorCols.changeType) === "insert")
-        .withColumn(PartCol, partKey)
-        .drop(JsonMirrorCols.file, JsonMirrorCols.changeType)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(PartCol)
-        .parquet(mirrorDir)
+    // ONE source pass: the batch is re-planned per action on a
+    // streaming source, so the ops probe and the insert write would
+    // otherwise each re-read every admitted file (review r16)
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the changed-file set is bounded by the batch's admission
+      // (files of one save under the rate limits) — driver-sized by
+      // contract
+      val ops = batch
+        .select(col(JsonMirrorCols.file), col(JsonMirrorCols.changeType))
+        .distinct().collect()
+      def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+      val dels = ops.filter(_.getString(1) == "delete")
+        .map(r => base(r.getString(0)))
+      val hasInserts = ops.exists(_.getString(1) == "insert")
+      val root = new Path(mirrorDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // retract-then-apply, the feed's own order: a rewrite's
+      // retraction and re-insert of the same file land delete-first.
+      // The on-disk dir name carries Spark's PARTITION-VALUE escaping
+      // (a basename with '=', '%', ':' writes escaped — deleting the
+      // raw name would silently miss and leave ghost rows; review r16)
+      dels.foreach { b =>
+        fs.delete(new Path(root, s"$PartCol=${escape(b)}"), true)
+        ()
+      }
+      if (hasInserts)
+        batch.where(col(JsonMirrorCols.changeType) === "insert")
+          .withColumn(PartCol, partKey)
+          .drop(JsonMirrorCols.file, JsonMirrorCols.changeType)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(PartCol)
+          .parquet(mirrorDir)
+    } finally batch.unpersist()
   }
+
+  /** Spark's own partition-value path escaping — the writer applies it
+    * to `_mf=` values, so the retraction delete must match it. */
+  private def escape(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v)
 
   /** A configured foreachBatch writer maintaining `mirrorDir` from
     * `srcDir`'s change feed since `startingSave` — add a trigger and

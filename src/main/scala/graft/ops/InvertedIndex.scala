@@ -537,11 +537,15 @@ object InvertedIndex {
     require(k >= 1, s"searchBm25Batch: k must be >= 1, got $k")
     val (nDocs, nTokens, nBuckets) = meta(spark, indexDir)
     val avgdl = nTokens.toDouble / nDocs
-    val qt = queryTerms.select(col("query_id").cast("bigint"),
-      col("term").cast("string")).distinct()
-    val terms = qt.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    require(terms.nonEmpty, "searchBm25Batch: empty query batch")
+    // ONE collect serves both the driver-side bucket pruning and the
+    // broadcast fan-out frame (the batch is driver-sized by contract)
+    val pairs = queryTerms.select(col("query_id").cast("bigint"),
+        col("term").cast("string")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(pairs.nonEmpty, "searchBm25Batch: empty query batch")
+    val terms = pairs.map(_._2).distinct
+    import spark.implicits._
+    val qt = pairs.toDF("query_id", "term")
     val p = postingsFor(spark, indexDir, terms, nBuckets)
     val dfs = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     p.join(broadcast(dfs), "term")

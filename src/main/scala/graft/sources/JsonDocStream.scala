@@ -122,18 +122,46 @@ private[sources] class JsonDocMicroBatchStream(
 
   private val baselinePath = new Path(logDir, CdcBaselineName)
   private val cdcDonePath = new Path(logDir, CdcDoneName)
+  private val cdcModePath = new Path(logDir, CdcModeName)
 
   locally {
     require(startingSave.isEmpty || (ps.size == 1 && !whole),
       "graftjson: startingSave needs exactly one NDJSON table directory " +
         "(the change feed resolves through its planning metadata)")
     fs.mkdirs(logDir)
+    // the cdcDeletes MODE is durable checkpoint state: its batch logs
+    // carry retraction entries and its sink schema carries the cdc
+    // columns — resuming the same checkpoint in the other mode would
+    // plan retraction entries without the reader that serves them (an
+    // unnamed ClassCastException) or silently change the row shape.
+    // Fail with a NAMED error instead (review r16).
+    val modeOnDisk = fs.exists(cdcModePath)
+    val anyDurable = fs.exists(baselinePath) ||
+      logIds(fs, logDir).nonEmpty
+    if (modeOnDisk && !cdcDeletes) throw new IllegalStateException(
+      s"graftjson stream: checkpoint $checkpointLocation was built " +
+        "with cdcDeletes=true — restart the stream with the same " +
+        "option (its batch logs carry retraction entries), or start " +
+        "over under a fresh checkpoint")
+    if (!modeOnDisk && cdcDeletes && anyDurable)
+      throw new IllegalStateException(
+        s"graftjson stream: checkpoint $checkpointLocation was built " +
+          "WITHOUT cdcDeletes — restart without the option (the sink's " +
+          "row shape has no cdc columns), or start over under a fresh " +
+          "checkpoint")
+    if (cdcDeletes && !modeOnDisk) { val o = fs.create(cdcModePath, true); o.close() }
     logIds(fs, logDir).foreach { id =>
       readLog(fs, logDir, id).foreach { e =>
         // len<0 marks a RETRACTION entry (mtime carries the save id):
         // it must never enter `seen` — the path has no live bytes for
-        // the append-only guard to fingerprint
-        if (e.len < 0L) seenRemoved += ((e.mtime, e.path))
+        // the append-only guard to fingerprint. It also SUPERSEDES an
+        // earlier admission of the same path (logs fold in id order):
+        // the feed told the consumer to drop that file, so the
+        // append-only guard must stop holding it (review r16 — a
+        // restart after an upstream delete of a served file would
+        // otherwise wedge the checkpoint on the disappeared-file
+        // error forever)
+        if (e.len < 0L) { seenRemoved += ((e.mtime, e.path)); seen -= e.path }
         else seen(e.path) = (e.len, e.mtime)
       }
       latestId = math.max(latestId, id)
@@ -163,8 +191,14 @@ private[sources] class JsonDocMicroBatchStream(
                   case p if !seenRemoved((c.save, p)) =>
                     LogEntry(p, -1L, c.save)
                 }.toList :::
+                // FINGERPRINT-filtered, not path-filtered: a served
+                // file rewritten upstream (retraction queued above)
+                // must re-admit its NEW form — a path filter would
+                // retract without re-inserting and a mirror would
+                // lose the file (review r16)
                 c.added.collect {
-                  case (p, l, m) if !seen.contains(p) => LogEntry(p, l, m)
+                  case (p, l, m) if !seen.get(p).contains((l, m)) =>
+                    LogEntry(p, l, m)
                 }.toList)
             }
           else
@@ -212,17 +246,29 @@ private[sources] class JsonDocMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val listing = JsonDocSource.listFiles(spark, ps)
     val present = listing.iterator.map(_._1).toSet
+    // a served file with a PENDING retraction queued for it (a restart
+    // re-resolved history and found a committed delete/rewrite of it)
+    // is legitimately allowed to be gone or changed: the feed is about
+    // to tell the consumer to drop it — the admission no longer holds
+    // it (r16 review; without cdcDeletes no retraction can exist and
+    // the guards stay absolute)
+    def retractionQueued(p: String): Boolean = cdcDeletes &&
+      pendingSaves.exists(_._2.exists(e => e.len < 0L && e.path == p))
     listing.foreach { case (p, len, mtime) =>
       seen.get(p).foreach { case (aLen, aMtime) =>
-        if (len != aLen || mtime != aMtime) throw new IllegalStateException(
-          s"graftjson stream: consumed file changed " +
-            s"(len $aLen -> $len, mtime $aMtime -> $mtime): $p — tailed " +
-            "directories are append-only (write new files; never " +
-            "rewrite or append in place)")
+        if (len != aLen || mtime != aMtime) {
+          if (retractionQueued(p)) seen -= p
+          else throw new IllegalStateException(
+            s"graftjson stream: consumed file changed " +
+              s"(len $aLen -> $len, mtime $aMtime -> $mtime): $p — tailed " +
+              "directories are append-only (write new files; never " +
+              "rewrite or append in place)")
+        }
       }
     }
-    seen.keysIterator.find(!present(_)).foreach { p =>
-      throw new IllegalStateException(
+    seen.keysIterator.filterNot(present).toSeq.foreach { p =>
+      if (retractionQueued(p)) seen -= p
+      else throw new IllegalStateException(
         s"graftjson stream: consumed file disappeared: $p — " +
           "compact()/recluster() must not run on a tailed directory")
     }
@@ -329,6 +375,28 @@ private[sources] class JsonDocMicroBatchStream(
           // retraction entry: one synthetic delete row, no file read
           Seq(CdcRemovePartition(entry.path): InputPartition)
         else {
+          // replay fingerprint check (review r16): the engine replays
+          // a committed-but-unprocessed batch from its log after a
+          // restart WITHOUT another latestOffset — a same-length
+          // in-place rewrite while the stream was down would be read
+          // silently under the old admission. One stat per admitted
+          // file, proportional to the batch.
+          val p = new Path(entry.path)
+          val st = try p.getFileSystem(conf).getFileStatus(p) catch {
+            case _: java.io.FileNotFoundException =>
+              throw new IllegalStateException(
+                s"graftjson stream: consumed file disappeared: " +
+                  s"${entry.path} — compact()/recluster() must not " +
+                  "run on a tailed directory")
+          }
+          if (st.getLen != entry.len ||
+            st.getModificationTime != entry.mtime)
+            throw new IllegalStateException(
+              s"graftjson stream: consumed file changed (len " +
+                s"${entry.len} -> ${st.getLen}, mtime ${entry.mtime} " +
+                s"-> ${st.getModificationTime}): ${entry.path} — " +
+                "tailed directories are append-only (write new files; " +
+                "never rewrite or append in place)")
           val splittable = !whole &&
             codecs.getCodec(new Path(entry.path)) == null
           if (!splittable || entry.len <= target)
@@ -364,6 +432,10 @@ private[sources] object JsonDocMicroBatchStream {
     * `batch-` prefix, so [[logIds]] never mistakes them for batches. */
   private[sources] val CdcBaselineName = "cdc-baseline"
   private[sources] val CdcDoneName = "cdc-done"
+  /** Durable cdcDeletes MODE marker: a checkpoint's batch logs and
+    * sink schema are mode-specific, so resuming in the other mode
+    * fails with a named error instead of misreading them. */
+  private[sources] val CdcModeName = "cdc-deletes-mode"
 
   private[sources] case class JsonStreamOffset(batchId: Long) extends Offset {
     override def json(): String = batchId.toString

@@ -66,6 +66,31 @@ class CdcMirrorSpec extends SparkTestBase {
     assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir))
   }
 
+  test("a retracted file whose basename needs partition-value ESCAPING still drops its mirror partition (no ghost rows)") {
+    val dir = mkDir("cdcmirror_esc_src")
+    val mirror = graft.TempRoots.path("cdcmirror_esc_out")
+    val ckpt = graft.TempRoots.path("cdcmirror_esc_ckpt")
+    // '=' and '%' force Spark's escapePathName in the partition dir —
+    // a raw-basename delete would silently miss it (review r16)
+    put(dir, "a=b%7.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val start = JsonMeta.saves(spark, dir.toString).head
+    CdcMirror.init(spark, dir.toString, mirror, start)
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(1L))
+    assert(new java.io.File(dir, "a=b%7.json").delete())
+    new java.io.File(dir, ".a=b%7.json.crc").delete()
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val q = CdcMirror.writer(spark, dir.toString, mirror, ckpt, start)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(2L),
+      s"ghost rows from the escaped partition: " +
+        ids(CdcMirror.read(spark, mirror)))
+    assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir))
+  }
+
   test("a post-completion upstream delete ends the stream LOUDLY; re-seeding from a newer save converges the mirror") {
     val dir = mkDir("cdcmirror_reseed_src")
     val mirror = graft.TempRoots.path("cdcmirror_reseed_out")

@@ -670,4 +670,17 @@ class PlanQualitySpec extends SparkTestBase {
     val r64 = df.where(col("trunc_dim") === 64L).collect()
     assert(r64.length == 1 && r64(0).getDouble(2) == 1.0, r64.mkString(","))
   }
+
+  test("q256: batch retrieval fans out by broadcast, ranks per query, never a cartesian") {
+    val p = plan("q256_hybrid_batch_rrf")
+    // the tiny (query_id, term) frame and the df table join the probed
+    // postings by BROADCAST — the batch fan-out must not shuffle the
+    // postings on term
+    assert(p.contains("BroadcastHashJoin"), p)
+    // per-QUERY rank windows: every top-k cut partitions by query_id —
+    // a global (partitionless) window would serialize the whole
+    // candidate pool through one task at scale
+    assert(p.contains("windowspecdefinition(query_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

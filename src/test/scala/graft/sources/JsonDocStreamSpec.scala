@@ -509,6 +509,135 @@ class JsonDocStreamSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("cdcDeletes restart after an upstream delete of a SERVED file: the queued retraction supersedes the admission — no wedge, exactly-once") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = mkDir("gjs_cdcdel_served")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 1
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 2
+    put(dir, "e2.json", """{"id": 3, "s": "c"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 3
+    val start = JsonMeta.saves(spark, dir.toString).head
+    val ckpt = graft.TempRoots.path("gjs_cdcdel_served_ckpt")
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val sch = JsonDocSource.sparkSchemaOf(t)
+    def stream() = new JsonDocMicroBatchStream(spark, ckpt,
+      Seq(dir.toString), whole = false, t, sch, sch, Array.empty,
+      None, None, None, Some(start), appendFilePath = false,
+      cdcDeletes = true)
+    // serve ONLY e1 (save 2's delta) — save 3 stays pending, so
+    // catch-up is genuinely incomplete (cdc-done not committed; a
+    // post-completion delete is the documented LOUD end instead)
+    val off0 = stream().latestOffset(stream().initialOffset(),
+      ReadLimit.maxFiles(1))
+    // upstream: a committed DELETE of the served file
+    assert(new java.io.File(dir, "e1.json").delete())
+    new java.io.File(dir, ".e1.json.crc").delete()
+    JsonMeta.save(spark, dir.toString) // save 4: e1 tombstone
+    // restart: the re-resolution queues e1's retraction — the
+    // disappeared-file guard must yield to it instead of wedging
+    var st = stream()
+    var off = st.latestOffset(off0, ReadLimit.allAvailable())
+    var prev = ""
+    var spins = 0
+    while (off.json != prev && spins < 10) {
+      prev = off.json; off = st.latestOffset(off, ReadLimit.allAvailable())
+      spins += 1
+    }
+    val logDir = new Path(ckpt, JsonDocMicroBatchStream.LogDirName)
+    val lfs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = JsonDocMicroBatchStream.logIds(lfs, logDir).flatMap(id =>
+      JsonDocMicroBatchStream.readLog(lfs, logDir, id))
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    // e1 admitted once, retracted once; e2 admitted once — and the
+    // mirror fold (baseline e0 held) lands on the live table
+    assert(entries.count(e => e.len >= 0 && base(e.path) == "e1.json") == 1)
+    assert(entries.count(e => e.len < 0 && base(e.path) == "e1.json") == 1)
+    assert(entries.count(e => e.len >= 0 && base(e.path) == "e2.json") == 1)
+    var mirror = Set("e0.json")
+    entries.foreach(e =>
+      if (e.len < 0) mirror -= base(e.path) else mirror += base(e.path))
+    assert(mirror == Set("e0.json", "e2.json"), mirror)
+  }
+
+  test("cdcDeletes restart after an upstream REWRITE of a served file: retract + re-admit the new form (fingerprint-filtered)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = mkDir("gjs_cdcdel_rewrite")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 1
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 2
+    put(dir, "e2.json", """{"id": 3, "s": "c"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 3 (keeps catch-up open)
+    val start = JsonMeta.saves(spark, dir.toString).head
+    val ckpt = graft.TempRoots.path("gjs_cdcdel_rewrite_ckpt")
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val sch = JsonDocSource.sparkSchemaOf(t)
+    def stream() = new JsonDocMicroBatchStream(spark, ckpt,
+      Seq(dir.toString), whole = false, t, sch, sch, Array.empty,
+      None, None, None, Some(start), appendFilePath = false,
+      cdcDeletes = true)
+    val off0 = stream().latestOffset(stream().initialOffset(),
+      ReadLimit.maxFiles(1)) // serves e1 v1 only; save 3 stays pending
+    // committed in-place rewrite while the stream is down
+    put(dir, "e1.json",
+      """{"id": 7, "s": "B"}""" + "\n" + """{"id": 8, "s": "C"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 4
+    var st = stream()
+    var off = st.latestOffset(off0, ReadLimit.allAvailable())
+    var prev = ""
+    var spins = 0
+    while (off.json != prev && spins < 10) {
+      prev = off.json; off = st.latestOffset(off, ReadLimit.allAvailable())
+      spins += 1
+    }
+    val logDir = new Path(ckpt, JsonDocMicroBatchStream.LogDirName)
+    val lfs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = JsonDocMicroBatchStream.logIds(lfs, logDir).flatMap(id =>
+      JsonDocMicroBatchStream.readLog(lfs, logDir, id))
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val e1 = entries.filter(e => base(e.path) == "e1.json")
+    // v1 admitted, retracted, v2 re-admitted with the NEW fingerprint
+    assert(e1.count(_.len >= 0) == 2 && e1.count(_.len < 0) == 1,
+      e1.toString)
+    val fps = e1.filter(_.len >= 0).map(e => (e.len, e.mtime))
+    assert(fps.distinct.size == 2, s"same fingerprint re-admitted: $fps")
+  }
+
+  test("cdcDeletes mode is durable checkpoint state: resuming in the other mode fails with a NAMED error") {
+    val dir = mkDir("gjs_cdcdel_mode")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val start = JsonMeta.saves(spark, dir.toString).head
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val sch = JsonDocSource.sparkSchemaOf(t)
+    // built WITH cdcDeletes, resumed without → named
+    val ckptA = graft.TempRoots.path("gjs_cdcdel_mode_a")
+    new JsonDocMicroBatchStream(spark, ckptA, Seq(dir.toString),
+      whole = false, t, sch, sch, Array.empty, None, None, None,
+      Some(start), appendFilePath = false, cdcDeletes = true)
+    val ea = intercept[IllegalStateException](
+      new JsonDocMicroBatchStream(spark, ckptA, Seq(dir.toString),
+        whole = false, t, sch, sch, Array.empty, None, None, None,
+        Some(start)))
+    assert(ea.getMessage.contains("was built with cdcDeletes=true"),
+      ea.getMessage)
+    // built WITHOUT, resumed with → named
+    val ckptB = graft.TempRoots.path("gjs_cdcdel_mode_b")
+    new JsonDocMicroBatchStream(spark, ckptB, Seq(dir.toString),
+      whole = false, t, sch, sch, Array.empty, None, None, None,
+      Some(start))
+    val eb = intercept[IllegalStateException](
+      new JsonDocMicroBatchStream(spark, ckptB, Seq(dir.toString),
+        whole = false, t, sch, sch, Array.empty, None, None, None,
+        Some(start), appendFilePath = false, cdcDeletes = true))
+    assert(eb.getMessage.contains("was built WITHOUT cdcDeletes"),
+      eb.getMessage)
+  }
+
   test("cdcDeletes guards: streaming-only, needs startingSave, read-only table, name collision is loud") {
     val dir = mkDir("gjs_cdcdel_guards")
     put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
