@@ -85,6 +85,12 @@ object InvertedIndex {
     * after it completes — readers fail fast in the window and the
     * crashed operation converges on a rerun (the store-wide crash
     * discipline of [[VectorOps.buildIvfIndex]]). */
+  /** Default driver bound on a retrieval batch's distinct
+    * (query_id, term) rows ([[searchBm25Batch]]) — a request batch is
+    * driver-sized by definition; rows past this are an eval corpus
+    * mis-pointed at the serving API and fail with a named error. */
+  val DefaultMaxBatchRows = 100000
+
   private val RebuildMarker = "_rebuild_pending"
   private val CompactMarker = "_compact_pending"
 
@@ -530,18 +536,37 @@ object InvertedIndex {
     * top-k cut is a rank window PARTITIONED BY query (q60/q172's batch
     * shape — a bounded heap per query after one hash exchange, never a
     * global sort); same determinism discipline as the single-query
-    * form (decimal contribs, round-4 scores, doc_id tiebreak). */
+    * form (decimal contribs, round-4 scores, doc_id tiebreak).
+    *
+    * `maxBatchRows` bounds the DRIVER-SIZED contract (r17 — VERDICT
+    * r16 #1): the batch's distinct (query_id, term) rows are collected
+    * for bucket pruning + broadcast fan-out, so the collect probes
+    * `maxBatchRows + 1` rows in ONE limit-pushdown job (the
+    * [[VectorOps]] smallQueryRows discipline) and fails with a NAMED
+    * error past the bound — an offline-eval-scale query corpus pointed
+    * at this API must shard, never silently OOM the driver. */
   def searchBm25Batch(spark: SparkSession, indexDir: String,
                       queryTerms: DataFrame, k: Int,
-                      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+                      k1: Double = 1.5, b: Double = 0.75,
+                      maxBatchRows: Int = DefaultMaxBatchRows): DataFrame = {
     require(k >= 1, s"searchBm25Batch: k must be >= 1, got $k")
+    require(maxBatchRows >= 1,
+      s"searchBm25Batch: maxBatchRows must be >= 1, got $maxBatchRows")
     val (nDocs, nTokens, nBuckets) = meta(spark, indexDir)
     val avgdl = nTokens.toDouble / nDocs
-    // ONE collect serves both the driver-side bucket pruning and the
-    // broadcast fan-out frame (the batch is driver-sized by contract)
-    val pairs = queryTerms.select(col("query_id").cast("bigint"),
+    // ONE collect serves the size guard, the driver-side bucket
+    // pruning, and the broadcast fan-out frame (a separate count would
+    // evaluate the query-side lineage twice)
+    val probed = queryTerms.select(col("query_id").cast("bigint"),
         col("term").cast("string")).distinct()
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .limit(maxBatchRows + 1).collect()
+    if (probed.length > maxBatchRows) throw new IllegalArgumentException(
+      s"searchBm25Batch: query batch exceeds the driver-sized contract " +
+        s"(> $maxBatchRows distinct (query_id, term) rows) — batch " +
+        "retrieval collects the query frame to the driver for postings-" +
+        "bucket pruning and broadcast fan-out; shard the request frame " +
+        "and fuse shards, or raise maxBatchRows deliberately")
+    val pairs = probed.map(r => (r.getLong(0), r.getString(1))).toSeq
     require(pairs.nonEmpty, "searchBm25Batch: empty query batch")
     val terms = pairs.map(_._2).distinct
     import spark.implicits._

@@ -96,18 +96,27 @@ object Retrieval {
     *                   duplicate rows ignored
     * @param queryVecs  (vec_id, embedding) — the SAME query_ids'
     *                   embedding forms (the IVF leg's id convention);
-    *                   their own ids never appear in their results */
+    *                   their own ids never appear in their results
+    * @param maxBatchRows driver bound on the batch's distinct
+    *                   (query_id, term) rows (r17 — VERDICT r16 #1):
+    *                   the text leg collects the query frame for
+    *                   bucket pruning + broadcast fan-out, so the
+    *                   frame must be driver-sized — past the bound the
+    *                   leg fails with a named error instead of a
+    *                   silent driver OOM; shard an eval-scale corpus */
   def hybridTopKBatch(spark: SparkSession, invIndexDir: String,
                       ivfIndexDir: String, queryTerms: DataFrame,
                       queryVecs: DataFrame, k: Int, pool: Int = 50,
-                      nProbe: Int = 4, rrfK: Int = 60): DataFrame = {
+                      nProbe: Int = 4, rrfK: Int = 60,
+                      maxBatchRows: Int =
+                        InvertedIndex.DefaultMaxBatchRows): DataFrame = {
     require(k >= 1 && pool >= k,
       s"hybridTopKBatch: need pool >= k >= 1, got k=$k pool=$pool")
     require(nProbe >= 1,
       s"hybridTopKBatch: nProbe must be >= 1, got $nProbe — zero " +
         "probes would silently degrade the fusion to text-only")
     val bm = InvertedIndex.searchBm25Batch(spark, invIndexDir,
-        queryTerms, pool)
+        queryTerms, pool, maxBatchRows = maxBatchRows)
       .select(col("query_id"), col("doc_id"), col("rank_text"))
     val vec = VectorOps.storedIndexTopK(spark, ivfIndexDir, queryVecs,
         pool, nProbe)

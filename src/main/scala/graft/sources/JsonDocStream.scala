@@ -149,7 +149,13 @@ private[sources] class JsonDocMicroBatchStream(
           "WITHOUT cdcDeletes — restart without the option (the sink's " +
           "row shape has no cdc columns), or start over under a fresh " +
           "checkpoint")
-    if (cdcDeletes && !modeOnDisk) { val o = fs.create(cdcModePath, true); o.close() }
+    // NOTE: the cdcDeletes mode marker is written AFTER the change-feed
+    // resolution below succeeds (ADVICE r16) — cdcResolve can fail on a
+    // fresh checkpoint (e.g. the named vacuum-retention error), and a
+    // marker created first would poison the otherwise-empty checkpoint:
+    // a retry without the option would then hit the misleading
+    // "was built with cdcDeletes=true" message though no batch logs or
+    // baseline were ever written.
     logIds(fs, logDir).foreach { id =>
       readLog(fs, logDir, id).foreach { e =>
         // len<0 marks a RETRACTION entry (mtime carries the save id):
@@ -175,6 +181,13 @@ private[sources] class JsonDocMicroBatchStream(
           .foreach(e => seen(e.path) = (e.len, e.mtime))
       if (!fs.exists(cdcDonePath)) {
         val res = JsonMeta.cdcResolve(spark, ps.head, sv)
+        // mode marker: durable only once resolution SUCCEEDED, and
+        // BEFORE any baseline/log write (a crash after the baseline but
+        // before the marker would otherwise trip the reverse
+        // "built WITHOUT cdcDeletes" check on restart)
+        if (cdcDeletes && !fs.exists(cdcModePath)) {
+          val o = fs.create(cdcModePath, true); o.close()
+        }
         if (!fs.exists(baselinePath)) {
           writeEntriesFile(fs, baselinePath,
             res.baseline.map { case (p, l, m) => LogEntry(p, l, m) })
@@ -251,9 +264,14 @@ private[sources] class JsonDocMicroBatchStream(
     // is legitimately allowed to be gone or changed: the feed is about
     // to tell the consumer to drop it — the admission no longer holds
     // it (r16 review; without cdcDeletes no retraction can exist and
-    // the guards stay absolute)
-    def retractionQueued(p: String): Boolean = cdcDeletes &&
-      pendingSaves.exists(_._2.exists(e => e.len < 0L && e.path == p))
+    // the guards stay absolute). Materialized ONCE per trigger (ADVICE
+    // r16): probing the pending-save lists per listed file was
+    // O(listing × pending entries) during a large catch-up.
+    val queuedRetractions: Set[String] =
+      if (!cdcDeletes) Set.empty
+      else pendingSaves.iterator.flatMap(_._2.iterator
+        .filter(_.len < 0L).map(_.path)).toSet
+    def retractionQueued(p: String): Boolean = queuedRetractions(p)
     listing.foreach { case (p, len, mtime) =>
       seen.get(p).foreach { case (aLen, aMtime) =>
         if (len != aLen || mtime != aMtime) {

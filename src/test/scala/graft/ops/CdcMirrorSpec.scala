@@ -125,4 +125,21 @@ class CdcMirrorSpec extends SparkTestBase {
     assert(ids(CdcMirror.read(spark, mirror)) == Seq(1L))
     assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir))
   }
+
+  test("init fails FAST when the table's data carries a _file field (ADVICE r16) — before any seed is written") {
+    val dir = mkDir("cdcmirror_shadow_src")
+    val mirror = graft.TempRoots.path("cdcmirror_shadow_out")
+    // a data field named _file SHADOWS the metadata column: without the
+    // guard, init would silently seed partitions from data VALUES and
+    // the loud failure would only arrive at writer()'s widenCdc check
+    put(dir, "e0.json", """{"id": 1, "_file": "not-a-path"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val start = JsonMeta.saves(spark, dir.toString).head
+    val e = intercept[IllegalArgumentException](
+      CdcMirror.init(spark, dir.toString, mirror, start))
+    assert(e.getMessage.contains("'_file' free"), e.getMessage)
+    // nothing was written — the bad seed never lands
+    assert(!new java.io.File(mirror).exists(),
+      "init wrote a seed despite the shadowed _file column")
+  }
 }

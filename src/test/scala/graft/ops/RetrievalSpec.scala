@@ -188,4 +188,27 @@ class RetrievalSpec extends SparkTestBase {
         batchVecs, k = 5, nProbe = 0))
     assert(e2.getMessage.contains("nProbe"), e2.getMessage)
   }
+
+  test("driver-sized contract is ENFORCED (r17 — VERDICT r16 #1): loud past the cap, identical results under it") {
+    // the fixture batch has 6 distinct (query_id, term) rows: a cap of
+    // 5 must fail with the NAMED message (and the probe collects at
+    // most cap+1 rows — never the whole frame)
+    val e = intercept[IllegalArgumentException](
+      Retrieval.hybridTopKBatch(spark, invDir, ivfDir, batchQt,
+        batchVecs, k = 12, pool = 30, nProbe = 4, maxBatchRows = 5))
+    assert(e.getMessage.contains("driver-sized contract"), e.getMessage)
+    assert(e.getMessage.contains("shard the request frame"), e.getMessage)
+    // a cap that exactly holds the batch changes NOTHING vs the default
+    def run(cap: Int) = Retrieval.hybridTopKBatch(spark, invDir, ivfDir,
+        batchQt, batchVecs, k = 12, pool = 30, nProbe = 4,
+        maxBatchRows = cap)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+    assert(run(6) == run(InvertedIndex.DefaultMaxBatchRows))
+    // the raw batch search enforces the same bound
+    val e2 = intercept[IllegalArgumentException](
+      InvertedIndex.searchBm25Batch(spark, invDir, batchQt, k = 5,
+        maxBatchRows = 3))
+    assert(e2.getMessage.contains("driver-sized contract"), e2.getMessage)
+  }
 }

@@ -638,6 +638,51 @@ class JsonDocStreamSpec extends SparkTestBase {
       eb.getMessage)
   }
 
+  test("a FAILED fresh cdcDeletes resolution does not poison the checkpoint (ADVICE r16): the mode marker lands only after cdcResolve succeeds") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = mkDir("gjs_cdcdel_poison")
+    put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    put(dir, "e1.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString)
+    val saves = JsonMeta.saves(spark, dir.toString)
+    JsonMeta.vacuum(spark, dir.toString, retainSaves = 1)
+    val t = JsonDocSource.inferCached(Seq(dir.toString), whole = false)._1
+    val sch = JsonDocSource.sparkSchemaOf(t)
+    val ckpt = graft.TempRoots.path("gjs_cdcdel_poison_ckpt")
+    def mk(cdc: Boolean, sv: Option[Long]) =
+      new JsonDocMicroBatchStream(spark, ckpt, Seq(dir.toString),
+        whole = false, t, sch, sch, Array.empty, None, None, None,
+        sv, appendFilePath = false, cdcDeletes = cdc)
+    // fresh checkpoint, cdcDeletes, vacuumed-away startingSave: the
+    // NAMED retention error fires during resolution
+    val e = intercept[IllegalStateException](mk(cdc = true,
+      Some(saves.head)))
+    assert(e.getMessage.contains("vacuum retention"), e.getMessage)
+    // the checkpoint stays CLEAN: no mode marker was written, so a
+    // retry WITHOUT the option starts normally instead of failing with
+    // the misleading "was built with cdcDeletes=true" message
+    val fs = new Path(ckpt).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(
+      new Path(ckpt, JsonDocMicroBatchStream.LogDirName),
+      JsonDocMicroBatchStream.CdcModeName)),
+      "the failed resolution left a mode marker behind")
+    val plain = mk(cdc = false, None)
+    val off = plain.latestOffset(plain.initialOffset(),
+      ReadLimit.allAvailable())
+    assert(off.json == "0") // both files admitted — the tail works
+    // and a cdcDeletes start at a RETAINED save commits the marker
+    val ckpt2 = graft.TempRoots.path("gjs_cdcdel_poison_ckpt2")
+    new JsonDocMicroBatchStream(spark, ckpt2, Seq(dir.toString),
+      whole = false, t, sch, sch, Array.empty, None, None, None,
+      Some(saves.last), appendFilePath = false, cdcDeletes = true)
+    assert(fs.exists(new Path(
+      new Path(ckpt2, JsonDocMicroBatchStream.LogDirName),
+      JsonDocMicroBatchStream.CdcModeName)),
+      "a successful resolution must still commit the durable mode marker")
+  }
+
   test("cdcDeletes guards: streaming-only, needs startingSave, read-only table, name collision is loud") {
     val dir = mkDir("gjs_cdcdel_guards")
     put(dir, "e0.json", """{"id": 1, "s": "a"}""" + "\n")
