@@ -37,7 +37,28 @@ import org.apache.spark.sql.functions._
   * a batch `asOfSave` read of the same save, written in the same
   * per-file layout (the `_file` metadata column provides the
   * partition key). Then [[writer]] streams `startingSave=k` with
-  * `cdcDeletes` into [[apply]] via foreachBatch. */
+  * `cdcDeletes` into [[apply]] via foreachBatch.
+  *
+  * ==Scheduling vs maintenance (the 100 TB operational rule)==
+  * File-level CDF is coarser than a row diff: an upstream
+  * `JsonCompact.compact`/`recluster` REWRITES files, so the feed
+  * re-emits every merged file — a retraction of each input plus an
+  * add of each output (exact, never silent; spec-pinned in
+  * CdcMirrorSpec), and the mirror rewrites O(compacted files)
+  * partitions in that one batch. Schedule accordingly:
+  *  - '''drain feeds before compacting''' — a compaction while a
+  *    mirror is mid-catch-up either replays as the storm above (if
+  *    committed into history) or ends the stream loudly at a drift
+  *    guard; post-completion it is always loud (tailed directories
+  *    are append-only). Run maintenance in the gap between a clean
+  *    drain and the next [[writer]] start.
+  *  - '''vacuum only below served saves''' — `JsonMeta.vacuum` above
+  *    a feed's starting save kills an unfinished catch-up with the
+  *    named retention error (a COMPLETED stream survives: cdc-done
+  *    never re-resolves). The retention message is the guard; this
+  *    rule is how an operator avoids tripping it.
+  * Recovery from either trip is the re-seed documented on [[init]]:
+  * `init` at a newer save + a fresh checkpoint. */
 object CdcMirror {
 
   private val PartCol = "_mf"

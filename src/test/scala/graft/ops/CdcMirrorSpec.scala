@@ -126,6 +126,54 @@ class CdcMirrorSpec extends SparkTestBase {
     assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir))
   }
 
+  test("a compaction in committed history re-emits EXACTLY the merged files through the feed (retract every input, add every output) — the documented O(table) storm, never anything silent") {
+    val dir = mkDir("cdcmirror_compact_src")
+    val mirror = graft.TempRoots.path("cdcmirror_compact_out")
+    val ckpt = graft.TempRoots.path("cdcmirror_compact_ckpt")
+    put(dir, "a.json", """{"id": 1, "s": "a"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 1: the mirror's seed
+    val start = JsonMeta.saves(spark, dir.toString).head
+    CdcMirror.init(spark, dir.toString, mirror, start)
+    put(dir, "b.json", """{"id": 2, "s": "b"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 2
+    put(dir, "c.json", """{"id": 3, "s": "c"}""" + "\n")
+    JsonMeta.save(spark, dir.toString) // save 3
+    val preCompact = Seq("a.json", "b.json", "c.json")
+    graft.sources.JsonCompact.compact(spark, dir.toString,
+      targetBytes = 4L << 10, refreshMeta = true) // save 4: one merged file
+    val merged = dir.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq
+    assert(merged.size == 1, s"compaction should merge to one file: $merged")
+    // the RESOLUTION is the contract: the compaction save retracts
+    // every merged input by name — including the baseline-seeded a —
+    // and re-adds exactly the compacted output; the pre-compaction
+    // saves contribute NO adds (their forms are dead, their rows
+    // arrive only through the merged file). File-level CDF is coarser
+    // than a row diff, never silent: O(merged files) re-emission.
+    val res = graft.sources.JsonMeta.cdcResolve(spark, dir.toString, start)
+    assert(res.baseline.isEmpty,
+      s"nothing survives the compaction identically: ${res.baseline}")
+    val storm = res.changes.find(_.save == 4L).get
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    assert(storm.removed.map(base).sorted == preCompact,
+      s"the storm must retract every merged input: ${storm.removed}")
+    assert(storm.added.map(t => base(t._1)) == Seq(merged.head.getName),
+      s"the storm must add exactly the compacted output: ${storm.added}")
+    assert(res.changes.filter(_.save < 4L).forall(_.added.isEmpty),
+      "a pre-compaction save emitted a dead form")
+    // and the MIRROR lands it: partitions a/b/c dropped, one merged
+    // partition holding all three rows
+    val q = CdcMirror.writer(spark, dir.toString, mirror, ckpt, start)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(ids(CdcMirror.read(spark, mirror)) == Seq(1L, 2L, 3L))
+    assert(ids(CdcMirror.read(spark, mirror)) == liveIds(dir))
+    val parts = new java.io.File(mirror).listFiles()
+      .filter(_.getName.startsWith("_mf=")).map(_.getName).toSeq
+    assert(parts == Seq(s"_mf=${merged.head.getName}"),
+      s"stale pre-compaction partitions survived: $parts")
+  }
+
   test("init fails FAST when the table's data carries a _file field (ADVICE r16) — before any seed is written") {
     val dir = mkDir("cdcmirror_shadow_src")
     val mirror = graft.TempRoots.path("cdcmirror_shadow_out")

@@ -225,12 +225,17 @@ class CdcStreamFuzzSpec extends SparkTestBase {
   // a duplicated (path, len, mtime) admission.
   // ---------------------------------------------------------------
 
-  /** Loud classes a MUTATING lifecycle may legitimately end with. */
+  /** Loud classes a MUTATING lifecycle may legitimately end with.
+    * The last entry is reachable only from the OPERATOR sweep below:
+    * `CdcMirror.init` seeds with an `asOfSave` read, whose named
+    * failure when a rewrite reused a historical name is part of the
+    * asOf fail-loud contract (JsonMeta.asOfListing). */
   private val mutLoud = Seq(
     "vacuum retention", "no longer reconstructible", "cannot be resolved",
     "physically removed", "drifted from its save-time",
     "tailed directories are append-only",
-    "must not run on a tailed directory", "has no save")
+    "must not run on a tailed directory", "has no save",
+    "name was reused after the historical bytes")
 
   private def loudClass(e: Throwable): Option[String] =
     Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
@@ -418,5 +423,216 @@ class CdcStreamFuzzSpec extends SparkTestBase {
     assert(clean >= 5, s"only $clean trials drained cleanly")
     assert(retractions >= 10, s"only $retractions retractions emitted")
     assert(loudByClass.nonEmpty, "no loud endings — the race never raced")
+  }
+
+  // ---------------------------------------------------------------
+  // OPERATOR sweep (r17 — VERDICT r16 #3): the mutating sweep above
+  // replays the batch LOGS; this one drives the real consumer —
+  // [[graft.ops.CdcMirror.apply]] through an actual foreachBatch
+  // streaming query — across random lifecycles with committed
+  // deletes/rewrites/compaction, PARTIAL drains (the query is stopped
+  // mid-catch-up, so restarts replay batches against the parquet
+  // mirror — the foreachBatch idempotence contract under real
+  // interruption), and chaos-mode mutations between cycles. After
+  // every clean drain the mirror's ROWS must equal an
+  // ENGINE-INDEPENDENT ground truth: the table's NDJSON bytes parsed
+  // directly with Jackson (never the engine's own reader).
+  // ---------------------------------------------------------------
+
+  private val MirrorTrials =
+    sys.env.getOrElse("GRAFT_CDC_MIRROR_FUZZ_TRIALS", "10").toInt
+
+  /** Every (id, s) row currently on disk, parsed straight from the
+    * NDJSON bytes — the ground truth the mirror must land on. */
+  private def parsedRows(dirF: java.io.File): Seq[(Long, String)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Option(dirF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().filter(_.trim.nonEmpty).map { ln =>
+          val n = om.readTree(ln)
+          (n.get("id").asLong, n.get("s").asText)
+        }.toVector finally src.close()
+      }.toSeq.sorted
+  }
+
+  private def mirrorRows(mirror: String): Seq[(Long, String)] = {
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.CdcMirror.read(spark, mirror)
+    if (!df.schema.fieldNames.contains("id")) Seq.empty
+    else df.select(col("id").cast("long"), col("s")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+  }
+
+  /** @return (loud class if any, retraction entries applied, whether a
+    *         partial — interrupted — drain happened) */
+  private def runMirrorTrial(t: Int): (Option[String], Int, Boolean) = {
+    val dirF = new java.io.File(graft.TempRoots.path(s"cdc_opfuzz_$t"))
+    dirF.mkdirs()
+    val dir = dirF.toString
+    val mirror = graft.TempRoots.path(s"cdc_opfuzz_mirror_$t")
+    val ckpt = graft.TempRoots.path(s"cdc_opfuzz_ckpt_$t")
+    val r = new Random(9700 + t)
+    var nFiles = 0
+    var rowId = 0
+    var clock = System.currentTimeMillis() - 3600L * 1000L
+    def writeName(name: String): Unit = {
+      new java.io.File(dirF, s".$name.crc").delete()
+      val w = new java.io.PrintWriter(new java.io.File(dirF, name))
+      (0 until (1 + r.nextInt(3))).foreach { _ =>
+        rowId += 1
+        w.println(s"""{"id": $rowId, "s": "m$rowId"}""")
+      }
+      w.close()
+      clock += 1000
+      assert(new java.io.File(dirF, name).setLastModified(clock))
+    }
+    def addFile(): Unit = { nFiles += 1; writeName(f"f$nFiles%03d.json") }
+    def liveNames(): Seq[String] =
+      Option(dirF.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(_.getName).toSeq.sorted
+    def deleteOne(): Unit = {
+      val live = liveNames()
+      if (live.size > 1) {
+        val victim = live(r.nextInt(live.size))
+        assert(new java.io.File(dirF, victim).delete())
+        new java.io.File(dirF, s".$victim.crc").delete()
+        JsonMeta.save(spark, dir)
+        ()
+      }
+    }
+    def rewriteOne(save: Boolean): Unit = {
+      val live = liveNames()
+      writeName(live(r.nextInt(live.size)))
+      if (save) JsonMeta.save(spark, dir)
+      ()
+    }
+    // base table, appends only — the mirror seeds at its LATEST save
+    // (the real operator's contract: init needs the save's bytes
+    // LIVE, and graftjson reclaims replaced bytes eagerly, so a
+    // mirror always seeds at — or near — the head; first harness
+    // draft learned this by dying at init 5 trials out of 10)
+    // few enough saves that the MaxSegments auto-squash stays a rare
+    // chaos-path ending instead of the dominant one
+    (0 until (2 + r.nextInt(2))).foreach { _ =>
+      addFile(); JsonMeta.save(spark, dir)
+    }
+    val startFrom = JsonMeta.saves(spark, dir).last
+    val chaos = r.nextBoolean()
+    var endedLoud: Option[String] = None
+    def loudly[A](body: => A): Option[A] =
+      try Some(body) catch {
+        case e: Exception if endedLoud.isEmpty =>
+          loudClass(e) match {
+            case Some(k) => endedLoud = Some(k); None
+            case None => throw e
+          }
+      }
+    loudly(graft.ops.CdcMirror.init(spark, dir, mirror, startFrom))
+    // committed history ABOVE the seed — the catch-up's replay
+    // material, with at least one delete and one rewrite so real
+    // retractions always flow through the operator
+    deleteOne(); rewriteOne(save = true)
+    (0 until r.nextInt(3)).foreach { _ =>
+      r.nextInt(6) match {
+        case 0 | 1 | 2 => addFile(); JsonMeta.save(spark, dir)
+        case 3 => deleteOne()
+        case 4 => rewriteOne(save = true)
+        case 5 => JsonCompact.compact(spark, dir,
+          targetBytes = 4L << 10, refreshMeta = true)
+      }
+    }
+    var partials = 0
+    // one sync cycle = one real AvailableNow streaming query feeding
+    // CdcMirror.apply; a PARTIAL cycle stops the query mid-drain —
+    // the restart's batch replay against the half-applied mirror is
+    // exactly the exactly-once-by-idempotence contract under test
+    def sync(full: Boolean): Unit = {
+      val q = spark.readStream.format("graftjson")
+        .option("startingSave", startFrom.toString)
+        .option("cdcDeletes", "true")
+        .option("maxFilesPerTrigger", (1 + r.nextInt(2)).toString)
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.ops.CdcMirror.apply(b, mirror))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        if (full) q.awaitTermination()
+        else if (!q.awaitTermination(250 + r.nextInt(500))) partials += 1
+      } finally {
+        // stop() on an already-failed query can rethrow its exception;
+        // a swallowed failure here re-fires at the next cycle (the
+        // drift guards run per trigger) or fails the final comparison
+        try q.stop() catch { case _: Throwable => () }
+      }
+    }
+    var steps = 0
+    while (endedLoud.isEmpty && steps < 5) {
+      steps += 1
+      r.nextInt(6) match {
+        case 0 | 1 =>
+          addFile()
+          if (r.nextBoolean()) { JsonMeta.save(spark, dir); () }
+        case 2 => if (chaos) deleteOne()
+        case 3 => if (chaos) rewriteOne(save = r.nextBoolean())
+        case 4 => if (chaos) loudly { JsonCompact.compact(spark, dir,
+          targetBytes = 4L << 10, refreshMeta = true) }
+        case 5 => ()
+      }
+      loudly(sync(full = r.nextInt(3) == 0))
+    }
+    if (endedLoud.isEmpty) loudly(sync(full = true))
+    if (endedLoud.isEmpty) {
+      val truth = parsedRows(dirF)
+      val got = mirrorRows(mirror)
+      assert(got == truth,
+        s"trial $t: mirror diverged from the parsed table " +
+          s"(mirror ${got.size} rows vs truth ${truth.size}; " +
+          s"missing ${(truth.toSet -- got.toSet).take(3)}, " +
+          s"extra ${(got.toSet -- truth.toSet).take(3)})")
+    }
+    // a REAL query nests the source's checkpoint under sources/0
+    // (Spark's per-source slot) — unlike the directly-constructed
+    // streams of the two harnesses above
+    val logDir = new Path(new Path(ckpt, "sources/0"),
+      JsonDocMicroBatchStream.LogDirName)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retractions =
+      try JsonDocMicroBatchStream.logIds(fs, logDir)
+        .flatMap(id => JsonDocMicroBatchStream.readLog(fs, logDir, id))
+        .count(_.len < 0L)
+      catch { case _: Throwable => 0 }
+    (endedLoud, retractions, partials > 0)
+  }
+
+  test("operator fuzz: the REAL CdcMirror.apply under random lifecycles, partial drains, and chaos mutations lands the parsed-bytes ground truth or ends loudly") {
+    var clean = 0; var retractions = 0; var interrupted = 0
+    val loudByClass = scala.collection.mutable.Map.empty[String, Int]
+    (0 until MirrorTrials).foreach { t =>
+      val (loud, rm, part) = runMirrorTrial(t)
+      retractions += rm
+      if (part) interrupted += 1
+      loud match {
+        case Some(k) => loudByClass(k) = loudByClass.getOrElse(k, 0) + 1
+        case None => clean += 1
+      }
+    }
+    info(s"cdc mirror operator fuzz: $MirrorTrials trials, $clean clean, " +
+      s"$retractions retractions, $interrupted interrupted, " +
+      s"loud=$loudByClass")
+    // non-vacuous both ways (the JsonMetaFuzzSpec convention): real
+    // ground-truth comparisons ran, real retractions flowed through
+    // the operator, real interrupted drains forced batch replays, and
+    // the chaos branch actually ended loudly at least once
+    assert(clean >= 3, s"only $clean trials compared the mirror")
+    assert(retractions >= 5, s"only $retractions retractions applied")
+    assert(interrupted >= 1, "no partial drain ever interrupted a query")
+    assert(loudByClass.nonEmpty, "chaos never produced a loud ending")
   }
 }
