@@ -1879,7 +1879,48 @@ object JsonQueries {
       |FROM documents WHERE doc_id % 4 IN (0, 2, 3)
       |GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** Hive-style partition-DIRECTORY pruning end to end (r17 —
+    * [[graft.sources.DirPartitions]]): the documents table exported
+    * by Spark's own `partitionBy("lang")` json writer into
+    * `lang=<value>/part-*.json` directories (the layout a 100 TB
+    * event store actually arrives in), read back with
+    * `dirPartitions=true` — the derived `lang` column comes from the
+    * directory names, and the `lang = 'en'` predicate prunes the
+    * LISTING: non-matching directories are never listed or statted
+    * (pinned with a counting filesystem in PlanQualitySpec). The
+    * doc-id checksum against DuckDB filtering the parquet original
+    * makes a wrongly pruned — or wrongly kept — directory flip a
+    * sum. */
+  private val q258Lock = new Object
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempRoots.path(
+      s"graftjson_q258_${Integer.toHexString(dir.hashCode)}")
+    q258Lock.synchronized {
+      buildOnce(s, out) {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .repartition(4)
+          .write.mode("overwrite").partitionBy("lang").json(out)
+      }
+    }
+    s.read.format("graftjson").option("dirPartitions", "true").load(out)
+      .where(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("bigint") * 11).as("key_check"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q258Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(doc_id * 11) AS BIGINT) AS key_check,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_dir_partitions" -> (q258 _),
     "q257_cdc_mirror_op" -> (q257 _),
     "q255_cdc_mirror" -> (q255 _),
     "q254_file_provenance" -> (q254 _),
@@ -1924,6 +1965,7 @@ object JsonQueries {
     "q91_stream_dedup" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q258_dir_partitions" -> q258Sql,
     "q257_cdc_mirror_op" -> q257Sql,
     "q255_cdc_mirror" -> q255Sql,
     "q254_file_provenance" -> q254Sql,

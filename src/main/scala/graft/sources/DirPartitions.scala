@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Hive-style partition-DIRECTORY reading for graftjson tables (r17 —
+  * VERDICT r16 #5): a 100 TB event store arrives as
+  * `dt=2026-08-16/part-*.json` subdirectories, and the partition
+  * values must prune the LISTING — a predicate on the partition
+  * column keeps whole directories out of the scan before any file is
+  * listed, statted, or zone-consulted. Opt-in via
+  * `option("dirPartitions", "true")`; READ-SIDE ONLY (writes,
+  * streaming, time travel, CDC, and DELETE reject loudly), ONE
+  * partition level (the tight r17 scope).
+  *
+  * Layout contract (derived, validated loudly — never guessed):
+  * every non-hidden immediate child of the table directory must be a
+  * DIRECTORY named `<col>=<value>` with one consistent column name; a
+  * loose data file or a second key fails with a named error. Values
+  * are Spark/Hive path-unescaped; the `__HIVE_DEFAULT_PARTITION__`
+  * sentinel reads as SQL NULL. The column is BIGINT when every
+  * non-null value is a CANONICAL long (optional '-', no leading
+  * zeros — `month=07` deliberately stays the string "07" rather than
+  * surprising as 7), else STRING.
+  *
+  * Predicate discipline (the exact-filter rule, directory grain): a
+  * filter is CONSUMED (accepted with no residual, directories pruned)
+  * only when it references the partition column alone and every node
+  * of it evaluates under full SQL three-valued logic — equality /
+  * IN / null tests on both types, range comparisons for the BIGINT
+  * column only (string ordering differs between Java and UTF-8
+  * byte order, the zone-map lesson), prefix match for STRING,
+  * And/Or/Not composition. Anything else stays a residual Spark
+  * Filter over the materialized column — correct, just unpruned.
+  * Consuming a partition predicate disables aggregate/TopN/LIMIT
+  * metadata pushes for that scan (their row guarantees count files
+  * the pruning removes); zone-map file skipping within the kept
+  * directories still applies. */
+private[sources] object DirPartitions {
+
+  /** Hive's on-disk name for a null partition value. */
+  val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** A derived single-level partition spec. `dirs` maps each
+    * immediate `col=value` child DIRECTORY NAME to its decoded value
+    * (None = the null sentinel); values are java.lang.Long when
+    * `isLong`, String otherwise. */
+  final case class Spec(rootQualified: String, col: String,
+                        isLong: Boolean,
+                        dirs: Seq[(String, Option[Any])]) {
+    def field: StructField =
+      StructField(col, if (isLong) LongType else StringType,
+        nullable = true)
+    def dirPath(name: String): String = s"$rootQualified/$name"
+    /** Directory names surviving a consumed conjunction. */
+    def keptUnder(consumed: Seq[Filter]): Seq[String] =
+      dirs.collect { case (name, v)
+        if consumed.forall(f => tri(f, v, isLong).contains(true)) => name }
+  }
+
+  private def unescape(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
+
+  private val CanonicalLong = "^-?(0|[1-9][0-9]{0,18})$".r
+
+  private def decodeValue(raw: String): Option[String] = {
+    val u = unescape(raw)
+    if (u == NullDir) None else Some(u)
+  }
+
+  /** Derive and validate the spec from the table directory's
+    * IMMEDIATE children — one listStatus, no recursion (the pruned
+    * subtrees must never be walked, that is the whole point). */
+  def derive(spark: SparkSession, dir: String): Spec = {
+    val root0 = new Path(dir)
+    val fs = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(root0)
+    val children = fs.listStatus(root).toSeq
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+    require(children.nonEmpty,
+      s"graftjson: dirPartitions found no partition directories " +
+        s"under $dir")
+    val parsed = children.map { st =>
+      val n = st.getPath.getName
+      val eq = n.indexOf('=')
+      require(st.isDirectory && eq > 0,
+        s"graftjson: dirPartitions requires every child of $dir to " +
+          s"be a <column>=<value> directory, but found: $n" +
+          (if (!st.isDirectory) " (a data file)" else ""))
+      (unescape(n.substring(0, eq)), n, n.substring(eq + 1))
+    }
+    val keys = parsed.map(_._1).distinct
+    require(keys.size == 1,
+      s"graftjson: dirPartitions supports exactly ONE partition " +
+        s"column, but $dir mixes: ${keys.sorted.mkString(", ")}")
+    val col = keys.head
+    val rawValues = parsed.map { case (_, name, raw) =>
+      (name, decodeValue(raw))
+    }
+    val isLong = rawValues.forall(_._2.forall(v =>
+      CanonicalLong.pattern.matcher(v).matches() &&
+        (try { java.lang.Long.parseLong(v); true }
+        catch { case _: NumberFormatException => false })))
+    val dirs = rawValues.map { case (name, v) =>
+      name -> v.map(s =>
+        if (isLong) java.lang.Long.valueOf(s): Any else s: Any)
+    }.sortBy(_._1)
+    Spec(root.toString, col, isLong, dirs)
+  }
+
+  /** The partition value of a data file, from its qualified path —
+    * the component directly under the table root. Null for the null
+    * sentinel; throws (named) on a path outside the derived tree,
+    * which the listing construction makes unreachable. */
+  def valueOf(rootQualified: String, isLong: Boolean,
+              filePath: String): Any = {
+    val prefix = rootQualified + "/"
+    require(filePath.startsWith(prefix),
+      s"graftjson: dirPartitions file $filePath is outside the " +
+        s"table root $rootQualified")
+    val rest = filePath.substring(prefix.length)
+    val slash = rest.indexOf('/')
+    val comp = if (slash < 0) rest else rest.substring(0, slash)
+    val eq = comp.indexOf('=')
+    require(eq > 0, s"graftjson: dirPartitions file $filePath is not " +
+      s"under a <column>=<value> directory of $rootQualified")
+    decodeValue(comp.substring(eq + 1)) match {
+      case None => null
+      case Some(s) =>
+        if (isLong) java.lang.Long.valueOf(s) else s
+    }
+  }
+
+  /** True when `f` references ONLY the partition column and every
+    * node is a shape [[tri]] evaluates exactly. */
+  def consumable(f: Filter, col: String, isLong: Boolean): Boolean =
+    f.references.toSet == Set(col) && shapeOk(f, isLong)
+
+  private def shapeOk(f: Filter, isLong: Boolean): Boolean = f match {
+    case EqualTo(_, v) => litOk(v, isLong)
+    case EqualNullSafe(_, v) => v == null || litOk(v, isLong)
+    case In(_, vs) => vs.forall(v => v == null || litOk(v, isLong))
+    case IsNull(_) | IsNotNull(_) => true
+    case GreaterThan(_, v) => isLong && litOk(v, isLong)
+    case GreaterThanOrEqual(_, v) => isLong && litOk(v, isLong)
+    case LessThan(_, v) => isLong && litOk(v, isLong)
+    case LessThanOrEqual(_, v) => isLong && litOk(v, isLong)
+    case StringStartsWith(_, p) => !isLong && p != null
+    case And(l, r) => shapeOk(l, isLong) && shapeOk(r, isLong)
+    case Or(l, r) => shapeOk(l, isLong) && shapeOk(r, isLong)
+    case Not(c) => shapeOk(c, isLong)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _ => false
+  }
+
+  private def litOk(v: Any, isLong: Boolean): Boolean = v match {
+    // only EXACT integral literal classes — a float/double literal
+    // never proves (the zone-map rule), and Spark casts the COLUMN
+    // for mixed-type comparisons anyway (untranslatable to a source
+    // Filter, so such predicates never reach here)
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => isLong
+    case _: String => !isLong
+    case _ => false
+  }
+
+  private def longOf(v: Any): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalStateException(
+      s"dirPartitions: non-numeric literal $other passed shapeOk")
+  }
+
+  /** SQL three-valued evaluation of a [[shapeOk]] filter against one
+    * partition value: Some(true)=keep, Some(false)=drop, None=NULL
+    * (drops — a filter keeps only TRUE rows). Pre-validated shapes
+    * only. */
+  private[sources] def tri(f: Filter, v: Option[Any],
+                           isLong: Boolean): Option[Boolean] = f match {
+    case EqualTo(_, lit) =>
+      v.map(x => if (isLong) longOf(x) == longOf(lit) else x == lit)
+    case EqualNullSafe(_, lit) =>
+      Some(if (lit == null) v.isEmpty
+      else v.exists(x =>
+        if (isLong) longOf(x) == longOf(lit) else x == lit))
+    case In(_, lits) =>
+      v match {
+        case None => None
+        case Some(x) =>
+          val nonNull = lits.filter(_ != null)
+          val hit = nonNull.exists(l =>
+            if (isLong) longOf(x) == longOf(l) else x == l)
+          if (hit) Some(true)
+          // SQL IN with a null element: no match is NULL, not false
+          else if (lits.exists(_ == null)) None
+          else Some(false)
+      }
+    case IsNull(_) => Some(v.isEmpty)
+    case IsNotNull(_) => Some(v.isDefined)
+    case GreaterThan(_, lit) => v.map(x => longOf(x) > longOf(lit))
+    case GreaterThanOrEqual(_, lit) => v.map(x => longOf(x) >= longOf(lit))
+    case LessThan(_, lit) => v.map(x => longOf(x) < longOf(lit))
+    case LessThanOrEqual(_, lit) => v.map(x => longOf(x) <= longOf(lit))
+    case StringStartsWith(_, p) =>
+      v.map(_.asInstanceOf[String].startsWith(p))
+    case And(l, r) =>
+      (tri(l, v, isLong), tri(r, v, isLong)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None // Kleene: true AND null / null AND null
+      }
+    case Or(l, r) =>
+      (tri(l, v, isLong), tri(r, v, isLong)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case Not(c) => tri(c, v, isLong).map(!_)
+    case AlwaysTrue() => Some(true)
+    case AlwaysFalse() => Some(false)
+    case other => throw new IllegalStateException(
+      s"dirPartitions: filter $other passed shapeOk but has no " +
+        "evaluation — extend tri() and shapeOk() together")
+  }
+}

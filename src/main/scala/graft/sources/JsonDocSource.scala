@@ -113,6 +113,38 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   private def cdcDeletesOf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("cdcDeletes", false)
 
+  /** `dirPartitions=true` (r17): read the table as a Hive-style
+    * single-level partition tree — `<col>=<value>/` child directories
+    * carry a derived partition column, and predicates on it prune the
+    * LISTING before any file is statted ([[DirPartitions]]). */
+  private def dirPartitionsOf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("dirPartitions", false)
+
+  // one listStatus per .load(), like the inference memo
+  private var partMemo: Option[(String, DirPartitions.Spec)] = None
+  private def partSpecOf(options: CaseInsensitiveStringMap)
+      : Option[DirPartitions.Spec] =
+    if (!dirPartitionsOf(options)) None
+    else {
+      val ps = paths(options)
+      require(ps.size == 1,
+        "graftjson: dirPartitions needs exactly one table directory")
+      require(!options.getBoolean("whole", false),
+        "graftjson: dirPartitions does not support whole=true")
+      require(snapshotOf(options).isEmpty,
+        "graftjson: dirPartitions is incompatible with asOfSave/" +
+          "sinceSave — time travel resolves a flat durable listing")
+      require(!cdcDeletesOf(options),
+        "graftjson: dirPartitions is incompatible with cdcDeletes")
+      partMemo match {
+        case Some((d, s)) if d == ps.head => Some(s)
+        case _ =>
+          val s = DirPartitions.derive(SparkSession.active, ps.head)
+          partMemo = Some((ps.head, s))
+          Some(s)
+      }
+    }
+
   /** The PINNED-snapshot label when either history option is set —
     * drives the read-only/unstreamable guards and the scan reading its
     * resolved population instead of the live listing. */
@@ -158,7 +190,16 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val s = JsonDocSource.sparkSchemaOf(inferBoth(options)._1)
+    // the option-combination guards in partSpecOf fire FIRST — their
+    // named messages beat whatever inference would trip over
+    val partSpec = partSpecOf(options)
+    val s0 = JsonDocSource.sparkSchemaOf(inferBoth(options)._1)
+    val s = partSpec match {
+      case Some(spec) =>
+        JsonDocSource.requirePartColFree(s0, spec)
+        StructType(s0.fields :+ spec.field)
+      case None => s0
+    }
     if (cdcDeletesOf(options)) JsonDocSource.widenCdc(s, options) else s
   }
 
@@ -178,18 +219,25 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
     // strictness: a scan on a mismatched table throws the same
     // message the old require raised.
     val inferredOpt =
-      try Some(inferBoth(options))
+      try {
+        // combination guards first (see inferSchema)
+        val partSpec = partSpecOf(options)
+        Some((inferBoth(options), partSpec))
+      }
       catch { case _: java.io.FileNotFoundException => None }
     val cdc = cdcDeletesOf(options)
     inferredOpt match {
-      case Some((t, zones, fingerprint)) =>
+      case Some(((t, zones, fingerprint), partSpec)) =>
         val inferred0 = JsonDocSource.sparkSchemaOf(t)
+        partSpec.foreach(JsonDocSource.requirePartColFree(inferred0, _))
+        val inferred1 = partSpec.fold(inferred0)(s =>
+          StructType(inferred0.fields :+ s.field))
         val inferred =
-          if (cdc) JsonDocSource.widenCdc(inferred0, options) else inferred0
+          if (cdc) JsonDocSource.widenCdc(inferred1, options) else inferred1
         if (schema == inferred)
           new JsonDocTable(ps, whole, t, inferred, zones, fingerprint,
             readError = None, snapshot = snapshotOf(options),
-            cdcDeletes = cdc)
+            cdcDeletes = cdc, dirPart = partSpec)
         else
           // a user-supplied READ schema must BE the inferred one: the
           // reader converts through the HType tree (unions and all),
@@ -200,8 +248,16 @@ class JsonDocSource extends TableProvider with DataSourceRegister {
               s"graftjson: user schema must match the inferred schema\n" +
                 s"  given:    ${schema.simpleString}\n" +
                 s"  inferred: ${inferred.simpleString}"),
-            snapshot = snapshotOf(options), cdcDeletes = cdc)
+            snapshot = snapshotOf(options), cdcDeletes = cdc,
+            dirPart = partSpec)
       case None =>
+        // a dirPartitions READ of a missing tree must fail loudly here
+        // (the write-only fallback below exists for the write flow,
+        // and dirPartitions tables reject writes)
+        require(!dirPartitionsOf(options),
+          s"graftjson: path not found: ${ps.mkString(", ")} " +
+            "(dirPartitions is read-side only — the partition tree " +
+            "must already exist)")
         new JsonDocTable(ps, whole, HNull, schema, None, Seq.empty,
           readError = Some(
             s"graftjson: path not found: ${ps.mkString(", ")}"),
@@ -447,6 +503,15 @@ private[graft] object JsonDocSource {
         "but the table's data carries a field of that name"))
     StructType(s.fields ++ cdcFields)
   }
+  /** A derived partition column must not collide with a data field —
+    * named like widenCdc's guard. */
+  private[sources] def requirePartColFree(s: StructType,
+                                          spec: DirPartitions.Spec): Unit =
+    require(!s.fieldNames.contains(spec.col),
+      s"graftjson: dirPartitions derives the column '${spec.col}' from " +
+        "the directory names, but the table's data carries a field of " +
+        "that name")
+
   private[sources] object FileMetadataColumn
       extends org.apache.spark.sql.connector.catalog.MetadataColumn {
     override def name(): String = FileColName
@@ -560,7 +625,8 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
                            fingerprint: Seq[(String, Long, Long)],
                            readError: Option[String],
                            snapshot: Option[String] = None,
-                           cdcDeletes: Boolean = false)
+                           cdcDeletes: Boolean = false,
+                           dirPart: Option[DirPartitions.Spec] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -582,7 +648,8 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
     * re-decides under the lease. */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    !whole && snapshot.isEmpty && ps.size == 1 && readError.isEmpty &&
+    !whole && snapshot.isEmpty && dirPart.isEmpty && ps.size == 1 &&
+      readError.isEmpty &&
       JsonDocDelete.decide(SparkSession.active, ps.head,
         filters.toIndexedSeq).isDefined
   override def deleteWhere(
@@ -592,6 +659,9 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
       "whoever places the files")
     require(snapshot.isEmpty,
       "graftjson: a pinned-snapshot (asOfSave/sinceSave) table is read-only")
+    require(dirPart.isEmpty,
+      "graftjson: DELETE on a dirPartitions table is unsupported — " +
+        "run the metadata-only DELETE per partition directory")
     require(ps.size == 1,
       s"graftjson: DELETE needs exactly one table directory, got: " +
         ps.mkString(", "))
@@ -619,17 +689,28 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
         "available through a catalog identifier — use " +
         "readStream.format(\"graftjson\").option(\"cdcDeletes\", true)" +
         ".option(\"startingSave\", k).load(dir)")
+    // dirPartitions resolves at TABLE load too (it widens the schema
+    // and derives the spec) — same loud guard as cdcDeletes above
+    require(dirPart.isDefined || !options.getBoolean("dirPartitions", false),
+      "graftjson: dirPartitions resolves when the table loads — use " +
+        "spark.read.format(\"graftjson\").option(\"dirPartitions\", " +
+        "true).load(dir)")
     // the scan plans over the DATA schema; the CDC columns are
-    // appended by the stream's reader, never materialized from JSON
-    val dataSchema =
+    // appended by the stream's reader, never materialized from JSON —
+    // and the derived partition column by the batch reader, from the
+    // file's directory
+    val dataSchema0 =
       if (cdcDeletes) StructType(schema.fields.dropRight(2)) else schema
+    val dataSchema =
+      if (dirPart.isDefined) StructType(dataSchema0.fields.dropRight(1))
+      else dataSchema0
     new JsonDocScanBuilder(ps, whole, t, dataSchema,
       Option(options.get("maxSplitBytes")).map(_.toLong), zones, fingerprint,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       snapshot = snapshot,
       startingSave = Option(options.get("startingSave")).map(_.toLong),
-      cdcDeletes = cdcDeletes)
+      cdcDeletes = cdcDeletes, dirPart = dirPart)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -639,6 +720,10 @@ private class JsonDocTable(ps: Seq[String], whole: Boolean, t: HType,
     require(!cdcDeletes,
       "graftjson: a cdcDeletes change-feed table is read-only (its " +
         "schema carries the synthetic _file/_change_type columns)")
+    require(dirPart.isEmpty,
+      "graftjson: dirPartitions is read-side only — write each " +
+        "partition's files into its <column>=<value> directory " +
+        "directly (the plain path writer per partition)")
     require(ps.size == 1,
       s"graftjson: writes need exactly one target directory, got: " +
         ps.mkString(", "))
@@ -655,7 +740,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
                                  maxBytesPerTrigger: Option[Long] = None,
                                  snapshot: Option[String] = None,
                                  startingSave: Option[Long] = None,
-                                 cdcDeletes: Boolean = false)
+                                 cdcDeletes: Boolean = false,
+                                 dirPart: Option[DirPartitions.Spec] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -669,6 +755,15 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   // rejects — are exactly what nested zones prune on
   private var offered: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pushedMeta: Option[(StructType, Seq[Seq[Any]])] = None
+  // dirPartitions (r17): partition-directory names surviving the
+  // CONSUMED partition predicates (None = no pruning), and whether ANY
+  // partition predicate was offered — the latter gates every
+  // metadata-answering push below, because those count rows over
+  // files the pruning removes (their zone proofs cannot see a column
+  // that lives in directory names, so they would answer over the FULL
+  // listing: wrong, not just stale)
+  private var partKept: Option[Seq[String]] = None
+  private var partEngaged: Boolean = false
 
   /** COUNT(*) / MIN / MAX with no grouping, no filters, answered from
     * zone-map metadata — the `count(*), min(ts), max(ts)` corpus
@@ -698,8 +793,10 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // a BATCH plan carrying the streaming-only startingSave option
     // must reach JsonDocScan.toBatch's loud rejection — a completed
     // aggregate pushdown would short-circuit into a JsonDocMetaScan
-    // that silently answers from LIVE zone metadata (self-review r15)
-    if (startingSave.isDefined) None
+    // that silently answers from LIVE zone metadata (self-review r15).
+    // A partition predicate declines the same way: zones answer over
+    // the full listing, pruning restricts rows to the kept dirs
+    if (startingSave.isDefined || partEngaged) None
     else metaMemo match {
       case Some((a, r)) if a eq agg => r
       case _ =>
@@ -743,7 +840,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     * kept but count nothing); declines when the guarantee cannot be
     * met or a file is un-zoned. */
   override def pushLimit(limit: Int): Boolean = {
-    if (limit <= 0 || zones.isEmpty) return false
+    // partition predicates remove files the prefix guarantee counts
+    if (limit <= 0 || zones.isEmpty || partEngaged) return false
     if (offered.exists(f => !pushed.contains(f))) return false
     val current = freshListing
     if (current != fingerprint) return false
@@ -797,7 +895,9 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
-    if (limit <= 0 || orders.isEmpty || zones.isEmpty) return false
+    // partition predicates remove files the top-k guarantee counts
+    if (limit <= 0 || orders.isEmpty || zones.isEmpty || partEngaged)
+      return false
     // filters participate ONLY as a fully-pushed exact conjunction
     // (no residual — Spark does not offer TopN across a residual
     // Filter anyway; guard regardless): an ALL-MATCH file's rows all
@@ -1205,6 +1305,9 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   // field named _file shadows it)
   private var fileFieldRaw: Option[org.apache.spark.sql.types.StructField] =
     None
+  // the requested derived partition column (dirPartitions), verbatim
+  private var partFieldRaw: Option[org.apache.spark.sql.types.StructField] =
+    None
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // NESTED pruning accepted: Spark's SchemaPruning may hand nested-
     // pruned struct types (e.g. `meta.date` of a wide struct, or just
@@ -1218,6 +1321,12 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     fileFieldRaw = requiredSchema.fields.find(f =>
       f.name == JsonDocSource.FileColName &&
         !full.fieldNames.contains(JsonDocSource.FileColName))
+    // the derived partition column is a DATA column of the widened
+    // table schema but not of `full` (the reader appends it from the
+    // file's directory, never materializes it from JSON) — capture
+    // whether the plan wants it, like the metadata column above
+    partFieldRaw = dirPart.flatMap(s =>
+      requiredSchema.fields.find(_.name == s.col))
     required = StructType(requiredSchema.fields.filter(f =>
       full.fieldNames.contains(f.name)))
   }
@@ -1231,6 +1340,29 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     * node owns correctness and the source only reduces row volume. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
+    // dirPartitions (r17): predicates on the derived partition column
+    // split off first. A filter referencing the column ALONE whose
+    // every node evaluates exactly under 3VL is CONSUMED — accepted
+    // with no residual, and the kept-directory set shrinks to the
+    // values it admits (rows in kept dirs all satisfy it, by
+    // construction). Anything else on the column — mixed references,
+    // unsupported shapes — stays a residual Spark Filter over the
+    // materialized column and prunes nothing. Consumed or offered,
+    // ANY partition predicate sets partEngaged, which turns off the
+    // metadata-answering pushes above.
+    val (partFs, dataFs) = dirPart match {
+      case Some(s) => filters.partition(_.references.contains(s.col))
+      case None =>
+        (Array.empty[org.apache.spark.sql.sources.Filter], filters)
+    }
+    val (consumed, partResidual) = dirPart match {
+      case Some(s) =>
+        partFs.partition(DirPartitions.consumable(_, s.col, s.isLong))
+      case None => (partFs, partFs.filter(_ => false)) // partFs is empty
+    }
+    partEngaged = partFs.nonEmpty
+    if (consumed.nonEmpty)
+      partKept = dirPart.map(_.keptUnder(consumed.toSeq))
     // the residual may drop a filter ONLY when the reader actually
     // evaluates it — exact(full) alone is not enough, because the
     // evaluated set is gated on zonePaths and the two schemas can
@@ -1239,10 +1371,10 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // path map (eligibleRoutes only walks HStruct roots), so an
     // exact-looking filter there would vanish from the residual
     // while nothing evaluates it — silently unfiltered rows
-    pushed = filters.filter(JsonDocFilters.supportsPath(_, zonePaths))
-    offered = filters
-    filters.filterNot(f => JsonDocFilters.exact(f, full) &&
-      JsonDocFilters.supportsPath(f, zonePaths))
+    pushed = dataFs.filter(JsonDocFilters.supportsPath(_, zonePaths))
+    offered = dataFs ++ partResidual
+    dataFs.filterNot(f => JsonDocFilters.exact(f, full) &&
+      JsonDocFilters.supportsPath(f, zonePaths)) ++ partResidual
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
@@ -1252,7 +1384,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       new JsonDocScan(ps, whole, t, full, required, pushed, offered,
         maxSplitBytes, zones, fingerprint,
         maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, snapshot,
-        startingSave, fileFieldRaw, cdcDeletes)
+        startingSave, fileFieldRaw, cdcDeletes,
+        dirPart, partKept, partFieldRaw)
   }
 }
 
@@ -1326,12 +1459,28 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           snapshot: Option[String] = None,
                           startingSave: Option[Long] = None,
                           fileField: Option[org.apache.spark.sql.types.StructField] = None,
-                          cdcDeletes: Boolean = false)
+                          cdcDeletes: Boolean = false,
+                          dirPart: Option[DirPartitions.Spec] = None,
+                          partKept: Option[Seq[String]] = None,
+                          partField: Option[org.apache.spark.sql.types.StructField] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
   private val fpMap: Map[String, (Long, Long)] =
     fingerprint.map { case (p, l, m) => p -> ((l, m)) }.toMap
+  // dirPartitions: the paths the scan actually walks — pruned to the
+  // kept partition directories so excluded subtrees are never even
+  // LISTED, let alone statted (the whole point of the layout)
+  private def scanPaths: Seq[String] = (dirPart, partKept) match {
+    case (Some(s), Some(kept)) => kept.map(s.dirPath)
+    case _ => ps
+  }
+  // prefix filter for the load-time fingerprint (statistics only)
+  private lazy val partKeptPrefixes: Option[Seq[String]] =
+    (dirPart, partKept) match {
+      case (Some(s), Some(kept)) => Some(kept.map(n => s.dirPath(n) + "/"))
+      case _ => None
+    }
   // dotted path → materialized type, the zone-consultation gate
   // (nested chains included) — one walk of the KB-sized HType
   private lazy val zonePaths = ZoneSkip.eligiblePaths(t)
@@ -1353,7 +1502,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   // a join key, which is necessarily in the output anyway
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.map(f =>
+    (required.fields ++ partField).map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
   // TopN/Limit exclusions, defensively cancelled if a runtime filter
   // ever reaches this scan: the exclusion guarantee counted UNfiltered
@@ -1374,7 +1523,15 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   override def readSchema(): StructType =
     if (cdcDeletes)
       StructType(required.fields ++ JsonDocSource.cdcFields)
-    else fileField.fold(required)(f => StructType(required.fields :+ f))
+    else {
+      // the derived partition column is the LAST data column of the
+      // widened table schema, so a projection that wants it always
+      // orders it after the other data fields — and the metadata
+      // `_file` column always rides last of all
+      val withPart =
+        partField.fold(required)(f => StructType(required.fields :+ f))
+      fileField.fold(withPart)(f => StructType(withPart.fields :+ f))
+    }
   override def toBatch: Batch = {
     require(startingSave.isEmpty,
       "graftjson: startingSave is a streaming option (readStream) — " +
@@ -1387,6 +1544,9 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(dirPart.isEmpty,
+      "graftjson: dirPartitions is a batch read option — tail each " +
+        "partition directory as its own stream")
     require(snapshot.isEmpty,
       "graftjson: a pinned-snapshot (asOfSave/sinceSave) table cannot " +
         "be streamed — tail the live table instead (startingSave replays " +
@@ -1418,6 +1578,8 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       (if (zones.isDefined) s" ZoneMaps: ${zones.get.size} files" else "") +
       (if (topExcludedActive.nonEmpty)
         s" TopNExcluded: ${topExcludedActive.size} files" else "") +
+      dirPart.fold("")(s => s" DirPartitions: ${s.col} kept " +
+        s"${partKept.map(_.size).getOrElse(s.dirs.size)}/${s.dirs.size} dirs") +
       snapshot.fold("")(n => s" Snapshot: $n")
 
   /** Planning-time statistics from state already in hand — the
@@ -1446,7 +1608,12 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val skippable = offered ++ runtimeOffered
-    val kept = fingerprint.filterNot { case (p, l, m) =>
+    // dirPartitions: price only the kept directories' files — the
+    // scan will never read the pruned subtrees, and a partition-
+    // pruned dimension should look exactly as broadcast-small as it is
+    val population = partKeptPrefixes.fold(fingerprint)(pfx =>
+      fingerprint.filter { case (p, _, _) => pfx.exists(p.startsWith) })
+    val kept = population.filterNot { case (p, l, m) =>
       // TopN/Limit exclusions shrink the scan exactly like zone skips
       // do — counting excluded files would overstate the "exact" row
       // count against this method's own never-overstate rule
@@ -1507,10 +1674,12 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
           zm.get(p).exists(z =>
             !z.dirty && skippable.exists(ZoneSkip.provablyEmpty(_, z, zonePaths))))
     // a time-travel scan reads its resolved snapshot, never the live
-    // listing (which is a later version of the table)
+    // listing (which is a later version of the table); a partition-
+    // pruned scan LISTS ONLY the kept directories (scanPaths) — the
+    // excluded subtrees are never listed or statted
     val population =
       if (snapshot.isDefined) fingerprint
-      else JsonDocSource.listFiles(spark, ps)
+      else JsonDocSource.listFiles(spark, scanPaths)
     population.flatMap { case (p, len, mtime) =>
       if (topExcludedActive.get(p).contains((len, mtime)) ||
         zoneSkips(p, len, mtime)) {
@@ -1534,7 +1703,39 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
       pushed ++ runtimePushed,
       new graft.ops.Fs.SerializableConf(
         SparkSession.active.sparkContext.hadoopConfiguration))
-    if (fileField.isEmpty) base else FileAppendingReaderFactory(base)
+    val withPart: PartitionReaderFactory = (dirPart, partField) match {
+      case (Some(s), Some(_)) =>
+        PartAppendingReaderFactory(base, s.rootQualified, s.isLong)
+      case _ => base
+    }
+    if (fileField.isEmpty) withPart
+    else FileAppendingReaderFactory(withPart)
+  }
+}
+
+/** Appends the derived partition-directory value (dirPartitions) —
+  * one constant per partition, decoded from the file's directory
+  * component, joined onto every data row with zero copy (the
+  * [[FileAppendingReaderFactory]] mechanics). */
+private case class PartAppendingReaderFactory(inner: PartitionReaderFactory,
+                                              rootQualified: String,
+                                              isLong: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val suffix = InternalRow(DirPartitions.valueOf(rootQualified, isLong,
+      p.asInstanceOf[JsonDocPartition].path) match {
+      case null => null
+      case l: java.lang.Long => l.longValue()
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    })
+    new PartitionReader[InternalRow] {
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), suffix)
+      override def close(): Unit = r.close()
+    }
   }
 }
 
@@ -1542,7 +1743,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   * joined onto every data row with zero copy ([[JoinedRow]]); the
   * data reader is untouched, so every pruning/pushdown/materialize
   * contract holds verbatim. */
-private case class FileAppendingReaderFactory(inner: JsonDocReaderFactory)
+private case class FileAppendingReaderFactory(inner: PartitionReaderFactory)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = inner.createReader(p)

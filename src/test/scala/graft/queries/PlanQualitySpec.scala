@@ -683,4 +683,73 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("windowspecdefinition(query_id"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dirPartitions: a partition predicate prunes the LISTING — the excluded directory is never listed, statted, or opened (r17)") {
+    import org.apache.spark.sql.functions.col
+    // every fs touch of the scan goes through the counting scheme
+    val root = new java.io.File(graft.TempRoots.path("pq_dirpart"))
+    root.mkdirs()
+    for ((d, ids) <- Seq("y=1" -> Seq(1, 2), "y=9" -> Seq(8, 9))) {
+      val pd = new java.io.File(root, d)
+      pd.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(pd, "part-0.json"))
+      ids.foreach(i => w.println(s"""{"id": $i}"""))
+      w.close()
+    }
+    spark.sparkContext.hadoopConfiguration.set("fs.countfs.impl",
+      classOf[CountingLocalFs].getName)
+    val dir = s"countfs:${root.getAbsolutePath}"
+    val df = spark.read.format("graftjson")
+      .option("dirPartitions", "true").load(dir)
+    // inference at load legitimately reads the whole tree — the pin is
+    // about the SCAN: reset after load, before the pruned query runs
+    CountingLocalFs.reset()
+    val got = df.filter(col("y") === 1)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+    val pruned = CountingLocalFs.under("y=9")
+    assert(pruned.isEmpty,
+      s"the pruned directory was touched by the scan: $pruned")
+    // non-vacuous both ways: the kept directory's files WERE touched
+    // through the counting scheme after the reset
+    assert(CountingLocalFs.under("y=1").nonEmpty,
+      "the counting filesystem observed nothing — the pin is vacuous")
+  }
+}
+
+/** A local filesystem under its own scheme (`countfs:`) recording
+  * every path that any listStatus/getFileStatus/open touches — the
+  * instrument behind the dirPartitions never-statted pin above. */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingLocalFs.touch(p)
+    super.listStatus(p)
+  }
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    CountingLocalFs.touch(p)
+    super.getFileStatus(p)
+  }
+  override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CountingLocalFs.touch(p)
+    super.open(p, bufferSize)
+  }
+}
+
+object CountingLocalFs {
+  private val touched =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def touch(p: org.apache.hadoop.fs.Path): Unit = {
+    touched.add(p.toUri.getPath)
+    ()
+  }
+  def reset(): Unit = touched.clear()
+  def under(fragment: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    touched.asScala.filter(_.contains(fragment)).toSeq
+  }
 }
