@@ -168,6 +168,8 @@ object Bench {
     // prints them live to stderr. getExecutorMemoryStatus is a
     // driver-local map in local mode — the capture costs microseconds.
     val benchMetrics = sys.env.get("SPARK_GRAFT_BENCH_METRICS").contains("1")
+    // the undrainable-storage floor (see the teardown loop below)
+    var stickyResidualMB = 0L
     def usedStorageMB(): Long =
       spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, rem) => max - rem }.sum / (1L << 20)
@@ -199,14 +201,21 @@ object Bench {
       // an INVARIANT; if the budget expires, say so with a named line
       // rather than silently recording a nonzero pre.
       var drainedMs = 0
-      while (usedStorageMB() > 0 && drainedMs < 4000) {
+      while (usedStorageMB() > stickyResidualMB && drainedMs < 4000) {
         if (drainedMs == 200) System.gc()
         Thread.sleep(50); drainedMs += 50
       }
       val residualMB = usedStorageMB()
-      if (residualMB > 0) System.err.println(
-        s"[bench-teardown] ${residualMB}MB storage residual after " +
-          s"$name (drain budget expired)")
+      if (residualMB > stickyResidualMB) {
+        System.err.println(
+          s"[bench-teardown] ${residualMB}MB storage residual after " +
+            s"$name (drain budget expired)")
+        // a residual that survived 4 s + a GC is a block the cleaner
+        // cannot reclaim — remember it so every later pass does not
+        // re-pay the full budget chasing the same stuck megabytes
+        // (the pre-storage vector still records it honestly)
+        stickyResidualMB = residualMB
+      }
       if (benchMetrics) System.err.println(
         f"[bench-metrics] $name pre=${pre}MB post=${post}MB " +
           f"t=${r._2}%.3f ok=${r._1}")

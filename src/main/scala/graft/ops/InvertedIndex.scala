@@ -81,16 +81,16 @@ object InvertedIndex {
       .partitionBy("seg")
       .parquet(s"$indexDir/meta")
 
-  /** Marker file names: touched before a multi-step wipe/swap, removed
-    * after it completes — readers fail fast in the window and the
-    * crashed operation converges on a rerun (the store-wide crash
-    * discipline of [[VectorOps.buildIvfIndex]]). */
   /** Default driver bound on a retrieval batch's distinct
     * (query_id, term) rows ([[searchBm25Batch]]) — a request batch is
     * driver-sized by definition; rows past this are an eval corpus
     * mis-pointed at the serving API and fail with a named error. */
   val DefaultMaxBatchRows = 100000
 
+  /** Marker file names: touched before a multi-step wipe/swap, removed
+    * after it completes — readers fail fast in the window and the
+    * crashed operation converges on a rerun (the store-wide crash
+    * discipline of [[VectorOps.buildIvfIndex]]). */
   private val RebuildMarker = "_rebuild_pending"
   private val CompactMarker = "_compact_pending"
 
@@ -557,9 +557,13 @@ object InvertedIndex {
     // ONE collect serves the size guard, the driver-side bucket
     // pruning, and the broadcast fan-out frame (a separate count would
     // evaluate the query-side lineage twice)
+    // probe clamp: a caller taking the error message's own advice
+    // ("raise maxBatchRows deliberately") with Int.MaxValue must not
+    // overflow limit() into an AnalysisException (self-review r17)
+    val probeLimit = math.min(maxBatchRows, Int.MaxValue - 1) + 1
     val probed = queryTerms.select(col("query_id").cast("bigint"),
         col("term").cast("string")).distinct()
-      .limit(maxBatchRows + 1).collect()
+      .limit(probeLimit).collect()
     if (probed.length > maxBatchRows) throw new IllegalArgumentException(
       s"searchBm25Batch: query batch exceeds the driver-sized contract " +
         s"(> $maxBatchRows distinct (query_id, term) rows) — batch " +

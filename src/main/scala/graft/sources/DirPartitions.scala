@@ -54,11 +54,18 @@ private[sources] object DirPartitions {
       StructField(col, if (isLong) LongType else StringType,
         nullable = true)
     def dirPath(name: String): String = s"$rootQualified/$name"
-    /** Directory names surviving a consumed conjunction. */
+    /** Directory names surviving a consumed conjunction (over the
+      * LOAD-TIME dirs — planning only; the scan re-lists live). */
     def keptUnder(consumed: Seq[Filter]): Seq[String] =
-      dirs.collect { case (name, v)
-        if consumed.forall(f => tri(f, v, isLong).contains(true)) => name }
+      keptOf(dirs, consumed, isLong)
   }
+
+  /** The directory names of `dirs` surviving every filter of the
+    * conjunction (3VL: only TRUE keeps). */
+  def keptOf(dirs: Seq[(String, Option[Any])], consumed: Seq[Filter],
+             isLong: Boolean): Seq[String] =
+    dirs.collect { case (name, v)
+      if consumed.forall(f => tri(f, v, isLong).contains(true)) => name }
 
   private def unescape(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -114,11 +121,31 @@ private[sources] object DirPartitions {
     Spec(root.toString, col, isLong, dirs)
   }
 
+  /** Decode one raw value string under the spec's derived type —
+    * loud (never a raw NumberFormatException, never a mislabel) when
+    * a directory written AFTER load breaks the load-time contract. */
+  private def decodeTyped(raw: String, col: String, isLong: Boolean,
+                          where: String): Option[Any] =
+    decodeValue(raw).map { s =>
+      if (!isLong) s: Any
+      else {
+        require(CanonicalLong.pattern.matcher(s).matches(),
+          s"graftjson: dirPartitions value '$s' at $where is not a " +
+            s"canonical BIGINT, but the column '$col' derived as " +
+            "BIGINT at load — the tree changed after load; re-load " +
+            "the table")
+        java.lang.Long.valueOf(s): Any
+      }
+    }
+
   /** The partition value of a data file, from its qualified path —
     * the component directly under the table root. Null for the null
-    * sentinel; throws (named) on a path outside the derived tree,
-    * which the listing construction makes unreachable. */
-  def valueOf(rootQualified: String, isLong: Boolean,
+    * sentinel. Validated, not trusted: a directory landed after load
+    * under a FOREIGN key, or one whose value breaks the load-time
+    * BIGINT derivation, fails loudly instead of mislabeling rows
+    * (self-review r17 — an unfiltered scan lists the LIVE tree, so
+    * post-load layout drift is reachable here). */
+  def valueOf(rootQualified: String, col: String, isLong: Boolean,
               filePath: String): Any = {
     val prefix = rootQualified + "/"
     require(filePath.startsWith(prefix),
@@ -130,11 +157,42 @@ private[sources] object DirPartitions {
     val eq = comp.indexOf('=')
     require(eq > 0, s"graftjson: dirPartitions file $filePath is not " +
       s"under a <column>=<value> directory of $rootQualified")
-    decodeValue(comp.substring(eq + 1)) match {
-      case None => null
-      case Some(s) =>
-        if (isLong) java.lang.Long.valueOf(s) else s
-    }
+    require(unescape(comp.substring(0, eq)) == col,
+      s"graftjson: dirPartitions file $filePath sits under " +
+        s"'${comp.substring(0, eq)}=', not the derived partition " +
+        s"column '$col' — the tree changed after load; re-load the " +
+        "table")
+    decodeTyped(comp.substring(eq + 1), col, isLong,
+      filePath).orNull
+  }
+
+  /** The LIVE partition directories (one listStatus of the root),
+    * decoded under the spec's derived type — the scan-time twin of
+    * [[derive]]: a pruned scan must see directories added after load
+    * exactly like the unfiltered scan's live listing does, and drift
+    * that breaks the derived contract fails loudly. */
+  def liveDirs(spark: SparkSession,
+               spec: Spec): Seq[(String, Option[Any])] = {
+    val root = new Path(spec.rootQualified)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map { st =>
+        val n = st.getPath.getName
+        val eq = n.indexOf('=')
+        require(st.isDirectory && eq > 0 &&
+          unescape(n.substring(0, eq)) == spec.col,
+          s"graftjson: dirPartitions found '$n' under " +
+            s"${spec.rootQualified}, which is not a " +
+            s"'${spec.col}=<value>' directory — the tree changed " +
+            "after load; re-load the table")
+        n -> decodeTyped(n.substring(eq + 1), spec.col, spec.isLong,
+          st.getPath.toString)
+      }
+      .sortBy(_._1)
   }
 
   /** True when `f` references ONLY the partition column and every

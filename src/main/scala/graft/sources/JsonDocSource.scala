@@ -764,6 +764,8 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   // listing: wrong, not just stale)
   private var partKept: Option[Seq[String]] = None
   private var partEngaged: Boolean = false
+  private var partConsumed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   /** COUNT(*) / MIN / MAX with no grouping, no filters, answered from
     * zone-map metadata — the `count(*), min(ts), max(ts)` corpus
@@ -1361,6 +1363,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       case None => (partFs, partFs.filter(_ => false)) // partFs is empty
     }
     partEngaged = partFs.nonEmpty
+    partConsumed = consumed
     if (consumed.nonEmpty)
       partKept = dirPart.map(_.keptUnder(consumed.toSeq))
     // the residual may drop a filter ONLY when the reader actually
@@ -1385,7 +1388,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
         maxSplitBytes, zones, fingerprint,
         maxFilesPerTrigger, maxBytesPerTrigger, topExcluded, snapshot,
         startingSave, fileFieldRaw, cdcDeletes,
-        dirPart, partKept, partFieldRaw)
+        dirPart, partKept, partFieldRaw, partConsumed)
   }
 }
 
@@ -1462,7 +1465,9 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
                           cdcDeletes: Boolean = false,
                           dirPart: Option[DirPartitions.Spec] = None,
                           partKept: Option[Seq[String]] = None,
-                          partField: Option[org.apache.spark.sql.types.StructField] = None)
+                          partField: Option[org.apache.spark.sql.types.StructField] = None,
+                          partConsumed: Array[org.apache.spark.sql.sources.Filter] =
+                            Array.empty)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // load-time (path → (length, mtime)) for the stale-zone guard below
@@ -1470,12 +1475,33 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     fingerprint.map { case (p, l, m) => p -> ((l, m)) }.toMap
   // dirPartitions: the paths the scan actually walks — pruned to the
   // kept partition directories so excluded subtrees are never even
-  // LISTED, let alone statted (the whole point of the layout)
-  private def scanPaths: Seq[String] = (dirPart, partKept) match {
-    case (Some(s), Some(kept)) => kept.map(s.dirPath)
-    case _ => ps
-  }
-  // prefix filter for the load-time fingerprint (statistics only)
+  // LISTED, let alone statted (the whole point of the layout). The
+  // kept set resolves against the LIVE directory listing at plan
+  // time, not the load-time spec (self-review r17: a partition dir
+  // added after load must be as visible to a pruned scan as it is to
+  // the unfiltered scan's live listing — and drift that breaks the
+  // derived contract fails loudly in liveDirs). Runtime (join-
+  // derived, DPP) filters on the partition column participate when
+  // consumable — the star-join shape this layout exists for; an
+  // unsupported runtime shape is simply ignored (the join re-verifies
+  // every row, the best-effort runtime contract).
+  private def liveScanPaths(spark: SparkSession): Seq[String] =
+    dirPart match {
+      case Some(spec) =>
+        // ALWAYS re-list and validate, filters or not: a foreign-key
+        // or type-breaking directory landed after load must be loud
+        // on every scan, not only the pruned ones
+        val live = DirPartitions.liveDirs(spark, spec)
+        val rt = runtimeOffered.filter(
+          DirPartitions.consumable(_, spec.col, spec.isLong))
+        val effective = partConsumed ++ rt
+        if (effective.isEmpty) ps
+        else DirPartitions.keptOf(live,
+          effective.toIndexedSeq, spec.isLong).map(spec.dirPath)
+      case None => ps
+    }
+  // prefix filter for the load-time fingerprint (statistics only —
+  // estimates never need the live re-list)
   private lazy val partKeptPrefixes: Option[Seq[String]] =
     (dirPart, partKept) match {
       case (Some(s), Some(kept)) => Some(kept.map(n => s.dirPath(n) + "/"))
@@ -1679,7 +1705,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
     // excluded subtrees are never listed or statted
     val population =
       if (snapshot.isDefined) fingerprint
-      else JsonDocSource.listFiles(spark, scanPaths)
+      else JsonDocSource.listFiles(spark, liveScanPaths(spark))
     population.flatMap { case (p, len, mtime) =>
       if (topExcludedActive.get(p).contains((len, mtime)) ||
         zoneSkips(p, len, mtime)) {
@@ -1705,7 +1731,7 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
         SparkSession.active.sparkContext.hadoopConfiguration))
     val withPart: PartitionReaderFactory = (dirPart, partField) match {
       case (Some(s), Some(_)) =>
-        PartAppendingReaderFactory(base, s.rootQualified, s.isLong)
+        PartAppendingReaderFactory(base, s.rootQualified, s.col, s.isLong)
       case _ => base
     }
     if (fileField.isEmpty) withPart
@@ -1719,12 +1745,13 @@ private class JsonDocScan(ps: Seq[String], whole: Boolean, t: HType,
   * [[FileAppendingReaderFactory]] mechanics). */
 private case class PartAppendingReaderFactory(inner: PartitionReaderFactory,
                                               rootQualified: String,
+                                              col: String,
                                               isLong: Boolean)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = inner.createReader(p)
-    val suffix = InternalRow(DirPartitions.valueOf(rootQualified, isLong,
-      p.asInstanceOf[JsonDocPartition].path) match {
+    val suffix = InternalRow(DirPartitions.valueOf(rootQualified, col,
+      isLong, p.asInstanceOf[JsonDocPartition].path) match {
       case null => null
       case l: java.lang.Long => l.longValue()
       case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)

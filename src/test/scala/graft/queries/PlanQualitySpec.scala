@@ -707,12 +707,17 @@ class PlanQualitySpec extends SparkTestBase {
     val got = df.filter(col("y") === 1)
       .select(col("id").cast("long")).collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(1L, 2L))
-    val pruned = CountingLocalFs.under("y=9")
-    assert(pruned.isEmpty,
-      s"the pruned directory was touched by the scan: $pruned")
+    // the pruned directory is never LISTED and nothing under it is
+    // ever touched. (Its own entry's status comes free with listing
+    // the root's children — one parent-listing RPC on a real store —
+    // which is how the live-tree validation sees it at all.)
+    val prunedListed = CountingLocalFs.under("y=9")
+      .filter(t => t.startsWith("list:") || t.contains("y=9/"))
+    assert(prunedListed.isEmpty,
+      s"the pruned directory's contents were touched: $prunedListed")
     // non-vacuous both ways: the kept directory's files WERE touched
     // through the counting scheme after the reset
-    assert(CountingLocalFs.under("y=1").nonEmpty,
+    assert(CountingLocalFs.under("y=1/").nonEmpty,
       "the counting filesystem observed nothing — the pin is vacuous")
   }
 }
@@ -725,17 +730,17 @@ class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("countfs:///")
   override def listStatus(p: org.apache.hadoop.fs.Path)
       : Array[org.apache.hadoop.fs.FileStatus] = {
-    CountingLocalFs.touch(p)
+    CountingLocalFs.touch("list", p)
     super.listStatus(p)
   }
   override def getFileStatus(p: org.apache.hadoop.fs.Path)
       : org.apache.hadoop.fs.FileStatus = {
-    CountingLocalFs.touch(p)
+    CountingLocalFs.touch("stat", p)
     super.getFileStatus(p)
   }
   override def open(p: org.apache.hadoop.fs.Path, bufferSize: Int)
       : org.apache.hadoop.fs.FSDataInputStream = {
-    CountingLocalFs.touch(p)
+    CountingLocalFs.touch("open", p)
     super.open(p, bufferSize)
   }
 }
@@ -743,8 +748,8 @@ class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
 object CountingLocalFs {
   private val touched =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  def touch(p: org.apache.hadoop.fs.Path): Unit = {
-    touched.add(p.toUri.getPath)
+  def touch(op: String, p: org.apache.hadoop.fs.Path): Unit = {
+    touched.add(s"$op:${p.toUri.getPath}")
     ()
   }
   def reset(): Unit = touched.clear()

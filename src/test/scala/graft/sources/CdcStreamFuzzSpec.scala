@@ -551,7 +551,7 @@ class CdcStreamFuzzSpec extends SparkTestBase {
     // CdcMirror.apply; a PARTIAL cycle stops the query mid-drain —
     // the restart's batch replay against the half-applied mirror is
     // exactly the exactly-once-by-idempotence contract under test
-    def sync(full: Boolean): Unit = {
+    def sync(full: Boolean, quick: Boolean = false): Unit = {
       val q = spark.readStream.format("graftjson")
         .option("startingSave", startFrom.toString)
         .option("cdcDeletes", "true")
@@ -564,7 +564,11 @@ class CdcStreamFuzzSpec extends SparkTestBase {
         .start()
       try {
         if (full) q.awaitTermination()
-        else if (!q.awaitTermination(250 + r.nextInt(500))) partials += 1
+        // a QUICK cycle waits far less than query startup + one batch
+        // costs on any host, so the interrupted>=1 tally cannot go
+        // vacuous on a fast machine (self-review r17)
+        else if (!q.awaitTermination(
+          if (quick) 60 else 250 + r.nextInt(500))) partials += 1
       } finally {
         // stop() on an already-failed query can rethrow its exception;
         // a swallowed failure here re-fires at the next cycle (the
@@ -585,7 +589,8 @@ class CdcStreamFuzzSpec extends SparkTestBase {
           targetBytes = 4L << 10, refreshMeta = true) }
         case 5 => ()
       }
-      loudly(sync(full = r.nextInt(3) == 0))
+      loudly(sync(full = steps > 1 && r.nextInt(3) == 0,
+        quick = steps == 1))
     }
     if (endedLoud.isEmpty) loudly(sync(full = true))
     if (endedLoud.isEmpty) {

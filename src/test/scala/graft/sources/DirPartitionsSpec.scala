@@ -215,6 +215,57 @@ class DirPartitionsSpec extends SparkTestBase {
     assert(grouped == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("post-load tree changes (self-review r17): a NEW partition directory is visible to pruned scans; foreign-key or type-breaking directories fail loudly on any scan") {
+    val dir = mkTree("dirpart_live", Seq(
+      "y=1" -> Seq("""{"id": 1}"""), "y=2" -> Seq("""{"id": 2}""")))
+    val df = load(dir)
+    // a directory added AFTER load: the pruned scan re-lists live, so
+    // it must see it exactly like the unfiltered scan does
+    val d3 = new java.io.File(dir, "y=3"); d3.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(d3, "part-0.json"))
+    w.println("""{"id": 3}"""); w.close()
+    assert(df.count() == 3L)
+    assert(df.filter(col("y") >= 2).select(col("id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // a FOREIGN key directory: loud on every scan (a silent mislabel
+    // — or silent inclusion — was the review find)
+    val dz = new java.io.File(dir, "z=9"); dz.mkdirs()
+    val wz = new java.io.PrintWriter(new java.io.File(dz, "part-0.json"))
+    wz.println("""{"id": 99}"""); wz.close()
+    val e1 = intercept[Exception](df.count())
+    assert(exists(e1, "the tree changed after load"), e1.getMessage)
+    val e2 = intercept[Exception](df.filter(col("y") === 2).count())
+    assert(exists(e2, "the tree changed after load"), e2.getMessage)
+    assert(dz.listFiles().forall(_.delete()) && dz.delete())
+    // a value that breaks the load-time BIGINT derivation: loud too
+    val da = new java.io.File(dir, "y=abc"); da.mkdirs()
+    val wa = new java.io.PrintWriter(new java.io.File(da, "part-0.json"))
+    wa.println("""{"id": 98}"""); wa.close()
+    val e3 = intercept[Exception](df.filter(col("y") === 2).count())
+    assert(exists(e3, "not a canonical BIGINT"), e3.getMessage)
+  }
+
+  test("runtime (DPP) filters on the partition column prune consumably and the join stays correct") {
+    val dir = mkTree("dirpart_dpp", Seq(
+      "y=1" -> Seq("""{"id": 1}"""),
+      "y=2" -> Seq("""{"id": 2}"""),
+      "y=3" -> Seq("""{"id": 3}""")))
+    val fact = load(dir)
+    import spark.implicits._
+    val dim = Seq((2L, "two")).toDF("y", "name")
+    val joined = fact.join(org.apache.spark.sql.functions.broadcast(dim),
+      "y")
+    assert(joined.select(col("id").cast("long")).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // the mechanism itself: a runtime In conjunction keeps exactly
+    // the admitted directories
+    val spec = DirPartitions.derive(spark, dir)
+    val kept = DirPartitions.keptOf(spec.dirs,
+      Seq(org.apache.spark.sql.sources.In("y",
+        Array(2L: java.lang.Long))), isLong = true)
+    assert(kept == Seq("y=2"), kept)
+  }
+
   test("the _file metadata column and the partition column compose") {
     val dir = mkTree("dirpart_file", Seq(
       "y=1" -> Seq("""{"id": 1}"""), "y=2" -> Seq("""{"id": 2}""")))
