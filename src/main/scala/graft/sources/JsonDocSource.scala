@@ -756,16 +756,35 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
   private var offered: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var pushedMeta: Option[(StructType, Seq[Seq[Any]])] = None
   // dirPartitions (r17): partition-directory names surviving the
-  // CONSUMED partition predicates (None = no pruning), and whether ANY
-  // partition predicate was offered — the latter gates every
-  // metadata-answering push below, because those count rows over
-  // files the pruning removes (their zone proofs cannot see a column
-  // that lives in directory names, so they would answer over the FULL
-  // listing: wrong, not just stale)
+  // CONSUMED partition predicates (None = no pruning). The metadata-
+  // answering pushes below run over the SCOPED listing (the kept
+  // directories' files — every row in them satisfies the consumed
+  // conjunction at directory grain, so the remaining data filters see
+  // exactly the scan's population); an UNDECIDED partition predicate
+  // (residual shape) declines them instead — zone proofs cannot see a
+  // column that lives in directory names, so answering over the full
+  // listing would be wrong, not just stale.
   private var partKept: Option[Seq[String]] = None
-  private var partEngaged: Boolean = false
+  private var partUndecided: Boolean = false
   private var partConsumed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+
+  /** The listing a metadata ANSWER may fold over: the live listing
+    * must equal the load-time fingerprint (byte-identical files), and
+    * consumed partition predicates scope it to the kept directories.
+    * None = decline. A directory created after load would change the
+    * fingerprint (its files are new), so load-time kept names resolve
+    * the same set the scan's live re-list would. */
+  private def answeringListing: Option[Seq[(String, Long, Long)]] = {
+    val current = freshListing
+    if (current != fingerprint) None
+    else (dirPart, partKept) match {
+      case (Some(s), Some(kept)) =>
+        val pfx = kept.map(n => s.dirPath(n) + "/")
+        Some(current.filter { case (p, _, _) => pfx.exists(p.startsWith) })
+      case _ => Some(current)
+    }
+  }
 
   /** COUNT(*) / MIN / MAX with no grouping, no filters, answered from
     * zone-map metadata — the `count(*), min(ts), max(ts)` corpus
@@ -796,9 +815,9 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // must reach JsonDocScan.toBatch's loud rejection — a completed
     // aggregate pushdown would short-circuit into a JsonDocMetaScan
     // that silently answers from LIVE zone metadata (self-review r15).
-    // A partition predicate declines the same way: zones answer over
-    // the full listing, pruning restricts rows to the kept dirs
-    if (startingSave.isDefined || partEngaged) None
+    // An UNDECIDED partition predicate declines too (consumed ones
+    // scope the answering listing instead — metaFromZones)
+    if (startingSave.isDefined || partUndecided) None
     else metaMemo match {
       case Some((a, r)) if a eq agg => r
       case _ =>
@@ -842,11 +861,13 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     * kept but count nothing); declines when the guarantee cannot be
     * met or a file is un-zoned. */
   override def pushLimit(limit: Int): Boolean = {
-    // partition predicates remove files the prefix guarantee counts
-    if (limit <= 0 || zones.isEmpty || partEngaged) return false
+    if (limit <= 0 || zones.isEmpty) return false
+    // an undecided (residual) partition predicate sits in `offered`
+    // and declines here like any unpushed filter; CONSUMED ones scope
+    // the listing below instead — the prefix guarantee then counts
+    // exactly the files the pruned scan reads
     if (offered.exists(f => !pushed.contains(f))) return false
-    val current = freshListing
-    if (current != fingerprint) return false
+    val current = answeringListing.getOrElse(return false)
     val zm = zones.get
     val withZones = current.map { case (p, l, m) => (p, l, m, zm.get(p)) }
     if (withZones.exists(_._4.isEmpty)) return false
@@ -897,8 +918,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
-    // partition predicates remove files the top-k guarantee counts
-    if (limit <= 0 || orders.isEmpty || zones.isEmpty || partEngaged)
+    if (limit <= 0 || orders.isEmpty || zones.isEmpty)
       return false
     // filters participate ONLY as a fully-pushed exact conjunction
     // (no residual — Spark does not offer TopN across a residual
@@ -907,10 +927,12 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // bound-based exclusion stays sound for EVERY file because a
     // file's bounds cover all its rows, surviving ones included —
     // `WHERE lang = 'en' ORDER BY key LIMIT k` prunes like the
-    // unfiltered probe over the lang-matching files
+    // unfiltered probe over the lang-matching files. CONSUMED
+    // partition predicates scope the listing below (the guarantee
+    // then counts exactly the pruned scan's files); an undecided one
+    // sits in `offered` and declines here.
     if (offered.exists(f => !pushed.contains(f))) return false
-    val current = freshListing
-    if (current != fingerprint) return false
+    val current = answeringListing.getOrElse(return false)
     val so = orders.head
     val name = so.expression() match {
       case nr: NamedReference => nr.fieldNames().mkString(".")
@@ -1014,8 +1036,11 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // nothing to push
     if (zones.isEmpty || (agg.aggregateExpressions().isEmpty &&
       agg.groupByExpressions().isEmpty)) return None
-    val current = freshListing
-    if (current != fingerprint) return None
+    // the answering population: live == load-time fingerprint, scoped
+    // to the kept directories under consumed partition predicates
+    // (their rows ALL satisfy the consumed conjunction, so the data
+    // filters below see exactly the scan's population)
+    val current = answeringListing.getOrElse(return None)
     val zm = zones.get
     val fileZones = current.flatMap { case (p, _, _) => zm.get(p) }
     // every listed file must carry a zone — an answer must account
@@ -1349,9 +1374,9 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
     // values it admits (rows in kept dirs all satisfy it, by
     // construction). Anything else on the column — mixed references,
     // unsupported shapes — stays a residual Spark Filter over the
-    // materialized column and prunes nothing. Consumed or offered,
-    // ANY partition predicate sets partEngaged, which turns off the
-    // metadata-answering pushes above.
+    // materialized column and prunes nothing. Consumed predicates
+    // SCOPE the metadata-answering pushes above (answeringListing);
+    // an undecided one sets partUndecided, which declines them.
     val (partFs, dataFs) = dirPart match {
       case Some(s) => filters.partition(_.references.contains(s.col))
       case None =>
@@ -1362,7 +1387,7 @@ private class JsonDocScanBuilder(ps: Seq[String], whole: Boolean, t: HType,
         partFs.partition(DirPartitions.consumable(_, s.col, s.isLong))
       case None => (partFs, partFs.filter(_ => false)) // partFs is empty
     }
-    partEngaged = partFs.nonEmpty
+    partUndecided = partResidual.nonEmpty
     partConsumed = consumed
     if (consumed.nonEmpty)
       partKept = dirPart.map(_.keptUnder(consumed.toSeq))

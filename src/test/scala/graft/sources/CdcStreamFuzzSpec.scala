@@ -569,6 +569,25 @@ class CdcStreamFuzzSpec extends SparkTestBase {
         // vacuous on a fast machine (self-review r17)
         else if (!q.awaitTermination(
           if (quick) 60 else 250 + r.nextInt(500))) partials += 1
+      } catch {
+        case e: Exception if Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).exists(x => Option(x.getMessage)
+            .exists(_.contains("should be empty on batch 0"))) =>
+          // Spark's own guard against an AMBIGUOUS empty checkpoint
+          // (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY): a stop that
+          // interrupts the FIRST offset write leaves only tmp debris
+          // in offsets/, and every restart then refuses with this
+          // named error — full-suite-load find, r17. The recovery is
+          // the message's own instruction: clean the location. Batch
+          // 0 never committed (the guard fires only when no VALID
+          // offset exists), so removing the offsets debris loses
+          // nothing; the cdc baseline and batch logs live in their
+          // own directory.
+          val od = new java.io.File(ckpt, "offsets")
+          Option(od.listFiles()).getOrElse(Array.empty)
+            .foreach(f => { f.delete(); () })
+          od.delete()
+          ()
       } finally {
         // stop() on an already-failed query can rethrow its exception;
         // a swallowed failure here re-fires at the next cycle (the

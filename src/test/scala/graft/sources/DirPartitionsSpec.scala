@@ -189,20 +189,37 @@ class DirPartitionsSpec extends SparkTestBase {
       .map(_.getLong(0)).sorted.toSeq == Seq(3L))
   }
 
-  test("metadata-answering pushes decline under a partition predicate (their guarantees count pruned files) but stay live without one") {
+  test("metadata answering SCOPES to the kept directories under a consumed partition predicate, and declines for undecidable shapes") {
+    // v lands in the BIGINT bucket so SUM pushes as a bare reference
     val dir = mkTree("dirpart_agg", Seq(
-      "y=1" -> Seq("""{"id": 1}""", """{"id": 2}"""),
-      "y=2" -> Seq("""{"id": 3}""")))
+      "y=1" -> Seq("""{"id": 1, "v": 10000000001}""",
+        """{"id": 2, "v": 10000000002}"""),
+      "y=2" -> Seq("""{"id": 3, "v": 10000000003}""")))
     val df = spark.read.format("graftjson")
       .option("dirPartitions", "true").option("zonemaps", "true").load(dir)
-    // under a partition predicate: correct count through the ordinary
-    // scan, never a zone-metadata answer
+    // a CONSUMED partition predicate: the classic partition-count
+    // query answers from zone metadata over exactly the kept
+    // directories' files — zero bytes read
     val filtered = df.filter(col("y") === 1).agg(count(lit(1)).as("c"))
     assert(filtered.collect()(0).getLong(0) == 2L)
-    assert(!filtered.queryExecution.executedPlan.toString
+    assert(filtered.queryExecution.executedPlan.toString
       .contains("PushedAggregation"),
       filtered.queryExecution.executedPlan.toString)
-    // without one the zone COUNT(*) answer stays available
+    // SUM over the kept directories answers too
+    val summed = df.filter(col("y") === 2).agg(sum(col("v")).as("s"))
+    assert(summed.collect()(0).getLong(0) == 10000000003L)
+    assert(summed.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      summed.queryExecution.executedPlan.toString)
+    // an UNDECIDABLE partition shape keeps a residual Filter, so the
+    // push is never attempted — correct through the ordinary scan
+    val residual = df.filter(col("y").cast("string").endsWith("1"))
+      .agg(count(lit(1)).as("c"))
+    assert(residual.collect()(0).getLong(0) == 2L)
+    assert(!residual.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      residual.queryExecution.executedPlan.toString)
+    // without any predicate the whole-table answer stays available
     val whole = df.agg(count(lit(1)).as("c"))
     assert(whole.collect()(0).getLong(0) == 3L)
     assert(whole.queryExecution.executedPlan.toString
