@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // r17 bench finding: a 258-query suite generates enough whole-stage
+  // codegen classes to pressure the default 240 MB code cache — with
+  // flushing, LATE queries' hot loops stop getting JIT-compiled and
+  // ran 3-4x their isolated steady state (q127 suite 4.1s vs 0.9s
+  // isolated, both passes slow). Headroom keeps late-suite queries in
+  // compiled code; irrelevant to correctness, sized well under the
+  // sandbox budget.
+  "-XX:ReservedCodeCacheSize=512m",
 )

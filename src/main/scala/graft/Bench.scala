@@ -88,6 +88,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // see Verify: events' TIMESTAMP(NANOS) mapping, set at bootstrap
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing floor (r17 optimization, guide §2.2/§2.5): this
+      // engine's post-shuffle stages are compute-dense per BYTE (array
+      // intersections, hashing, per-token expressions), so the default
+      // 1 MB minPartitionSize folds whole verify/aggregate stages onto
+      // 1–2 tasks at bench scale while 30 cores idle. 64k keeps those
+      // stages parallel; at production scale the coalesce target is
+      // bytes/parallelism ≫ 1 MB, so the floor is inert there —
+      // scale-safe, env-parameterised (never a core-count constant).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

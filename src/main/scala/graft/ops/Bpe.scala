@@ -180,23 +180,81 @@ object Bpe {
     * (−n, l, r) tiebreak), pinned equal by BpeSpec. */
   private def trainLocal(rows0: Array[(Vector[String], Long)],
                          nMerges: Int): Seq[Merge] = {
-    var rows = rows0
+    // Interned-symbol rewrite (r17 optimization, guide §1.2 per-task
+    // work): the tuple-keyed Map rebuilt per round allocated ~200k
+    // boxed (String, String) keys × 30 rounds; interning symbols to
+    // ints makes each round's pair count one LongMap pass and the
+    // merge a primitive-array rewrite. The selected pair per round is
+    // IDENTICAL: argmin by (-count, left, right) with the SAME string
+    // comparisons (resolved through the intern table), so the merge
+    // sequence — and everything downstream — is unchanged (BpeSpec
+    // pins merge-for-merge parity against the reference).
+    val symId = scala.collection.mutable.HashMap.empty[String, Int]
+    val symsOf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def intern(s: String): Int =
+      symId.getOrElseUpdate(s, { symsOf += s; symsOf.length - 1 })
+    var rows: Array[Array[Int]] = rows0.map(_._1.map(intern).toArray)
+    val cnts: Array[Long] = rows0.map(_._2)
     val merges = Seq.newBuilder[Merge]
     var rank = 0L
     var done = false
     while (rank < nMerges && !done) {
-      val pairs = scala.collection.mutable.Map[(String, String), Long]()
-      for ((syms, c) <- rows; i <- 0 until syms.length - 1)
-        pairs((syms(i), syms(i + 1))) =
-          pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val pairs = new scala.collection.mutable.LongMap[Long]()
+      var ri = 0
+      while (ri < rows.length) {
+        val syms = rows(ri); val c = cnts(ri)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i).toLong << 32) | (syms(i + 1).toLong & 0xFFFFFFFFL)
+          pairs(k) = pairs.getOrElse(k, 0L) + c
+          i += 1
+        }
+        ri += 1
+      }
       if (pairs.isEmpty) done = true
       else {
-        val ((l, r), n) = pairs.minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
-        if (n < 2L) done = true
+        // argmin by (-n, left, right) — string order via the intern
+        // table, exactly the tuple minBy this replaces
+        var bestK = -1L; var bestN = -1L
+        pairs.foreach { case (k, n) =>
+          if (bestK < 0L) { bestK = k; bestN = n }
+          else if (n > bestN) { bestK = k; bestN = n }
+          else if (n == bestN) {
+            val bl = symsOf((bestK >>> 32).toInt)
+            val br = symsOf((bestK & 0xFFFFFFFFL).toInt)
+            val kl = symsOf((k >>> 32).toInt)
+            val kr = symsOf((k & 0xFFFFFFFFL).toInt)
+            val cl = kl.compareTo(bl)
+            if (cl < 0 || (cl == 0 && kr.compareTo(br) < 0)) {
+              bestK = k; bestN = n
+            }
+          }
+        }
+        if (bestN < 2L) done = true
         else {
-          merges += Merge(rank, l, r, n)
-          rows = rows.map { case (syms, c) =>
-            (mergeOnce(syms, l, r).toVector, c)
+          val li = (bestK >>> 32).toInt
+          val riId = (bestK & 0xFFFFFFFFL).toInt
+          val l = symsOf(li); val r = symsOf(riId)
+          merges += Merge(rank, l, r, bestN)
+          val mergedId = intern(l + r)
+          rows = rows.map { syms =>
+            // fast path: rows without the pair keep their array
+            var i = 0; var hit = false
+            while (!hit && i < syms.length - 1) {
+              if (syms(i) == li && syms(i + 1) == riId) hit = true
+              i += 1
+            }
+            if (!hit) syms
+            else {
+              val b = new scala.collection.mutable.ArrayBuffer[Int](syms.length)
+              i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == li &&
+                    syms(i + 1) == riId) { b += mergedId; i += 2 }
+                else { b += syms(i); i += 1 }
+              }
+              b.toArray
+            }
           }
           rank += 1
         }

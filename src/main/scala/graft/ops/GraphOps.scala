@@ -76,6 +76,40 @@ object GraphOps {
     java.math.BigDecimal.valueOf(x * 1e12)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
+  /** Dense id index for the driver fast paths (r17 optimization —
+    * guide §1.2 "per-task work"): the LongMap-per-edge-per-iteration
+    * loops spent most of their wall time in hash probing and box/
+    * rehash churn (~1–2 s per graph query at 1.2M edges × 5 iters).
+    * Mapping ids to dense ints ONCE and iterating over primitive
+    * arrays is the same arithmetic in the same order — long sums are
+    * exact and associative, argmaxes are integer — so every spec-
+    * pinned bit-parity contract is preserved while iterations become
+    * straight array passes. */
+  private final class DenseIds {
+    private val m = new collection.mutable.LongMap[Int]()
+    private val idsB = new scala.collection.mutable.ArrayBuffer[Long]()
+    def index(id: Long): Int =
+      m.getOrElseUpdate(id, { idsB += id; idsB.length - 1 })
+    def get(id: Long): Int = m.getOrElse(id, -1)
+    def size: Int = idsB.length
+    def ids: Array[Long] = idsB.toArray
+  }
+
+  /** (src indices, dst indices, index) for a collected edge list —
+    * sources registered first, then destinations. */
+  private def denseEdges(srcA: Array[Long], dstA: Array[Long])
+      : (Array[Int], Array[Int], DenseIds) = {
+    val ix = new DenseIds
+    val n = srcA.length
+    val srcI = new Array[Int](n)
+    val dstI = new Array[Int](n)
+    var j = 0
+    while (j < n) { srcI(j) = ix.index(srcA(j)); j += 1 }
+    j = 0
+    while (j < n) { dstI(j) = ix.index(dstA(j)); j += 1 }
+    (srcI, dstI, ix)
+  }
+
   /** Deterministic PageRank. `edges` carries (src, dst) long columns;
     * CONTRACT: every node appears as a src AND as a dst (symmetrize a
     * one-directional relation — that also removes dangling nodes,
@@ -122,35 +156,64 @@ object GraphOps {
         return sparkSess.emptyDataFrame
           .withColumn("node", lit(0L)).withColumn("rank", lit(0.0))
       import sparkSess.implicits._
+      // dense-index arrays (see DenseIds): same quantize/exact-long-
+      // sum/divide sequence as the LongMap form it replaces — long
+      // sums are associative, so values are bit-identical
       val n = srcA.length
-      val deg = collection.mutable.LongMap.empty[Long]
-      srcA.foreach(s => deg(s) = deg.getOrElse(s, 0L) + 1L)
-      val nNodes = deg.size.toDouble
+      val (srcI, dstI, ix) = denseEdges(srcA, dstA)
+      val m = ix.size
+      val deg = new Array[Long](m)
+      var j = 0
+      while (j < n) { deg(srcI(j)) += 1L; j += 1 }
+      var srcCount = 0
+      j = 0
+      while (j < m) { if (deg(j) > 0L) srcCount += 1; j += 1 }
+      val nNodes = srcCount.toDouble
       val base = (1.0 - damping) / nNodes
-      var rank = collection.mutable.LongMap.empty[Double]
-      deg.keysIterator.foreach(rank(_) = 1.0 / nNodes)
+      var rank = new Array[Double](m)
+      var hasRank = new Array[Boolean](m)
+      j = 0
+      while (j < m) {
+        if (deg(j) > 0L) { rank(j) = 1.0 / nNodes; hasRank(j) = true }
+        j += 1
+      }
+      val ms = new Array[Long](m)
+      val msDef = new Array[Boolean](m)
       for (_ <- 0 until iters) {
         // OUT-OF-CONTRACT tolerance matching the distributed join: a
         // src whose rank vanished (never appears as dst on a
         // non-symmetrized input) contributes nothing, exactly as the
         // e ⋈ rank equi-join drops its edges — no crash, same output
-        val ms = collection.mutable.LongMap.empty[Long]
-        deg.foreach { case (s, d) =>
-          rank.get(s).foreach(r => ms(s) = microQuantize(r / d.toDouble)) }
-        val sums = collection.mutable.LongMap.empty[Long]
-        var j = 0
-        while (j < n) {
-          ms.get(srcA(j)).foreach(c =>
-            sums(dstA(j)) = sums.getOrElse(dstA(j), 0L) + c)
+        j = 0
+        while (j < m) {
+          msDef(j) = deg(j) > 0L && hasRank(j)
+          if (msDef(j)) ms(j) = microQuantize(rank(j) / deg(j).toDouble)
           j += 1
         }
-        val next = collection.mutable.LongMap.empty[Double]
-        sums.foreach { case (id, c) =>
-          next(id) = base + damping * (c.toDouble / 1e12) }
-        rank = next
+        val sums = new Array[Long](m)
+        val hasSum = new Array[Boolean](m)
+        j = 0
+        while (j < n) {
+          val s = srcI(j)
+          if (msDef(s)) {
+            val d = dstI(j)
+            sums(d) += ms(s); hasSum(d) = true
+          }
+          j += 1
+        }
+        val next = new Array[Double](m)
+        j = 0
+        while (j < m) {
+          if (hasSum(j)) next(j) = base + damping * (sums(j).toDouble / 1e12)
+          j += 1
+        }
+        rank = next; hasRank = hasSum
       }
-      return rank.toSeq.map { case (id, r) => (id, r) }
-        .toDF("node", "r")
+      val ids = ix.ids
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      j = 0
+      while (j < m) { if (hasRank(j)) out += ((ids(j), rank(j))); j += 1 }
+      return out.toSeq.toDF("node", "r")
         .select(col("node"), round(col("r"), 6).as("rank"))
     }
 
@@ -279,24 +342,36 @@ object GraphOps {
       case Left((srcA, dstA)) =>
         val spark = edges.sparkSession
         import spark.implicits._
-        val dist = collection.mutable.LongMap.empty[Long]
-        seedProbe.foreach(r => dist(r.getLong(0)) = 0L)
-        var frontier: Array[Long] = dist.keysIterator.toArray
+        // dense-index arrays (see DenseIds): pure set algebra, exact
+        // by construction on any representation
+        val n = srcA.length
+        val (srcI, dstI, ix) = denseEdges(srcA, dstA)
+        // seeds may lie outside the edge node set — index them too
+        val seedIdx = seedProbe.map(r => ix.index(r.getLong(0)))
+        val m = ix.size
+        val dist = new Array[Long](m)
+        val settled = new Array[Boolean](m)
+        val inF = new Array[Boolean](m)
+        seedIdx.foreach { i => settled(i) = true; inF(i) = true }
         for (hop <- 1 to maxHops) {
-          val inF = collection.mutable.LongMap.empty[Boolean]
-          frontier.foreach(inF(_) = true)
-          val nextF = collection.mutable.LongMap.empty[Boolean]
+          val nextF = new Array[Boolean](m)
           var j = 0
-          while (j < srcA.length) {
-            val s = srcA(j); val d = dstA(j)
-            if (inF.contains(s) && !dist.contains(d)) nextF(d) = true
+          while (j < n) {
+            if (inF(srcI(j)) && !settled(dstI(j))) nextF(dstI(j)) = true
             j += 1
           }
-          nextF.keysIterator.foreach(dist(_) = hop.toLong)
-          frontier = nextF.keysIterator.toArray
+          var v = 0
+          while (v < m) {
+            if (nextF(v)) { settled(v) = true; dist(v) = hop.toLong }
+            v += 1
+          }
+          System.arraycopy(nextF, 0, inF, 0, m)
         }
-        dist.toSeq.map { case (nd, d) => (nd, d) }
-          .toDF("node", "dist")
+        val ids = ix.ids
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var v = 0
+        while (v < m) { if (settled(v)) out += ((ids(v), dist(v))); v += 1 }
+        out.toSeq.toDF("node", "dist")
 
       case Right(e) =>
         // localCheckpoint REQUIRED throughout this loop (iterative
@@ -339,32 +414,74 @@ object GraphOps {
       if (srcA.nonEmpty) {
       val spark = edges.sparkSession
       import spark.implicits._
+      // dense-index + CSR-by-dst rewrite (see DenseIds): per node,
+      // incoming labels gather into one scratch array and sort — a run
+      // scan realizes the identical (count desc, label asc) argmax the
+      // nested LongMap tally computed, without per-node map churn
       val n = srcA.length
-      var labels = collection.mutable.LongMap.empty[Long]
-      srcA.foreach(s => labels(s) = s)
-      for (_ <- 0 until iters) {
-        val counts = collection.mutable.LongMap
-          .empty[collection.mutable.LongMap[Long]]
-        def vote(node: Long, label: Long): Unit = {
-          val m = counts.getOrElseUpdate(node,
-            collection.mutable.LongMap.empty[Long])
-          m(label) = m.getOrElse(label, 0L) + 1L
-        }
-        var j = 0
-        while (j < n) { vote(dstA(j), labels(srcA(j))); j += 1 }
-        labels.foreach { case (node, l) => vote(node, l) } // self-vote
-        val next = collection.mutable.LongMap.empty[Long]
-        counts.foreach { case (node, m) =>
-          var bc = -1L; var bl = 0L
-          m.foreach { case (label, c) =>
-            if (c > bc || (c == bc && label < bl)) { bc = c; bl = label }
-          }
-          next(node) = bl
-        }
-        labels = next
+      val (srcI, dstI, ix) = denseEdges(srcA, dstA)
+      val m = ix.size
+      val ids = ix.ids
+      // CSR: for each node, the src indices of its incoming edges
+      val indeg = new Array[Int](m)
+      var j = 0
+      while (j < n) { indeg(dstI(j)) += 1; j += 1 }
+      val off = new Array[Int](m + 1)
+      j = 0
+      while (j < m) { off(j + 1) = off(j) + indeg(j); j += 1 }
+      val inSrc = new Array[Int](n)
+      val fill = java.util.Arrays.copyOf(off, m)
+      j = 0
+      while (j < n) {
+        val d = dstI(j); inSrc(fill(d)) = srcI(j); fill(d) += 1; j += 1
       }
-      return labels.toSeq.map { case (nd, l) => (nd, l) }
-        .toDF("node", "label")
+      var labels = new Array[Long](m)
+      var hasLabel = new Array[Boolean](m)
+      j = 0
+      while (j < n) { // init: every SRC labels itself (the map form)
+        val s = srcI(j)
+        if (!hasLabel(s)) { labels(s) = ids(s); hasLabel(s) = true }
+        j += 1
+      }
+      var maxIn = 0
+      j = 0
+      while (j < m) { if (indeg(j) > maxIn) maxIn = indeg(j); j += 1 }
+      val scratch = new Array[Long](maxIn + 1)
+      for (_ <- 0 until iters) {
+        val next = new Array[Long](m)
+        val hasNext = new Array[Boolean](m)
+        var v = 0
+        while (v < m) {
+          var k = 0
+          var p = off(v)
+          val end = off(v + 1)
+          while (p < end) {
+            val s = inSrc(p)
+            if (hasLabel(s)) { scratch(k) = labels(s); k += 1 }
+            p += 1
+          }
+          if (hasLabel(v)) { scratch(k) = labels(v); k += 1 } // self-vote
+          if (k > 0) {
+            java.util.Arrays.sort(scratch, 0, k)
+            var bc = 0L; var bl = 0L
+            var i = 0
+            while (i < k) {
+              var r = i + 1
+              while (r < k && scratch(r) == scratch(i)) r += 1
+              val c = (r - i).toLong
+              if (c > bc) { bc = c; bl = scratch(i) } // asc scan ⇒ min label on ties
+              i = r
+            }
+            next(v) = bl; hasNext(v) = true
+          }
+          v += 1
+        }
+        labels = next; hasLabel = hasNext
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      j = 0
+      while (j < m) { if (hasLabel(j)) out += ((ids(j), labels(j))); j += 1 }
+      return out.toSeq.toDF("node", "label")
       }
     }
 
@@ -457,39 +574,66 @@ object GraphOps {
 
     gated.left.foreach { case (srcA, dstA) =>
       import spark.implicits._
+      // dense-index arrays (see DenseIds): quantize once per NODE
+      // (BigDecimal — the same microQuantize), per-edge loop is pure
+      // long-array arithmetic; exact long sums are associative, so
+      // scores are bit-identical to the LongMap form this replaces
       val n = srcA.length
-      // quantize once per NODE (BigDecimal), then the per-edge loop
-      // is pure long-array arithmetic
-      def sweepDriver(scores: collection.mutable.LongMap[Double],
-                      fwd: Boolean): collection.mutable.LongMap[Double] = {
-        val ms = collection.mutable.LongMap.empty[Long]
-        scores.foreach { case (id, s) => ms(id) = microQuantize(s) }
-        val raw = collection.mutable.LongMap.empty[Long]
+      val (srcI, dstI, ix) = denseEdges(srcA, dstA)
+      val m = ix.size
+      final case class Scores(v: Array[Double], has: Array[Boolean])
+      def sweepDriver(scores: Scores, fwd: Boolean): Scores = {
+        val ms = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          if (scores.has(i)) ms(i) = microQuantize(scores.v(i))
+          i += 1
+        }
+        val raw = new Array[Long](m)
+        val hasRaw = new Array[Boolean](m)
         var j = 0
         while (j < n) {
-          val k = if (fwd) srcA(j) else dstA(j)
-          val o = if (fwd) dstA(j) else srcA(j)
-          raw(o) = raw.getOrElse(o, 0L) + ms(k)
+          val k = if (fwd) srcI(j) else dstI(j)
+          val o = if (fwd) dstI(j) else srcI(j)
+          raw(o) += ms(k); hasRaw(o) = true
           j += 1
         }
         var t = 0L
-        raw.valuesIterator.foreach(t += _)
-        val out = collection.mutable.LongMap.empty[Double]
-        raw.foreach { case (id, c) => out(id) = c.toDouble / t.toDouble }
-        out
+        i = 0
+        while (i < m) { if (hasRaw(i)) t += raw(i); i += 1 }
+        val out = new Array[Double](m)
+        i = 0
+        while (i < m) {
+          if (hasRaw(i)) out(i) = raw(i).toDouble / t.toDouble
+          i += 1
+        }
+        Scores(out, hasRaw)
       }
-      var h = collection.mutable.LongMap.empty[Double]
-      val srcSet = collection.mutable.LongMap.empty[Boolean]
-      srcA.foreach(srcSet(_) = true)
-      srcSet.keysIterator.foreach(h(_) = 1.0 / srcSet.size)
-      var a = collection.mutable.LongMap.empty[Double]
+      val isSrc = new Array[Boolean](m)
+      var j = 0
+      var nSrc = 0
+      while (j < n) {
+        if (!isSrc(srcI(j))) { isSrc(srcI(j)) = true; nSrc += 1 }
+        j += 1
+      }
+      val h0 = new Array[Double](m)
+      j = 0
+      while (j < m) { if (isSrc(j)) h0(j) = 1.0 / nSrc; j += 1 }
+      var h = Scores(h0, isSrc)
+      var a = Scores(new Array[Double](m), new Array[Boolean](m))
       for (_ <- 0 until iters) {
         a = sweepDriver(h, fwd = true)
         h = sweepDriver(a, fwd = false)
       }
-      return (h.toSeq.map { case (id, s) => ("hub", id, s) } ++
-        a.toSeq.map { case (id, s) => ("authority", id, s) })
-        .toDF("kind", "id", "s")
+      val ids = ix.ids
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+      j = 0
+      while (j < m) { if (h.has(j)) out += (("hub", ids(j), h.v(j))); j += 1 }
+      j = 0
+      while (j < m) {
+        if (a.has(j)) out += (("authority", ids(j), a.v(j))); j += 1
+      }
+      return out.toSeq.toDF("kind", "id", "s")
         .select(col("kind"), col("id"), round(col("s"), 6).as("score"))
     }
 

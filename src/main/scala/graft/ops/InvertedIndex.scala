@@ -62,24 +62,40 @@ object InvertedIndex {
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .withColumn("seg", lit(seg))
 
-  private def writeSegment(postings: DataFrame, indexDir: String): Unit =
-    postings.repartition(col("bucket"))
+  /** Write one segment's postings and its meta row in ONE corpus pass
+    * (r17 optimization, guide §1.2): the meta scalars are derivable
+    * from the postings stream itself — Σtf over a doc's groups is the
+    * doc's token count (so Σtf overall == Σdl == the old
+    * size(split(text)) sum), and exactly one (term, doc) group per doc
+    * holds position 0 (the doc's first token), so counting those
+    * groups counts docs. An `observe` on the write job captures both;
+    * the old writeMeta re-scanned and re-tokenized the whole corpus
+    * for numbers the build had already computed. */
+  private def writeSegment(postings: DataFrame, indexDir: String,
+                           nBuckets: Int, seg: Int): Unit = {
+    val spark = postings.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    postings
+      .observe(obs,
+        coalesce(sum(col("tf")), lit(0L)).as("n_tokens"),
+        count(when(element_at(col("positions"), 1) === 0, lit(1)))
+          .as("n_docs"))
+      .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg", "bucket")
       .parquet(s"$indexDir/postings")
-
-  private def writeMeta(docs: DataFrame, indexDir: String, nBuckets: Int,
-                        seg: Int): Unit =
-    docs.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(split(coalesce(col("text"), lit("")), " "))
-          .cast("long")), lit(0L)).as("n_tokens"),
-        lit(nBuckets.toLong).as("n_buckets"), lit(seg).as("seg"))
+    val row = obs.get
+    import spark.implicits._
+    Seq((row("n_docs").asInstanceOf[Long],
+        row("n_tokens").asInstanceOf[Long], nBuckets.toLong, seg))
+      .toDF("n_docs", "n_tokens", "n_buckets", "seg")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("seg")
       .parquet(s"$indexDir/meta")
+  }
 
   /** Default driver bound on a retrieval batch's distinct
     * (query_id, term) rows ([[searchBm25Batch]]) — a request batch is
@@ -119,8 +135,7 @@ object InvertedIndex {
     deleteDir(spark, s"$indexDir/postings")
     deleteDir(spark, s"$indexDir/meta")
     deleteDir(spark, s"$indexDir/tombstones")
-    writeSegment(postingsOf(docs, nBuckets, 0), indexDir)
-    writeMeta(docs, indexDir, nBuckets, 0)
+    writeSegment(postingsOf(docs, nBuckets, 0), indexDir, nBuckets, 0)
     deleteDir(spark, s"$indexDir/$RebuildMarker")
   }
 
@@ -138,9 +153,8 @@ object InvertedIndex {
     require(segId > 0, "segment 0 is the build; append with segId > 0")
     val spark = docs.sparkSession
     val (_, _, nBuckets) = meta(spark, indexDir)
-    writeSegment(postingsOf(docs, nBuckets, segId), indexDir)
     // meta partitions by seg too, so this only writes the new row
-    writeMeta(docs, indexDir, nBuckets, segId)
+    writeSegment(postingsOf(docs, nBuckets, segId), indexDir, nBuckets, segId)
   }
 
   /** (total docs, total tokens, bucket count) summed across segments.

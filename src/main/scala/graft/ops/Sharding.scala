@@ -283,17 +283,31 @@ object Sharding {
     val ch = stageRead(
       changes.withColumn("bucket", shardOf(col("doc_id"), nBuckets)),
       s"$staging/changes")
+    // ONE summary job over the tiny staged batch (r17 optimization,
+    // guide §1.2): the dup-id check, the touched-bucket set, and both
+    // audit counts each ran their own job before — all four fold into
+    // one two-level aggregate. With no duplicate ids every doc_id
+    // group is a single row, so first(op) IS the row's op and the
+    // counts are exact; with duplicates we throw before using them.
+    val sm = ch.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("c"), first(col("bucket")).as("b"),
+        first(col("op")).as("o"))
+      .agg(max(col("c")).as("maxc"),
+        collect_set(col("b")).as("buckets"),
+        coalesce(sum(when(col("o") === "upsert", 1L).otherwise(0L)),
+          lit(0L)).as("nup"),
+        coalesce(sum(when(col("o") === "delete", 1L).otherwise(0L)),
+          lit(0L)).as("ndel"))
+      .collect()(0)
     // one change row per doc_id: two upserts (or an upsert and a
     // delete) for the same id in one batch have no defined order —
     // unioning both would silently duplicate the row in the store.
-    // Runs over the tiny staged batch, so the check costs one small
-    // job, not a corpus scan.
-    require(ch.groupBy(col("doc_id")).count()
-      .where(col("count") > 1).isEmpty,
+    require(sm.isNullAt(0) || sm.getLong(0) <= 1L,
       "mergeCdc batch carries conflicting rows for the same doc_id; " +
         "resolve to one change per id upstream (last-write-wins)")
-    val touched = ch.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0))
+    val touched = sm.getAs[scala.collection.Seq[Int]]("buckets").toArray
+    val nUpserts = sm.getAs[Long]("nup")
+    val nDeletes = sm.getAs[Long]("ndel")
     if (touched.isEmpty) { deleteDir(spark, staging); return CdcAudit(0L, 0L, 0L) }
     val existing = spark.read.parquet(storeDir)
     val upserts0 = ch.where(col("op") === "upsert").drop("op")
@@ -332,8 +346,7 @@ object Sharding {
         .partitionBy("bucket")
         .parquet(storeDir)
     for (b <- emptied) deleteDir(spark, s"$storeDir/bucket=$b")
-    val audit = CdcAudit(upserts0.count(),
-      ch.where(col("op") === "delete").count(), touched.length.toLong)
+    val audit = CdcAudit(nUpserts, nDeletes, touched.length.toLong)
     deleteDir(spark, s"$storeDir/_cdc_pending")
     deleteDir(spark, staging) // marker retired first, staging last
     audit

@@ -144,7 +144,7 @@ object TextOps {
     * sides there). */
   private def verifyCandidates2(candidates: DataFrame,
       setsA: DataFrame, setsB: DataFrame, threshold: Double,
-      session: Option[org.apache.spark.sql.SparkSession]): DataFrame =
+      session: Option[org.apache.spark.sql.SparkSession]): DataFrame = {
     candidates
       .join(setsA.select(col("doc_id").as("doc_a"), col("w").as("wa"),
         col("sz").as("sa")), "doc_a")
@@ -155,6 +155,7 @@ object TextOps {
         hasNative(session, "graft_isect")))
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
 
   /** Single-table form: both pair sides resolve in the same shingle
     * table (doc ids unique within it). */
@@ -202,6 +203,10 @@ object TextOps {
     // — it is NOT GC-reclaimed. Verify/Bench clear between queries; a
     // long-lived session composing these operators should do the same
     // between corpus-scale calls.
+    // No Fanout here (measured r17): the operator's cost is the
+    // prefix self-join + verify, which parallelize off their own
+    // exchanges; fanning the shingle stage added exchange overhead
+    // without relieving a bottleneck (q51/q64/q176 each ~0.5s slower)
     val sets = docs.select(col("doc_id"), col("source"),
       sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
@@ -470,7 +475,7 @@ object TextOps {
     // persist keeps the (one-scan) lineage: a lost block recomputes
     // on the surviving executors instead of failing the query, the
     // fault-tolerance a truncated localCheckpoint cannot offer
-    val sets = docs.select(col("doc_id"),
+    val sets = Fanout(docs).select(col("doc_id"),
       sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1928,7 +1933,7 @@ object TextOps {
     * cheap part. */
   def trainQualityClassifier(docs: DataFrame, iters: Int = 8,
                              ridge: Double = 1e-4): Array[Double] = {
-    val data = docs.select(classifierFeatures.as("x"),
+    val data = Fanout(docs).select(classifierFeatures.as("x"),
         when(qualityOk, lit(1.0)).otherwise(lit(0.0)).as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try trainOnPrepared(data, iters, ridge)
@@ -1988,7 +1993,7 @@ object TextOps {
     * clearCache-between-queries discipline reclaims it. */
   def trainAndScoreQuality(docs: DataFrame, iters: Int = 8,
                            ridge: Double = 1e-4): DataFrame = {
-    val data = docs.select(col("doc_id"), classifierFeatures.as("x"),
+    val data = Fanout(docs).select(col("doc_id"), classifierFeatures.as("x"),
         when(qualityOk, lit(1.0)).otherwise(lit(0.0)).as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val weights = trainOnPrepared(data, iters, ridge)
@@ -2198,7 +2203,7 @@ object TextOps {
     * identical values. Docs shorter than n yield no rows. */
   private def distinctNgrams(docs: DataFrame, n: Int): DataFrame = {
     val words = split(coalesce(col("text"), lit("")), " ")
-    docs.select(col("doc_id"),
+    Fanout(docs).select(col("doc_id"),
       explode(when(size(words) >= n,
         array_distinct(transform(sequence(lit(0), size(words) - lit(n)),
           i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))

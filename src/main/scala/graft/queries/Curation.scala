@@ -247,7 +247,7 @@ object Curation {
     * no all-pairs, per-key state bounded by doc length × 3. */
   private def q219(s: SparkSession, dir: String): DataFrame = {
     val ns = Array(2, 3, 5)
-    def grams(df: DataFrame): DataFrame = df
+    def grams(df: DataFrame): DataFrame = graft.ops.Fanout(df)
       .select(col("doc_id"), split(coalesce(col("text"), lit("")), " ").as("ws"))
       .withColumn("n", explode(lit(ns)))
       // sequence(0, negative) would DESCEND in Spark; guard short docs

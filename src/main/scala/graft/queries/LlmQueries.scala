@@ -1476,7 +1476,10 @@ object LlmQueries {
           element_at(ws, i + lit(1)).as("w1"),
           element_at(ws, i + lit(2)).as("w2"))))
       .otherwise(array().cast("array<struct<kind:int,w1:string,w2:string>>"))
-    val counts = Tables(s, dir, "documents")
+    // Fanout the projected text before the unigram+bigram explosion —
+    // the dominant per-row stage; no-op when the scan already fans out
+    val counts = graft.ops.Fanout(
+        Tables(s, dir, "documents").select(col("text")))
       .select(explode(concat(uni, bi)).as("t"))
       .select(col("t.kind").as("kind"), col("t.w1").as("w1"),
         col("t.w2").as("w2"))
