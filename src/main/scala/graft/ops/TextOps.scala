@@ -1950,10 +1950,11 @@ object TextOps {
                               ridge: Double): Array[Double] = {
     val d = ClassifierDim
     locally {
-      val n = data.count().toDouble
-      require(n > 0, "trainQualityClassifier on an empty corpus")
+      // n rides the FIRST iteration's aggregate row (r17, guide §1.2:
+      // the separate count() was one more full job over the cache)
+      var n = -1.0
       var w = Array.fill(d)(0.0)
-      for (_ <- 0 until iters) {
+      for (it <- 0 until iters) {
         val margin = w.zipWithIndex.map { case (wj, j) =>
           lit(wj) * element_at(col("x"), j + 1) }.reduce(_ + _)
         val p = lit(1.0) / (lit(1.0) + exp(-margin))
@@ -1965,7 +1966,12 @@ object TextOps {
         val gradCols = (0 until d).map(i =>
           sum((g * element_at(col("x"), i + 1)).cast("decimal(30,12)"))
             .as(s"g_$i"))
-        val row = data.select((hessCols ++ gradCols): _*).collect()(0)
+        val nCols = if (it == 0) Seq(count(lit(1)).as("nn")) else Nil
+        val row = data.select((hessCols ++ gradCols ++ nCols): _*).collect()(0)
+        if (it == 0) {
+          n = row.getLong(row.length - 1).toDouble
+          require(n > 0, "trainQualityClassifier on an empty corpus")
+        }
         val h = Array.ofDim[Double](d, d)
         var idx = 0
         for (i <- 0 until d; j <- i until d) {

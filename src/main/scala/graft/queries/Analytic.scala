@@ -657,9 +657,14 @@ object Analytic {
     // 4.2s; with this pass cut and n_edges folded into m below, the
     // cache is decoded twice — deg, orientation join — instead of
     // four times)
+    // deg CACHED (r17): it feeds the two orientation joins AND the
+    // scalar aggregate below — one explode+groupBy pass instead of
+    // three (the old shape recomputed it per consumer and ran a
+    // separate edge-view explode for the scalars)
     val deg = pairs
       .select(explode(array(col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withDeg = pairs
       .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
@@ -711,15 +716,19 @@ object Analytic {
     // shuffle: the explode is a per-row expansion of the cache).
     val edges = adj.select(col("u"), col("nbrs"),
       explode(col("nbrs")).as("v"))
-    // ONE materialization job carries every scalar the query needs:
-    // the UNDIRECTED degree multiset over the edge view (== over
-    // pairs: orientation is a bijective edge reprojection) yields
-    // n_nodes, n_wedges, and — as Σdeg/2 — the edge count m the
-    // broadcast gate reads, while the same job populates the adj
-    // cache en route (pairs is already hot from deg/withDeg above).
-    val wr = edges
-      .select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // ONE scalar job over the CACHED degree table (r17, guide §1.2 —
+    // the previous shape exploded the edge view a second time for
+    // these scalars, a full extra pass over Θ(m) rows): the
+    // undirected degree multiset is identical over pairs and over the
+    // oriented edge view (orientation is a bijective edge
+    // reprojection), so n_nodes, n_wedges, and — as Σdeg/2 — the
+    // broadcast-gate edge count m all fall out of deg directly. This
+    // job materializes pairs and deg; adj materializes inside the
+    // consumer's own action (its broadcast side builds first, so the
+    // edge view reads a hot cache), and pairs must stay cached until
+    // then — Bench/Verify clearCache between queries is the release
+    // contract (nearDupExact note).
+    val wr = deg
       .agg(coalesce(sum((col("deg") * (col("deg") - 1) / lit(2))
           .cast("bigint")), lit(0L)).as("n_wedges"),
         count(lit(1)).as("n_nodes"),
@@ -728,10 +737,6 @@ object Analytic {
     val m = wr.getAs[Long]("deg_total") / 2L
     val nWedges = wr.getAs[Long]("n_wedges")
     val nNodes = wr.getAs[Long]("n_nodes")
-    // adj is fully materialized by the job above; pairs' work is done
-    // — release it (blocking) so the triangle join below runs with
-    // ONE live cache (array-packed adj, ~half an edge-list's bytes)
-    pairs.unpersist(blocking = true)
     // Two-path adjacency join (the driverProbeLimit discipline): the
     // adjacency table is |nodes| rows but Θ(m) total bytes (every
     // oriented edge sits in some nbrs array), so an unconditional
