@@ -88,16 +88,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // see Verify: events' TIMESTAMP(NANOS) mapping, set at bootstrap
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing floor (r17 optimization, guide §2.2/§2.5): this
-      // engine's post-shuffle stages are compute-dense per BYTE (array
-      // intersections, hashing, per-token expressions), so the default
-      // 1 MB minPartitionSize folds whole verify/aggregate stages onto
-      // 1–2 tasks at bench scale while 30 cores idle. 64k keeps those
-      // stages parallel; at production scale the coalesce target is
-      // bytes/parallelism ≫ 1 MB, so the floor is inert there —
-      // scale-safe, env-parameterised (never a core-count constant).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      // AQE coalescing floor: set PER QUERY by SparkEntry's
+      // withCoalesceFloor wrapper since r18 (the r17 session-wide 64k
+      // floor was a wash at verified 32-way parallelism — see
+      // SparkEntry.denseCoalesce for the rationale and the A/B gate)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -126,6 +120,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val calibBefore = calibrate()
+    // Environment instrumentation (r18 — VERDICT r17 #3): r17's final
+    // artifact was measured on a host delivering ~8-way effective
+    // parallelism while labeled 32 cpus, and nothing in the artifact
+    // could show it. Record what the JVM and scheduler actually
+    // deliver: availableProcessors, the requested core count, heap,
+    // and a MEASURED task-concurrency probe — 2×procs Spark tasks of
+    // ~100 ms fixed arithmetic each; effective concurrency is
+    // total-busy-time / wall. On an idle 32-core host this reads
+    // ~30–32; a core-capped or oversubscribed host reads its real
+    // width. Runs once, outside every timed region.
+    val procs = Runtime.getRuntime.availableProcessors
+    val heapMB = Runtime.getRuntime.maxMemory / (1L << 20)
+    val taskConc: Double = try {
+      def probe(): Double = {
+        val n = 2 * procs
+        val t0 = System.nanoTime()
+        spark.sparkContext.parallelize(1 to n, n).map { _ =>
+          val limit = System.nanoTime() + 100000000L // 100 ms busy
+          var acc = 0L
+          while (System.nanoTime() < limit) acc = acc * 6364136223846793005L + 1
+          if (acc == 42) 1 else 0
+        }.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        math.min(procs.toDouble, n * 0.1 / wall)
+      }
+      // twice: the FIRST Spark job ever pays classloading + scheduler
+      // warm-up (~0.7s observed — it read 6.8 on an idle 32-core
+      // host); the second measures the scheduler in steady state
+      probe(); probe()
+    } catch { case _: Throwable => -1.0 }
     // steady-state warmup: session init, codegen, parquet reader paths,
     // and the per-table file indexes (one-row-group touch per table)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
@@ -263,9 +287,9 @@ object Bench {
     // genuinely slower host widens the gate instead of retrying
     // everything; 1s floor so sub-second noise never loops), run up to
     // two extra passes and keep the overall min.
-    val (priorRaw: Map[String, Double], priorRatio: Double) = try {
+    def loadArtifact(fileName: String): (Map[String, Double], Double) = try {
       val f = java.nio.file.Paths.get(
-        sys.props.getOrElse("user.dir", "."), "BENCH_QUERIES.json")
+        sys.props.getOrElse("user.dir", "."), fileName)
       if (!java.nio.file.Files.exists(f)) (Map.empty[String, Double], 1.0)
       else {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -288,6 +312,17 @@ object Bench {
         }
       }
     } catch { case _: Throwable => (Map.empty[String, Double], 1.0) }
+    val (priorRaw: Map[String, Double], priorRatio: Double) =
+      loadArtifact("BENCH_QUERIES.json")
+    // Committed 8-cpu reference (r18 — VERDICT r17 #7): the r17 story
+    // was a 32c value 3–6× its own 8c time on the same code — exactly
+    // the asymmetry the ledger should catch. When the repo carries a
+    // BENCH_QUERIES_8C.json reference (written by a SPARK_GRAFT_CPUS=8
+    // run and committed), any suite min >1.5× its calib-scaled 8c
+    // value also triggers an isolated rerun: a query should not be
+    // slower with MORE cores, so the 8c number is a floor estimate.
+    val (ref8cRaw: Map[String, Double], ref8cRatio: Double) =
+      loadArtifact("BENCH_QUERIES_8C.json")
     val priorGate: Map[String, Double] = priorRaw.map { case (k, v) =>
       k -> math.max(2.0 * v * priorRatio, 1.0)
     }
@@ -350,11 +385,15 @@ object Bench {
     // what lets a reader dismiss — or confirm — a regression without
     // rerunning anything. Bounded: top 8 outliers, 300 s per child.
     val outliers = results.toSeq.flatMap { case (name, (best, _, _)) =>
-      priorRaw.get(key(name)) match {
-        case Some(prior) if best > 0 && best >= 0.5 &&
-          best > 1.5 * prior * priorRatio => Some((name, best, prior))
-        case _ => None
-      }
+      val vsPrior = priorRaw.get(key(name))
+        .filter(p => best > 1.5 * p * priorRatio)
+      // vs the committed 8c reference: more cores should never mean
+      // 1.5× slower (see ref8c above)
+      val vs8c = ref8cRaw.get(key(name))
+        .filter(p => best > 1.5 * p * ref8cRatio)
+      if (best > 0 && best >= 0.5 && (vsPrior.nonEmpty || vs8c.nonEmpty))
+        Some((name, best, vsPrior.orElse(vs8c).get))
+      else None
     }.sortBy(-_._2).take(8)
     val ledger = outliers.flatMap { case (name, best, prior) =>
       System.err.println(f"[bench-ledger] rerunning $name isolated " +
@@ -375,8 +414,10 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val calibAfter = calibrate()
     val calib = s"[${fmt(calibBefore)},${fmt(calibAfter)}]"
+    val envJson = s"""{"procs":$procs,"cpus_env":"$cpus",""" +
+      s""""heap_mb":$heapMB,"task_concurrency":${fmt(taskConc)}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","calib":$calib,"env":$envJson}"""
     // per-query pass vectors ride ONLY in the persisted file (adding
     // them to the stdout line would re-trigger the tail-truncation
     // problem); they are what lets the next run — and an adjudicating
@@ -416,7 +457,34 @@ object Bench {
       sys.props.getOrElse("user.dir", "."), "BENCH_QUERIES.json")
     try java.nio.file.Files.write(qFile, (fullWithPasses + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout already has it
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","calib":$calib}""")
+    // 4. chunked per-query lines (r18 — VERDICT r17 #2): the driver's
+    //    ~2000-char tail cannot hold the ~3.3 KB full line, so BOTH
+    //    r16 and r17 shipped parsed=null and the round-over-round
+    //    per-query comparison had to be hand-parsed from truncated
+    //    tails. Re-emit the queries map as self-describing chunks,
+    //    each line < 1500 chars and individually valid JSON — any
+    //    tail window recovers the last chunk(s) whole, and a parser
+    //    that merges every {"metric":"queries_iofN"} line it finds
+    //    reconstructs the full map.
+    val entries = results.toSeq.map { case (k, v) =>
+      "\"" + key(k) + "\":" + fmt(v._1) }
+    val chunks = {
+      val b = Seq.newBuilder[String]
+      var cur = new StringBuilder
+      entries.foreach { e =>
+        if (cur.nonEmpty && cur.length + e.length + 1 > 1300) {
+          b += cur.toString; cur = new StringBuilder
+        }
+        if (cur.nonEmpty) cur.append(',')
+        cur.append(e)
+      }
+      if (cur.nonEmpty) b += cur.toString
+      b.result()
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_${i + 1}of${chunks.size}","value":${i + 1},"unit":"chunk","queries":{$c},"sf":"$sfDir"}""")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_file":"BENCH_QUERIES.json","sf":"$sfDir","calib":$calib,"env":$envJson}""")
     spark.stop()
   }
 }

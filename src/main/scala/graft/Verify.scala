@@ -20,9 +20,8 @@ object Verify {
       // events table carries TIMESTAMP(NANOS); TablesSpec guards that
       // no OTHER table silently reads nanos as bigint under this flag
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing floor — same rationale and env knob as Bench
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      // AQE coalescing floor — set per query by SparkEntry's
+      // withCoalesceFloor wrapper (see SparkEntry.denseCoalesce)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

