@@ -92,6 +92,19 @@ object Bench {
       // withCoalesceFloor wrapper since r18 (the r17 session-wide 64k
       // floor was a wash at verified 32-way parallelism — see
       // SparkEntry.denseCoalesce for the rationale and the A/B gate)
+      //
+      // Local FS without CRC sidecars (r18, guide §6/§1.2): Hadoop's
+      // default local FS is ChecksumFileSystem — every file write
+      // also writes a .crc sidecar and every read re-verifies it,
+      // doubling the per-file I/O of the store lifecycles' many tiny
+      // parquet commits (isolated A/B: q128 2.73→1.88s, q116
+      // 3.06→2.65s). Production file systems (HDFS/S3) carry their
+      // own integrity checks, so the client-side CRC emulation is a
+      // local-mode artifact — the lease/manifest code already
+      // bypasses it for its own I/O (JsonLease.rawFs). Deployment
+      // config, not engine semantics: set here and in Verify alike.
+      .config("spark.hadoop.fs.file.impl", sys.env.getOrElse(
+        "SPARK_GRAFT_FS_IMPL", "org.apache.hadoop.fs.RawLocalFileSystem"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

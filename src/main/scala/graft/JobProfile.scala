@@ -70,6 +70,22 @@ object JobProfile {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val total = (System.nanoTime() - t0) / 1e9
+      // drain the listener bus BEFORE reading the J vars (ADVICE r17:
+      // the listener mutates them on the bus thread; waitUntilEmpty is
+      // the happens-before edge a capture-flag flip + sleep lacked).
+      // Reflection because listenerBus is private[spark] at the source
+      // level only — dev tool, never on the bench/verify path.
+      locally {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethods.find(_.getName == "listenerBus")
+          .map(_.invoke(sc))
+        bus.foreach { b =>
+          b.getClass.getMethods
+            .find(m => m.getName == "waitUntilEmpty" &&
+              m.getParameterCount == 1)
+            .foreach(_.invoke(b, java.lang.Long.valueOf(10000L)))
+        }
+      }
       capture = false
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

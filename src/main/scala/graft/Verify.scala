@@ -22,6 +22,13 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE coalescing floor — set per query by SparkEntry's
       // withCoalesceFloor wrapper (see SparkEntry.denseCoalesce)
+      //
+      // raw local FS (no CRC sidecars) — same rationale as Bench:
+      // ChecksumFileSystem's client-side CRC emulation is a local-mode
+      // artifact production file systems don't have; kept identical
+      // here so the correctness gate runs the exact bench I/O stack
+      .config("spark.hadoop.fs.file.impl", sys.env.getOrElse(
+        "SPARK_GRAFT_FS_IMPL", "org.apache.hadoop.fs.RawLocalFileSystem"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -71,7 +71,12 @@ object Fanout {
     val splits = plan.collectLeaves().collect {
       case f: FileSourceScanExec => f.inputRDD.getNumPartitions
     }
-    if (splits.isEmpty || splits.min >= target) df
+    // EXACTLY one file-scan leaf (ADVICE r17): every call site is a
+    // single-table projection, and the min over several leaves would
+    // let a future narrow broadcast-side dim scan force a round-robin
+    // of a whole fact-dim join — a multi-scan frame is out of this
+    // helper's contract and passes through untouched.
+    if (splits.length != 1 || splits.head >= target) df
     else df.repartition(target)
   }
 }

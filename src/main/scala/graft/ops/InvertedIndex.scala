@@ -70,7 +70,15 @@ object InvertedIndex {
     * holds position 0 (the doc's first token), so counting those
     * groups counts docs. An `observe` on the write job captures both;
     * the old writeMeta re-scanned and re-tokenized the whole corpus
-    * for numbers the build had already computed. */
+    * for numbers the build had already computed.
+    *
+    * CONTRACT (ADVICE r17): `docs` must carry one row per doc_id.
+    * The position-0 doc count is load-bearing on that uniqueness — an
+    * exact-duplicate doc_id row can merge its (term, doc_id, dl)
+    * groups with the original's, under-counting n_docs while n_tokens
+    * still sums both copies (skewing the BM25 average doc length).
+    * Every in-repo caller feeds a keyed corpus where doc_id is the
+    * primary key; external callers must dedup first. */
   private def writeSegment(postings: DataFrame, indexDir: String,
                            nBuckets: Int, seg: Int): Unit = {
     val spark = postings.sparkSession

@@ -319,19 +319,24 @@ object Sharding {
     // between the two empties a bucket, and a replay that read the
     // emptied bucket as "survivors" would lose its rows forever —
     // review r12)
-    val out = stageRead(
-      existing.where(col("bucket").isin(touched.map(Int.box).toSeq: _*))
-        .join(ch.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .unionByName(upserts0.select(
-          existing.columns.map(col).toIndexedSeq: _*)),
-      s"$staging/out")
+    // the post-merge bucket set rides the staging WRITE via observe
+    // (r18, guide §1.2): it used to be a separate distinct+collect
+    // job over the staged files — one less plan+job per merge
+    val obs = org.apache.spark.sql.Observation()
+    existing.where(col("bucket").isin(touched.map(Int.box).toSeq: _*))
+      .join(ch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(upserts0.select(
+        existing.columns.map(col).toIndexedSeq: _*))
+      .observe(obs, collect_set(col("bucket")).as("buckets"))
+      .write.mode("overwrite").parquet(s"$staging/out")
+    val out = spark.read.parquet(s"$staging/out")
     // buckets this merge EMPTIES entirely (all rows deleted, no
     // upserts hashing there): a dynamic overwrite cannot truncate a
     // partition with zero output rows — their dirs must be REMOVED,
     // and the marker carries the list so a crash cannot strand them
     // half-served (the deleteFromIvfIndex protocol)
-    val outBuckets = out.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val outBuckets = obs.get("buckets")
+      .asInstanceOf[scala.collection.Seq[Int]].toSet
     val emptied = touched.filterNot(outBuckets.contains)
     // the -1 sentinel makes the marker ALWAYS non-empty: a fileless
     // husk (crash during this very write) then reads as zero rows and

@@ -1527,9 +1527,16 @@ object VectorOps {
     completePendingRemoves(spark, indexDir)
     val staging = s"$indexDir/_staging"
     try {
-      val batch = stageRead(coded, s"$staging/batch")
-      val touched = batch.select(col("cell")).distinct()
-        .collect().map(_.getInt(0))
+      // the touched-cell set rides the staging WRITE via observe
+      // (r18, guide §1.2 — the r17 InvertedIndex pattern): it used to
+      // be a separate distinct+collect job over the staged files,
+      // pure per-action overhead on a batch-sized frame
+      val obs = org.apache.spark.sql.Observation()
+      coded.observe(obs, collect_set(col("cell")).as("cells"))
+        .write.mode("overwrite").parquet(s"$staging/batch")
+      val batch = spark.read.parquet(s"$staging/batch")
+      val touched = obs.get("cells")
+        .asInstanceOf[scala.collection.Seq[Int]].toArray
       if (touched.isEmpty) return // empty batch: schedule no write at all
       val existing = spark.read.parquet(s"$indexDir/corpus")
       val carried = stageRead(

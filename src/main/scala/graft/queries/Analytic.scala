@@ -665,9 +665,44 @@ object Analytic {
       .select(explode(array(col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE scalar job over the CACHED degree table (r17, guide §1.2 —
+    // the previous shape exploded the edge view a second time for
+    // these scalars, a full extra pass over Θ(m) rows): the
+    // undirected degree multiset is identical over pairs and over the
+    // oriented edge view (orientation is a bijective edge
+    // reprojection), so n_nodes, n_wedges, and — as Σdeg/2 — the
+    // broadcast-gate edge count m all fall out of deg directly. This
+    // job materializes pairs and deg; adj materializes inside the
+    // consumer's own action (its broadcast side builds first, so the
+    // edge view reads a hot cache), and pairs must stay cached until
+    // then — Bench/Verify clearCache between queries is the release
+    // contract (nearDupExact note). Moved BEFORE the orientation
+    // joins (r18): the measured node count also prices the degree
+    // broadcast gate below.
+    val wr = deg
+      .agg(coalesce(sum((col("deg") * (col("deg") - 1) / lit(2))
+          .cast("bigint")), lit(0L)).as("n_wedges"),
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("deg_total"))
+      .collect()(0) // 1-row aggregate: the bounded-collect convention
+    val m = wr.getAs[Long]("deg_total") / 2L
+    val nWedges = wr.getAs[Long]("n_wedges")
+    val nNodes = wr.getAs[Long]("n_nodes")
+    // Degree-table broadcast gate (r18, guide §3): deg is |nodes| rows
+    // of 16 bytes, so under broadcastNodeLimit (the GraphOps named-
+    // parameter convention, ≤ ~16 MB) both orientation joins broadcast
+    // it instead of sort-merge-shuffling the Θ(m) pairs cache twice —
+    // 2 Exchange+Sort pairs deleted from the plan. Above the gate the
+    // joins stay keyed shuffles with identical results; the hint must
+    // be explicit because the cache-backed deg has no size stats for
+    // the static optimizer to broadcast on.
+    def hintedDeg(df: DataFrame): DataFrame =
+      if (nNodes <= 1000000L) broadcast(df) else df
     val withDeg = pairs
-      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
-      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+      .join(hintedDeg(deg.select(col("node").as("x"),
+        col("deg").as("dx"))), "x")
+      .join(hintedDeg(deg.select(col("node").as("y"),
+        col("deg").as("dy"))), "y")
     val oriented = withDeg.select(
       when(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")), col("x"))
@@ -716,27 +751,6 @@ object Analytic {
     // shuffle: the explode is a per-row expansion of the cache).
     val edges = adj.select(col("u"), col("nbrs"),
       explode(col("nbrs")).as("v"))
-    // ONE scalar job over the CACHED degree table (r17, guide §1.2 —
-    // the previous shape exploded the edge view a second time for
-    // these scalars, a full extra pass over Θ(m) rows): the
-    // undirected degree multiset is identical over pairs and over the
-    // oriented edge view (orientation is a bijective edge
-    // reprojection), so n_nodes, n_wedges, and — as Σdeg/2 — the
-    // broadcast-gate edge count m all fall out of deg directly. This
-    // job materializes pairs and deg; adj materializes inside the
-    // consumer's own action (its broadcast side builds first, so the
-    // edge view reads a hot cache), and pairs must stay cached until
-    // then — Bench/Verify clearCache between queries is the release
-    // contract (nearDupExact note).
-    val wr = deg
-      .agg(coalesce(sum((col("deg") * (col("deg") - 1) / lit(2))
-          .cast("bigint")), lit(0L)).as("n_wedges"),
-        count(lit(1)).as("n_nodes"),
-        coalesce(sum(col("deg")), lit(0L)).as("deg_total"))
-      .collect()(0) // 1-row aggregate: the bounded-collect convention
-    val m = wr.getAs[Long]("deg_total") / 2L
-    val nWedges = wr.getAs[Long]("n_wedges")
-    val nNodes = wr.getAs[Long]("n_nodes")
     // Two-path adjacency join (the driverProbeLimit discipline): the
     // adjacency table is |nodes| rows but Θ(m) total bytes (every
     // oriented edge sits in some nbrs array), so an unconditional
