@@ -146,17 +146,29 @@ object Bench {
     val procs = Runtime.getRuntime.availableProcessors
     val heapMB = Runtime.getRuntime.maxMemory / (1L << 20)
     val taskConc: Double = try {
+      // FIXED WORK per task with per-thread CPU accounting (r18 review
+      // find): a wall-deadline spin would still finish in ~100 ms wall
+      // under CPU starvation (it burns whatever slices it gets until
+      // the deadline passes) and read ~procs on exactly the capped
+      // host this probe exists to flag. Fixed iterations + ThreadMXBean
+      // CPU time measure what was DELIVERED: Σ task-CPU / wall is the
+      // effective width whether the thief is a hypervisor cap, steal
+      // time, or co-tenant load.
       def probe(): Double = {
         val n = 2 * procs
         val t0 = System.nanoTime()
-        spark.sparkContext.parallelize(1 to n, n).map { _ =>
-          val limit = System.nanoTime() + 100000000L // 100 ms busy
+        val cpuNs = spark.sparkContext.parallelize(1 to n, n).map { _ =>
+          val bean = java.lang.management.ManagementFactory.getThreadMXBean
+          require(bean.isCurrentThreadCpuTimeSupported)
+          val c0 = bean.getCurrentThreadCpuTime
           var acc = 0L
-          while (System.nanoTime() < limit) acc = acc * 6364136223846793005L + 1
-          if (acc == 42) 1 else 0
-        }.count()
+          var i = 0
+          while (i < 100000000) { acc = acc * 6364136223846793005L + i; i += 1 }
+          if (acc == 42) print("") // defeat dead-code elimination
+          bean.getCurrentThreadCpuTime - c0
+        }.sum()
         val wall = (System.nanoTime() - t0) / 1e9
-        math.min(procs.toDouble, n * 0.1 / wall)
+        math.min(procs.toDouble, (cpuNs / 1e9) / wall)
       }
       // twice: the FIRST Spark job ever pays classloading + scheduler
       // warm-up (~0.7s observed — it read 6.8 on an idle 32-core
@@ -405,13 +417,17 @@ object Bench {
       val vs8c = ref8cRaw.get(key(name))
         .filter(p => best > 1.5 * p * ref8cRatio)
       if (best > 0 && best >= 0.5 && (vsPrior.nonEmpty || vs8c.nonEmpty))
-        Some((name, best, vsPrior.orElse(vs8c).get))
+        // carry WHICH gate fired and its own ratio — an 8c-gate
+        // outlier logged as "vs prior" with the prior's ratio would
+        // corrupt the adjudication trail (r18 review find)
+        Some(vsPrior.map(p => (name, best, p, "prior", priorRatio))
+          .getOrElse((name, best, vs8c.get, "8c-ref", ref8cRatio)))
       else None
     }.sortBy(-_._2).take(8)
-    val ledger = outliers.flatMap { case (name, best, prior) =>
+    val ledger = outliers.flatMap { case (name, best, ref, gate, ratio) =>
       System.err.println(f"[bench-ledger] rerunning $name isolated " +
-        f"(suite $best%.3f vs prior $prior%.3f, calib ratio " +
-        f"$priorRatio%.2f)")
+        f"(suite $best%.3f vs $gate%s $ref%.3f, calib ratio " +
+        f"$ratio%.2f)")
       isolatedRerun(name).map(r => (name, best, r._1, r._2))
     }
     // The driver captures only a ~2000-char tail of the run's output

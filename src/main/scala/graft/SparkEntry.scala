@@ -69,7 +69,15 @@ object SparkEntry {
     * ran). Explicit set on BOTH branches: a runtime conf leaks across
     * queries in a shared session, so each entry must state its floor
     * rather than inherit its predecessor's. Results are unaffected by
-    * partition layout (repo discipline; the oracle re-proves it). */
+    * partition layout (repo discipline; the oracle re-proves it).
+    *
+    * CONTRACT (build-time set, execution-time read): AQE reads the
+    * conf when the returned frame EXECUTES, so a caller that builds
+    * several entries' frames before executing any runs them all under
+    * the last-built floor. Bench/Verify/the driver/the specs all
+    * build-then-execute one entry at a time on a session; keep that
+    * pattern (or re-invoke the entry) — the floor is a perf knob
+    * only, results are floor-independent either way. */
   private def withCoalesceFloor(
       name: String, fn: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = { (s, d) =>

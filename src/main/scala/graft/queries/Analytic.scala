@@ -632,6 +632,12 @@ object Analytic {
     * shuffle with identical results. */
   private[queries] val broadcastEdgeLimit = 10000000L
 
+  /** q161's degree-table broadcast gate (r18): deg is |nodes| rows of
+    * 16 bytes, so this bound caps the broadcast at ~16 MB — the
+    * GraphOps.broadcastNodeLimit default, named here beside its edge
+    * sibling so both q161 broadcast knobs retune together. */
+  private[queries] val broadcastNodeLimit = 1000000L
+
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -688,16 +694,15 @@ object Analytic {
     val m = wr.getAs[Long]("deg_total") / 2L
     val nWedges = wr.getAs[Long]("n_wedges")
     val nNodes = wr.getAs[Long]("n_nodes")
-    // Degree-table broadcast gate (r18, guide §3): deg is |nodes| rows
-    // of 16 bytes, so under broadcastNodeLimit (the GraphOps named-
-    // parameter convention, ≤ ~16 MB) both orientation joins broadcast
-    // it instead of sort-merge-shuffling the Θ(m) pairs cache twice —
-    // 2 Exchange+Sort pairs deleted from the plan. Above the gate the
+    // Degree-table broadcast gate (r18, guide §3): under
+    // broadcastNodeLimit both orientation joins broadcast deg instead
+    // of sort-merge-shuffling the Θ(m) pairs cache twice — 2
+    // Exchange+Sort pairs deleted from the plan. Above the gate the
     // joins stay keyed shuffles with identical results; the hint must
     // be explicit because the cache-backed deg has no size stats for
     // the static optimizer to broadcast on.
     def hintedDeg(df: DataFrame): DataFrame =
-      if (nNodes <= 1000000L) broadcast(df) else df
+      if (nNodes <= broadcastNodeLimit) broadcast(df) else df
     val withDeg = pairs
       .join(hintedDeg(deg.select(col("node").as("x"),
         col("deg").as("dx"))), "x")
